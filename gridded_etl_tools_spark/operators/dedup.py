@@ -1,0 +1,193 @@
+"""Deduplication family (SURVEY §2.3 Q22 + north-star additions).
+
+The reference has no dedup (times were handled as Python sets,
+``utils/publish.py:395-400``); these are the training-data-pipeline
+operators the north star adds, designed to scale:
+
+* exact dedup        — hash-groupBy; one shuffle on the content hash.
+* MinHash + LSH      — shingle → k minhashes → b bands → band-bucket
+  self-join.  The self-join is an equi-join on (band_id, band_hash), so
+  candidate generation never compares all pairs; at 100 TB the bucket join
+  shuffles only signature rows (doc_id + hash), not document text.
+* SimHash            — 32-bit sign-aggregated token hashes; near-dups share
+  the same simhash (or a close one — Hamming check on candidates).
+* n-gram Jaccard     — exact verification of candidate pairs.
+
+Determinism: all hashing is ``md5``-derived (content-defined, identical in
+DuckDB for the oracle) — never partition- or time-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (lowest ``id_col``) per distinct content tuple.
+    Deterministic replacement for ``dropDuplicates`` (which keeps an
+    arbitrary row).  One shuffle on the content columns; at scale group on
+    ``md5(content)`` so wide text never becomes the shuffle key."""
+    w = Window.partitionBy(
+        *[F.md5(F.col(c).cast("string")).alias(f"__h_{c}") for c in content_cols]
+    ).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Content groups with multiplicity > 1: (content hash, n_dups,
+    keeper id) — the audit view of exact dedup."""
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array from a text column (lowercased,
+    whitespace-tokenized).  Column expression — JVM-side only."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, hash_idx, minhash): for each of ``num_hashes`` salted md5 hash
+    functions, the lexicographic min over the document's shingles.
+
+    Long-form signatures (one row per (doc, hash)) keep the shuffle narrow
+    and let the band step be a plain groupBy.  md5-of-(salt ‖ shingle) is
+    reproducible in any engine — the correctness oracle depends on it.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    hashed = sh.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("hash_idx"),
+                    F.md5(F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+                ),
+            )
+        ).alias("ih"),
+    ).select(id_col, F.col("ih.hash_idx").alias("hash_idx"), F.col("ih.h").alias("h"))
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that collide in at
+    least one LSH band.  rows_per_band = num_hashes / bands sets the
+    similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands evenly")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_hash = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # deterministic order inside the band via sort_array over structs
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("hash_idx", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = band_hash.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = band_hash.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity of shingle sets for given (id_a, id_b)
+    candidate pairs — the verification stage after LSH.  Joins each side's
+    shingle array in, computes |∩| / |∪| with array intrinsics."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: hash each distinct token to a 32-bit
+    int (first 8 hex chars of md5), sum ±1 per bit over tokens, take sign.
+    Near-duplicate docs land on equal or low-Hamming-distance fingerprints.
+
+    Plan: explode (token × bit) — fine because tokens-per-doc × 32 rows
+    per doc is bounded; at scale run per-partition via the same expression
+    (stays in codegen, no Python).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("token"),
+    )
+    th = toks.withColumn(
+        "token_hash", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    tb = th.select(id_col, "token_hash", bit).withColumn(
+        "bit_val",
+        F.when(F.expr("(token_hash % CAST(pow(2, bit + 1) AS BIGINT)) >= CAST(pow(2, bit) AS BIGINT)"), 1).otherwise(-1),
+    )
+    return (
+        tb.groupBy(id_col, "bit")
+        .agg(F.sum("bit_val").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,74 @@
+"""Gaps-and-islands: contiguous-run detection over an ordered key.
+
+Reference parity: ``calculate_update_time_ranges``
+(``utils/publish.py:555-620``) finds contiguous runs in the insert times by
+comparing shifted diffs against the expected delta, emitting
+(datetime-range, index-range) pairs so each run becomes one Zarr region
+write.  Also the substrate of the contiguity QC check
+(``publish.py:780-822``).
+
+Spark form is the classic pattern: ``lag`` the ordered key, flag rows whose
+gap to the predecessor exceeds the expected delta, running-sum the flags to
+get a run id, then aggregate per run.  One shuffle (the window's
+``orderBy``); the subsequent groupBy reuses it via AQE.
+
+Scale note: a global ``orderBy`` window over *distinct times* is fine — the
+time dimension is thousands-to-millions of rows even when the fact table is
+100 TB.  Never run this over the full fact table; pass the distinct key
+list.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def contiguous_regions(
+    keys: DataFrame,
+    key_col: str = "time",
+    expected_delta: dt.timedelta | float | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Group distinct ordered keys into contiguous runs.
+
+    ``expected_delta``: gap defining contiguity (timedelta for timestamps,
+    number for numerics).  With ``bounds=(lo, hi)`` instead, any gap within
+    the bounds continues a run (irregular cadences, reference
+    ``attributes.py:250-257``).
+
+    Returns one row per run: ``run_id, range_start, range_end, n_keys``.
+    """
+    if (expected_delta is None) == (bounds is None):
+        raise ValueError("pass exactly one of expected_delta / bounds")
+
+    distinct = keys.select(key_col).distinct()
+    w = Window.orderBy(key_col)
+    gap = F.col(key_col).cast("double") - F.lag(F.col(key_col).cast("double")).over(w)
+
+    if expected_delta is not None:
+        if isinstance(expected_delta, dt.timedelta):
+            expected = expected_delta.total_seconds()
+        else:
+            expected = float(expected_delta)
+        is_break = gap != F.lit(expected)
+    else:
+        lo, hi = bounds
+        is_break = ~gap.between(F.lit(float(lo)), F.lit(float(hi)))
+
+    flagged = distinct.withColumn(
+        "__break", F.when(is_break, 1).otherwise(0)
+    )
+    run = F.sum("__break").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("run_id", run)
+        .groupBy("run_id")
+        .agg(
+            F.min(key_col).alias("range_start"),
+            F.max(key_col).alias("range_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .orderBy("run_id")
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (north-star addition).
+
+* :func:`cosine_topk` — brute-force exact top-k: probe×corpus join with a
+  JVM-side dot product (``F.zip_with`` + ``F.aggregate`` — no Python in
+  the loop), ranked per probe with a window.  The correctness baseline.
+* :func:`lsh_bucket_ann` — random-hyperplane LSH: each vector gets a
+  b-bit signature (sign of dot with b fixed pseudo-random planes); probes
+  join the corpus on the signature bucket, then exact-rank inside the
+  bucket.  The 100 TB path: candidate set per probe is the bucket, not the
+  corpus, and bucketing is an equi-join.
+
+Both are pure DataFrame plans; the plane matrix is a broadcast literal
+(deterministic, seeded) so executors never call back to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a, b):
+    """Cosine similarity column expression for two array<float> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per probe by cosine.
+    Returns (probe_id, neighbor_id, cosine, rank).  Ties break on
+    neighbor_id for determinism.  Broadcast the probe side — it is the
+    small side by construction."""
+    p = F.broadcast(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec"))
+    joined = p.crossJoin(c)
+    if not include_self:
+        joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        cosine_similarity(F.col("probe_vec"), F.col("corpus_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes —
+    no RNG state, reproducible across engines and runs."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[:4]
+            (u,) = struct.unpack(">i", h)
+            row.append(u / 2147483648.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def signature_column(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
+    """Bit-signature column: bit p set iff dot(vec, plane_p) >= 0."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long")
+    return sig
+
+
+def lsh_bucket_ann(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: equi-join probe and corpus on the LSH bucket
+    signature, exact-rank within the bucket.  Recall improves with fewer
+    planes (bigger buckets) — callers trade off via ``n_planes``."""
+    sig = lambda df, a: df.select(  # noqa: E731
+        F.col(id_col).alias(a),
+        F.col(vec_col).alias(f"{a}_vec"),
+        signature_column(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    p, c = sig(probes, "probe_id"), sig(corpus, "neighbor_id")
+    joined = p.join(c, on="bucket")
+    if not include_self:
+        joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        cosine_similarity(F.col("probe_id_vec"), F.col("neighbor_id_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold.  ``exact=True`` does
+    the full self-join (correctness oracle path, small data); default goes
+    through LSH buckets (scale path)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if exact:
+        joined = a.crossJoin(b)
+    else:
+        sa = a.withColumn("bucket", signature_column(F.col("vec_a"), dim, n_planes))
+        sb = b.withColumn("bucket", signature_column(F.col("vec_b"), dim, n_planes))
+        joined = sa.join(sb, on="bucket")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for the training-data pipeline (north star):
+token counting, quality scoring, language ID, fingerprinting.
+
+All JVM-side expression compositions (split/regexp/md5/array intrinsics) —
+no Python UDFs — so they run inside whole-stage codegen over the documents
+scan and the only shuffle is whatever aggregation the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic.  Deliberately small and fixed: the operator's
+#: contract is deterministic scoring, not linguistic accuracy.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "pas", "que", "pour"],
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """BPE-flavored proxy: count word pieces after splitting words longer
+    than 6 chars in half — ~ how sub-word tokenizers inflate counts.
+    ``ceil(len/6)`` pieces per word, computed with array intrinsics."""
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("int"),
+    )
+
+
+def stopword_ratio(text_col, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text_col) -> Column:
+    no_punct = F.regexp_replace(text_col, r"[^\w\s]", "")
+    return (F.length(text_col) - F.length(no_punct)).cast("double") / F.greatest(
+        F.length(text_col), F.lit(1)
+    ).cast("double")
+
+
+def mean_word_length(text_col) -> Column:
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text_col) -> Column:
+    """Composite [0, 1] quality heuristic: rewards mid-length documents,
+    low punctuation noise, presence of stopwords (any language), sane mean
+    word length.  Fixed weights; deterministic."""
+    n_tok = token_count(text_col).cast("double")
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    mwl = mean_word_length(text_col)
+    word_len_score = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
+    any_stop = F.greatest(
+        *[stopword_ratio(text_col, lg) for lg in STOPWORDS]
+    )
+    stop_score = F.least(any_stop * 10, F.lit(1.0))
+    return (
+        length_score * 0.3 + punct_score * 0.3 + word_len_score * 0.2 + stop_score * 0.2
+    )
+
+
+def language_id(text_col) -> Column:
+    """Pick the language whose stopword ratio is highest; 'und' when all
+    are zero.  Ties break by language code order (deterministic)."""
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_ratio(text_col, lg).alias("score"), F.lit(lg).alias("lang")
+            )
+            for lg in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col) -> Column:
+    """Normalization fingerprint: md5 of the sorted distinct token set —
+    robust to word order and repetition (the classic 'fingerprint'
+    clustering key)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    )
+
+
+def rolling_hash_fingerprints(text_col, window: int = 4) -> Column:
+    """Array of md5 hashes of each ``window``-token run — the winnowing /
+    rolling-hash fingerprint family used for plagiarism-style overlap
+    detection."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    return F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full profile: token counts, ratios, quality, language,
+    fingerprint.  One projection — single pass over the scan."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        mean_word_length(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,825 @@
+"""The declared query catalog: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle query over the same parquet tables.
+
+Conventions (driver contract):
+
+* Every computed column is aliased identically in Spark and SQL.
+* Floating-point aggregates are rounded (sum→2-4, avg/ratio→6) in BOTH
+  engines, because cross-engine summation order differs at the last ulp.
+* No randomness, no wall-clock dependence — results are pure functions of
+  the input tables.
+
+Each entry also names the SURVEY.md §2 operator(s) it exercises.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.functions.normalize import (
+    filename_coords,
+    sentinel_to_null,
+    standardize_longitude,
+)
+from gridded_etl_tools_spark.operators import (
+    aggregations as agg_ops,
+    dedup as dedup_ops,
+    gaps as gap_ops,
+    joins as join_ops,
+    qc as qc_ops,
+    reindex as reindex_ops,
+    select as select_ops,
+    similarity as sim_ops,
+    text as text_ops,
+)
+from gridded_etl_tools_spark.plans.tables import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship + classic relational aggregation (SURVEY §2.4 A12)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 6)                                          AS avg_qty,
+           round(avg(l_extendedprice), 6)                                     AS avg_price,
+           round(avg(l_discount), 6)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the flagship grouped aggregation.
+    Catalyst plans a partial+final hash agg over a pruned parquet scan
+    (only the 7 referenced columns are read; the shipdate filter pushes
+    down to row-group stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "daily_reduce",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*)                    AS count_value,
+           round(sum(value), 4)        AS sum_value,
+           round(avg(value), 6)        AS mean_value,
+           round(min(value), 6)        AS min_value,
+           round(max(value), 6)        AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def daily_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dimension_reduce (A12): collapse the events 'grid' to per-(day,
+    type) statistics — the Spark form of ``ds.mean(dim=...)``."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", F.col("ts")))
+    out = agg_ops.dimension_reduce(
+        ev, ["day", "event_type"], "value", ["count", "sum", "mean", "min", "max"]
+    )
+    return out.select(
+        "day", "event_type",
+        F.col("count_value"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@query(
+    "rolling_mean",
+    """
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_mean_value
+    FROM events
+    """,
+)
+def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_aggregate (A12): trailing 3-row mean per user ordered by
+    time — rolling climatology per 'cell'."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = agg_ops.rolling_aggregate(ev, ["user_id"], "ts", "value", 3, "mean")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("rolling_mean_value", 6).alias("rolling_mean_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Selection family (Q1, Q2, Q4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "point_select",
+    """
+    SELECT event_id, ts, value FROM events
+    WHERE user_id = 7 AND event_type = 'click'
+    """,
+)
+def point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-label point selection (Q1) — ``sel(user=7, type='click')``."""
+    ev = load(spark, sf_dir, "events")
+    return select_ops.point_select(ev, user_id=7, event_type="click").select(
+        "event_id", "ts", "value"
+    )
+
+
+@query(
+    "range_select",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-04-30'
+    """,
+)
+def range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range selection (Q2) — ``sel(time=slice(a, b))``; the filter pushes
+    down to parquet row-group min/max stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return select_ops.range_select(
+        li, "l_shipdate", dt.datetime(1996, 3, 1), dt.datetime(1996, 4, 30)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@query(
+    "membership_semi",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def membership_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership filter (Q4) — ``isin`` as broadcast left-semi join."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    kept = select_ops.membership_filter(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey"
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Update-split / combine_first / gaps-and-islands (W4-W11, §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "update_split_insert",
+    """
+    SELECT DISTINCT l_shipdate AS time FROM lineitem
+    WHERE l_shipdate IN (SELECT o_orderdate FROM orders)
+    """,
+)
+def update_split_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert half of the update split (W5): update times already present
+    in the published table → broadcast left-semi join."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("time"))
+    ex = load(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("time"))
+    inserts, _ = join_ops.split_update_times(li, ex)
+    return inserts
+
+
+@query(
+    "update_split_append",
+    """
+    SELECT DISTINCT l_shipdate AS time FROM lineitem
+    WHERE l_shipdate NOT IN (SELECT o_orderdate FROM orders)
+    """,
+)
+def update_split_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append half of the update split (W5): left-anti join."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("time"))
+    ex = load(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("time"))
+    _, appends = join_ops.split_update_times(li, ex)
+    return appends
+
+
+@query(
+    "combine_first",
+    """
+    WITH upd AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+         ex  AS (SELECT event_id, round(value * 0.5, 6) AS value FROM events)
+    SELECT coalesce(u.event_id, e.event_id) AS event_id,
+           coalesce(u.value, e.value)       AS value
+    FROM upd u FULL OUTER JOIN ex e ON u.event_id = e.event_id
+    """,
+)
+def combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``update.combine_first(existing)`` (Q10/W11): full-outer join +
+    coalesce, update wins."""
+    ev = load(spark, sf_dir, "events")
+    upd = ev.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    ex = ev.select("event_id", F.round(F.col("value") * 0.5, 6).alias("value"))
+    return join_ops.combine_first(upd, ex, keys=["event_id"], value_cols=["value"])
+
+
+@query(
+    "gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time FROM events
+      WHERE day(ts) % 7 <> 0
+    ), flagged AS (
+      SELECT time,
+             CASE WHEN epoch(time) - epoch(lag(time) OVER (ORDER BY time)) <> 86400
+                  THEN 1 ELSE 0 END AS brk
+      FROM days
+    ), runs AS (
+      SELECT time,
+             CAST(sum(brk) OVER (ORDER BY time ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM flagged
+    )
+    SELECT run_id, min(time) AS range_start, max(time) AS range_end,
+           count(*) AS n_keys
+    FROM runs GROUP BY run_id
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run assignment over distinct event days with some
+    days knocked out (W9, ``calculate_update_time_ranges``)."""
+    ev = load(spark, sf_dir, "events").filter(F.dayofmonth("ts") % 7 != 0)
+    days = ev.select(F.date_trunc("day", F.col("ts")).alias("time"))
+    runs = gap_ops.contiguous_regions(days, "time", expected_delta=dt.timedelta(days=1))
+    return runs.select("run_id", "range_start", "range_end", "n_keys")
+
+
+# ---------------------------------------------------------------------------
+# Nearest / as-of joins (Q3, §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tolerance_nearest",
+    """
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type='purchase' AND user_id=3),
+         c AS (SELECT event_id, ts, value FROM events WHERE event_type='click' AND user_id=3)
+    SELECT p.event_id, p.ts,
+           c.event_id AS nearest_event_id, c.ts AS nearest_ts,
+           round(c.value, 6) AS nearest_value
+    FROM p JOIN c ON abs(epoch(p.ts) - epoch(c.ts)) <= 3600
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY abs(epoch(p.ts) - epoch(c.ts)) ASC, c.ts ASC) = 1
+    """,
+)
+def tolerance_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-with-tolerance select (Q3): for each purchase of user 3,
+    the closest click within ±1 h — the reference's
+    ``sel(method='nearest', tolerance=...)`` as a bucketed range join."""
+    ev = load(spark, sf_dir, "events")
+    probes = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") == 3)).select(
+        "event_id", "ts"
+    )
+    targets = ev.filter((F.col("event_type") == "click") & (F.col("user_id") == 3)).select(
+        "event_id", "ts", "value"
+    )
+    out = join_ops.tolerance_join(
+        probes, targets, on="ts", tolerance=3600.0, probe_keys=["event_id"]
+    )
+    return out.select(
+        "event_id", "ts", "nearest_event_id", "nearest_ts",
+        F.round("nearest_value", 6).alias("nearest_value"),
+    )
+
+
+@query(
+    "asof_enrich",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, round(c.value, 6) AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Q3, 1-D time case): each purchase picks the latest
+    preceding click of the same user.  Single-shuffle union+window trick —
+    no range explosion."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = join_ops.asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reindex / dense-grid (Q9, Q14)
+# ---------------------------------------------------------------------------
+
+@query(
+    "reindex_dense_time",
+    """
+    WITH facts AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events
+      WHERE event_type IN ('signup', 'error') AND day(ts) % 5 <> 0
+      GROUP BY 1, 2
+    ), axis AS (
+      SELECT unnest(generate_series((SELECT min(time) FROM facts),
+                                    (SELECT max(time) FROM facts),
+                                    INTERVAL 1 DAY)) AS time
+    ), dims AS (SELECT DISTINCT event_type FROM facts)
+    SELECT a.time, d.event_type, f.n_events, f.sum_value
+    FROM axis a CROSS JOIN dims d
+    LEFT JOIN facts f ON f.time = a.time AND f.event_type = d.event_type
+    """,
+)
+def reindex_dense_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reindex-to-complete-time-series (Q9): dense day axis × event types
+    left-joined against sparse daily facts; holes come back NULL."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error") & (F.dayofmonth("ts") % 5 != 0)
+    )
+    facts = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("time"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return reindex_ops.reindex_time(facts, "time", "1 day", group_cols=["event_type"])
+
+
+@query(
+    "missing_combinations",
+    """
+    WITH facts AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time, event_type FROM events
+      WHERE day(ts) % 4 <> 0 OR event_type = 'view'
+    ), d1 AS (SELECT DISTINCT time FROM facts),
+       d2 AS (SELECT DISTINCT event_type FROM facts)
+    SELECT d1.time, d2.event_type
+    FROM d1 CROSS JOIN d2
+    LEFT JOIN facts f ON f.time = d1.time AND f.event_type = d2.event_type
+    WHERE f.time IS NULL
+    """,
+)
+def missing_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-hypercube hole detection (Q14, ``nest_files`` hole check)."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.dayofmonth("ts") % 4 != 0) | (F.col("event_type") == "view")
+    )
+    facts = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("time"), "event_type"
+    ).distinct()
+    return reindex_ops.missing_combinations(facts, ["time", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Extents & normalization (Q8, Q12, Q16, Q17, S12, Q13)
+# ---------------------------------------------------------------------------
+
+@query(
+    "extent_bbox",
+    """
+    SELECT round(CAST(min(value) AS DOUBLE), 2)   AS min_lon,
+           round(CAST(min(user_id) AS DOUBLE), 2) AS min_lat,
+           round(CAST(max(value) AS DOUBLE), 2)   AS max_lon,
+           round(CAST(max(user_id) AS DOUBLE), 2) AS max_lat
+    FROM events
+    """,
+)
+def extent_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox computation (Q16) — rounded coordinate extremes."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.bbox(ev, lon_col="value", lat_col="user_id", rounding=2)
+
+
+@query(
+    "temporal_extent",
+    "SELECT min(ts) AS start, max(ts) AS \"end\" FROM events",
+)
+def temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extent (Q12/Q17)."""
+    return agg_ops.temporal_extent(load(spark, sf_dir, "events"), "ts")
+
+
+@query(
+    "sentinel_normalize",
+    """
+    SELECT event_id,
+           CASE WHEN value = 0.01 OR isnan(value) THEN NULL ELSE value END AS value
+    FROM events
+    """,
+)
+def sentinel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel→NULL rewrite (S12): provider missing_value (here 0.01,
+    the table's min) nulled at ingest."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    return sentinel_to_null(ev, "value", sentinel=0.01)
+
+
+@query(
+    "lon_standardize",
+    """
+    SELECT event_id,
+           round(((value * 7 - 200 + 180) % 360 + 360) % 360 - 180, 6) AS lon_std
+    FROM events
+    """,
+)
+def lon_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longitude standardization (Q8): map [0,360)-style longitudes onto
+    [-180, 180) with pmod."""
+    ev = load(spark, sf_dir, "events")
+    lon_raw = F.col("value") * 7 - 200
+    return ev.select(
+        "event_id", F.round(standardize_longitude(lon_raw), 6).alias("lon_std")
+    )
+
+
+@query(
+    "filename_coords",
+    r"""
+    WITH named AS (
+      SELECT o_orderkey,
+             'precip_' || strftime(o_orderdate, '%Y%m%d') || '.nc4' AS filename
+      FROM orders
+    )
+    SELECT o_orderkey, filename,
+           strptime(regexp_extract(filename, 'precip_(\d{8})\.nc4', 1), '%Y%m%d') AS time
+    FROM named
+    """,
+)
+def filename_coords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename→coordinate regex parse (Q13): build CHIRPS-style file
+    names, then recover the timestamp with regexp_extract + to_timestamp."""
+    orders = load(spark, sf_dir, "orders")
+    named = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("precip_"), F.date_format("o_orderdate", "yyyyMMdd"), F.lit(".nc4")
+        ).alias("filename"),
+    )
+    return filename_coords(
+        named, "filename", {"time": r"precip_(\d{8})\.nc4"},
+        time_format="yyyyMMdd", time_col="time",
+    )
+
+
+# ---------------------------------------------------------------------------
+# QC operators (A2, A4, A6 shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cadence_check",
+    """
+    WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time FROM events
+                  WHERE day(ts) % 11 <> 0),
+    lagged AS (
+      SELECT time, lag(time) OVER (ORDER BY time) AS prev_time FROM days
+    )
+    SELECT time, prev_time, epoch(time) - epoch(prev_time) AS gap_seconds
+    FROM lagged
+    WHERE prev_time IS NOT NULL AND epoch(time) - epoch(prev_time) <> 86400
+    """,
+)
+def cadence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-contiguity violations (A2): days 11/22 knocked out, so the
+    checker must surface exactly those two gaps."""
+    ev = load(spark, sf_dir, "events").filter(F.dayofmonth("ts") % 11 != 0)
+    days = ev.select(F.date_trunc("day", F.col("ts")).alias("time"))
+    return qc_ops.cadence_violations(days, "time", expected_delta=dt.timedelta(days=1))
+
+
+@query(
+    "nan_frequency",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+           count(*) AS n_cells,
+           CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) / count(*), 6) AS null_fraction
+    FROM events GROUP BY 1
+    """,
+)
+def nan_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-timestep NULL-proportion profile (A4), over values nulled below
+    a sentinel threshold."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts"),
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("value"),
+    )
+    out = qc_ops.nan_frequency_by_time(
+        ev.withColumn("time", F.date_trunc("day", F.col("ts"))), "time", "value"
+    )
+    return out.select(
+        "time", "n_cells", "n_null", F.round("null_fraction", 6).alias("null_fraction")
+    )
+
+
+@query(
+    "value_violations",
+    """
+    SELECT event_id, value FROM events
+    WHERE value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 400.0)
+    """,
+)
+def value_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-bounds value check (A3), full-population form of the
+    reference's 100-random-point sample."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    return qc_ops.value_violations(ev, "value", bounds=(0.0, 400.0))
+
+
+@query(
+    "written_value_audit",
+    """
+    WITH written AS (
+      SELECT event_id, CASE WHEN event_type = 'error' THEN value + 0.001
+                            ELSE value END AS written_value
+      FROM events),
+    source AS (SELECT event_id, value AS source_value FROM events)
+    SELECT w.event_id, round(w.written_value, 6) AS written_value,
+           round(s.source_value, 6) AS source_value
+    FROM written w JOIN source s USING (event_id)
+    WHERE NOT (w.written_value IS NULL AND s.source_value IS NULL)
+      AND NOT (abs(w.written_value) > 1e100 AND abs(s.source_value) > 1e100)
+      AND NOT (abs(w.written_value - s.source_value) <= 0.0001)
+    """,
+)
+def written_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-parse written-vs-source audit (A7/A8): perturb 'error' rows by
+    +0.001 (> threshold 1e-4) and verify the audit flags exactly those."""
+    ev = load(spark, sf_dir, "events")
+    written = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.col("value") + 0.001)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    source = ev.select("event_id", "value")
+    out = qc_ops.written_value_mismatches(
+        written, source, keys=["event_id"], value_col="value", threshold=1e-4
+    )
+    return out.select(
+        "event_id",
+        F.round("written_value", 6).alias("written_value"),
+        F.round("source_value", 6).alias("source_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (Q22 + north star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_keep_first",
+    """
+    SELECT * FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (Q22): deterministic dropDuplicates — keep the lowest
+    doc_id per (lang, source) content group."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+@query(
+    "duplicate_groups",
+    """
+    SELECT md5(concat(lang, source)) AS content_hash,
+           count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def duplicate_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group audit (Q22): content-hash groups with multiplicity
+    > 1."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_groups(docs, ["lang", "source"], "doc_id")
+
+
+@query(
+    "minhash_signatures",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS shingle
+      FROM documents WHERE doc_id < 50
+    ), hashed AS (
+      SELECT doc_id, i AS hash_idx, md5(concat(CAST(i AS VARCHAR), '|', shingle)) AS h
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+    SELECT doc_id, hash_idx, min(h) AS minhash
+    FROM hashed GROUP BY doc_id, hash_idx
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (north star): 4 salted-md5 hash functions over
+    unigram shingles, docs 0-49."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = dedup_ops.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=4, shingle_n=1
+    )
+    return out.select("doc_id", F.col("hash_idx").cast("long").alias("hash_idx"), "minhash")
+
+
+@query(
+    "ngram_jaccard",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+               AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification (north star): token-set Jaccard for
+    consecutive doc-id pairs (the post-LSH verify stage)."""
+    docs = load(spark, sf_dir, "documents")
+    # candidate pairs = consecutive ids; equi-join against existing ids so
+    # the plan stays a hash join, not a nested-loop
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi")
+    out = dedup_ops.ngram_jaccard(docs, pairs, "text", "doc_id", shingle_n=1)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cosine_topk",
+    """
+    WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT probe_id, neighbor_id,
+           round(list_inner_product(pv, cv) /
+                 (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(cv, cv))), 6)
+               AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY list_inner_product(pv, cv) /
+                 (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(cv, cv))) DESC,
+                                        neighbor_id ASC) AS INT) AS rank
+    FROM p CROSS JOIN c
+    WHERE probe_id <> neighbor_id
+    QUALIFY rank <= 5
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (north star baseline): probes broadcast
+    against the corpus, JVM-side fold dot product, window top-5."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.cosine_topk(probes, emb, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS mean_word_len,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprint (north star text ops)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(t).alias("n_tokens"),
+        F.round(text_ops.mean_word_length(t), 6).alias("mean_word_len"),
+        text_ops.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@query(
+    "language_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id, len(toks) AS n,
+        CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','ich','zu'))) AS DOUBLE) / greatest(len(toks),1) AS s_de,
+        CAST(len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','you','that'))) AS DOUBLE) / greatest(len(toks),1) AS s_en,
+        CAST(len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','por'))) AS DOUBLE) / greatest(len(toks),1) AS s_es,
+        CAST(len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est','pas','que','pour'))) AS DOUBLE) / greatest(len(toks),1) AS s_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scores
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (north star).  Argmax over per-language
+    stopword ratios; ties break toward the later language code, matching
+    ``array_max`` over (score, lang) structs."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "quality_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks, text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS p_ratio,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl,
+             greatest(
+               CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','ich','zu'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','you','that'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','por'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est','pas','que','pour'))) AS DOUBLE) / greatest(len(toks),1)
+             ) AS any_stop
+      FROM t
+    )
+    SELECT doc_id,
+           round(least(n_tok / 50.0, 1.0) * 0.3
+                 + (1.0 - least(p_ratio * 5, 1.0)) * 0.3
+                 + (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                 + least(any_stop * 10, 1.0) * 0.2, 6) AS quality
+    FROM m
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (north star): length, punctuation noise,
+    word-length sanity, stopword presence."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(text_ops.quality_score(F.col("text")), 6).alias("quality")
+    )

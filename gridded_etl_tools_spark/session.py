@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference hand-tunes a Dask LocalCluster (1 worker, threads ~ RAM,
+spill thresholds — reference ``dataset_manager.py:229-262``,
+``utils/publish.py:272-297``).  On Spark those knobs collapse into a few
+session configs; everything else (spill, memory pressure, partition
+coalescing) is handled by the unified memory manager and AQE.
+
+Design notes for 100 TB scale (tested locally on ``local[N]``):
+
+* AQE on, with partition coalescing and skew-join handling — at cluster
+  scale this replaces hand-computed "chunk" sizing with runtime re-planning.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster it should be ~2-3x total cores (AQE coalesces down).
+* Arrow enabled so the Pandas-UDF slow path is batch-vectorized.
+* UTC session timezone: the reference stores CF/UTC times
+  (``utils/metadata.py:816-848``); timestamp semantics must not depend on
+  the driver's locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "gridded_etl_tools_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with engine defaults applied."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Parquet TIMESTAMP(NANOS) (pandas default) is unreadable by Spark
+        # unless surfaced as long; plans.tables.load converts ns→µs with
+        # the same truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Dynamic partition overwrite backs the insert-region write path
+        # (reference utils/publish.py:406-450 writes region={time: slice});
+        # we overwrite only the partitions an insert touches.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
