@@ -107,22 +107,40 @@ def lsh_bucket_ann(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     include_self: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: equi-join probe and corpus on the LSH bucket
-    signature, exact-rank within the bucket.  Recall improves with fewer
-    planes (bigger buckets) — callers trade off via ``n_planes``."""
-    sig = lambda df, a: df.select(  # noqa: E731
-        F.col(id_col).alias(a),
-        F.col(vec_col).alias(f"{a}_vec"),
-        signature_column(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-    )
+    """Approximate top-k via multi-table random-hyperplane LSH: each of
+    ``n_tables`` independent plane sets hashes every vector to a bucket;
+    candidates = corpus rows sharing a bucket with the probe in ANY
+    table (union, deduped), exact-ranked by cosine.
+
+    Standard recall/cost dial: per-table collision probability for
+    neighbors at angle θ is (1-θ/π)^n_planes; n_tables unions boost it
+    to 1-(1-p)^L.  The plan is L equi-joins on (table, bucket) — still
+    never a cross join; at 100 TB each table's signature frame is just
+    (id, bucket) and shuffles narrowly."""
+    def sig(df: DataFrame, a: str) -> DataFrame:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signature_column(F.col(vec_col), dim, n_planes, seed + 1000 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(id_col).alias(a),
+            F.col(vec_col).alias(f"{a}_vec"),
+            F.explode(tables).alias("tb"),
+        ).select(a, f"{a}_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
     p, c = sig(probes, "probe_id"), sig(corpus, "neighbor_id")
-    joined = p.join(c, on="bucket")
+    joined = p.join(c, on=["tbl", "bucket"])
     if not include_self:
         joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
-    scored = joined.select(
+    cand = joined.select("probe_id", "probe_id_vec", "neighbor_id", "neighbor_id_vec").distinct()
+    scored = cand.select(
         "probe_id",
         "neighbor_id",
         cosine_similarity(F.col("probe_id_vec"), F.col("neighbor_id_vec")).alias("cosine"),

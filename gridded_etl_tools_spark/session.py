@@ -46,6 +46,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 timestamps carry no parquet min/max stats; micros do —
+        # our manifest file-pruning and row-group skipping depend on them
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Parquet TIMESTAMP(NANOS) (pandas default) is unreadable by Spark

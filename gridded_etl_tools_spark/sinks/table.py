@@ -1,0 +1,422 @@
+"""GriddedTable: a manifest-committed Parquet table.
+
+Why not plain ``df.write.parquet``: the reference's hardest invariants are
+write-path invariants (SURVEY §2.2 W13-W15) —
+
+* a failed write must never corrupt the published dataset or its
+  metadata (reference ``utils/publish.py:242-265``: on exception only the
+  ``update_in_progress`` flag is cleared, attrs stay intact);
+* concurrent updates must be refused (``publish.py:358-375``);
+* inserts overwrite *regions* (time ranges) surgically
+  (``publish.py:406-450``), appends extend the time dimension
+  (``publish.py:452-478``);
+* dataset attributes persist atomically with the data
+  (``utils/store.py:200-247`` writes metadata surgically).
+
+Design — a minimal Iceberg-flavored commit protocol in plain JSON +
+Parquet, no extra dependencies:
+
+* Every commit is a **version**: an immutable manifest
+  ``_manifests/v{N}.json`` listing data *entries*; each entry =
+  ``{bucket, path, min_time, max_time, rows}``.  Data files are written
+  once and never mutated; versions share unchanged files.
+* ``_latest.json`` is the atomic pointer (temp-file + ``os.replace``)
+  carrying ``{version, attrs, update_in_progress}``.  Readers resolve
+  the pointer, then the manifest, then ``spark.read.parquet(*paths)``.
+* A crashed writer leaves orphan data files and an unreferenced
+  manifest — never a broken table.  ``vacuum()`` collects orphans.
+* ``bucket`` is a time-derived partition key (default monthly).  The
+  time column is *also* stored in the data, so no Hive-style partition
+  discovery is needed; manifest-level bucket/stat pruning plays the role
+  of the reference's binary search over file time ranges
+  (``publish.py:897-949``) and composes with Parquet row-group pruning.
+
+Scale notes: the manifest is one JSON per version listing O(files)
+entries — at 100 TB with ~256 MB files that is ~400k entries; fine for a
+driver-side JSON (Iceberg does the same before needing manifest lists).
+All data movement stays in Spark; this module only renames files the
+executors already wrote.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds ``update_in_progress`` (reference W14)."""
+
+
+class TableCorruptionGuard(RuntimeError):
+    """Refusing an operation that could corrupt the published table."""
+
+
+DEFAULT_BUCKET_FMT = "yyyy-MM"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    entries: list[dict[str, Any]]
+    attrs: dict[str, Any] = field(default_factory=dict)
+
+    def paths(self) -> list[str]:
+        return [e["path"] for e in self.entries]
+
+    def buckets(self) -> set[str]:
+        return {e["bucket"] for e in self.entries}
+
+
+class GriddedTable:
+    """One published gridded dataset rooted at ``root``."""
+
+    def __init__(
+        self,
+        root: str,
+        time_col: str = "time",
+        bucket_fmt: str = DEFAULT_BUCKET_FMT,
+    ):
+        self.root = root
+        self.time_col = time_col
+        self.bucket_fmt = bucket_fmt
+
+    # -- layout ------------------------------------------------------------
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_latest.json")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    # -- pointer / manifest ------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer_path)
+
+    def _read_pointer(self) -> dict[str, Any]:
+        with open(self._pointer_path) as f:
+            return json.load(f)
+
+    def _write_pointer(self, pointer: dict[str, Any]) -> None:
+        """Atomic swap: the only mutation the protocol ever does in place."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._pointer_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(pointer, f, indent=2, sort_keys=True, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self._read_pointer()["version"]
+        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
+            m = json.load(f)
+        return Snapshot(version=m["version"], entries=m["entries"], attrs=m.get("attrs", {}))
+
+    def attrs(self) -> dict[str, Any]:
+        return self._read_pointer().get("attrs", {})
+
+    def update_in_progress(self) -> bool:
+        return self.exists() and bool(self._read_pointer().get("update_in_progress"))
+
+    # -- concurrency flag (reference publish.py:155-268, 358-375) ----------
+
+    def _acquire(self) -> dict[str, Any]:
+        if not self.exists():
+            return {"version": -1, "attrs": {}, "update_in_progress": True}
+        pointer = self._read_pointer()
+        if pointer.get("update_in_progress"):
+            raise ConcurrentWriteError(
+                f"update already in progress on {self.root} "
+                f"(version {pointer['version']})"
+            )
+        pointer["update_in_progress"] = True
+        self._write_pointer(pointer)
+        return pointer
+
+    def _release_failed(self, pointer: dict[str, Any]) -> None:
+        """On failure: clear the flag, change nothing else — the published
+        version and attrs survive untouched (reference publish.py:242-252)."""
+        if pointer["version"] >= 0:
+            fresh = self._read_pointer()
+            fresh["update_in_progress"] = False
+            self._write_pointer(fresh)
+
+    def _commit(
+        self,
+        pointer: dict[str, Any],
+        entries: list[dict[str, Any]],
+        attrs: dict[str, Any],
+    ) -> Snapshot:
+        version = pointer["version"] + 1
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        manifest = {"version": version, "entries": entries, "attrs": attrs}
+        mpath = os.path.join(self._manifest_dir, f"v{version}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        self._write_pointer(
+            {
+                "version": version,
+                "attrs": attrs,
+                "update_in_progress": False,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        return Snapshot(version=version, entries=entries, attrs=attrs)
+
+    # -- data-file production ----------------------------------------------
+
+    def _bucket_col(self):
+        return F.date_format(F.col(self.time_col), self.bucket_fmt)
+
+    def _write_data_files(self, df: DataFrame, sort_cols: list[str]) -> list[dict[str, Any]]:
+        """Write ``df`` as new immutable parquet files partitioned by time
+        bucket; return manifest entries with per-file time stats.
+
+        Layout choices for scale: ``repartition(bucket)`` aligns Spark
+        partitions with storage buckets (one shuffle, map-side combine
+        free for downstream per-bucket work) and
+        ``sortWithinPartitions(time, *sort_cols)`` gives every file
+        monotone time + spatially clustered rows, so parquet row-group
+        stats prune both time and space predicates — the analog of the
+        reference's zarr chunk layout (dataset_manager.py:220-221).
+        """
+        staging = os.path.join(self._data_dir, uuid.uuid4().hex)
+        (
+            df.withColumn("__bucket", self._bucket_col())
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions(self.time_col, *sort_cols)
+            .write.partitionBy("__bucket")
+            .parquet(staging)
+        )
+        entries: list[dict[str, Any]] = []
+        for bucket_dir in sorted(os.listdir(staging)):
+            if not bucket_dir.startswith("__bucket="):
+                continue
+            bucket = bucket_dir.split("=", 1)[1]
+            bdir = os.path.join(staging, bucket_dir)
+            for fname in sorted(os.listdir(bdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(bdir, fname)
+                entries.append({"bucket": bucket, "path": path, **self._file_stats(path)})
+        return entries
+
+    def _file_stats(self, path: str) -> dict[str, Any]:
+        """Per-file (rows, min_time, max_time) from the parquet footer —
+        no data scan, exactly the stats a format like Iceberg tracks."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(self.time_col)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return {
+            "rows": md.num_rows,
+            "min_time": str(lo) if lo is not None else "",
+            "max_time": str(hi) if hi is not None else "9999",
+        }
+
+    # -- public write API ----------------------------------------------------
+
+    def write_initial(
+        self,
+        df: DataFrame,
+        sort_cols: list[str] | None = None,
+        attrs: dict[str, Any] | None = None,
+        overwrite: bool = False,
+    ) -> Snapshot:
+        """Initial publish (reference ``write_initial_zarr``,
+        publish.py:301-318).  Refuses to clobber an existing table unless
+        ``overwrite`` (reference publish_data's rebuild/allow_overwrite
+        branch, publish.py:86-129)."""
+        if self.exists() and not overwrite:
+            raise TableCorruptionGuard(
+                f"{self.root} already exists; pass overwrite=True to rebuild"
+            )
+        pointer = self._acquire()
+        try:
+            entries = self._write_data_files(df, sort_cols or [])
+            return self._commit(pointer, entries, attrs or {})
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    def append(
+        self,
+        df: DataFrame,
+        sort_cols: list[str] | None = None,
+        attrs_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Append new times (reference ``append_to_dataset``,
+        publish.py:452-478): new data files; manifest = old ∪ new."""
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            entries = snap.entries + self._write_data_files(df, sort_cols or [])
+            attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
+            return self._commit(pointer, entries, attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: set[str],
+        sort_cols: list[str] | None = None,
+        attrs_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Surgical region overwrite (reference ``insert_into_dataset``,
+        publish.py:406-450): replace exactly the given buckets' files with
+        new data.  The caller is responsible for ``df`` containing the
+        *complete* contents of those buckets (see
+        :func:`publish.insert_into` which widens via combine_first —
+        reference ``complete_insert_slice``, publish.py:1341-1385)."""
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            new_entries = self._write_data_files(df, sort_cols or [])
+            produced = {e["bucket"] for e in new_entries}
+            if not produced <= buckets:
+                raise TableCorruptionGuard(
+                    f"insert produced buckets {produced - buckets} outside "
+                    f"the declared overwrite set {buckets}"
+                )
+            kept = [e for e in snap.entries if e["bucket"] not in buckets]
+            attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
+            return self._commit(pointer, kept + new_entries, attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    def write_metadata_only(self, attrs_update: dict[str, Any]) -> Snapshot:
+        """Attrs-only commit (reference ``write_metadata_only``,
+        store.py:200-247): same data entries, new version with merged
+        attrs."""
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            attrs = {**pointer.get("attrs", {}), **attrs_update}
+            return self._commit(pointer, snap.entries, attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_rows: int = 5_000_000,
+        sort_cols: list[str] | None = None,
+    ) -> Snapshot:
+        """Maintenance job replacing the reference's chunk-alignment
+        machinery (``calculate_time_dim_chunks``, publish.py:1296-1338):
+        rewrite buckets whose file count exceeds what ``target_file_rows``
+        needs, restoring the one-sorted-run-per-bucket layout that append
+        fragments over time."""
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            by_bucket: dict[str, list[dict[str, Any]]] = {}
+            for e in snap.entries:
+                by_bucket.setdefault(e["bucket"], []).append(e)
+            rewrite = {
+                b: es
+                for b, es in by_bucket.items()
+                if len(es) > max(1, sum(x["rows"] for x in es) // target_file_rows + 1)
+            }
+            if not rewrite:
+                self._release_failed(pointer)  # no-op: just clear the flag
+                return snap
+            paths = [e["path"] for es in rewrite.values() for e in es]
+            df = spark.read.parquet(*paths)
+            new_entries = self._write_data_files(df, sort_cols or [])
+            kept = [e for e in snap.entries if e["bucket"] not in rewrite]
+            return self._commit(pointer, kept + new_entries, pointer.get("attrs", {}))
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    # -- read API ------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        time_lo=None,
+        time_hi=None,
+    ) -> DataFrame | None:
+        """Open the latest snapshot (reference ``store.dataset``,
+        store.py:182-198 — None when absent).  ``time_lo``/``time_hi``
+        prune manifest entries by file stats before Spark ever lists them
+        (the reference's binary search, publish.py:897-949), then re-apply
+        the predicate for row-group pruning inside the files."""
+        if not self.exists():
+            return None
+        snap = self.snapshot()
+        entries = snap.entries
+        if time_lo is not None:
+            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
+        if time_hi is not None:
+            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+        if not entries:
+            return spark.read.parquet(*snap.paths()).limit(0)
+        df = spark.read.parquet(*[e["path"] for e in entries])
+        if time_lo is not None:
+            df = df.filter(F.col(self.time_col) >= F.lit(time_lo))
+        if time_hi is not None:
+            df = df.filter(F.col(self.time_col) <= F.lit(time_hi))
+        return df
+
+    def distinct_times(self, spark: SparkSession) -> DataFrame | None:
+        df = self.read(spark)
+        return None if df is None else df.select(self.time_col).distinct()
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete data files not referenced by the current snapshot (debris
+        from crashed writers).  Old manifests stay (cheap, useful for
+        debugging/time travel)."""
+        if not self.exists():
+            return []
+        live = set(self.snapshot().paths())
+        removed = []
+        if not os.path.isdir(self._data_dir):
+            return []
+        for staging in os.listdir(self._data_dir):
+            sdir = os.path.join(self._data_dir, staging)
+            for dirpath, _dirnames, filenames in os.walk(sdir):
+                for fn in filenames:
+                    p = os.path.join(dirpath, fn)
+                    if fn.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        removed.append(p)
+            # prune empty staging trees
+            if not any(files for _, _, files in os.walk(sdir)):
+                shutil.rmtree(sdir, ignore_errors=True)
+        return removed

@@ -1,0 +1,79 @@
+"""Shared fixtures: one local SparkSession per test run, plus synthetic
+gridded datasets shaped like the reference's unit fixtures
+(``tests/unit/conftest.py:40-53``: deterministic daily steps over a small
+lat/lon grid with seeded values)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from gridded_etl_tools_spark.gridspec import GridSpec
+from gridded_etl_tools_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = get_session("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def spec() -> GridSpec:
+    return GridSpec(
+        dataset_name="synthetic_precip",
+        data_var="value",
+        unit=None,
+        spatial_resolution=0.25,
+        missing_value=-9999.0,
+        time_resolution="daily",
+    )
+
+
+def make_grid_rows(
+    start: dt.datetime,
+    n_days: int,
+    lats: list[float],
+    lons: list[float],
+    seed: int = 42,
+):
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_days):
+        t = start + dt.timedelta(days=d)
+        for lat, lon in itertools.product(lats, lons):
+            rows.append((t, lat, lon, rng.uniform(0.0, 50.0)))
+    return rows
+
+
+GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("latitude", T.DoubleType(), False),
+        T.StructField("longitude", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+LATS = [36.0, 36.25, 36.5, 36.75]
+LONS = [-115.75, -115.5, -115.25, -115.0]
+T0 = dt.datetime(2024, 11, 1)
+
+
+@pytest.fixture()
+def month1(spark):
+    """Nov 2024: 30 daily steps over the 4x4 grid (480 rows)."""
+    return spark.createDataFrame(make_grid_rows(T0, 30, LATS, LONS, seed=1), GRID_SCHEMA)
+
+
+@pytest.fixture()
+def month2(spark):
+    """Dec 2024: 31 daily steps, contiguous with month1."""
+    return spark.createDataFrame(
+        make_grid_rows(dt.datetime(2024, 12, 1), 31, LATS, LONS, seed=2), GRID_SCHEMA
+    )

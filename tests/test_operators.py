@@ -1,0 +1,225 @@
+"""Operator unit tests on small synthetic frames (reference-style:
+deterministic fixtures, exact expectations)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash,
+)
+from gridded_etl_tools_spark.operators.gaps import contiguous_regions
+from gridded_etl_tools_spark.operators.joins import asof_join, combine_first, tolerance_join
+from gridded_etl_tools_spark.operators.qc import (
+    QualityCheckError,
+    cadence_violations,
+    nan_frequency_violations,
+    pre_parse_quality_check,
+    update_position_violations,
+    written_value_mismatches,
+)
+from gridded_etl_tools_spark.operators.reindex import missing_combinations, reindex_time
+from gridded_etl_tools_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+
+
+def ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+# --- joins -------------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k="a", t=ts(5)), Row(id=2, k="a", t=ts(2)), Row(id=3, k="b", t=ts(4))]
+    ).withColumnRenamed("t", "time")
+    right = spark.createDataFrame(
+        [
+            Row(k="a", time=ts(1), v=10.0),
+            Row(k="a", time=ts(4), v=40.0),
+            Row(k="b", time=ts(9), v=90.0),
+        ]
+    )
+    out = {
+        r["id"]: (r["asof_v"], r["asof_time"])
+        for r in asof_join(left, right, on="time", by=["k"]).collect()
+    }
+    assert out[1] == (40.0, ts(4))   # latest right <= Jan 5 in group a
+    assert out[2] == (10.0, ts(1))
+    assert out[3] == (None, None)    # no right row <= Jan 4 in group b
+
+
+def test_asof_join_equal_timestamp_included(spark):
+    left = spark.createDataFrame([Row(id=1, time=ts(3))])
+    right = spark.createDataFrame([Row(time=ts(3), v=5.0)])
+    out = asof_join(left, right, on="time").collect()
+    assert out[0]["asof_v"] == 5.0
+
+
+def test_tolerance_join_picks_nearest_within_tol(spark):
+    probes = spark.createDataFrame([Row(pid=1, x=10.0), Row(pid=2, x=50.0)])
+    targets = spark.createDataFrame(
+        [Row(tid=1, x=9.4), Row(tid=2, x=10.3), Row(tid=3, x=30.0)]
+    )
+    out = {
+        r["pid"]: r["nearest_tid"]
+        for r in tolerance_join(probes, targets, on="x", tolerance=1.0, probe_keys=["pid"]).collect()
+    }
+    assert out == {1: 2}  # |10-10.3| < |10-9.4|; probe 2 has nothing within 1.0
+
+
+def test_combine_first_update_wins(spark):
+    upd = spark.createDataFrame([Row(k=1, v=100.0)])
+    ex = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)])
+    out = {r["k"]: r["v"] for r in combine_first(upd, ex, keys=["k"]).collect()}
+    assert out == {1: 100.0, 2: 2.0}
+
+
+# --- gaps / reindex ----------------------------------------------------------
+
+def test_contiguous_regions_regular(spark):
+    days = spark.createDataFrame(
+        [Row(time=ts(d)) for d in [1, 2, 3, 7, 8, 20]]
+    )
+    runs = contiguous_regions(days, "time", expected_delta=dt.timedelta(days=1)).collect()
+    assert [(r["range_start"], r["range_end"], r["n_keys"]) for r in runs] == [
+        (ts(1), ts(3), 3),
+        (ts(7), ts(8), 2),
+        (ts(20), ts(20), 1),
+    ]
+
+
+def test_contiguous_regions_bounds(spark):
+    """Irregular cadence: any gap within bounds continues the run
+    (reference update_cadence_bounds)."""
+    days = spark.createDataFrame([Row(time=ts(d)) for d in [1, 3, 6, 20]])
+    runs = contiguous_regions(
+        days, "time",
+        bounds=(dt.timedelta(days=1).total_seconds(), dt.timedelta(days=4).total_seconds()),
+    ).collect()
+    assert len(runs) == 2
+    assert runs[0]["n_keys"] == 3 and runs[1]["n_keys"] == 1
+
+
+def test_reindex_time_fills_holes_with_null(spark):
+    facts = spark.createDataFrame(
+        [Row(time=ts(1), g="a", v=1.0), Row(time=ts(3), g="a", v=3.0), Row(time=ts(1), g="b", v=9.0)]
+    )
+    out = reindex_time(facts, "time", "1 day", group_cols=["g"])
+    assert out.count() == 6  # 3 days x 2 groups
+    nulls = out.filter(F.col("v").isNull()).count()
+    assert nulls == 3
+
+
+def test_missing_combinations(spark):
+    facts = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b="y"), Row(a=2, b="x")]
+    )
+    holes = missing_combinations(facts, ["a", "b"]).collect()
+    assert [(r["a"], r["b"]) for r in holes] == [(2, "y")]
+
+
+# --- QC ----------------------------------------------------------------------
+
+def test_cadence_violations_and_gate(spark):
+    times = spark.createDataFrame([Row(time=ts(d)) for d in [1, 2, 4]])
+    v = cadence_violations(times, "time", expected_delta=dt.timedelta(days=1)).collect()
+    assert len(v) == 1 and v[0]["gap_seconds"] == 172800.0
+    with pytest.raises(QualityCheckError, match="cadence"):
+        pre_parse_quality_check(
+            times.withColumn("value", F.lit(1.0)), "value",
+            expected_delta=dt.timedelta(days=1),
+        )
+
+
+def test_nan_frequency_violations(spark):
+    rows = [Row(time=ts(1), value=None if i < 50 else 1.0) for i in range(100)]
+    rows += [Row(time=ts(2), value=None if i < 5 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "time timestamp, value double")
+    bad = nan_frequency_violations(df, "time", "value", expected_frequency=0.05)
+    assert [b["time"] for b in bad] == [ts(1)]
+
+
+def test_update_position_violations(spark):
+    existing = spark.createDataFrame([Row(time=ts(d), value=1.0) for d in [1, 2, 3]])
+    update = spark.createDataFrame([Row(time=ts(6), value=1.0)])
+    msgs = update_position_violations(
+        update, existing, expected_delta=dt.timedelta(days=1)
+    )
+    assert msgs and "not contiguous" in msgs[0]
+    ok = update_position_violations(
+        spark.createDataFrame([Row(time=ts(4), value=1.0)]),
+        existing, expected_delta=dt.timedelta(days=1),
+    )
+    assert ok == []
+
+
+def test_written_value_mismatches_equivalences(spark):
+    written = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=2, v=None), Row(k=3, v=1e200), Row(k=4, v=5.0)],
+        "k int, v double",
+    )
+    source = spark.createDataFrame(
+        [Row(k=1, v=1.00005), Row(k=2, v=None), Row(k=3, v=2e200), Row(k=4, v=5.5)],
+        "k int, v double",
+    )
+    bad = written_value_mismatches(written, source, keys=["k"], value_col="v")
+    assert [r["k"] for r in bad.collect()] == [4]
+
+
+# --- dedup / similarity ------------------------------------------------------
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different words about spark catalyst optimizer and shuffles"),
+    (3, "yet another unrelated document mentioning parquet row groups and stats"),
+]
+
+
+def test_minhash_lsh_finds_planted_near_duplicate(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (2, 3) not in got
+
+
+def test_ngram_jaccard_scores(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = spark.createDataFrame([Row(id_a=0, id_b=1), Row(id_a=0, id_b=2)])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs, "text", "doc_id", shingle_n=2).collect()}
+    assert out[(0, 1)] > 0.7
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_near_dups_close(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+    assert ham(sigs[0], sigs[1]) <= 6
+
+
+def test_lsh_ann_matches_exact_top1_mostly(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in cosine_topk(probes, emb, k=1).collect()
+    }
+    approx = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in lsh_bucket_ann(probes, emb, k=1, n_planes=3, n_tables=6).collect()
+    }
+    hits = sum(1 for p, n in exact.items() if approx.get(p) == n)
+    # multi-table LSH: 6 tables of 3 planes; per-table collision ~0.2-0.5
+    # for these neighbors, union recall should clear 60%
+    assert hits >= len(exact) * 0.6

@@ -1,0 +1,171 @@
+"""Commit-protocol tests for GriddedTable, mirroring the reference's
+system-test guarantees (``tests/system/test_chirps.py``): golden point
+reads, append, failed-write atomicity, concurrency guard, dry-run."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.sinks.table import (
+    ConcurrentWriteError,
+    GriddedTable,
+    TableCorruptionGuard,
+)
+
+
+def test_initial_write_and_golden_point(spark, month1, tmp_path):
+    """Reference golden check (test_chirps.py:186-207): the value read
+    back at one (time, lat, lon) equals the source value."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    snap = t.write_initial(month1, sort_cols=["latitude", "longitude"])
+    assert snap.version == 0
+
+    probe = dict(time=dt.datetime(2024, 11, 12), latitude=36.25, longitude=-115.5)
+    src = month1.filter(
+        (F.col("time") == probe["time"])
+        & (F.col("latitude") == probe["latitude"])
+        & (F.col("longitude") == probe["longitude"])
+    ).collect()[0]["value"]
+    out = t.read(spark).filter(
+        (F.col("time") == probe["time"])
+        & (F.col("latitude") == probe["latitude"])
+        & (F.col("longitude") == probe["longitude"])
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == pytest.approx(src)
+    assert t.read(spark).count() == 480
+
+
+def test_read_missing_table_returns_none(spark, tmp_path):
+    assert GriddedTable(str(tmp_path / "nope")).read(spark) is None
+
+
+def test_initial_refuses_existing_without_overwrite(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    with pytest.raises(TableCorruptionGuard):
+        t.write_initial(month1)
+    snap = t.write_initial(month1, overwrite=True)
+    assert snap.version == 1
+    assert t.read(spark).count() == 480
+
+
+def test_append_extends_time(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    df = t.read(spark)
+    assert df.count() == 480 + 496
+    hi = df.agg(F.max("time")).collect()[0][0]
+    assert hi == dt.datetime(2024, 12, 31)
+
+
+def test_failed_write_leaves_table_intact(spark, month1, month2, tmp_path):
+    """Reference guarantee (publish.py:242-265 / test_chirps.py:156-173):
+    a failed write changes nothing but the in-progress flag."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1, attrs={"title": "v0"})
+    # fails mid-job at execution time, after the write has started
+    bad = month2.withColumn("chk", F.assert_true(F.col("value") < 0))
+    with pytest.raises(Exception):
+        t.append(bad)
+    assert not t.update_in_progress()
+    assert t.snapshot().version == 0
+    assert t.attrs()["title"] == "v0"
+    assert t.read(spark).count() == 480
+
+
+def test_concurrent_write_guard(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    pointer = json.loads((tmp_path / "tbl" / "_latest.json").read_text())
+    pointer["update_in_progress"] = True
+    (tmp_path / "tbl" / "_latest.json").write_text(json.dumps(pointer))
+    with pytest.raises(ConcurrentWriteError):
+        t.append(month2)
+
+
+def test_overwrite_buckets_preserves_untouched_rows(spark, month1, tmp_path):
+    """Partial-bucket insert must not drop the bucket's other rows
+    (SURVEY §7.4 'subtle failure mode')."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    # new values for a single day, single lat row (4 cells of 480)
+    day = dt.datetime(2024, 11, 12)
+    upd = (
+        month1.filter((F.col("time") == day) & (F.col("latitude") == 36.25))
+        .withColumn("value", F.lit(99.5))
+    )
+    from gridded_etl_tools_spark.operators.joins import combine_first
+
+    existing = t.read(spark)
+    widened = combine_first(
+        upd, existing, keys=["time", "latitude", "longitude"], value_cols=["value"]
+    )
+    t.overwrite_buckets(widened, {"2024-11"})
+    df = t.read(spark)
+    assert df.count() == 480
+    assert df.filter(F.col("value") == 99.5).count() == 4
+    # untouched neighbour cell still has its original value
+    orig = month1.filter(
+        (F.col("time") == day) & (F.col("latitude") == 36.0) & (F.col("longitude") == -115.75)
+    ).collect()[0]["value"]
+    got = df.filter(
+        (F.col("time") == day) & (F.col("latitude") == 36.0) & (F.col("longitude") == -115.75)
+    ).collect()[0]["value"]
+    assert got == pytest.approx(orig)
+
+
+def test_overwrite_buckets_rejects_out_of_scope(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    with pytest.raises(TableCorruptionGuard):
+        t.overwrite_buckets(month2, {"2024-11"})  # month2 rows are 2024-12
+    assert t.snapshot().version == 0 and not t.update_in_progress()
+
+
+def test_metadata_only_commit(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1, attrs={"title": "precip"})
+    snap = t.write_metadata_only({"bbox": [-115.75, 36.0, -115.0, 36.75]})
+    assert snap.version == 1
+    assert t.attrs()["title"] == "precip" and "bbox" in t.attrs()
+    assert t.read(spark).count() == 480
+
+
+def test_time_pruned_read(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    # manifest-level pruning: only Dec entries should be listed
+    df = t.read(spark, time_lo=dt.datetime(2024, 12, 1))
+    assert df.count() == 496
+    files = df.inputFiles()
+    assert files and all("2024-12" in f for f in files)
+
+
+def test_vacuum_removes_orphans(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    # orphan: data written then never committed (simulated crash)
+    t._write_data_files(month2, [])
+    removed = t.vacuum()
+    assert removed
+    assert t.read(spark).count() == 480
+
+
+def test_compact_merges_fragmented_buckets(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    # write each week separately -> many files per bucket
+    t.write_initial(month1.filter(F.dayofmonth("time") <= 7))
+    for lo, hi in [(8, 14), (15, 21), (22, 31)]:
+        t.append(
+            month1.filter((F.dayofmonth("time") >= lo) & (F.dayofmonth("time") <= hi))
+        )
+    before = len(t.snapshot().entries)
+    snap = t.compact(spark, target_file_rows=10_000)
+    assert len(snap.entries) < before
+    assert t.read(spark).count() == 480
