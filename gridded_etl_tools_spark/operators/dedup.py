@@ -149,8 +149,10 @@ def ngram_jaccard(
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
     )
+    # |a ∪ b| = |a| + |b| - |a ∩ b| — shingle arrays are distinct sets, so
+    # one intersect pass suffices (no union array materialized)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return out.select(
         "id_a",
         "id_b",
