@@ -101,7 +101,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_hash = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        sig.withColumn("band", F.floor(F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         # deterministic order inside the band via sort_array over structs
         .agg(

@@ -823,3 +823,253 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(text_ops.quality_score(F.col("text")), 6).alias("quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-heavy relational queries (scale showcase: broadcast vs shuffle joins)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped join chain: small filtered dims broadcast into the
+    lineitem scan; one shuffle for the final aggregate."""
+    cutoff = dt.datetime(1998, 3, 15)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            # DECIMAL accumulation: exact and order-independent, so the
+            # rounded result is engine-reproducible even at .xx5 boundaries
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: the dim chain
+    (region→nation→supplier/customer) broadcasts; lineitem↔orders is the
+    only large join and shuffles on the orderkey."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= dt.datetime(1996, 1, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 1, 1))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_revenue_customers",
+    """
+    SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate (sort + limit): Catalyst plans TakeOrderedAndProject
+    — no global sort materialization."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "pivot_event_matrix",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 4) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 4) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 4) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 4) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-day event-type value matrix — the same
+    unpivot/pivot duality the long-form grid model relies on."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Remaining dedup / similarity operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+      FROM documents WHERE doc_id < 100
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS token_hash FROM toks
+    ), tb AS (
+      SELECT doc_id, i AS bit,
+             CASE WHEN (token_hash % CAST(pow(2, i + 1) AS BIGINT))
+                       >= CAST(pow(2, i) AS BIGINT) THEN 1 ELSE -1 END AS bit_val
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+    ), s AS (
+      SELECT doc_id, bit, sum(bit_val) AS s FROM tb GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM s GROUP BY doc_id
+    """,
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (north star), docs 0-99."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup_ops.simhash(docs, "text", "doc_id")
+
+
+@query(
+    "minhash_lsh_candidates",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS shingle
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, i AS hash_idx, md5(concat(CAST(i AS VARCHAR), '|', shingle)) AS h
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    ), sig AS (
+      SELECT doc_id, hash_idx, min(h) AS minhash FROM hashed GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY hash_idx)) AS band_hash
+      FROM sig GROUP BY doc_id, CAST(floor(hash_idx / 2.0) AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (north star): 4 hashes, 2 bands,
+    unigram shingles — pairs colliding in ≥1 band."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=4, bands=2, shingle_n=1
+    )
+
+
+@query(
+    "embedding_near_duplicates",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4
+    """,
+)
+def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north star), exact path
+    (correctness oracle); the LSH-bucketed scale path is
+    ``lsh_ann_topk`` below."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim_ops.embedding_near_duplicates(emb, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query("lsh_ann_topk")  # no SQL oracle: multi-table LSH bucketing is not
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via multi-table hyperplane LSH (the
+    100 TB scale path; rows-only check — the plan, not the exact result
+    set, is the contract)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.lsh_bucket_ann(probes, emb, k=5, n_planes=4, n_tables=4)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

@@ -1,0 +1,58 @@
+"""File-listing scans (SURVEY §2.1 S13-S15 + Q13 glue).
+
+Reference parity:
+
+* ``input_files``  (utils/convenience.py:102-115) — natural-sorted listing
+  of the input directory, skipping dotfiles and ``.idx``.
+* ``binaryFile`` scan + filename-coordinate extraction feeds the decode
+  stage (replacing Kerchunk scans S10-S11): each raw file row carries its
+  path, and :func:`gridded_etl_tools_spark.functions.normalize.filename_coords`
+  regex-parses coordinates out of it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natural_key(s: str) -> list:
+    """natsort-style key: digit runs compare numerically."""
+    return [int(p) if p.isdigit() else p for p in _NAT_SPLIT.split(s)]
+
+
+def input_files(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    skip_suffixes: tuple[str, ...] = (".idx",),
+) -> DataFrame:
+    """List input files as a DataFrame ``(path, length, modificationTime)``
+    in natural-sort order, skipping dotfiles and index sidecars.  Uses the
+    binaryFile source's listing (no content read: content column dropped
+    before any action)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "length", "modificationTime")
+    )
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    for suffix in skip_suffixes:
+        df = df.filter(~base.endswith(suffix))
+    df = df.filter(~base.startswith("."))
+    # natural order: numeric runs zero-padded into a sortable key
+    nat = F.regexp_replace(base, r"(\d+)", r"0000000000$1")
+    nat = F.regexp_replace(nat, r"0*(\d{10})", r"$1")
+    return df.orderBy(nat)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Raw-file scan for the decode stage: (path, modificationTime,
+    length, content).  Decoders (NetCDF/GRIB) plug in as mapInPandas over
+    this — see gridded_etl_tools_spark.multimodal.binary."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)

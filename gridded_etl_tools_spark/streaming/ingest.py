@@ -1,0 +1,80 @@
+"""Streaming ingest: incremental appends as a Structured Streaming job.
+
+The reference is batch-only; its closest analogs (SURVEY §2.6 streaming
+row):
+
+* per-cadence incremental appends (W7)       → ``Trigger.AvailableNow``
+  micro-batches into the same committed table;
+* ``update_cadence_bounds`` late tolerance   → watermark policy;
+* ``update_in_progress`` single-writer flag  → ``foreachBatch`` into the
+  GriddedTable commit protocol (each micro-batch is one atomic version).
+
+Windowed aggregation over the stream (tumbling climatology) comes free
+from ``window()`` + watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+
+def stream_parquet_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table: GriddedTable,
+    checkpoint_dir: str,
+    sort_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``source_dir`` for new parquet drops and append each
+    micro-batch to ``table`` through the commit protocol.  With
+    ``available_now`` the query drains current files then stops — the
+    cadence-driven incremental update as a stream."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.exists():
+            table.append(batch_df, sort_cols=sort_cols or [])
+        else:
+            table.write_initial(batch_df, sort_cols=sort_cols or [])
+
+    writer = (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_climatology(
+    stream: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    window_sql: str = "1 day",
+    watermark_sql: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window mean/min/max over a (possibly late) stream —
+    watermark bounds state like update_cadence_bounds bounds lateness."""
+    g = [F.window(F.col(time_col), window_sql).alias("time_window")]
+    if group_cols:
+        g += [F.col(c) for c in group_cols]
+    return (
+        stream.withWatermark(time_col, watermark_sql)
+        .groupBy(*g)
+        .agg(
+            F.avg(value_col).alias(f"mean_{value_col}"),
+            F.min(value_col).alias(f"min_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Streaming ingest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.multimodal.binary import (
+    deterministic_fake_decode,
+    extract_features,
+    frame_sample_plan,
+    real_decode_placeholder,
+)
+from gridded_etl_tools_spark.sinks.table import GriddedTable
+from gridded_etl_tools_spark.streaming.ingest import (
+    stream_parquet_ingest,
+    windowed_climatology,
+)
+from tests.conftest import GRID_SCHEMA
+
+
+def test_stream_ingest_available_now(spark, month1, month2, tmp_path):
+    src = str(tmp_path / "drops")
+    month1.write.parquet(src)
+    table = GriddedTable(str(tmp_path / "tbl"))
+    q = stream_parquet_ingest(
+        spark, src, GRID_SCHEMA, table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 480
+
+    # second drop: incremental micro-batch appends only the new files
+    month2.write.mode("append").parquet(src)
+    q2 = stream_parquet_ingest(
+        spark, src, GRID_SCHEMA, table, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert table.read(spark).count() == 976
+
+
+def test_windowed_climatology_stream(spark, month1, tmp_path):
+    src = str(tmp_path / "drops")
+    month1.write.parquet(src)
+    stream = spark.readStream.schema(GRID_SCHEMA).parquet(src)
+    agg = windowed_climatology(stream, window_sql="1 day", watermark_sql="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("clim")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from clim")
+    assert out.count() == 30  # one tumbling day window per day
+    assert out.filter(F.col("n") != 16).count() == 0
+
+
+def test_extract_features_fake_decode(spark):
+    rows = [
+        Row(item_id=1, media_type="image", payload=bytearray(b"imagebytes-1")),
+        Row(item_id=2, media_type="audio", payload=bytearray(b"audiobytes-22")),
+    ]
+    df = spark.createDataFrame(rows)
+    out = extract_features(df).orderBy("item_id").collect()
+    assert [r["item_id"] for r in out] == [1, 2]
+    assert out[0]["n_bytes"] == 12 and out[1]["n_bytes"] == 13
+    # deterministic: same content -> same features
+    assert out[0]["features"] == pytest.approx(
+        deterministic_fake_decode(b"imagebytes-1"), abs=1e-6
+    )
+    assert len(out[0]["features"]) == 8
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        real_decode_placeholder(b"x")
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame([Row(item_id=1, duration_ms=1000)])
+    frames = frame_sample_plan(vids, every_n_ms=250).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 250, 500, 750]
