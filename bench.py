@@ -38,6 +38,11 @@ HEADLINE = [
     "dedup_keep_first",
     "token_stats",
     "quality_scores",
+    "q6_revenue_filter",
+    "rollup_revenue",
+    "session_stats",
+    "windowed_event_counts",
+    "ivf_ann_topk",
 ]
 
 

@@ -72,3 +72,44 @@ def contiguous_regions(
         )
         .orderBy("run_id")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap: dt.timedelta = dt.timedelta(minutes=30),
+) -> DataFrame:
+    """Partitioned gaps-and-islands over an event stream: rows of the same
+    entity separated by more than ``gap`` start a new session.
+
+    Returns one row per (entity, session): ``session_id`` (1-based per
+    entity), ``session_start``, ``session_end``, ``n_events``,
+    ``duration_us``.
+
+    Scale: the window partitions by entity, so the single shuffle is on the
+    entity key and sessions never cross partitions — the batch analog of
+    Structured Streaming ``session_window`` state (which
+    streaming.ingest exposes for the live path).
+    """
+    gap_us = int(gap.total_seconds() * 1_000_000)
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
+    ).otherwise(0)
+    sess = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("__new", new_sess)
+        .withColumn("session_id", sess)
+        .groupBy(entity_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
+                "duration_us"
+            ),
+        )
+    )

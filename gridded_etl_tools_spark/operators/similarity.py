@@ -165,6 +165,93 @@ def lsh_bucket_ann(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest centroid by cosine (ties break on centroid id).
+
+    The centroid table is broadcast — at 100 TB the corpus never
+    shuffles for assignment; it is a map-side cross-with-small +
+    per-row argmax.  Returns (id, vec, centroid_id)."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias(centroid_id_col),
+            F.col(vec_col).alias("__cvec"),
+            _norm(F.col(vec_col)).alias("__cnorm"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vnorm")
+        )
+        .crossJoin(c)
+        .withColumn(
+            "__cos",
+            _dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    probe_predicate,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN (nprobe=1): corpus vectors are bucketed by nearest
+    centroid (:func:`ivf_assign`); each probe searches only its own cell.
+    The search is an equi-join on centroid_id — candidates per probe are
+    the cell population, not the corpus.  Returns
+    (probe_id, neighbor_id, cosine, rank<=k)."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    p = cells.filter(probe_predicate).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_norm"),
+        "centroid_id",
+    )
+    n = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        _norm(F.col(vec_col)).alias("neighbor_norm"),
+        "centroid_id",
+    )
+    scored = (
+        p.join(n, on="centroid_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (
+                _dot(F.col("probe_vec"), F.col("neighbor_vec"))
+                / (F.col("probe_norm") * F.col("neighbor_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

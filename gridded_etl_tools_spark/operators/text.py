@@ -114,6 +114,21 @@ def rolling_hash_fingerprints(text_col, window: int = 4) -> Column:
     return F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
 
 
+def polynomial_fingerprint(text_col, base: int = 31, mod: int = 2147483647) -> Column:
+    """Order-sensitive document fingerprint: Rabin-Karp-style polynomial
+    rolling hash over the token stream, ``acc = (acc*base + h(tok)) % mod``
+    with ``h`` = first 7 hex chars of md5 (so every term < 2^28 and the
+    accumulator never overflows a long).  Unlike :func:`fingerprint` this
+    distinguishes word order — the exact-substring-shift detector."""
+    toks = tokens(text_col)
+    tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * base + tok_hash(w)) % F.lit(mod).cast("long"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full profile: token counts, ratios, quality, language,
     fingerprint.  One projection — single pass over the scan."""

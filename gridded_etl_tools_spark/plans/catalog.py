@@ -1073,3 +1073,380 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scan-heavy filter aggregate, semi/anti joins, set ops, rollup (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q6_revenue_filter",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan: every predicate pushes to the parquet reader
+    (check PushedFilters in explain); no join, one partial+final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= dt.datetime(1997, 1, 1))
+            & (F.col("l_shipdate") < dt.datetime(1998, 1, 1))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: decorrelates to a left-semi join on the
+    orderkey (SURVEY §2.5 insert/append split is the same shape)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= dt.datetime(1997, 1, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 4, 1))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.09)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate < TIMESTAMP '1996-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (reference parity: the append-times
+    split, ``utils/publish.py:395-404``): customers with no orders before
+    1996."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < dt.datetime(1996, 1, 1)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-aggregate ratio; part broadcasts into
+    the filtered lineitem scan.  DECIMAL accumulation keeps the ratio
+    engine-reproducible."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= dt.datetime(1997, 9, 1))
+        & (F.col("l_shipdate") < dt.datetime(1997, 10, 1))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, round(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped group-having subquery feeding a join chain; the
+    HAVING shrinks the build side so both joins broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "customer_retention",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'retained' AS cohort, count(*) AS n
+      FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'churned' AS cohort, count(*) AS n
+      FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'acquired' AS cohort, count(*) AS n
+      FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    """,
+)
+def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6): INTERSECT / EXCEPT / UNION ALL over
+    per-period active-customer sets."""
+    orders = load(spark, sf_dir, "orders")
+
+    def active(y0: int, y1: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= dt.datetime(y0, 1, 1))
+                & (F.col("o_orderdate") < dt.datetime(y1, 1, 1))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = active(1996, 1997), active(1997, 1998)
+
+    def cohort(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("cohort"), "n"
+        )
+
+    return (
+        cohort(a.intersect(b), "retained")
+        .unionByName(cohort(a.exceptAll(b.distinct()).distinct(), "churned"))
+        .unionByName(cohort(b.exceptAll(a.distinct()).distinct(), "acquired"))
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (SURVEY §2.4 A12 extension): partial
+    aggregation happens once; grouping sets share the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (streaming analogs, batch-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "windowed_event_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate via ``F.window`` — identical plan shape to
+    the Structured Streaming ingest path (streaming/ingest.py) so the
+    batch oracle validates the streaming query's semantics."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@query(
+    "session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): partitioned gaps-and-islands
+    — the batch analog of ``session_window`` state in Structured
+    Streaming.  One shuffle, on the entity key."""
+    ev = load(spark, sf_dir, "events")
+    return gap_ops.sessionize(ev, "user_id", "ts", "event_id").select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_us",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining text / ANN operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_polynomial_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(toks, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS poly_fp
+    FROM t
+    """,
+)
+def doc_polynomial_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp document fingerprint (north star text
+    ops) — map-only fold over the token stream."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.polynomial_fingerprint(F.col("text")).alias("poly_fp")
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cv)
+                        / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+                        centroid_id ASC) AS rn
+      FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv, centroid_id FROM cells WHERE vec_id % 100 = 0)
+    SELECT probe_id, n.vec_id AS neighbor_id,
+           round(list_inner_product(pv, n.v)
+                 / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY list_inner_product(pv, n.v)
+                      / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))) DESC,
+                      n.vec_id ASC) AS INT) AS rank
+    FROM p JOIN cells n USING (centroid_id)
+    WHERE n.vec_id <> probe_id
+    QUALIFY rank <= 5
+    """,
+)
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (north star scale path): deterministic coarse
+    centroids (vec_id % 50), nearest-centroid cells, probes search only
+    their own cell via an equi-join on centroid_id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim_ops.ivf_topk(emb, centroids, F.col("vec_id") % 100 == 0, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

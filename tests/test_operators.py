@@ -223,3 +223,78 @@ def test_lsh_ann_matches_exact_top1_mostly(spark):
     # multi-table LSH: 6 tables of 3 planes; per-table collision ~0.2-0.5
     # for these neighbors, union recall should clear 60%
     assert hits >= len(exact) * 0.6
+
+
+# --- sessionize / ivf / polynomial fingerprint ------------------------------
+
+def test_sessionize_splits_on_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=ts(1, 10, 0)),
+            Row(event_id=2, user_id=1, ts=ts(1, 10, 20)),   # same session (<30m)
+            Row(event_id=3, user_id=1, ts=ts(1, 11, 0)),    # 40m gap -> new session
+            Row(event_id=4, user_id=2, ts=ts(1, 10, 0)),    # other user independent
+        ]
+    )
+    from gridded_etl_tools_spark.operators.gaps import sessionize
+
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+        for r in sessionize(ev).collect()
+    }
+    assert out[(1, 1)] == (2, 20 * 60 * 1_000_000)
+    assert out[(1, 2)] == (1, 0)
+    assert out[(2, 1)] == (1, 0)
+
+
+def test_sessionize_exact_gap_continues(spark):
+    # a gap of exactly 30min is NOT a break (strict >)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=ts(1, 10, 0)),
+            Row(event_id=2, user_id=1, ts=ts(1, 10, 30)),
+        ]
+    )
+    from gridded_etl_tools_spark.operators.gaps import sessionize
+
+    rows = sessionize(ev).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+
+
+def test_ivf_assign_and_topk(spark):
+    # two well-separated clusters on orthogonal axes; centroids = ids 0, 10
+    def vec(axis, mag):
+        v = [0.0, 0.0]
+        v[axis] = mag
+        return v
+
+    rows = [Row(vec_id=i, embedding=vec(0, 1.0 + i * 0.1)) for i in range(4)]
+    rows += [Row(vec_id=10 + i, embedding=vec(1, 1.0 + i * 0.1)) for i in range(4)]
+    emb = spark.createDataFrame(rows)
+    from gridded_etl_tools_spark.operators.similarity import ivf_assign, ivf_topk
+
+    centroids = emb.filter(F.col("vec_id").isin(0, 10))
+    cells = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids).collect()}
+    assert all(cells[i] == 0 for i in range(4))
+    assert all(cells[10 + i] == 10 for i in range(4))
+
+    out = ivf_topk(emb, centroids, F.col("vec_id") == 1, k=10).collect()
+    # probe 1 searches only its own cell: neighbors are 0,2,3 (never 1x)
+    assert sorted(r["neighbor_id"] for r in out) == [0, 2, 3]
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)  # colinear cluster
+
+
+def test_polynomial_fingerprint_order_sensitive(spark):
+    from gridded_etl_tools_spark.operators.text import polynomial_fingerprint
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="beta alpha"),
+         Row(doc_id=3, text="alpha beta")]
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", polynomial_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[3]          # identical text -> identical fp
+    assert fps[1] != fps[2]          # word order matters
+    assert all(0 <= v < 2147483647 for v in fps.values())
