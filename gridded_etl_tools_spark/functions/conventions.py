@@ -1,0 +1,157 @@
+"""Grid-convention attributes (reference parity Q18/Q19).
+
+The reference builds GeoZarr ``spatial:*`` attributes — a regular-grid
+check on median spacing ±1%, an affine transform, bbox, and shape — in
+``util_funcs/conventions.py:44-312`` (``_is_regular_grid`` 132-159,
+``build_spatial_attrs`` 188-254), and CRS assignment via metpy/pyproj in
+``util_funcs/projections.py:6-43``.
+
+Spark form: the coordinate axes are tiny dimension tables (thousands of
+rows even for a 100 TB fact table), so spacing is a ``lag`` window over
+the distinct axis and everything else is one aggregate.  The heavy table
+never participates — only ``select(col).distinct()`` does, which is a
+partial-agg shuffle of the axis cardinality.
+
+CRS reprojection needs pyproj, which is not a baked-in dependency — it is
+gated behind an import-try and raises ``NotImplementedError`` when absent
+(the Spark-side plumbing is real; only the geodesy is delegated).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - optional dependency
+    import pyproj  # type: ignore
+except Exception:  # pragma: no cover
+    pyproj = None
+
+
+def axis_spacing(df: DataFrame, col: str) -> DataFrame:
+    """Per-coordinate spacing of the distinct, ordered axis values:
+    ``(coord, spacing)`` with spacing = coord - lag(coord) (NULL for the
+    first).  Numeric axis; cast timestamps with ``unix_micros`` first."""
+    w = Window.orderBy("coord")
+    return (
+        df.select(F.col(col).cast("double").alias("coord"))
+        .distinct()
+        .withColumn("spacing", F.col("coord") - F.lag("coord").over(w))
+    )
+
+
+def regular_grid_stats(
+    df: DataFrame, col: str, tolerance: float = 0.01
+) -> dict[str, Any]:
+    """Driver-side regularity verdict for one axis (reference
+    ``_is_regular_grid``: every spacing within ±1% of the median).
+    Returns ``{n, median_spacing, min_spacing, max_spacing, is_regular}``.
+    """
+    sp = axis_spacing(df, col).filter(F.col("spacing").isNotNull())
+    row = sp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(spacing, 0.5)").alias("med"),
+        F.min("spacing").alias("mn"),
+        F.max("spacing").alias("mx"),
+    ).collect()[0]
+    if row["n"] == 0:
+        return {"n": 0, "median_spacing": None, "min_spacing": None,
+                "max_spacing": None, "is_regular": False}
+    med = float(row["med"])
+    lo, hi = med - abs(med) * tolerance, med + abs(med) * tolerance
+    return {
+        "n": int(row["n"]) + 1,
+        "median_spacing": med,
+        "min_spacing": float(row["mn"]),
+        "max_spacing": float(row["mx"]),
+        "is_regular": lo <= float(row["mn"]) and float(row["mx"]) <= hi,
+    }
+
+
+def build_spatial_attrs(
+    df: DataFrame,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    tolerance: float = 0.01,
+) -> dict[str, Any]:
+    """GeoZarr-style ``spatial:*`` attrs from the data itself (reference
+    ``build_spatial_attrs``): bbox, shape, per-axis spacing, and the
+    affine transform (GDAL order: west-edge, dx, 0, north-edge, 0, -dy).
+    One aggregate over the two distinct axes — the fact table is never
+    scanned beyond the axis projection."""
+    lat = regular_grid_stats(df, lat_col, tolerance)
+    lon = regular_grid_stats(df, lon_col, tolerance)
+    ext = df.agg(
+        F.min(lon_col).alias("w"), F.max(lon_col).alias("e"),
+        F.min(lat_col).alias("s"), F.max(lat_col).alias("n"),
+    ).collect()[0]
+    dx, dy = lon["median_spacing"], lat["median_spacing"]
+    attrs: dict[str, Any] = {
+        "spatial:bbox": [float(ext["w"]), float(ext["s"]), float(ext["e"]), float(ext["n"])],
+        "spatial:shape": [lat["n"], lon["n"]],
+        "spatial:resolution": [dy, dx],
+        "spatial:regular": bool(lat["is_regular"] and lon["is_regular"]),
+    }
+    if attrs["spatial:regular"] and dx and dy:
+        # pixel-edge registration, north-up: matches the reference's
+        # affine built from half-spacing-extended bounds
+        attrs["spatial:transform"] = [
+            float(ext["w"]) - dx / 2, dx, 0.0,
+            float(ext["n"]) + dy / 2, 0.0, -dy,
+        ]
+    return attrs
+
+
+def projection_attrs(crs: str) -> dict[str, Any]:
+    """``proj:*`` attrs (code / wkt2 / projjson) for a CRS string
+    (reference ``build_proj_attrs``).  Requires pyproj."""
+    if pyproj is None:  # pragma: no cover - environment without pyproj
+        raise NotImplementedError(
+            "projection_attrs requires pyproj, which is not installed; "
+            "the spatial attrs path (build_spatial_attrs) is fully "
+            "functional without it"
+        )
+    c = pyproj.CRS.from_user_input(crs)  # pragma: no cover
+    return {  # pragma: no cover
+        "proj:code": c.to_authority() and ":".join(c.to_authority()),
+        "proj:wkt2": c.to_wkt(),
+        "proj:projjson": c.to_json_dict(),
+    }
+
+
+def reproject_coords(
+    df: DataFrame,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    src_crs: str = "EPSG:4326",
+    dst_crs: str = "EPSG:3857",
+    x_col: str = "easting",
+    y_col: str = "northing",
+) -> DataFrame:
+    """Reproject coordinate columns (reference ``assign_crs``/
+    ``assign_y_x`` + rename x/y → easting/northing).  Vectorized pandas
+    UDF over Arrow batches — the geodesy itself needs pyproj."""
+    if pyproj is None:
+        raise NotImplementedError(
+            "reproject_coords requires pyproj, which is not installed"
+        )
+    import pandas as pd  # pragma: no cover
+    from pyspark.sql.pandas.functions import pandas_udf  # pragma: no cover
+
+    transformer = pyproj.Transformer.from_crs(  # pragma: no cover
+        src_crs, dst_crs, always_xy=True
+    )
+
+    @pandas_udf("struct<x: double, y: double>")  # pragma: no cover
+    def _tx(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = transformer.transform(lon.values, lat.values)
+        return pd.DataFrame({"x": x, "y": y})
+
+    out = df.withColumn("__xy", _tx(F.col(lon_col), F.col(lat_col)))  # pragma: no cover
+    return (  # pragma: no cover
+        out.withColumn(x_col, F.col("__xy.x"))
+        .withColumn(y_col, F.col("__xy.y"))
+        .drop("__xy")
+    )

@@ -1450,3 +1450,22 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+@query(
+    "grid_axis_spacing",
+    """
+    WITH axis AS (SELECT DISTINCT epoch(date_trunc('day', ts)) AS coord FROM events)
+    SELECT coord, coord - lag(coord) OVER (ORDER BY coord) AS spacing FROM axis
+    """,
+)
+def grid_axis_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid spacing check substrate (reference Q19
+    ``_is_regular_grid``, ``util_funcs/conventions.py:132-159``): lag
+    window over the tiny distinct axis, never the fact table."""
+    from gridded_etl_tools_spark.functions.conventions import axis_spacing
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return axis_spacing(ev, "day")

@@ -1,0 +1,106 @@
+"""Tests for grid conventions (Q18/Q19), encryption (W18), and STAC
+metadata (W16) parity layers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from gridded_etl_tools_spark.functions import conventions, encryption, stac
+
+
+# --- conventions ------------------------------------------------------------
+
+def test_regular_grid_stats_regular_axis(spark):
+    df = spark.createDataFrame([Row(x=35.0 + 0.25 * i) for i in range(9)])
+    st = conventions.regular_grid_stats(df, "x")
+    assert st["n"] == 9
+    assert st["median_spacing"] == pytest.approx(0.25)
+    assert st["is_regular"] is True
+
+
+def test_regular_grid_stats_irregular_axis(spark):
+    df = spark.createDataFrame([Row(x=v) for v in [0.0, 1.0, 2.0, 4.0]])
+    st = conventions.regular_grid_stats(df, "x")
+    assert st["is_regular"] is False
+    assert st["max_spacing"] == pytest.approx(2.0)
+
+
+def test_build_spatial_attrs_shape_bbox_transform(spark, month1):
+    attrs = conventions.build_spatial_attrs(month1)
+    assert attrs["spatial:shape"] == [4, 4]
+    assert attrs["spatial:bbox"] == [-115.75, 36.0, -115.0, 36.75]
+    assert attrs["spatial:regular"] is True
+    west_edge, dx, _, north_edge, _, neg_dy = attrs["spatial:transform"]
+    assert dx == pytest.approx(0.25) and neg_dy == pytest.approx(-0.25)
+    assert west_edge == pytest.approx(-115.875)   # west - dx/2
+    assert north_edge == pytest.approx(36.875)    # north + dy/2
+
+
+def test_projection_attrs_gated_without_pyproj():
+    if conventions.pyproj is None:
+        with pytest.raises(NotImplementedError):
+            conventions.projection_attrs("EPSG:4326")
+        with pytest.raises(NotImplementedError):
+            conventions.reproject_coords(None)
+    else:  # pragma: no cover - environment with pyproj
+        attrs = conventions.projection_attrs("EPSG:4326")
+        assert attrs["proj:code"] == "EPSG:4326"
+
+
+# --- encryption -------------------------------------------------------------
+
+def test_encrypt_decrypt_roundtrip(spark):
+    digest = encryption.register_encryption_key(b"0123456789abcdef")
+    df = spark.createDataFrame([Row(id=1, value=3.5), Row(id=2, value=-9.25)])
+    enc = encryption.encrypt_values(df, "value", digest)
+    assert dict(enc.dtypes)["value"] == "binary"
+    dec = encryption.decrypt_values(enc, "value", digest)
+    out = {r["id"]: r["value"] for r in dec.collect()}
+    assert out == {1: 3.5, 2: -9.25}
+
+
+def test_key_registry_digest_addressing():
+    key = b"0123456789abcdef"
+    digest = encryption.register_encryption_key(key)
+    import hashlib
+
+    assert digest == hashlib.sha3_256(key).hexdigest()
+    assert encryption.get_encryption_key(digest) == key
+    with pytest.raises(KeyError):
+        encryption.get_encryption_key("beef" * 16)
+    with pytest.raises(ValueError):
+        encryption.register_encryption_key(b"short")
+
+
+# --- STAC metadata ----------------------------------------------------------
+
+def test_dataset_extent_and_item(spark, spec, month1):
+    item = stac.build_item(spec, month1)
+    assert item["type"] == "Feature" and item["stac_version"] == "1.0.0"
+    assert item["bbox"] == [-115.75, 36.0, -115.0, 36.75]
+    assert item["properties"]["start_datetime"] == "2024-11-01T00:00:00Z"
+    assert item["properties"]["end_datetime"] == "2024-11-30T00:00:00Z"
+    ring = item["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed polygon
+
+
+def test_collection_and_catalog(spark, spec, month1):
+    item = stac.build_item(spec, month1)
+    coll = stac.build_collection(spec, [item])
+    assert coll["extent"]["spatial"]["bbox"] == [[-115.75, 36.0, -115.0, 36.75]]
+    assert coll["extent"]["temporal"]["interval"][0][0] == "2024-11-01T00:00:00Z"
+    cat = stac.build_catalog("root", [coll])
+    assert cat["links"][0]["href"].endswith("collection.json")
+
+
+def test_merge_in_outside_metadata_tracks_update_range(spark, month1, month2):
+    attrs = stac.merge_in_outside_metadata({}, month1, update_is_append_only=True)
+    assert attrs["date range"] == ["2024-11-01T00:00:00Z", "2024-11-30T00:00:00Z"]
+    assert "update_date_range" not in attrs
+    both = month1.unionByName(month2)
+    attrs2 = stac.merge_in_outside_metadata(attrs, both, update_is_append_only=True)
+    assert attrs2["update_date_range"] == ["2024-11-30T00:00:00Z", "2024-12-31T00:00:00Z"]
+    assert attrs2["update_is_append_only"] is True

@@ -1,0 +1,89 @@
+"""Physical-plan property tests: the scale contract, asserted.
+
+Correctness says the right rows come back; these tests pin the *plan*
+properties that make the same query viable at 100 TB — filter pushdown,
+column pruning, broadcast joins for dims, and no row-at-a-time Python in
+any data plane.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gridded_etl_tools_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filters_push_to_scan(spark):
+    plan = formatted_plan(spark, "q6_revenue_filter")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+
+
+def test_q6_column_pruning(spark):
+    plan = formatted_plan(spark, "q6_revenue_filter")
+    # only the 4 referenced lineitem columns may be read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    for col in ("l_orderkey", "l_tax", "l_returnflag", "l_comment"):
+        assert col not in read
+
+
+def count_nodes(plan: str, node: str) -> int:
+    """Count physical nodes by their detail headers: ``(7) NodeName``."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}(\s|$)", plan, flags=re.MULTILINE))
+
+
+def test_q3_broadcasts_filtered_dims(spark):
+    plan = formatted_plan(spark, "q3_shipping_priority")
+    assert count_nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # the customer filter reached the scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # q1: partial (map-side) HashAggregate -> Exchange -> final HashAggregate
+    plan = formatted_plan(spark, "q1_pricing_summary")
+    agg_and_exchange = [
+        ln.strip().split(" ")[-1].strip("()")
+        for ln in plan.splitlines()
+        if ln.strip().startswith("+-") and ("HashAggregate" in ln or "Exchange" in ln)
+    ]
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_lsh_signatures_are_map_side(spark):
+    # signature + band-hash generation never shuffles: the only shuffle
+    # Exchange in the whole plan belongs to the final distinct; the band
+    # join itself broadcasts (small side here) or shuffles ON SIGNATURES,
+    # never on document text
+    plan = formatted_plan(spark, "minhash_lsh_candidates")
+    assert count_nodes(plan, "Exchange") == 1     # final .distinct() only
+    assert count_nodes(plan, "Generate") == 2     # per-side band explode
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_udf_in_any_plan(spark, name):
+    """Every catalog query must stay JVM-side: no row-at-a-time Python
+    (BatchEvalPython) and no Arrow Python UDF (ArrowEvalPython) in the
+    data plane — all operators are expression compositions."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
