@@ -1,0 +1,90 @@
+"""Skew-aware join helpers (100 TB hardening, SURVEY §7 phase 7).
+
+AQE's skew-join handling splits oversized *sort-merge* partitions at
+runtime, but two cases still need explicit salting on a big cluster:
+
+* a shuffled join where one hot key (a mega-popular document bucket, a
+  degenerate LSH band, the null/default cell) dwarfs every other
+  partition, and
+* aggregations keyed by a hot key (two-phase: salted partial, then
+  final).
+
+``salted_join`` replicates the *small* side R times and scatters the big
+side's hot keys across R salt buckets: shuffle parallelism on the hot
+key goes from 1 task to R tasks at the cost of R× the small side (which
+is bounded — salt only when the small side fits comfortably).
+
+Determinism: the salt is ``pmod(hash(cols…), R)`` — content-defined, so
+results are reproducible and the salt never leaks into output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+    salt_source_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the big side salted into
+    ``salt_buckets`` sub-keys and the small side replicated per bucket.
+
+    ``salt_source_cols``: big-side columns whose hash scatters rows of
+    the same hot join key (default: all non-join columns' hash via
+    ``monotonically_increasing_id``-free ``hash(*)`` of the full row —
+    we use ``F.hash`` over all columns, stable across retries).
+    """
+    src = salt_source_cols or [c for c in big.columns]
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in src]), F.lit(salt_buckets))
+    )
+    small_replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = big_salted.join(small_replicated, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof aggregation: partial aggregate on (keys ⊕ salt), then
+    final aggregate on keys.  Supports the decomposable aggs
+    (sum/count/min/max); mean = sum/count downstream.
+
+    ``agg_exprs``: {column: one of sum|count|min|max}.  Output columns are
+    ``{fn}_{col}``.
+    """
+    _partials = {
+        "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+    }
+    _finals = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for fn in agg_exprs.values():
+        if fn not in _partials:
+            raise ValueError(f"unsupported agg {fn!r}")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _partials[fn](col).alias(f"{fn}_{col}")
+            for col, fn in agg_exprs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _finals[fn](f"{fn}_{col}").alias(f"{fn}_{col}")
+            for col, fn in agg_exprs.items()
+        ]
+    )

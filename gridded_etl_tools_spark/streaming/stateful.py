@@ -1,0 +1,136 @@
+"""Custom stateful streaming operators (north-star streaming additions).
+
+The reference has no streaming, but its incremental-update semantics map
+onto Structured Streaming state (SURVEY §2.6): here we add the two
+stateful shapes a large-scale pipeline needs beyond tumbling windows —
+
+* :func:`streaming_sessionize` — built-in ``session_window`` (gap-based
+  sessions, state managed by Spark; the streaming twin of
+  ``operators.gaps.sessionize``, whose batch results the oracle checks).
+* :func:`running_extremes` — ``applyInPandasWithState``: per-key custom
+  state (running min/max/count of a value column) emitted per
+  micro-batch, with event-time timeout for state expiry.  The template
+  for arbitrary per-cell accumulators (e.g. climatology normals) that
+  the built-in aggregations can't express incrementally.
+
+Both group by the entity key, so state is partitioned exactly like the
+shuffle — no single-node state bottleneck at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType, TimestampType,
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    gap_sql: str = "30 minutes",
+    watermark_sql: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions over a live stream with ``session_window``.
+    Emits one row per closed session (watermark advances past the gap):
+    (entity, session start/end, n_events[, sum_value])."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return (
+        stream.withWatermark(ts_col, watermark_sql)
+        .groupBy(F.session_window(F.col(ts_col), gap_sql).alias("session"), F.col(entity_col))
+        .agg(*aggs)
+        .select(
+            entity_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *[c for c in ("n_events", f"sum_{value_col}") if value_col or c == "n_events"],
+        )
+    )
+
+
+#: output schema of running_extremes
+_EXTREMES_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+#: state tuple: (n_seen, min, max, last_ts_epoch_us)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _extremes_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one key into (n, min, max);
+    emits the updated accumulator once per batch."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, mn, mx, last_us = state.get if state.exists else (0, None, None, 0)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        vals = pdf["value"].astype(float)
+        n += len(pdf)
+        bmn, bmx = float(vals.min()), float(vals.max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+        last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+    state.update((n, mn, mx, last_us))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_seen": [n],
+            "min_value": [mn],
+            "max_value": [mx],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_extremes(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark_sql: str = "1 hour",
+) -> DataFrame:
+    """Per-key running (count, min, max) via ``applyInPandasWithState``
+    — the custom-accumulator template.  State lives per group in the
+    state store (RocksDB at scale), emitted each micro-batch in Update
+    mode."""
+    prepared = stream.withWatermark(ts_col, watermark_sql).select(
+        F.col(key_col).alias("key").cast("long"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value").cast("double"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _extremes_fn,
+        outputStructType=_EXTREMES_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

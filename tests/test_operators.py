@@ -298,3 +298,39 @@ def test_polynomial_fingerprint_order_sensitive(spark):
     assert fps[1] == fps[3]          # identical text -> identical fp
     assert fps[1] != fps[2]          # word order matters
     assert all(0 <= v < 2147483647 for v in fps.values())
+
+
+# --- skew helpers ------------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    from gridded_etl_tools_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(50)] + [Row(k=2, v=i) for i in range(5)]
+    )
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    plain = {(r["k"], r["v"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"]) for r in salted_join(big, small, ["k"]).collect()}
+    assert salted == plain
+    assert "__salt" not in salted_join(big, small, ["k"]).columns
+
+
+def test_two_phase_agg_matches_plain(spark):
+    from gridded_etl_tools_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame([Row(k=i % 3, v=float(i)) for i in range(30)])
+    out = {
+        r["k"]: (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+        for r in two_phase_agg(df, ["k"], {"v": "sum"}).join(
+            two_phase_agg(df, ["k"], {"v": "count"}), "k"
+        ).join(two_phase_agg(df, ["k"], {"v": "min"}), "k")
+        .join(two_phase_agg(df, ["k"], {"v": "max"}), "k").collect()
+    }
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert out == plain

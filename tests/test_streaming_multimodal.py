@@ -82,3 +82,63 @@ def test_frame_sample_plan(spark):
     vids = spark.createDataFrame([Row(item_id=1, duration_ms=1000)])
     frames = frame_sample_plan(vids, every_n_ms=250).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 250, 500, 750]
+
+
+def test_streaming_sessionize_session_window(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=10), value=2.0),   # same session
+        Row(user_id=1, ts=t0 + dt.timedelta(hours=3), value=4.0),      # new session
+        Row(user_id=2, ts=t0, value=8.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows).write.parquet(src)
+    from gridded_etl_tools_spark.streaming.stateful import streaming_sessionize
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sessionize(stream, "user_id", "ts", value_col="value")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert got[(1, t0)] == (2, 3.0)
+    assert got[(1, t0 + dt.timedelta(hours=3))] == (1, 4.0)
+    assert got[(2, t0)] == (1, 8.0)
+
+
+def test_running_extremes_stateful(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        Row(user_id=1, ts=t0, value=5.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=1), value=-2.0),
+        Row(user_id=2, ts=t0, value=7.5),
+    ]
+    src = str(tmp_path / "ext_src")
+    spark.createDataFrame(rows).write.parquet(src)
+    from gridded_etl_tools_spark.streaming.stateful import running_extremes
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_extremes(stream)
+    q = (
+        out.writeStream.format("memory").queryName("extremes")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: (r["n_seen"], r["min_value"], r["max_value"])
+        for r in spark.sql("select * from extremes").collect()
+    }
+    assert got[1] == (2, -2.0, 5.0)
+    assert got[2] == (1, 7.5, 7.5)
