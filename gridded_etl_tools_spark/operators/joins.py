@@ -53,6 +53,10 @@ def combine_first(
     back-filling untouched cells from the existing table, so a partition
     overwrite never drops rows (SURVEY §7.4 'insert semantics at scale').
     """
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(value_cols, str):  # a bare "value" must not iterate chars
+        value_cols = [value_cols]
     value_cols = value_cols or [c for c in update.columns if c not in keys]
     u = update.alias("u")
     e = existing.alias("e")

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — a layer the reference does not
+have (SURVEY §5 "Not present"): operator invariants hold for arbitrary
+generated inputs, not just the curated fixtures.
+
+Spark jobs per example are expensive, so Spark-facing properties cap
+``max_examples`` low and keep inputs tiny; pure-Python properties
+(timeutil) run the default budget.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from gridded_etl_tools_spark.timeutil import TimeSpan, TimeUnit
+
+# --- timeutil (pure python, cheap) ------------------------------------------
+
+fixed_units = st.sampled_from([TimeUnit.MINUTE, TimeUnit.HOUR, TimeUnit.DAY, TimeUnit.WEEK])
+all_units = st.sampled_from(list(TimeUnit))
+amounts = st.integers(min_value=1, max_value=10_000)
+
+
+@given(amounts, fixed_units)
+def test_timespan_roundtrip_through_string(amount, unit):
+    s = f"{amount}{unit.label}"
+    span = TimeSpan.from_string(s)
+    assert span == TimeSpan(amount, unit)
+    assert span.to_timedelta() == dt.timedelta(minutes=amount * unit.minutes_per)
+
+
+@given(amounts, all_units, amounts, all_units)
+def test_timespan_ordering_total_and_consistent(a1, u1, a2, u2):
+    s1, s2 = TimeSpan(a1, u1), TimeSpan(a2, u2)
+    # total order: exactly one of <, ==-comparable, > holds
+    assert (s1 < s2) or (s2 < s1) or (s1._comparable_minutes() == s2._comparable_minutes())
+    if s1 < s2:
+        assert not (s2 < s1)
+
+
+@given(amounts, st.sampled_from([TimeUnit.MONTH, TimeUnit.SEASON, TimeUnit.YEAR]))
+def test_calendar_units_refuse_timedelta(amount, unit):
+    with pytest.raises(ValueError):
+        TimeSpan(amount, unit).to_timedelta()
+
+
+# --- gaps-and-islands invariants (Spark, small budget) ----------------------
+
+spark_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@spark_settings
+@given(st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25, unique=True))
+def test_contiguous_regions_partition_the_keys(spark, keys):
+    from gridded_etl_tools_spark.operators.gaps import contiguous_regions
+
+    df = spark.createDataFrame([Row(k=float(v)) for v in keys])
+    regions = contiguous_regions(df, "k", expected_delta=1.0).collect()
+    # regions cover every key exactly once and never overlap
+    assert sum(r["n_keys"] for r in regions) == len(keys)
+    spans = sorted((r["range_start"], r["range_end"]) for r in regions)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2
+    # within a region, keys are dense (end - start + 1 == n)
+    by_span = {(r["range_start"], r["range_end"]): r["n_keys"] for r in regions}
+    for (s, e), n in by_span.items():
+        assert int(e - s) + 1 == n
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)),  # (user, offset seconds)
+        min_size=1, max_size=30,
+    )
+)
+def test_sessionize_conserves_events(spark, pairs):
+    from gridded_etl_tools_spark.operators.gaps import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=u, ts=t0 + dt.timedelta(seconds=off))
+        for i, (u, off) in enumerate(pairs)
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap=dt.timedelta(minutes=10)).collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    for r in out:
+        assert r["session_start"] <= r["session_end"]
+        assert r["duration_us"] >= 0
+        # a session never exceeds (n-1) * gap in duration
+        assert r["duration_us"] <= (r["n_events"] - 1) * 10 * 60 * 1_000_000
+
+
+# --- combine_first invariants -----------------------------------------------
+
+@spark_settings
+@given(
+    st.dictionaries(st.integers(0, 8), st.floats(-100, 100, allow_nan=False), max_size=6),
+    st.dictionaries(st.integers(0, 8), st.floats(-100, 100, allow_nan=False), max_size=6),
+)
+def test_combine_first_prefers_update_and_unions_keys(spark, upd, orig):
+    from gridded_etl_tools_spark.operators.joins import combine_first
+
+    if not upd and not orig:
+        return
+    schema = "k long, value double"
+    u = spark.createDataFrame([(k, v) for k, v in upd.items()], schema)
+    o = spark.createDataFrame([(k, v) for k, v in orig.items()], schema)
+    out = {r["k"]: r["value"] for r in combine_first(u, o, ["k"], ["value"]).collect()}
+    expected = {**orig, **upd}
+    assert out == pytest.approx(expected)
