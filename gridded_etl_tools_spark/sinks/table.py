@@ -369,15 +369,18 @@ class GriddedTable:
         spark: SparkSession,
         time_lo=None,
         time_hi=None,
+        version: int | None = None,
     ) -> DataFrame | None:
-        """Open the latest snapshot (reference ``store.dataset``,
-        store.py:182-198 — None when absent).  ``time_lo``/``time_hi``
-        prune manifest entries by file stats before Spark ever lists them
-        (the reference's binary search, publish.py:897-949), then re-apply
-        the predicate for row-group pruning inside the files."""
+        """Open a snapshot (reference ``store.dataset``, store.py:182-198 —
+        None when absent), latest by default or a retained prior
+        ``version`` (time travel; the reference keeps version history on
+        overwrite, store.py:398-422).  ``time_lo``/``time_hi`` prune
+        manifest entries by file stats before Spark ever lists them (the
+        reference's binary search, publish.py:897-949), then re-apply the
+        predicate for row-group pruning inside the files."""
         if not self.exists():
             return None
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         entries = snap.entries
         if time_lo is not None:
             entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
@@ -396,16 +399,57 @@ class GriddedTable:
         df = self.read(spark)
         return None if df is None else df.select(self.time_col).distinct()
 
+    def history(self) -> list[dict[str, Any]]:
+        """All retained versions, oldest first: version, file count, rows.
+        The time-travel index (reference version history,
+        store.py:398-422)."""
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        out = []
+        for fname in sorted(os.listdir(self._manifest_dir)):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            snap = self.snapshot(int(fname[1:-5]))
+            out.append(
+                {
+                    "version": snap.version,
+                    "n_files": len(snap.entries),
+                    "rows": sum(e.get("rows", 0) for e in snap.entries),
+                }
+            )
+        return sorted(out, key=lambda v: v["version"])
+
     # -- maintenance ---------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
-        """Delete data files not referenced by the current snapshot (debris
-        from crashed writers).  Old manifests stay (cheap, useful for
-        debugging/time travel)."""
+    def vacuum(self, keep_versions: bool = True) -> list[str]:
+        """Delete data files not referenced by ANY retained manifest
+        (debris from crashed writers).  Takes the writer flag so a
+        concurrent in-flight writer's staged-but-uncommitted files are
+        never swept.  Old manifests stay (cheap; they are the time-travel
+        index) unless ``keep_versions=False``, which drops all but the
+        live manifest and its files."""
         if not self.exists():
             return []
-        live = set(self.snapshot().paths())
-        removed = []
+        pointer = self._acquire()
+        try:
+            if keep_versions:
+                live: set[str] = set()
+                for v in self.history():
+                    live |= set(self.snapshot(v["version"]).paths())
+            else:
+                current = self.snapshot(pointer["version"])
+                live = set(current.paths())
+                for fname in os.listdir(self._manifest_dir):
+                    if fname.startswith("v") and fname.endswith(".json"):
+                        if int(fname[1:-5]) != current.version:
+                            os.remove(os.path.join(self._manifest_dir, fname))
+            removed = self._sweep_unreferenced(live)
+            return removed
+        finally:
+            self._release_failed(pointer)
+
+    def _sweep_unreferenced(self, live: set[str]) -> list[str]:
+        removed: list[str] = []
         if not os.path.isdir(self._data_dir):
             return []
         for staging in os.listdir(self._data_dir):

@@ -169,3 +169,39 @@ def test_compact_merges_fragmented_buckets(spark, month1, tmp_path):
     snap = t.compact(spark, target_file_rows=10_000)
     assert len(snap.entries) < before
     assert t.read(spark).count() == 480
+
+
+def test_time_travel_read_and_history(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    assert t.read(spark).count() == 976
+    # version 0 still readable after the append (immutable files shared)
+    assert t.read(spark, version=0).count() == 480
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["rows"] for h in hist] == [480, 976]
+
+
+def test_vacuum_keeps_time_travel_versions(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    t._write_data_files(month1, [])      # orphan from a simulated crash
+    removed = t.vacuum()                 # keep_versions=True default
+    assert removed                       # orphan swept...
+    assert t.read(spark, version=0).count() == 480   # ...old version intact
+    # dropping history removes the old manifest but never the live data
+    t.vacuum(keep_versions=False)
+    assert [h["version"] for h in t.history()] == [1]
+    assert t.read(spark).count() == 976
+
+
+def test_vacuum_refuses_during_update(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    p = t._read_pointer(); p["update_in_progress"] = True; t._write_pointer(p)
+    with pytest.raises(ConcurrentWriteError):
+        t.vacuum()
+    p["update_in_progress"] = False; t._write_pointer(p)
+    assert t.vacuum() == []
