@@ -1469,3 +1469,49 @@ def grid_axis_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day")
     )
     return axis_spacing(ev, "day")
+
+
+@query(
+    "bpe_token_count",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 6.0) AS BIGINT)))
+                AS BIGINT) AS n_bpe
+    FROM t
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored sub-word token count (north star token counting):
+    ceil(len/6) pieces per word, folded map-side."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe")
+    )
+
+
+@query(
+    "rolling_shingle_hashes",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(toks[i+1:i+4], ' ')) AS fp
+    FROM t, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 4, 0))) AS i)
+    """,
+)
+def rolling_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (north star): md5 of
+    every 4-token window, emitted with position — map-side transform +
+    posexplode, docs 0-99."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            text_ops.rolling_hash_fingerprints(F.col("text"), window=4)
+        ).alias("pos", "fp"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
