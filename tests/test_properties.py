@@ -117,3 +117,33 @@ def test_combine_first_prefers_update_and_unions_keys(spark, upd, orig):
     out = {r["k"]: r["value"] for r in combine_first(u, o, ["k"], ["value"]).collect()}
     expected = {**orig, **upd}
     assert out == pytest.approx(expected)
+
+
+# --- tolerance_join vs brute force ------------------------------------------
+
+@spark_settings
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=12, unique=True),
+    st.lists(st.integers(-50, 50), min_size=1, max_size=12, unique=True),
+    st.sampled_from([0.5, 1.0, 2.5]),
+)
+def test_tolerance_join_matches_brute_force(spark, probe_vals, target_vals, tol):
+    from gridded_etl_tools_spark.operators.joins import tolerance_join
+
+    # scale ints to non-integer grid points to exercise fractional buckets
+    probes_py = [v * 0.7 for v in probe_vals]
+    targets_py = [v * 0.7 for v in target_vals]
+    probes = spark.createDataFrame([(v,) for v in probes_py], "x double")
+    targets = spark.createDataFrame([(v,) for v in targets_py], "x double")
+
+    got = {
+        r["x"]: r["nearest_x"]
+        for r in tolerance_join(probes, targets, "x", tol).collect()
+    }
+
+    expected = {}
+    for p in probes_py:
+        cands = [t for t in targets_py if abs(p - t) <= tol]
+        if cands:
+            expected[p] = min(cands, key=lambda t: (abs(p - t), t))
+    assert got == pytest.approx(expected)
