@@ -1515,3 +1515,41 @@ def rolling_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_ops.rolling_hash_fingerprints(F.col("text"), window=4)
         ).alias("pos", "fp"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+
+
+@query(
+    "standard_dims_projection",
+    """
+    SELECT ts, CAST(0 AS INT) AS ensemble, user_id, value AS precip
+    FROM events
+    """,
+)
+def standard_dims_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q6/Q7 composed (transpose to standard dim order, expand_dims a
+    collapsed length-1 dim, rename the data var to canonical) — all
+    zero-cost projections in long form (reference transform.py:670-673,
+    publish.py:502-505, metadata.py:748-771)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumnRenamed("value", "precip")          # Q7 canonical rename
+        .withColumn("ensemble", F.lit(0).cast("int"))    # Q6 expand_dims
+        .select("ts", "ensemble", "user_id", "precip")   # Q5 transpose
+    )
+
+
+@query(
+    "next_expected_time",
+    """
+    SELECT max(ts) + INTERVAL 1 DAY AS next_time FROM events
+    """,
+)
+def next_expected_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11: dataset end + expected cadence = the next update's start
+    (reference convenience.py:377-431 next_date)."""
+    from gridded_etl_tools_spark.timeutil import TimeSpan
+
+    ev = load(spark, sf_dir, "events")
+    delta = TimeSpan.from_string("daily").to_timedelta()
+    return ev.agg(
+        (F.max("ts") + F.expr(f"INTERVAL {int(delta.total_seconds())} SECOND")).alias("next_time")
+    )
