@@ -10,6 +10,7 @@ Each module maps a block of SURVEY.md §2's inventory:
 * :mod:`aggregations` — Q12, Q16, Q17, A12 (extents, bbox, grouped/rolling)
 * :mod:`qc`        — A1-A8 (statistical quality gates)
 * :mod:`dedup`     — Q22 + north-star dedup family
-* :mod:`similarity`— north-star ANN search
+* :mod:`similarity`— north-star ANN search (brute force, LSH, IVF)
 * :mod:`text`      — north-star text analysis
+* :mod:`skew`      — 100 TB hardening: salted joins, two-phase aggs
 """

@@ -334,3 +334,50 @@ def test_two_phase_agg_matches_plain(spark):
         ).collect()
     }
     assert out == plain
+
+
+# --- z-order clustering ------------------------------------------------------
+
+def test_zorder_bbox_span_beats_row_major(spark):
+    """The point of z-order is range-pruning: an aligned 8x8 bbox inside a
+    16x16 grid occupies ONE contiguous run of the z-sorted order (span =
+    64 positions for 64 cells), where lat-major ordering smears the same
+    bbox across 120 positions - i.e. a bbox scan touches ~2x the row
+    groups without z-clustering."""
+    import itertools
+
+    from gridded_etl_tools_spark.operators.zorder import with_zorder
+
+    cells = [
+        Row(latitude=36.0 + 0.25 * i, longitude=-116.0 + 0.25 * j)
+        for i, j in itertools.product(range(16), range(16))
+    ]
+    df = with_zorder(spark.createDataFrame(cells), resolution=0.25)
+    ordered = [
+        (r["latitude"], r["longitude"])
+        for r in df.orderBy("z_index").collect()
+    ]
+    assert len(set(ordered)) == 256  # distinct codes for distinct cells
+
+    def span(seq, in_bbox):
+        pos = [i for i, c in enumerate(seq) if in_bbox(c)]
+        assert len(pos) == 64
+        return max(pos) - min(pos) + 1
+
+    in_bbox = lambda c: c[0] < 36.0 + 8 * 0.25 and c[1] < -116.0 + 8 * 0.25  # noqa: E731
+    assert span(ordered, in_bbox) == 64            # contiguous under Morton
+    assert span(sorted(ordered), in_bbox) == 7 * 16 + 8   # smeared lat-major
+
+
+def test_zorder_deterministic_and_jvm_side(spark):
+    from gridded_etl_tools_spark.operators.zorder import with_zorder
+
+    df = spark.createDataFrame(
+        [Row(latitude=36.25, longitude=-115.5), Row(latitude=36.25, longitude=-115.5)]
+    )
+    vals = [r["z_index"] for r in with_zorder(df).collect()]
+    assert vals[0] == vals[1]
+    plan = with_zorder(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
