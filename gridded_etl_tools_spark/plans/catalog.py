@@ -1553,3 +1553,40 @@ def next_expected_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         (F.max("ts") + F.expr(f"INTERVAL {int(delta.total_seconds())} SECOND")).alias("next_time")
     )
+
+
+@query(
+    "zorder_index",
+    """
+    WITH q AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 73  AS BIGINT) AS x,
+             CAST(c_custkey % 100 AS BIGINT) AS y
+      FROM customer
+    ),
+    a AS (SELECT c_custkey, (x | (x << 8)) & 16711935   AS x, (y | (y << 8)) & 16711935   AS y FROM q),
+    b AS (SELECT c_custkey, (x | (x << 4)) & 252645135  AS x, (y | (y << 4)) & 252645135  AS y FROM a),
+    c AS (SELECT c_custkey, (x | (x << 2)) & 858993459  AS x, (y | (y << 2)) & 858993459  AS y FROM b),
+    d AS (SELECT c_custkey, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM c)
+    SELECT c_custkey, CAST(x | (y << 1) AS BIGINT) AS z_index FROM d
+    """,
+)
+def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (SURVEY §4 custom need (d)) on a
+    synthetic (lat, lon) derived from customer keys — the bit-interleave
+    is reproduced in the DuckDB oracle, so the write-layout key itself is
+    hash-checked."""
+    from gridded_etl_tools_spark.operators.zorder import z_index
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 100) * 0.25).alias("lat"),
+        ((F.col("c_custkey") % 73) * 0.25).alias("lon"),
+    )
+    return cust.select(
+        "c_custkey",
+        z_index(
+            "lat", "lon",
+            lat_range=(0.0, 90.0), lon_range=(0.0, 180.0), resolution=0.25,
+        ).alias("z_index"),
+    )
