@@ -43,6 +43,9 @@ HEADLINE = [
     "session_stats",
     "windowed_event_counts",
     "ivf_ann_topk",
+    "minhash_lsh_candidates",
+    "simhash",
+    "zorder_index",
 ]
 
 

@@ -51,15 +51,51 @@ def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> Dat
 
 def shingles(text_col, n: int = 3):
     """Word n-gram shingle array from a text column (lowercased,
-    whitespace-tokenized).  Column expression — JVM-side only.  The n=1
-    case skips the sequence/slice machinery (it is just the distinct
-    token set); measured ~5x cheaper on the sf0.1 documents table."""
+    whitespace-tokenized).  Column expression — JVM-side only.
+
+    n=1 is just the distinct token set.  n>1 builds the windows by
+    iterated ``zip_with`` against shifted copies (array-at-a-time) rather
+    than a per-position ``slice`` inside ``transform`` — higher-order
+    lambdas are interpreted, so per-element array slicing was the single
+    hottest expression in the dedup family (~7x slower).  Docs shorter
+    than n tokens yield one truncated shingle (the whole document)."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.filter(sh, lambda s: s.isNotNull())  # windows that ran off the end
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _salted_hashes(num_hashes: int):
+    """Per-shingle array of ``num_hashes`` salted md5 hex digests for the
+    exploded shingle column ``s``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), F.col("s"))),
+    )
+
+
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """One row per id with columns ``mh_0..mh_{n-1}``: explode shingles,
+    compute all salted hashes per shingle in one pass, take element-wise
+    ``min`` per id.  One narrow shuffle of (id, hash-array) rows; the
+    shingle expression is evaluated exactly once (higher-order lambdas
+    are interpreted, and Catalyst's project-collapsing re-inlines any
+    'materialized' column back into per-element lambdas — the explode is
+    the only real evaluation barrier, measured 4x faster for n>1)."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).select(id_col, _salted_hashes(num_hashes).alias("hs"))
+    return ex.groupBy(id_col).agg(
+        *[F.min(F.col("hs")[i]).alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -68,29 +104,53 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, hash_idx, minhash): for each of ``num_hashes`` salted md5 hash
     functions, the lexicographic min over the document's shingles.
+    md5-of-(salt ‖ shingle) is reproducible in any engine — the
+    correctness oracle depends on it.
 
-    Shuffle-free: the min over a document's shingles is computed per-row
-    with ``array_min(transform(...))`` — no (doc, shingle) explode, no
-    groupBy.  At 100 TB this means MinHash is a map-only stage: nothing
-    shuffles until the (much smaller) band join.  md5-of-(salt ‖ shingle)
-    is reproducible in any engine — the correctness oracle depends on it.
+    Two physical shapes by shingle cost:
+
+    * n=1 (token shingles are nearly free to recompute): map-only —
+      per-row ``array_min(transform(...))``, zero shuffle before any
+      downstream join.
+    * n>1: explode + element-wise-min aggregation (:func:`_minhash_wide`)
+      — one narrow shuffle, shingles computed once.
     """
-    sh = shingles(F.col(text_col), shingle_n)
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.struct(
-            i.alias("hash_idx"),
-            F.array_min(
-                F.transform(
-                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
-                )
-            ).alias("minhash"),
-        ),
+    if shingle_n == 1:
+        sh = shingles(F.col(text_col), 1)
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.struct(
+                i.alias("hash_idx"),
+                F.array_min(
+                    F.transform(
+                        sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+                    )
+                ).alias("minhash"),
+            ),
+        )
+        return (
+            df.select(F.col(id_col), F.explode(sigs).alias("s"))
+            .select(
+                id_col,
+                F.col("s.hash_idx").alias("hash_idx"),
+                F.col("s.minhash").alias("minhash"),
+            )
+            .filter(F.col("minhash").isNotNull())
+        )
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("hash_idx"), F.col(f"mh_{i}").alias("minhash"))
+            for i in range(num_hashes)
+        ]
     )
     return (
-        df.select(F.col(id_col), F.explode(sigs).alias("s"))
-        .select(id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.minhash").alias("minhash"))
-        # empty shingle set → NULL min; the old groupBy form emitted no row
+        wide.select(F.col(id_col), F.explode(pairs).alias("s"))
+        .select(
+            id_col,
+            F.col("s.hash_idx").alias("hash_idx"),
+            F.col("s.minhash").alias("minhash"),
+        )
         .filter(F.col("minhash").isNotNull())
     )
 
@@ -109,30 +169,53 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
     rows_per_band = num_hashes // bands
-    sh = shingles(F.col(text_col), shingle_n)
-    # full signature vector per row (map-side, no shuffle — see
+    # signature vector per id (shape chosen by shingle cost — see
     # minhash_signatures), then one band hash per contiguous slice; the
-    # only shuffle in the whole plan is the final (band, band_hash) join
-    minh = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
-        ),
-    )
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", F.slice(F.col("__minh"), b * rows_per_band + 1, rows_per_band)
+    # band join shuffles only (id, band, band_hash) rows, never text.
+    if shingle_n == 1:
+        # map-only: the full signature vector + band hashes in one
+        # per-row expression (evaluated once per band — bands are few)
+        sh = shingles(F.col(text_col), 1)
+        minh = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
                 )
-            ).alias("band_hash"),
-        ),
-    )
+            ),
+        )
+        band_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.slice(minh, b * rows_per_band + 1, rows_per_band))
+                ).alias("band_hash"),
+            ),
+        )
+        source = df
+    else:
+        wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+        source = wide
     band_hash = (
-        df.select(F.col(id_col), minh.alias("__minh"))
-        .select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        source.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
     a = band_hash.select(

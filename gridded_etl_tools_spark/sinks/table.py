@@ -36,6 +36,13 @@ entries — at 100 TB with ~256 MB files that is ~400k entries; fine for a
 driver-side JSON (Iceberg does the same before needing manifest lists).
 All data movement stays in Spark; this module only renames files the
 executors already wrote.
+
+Filesystem abstraction: manifest/pointer I/O uses ``os`` paths, which is
+correct for local and NFS/fuse-mounted storage.  On object storage the
+same protocol holds — S3/GCS give atomic single-object PUT, which is all
+``_write_pointer`` needs — but the half-dozen ``os.*`` calls here would
+go through fsspec/Hadoop FS instead.  Deliberately not abstracted yet:
+the protocol, not the I/O shim, is the hard part being validated.
 """
 
 from __future__ import annotations
