@@ -65,15 +65,22 @@ def test_partial_aggregation_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
-def test_minhash_lsh_signatures_are_map_side(spark):
-    # signature + band-hash generation never shuffles: the only shuffle
-    # Exchange in the whole plan belongs to the final distinct; the band
-    # join itself broadcasts (small side here) or shuffles ON SIGNATURES,
-    # never on document text
+def test_minhash_lsh_shuffles_signatures_never_text(spark):
+    # the n>1 shape is: shingle-explode -> salted hashes -> ONE narrow
+    # shuffle of (id, hash-array) per side (AQE reuses the exchange at
+    # runtime) -> band explode -> band equi-join -> distinct.  The scale
+    # contract is that no Exchange ever carries the document text column —
+    # shuffles move only ids + fixed-width hashes.
     plan = formatted_plan(spark, "minhash_lsh_candidates")
-    assert count_nodes(plan, "Exchange") == 1     # final .distinct() only
-    assert count_nodes(plan, "Generate") == 2     # per-side band explode
+    assert count_nodes(plan, "Exchange") <= 2     # per-side signature agg
+    assert count_nodes(plan, "Generate") == 4     # shingle + band, per side
     assert "BatchEvalPython" not in plan
+    # inspect each Exchange node's detail block: its Input/Arguments must
+    # not reference the raw text column
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange\n((?:.+\n)+?)\n", plan, re.MULTILINE):
+        assert "text#" not in m.group(1), m.group(1)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
