@@ -21,6 +21,13 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+try:  # numpy/pandas are required only for the vectorized ANN paths
+    import numpy as np
+    import pandas as pd
+except ImportError:  # pragma: no cover - both are baked into this env
+    np = None
+    pd = None
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -171,13 +178,45 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid by cosine (ties break on centroid id).
 
-    The centroid table is broadcast — at 100 TB the corpus never
-    shuffles for assignment; it is a map-side cross-with-small +
-    per-row argmax.  Returns (id, vec, centroid_id)."""
+    Default shape is pure-JVM (broadcast cross join + per-row argmax
+    window) — it keeps the whole catalog free of Python in the data
+    plane (tests/test_plans.py pins that contract).
+
+    ``vectorized=True`` opts into the BLAS path: the centroid matrix is
+    collected once (small by construction — IVF coarse books are ≤~64k
+    rows even at 100 TB corpus scale, and k-means produces them
+    driver-side anyway), row-normalized, and closed over by an
+    Arrow-batched pandas UDF: each batch is ONE matmul (B×D)·(D×C) +
+    argmax — map-side only, no join, no window, corpus rows never
+    shuffle.  Prefer it when the assignment stage dominates (wide dims ×
+    large cell counts); results are identical up to float-sum ordering.
+    Returns (id, vec, centroid_id)."""
+    if vectorized and np is not None:
+        from pyspark.sql.types import LongType
+
+        rows = sorted(
+            centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+        )
+        ids = np.array([r[0] for r in rows], dtype="int64")
+        mat = np.array([list(r[1]) for r in rows], dtype="float64")
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        @F.pandas_udf(LongType())
+        def _assign(batch: pd.Series) -> pd.Series:
+            v = np.vstack(batch.to_numpy()).astype("float64")
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            # ties: argmax takes the first (= lowest centroid id — rows
+            # were sorted), matching the JVM path's orderBy(cid asc)
+            return pd.Series(ids[np.argmax(v @ mat.T, axis=1)])
+
+        return corpus.select(
+            F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias(centroid_id_col)
+        )
     c = F.broadcast(
         centroids.select(
             F.col(id_col).alias(centroid_id_col),

@@ -636,23 +636,39 @@ def duplicate_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.duplicate_groups(docs, ["lang", "source"], "doc_id")
 
 
+def _minhash_consts_values(num_hashes: int) -> str:
+    """DuckDB VALUES table of the universal-hash constants — must match
+    ``dedup.minhash_constants`` exactly (the oracle recomputes the same
+    hash family)."""
+    rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup_ops.minhash_constants(num_hashes))
+    )
+    return f"(VALUES {rows}) AS c(i, a, b)"
+
+
+#: DuckDB replica of dedup.base_shingle_hash (40-bit md5-prefix integer)
+_BASE_HASH_SQL = "try_cast(concat('0x', substr(md5(shingle), 1, 10)) AS BIGINT)"
+
+
 @query(
     "minhash_signatures",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS shingle
       FROM documents WHERE doc_id < 50
     ), hashed AS (
-      SELECT doc_id, i AS hash_idx, md5(concat(CAST(i AS VARCHAR), '|', shingle)) AS h
-      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      SELECT doc_id, c.i AS hash_idx,
+             (c.a * {_BASE_HASH_SQL} + c.b) % 2147483647 AS h
+      FROM toks CROSS JOIN {_minhash_consts_values(4)}
     )
     SELECT doc_id, hash_idx, min(h) AS minhash
     FROM hashed GROUP BY doc_id, hash_idx
     """,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (north star): 4 salted-md5 hash functions over
-    unigram shingles, docs 0-49."""
+    """MinHash signatures (north star): 4 universal hash functions over
+    the 40-bit base hash of unigram shingles, docs 0-49."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = dedup_ops.minhash_signatures(
         docs, "text", "doc_id", num_hashes=4, shingle_n=1
@@ -1008,7 +1024,7 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_candidates",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
     ), sh AS (
@@ -1019,13 +1035,14 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE [array_to_string(toks, ' ')] END)) AS shingle
       FROM t
     ), hashed AS (
-      SELECT doc_id, i AS hash_idx, md5(concat(CAST(i AS VARCHAR), '|', shingle)) AS h
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)
+      SELECT doc_id, c.i AS hash_idx,
+             (c.a * {_BASE_HASH_SQL} + c.b) % 2147483647 AS h
+      FROM sh CROSS JOIN {_minhash_consts_values(8)}
     ), sig AS (
       SELECT doc_id, hash_idx, min(h) AS minhash FROM hashed GROUP BY 1, 2
     ), bands AS (
       SELECT doc_id, CAST(floor(hash_idx / 4.0) AS INT) AS band,
-             md5(string_agg(minhash, '|' ORDER BY hash_idx)) AS band_hash
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_idx)) AS band_hash
       FROM sig GROUP BY doc_id, CAST(floor(hash_idx / 4.0) AS INT)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1300,17 +1317,24 @@ def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy aggregate (SURVEY §2.4 A12 extension): partial
-    aggregation happens once; grouping sets share the shuffle."""
+    """ROLLUP hierarchy aggregate (SURVEY §2.4 A12 extension).  Physical
+    shape: plain groupBy first (map-side partial agg over the fact scan),
+    THEN rollup over the ~6-row pre-aggregate — Spark's Expand runs
+    *before* partial aggregation, so a direct rollup pushes 3x the fact
+    rows through the decimal sums (measured 2.3x slower at sf0.1; at
+    100 TB the difference is the whole fact-table triple-scan)."""
     li = load(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("__rev"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            ).cast("double").alias("revenue"),
+            F.sum("__n").alias("n_items"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

@@ -284,6 +284,31 @@ def test_ivf_assign_and_topk(spark):
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)  # colinear cluster
 
 
+def test_ivf_assign_vectorized_matches_jvm(spark):
+    # the opt-in Arrow+BLAS assignment path must agree with the pure-JVM
+    # plan on every vector (incl. argmax tie-break = lowest centroid id)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    from gridded_etl_tools_spark.operators.similarity import ivf_assign
+
+    centroids = emb.filter(F.col("vec_id") % 20 == 0)
+    jvm = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, centroids, vectorized=False).collect()
+    }
+    blas = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, centroids, vectorized=True).collect()
+    }
+    assert jvm == blas
+
+
 def test_polynomial_fingerprint_order_sensitive(spark):
     from gridded_etl_tools_spark.operators.text import polynomial_fingerprint
 
