@@ -297,6 +297,64 @@ def minhash_lsh_candidates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate near-duplicate pairs:
+    (id, cluster_id) where cluster_id = min doc id reachable through the
+    pair graph.  The canonical "keep one doc per near-dup cluster" step
+    after LSH + verification.
+
+    Physical strategy: iterative min-label propagation — each round joins
+    labels to the (symmetrized, cached) edge list, takes the min neighbor
+    label per node, and stops when the label-sum fixpoint is reached
+    (labels only ever decrease, so an unchanged sum IS convergence — one
+    scalar action per round, no change-join).  Rounds needed =
+    graph diameter; near-dup components are clique-ish (diameter ≤ ~3),
+    so this beats the alternating large-star/small-star scheme (Kiveris
+    et al.) in practice while shuffling only (node, label) longs.  Each
+    round is localCheckpoint-ed to truncate lineage — without it the plan
+    doubles per iteration.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("id"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("label").alias("vlabel")),
+                on="v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -1062,6 +1062,45 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_clusters",
+    rf"""
+    WITH RECURSIVE cand AS (
+      {{LSH_CANDIDATES}}
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM cand
+    ), walk(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering (north star): connected components over
+    the LSH candidate pairs — cluster_id = min reachable doc_id.  Spark
+    side is iterative min-label propagation (O(diameter) rounds, labels
+    are (long, long) rows); the oracle walks the same graph with a
+    recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_n=2
+    )
+    out = dedup_ops.duplicate_clusters(pairs)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# splice the LSH-candidates oracle in as a nested subquery (its own WITH
+# list is legal inside a CTE body); done post-registration so the two
+# stay literally identical
+ORACLES["duplicate_clusters"] = ORACLES["duplicate_clusters"].replace(
+    "{LSH_CANDIDATES}", ORACLES["minhash_lsh_candidates"]
+)
+
+
+@query(
     "embedding_near_duplicates",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -309,6 +309,25 @@ def test_ivf_assign_vectorized_matches_jvm(spark):
     assert jvm == blas
 
 
+def test_duplicate_clusters_connected_components(spark):
+    # chain 1-2-3 (diameter 2, needs >1 propagation round), pair 10-11,
+    # and an untouched singleton 99 (absent from pairs => absent from out)
+    from gridded_etl_tools_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=3), Row(id_a=1, id_b=2), Row(id_a=10, id_b=11)]
+    )
+    out = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from gridded_etl_tools_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(pairs).count() == 0
+
+
 def test_polynomial_fingerprint_order_sensitive(spark):
     from gridded_etl_tools_spark.operators.text import polynomial_fingerprint
 
