@@ -1661,3 +1661,9 @@ def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             lat_range=(0.0, 90.0), lon_range=(0.0, 180.0), resolution=0.25,
         ).alias("z_index"),
     )
+
+
+# extension modules register additional queries into QUERIES/ORACLES via
+# the same @query decorator (imported last — they import `query` from here)
+from gridded_etl_tools_spark.plans import relational as _relational  # noqa: E402,F401
+from gridded_etl_tools_spark.plans import textpipe as _textpipe  # noqa: E402,F401

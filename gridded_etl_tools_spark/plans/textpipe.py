@@ -1,0 +1,167 @@
+"""Training-data pipeline composites (north star): TF-IDF term ranking,
+JSON property extraction, stratified per-group quotas, and the
+end-to-end near-duplicate removal pipeline (LSH candidates → connected
+components → canonical-survivor selection).
+
+Same registration + reproducibility conventions as ``plans/catalog.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gridded_etl_tools_spark.operators import dedup as dedup_ops
+from gridded_etl_tools_spark.operators import text as text_ops
+from gridded_etl_tools_spark.plans.catalog import ORACLES, query
+from gridded_etl_tools_spark.plans.tables import load
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (north star text analysis).
+    Shape: explode → two hash aggregates (doc-term TF, then term DF) →
+    broadcast DF back onto TF → ranking window partitioned by doc.  The
+    window ranks the *rounded* score with a term tie-break, so last-ulp
+    ln() differences between JVM and C math libraries cannot reorder the
+    cut.  At 100 TB the DF table is vocabulary-sized — still broadcastable
+    after a min-df filter; the only big shuffle keys on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (SURVEY §2.6 scalar functions): pull a typed
+    field out of the free-form ``props`` JSON column and aggregate it —
+    `get_json_object` stays JVM-side inside codegen."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "stratified_quota",
+    """
+    SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rank
+    FROM (SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified selection (north star sampling analog):
+    top-10 longest documents per language stratum.  Rank-within-group is
+    the reproducible stand-in for per-stratum random sampling (seeded
+    `sampleBy` cannot hash-match a SQL oracle); one shuffle on the
+    stratum key, and AQE handles stratum skew."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+@query(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE cand AS (
+      {LSH_CANDIDATES}
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM cand
+    ), walk(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.r
+    ), clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate removal (north star): MinHash-LSH
+    candidate pairs → connected-component clusters → keep one canonical
+    document (min doc_id) per cluster, pass uninvolved documents through
+    untouched.  This is the full production dedup pipeline as one plan:
+    the corpus is scanned once for signatures, the quadratic work happens
+    only inside LSH buckets, and the final anti-join keys on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_n=2
+    )
+    clusters = dedup_ops.duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# splice the LSH-candidates oracle in (same mechanism as
+# duplicate_clusters in catalog.py) so the two stay literally identical
+ORACLES["dedup_survivors"] = ORACLES["dedup_survivors"].replace(
+    "{LSH_CANDIDATES}", ORACLES["minhash_lsh_candidates"]
+)

@@ -94,3 +94,48 @@ def test_no_python_udf_in_any_plan(spark, name):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """OR-of-ANDs (TPC-H q19 shape): Catalyst must push the per-side
+    residuals of the disjunction down to BOTH parquet scans, not evaluate
+    the whole predicate post-join."""
+    plan = formatted_plan(spark, "q19_disjunctive_revenue")
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li_scan = [ln for ln in scans if "l_quantity" in ln]
+    part_scan = [ln for ln in scans if "p_brand" in ln]
+    assert li_scan and "Or(" in li_scan[0]
+    assert part_scan and "Or(" in part_scan[0]
+
+
+def test_q17_partial_agg_before_threshold_shuffle(spark):
+    """The decorrelated per-part AVG must partially aggregate map-side so
+    the shuffle carries ~|part| rows, and the threshold table must
+    broadcast back onto the fact scan."""
+    plan = formatted_plan(spark, "q17_small_quantity_revenue")
+    assert "partial_avg" in plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_dims_broadcast(spark):
+    """Nation-pair trade (q7 shape): every dimension join broadcasts; no
+    sort-merge join appears at test scale."""
+    plan = formatted_plan(spark, "q7_volume_shipping")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_take_ordered_top20(spark):
+    """Top-20 returned-revenue customers must plan as
+    TakeOrderedAndProject (no global sort materialization)."""
+    plan = formatted_plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """TF-IDF: the document-frequency table and corpus-size scalar join
+    back via broadcast; the only wide shuffles key on (doc_id, term)."""
+    plan = formatted_plan(spark, "tfidf_top_terms")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
