@@ -52,6 +52,82 @@ def dimension_reduce(
     return df.groupBy(*group_cols).agg(*exprs)
 
 
+def dispersion_stats(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Per-group second/third/fourth-moment statistics: sample stddev and
+    variance plus population skewness and excess kurtosis (the definitions
+    Spark's builtins use: ``g1 = m3/m2^1.5``, ``g2 = m4/m2^2 - 3`` over
+    central moments).  One partial+final hash aggregate — the moment
+    accumulators are all map-side combinable, so the shuffle carries one
+    row per group regardless of table size."""
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.stddev_samp(value_col).alias("stddev"),
+        F.var_samp(value_col).alias("variance"),
+        F.skewness(value_col).alias("skewness"),
+        F.kurtosis(value_col).alias("kurtosis"),
+    )
+
+
+def grouped_mode(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Most frequent value per group with a deterministic tie-break
+    (highest count, then smallest value) — engines' builtin ``mode()``
+    resolves ties arbitrarily, so it is re-expressed as count + ranking
+    window to be reproducible.  Two shuffles: the count aggregate and the
+    per-group window; both key on the group columns so AQE coalesces them
+    onto the same exchange."""
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(*group_cols, F.col(value_col).alias("mode_value"), F.col("n").alias("mode_count"))
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame, group_cols: list[str], value_col: str, bin_width: float
+) -> DataFrame:
+    """Fixed-width histogram: ``bin = floor(value / bin_width)`` then a
+    count per (group, bin).  Purely map-side binning + one hash aggregate;
+    the natural distributed histogram (no driver collect, no sorted
+    quantile pass)."""
+    return (
+        df.withColumn("bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def climatology_anomaly(
+    df: DataFrame,
+    cycle_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    rounding: int = 6,
+) -> DataFrame:
+    """Anomaly vs. climatology — the standard climate-science reduction
+    (observed minus the long-run mean for the same point in the seasonal/
+    diurnal cycle).  ``cycle_cols`` define the climatological key (e.g.
+    day-of-year, hour-of-day); ``group_cols`` additional identity keys
+    (e.g. grid cell, event type).
+
+    Physical shape: one hash aggregate builds the climatology table
+    (|cycle| × |group| rows — tiny), which then **broadcasts** back onto
+    the fact scan; the facts are never shuffled.  The climatological mean
+    is rounded before subtraction so the anomaly is reproducible across
+    engines/summation orders."""
+    keys = group_cols + cycle_cols
+    clim = df.groupBy(*keys).agg(
+        F.round(F.avg(value_col), rounding).alias("clim_mean")
+    )
+    return (
+        df.join(F.broadcast(clim), keys)
+        .withColumn(
+            "anomaly", F.round(F.col(value_col) - F.col("clim_mean"), rounding)
+        )
+    )
+
+
 def rolling_aggregate(
     df: DataFrame,
     partition_cols: list[str],

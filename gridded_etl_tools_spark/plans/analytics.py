@@ -1,0 +1,402 @@
+"""Statistical / distribution analytics over the synthetic tables:
+dispersion moments, correlation, exact + approximate percentiles,
+distribution windows (ntile / cume_dist), climatology anomalies (the
+climate-science reduction the reference's docstrings gesture at —
+``publish.py:485-487`` "mean/max of a dimension" upstream needs),
+deterministic per-group mode, fixed-width histograms, distinct-count
+rollups with mergeable HLL sketches, and rolling volatility.
+
+Scale notes: every aggregate here is map-side combinable (moments,
+counts, HLL sketch buffers), so shuffles carry one row per group.  The
+climatology join broadcasts the small cycle table back onto the fact
+scan.  Sketch queries demonstrate the 100 TB pattern — pre-aggregate a
+mergeable summary per partition grain (day), then roll up without ever
+re-touching the facts.
+
+Same registration + reproducibility conventions as ``plans/catalog.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gridded_etl_tools_spark.operators import aggregations as agg_ops
+from gridded_etl_tools_spark.plans.catalog import query
+from gridded_etl_tools_spark.plans.tables import load
+
+
+@query(
+    "dispersion_stats",
+    """
+    WITH mu AS (
+      SELECT event_type, avg(value) AS mean_value FROM events GROUP BY 1
+    ),
+    cm AS (
+      SELECT e.event_type,
+             count(*)                        AS n,
+             stddev_samp(value)              AS sd,
+             var_samp(value)                 AS vr,
+             avg(pow(value - mean_value, 2)) AS m2,
+             avg(pow(value - mean_value, 3)) AS m3,
+             avg(pow(value - mean_value, 4)) AS m4
+      FROM events e JOIN mu USING (event_type)
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(sd, 6)                    AS stddev,
+           round(vr, 5)                    AS variance,
+           round(m3 / pow(m2, 1.5), 6)     AS skewness,
+           round(m4 / pow(m2, 2) - 3, 6)   AS kurtosis
+    FROM cm
+    """,
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type moment statistics via Spark's one-pass builtin
+    accumulators (stddev_samp / var_samp / skewness / kurtosis — Spark
+    defines skew/kurt as population g1/g2, which the oracle reproduces
+    two-pass from central moments).  Single partial+final hash agg; the
+    shuffle carries one row per event_type."""
+    ev = load(spark, sf_dir, "events")
+    out = agg_ops.dispersion_stats(ev, ["event_type"], "value")
+    return out.select(
+        "event_type", "n",
+        F.round("stddev", 6).alias("stddev"),
+        F.round("variance", 5).alias("variance"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+    )
+
+
+@query(
+    "correlation_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+           round(covar_pop(l_discount, l_tax), 6)            AS disc_tax_covar_pop
+    FROM lineitem GROUP BY 1
+    """,
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance per return flag — bivariate
+    map-combinable accumulators, one row per group after shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar_pop"),
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).  Exact quantiles need the full value
+    multiset per group — fine at dashboard cardinalities; the 100 TB
+    path is ``approx_value_percentiles`` below."""
+    ev = load(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.25, 0.50, 0.75, 0.90])).alias("p")
+    )
+    return pct.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p75"),
+        F.round(F.col("p")[3], 6).alias("p90"),
+    )
+
+
+@query(
+    "user_activity_deciles",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+    ),
+    tiled AS (
+      SELECT user_id, n_events,
+             ntile(10) OVER (ORDER BY n_events, user_id) AS decile
+      FROM per_user
+    )
+    SELECT decile, count(*) AS n_users,
+           min(n_events) AS min_events, max(n_events) AS max_events
+    FROM tiled GROUP BY 1
+    """,
+)
+def user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile buckets over per-user activity.  ntile is ordered on
+    (count, user_id) so tie placement is engine-independent.  The window
+    is global but runs over the already-aggregated per-user table, not
+    the facts; at scale replace with pre-computed percentile cut-points
+    joined back (the ⊘ sketch path)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tiled = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.asc("n_events"), F.asc("user_id"))),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n_events").alias("min_events"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+@query(
+    "value_cume_dist_tail",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      FROM events
+    )
+    SELECT event_id, event_type, round(value, 6) AS value, round(cd, 6) AS cd
+    FROM ranked WHERE cd >= 0.995
+    """,
+)
+def value_cume_dist_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF tail: events in the top half-percent of their
+    type's value distribution.  cume_dist is tie-stable (counts rows with
+    value <= current), so no artificial tie-break is needed."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        ev.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") >= 0.995)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("cd", 6).alias("cd"),
+        )
+    )
+
+
+@query(
+    "climatology_anomaly_topk",
+    """
+    WITH clim AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             round(avg(value), 6) AS clim_mean
+      FROM events GROUP BY 1, 2
+    ),
+    anom AS (
+      SELECT e.event_id, e.event_type, extract(hour FROM e.ts) AS hr,
+             round(e.value - c.clim_mean, 6) AS anomaly
+      FROM events e
+      JOIN clim c ON c.event_type = e.event_type
+                 AND c.hr = extract(hour FROM e.ts)
+    )
+    SELECT event_id, event_type, CAST(hr AS INT) AS hr, anomaly,
+           CAST(row_number() OVER (ORDER BY abs(anomaly) DESC, event_id) AS INT) AS rank
+    FROM anom QUALIFY rank <= 50
+    """,
+)
+def climatology_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly vs. diurnal climatology (climate-science A12 extension):
+    the 50 most anomalous events relative to their (type, hour-of-day)
+    long-run mean.  Physical shape: tiny climatology aggregate →
+    broadcast back onto the fact scan (facts never shuffle) → global
+    top-k as TakeOrderedAndProject.  The climatological mean is rounded
+    before subtraction so ranking is reproducible across engines."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("int")
+    )
+    anom = agg_ops.climatology_anomaly(
+        ev, cycle_cols=["hr"], group_cols=["event_type"], value_col="value"
+    )
+    w = Window.orderBy(F.abs(F.col("anomaly")).desc(), F.asc("event_id"))
+    return (
+        anom.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("event_id", "event_type", "hr", "anomaly", "rank")
+    )
+
+
+@query(
+    "daily_mode_event_type",
+    """
+    WITH counts AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type AS mode_value, n AS mode_count
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) = 1
+    """,
+)
+def daily_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event type per day with deterministic tie-break —
+    builtin ``mode()`` resolves ties arbitrarily, so it is re-expressed
+    as count + ranking window (operators/aggregations.grouped_mode)."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return agg_ops.grouped_mode(ev, ["day"], "event_type")
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           count(*) AS bin_count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distributed histogram: map-side binning + one hash
+    aggregate; no driver collect, no sort."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.fixed_width_histogram(ev, ["event_type"], "value", 10.0)
+
+
+@query(
+    "distinct_users_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users — the expand + two-level aggregate
+    Catalyst plans for COUNT(DISTINCT).  Scale path: the HLL sketch
+    rollup below replaces the second shuffle with mergeable buffers."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch / approximate scale paths (⊘ rows-only driver check; accuracy is
+# asserted against the exact answers in tests/test_analytics.py)
+# --------------------------------------------------------------------------
+
+
+@query("approx_distinct_users_daily")
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users via Apache DataSketches HLL
+    (``hll_sketch_agg``).  One shuffle of fixed-size sketch buffers —
+    at 100 TB this is the only viable distinct-count plan (the exact
+    COUNT(DISTINCT) expand doubles the shuffle volume).  ⊘: estimates
+    are engine-specific; accuracy vs exact is pytest-asserted."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .select(
+            "day",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        )
+    )
+
+
+@query("sketch_rollup_weekly")
+def sketch_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches union-merged to
+    weekly distinct-user estimates WITHOUT re-touching the fact table —
+    the hypertable/continuous-aggregate pattern.  At 100 TB the daily
+    sketch table is millions of times smaller than the facts, and any
+    calendar rollup (week/month/year) derives from it by
+    ``hll_union_agg`` alone."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    return (
+        daily.withColumn("week", F.date_trunc("week", "day"))
+        .groupBy("week")
+        .agg(F.hll_union_agg("sk").alias("wsk"))
+        .select(
+            "week",
+            F.hll_sketch_estimate("wsk").cast("long").alias("approx_users"),
+        )
+    )
+
+
+@query("approx_value_percentiles")
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (accuracy 10000 ≈ 0.01%
+    rank error) — the bounded-memory quantile path; each task keeps an
+    ε-summary, merged map-side.  ⊘: GK summaries are engine-specific;
+    closeness to the exact quantiles is pytest-asserted."""
+    ev = load(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.lit([0.25, 0.50, 0.75, 0.90]), F.lit(10000)
+        ).alias("p")
+    )
+    return pct.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p75"),
+        F.round(F.col("p")[3], 6).alias("p90"),
+    )
+
+
+@query(
+    "rolling_volatility",
+    """
+    SELECT event_id, event_type,
+           round(stddev_samp(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 5) AS vol7
+    FROM events
+    """,
+)
+def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row stddev per event type (rolling volatility / local
+    variability of a sensor series).  Frame ordering includes event_id so
+    the ROWS frame is identical across engines under timestamp ties.  At
+    scale the partition keys match the table's write-time clustering, so
+    the sort is partial."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.stddev_samp("value").over(w), 5).alias("vol7"),
+    )
+
+
+@query(
+    "day_over_day_change",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT day, total,
+           round(total - lag(total) OVER (ORDER BY day), 4) AS delta,
+           round((total - lag(total) OVER (ORDER BY day))
+                 / lag(total) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+)
+def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas on the daily rollup — lag window over the
+    (tiny) aggregate, never over the facts.  The rollup total is rounded
+    before differencing for cross-engine stability."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    daily = ev.groupBy("day").agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "day", "total",
+        F.round(F.col("total") - prev, 4).alias("delta"),
+        F.round((F.col("total") - prev) / prev, 6).alias("pct_change"),
+    )

@@ -1665,5 +1665,6 @@ def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
+from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import relational as _relational  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import textpipe as _textpipe  # noqa: E402,F401
