@@ -24,6 +24,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _axis(df: DataFrame, col: str):
+    """Numeric expression for an ordered axis column: timestamps (with or
+    without timezone — TIMESTAMP_NTZ cannot cast to double directly)
+    become epoch seconds; numerics cast to double."""
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def split_update_times(
@@ -110,6 +122,90 @@ def tolerance_join(
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__b", "__bucket0", "__dist", "__rn")
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join: every (point row, interval row) pair with
+    ``start <= point <= end``.  Spark has no range-join optimization, and
+    the naive formulation is a cross join with a post-filter — quadratic.
+
+    Plan: quantize the axis into buckets of ``bucket_width`` (for
+    timestamps: seconds).  Each interval explodes to the buckets it
+    covers (``sequence(floor(s/w), floor(e/w))``; keep ``bucket_width``
+    within ~an interval length so the fan-out is O(1)); each point sits
+    in exactly one bucket, so the equi-join on bucket id is duplicate-
+    free by construction and candidate sets are bounded by bucket
+    occupancy, not table size.  Interval columns come back prefixed
+    ``iv_``.
+
+    Columns are cast to double for bucketing (timestamps become epoch
+    seconds), so the same operator serves time, latitude bands, or any
+    ordered numeric axis.
+    """
+    w = float(bucket_width)
+    s, e = _axis(intervals, start_col), _axis(intervals, end_col)
+    iv = intervals.select(
+        *[F.col(c).alias(f"iv_{c}") for c in intervals.columns],
+        s.alias("__s"), e.alias("__e"),
+        F.explode(
+            F.sequence(F.floor(s / F.lit(w)), F.floor(e / F.lit(w)))
+        ).alias("__b"),
+    )
+    pt = _axis(points, point_col)
+    p = points.withColumn("__p", pt).withColumn("__b", F.floor(pt / F.lit(w)))
+    return (
+        p.join(iv, on="__b", how="inner")
+        .filter((F.col("__p") >= F.col("__s")) & (F.col("__p") <= F.col("__e")))
+        .drop("__b", "__p", "__s", "__e")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose
+    ``[start, end]`` ranges intersect.  Same bucketing scheme as
+    :func:`interval_join`, with a dedup-free trick: an overlapping pair
+    shares every bucket from ``floor(max(s_l, s_r)/w)`` onward, so we
+    emit the pair only in that *first shared bucket* — each pair matches
+    exactly once and no ``dropDuplicates`` shuffle is needed.  Right
+    columns come back prefixed ``r_``.
+    """
+    w = float(bucket_width)
+
+    def exploded(df: DataFrame, prefix: str, smark: str, emark: str) -> DataFrame:
+        s, e = _axis(df, start_col), _axis(df, end_col)
+        return df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+            s.alias(smark), e.alias(emark),
+            F.explode(
+                F.sequence(F.floor(s / F.lit(w)), F.floor(e / F.lit(w)))
+            ).alias("__b"),
+        )
+
+    l = exploded(left, "", "__ls", "__le")
+    r = exploded(right, "r_", "__rs", "__re")
+    overlap_start = F.greatest(F.col("__ls"), F.col("__rs"))
+    return (
+        l.join(r, on="__b", how="inner")
+        .filter(
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (F.col("__b") == F.floor(overlap_start / F.lit(w)))
+        )
+        .drop("__b", "__ls", "__le", "__rs", "__re")
     )
 
 

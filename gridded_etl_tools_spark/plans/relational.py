@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gridded_etl_tools_spark.operators import joins as join_ops
 from gridded_etl_tools_spark.plans.catalog import query
 from gridded_etl_tools_spark.plans.tables import load
 
@@ -676,4 +677,96 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_name", "s_name",
             F.round("unit_cost", 4).alias("unit_cost"),
         )
+    )
+
+
+@query(
+    "interval_window_shipments",
+    """
+    WITH big AS (
+      SELECT o_orderkey, o_orderdate,
+             o_orderdate + INTERVAL 7 DAY AS window_end
+      FROM orders WHERE o_totalprice > 475000
+    )
+    SELECT b.o_orderkey, b.o_orderdate,
+           count(*)                                                AS n_shipments,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2)                   AS window_revenue
+    FROM big b JOIN lineitem l
+      ON l.l_shipdate >= b.o_orderdate AND l.l_shipdate <= b.window_end
+    GROUP BY 1, 2
+    """,
+)
+def interval_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (an operator Spark lacks natively):
+    for each high-value order's 7-day fulfillment window, the count and
+    revenue of ALL shipments in that window — a genuine non-equi join,
+    not an orderkey lookup.
+
+    Physical shape: ``operators/joins.interval_join`` buckets the time
+    axis at window width, explodes each interval to the ≤2 buckets it
+    covers, and equi-joins on bucket id — candidate pairs are bounded by
+    bucket occupancy instead of |orders|×|lineitem|.  The oracle's
+    IEJoin (DuckDB plans range joins natively) cross-checks exactness.
+    At 100 TB both sides partition by time bucket, so the join
+    co-locates with the table's natural layout."""
+    week_s = 7 * 86400.0
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 475000).select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+    )
+    joined = join_ops.interval_join(
+        li.select("l_shipdate", "l_extendedprice", "l_discount"),
+        big, point_col="l_shipdate",
+        start_col="o_orderdate", end_col="window_end", bucket_width=week_s,
+    )
+    return joined.groupBy(
+        F.col("iv_o_orderkey").alias("o_orderkey"),
+        F.col("iv_o_orderdate").alias("o_orderdate"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)), 2
+        ).alias("window_revenue"),
+    )
+
+
+@query(
+    "concurrent_high_value_orders",
+    """
+    WITH big AS (
+      SELECT o_orderkey, o_orderdate,
+             o_orderdate + INTERVAL 7 DAY AS window_end
+      FROM orders WHERE o_totalprice > 475000
+    )
+    SELECT a.o_orderkey, count(b.o_orderkey) AS n_concurrent
+    FROM big a JOIN big b
+      ON a.o_orderdate <= b.window_end AND b.o_orderdate <= a.window_end
+     AND a.o_orderkey <> b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def concurrent_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: for each high-value order, how many
+    other high-value orders' 7-day windows overlap its own.
+
+    Physical shape: ``operators/joins.interval_overlap_join`` — both
+    sides explode to covered buckets and each overlapping pair is
+    emitted only in the overlap's *first* shared bucket, so the join is
+    exact with NO dropDuplicates shuffle.  The quadratic blowup of a
+    naive cross join becomes O(pairs actually overlapping)."""
+    week_s = 7 * 86400.0
+    orders = load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 475000).select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+    )
+    pairs = join_ops.interval_overlap_join(
+        big, big, start_col="o_orderdate", end_col="window_end",
+        bucket_width=week_s,
+    ).filter(F.col("o_orderkey") != F.col("r_o_orderkey"))
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
     )

@@ -425,3 +425,56 @@ def test_zorder_deterministic_and_jvm_side(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_join_numeric_boundaries(spark):
+    from gridded_etl_tools_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 10.001), (5, 37.0)], "pid int, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 9.0, 40.0)], "iid int, s double, e double"
+    )
+    got = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in interval_join(points, ivs, "x", "s", "e", bucket_width=10.0).collect()
+    )
+    # endpoints are inclusive on both sides; 10.001 falls only in the 2nd
+    assert got == [(1, 100), (2, 100), (3, 100), (3, 200), (4, 200), (5, 200)]
+
+
+def test_interval_join_timestamp_axis(spark):
+    from gridded_etl_tools_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(days=i)) for i in range(10)], "pid int, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(days=2), t0 + dt.timedelta(days=4))],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(points, ivs, "ts", "s", "e", bucket_width=86400.0).collect()
+    )
+    assert got == [2, 3, 4]
+
+
+def test_interval_overlap_join_pairs_unique_across_buckets(spark):
+    """A pair overlapping across many buckets must be emitted exactly
+    once (the first-shared-bucket trick), including touch-only overlaps."""
+    from gridded_etl_tools_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 200.0, 210.0)], "lid int, s double, e double"
+    )
+    right = spark.createDataFrame(
+        [(10, 50.0, 95.0), (20, 100.0, 150.0), (30, 151.0, 199.0)],
+        "rid int, s double, e double",
+    )
+    rows = interval_overlap_join(left, right, "s", "e", bucket_width=10.0).collect()
+    got = sorted((r["lid"], r["r_rid"]) for r in rows)
+    # (1,10) spans 5 shared buckets -> once; (1,20) touches at 100 -> once
+    assert got == [(1, 10), (1, 20)]
