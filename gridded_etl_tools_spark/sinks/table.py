@@ -406,6 +406,45 @@ class GriddedTable:
         df = self.read(spark)
         return None if df is None else df.select(self.time_col).distinct()
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two retained versions: every row added
+        ("insert") or removed ("delete") going from ``v_from`` to ``v_to``
+        (latest by default); an in-place update surfaces as a delete +
+        insert of the same key.
+
+        Data files are immutable once committed, so files present in BOTH
+        manifests cannot contribute changes and are never read — the scan
+        is proportional to the churned file set, not the table.  Within
+        the churned files, ``exceptAll`` (multiset EXCEPT) computes the
+        exact row-level delta, which also cancels out pure rewrites
+        (compaction produces an empty diff)."""
+        snap_a = self.snapshot(v_from)
+        snap_b = self.snapshot(v_to)
+        paths_a = set(snap_a.paths())
+        paths_b = set(snap_b.paths())
+        removed = sorted(paths_a - paths_b)
+        added = sorted(paths_b - paths_a)
+
+        def rows(paths: list[str]) -> DataFrame:
+            if paths:
+                return spark.read.parquet(*paths)
+            ref = (snap_a.paths() or snap_b.paths())[0]
+            return spark.read.parquet(ref).limit(0)
+
+        old_rows, new_rows = rows(removed), rows(added)
+        inserts = new_rows.exceptAll(old_rows).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old_rows.exceptAll(new_rows).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def history(self) -> list[dict[str, Any]]:
         """All retained versions, oldest first: version, file count, rows.
         The time-travel index (reference version history,

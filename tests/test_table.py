@@ -205,3 +205,43 @@ def test_vacuum_refuses_during_update(spark, month1, tmp_path):
         t.vacuum()
     p["update_in_progress"] = False; t._write_pointer(p)
     assert t.vacuum() == []
+
+
+def test_diff_append_is_pure_inserts(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    d = t.diff(spark, 0, 1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               d.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"insert": 496}  # month2 rows only, no deletes
+
+
+def test_diff_overwrite_surfaces_delete_insert_pairs(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    patched = month1.withColumn(
+        "value",
+        F.when(F.dayofmonth("time") == 12, F.col("value") + 100.0).otherwise(
+            F.col("value")
+        ),
+    )
+    t.overwrite_buckets(patched, buckets={"2024-11"})
+    d = t.diff(spark, 0, 1)
+    # one day's bucket rewritten: 16 cells changed -> 16 deletes + 16 inserts;
+    # unchanged rows in the rewritten bucket cancel out via exceptAll
+    day = d.filter(F.dayofmonth("time") == 12)
+    by_type = {r["_change_type"]: r["n"] for r in
+               day.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"insert": 16, "delete": 16}
+    ins = day.filter(F.col("_change_type") == "insert").agg(F.min("value")).collect()[0][0]
+    assert ins >= 100.0
+
+
+def test_diff_compaction_is_empty(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1.filter(F.dayofmonth("time") <= 7))
+    t.append(month1.filter(F.dayofmonth("time") > 7))
+    t.compact(spark, target_file_rows=10_000)
+    v = t.snapshot().version
+    assert t.diff(spark, v - 1, v).count() == 0
