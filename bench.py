@@ -46,6 +46,13 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash",
     "zorder_index",
+    "concurrent_high_value_orders",
+    "climatology_anomaly_topk",
+    "sketch_rollup_weekly",
+    "tfidf_top_terms",
+    "q9_product_profit",
+    "q17_small_quantity_revenue",
+    "dispersion_stats",
 ]
 
 
