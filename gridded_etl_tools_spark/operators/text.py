@@ -129,6 +129,44 @@ def polynomial_fingerprint(text_col, base: int = 31, mod: int = 2147483647) -> C
     )
 
 
+def distinct_token_ratio(text_col) -> Column:
+    """Distinct-token fraction — the Gopher-style repetition signal (a
+    low ratio marks boilerplate/looping text).  Pure array intrinsics."""
+    toks = tokens(text_col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    token count, distinct-token ratio, and the coverage of the single
+    most frequent token (fraction of all tokens it accounts for).
+
+    Physical shape: distinct ratio stays in the projection (array
+    intrinsics, no shuffle); top-token coverage explodes to (doc, term)
+    and hash-aggregates twice — both shuffles key on ``id_col`` so AQE
+    stacks them on one exchange.  All ratios are deterministic numbers;
+    no tie-breaking needed."""
+    t = F.col(text_col)
+    base = df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.round(distinct_token_ratio(t), 6).alias("distinct_ratio"),
+    )
+    term_counts = (
+        df.select(id_col, F.explode(tokens(t)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = term_counts.groupBy(id_col).agg(
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_token_ratio")
+    )
+    return base.join(top, id_col)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full profile: token counts, ratios, quality, language,
     fingerprint.  One projection — single pass over the scan."""

@@ -165,3 +165,95 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_survivors"] = ORACLES["dedup_survivors"].replace(
     "{LSH_CANDIDATES}", ORACLES["minhash_lsh_candidates"]
 )
+
+
+@query(
+    "gopher_repetition_flags",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             round(CAST(len(list_distinct(t)) AS DOUBLE)
+                   / greatest(len(t), 1), 6) AS distinct_ratio
+      FROM toks
+    ),
+    tc AS (
+      SELECT doc_id, term, count(*) AS n
+      FROM toks, UNNEST(t) AS u(term)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_token_ratio
+      FROM tc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.distinct_ratio, top_token_ratio,
+           (b.distinct_ratio < 0.45 OR top_token_ratio > 0.10) AS flag_repetitive
+    FROM base b JOIN top USING (doc_id)
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: distinct-token ratio and
+    most-frequent-token coverage per document, with the reject flag a
+    training-data pipeline would gate on.  Distinct ratio never leaves
+    the projection (array intrinsics); top-token coverage is two hash
+    aggregates keyed on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    prof = text_ops.repetition_profile(docs, "doc_id", "text")
+    return prof.select(
+        "doc_id", "n_tokens", "distinct_ratio", "top_token_ratio",
+        (
+            (F.col("distinct_ratio") < 0.45) | (F.col("top_token_ratio") > 0.10)
+        ).alias("flag_repetitive"),
+    )
+
+
+@query(
+    "ngram_overlap_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    hashes AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_shingles
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection (the Lee et al. 'Deduplicating
+    Training Data' shape): document pairs sharing >= 5 distinct 8-token
+    shingle hashes — catches copied *passages* that whole-document
+    MinHash misses.
+
+    Physical shape: rolling md5 shingle hashes are computed in the
+    projection (array intrinsics, no Python), deduped per doc, exploded
+    to (hash, doc) and self-joined on hash — the classic inverted-index
+    join whose cost is Σ posting-list², bounded by hash selectivity, not
+    |docs|².  At 100 TB the explode output partitions by hash; hot
+    hashes (boilerplate) would be dropped by a frequency cap exactly as
+    in the paper."""
+    docs = load(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text_ops.rolling_hash_fingerprints(F.col("text"), 8))
+        ).alias("h"),
+    )
+    a, b = hashes.alias("a"), hashes.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
+    )
