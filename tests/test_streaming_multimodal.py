@@ -142,3 +142,66 @@ def test_running_extremes_stateful(spark, tmp_path):
     }
     assert got[1] == (2, -2.0, 5.0)
     assert got[2] == (1, 7.5, 7.5)
+
+
+def test_streaming_dedup_across_microbatches(spark, month1, tmp_path):
+    """Re-delivered rows in a later micro-batch (within the watermark)
+    must be dropped; state is watermark-bounded."""
+    from gridded_etl_tools_spark.streaming.ingest import streaming_dedup
+
+    src = str(tmp_path / "drops")
+    day1 = month1.filter(F.dayofmonth("time") == 1)
+    day1.write.parquet(src)                       # batch 1: 16 rows
+    day1.write.mode("append").parquet(src)        # batch 2: same 16 again
+    stream = (
+        spark.readStream.schema(GRID_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = streaming_dedup(
+        stream, keys=["time", "latitude", "longitude"], watermark_sql="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_stream")
+    assert out.count() == 16
+    assert out.select("latitude", "longitude").distinct().count() == 16
+
+
+def test_windowed_climatology_drops_late_rows(spark, month1, tmp_path):
+    """A row older than the watermark arriving in a later micro-batch
+    must not perturb its (already aged-out) window."""
+    src = str(tmp_path / "drops")
+    month1.write.parquet(src)                    # batch 1 advances watermark
+    late = month1.filter(
+        (F.dayofmonth("time") == 5)
+        & (F.col("latitude") == 36.0)
+        & (F.col("longitude") == -116.0)
+    )
+    late.write.mode("append").parquet(src)       # batch 2: one very late row
+    stream = (
+        spark.readStream.schema(GRID_SCHEMA)
+        .option("maxFilesPerTrigger", 20)        # month1 wrote multiple files
+        .parquet(src)
+    )
+    agg = windowed_climatology(stream, window_sql="1 day", watermark_sql="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_clim")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from late_clim")
+    # append mode only finalizes windows the watermark passed (days 1-28);
+    # the late day-5 replay was dropped, so every count is still 16
+    assert out.filter(F.col("n") != 16).count() == 0
+    day5 = out.filter(F.dayofmonth(F.col("time_window.start")) == 5)
+    assert day5.count() == 1 and day5.collect()[0]["n"] == 16
