@@ -319,3 +319,87 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max|x| / 127`` and ``q[i] = floor(x[i]/scale + 0.5)``
+    (explicit half-up — identical across engines, unlike bankers'
+    rounding), plus the quantized squared norm.
+
+    The scale story: int8 cuts the vector bytes 4x vs float32, and the
+    downstream dot products become exact integer arithmetic — at 100 TB
+    of embeddings that is the difference between a corpus that fits in
+    cluster memory for a broadcast ANN pass and one that doesn't.
+    Returns (id, q array<long>, qnorm2 long, scale double)."""
+    emb = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    df = df.select(F.col(id_col), emb.alias(vec_col)).withColumn("scale", scale)
+    q = F.transform(emb, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"))
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v * v).alias(
+            "qnorm2"
+        ),
+        "scale",
+    )
+
+
+def quantized_cosine_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine over int8-quantized vectors.  Same
+    broadcast cross-join shape as :func:`cosine_topk`, but the per-pair
+    work is an integer dot product (exact, reproducible bit-for-bit —
+    no float summation order concerns) against precomputed integer
+    norms; the cosine estimate divides once at the end.  Ranking uses
+    the 6-dp-rounded score with a neighbor-id tie-break, so the result
+    is deterministic AND oracle-checkable — unlike float ANN paths
+    whose last-ulp scores differ across engines."""
+    p = F.broadcast(
+        quantize_embeddings(probes, id_col, vec_col).select(
+            F.col(id_col).alias("probe_id"),
+            F.col("q").alias("pq"),
+            F.col("qnorm2").alias("pn2"),
+        )
+    )
+    c = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("qnorm2").alias("cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        p.crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(F.col("pn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

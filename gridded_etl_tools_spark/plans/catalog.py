@@ -32,6 +32,7 @@ from gridded_etl_tools_spark.operators import (
     gaps as gap_ops,
     joins as join_ops,
     qc as qc_ops,
+    regrid as regrid_ops,
     reindex as reindex_ops,
     select as select_ops,
     similarity as sim_ops,
@@ -1660,6 +1661,185 @@ def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat", "lon",
             lat_range=(0.0, 90.0), lon_range=(0.0, 180.0), resolution=0.25,
         ).alias("z_index"),
+    )
+
+
+@query(
+    "quantized_ann_topk",
+    """
+    WITH sc AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x))) / 127.0,
+                      1e-30) AS s
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS qv
+      FROM sc
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             list_sum(list_transform(qv, v -> v * v)) AS n2
+      FROM q
+    ),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, c.qv)
+                   / (sqrt(p.n2) * sqrt(c.n2)), 6) AS qcos
+      FROM n p JOIN n c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < 10
+    )
+    SELECT probe_id, neighbor_id, qcos,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY qcos DESC, neighbor_id) AS INT) AS rank
+    FROM pairs QUALIFY rank <= 5
+    """,
+)
+def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized ANN (north star similarity scale path): symmetric
+    per-vector quantization, then top-5 by integer-dot cosine estimate.
+    Because the quantized dot products and norms are exact integers, the
+    score is bit-reproducible across engines — this is the ONLY ANN
+    variant that can be oracle-checked at full fidelity (float ANN paths
+    differ at the last ulp).  4x memory cut per vector is what keeps a
+    100 TB corpus broadcastable."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.quantized_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+@query(
+    "coarsen_grid",
+    """
+    SELECT round(floor((user_id % 20) * 0.25 / 1.0) * 1.0, 6)  AS lat,
+           round(floor((event_id % 40) * 0.25 / 1.0) * 1.0, 6) AS lon,
+           round(avg(value), 6) AS mean_value,
+           round(sum(value), 4) AS sum_value,
+           count(value)         AS count_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def coarsen_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial block-downsampling (xarray ``coarsen().mean()`` over the
+    lazy dataset of reference transform.py:545-610): quantize a synthetic
+    0.25-degree grid to 1-degree cells and aggregate.  Map-side key
+    computation + one hash agg — zero joins, the cheapest regrid shape at
+    100 TB."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("user_id") % 20) * 0.25).alias("lat"),
+        ((F.col("event_id") % 40) * 0.25).alias("lon"),
+        "value",
+    )
+    out = regrid_ops.coarsen(
+        pts, {"lat": (0.0, 1.0), "lon": (0.0, 1.0)}, "value",
+        ("mean", "sum", "count"),
+    )
+    return out.select(
+        "lat", "lon",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "count_value",
+    )
+
+
+@query(
+    "bilinear_regrid_probes",
+    """
+    WITH pts AS (
+      SELECT CAST((user_id % 20) * 0.25 AS DOUBLE)  AS lat,
+             CAST((event_id % 40) * 0.25 AS DOUBLE) AS lon,
+             value
+      FROM events
+    ),
+    grid AS (
+      SELECT round(lat, 6) AS lat, round(lon, 6) AS lon,
+             round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    tgt AS (
+      SELECT i AS id,
+             round(CAST(0.3 + (i % 4) * 1.05 AS DOUBLE), 6) AS tlat,
+             round(CAST(0.2 + i * 0.45 AS DOUBLE), 6)       AS tlon
+      FROM range(20) t(i)
+    ),
+    c AS (
+      SELECT id, tlat, tlon,
+             floor(tlat / 0.25) AS iy, floor(tlon / 0.25) AS ix,
+             tlat / 0.25 - floor(tlat / 0.25) AS fy,
+             tlon / 0.25 - floor(tlon / 0.25) AS fx
+      FROM tgt
+    ),
+    corners AS (
+      SELECT id, tlat, tlon,
+             round((iy + dy.d) * 0.25, 6) AS clat,
+             round((ix + dx.d) * 0.25, 6) AS clon,
+             (CASE WHEN dy.d = 1 THEN fy ELSE 1 - fy END)
+           * (CASE WHEN dx.d = 1 THEN fx ELSE 1 - fx END) AS w
+      FROM c
+      CROSS JOIN (VALUES (0), (1)) AS dy(d)
+      CROSS JOIN (VALUES (0), (1)) AS dx(d)
+    )
+    SELECT id, tlat AS lat, tlon AS lon,
+           round(sum(w * g.value) / sum(w), 6) AS interp_value,
+           CAST(count(*) AS INT) AS n_corners
+    FROM corners JOIN grid g ON g.lat = corners.clat AND g.lon = corners.clon
+    GROUP BY 1, 2, 3
+    """,
+)
+def bilinear_regrid_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid (xarray ``interp``): probe 20 off-node points
+    against the synthetic 0.25-degree grid.  Long form has no array
+    neighborhood, so the 4-corner stencil is constructed by exploding
+    each (tiny, broadcast) target into corner keys with analytic weights
+    and equi-joining the grid — the N-billion-row grid side never
+    shuffles."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.round((F.col("user_id") % 20) * 0.25, 6).alias("lat"),
+            F.round((F.col("event_id") % 40) * 0.25, 6).alias("lon"),
+            "value",
+        )
+        .groupBy("lat", "lon")
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    targets = spark.range(20).select(
+        F.col("id"),
+        F.round(0.3 + (F.col("id") % 4) * 1.05, 6).alias("lat"),
+        F.round(0.2 + F.col("id") * 0.45, 6).alias("lon"),
+    )
+    return regrid_ops.bilinear_regrid(
+        grid, targets, lat_origin=0.0, lat_step=0.25, lon_origin=0.0, lon_step=0.25
+    )
+
+
+@query(
+    "time_bucket_resample",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 864000000000) * 864000000000) AS bucket,
+           event_type,
+           count(*)             AS n_events,
+           round(avg(value), 6) AS mean_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval temporal resampling (TimescaleDB-style
+    ``time_bucket``; xarray ``resample(time="10D")``): 10-day buckets via
+    pure epoch-microsecond integer arithmetic — stays in whole-stage
+    codegen, works for widths date_trunc can't express, and the bucket
+    column doubles as the write-path partition key (sinks/table.py time
+    buckets)."""
+    ev = load(spark, sf_dir, "events")
+    b = regrid_ops.time_bucket(ev, "ts", "10 days")
+    return b.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
     )
 
 

@@ -478,3 +478,19 @@ def test_interval_overlap_join_pairs_unique_across_buckets(spark):
     got = sorted((r["lid"], r["r_rid"]) for r in rows)
     # (1,10) spans 5 shared buckets -> once; (1,20) touches at 100 -> once
     assert got == [(1, 10), (1, 20)]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 quantization must preserve most of the exact top-5 (64-dim
+    vectors; quantization noise is ~0.4% per component)."""
+    from gridded_etl_tools_spark.operators.similarity import quantized_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(probes, emb, k=5)
+    quant = quantized_cosine_topk(probes, emb, k=5)
+    ex = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    qu = {(r["probe_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(ex & qu) / len(ex)
+    assert recall >= 0.9

@@ -147,3 +147,65 @@ def test_tolerance_join_matches_brute_force(spark, probe_vals, target_vals, tol)
         if cands:
             expected[p] = min(cands, key=lambda t: (abs(p - t), t))
     assert got == pytest.approx(expected)
+
+
+# --- interval joins vs brute force ------------------------------------------
+
+@spark_settings
+@given(
+    st.lists(st.integers(-40, 40), min_size=1, max_size=10, unique=True),
+    st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from([1.0, 3.0, 10.0]),
+)
+def test_interval_join_matches_brute_force(spark, points_py, iv_specs, width):
+    from gridded_etl_tools_spark.operators.joins import interval_join
+
+    ivs_py = [(i, s * 0.7, s * 0.7 + ln * 0.3) for i, (s, ln) in enumerate(iv_specs)]
+    pts_py = [p * 0.7 for p in points_py]
+    points = spark.createDataFrame([(p,) for p in pts_py], "x double")
+    ivs = spark.createDataFrame(ivs_py, "iid int, s double, e double")
+
+    got = sorted(
+        (r["x"], r["iv_iid"])
+        for r in interval_join(points, ivs, "x", "s", "e", bucket_width=width).collect()
+    )
+    expected = sorted(
+        (p, i) for p in pts_py for i, s, e in ivs_py if s <= p <= e
+    )
+    assert got == pytest.approx(expected)
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from([1.0, 5.0]),
+)
+def test_interval_overlap_join_matches_brute_force(spark, l_specs, r_specs, width):
+    """Every overlapping pair appears EXACTLY once regardless of how many
+    buckets the overlap spans."""
+    from gridded_etl_tools_spark.operators.joins import interval_overlap_join
+
+    l_py = [(i, s * 0.7, s * 0.7 + ln * 0.3) for i, (s, ln) in enumerate(l_specs)]
+    r_py = [(i, s * 0.7, s * 0.7 + ln * 0.3) for i, (s, ln) in enumerate(r_specs)]
+    left = spark.createDataFrame(l_py, "lid int, s double, e double")
+    right = spark.createDataFrame(r_py, "rid int, s double, e double")
+
+    rows = interval_overlap_join(left, right, "s", "e", bucket_width=width).collect()
+    got = sorted((r["lid"], r["r_rid"]) for r in rows)
+    expected = sorted(
+        (li, ri)
+        for li, ls, le in l_py
+        for ri, rs, re in r_py
+        if ls <= re and rs <= le
+    )
+    assert got == expected  # exact multiset: no duplicates, no misses
