@@ -40,8 +40,18 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Content groups with multiplicity > 1: (content hash, n_dups,
-    keeper id) — the audit view of exact dedup."""
-    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    keeper id) — the audit view of exact dedup.
+
+    The hash is collision-safe across column boundaries: columns are
+    joined with a \\x01 separator and NULL is marked \\x00, so
+    ('ab','c') vs ('a','bc') and ('a',NULL) vs ('a','') stay distinct —
+    matching the per-column hashing semantics of :func:`exact_dedup`."""
+    h = F.md5(
+        F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols],
+        )
+    )
     return (
         df.groupBy(h.alias("content_hash"))
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))

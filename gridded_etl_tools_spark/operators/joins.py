@@ -75,7 +75,19 @@ def combine_first(
     joined = u.join(e, on=keys, how="full_outer")
     out_cols = [F.col(k) for k in keys]
     for c in value_cols:
-        out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}")).alias(c))
+        # A value column may exist on only one side (e.g. the existing
+        # table carries columns the update doesn't touch): pass it through
+        # rather than failing the resolve.
+        in_u, in_e = c in update.columns, c in existing.columns
+        if in_u and in_e:
+            expr = F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}"))
+        elif in_u:
+            expr = F.col(f"u.{c}")
+        elif in_e:
+            expr = F.col(f"e.{c}")
+        else:
+            raise ValueError(f"combine_first: column {c!r} on neither side")
+        out_cols.append(expr.alias(c))
     return joined.select(*out_cols)
 
 
@@ -102,26 +114,38 @@ def tolerance_join(
     Target columns come back prefixed ``nearest_``.
     """
     probe_keys = probe_keys or probes.columns
-    num = lambda c: F.col(c).cast("double")  # noqa: E731 — works for ts too
 
-    p = probes.withColumn(
-        "__bucket0", F.floor(num(on) / F.lit(float(tolerance)))
+    # Route axis math through _axis so TIMESTAMP_NTZ works (NTZ cannot
+    # cast to double directly; _axis goes via timestamp → epoch seconds).
+    p_axis = _axis(probes, on)
+    t_axis = _axis(targets, on)
+
+    p = probes.withColumn("__pv", p_axis).withColumn(
+        "__bucket0", F.floor(F.col("__pv") / F.lit(float(tolerance)))
     )
     p = p.withColumn("__b", F.explode(F.array(F.col("__bucket0") - 1, F.col("__bucket0"), F.col("__bucket0") + 1)))
     t = targets.select(
-        F.floor(num(on) / F.lit(float(tolerance))).alias("__b"),
+        F.floor(t_axis / F.lit(float(tolerance))).alias("__b"),
+        t_axis.alias("__tv"),
         *[F.col(c).alias(f"nearest_{c}") for c in targets.columns],
     )
     joined = p.join(t, on="__b", how="inner")
-    dist = F.abs(num(on) - num(f"nearest_{on}"))
+    dist = F.abs(F.col("__pv") - F.col("__tv"))
     joined = joined.filter(dist <= F.lit(float(tolerance))).withColumn("__dist", dist)
+    # Deterministic pick: nearest distance, then smaller target on-value,
+    # then the full target column tuple ascending (breaks ties between
+    # duplicate targets sharing the same axis value without depending on
+    # partition layout, unlike monotonically_increasing_id).
+    tie_cols = [
+        F.col(f"nearest_{c}").asc() for c in targets.columns if c != on
+    ]
     w = Window.partitionBy(*probe_keys).orderBy(
-        F.col("__dist").asc(), F.col(f"nearest_{on}").asc()
+        F.col("__dist").asc(), F.col("__tv").asc(), *tie_cols
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__b", "__bucket0", "__dist", "__rn")
+        .drop("__b", "__bucket0", "__dist", "__rn", "__pv", "__tv")
     )
 
 

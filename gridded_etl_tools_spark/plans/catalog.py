@@ -625,7 +625,9 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "duplicate_groups",
     """
-    SELECT md5(concat(lang, source)) AS content_hash,
+    SELECT md5(concat_ws(chr(1),
+                         coalesce(CAST(lang AS VARCHAR), chr(0)),
+                         coalesce(CAST(source AS VARCHAR), chr(0)))) AS content_hash,
            count(*) AS n_dups, min(doc_id) AS keeper_id
     FROM documents GROUP BY 1 HAVING count(*) > 1
     """,
@@ -1429,8 +1431,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM o
     )
     SELECT user_id, session_id,

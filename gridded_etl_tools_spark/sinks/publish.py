@@ -176,8 +176,19 @@ def insert_into(
     extra_keys = [
         c for c in spec.key_dims if c not in keys and c in inserts.columns
     ]
+    # Coalesce over EVERY non-key column of the existing table, not just
+    # spec.data_var — otherwise extra columns are silently dropped from the
+    # rewritten buckets and the overwritten files get a narrower schema
+    # than untouched ones (schema drift under spark.read without
+    # mergeSchema).  Columns absent from the update side pass through
+    # combine_first as existing-only values.
+    all_keys = keys + extra_keys
+    value_cols = sorted(
+        {c for c in existing_slice.columns if c not in all_keys}
+        | {c for c in inserts.columns if c not in all_keys}
+    )
     widened = combine_first(
-        inserts, existing_slice, keys=keys + extra_keys, value_cols=[spec.data_var]
+        inserts, existing_slice, keys=all_keys, value_cols=value_cols
     )
     snap = table.overwrite_buckets(
         widened, buckets, sort_cols=sort_cols, attrs_update=attrs_update

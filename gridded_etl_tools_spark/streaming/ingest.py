@@ -38,13 +38,32 @@ def stream_parquet_ingest(
     cadence-driven incremental update as a stream."""
     src = spark.readStream.schema(schema).parquet(source_dir)
 
+    # foreachBatch is at-least-once: after a failure between the table
+    # commit and the checkpoint write, the same batch_id is replayed.  We
+    # make the append idempotent by recording the last committed batch_id
+    # in the table attrs inside the same atomic commit (batch_ids are
+    # monotonically increasing per checkpoint), keyed by checkpoint so
+    # independent streams into one table don't clobber each other.
+    attr_key = f"stream_last_batch_id:{checkpoint_dir}"
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if table.exists():
-            table.append(batch_df, sort_cols=sort_cols or [])
+            last = table.attrs().get(attr_key, -1)
+            if batch_id <= last:
+                return  # replayed micro-batch already committed
+            table.append(
+                batch_df,
+                sort_cols=sort_cols or [],
+                attrs_update={attr_key: batch_id},
+            )
         else:
-            table.write_initial(batch_df, sort_cols=sort_cols or [])
+            table.write_initial(
+                batch_df,
+                sort_cols=sort_cols or [],
+                attrs={attr_key: batch_id},
+            )
 
     writer = (
         src.writeStream.foreachBatch(commit_batch)

@@ -70,6 +70,9 @@ _EXTREMES_SCHEMA = StructType(
     ]
 )
 
+#: idle-key state retention past the watermark before timeout removal
+_STATE_RETENTION_MS = 3_600_000
+
 #: state tuple: (n_seen, min, max, last_ts_epoch_us)
 _STATE_SCHEMA = StructType(
     [
@@ -100,6 +103,11 @@ def _extremes_fn(
         mx = bmx if mx is None else max(mx, bmx)
         last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
     state.update((n, mn, mx, last_us))
+    # Arm the event-time timeout: once the watermark passes this point the
+    # hasTimedOut branch above fires and the idle key's state is removed.
+    # Without this call EventTimeTimeout never triggers and state grows
+    # without bound.  Must be strictly greater than the current watermark.
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _STATE_RETENTION_MS)
     yield pd.DataFrame(
         {
             "key": [key[0]],
