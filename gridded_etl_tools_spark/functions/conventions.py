@@ -34,7 +34,10 @@ def axis_spacing(df: DataFrame, col: str) -> DataFrame:
     """Per-coordinate spacing of the distinct, ordered axis values:
     ``(coord, spacing)`` with spacing = coord - lag(coord) (NULL for the
     first).  Numeric axis; cast timestamps with ``unix_micros`` first."""
-    w = Window.orderBy("coord")
+    # One grid axis (hundreds-to-thousands of distinct coords): the
+    # single-partition sort is the inherent shape; constant partition key
+    # documents it and silences the unpartitioned-window warning.
+    w = Window.partitionBy(F.lit(0)).orderBy("coord")
     return (
         df.select(F.col(col).cast("double").alias("coord"))
         .distinct()

@@ -45,7 +45,10 @@ def contiguous_regions(
         raise ValueError("pass exactly one of expected_delta / bounds")
 
     distinct = keys.select(key_col).distinct()
-    w = Window.orderBy(key_col)
+    # Distinct-key axis, not facts: single-partition lag is the inherent
+    # shape (one ordered sequence); constant partition key documents the
+    # bound and avoids the unpartitioned-window warning.
+    w = Window.partitionBy(F.lit(0)).orderBy(key_col)
     gap = F.col(key_col).cast("double") - F.lag(F.col(key_col).cast("double")).over(w)
 
     if expected_delta is not None:

@@ -60,7 +60,11 @@ def cadence_violations(
     Returns (time, prev_time, gap_seconds) rows for each violation."""
     if (expected_delta is None) == (bounds is None):
         raise ValueError("pass exactly one of expected_delta / bounds")
-    w = Window.orderBy(time_col)
+    # Input is the DISTINCT time axis (thousands-to-millions of rows, not
+    # fact-scale), and lag over one ordered sequence is inherently
+    # single-partition: the constant partition key states that bound
+    # explicitly instead of tripping Spark's unpartitioned-window warning.
+    w = Window.partitionBy(F.lit(0)).orderBy(time_col)
     d = (
         df.select(time_col).distinct()
         .withColumn("prev_time", F.lag(time_col).over(w))

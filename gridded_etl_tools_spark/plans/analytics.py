@@ -143,9 +143,15 @@ def user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back (the ⊘ sketch path)."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # Window input is the per-user aggregate (|distinct users|, not the
+    # facts) — bounded, but still single-partition by nature of a global
+    # ntile; the constant partition key documents that bound.  At 100 TB
+    # replace with percentile cut-points joined back (see docstring).
     tiled = per_user.withColumn(
         "decile",
-        F.ntile(10).over(Window.orderBy(F.asc("n_events"), F.asc("user_id"))),
+        F.ntile(10).over(
+            Window.partitionBy(F.lit(0)).orderBy(F.asc("n_events"), F.asc("user_id"))
+        ),
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -216,10 +222,16 @@ def climatology_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anom = agg_ops.climatology_anomaly(
         ev, cycle_cols=["hr"], group_cols=["event_type"], value_col="value"
     )
-    w = Window.orderBy(F.abs(F.col("anomaly")).desc(), F.asc("event_id"))
+    # Global top-k as sort+limit: Catalyst plans TakeOrderedAndProject
+    # (per-partition heap of 50, merged on the driver) — no global window,
+    # no single-partition shuffle of the fact-sized anomaly table.  The
+    # rank window then runs over only the 50 survivors.
+    topk = anom.orderBy(F.abs(F.col("anomaly")).desc(), F.asc("event_id")).limit(50)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.abs(F.col("anomaly")).desc(), F.asc("event_id")
+    )
     return (
-        anom.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 50)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("event_id", "event_type", "hr", "anomaly", "rank")
     )
 
@@ -393,7 +405,9 @@ def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     before differencing for cross-engine stability."""
     ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
     daily = ev.groupBy("day").agg(F.round(F.sum("value"), 4).alias("total"))
-    w = Window.orderBy("day")
+    # Window input is the daily rollup (|calendar days| rows) — bounded;
+    # constant partition key documents the single-sequence shape.
+    w = Window.partitionBy(F.lit(0)).orderBy("day")
     prev = F.lag("total").over(w)
     return daily.select(
         "day", "total",

@@ -139,3 +139,15 @@ def test_tfidf_df_table_broadcasts(spark):
     plan = formatted_plan(spark, "tfidf_top_terms")
     assert count_nodes(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_climatology_topk_take_ordered(spark):
+    """Global top-50 anomalies must plan as TakeOrderedAndProject over the
+    broadcast-joined anomaly stream — never a fact-sized global window
+    (which would funnel every row through one partition and silently
+    depend on the InferWindowGroupLimit rule).  The residual rank window
+    runs over only the 50 limit survivors."""
+    plan = formatted_plan(spark, "climatology_anomaly_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
