@@ -22,8 +22,10 @@ was on one machine, and deterministic (the driver's DuckDB oracle can
 reproduce it; random sampling could not be hash-matched).
 
 The binomial CI itself is evaluated driver-side on the tiny per-timestep
-count table with a normal approximation — same shape as the reference's
-statsmodels call, but dependency-free.
+count table by exact inversion of the two-sided binomial test — the same
+statistic as the reference's statsmodels
+``proportion_confint(method="binom_test")`` call, but dependency-free
+(see the exact-binomial machinery at the bottom of this module).
 """
 
 from __future__ import annotations
@@ -133,50 +135,199 @@ def nan_frequency_violations(
     one_sided: bool = False,
 ) -> list[dict]:
     """Timesteps whose NULL proportion is implausible under the declared
-    ``expected_nan_frequency`` — a per-timestep binomial test (reference
-    ``publish.py:1178-1243``: 5000-point sample + statsmodels CI; here the
-    full population + normal-approx CI on the driver, since the grouped
-    counts are tiny).  Returns a list of violating row dicts."""
+    ``expected_nan_frequency`` — a per-timestep exact binomial test
+    (reference ``publish.py:1178-1243``: statsmodels
+    ``proportion_confint(method="binom_test")``).  Counts are computed in
+    Spark over the full population; the CI — the inversion of the
+    two-sided (minlike) binomial test around the *observed* count — is
+    evaluated on the driver in pure Python, and a timestep violates when
+    ``expected_frequency`` falls outside it.  ``one_sided`` doubles the
+    CI alpha and rejects only when the expected frequency sits below the
+    lower bound (NaN excess), mirroring the reference exactly.  Returns a
+    list of violating row dicts."""
     stats = nan_frequency_by_time(df, time_col, value_col).collect()
-    # two-sided z for alpha (one_sided: all mass on the high tail)
-    z = _z_quantile(1 - (alpha if one_sided else alpha / 2))
+    ci_alpha = alpha * 2 if one_sided else alpha
     out = []
     for r in stats:
-        n, p_hat = r["n_cells"], r["null_fraction"]
-        se = math.sqrt(max(expected_frequency * (1 - expected_frequency), 1e-12) / n)
-        hi = expected_frequency + z * se
-        lo = 0.0 if one_sided else expected_frequency - z * se
-        if not (lo <= p_hat <= hi):
+        n, k = r["n_cells"], r["n_null"]
+        lo, hi = binom_test_confint(k, n, ci_alpha)
+        if one_sided:
+            if expected_frequency < lo:
+                out.append(r.asDict())
+        elif not (lo <= expected_frequency <= hi):
             out.append(r.asDict())
     return out
 
 
-def _z_quantile(q: float) -> float:
-    """Inverse standard-normal CDF (Acklam's rational approximation —
-    public-domain constants; adequate for QC thresholds)."""
-    if not 0 < q < 1:
-        raise ValueError(q)
-    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
-         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
-    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
-         6.680131188771972e01, -1.328068155288572e01]
-    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
-         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
-    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
-         3.754408661907416e00]
-    plow, phigh = 0.02425, 1 - 0.02425
-    if q < plow:
-        ql = math.sqrt(-2 * math.log(q))
-        return (((((c[0] * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql + c[4]) * ql + c[5]) / \
-               ((((d[0] * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql + 1)
-    if q > phigh:
-        ql = math.sqrt(-2 * math.log(1 - q))
-        return -(((((c[0] * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql + c[4]) * ql + c[5]) / \
-               ((((d[0] * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql + 1)
-    ql = q - 0.5
-    r = ql * ql
-    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * ql / \
-           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+# --- exact binomial machinery (pure Python, no scipy/statsmodels) -----------
+#
+# The reference relies on statsmodels' inversion of scipy's two-sided
+# "minlike" binomial test; at alpha=1e-5 the normal approximation diverges
+# in exactly the tails this check exists for, so the exact distribution is
+# computed here from first principles.  CDF goes through the regularized
+# incomplete beta function (Lentz continued fraction — standard public
+# numerics), keeping every evaluation O(log n) rather than O(n), so the
+# check stays cheap even when a timestep has millions of cells.
+
+
+def binom_pmf(k: int, n: int, p: float) -> float:
+    """Exact binomial pmf via log-gamma (stable for large n)."""
+    if k < 0 or k > n:
+        return 0.0
+    if p <= 0.0:
+        return 1.0 if k == 0 else 0.0
+    if p >= 1.0:
+        return 1.0 if k == n else 0.0
+    logc = math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+    return math.exp(logc + k * math.log(p) + (n - k) * math.log1p(-p))
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h
+
+
+def _betai(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def binom_cdf(k: int, n: int, p: float) -> float:
+    """Exact P(X <= k) for X ~ Binomial(n, p): I_{1-p}(n-k, k+1)."""
+    if k < 0:
+        return 0.0
+    if k >= n:
+        return 1.0
+    if p <= 0.0:
+        return 1.0
+    if p >= 1.0:
+        return 0.0
+    return _betai(n - k, k + 1, 1.0 - p)
+
+
+def binom_test_pvalue(k: int, n: int, p: float) -> float:
+    """Two-sided exact binomial p-value, "minlike" definition (the one
+    scipy's binomtest uses and statsmodels inverts): the total probability
+    of all outcomes no more likely than the observed one, with the
+    standard 1+1e-7 relative tolerance on the pmf comparison.  The
+    in-tolerance outcome set is the complement of a contiguous interval
+    around the mode, so its edges are found by binary search on the
+    unimodal pmf — O(log n) pmf evaluations."""
+    if not 0 <= k <= n:
+        raise ValueError((k, n))
+    if p <= 0.0:
+        return 1.0 if k == 0 else 0.0
+    if p >= 1.0:
+        return 1.0 if k == n else 0.0
+    d = binom_pmf(k, n, p) * (1 + 1e-7)
+    mode = int(math.floor((n + 1) * p))
+    mode = min(max(mode, 0), n)
+    if binom_pmf(k, n, p) >= binom_pmf(mode, n, p) / (1 + 1e-7):
+        return 1.0
+    if k < mode:
+        # left tail is cdf(k); right contribution: outcomes j > mode with
+        # pmf(j) <= d (pmf decreasing right of mode — binary search for
+        # the first such j).
+        lo, hi = mode, n + 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if binom_pmf(mid, n, p) <= d:
+                hi = mid
+            else:
+                lo = mid + 1
+        return min(1.0, binom_cdf(k, n, p) + (1.0 - binom_cdf(lo - 1, n, p)))
+    # k > mode: right tail is sf(k-1); left contribution: outcomes j < mode
+    # with pmf(j) <= d (pmf increasing left of mode — binary search for the
+    # last such j).
+    lo, hi = -1, mode
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if binom_pmf(mid, n, p) <= d:
+            lo = mid
+        else:
+            hi = mid - 1
+    return min(1.0, binom_cdf(lo, n, p) + (1.0 - binom_cdf(k - 1, n, p)))
+
+
+def binom_test_confint(count: int, nobs: int, alpha: float) -> tuple[float, float]:
+    """Invert the two-sided exact binomial test: the interval of null
+    proportions p0 whose test of ``count``/``nobs`` is NOT rejected at
+    ``alpha`` (statsmodels ``proportion_confint(method="binom_test")``
+    semantics: brentq root-find of pvalue(p0) - alpha on each side of the
+    observed proportion; here plain bisection, 100 halvings ≈ 1e-30
+    resolution)."""
+    if not 0 <= count <= nobs:
+        raise ValueError((count, nobs))
+    q = count / nobs
+
+    def pval(p0: float) -> float:
+        return binom_test_pvalue(count, nobs, p0)
+
+    if count == 0:
+        lo = 0.0
+    else:
+        a, b = 1e-300, q
+        for _ in range(100):
+            mid = (a + b) / 2
+            if pval(mid) - alpha > 0:
+                b = mid
+            else:
+                a = mid
+        lo = b
+    if count == nobs:
+        hi = 1.0
+    else:
+        a, b = q, 1.0 - 1e-16
+        for _ in range(100):
+            mid = (a + b) / 2
+            if pval(mid) - alpha > 0:
+                a = mid
+            else:
+                b = mid
+        hi = a
+    return lo, hi
 
 
 # --- A5: dtype gate ----------------------------------------------------------

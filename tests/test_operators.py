@@ -494,3 +494,88 @@ def test_quantized_topk_recall_vs_exact(spark):
     qu = {(r["probe_id"], r["neighbor_id"]) for r in quant.collect()}
     recall = len(ex & qu) / len(ex)
     assert recall >= 0.9
+
+
+# --- exact binomial machinery (reference publish.py:1233 binom_test CI) ------
+
+def _brute_minlike_pvalue(k: int, n: int, p: float) -> float:
+    """O(n) reference implementation of the two-sided minlike p-value."""
+    from gridded_etl_tools_spark.operators.qc import binom_pmf
+
+    d = binom_pmf(k, n, p) * (1 + 1e-7)
+    return min(1.0, sum(binom_pmf(i, n, p) for i in range(n + 1) if binom_pmf(i, n, p) <= d))
+
+
+@pytest.mark.parametrize(
+    "k,n,p",
+    [
+        (3, 100, 0.01), (0, 50, 0.1), (50, 50, 0.9), (25, 500, 0.05),
+        (7, 20, 0.5), (499, 500, 0.95), (1, 1000, 0.005), (13, 200, 0.02),
+    ],
+)
+def test_binom_pvalue_matches_bruteforce(k, n, p):
+    from gridded_etl_tools_spark.operators.qc import binom_test_pvalue
+
+    exact = binom_test_pvalue(k, n, p)
+    brute = _brute_minlike_pvalue(k, n, p)
+    assert abs(exact - brute) <= 1e-9 * max(1.0, brute)
+
+
+def test_binom_cdf_matches_partial_sums():
+    from gridded_etl_tools_spark.operators.qc import binom_cdf, binom_pmf
+
+    for n, p in [(100, 0.01), (500, 0.3), (50, 0.97)]:
+        acc = 0.0
+        for k in range(n):
+            acc += binom_pmf(k, n, p)
+            assert abs(binom_cdf(k, n, p) - acc) < 1e-10
+
+
+def test_binom_confint_duality_alpha_1e5():
+    """Defining property of the test-inversion CI: p0 lies inside
+    [lo, hi] iff the two-sided test of (count, nobs) at p0 is NOT
+    rejected at alpha — including the small-n tail cases where a normal
+    approximation gets the boundary wrong."""
+    from gridded_etl_tools_spark.operators.qc import (
+        binom_test_confint, binom_test_pvalue,
+    )
+
+    alpha = 1e-5
+    for count, nobs in [(3, 100), (0, 5000), (250, 5000), (5, 5000), (97, 100)]:
+        lo, hi = binom_test_confint(count, nobs, alpha)
+        for p0 in [x / 200 for x in range(1, 200)]:
+            pv = binom_test_pvalue(count, nobs, p0)
+            if abs(pv - alpha) < alpha * 1e-3:
+                continue  # numerical boundary
+            assert (lo <= p0 <= hi) == (pv > alpha), (count, nobs, p0, pv, lo, hi)
+
+
+def test_binom_confint_small_n_tails():
+    """Hand-checked exact bounds where the normal approximation
+    disagrees: 3/100 at alpha=1e-5 — the normal CI around p=0.05 would
+    be [~-0.046, ~0.146] (nonsense negative lower bound); the exact
+    inversion gives a strictly positive lower bound and a wider upper
+    tail."""
+    from gridded_etl_tools_spark.operators.qc import binom_test_confint
+
+    lo, hi = binom_test_confint(3, 100, 1e-5)
+    assert 0 < lo < 0.001
+    assert 0.15 < hi < 0.25
+    # degenerate observed counts hit the closed-form endpoints
+    lo0, hi0 = binom_test_confint(0, 100, 1e-5)
+    assert lo0 == 0.0 and 0 < hi0 < 0.25
+    lo1, hi1 = binom_test_confint(100, 100, 1e-5)
+    assert hi1 == 1.0 and 0.75 < lo1 < 1
+
+
+def test_nan_frequency_one_sided(spark):
+    """one_sided mirrors the reference: only a NaN *excess* trips the
+    gate; a shortage (observed 0% vs expected 20%) passes silently."""
+    rows = [Row(time=ts(1), value=1.0) for _ in range(200)]            # 0% nulls
+    rows += [Row(time=ts(2), value=None) for _ in range(150)]          # 75% nulls
+    rows += [Row(time=ts(2), value=1.0) for _ in range(50)]
+    df = spark.createDataFrame(rows, "time timestamp, value double")
+    bad = nan_frequency_violations(
+        df, "time", "value", expected_frequency=0.2, one_sided=True
+    )
+    assert [b["time"] for b in bad] == [ts(2)]
