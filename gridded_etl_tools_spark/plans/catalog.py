@@ -1845,6 +1845,98 @@ def time_bucket_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# NetCDF3 decode (S9/S10): real on-disk classic file -> long-form rows
+# ---------------------------------------------------------------------------
+
+def _nc_fixture_array():
+    """Deterministic synthetic grid for the decode query: pure function of
+    fixed constants (no RNG object state dependence across numpy versions
+    beyond PCG64, which is versioned and stable)."""
+    import numpy as np
+
+    nt, nlat, nlon = 3, 4, 5
+    # integer-derived values: exactly representable, engine-portable
+    idx = np.arange(nt * nlat * nlon, dtype="f8").reshape(nt, nlat, nlon)
+    data = (idx * 7 % 101) / 4.0
+    data[0, 0, 0] = -9999.0  # fill sentinel
+    lats = 36.0 + 0.25 * np.arange(nlat)
+    lons = -116.0 + 0.25 * np.arange(nlon)
+    times = np.arange(nt, dtype="f8")
+    return data, times, lats, lons
+
+
+def _nc_fixture_path() -> str:
+    """Write (once, atomically) the fixture .nc under /tmp and return its
+    path — a real classic-format file on disk, decoded through the same
+    binaryFile + mapInPandas path a production NetCDF ingest uses."""
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sources import netcdf3 as _nc
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_nc_fixture.nc")
+    if not os.path.exists(path):
+        data, times, lats, lons = _nc_fixture_array()
+        tmp = path + ".tmp"
+        _nc.write_netcdf3(
+            tmp,
+            dims={"time": None, "latitude": lats.size, "longitude": lons.size},
+            variables={
+                "latitude": (("latitude",), _nc.NC_DOUBLE, {}, lats),
+                "longitude": (("longitude",), _nc.NC_DOUBLE, {}, lons),
+                "time": (("time",), _nc.NC_DOUBLE, {}, times),
+                "precip": (
+                    ("time", "latitude", "longitude"), _nc.NC_DOUBLE,
+                    {"_FillValue": (_nc.NC_DOUBLE, -9999.0)}, data,
+                ),
+            },
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _nc_oracle() -> str:
+    """VALUES-literal oracle: the same cells the decoder must produce."""
+    data, times, lats, lons = _nc_fixture_array()
+    rows = []
+    for it, t in enumerate(times):
+        for ilat, la in enumerate(lats):
+            for ilon, lo in enumerate(lons):
+                v = data[it, ilat, ilon]
+                val = "NULL" if v == -9999.0 else repr(round(float(v), 6))
+                rows.append(f"({t!r}, {float(la)!r}, {float(lo)!r}, {val})")
+    # explicit DOUBLE casts: bare literals type as DECIMAL in DuckDB and
+    # the driver's value hash distinguishes 36.0 from DECIMAL 36.00
+    return (
+        "SELECT CAST(time AS DOUBLE) AS time,"
+        " CAST(latitude AS DOUBLE) AS latitude,"
+        " CAST(longitude AS DOUBLE) AS longitude,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(time, latitude, longitude, value)"
+    )
+
+
+@query("netcdf_decode", _nc_oracle())
+def netcdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10: decode a real classic NetCDF3 file (written to /tmp, not
+    sf_dir — DuckDB cannot read .nc, so the oracle is the literal cell
+    values) through the distributed binaryFile + mapInPandas path;
+    fill sentinel comes back as NULL."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
+    from gridded_etl_tools_spark.sources.files import read_binary_files
+
+    path = _nc_fixture_path()
+    files = read_binary_files(spark, path)
+    out = nc_mod.decode_netcdf3_long(
+        files, "precip", ["time", "latitude", "longitude"]
+    )
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

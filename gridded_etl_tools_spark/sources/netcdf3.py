@@ -1,0 +1,448 @@
+"""Pure-Python NetCDF3 (classic CDF-1 / 64-bit-offset CDF-2) decode path.
+
+Reference parity: ``utils/transform.py:119-279`` (``kerchunkify``) is the
+reference's front door — it scans a NetCDF/GRIB file and exposes its
+arrays for the ETL.  This container ships no h5py/cfgrib, but the NetCDF
+*classic* format is a small, fully-documented public spec (the NetCDF
+Classic Format Specification), so this module implements it directly:
+header parse → typed arrays → CF unpacking (scale/offset, fill→NULL,
+reference ``transform.py:347-375`` fill handling) → long-form rows for
+the Spark pipeline via ``mapInPandas`` over a ``binaryFile`` scan.
+
+Scale shape: decode is per-file and embarrassingly parallel — each
+executor task decodes whole files from the binary scan; nothing touches
+the driver.  File payloads stream through Arrow batches; the long-form
+output joins the normal publish path (sinks/publish.py).
+
+A minimal CDF-1 writer (:func:`write_netcdf3`) exists so tests can
+fabricate real on-disk .nc fixtures without any netCDF library — the
+reference ships binary .nc fixtures with its tests
+(``tests/system/test_chirps.py:186-207``); we generate ours.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# --- classic-format constants (NetCDF Classic Format Specification) ---------
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+
+#: external size and big-endian numpy dtype per nc_type
+_TYPEMAP: dict[int, tuple[int, str]] = {
+    NC_BYTE: (1, ">i1"),
+    NC_CHAR: (1, "S1"),
+    NC_SHORT: (2, ">i2"),
+    NC_INT: (4, ">i4"),
+    NC_FLOAT: (4, ">f4"),
+    NC_DOUBLE: (8, ">f8"),
+}
+
+_STREAMING = 0xFFFFFFFF
+
+
+class NetCDF3Error(ValueError):
+    pass
+
+
+@dataclass
+class NCVariable:
+    name: str
+    dimensions: tuple[str, ...]
+    nc_type: int
+    attrs: dict
+    data: np.ndarray
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.data.shape
+
+
+@dataclass
+class NCDataset:
+    dims: dict[str, int]
+    attrs: dict
+    variables: dict[str, NCVariable] = field(default_factory=dict)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def u4(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u4()
+        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += (n + 3) // 4 * 4  # names pad to a 4-byte boundary
+        return s
+
+    def values(self, nc_type: int, nelems: int):
+        size, dt = _TYPEMAP[nc_type]
+        nbytes = size * nelems
+        raw = self.buf[self.pos : self.pos + nbytes]
+        self.pos += (nbytes + 3) // 4 * 4  # attribute values pad to 4
+        if nc_type == NC_CHAR:
+            return raw.decode("utf-8", errors="replace")
+        arr = np.frombuffer(raw, dtype=dt)
+        return arr.tolist() if nelems > 1 else arr[0].item()
+
+
+def _att_list(r: _Reader) -> dict:
+    tag, n = r.u4(), r.u4()
+    if tag == 0 and n == 0:
+        return {}
+    if tag != NC_ATTRIBUTE:
+        raise NetCDF3Error(f"bad attribute tag {tag:#x}")
+    out = {}
+    for _ in range(n):
+        nm = r.name()
+        t = r.u4()
+        cnt = r.u4()
+        out[nm] = r.values(t, cnt)
+    return out
+
+
+def parse_netcdf3(buf: bytes) -> NCDataset:
+    """Parse a classic NetCDF3 byte buffer into dims/attrs/variables with
+    fully-materialized numpy arrays (raw, pre-CF-unpacking)."""
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise NetCDF3Error("not a classic NetCDF3 (CDF-1/CDF-2) file")
+    version = buf[3]
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.u4()
+
+    # dimensions
+    tag, n = r.u4(), r.u4()
+    dim_names: list[str] = []
+    dim_sizes: list[int] = []
+    rec_dim = -1
+    if tag == NC_DIMENSION:
+        for i in range(n):
+            nm = r.name()
+            sz = r.u4()
+            if sz == 0:
+                rec_dim = i
+            dim_names.append(nm)
+            dim_sizes.append(sz)
+    elif not (tag == 0 and n == 0):
+        raise NetCDF3Error(f"bad dimension tag {tag:#x}")
+
+    gatts = _att_list(r)
+
+    # variable metadata
+    tag, n = r.u4(), r.u4()
+    headers = []
+    if tag == NC_VARIABLE:
+        for _ in range(n):
+            nm = r.name()
+            ndims = r.u4()
+            dimids = [r.u4() for _ in range(ndims)]
+            vatts = _att_list(r)
+            t = r.u4()
+            _vsize = r.u4()  # stored vsize can overflow; recomputed below
+            begin = r.i8() if version == 2 else r.u4()
+            headers.append((nm, dimids, vatts, t, begin))
+    elif not (tag == 0 and n == 0):
+        raise NetCDF3Error(f"bad variable tag {tag:#x}")
+
+    def slab_bytes(dimids: list[int], t: int, record: bool) -> int:
+        size, _ = _TYPEMAP[t]
+        count = 1
+        for d in dimids:
+            if not (record and d == rec_dim):
+                count *= dim_sizes[d]
+        return (count * size + 3) // 4 * 4
+
+    rec_vars = [
+        (nm, dimids, t) for nm, dimids, _, t, _ in headers if rec_dim in dimids
+    ]
+    recsize = sum(slab_bytes(d, t, True) for _, d, t in rec_vars)
+    if len(rec_vars) == 1:
+        # single record variable: slab is NOT padded (spec special case)
+        nm, d, t = rec_vars[0]
+        size, _ = _TYPEMAP[t]
+        count = 1
+        for dd in d:
+            if dd != rec_dim:
+                count *= dim_sizes[dd]
+        recsize = count * size
+
+    if numrecs == _STREAMING and rec_vars:
+        first_begin = min(b for nm, d, _, t, b in headers if rec_dim in d)
+        numrecs = (len(buf) - first_begin) // recsize if recsize else 0
+
+    ds = NCDataset(
+        dims={
+            nm: (numrecs if i == rec_dim else sz)
+            for i, (nm, sz) in enumerate(zip(dim_names, dim_sizes))
+        },
+        attrs=gatts,
+    )
+
+    for nm, dimids, vatts, t, begin in headers:
+        size, dt = _TYPEMAP[t]
+        dimnames = tuple(dim_names[d] for d in dimids)
+        shape = tuple(
+            numrecs if d == rec_dim else dim_sizes[d] for d in dimids
+        )
+        is_record = rec_dim in dimids
+        if not is_record:
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            arr = np.frombuffer(buf, dtype=dt, count=count, offset=begin)
+            arr = arr.reshape(shape)
+        else:
+            per_rec_shape = shape[1:]
+            count = int(np.prod(per_rec_shape, dtype=np.int64)) if per_rec_shape else 1
+            recs = []
+            for rec in range(numrecs):
+                off = begin + rec * recsize
+                recs.append(
+                    np.frombuffer(buf, dtype=dt, count=count, offset=off).reshape(
+                        per_rec_shape
+                    )
+                )
+            arr = (
+                np.stack(recs)
+                if recs
+                else np.empty((0, *per_rec_shape), dtype=dt)
+            )
+        ds.variables[nm] = NCVariable(nm, dimnames, t, vatts, arr)
+    return ds
+
+
+def cf_unpack(var: NCVariable) -> np.ndarray:
+    """CF conventions: apply scale_factor/add_offset and rewrite
+    _FillValue/missing_value sentinels to NaN (the reference's
+    fill-value preprocessing, ``transform.py:347-375`` — S12 maps the
+    same sentinel to NULL)."""
+    arr = var.data
+    if var.nc_type == NC_CHAR:
+        return arr
+    out = arr.astype("f8")
+    for key in ("_FillValue", "missing_value"):
+        if key in var.attrs:
+            out = np.where(arr == var.attrs[key], np.nan, out)
+    scale = var.attrs.get("scale_factor")
+    offset = var.attrs.get("add_offset")
+    if scale is not None:
+        out = out * float(scale)
+    if offset is not None:
+        out = out + float(offset)
+    return out
+
+
+def netcdf3_long_frame(buf: bytes, data_var: str) -> pd.DataFrame:
+    """Decode one file to long form: one row per grid cell, one column
+    per dimension (taken from the same-named coordinate variable when
+    present, else the 0-based index), plus ``value`` (CF-unpacked, NaN
+    where filled)."""
+    ds = parse_netcdf3(buf)
+    if data_var not in ds.variables:
+        raise NetCDF3Error(f"variable {data_var!r} not in file")
+    v = ds.variables[data_var]
+    values = cf_unpack(v).reshape(-1)
+    coords = []
+    for d in v.dimensions:
+        if d in ds.variables and ds.variables[d].dimensions == (d,):
+            coords.append(cf_unpack(ds.variables[d]).astype("f8"))
+        else:
+            coords.append(np.arange(ds.dims[d], dtype="f8"))
+    mesh = np.meshgrid(*coords, indexing="ij") if coords else []
+    out = {d: m.reshape(-1) for d, m in zip(v.dimensions, mesh)}
+    out["value"] = values
+    return pd.DataFrame(out)
+
+
+def decode_schema(dims: list[str]) -> T.StructType:
+    """Output schema of :func:`decode_netcdf3_long`: path + one double per
+    dim + value double (fill sentinels arrive as NULL)."""
+    fields = [T.StructField("path", T.StringType(), False)]
+    fields += [T.StructField(d, T.DoubleType(), True) for d in dims]
+    fields.append(T.StructField("value", T.DoubleType(), True))
+    return T.StructType(fields)
+
+
+def decode_netcdf3_long(
+    files: DataFrame, data_var: str, dims: list[str]
+) -> DataFrame:
+    """Distributed decode: ``binaryFile`` rows (path, content) →
+    long-form rows via Arrow-batched ``mapInPandas``.  Every file decodes
+    where its bytes landed; NaN (fill) becomes SQL NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frame = netcdf3_long_frame(bytes(content), data_var)
+                missing = [d for d in dims if d not in frame.columns]
+                if missing:
+                    raise NetCDF3Error(
+                        f"{path}: dims {missing} not present (file has "
+                        f"{[c for c in frame.columns if c != 'value']})"
+                    )
+                out = frame[[*dims, "value"]].copy()
+                out.insert(0, "path", path)
+                yield out
+
+    return files.select("path", "content").mapInPandas(run, decode_schema(dims))
+
+
+# --- minimal CDF-1 writer (test-fixture generator) ---------------------------
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _enc_name(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return struct.pack(">I", len(raw)) + _pad4(raw)
+
+
+def _enc_att(name: str, nc_type: int, vals) -> bytes:
+    if nc_type == NC_CHAR:
+        raw = vals.encode("utf-8")
+        return (
+            _enc_name(name)
+            + struct.pack(">II", NC_CHAR, len(raw))
+            + _pad4(raw)
+        )
+    arr = np.atleast_1d(np.asarray(vals, dtype=_TYPEMAP[nc_type][1]))
+    return (
+        _enc_name(name)
+        + struct.pack(">II", nc_type, arr.size)
+        + _pad4(arr.tobytes())
+    )
+
+
+def write_netcdf3(
+    path: str,
+    dims: dict[str, int | None],
+    variables: dict[str, tuple[tuple[str, ...], int, dict, np.ndarray]],
+    attrs: dict | None = None,
+) -> None:
+    """Write a CDF-1 classic file.  ``dims`` maps name → size (None = the
+    record dimension); ``variables`` maps name → (dim names, nc_type,
+    attrs {name: (nc_type, values)}, ndarray).  Fixture-generation only —
+    the engine's sinks are the GriddedTable, never NetCDF."""
+    dim_names = list(dims)
+    rec_name = next((d for d, s in dims.items() if s is None), None)
+    numrecs = 0
+    if rec_name is not None:
+        for dnames, _, _, arr in variables.values():
+            if dnames and dnames[0] == rec_name:
+                numrecs = max(numrecs, arr.shape[0])
+
+    header = b"CDF\x01" + struct.pack(">I", numrecs)
+    header += struct.pack(">II", NC_DIMENSION, len(dim_names))
+    for d in dim_names:
+        header += _enc_name(d) + struct.pack(">I", 0 if dims[d] is None else dims[d])
+    if attrs:
+        header += struct.pack(">II", NC_ATTRIBUTE, len(attrs))
+        for nm, (t, vals) in attrs.items():
+            header += _enc_att(nm, t, vals)
+    else:
+        header += struct.pack(">II", 0, 0)
+
+    # lay out variables: fixed first, then record vars
+    def slab(dnames: tuple[str, ...], t: int, record: bool) -> int:
+        size, _ = _TYPEMAP[t]
+        count = 1
+        for d in dnames:
+            if not (record and d == rec_name):
+                count *= dims[d] if dims[d] is not None else 1
+        return (count * size + 3) // 4 * 4
+
+    order = sorted(
+        variables.items(), key=lambda kv: rec_name in kv[1][0]
+    )  # fixed vars first
+    var_entries = []
+    # first pass to size the header
+    def var_header_bytes(nm, dnames, t, vatts, begin) -> bytes:
+        b = _enc_name(nm) + struct.pack(">I", len(dnames))
+        for d in dnames:
+            b += struct.pack(">I", dim_names.index(d))
+        if vatts:
+            b += struct.pack(">II", NC_ATTRIBUTE, len(vatts))
+            for an, (at, avals) in vatts.items():
+                b += _enc_att(an, at, avals)
+        else:
+            b += struct.pack(">II", 0, 0)
+        b += struct.pack(">III", t, slab(dnames, t, rec_name in dnames), begin)
+        return b
+
+    header += struct.pack(">II", NC_VARIABLE, len(variables))
+    # compute header size with placeholder begins, then fill real offsets
+    probe = sum(
+        len(var_header_bytes(nm, v[0], v[1], v[2], 0)) for nm, v in order
+    )
+    data_start = len(header) + probe
+    begins = {}
+    off = data_start
+    for nm, (dnames, t, vatts, arr) in order:
+        if rec_name not in dnames:
+            begins[nm] = off
+            off += slab(dnames, t, False)
+    rec_start = off
+    rec_off = 0
+    rec_vars = [(nm, v) for nm, v in order if rec_name in v[0]]
+    for nm, (dnames, t, vatts, arr) in rec_vars:
+        begins[nm] = rec_start + rec_off
+        rec_off += slab(dnames, t, True)
+    recsize = rec_off
+    if len(rec_vars) == 1:
+        nm, (dnames, t, _, _) = rec_vars[0]
+        size, _ = _TYPEMAP[t]
+        count = 1
+        for d in dnames:
+            if d != rec_name:
+                count *= dims[d] if dims[d] is not None else 1
+        recsize = count * size
+
+    for nm, (dnames, t, vatts, arr) in order:
+        header += var_header_bytes(nm, dnames, t, vatts, begins[nm])
+
+    body = bytearray(b"\x00" * (data_start - len(header)))
+    # fixed data
+    blob = bytearray(header) + body
+    for nm, (dnames, t, vatts, arr) in order:
+        if rec_name in dnames:
+            continue
+        raw = _pad4(np.asarray(arr, dtype=_TYPEMAP[t][1]).tobytes())
+        need = begins[nm] + len(raw)
+        if len(blob) < need:
+            blob.extend(b"\x00" * (need - len(blob)))
+        blob[begins[nm] : begins[nm] + len(raw)] = raw
+    # record data, interleaved per record
+    for rec in range(numrecs):
+        for nm, (dnames, t, vatts, arr) in rec_vars:
+            a = np.asarray(arr[rec], dtype=_TYPEMAP[t][1])
+            raw = a.tobytes()
+            if len(rec_vars) > 1:
+                raw = _pad4(raw)
+            start = begins[nm] + rec * recsize
+            need = start + len(raw)
+            if len(blob) < need:
+                blob.extend(b"\x00" * (need - len(blob)))
+            blob[start : start + len(raw)] = raw
+
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
