@@ -6,12 +6,21 @@
 
 Execution is measured with the noop sink (full plan runs, no driver
 collect), after a single untimed session warm-up.
+
+Variance control: the whole suite runs $SPARK_GRAFT_BENCH_REPS times
+(default 3) in round-robin order and each query reports its MEDIAN —
+medians make round-over-round deltas attributable instead of measuring
+whatever else the machine was doing.  The line also carries per-query
+``spread`` ((max-min)/median across reps) and ``shuffles`` (Exchange
+node count from the executed plan), so a regression shows up as either
+a time delta with low spread or a plan-shape change.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,21 +65,44 @@ HEADLINE = [
 ]
 
 
+def _shuffle_count(df) -> int:
+    """Exchange nodes in the executed plan — the shuffle budget of the
+    query, stable across runs (unlike wall-clock)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+    except Exception:  # noqa: BLE001 - diagnostics only
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # warm-up: JVM + parquet footer caches, untimed
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    timings: dict[str, float] = {}
+    # warm-up: one untimed pass of the FULL suite — JVM JIT, parquet
+    # footer caches, OS page cache, Python worker pools.  Without it the
+    # first timed rep measures first-touch effects and the per-query
+    # spread stat is all warm-up, not noise.
     for name in HEADLINE:
-        t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round((max(s) - min(s)) / max(statistics.median(s), 1e-9), 3)
+        for n, s in samples.items()
+    }
+    shuffles = {
+        n: _shuffle_count(QUERIES[n](spark, sf_dir)) for n in HEADLINE
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +113,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "spread": spread,
+                "shuffles": shuffles,
             }
         )
     )

@@ -132,28 +132,43 @@ def reproject_coords(
     dst_crs: str = "EPSG:3857",
     x_col: str = "easting",
     y_col: str = "northing",
+    transform_fn=None,
 ) -> DataFrame:
     """Reproject coordinate columns (reference ``assign_crs``/
-    ``assign_y_x`` + rename x/y → easting/northing).  Vectorized pandas
-    UDF over Arrow batches — the geodesy itself needs pyproj."""
-    if pyproj is None:
-        raise NotImplementedError(
-            "reproject_coords requires pyproj, which is not installed"
+    ``assign_y_x`` + rename x/y → easting/northing,
+    ``util_funcs/projections.py:6-43``).  Vectorized pandas UDF over
+    Arrow batches.
+
+    ``transform_fn(lon_array, lat_array) -> (x_array, y_array)`` is
+    injectable — the default builds a pyproj Transformer from the CRS
+    pair; passing an explicit function (e.g. an affine for a known
+    projected grid) exercises the identical Spark plumbing without the
+    geodesy dependency."""
+    if transform_fn is None:
+        if pyproj is None:
+            raise NotImplementedError(
+                "reproject_coords requires pyproj (not installed) unless "
+                "an explicit transform_fn is passed"
+            )
+        transformer = pyproj.Transformer.from_crs(  # pragma: no cover
+            src_crs, dst_crs, always_xy=True
         )
-    import pandas as pd  # pragma: no cover
-    from pyspark.sql.pandas.functions import pandas_udf  # pragma: no cover
+        transform_fn = transformer.transform  # pragma: no cover
 
-    transformer = pyproj.Transformer.from_crs(  # pragma: no cover
-        src_crs, dst_crs, always_xy=True
-    )
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("struct<x: double, y: double>")  # pragma: no cover
-    def _tx(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        x, y = transformer.transform(lon.values, lat.values)
+    # deliberately un-annotated: the typehint parser in this PySpark
+    # version accepts Series->DataFrame struct UDFs only through the
+    # legacy (explicit returnType, no hints) form
+    def _transform(lon, lat):
+        x, y = transform_fn(lon.values, lat.values)
         return pd.DataFrame({"x": x, "y": y})
 
-    out = df.withColumn("__xy", _tx(F.col(lon_col), F.col(lat_col)))  # pragma: no cover
-    return (  # pragma: no cover
+    _tx = pandas_udf(_transform, "struct<x: double, y: double>")
+
+    out = df.withColumn("__xy", _tx(F.col(lon_col), F.col(lat_col)))
+    return (
         out.withColumn(x_col, F.col("__xy.x"))
         .withColumn(y_col, F.col("__xy.y"))
         .drop("__xy")

@@ -67,6 +67,17 @@ class TableCorruptionGuard(RuntimeError):
     """Refusing an operation that could corrupt the published table."""
 
 
+class FormatVersionError(RuntimeError):
+    """On-disk table protocol version disagrees with this library —
+    refuse rather than misread or corrupt (reference
+    ``dataset_manager.py:271-286`` / ``store.py:249-271``: the zarr v2/v3
+    format-flag consistency check)."""
+
+
+#: protocol version stamped into every commit; bump on any incompatible
+#: manifest/pointer layout change
+FORMAT_VERSION = 1
+
 DEFAULT_BUCKET_FMT = "yyyy-MM"
 
 
@@ -117,7 +128,15 @@ class GriddedTable:
 
     def _read_pointer(self) -> dict[str, Any]:
         with open(self._pointer_path) as f:
-            return json.load(f)
+            pointer = json.load(f)
+        declared = pointer.get("format_version", 0)
+        if declared != FORMAT_VERSION:
+            raise FormatVersionError(
+                f"{self.root}: on-disk table protocol v{declared} != "
+                f"library v{FORMAT_VERSION}; refusing to open "
+                "(migrate the table or use a matching library version)"
+            )
+        return pointer
 
     def _write_pointer(self, pointer: dict[str, Any]) -> None:
         """Atomic swap: the only mutation the protocol ever does in place."""
@@ -186,6 +205,7 @@ class GriddedTable:
                 "version": version,
                 "attrs": attrs,
                 "update_in_progress": False,
+                "format_version": FORMAT_VERSION,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )

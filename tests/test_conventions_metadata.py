@@ -7,6 +7,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from gridded_etl_tools_spark.functions import conventions, encryption, stac
 
@@ -104,3 +105,61 @@ def test_merge_in_outside_metadata_tracks_update_range(spark, month1, month2):
     attrs2 = stac.merge_in_outside_metadata(attrs, both, update_is_append_only=True)
     assert attrs2["update_date_range"] == ["2024-11-30T00:00:00Z", "2024-12-31T00:00:00Z"]
     assert attrs2["update_is_append_only"] is True
+
+
+def test_projected_grid_round_trip(spark, tmp_path):
+    """Projected-grid path without pyproj (reference
+    util_funcs/projections.py:6-43): an injected affine transform drives
+    the same pandas-UDF plumbing — lon/lat -> easting/northing columns —
+    and the projected GridSpec (crs_wkt + renamed spatial dims) survives
+    a publish round-trip through the table attrs."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.functions.conventions import reproject_coords
+    from gridded_etl_tools_spark.gridspec import GridSpec
+    from gridded_etl_tools_spark.sinks.publish import publish
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    wkt = 'PROJCS["synthetic_laea",UNIT["metre",1]]'
+
+    def affine(lon, lat):
+        # deterministic stand-in for a projection: scale + offset
+        return np.asarray(lon) * 1000.0 + 500.0, np.asarray(lat) * 2000.0 - 300.0
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d), float(la), float(lo), float(d + la + lo))
+        for d in range(3)
+        for la in (36.0, 36.5)
+        for lo in (-115.5, -115.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, latitude double, longitude double, value double"
+    )
+    projected = reproject_coords(df, transform_fn=affine).drop(
+        "latitude", "longitude"
+    )
+    assert {"easting", "northing"} <= set(projected.columns)
+    got = projected.filter(
+        F.col("time") == dt.datetime(2024, 1, 1)
+    ).select("easting", "northing").distinct().collect()
+    assert {(r["easting"], r["northing"]) for r in got} == {
+        (lo * 1000.0 + 500.0, la * 2000.0 - 300.0)
+        for la in (36.0, 36.5)
+        for lo in (-115.5, -115.0)
+    }
+
+    spec = GridSpec(
+        dataset_name="synthetic_projected",
+        spatial_dims=("northing", "easting"),
+        spatial_resolution=500.0,
+        crs_wkt=wkt,
+    )
+    t = GriddedTable(str(tmp_path / "proj_tbl"))
+    publish(
+        t, projected, spec, run_quality_checks=False,
+        attrs_update={"crs_wkt": spec.crs_wkt},
+    )
+    assert t.attrs()["crs_wkt"] == wkt
+    out = t.read(spark)
+    assert {"northing", "easting"} <= set(out.columns)
+    assert out.count() == len(rows)

@@ -84,3 +84,36 @@ def test_hindcast_dedup_on_composite_key(spark, hindcast_df, hindcast_spec):
         id_col="row_id",
     ).drop("row_id")
     assert deduped.count() == hindcast_df.count()
+
+
+def test_hindcast_update_split_insert_and_append(spark, hindcast_df, hindcast_spec, tmp_path):
+    """Update-split on the 6-D key: an update overlapping one reference
+    time and adding a new one must split into 1 insert + 1 append, with
+    the overlapped cells overwritten and untouched cells surviving
+    (SURVEY §7.4 hard case; reference hindcast fixture
+    tests/unit/conftest.py:107-134)."""
+    from gridded_etl_tools_spark.sinks.publish import publish
+
+    t = GriddedTable(str(tmp_path / "hc6"), time_col="hindcast_reference_time")
+    publish(t, hindcast_df, hindcast_spec, run_quality_checks=False)
+    before = t.read(spark).count()
+
+    overlap = hindcast_df.filter(
+        F.col("hindcast_reference_time") == dt.datetime(2024, 2, 1)
+    ).withColumn("value", F.col("value") + 1000.0)
+    march = hindcast_df.filter(
+        F.col("hindcast_reference_time") == dt.datetime(2024, 1, 1)
+    ).withColumn(
+        "hindcast_reference_time", F.lit(dt.datetime(2024, 3, 1))
+    )
+    r = publish(
+        t, overlap.unionByName(march), hindcast_spec, run_quality_checks=False
+    )
+    assert r["n_inserted_times"] == 1 and r["n_appended_times"] == 1
+
+    out = t.read(spark)
+    assert out.count() == before + march.count()  # insert overwrote in place
+    feb = out.filter(F.col("hindcast_reference_time") == dt.datetime(2024, 2, 1))
+    assert feb.agg(F.min("value")).collect()[0][0] >= 1000.0
+    jan = out.filter(F.col("hindcast_reference_time") == dt.datetime(2024, 1, 1))
+    assert jan.agg(F.max("value")).collect()[0][0] < 1000.0

@@ -245,3 +245,36 @@ def test_diff_compaction_is_empty(spark, month1, tmp_path):
     t.compact(spark, target_file_rows=10_000)
     v = t.snapshot().version
     assert t.diff(spark, v - 1, v).count() == 0
+
+
+def test_format_version_guard(spark, month1, tmp_path):
+    """Reference store.py:249-271: refuse to touch a table whose on-disk
+    protocol version disagrees with the library's — old or future tables
+    raise a clear error instead of being silently misread."""
+    import json
+
+    from gridded_etl_tools_spark.sinks.table import (
+        FORMAT_VERSION, FormatVersionError, GriddedTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = GriddedTable(root)
+    t.write_initial(month1, sort_cols=["latitude", "longitude"])
+    assert t._read_pointer()["format_version"] == FORMAT_VERSION
+
+    pointer_path = t._pointer_path
+    pointer = json.load(open(pointer_path))
+    pointer["format_version"] = FORMAT_VERSION + 1
+    json.dump(pointer, open(pointer_path, "w"))
+
+    t2 = GriddedTable(root)
+    with pytest.raises(FormatVersionError, match="protocol v2"):
+        t2.read(spark)
+    with pytest.raises(FormatVersionError):
+        t2.append(month1, sort_cols=[])
+
+    # legacy table with no version stamp at all: same refusal (v0)
+    del pointer["format_version"]
+    json.dump(pointer, open(pointer_path, "w"))
+    with pytest.raises(FormatVersionError, match="protocol v0"):
+        GriddedTable(root).read(spark)
