@@ -15,6 +15,9 @@ table layer's retained manifest versions; `item_version_href` names them.
 from __future__ import annotations
 
 import datetime as dt
+import json
+import os
+import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -130,6 +133,72 @@ def build_catalog(catalog_id: str, collections: list[dict[str, Any]]) -> dict[st
             for c in collections
         ],
     }
+
+
+#: path parts per STAC entity kind (reference ``metadata.py:46`` StacType:
+#: catalog at the store root, collections and items in subfolders)
+CATALOG, COLLECTION, ITEM = "", "collections", "datasets"
+
+
+class MetadataStore:
+    """Driver-side STAC entity store with overwrite history (reference
+    ``store.py:398-422`` (S3) / ``593-625`` (Local) ``push_metadata`` /
+    ``retrieve_metadata``).
+
+    Entirely metadata-plane: a handful of small JSON files per dataset,
+    written by the driver after the data-plane commit — no Spark jobs.
+    ``push`` snapshots any existing entity into
+    ``history/<title>/<title>-<timestamp>.json`` before overwriting, so
+    every previous version of an item stays browsable after an update,
+    mirroring the reference's history-file copy."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def get_metadata_path(self, title: str, stac_type: str = ITEM) -> str:
+        return os.path.join(self.root, stac_type, f"{title}.json")
+
+    def _history_dir(self, title: str) -> str:
+        return os.path.join(self.root, "history", title)
+
+    def push(self, title: str, content: dict[str, Any], stac_type: str = ITEM) -> str:
+        """Write (or overwrite) an entity; snapshot the old copy first."""
+        path = self.get_metadata_path(title, stac_type)
+        if os.path.exists(path):
+            mtime = dt.datetime.fromtimestamp(
+                os.stat(path).st_mtime, dt.timezone.utc
+            ).replace(tzinfo=None)
+            hdir = self._history_dir(title)
+            os.makedirs(hdir, exist_ok=True)
+            hpath = os.path.join(hdir, f"{title}-{mtime.isoformat(sep='T')}.json")
+            # same-second overwrites (common in tests, rare in production)
+            # must not clobber an earlier snapshot
+            n = 0
+            while os.path.exists(hpath):
+                n += 1
+                hpath = os.path.join(
+                    hdir, f"{title}-{mtime.isoformat(sep='T')}.{n}.json"
+                )
+            shutil.copy(path, hpath)  # copy, not move: a crash mid-push
+            # must leave the current entity in place
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(content, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, path)
+        return path
+
+    def retrieve(self, title: str, stac_type: str = ITEM) -> tuple[dict[str, Any], str]:
+        path = self.get_metadata_path(title, stac_type)
+        with open(path) as f:
+            return json.load(f), path
+
+    def history(self, title: str) -> list[str]:
+        """Chronologically sorted hrefs of retained previous versions."""
+        hdir = self._history_dir(title)
+        if not os.path.isdir(hdir):
+            return []
+        return [os.path.join(hdir, name) for name in sorted(os.listdir(hdir))]
 
 
 def merge_in_outside_metadata(

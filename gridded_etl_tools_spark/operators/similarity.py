@@ -217,6 +217,22 @@ def ivf_assign(
         return corpus.select(
             F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias(centroid_id_col)
         )
+    return nearest_centroids(corpus, centroids, id_col, vec_col, centroid_id_col, n=1)
+
+
+def nearest_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n: int = 1,
+) -> DataFrame:
+    """Top-``n`` nearest centroids per vector by cosine (ties break on
+    centroid id).  ``n=1`` is IVF coarse assignment; ``n>1`` is the
+    probe-side multi-cell expansion behind ``nprobe`` search.  Broadcast
+    centroid table × per-row rank window — the corpus never shuffles on
+    anything except the per-vector window key."""
     c = F.broadcast(
         centroids.select(
             F.col(id_col).alias(centroid_id_col),
@@ -225,7 +241,7 @@ def ivf_assign(
         )
     )
     scored = (
-        corpus.select(
+        df.select(
             F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vnorm")
         )
         .crossJoin(c)
@@ -240,7 +256,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n)
         .select(id_col, vec_col, centroid_id_col)
     )
 
@@ -252,14 +268,28 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN (nprobe=1): corpus vectors are bucketed by nearest
-    centroid (:func:`ivf_assign`); each probe searches only its own cell.
-    The search is an equi-join on centroid_id — candidates per probe are
-    the cell population, not the corpus.  Returns
+    """IVF-style ANN: corpus vectors are bucketed by nearest centroid
+    (:func:`ivf_assign`); each probe searches its ``nprobe`` nearest
+    cells (:func:`nearest_centroids` expands the probe side only — the
+    corpus bucketing is always single-cell, so every neighbor appears at
+    most once per probe and no dedup is needed).  The search is an
+    equi-join on centroid_id — candidates per probe are the probed cell
+    populations, not the corpus; raising nprobe trades candidate count
+    for recall at the cell boundaries.  Returns
     (probe_id, neighbor_id, cosine, rank<=k)."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    p = cells.filter(probe_predicate).select(
+    probe_rows = cells.filter(probe_predicate)
+    if nprobe > 1:
+        probe_rows = nearest_centroids(
+            probe_rows.select(id_col, vec_col),
+            centroids,
+            id_col,
+            vec_col,
+            n=nprobe,
+        )
+    p = probe_rows.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         _norm(F.col(vec_col)).alias("probe_norm"),

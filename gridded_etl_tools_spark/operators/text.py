@@ -43,6 +43,11 @@ def bpe_ish_token_count(text_col) -> Column:
 
 
 def stopword_ratio(text_col, lang: str = "en") -> Column:
+    # Measured note: folding all four language sets into one token→bitmask
+    # map literal + single aggregate() fold is ~1.5× SLOWER than these
+    # per-language filters (map literals are array-backed, so each
+    # try_element_at linear-scans 40 entries, and the fold allocates a
+    # struct per token).  Keep the array_contains shape.
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     toks = tokens(text_col)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))

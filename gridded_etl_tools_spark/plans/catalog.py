@@ -1527,6 +1527,53 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_nprobe_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cv)
+                        / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+                        centroid_id ASC) AS rn
+      FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv, centroid_id
+          FROM scored WHERE rn <= 4 AND vec_id % 100 = 0)
+    SELECT probe_id, n.vec_id AS neighbor_id,
+           round(list_inner_product(pv, n.v)
+                 / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY list_inner_product(pv, n.v)
+                      / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))) DESC,
+                      n.vec_id ASC) AS INT) AS rank
+    FROM p JOIN cells n USING (centroid_id)
+    WHERE n.vec_id <> probe_id
+    QUALIFY rank <= 5
+    """,
+)
+def ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-cell probes (nprobe=4): same coarse cells as
+    ``ivf_ann_topk``, but each probe searches its 4 nearest cells —
+    the standard recall lever at the cell boundaries.  Probe-side-only
+    expansion: candidates per probe = 4 cell populations; the corpus
+    stays single-assigned, so the equi-join yields each neighbor at most
+    once per probe."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim_ops.ivf_topk(
+        emb, centroids, F.col("vec_id") % 100 == 0, k=5, nprobe=4
+    )
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
     "grid_axis_spacing",
     """
     WITH axis AS (SELECT DISTINCT epoch(date_trunc('day', ts)) AS coord FROM events)

@@ -4,6 +4,8 @@ metadata (W16) parity layers."""
 from __future__ import annotations
 
 import datetime as dt
+import json
+import os
 
 import pytest
 from pyspark.sql import Row
@@ -105,6 +107,46 @@ def test_merge_in_outside_metadata_tracks_update_range(spark, month1, month2):
     attrs2 = stac.merge_in_outside_metadata(attrs, both, update_is_append_only=True)
     assert attrs2["update_date_range"] == ["2024-11-30T00:00:00Z", "2024-12-31T00:00:00Z"]
     assert attrs2["update_is_append_only"] is True
+
+
+def test_metadata_store_overwrite_keeps_history(spark, spec, month1, month2):
+    """Reference store.py:398-422/593-625 push_metadata: overwriting a
+    STAC entity must first snapshot the existing copy into
+    history/<title>/, so every previous item stays browsable."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        store = stac.MetadataStore(root)
+        title = spec.dataset_name
+
+        item_v1 = stac.build_item(spec, month1)
+        store.push(title, item_v1)
+        assert store.history(title) == []  # first write: nothing to retain
+
+        item_v2 = stac.build_item(spec, month1.unionByName(month2))
+        store.push(title, item_v2)
+
+        current, path = store.retrieve(title)
+        assert current["properties"]["end_datetime"] == "2024-12-31T00:00:00Z"
+        assert path.endswith(f"datasets/{title}.json")
+
+        hrefs = store.history(title)
+        assert len(hrefs) == 1
+        with open(hrefs[0]) as f:
+            previous = json.load(f)
+        assert previous == item_v1  # byte-faithful previous item
+        assert previous["properties"]["end_datetime"] == "2024-11-30T00:00:00Z"
+
+        # third push retains a second, distinct history copy even within
+        # the same mtime second
+        store.push(title, stac.build_item(spec, month2))
+        assert len(store.history(title)) == 2
+
+        # collection + catalog land in their own path parts
+        coll_path = store.push(title, stac.build_collection(spec, [item_v2]), stac.COLLECTION)
+        cat_path = store.push("root", stac.build_catalog("root", []), stac.CATALOG)
+        assert f"{os.sep}collections{os.sep}" in coll_path
+        assert os.path.dirname(cat_path) == root
 
 
 def test_projected_grid_round_trip(spark, tmp_path):
