@@ -75,7 +75,7 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
-           round(covar_pop(l_discount, l_tax), 6)            AS disc_tax_covar_pop
+           round(covar_pop(l_discount, l_tax), 6) + 0.0      AS disc_tax_covar_pop
     FROM lineitem GROUP BY 1
     """,
 )
@@ -86,7 +86,11 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar_pop"),
+        # `+ 0.0` on both engine and oracle normalizes IEEE -0.0 to +0.0
+        # (DuckDB's covar_pop can yield -0.0 where Spark yields 0.0).
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "disc_tax_covar_pop"
+        ),
     )
 
 

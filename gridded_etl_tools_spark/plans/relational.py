@@ -291,10 +291,10 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_returnflag
@@ -690,8 +690,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.o_orderkey, b.o_orderdate,
            count(*)                                                AS n_shipments,
-           round(sum(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(18,6))), 2)                   AS window_revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DECIMAL(25,2)) AS window_revenue
     FROM big b JOIN lineitem l
       ON l.l_shipdate >= b.o_orderdate AND l.l_shipdate <= b.window_end
     GROUP BY 1, 2
