@@ -21,38 +21,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries already verified green by the round-1 driver sweep
-# (CORRECTNESS_r01.json).  The driver caps its per-round check at ~50
-# queries in registration order, so we rotate: queries with no
-# correctness row yet come first, previously-green ones after.
-_R1_CHECKED = frozenset({
-    "q1_pricing_summary", "daily_reduce", "rolling_mean", "point_select",
-    "range_select", "membership_semi", "update_split_insert",
-    "update_split_append", "combine_first", "gaps_islands",
-    "tolerance_nearest", "asof_enrich", "reindex_dense_time",
-    "missing_combinations", "extent_bbox", "temporal_extent",
-    "sentinel_normalize", "lon_standardize", "filename_coords",
-    "cadence_check", "nan_frequency", "value_violations",
-    "written_value_audit", "dedup_keep_first", "duplicate_groups",
-    "minhash_signatures", "ngram_jaccard", "cosine_topk", "token_stats",
-    "language_id", "quality_scores", "q3_shipping_priority",
-    "q5_regional_revenue", "top_revenue_customers", "pivot_event_matrix",
-    "simhash", "minhash_lsh_candidates", "duplicate_clusters",
-    "embedding_near_duplicates", "lsh_ann_topk", "q6_revenue_filter",
-    "order_priority_exists", "inactive_customers", "promo_revenue_ratio",
-    "large_volume_orders", "customer_retention", "rollup_revenue",
-    "windowed_event_counts", "doc_polynomial_fingerprint",
-    # NOT listed: session_stats (hash-fail in r1 — oracle cast fixed this
-    # round, keep it in the checked window to confirm green).
-})
+# The driver caps its per-round check at ~50 queries in registration
+# order, so we rotate by urgency, computed from the recorded CORRECTNESS
+# rounds themselves: (1) queries with no correctness row in ANY round,
+# (2) queries fixed/changed this round that must re-confirm green,
+# (3) stalest-checked first (round-robin re-confirmation of old greens),
+# with the most-recently-green queries last.
+_FIXED_THIS_ROUND = (
+    "session_stats",            # r3 ERR: unix_micros on TIMESTAMP_NTZ
+    "time_bucket_resample",     # r3 ERR: same
+    "interval_window_shipments",  # r2/r3 hash mismatch: DECIMAL output
+)
+
+
+def _last_checked() -> dict[str, int]:
+    """query -> most recent round with a correctness row (0 = never)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            for k in json.load(open(path)):
+                seen[k] = max(seen.get(k, 0), rnd)
+        except Exception:  # noqa: BLE001 - rotation is best-effort
+            continue
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, rotated so
-    queries without a CORRECTNESS row yet are checked first."""
-    unchecked = {k: v for k, v in catalog.QUERIES.items() if k not in _R1_CHECKED}
-    checked = {k: v for k, v in catalog.QUERIES.items() if k in _R1_CHECKED}
-    return {**unchecked, **checked}
+    never-checked and just-fixed queries land inside the driver's
+    ~50-query correctness window."""
+    seen = _last_checked()
+    fixed_rank = {k: i for i, k in enumerate(_FIXED_THIS_ROUND)}
+    names = sorted(
+        catalog.QUERIES,
+        key=lambda k: (
+            seen.get(k, 0) != 0,              # never-checked first
+            fixed_rank.get(k, len(fixed_rank)),  # then this round's fixes
+            seen.get(k, 0),                   # then stalest-checked
+        ),
+    )
+    return {k: catalog.QUERIES[k] for k in names}
 
 
 def oracle_sql() -> dict[str, str]:

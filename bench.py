@@ -84,25 +84,48 @@ def main() -> None:
     # warm-up: one untimed pass of the FULL suite — JVM JIT, parquet
     # footer caches, OS page cache, Python worker pools.  Without it the
     # first timed rep measures first-touch effects and the per-query
-    # spread stat is all warm-up, not noise.
+    # spread stat is all warm-up, not noise.  Every query execution is
+    # failure-isolated: one broken plan records {"error": ...} for its key
+    # and the rest of the suite still produces numbers (r3 lost the whole
+    # bench to a single AnalysisException).
+    errors: dict[str, str] = {}
+
+    def _run(name: str) -> bool:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return True
+        except Exception as e:  # noqa: BLE001 - isolate per query
+            errors.setdefault(name, f"{type(e).__name__}: {e}"[:500])
+            return False
+
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _run(name)
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+            if _run(name):
+                samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    ok = [n for n in HEADLINE if samples[n]]
+    timings = {n: round(statistics.median(samples[n]), 3) for n in ok}
     spread = {
-        n: round((max(s) - min(s)) / max(statistics.median(s), 1e-9), 3)
-        for n, s in samples.items()
+        n: round(
+            (max(samples[n]) - min(samples[n]))
+            / max(statistics.median(samples[n]), 1e-9),
+            3,
+        )
+        for n in ok
     }
-    shuffles = {
-        n: _shuffle_count(QUERIES[n](spark, sf_dir)) for n in HEADLINE
-    }
+    shuffles = {}
+    for n in ok:
+        try:
+            shuffles[n] = _shuffle_count(QUERIES[n](spark, sf_dir))
+        except Exception:  # noqa: BLE001 - diagnostics only
+            shuffles[n] = -1
 
     total = round(sum(timings.values()), 3)
     print(
@@ -116,6 +139,7 @@ def main() -> None:
                 "reps": reps,
                 "spread": spread,
                 "shuffles": shuffles,
+                "errors": errors,
             }
         )
     )

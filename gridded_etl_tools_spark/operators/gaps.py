@@ -98,10 +98,11 @@ def sessionize(
     """
     gap_us = int(gap.total_seconds() * 1_000_000)
     w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
-    ).otherwise(0)
+    # TIMESTAMP_NTZ is not accepted by unix_micros; session tz is pinned UTC
+    # (session.py) so the cast is value-preserving for both timestamp types.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
     sess = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         events.withColumn("__new", new_sess)
@@ -111,8 +112,9 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
-                "duration_us"
-            ),
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("duration_us"),
         )
     )

@@ -207,7 +207,9 @@ def time_bucket(
     n, unit = int(m.group(1)), m.group(2)
     us = n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * 1_000_000
 
-    off = F.unix_micros(F.col(ts_col)) - F.lit(origin_us)
+    # TIMESTAMP_NTZ is not accepted by unix_micros; session tz is pinned UTC
+    # (session.py) so the cast is value-preserving for both timestamp types.
+    off = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(origin_us)
     # pmod (not %) so pre-origin timestamps still bucket toward -inf
     bucket_us = F.lit(origin_us) + (off - F.pmod(off, F.lit(us)))
     return df.withColumn("bucket", F.timestamp_micros(bucket_us))

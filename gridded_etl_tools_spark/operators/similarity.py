@@ -140,8 +140,14 @@ def lsh_bucket_ann(
     Standard recall/cost dial: per-table collision probability for
     neighbors at angle θ is (1-θ/π)^n_planes; n_tables unions boost it
     to 1-(1-p)^L.  The plan is L equi-joins on (table, bucket) — still
-    never a cross join; at 100 TB each table's signature frame is just
-    (id, bucket) and shuffles narrowly."""
+    never a cross join.
+
+    Scale shape: the bucket join and the candidate dedup carry ONLY
+    (probe_id, neighbor_id) — two longs — never the vector payloads; the
+    embeddings are re-attached by id-join afterwards, touching each
+    surviving candidate once.  (An earlier version deduped on the full
+    (id, vec, id, vec) tuple, which at 100 TB of embeddings makes the
+    dedup exchange the dominant shuffle in the query.)"""
     def sig(df: DataFrame, a: str) -> DataFrame:
         tables = F.array(*[
             F.struct(
@@ -152,19 +158,30 @@ def lsh_bucket_ann(
         ])
         return df.select(
             F.col(id_col).alias(a),
-            F.col(vec_col).alias(f"{a}_vec"),
             F.explode(tables).alias("tb"),
-        ).select(a, f"{a}_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        ).select(a, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     p, c = sig(probes, "probe_id"), sig(corpus, "neighbor_id")
     joined = p.join(c, on=["tbl", "bucket"])
     if not include_self:
         joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
-    cand = joined.select("probe_id", "probe_id_vec", "neighbor_id", "neighbor_id_vec").distinct()
-    scored = cand.select(
-        "probe_id",
-        "neighbor_id",
-        cosine_similarity(F.col("probe_id_vec"), F.col("neighbor_id_vec")).alias("cosine"),
+    cand = joined.select("probe_id", "neighbor_id").distinct()
+    probe_vecs = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe_vec")
+    )
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__neighbor_vec")
+    )
+    scored = (
+        cand.join(probe_vecs, on="probe_id")
+        .join(corpus_vecs, on="neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_similarity(
+                F.col("__probe_vec"), F.col("__neighbor_vec")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -1913,16 +1913,34 @@ def _nc_fixture_array():
     return data, times, lats, lons
 
 
+def _fixture_digest(*arrays) -> str:
+    """Content hash of fixture arrays — embedded in the on-disk fixture
+    filename so changing the generator can never serve a stale /tmp file
+    from a previous code version."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a in arrays:
+        h.update(a.tobytes())
+    return h.hexdigest()[:12]
+
+
 def _nc_fixture_path() -> str:
     """Write (once, atomically) the fixture .nc under /tmp and return its
     path — a real classic-format file on disk, decoded through the same
-    binaryFile + mapInPandas path a production NetCDF ingest uses."""
+    binaryFile + mapInPandas path a production NetCDF ingest uses.  The
+    filename carries a content hash of the fixture arrays (stale-cache
+    guard)."""
     import os
     import tempfile
 
     from gridded_etl_tools_spark.sources import netcdf3 as _nc
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_nc_fixture.nc")
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_nc_fixture_{digest}.nc"
+    )
     if not os.path.exists(path):
         data, times, lats, lons = _nc_fixture_array()
         tmp = path + ".tmp"
@@ -1952,7 +1970,9 @@ def _nc_oracle() -> str:
             for ilon, lo in enumerate(lons):
                 v = data[it, ilat, ilon]
                 val = "NULL" if v == -9999.0 else repr(round(float(v), 6))
-                rows.append(f"({t!r}, {float(la)!r}, {float(lo)!r}, {val})")
+                # float() every numpy scalar: under numpy>=2 repr(f64)
+                # is "np.float64(...)", which is not SQL
+                rows.append(f"({float(t)!r}, {float(la)!r}, {float(lo)!r}, {val})")
     # explicit DOUBLE casts: bare literals type as DECIMAL in DuckDB and
     # the driver's value hash distinguishes 36.0 from DECIMAL 36.00
     return (
@@ -1981,6 +2001,105 @@ def netcdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GRIB1 decode (S9/S10 other half): real on-disk GRIB edition-1 file ->
+# long-form rows (reference utils/transform.py:226-279 scan_grib path)
+# ---------------------------------------------------------------------------
+
+def _grib_fixture_array():
+    """Deterministic 2-message grid: nj=4 x ni=6 = 24 cells -> a 3-byte
+    bitmap, so the BMS section has odd length and exercises the
+    even-length pad path (pad byte's 8 bits must be counted unused).
+    Integer values with E=0/D=0 simple packing decode exactly."""
+    import numpy as np
+
+    nj, ni = 4, 6
+    lats = 40.0 - 0.5 * np.arange(nj)   # north -> south (scan mode 0)
+    lons = -110.0 + 0.5 * np.arange(ni)
+    msgs = []
+    for step, p1 in enumerate((0, 6)):
+        idx = np.arange(nj * ni, dtype="f8").reshape(nj, ni)
+        vals = (idx * 13 + step * 7) % 97
+        vals[0, 1] = np.nan  # bitmap-masked cells
+        vals[2, 4] = np.nan
+        if step:
+            vals[3, 5] = np.nan  # different mask per message
+        msgs.append((p1, vals))
+    return lats, lons, msgs
+
+
+def _grib_fixture_path() -> str:
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sources import grib1 as _g1
+
+    lats, lons, msgs = _grib_fixture_array()
+    digest = _fixture_digest(lats, lons, *[v for _, v in msgs])
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_grib_fixture_{digest}.grib"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _g1.write_grib1(
+            tmp,
+            [
+                {
+                    "values": vals,
+                    "lats": lats,
+                    "lons": lons,
+                    "reference_time": _dt.datetime(2024, 1, 1),
+                    "p1_hours": p1,
+                    "parameter": 61,
+                    "nbits": 8,
+                }
+                for p1, vals in msgs
+            ],
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _grib_oracle() -> str:
+    """VALUES-literal oracle: the exact cells the GRIB1 decoder must
+    produce (DuckDB cannot read GRIB, like the .nc case)."""
+    lats, lons, msgs = _grib_fixture_array()
+    rows = []
+    for p1, vals in msgs:
+        ts = f"TIMESTAMP '2024-01-01 {p1:02d}:00:00'"
+        for ilat, la in enumerate(lats):
+            for ilon, lo in enumerate(lons):
+                v = vals[ilat, ilon]
+                val = "NULL" if v != v else repr(float(v))
+                rows.append(f"({ts}, {float(la)!r}, {float(lo)!r}, {val})")
+    return (
+        "SELECT CAST(time AS TIMESTAMP) AS time,"
+        " CAST(latitude AS DOUBLE) AS latitude,"
+        " CAST(longitude AS DOUBLE) AS longitude,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(time, latitude, longitude, value)"
+    )
+
+
+@query("grib_decode", _grib_oracle())
+def grib_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 GRIB branch: decode a real GRIB edition-1 file (simple
+    packing, lat/lon grid, per-message bitmap) through the distributed
+    binaryFile + mapInPandas path; bitmap-masked cells come back NULL.
+    The fixture's bitmap is deliberately an odd byte count so the BMS
+    even-length pad rule is on the hot path."""
+    from gridded_etl_tools_spark.sources import grib1 as g1
+    from gridded_etl_tools_spark.sources.files import read_binary_files
+
+    path = _grib_fixture_path()
+    files = read_binary_files(spark, path)
+    return g1.decode_grib1_long(files).select(
+        "time", "latitude", "longitude", "value"
     )
 
 

@@ -691,7 +691,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.o_orderkey, b.o_orderdate,
            count(*)                                                AS n_shipments,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(18,6))), 2) AS DECIMAL(25,2)) AS window_revenue
+                          AS DECIMAL(18,6))), 2) AS DOUBLE)       AS window_revenue
     FROM big b JOIN lineitem l
       ON l.l_shipdate >= b.o_orderdate AND l.l_shipdate <= b.window_end
     GROUP BY 1, 2
@@ -727,9 +727,15 @@ def interval_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iv_o_orderdate").alias("o_orderdate"),
     ).agg(
         F.count(F.lit(1)).alias("n_shipments"),
+        # Sum exactly in decimal, round in decimal (HALF_UP matches DuckDB),
+        # then hand the driver a DOUBLE: every other revenue query does the
+        # same, and DECIMAL outputs stringify differently across the gate's
+        # two fetch paths (Decimal obj vs float64) — r2/r3 hash mismatches.
         F.round(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)), 2
-        ).alias("window_revenue"),
+        )
+        .cast("double")
+        .alias("window_revenue"),
     )
 
 

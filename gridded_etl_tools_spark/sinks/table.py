@@ -129,7 +129,12 @@ class GriddedTable:
     def _read_pointer(self) -> dict[str, Any]:
         with open(self._pointer_path) as f:
             pointer = json.load(f)
-        declared = pointer.get("format_version", 0)
+        # Grandfather pre-stamp tables: pointers written before the
+        # format_version field existed ARE v1 layout (nothing about the
+        # manifest/pointer structure changed when the stamp was added), so
+        # a missing field means v1, not "unknown" (reference
+        # ``store.py:249-271`` likewise tolerates both zarr format flags).
+        declared = pointer.get("format_version", 1)
         if declared != FORMAT_VERSION:
             raise FormatVersionError(
                 f"{self.root}: on-disk table protocol v{declared} != "
@@ -212,6 +217,26 @@ class GriddedTable:
         return Snapshot(version=version, entries=entries, attrs=attrs)
 
     # -- data-file production ----------------------------------------------
+
+    def _align_schema(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Schema enforcement at the write boundary (what Delta calls
+        ``mergeSchema=false``): incoming updates are cast to the table's
+        committed column types so one update can never fork the on-disk
+        schema (e.g. a ``value + 1000.0`` promoting float→double would
+        otherwise write DOUBLE pages into a FLOAT table and break every
+        subsequent multi-file read).  Column *set* changes are refused —
+        that is a migration, not an update."""
+        if not snap.entries:
+            return df
+        target = df.sparkSession.read.parquet(snap.entries[0]["path"]).schema
+        if set(df.columns) != set(target.names):
+            raise TableCorruptionGuard(
+                f"update columns {sorted(df.columns)} != table columns "
+                f"{sorted(target.names)}; schema evolution requires a rebuild"
+            )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
 
     def _bucket_col(self):
         return F.date_format(F.col(self.time_col), self.bucket_fmt)
@@ -305,6 +330,7 @@ class GriddedTable:
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
+            df = self._align_schema(df, snap)
             entries = snap.entries + self._write_data_files(df, sort_cols or [])
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
             return self._commit(pointer, entries, attrs)
@@ -328,6 +354,7 @@ class GriddedTable:
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
+            df = self._align_schema(df, snap)
             new_entries = self._write_data_files(df, sort_cols or [])
             produced = {e["bucket"] for e in new_entries}
             if not produced <= buckets:

@@ -338,9 +338,10 @@ def write_grib1(
             unused = packed.size * 8 - mask.size
             body = packed.tobytes()
             length = 6 + len(body)
-            if length % 2:  # sections pad to even length
+            if length % 2:  # sections pad to even length...
                 body += b"\x00"
                 length += 1
+                unused += 8  # ...and the pad byte's 8 bits are unused too
             bms = _enc_u24(length) + bytes([unused, 0, 0]) + body
 
         data = _pack_bits(xvals, nbits) if xvals.size else b""

@@ -68,8 +68,14 @@ def test_failed_write_leaves_table_intact(spark, month1, month2, tmp_path):
     a failed write changes nothing but the in-progress flag."""
     t = GriddedTable(str(tmp_path / "tbl"))
     t.write_initial(month1, attrs={"title": "v0"})
-    # fails mid-job at execution time, after the write has started
-    bad = month2.withColumn("chk", F.assert_true(F.col("value") < 0))
+    # fails mid-job at execution time, after the write has started (same
+    # column set so schema enforcement lets it through to execution)
+    bad = month2.withColumn(
+        "value",
+        F.when(
+            F.assert_true(F.col("value") < 0).isNotNull(), F.lit(0.0)
+        ).otherwise(F.col("value")),
+    )
     with pytest.raises(Exception):
         t.append(bad)
     assert not t.update_in_progress()
@@ -273,8 +279,31 @@ def test_format_version_guard(spark, month1, tmp_path):
     with pytest.raises(FormatVersionError):
         t2.append(month1, sort_cols=[])
 
-    # legacy table with no version stamp at all: same refusal (v0)
+    # legacy table with no version stamp at all: grandfathered as v1 —
+    # the pointer/manifest layout predating the stamp IS v1, so the table
+    # opens, and the next commit re-stamps it
     del pointer["format_version"]
     json.dump(pointer, open(pointer_path, "w"))
-    with pytest.raises(FormatVersionError, match="protocol v0"):
-        GriddedTable(root).read(spark)
+    t3 = GriddedTable(root)
+    assert t3.read(spark).count() == 480
+    t3.append(month1.limit(0), sort_cols=[])
+    assert t3._read_pointer()["format_version"] == FORMAT_VERSION
+
+
+def test_append_enforces_committed_schema(spark, month1, month2, tmp_path):
+    """Schema enforcement at the write boundary: an update whose arithmetic
+    promoted float->double must be cast back to the table's committed types
+    (otherwise one bucket gets DOUBLE pages in a FLOAT table and every
+    multi-file read fails); a changed column SET is refused outright."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1.withColumn("value", F.col("value").cast("float")))
+    widened = month2.withColumn("value", F.col("value") + 1000.0)  # double
+    assert dict(widened.dtypes)["value"] == "double"
+    t.append(widened)
+    df = t.read(spark)
+    assert dict(df.dtypes)["value"] == "float"
+    assert df.count() == 480 + 496
+    assert df.agg(F.max("value")).collect()[0][0] >= 1000.0
+
+    with pytest.raises(TableCorruptionGuard, match="schema evolution"):
+        t.append(month1.withColumn("extra", F.lit(1)))
