@@ -2103,6 +2103,68 @@ def grib_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# NetCDF4/HDF5 decode (S9/S10 primary branch): real on-disk HDF5 file ->
+# long-form rows (reference utils/transform.py:186-224 SingleHdf5ToZarr path)
+# ---------------------------------------------------------------------------
+
+def _nc4_fixture_path() -> str:
+    """Same grid as the NetCDF3 fixture, written as a chunked+deflated
+    NetCDF4-flavored HDF5 file (true DIMENSION_LIST references), so the
+    decode exercises the chunk B-tree + shuffle + deflate path."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import hdf5 as _h5
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_nc4_fixture_{digest}.nc4"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _h5.write_hdf5(
+            tmp,
+            {
+                "time": (("time",), times, {}),
+                "latitude": (("latitude",), lats, {}),
+                "longitude": (("longitude",), lons, {}),
+                "precip": (
+                    ("time", "latitude", "longitude"),
+                    data,
+                    {"_FillValue": np.float64(-9999.0)},
+                ),
+            },
+            chunk_shapes={"precip": (2, 3, 3)},
+            compress=True,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+@query("netcdf4_decode", _nc_oracle())
+def netcdf4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 HDF5 branch: decode a real NetCDF4 (HDF5) file — chunked
+    layout, shuffle+deflate filters, DIMENSION_LIST axis resolution —
+    through the distributed binaryFile + mapInPandas path.  Same cell
+    values as ``netcdf_decode``, so the same literal oracle applies: the
+    two ingest front doors must agree with each other AND the oracle."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5_mod
+    from gridded_etl_tools_spark.sources.files import read_binary_files
+
+    path = _nc4_fixture_path()
+    files = read_binary_files(spark, path)
+    out = h5_mod.decode_netcdf4_long(
+        files, "precip", ["time", "latitude", "longitude"]
+    )
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

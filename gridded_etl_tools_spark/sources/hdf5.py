@@ -1,0 +1,786 @@
+"""Pure-Python minimal HDF5 / NetCDF4 decode path.
+
+Reference parity: ``utils/transform.py:186-224`` (``kerchunkify`` →
+``SingleHdf5ToZarr``) is the reference's ingest front door for every
+HDF5-backed NetCDF4 dataset (CHIRPS, ERA5 post-conversion, …).  This
+container ships no h5py, but the HDF5 file format is a public spec
+(HDF5 File Format Specification v2.0), and the subset netcdf-c/h5py
+actually emit for gridded archives is small:
+
+* superblock version 0 (the netcdf-c / h5py default),
+* version-1 object headers (+ continuation blocks),
+* symbol-table groups (v1 B-tree + local heap + SNOD),
+* contiguous and chunked (v1 B-tree indexed) dataset layouts,
+* deflate + shuffle filter pipelines (zlib is in the stdlib),
+* fixed-point / IEEE-float / fixed-string / reference / vlen datatypes,
+* attributes, including the netCDF-4 ``DIMENSION_LIST`` convention
+  (vlen object references through the global heap), which is how a
+  variable's axes are discovered in a real NetCDF4 file.
+
+Decode shape mirrors ``sources/netcdf3.py``: whole files decode on
+executors via ``mapInPandas`` over a ``binaryFile`` scan → long-form
+rows; CF ``_FillValue``/``missing_value``/``scale_factor``/
+``add_offset`` unpacking happens per cell and fills surface as NULL
+(the S12 sentinel rule).
+
+A minimal writer (:func:`write_hdf5`) fabricates real on-disk .nc4
+fixtures — including true ``DIMENSION_LIST`` attributes wired through a
+global heap collection — so the golden tests exercise the same byte
+paths a netcdf-c-produced file would.
+"""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+# message type ids (spec IV.A.2)
+MSG_DATASPACE = 0x0001
+MSG_DATATYPE = 0x0003
+MSG_FILL_VALUE = 0x0005
+MSG_LAYOUT = 0x0008
+MSG_FILTERS = 0x000B
+MSG_ATTRIBUTE = 0x000C
+MSG_CONTINUATION = 0x0010
+MSG_SYMBOL_TABLE = 0x0011
+
+
+class HDF5Error(ValueError):
+    pass
+
+
+# --- datatype descriptors -----------------------------------------------------
+
+
+@dataclass
+class DType:
+    """Parsed datatype message: ``kind`` in {int, float, string, ref,
+    vlen}; numpy dtype string for numerics."""
+
+    kind: str
+    size: int
+    np_dtype: str | None = None
+    base: "DType | None" = None  # vlen element type
+
+
+def _parse_datatype(body: bytes, pos: int = 0) -> tuple[DType, int]:
+    classver = body[pos]
+    cls = classver & 0x0F
+    bits0 = body[pos + 1]
+    (size,) = struct.unpack_from("<I", body, pos + 4)
+    p = pos + 8
+    order = ">" if (bits0 & 1) else "<"
+    if cls == 0:  # fixed-point
+        signed = "i" if bits0 & 0x08 else "u"
+        return DType("int", size, f"{order}{signed}{size}"), p + 4
+    if cls == 1:  # floating-point
+        return DType("float", size, f"{order}f{size}"), p + 12
+    if cls == 3:  # fixed string
+        return DType("string", size), p
+    if cls == 7:  # reference
+        return DType("ref", size), p
+    if cls == 9:  # variable-length
+        base, p2 = _parse_datatype(body, p)
+        return DType("vlen", size, base=base), p2
+    raise HDF5Error(f"unsupported datatype class {cls}")
+
+
+def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+    ver = body[0]
+    rank = body[1]
+    flags = body[2]
+    if ver == 1:
+        p = 8
+    elif ver == 2:
+        p = 4
+    else:
+        raise HDF5Error(f"unsupported dataspace version {ver}")
+    dims = struct.unpack_from(f"<{rank}Q", body, p)
+    return tuple(dims)
+
+
+# --- low-level readers --------------------------------------------------------
+
+
+def _superblock_root(buf: bytes) -> int:
+    """Return the root-group object header address (superblock v0/v1)."""
+    if buf[:8] != _MAGIC:
+        raise HDF5Error("not an HDF5 file (no signature at offset 0)")
+    sbver = buf[8]
+    if sbver not in (0, 1):
+        raise HDF5Error(
+            f"superblock version {sbver} unsupported (netcdf-c/h5py default "
+            "is 0; re-save without libver='latest')"
+        )
+    if buf[13] != 8 or buf[14] != 8:
+        raise HDF5Error("only 8-byte offsets/lengths supported")
+    # v0: 24 bytes of fixed fields then 4 addresses, then the root group
+    # symbol-table entry; v1 inserts 4 extra bytes before the addresses
+    p = 24 + (4 if sbver == 1 else 0) + 32
+    (_link_off, ohdr_addr) = struct.unpack_from("<QQ", buf, p)
+    return ohdr_addr
+
+
+def _object_header_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """All (type, body) messages of a version-1 object header, following
+    continuation blocks."""
+    if buf[addr] != 1:
+        raise HDF5Error(f"object header version {buf[addr]} unsupported (v2 "
+                        "'OHDR' headers need libver latest; not emitted by "
+                        "default netcdf-c/h5py)")
+    nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
+    hdr_size = struct.unpack_from("<I", buf, addr + 8)[0]
+    blocks = [(addr + 16, hdr_size)]
+    out: list[tuple[int, bytes]] = []
+    while blocks and len(out) < nmsgs:
+        start, size = blocks.pop(0)
+        p, end = start, start + size
+        while p + 8 <= end and len(out) < nmsgs:
+            mtype, msize = struct.unpack_from("<HH", buf, p)
+            body = buf[p + 8 : p + 8 + msize]
+            p += 8 + msize
+            if mtype == MSG_CONTINUATION:
+                caddr, csize = struct.unpack_from("<QQ", body, 0)
+                blocks.append((caddr, csize))
+            else:
+                out.append((mtype, body))
+    return out
+
+
+def _local_heap_string(buf: bytes, heap_addr: int, offset: int) -> str:
+    if buf[heap_addr : heap_addr + 4] != b"HEAP":
+        raise HDF5Error("bad local heap signature")
+    (data_addr,) = struct.unpack_from("<Q", buf, heap_addr + 24)
+    end = buf.index(b"\x00", data_addr + offset)
+    return buf[data_addr + offset : end].decode("utf-8")
+
+
+def _group_entries(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
+    """(name, object header address) pairs from a v1 group B-tree."""
+    out: list[tuple[str, int]] = []
+
+    def walk(addr: int) -> None:
+        if buf[addr : addr + 4] != b"TREE":
+            raise HDF5Error("bad group B-tree signature")
+        level = buf[addr + 5]
+        (used,) = struct.unpack_from("<H", buf, addr + 6)
+        p = addr + 24
+        children = []
+        for i in range(used):
+            p += 8  # key i (heap offset)
+            (child,) = struct.unpack_from("<Q", buf, p)
+            children.append(child)
+            p += 8
+        for child in children:
+            if level > 0:
+                walk(child)
+            else:
+                if buf[child : child + 4] != b"SNOD":
+                    raise HDF5Error("bad symbol node signature")
+                (nsym,) = struct.unpack_from("<H", buf, child + 6)
+                q = child + 8
+                for _ in range(nsym):
+                    link_off, ohdr = struct.unpack_from("<QQ", buf, q)
+                    out.append((_local_heap_string(buf, heap_addr, link_off), ohdr))
+                    q += 40
+
+    walk(btree_addr)
+    return out
+
+
+def _global_heap_object(buf: bytes, collection: int, index: int) -> bytes:
+    if buf[collection : collection + 4] != b"GCOL":
+        raise HDF5Error("bad global heap signature")
+    (csize,) = struct.unpack_from("<Q", buf, collection + 8)
+    p = collection + 16
+    end = collection + csize
+    while p + 16 <= end:
+        idx, _rc = struct.unpack_from("<HH", buf, p)
+        (osize,) = struct.unpack_from("<Q", buf, p + 8)
+        if idx == 0:
+            break
+        if idx == index:
+            return buf[p + 16 : p + 16 + osize]
+        p += 16 + (osize + 7) // 8 * 8
+    raise HDF5Error(f"global heap object {index} not found")
+
+
+def _attr_value(buf: bytes, dtype: DType, dims: tuple[int, ...], raw: bytes):
+    n = int(np.prod(dims, dtype=np.int64)) if dims else 1
+    if dtype.kind == "string":
+        return raw[: dtype.size].split(b"\x00", 1)[0].decode("utf-8", "replace")
+    if dtype.kind == "vlen":
+        out = []
+        for i in range(n):
+            ln, coll, idx = struct.unpack_from("<IQI", raw, i * 16)
+            data = _global_heap_object(buf, coll, idx)
+            if dtype.base and dtype.base.kind == "ref":
+                out.extend(struct.unpack(f"<{ln}Q", data[: 8 * ln]))
+            else:
+                out.append(data)
+        return out
+    if dtype.kind == "ref":
+        return list(struct.unpack_from(f"<{n}Q", raw, 0))
+    arr = np.frombuffer(raw, dtype=dtype.np_dtype, count=n)
+    return arr.tolist() if n > 1 else arr[0].item()
+
+
+def _parse_attribute(buf: bytes, body: bytes):
+    ver = body[0]
+    if ver != 1:
+        raise HDF5Error(f"attribute message version {ver} unsupported")
+    name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+    p = 8
+    name = body[p : p + name_size].split(b"\x00", 1)[0].decode("utf-8")
+    p += (name_size + 7) // 8 * 8
+    dtype, _ = _parse_datatype(body, p)
+    p += (dt_size + 7) // 8 * 8
+    dims = _parse_dataspace(body[p : p + ds_size])
+    p += (ds_size + 7) // 8 * 8
+    return name, _attr_value(buf, dtype, dims, body[p:])
+
+
+def _apply_filters(raw: bytes, filters: list[tuple[int, list[int]]], elem: int) -> bytes:
+    """Reverse the pipeline: filters were applied in order on write."""
+    for fid, client in reversed(filters):
+        if fid == 1:  # deflate
+            raw = zlib.decompress(raw)
+        elif fid == 2:  # shuffle
+            esz = client[0] if client else elem
+            if esz > 1:
+                a = np.frombuffer(raw, dtype="u1").reshape(esz, -1)
+                raw = a.T.tobytes()
+        else:
+            raise HDF5Error(f"unsupported filter id {fid}")
+    return raw
+
+
+def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
+    ver = body[0]
+    nf = body[1]
+    p = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid, name_len, _flags, ncv = struct.unpack_from("<HHHH", body, p)
+        p += 8
+        if ver == 1:
+            p += (name_len + 7) // 8 * 8 if name_len else 0
+        else:
+            p += name_len
+        client = list(struct.unpack_from(f"<{ncv}i", body, p))
+        p += 4 * ncv
+        if ver == 1 and ncv % 2:
+            p += 4
+        out.append((fid, client))
+    return out
+
+
+def _read_data(
+    buf: bytes,
+    layout_body: bytes,
+    dtype: DType,
+    shape: tuple[int, ...],
+    filters: list[tuple[int, list[int]]],
+) -> np.ndarray:
+    ver = layout_body[0]
+    if ver != 3:
+        raise HDF5Error(f"data layout version {ver} unsupported")
+    cls = layout_body[1]
+    count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    if cls == 0:  # compact
+        (size,) = struct.unpack_from("<H", layout_body, 2)
+        raw = layout_body[4 : 4 + size]
+        return np.frombuffer(raw, dtype=dtype.np_dtype, count=count).reshape(shape)
+    if cls == 1:  # contiguous
+        addr, size = struct.unpack_from("<QQ", layout_body, 2)
+        if addr == UNDEF:
+            return np.zeros(shape, dtype=dtype.np_dtype)
+        return np.frombuffer(buf, dtype=dtype.np_dtype, count=count, offset=addr).reshape(shape)
+    if cls == 2:  # chunked, v1 B-tree index
+        rank_plus = layout_body[2]
+        (btree,) = struct.unpack_from("<Q", layout_body, 3)
+        cdims = struct.unpack_from(f"<{rank_plus}I", layout_body, 11)
+        chunk_shape = tuple(cdims[:-1])
+        out = np.zeros(shape, dtype=np.dtype(dtype.np_dtype).newbyteorder("="))
+        if btree == UNDEF:
+            return out
+
+        def walk(addr: int) -> None:
+            if buf[addr : addr + 4] != b"TREE":
+                raise HDF5Error("bad chunk B-tree signature")
+            level = buf[addr + 5]
+            (used,) = struct.unpack_from("<H", buf, addr + 6)
+            p = addr + 24
+            key_size = 8 + 8 * rank_plus
+            for _ in range(used):
+                nbytes, _mask = struct.unpack_from("<II", buf, p)
+                offs = struct.unpack_from(f"<{rank_plus}Q", buf, p + 8)
+                (child,) = struct.unpack_from("<Q", buf, p + key_size)
+                p += key_size + 8
+                if level > 0:
+                    walk(child)
+                    continue
+                raw = _apply_filters(
+                    buf[child : child + nbytes], filters, dtype.size
+                )
+                chunk = np.frombuffer(raw, dtype=dtype.np_dtype).reshape(chunk_shape)
+                sel_out, sel_in = [], []
+                for d, o in enumerate(offs[:-1]):
+                    span = min(chunk_shape[d], shape[d] - o)
+                    sel_out.append(slice(o, o + span))
+                    sel_in.append(slice(0, span))
+                out[tuple(sel_out)] = chunk[tuple(sel_in)]
+
+        walk(btree)
+        return out
+    raise HDF5Error(f"unsupported layout class {cls}")
+
+
+# --- dataset model ------------------------------------------------------------
+
+
+@dataclass
+class H5Variable:
+    name: str
+    attrs: dict
+    data: np.ndarray
+    dim_names: tuple[str, ...] = ()
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.data.shape
+
+
+@dataclass
+class H5File:
+    attrs: dict
+    variables: dict[str, H5Variable] = field(default_factory=dict)
+
+
+def parse_hdf5(buf: bytes) -> H5File:
+    """Parse an HDF5/NetCDF4 byte buffer: root-group datasets with data,
+    attributes, and dimension names resolved from ``DIMENSION_LIST``
+    object references (falling back to unique shape-match against the
+    1-D dimension-scale datasets)."""
+    root = _superblock_root(buf)
+    msgs = _object_header_messages(buf, root)
+    root_attrs: dict = {}
+    btree = heap = None
+    for mtype, body in msgs:
+        if mtype == MSG_SYMBOL_TABLE:
+            btree, heap = struct.unpack_from("<QQ", body, 0)
+        elif mtype == MSG_ATTRIBUTE:
+            k, v = _parse_attribute(buf, body)
+            root_attrs[k] = v
+    if btree is None:
+        raise HDF5Error("root group has no symbol table (v2 link messages "
+                        "unsupported)")
+    f = H5File(attrs=root_attrs)
+    addr_to_name: dict[int, str] = {}
+    raw_vars: list[tuple[str, dict, np.ndarray, list[int]]] = []
+    for name, ohdr in _group_entries(buf, btree, heap):
+        addr_to_name[ohdr] = name
+        dtype = dims = layout = None
+        filters: list[tuple[int, list[int]]] = []
+        attrs: dict = {}
+        for mtype, body in _object_header_messages(buf, ohdr):
+            if mtype == MSG_DATATYPE:
+                dtype, _ = _parse_datatype(body)
+            elif mtype == MSG_DATASPACE:
+                dims = _parse_dataspace(body)
+            elif mtype == MSG_LAYOUT:
+                layout = body
+            elif mtype == MSG_FILTERS:
+                filters = _parse_filters(body)
+            elif mtype == MSG_ATTRIBUTE:
+                k, v = _parse_attribute(buf, body)
+                attrs[k] = v
+        if dtype is None or dims is None or layout is None:
+            continue  # sub-group or non-dataset object
+        data = _read_data(buf, layout, dtype, dims, filters)
+        raw_vars.append((name, attrs, data, attrs.get("DIMENSION_LIST", [])))
+
+    # second pass: resolve DIMENSION_LIST refs (object header addresses)
+    scales = {
+        n: d.shape[0]
+        for n, a, d, _r in raw_vars
+        if len(d.shape) == 1 and a.get("CLASS") == "DIMENSION_SCALE"
+    }
+    for name, attrs, data, refs in raw_vars:
+        if refs:
+            dim_names = tuple(addr_to_name.get(r, "") for r in refs)
+        elif len(data.shape) == 1 and name in scales:
+            dim_names = (name,)
+        else:  # unique shape-match fallback (kerchunk-style heuristic)
+            dim_names = tuple(
+                next((n for n, sz in scales.items() if sz == s), "")
+                for s in data.shape
+            )
+        attrs.pop("DIMENSION_LIST", None)
+        f.variables[name] = H5Variable(name, attrs, data, dim_names)
+    return f
+
+
+def cf_unpack(var: H5Variable) -> np.ndarray:
+    """CF conventions, same semantics as ``netcdf3.cf_unpack``: fill /
+    missing sentinels → NaN, then scale_factor/add_offset."""
+    arr = var.data
+    if arr.dtype.kind in "SU":
+        return arr
+    out = arr.astype("f8")
+    for key in ("_FillValue", "missing_value"):
+        if key in var.attrs:
+            out = np.where(arr == var.attrs[key], np.nan, out)
+    scale = var.attrs.get("scale_factor")
+    offset = var.attrs.get("add_offset")
+    if scale is not None:
+        out = out * float(scale)
+    if offset is not None:
+        out = out + float(offset)
+    return out
+
+
+def netcdf4_long_frame(buf: bytes, data_var: str) -> pd.DataFrame:
+    """Decode one NetCDF4/HDF5 file to long form: one row per cell, one
+    column per dimension (coordinate values where a same-named
+    dimension-scale exists, else the 0-based index), plus ``value``."""
+    f = parse_hdf5(buf)
+    if data_var not in f.variables:
+        raise HDF5Error(f"variable {data_var!r} not in file")
+    v = f.variables[data_var]
+    values = cf_unpack(v).reshape(-1)
+    coords = []
+    names = []
+    for i, d in enumerate(v.dim_names):
+        names.append(d or f"dim_{i}")
+        if d and d in f.variables and len(f.variables[d].shape) == 1:
+            coords.append(cf_unpack(f.variables[d]).astype("f8"))
+        else:
+            coords.append(np.arange(v.shape[i], dtype="f8"))
+    mesh = np.meshgrid(*coords, indexing="ij") if coords else []
+    out = {n: m.reshape(-1) for n, m in zip(names, mesh)}
+    out["value"] = values
+    return pd.DataFrame(out)
+
+
+def decode_schema(dims: list[str]) -> T.StructType:
+    fields = [T.StructField("path", T.StringType(), False)]
+    fields += [T.StructField(d, T.DoubleType(), True) for d in dims]
+    fields.append(T.StructField("value", T.DoubleType(), True))
+    return T.StructType(fields)
+
+
+def decode_netcdf4_long(
+    files: DataFrame, data_var: str, dims: list[str]
+) -> DataFrame:
+    """Distributed decode: ``binaryFile`` rows (path, content) →
+    long-form rows via Arrow-batched ``mapInPandas`` — the Spark analog
+    of the reference's ``SingleHdf5ToZarr`` scan (transform.py:186-224)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frame = netcdf4_long_frame(bytes(content), data_var)
+                missing = [d for d in dims if d not in frame.columns]
+                if missing:
+                    raise HDF5Error(
+                        f"{path}: dims {missing} not present (file has "
+                        f"{[c for c in frame.columns if c != 'value']})"
+                    )
+                out = frame[[*dims, "value"]].copy()
+                out.insert(0, "path", path)
+                yield out
+
+    return files.select("path", "content").mapInPandas(run, decode_schema(dims))
+
+
+# --- minimal writer (test-fixture generator) ----------------------------------
+
+
+class _W:
+    def __init__(self):
+        self.buf = bytearray()
+        self.patches: dict[int, int] = {}
+
+    def tell(self) -> int:
+        return len(self.buf)
+
+    def write(self, b: bytes) -> int:
+        at = len(self.buf)
+        self.buf += b
+        return at
+
+    def pad8(self) -> None:
+        self.buf += b"\x00" * ((8 - len(self.buf) % 8) % 8)
+
+    def placeholder8(self) -> int:
+        at = len(self.buf)
+        self.buf += b"\xff" * 8
+        return at
+
+    def patch8(self, at: int, value: int) -> None:
+        self.buf[at : at + 8] = struct.pack("<Q", value)
+
+
+def _dt_message(arr_dtype: np.dtype) -> bytes:
+    dt = np.dtype(arr_dtype)
+    if dt.kind == "f":
+        if dt.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            return bytes([0x11, 0x20, 0x3F, 0x00]) + struct.pack("<I", 8) + props
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        return bytes([0x11, 0x20, 0x1F, 0x00]) + struct.pack("<I", 4) + props
+    if dt.kind in "iu":
+        signed = 0x08 if dt.kind == "i" else 0
+        props = struct.pack("<HH", 0, dt.itemsize * 8)
+        return bytes([0x10, signed, 0, 0]) + struct.pack("<I", dt.itemsize) + props
+    raise HDF5Error(f"writer does not support dtype {dt}")
+
+
+def _dt_string(n: int) -> bytes:
+    return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", n)
+
+
+def _dt_ref() -> bytes:
+    return bytes([0x17, 0x00, 0x00, 0x00]) + struct.pack("<I", 8)
+
+
+def _dt_vlen_ref() -> bytes:
+    return bytes([0x19, 0x00, 0x00, 0x00]) + struct.pack("<I", 16) + _dt_ref()
+
+
+def _ds_message(shape: tuple[int, ...]) -> bytes:
+    rank = len(shape)
+    head = struct.pack("<BBB5x", 1, rank, 1)
+    dims = b"".join(struct.pack("<Q", s) for s in shape)
+    return head + dims + dims  # maxdims == dims
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body += b"\x00" * ((8 - len(body) % 8) % 8)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _attr_msg(name: str, dt_raw: bytes, shape: tuple[int, ...], data: bytes) -> bytes:
+    nm = name.encode() + b"\x00"
+    ds_raw = _ds_message(shape) if shape else struct.pack("<BBB5x", 1, 0, 0)
+    body = struct.pack("<BBHHH", 1, 0, len(nm), len(dt_raw), len(ds_raw))
+    for piece in (nm, dt_raw, ds_raw):
+        body += piece + b"\x00" * ((8 - len(piece) % 8) % 8)
+    return _msg(MSG_ATTRIBUTE, body + data)
+
+
+def _object_header(msgs: list[bytes]) -> bytes:
+    blob = b"".join(msgs)
+    return struct.pack("<BxHI I4x".replace(" ", ""), 1, len(msgs), 1, len(blob)) + blob
+
+
+def write_hdf5(
+    path: str,
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
+    attrs: dict | None = None,
+    chunk_shapes: dict[str, tuple[int, ...]] | None = None,
+    compress: bool = False,
+) -> None:
+    """Write a minimal NetCDF4-flavored HDF5 file (fixture generation
+    only — the engine's sinks are the GriddedTable, never HDF5).
+
+    ``variables`` maps name → (dim names, ndarray, attrs); a variable
+    whose name equals its single dim is a coordinate and is stamped
+    ``CLASS=DIMENSION_SCALE``; data variables get a true
+    ``DIMENSION_LIST`` attribute of object references through a global
+    heap, exactly like netcdf-c.  ``chunk_shapes``/``compress`` switch
+    those variables to chunked layout with shuffle+deflate.
+    """
+    chunk_shapes = chunk_shapes or {}
+    # normalize to native-endian contiguous arrays: the writer always
+    # stamps little-endian datatype messages
+    variables = {
+        n: (d, np.ascontiguousarray(np.asarray(a).astype(np.asarray(a).dtype.newbyteorder("="))), va)
+        for n, (d, a, va) in variables.items()
+    }
+    w = _W()
+    # ---- superblock (96 bytes), root ohdr address patched later
+    w.write(_MAGIC)
+    w.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    w.write(struct.pack("<HHI", 4, 16, 0))
+    w.write(struct.pack("<QQ", 0, UNDEF))
+    eof_at = w.placeholder8()
+    w.write(struct.pack("<Q", UNDEF))
+    w.write(struct.pack("<Q", 0))  # root link name offset
+    root_ohdr_at = w.placeholder8()
+    w.write(struct.pack("<II", 0, 0))
+    w.write(b"\x00" * 16)
+
+    # ---- local heap: root member names
+    names = list(variables)
+    heap_data = bytearray(b"\x00" * 8)
+    name_off: dict[str, int] = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        raw = n.encode() + b"\x00"
+        heap_data += raw + b"\x00" * ((8 - len(raw) % 8) % 8)
+    heap_addr = w.write(b"HEAP\x00\x00\x00\x00")
+    w.write(struct.pack("<QQ", len(heap_data), UNDEF))
+    heap_data_at = w.placeholder8()
+    w.patch8(heap_data_at, w.tell())
+    w.write(bytes(heap_data))
+
+    # ---- per-variable: data blocks first (addresses known), then headers
+    data_addr: dict[str, int] = {}
+    chunk_trees: dict[str, int] = {}
+    for n, (dims, arr, _va) in variables.items():
+        arr = np.ascontiguousarray(arr)
+        if n in chunk_shapes:
+            cshape = chunk_shapes[n]
+            chunks = []
+            grid = [range(0, s, c) for s, c in zip(arr.shape, cshape)]
+            for offs in itertools.product(*grid):
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offs, cshape, arr.shape)
+                )
+                chunk = np.zeros(cshape, dtype=arr.dtype)
+                chunk[tuple(slice(0, sl.stop - sl.start) for sl in sel)] = arr[sel]
+                raw = chunk.tobytes()
+                if compress:
+                    esz = arr.dtype.itemsize
+                    raw = np.frombuffer(raw, dtype="u1").reshape(-1, esz).T.tobytes()
+                    raw = zlib.compress(raw, 6)
+                addr = w.write(raw)
+                chunks.append((offs, len(raw), addr))
+            # v1 B-tree (level 0) over the chunks
+            rank_plus = arr.ndim + 1
+            tree_addr = w.tell()
+            w.write(b"TREE" + struct.pack("<BBH", 1, 0, len(chunks)))
+            w.write(struct.pack("<QQ", UNDEF, UNDEF))
+            for offs, nbytes, addr in chunks:
+                w.write(struct.pack("<II", nbytes, 0))
+                w.write(struct.pack(f"<{rank_plus}Q", *offs, 0))
+                w.write(struct.pack("<Q", addr))
+            w.write(struct.pack("<II", 0, 0))  # final key
+            w.write(struct.pack(f"<{rank_plus}Q", *arr.shape, 0))
+            chunk_trees[n] = tree_addr
+        else:
+            data_addr[n] = w.write(arr.tobytes())
+
+    # ---- object headers (need addresses for DIMENSION_LIST refs: do the
+    # dimension-scale coordinate variables first, then data variables)
+    coord_names = [n for n, (d, a, _) in variables.items() if d == (n,)]
+    ohdr_addr: dict[str, int] = {}
+
+    def gheap_vlen_refs(refs: list[int]) -> bytes:
+        """One global heap collection holding one object per reference;
+        returns the attribute data (len, collection, index) per element."""
+        coll_addr = w.tell()
+        objs = b""
+        for i, r in enumerate(refs, start=1):
+            objs += struct.pack("<HH4xQ", i, 1, 8) + struct.pack("<Q", r)
+        # terminator object 0 (16-byte header, size = its own block)
+        objs += struct.pack("<HH4xQ", 0, 0, 16)
+        coll = b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+        w.write(coll)
+        return b"".join(
+            struct.pack("<IQI", 1, coll_addr, i) for i in range(1, len(refs) + 1)
+        )
+
+    def dataset_header(n: str) -> bytes:
+        dims, arr, vattrs = variables[n]
+        arr = np.asarray(arr)
+        msgs = [
+            _msg(MSG_DATASPACE, _ds_message(arr.shape)),
+            _msg(MSG_DATATYPE, _dt_message(arr.dtype)),
+            _msg(MSG_FILL_VALUE, struct.pack("<BBBB", 2, 2, 0, 0)),
+        ]
+        if n in chunk_trees:
+            rank_plus = arr.ndim + 1
+            cdims = [*chunk_shapes[n], arr.dtype.itemsize]
+            body = struct.pack("<BBB", 3, 2, rank_plus)
+            body += struct.pack("<Q", chunk_trees[n])
+            body += struct.pack(f"<{rank_plus}I", *cdims)
+            msgs.append(_msg(MSG_LAYOUT, body))
+            if compress:
+                filt = struct.pack("<BB6x", 1, 2)
+                filt += struct.pack("<HHHH", 2, 0, 1, 1)  # shuffle
+                filt += struct.pack("<i", arr.dtype.itemsize) + b"\x00" * 4
+                filt += struct.pack("<HHHH", 1, 0, 1, 1)  # deflate
+                filt += struct.pack("<i", 6) + b"\x00" * 4
+                msgs.append(_msg(MSG_FILTERS, filt))
+        else:
+            body = struct.pack("<BB", 3, 1)
+            body += struct.pack("<QQ", data_addr[n], arr.nbytes)
+            msgs.append(_msg(MSG_LAYOUT, body))
+        if dims == (n,):
+            cls = b"DIMENSION_SCALE\x00"
+            msgs.append(_attr_msg("CLASS", _dt_string(len(cls)), (), cls))
+        elif dims:
+            refs = [ohdr_addr[d] for d in dims]
+            data = gheap_vlen_refs(refs)
+            msgs.append(
+                _attr_msg("DIMENSION_LIST", _dt_vlen_ref(), (len(refs),), data)
+            )
+        for an, av in vattrs.items():
+            if isinstance(av, str):
+                raw = av.encode() + b"\x00"
+                msgs.append(_attr_msg(an, _dt_string(len(raw)), (), raw))
+            else:
+                a = np.atleast_1d(np.asarray(av))
+                shape = a.shape if a.size > 1 else ()
+                msgs.append(_attr_msg(an, _dt_message(a.dtype), shape, a.tobytes()))
+        return _object_header(msgs)
+
+    for n in coord_names + [n for n in names if n not in coord_names]:
+        w.pad8()
+        hdr = dataset_header(n)
+        ohdr_addr[n] = w.write(hdr)
+
+    # ---- root group: object header + B-tree + SNOD
+    w.pad8()
+    root_msgs = []
+    for an, av in (attrs or {}).items():
+        if isinstance(av, str):
+            raw = av.encode() + b"\x00"
+            root_msgs.append(_attr_msg(an, _dt_string(len(raw)), (), raw))
+        else:
+            a = np.atleast_1d(np.asarray(av))
+            shape = a.shape if a.size > 1 else ()
+            root_msgs.append(_attr_msg(an, _dt_message(a.dtype), shape, a.tobytes()))
+    snod_entries = sorted(names)
+    stbl_body = struct.pack("<QQ", 0, heap_addr)  # btree addr patched below
+    root_msgs.insert(0, _msg(MSG_SYMBOL_TABLE, stbl_body))
+    root_hdr = _object_header(root_msgs)
+    root_at = w.write(root_hdr)
+    w.patch8(root_ohdr_at, root_at)
+
+    snod = b"SNOD" + struct.pack("<BxH", 1, len(snod_entries))
+    for n in snod_entries:
+        snod += struct.pack("<QQ", name_off[n], ohdr_addr[n])
+        snod += struct.pack("<II", 0, 0) + b"\x00" * 16
+    w.pad8()
+    snod_at = w.write(snod)
+
+    btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    btree += struct.pack("<QQ", UNDEF, UNDEF)
+    btree += struct.pack("<Q", 0)                       # key 0
+    btree += struct.pack("<Q", snod_at)                 # child 0
+    btree += struct.pack("<Q", name_off[snod_entries[-1]])  # key 1
+    w.pad8()
+    btree_at = w.write(btree)
+    # patch the symbol-table message inside the root header we already wrote
+    stbl_off = root_at + 16 + 8  # header prefix + first message header
+    w.buf[stbl_off : stbl_off + 8] = struct.pack("<Q", btree_at)
+
+    w.patch8(eof_at, w.tell())
+    with open(path, "wb") as f:
+        f.write(bytes(w.buf))
