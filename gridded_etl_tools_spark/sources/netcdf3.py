@@ -1,4 +1,5 @@
-"""Pure-Python NetCDF3 (classic CDF-1 / 64-bit-offset CDF-2) decode path.
+"""Pure-Python NetCDF3 (classic CDF-1 / 64-bit-offset CDF-2 /
+64-bit-data CDF-5) decode path.
 
 Reference parity: ``utils/transform.py:119-279`` (``kerchunkify``) is the
 reference's front door — it scans a NetCDF/GRIB file and exposes its
@@ -34,6 +35,9 @@ from pyspark.sql import types as T
 # --- classic-format constants (NetCDF Classic Format Specification) ---------
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 additional external types (the PnetCDF / NetCDF-3 64-bit-data
+# format extension)
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
 
 #: external size and big-endian numpy dtype per nc_type
@@ -44,9 +48,15 @@ _TYPEMAP: dict[int, tuple[int, str]] = {
     NC_INT: (4, ">i4"),
     NC_FLOAT: (4, ">f4"),
     NC_DOUBLE: (8, ">f8"),
+    NC_UBYTE: (1, ">u1"),
+    NC_USHORT: (2, ">u2"),
+    NC_UINT: (4, ">u4"),
+    NC_INT64: (8, ">i8"),
+    NC_UINT64: (8, ">u8"),
 }
 
 _STREAMING = 0xFFFFFFFF
+_STREAMING64 = 0xFFFFFFFFFFFFFFFF
 
 
 class NetCDF3Error(ValueError):
@@ -74,9 +84,10 @@ class NCDataset:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf = buf
         self.pos = 0
+        self.version = version
 
     def u4(self) -> int:
         (v,) = struct.unpack_from(">I", self.buf, self.pos)
@@ -88,8 +99,13 @@ class _Reader:
         self.pos += 8
         return v
 
+    def nonneg(self) -> int:
+        """NON_NEG per the classic spec: 32-bit in CDF-1/2, 64-bit in
+        CDF-5 (counts, name lengths, dim sizes, dimids, vsize)."""
+        return self.i8() if self.version == 5 else self.u4()
+
     def name(self) -> str:
-        n = self.u4()
+        n = self.nonneg()
         s = self.buf[self.pos : self.pos + n].decode("utf-8")
         self.pos += (n + 3) // 4 * 4  # names pad to a 4-byte boundary
         return s
@@ -106,7 +122,7 @@ class _Reader:
 
 
 def _att_list(r: _Reader) -> dict:
-    tag, n = r.u4(), r.u4()
+    tag, n = r.u4(), r.nonneg()
     if tag == 0 and n == 0:
         return {}
     if tag != NC_ATTRIBUTE:
@@ -115,30 +131,31 @@ def _att_list(r: _Reader) -> dict:
     for _ in range(n):
         nm = r.name()
         t = r.u4()
-        cnt = r.u4()
+        cnt = r.nonneg()
         out[nm] = r.values(t, cnt)
     return out
 
 
 def parse_netcdf3(buf: bytes) -> NCDataset:
-    """Parse a classic NetCDF3 byte buffer into dims/attrs/variables with
+    """Parse a classic NetCDF3 byte buffer (CDF-1, 64-bit-offset CDF-2,
+    or 64-bit-data CDF-5) into dims/attrs/variables with
     fully-materialized numpy arrays (raw, pre-CF-unpacking)."""
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise NetCDF3Error("not a classic NetCDF3 (CDF-1/CDF-2) file")
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+        raise NetCDF3Error("not a classic NetCDF3 (CDF-1/2/5) file")
     version = buf[3]
-    r = _Reader(buf)
+    r = _Reader(buf, version)
     r.pos = 4
-    numrecs = r.u4()
+    numrecs = r.nonneg()
 
     # dimensions
-    tag, n = r.u4(), r.u4()
+    tag, n = r.u4(), r.nonneg()
     dim_names: list[str] = []
     dim_sizes: list[int] = []
     rec_dim = -1
     if tag == NC_DIMENSION:
         for i in range(n):
             nm = r.name()
-            sz = r.u4()
+            sz = r.nonneg()
             if sz == 0:
                 rec_dim = i
             dim_names.append(nm)
@@ -149,17 +166,17 @@ def parse_netcdf3(buf: bytes) -> NCDataset:
     gatts = _att_list(r)
 
     # variable metadata
-    tag, n = r.u4(), r.u4()
+    tag, n = r.u4(), r.nonneg()
     headers = []
     if tag == NC_VARIABLE:
         for _ in range(n):
             nm = r.name()
-            ndims = r.u4()
-            dimids = [r.u4() for _ in range(ndims)]
+            ndims = r.nonneg()
+            dimids = [r.nonneg() for _ in range(ndims)]
             vatts = _att_list(r)
             t = r.u4()
-            _vsize = r.u4()  # stored vsize can overflow; recomputed below
-            begin = r.i8() if version == 2 else r.u4()
+            _vsize = r.nonneg()  # stored vsize can overflow; recomputed below
+            begin = r.i8() if version in (2, 5) else r.u4()
             headers.append((nm, dimids, vatts, t, begin))
     elif not (tag == 0 and n == 0):
         raise NetCDF3Error(f"bad variable tag {tag:#x}")
@@ -186,7 +203,7 @@ def parse_netcdf3(buf: bytes) -> NCDataset:
                 count *= dim_sizes[dd]
         recsize = count * size
 
-    if numrecs == _STREAMING and rec_vars:
+    if numrecs == (_STREAMING64 if version == 5 else _STREAMING) and rec_vars:
         first_begin = min(b for nm, d, _, t, b in headers if rec_dim in d)
         numrecs = (len(buf) - first_begin) // recsize if recsize else 0
 
@@ -312,23 +329,30 @@ def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * ((4 - len(b) % 4) % 4)
 
 
-def _enc_name(s: str) -> bytes:
+def _nn(v: int, version: int) -> bytes:
+    """NON_NEG: 32-bit in CDF-1/2, 64-bit in CDF-5."""
+    return struct.pack(">Q" if version == 5 else ">I", v)
+
+
+def _enc_name(s: str, version: int = 1) -> bytes:
     raw = s.encode("utf-8")
-    return struct.pack(">I", len(raw)) + _pad4(raw)
+    return _nn(len(raw), version) + _pad4(raw)
 
 
-def _enc_att(name: str, nc_type: int, vals) -> bytes:
+def _enc_att(name: str, nc_type: int, vals, version: int = 1) -> bytes:
     if nc_type == NC_CHAR:
         raw = vals.encode("utf-8")
         return (
-            _enc_name(name)
-            + struct.pack(">II", NC_CHAR, len(raw))
+            _enc_name(name, version)
+            + struct.pack(">I", NC_CHAR)
+            + _nn(len(raw), version)
             + _pad4(raw)
         )
     arr = np.atleast_1d(np.asarray(vals, dtype=_TYPEMAP[nc_type][1]))
     return (
-        _enc_name(name)
-        + struct.pack(">II", nc_type, arr.size)
+        _enc_name(name, version)
+        + struct.pack(">I", nc_type)
+        + _nn(arr.size, version)
         + _pad4(arr.tobytes())
     )
 
@@ -338,11 +362,16 @@ def write_netcdf3(
     dims: dict[str, int | None],
     variables: dict[str, tuple[tuple[str, ...], int, dict, np.ndarray]],
     attrs: dict | None = None,
+    version: int = 1,
 ) -> None:
-    """Write a CDF-1 classic file.  ``dims`` maps name → size (None = the
-    record dimension); ``variables`` maps name → (dim names, nc_type,
-    attrs {name: (nc_type, values)}, ndarray).  Fixture-generation only —
-    the engine's sinks are the GriddedTable, never NetCDF."""
+    """Write a classic file: CDF-1 (default) or 64-bit-data CDF-5
+    (``version=5`` — 64-bit counts/sizes plus the unsigned/64-bit
+    external types).  ``dims`` maps name → size (None = the record
+    dimension); ``variables`` maps name → (dim names, nc_type, attrs
+    {name: (nc_type, values)}, ndarray).  Fixture-generation only — the
+    engine's sinks are the GriddedTable, never NetCDF."""
+    if version not in (1, 5):
+        raise NetCDF3Error("writer supports CDF-1 and CDF-5 only")
     dim_names = list(dims)
     rec_name = next((d for d, s in dims.items() if s is None), None)
     numrecs = 0
@@ -351,16 +380,18 @@ def write_netcdf3(
             if dnames and dnames[0] == rec_name:
                 numrecs = max(numrecs, arr.shape[0])
 
-    header = b"CDF\x01" + struct.pack(">I", numrecs)
-    header += struct.pack(">II", NC_DIMENSION, len(dim_names))
+    header = b"CDF" + bytes([version]) + _nn(numrecs, version)
+    header += struct.pack(">I", NC_DIMENSION) + _nn(len(dim_names), version)
     for d in dim_names:
-        header += _enc_name(d) + struct.pack(">I", 0 if dims[d] is None else dims[d])
+        header += _enc_name(d, version) + _nn(
+            0 if dims[d] is None else dims[d], version
+        )
     if attrs:
-        header += struct.pack(">II", NC_ATTRIBUTE, len(attrs))
+        header += struct.pack(">I", NC_ATTRIBUTE) + _nn(len(attrs), version)
         for nm, (t, vals) in attrs.items():
-            header += _enc_att(nm, t, vals)
+            header += _enc_att(nm, t, vals, version)
     else:
-        header += struct.pack(">II", 0, 0)
+        header += struct.pack(">I", 0) + _nn(0, version)
 
     # lay out variables: fixed first, then record vars
     def slab(dnames: tuple[str, ...], t: int, record: bool) -> int:
@@ -377,19 +408,21 @@ def write_netcdf3(
     var_entries = []
     # first pass to size the header
     def var_header_bytes(nm, dnames, t, vatts, begin) -> bytes:
-        b = _enc_name(nm) + struct.pack(">I", len(dnames))
+        b = _enc_name(nm, version) + _nn(len(dnames), version)
         for d in dnames:
-            b += struct.pack(">I", dim_names.index(d))
+            b += _nn(dim_names.index(d), version)
         if vatts:
-            b += struct.pack(">II", NC_ATTRIBUTE, len(vatts))
+            b += struct.pack(">I", NC_ATTRIBUTE) + _nn(len(vatts), version)
             for an, (at, avals) in vatts.items():
-                b += _enc_att(an, at, avals)
+                b += _enc_att(an, at, avals, version)
         else:
-            b += struct.pack(">II", 0, 0)
-        b += struct.pack(">III", t, slab(dnames, t, rec_name in dnames), begin)
+            b += struct.pack(">I", 0) + _nn(0, version)
+        b += struct.pack(">I", t)
+        b += _nn(slab(dnames, t, rec_name in dnames), version)
+        b += struct.pack(">Q" if version == 5 else ">I", begin)
         return b
 
-    header += struct.pack(">II", NC_VARIABLE, len(variables))
+    header += struct.pack(">I", NC_VARIABLE) + _nn(len(variables), version)
     # compute header size with placeholder begins, then fill real offsets
     probe = sum(
         len(var_header_bytes(nm, v[0], v[1], v[2], 0)) for nm, v in order

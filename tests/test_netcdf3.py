@@ -182,3 +182,36 @@ def test_decode_is_distributed_not_collected(spark, tmp_path):
     assert "MapInPandas" in long._jdf.queryExecution().executedPlan().toString()
     # every file contributed its own path
     assert long.select("path").distinct().count() == 4
+
+
+def test_cdf5_round_trip(tmp_path):
+    """64-bit-data CDF-5 variant: 64-bit counts/sizes/dimids plus the
+    unsigned and 64-bit external types (the PnetCDF format extension)."""
+    data = np.arange(24, dtype="u8").reshape(2, 3, 4) * 3
+    nc.write_netcdf3(
+        str(tmp_path / "c5.nc"),
+        dims={"time": None, "y": 3, "x": 4},
+        variables={
+            "time": (("time",), nc.NC_INT64, {}, np.arange(2, dtype="i8")),
+            "y": (("y",), nc.NC_DOUBLE, {}, np.arange(3, dtype="f8")),
+            "x": (("x",), nc.NC_USHORT, {}, np.arange(4, dtype="u2")),
+            "v": (
+                ("time", "y", "x"), nc.NC_UINT64,
+                {"_FillValue": (nc.NC_UINT64, 63)}, data,
+            ),
+        },
+        attrs={"title": (nc.NC_CHAR, "cdf5 fixture")},
+        version=5,
+    )
+    buf = (tmp_path / "c5.nc").read_bytes()
+    assert buf[:4] == b"CDF\x05"
+    ds = nc.parse_netcdf3(buf)
+    assert ds.attrs["title"] == "cdf5 fixture"
+    assert ds.dims == {"time": 2, "y": 3, "x": 4}
+    np.testing.assert_array_equal(ds.variables["v"].data, data)
+    np.testing.assert_array_equal(
+        ds.variables["time"].data, np.arange(2, dtype="i8")
+    )
+    unpacked = nc.cf_unpack(ds.variables["v"])
+    assert np.isnan(unpacked[1, 2, 1])  # 63 = 21*3 at flat index 21
+    assert unpacked[0, 0, 1] == 3.0
