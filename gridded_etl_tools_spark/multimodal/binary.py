@@ -42,7 +42,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("content_sha", T.StringType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # doubles, not floats: the fake decoder's hash-derived values are
+        # exact IEEE doubles (uint32 / 2^32), so they cross-check exactly
+        # against an engine-independent oracle; a real embedding decoder
+        # may narrow to float32 at its own boundary
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

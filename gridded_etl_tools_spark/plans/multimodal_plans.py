@@ -1,0 +1,155 @@
+"""Oracle-checked multimodal pipeline queries (north star).
+
+The container has no media codecs and the test tables carry no binary
+column, so these queries *derive* a deterministic binary corpus from
+``documents.text`` (payload = UTF-8 bytes, media_type = doc_id mod 3)
+and push it through the REAL multimodal plumbing —
+``multimodal/binary.py``'s Arrow-batched ``mapInPandas`` feature
+extraction and the frame-sampling explode plan.  The fake decoder's
+hash math (uint32 big-endian slices of sha256 / 2^32) is exact IEEE
+double arithmetic, so DuckDB reproduces every value bit-for-bit and the
+driver's hash gate applies to the whole pipeline, not just a row count.
+
+Scale notes are inherited from the operators: feature extraction is
+map-only (no shuffle; payloads never leave their partition), the frame
+plan is an explode whose output partitions by the upstream layout, and
+the content-hash dedup is a narrow (sha, id) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.multimodal.binary import (
+    extract_features,
+    frame_sample_plan,
+)
+from gridded_etl_tools_spark.plans.catalog import query
+from gridded_etl_tools_spark.plans.tables import load
+
+_MEDIA = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END"
+        ).alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_features",
+    f"""
+    SELECT doc_id AS item_id,
+           {_MEDIA} AS media_type,
+           octet_length(CAST(text AS BLOB))      AS n_bytes,
+           sha256(text)                          AS content_sha,
+           CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT)
+             / 4294967296.0                      AS f0,
+           CAST(concat('0x', substr(sha256(text), 9, 8)) AS UBIGINT)
+             / 4294967296.0                      AS f1
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decode/feature-extract over a binary media column via
+    Arrow-batched ``mapInPandas`` (multimodal/binary.py:70) — content
+    hash, byte size, and the first two hash-derived feature dims, all
+    value-checked against the oracle (reference has no media path; this
+    is the LLM-pipeline north star).  Map-only: zero shuffles."""
+    feats = extract_features(_corpus(spark, sf_dir))
+    return feats.select(
+        "item_id",
+        "media_type",
+        "n_bytes",
+        "content_sha",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+    )
+
+
+@query(
+    "multimodal_frame_plan",
+    """
+    SELECT item_id,
+           count(*)                    AS n_frames,
+           CAST(min(ts) AS BIGINT)     AS first_ts_ms,
+           CAST(max(ts) AS BIGINT)     AS last_ts_ms
+    FROM (
+      SELECT doc_id AS item_id,
+             unnest(range(0, octet_length(CAST(text AS BLOB)) * 20, 40)) AS ts
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    GROUP BY item_id
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling work plan for the video subset: explode each item
+    into (item_id, frame_ts_ms) rows every 40 ms of its synthetic
+    duration (octet_length x 20 ms), then roll up per item — the
+    shuffle-side shape of video frame extraction; the per-frame decode
+    runs through extract_features over these rows in production."""
+    docs = load(spark, sf_dir, "documents")
+    videos = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("item_id"),
+        (F.octet_length("text") * 20).alias("duration_ms"),
+    )
+    frames = frame_sample_plan(videos, every_n_ms=40)
+    return frames.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_ts_ms").cast("long").alias("first_ts_ms"),
+        F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
+    )
+
+
+@query(
+    "multimodal_exact_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id AS item_id, {_MEDIA} AS media_type, text
+      FROM documents
+      UNION ALL
+      -- the same payload re-uploaded under a fresh id (every 7th doc):
+      -- the byte-dup scenario exact dedup exists for
+      SELECT doc_id + 1000000, {_MEDIA}, text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    hashed AS (
+      SELECT item_id, media_type, sha256(text) AS content_sha FROM corpus
+    )
+    SELECT content_sha,
+           count(*)                   AS n_copies,
+           min(item_id)               AS keeper_id,
+           count(DISTINCT media_type) AS n_media_types
+    FROM hashed
+    GROUP BY content_sha
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level dedup of media payloads by content hash — the
+    first stage of any multimodal dedup funnel (before perceptual
+    hashing).  The corpus re-uploads every 7th payload under a fresh id,
+    the scenario exact dedup exists for.  Narrow shuffle: only
+    (sha, id, type) move, never payloads."""
+    base = _corpus(spark, sf_dir)
+    reuploads = base.filter(F.col("item_id") % 7 == 0).withColumn(
+        "item_id", F.col("item_id") + 1000000
+    )
+    feats = extract_features(base.unionByName(reuploads))
+    return (
+        feats.groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("item_id").alias("keeper_id"),
+            F.countDistinct("media_type").alias("n_media_types"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
