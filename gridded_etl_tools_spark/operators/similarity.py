@@ -247,34 +247,75 @@ def nearest_centroids(
 ) -> DataFrame:
     """Top-``n`` nearest centroids per vector by cosine (ties break on
     centroid id).  ``n=1`` is IVF coarse assignment; ``n>1`` is the
-    probe-side multi-cell expansion behind ``nprobe`` search.  Broadcast
-    centroid table × per-row rank window — the corpus never shuffles on
-    anything except the per-vector window key."""
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias(centroid_id_col),
-            F.col(vec_col).alias("__cvec"),
-            _norm(F.col(vec_col)).alias("__cnorm"),
+    probe-side multi-cell expansion behind ``nprobe`` search.
+
+    Scale shape: **zero shuffles over the corpus.**  The centroid book
+    (small by construction — IVF coarse books are ≤~64k rows at any
+    corpus scale) is packed into ONE array row and broadcast; each
+    corpus row scores every centroid with a JVM higher-order
+    ``transform`` and reduces with ``aggregate`` (n=1 argmax) or
+    ``array_sort`` + ``slice`` (n>1) — pure map-side whole-stage-codegen
+    expressions.  (An earlier version used broadcast-cross-join + rank
+    window, which exchanged the entire corpus on the vector id purely to
+    pick each row's own argmax.)"""
+    packed = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec"),
+                    _norm(F.col(vec_col)).alias("cnorm"),
+                )
+            ).alias("__cents")
         )
     )
-    scored = (
-        df.select(
-            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vnorm")
-        )
-        .crossJoin(c)
-        .withColumn(
-            "__cos",
-            _dot(F.col(vec_col), F.col("__cvec"))
-            / (F.col("__vnorm") * F.col("__cnorm")),
-        )
+    base = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vnorm")
+    ).crossJoin(packed)
+    scored_arr = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (
+                _dot(F.col(vec_col), c["cvec"]) / (F.col("__vnorm") * c["cnorm"])
+            ).alias("cos"),
+            c["cid"].alias("cid"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cos").desc(), F.col(centroid_id_col).asc()
+    if n == 1:
+        best = F.aggregate(
+            scored_arr,
+            F.struct(
+                F.lit(float("-inf")).alias("cos"),
+                F.lit(-1).cast("long").alias("cid"),
+            ),
+            lambda acc, x: F.when(
+                (x["cos"] > acc["cos"])
+                | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+        return base.select(
+            F.col(id_col), F.col(vec_col), best["cid"].alias(centroid_id_col)
+        )
+    ranked = F.array_sort(
+        scored_arr,
+        lambda l, r: F.when(l["cos"] > r["cos"], F.lit(-1))
+        .when(l["cos"] < r["cos"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
-        .select(id_col, vec_col, centroid_id_col)
+        base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.slice(ranked, 1, n)).alias("__top"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__top.cid").alias(centroid_id_col),
+        )
     )
 
 
