@@ -186,3 +186,78 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# --- PII detection / redaction (north star; training corpora must scrub
+# emails, phone numbers, and live URLs before release) -----------------------
+
+#: conservative patterns valid in both Java regex (Spark) and RE2
+#: (DuckDB oracle) — no lookarounds, no backreferences
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_URL = r"https?://[^\s]+"
+
+
+def pii_counts(text_col) -> Column:
+    """Struct of per-category PII hit counts — pure regexp_extract_all +
+    size, map-side."""
+    return F.struct(
+        # idx=0 = whole match (the patterns are group-free)
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_URL), 0)).alias("n_urls"),
+    )
+
+
+def pii_redact(text_col) -> Column:
+    """Replace every PII span with a typed placeholder token (the
+    standard corpus-scrub transform).  Order matters: URLs first so an
+    address inside a URL query string does not leave a dangling host."""
+    out = F.regexp_replace(text_col, PII_URL, "<URL>")
+    out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+# --- sequence packing (north star; training pipelines pack documents into
+# fixed-length sequences to avoid padding waste) ------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    text_col: str = "text",
+    seq_len: int = 512,
+    partition_col: Column | None = None,
+) -> DataFrame:
+    """Greedy sequential packing: documents are concatenated in
+    ``order_col`` order and cut into ``seq_len``-token training
+    sequences; each document is attributed to the bin where it starts.
+    Adds ``n_tokens``, ``start_offset``, ``bin``.
+
+    Scale shape: packing is inherently sequential, so production runs it
+    per shard — pass ``partition_col`` (e.g. a date or hash bucket) and
+    each shard packs independently inside one partition; bins are then
+    (shard, bin).  Without it the window is a single global sequence
+    (documented single-partition bound, dimension-scale inputs only —
+    same policy as gaps.contiguous_regions)."""
+    from pyspark.sql import Window
+
+    n_tok = token_count_col if token_count_col is not None else token_count(
+        F.col(text_col)
+    )
+    part = partition_col if partition_col is not None else F.lit(0)
+    w = Window.partitionBy(part).orderBy(order_col)
+    with_tok = df.withColumn("n_tokens", n_tok)
+    return (
+        with_tok.withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("bin", F.floor(F.col("start_offset") / seq_len))
+    )

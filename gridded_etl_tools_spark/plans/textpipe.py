@@ -257,3 +257,131 @@ def ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 5)
     )
+
+
+@query(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 5
+               WHEN 0 THEN ' contact user' || doc_id || '@example.com or admin@test.org'
+               WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN ' see https://example.com/page/' || doc_id || '?ref=x'
+               ELSE '' END AS text
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))                    AS n_phones,
+             len(regexp_extract_all(text, 'https?://[^\s]+'))                                AS n_urls,
+             sha256(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+             ) AS redacted_sha
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones, CAST(n_urls AS INT) AS n_urls,
+           redacted_sha
+    FROM hits WHERE n_emails + n_phones + n_urls > 0
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (north star: corpora must scrub emails,
+    phones, URLs before release).  The synthetic corpus carries no PII,
+    so deterministic PII is appended per doc in BOTH engines and the
+    real detector/redactor runs over it; the redacted text is
+    hash-compared, so the exact replacement spans are value-checked.
+    Map-only: regexp extraction and rewriting never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or admin@test.org"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(
+                    F.lit(" see https://example.com/page/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?ref=x"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    hits = aug.select(
+        "doc_id",
+        text_ops.pii_counts(F.col("text")).alias("pii"),
+        F.sha2(text_ops.pii_redact(F.col("text")).cast("binary"), 256).alias(
+            "redacted_sha"
+        ),
+    ).select(
+        "doc_id",
+        F.col("pii.n_emails").alias("n_emails"),
+        F.col("pii.n_phones").alias("n_phones"),
+        F.col("pii.n_urls").alias("n_urls"),
+        "redacted_sha",
+    )
+    return hits.filter(
+        F.col("n_emails") + F.col("n_phones") + F.col("n_urls") > 0
+    )
+
+
+@query(
+    "sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM t
+    )
+    SELECT CAST(start_offset // 512 AS BIGINT) AS bin,
+           count(*)                            AS n_docs,
+           min(doc_id)                         AS first_doc,
+           max(doc_id)                         AS last_doc,
+           sum(n_tokens)                       AS bin_tokens
+    FROM o
+    GROUP BY 1
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (north star: training pipelines concatenate docs
+    and cut fixed-length sequences to avoid padding waste): greedy
+    sequential packing into 512-token bins, rolled up per bin.  Packing
+    is inherently sequential, so production partitions by shard
+    (pack_sequences(partition_col=...)); the catalog run packs one
+    global sequence over the dimension-scale documents table."""
+    docs = load(spark, sf_dir, "documents")
+    packed = text_ops.pack_sequences(docs, seq_len=512)
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

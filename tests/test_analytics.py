@@ -174,3 +174,49 @@ def test_quantized_ann_recall(spark):
     truth = sim.cosine_topk(probes, emb, k=5).collect()
     approx = sim.quantized_cosine_topk(probes, emb, k=5).collect()
     assert _recall_at_5(truth, approx) >= 0.8
+
+
+def test_pii_detect_and_redact(spark):
+    from gridded_etl_tools_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk now"),
+            (2, "call 415-555-0137 or 415.555.0138"),
+            (3, "docs at https://ex.com/a?b=1 and http://y.org"),
+            (4, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        text_ops.pii_counts(F.col("text")).alias("pii"),
+        text_ops.pii_redact(F.col("text")).alias("red"),
+    ).orderBy("doc_id").collect()
+    assert (out[0]["pii"]["n_emails"], out[0]["pii"]["n_phones"]) == (1, 0)
+    assert "<EMAIL>" in out[0]["red"] and "@" not in out[0]["red"]
+    assert out[1]["pii"]["n_phones"] == 2
+    assert out[1]["red"].count("<PHONE>") == 2
+    assert out[2]["pii"]["n_urls"] == 2
+    assert out[2]["red"].count("<URL>") == 2
+    assert out[3]["pii"] == (0, 0, 0) and out[3]["red"] == "no pii here"
+
+
+def test_pack_sequences_per_shard(spark):
+    from gridded_etl_tools_spark.operators import text as text_ops
+
+    rows = [(s, i, "w " * 100) for s in (0, 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "shard int, doc_id long, text string")
+    packed = text_ops.pack_sequences(
+        df, seq_len=256, partition_col=F.col("shard")
+    )
+    got = {
+        (r["shard"], r["doc_id"]): (r["bin"], r["start_offset"], r["n_tokens"])
+        for r in packed.collect()
+    }
+    # 100 tokens per doc, 256-token bins: docs 0,1,2 start at offsets
+    # 0/100/200 (bin 0), docs 3,4,5 at 300/400/500 (bin 1) — per shard
+    for s in (0, 1):
+        assert [got[(s, i)][0] for i in range(6)] == [0, 0, 0, 1, 1, 1]
+        assert got[(s, 0)][1] == 0 and got[(s, 3)][1] == 300
+        assert got[(s, 0)][2] == 100
