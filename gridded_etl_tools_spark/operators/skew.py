@@ -55,36 +55,33 @@ def salted_join(
 def two_phase_agg(
     df: DataFrame,
     keys: list[str],
-    agg_exprs: dict[str, str],
+    agg_exprs: dict[str, str | list[str]],
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Skew-proof aggregation: partial aggregate on (keys ⊕ salt), then
     final aggregate on keys.  Supports the decomposable aggs
     (sum/count/min/max); mean = sum/count downstream.
 
-    ``agg_exprs``: {column: one of sum|count|min|max}.  Output columns are
-    ``{fn}_{col}``.
+    ``agg_exprs``: {column: fn or [fn, ...]} with fn one of
+    sum|count|min|max.  Output columns are ``{fn}_{col}``.
     """
     _partials = {
         "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
     }
     _finals = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    for fn in agg_exprs.values():
-        if fn not in _partials:
-            raise ValueError(f"unsupported agg {fn!r}")
+    pairs: list[tuple[str, str]] = []
+    for col, fns in agg_exprs.items():
+        for fn in [fns] if isinstance(fns, str) else list(fns):
+            if fn not in _partials:
+                raise ValueError(f"unsupported agg {fn!r}")
+            pairs.append((col, fn))
 
     salted = df.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     )
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[
-            _partials[fn](col).alias(f"{fn}_{col}")
-            for col, fn in agg_exprs.items()
-        ]
+        *[_partials[fn](col).alias(f"{fn}_{col}") for col, fn in pairs]
     )
     return partial.groupBy(*keys).agg(
-        *[
-            _finals[fn](f"{fn}_{col}").alias(f"{fn}_{col}")
-            for col, fn in agg_exprs.items()
-        ]
+        *[_finals[fn](f"{fn}_{col}").alias(f"{fn}_{col}") for col, fn in pairs]
     )

@@ -418,3 +418,82 @@ def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") - prev, 4).alias("delta"),
         F.round((F.col("total") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(round(avg(value), 6) AS DOUBLE) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)                                          AS n,
+           CAST(round(sum(CAST(abs(e.value - d.type_avg)
+                 AS DECIMAL(18,6))), 2) AS DOUBLE)           AS total_abs_dev
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (100 TB hardening, operators/skew.py): events
+    keyed by a handful of event types — exactly the degenerate-key shape
+    that collapses a shuffled join into one straggler task — joined to a
+    small per-type dim through ``salted_join``, which scatters each hot
+    key across salt buckets and replicates the dim per bucket.  The
+    oracle is the UNSALTED join, so the salting is value-checked as a
+    pure plan transform (decimal sum keeps the re-ordered addition
+    exact)."""
+    from gridded_etl_tools_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).cast("double").alias("type_avg")
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, on=["event_type"], salt_buckets=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.abs(F.col("value") - F.col("type_avg")).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("total_abs_dev"),
+    )
+
+
+@query(
+    "skew_two_phase_agg",
+    """
+    SELECT event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           count(value)     AS count_value,
+           min(value)       AS min_value,
+           max(value)       AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted partial → final) aggregation over a hot key
+    (operators/skew.py): the explicit form of map-side combine for the
+    case where one group dwarfs the shuffle.  Value-checked against the
+    plain single-phase oracle; the sum runs in decimal so the salted
+    re-association is exact."""
+    from gridded_etl_tools_spark.operators.skew import two_phase_agg
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    out = two_phase_agg(
+        ev, keys=["event_type"],
+        agg_exprs={"value": ["sum", "count", "min", "max"]}, salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "count_value",
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
