@@ -541,6 +541,36 @@ class GriddedTable:
         finally:
             self._release_failed(pointer)
 
+    def expire_versions(self, keep_last: int) -> list[int]:
+        """Retention maintenance (the Iceberg ``expireSnapshots`` analog,
+        complementing :meth:`vacuum`): drop all but the newest
+        ``keep_last`` versions' manifests, then sweep data files no
+        surviving manifest references.  Time travel keeps working for
+        the retained window; older versions become unreadable by design.
+        Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if not self.exists():
+            return []
+        pointer = self._acquire()
+        try:
+            versions = [h["version"] for h in self.history()]
+            expired = versions[:-keep_last]
+            current = pointer["version"]
+            if current in expired:
+                raise TableCorruptionGuard(
+                    f"refusing to expire the live version v{current}"
+                )
+            live: set[str] = set()
+            for v in versions[-keep_last:]:
+                live |= set(self.snapshot(v).paths())
+            for v in expired:
+                os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
+            self._sweep_unreferenced(live)
+            return expired
+        finally:
+            self._release_failed(pointer)
+
     def _sweep_unreferenced(self, live: set[str]) -> list[str]:
         removed: list[str] = []
         if not os.path.isdir(self._data_dir):

@@ -307,3 +307,64 @@ def test_append_enforces_committed_schema(spark, month1, month2, tmp_path):
 
     with pytest.raises(TableCorruptionGuard, match="schema evolution"):
         t.append(month1.withColumn("extra", F.lit(1)))
+
+
+def test_expire_versions_retention(spark, month1, month2, tmp_path):
+    """expireSnapshots analog: old manifests drop, their exclusive data
+    files are swept, retained versions still time-travel, and the live
+    version can never be expired."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)                                   # v0
+    t.append(month2)                                          # v1
+    t.write_initial(month1.limit(100), overwrite=True)        # v2 (fresh files)
+    assert [h["version"] for h in t.history()] == [0, 1, 2]
+
+    expired = t.expire_versions(keep_last=2)
+    assert expired == [0]
+    assert [h["version"] for h in t.history()] == [1, 2]
+    # retained versions readable; expired one gone
+    assert t.read(spark, version=1).count() == 976
+    assert t.read(spark).count() == 100
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+    assert not t.update_in_progress()
+
+    with pytest.raises(ValueError):
+        t.expire_versions(keep_last=0)
+
+
+def test_incremental_rollup_maintenance(spark, month1, month2, tmp_path):
+    """IVM invariant: maintaining a materialized daily rollup from the
+    table's change feed equals recomputing it from scratch — across an
+    append AND a surgical in-place overwrite (delete+insert netting)."""
+    from gridded_etl_tools_spark.operators.ivm import (
+        apply_rollup_delta, full_rollup, rollup_delta,
+    )
+
+    keys, sums = ["time"], ["value"]
+    dec = F.col("value").cast("decimal(18,6)").alias("value")
+
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)                                    # v0
+    rollup = full_rollup(t.read(spark).select("time", dec), keys, sums)
+
+    t.append(month2)                                           # v1: append
+    day = dt.datetime(2024, 11, 12)
+    upd = t.read(spark).withColumn(
+        "value",
+        F.when(F.col("time") == day, F.col("value") + 5.0).otherwise(
+            F.col("value")
+        ),
+    ).filter(F.date_format("time", "yyyy-MM") == "2024-11")
+    t.overwrite_buckets(upd, {"2024-11"})                      # v2: update
+
+    feed = t.diff(spark, 0, 2).select("time", dec, "_change_type")
+    maintained = apply_rollup_delta(
+        rollup, rollup_delta(feed, keys, sums), keys, sums
+    )
+    recomputed = full_rollup(t.read(spark).select("time", dec), keys, sums)
+
+    got = {r["time"]: (r["n"], r["sum_value"]) for r in maintained.collect()}
+    want = {r["time"]: (r["n"], r["sum_value"]) for r in recomputed.collect()}
+    assert got == want                      # decimal sums: exact equality
+    assert len(want) == 61                  # 30 + 31 days
