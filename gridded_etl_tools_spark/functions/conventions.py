@@ -19,6 +19,7 @@ gated behind an import-try and raises ``NotImplementedError`` when absent
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -173,3 +174,61 @@ def reproject_coords(
         .withColumn(y_col, F.col("__xy.y"))
         .drop("__xy")
     )
+
+
+# --- spherical Lambert Conformal Conic, pure column trig ---------------------
+#
+# The reference's one concrete projection use is the CF lambert_conformal
+# _conic mapping (util_funcs/projections.py:6-43 docstring: sphere
+# R=6371200, standard parallels 25/25, origin 25/265) applied through
+# metpy/pyproj.  The spherical LCC equations are public (Snyder, "Map
+# Projections — A Working Manual", USGS PP 1395, eqs. 15-1..15-5 and
+# 14-1..14-2 inverse), so the transform is implemented here as plain JVM
+# column expressions: no pyproj, no UDF, runs inside whole-stage codegen
+# and an engine-independent SQL oracle can reproduce it.
+
+
+def lcc_constants(
+    phi1_deg: float,
+    phi2_deg: float,
+    phi0_deg: float,
+    lon0_deg: float,
+    radius: float,
+) -> dict[str, float]:
+    """Projection constants (n, F, rho0) precomputed in Python doubles so
+    Spark and any SQL oracle share bit-identical literals."""
+    p1, p2, p0 = (math.radians(d) for d in (phi1_deg, phi2_deg, phi0_deg))
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = math.log(math.cos(p1) / math.cos(p2)) / math.log(
+            math.tan(math.pi / 4 + p2 / 2) / math.tan(math.pi / 4 + p1 / 2)
+        )
+    big_f = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = radius * big_f / math.tan(math.pi / 4 + p0 / 2) ** n
+    return {"n": n, "F": big_f, "rho0": rho0, "R": radius, "lon0": lon0_deg}
+
+
+def lcc_forward(lon_col, lat_col, c: dict[str, float]):
+    """(easting, northing) columns for degree lon/lat inputs."""
+    n, big_f, rho0, radius = c["n"], c["F"], c["rho0"], c["R"]
+    dlon = F.pmod(lon_col - F.lit(c["lon0"]) + F.lit(540.0), F.lit(360.0)) - F.lit(180.0)
+    theta = F.lit(n) * F.radians(dlon)
+    rho = F.lit(radius * big_f) / F.pow(
+        F.tan(F.lit(math.pi / 4) + F.radians(lat_col) / 2), F.lit(n)
+    )
+    return rho * F.sin(theta), F.lit(rho0) - rho * F.cos(theta)
+
+
+def lcc_inverse(x_col, y_col, c: dict[str, float]):
+    """(lon, lat) degree columns for easting/northing inputs (n > 0)."""
+    n, big_f, rho0, radius = c["n"], c["F"], c["rho0"], c["R"]
+    rho = F.sqrt(x_col * x_col + (F.lit(rho0) - y_col) * (F.lit(rho0) - y_col))
+    theta = F.atan2(x_col, F.lit(rho0) - y_col)
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.pow(F.lit(radius * big_f) / rho, F.lit(1.0 / n)))
+        - F.lit(math.pi / 2)
+    )
+    lon = F.lit(c["lon0"]) + F.degrees(theta / F.lit(n))
+    lon = F.pmod(lon + F.lit(540.0), F.lit(360.0)) - F.lit(180.0)
+    return lon, lat

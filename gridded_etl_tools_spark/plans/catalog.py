@@ -1585,6 +1585,72 @@ def ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lcc_oracle() -> str:
+    """Same Snyder spherical-LCC math in DuckDB SQL, sharing the exact
+    Python-double constants with the Spark side."""
+    from gridded_etl_tools_spark.functions.conventions import lcc_constants
+
+    c = lcc_constants(25.0, 25.0, 25.0, 265.0, 6371200.0)
+    n, rf, rho0, lon0 = c["n"], c["R"] * c["F"], c["rho0"], c["lon0"]
+    return f"""
+    WITH g AS (
+      SELECT i, 20.0 + (i // 30) * 0.5 AS lat, -110.0 + (i % 30) * 0.5 AS lon
+      FROM (SELECT unnest(range(0, 900)) AS i)
+    ),
+    fwd AS (
+      SELECT i, lon, lat,
+             ({rf!r} / pow(tan(pi()/4 + radians(lat)/2), {n!r}))
+               * sin({n!r} * radians(((lon - {lon0!r} + 540.0) % 360.0) - 180.0)) AS x,
+             {rho0!r} - ({rf!r} / pow(tan(pi()/4 + radians(lat)/2), {n!r}))
+               * cos({n!r} * radians(((lon - {lon0!r} + 540.0) % 360.0) - 180.0)) AS y
+      FROM g
+    ),
+    inv AS (
+      SELECT i, lon, lat, x, y,
+             degrees(2 * atan(pow({rf!r} / sqrt(x*x + ({rho0!r}-y)*({rho0!r}-y)),
+                              {1.0 / n!r})) - pi()/2)                  AS lat_back,
+             ((({lon0!r} + degrees(atan2(x, {rho0!r} - y) / {n!r})) + 540.0)
+               % 360.0) - 180.0                                        AS lon_back
+      FROM fwd
+    )
+    SELECT i, round(x, 3) AS x, round(y, 3) AS y,
+           round(abs(lon_back - lon) + abs(lat_back - lat), 6) AS rt_err
+    FROM inv
+    """
+
+
+@query("lcc_reproject", _lcc_oracle())
+def lcc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 real-projection path without pyproj: spherical Lambert
+    Conformal Conic forward + inverse (Snyder eqs., the reference's one
+    concrete grid_mapping — ``util_funcs/projections.py:6-43`` example
+    params: R=6371200, parallels 25/25, origin 25/265) as pure JVM
+    column trig over a generated 30x30 degree grid.  Easting/northing
+    value-checked to the millimeter against the SQL oracle; rt_err pins
+    the inverse round trip to < 1e-6 degrees."""
+    from gridded_etl_tools_spark.functions.conventions import (
+        lcc_constants, lcc_forward, lcc_inverse,
+    )
+
+    c = lcc_constants(25.0, 25.0, 25.0, 265.0, 6371200.0)
+    grid = spark.range(0, 900).select(
+        F.col("id").alias("i"),
+        (20.0 + (F.col("id") / 30).cast("long") * 0.5).alias("lat"),
+        (-110.0 + (F.col("id") % 30) * 0.5).alias("lon"),
+    )
+    x, y = lcc_forward(F.col("lon"), F.col("lat"), c)
+    fwd = grid.select("i", "lon", "lat", x.alias("x"), y.alias("y"))
+    lon_b, lat_b = lcc_inverse(F.col("x"), F.col("y"), c)
+    return fwd.select(
+        "i",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round(
+            F.abs(lon_b - F.col("lon")) + F.abs(lat_b - F.col("lat")), 6
+        ).alias("rt_err"),
+    )
+
+
 @query(
     "grid_axis_spacing",
     """
