@@ -209,3 +209,144 @@ def test_interval_overlap_join_matches_brute_force(spark, l_specs, r_specs, widt
         if ls <= re and rs <= le
     )
     assert got == expected  # exact multiset: no duplicates, no misses
+
+
+# --- format decoders: pure-Python round trips, no Spark per example ----------
+
+_dims = st.integers(min_value=1, max_value=7)
+_small_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+).map(lambda v: round(v))
+
+
+@given(
+    nt=_dims, nlat=_dims, nlon=_dims,
+    version=st.sampled_from([1, 5]),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_netcdf3_roundtrip_any_grid(nt, nlat, nlon, version, data):
+    """write_netcdf3 → parse_netcdf3 is the identity for any small grid,
+    in both CDF-1 and CDF-5 (64-bit counts) layouts."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    vals = np.array(
+        data.draw(
+            st.lists(
+                _small_floats,
+                min_size=nt * nlat * nlon,
+                max_size=nt * nlat * nlon,
+            )
+        ),
+        dtype="f8",
+    ).reshape(nt, nlat, nlon)
+    import io, os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.nc")
+        nc.write_netcdf3(
+            path,
+            dims={"time": None, "lat": nlat, "lon": nlon},
+            variables={
+                "time": (("time",), nc.NC_DOUBLE, {}, np.arange(nt, dtype="f8")),
+                "lat": (("lat",), nc.NC_DOUBLE, {}, np.arange(nlat, dtype="f8")),
+                "lon": (("lon",), nc.NC_DOUBLE, {}, np.arange(nlon, dtype="f8")),
+                "v": (("time", "lat", "lon"), nc.NC_DOUBLE, {}, vals),
+            },
+            version=version,
+        )
+        ds = nc.parse_netcdf3(open(path, "rb").read())
+    assert ds.dims == {"time": nt, "lat": nlat, "lon": nlon}
+    np.testing.assert_array_equal(ds.variables["v"].data, vals)
+
+
+@given(nj=_dims, ni=_dims, mask_frac=st.floats(0, 0.9), data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_grib1_roundtrip_any_bitmap(nj, ni, mask_frac, data):
+    """write_grib1 → parse_grib1 preserves values and NaN mask for any
+    grid shape — including every bitmap byte-parity (the r3 BMS pad
+    bug's whole input class)."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import grib1 as g1
+
+    n = nj * ni
+    vals = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=60000), min_size=n, max_size=n
+            )
+        ),
+        dtype="f8",
+    ).reshape(nj, ni)
+    n_mask = int(mask_frac * n)
+    if n_mask >= n:
+        n_mask = n - 1  # at least one present value
+    flat = vals.reshape(-1)
+    flat[:n_mask] = np.nan
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.grib")
+        g1.write_grib1(
+            path,
+            [{
+                "values": vals,
+                "lats": 50.0 - 0.5 * np.arange(nj),
+                "lons": -100.0 + 0.5 * np.arange(ni),
+                "reference_time": dt.datetime(2024, 6, 1),
+                "p1_hours": 3,
+                "nbits": 16,
+            }],
+        )
+        (m,) = g1.parse_grib1(open(path, "rb").read())
+    np.testing.assert_array_equal(np.isnan(m.values), np.isnan(vals))
+    np.testing.assert_allclose(
+        m.values[~np.isnan(vals)], vals[~np.isnan(vals)]
+    )
+
+
+@given(
+    shape=st.tuples(_dims, _dims, _dims),
+    chunked=st.booleans(),
+    compress=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_hdf5_roundtrip_any_layout(shape, chunked, compress, data):
+    """write_hdf5 → parse_hdf5 is the identity across layouts: contiguous
+    and chunked (any chunk grid, edge overhang) × shuffle+deflate."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    n = shape[0] * shape[1] * shape[2]
+    vals = np.array(
+        data.draw(st.lists(_small_floats, min_size=n, max_size=n)), dtype="f8"
+    ).reshape(shape)
+    kw = {}
+    if chunked:
+        cs = tuple(
+            data.draw(st.integers(min_value=1, max_value=s), label="chunk")
+            for s in shape
+        )
+        kw = {"chunk_shapes": {"v": cs}, "compress": compress}
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.nc4")
+        h5.write_hdf5(
+            path,
+            {
+                "t": (("t",), np.arange(shape[0], dtype="f8"), {}),
+                "y": (("y",), np.arange(shape[1], dtype="f8"), {}),
+                "x": (("x",), np.arange(shape[2], dtype="f8"), {}),
+                "v": (("t", "y", "x"), vals, {}),
+            },
+            **kw,
+        )
+        f = h5.parse_hdf5(open(path, "rb").read())
+    assert f.variables["v"].dim_names == ("t", "y", "x")
+    np.testing.assert_array_equal(f.variables["v"].data, vals)
