@@ -62,6 +62,12 @@ HEADLINE = [
     "q9_product_profit",
     "q17_small_quantity_revenue",
     "dispersion_stats",
+    # r4 additions — the new operator families' heaviest plans (the
+    # suite total therefore steps up ~1.5s vs r1-r3; compare per-query
+    # medians across rounds, not the raw total):
+    "multimodal_features",   # Arrow mapInPandas round trip over documents
+    "pii_scrub",             # regexp extract+rewrite hot path
+    "skew_salted_join",      # salted hot-key join vs events
 ]
 
 

@@ -113,8 +113,23 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
 # --- low-level readers --------------------------------------------------------
 
 
+def _rebase(buf: bytes) -> bytes:
+    """Slice off a userblock, if any: the signature may sit at any
+    power-of-two offset ≥ 512 (spec II.A), and every file address is
+    relative to that base — so the tail slice IS the addressable file."""
+    if buf[:8] == _MAGIC:
+        return buf
+    off = 512
+    while off + 8 <= len(buf) and buf[off : off + 8] != _MAGIC:
+        off *= 2
+    if off + 8 > len(buf):
+        raise HDF5Error("not an HDF5 file (no signature found)")
+    return buf[off:]
+
+
 def _superblock_root(buf: bytes) -> int:
-    """Return the root-group object header address (superblock v0/v1)."""
+    """Return the root-group object header address (superblock v0/v1);
+    ``buf`` must already be rebased past any userblock."""
     if buf[:8] != _MAGIC:
         raise HDF5Error("not an HDF5 file (no signature at offset 0)")
     sbver = buf[8]
@@ -373,6 +388,7 @@ def parse_hdf5(buf: bytes) -> H5File:
     attributes, and dimension names resolved from ``DIMENSION_LIST``
     object references (falling back to unique shape-match against the
     1-D dimension-scale datasets)."""
+    buf = _rebase(buf)
     root = _superblock_root(buf)
     msgs = _object_header_messages(buf, root)
     root_attrs: dict = {}

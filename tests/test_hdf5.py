@@ -175,3 +175,14 @@ def test_netcdf4_initial_append_golden_point(spark, tmp_path):
     assert df.filter(F.col("value").isNull()).count() == 2
     # decode is distributed: the plan contains no collect-side steps
     assert df.filter(F.col("value") > 50.0).count() == 0
+
+
+def test_userblock_rebase(tmp_path):
+    """A userblock shifts the signature to a power-of-two offset; every
+    internal address is relative to it, so the rebased slice parses
+    identically."""
+    data = _write(str(tmp_path / "u.nc4"), 0, 2, seed=3)
+    raw = (tmp_path / "u.nc4").read_bytes()
+    with_block = b"\x00" * 512 + raw
+    f = h5.parse_hdf5(with_block)
+    np.testing.assert_allclose(f.variables["precip"].data, data)
