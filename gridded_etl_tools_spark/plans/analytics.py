@@ -75,6 +75,8 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+           -- + 0.0 rewrites -0.0 to +0.0 (same normalization as the
+           -- Spark side; the gate's stringify distinguishes the two)
            round(covar_pop(l_discount, l_tax), 6) + 0.0      AS disc_tax_covar_pop
     FROM lineitem GROUP BY 1
     """,
@@ -496,4 +498,46 @@ def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count_value",
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@query(
+    "seasonal_climatology",
+    """
+    WITH seasoned AS (
+      SELECT CASE WHEN month(ts) IN (12, 1, 2) THEN 'DJF'
+                  WHEN month(ts) IN (3, 4, 5)  THEN 'MAM'
+                  WHEN month(ts) IN (6, 7, 8)  THEN 'JJA'
+                  ELSE 'SON' END AS season,
+             event_type, value
+      FROM events
+    )
+    SELECT season, event_type,
+           count(*)                   AS n,
+           round(avg(value), 6)       AS mean_value,
+           round(stddev_samp(value), 6) AS sd_value
+    FROM seasoned GROUP BY season, event_type
+    """,
+)
+def seasonal_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-season rollup (the reference's SEASON TimeUnit,
+    ``time.py`` cadence algebra — DJF/MAM/JJA/SON is the climate-science
+    grouping its datasets publish at): a CASE-on-month key, then one
+    map-combinable agg; the shuffle carries one row per
+    (season, event_type)."""
+    ev = load(spark, sf_dir, "events")
+    season = (
+        F.when(F.month("ts").isin(12, 1, 2), "DJF")
+        .when(F.month("ts").isin(3, 4, 5), "MAM")
+        .when(F.month("ts").isin(6, 7, 8), "JJA")
+        .otherwise("SON")
+    )
+    return (
+        ev.select(season.alias("season"), "event_type", "value")
+        .groupBy("season", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        )
     )
