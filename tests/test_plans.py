@@ -151,3 +151,43 @@ def test_climatology_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert count_nodes(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+#: shuffle ceilings for flagship plans — the scale contract in CI form:
+#: a regression that adds an Exchange to any of these fails the build.
+#: Values are (max hashpartitioning exchanges, max single-partition
+#: exchanges) measured from the intended plan shape, not aspirations.
+SHUFFLE_BUDGET = {
+    "q1_pricing_summary": (1, 0),     # one partial+final agg
+    "daily_reduce": (1, 0),
+    "minhash_signatures": (0, 0),     # map-only signatures
+    "token_stats": (0, 0),            # pure column expressions
+    "quality_scores": (0, 0),
+    "multimodal_features": (0, 0),    # mapInPandas is map-side
+    "pii_scrub": (0, 0),              # regexp extract/rewrite map-side
+    "dedup_keep_first": (1, 0),       # one hash-agg on content key
+    "customer_retention": (2, 0),     # single-pass flags + cohort rollup
+    "session_stats": (1, 0),          # one shuffle on the entity key
+    "rollup_revenue": (2, 0),         # grouping-sets expand
+    "cosine_topk": (1, 0),            # broadcast probes, one top-k window
+    "skew_two_phase_agg": (2, 0),     # salted partial + final
+    "lsh_ann_topk": (2, 0),           # id-only candidate dedup + top-k
+    "ivf_ann_topk": (1, 2),           # cell join + topk; 2 tiny centroid packs
+    "sequence_packing": (0, 1),       # single documented global sequence
+    "windowed_event_counts": (1, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_plan_shuffle_budget(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    max_hash, max_single = SHUFFLE_BUDGET[name]
+    got_hash = plan.count("Exchange hashpartitioning")
+    got_single = plan.count("Exchange SinglePartition")
+    assert got_hash <= max_hash, (
+        f"{name}: {got_hash} hash exchanges > budget {max_hash}"
+    )
+    assert got_single <= max_single, (
+        f"{name}: {got_single} single-partition exchanges > budget {max_single}"
+    )
