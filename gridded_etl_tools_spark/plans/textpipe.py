@@ -385,3 +385,52 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@query(
+    "decontamination_flags",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    hashes AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    eval_h AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 10 = 5),
+    train  AS (SELECT doc_id, h FROM hashes WHERE doc_id % 10 <> 5)
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM train t JOIN eval_h e USING (h)
+    GROUP BY 1
+    """,
+)
+def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (north star; the 8-gram-overlap
+    train-vs-eval screen every release pipeline runs): training docs
+    sharing ANY 8-token shingle with the held-out eval slice (doc_id
+    ending in 5, a tenth of the corpus) are flagged with their shared-shingle count.
+
+    Physical shape: both sides reuse the rolling-hash shingle
+    projection; the eval side collapses to a distinct-hash set that is
+    BROADCAST (eval suites are tiny by construction), so the screen is
+    one map-side semi-join-shaped probe over the train shingles — no
+    all-pairs, no shuffle of the training corpus beyond the final
+    per-doc count."""
+    docs = load(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text_ops.rolling_hash_fingerprints(F.col("text"), 8))
+        ).alias("h"),
+    )
+    eval_h = (
+        hashes.filter(F.col("doc_id") % 10 == 5).select("h").distinct()
+    )
+    train = hashes.filter(F.col("doc_id") % 10 != 5)
+    return (
+        train.join(F.broadcast(eval_h), on="h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

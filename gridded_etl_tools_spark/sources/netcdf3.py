@@ -405,7 +405,6 @@ def write_netcdf3(
     order = sorted(
         variables.items(), key=lambda kv: rec_name in kv[1][0]
     )  # fixed vars first
-    var_entries = []
     # first pass to size the header
     def var_header_bytes(nm, dnames, t, vatts, begin) -> bytes:
         b = _enc_name(nm, version) + _nn(len(dnames), version)
