@@ -434,3 +434,41 @@ def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@query(
+    "sequence_packing_sharded",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM t
+    )
+    SELECT source, CAST(start_offset // 512 AS BIGINT) AS bin,
+           count(*)      AS n_docs,
+           sum(n_tokens) AS bin_tokens
+    FROM o
+    GROUP BY 1, 2
+    """,
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of sequence packing: each source shard packs
+    independently inside its own window partition (pack_sequences
+    partition_col), so the cumulative sum parallelizes across shards and
+    no single global sequence exists — bins are (shard, bin).  This is
+    the form a 100 TB packing job runs; the global-sequence variant
+    (``sequence_packing``) documents the single-partition bound."""
+    docs = load(spark, sf_dir, "documents")
+    packed = text_ops.pack_sequences(
+        docs, seq_len=512, partition_col=F.col("source")
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
