@@ -221,9 +221,16 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id,
              md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    -- boilerplate cap (Lee et al.): shingles appearing in > 50 docs are
+    -- headers/licenses, not copied passages — and posting-list joins
+    -- cost sum(len^2), so the cap is also the scale guarantee
+    capped AS (
+      SELECT doc_id, h FROM hashes
+      QUALIFY count(*) OVER (PARTITION BY h) <= 50
     )
     SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_shingles
-    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= 5
     """,
@@ -238,9 +245,10 @@ def ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (array intrinsics, no Python), deduped per doc, exploded
     to (hash, doc) and self-joined on hash — the classic inverted-index
     join whose cost is Σ posting-list², bounded by hash selectivity, not
-    |docs|².  At 100 TB the explode output partitions by hash; hot
-    hashes (boilerplate) would be dropped by a frequency cap exactly as
-    in the paper."""
+    |docs|².  Shingles appearing in more than 50 documents are dropped
+    before the join (the paper's boilerplate cap) — at 100 TB that cap
+    is what bounds the hot posting lists the self-join would otherwise
+    square."""
     docs = load(spark, sf_dir, "documents")
     hashes = docs.select(
         "doc_id",
@@ -248,6 +256,13 @@ def ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(text_ops.rolling_hash_fingerprints(F.col("text"), 8))
         ).alias("h"),
     )
+    # boilerplate cap (mirrors the oracle QUALIFY): posting lists longer
+    # than 50 docs are dropped before the self-join
+    from pyspark.sql.window import Window as _W
+
+    hashes = hashes.withColumn(
+        "__df", F.count(F.lit(1)).over(_W.partitionBy("h"))
+    ).filter(F.col("__df") <= 50).drop("__df")
     a, b = hashes.alias("a"), hashes.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
