@@ -222,11 +222,40 @@ def parse_grib1(buf: bytes) -> list[GribMessage]:
     return out
 
 
-def grib1_long_frame(buf: bytes) -> pd.DataFrame:
-    """Decode all messages to long form: one row per (valid_time, lat,
-    lon) cell; bitmap-masked cells are NaN."""
+def select_messages(
+    messages: list[GribMessage],
+    parameter: int | None = None,
+    level_type: int | None = None,
+    level: int | None = None,
+) -> list[GribMessage]:
+    """Layer pick (reference ``grib_filter`` + ``scan_indices``,
+    ``utils/transform.py:226-279``): GRIB archives interleave parameters
+    and levels in one file; real ingests keep exactly one layer."""
+    out = [
+        m
+        for m in messages
+        if (parameter is None or m.parameter == parameter)
+        and (level_type is None or m.level_type == level_type)
+        and (level is None or m.level == level)
+    ]
+    if not out:
+        raise GRIB1Error(
+            f"no messages match parameter={parameter} "
+            f"level_type={level_type} level={level}"
+        )
+    return out
+
+
+def grib1_long_frame(
+    buf: bytes,
+    parameter: int | None = None,
+    level_type: int | None = None,
+    level: int | None = None,
+) -> pd.DataFrame:
+    """Decode (optionally one layer of) all messages to long form: one
+    row per (valid_time, lat, lon) cell; bitmap-masked cells are NaN."""
     frames = []
-    for m in parse_grib1(buf):
+    for m in select_messages(parse_grib1(buf), parameter, level_type, level):
         lon_mesh, lat_mesh = np.meshgrid(m.lons, m.lats)
         frames.append(
             pd.DataFrame(
@@ -253,14 +282,23 @@ def decode_schema() -> T.StructType:
     )
 
 
-def decode_grib1_long(files: DataFrame) -> DataFrame:
+def decode_grib1_long(
+    files: DataFrame,
+    parameter: int | None = None,
+    level_type: int | None = None,
+    level: int | None = None,
+) -> DataFrame:
     """Distributed decode: ``binaryFile`` rows (path, content) → long-form
-    rows via Arrow-batched ``mapInPandas``; NaN (bitmap) becomes NULL."""
+    rows via Arrow-batched ``mapInPandas``; NaN (bitmap) becomes NULL.
+    ``parameter``/``level_type``/``level`` pick one layer from
+    multi-layer archives (reference ``grib_filter``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                frame = grib1_long_frame(bytes(content))
+                frame = grib1_long_frame(
+                    bytes(content), parameter, level_type, level
+                )
                 frame.insert(0, "path", path)
                 yield frame
 

@@ -388,6 +388,15 @@ def parse_hdf5(buf: bytes) -> H5File:
     attributes, and dimension names resolved from ``DIMENSION_LIST``
     object references (falling back to unique shape-match against the
     1-D dimension-scale datasets)."""
+    try:
+        return _parse_hdf5_inner(buf)
+    except (struct.error, IndexError) as e:
+        # truncated / corrupt structures surface as the typed error, not
+        # a bare struct unpack failure
+        raise HDF5Error(f"truncated or corrupt HDF5 structure: {e}") from e
+
+
+def _parse_hdf5_inner(buf: bytes) -> H5File:
     buf = _rebase(buf)
     root = _superblock_root(buf)
     msgs = _object_header_messages(buf, root)

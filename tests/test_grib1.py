@@ -155,3 +155,28 @@ def test_grib_initial_append_golden_point(spark, tmp_path):
 def test_decode_rejects_non_grib(tmp_path):
     with pytest.raises(g1.GRIB1Error):
         g1.parse_grib1(b"not a grib file at all")
+
+
+def test_layer_selection(tmp_path):
+    """Multi-layer archives (mixed parameters/levels in one file): the
+    grib_filter analog picks exactly one layer (reference
+    utils/transform.py:226-279 scan_indices semantics)."""
+    grids = [_grid(0), _grid(1)]
+    g1.write_grib1(
+        str(tmp_path / "m.grib"),
+        [
+            {"values": grids[0], "lats": LATS, "lons": LONS,
+             "reference_time": REF, "p1_hours": 0,
+             "parameter": 61, "level_type": 1, "level": 0, "nbits": 8},
+            {"values": grids[1], "lats": LATS, "lons": LONS,
+             "reference_time": REF, "p1_hours": 0,
+             "parameter": 11, "level_type": 100, "level": 850, "nbits": 8},
+        ],
+    )
+    buf = (tmp_path / "m.grib").read_bytes()
+    msgs = g1.select_messages(g1.parse_grib1(buf), parameter=11)
+    assert len(msgs) == 1 and msgs[0].level == 850
+    frame = g1.grib1_long_frame(buf, parameter=61)
+    assert len(frame) == LATS.size * LONS.size
+    with pytest.raises(g1.GRIB1Error, match="no messages match"):
+        g1.grib1_long_frame(buf, parameter=99)

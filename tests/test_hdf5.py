@@ -186,3 +186,10 @@ def test_userblock_rebase(tmp_path):
     with_block = b"\x00" * 512 + raw
     f = h5.parse_hdf5(with_block)
     np.testing.assert_allclose(f.variables["precip"].data, data)
+
+
+def test_truncated_file_raises_typed_error(tmp_path):
+    _write(str(tmp_path / "t.nc4"), 0, 2, seed=5)
+    raw = (tmp_path / "t.nc4").read_bytes()
+    with pytest.raises(h5.HDF5Error):
+        h5.parse_hdf5(raw[: len(raw) // 3])
