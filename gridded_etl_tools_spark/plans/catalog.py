@@ -2249,3 +2249,69 @@ from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,
 from gridded_etl_tools_spark.plans import multimodal_plans as _multimodal  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import relational as _relational  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import textpipe as _textpipe  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Commit-protocol read-back (W3/W7/Q11): a real GriddedTable on disk,
+# written through the manifest protocol, read back with manifest pruning
+# ---------------------------------------------------------------------------
+
+def _table_fixture_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf, hash-named) a GriddedTable from the events
+    table's daily per-type means: initial publish of the first 20 days,
+    append of the rest — so the on-disk table is a REAL two-version
+    manifest-committed dataset derived deterministically from testdata."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    digest = hashlib.md5(f"table_fixture_v1|{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tbl_fixture_{digest}"
+    )
+    t = GriddedTable(root, time_col="day")
+    if not t.exists():
+        ev = load(spark, sf_dir, "events")
+        daily = (
+            ev.groupBy(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("value"), 6).alias("mean_value"),
+            )
+        )
+        cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+        t.write_initial(daily.filter(F.col("day") < cut))
+        t.append(daily.filter(F.col("day") >= cut))
+    return root
+
+
+@query(
+    "published_table_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, round(avg(value), 6) AS mean_value
+    FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def published_table_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W7/Q11 under the oracle: daily aggregates are published into a
+    real on-disk GriddedTable (initial + append = two manifest versions),
+    then read back through the manifest layer with a time-range predicate
+    that prunes at the file level before Spark lists anything.  The
+    oracle recomputes the same slice straight from events, so the whole
+    commit protocol — immutable files, pointer swap, union of versions,
+    stat-based pruning — must be value-transparent."""
+    import datetime as _dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    root = _table_fixture_root(spark, sf_dir)
+    t = GriddedTable(root, time_col="day")
+    return t.read(spark, time_lo=_dt.datetime(2024, 1, 10))
