@@ -646,7 +646,8 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part JOIN cost ON l_partkey = p_partkey
       WHERE p_size < 10 AND p_type = 'LARGE'
     )
-    SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+    SELECT p_partkey, p_name, s_name,
+           CAST(round(CAST(unit_cost AS DECIMAL(18,6)), 4) AS DOUBLE) AS unit_cost
     FROM ranked JOIN supplier ON s_suppkey = l_suppkey
     WHERE rn = 1
     """,
@@ -675,7 +676,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "p_partkey", "p_name", "s_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # round through decimal: direct round(double, 4) is engine-
+            # divergent on half-way values (found at sf0.1: 470.91725
+            # rounded .9172 vs .9173); dec(18,6) pins the half-way case
+            # and HALF_UP agrees across engines
+            F.round(F.col("unit_cost").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("unit_cost"),
         )
     )
 

@@ -207,6 +207,15 @@ def _parse_message(buf: bytes, start: int) -> tuple[GribMessage, int]:
 def parse_grib1(buf: bytes) -> list[GribMessage]:
     """Parse every message in a GRIB1 file buffer (archives concatenate
     one message per time step / level)."""
+    try:
+        return _parse_grib1_inner(buf)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, GRIB1Error):
+            raise
+        raise GRIB1Error(f"truncated or corrupt GRIB1 structure: {e}") from e
+
+
+def _parse_grib1_inner(buf: bytes) -> list[GribMessage]:
     out: list[GribMessage] = []
     pos = 0
     while pos < len(buf):

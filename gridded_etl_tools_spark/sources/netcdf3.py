@@ -140,7 +140,16 @@ def parse_netcdf3(buf: bytes) -> NCDataset:
     """Parse a classic NetCDF3 byte buffer (CDF-1, 64-bit-offset CDF-2,
     or 64-bit-data CDF-5) into dims/attrs/variables with
     fully-materialized numpy arrays (raw, pre-CF-unpacking)."""
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+    try:
+        return _parse_netcdf3_inner(buf)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, NetCDF3Error):
+            raise
+        raise NetCDF3Error(f"truncated or corrupt NetCDF3 structure: {e}") from e
+
+
+def _parse_netcdf3_inner(buf: bytes) -> NCDataset:
+    if len(buf) < 4 or buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise NetCDF3Error("not a classic NetCDF3 (CDF-1/2/5) file")
     version = buf[3]
     r = _Reader(buf, version)

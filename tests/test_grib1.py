@@ -180,3 +180,10 @@ def test_layer_selection(tmp_path):
     assert len(frame) == LATS.size * LONS.size
     with pytest.raises(g1.GRIB1Error, match="no messages match"):
         g1.grib1_long_frame(buf, parameter=99)
+
+
+def test_truncated_file_raises_typed_error(tmp_path):
+    _write(str(tmp_path / "t.grib"), [0])
+    raw = (tmp_path / "t.grib").read_bytes()
+    with pytest.raises(g1.GRIB1Error):
+        g1.parse_grib1(raw[:30])

@@ -215,3 +215,10 @@ def test_cdf5_round_trip(tmp_path):
     unpacked = nc.cf_unpack(ds.variables["v"])
     assert np.isnan(unpacked[1, 2, 1])  # 63 = 21*3 at flat index 21
     assert unpacked[0, 0, 1] == 3.0
+
+
+def test_truncated_file_raises_typed_error(tmp_path):
+    _write_nc(str(tmp_path / "t.nc"), 0, 3, seed=9)
+    raw = (tmp_path / "t.nc").read_bytes()
+    with pytest.raises(nc.NetCDF3Error):
+        nc.parse_netcdf3(raw[:40])
