@@ -47,8 +47,10 @@ _MAGIC = b"\x89HDF\r\n\x1a\n"
 
 # message type ids (spec IV.A.2)
 MSG_DATASPACE = 0x0001
+MSG_LINK_INFO = 0x0002
 MSG_DATATYPE = 0x0003
 MSG_FILL_VALUE = 0x0005
+MSG_LINK = 0x0006
 MSG_LAYOUT = 0x0008
 MSG_FILTERS = 0x000B
 MSG_ATTRIBUTE = 0x000C
@@ -128,16 +130,20 @@ def _rebase(buf: bytes) -> bytes:
 
 
 def _superblock_root(buf: bytes) -> int:
-    """Return the root-group object header address (superblock v0/v1);
+    """Return the root-group object header address (superblock v0/v1,
+    or the compact v2/v3 layout libver='latest' files use);
     ``buf`` must already be rebased past any userblock."""
     if buf[:8] != _MAGIC:
         raise HDF5Error("not an HDF5 file (no signature at offset 0)")
     sbver = buf[8]
+    if sbver in (2, 3):
+        # v2/3: sizes(2) flags(1) then base/ext/eof/root addresses
+        if buf[9] != 8 or buf[10] != 8:
+            raise HDF5Error("only 8-byte offsets/lengths supported")
+        (ohdr_addr,) = struct.unpack_from("<Q", buf, 36)
+        return ohdr_addr
     if sbver not in (0, 1):
-        raise HDF5Error(
-            f"superblock version {sbver} unsupported (netcdf-c/h5py default "
-            "is 0; re-save without libver='latest')"
-        )
+        raise HDF5Error(f"superblock version {sbver} unsupported")
     if buf[13] != 8 or buf[14] != 8:
         raise HDF5Error("only 8-byte offsets/lengths supported")
     # v0: 24 bytes of fixed fields then 4 addresses, then the root group
@@ -148,12 +154,12 @@ def _superblock_root(buf: bytes) -> int:
 
 
 def _object_header_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
-    """All (type, body) messages of a version-1 object header, following
-    continuation blocks."""
+    """All (type, body) messages of a version-1 or version-2 ('OHDR')
+    object header, following continuation blocks."""
+    if buf[addr : addr + 4] == b"OHDR":
+        return _ohdr_v2_messages(buf, addr)
     if buf[addr] != 1:
-        raise HDF5Error(f"object header version {buf[addr]} unsupported (v2 "
-                        "'OHDR' headers need libver latest; not emitted by "
-                        "default netcdf-c/h5py)")
+        raise HDF5Error(f"object header version {buf[addr]} unsupported")
     nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
     hdr_size = struct.unpack_from("<I", buf, addr + 8)[0]
     blocks = [(addr + 16, hdr_size)]
@@ -171,6 +177,69 @@ def _object_header_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
             else:
                 out.append((mtype, body))
     return out
+
+
+def _ohdr_v2_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Version-2 object header (libver='latest'): 1-byte message types,
+    optional times/phase-change fields, variable-width chunk-0 size,
+    'OCHK' continuation blocks.  Checksums are not verified."""
+    if buf[addr + 4] != 2:
+        raise HDF5Error(f"OHDR version {buf[addr + 4]} unsupported")
+    flags = buf[addr + 5]
+    p = addr + 6
+    if flags & 0x20:  # access/mod/change/birth times
+        p += 16
+    if flags & 0x10:  # compact/dense attribute phase-change bounds
+        p += 4
+    width = 1 << (flags & 0x03)
+    size0 = int.from_bytes(buf[p : p + width], "little")
+    p += width
+    tracked = bool(flags & 0x04)  # creation order tracked per message
+    out: list[tuple[int, bytes]] = []
+    blocks = [(p, size0)]
+    while blocks:
+        start, size = blocks.pop(0)
+        q, end = start, start + size
+        while q + 4 <= end:
+            mtype = buf[q]
+            (msize,) = struct.unpack_from("<H", buf, q + 1)
+            q += 4
+            if tracked:
+                q += 2
+            body = buf[q : q + msize]
+            q += msize
+            if mtype == MSG_CONTINUATION:
+                caddr, csize = struct.unpack_from("<QQ", body, 0)
+                # continuation block: 'OCHK' signature + messages + checksum
+                blocks.append((caddr + 4, csize - 8))
+            elif mtype:
+                out.append((mtype, body))
+    return out
+
+
+def _parse_link(body: bytes) -> tuple[str, int] | None:
+    """Hard-link message (v2 compact groups) → (name, object header
+    address); soft/external links return None."""
+    if body[0] != 1:
+        raise HDF5Error(f"link message version {body[0]} unsupported")
+    flags = body[1]
+    p = 2
+    if flags & 0x08:
+        ltype = body[p]
+        p += 1
+        if ltype != 0:
+            return None
+    if flags & 0x04:  # creation order
+        p += 8
+    if flags & 0x10:  # charset
+        p += 1
+    nlen_size = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[p : p + nlen_size], "little")
+    p += nlen_size
+    name = body[p : p + nlen].decode("utf-8")
+    p += nlen
+    (addr,) = struct.unpack_from("<Q", body, p)
+    return name, addr
 
 
 def _local_heap_string(buf: bytes, heap_addr: int, offset: int) -> str:
@@ -402,19 +471,36 @@ def _parse_hdf5_inner(buf: bytes) -> H5File:
     msgs = _object_header_messages(buf, root)
     root_attrs: dict = {}
     btree = heap = None
+    links: list[tuple[str, int]] = []
     for mtype, body in msgs:
         if mtype == MSG_SYMBOL_TABLE:
             btree, heap = struct.unpack_from("<QQ", body, 0)
+        elif mtype == MSG_LINK:
+            parsed = _parse_link(body)
+            if parsed is not None:
+                links.append(parsed)
+        elif mtype == MSG_LINK_INFO:
+            # v2 groups: fractal-heap address defined = dense link
+            # storage, which this reader does not implement
+            (fheap,) = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))
+            if fheap != UNDEF:
+                raise HDF5Error(
+                    "dense (fractal-heap) group link storage unsupported; "
+                    "compact link messages and symbol-table groups are"
+                )
         elif mtype == MSG_ATTRIBUTE:
             k, v = _parse_attribute(buf, body)
             root_attrs[k] = v
-    if btree is None:
-        raise HDF5Error("root group has no symbol table (v2 link messages "
-                        "unsupported)")
+    if btree is not None:
+        entries = _group_entries(buf, btree, heap)
+    elif links:
+        entries = links
+    else:
+        raise HDF5Error("root group has neither a symbol table nor links")
     f = H5File(attrs=root_attrs)
     addr_to_name: dict[int, str] = {}
     raw_vars: list[tuple[str, dict, np.ndarray, list[int]]] = []
-    for name, ohdr in _group_entries(buf, btree, heap):
+    for name, ohdr in entries:
         addr_to_name[ohdr] = name
         dtype = dims = layout = None
         filters: list[tuple[int, list[int]]] = []
@@ -611,12 +697,39 @@ def _object_header(msgs: list[bytes]) -> bytes:
     return struct.pack("<BxHI I4x".replace(" ", ""), 1, len(msgs), 1, len(blob)) + blob
 
 
+def _msg_v2(mtype: int, body: bytes) -> bytes:
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _link_msg(name: str, addr: int) -> bytes:
+    nm = name.encode("utf-8")
+    # flags 0: hard link, 1-byte name length, no order/charset fields
+    return _msg_v2(
+        MSG_LINK,
+        struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", addr),
+    )
+
+
+def _object_header_v2(msgs: list[bytes]) -> bytes:
+    blob = b"".join(msgs)
+    # flags 0x02: 4-byte chunk-0 size; no times, no phase change, no
+    # creation order.  Trailing checksum unverified by the reader.
+    return (
+        b"OHDR"
+        + struct.pack("<BB", 2, 0x02)
+        + struct.pack("<I", len(blob))
+        + blob
+        + b"\x00" * 4
+    )
+
+
 def write_hdf5(
     path: str,
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
     attrs: dict | None = None,
     chunk_shapes: dict[str, tuple[int, ...]] | None = None,
     compress: bool = False,
+    latest: bool = False,
 ) -> None:
     """Write a minimal NetCDF4-flavored HDF5 file (fixture generation
     only — the engine's sinks are the GriddedTable, never HDF5).
@@ -627,6 +740,9 @@ def write_hdf5(
     ``DIMENSION_LIST`` attribute of object references through a global
     heap, exactly like netcdf-c.  ``chunk_shapes``/``compress`` switch
     those variables to chunked layout with shuffle+deflate.
+    ``latest=True`` emits the libver='latest' container layout instead:
+    superblock v3 and a version-2 root object header whose members are
+    compact link messages (no symbol table / local heap / SNOD).
     """
     chunk_shapes = chunk_shapes or {}
     # normalize to native-endian contiguous arrays: the writer always
@@ -636,31 +752,41 @@ def write_hdf5(
         for n, (d, a, va) in variables.items()
     }
     w = _W()
-    # ---- superblock (96 bytes), root ohdr address patched later
-    w.write(_MAGIC)
-    w.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
-    w.write(struct.pack("<HHI", 4, 16, 0))
-    w.write(struct.pack("<QQ", 0, UNDEF))
-    eof_at = w.placeholder8()
-    w.write(struct.pack("<Q", UNDEF))
-    w.write(struct.pack("<Q", 0))  # root link name offset
-    root_ohdr_at = w.placeholder8()
-    w.write(struct.pack("<II", 0, 0))
-    w.write(b"\x00" * 16)
+    if latest:
+        # ---- superblock v3 (48 bytes incl. unverified checksum)
+        w.write(_MAGIC)
+        w.write(struct.pack("<BBBB", 3, 8, 8, 0))
+        w.write(struct.pack("<QQ", 0, UNDEF))  # base, extension
+        eof_at = w.placeholder8()
+        root_ohdr_at = w.placeholder8()
+        w.write(b"\x00" * 4)  # checksum (reader does not verify)
+    else:
+        # ---- superblock v0 (96 bytes), root ohdr address patched later
+        w.write(_MAGIC)
+        w.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+        w.write(struct.pack("<HHI", 4, 16, 0))
+        w.write(struct.pack("<QQ", 0, UNDEF))
+        eof_at = w.placeholder8()
+        w.write(struct.pack("<Q", UNDEF))
+        w.write(struct.pack("<Q", 0))  # root link name offset
+        root_ohdr_at = w.placeholder8()
+        w.write(struct.pack("<II", 0, 0))
+        w.write(b"\x00" * 16)
 
-    # ---- local heap: root member names
+    # ---- local heap: root member names (symbol-table layout only)
     names = list(variables)
-    heap_data = bytearray(b"\x00" * 8)
-    name_off: dict[str, int] = {}
-    for n in names:
-        name_off[n] = len(heap_data)
-        raw = n.encode() + b"\x00"
-        heap_data += raw + b"\x00" * ((8 - len(raw) % 8) % 8)
-    heap_addr = w.write(b"HEAP\x00\x00\x00\x00")
-    w.write(struct.pack("<QQ", len(heap_data), UNDEF))
-    heap_data_at = w.placeholder8()
-    w.patch8(heap_data_at, w.tell())
-    w.write(bytes(heap_data))
+    if not latest:
+        heap_data = bytearray(b"\x00" * 8)
+        name_off: dict[str, int] = {}
+        for n in names:
+            name_off[n] = len(heap_data)
+            raw = n.encode() + b"\x00"
+            heap_data += raw + b"\x00" * ((8 - len(raw) % 8) % 8)
+        heap_addr = w.write(b"HEAP\x00\x00\x00\x00")
+        w.write(struct.pack("<QQ", len(heap_data), UNDEF))
+        heap_data_at = w.placeholder8()
+        w.patch8(heap_data_at, w.tell())
+        w.write(bytes(heap_data))
 
     # ---- per-variable: data blocks first (addresses known), then headers
     data_addr: dict[str, int] = {}
@@ -770,20 +896,43 @@ def write_hdf5(
         hdr = dataset_header(n)
         ohdr_addr[n] = w.write(hdr)
 
-    # ---- root group: object header + B-tree + SNOD
+    # ---- root group
     w.pad8()
-    root_msgs = []
+    root_attr_msgs = []
     for an, av in (attrs or {}).items():
         if isinstance(av, str):
             raw = av.encode() + b"\x00"
-            root_msgs.append(_attr_msg(an, _dt_string(len(raw)), (), raw))
+            root_attr_msgs.append(_attr_msg(an, _dt_string(len(raw)), (), raw))
         else:
             a = np.atleast_1d(np.asarray(av))
             shape = a.shape if a.size > 1 else ()
-            root_msgs.append(_attr_msg(an, _dt_message(a.dtype), shape, a.tobytes()))
+            root_attr_msgs.append(
+                _attr_msg(an, _dt_message(a.dtype), shape, a.tobytes())
+            )
+
+    if latest:
+        # v2 root header: compact link messages, no symbol table.  The
+        # attribute messages keep their v1 internal format (version is
+        # per-message, independent of the header version); v2 message
+        # framing re-wraps each body.
+        def reframe(v1_msg: bytes) -> bytes:
+            mtype = struct.unpack_from("<H", v1_msg, 0)[0]
+            size = struct.unpack_from("<H", v1_msg, 2)[0]
+            return _msg_v2(mtype, v1_msg[8 : 8 + size])
+
+        root_msgs = [_link_msg(n, ohdr_addr[n]) for n in sorted(names)]
+        root_msgs += [reframe(m) for m in root_attr_msgs]
+        root_at = w.write(_object_header_v2(root_msgs))
+        w.patch8(root_ohdr_at, root_at)
+        w.patch8(eof_at, w.tell())
+        with open(path, "wb") as f:
+            f.write(bytes(w.buf))
+        return
+
+    # v0/1 layout: object header + B-tree + SNOD
     snod_entries = sorted(names)
     stbl_body = struct.pack("<QQ", 0, heap_addr)  # btree addr patched below
-    root_msgs.insert(0, _msg(MSG_SYMBOL_TABLE, stbl_body))
+    root_msgs = [_msg(MSG_SYMBOL_TABLE, stbl_body), *root_attr_msgs]
     root_hdr = _object_header(root_msgs)
     root_at = w.write(root_hdr)
     w.patch8(root_ohdr_at, root_at)

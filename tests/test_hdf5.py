@@ -235,3 +235,24 @@ def test_decoded_nc4_through_full_publish_qc(spark, spec, tmp_path):
     out = t.read(spark)
     assert out.count() == 3 * LATS.size * LONS.size
     assert out.filter(F.col("value").isNull()).count() == 0
+
+
+def test_libver_latest_layout(tmp_path):
+    """libver='latest' container pieces: superblock v3, version-2 root
+    object header, compact link messages — parses identically to the
+    classic symbol-table layout."""
+    data = _write(str(tmp_path / "l.nc4"), 0, 3, seed=11, latest=True)
+    raw = (tmp_path / "l.nc4").read_bytes()
+    assert raw[8] == 3                      # superblock version
+    assert b"SNOD" not in raw and b"HEAP" not in raw
+    f = h5.parse_hdf5(raw)
+    assert f.attrs["title"] == "synthetic CHIRPS-like nc4"
+    v = f.variables["precip"]
+    assert v.dim_names == ("time", "latitude", "longitude")
+    np.testing.assert_allclose(v.data, data)
+    # same content parses from both layouts
+    _write(str(tmp_path / "c.nc4"), 0, 3, seed=11)
+    f2 = h5.parse_hdf5((tmp_path / "c.nc4").read_bytes())
+    np.testing.assert_allclose(
+        f2.variables["precip"].data, v.data
+    )

@@ -312,12 +312,15 @@ def test_grib1_roundtrip_any_bitmap(nj, ni, mask_frac, data):
     shape=st.tuples(_dims, _dims, _dims),
     chunked=st.booleans(),
     compress=st.booleans(),
+    latest=st.booleans(),
     data=st.data(),
 )
 @settings(max_examples=25, deadline=None)
-def test_hdf5_roundtrip_any_layout(shape, chunked, compress, data):
+def test_hdf5_roundtrip_any_layout(shape, chunked, compress, latest, data):
     """write_hdf5 → parse_hdf5 is the identity across layouts: contiguous
-    and chunked (any chunk grid, edge overhang) × shuffle+deflate."""
+    and chunked (any chunk grid, edge overhang) × shuffle+deflate ×
+    classic (superblock v0, symbol table) vs latest (superblock v3,
+    OHDR v2 link messages) containers."""
     import numpy as np
 
     from gridded_etl_tools_spark.sources import hdf5 as h5
@@ -326,13 +329,13 @@ def test_hdf5_roundtrip_any_layout(shape, chunked, compress, data):
     vals = np.array(
         data.draw(st.lists(_small_floats, min_size=n, max_size=n)), dtype="f8"
     ).reshape(shape)
-    kw = {}
+    kw = {"latest": latest}
     if chunked:
         cs = tuple(
             data.draw(st.integers(min_value=1, max_value=s), label="chunk")
             for s in shape
         )
-        kw = {"chunk_shapes": {"v": cs}, "compress": compress}
+        kw.update({"chunk_shapes": {"v": cs}, "compress": compress})
     import os, tempfile
 
     with tempfile.TemporaryDirectory() as d:
