@@ -322,16 +322,31 @@ def _attr_value(buf: bytes, dtype: DType, dims: tuple[int, ...], raw: bytes):
 
 def _parse_attribute(buf: bytes, body: bytes):
     ver = body[0]
-    if ver != 1:
+    if ver == 1:
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        p = 8
+        pad = 8  # v1 pads each part to 8 bytes
+    elif ver in (2, 3):
+        # v2/v3 (libver latest): flags byte, unpadded parts, v3 adds a
+        # name-charset byte
+        flags = body[1]
+        if flags & 0x03:
+            raise HDF5Error("shared attribute datatype/dataspace unsupported")
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        p = 8 + (1 if ver == 3 else 0)
+        pad = 1
+    else:
         raise HDF5Error(f"attribute message version {ver} unsupported")
-    name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
-    p = 8
+
+    def padded(n: int) -> int:
+        return (n + pad - 1) // pad * pad
+
     name = body[p : p + name_size].split(b"\x00", 1)[0].decode("utf-8")
-    p += (name_size + 7) // 8 * 8
+    p += padded(name_size)
     dtype, _ = _parse_datatype(body, p)
-    p += (dt_size + 7) // 8 * 8
+    p += padded(dt_size)
     dims = _parse_dataspace(body[p : p + ds_size])
-    p += (ds_size + 7) // 8 * 8
+    p += padded(ds_size)
     return name, _attr_value(buf, dtype, dims, body[p:])
 
 
@@ -378,9 +393,14 @@ def _read_data(
     filters: list[tuple[int, list[int]]],
 ) -> np.ndarray:
     ver = layout_body[0]
-    if ver != 3:
+    if ver not in (3, 4):
         raise HDF5Error(f"data layout version {ver} unsupported")
     cls = layout_body[1]
+    if ver == 4 and cls == 2:
+        raise HDF5Error(
+            "layout v4 chunked indexes (fixed/extensible array, B-tree "
+            "v2) unsupported — save without libver='latest' chunking"
+        )
     count = int(np.prod(shape, dtype=np.int64)) if shape else 1
     if cls == 0:  # compact
         (size,) = struct.unpack_from("<H", layout_body, 2)

@@ -256,3 +256,21 @@ def test_libver_latest_layout(tmp_path):
     np.testing.assert_allclose(
         f2.variables["precip"].data, v.data
     )
+
+
+def test_attribute_message_v2_v3_parse():
+    """libver='latest' attribute framing: v2/v3 messages are unpadded
+    and v3 carries a charset byte — same value comes back as from v1."""
+    import struct
+
+    dt_raw = h5._dt_message(np.dtype("f8"))
+    ds_raw = struct.pack("<BBB5x", 1, 0, 0)  # scalar
+    name = b"scale_factor\x00"
+    val = np.float64(0.5).tobytes()
+    for ver in (2, 3):
+        body = struct.pack("<BBHHH", ver, 0, len(name), len(dt_raw), len(ds_raw))
+        if ver == 3:
+            body += b"\x00"  # charset
+        body += name + dt_raw + ds_raw + val
+        got_name, got_val = h5._parse_attribute(b"", body)
+        assert got_name == "scale_factor" and got_val == 0.5
