@@ -168,3 +168,66 @@ def test_input_files_listing(spark, tmp_path):
     df = input_files(spark, str(tmp_path))
     names = [r["path"].rsplit("/", 1)[-1] for r in df.collect()]
     assert names == ["a.nc", "b2.nc", "b10.nc"]
+
+
+def test_scan_gridded_mixed_format_directory(spark, tmp_path):
+    """One scan over a directory holding NetCDF3 + NetCDF4 + GRIB1 files
+    decodes all three through per-file magic-byte dispatch (the
+    reference's kerchunkify front door, utils/transform.py:119-279)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import grib1 as g1
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+    from gridded_etl_tools_spark.sources.scan import scan_gridded, sniff_format
+
+    lats = np.array([36.0, 36.5], dtype="f8")
+    lons = np.array([-115.0, -114.5, -114.0], dtype="f8")
+    vals = np.arange(6, dtype="f8").reshape(1, 2, 3)
+
+    nc.write_netcdf3(
+        str(tmp_path / "a.nc"),
+        dims={"time": None, "latitude": 2, "longitude": 3},
+        variables={
+            "time": (("time",), nc.NC_DOUBLE, {}, np.array([0.0])),
+            "latitude": (("latitude",), nc.NC_DOUBLE, {}, lats),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {}, lons),
+            "precip": (("time", "latitude", "longitude"), nc.NC_DOUBLE, {}, vals),
+        },
+    )
+    h5.write_hdf5(
+        str(tmp_path / "b.nc4"),
+        {
+            "time": (("time",), np.array([1.0]), {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (("time", "latitude", "longitude"), vals + 100, {}),
+        },
+    )
+    g1.write_grib1(
+        str(tmp_path / "c.grib"),
+        [{
+            "values": vals[0] + 200,
+            "lats": lats, "lons": lons,
+            "reference_time": dt.datetime(1970, 1, 3),
+            "p1_hours": 0, "nbits": 16,
+        }],
+    )
+
+    assert sniff_format((tmp_path / "a.nc").read_bytes()) == "netcdf3"
+    assert sniff_format((tmp_path / "b.nc4").read_bytes()) == "hdf5"
+    assert sniff_format((tmp_path / "c.grib").read_bytes()) == "grib1"
+
+    df = scan_gridded(spark, str(tmp_path), "precip")
+    rows = df.collect()
+    assert len(rows) == 18
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(round(r["time"], 6), []).append(r["value"])
+    # nc day 0, nc4 day 1, grib valid time 1970-01-03 = epoch day 2
+    assert sorted(by_day) == [0.0, 1.0, 2.0]
+    assert sorted(by_day[0.0]) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert sorted(by_day[1.0])[0] == 100.0
+    assert sorted(by_day[2.0])[0] == 200.0
