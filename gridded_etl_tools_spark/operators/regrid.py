@@ -84,6 +84,65 @@ def coarsen(
     return keyed.groupBy(*coords.keys()).agg(*exprs)
 
 
+def conservative_regrid(
+    df: DataFrame,
+    coords: dict[str, tuple[float, float, float]],
+    value_col: str = "value",
+) -> DataFrame:
+    """Area-weighted (first-order conservative) regrid — the third
+    standard method next to :func:`coarsen` (block) and
+    :func:`bilinear_regrid` (point), and the one climate pipelines use
+    when the target grid is NOT an integer multiple of the source
+    (xESMF ``conservative``): each source cell's value contributes to
+    every target cell it overlaps, weighted by overlap area, so the
+    regrid preserves area integrals.
+
+    ``coords`` maps each coordinate column (cell CENTER) to
+    ``(source_cell_width, target_origin, target_cell_width)``.  Output:
+    target cell centers (same column names), ``mean_<value>``
+    (area-weighted), ``weight`` (total overlap area — partial edge
+    cells show < full target area).
+
+    Scale shape: pure map-side — each source row explodes to the ≤
+    ceil(sw/tw)+1 target cells per axis its span touches with analytic
+    weights (no join against a target table), then ONE hash aggregate
+    on the target key.  Same single-shuffle contract as ``coarsen``.
+    """
+    out = df
+    w_cols = []
+    for c, (sw, t0, tw) in coords.items():
+        lo = F.col(c) - F.lit(sw / 2.0)
+        hi = F.col(c) + F.lit(sw / 2.0)
+        first = F.floor((lo - F.lit(t0)) / F.lit(tw)).cast("long")
+        last = F.floor(
+            (hi - F.lit(t0)) / F.lit(tw) - F.lit(1e-12)
+        ).cast("long")
+        out = out.withColumn(f"__i_{c}", F.explode(F.sequence(first, last)))
+        t_lo = F.lit(t0) + F.col(f"__i_{c}") * F.lit(tw)
+        # materialize the per-axis overlap BEFORE replacing c / dropping
+        # the index column — column expressions are lazy
+        out = out.withColumn(
+            f"__w_{c}", F.least(hi, t_lo + F.lit(tw)) - F.greatest(lo, t_lo)
+        )
+        out = out.withColumn(
+            c, F.round(t_lo + F.lit(tw / 2.0), GRID_KEY_DECIMALS)
+        ).drop(f"__i_{c}")
+        w_cols.append(f"__w_{c}")
+    weight = F.lit(1.0)
+    for wc in w_cols:
+        weight = weight * F.col(wc)
+    out = out.withColumn("__w", weight).drop(*w_cols)
+    return (
+        out.groupBy(*coords.keys())
+        .agg(
+            (F.sum(F.col(value_col) * F.col("__w")) / F.sum("__w")).alias(
+                f"mean_{value_col}"
+            ),
+            F.sum("__w").alias("weight"),
+        )
+    )
+
+
 def bilinear_regrid(
     grid: DataFrame,
     targets: DataFrame,

@@ -1874,6 +1874,67 @@ def coarsen_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "conservative_regrid_grid",
+    """
+    WITH k AS (
+      -- every constant as DOUBLE: bare literals type as DECIMAL in
+      -- DuckDB and silently switch the whole weight arithmetic
+      SELECT CAST(0.4 AS DOUBLE) AS tw, CAST(0.125 AS DOUBLE) AS hw,
+             CAST(0.2 AS DOUBLE) AS hc
+    ),
+    src AS (
+      SELECT CAST((user_id % 20) * 0.25 AS DOUBLE) AS lat,
+             CAST((event_id % 40) * 0.25 AS DOUBLE) AS lon,
+             value
+      FROM events
+    ),
+    ex AS (
+      SELECT lat, lon, value, tw, hw, hc, tl.il AS il, tn.io AS io
+      FROM src CROSS JOIN k,
+      UNNEST(range(CAST(floor((lat - hw) / tw) AS BIGINT),
+                   CAST(floor((lat + hw) / tw - 1e-12) AS BIGINT) + 1)) AS tl(il),
+      UNNEST(range(CAST(floor((lon - hw) / tw) AS BIGINT),
+                   CAST(floor((lon + hw) / tw - 1e-12) AS BIGINT) + 1)) AS tn(io)
+    ),
+    wtd AS (
+      SELECT round(il * tw + hc, 6) AS lat,
+             round(io * tw + hc, 6) AS lon,
+             value,
+             (least(lat + hw, il * tw + tw) - greatest(lat - hw, il * tw))
+           * (least(lon + hw, io * tw + tw) - greatest(lon - hw, io * tw)) AS w
+      FROM ex
+    )
+    SELECT lat, lon,
+           round(sum(value * w) / sum(w), 6) AS mean_value,
+           round(sum(w), 6)                  AS weight
+    FROM wtd GROUP BY 1, 2
+    """,
+)
+def conservative_regrid_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order conservative (area-weighted) regrid of the synthetic
+    0.25-degree grid onto 0.4-degree cells — a NON-integer ratio, so
+    source cells straddle target boundaries and the area weights are
+    fractional (the case block-``coarsen`` cannot express; xESMF
+    'conservative' analog).  Map-side explode to the ≤2 touched target
+    cells per axis with analytic weights, then one hash aggregate —
+    same single-shuffle contract as coarsen."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("user_id") % 20) * 0.25).alias("lat"),
+        ((F.col("event_id") % 40) * 0.25).alias("lon"),
+        "value",
+    )
+    out = regrid_ops.conservative_regrid(
+        pts, {"lat": (0.25, 0.0, 0.4), "lon": (0.25, 0.0, 0.4)}, "value"
+    )
+    return out.select(
+        "lat", "lon",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+@query(
     "bilinear_regrid_probes",
     """
     WITH pts AS (

@@ -579,3 +579,32 @@ def test_nan_frequency_one_sided(spark):
         df, "time", "value", expected_frequency=0.2, one_sided=True
     )
     assert [b["time"] for b in bad] == [ts(2)]
+
+
+def test_conservative_regrid_preserves_integral(spark):
+    """The defining invariant of first-order conservative regridding:
+    the area integral of the field is preserved exactly —
+    sum(value x source_cell_area) == sum(mean x weight) over targets —
+    including at non-integer source/target width ratios."""
+    from gridded_etl_tools_spark.operators.regrid import conservative_regrid
+
+    rows = [
+        (0.125 + 0.25 * i, 0.125 + 0.25 * j, float(i * 7 + j))
+        for i in range(8)
+        for j in range(6)
+    ]
+    df = spark.createDataFrame(rows, "lat double, lon double, value double")
+    out = conservative_regrid(
+        df, {"lat": (0.25, 0.0, 0.4), "lon": (0.25, 0.0, 0.4)}, "value"
+    )
+    got = out.collect()
+    src_integral = sum(r[2] for r in rows) * 0.25 * 0.25
+    tgt_integral = sum(r["mean_value"] * r["weight"] for r in got)
+    assert tgt_integral == pytest.approx(src_integral, rel=1e-12)
+    # total overlap area equals the source domain area
+    assert sum(r["weight"] for r in got) == pytest.approx(
+        8 * 6 * 0.25 * 0.25, rel=1e-12
+    )
+    # interior target cell fully covered: weight == target cell area
+    interior = [r for r in got if abs(r["weight"] - 0.16) < 1e-9]
+    assert interior
