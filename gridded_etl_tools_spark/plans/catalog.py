@@ -1127,11 +1127,58 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("lsh_ann_topk")  # no SQL oracle: multi-table LSH bucketing is not
+def _lsh_oracle() -> str:
+    """Full SQL replica of the multi-table hyperplane LSH pipeline: the
+    deterministic md5-derived planes are embedded as literal lists, so
+    the oracle reproduces the signatures, bucket joins, candidate set,
+    and exact re-ranking bit for bit (same technique as ``_lcc_oracle``).
+    Sign flips at |dot| ~ 1e-16 are the only cross-engine risk —
+    negligible with O(1)-magnitude md5 planes."""
+    from gridded_etl_tools_spark.operators.similarity import _hyperplanes
+
+    tables = []
+    for t in range(4):
+        planes = _hyperplanes(64, 4, 42 + 1000 * t)
+        bits = " + ".join(
+            "(CASE WHEN list_inner_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+                ", ".join(repr(x) for x in row), 1 << p
+            )
+            for p, row in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, v, {t} AS tbl, ({bits}) AS bucket FROM e")
+    sig_sql = " UNION ALL ".join(tables)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS ({sig_sql}),
+    p AS (SELECT vec_id AS probe_id, tbl, bucket FROM sigs WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, tbl, bucket FROM sigs),
+    cand AS (
+      SELECT DISTINCT probe_id, neighbor_id
+      FROM p JOIN c USING (tbl, bucket)
+      WHERE probe_id <> neighbor_id
+    ),
+    scored AS (
+      SELECT probe_id, neighbor_id,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))) AS cos
+      FROM cand JOIN e a ON a.vec_id = probe_id
+                JOIN e b ON b.vec_id = neighbor_id
+    )
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """
+
+
+@query("lsh_ann_topk", _lsh_oracle())
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via multi-table hyperplane LSH (the
-    100 TB scale path; rows-only check — the plan, not the exact result
-    set, is the contract)."""
+    100 TB scale path).  The oracle replicates the ENTIRE pipeline —
+    signatures, bucket equi-joins, candidate dedup, exact re-rank — from
+    the same deterministic planes, so the approximation itself is
+    hash-checked, not just row counts."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
