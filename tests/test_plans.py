@@ -175,6 +175,14 @@ SHUFFLE_BUDGET = {
     "ivf_ann_topk": (1, 2),           # cell join + topk; 2 tiny centroid packs
     "sequence_packing": (0, 1),       # single documented global sequence
     "windowed_event_counts": (1, 0),
+    "conservative_regrid_grid": (1, 0),  # explode + one hash agg, like coarsen
+    "seasonal_climatology": (1, 0),
+    "sequence_packing_sharded": (1, 0),  # per-shard window, one shuffle
+    "decontamination_flags": (2, 0),     # eval-set distinct + per-doc count
+    "multimodal_exact_dedup": (2, 0),    # sha agg + countDistinct expand
+    "skew_salted_join": (2, 0),          # dim agg + salted-join final agg
+    "lcc_reproject": (0, 0),             # pure column trig over spark.range
+    "ivf_nprobe_topk": (1, 3),           # cell join + topk; 3 tiny packs
 }
 
 
