@@ -31,6 +31,10 @@ _FIXED_THIS_ROUND = (
     "session_stats",            # r3 ERR: unix_micros on TIMESTAMP_NTZ
     "time_bucket_resample",     # r3 ERR: same
     "interval_window_shipments",  # r2/r3 hash mismatch: DECIMAL output
+    "lsh_ann_topk",             # r4: gained a full oracle (was rows-only)
+    "q2_min_cost_supplier",     # r4: half-way rounding fix (sf0.1 sweep)
+    "customer_retention",       # r4: single-pass rewrite
+    "ngram_overlap_pairs",      # r4: boilerplate cap added
 )
 
 
