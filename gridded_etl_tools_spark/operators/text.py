@@ -261,3 +261,33 @@ def pack_sequences(
         )
         .withColumn("bin", F.floor(F.col("start_offset") / seq_len))
     )
+
+
+# --- deterministic dataset splitting (north star; content-hash splits
+# survive re-shards and re-runs, unlike random assignment) --------------------
+
+
+def split_assign(
+    id_col,
+    weights: dict[str, int],
+) -> Column:
+    """Stable train/val/test assignment from a content/id hash: the md5
+    of the id maps to [0, 100) and the cumulative weight ranges pick the
+    split.  Engine-portable (md5 + hex, no murmur dependency) and
+    re-run/re-shard stable — the property random splits lack, and what
+    prevents eval leakage when a corpus is rebuilt.
+
+    ``weights``: {split_name: percent}, must sum to 100.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return expr

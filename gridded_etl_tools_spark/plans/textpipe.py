@@ -487,3 +487,41 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@query(
+    "dataset_split_counts",
+    """
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           count(*)     AS n_docs,
+           min(doc_id)  AS first_doc
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-hash bucket
+    (operators/text.py::split_assign): assignment is a pure function of
+    the document id, so it survives re-shards, re-runs, and engine
+    changes — the guard against eval leakage when a corpus is rebuilt.
+    Map-side assignment + one rollup shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    assigned = docs.withColumn(
+        "split",
+        text_ops.split_assign(
+            F.col("doc_id"), {"train": 90, "val": 5, "test": 5}
+        ),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )

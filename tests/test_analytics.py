@@ -4,6 +4,7 @@ for the exact ones."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gridded_etl_tools_spark.plans import analytics
@@ -220,3 +221,30 @@ def test_pack_sequences_per_shard(spark):
         assert [got[(s, i)][0] for i in range(6)] == [0, 0, 0, 1, 1, 1]
         assert got[(s, 0)][1] == 0 and got[(s, 3)][1] == 300
         assert got[(s, 0)][2] == 100
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from gridded_etl_tools_spark.operators import text as text_ops
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 90, "val": 5, "test": 5}
+    out = df.withColumn(
+        "split", text_ops.split_assign(F.col("doc_id"), w)
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}     # total coverage
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1600                       # roughly 90%
+    # deterministic: re-computation gives the same assignment per id
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    again2 = {
+        r["doc_id"]: r["split"]
+        for r in df.withColumn(
+            "split", text_ops.split_assign(F.col("doc_id"), w)
+        ).collect()
+    }
+    assert again == again2
+
+    with pytest.raises(ValueError):
+        text_ops.split_assign(F.col("doc_id"), {"a": 50, "b": 40})
