@@ -1,0 +1,173 @@
+"""Embedding clustering: spherical k-means (Lloyd's) and SemDeDup-style
+semantic deduplication.
+
+Reference parity: the reference repo has no clustering of its own — this
+module is part of the training-data-pipeline extension (north star), the
+cluster-then-dedup shape from SemDeDup (Abbas et al. 2023) expressed as
+DataFrame plans.
+
+Scale design
+------------
+* **Assignment is map-side.**  Each Lloyd round reuses
+  :func:`~gridded_etl_tools_spark.operators.similarity.nearest_centroids`:
+  the centroid book is packed into one broadcast row and every corpus
+  vector picks its argmax-cosine centroid inside a whole-stage-codegen
+  higher-order fold — zero shuffles over the corpus.
+* **The update shuffles (centroid, dim) pairs, not vectors.**  New
+  centroids are per-dimension means: ``posexplode`` the assigned vectors,
+  partial-aggregate map-side, final-aggregate on ``(centroid_id, pos)`` —
+  the exchange carries ``k × dim`` doubles of state regardless of corpus
+  size (the rows entering the exchange are pre-combined per task).
+* **Per-round lineage is cut** with ``localCheckpoint`` (same pattern as
+  ``operators/dedup.py`` connected components) so a deep iteration count
+  cannot blow up the plan.
+* **Cross-engine determinism**: centroid coordinates are rounded to
+  ``decimals`` places after every update.  Summation order differs
+  between engines (and between Spark task schedules) at the last ulp;
+  rounding re-quantizes the coordinates so the NEXT round's assignment —
+  a comparison of cosines — sees bit-identical centroids everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.operators.similarity import (
+    _dot,
+    _norm,
+    nearest_centroids,
+)
+
+
+def _mean_centroids(
+    assigned: DataFrame,
+    vec_col: str,
+    centroid_id_col: str,
+    decimals: int,
+) -> DataFrame:
+    """Per-dimension mean of each cluster's vectors, rounded, re-assembled
+    into an array column.  Exchange payload is (centroid_id, pos, partial
+    sum/count) — k*dim rows after map-side combine."""
+    per_dim = (
+        assigned.select(
+            F.col(centroid_id_col),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy(centroid_id_col, "pos")
+        .agg(F.round(F.avg("x"), decimals).alias("x"))
+    )
+    return per_dim.groupBy(centroid_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+        ).alias(vec_col)
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    decimals: int = 6,
+    checkpoint: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Spherical k-means: ``iters`` Lloyd rounds of (argmax-cosine
+    assignment, per-dimension mean update).  Assignment ties break on the
+    lowest centroid id; updates are rounded to ``decimals`` so the
+    trajectory is engine- and schedule-independent (see module doc).
+    Cluster labels keep the ids of the seed centroids (a cluster that
+    loses all members simply disappears, as in plain Lloyd's).
+
+    Returns ``(centroids, assignments)``: the final centroid table
+    ``(centroid_id, vec)`` and the corpus labeled with its final-round
+    assignment ``(id, vec, centroid_id)``.
+
+    ``checkpoint=True`` materializes each round's centroid table with
+    ``localCheckpoint`` — use for deep iteration counts; the default
+    keeps the plan lazy so small fixed-round queries stay single-job.
+    """
+    cents = init_centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col)
+    )
+    assigned = None
+    for _ in range(max(iters, 1)):
+        assigned = nearest_centroids(
+            df,
+            cents.select(F.col(centroid_id_col).alias(id_col), F.col(vec_col)),
+            id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
+        )
+        cents = _mean_centroids(assigned, vec_col, centroid_id_col, decimals)
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+    # final assignment against the final centroids
+    assigned = nearest_centroids(
+        df, cents.select(F.col(centroid_id_col).alias(id_col), F.col(vec_col)),
+        id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
+    )
+    return cents, assigned
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: assign every vector to its
+    nearest centroid (map-side broadcast argmax), then WITHIN each cluster
+    mark as duplicate any vector whose cosine to a lower-id cluster-mate
+    is ``>= threshold``.  Never all-pairs: the only join is the
+    within-cell equi-join on ``centroid_id``, so candidate pairs per
+    vector are bounded by its cell population — size the centroid book
+    (k ≈ corpus / target_cell) to keep cells small at scale.
+
+    Semantics note: the drop rule is "similar to ANY lower id in the
+    cell" (deterministic, join-expressible) rather than the sequential
+    greedy "similar to any lower SURVIVING id" — the parallel form can
+    drop slightly more than the greedy form when duplicates chain, which
+    is the conservative direction for training-data dedup.
+
+    Returns ``(id, centroid_id, is_duplicate)`` for every input row.
+    """
+    assigned = nearest_centroids(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    a = assigned.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+        _norm(F.col(vec_col)).alias("__norm_a"),
+    )
+    b = assigned.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        _norm(F.col(vec_col)).alias("__norm_b"),
+    )
+    dropped = (
+        a.join(b, on=centroid_id_col)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            _dot(F.col("__vec_a"), F.col("__vec_b"))
+            / (F.col("__norm_a") * F.col("__norm_b"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, centroid_id_col)
+        .join(dropped, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_duplicate"),
+        )
+    )

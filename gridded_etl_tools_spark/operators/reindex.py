@@ -17,7 +17,7 @@ checks are a left-anti join against the dense set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,66 @@ def reindex_time(
         dense = axis
         keys = [time_col]
     return dense.join(facts, on=keys, how="left")
+
+
+def interpolate_na(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL values along the time axis within each
+    group — the ``ds.interpolate_na(dim="time")`` analog (xarray linear
+    method) for the long-form grid.  Interior NULLs become the linear
+    blend of the nearest non-NULL neighbors weighted by time distance;
+    leading/trailing NULLs (no neighbor on one side) stay NULL, matching
+    xarray's default (no extrapolation).
+
+    Scale shape: two frame windows over the same ``(group, time)``
+    partitioning — one backward last-non-null scan, one forward
+    first-non-null scan — so the whole operator is ONE shuffle on the
+    group key and two in-partition passes.  Partitions are per-group
+    series, so skew follows the series length, not the corpus.
+
+    ``time_col`` may be TIMESTAMP or TIMESTAMP_NTZ (cast-normalized
+    before the micros math)."""
+    out_col = out_col or value_col
+    parts = [F.col(c) for c in (group_cols or [])]
+    # tiebreak_cols pin the ROWS-frame order when timestamps repeat —
+    # without them equal-ts peers would interpolate nondeterministically
+    order = [time_col, *(tiebreak_cols or [])]
+    w_back = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    v = F.col(value_col)
+    t_of_v = F.when(v.isNotNull(), t_us)
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(t_of_v, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(t_of_v, ignorenulls=True).over(w_fwd)
+    # degenerate zero-width bracket (both neighbors at the same ts, only
+    # possible with duplicate timestamps): fall back to the previous value
+    frac = F.when(
+        next_t != prev_t,
+        (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double"),
+    ).otherwise(F.lit(0.0))
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return df.withColumn(out_col, interp)
 
 
 def missing_combinations(

@@ -291,3 +291,60 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return expr
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-based domain reweighting (north star: the multilingual /
+    multi-domain mixture flattener — sampling domain ``s`` proportional to
+    ``n_s ** alpha`` instead of ``n_s``, the standard way to keep head
+    domains from drowning tail domains in a training mix).
+
+    Per-domain keep rate ``r_s = min(1, T * n_s**alpha / Σ n**alpha / n_s)``
+    (``T`` = ``target_total``, default = corpus size: pure re-balancing,
+    downsample-only).  Each document keeps or drops DETERMINISTICALLY: its
+    md5-derived bucket in [0, 1e6) is compared to ``round(r_s * 1e6)`` —
+    re-run-, re-shard- and engine-stable, unlike Bernoulli sampling.
+
+    Scale shape: one dimension-sized aggregate over ``group_col``, the
+    rate table broadcast-joined back, then a map-side hash filter — the
+    corpus itself is never shuffled.
+
+    Returns the input rows that survive, with ``keep_rate`` attached.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.withColumn("__w", F.pow(F.col("__n").cast("double"), F.lit(alpha)))
+    totals = weighted.agg(
+        F.sum("__w").alias("__sum_w"), F.sum("__n").alias("__total_n")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(target_total)) if target_total is not None
+                     else F.col("__total_n").cast("double"))
+                    * F.col("__w")
+                    / F.col("__sum_w")
+                    / F.col("__n").cast("double"),
+                ),
+                6,
+            ),
+        )
+        .select(group_col, "keep_rate")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(bucket < F.round(F.col("keep_rate") * 1e6).cast("long"))
+    )

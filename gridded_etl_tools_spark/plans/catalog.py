@@ -1632,6 +1632,195 @@ def ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_COS = (
+    "list_inner_product({a}, {b})"
+    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _km_assign(corpus: str, book: str) -> str:
+    """One Lloyd assignment round as a DuckDB CTE body: every vector in
+    ``corpus`` (vec_id, v) ranked against the centroid book ``book``
+    (cid, cv) by cosine desc, cid asc — rn = 1 is the assignment."""
+    cos = _KM_COS.format(a=f"{corpus}.v", b="cv")
+    return f"""
+      SELECT {corpus}.vec_id, {corpus}.v, cid,
+             row_number() OVER (PARTITION BY {corpus}.vec_id
+               ORDER BY {cos} DESC, cid ASC) AS rn
+      FROM {corpus} CROSS JOIN {book}"""
+
+
+@query(
+    "kmeans_centroids",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+    a1 AS ({_km_assign('e', 'c0')}),
+    m1 AS (
+      SELECT cid, i - 1 AS pos, round(avg(v[i]), 6) AS x
+      FROM a1, UNNEST(generate_series(1, len(v))) AS u(i)
+      WHERE rn = 1 GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(x ORDER BY pos) AS cv FROM m1 GROUP BY 1),
+    a2 AS ({_km_assign('e', 'c1')}),
+    m2 AS (
+      SELECT cid, i - 1 AS pos, round(avg(v[i]), 6) AS x
+      FROM a2, UNNEST(generate_series(1, len(v))) AS u(i)
+      WHERE rn = 1 GROUP BY 1, 2),
+    c2 AS (SELECT cid, list(x ORDER BY pos) AS cv FROM m2 GROUP BY 1),
+    a3 AS ({_km_assign('e', 'c2')}),
+    sizes AS (SELECT cid, count(*) AS n_members FROM a3 WHERE rn = 1 GROUP BY 1)
+    SELECT m2.cid AS centroid_id, m2.pos, m2.x AS centroid_val, sizes.n_members
+    FROM m2 JOIN sizes ON m2.cid = sizes.cid
+    """,
+)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (north star: the clustering stage of
+    cluster-then-dedup pipelines a la SemDeDup): two Lloyd rounds from
+    deterministic seeds (vec_id % 100), centroids emitted long-form with
+    final-round cluster sizes.  Assignment is a zero-corpus-shuffle
+    broadcast argmax; the update exchange carries only (centroid, dim)
+    partial means (operators/clustering.py)."""
+    from gridded_etl_tools_spark.operators import clustering as clus_ops
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    init = emb.filter(F.col("vec_id") % 100 == 0)
+    cents, assigned = clus_ops.kmeans(emb, init, iters=2)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cents.select(
+            "centroid_id",
+            F.posexplode("embedding").alias("pos", "centroid_val"),
+        )
+        .join(F.broadcast(sizes), on="centroid_id")
+        .select("centroid_id", "pos", "centroid_val", "n_members")
+    )
+
+
+@query(
+    "semantic_dedup_flags",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+    a1 AS ({_km_assign('e', 'c0')}),
+    cells AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_KM_COS.format(a='a.v', b='b.v')} >= 0.9)
+    SELECT cells.vec_id, cid AS centroid_id,
+           (dup.vec_id IS NOT NULL) AS is_duplicate
+    FROM cells LEFT JOIN dup ON cells.vec_id = dup.vec_id
+    """,
+)
+def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (north star): nearest-centroid
+    cells (map-side broadcast argmax), then within-cell cosine >= 0.9 to
+    any lower id marks a duplicate.  The only join over the corpus is
+    the within-cell equi-join on centroid_id — never all-pairs
+    (operators/clustering.py::semantic_dedup)."""
+    from gridded_etl_tools_spark.operators import clustering as clus_ops
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    return clus_ops.semantic_dedup(emb, cents, threshold=0.9)
+
+
+@query(
+    "interpolate_gaps",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM e
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (CASE WHEN nt <> pt
+                                     THEN (t - pt) * 1.0 / (nt - pt)
+                                     ELSE 0.0 END)
+                 END, 6) AS value_filled
+    FROM w WHERE event_id % 7 = 3
+    """,
+)
+def interpolate_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``interpolate_na`` (the xarray linear gap-fill analog, long form):
+    every 7th event's value is masked NULL, then linearly rebuilt from
+    its nearest non-NULL per-user neighbors weighted by time distance;
+    edge NULLs (no neighbor on one side) stay NULL.  One shuffle on the
+    group key, two in-partition window passes
+    (operators/reindex.py::interpolate_na)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 7 != 3, F.col("value")).alias("value"),
+    )
+    out = reindex_ops.interpolate_na(
+        ev, "ts", "value", group_cols=["user_id"],
+        out_col="value_filled", tiebreak_cols=["event_id"],
+    )
+    return out.filter(F.col("event_id") % 7 == 3).select(
+        "event_id", "user_id", F.round("value_filled", 6).alias("value_filled")
+    )
+
+
+@query(
+    "temperature_resample_counts",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS tn FROM c),
+    r AS (SELECT source,
+                 round(least(1.0, tn * pow(n, 0.5) / sw / n), 6) AS keep_rate
+          FROM c CROSS JOIN t),
+    k AS (
+      SELECT d.source, keep_rate FROM documents d JOIN r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) % 1000000
+            < CAST(round(keep_rate * 1e6) AS BIGINT))
+    SELECT source, count(*) AS n_kept, min(keep_rate) AS keep_rate
+    FROM k GROUP BY 1
+    """,
+)
+def temperature_resample_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain reweighting (north star: mixture
+    flattening — sample domain s proportional to n_s^0.5 so head domains
+    stop drowning tail domains).  Keep/drop is a deterministic
+    md5-bucket test against the per-domain rate, so the sample is
+    re-run- and engine-stable; the corpus is never shuffled — one
+    dimension-sized rate table broadcast back, then a map-side filter
+    (operators/text.py::temperature_resample)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = text_ops.temperature_resample(
+        docs, group_col="source", alpha=0.5, id_col="doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("keep_rate").alias("keep_rate"),
+    )
+
+
 def _lcc_oracle() -> str:
     """Same Snyder spherical-LCC math in DuckDB SQL, sharing the exact
     Python-double constants with the Spark side."""

@@ -1,0 +1,130 @@
+"""Clustering operator tests: spherical k-means (Lloyd's) and
+SemDeDup-style semantic dedup — semantic checks on constructed clusters
+plus physical-plan shuffle hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.operators import clustering as clus_ops
+from gridded_etl_tools_spark.plans.tables import load
+
+from tests.test_plans import count_nodes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def two_blobs(spark):
+    """Two well-separated direction blobs: ids 0-3 hug +x, ids 10-13 hug
+    +y (unit-ish vectors with small orthogonal jitter)."""
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.01 * i, 0.0]))
+        rows.append((10 + i, [0.015 * i, 1.0, 0.0]))
+    return _frame(spark, rows)
+
+
+def test_kmeans_recovers_planted_clusters(spark, two_blobs):
+    # seeds: one from each blob (ids 0 and 10)
+    init = two_blobs.filter(F.col("vec_id").isin(0, 10))
+    cents, assigned = clus_ops.kmeans(two_blobs, init, iters=2)
+    labels = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert {labels[i] for i in range(4)} == {0}
+    assert {labels[10 + i] for i in range(4)} == {10}
+    cvecs = {r["centroid_id"]: r["embedding"] for r in cents.collect()}
+    # centroid 0 is the mean of the +x blob: x-coord dominates
+    assert cvecs[0][0] > 0.9 and cvecs[0][1] < 0.1
+    assert cvecs[10][1] > 0.9 and cvecs[10][0] < 0.1
+
+
+def test_kmeans_reassigns_across_bad_seeds(spark, two_blobs):
+    """Both seeds start inside the +x blob; after an update round the
+    mean pulls one centroid toward its actual members only — every +y
+    vector still lands in a single cluster (no fragmentation)."""
+    init = two_blobs.filter(F.col("vec_id").isin(0, 1))
+    _, assigned = clus_ops.kmeans(two_blobs, init, iters=2)
+    labels = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert len({labels[10 + i] for i in range(4)}) == 1
+
+
+def test_kmeans_centroids_rounded(spark, two_blobs):
+    init = two_blobs.filter(F.col("vec_id").isin(0, 10))
+    cents, _ = clus_ops.kmeans(two_blobs, init, iters=1, decimals=2)
+    for r in cents.collect():
+        for x in r["embedding"]:
+            assert x == round(x, 2)
+
+
+def test_semantic_dedup_drops_in_cell_near_dupes(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # cell exemplar (also seed)
+        (1, [0.999, 0.01, 0.0]),    # near-dup of 0 -> dropped
+        (2, [0.7, 0.7, 0.0]),       # same cell, below threshold -> kept
+        (10, [0.0, 1.0, 0.0]),      # other cell (seed)
+        (11, [0.0, 0.999, 0.02]),   # near-dup of 10 -> dropped
+    ]
+    df = _frame(spark, rows)
+    cents = df.filter(F.col("vec_id").isin(0, 10))
+    out = clus_ops.semantic_dedup(df, cents, threshold=0.95)
+    flags = {r["vec_id"]: r["is_duplicate"] for r in out.collect()}
+    assert flags == {0: False, 1: True, 2: False, 10: False, 11: True}
+
+
+def test_semantic_dedup_chain_drops_conservatively(spark):
+    """a~b and b~c but a!~c: the parallel any-lower-id rule drops both b
+    and c (documented conservative direction vs sequential greedy)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.98, 0.199]),   # ~0.98 cos to 0
+        (2, [0.92, 0.392]),   # ~0.98 cos to 1, ~0.92 to 0
+    ]
+    df = _frame(spark, rows)
+    cents = df.filter(F.col("vec_id") == 0)
+    out = clus_ops.semantic_dedup(df, cents, threshold=0.97)
+    flags = {r["vec_id"]: r["is_duplicate"] for r in out.collect()}
+    assert flags == {0: False, 1: True, 2: True}
+
+
+def _formatted(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """One Lloyd round must not exchange the corpus: the only shuffles
+    are the (centroid, dim) mean update and the centroid re-assembly;
+    the assignment itself is a broadcast-argmax projection."""
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    init = emb.filter(F.col("vec_id") % 100 == 0)
+    cents, _ = clus_ops.kmeans(emb, init, iters=1)
+    plan = _formatted(cents)
+    n_exchange = count_nodes(plan, "Exchange")
+    # posexplode mean (1) + collect_list re-assembly (1) + the k-row
+    # centroid-book pack (1, dimension-sized); anything above means the
+    # corpus itself is being shuffled.
+    assert n_exchange <= 3, plan
+
+
+def test_semantic_dedup_joins_only_on_cell(spark):
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    plan = _formatted(clus_ops.semantic_dedup(emb, cents, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    # the only cross joins allowed are the 1-row broadcast centroid-book
+    # packs — the assignment subplan appears three times (pair sides +
+    # final flag projection), each with its own broadcast
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 3, plan

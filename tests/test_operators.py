@@ -608,3 +608,75 @@ def test_conservative_regrid_preserves_integral(spark):
     # interior target cell fully covered: weight == target cell area
     interior = [r for r in got if abs(r["weight"] - 0.16) < 1e-9]
     assert interior
+
+
+# ---------------------------------------------------------------------------
+# interpolate_na / temperature_resample (round-4 additions)
+# ---------------------------------------------------------------------------
+
+def test_interpolate_na_linear_and_edges(spark):
+    import datetime as dt
+
+    from gridded_etl_tools_spark.operators import reindex as reindex_ops
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # group A: null bracketed 25% of the way between 10.0 and 20.0
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=1), None),
+        ("a", t0 + dt.timedelta(hours=4), 20.0),
+        # group B: leading + trailing nulls stay null
+        ("b", t0, None),
+        ("b", t0 + dt.timedelta(hours=1), 5.0),
+        ("b", t0 + dt.timedelta(hours=2), None),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = reindex_ops.interpolate_na(df, "ts", "v", group_cols=["g"])
+    got = {(r["g"], r["ts"]): r["v"] for r in out.collect()}
+    assert got[("a", t0 + dt.timedelta(hours=1))] == pytest.approx(12.5)
+    assert got[("b", t0)] is None
+    assert got[("b", t0 + dt.timedelta(hours=2))] is None
+    # non-null values pass through untouched
+    assert got[("a", t0)] == 10.0
+
+
+def test_interpolate_na_duplicate_ts_fallback(spark):
+    import datetime as dt
+
+    from gridded_etl_tools_spark.operators import reindex as reindex_ops
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 3.0),
+        (2, t0, None),   # same ts as both neighbors -> previous value
+        (3, t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = reindex_ops.interpolate_na(
+        df, "ts", "v", tiebreak_cols=["id"]
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got[2] == 3.0
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from gridded_etl_tools_spark.operators import text as text_ops
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = text_ops.temperature_resample(df, "source", alpha=0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=0.5 shares: w_head=30, w_tail=10 -> head target 750 of 900
+    # (rate 0.833); tail target 250 of 100 clips at 1.0 -> kept in full
+    assert by_src["tail"] == 100
+    assert 700 <= by_src["head"] <= 800
+    # deterministic: the same call yields the same rows
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in text_ops.temperature_resample(df, "source", alpha=0.5).collect()
+    )
+    assert ids1 == ids2
