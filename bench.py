@@ -68,6 +68,9 @@ HEADLINE = [
     "multimodal_features",   # Arrow mapInPandas round trip over documents
     "pii_scrub",             # regexp extract+rewrite hot path
     "skew_salted_join",      # salted hot-key join vs events
+    # round-4 continuation additions:
+    "semantic_dedup_flags",  # cluster-then-dedup within-cell self-join
+    "interpolate_gaps",      # dual ignorenulls window scans over events
 ]
 
 
