@@ -218,24 +218,42 @@ class GriddedTable:
 
     # -- data-file production ----------------------------------------------
 
-    def _align_schema(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+    def _align_schema(
+        self, df: DataFrame, snap: Snapshot, evolve: bool = False
+    ) -> DataFrame:
         """Schema enforcement at the write boundary (what Delta calls
         ``mergeSchema=false``): incoming updates are cast to the table's
         committed column types so one update can never fork the on-disk
         schema (e.g. a ``value + 1000.0`` promoting float→double would
         otherwise write DOUBLE pages into a FLOAT table and break every
-        subsequent multi-file read).  Column *set* changes are refused —
-        that is a migration, not an update."""
+        subsequent multi-file read).  By default column *set* changes are
+        refused — that is a migration, not an update.
+
+        ``evolve=True`` is the opt-in migration path (Delta's
+        ``mergeSchema=true``): existing columns are still cast to their
+        committed types (type forks stay impossible), but NEW columns are
+        written through, and columns the update omits are simply absent
+        from the new files — ``read()`` detects the divergence from the
+        manifest's per-file column signatures and turns on parquet
+        schema merging, surfacing absences as NULL."""
         if not snap.entries:
             return df
         target = df.sparkSession.read.parquet(snap.entries[0]["path"]).schema
-        if set(df.columns) != set(target.names):
+        if not evolve and set(df.columns) != set(target.names):
             raise TableCorruptionGuard(
                 f"update columns {sorted(df.columns)} != table columns "
-                f"{sorted(target.names)}; schema evolution requires a rebuild"
+                f"{sorted(target.names)}; pass evolve_schema=True to migrate"
             )
+        typed = {f.name: f.dataType for f in target.fields}
+        present = set(df.columns)
+        ordered = [f.name for f in target.fields if f.name in present] + [
+            c for c in df.columns if c not in typed
+        ]
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+            *[
+                F.col(c).cast(typed[c]).alias(c) if c in typed else F.col(c)
+                for c in ordered
+            ]
         )
 
     def _bucket_col(self):
@@ -292,6 +310,10 @@ class GriddedTable:
             "rows": md.num_rows,
             "min_time": str(lo) if lo is not None else "",
             "max_time": str(hi) if hi is not None else "9999",
+            # column-set signature: lets read() detect schema evolution
+            # from the manifest alone and only pay parquet mergeSchema
+            # when file schemas actually diverge
+            "columns": sorted(md.schema.to_arrow_schema().names),
         }
 
     # -- public write API ----------------------------------------------------
@@ -324,13 +346,16 @@ class GriddedTable:
         df: DataFrame,
         sort_cols: list[str] | None = None,
         attrs_update: dict[str, Any] | None = None,
+        evolve_schema: bool = False,
     ) -> Snapshot:
         """Append new times (reference ``append_to_dataset``,
-        publish.py:452-478): new data files; manifest = old ∪ new."""
+        publish.py:452-478): new data files; manifest = old ∪ new.
+        ``evolve_schema=True`` additionally admits new columns (see
+        ``_align_schema``)."""
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
-            df = self._align_schema(df, snap)
+            df = self._align_schema(df, snap, evolve=evolve_schema)
             entries = snap.entries + self._write_data_files(df, sort_cols or [])
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
             return self._commit(pointer, entries, attrs)
@@ -440,9 +465,20 @@ class GriddedTable:
             entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
         if time_hi is not None:
             entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+        # schema-evolution detection from the manifest alone: parquet
+        # footer merging (mergeSchema) costs a distributed footer pass at
+        # scale, so only pay it when the per-file column signatures
+        # actually diverge (legacy entries without a signature are
+        # conservatively treated as divergent-unknown only if a recorded
+        # signature also exists to differ from)
+        sigs = {tuple(e["columns"]) for e in snap.entries if "columns" in e}
+        legacy = any("columns" not in e for e in snap.entries)
+        reader = spark.read
+        if len(sigs) > 1 or (sigs and legacy):
+            reader = reader.option("mergeSchema", "true")
         if not entries:
-            return spark.read.parquet(*snap.paths()).limit(0)
-        df = spark.read.parquet(*[e["path"] for e in entries])
+            return reader.parquet(*snap.paths()).limit(0)
+        df = reader.parquet(*[e["path"] for e in entries])
         if time_lo is not None:
             df = df.filter(F.col(self.time_col) >= F.lit(time_lo))
         if time_hi is not None:

@@ -115,3 +115,60 @@ def streaming_dedup(
     return stream.withWatermark(time_col, watermark_sql).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (batch) dimension table.  The dim side is re-read per micro-batch —
+    which is exactly what you want for slowly-changing dimensions (no
+    restart needed to pick up dim updates) — and is broadcast when small,
+    so the streaming side never shuffles.  The batch analog of
+    ``asof_enrich`` for the equi-key case."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "time",
+    right_time: str = "time",
+    tolerance_sql: str = "INTERVAL 1 HOUR",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair events from two live feeds on an
+    equi-key when their event times fall within ``tolerance_sql`` of each
+    other.  BOTH sides carry a watermark and the join predicate bounds
+    the time skew, so each side's buffered state is evicted once the
+    other side's watermark passes — the only state-bounded formulation
+    of a stream-stream join.  (Without the time-range predicate Spark
+    must buffer one side forever.)  The batch analog is
+    ``operators/joins.tolerance_nearest`` with keep-all-matches
+    semantics."""
+    from pyspark.sql import functions as F
+
+    lt, rt = f"__l_{left_time}", f"__r_{right_time}"
+    lw = left.withWatermark(left_time, left_watermark).select(
+        F.col(key), F.col(left_time).alias(lt),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns
+          if c not in (key, left_time)],
+    )
+    rw = right.withWatermark(right_time, right_watermark).select(
+        F.col(key).alias("__rk"), F.col(right_time).alias(rt),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, right_time)],
+    )
+    return lw.join(
+        rw,
+        (F.col(key) == F.col("__rk"))
+        & (F.col(rt) >= F.col(lt) - F.expr(tolerance_sql))
+        & (F.col(rt) <= F.col(lt) + F.expr(tolerance_sql)),
+    ).drop("__rk")

@@ -205,3 +205,62 @@ def test_windowed_climatology_drops_late_rows(spark, month1, tmp_path):
     assert out.filter(F.col("n") != 16).count() == 0
     day5 = out.filter(F.dayofmonth(F.col("time_window.start")) == 5)
     assert day5.count() == 1 and day5.collect()[0]["n"] == 16
+
+
+def test_stream_static_enrichment(spark, month1, tmp_path):
+    from gridded_etl_tools_spark.streaming.ingest import enrich_with_dimension
+
+    src = str(tmp_path / "drops")
+    month1.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(lat, "low" if lat < 36.5 else "high")
+         for lat in (36.0, 36.25, 36.5, 36.75)],
+        "latitude double, hemisphere string",
+    )
+    stream = spark.readStream.schema(GRID_SCHEMA).parquet(src)
+    out = enrich_with_dimension(stream, dim, on=["latitude"])
+    q = (
+        out.writeStream.format("memory").queryName("enriched")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched")
+    assert got.count() == month1.count()
+    assert got.filter(F.col("hemisphere").isNull()).count() == 0
+    n_high = got.filter(F.col("hemisphere") == "high").count()
+    assert n_high == month1.filter(F.col("latitude") >= 36.5).count()
+
+
+def test_stream_stream_interval_join(spark, month1, tmp_path):
+    """Two copies of the same feed, the right side shifted +30 min: the
+    1-hour tolerance interval join pairs each left row with its shifted
+    twin (plus any same-key rows within the window)."""
+    from gridded_etl_tools_spark.streaming.ingest import interval_correlate_streams
+
+    left_src = str(tmp_path / "left")
+    right_src = str(tmp_path / "right")
+    month1.write.parquet(left_src)
+    (
+        month1.withColumn("time", F.col("time") + F.expr("INTERVAL 30 MINUTES"))
+        .write.parquet(right_src)
+    )
+    lstream = spark.readStream.schema(GRID_SCHEMA).parquet(left_src)
+    rstream = spark.readStream.schema(GRID_SCHEMA).parquet(right_src)
+    joined = interval_correlate_streams(
+        lstream, rstream, key="latitude",
+        tolerance_sql="INTERVAL 1 HOUR",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("paired")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from paired")
+    # every left row finds at least its own shifted twin on the same key
+    assert got.count() >= month1.count()
+    # and no pair violates the tolerance
+    bad = got.filter(
+        F.abs(F.unix_timestamp(F.col("__r_time")) - F.unix_timestamp(F.col("__l_time")))
+        > 3600
+    )
+    assert bad.count() == 0

@@ -305,7 +305,7 @@ def test_append_enforces_committed_schema(spark, month1, month2, tmp_path):
     assert df.count() == 480 + 496
     assert df.agg(F.max("value")).collect()[0][0] >= 1000.0
 
-    with pytest.raises(TableCorruptionGuard, match="schema evolution"):
+    with pytest.raises(TableCorruptionGuard, match="evolve_schema"):
         t.append(month1.withColumn("extra", F.lit(1)))
 
 
@@ -368,3 +368,57 @@ def test_incremental_rollup_maintenance(spark, month1, month2, tmp_path):
     want = {r["time"]: (r["n"], r["sum_value"]) for r in recomputed.collect()}
     assert got == want                      # decimal sums: exact equality
     assert len(want) == 61                  # 30 + 31 days
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable, TableCorruptionGuard
+
+    t = GriddedTable(str(tmp_path / "evo"), time_col="time")
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 1, d), float(d)) for d in range(1, 4)],
+        "time timestamp, value double",
+    )
+    t.write_initial(base)
+
+    widened = spark.createDataFrame(
+        [(dt.datetime(2024, 2, d), float(d), "s3") for d in range(1, 3)],
+        "time timestamp, value double, provenance string",
+    )
+    # default stays strict: a column-set change is refused
+    with pytest.raises(TableCorruptionGuard):
+        t.append(widened)
+
+    t.append(widened, evolve_schema=True)
+    out = t.read(spark)
+    assert set(out.columns) == {"time", "value", "provenance"}
+    assert out.count() == 5
+    # pre-evolution rows surface the new column as NULL
+    assert out.filter(F.col("provenance").isNull()).count() == 3
+    assert out.filter(F.col("provenance") == "s3").count() == 2
+    # time-range pruning still works across the mixed-schema manifest
+    feb = t.read(spark, time_lo=dt.datetime(2024, 2, 1))
+    assert feb.count() == 2
+
+
+def test_append_evolution_still_pins_types(spark, tmp_path):
+    """evolve admits NEW columns but still casts existing ones to the
+    committed types — a type fork stays impossible."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    t = GriddedTable(str(tmp_path / "evo2"), time_col="time")
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.5)], "time timestamp, value double"
+    )
+    t.write_initial(base)
+    up = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2), 2, "x")],
+        "time timestamp, value int, note string",
+    )
+    t.append(up, evolve_schema=True)
+    out = t.read(spark)
+    assert dict(out.dtypes)["value"] == "double"
+    assert out.count() == 2
