@@ -2074,6 +2074,59 @@ def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_nearest_cell",
+    """
+    WITH cells AS (
+      SELECT i AS cell_id,
+             35.0 + (i // 20) * 0.25   AS clat,
+             -120.0 + (i % 20) * 0.25  AS clon
+      FROM (SELECT unnest(range(0, 400)) AS i)),
+    probes AS (
+      SELECT j AS probe_id,
+             35.005 + ((j * 37) % 97) / 97.0 * 4.75   AS plat,
+             -119.995 + ((j * 53) % 89) / 89.0 * 4.75 AS plon
+      FROM (SELECT unnest(range(0, 30)) AS j)),
+    d AS (
+      SELECT probe_id, cell_id,
+             2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(clat - plat) / 2), 2)
+               + cos(radians(plat)) * cos(radians(clat))
+                 * pow(sin(radians(clon - plon) / 2), 2))) AS dist_km
+      FROM probes CROSS JOIN cells)
+    SELECT probe_id, cell_id, round(dist_km, 3) AS dist_km
+    FROM d
+    WHERE dist_km <= 25.0
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY dist_km ASC, cell_id ASC) = 1
+    """,
+)
+def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle nearest-grid-cell snap (the general form of the
+    reference's arithmetic closest-lat-lon lookup, valid for irregular
+    station sets too): 30 probes against a 20x20 quarter-degree grid.
+    The oracle brute-forces all pairs; the Spark plan is the
+    degree-bucket equi-join from ``operators/spatial.py`` — constant 9x
+    probe fan-out, candidates = 9 bucket populations, never probes x
+    cells."""
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    cells = spark.range(0, 400).select(
+        F.col("id").alias("cell_id"),
+        (F.lit(35.0) + F.floor(F.col("id") / 20) * 0.25).alias("lat"),
+        (F.lit(-120.0) + (F.col("id") % 20) * 0.25).alias("lon"),
+    )
+    probes = spark.range(0, 30).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(35.005) + ((F.col("id") * 37) % 97) / F.lit(97.0) * F.lit(4.75)).alias("lat"),
+        (F.lit(-119.995) + ((F.col("id") * 53) % 89) / F.lit(89.0) * F.lit(4.75)).alias("lon"),
+    )
+    out = spatial_ops.nearest_cells(probes, cells, max_km=25.0)
+    return out.select(
+        "probe_id", "cell_id", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+@query(
     "coarsen_grid",
     """
     SELECT round(floor((user_id % 20) * 0.25 / 1.0) * 1.0, 6)  AS lat,

@@ -680,3 +680,69 @@ def test_temperature_resample_flattens_mixture(spark):
         for r in text_ops.temperature_resample(df, "source", alpha=0.5).collect()
     )
     assert ids1 == ids2
+
+
+def test_nearest_cells_matches_brute_force(spark):
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    cells = spark.range(0, 100).select(
+        F.col("id").alias("cell_id"),
+        (F.lit(10.0) + F.floor(F.col("id") / 10) * 0.5).alias("lat"),
+        (F.lit(20.0) + (F.col("id") % 10) * 0.5).alias("lon"),
+    )
+    probes = spark.range(0, 12).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(10.1) + ((F.col("id") * 7) % 40) / F.lit(10.0)).alias("lat"),
+        (F.lit(20.1) + ((F.col("id") * 11) % 40) / F.lit(10.0)).alias("lon"),
+    )
+    got = {
+        r["probe_id"]: (r["cell_id"], r["dist_km"])
+        for r in spatial_ops.nearest_cells(probes, cells, max_km=45.0).collect()
+    }
+    # brute force with the same formula
+    brute = (
+        probes.crossJoin(
+            cells.select(
+                F.col("cell_id"), F.col("lat").alias("clat"), F.col("lon").alias("clon")
+            )
+        )
+        .withColumn(
+            "d",
+            spatial_ops.haversine_km(
+                F.col("lat"), F.col("lon"), F.col("clat"), F.col("clon")
+            ),
+        )
+        .filter(F.col("d") <= 45.0)
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.col("d").asc(), F.col("cell_id").asc())
+    )
+    expect = {
+        r["probe_id"]: (r["cell_id"], r["d"])
+        for r in brute.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
+    }
+    assert set(got) == set(expect)
+    for pid, (cid, d) in expect.items():
+        assert got[pid][0] == cid
+        assert got[pid][1] == pytest.approx(d)
+
+
+def test_nearest_cells_plan_has_no_cartesian(spark):
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    cells = spark.range(0, 400).select(
+        F.col("id").alias("cell_id"),
+        (F.floor(F.col("id") / 20) * 0.25).alias("lat"),
+        ((F.col("id") % 20) * 0.25).alias("lon"),
+    )
+    probes = spark.range(0, 30).select(
+        F.col("id").alias("probe_id"),
+        (F.col("id") * 0.1).alias("lat"),
+        (F.col("id") * 0.13).alias("lon"),
+    )
+    out = spatial_ops.nearest_cells(probes, cells, max_km=25.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
