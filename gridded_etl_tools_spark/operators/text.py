@@ -348,3 +348,39 @@ def temperature_resample(
         df.join(F.broadcast(rates), on=group_col)
         .filter(bucket < F.round(F.col("keep_rate") * 1e6).cast("long"))
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic per-epoch training order: every document gets a
+    pseudo-random (shard, pos) from the md5 of ``(epoch, id)``, so each
+    epoch is a different but perfectly reproducible global shuffle —
+    restartable mid-epoch, identical across engines and re-shards (the
+    guarantees Bernoulli/``orderBy(rand())`` cannot give).
+
+    Scale shape: the shuffle key is hash-uniform, so the ONE exchange is
+    skew-free by construction; position is ranked within each shard
+    (never a global total order, which would serialize through a single
+    partition).  Readers consume shards in shard order, positions within
+    — the standard sharded-epoch contract.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(epoch).cast("string"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.col("__h") % n_shards)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -2074,6 +2074,32 @@ def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "epoch_shuffle_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('1', ':',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+    FROM h
+    """,
+)
+def epoch_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order (north star: the
+    reproducible global shuffle every training run needs): md5(epoch, id)
+    assigns a hash-uniform (shard, pos) — restartable, engine-portable,
+    re-shard-stable, unlike ``orderBy(rand())``.  One skew-free exchange
+    on the shard key; position ranks within shards, never through a
+    global single-partition order (operators/text.py::epoch_order)."""
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.epoch_order(docs, epoch=1, n_shards=16)
+    return out.select("doc_id", "shard", "pos")
+
+
+@query(
     "spatial_nearest_cell",
     """
     WITH cells AS (

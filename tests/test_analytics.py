@@ -248,3 +248,26 @@ def test_split_assign_deterministic_and_complete(spark):
 
     with pytest.raises(ValueError):
         text_ops.split_assign(F.col("doc_id"), {"a": 50, "b": 40})
+
+
+def test_epoch_order_reproducible_and_epoch_varying(spark):
+    from gridded_etl_tools_spark.operators import text as text_ops
+    from gridded_etl_tools_spark.plans.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    e1a = {(r["doc_id"], r["shard"], r["pos"])
+           for r in text_ops.epoch_order(docs, epoch=1, n_shards=8).collect()}
+    e1b = {(r["doc_id"], r["shard"], r["pos"])
+           for r in text_ops.epoch_order(docs, epoch=1, n_shards=8).collect()}
+    e2 = {(r["doc_id"], r["shard"], r["pos"])
+          for r in text_ops.epoch_order(docs, epoch=2, n_shards=8).collect()}
+    assert e1a == e1b          # identical re-run
+    assert e1a != e2           # different epoch, different order
+    # every doc appears exactly once; positions are dense per shard
+    n = docs.count()
+    assert len(e1a) == n
+    by_shard = {}
+    for _, s, p in e1a:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -183,6 +183,17 @@ SHUFFLE_BUDGET = {
     "skew_salted_join": (2, 0),          # dim agg + salted-join final agg
     "lcc_reproject": (0, 0),             # pure column trig over spark.range
     "ivf_nprobe_topk": (1, 3),           # cell join + topk; 3 tiny packs
+    # round-4 continuation additions.  kmeans' exchanges all carry
+    # dimension-sized state: (centroid,dim) partial means per Lloyd round
+    # (hash) and 1-row centroid-book packs (single) — the corpus itself
+    # never exchanges.  semantic_dedup's hash exchanges are the one
+    # canonical corpus shuffle on the cluster key for the within-cell
+    # self-join plus the id-only duplicate distinct.
+    "kmeans_centroids": (9, 5),
+    "semantic_dedup_flags": (2, 3),
+    "interpolate_gaps": (1, 0),          # one group-key window shuffle
+    "temperature_resample_counts": (3, 1),  # dim-sized rate aggs only
+    "spatial_nearest_cell": (1, 0),      # bucket join broadcast + topk window
 }
 
 
