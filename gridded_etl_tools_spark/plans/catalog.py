@@ -2557,6 +2557,86 @@ def grib_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grib2_fixture_path() -> str:
+    """Same deterministic grid as the GRIB1 fixture (translated to
+    0-360 longitudes, the GRIB2 convention), written as a real 2-message
+    GRIB2 file: simple packing 5.0/7.0, template 3.0 grid, per-message
+    bitmaps."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sources import grib2 as _g2
+
+    lats, lons, msgs = _grib_fixture_array()
+    lons = lons + 360.0  # -110 -> 250: GRIB2 longitudes are 0-360
+    digest = _fixture_digest(lats, lons + 1.0, *[v for _, v in msgs])
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_grib2_fixture_{digest}.grib2"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _g2.write_grib2(
+            tmp,
+            [
+                {
+                    "values": vals,
+                    "lats": lats,
+                    "lons": lons,
+                    "reference_time": _dt.datetime(2024, 1, 1),
+                    "forecast_hours": p1,
+                    "discipline": 0,
+                    "category": 1,
+                    "number": 8,
+                    "nbits": 8,
+                }
+                for p1, vals in msgs
+            ],
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _grib2_oracle() -> str:
+    """VALUES-literal oracle for the GRIB2 fixture (DuckDB cannot read
+    GRIB): the GRIB1 cells shifted to 0-360 longitudes."""
+    lats, lons, msgs = _grib_fixture_array()
+    rows = []
+    for p1, vals in msgs:
+        ts = f"TIMESTAMP '2024-01-01 {p1:02d}:00:00'"
+        for ilat, la in enumerate(lats):
+            for ilon, lo in enumerate(lons):
+                v = vals[ilat, ilon]
+                val = "NULL" if v != v else repr(float(v))
+                rows.append(
+                    f"({ts}, {float(la)!r}, {float(lo) + 360.0!r}, {val})"
+                )
+    return (
+        "SELECT CAST(time AS TIMESTAMP) AS time,"
+        " CAST(latitude AS DOUBLE) AS latitude,"
+        " CAST(longitude AS DOUBLE) AS longitude,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(time, latitude, longitude, value)"
+    )
+
+
+@query("grib2_decode", _grib2_oracle())
+def grib2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 GRIB edition-2 branch: decode a real .grib2 file (simple
+    packing 5.0/7.0, lat/lon template 3.0, per-message bitmaps) through
+    the same distributed binaryFile + mapInPandas path as edition 1;
+    bitmap-masked cells come back NULL."""
+    from gridded_etl_tools_spark.sources import grib2 as g2
+    from gridded_etl_tools_spark.sources.files import read_binary_files
+
+    path = _grib2_fixture_path()
+    files = read_binary_files(spark, path)
+    return g2.decode_grib2_long(files).select(
+        "time", "latitude", "longitude", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # NetCDF4/HDF5 decode (S9/S10 primary branch): real on-disk HDF5 file ->
 # long-form rows (reference utils/transform.py:186-224 SingleHdf5ToZarr path)

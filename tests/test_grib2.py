@@ -1,0 +1,160 @@
+"""GRIB2 decode path: wire-format round-trips (bitmap / no-bitmap /
+constant field / carried-forward 254 bitmap semantics via per-message
+masks), multi-message valid times, mixed-variable layer selection,
+ascending-j scan mode, typed truncation errors, and the golden
+end-to-end publish loop mirroring ``tests/test_grib1.py``."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.sinks.table import GriddedTable
+from gridded_etl_tools_spark.sources import grib2 as g2
+from gridded_etl_tools_spark.sources.files import read_binary_files
+
+LATS = np.array([40.0, 39.5, 39.0, 38.5], dtype="f8")  # north -> south
+LONS = np.array([250.0, 250.5, 251.0, 251.5, 252.0, 252.5], dtype="f8")
+REF = dt.datetime(2024, 1, 1)
+
+
+def _grid(step: int, mask_cells=((0, 1), (2, 4))) -> np.ndarray:
+    idx = np.arange(LATS.size * LONS.size, dtype="f8").reshape(
+        LATS.size, LONS.size
+    )
+    vals = (idx * 13 + step * 7) % 97
+    for r, c in mask_cells:
+        vals[r, c] = np.nan
+    return vals
+
+
+def _write(path: str, steps: list[int], **kw) -> list[np.ndarray]:
+    grids = [_grid(s, **kw) for s in steps]
+    g2.write_grib2(
+        path,
+        [
+            {
+                "values": v,
+                "lats": LATS,
+                "lons": LONS,
+                "reference_time": REF,
+                "forecast_hours": 6 * s,
+                "discipline": 0,
+                "category": 1,
+                "number": 8,
+                "nbits": 8,
+            }
+            for s, v in zip(steps, grids)
+        ],
+    )
+    return grids
+
+
+def test_parse_round_trip_with_bitmap(tmp_path):
+    p = str(tmp_path / "a.grib2")
+    grids = _write(p, [0, 1])
+    fields = g2.parse_grib2(open(p, "rb").read())
+    assert len(fields) == 2
+    assert fields[0].valid_time == REF
+    assert fields[1].valid_time == REF + dt.timedelta(hours=6)
+    for f, v in zip(fields, grids):
+        assert np.allclose(f.lats, LATS) and np.allclose(f.lons, LONS)
+        assert (np.isnan(f.values) == np.isnan(v)).all()
+        assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(v))
+
+
+def test_parse_no_bitmap_and_constant_field(tmp_path):
+    p = str(tmp_path / "b.grib2")
+    _write(p, [0], mask_cells=())
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert not np.isnan(f.values).any()
+
+    # constant field: every value equal -> nbits may be tiny
+    pc = str(tmp_path / "c.grib2")
+    g2.write_grib2(
+        pc,
+        [dict(values=np.full((2, 3), 5.0), lats=LATS[:2], lons=LONS[:3],
+              reference_time=REF, forecast_hours=0, nbits=1)],
+    )
+    fc = g2.parse_grib2(open(pc, "rb").read())[0]
+    assert (fc.values == 5.0).all()
+
+
+def test_ascending_j_scan_mode(tmp_path):
+    p = str(tmp_path / "asc.grib2")
+    lats_asc = LATS[::-1].copy()  # south -> north => scan flag 0x40
+    vals = _grid(0, mask_cells=())
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=lats_asc, lons=LONS,
+              reference_time=REF, forecast_hours=0, nbits=8)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert np.allclose(f.lats, lats_asc)
+    assert np.allclose(f.values, vals)
+
+
+def test_layer_selection(tmp_path):
+    p = str(tmp_path / "multi.grib2")
+    precip = _grid(0, mask_cells=())
+    temp = _grid(1, mask_cells=()) + 200.0
+    g2.write_grib2(
+        p,
+        [
+            dict(values=precip, lats=LATS, lons=LONS, reference_time=REF,
+                 forecast_hours=0, discipline=0, category=1, number=8, nbits=16),
+            dict(values=temp, lats=LATS, lons=LONS, reference_time=REF,
+                 forecast_hours=0, discipline=0, category=0, number=0, nbits=16),
+        ],
+    )
+    buf = open(p, "rb").read()
+    assert len(g2.parse_grib2(buf)) == 2
+    only = g2.select_fields(g2.parse_grib2(buf), category=0, number=0)
+    assert len(only) == 1 and np.allclose(only[0].values, temp)
+    with pytest.raises(g2.GRIB2Error, match="no fields match"):
+        g2.select_fields(g2.parse_grib2(buf), category=9)
+
+
+def test_grib2_initial_append_golden_point(spark, tmp_path):
+    """Golden loop: decode a real .grib2 through the distributed
+    mapInPandas path, publish, append a later file, point-probe."""
+    d1, d2 = str(tmp_path / "drop1"), str(tmp_path / "drop2")
+    for d in (d1, d2):
+        import os
+
+        os.makedirs(d)
+    grids1 = _write(f"{d1}/t0.grib2", [0, 1])
+    _write(f"{d2}/t1.grib2", [2])
+
+    table = GriddedTable(str(tmp_path / "tbl"), time_col="time")
+    long1 = g2.decode_grib2_long(read_binary_files(spark, d1, "*.grib2")).drop("path")
+    table.write_initial(long1, sort_cols=["latitude", "longitude"])
+    long2 = g2.decode_grib2_long(read_binary_files(spark, d2, "*.grib2")).drop("path")
+    table.append(long2)
+
+    df = table.read(spark)
+    assert df.count() == 3 * LATS.size * LONS.size
+    # golden point: message 1 (t=+6h), cell (1, 2)
+    got = df.filter(
+        (F.col("time") == REF + dt.timedelta(hours=6))
+        & (F.col("latitude") == float(LATS[1]))
+        & (F.col("longitude") == float(LONS[2]))
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == pytest.approx(grids1[1][1, 2])
+    # bitmap cells surfaced as NULL
+    n_null = df.filter(F.col("value").isNull()).count()
+    assert n_null == 6  # 2 masked cells x 3 messages
+
+
+def test_truncated_file_raises_typed_error(tmp_path):
+    p = str(tmp_path / "t.grib2")
+    _write(p, [0])
+    buf = open(p, "rb").read()
+    with pytest.raises(g2.GRIB2Error):
+        g2.parse_grib2(buf[: len(buf) // 2])
+    with pytest.raises(g2.GRIB2Error, match="no GRIB2 fields"):
+        g2.parse_grib2(b"not a grib file at all")
