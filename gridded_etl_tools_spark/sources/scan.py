@@ -6,7 +6,8 @@ role ``kerchunkify`` plays for the reference (it branches on NetCDF vs
 GRIB internally; callers never care which they have).
 
 Formats: HDF5/NetCDF4 (``\\x89HDF`` signature, incl. userblock offsets),
-classic NetCDF3 CDF-1/2/5 (``CDF``), GRIB edition 1 (``GRIB``).
+classic NetCDF3 CDF-1/2/5 (``CDF``), GRIB editions 1 and 2 (``GRIB``
+magic + the edition octet).
 
 Scale shape: identical to the per-format decoders — whole files decode
 on executors via Arrow-batched ``mapInPandas`` over a ``binaryFile``
@@ -22,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from gridded_etl_tools_spark.sources import grib1, hdf5, netcdf3
+from gridded_etl_tools_spark.sources import grib1, grib2, hdf5, netcdf3
 from gridded_etl_tools_spark.sources.files import read_binary_files
 
 
@@ -31,14 +32,16 @@ class UnknownFormatError(ValueError):
 
 
 def sniff_format(buf: bytes) -> str:
-    """'hdf5' | 'netcdf3' | 'grib1' from the leading bytes (HDF5 also
-    checked at the power-of-two userblock offsets)."""
+    """'hdf5' | 'netcdf3' | 'grib1' | 'grib2' from the leading bytes
+    (HDF5 also checked at the power-of-two userblock offsets)."""
     if buf[:4] == b"\x89HDF":
         return "hdf5"
     if buf[:3] == b"CDF" and len(buf) > 3 and buf[3] in (1, 2, 5):
         return "netcdf3"
     if buf[:4] == b"GRIB":
-        return "grib1"
+        # edition octet: byte 7 both editions (GRIB1 length+edition,
+        # GRIB2 reserved+discipline+edition)
+        return "grib2" if len(buf) > 7 and buf[7] == 2 else "grib1"
     off = 512
     while off + 8 <= len(buf):
         if buf[off : off + 8] == hdf5._MAGIC:
@@ -57,6 +60,8 @@ def _frame_for(buf: bytes, data_var: str, dims: list[str]) -> pd.DataFrame:
         return netcdf3.netcdf3_long_frame(buf, data_var)
     # GRIB has no variable names; its long frame is already
     # (time, latitude, longitude, value)
+    if fmt == "grib2":
+        return grib2.grib2_long_frame(buf)
     return grib1.grib1_long_frame(buf)
 
 

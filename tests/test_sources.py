@@ -171,14 +171,15 @@ def test_input_files_listing(spark, tmp_path):
 
 
 def test_scan_gridded_mixed_format_directory(spark, tmp_path):
-    """One scan over a directory holding NetCDF3 + NetCDF4 + GRIB1 files
-    decodes all three through per-file magic-byte dispatch (the
-    reference's kerchunkify front door, utils/transform.py:119-279)."""
+    """One scan over a directory holding NetCDF3 + NetCDF4 + GRIB1 +
+    GRIB2 files decodes all four through per-file magic-byte dispatch
+    (the reference's kerchunkify front door, utils/transform.py:119-279)."""
     import datetime as dt
 
     import numpy as np
 
     from gridded_etl_tools_spark.sources import grib1 as g1
+    from gridded_etl_tools_spark.sources import grib2 as g2
     from gridded_etl_tools_spark.sources import hdf5 as h5
     from gridded_etl_tools_spark.sources import netcdf3 as nc
     from gridded_etl_tools_spark.sources.scan import scan_gridded, sniff_format
@@ -216,18 +217,30 @@ def test_scan_gridded_mixed_format_directory(spark, tmp_path):
         }],
     )
 
+    g2.write_grib2(
+        str(tmp_path / "d.grib2"),
+        [{
+            "values": vals[0] + 300,
+            "lats": lats, "lons": lons + 360.0,  # GRIB2 0-360 longitudes
+            "reference_time": dt.datetime(1970, 1, 4),
+            "forecast_hours": 0, "nbits": 16,
+        }],
+    )
+
     assert sniff_format((tmp_path / "a.nc").read_bytes()) == "netcdf3"
     assert sniff_format((tmp_path / "b.nc4").read_bytes()) == "hdf5"
     assert sniff_format((tmp_path / "c.grib").read_bytes()) == "grib1"
+    assert sniff_format((tmp_path / "d.grib2").read_bytes()) == "grib2"
 
     df = scan_gridded(spark, str(tmp_path), "precip")
     rows = df.collect()
-    assert len(rows) == 18
+    assert len(rows) == 24
     by_day = {}
     for r in rows:
         by_day.setdefault(round(r["time"], 6), []).append(r["value"])
-    # nc day 0, nc4 day 1, grib valid time 1970-01-03 = epoch day 2
-    assert sorted(by_day) == [0.0, 1.0, 2.0]
+    # nc day 0, nc4 day 1, grib1 1970-01-03 = day 2, grib2 day 3
+    assert sorted(by_day) == [0.0, 1.0, 2.0, 3.0]
+    assert sorted(by_day[3.0]) == [float(v) for v in range(300, 306)]
     assert sorted(by_day[0.0]) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
     assert sorted(by_day[1.0])[0] == 100.0
     assert sorted(by_day[2.0])[0] == 200.0
