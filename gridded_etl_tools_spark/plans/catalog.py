@@ -1686,7 +1686,10 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     init = emb.filter(F.col("vec_id") % 100 == 0)
-    cents, assigned = clus_ops.kmeans(emb, init, iters=2)
+    # checkpoint=True cuts each Lloyd round's lineage: without it the
+    # final centroids + assignment replan the full 2-round chain 3x
+    # (~3x slower cold)
+    cents, assigned = clus_ops.kmeans(emb, init, iters=2, checkpoint=True)
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
