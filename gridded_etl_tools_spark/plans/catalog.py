@@ -2573,7 +2573,8 @@ def _grib2_fixture_path() -> str:
 
     lats, lons, msgs = _grib_fixture_array()
     lons = lons + 360.0  # -110 -> 250: GRIB2 longitudes are 0-360
-    digest = _fixture_digest(lats, lons + 1.0, *[v for _, v in msgs])
+    # digest offset 2.0 = fixture format v2 (complex packing)
+    digest = _fixture_digest(lats, lons + 2.0, *[v for _, v in msgs])
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_grib2_fixture_{digest}.grib2"
     )
@@ -2592,6 +2593,9 @@ def _grib2_fixture_path() -> str:
                     "category": 1,
                     "number": 8,
                     "nbits": 8,
+                    # the archives' default packing (GFS/HRRR): complex
+                    # + second-order spatial differencing (5.3/7.3)
+                    "packing": "complex_sd2",
                 }
                 for p1, vals in msgs
             ],

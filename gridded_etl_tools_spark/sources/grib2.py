@@ -176,17 +176,40 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 }
             elif sec_no == 5:
                 tmpl = struct.unpack(">H", body[4:6])[0]
-                if tmpl != 0:
+                if tmpl not in (0, 2, 3):
                     raise GRIB2Error(
-                        f"data template 5.{tmpl}, only 5.0 simple packing supported"
+                        f"data template 5.{tmpl}, only 5.0/5.2/5.3 supported"
                     )
                 t = body[6:]
                 packing = {
+                    "template": tmpl,
                     "R": struct.unpack(">f", t[0:4])[0],
                     "E": _sm16(t[4:6]),
                     "D": _sm16(t[6:8]),
                     "nbits": t[8],
                 }
+                if tmpl in (2, 3):
+                    if t[11] != 0:
+                        raise GRIB2Error(
+                            "complex packing missing-value management "
+                            f"{t[11]} unsupported (use a bitmap)"
+                        )
+                    packing.update(
+                        ng=struct.unpack(">I", t[20:24])[0],
+                        width_ref=t[24],
+                        width_bits=t[25],
+                        len_ref=struct.unpack(">I", t[26:30])[0],
+                        len_inc=t[30],
+                        last_len=struct.unpack(">I", t[31:35])[0],
+                        len_bits=t[35],
+                    )
+                if tmpl == 3:
+                    packing.update(sd_order=t[36], sd_octets=t[37])
+                    if packing["sd_order"] not in (1, 2):
+                        raise GRIB2Error(
+                            f"spatial differencing order {packing['sd_order']} "
+                            "unsupported"
+                        )
             elif sec_no == 6:
                 ind = body[0]
                 if ind == 255:
@@ -226,21 +249,104 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
     return out
 
 
+class _BitReader:
+    """Sequential big-endian bit reader over a bytes buffer."""
+
+    def __init__(self, buf: bytes):
+        self._bits = np.unpackbits(np.frombuffer(buf, dtype="u1"))
+        self._pos = 0
+
+    def take(self, n_values: int, width: int) -> np.ndarray:
+        """Read ``n_values`` unsigned ints of ``width`` bits each."""
+        if width == 0:
+            return np.zeros(n_values, dtype="int64")
+        end = self._pos + n_values * width
+        if end > self._bits.size:
+            raise GRIB2Error("data section too short for declared grid")
+        xs = self._bits[self._pos : end].reshape(n_values, width)
+        self._pos = end
+        weights = 1 << np.arange(width - 1, -1, -1, dtype="int64")
+        return (xs.astype("int64") * weights).sum(axis=1)
+
+
+def _unpack_simple(body: bytes, n_present: int, packing: dict) -> np.ndarray:
+    nbits = packing["nbits"]
+    if not nbits:  # constant field
+        return np.zeros(n_present, dtype="int64")
+    return _BitReader(body).take(n_present, nbits)
+
+
+def _unpack_complex(body: bytes, n_present: int, packing: dict) -> np.ndarray:
+    """Data template 7.2/7.3: grouped packing (GFS/HRRR's default).  Each
+    group carries its own reference and bit width; values are
+    ``group_ref + packed``.  7.3 packs spatial differences instead of
+    raw values: the stream opens with the first value(s) and the overall
+    minimum of the differenced sequence, and the field is rebuilt by
+    ``order`` rounds of cumulative summation."""
+    ng = packing["ng"]
+    r = _BitReader(body)
+    first_vals: list[int] = []
+    gmin = 0
+    if packing["template"] == 3:
+        octets, order = packing["sd_octets"], packing["sd_order"]
+        head = np.frombuffer(body, dtype="u1")[: (order + 1) * octets]
+        vals = []
+        for i in range(order + 1):
+            v = 0
+            for b in head[i * octets : (i + 1) * octets]:
+                v = (v << 8) | int(b)
+            sign_bit = 1 << (octets * 8 - 1)
+            vals.append(-(v & (sign_bit - 1)) if v & sign_bit else v)
+        first_vals, gmin = vals[:order], vals[order]
+        r = _BitReader(body[(order + 1) * octets :])
+    refs = r.take(ng, packing["nbits"])
+    widths = packing["width_ref"] + r.take(ng, packing["width_bits"])
+    lens = packing["len_ref"] + packing["len_inc"] * r.take(
+        ng, packing["len_bits"]
+    )
+    if ng:
+        lens[-1] = packing["last_len"]
+    if int(lens.sum()) != n_present:
+        raise GRIB2Error(
+            f"complex-packing group lengths sum to {int(lens.sum())} "
+            f"for {n_present} points"
+        )
+    out = np.empty(n_present, dtype="int64")
+    pos = 0
+    for g in range(ng):
+        n = int(lens[g])
+        out[pos : pos + n] = refs[g] + r.take(n, int(widths[g]))
+        pos += n
+    if packing["template"] == 3:
+        order = packing["sd_order"]
+        v = out + gmin  # v[:order] slots are padding; seeds come from head
+        n = n_present
+        if n <= order:
+            return np.asarray(first_vals[:n], dtype="int64")
+        if order == 1:
+            f = np.empty(n, dtype="int64")
+            f[0] = first_vals[0]
+            f[1:] = first_vals[0] + np.cumsum(v[1:])
+        else:  # order 2: integrate 2nd differences -> 1st -> values
+            d1 = np.empty(n - 1, dtype="int64")
+            d1[0] = first_vals[1] - first_vals[0]
+            d1[1:] = d1[0] + np.cumsum(v[2:])
+            f = np.empty(n, dtype="int64")
+            f[0] = first_vals[0]
+            f[1:] = first_vals[0] + np.cumsum(d1)
+        out = f
+    return out
+
+
 def _decode_field(
     discipline, ref_time, lats, lons, product, packing, bitmap, body
 ) -> Grib2Field:
     nj, ni = lats.size, lons.size
     n_present = int(bitmap.sum()) if bitmap is not None else nj * ni
-    nbits = packing["nbits"]
-    if nbits:
-        bits = np.unpackbits(np.frombuffer(body, dtype="u1"))
-        if bits.size < n_present * nbits:
-            raise GRIB2Error("data section too short for declared grid")
-        xs = bits[: n_present * nbits].reshape(n_present, nbits)
-        weights = 1 << np.arange(nbits - 1, -1, -1, dtype="int64")
-        xvals = (xs.astype("int64") * weights).sum(axis=1)
-    else:  # constant field
-        xvals = np.zeros(n_present, dtype="int64")
+    if packing["template"] in (2, 3):
+        xvals = _unpack_complex(body, n_present, packing)
+    else:
+        xvals = _unpack_simple(body, n_present, packing)
     present = (packing["R"] + xvals * 2.0 ** packing["E"]) / 10.0 ** packing["D"]
     if bitmap is not None:
         values = np.full(nj * ni, np.nan)
@@ -352,6 +458,89 @@ def _section(number: int, body: bytes) -> bytes:
     return struct.pack(">I", 5 + len(body)) + bytes([number]) + body
 
 
+class _BitWriter:
+    def __init__(self):
+        self._bits: list[np.ndarray] = []
+
+    def put(self, values: np.ndarray, width: int) -> None:
+        if width == 0:
+            return
+        v = np.asarray(values, dtype="int64")
+        if v.size and (v.min() < 0 or int(v.max()) >= 1 << width):
+            raise GRIB2Error(f"values out of range for {width} bits")
+        self._bits.append(
+            ((v[:, None] >> np.arange(width - 1, -1, -1)) & 1).astype("u1").reshape(-1)
+        )
+
+    def tobytes(self) -> bytes:
+        if not self._bits:
+            return b""
+        return np.packbits(np.concatenate(self._bits)).tobytes()
+
+
+def _bits_for(maxval: int) -> int:
+    return max(int(maxval).bit_length(), 1)
+
+
+def _complex_pack(
+    xvals: np.ndarray, sd_order: int, group_len: int = 7
+) -> tuple[dict, bytes]:
+    """Encode scaled values with complex packing (template 5.2) or
+    complex packing + spatial differencing (5.3).  Fixed-size groups
+    (last one shorter) with per-group min reference and tight bit
+    widths — enough to exercise every decode path.  Returns the
+    template-parameter dict and the section-7 payload."""
+    n = xvals.size
+    head = b""
+    work = xvals.astype("int64")
+    if sd_order:
+        seeds = [int(v) for v in work[:sd_order]]
+        d = work.copy()
+        for _ in range(sd_order):
+            d = np.diff(d)
+        gmin = int(d.min()) if d.size else 0
+        packed = np.concatenate(
+            [np.zeros(sd_order, dtype="int64"), d - gmin]
+        )
+        mag = max((abs(v) for v in [*seeds, gmin]), default=0)
+        octets = max((mag.bit_length() + 1 + 7) // 8, 1)
+        sign_bit = 1 << (octets * 8 - 1)
+        for v in [*seeds, gmin]:
+            enc = (sign_bit | -v) if v < 0 else v
+            head += int(enc).to_bytes(octets, "big")
+        work = packed
+    groups = [work[i : i + group_len] for i in range(0, n, group_len)]
+    refs = np.array([int(g.min()) for g in groups], dtype="int64")
+    widths = np.array(
+        [_bits_for(int((g - r).max())) if (g - r).max() > 0 else 0
+         for g, r in zip(groups, refs)],
+        dtype="int64",
+    )
+    lens = np.array([g.size for g in groups], dtype="int64")
+    nbits = _bits_for(int(refs.max())) if refs.size else 1
+    width_bits = _bits_for(int(widths.max())) if widths.size else 1
+    len_bits = _bits_for(int(lens.max())) if lens.size else 1
+    w = _BitWriter()
+    w.put(refs, nbits)
+    w.put(widths, width_bits)
+    w.put(lens, len_bits)
+    for g, r, gw in zip(groups, refs, widths):
+        w.put(g - r, int(gw))
+    params = {
+        "nbits": nbits,
+        "ng": len(groups),
+        "width_ref": 0,
+        "width_bits": width_bits,
+        "len_ref": 0,
+        "len_inc": 1,
+        "last_len": int(lens[-1]) if lens.size else 0,
+        "len_bits": len_bits,
+    }
+    if sd_order:
+        params.update(sd_order=sd_order, sd_octets=len(head) // (sd_order + 1))
+    return params, head + w.tobytes()
+
+
 def _pack_bits(xvals: np.ndarray, nbits: int) -> bytes:
     bits = ((xvals[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype("u1")
     return np.packbits(bits.reshape(-1)).tobytes()
@@ -424,20 +613,45 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         )
         s4 = struct.pack(">H", 0) + struct.pack(">H", 0) + tmpl40  # NV=0, template 4.0
 
-        s5 = (
-            struct.pack(">I", int(mask.sum()))
-            + struct.pack(">H", 0)         # template 5.0
-            + struct.pack(">f", ref)
-            + _enc_sm16(0) + _enc_sm16(0)  # E, D
-            + bytes([nbits, 0])
-        )
+        pack_mode = m.get("packing", "simple")
+        if pack_mode == "simple":
+            s5 = (
+                struct.pack(">I", int(mask.sum()))
+                + struct.pack(">H", 0)         # template 5.0
+                + struct.pack(">f", ref)
+                + _enc_sm16(0) + _enc_sm16(0)  # E, D
+                + bytes([nbits, 0])
+            )
+            s7 = _pack_bits(xvals, nbits) if xvals.size else b""
+        else:
+            sd_order = {"complex": 0, "complex_sd1": 1, "complex_sd2": 2}[
+                pack_mode
+            ]
+            params, s7 = _complex_pack(
+                xvals, sd_order, group_len=int(m.get("group_len", 7))
+            )
+            s5 = (
+                struct.pack(">I", int(mask.sum()))
+                + struct.pack(">H", 3 if sd_order else 2)
+                + struct.pack(">f", ref)
+                + _enc_sm16(0) + _enc_sm16(0)      # E, D
+                + bytes([params["nbits"], 0])
+                + bytes([1, 0])                    # general splitting, no missing mgmt
+                + struct.pack(">II", 0, 0)         # missing substitutes
+                + struct.pack(">I", params["ng"])
+                + bytes([params["width_ref"], params["width_bits"]])
+                + struct.pack(">I", params["len_ref"])
+                + bytes([params["len_inc"]])
+                + struct.pack(">I", params["last_len"])
+                + bytes([params["len_bits"]])
+                + (bytes([params["sd_order"], params["sd_octets"]])
+                   if sd_order else b"")
+            )
 
         if has_bitmap:
             s6 = bytes([0]) + np.packbits(mask.astype("u1")).tobytes()
         else:
             s6 = bytes([255])
-
-        s7 = _pack_bits(xvals, nbits) if xvals.size else b""
 
         body = (
             _section(1, s1)

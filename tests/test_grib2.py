@@ -158,3 +158,57 @@ def test_truncated_file_raises_typed_error(tmp_path):
         g2.parse_grib2(buf[: len(buf) // 2])
     with pytest.raises(g2.GRIB2Error, match="no GRIB2 fields"):
         g2.parse_grib2(b"not a grib file at all")
+
+
+@pytest.mark.parametrize("mode", ["complex", "complex_sd1", "complex_sd2"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_complex_packing_round_trip(tmp_path, mode, masked):
+    """Templates 5.2/7.2 and 5.3/7.3 (GFS/HRRR's default packing):
+    grouped references/widths/lengths, and for 5.3 the spatial
+    differencing head (seed values + overall minimum, sign-magnitude)."""
+    nj, ni = 5, 8
+    lats = 40.0 - 0.5 * np.arange(nj)
+    lons = 250.0 + 0.5 * np.arange(ni)
+    # oscillating field -> first/second differences go NEGATIVE, so the
+    # gmin sign-magnitude path is on the hot path
+    idx = np.arange(nj * ni, dtype="f8").reshape(nj, ni)
+    vals = 100.0 + 50.0 * np.sin(idx) + idx
+    vals = np.round(vals)
+    if masked:
+        vals[0, 1] = np.nan
+        vals[4, 7] = np.nan
+    p = str(tmp_path / "c.grib2")
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=lats, lons=lons, reference_time=REF,
+              forecast_hours=3, packing=mode, group_len=6)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
+    assert f.valid_time == REF + dt.timedelta(hours=3)
+
+
+def test_complex_packing_group_length_mismatch_raises(tmp_path):
+    p = str(tmp_path / "c.grib2")
+    vals = _grid(0, mask_cells=())
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=LATS, lons=LONS, reference_time=REF,
+              forecast_hours=0, packing="complex")],
+    )
+    buf = bytearray(open(p, "rb").read())
+    # corrupt the declared true-length-of-last-group (template 5.2
+    # octet 43-46): find section 5 and bump it
+    pos = 16
+    while True:
+        import struct as _s
+
+        ln = _s.unpack(">I", buf[pos : pos + 4])[0]
+        if buf[pos + 4] == 5:
+            off = pos + 5 + 6 + 25  # body + 5.0 head to last_len
+            buf[off + 3] ^= 0x01
+            break
+        pos += ln
+    with pytest.raises(g2.GRIB2Error, match="group lengths"):
+        g2.parse_grib2(bytes(buf))
