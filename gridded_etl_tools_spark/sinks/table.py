@@ -102,10 +102,22 @@ class GriddedTable:
         root: str,
         time_col: str = "time",
         bucket_fmt: str = DEFAULT_BUCKET_FMT,
+        bloom_cols: list[str] | None = None,
+        bloom_ndv: int = 100_000,
     ):
+        """``bloom_cols``: write parquet bloom filters for these columns
+        (point-lookup keys that are neither the time axis nor part of the
+        sort order — e.g. a station/entity id).  Row-group min/max stats
+        only prune SORTED columns; a bloom filter lets the scan skip row
+        groups for equality probes on unsorted high-cardinality keys —
+        at 100 TB the difference between a point lookup touching every
+        file and touching ~one.  ``bloom_ndv``: expected distinct values
+        per row group (sizes the filter's false-positive rate)."""
         self.root = root
         self.time_col = time_col
         self.bucket_fmt = bucket_fmt
+        self.bloom_cols = bloom_cols or []
+        self.bloom_ndv = bloom_ndv
 
     # -- layout ------------------------------------------------------------
 
@@ -272,13 +284,24 @@ class GriddedTable:
         reference's zarr chunk layout (dataset_manager.py:220-221).
         """
         staging = os.path.join(self._data_dir, uuid.uuid4().hex)
-        (
+        writer = (
             df.withColumn("__bucket", self._bucket_col())
             .repartition(F.col("__bucket"))
             .sortWithinPartitions(self.time_col, *sort_cols)
             .write.partitionBy("__bucket")
-            .parquet(staging)
         )
+        for c in self.bloom_cols:
+            # parquet-mr suppresses bloom filters for dictionary-only
+            # column chunks (the dictionary already answers membership);
+            # a declared bloom key is by definition high-cardinality, so
+            # force plain encoding to make the filter deterministic
+            # instead of depending on dictionary fallback
+            writer = (
+                writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                .option(f"parquet.bloom.filter.expected.ndv#{c}", str(self.bloom_ndv))
+                .option(f"parquet.enable.dictionary#{c}", "false")
+            )
+        writer.parquet(staging)
         entries: list[dict[str, Any]] = []
         for bucket_dir in sorted(os.listdir(staging)):
             if not bucket_dir.startswith("__bucket="):
