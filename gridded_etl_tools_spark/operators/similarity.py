@@ -491,3 +491,200 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- product quantization (PQ) ANN -------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    sample_pred,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks from a deterministic sample: the vector
+    splits into ``m`` contiguous subvectors of ``dim/m``; each sampled
+    row contributes one codeword per subspace.  (Production would train
+    each codebook with :func:`~gridded_etl_tools_spark.operators.
+    clustering.kmeans` on the subvectors; the deterministic sample keeps
+    the oracle replayable and the shape identical.)
+
+    Returns (subspace, cw_id, cw) — dimension-sized by construction."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = df.filter(sample_pred)
+    return sample.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        F.col(id_col).alias("cw_id"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "subspace",
+        "cw_id",
+        F.slice(F.col("__v"), F.col("subspace") * dsub + 1, dsub).alias("cw"),
+    )
+
+
+def _packed_codebooks(codebooks: DataFrame, m: int):
+    """One broadcast row: per subspace, its codewords sorted by cw_id
+    (the code value is the POSITION in this order) with ||cw||^2."""
+    per_sub = (
+        codebooks.groupBy("subspace")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cw_id").alias("cid"), F.col("cw").alias("cw")
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["cw"].alias("cw"),
+                    F.aggregate(
+                        s["cw"], F.lit(0.0), lambda a, x: a + x * x
+                    ).alias("cn2"),
+                ),
+            ).alias("cws")
+        )
+    )
+    return F.broadcast(
+        per_sub.groupBy().agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("cws")))
+                ),
+                lambda s: s["cws"],
+            ).alias("__book")
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small codes (argmin-L2
+    codeword per subspace, ties to the lowest code).  Map-side only —
+    the codebook is ONE broadcast row and every distance is a
+    whole-stage-codegen fold; the corpus never shuffles.  At 100 TB this
+    is the compression pass that turns 256-byte vectors into m bytes.
+
+    Returns (id, codes array<int>)."""
+    dsub = dim // m
+    base = df.crossJoin(_packed_codebooks(codebooks, m))
+    sub = lambda s: F.slice(F.col(vec_col), s * dsub + 1, dsub)  # noqa: E731
+    code_for = lambda s: F.aggregate(  # noqa: E731
+        F.transform(
+            F.element_at(F.col("__book"), s + 1),
+            lambda c, i: F.struct(
+                (
+                    c["cn2"]
+                    - 2.0 * F.aggregate(
+                        F.zip_with(sub(s), c["cw"], lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                i.alias("i"),
+            ),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
+        ),
+        lambda acc, x: F.when(
+            (x["d"] < acc["d"]) | ((x["d"] == acc["d"]) & (x["i"] < acc["i"])),
+            x,
+        ).otherwise(acc),
+        lambda acc: acc["i"],
+    )
+    return base.select(
+        F.col(id_col),
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rank_decimals: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: each probe precomputes an
+    (m x n_codewords) distance table against the broadcast codebooks;
+    scoring a corpus row is then ``sum_s table[s][code_s]`` — pure table
+    lookups over the compressed codes, no vector math per pair, which is
+    the whole point of PQ serving at scale.  The corpus scan stays
+    map-side (probes + tables ride one broadcast row); the only shuffle
+    is the final per-probe top-k window.
+
+    ADC uses ||p_s - c||^2 expanded as ||c||^2 - 2 p_s.c (the ||p_s||^2
+    term is constant per probe and drops out of the ranking).  Returns
+    (probe_id, neighbor_id, adc, rank<=k)."""
+    dsub = dim // m
+    sub = lambda col, s: F.slice(col, s * dsub + 1, dsub)  # noqa: E731
+    ptab = probes.crossJoin(_packed_codebooks(codebooks, m)).select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("__book"), s + 1),
+                lambda c: c["cn2"]
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(sub(F.col(vec_col), s), c["cw"], lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ).alias("dtab"),
+    )
+    packed_probes = F.broadcast(
+        ptab.groupBy().agg(
+            F.collect_list(F.struct("probe_id", "dtab")).alias("__probes")
+        )
+    )
+    scored = (
+        codes.crossJoin(packed_probes)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes"),
+            F.explode("__probes").alias("__p"),
+        )
+        .filter(F.col("__p.probe_id") != F.col("neighbor_id"))
+        .select(
+            F.col("__p.probe_id").alias("probe_id"),
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(F.col("__p.dtab"), s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ).alias("adc"),
+        )
+    )
+    if rank_decimals is not None:
+        # equal-code neighbors have mathematically equal ADC; ranking on
+        # the rounded value keeps tie-breaks engine-independent (raw FP
+        # sums of the same table entries can differ at the last ulp)
+        scored = scored.withColumn("adc", F.round("adc", rank_decimals))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

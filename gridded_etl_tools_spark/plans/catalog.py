@@ -1632,6 +1632,68 @@ def ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pq_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT s.s AS subspace, vec_id AS cw_id,
+             list_slice(v, s.s*16 + 1, s.s*16 + 16) AS cw
+      FROM e, (SELECT unnest(range(0, 4)) AS s) s
+      WHERE vec_id % 50 = 0),
+    cbi AS (
+      SELECT subspace, cw_id, cw,
+             CAST(row_number() OVER (PARTITION BY subspace ORDER BY cw_id) - 1
+                  AS INT) AS ci
+      FROM cb),
+    enc AS (
+      SELECT e.vec_id, c.subspace, c.ci,
+             row_number() OVER (PARTITION BY e.vec_id, c.subspace
+               ORDER BY list_inner_product(c.cw, c.cw)
+                 - 2 * list_inner_product(
+                     list_slice(e.v, c.subspace*16 + 1, c.subspace*16 + 16),
+                     c.cw) ASC,
+                 c.ci ASC) AS rn
+      FROM e CROSS JOIN cbi c),
+    codes AS (SELECT vec_id, subspace, ci FROM enc WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT p.probe_id, codes.vec_id AS neighbor_id,
+             round(sum(list_inner_product(c.cw, c.cw)
+               - 2 * list_inner_product(
+                   list_slice(p.pv, codes.subspace*16 + 1, codes.subspace*16 + 16),
+                   c.cw)), 6) AS adc
+      FROM p CROSS JOIN codes
+      JOIN cbi c ON c.subspace = codes.subspace AND c.ci = codes.ci
+      WHERE codes.vec_id <> p.probe_id
+      GROUP BY 1, 2)
+    SELECT probe_id, neighbor_id, adc,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+    FROM adc QUALIFY rank <= 5
+    """,
+)
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (north star: the compression-side scale
+    path next to IVF and int8): vectors become m=4 one-byte codes
+    (argmin-L2 codeword per 16-dim subspace over a deterministic
+    codebook sample), probes precompute an (m x codewords) ADC distance
+    table, and scoring a corpus row is pure table lookups over the
+    codes — no per-pair vector math.  Encoding and scoring are map-side
+    (one broadcast codebook row, one broadcast probe-table row); the
+    only shuffle is the final per-probe top-k.  Ranking uses the
+    6-dp-rounded ADC so cross-engine summation-order noise cannot flip
+    exact ties (operators/similarity.py::pq_encode/pq_topk)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = sim_ops.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    codes = sim_ops.pq_encode(emb, cb, m=4, dim=64)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.pq_topk(probes, codes, cb, m=4, dim=64, k=5, rank_decimals=6)
+    return out.select("probe_id", "neighbor_id", "adc", "rank")
+
+
 _KM_COS = (
     "list_inner_product({a}, {b})"
     " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"

@@ -271,3 +271,64 @@ def test_epoch_order_reproducible_and_epoch_varying(spark):
         by_shard.setdefault(s, []).append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_pq_encode_codewords_map_to_themselves(spark):
+    """A sampled codeword vector's own subvectors are distance-0 to
+    themselves, so it must encode to its own positions in every
+    subspace."""
+    from gridded_etl_tools_spark.operators import similarity as sim
+    from gridded_etl_tools_spark.plans.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = sim.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    sample_ids = sorted(
+        r["vec_id"] for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    )
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sim.pq_encode(
+            emb.filter(F.col("vec_id") % 50 == 0), cb, m=4, dim=64
+        ).collect()
+    }
+    for pos, vid in enumerate(sample_ids):
+        assert codes[vid] == [pos] * 4
+
+
+def test_pq_ann_recall_beats_chance(spark):
+    """PQ with m=4 x 16-dim subspaces over near-random synthetic
+    embeddings measures recall@5 ~0.2 vs exact L2 (chance = 5/500 =
+    0.01; kmeans-trained codebooks measure the same here because the
+    vectors have no cluster structure to exploit).  Bound well below
+    the measurement but 8x chance."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.operators import similarity as sim
+    from gridded_etl_tools_spark.plans.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    V = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    probes = [i for i in V if i % 100 == 0]
+    exact = {
+        p: {
+            j
+            for _, j in sorted(
+                ((np.sum((V[p] - V[j]) ** 2), j) for j in V if j != p)
+            )[:5]
+        }
+        for p in probes
+    }
+    cb = sim.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    codes = sim.pq_encode(emb, cb, m=4, dim=64)
+    out = sim.pq_topk(
+        emb.filter(F.col("vec_id") % 100 == 0), codes, cb, m=4, dim=64, k=5
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    mean_recall = sum(len(got[p] & exact[p]) / 5 for p in probes) / len(probes)
+    assert mean_recall >= 0.08
