@@ -117,6 +117,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: assign every vector to its
     nearest centroid (map-side broadcast argmax), then WITHIN each cluster
@@ -138,6 +139,11 @@ def semantic_dedup(
         df, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id_col=centroid_id_col,
     )
+    if checkpoint:
+        # the assignment feeds three plan branches (pair sides + final
+        # flags); materializing it trades one cached pass for three
+        # corpus scans — the right call whenever df isn't itself cached
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(centroid_id_col),
         F.col(id_col).alias("__id_a"),

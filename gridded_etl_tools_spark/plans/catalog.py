@@ -1793,7 +1793,7 @@ def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     cents = emb.filter(F.col("vec_id") % 100 == 0)
-    return clus_ops.semantic_dedup(emb, cents, threshold=0.9)
+    return clus_ops.semantic_dedup(emb, cents, threshold=0.9, checkpoint=True)
 
 
 @query(
