@@ -176,9 +176,9 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 }
             elif sec_no == 5:
                 tmpl = struct.unpack(">H", body[4:6])[0]
-                if tmpl not in (0, 2, 3):
+                if tmpl not in (0, 2, 3, 41):
                     raise GRIB2Error(
-                        f"data template 5.{tmpl}, only 5.0/5.2/5.3 supported"
+                        f"data template 5.{tmpl}, only 5.0/5.2/5.3/5.41 supported"
                     )
                 t = body[6:]
                 packing = {
@@ -345,6 +345,8 @@ def _decode_field(
     n_present = int(bitmap.sum()) if bitmap is not None else nj * ni
     if packing["template"] in (2, 3):
         xvals = _unpack_complex(body, n_present, packing)
+    elif packing["template"] == 41:
+        xvals = _unpack_png(body, n_present, packing)
     else:
         xvals = _unpack_simple(body, n_present, packing)
     present = (packing["R"] + xvals * 2.0 ** packing["E"]) / 10.0 ** packing["D"]
@@ -614,7 +616,16 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         s4 = struct.pack(">H", 0) + struct.pack(">H", 0) + tmpl40  # NV=0, template 4.0
 
         pack_mode = m.get("packing", "simple")
-        if pack_mode == "simple":
+        if pack_mode == "png":
+            s5 = (
+                struct.pack(">I", int(mask.sum()))
+                + struct.pack(">H", 41)        # template 5.41 (PNG)
+                + struct.pack(">f", ref)
+                + _enc_sm16(0) + _enc_sm16(0)  # E, D
+                + bytes([8 if nbits <= 8 else 16, 0])
+            )
+            s7 = _png_encode(xvals, 8 if nbits <= 8 else 16)
+        elif pack_mode == "simple":
             s5 = (
                 struct.pack(">I", int(mask.sum()))
                 + struct.pack(">H", 0)         # template 5.0
@@ -671,3 +682,123 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         )
     with open(path, "wb") as f:
         f.write(bytes(blob))
+
+
+# --- PNG data packing (templates 5.41 / 7.41) --------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(buf: bytes):
+    if buf[:8] != _PNG_SIG:
+        raise GRIB2Error("data section is not a PNG stream")
+    pos = 8
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        yield typ, buf[pos + 8 : pos + 8 + ln]
+        if typ == b"IEND":
+            return
+        pos += 12 + ln
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filters (all five types)."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise GRIB2Error(f"PNG filter type {ftype} invalid")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _unpack_png(body: bytes, n_present: int, packing: dict) -> np.ndarray:
+    """Data template 7.41: the scaled integers are a PNG image (one
+    scanline per grid row as written by encoders like g2lib; we accept
+    any height x width = n_present).  Bit depths 8/16 grayscale and the
+    24/32-bit RGB(A) widenings are supported."""
+    import zlib
+
+    width = height = bitdepth = colortype = None
+    idat = b""
+    for typ, chunk in _png_chunks(body):
+        if typ == b"IHDR":
+            width, height = struct.unpack(">II", chunk[0:8])
+            bitdepth, colortype = chunk[8], chunk[9]
+            if chunk[10] or chunk[11] or chunk[12]:
+                raise GRIB2Error("PNG interlace/compression flags unsupported")
+        elif typ == b"IDAT":
+            idat += chunk
+    if width is None:
+        raise GRIB2Error("PNG stream missing IHDR")
+    channels = {0: 1, 2: 3, 6: 4}.get(colortype)
+    if channels is None:
+        raise GRIB2Error(f"PNG color type {colortype} unsupported")
+    if bitdepth not in (8, 16):
+        raise GRIB2Error(f"PNG bit depth {bitdepth} unsupported")
+    if width * height != n_present:
+        raise GRIB2Error(
+            f"PNG carries {width * height} samples for {n_present} points"
+        )
+    bpp = channels * (bitdepth // 8)
+    raw = _png_unfilter(zlib.decompress(idat), height, width * bpp, bpp)
+    arr = np.frombuffer(raw, dtype=">u2" if bitdepth == 16 else "u1")
+    if channels > 1:  # 24/32-bit ints spread across RGB(A) bytes
+        arr = arr.reshape(-1, channels).astype("int64")
+        out = np.zeros(arr.shape[0], dtype="int64")
+        for c in range(channels):
+            out = (out << 8) | arr[:, c]
+        return out
+    return arr.astype("int64")
+
+
+def _png_encode(xvals: np.ndarray, nbits: int) -> bytes:
+    """Minimal PNG writer for fixtures: grayscale, filter 0, one row."""
+    import zlib
+
+    if nbits <= 8:
+        depth, data = 8, xvals.astype("u1").tobytes()
+    elif nbits <= 16:
+        depth, data = 16, xvals.astype(">u2").tobytes()
+    else:
+        raise GRIB2Error(f"PNG fixture nbits {nbits} unsupported")
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", xvals.size, 1, depth, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + data)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

@@ -212,3 +212,47 @@ def test_complex_packing_group_length_mismatch_raises(tmp_path):
         pos += ln
     with pytest.raises(g2.GRIB2Error, match="group lengths"):
         g2.parse_grib2(bytes(buf))
+
+
+@pytest.mark.parametrize("nbits", [8, 16])
+def test_png_packing_round_trip(tmp_path, nbits):
+    """Template 5.41/7.41 (PNG packing, used by MRMS-class products):
+    the scaled integers travel as a real zlib'd PNG stream."""
+    vals = (_grid(0) * (977 if nbits == 16 else 1)) % (1 << nbits)
+    vals[0, 1] = np.nan
+    p = str(tmp_path / "p.grib2")
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=LATS, lons=LONS, reference_time=REF,
+              forecast_hours=12, packing="png", nbits=nbits)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
+    assert f.valid_time == REF + dt.timedelta(hours=12)
+
+
+def test_png_packing_rejects_sample_count_mismatch(tmp_path):
+    vals = _grid(0, mask_cells=())
+    p = str(tmp_path / "p.grib2")
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=LATS, lons=LONS, reference_time=REF,
+              forecast_hours=0, packing="png", nbits=8)],
+    )
+    buf = bytearray(open(p, "rb").read())
+    # shrink the declared grid: Ni lives at section-3 template octet 16
+    # (section body offset 9 + 16)
+    import struct as _s
+
+    pos = 16
+    while True:
+        ln = _s.unpack(">I", buf[pos : pos + 4])[0]
+        if buf[pos + 4] == 3:
+            off = pos + 5 + 9 + 16
+            ni = _s.unpack(">I", buf[off : off + 4])[0]
+            buf[off : off + 4] = _s.pack(">I", ni - 1)
+            break
+        pos += ln
+    with pytest.raises(g2.GRIB2Error, match="samples"):
+        g2.parse_grib2(bytes(buf))
