@@ -174,6 +174,14 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                     "level_value": struct.unpack(">I", t[15:19])[0],
                     "offset": fcst * _TIME_UNITS[unit],
                 }
+                if tmpl == 8:
+                    # statistically-processed field (accumulation/avg):
+                    # the field validates at the END of the overall time
+                    # interval (octets 35-41), not at ref+forecast
+                    product["end_time"] = dt.datetime(
+                        struct.unpack(">H", t[25:27])[0],
+                        t[27], t[28], t[29], t[30], t[31],
+                    )
             elif sec_no == 5:
                 tmpl = struct.unpack(">H", body[4:6])[0]
                 if tmpl not in (0, 2, 3, 41):
@@ -362,7 +370,7 @@ def _decode_field(
         level_type=product["level_type"],
         level_value=product["level_value"],
         reference_time=ref_time,
-        valid_time=ref_time + product["offset"],
+        valid_time=product.get("end_time") or (ref_time + product["offset"]),
         lats=lats,
         lons=lons,
         values=values.reshape(nj, ni),
@@ -613,7 +621,25 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + struct.pack(">I", int(m.get("level_value", 0)))
             + bytes([255, 0]) + struct.pack(">I", 0)  # second surface: none
         )
-        s4 = struct.pack(">H", 0) + struct.pack(">H", 0) + tmpl40  # NV=0, template 4.0
+        interval_end = m.get("interval_end")
+        if interval_end is None:
+            s4 = struct.pack(">H", 0) + struct.pack(">H", 0) + tmpl40  # NV=0, 4.0
+        else:
+            # template 4.8: 4.0 fields + overall-interval end + one
+            # time-range spec (statistical process: accumulation)
+            tmpl48 = (
+                tmpl40
+                + struct.pack(">H", interval_end.year)
+                + bytes([interval_end.month, interval_end.day,
+                         interval_end.hour, interval_end.minute,
+                         interval_end.second])
+                + bytes([1])                   # one time-range spec
+                + struct.pack(">I", 0)         # no missing values
+                + bytes([1, 2, 1])             # accum, same ref, unit hours
+                + struct.pack(">I", int(m.get("interval_hours", 1)))
+                + bytes([255]) + struct.pack(">I", 0)
+            )
+            s4 = struct.pack(">H", 0) + struct.pack(">H", 8) + tmpl48
 
         pack_mode = m.get("packing", "simple")
         if pack_mode == "png":

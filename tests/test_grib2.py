@@ -256,3 +256,23 @@ def test_png_packing_rejects_sample_count_mismatch(tmp_path):
         pos += ln
     with pytest.raises(g2.GRIB2Error, match="samples"):
         g2.parse_grib2(bytes(buf))
+
+
+def test_accumulation_validates_at_interval_end(tmp_path):
+    """Product template 4.8 (statistically-processed fields): a 30-hour
+    accumulation references the run start but VALIDATES at the end of
+    the overall interval — mislabeling it ref+forecast would shift every
+    accumulated-precip series."""
+    vals = _grid(0, mask_cells=())
+    p = str(tmp_path / "acc.grib2")
+    g2.write_grib2(
+        p,
+        [dict(values=vals, lats=LATS, lons=LONS, reference_time=REF,
+              forecast_hours=0,
+              interval_end=REF + dt.timedelta(hours=30),
+              interval_hours=30, nbits=8)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert f.reference_time == REF
+    assert f.valid_time == REF + dt.timedelta(hours=30)
+    assert np.allclose(f.values, vals)
