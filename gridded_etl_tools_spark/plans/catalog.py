@@ -18,7 +18,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridded_etl_tools_spark.functions.normalize import (
@@ -841,6 +841,70 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(text_ops.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "quality_quartile_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks, text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, text, toks,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS p_ratio,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl,
+             greatest(
+               CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','ich','zu'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','you','that'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','por'))) AS DOUBLE) / greatest(len(toks),1),
+               CAST(len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est','pas','que','pour'))) AS DOUBLE) / greatest(len(toks),1)
+             ) AS any_stop
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             round(least(n_tok / 50.0, 1.0) * 0.3
+                   + (1.0 - least(p_ratio * 5, 1.0)) * 0.3
+                   + (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                   + least(any_stop * 10, 1.0) * 0.2, 6) AS quality
+      FROM m
+    ), w AS (
+      SELECT source, quality,
+             cume_dist() OVER (PARTITION BY source ORDER BY quality) AS cd
+      FROM q)
+    SELECT source,
+           count(*) FILTER (WHERE cd > 0.25)  AS n_kept,
+           count(*) FILTER (WHERE cd <= 0.25) AS n_dropped,
+           round(min(CASE WHEN cd > 0.25 THEN quality END), 6) AS min_kept_quality
+    FROM w GROUP BY 1
+    """,
+)
+def quality_quartile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gating (north star: 'drop each source's worst
+    quartile' — thresholding per domain instead of globally, so a clean
+    domain isn't over-pruned and a noisy one isn't under-pruned).
+    cume_dist over the ROUNDED score keeps the cut rank-exact and
+    engine-independent; one shuffle on the domain key (per-domain sort —
+    at extreme domain skew swap in approx_percentile thresholds)."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.round(text_ops.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    cd = F.cume_dist().over(
+        Window.partitionBy("source").orderBy("quality")
+    )
+    w = q.withColumn("cd", cd)
+    return w.groupBy("source").agg(
+        F.count(F.when(F.col("cd") > 0.25, 1)).alias("n_kept"),
+        F.count(F.when(F.col("cd") <= 0.25, 1)).alias("n_dropped"),
+        F.round(
+            F.min(F.when(F.col("cd") > 0.25, F.col("quality"))), 6
+        ).alias("min_kept_quality"),
     )
 
 
