@@ -2770,6 +2770,108 @@ def grib2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixed_scan_fixture() -> tuple:
+    """Shared 2x3 grid for the mixed-format-directory fixture: one
+    NetCDF3 file (day 0), one GRIB1 (day 2), one GRIB2 (day 3,
+    0-360 longitudes)."""
+    import numpy as np
+
+    lats = np.array([36.0, 36.5], dtype="f8")
+    lons = np.array([-115.0, -114.5, -114.0], dtype="f8")
+    vals = np.arange(6, dtype="f8").reshape(2, 3)
+    return lats, lons, vals
+
+
+def _mixed_scan_fixture_dir() -> str:
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sources import grib1 as _g1
+    from gridded_etl_tools_spark.sources import grib2 as _g2
+    from gridded_etl_tools_spark.sources import netcdf3 as _nc
+
+    lats, lons, vals = _mixed_scan_fixture()
+    digest = _fixture_digest(lats, lons, vals)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mixed_fixture_{digest}"
+    )
+    done = os.path.join(root, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        _nc.write_netcdf3(
+            os.path.join(root, "a.nc"),
+            dims={"time": None, "latitude": 2, "longitude": 3},
+            variables={
+                "time": (("time",), _nc.NC_DOUBLE, {}, vals[:1, 0] * 0.0),
+                "latitude": (("latitude",), _nc.NC_DOUBLE, {}, lats),
+                "longitude": (("longitude",), _nc.NC_DOUBLE, {}, lons),
+                "precip": (
+                    ("time", "latitude", "longitude"),
+                    _nc.NC_DOUBLE,
+                    {},
+                    vals.reshape(1, 2, 3),
+                ),
+            },
+        )
+        _g1.write_grib1(
+            os.path.join(root, "b.grib"),
+            [{
+                "values": vals + 200,
+                "lats": lats, "lons": lons,
+                "reference_time": _dt.datetime(1970, 1, 3),
+                "p1_hours": 0, "nbits": 16,
+            }],
+        )
+        _g2.write_grib2(
+            os.path.join(root, "c.grib2"),
+            [{
+                "values": vals + 300,
+                "lats": lats, "lons": lons + 360.0,
+                "reference_time": _dt.datetime(1970, 1, 4),
+                "forecast_hours": 0, "nbits": 16,
+                "packing": "complex_sd1",
+            }],
+        )
+        open(done, "w").close()
+    return root
+
+
+def _mixed_scan_oracle() -> str:
+    lats, lons, vals = _mixed_scan_fixture()
+    rows = []
+    for day, (voff, loff) in ((0.0, (0, 0.0)), (2.0, (200, 0.0)), (3.0, (300, 360.0))):
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                rows.append(
+                    f"({day!r}, {float(la)!r}, {float(lo) + loff!r}, "
+                    f"{float(vals[i, j]) + voff!r})"
+                )
+    return (
+        "SELECT CAST(time AS DOUBLE) AS time,"
+        " CAST(latitude AS DOUBLE) AS latitude,"
+        " CAST(longitude AS DOUBLE) AS longitude,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(time, latitude, longitude, value)"
+    )
+
+
+@query("mixed_format_scan", _mixed_scan_oracle())
+def mixed_format_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kerchunkify front door under the hash gate: ONE scan over a
+    directory holding NetCDF3 + GRIB1 + GRIB2 files decodes all three
+    through per-file magic-byte dispatch on executors
+    (sources/scan.py::scan_gridded); times land as fractional epoch days
+    so every format shares one numeric schema."""
+    from gridded_etl_tools_spark.sources.scan import scan_gridded
+
+    root = _mixed_scan_fixture_dir()
+    return scan_gridded(spark, root, "precip", glob="*.*").select(
+        "time", "latitude", "longitude", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # NetCDF4/HDF5 decode (S9/S10 primary branch): real on-disk HDF5 file ->
 # long-form rows (reference utils/transform.py:186-224 SingleHdf5ToZarr path)
