@@ -152,11 +152,15 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 pass  # local use
             elif sec_no == 3:
                 tmpl = struct.unpack(">H", body[7:9])[0]
-                if tmpl != 0:
+                if tmpl == 0:
+                    lats, lons, _ = _parse_grid_template_30(body[9:])
+                elif tmpl == 30:
+                    lats, lons, _ = _parse_grid_template_330(body[9:])
+                else:
                     raise GRIB2Error(
-                        f"grid template 3.{tmpl}, only 3.0 lat/lon supported"
+                        f"grid template 3.{tmpl}, only 3.0 (lat/lon) and "
+                        "3.30 (Lambert conformal) supported"
                     )
-                lats, lons, _ = _parse_grid_template_30(body[9:])
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
                 if tmpl not in (0, 8):
@@ -225,7 +229,7 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 elif ind == 0:
                     if lats is None:
                         raise GRIB2Error("bitmap before grid definition")
-                    n = lats.size * lons.size
+                    n = lats.size if lats.ndim == 2 else lats.size * lons.size
                     bits = np.unpackbits(np.frombuffer(body[1:], dtype="u1"))
                     if bits.size < n:
                         raise GRIB2Error(
@@ -349,7 +353,10 @@ def _unpack_complex(body: bytes, n_present: int, packing: dict) -> np.ndarray:
 def _decode_field(
     discipline, ref_time, lats, lons, product, packing, bitmap, body
 ) -> Grib2Field:
-    nj, ni = lats.size, lons.size
+    if lats.ndim == 2:  # projected grid: per-cell 2-D coordinates
+        nj, ni = lats.shape
+    else:
+        nj, ni = lats.size, lons.size
     n_present = int(bitmap.sum()) if bitmap is not None else nj * ni
     if packing["template"] in (2, 3):
         xvals = _unpack_complex(body, n_present, packing)
@@ -413,7 +420,10 @@ def grib2_long_frame(
     per (valid_time, lat, lon) cell; bitmap-masked cells are NaN."""
     frames = []
     for f in select_fields(parse_grib2(buf), discipline, category, number, level_type):
-        lon_mesh, lat_mesh = np.meshgrid(f.lons, f.lats)
+        if f.lats.ndim == 2:
+            lat_mesh, lon_mesh = f.lats, f.lons
+        else:
+            lon_mesh, lat_mesh = np.meshgrid(f.lons, f.lats)
         frames.append(
             pd.DataFrame(
                 {
@@ -566,7 +576,10 @@ def write_grib2(path: str, messages: list[dict]) -> None:
     for m in messages:
         values = np.asarray(m["values"], dtype="f8")
         nj, ni = values.shape
-        lats, lons = np.asarray(m["lats"]), np.asarray(m["lons"])
+        # lat/lon axes are only meaningful for the lat/lon template;
+        # LCC messages may omit them (geometry lives in the lcc dict)
+        lats = np.asarray(m.get("lats", np.zeros(nj)))
+        lons = np.asarray(m.get("lons", np.zeros(ni)))
         rt: dt.datetime = m["reference_time"]
         mask = ~np.isnan(values.reshape(-1))
         has_bitmap = not mask.all()
@@ -584,6 +597,39 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + bytes([rt.month, rt.day, rt.hour, rt.minute, rt.second, 0, 1])
         )
 
+        lcc = m.get("lcc")
+        if lcc is not None:
+            # grid template 3.30 (Lambert conformal): encode the x/y grid
+            # origin as la1/lo1 via the same Snyder forward math the
+            # decoder inverts
+            tmpl330 = (
+                bytes([6])                                 # earth: r=6371229
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + struct.pack(">II", ni, nj)
+                + _enc_sm32(int(round(lcc["la1"] * 1e6)))
+                + _enc_sm32(int(round(lcc["lo1"] * 1e6)))
+                + bytes([0x08])
+                + _enc_sm32(int(round(lcc["lad"] * 1e6)))
+                + _enc_sm32(int(round(lcc["lov"] * 1e6)))
+                + struct.pack(">II", int(round(lcc["dx"] * 1e3)),
+                              int(round(lcc["dy"] * 1e3)))
+                + bytes([0])                               # north pole proj
+                + bytes([0x40])                            # scan +i/+j
+                + _enc_sm32(int(round(lcc["latin1"] * 1e6)))
+                + _enc_sm32(int(round(lcc["latin2"] * 1e6)))
+                + _enc_sm32(-90000000) + _enc_sm32(0)      # south pole
+            )
+            s3 = (
+                bytes([0])
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])
+                + struct.pack(">H", 30)
+                + tmpl330
+            )
+        else:
+            s3 = None  # built below from the lat/lon template
         tmpl30 = (
             bytes([6])                     # shape of earth: spherical r=6371229
             + bytes([0]) + struct.pack(">I", 0)      # radius scale/value (n/a)
@@ -603,13 +649,14 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             )
             + bytes([0x00 if nj < 2 or lats[0] >= lats[-1] else 0x40])  # scan mode
         )
-        s3 = (
-            bytes([0])                     # grid definition source
-            + struct.pack(">I", ni * nj)
-            + bytes([0, 0])                # no optional list of numbers
-            + struct.pack(">H", 0)         # template 3.0
-            + tmpl30
-        )
+        if s3 is None:
+            s3 = (
+                bytes([0])                 # grid definition source
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])            # no optional list of numbers
+                + struct.pack(">H", 0)     # template 3.0
+                + tmpl30
+            )
 
         tmpl40 = (
             bytes([m.get("category", 1), m.get("number", 8)])
@@ -828,3 +875,72 @@ def _png_encode(xvals: np.ndarray, nbits: int) -> bytes:
         _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+# --- Lambert conformal grids (grid template 3.30) ----------------------------
+
+
+def _earth_radius(body: bytes) -> float:
+    """Spherical earth radius from the 16-byte shape-of-earth block."""
+    shape = body[0]
+    if shape == 0:
+        return 6367470.0
+    if shape == 6:
+        return 6371229.0
+    if shape == 1:
+        scale, value = body[1], struct.unpack(">I", body[2:6])[0]
+        return value / 10.0**scale
+    raise GRIB2Error(f"earth shape {shape} unsupported (spherical only)")
+
+
+def _lcc_np(c: dict):
+    """Numpy Snyder spherical LCC forward/inverse sharing
+    ``functions.conventions.lcc_constants`` — the exact constants the
+    column-expression path uses."""
+    n, big_f, rho0, radius, lon0 = c["n"], c["F"], c["rho0"], c["R"], c["lon0"]
+
+    def fwd(lon, lat):
+        dlon = ((np.asarray(lon) - lon0 + 540.0) % 360.0) - 180.0
+        theta = n * np.radians(dlon)
+        rho = radius * big_f / np.tan(np.pi / 4 + np.radians(lat) / 2) ** n
+        return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+    def inv(x, y):
+        rho = np.hypot(x, rho0 - y)
+        theta = np.arctan2(x, rho0 - y)
+        lat = np.degrees(2.0 * np.arctan((radius * big_f / rho) ** (1.0 / n)) - np.pi / 2)
+        lon = ((lon0 + np.degrees(theta / n)) + 540.0) % 360.0 - 180.0
+        return lon, lat
+
+    return fwd, inv
+
+
+def _parse_grid_template_330(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Grid template 3.30 (Lambert conformal, the HRRR/NAM grid): the
+    cells live on a regular x/y grid in projection meters; decode
+    inverse-projects every cell center, so ``lats``/``lons`` come back
+    as 2-D arrays."""
+    from gridded_etl_tools_spark.functions.conventions import lcc_constants
+
+    radius = _earth_radius(body[0:16])
+    nx = struct.unpack(">I", body[16:20])[0]
+    ny = struct.unpack(">I", body[20:24])[0]
+    la1 = _sm32(body[24:28]) / 1e6
+    lo1 = _sm32(body[28:32]) / 1e6
+    lad = _sm32(body[33:37]) / 1e6
+    lov = _sm32(body[37:41]) / 1e6
+    dx = struct.unpack(">I", body[41:45])[0] / 1e3
+    dy = struct.unpack(">I", body[45:49])[0] / 1e3
+    scan = body[50]
+    if scan & 0x80 or not scan & 0x40:
+        raise GRIB2Error(f"LCC scanning mode {scan:#x}: need +i/+j")
+    latin1 = _sm32(body[51:55]) / 1e6
+    latin2 = _sm32(body[55:59]) / 1e6
+    c = lcc_constants(latin1, latin2, lad, lov, radius)
+    fwd, inv = _lcc_np(c)
+    x0, y0 = fwd(lo1, la1)
+    x = x0 + dx * np.arange(nx)
+    y = y0 + dy * np.arange(ny)
+    xm, ym = np.meshgrid(x, y)
+    lons, lats = inv(xm, ym)
+    return lats, lons, scan

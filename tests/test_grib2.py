@@ -276,3 +276,40 @@ def test_accumulation_validates_at_interval_end(tmp_path):
     assert f.reference_time == REF
     assert f.valid_time == REF + dt.timedelta(hours=30)
     assert np.allclose(f.values, vals)
+
+
+def test_lambert_conformal_grid_template(tmp_path):
+    """Grid template 3.30 (the HRRR/NAM Lambert conformal grid): cells
+    live on a regular projection-meter grid; decode inverse-projects
+    every cell center with the same Snyder constants the column-level
+    LCC path uses, so lat/lon come back as 2-D per-cell arrays."""
+    from gridded_etl_tools_spark.functions.conventions import lcc_constants
+    from gridded_etl_tools_spark.sources.grib2 import _lcc_np
+
+    ny, nx = 4, 5
+    vals = (np.arange(ny * nx, dtype="f8").reshape(ny, nx) * 7) % 50
+    vals[2, 3] = np.nan
+    lcc = dict(latin1=25.0, latin2=25.0, lad=25.0, lov=265.0,
+               dx=3000.0, dy=3000.0, la1=35.0, lo1=-100.0)
+    p = str(tmp_path / "l.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, reference_time=REF, forecast_hours=0,
+                 nbits=8, lcc=lcc)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert f.lats.shape == (ny, nx) and f.lons.shape == (ny, nx)
+    # the grid origin inverts back to exactly (la1, lo1)
+    assert f.lats[0, 0] == pytest.approx(35.0, abs=1e-9)
+    assert f.lons[0, 0] == pytest.approx(-100.0, abs=1e-9)
+    # an interior cell matches an independent forward-step-invert
+    c = lcc_constants(25.0, 25.0, 25.0, 265.0, 6371229.0)
+    fwd, inv = _lcc_np(c)
+    x0, y0 = fwd(-100.0, 35.0)
+    lon, lat = inv(x0 + 3 * 3000.0, y0 + 2 * 3000.0)
+    assert f.lats[2, 3] == pytest.approx(lat)
+    assert f.lons[2, 3] == pytest.approx(lon)
+    # values + bitmap survive; the long frame carries per-cell coords
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    df = g2.grib2_long_frame(open(p, "rb").read())
+    assert len(df) == ny * nx
+    assert df["latitude"].nunique() == ny * nx  # truly 2-D geometry
