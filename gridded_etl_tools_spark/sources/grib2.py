@@ -75,6 +75,7 @@ class Grib2Field:
     lats: np.ndarray
     lons: np.ndarray
     values: np.ndarray  # (nj, ni), NaN where bitmap-masked
+    member: int | None = None  # ensemble perturbation number (4.1/4.11)
 
 
 def _parse_grid_template_30(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
@@ -163,9 +164,10 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                     )
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
-                if tmpl not in (0, 8):
+                if tmpl not in (0, 1, 8, 11):
                     raise GRIB2Error(
-                        f"product template 4.{tmpl}, only 4.0/4.8 supported"
+                        f"product template 4.{tmpl}, only 4.0/4.1/4.8/4.11 "
+                        "supported"
                     )
                 t = body[4:]
                 unit, fcst = t[8], _sm32(t[9:13])
@@ -178,13 +180,19 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                     "level_value": struct.unpack(">I", t[15:19])[0],
                     "offset": fcst * _TIME_UNITS[unit],
                 }
-                if tmpl == 8:
+                ens = 3 if tmpl in (1, 11) else 0
+                if ens:
+                    # 4.1/4.11: +3 octets after the fixed surfaces —
+                    # ensemble type, perturbation number, member count
+                    product["member"] = t[26]
+                if tmpl in (8, 11):
                     # statistically-processed field (accumulation/avg):
                     # the field validates at the END of the overall time
-                    # interval (octets 35-41), not at ref+forecast
+                    # interval, not at ref+forecast
                     product["end_time"] = dt.datetime(
-                        struct.unpack(">H", t[25:27])[0],
-                        t[27], t[28], t[29], t[30], t[31],
+                        struct.unpack(">H", t[25 + ens : 27 + ens])[0],
+                        t[27 + ens], t[28 + ens], t[29 + ens],
+                        t[30 + ens], t[31 + ens],
                     )
             elif sec_no == 5:
                 tmpl = struct.unpack(">H", body[4:6])[0]
@@ -378,6 +386,7 @@ def _decode_field(
         level_value=product["level_value"],
         reference_time=ref_time,
         valid_time=product.get("end_time") or (ref_time + product["offset"]),
+        member=product.get("member"),
         lats=lats,
         lons=lons,
         values=values.reshape(nj, ni),
@@ -390,9 +399,11 @@ def select_fields(
     category: int | None = None,
     number: int | None = None,
     level_type: int | None = None,
+    member: int | None = None,
 ) -> list[Grib2Field]:
     """Layer pick (the reference's ``grib_filter``): keep exactly one
-    (discipline, category, number, level) variable from a mixed file."""
+    (discipline, category, number, level[, ensemble member]) variable
+    from a mixed file."""
     out = [
         f
         for f in fields
@@ -400,6 +411,7 @@ def select_fields(
         and (category is None or f.category == category)
         and (number is None or f.number == number)
         and (level_type is None or f.level_type == level_type)
+        and (member is None or f.member == member)
     ]
     if not out:
         raise GRIB2Error(
@@ -668,9 +680,16 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + struct.pack(">I", int(m.get("level_value", 0)))
             + bytes([255, 0]) + struct.pack(">I", 0)  # second surface: none
         )
+        member = m.get("member")
+        if member is not None:
+            tmpl40 = tmpl40 + bytes([3, int(member), int(m.get("n_members", 1))])
         interval_end = m.get("interval_end")
         if interval_end is None:
-            s4 = struct.pack(">H", 0) + struct.pack(">H", 0) + tmpl40  # NV=0, 4.0
+            s4 = (
+                struct.pack(">H", 0)
+                + struct.pack(">H", 1 if member is not None else 0)
+                + tmpl40
+            )
         else:
             # template 4.8: 4.0 fields + overall-interval end + one
             # time-range spec (statistical process: accumulation)
@@ -686,7 +705,11 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                 + struct.pack(">I", int(m.get("interval_hours", 1)))
                 + bytes([255]) + struct.pack(">I", 0)
             )
-            s4 = struct.pack(">H", 0) + struct.pack(">H", 8) + tmpl48
+            s4 = (
+                struct.pack(">H", 0)
+                + struct.pack(">H", 11 if member is not None else 8)
+                + tmpl48
+            )
 
         pack_mode = m.get("packing", "simple")
         if pack_mode == "png":

@@ -313,3 +313,32 @@ def test_lambert_conformal_grid_template(tmp_path):
     df = g2.grib2_long_frame(open(p, "rb").read())
     assert len(df) == ny * nx
     assert df["latitude"].nunique() == ny * nx  # truly 2-D geometry
+
+
+def test_ensemble_member_templates(tmp_path):
+    """Product templates 4.1 / 4.11 (individual ensemble members — the
+    reference's hindcast/ensemble category): each message carries its
+    perturbation number, selectable like any other layer key, and 4.11
+    keeps the interval-end validity of 4.8."""
+    msgs = [
+        dict(values=_grid(0, mask_cells=()) + 10 * k, lats=LATS, lons=LONS,
+             reference_time=REF, forecast_hours=6, member=k, n_members=3,
+             nbits=8)
+        for k in range(3)
+    ]
+    msgs.append(
+        dict(values=np.full((LATS.size, LONS.size), 7.0), lats=LATS,
+             lons=LONS, reference_time=REF, forecast_hours=0, member=1,
+             n_members=3, interval_end=REF + dt.timedelta(days=1), nbits=8)
+    )
+    p = str(tmp_path / "ens.grib2")
+    g2.write_grib2(p, msgs)
+    fields = g2.parse_grib2(open(p, "rb").read())
+    assert [f.member for f in fields] == [0, 1, 2, 1]
+    # deterministic forecasts decode with member=None, so the key is
+    # filterable without ambiguity
+    m1 = g2.select_fields(fields, member=1)
+    assert len(m1) == 2
+    assert m1[0].valid_time == REF + dt.timedelta(hours=6)
+    assert m1[1].valid_time == REF + dt.timedelta(days=1)  # 4.11 end time
+    assert np.allclose(m1[0].values, _grid(0, mask_cells=()) + 10)
