@@ -441,3 +441,74 @@ def pre_parse_quality_check(
             value_violations(df, value_col, value_bounds),
             "value outside physical bounds",
         )
+
+
+def spatial_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    time_col: str | None = "time",
+    resolution: float = 1.0,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Spatial-coherence QC (extends the reference's per-value/per-time
+    checks with the gridded check they lack): flag cells whose value
+    deviates from their 3x3 neighborhood mean by more than ``threshold``
+    neighborhood standard deviations — the classic sensor-glitch /
+    decode-corruption detector for physical fields, which per-cell range
+    checks cannot see.
+
+    Scale shape: the neighborhood is assembled by a constant-fan-out
+    equi-join — every cell is exploded to the 8 neighbor keys it
+    CONTRIBUTES to (dx, dy offsets at the declared grid ``resolution``)
+    and aggregated per neighbor key, so the plan is one 9x map-side
+    expansion + one hash aggregation + one equi-join back to the cells,
+    never a windowed sort over the grid and never all-pairs.  Keys are
+    quantized to integer steps (``round(coord / resolution)``) so float
+    coordinates join exactly.
+
+    Returns flagged cells: (time?, lat, lon, value, neigh_mean,
+    neigh_std, n_neighbors, deviation).
+    """
+    tkeys = [time_col] if time_col else []
+    qlat = F.round(F.col(lat_col) / resolution).cast("long")
+    qlon = F.round(F.col(lon_col) / resolution).cast("long")
+    cells = df.select(
+        *tkeys, lat_col, lon_col, value_col,
+        qlat.alias("__qlat"), qlon.alias("__qlon"),
+    )
+    off = F.expr("array(-1, 0, 1)")
+    contrib = (
+        cells.select(
+            *tkeys, F.col(value_col).alias("__v"), "__qlat", "__qlon",
+            F.explode(off).alias("__dy"),
+        )
+        .withColumn("__dx", F.explode(off))
+        .filter((F.col("__dx") != 0) | (F.col("__dy") != 0))
+        .select(
+            *tkeys,
+            (F.col("__qlat") + F.col("__dy")).alias("__qlat"),
+            (F.col("__qlon") + F.col("__dx")).alias("__qlon"),
+            "__v",
+        )
+    )
+    neigh = contrib.groupBy(*tkeys, "__qlat", "__qlon").agg(
+        F.avg("__v").alias("neigh_mean"),
+        F.stddev_samp("__v").alias("neigh_std"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+    joined = cells.join(neigh, on=[*tkeys, "__qlat", "__qlon"])
+    dev = (F.col(value_col) - F.col("neigh_mean")) / F.col("neigh_std")
+    return (
+        joined.filter(
+            F.col("neigh_std").isNotNull()
+            & (F.col("neigh_std") > 0)
+            & (F.abs(dev) > F.lit(threshold))
+        )
+        .select(
+            *tkeys, lat_col, lon_col, value_col,
+            "neigh_mean", "neigh_std", "n_neighbors",
+            dev.alias("deviation"),
+        )
+    )

@@ -2282,6 +2282,68 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_outlier_cells",
+    """
+    WITH pts AS (
+      -- CAST: bare 0.25 literals type as DECIMAL in DuckDB, which would
+      -- stringify keys as '0.00' vs Spark's double '0'
+      SELECT CAST((user_id % 20) * 0.25 AS DOUBLE)  AS lat,
+             CAST((event_id % 40) * 0.25 AS DOUBLE) AS lon,
+             value
+      FROM events),
+    cells AS (
+      SELECT lat, lon, CAST(round(lat / 0.25) AS BIGINT) AS qlat,
+             CAST(round(lon / 0.25) AS BIGINT) AS qlon,
+             avg(value) AS v
+      FROM pts GROUP BY 1, 2, 3, 4),
+    contrib AS (
+      SELECT c.qlat + dy.d AS qlat, c.qlon + dx.d AS qlon, c.v
+      FROM cells c,
+           (SELECT unnest(range(-1, 2)) AS d) dy,
+           (SELECT unnest(range(-1, 2)) AS d) dx
+      WHERE dx.d <> 0 OR dy.d <> 0),
+    neigh AS (
+      SELECT qlat, qlon, avg(v) AS neigh_mean,
+             stddev_samp(v) AS neigh_std, count(*) AS n_neighbors
+      FROM contrib GROUP BY 1, 2)
+    SELECT cells.lat AS latitude, cells.lon AS longitude,
+           round(cells.v, 6) AS value,
+           round(neigh_mean, 6) AS neigh_mean,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           round((cells.v - neigh_mean) / neigh_std, 6) AS deviation
+    FROM cells JOIN neigh USING (qlat, qlon)
+    WHERE neigh_std IS NOT NULL AND neigh_std > 0
+      AND abs((cells.v - neigh_mean) / neigh_std) > 2.0
+    """,
+)
+def spatial_outlier_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-coherence QC (the gridded check the reference's QC family
+    lacks): cells of the synthetic 0.25-degree grid whose mean value
+    deviates from their 3x3 neighborhood mean by > 2 neighborhood
+    standard deviations.  Constant 9x fan-out equi-join — one expansion,
+    one hash agg, one join back; never a grid-wide window sort
+    (operators/qc.py::spatial_outliers)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("user_id") % 20) * 0.25).alias("latitude"),
+        ((F.col("event_id") % 40) * 0.25).alias("longitude"),
+        "value",
+    )
+    cells = pts.groupBy("latitude", "longitude").agg(F.avg("value").alias("value"))
+    out = qc_ops.spatial_outliers(
+        cells, value_col="value", time_col=None,
+        resolution=0.25, threshold=2.0,
+    )
+    return out.select(
+        "latitude", "longitude",
+        F.round("value", 6).alias("value"),
+        F.round("neigh_mean", 6).alias("neigh_mean"),
+        "n_neighbors",
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
+@query(
     "coarsen_grid",
     """
     SELECT round(floor((user_id % 20) * 0.25 / 1.0) * 1.0, 6)  AS lat,

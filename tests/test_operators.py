@@ -746,3 +746,35 @@ def test_nearest_cells_plan_has_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_outliers_flags_planted_glitch(spark):
+    from gridded_etl_tools_spark.operators.qc import spatial_outliers
+
+    rows = []
+    for i in range(6):
+        for j in range(6):
+            v = 10.0 + 0.1 * i + 0.05 * j      # smooth field
+            if (i, j) == (3, 3):
+                v = 500.0                       # sensor glitch
+            rows.append((float(i), float(j), v))
+    df = spark.createDataFrame(rows, "latitude double, longitude double, value double")
+    out = spatial_outliers(df, time_col=None, resolution=1.0, threshold=3.0)
+    got = [(r["latitude"], r["longitude"]) for r in out.collect()]
+    assert got == [(3.0, 3.0)]
+    row = out.first()
+    assert row["n_neighbors"] == 8
+    assert abs(row["deviation"]) > 3.0
+
+
+def test_spatial_outliers_edge_cells_use_partial_neighborhoods(spark):
+    from gridded_etl_tools_spark.operators.qc import spatial_outliers
+
+    # slight variation so neighborhood stddev is nonzero
+    rows = [(float(i), float(j), 1.0 + 0.01 * j + 0.02 * i)
+            for i in range(2) for j in range(4)]
+    rows[0] = (0.0, 0.0, 99.0)  # glitch in a CORNER (3 neighbors only)
+    df = spark.createDataFrame(rows, "latitude double, longitude double, value double")
+    out = spatial_outliers(df, time_col=None, resolution=1.0, threshold=3.0)
+    got = {(r["latitude"], r["longitude"]): r["n_neighbors"] for r in out.collect()}
+    assert got == {(0.0, 0.0): 3}
