@@ -148,3 +148,29 @@ def rolling_aggregate(
         .rowsBetween(-(window_rows - 1), 0)
     )
     return df.withColumn(f"rolling_{agg}_{value_col}", fns[agg](value_col).over(w))
+
+
+def verification_metrics(
+    df: DataFrame,
+    forecast_col: str,
+    observed_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Forecast verification (the hindcast category's downstream math —
+    what the reference's forecast/ensemble datasets exist to feed): per
+    group (typically lead time and/or region), the standard point-skill
+    scores: bias (mean error), MAE, RMSE, and the forecast-observation
+    Pearson correlation.
+
+    One hash aggregation over the joined forecast-observation pairs; all
+    four metrics are algebraic (sum-shaped), so map-side partial
+    aggregation carries seven running sums per group regardless of pair
+    count — nothing here gets harder at 100 TB."""
+    err = F.col(forecast_col) - F.col(observed_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(err).alias("bias"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.corr(forecast_col, observed_col).alias("corr_fo"),
+    )

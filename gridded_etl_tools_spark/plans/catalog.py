@@ -2282,6 +2282,55 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "forecast_skill_by_lead",
+    """
+    WITH pairs AS (
+      SELECT l.lead, value AS obs,
+             value + ((event_id * (l.lead + 3)) % 7 - 3) AS fc
+      FROM events, (SELECT unnest(range(1, 4)) AS lead) l),
+    m AS (
+      SELECT lead, count(*) AS n_pairs,
+             avg(fc - obs)          AS bias,
+             avg(abs(fc - obs))     AS mae,
+             sqrt(avg((fc - obs) * (fc - obs))) AS rmse,
+             corr(fc, obs)          AS corr_fo
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lead AS BIGINT) AS lead, n_pairs,
+           round(bias, 6) AS bias, round(mae, 6) AS mae,
+           round(rmse, 6) AS rmse, round(corr_fo, 6) AS corr_fo
+    FROM m
+    """,
+)
+def forecast_skill_by_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast verification by lead time (the hindcast category's
+    downstream analytics): deterministic synthetic forecasts (obs plus a
+    lead-dependent pseudo-error) scored with bias / MAE / RMSE /
+    forecast-observation correlation.  All metrics are algebraic, so the
+    whole query is one map-side-combined hash aggregation per lead
+    (operators/aggregations.py::verification_metrics)."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lead"),
+        F.col("value").alias("obs"),
+        F.col("event_id"),
+    ).select(
+        "lead", "obs",
+        (
+            F.col("obs")
+            + ((F.col("event_id") * (F.col("lead") + 3)) % 7 - 3).cast("double")
+        ).alias("fc"),
+    )
+    out = agg_ops.verification_metrics(pairs, "fc", "obs", ["lead"])
+    return out.select(
+        "lead", "n_pairs",
+        F.round("bias", 6).alias("bias"),
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("corr_fo", 6).alias("corr_fo"),
+    )
+
+
+@query(
     "spatial_outlier_cells",
     """
     WITH pts AS (

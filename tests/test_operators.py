@@ -778,3 +778,23 @@ def test_spatial_outliers_edge_cells_use_partial_neighborhoods(spark):
     out = spatial_outliers(df, time_col=None, resolution=1.0, threshold=3.0)
     got = {(r["latitude"], r["longitude"]): r["n_neighbors"] for r in out.collect()}
     assert got == {(0.0, 0.0): 3}
+
+
+def test_verification_metrics_known_values(spark):
+    from gridded_etl_tools_spark.operators.aggregations import verification_metrics
+
+    rows = [
+        # lead 1: fc = obs + 2 everywhere -> bias 2, mae 2, rmse 2, corr 1
+        (1, 10.0, 12.0), (1, 20.0, 22.0), (1, 30.0, 32.0),
+        # lead 2: fc = -obs -> corr -1, bias = -2*mean(obs)
+        (2, 1.0, -1.0), (2, 2.0, -2.0), (2, 3.0, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "lead int, obs double, fc double")
+    got = {r["lead"]: r for r in verification_metrics(df, "fc", "obs", ["lead"]).collect()}
+    assert got[1]["bias"] == pytest.approx(2.0)
+    assert got[1]["mae"] == pytest.approx(2.0)
+    assert got[1]["rmse"] == pytest.approx(2.0)
+    assert got[1]["corr_fo"] == pytest.approx(1.0)
+    assert got[2]["corr_fo"] == pytest.approx(-1.0)
+    assert got[2]["bias"] == pytest.approx(-4.0)
+    assert got[2]["n_pairs"] == 3
