@@ -174,3 +174,29 @@ def verification_metrics(
         F.sqrt(F.avg(err * err)).alias("rmse"),
         F.corr(forecast_col, observed_col).alias("corr_fo"),
     )
+
+
+def crps_ensemble(members_col, obs_col):
+    """Per-row CRPS of an empirical ensemble (column expression): the
+    standard probabilistic skill score for the reference's ensemble /
+    hindcast category,
+
+        CRPS = mean_i |x_i - y| - 0.5 * mean_{i,j} |x_i - x_j|
+
+    (Hersbach 2000 fair-score form over the member array).  Both terms
+    are whole-stage-codegen higher-order folds over the member array —
+    map-side, no shuffle, no UDF; ensembles are small (tens of members),
+    so the m^2 pairwise term is constant per row."""
+    m = F.size(members_col)
+    term1 = F.aggregate(
+        members_col,
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x - obs_col),
+    ) / m
+    term2 = F.aggregate(
+        members_col,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.aggregate(members_col, F.lit(0.0), lambda a2, y: a2 + F.abs(x - y)),
+    ) / (m * m)
+    return term1 - F.lit(0.5) * term2

@@ -2282,6 +2282,51 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ensemble_crps",
+    """
+    WITH ens AS (
+      SELECT event_type, value AS obs,
+             list_transform(range(1, 6),
+               m -> value + CAST((event_id * m) % 5 - 2 AS DOUBLE)) AS ms
+      FROM events),
+    scored AS (
+      SELECT event_type,
+             list_sum(list_transform(ms, x -> abs(x - obs))) / 5.0
+             - 0.5 * list_sum(flatten(list_transform(ms,
+                 x -> list_transform(ms, y -> abs(x - y))))) / 25.0 AS crps
+      FROM ens)
+    SELECT event_type, count(*) AS n,
+           round(avg(crps), 6) AS mean_crps
+    FROM scored GROUP BY 1
+    """,
+)
+def ensemble_crps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRPS of a synthetic 5-member ensemble per event type (the
+    probabilistic skill score the reference's ensemble/hindcast datasets
+    feed).  Both CRPS terms are JVM higher-order folds over the member
+    array — map-side, no UDF; one hash agg for the per-type mean
+    (operators/aggregations.py::crps_ensemble)."""
+    ev = load(spark, sf_dir, "events")
+    ens = ev.select(
+        "event_type",
+        F.col("value").alias("obs"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)),
+            lambda m: F.col("value")
+            + ((F.col("event_id") * m) % 5 - 2).cast("double"),
+        ).alias("ms"),
+    )
+    scored = ens.select(
+        "event_type",
+        agg_ops.crps_ensemble(F.col("ms"), F.col("obs")).alias("crps"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("crps"), 6).alias("mean_crps"),
+    )
+
+
+@query(
     "forecast_skill_by_lead",
     """
     WITH pairs AS (

@@ -798,3 +798,24 @@ def test_verification_metrics_known_values(spark):
     assert got[2]["corr_fo"] == pytest.approx(-1.0)
     assert got[2]["bias"] == pytest.approx(-4.0)
     assert got[2]["n_pairs"] == 3
+
+
+def test_crps_ensemble_known_values(spark):
+    from gridded_etl_tools_spark.operators.aggregations import crps_ensemble
+
+    rows = [
+        # perfect deterministic ensemble: all members == obs -> CRPS 0
+        (1, 5.0, [5.0, 5.0, 5.0]),
+        # symmetric pair around obs: term1 = 1, term2 = 0.5*(8/9) -> 5/9
+        (2, 0.0, [-1.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, obs double, ms array<double>")
+    out = {
+        r["id"]: r["crps"]
+        for r in df.select(
+            "id", crps_ensemble(F.col("ms"), F.col("obs")).alias("crps")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.0)
+    # term1 = (1+0+1)/3 = 2/3; pairwise sum = 2*(1+2+1) = 8, /9 -> 8/9
+    assert out[2] == pytest.approx(2 / 3 - 0.5 * 8 / 9)
