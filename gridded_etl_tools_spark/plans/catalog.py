@@ -2282,6 +2282,54 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_map_correction",
+    """
+    WITH obs AS (
+      SELECT event_type, value AS v,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS r
+      FROM events),
+    fc AS (
+      SELECT event_type, value * 1.3 + 5.0 AS v,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value * 1.3 + 5.0) AS r
+      FROM events),
+    u AS (
+      SELECT event_type, r, 0 AS side, v AS obs_v, NULL::DOUBLE AS fc_v FROM obs
+      UNION ALL
+      SELECT event_type, r, 1 AS side, NULL, v FROM fc),
+    filled AS (
+      SELECT event_type, side, fc_v,
+             last_value(obs_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY r, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS corrected
+      FROM u)
+    SELECT event_type, count(*) AS n,
+           round(avg(fc_v), 4)      AS mean_fc,
+           round(avg(corrected), 4) AS mean_corrected
+    FROM filled WHERE side = 1 GROUP BY 1
+    """,
+)
+def quantile_map_correction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical quantile-mapping bias correction (statistical
+    downscaling): a deliberately biased forecast (obs * 1.3 + 5) is
+    mapped back onto the observed distribution per event type — the
+    corrected mean lands back on the observed mean by construction.
+    Rank windows + the union-trick rank-as-of join; one shuffle on the
+    group key (operators/aggregations.py::quantile_map)."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select("event_type", "value")
+    fc = ev.select(
+        "event_type", (F.col("value") * 1.3 + 5.0).alias("value")
+    )
+    out = agg_ops.quantile_map(fc, obs, "value", ["event_type"])
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_fc"),
+        F.round(F.avg("corrected"), 4).alias("mean_corrected"),
+    )
+
+
+@query(
     "ensemble_crps",
     """
     WITH ens AS (

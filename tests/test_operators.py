@@ -819,3 +819,18 @@ def test_crps_ensemble_known_values(spark):
     assert out[1] == pytest.approx(0.0)
     # term1 = (1+0+1)/3 = 2/3; pairwise sum = 2*(1+2+1) = 8, /9 -> 8/9
     assert out[2] == pytest.approx(2 / 3 - 0.5 * 8 / 9)
+
+
+def test_quantile_map_recovers_observed_distribution(spark):
+    from gridded_etl_tools_spark.operators.aggregations import quantile_map
+
+    obs_vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    obs = spark.createDataFrame([("a", v) for v in obs_vals], "g string, value double")
+    # biased forecast: scale 2x + shift — same ranks, different values
+    fc = spark.createDataFrame(
+        [("a", v * 2 + 100) for v in obs_vals], "g string, value double"
+    )
+    out = quantile_map(fc, obs, "value", ["g"])
+    got = sorted(r["corrected"] for r in out.collect())
+    # rank-for-rank the corrected series IS the observed series
+    assert got == obs_vals
