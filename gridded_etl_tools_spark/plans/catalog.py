@@ -2282,6 +2282,55 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anomaly_correlation",
+    """
+    WITH clim AS (
+      SELECT event_type, avg(value) AS c FROM events GROUP BY 1),
+    pairs AS (
+      SELECT l.lead, e.event_type,
+             e.value - clim.c AS obs_a,
+             (e.value + ((e.event_id * (l.lead + 3)) % 7 - 3)) - clim.c AS fc_a
+      FROM events e JOIN clim USING (event_type),
+           (SELECT unnest(range(1, 4)) AS lead) l)
+    SELECT CAST(lead AS BIGINT) AS lead, count(*) AS n_pairs,
+           round(corr(fc_a, obs_a), 6) AS acc,
+           round(avg(fc_a - obs_a), 6) AS mean_anom_err
+    FROM pairs GROUP BY 1
+    """,
+)
+def anomaly_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly correlation coefficient by lead time (the headline
+    medium-range skill metric: correlate forecast and observed
+    DEPARTURES from climatology, so persistence of the seasonal cycle
+    earns no credit).  Climatology is a dimension-sized per-type mean,
+    broadcast back; the score is one map-side-combined hash agg per
+    lead."""
+    ev = load(spark, sf_dir, "events")
+    clim = ev.groupBy("event_type").agg(F.avg("value").alias("c"))
+    pairs = (
+        ev.join(F.broadcast(clim), on="event_type")
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lead"),
+            "event_type", "value", "event_id", "c",
+        )
+        .select(
+            "lead",
+            (F.col("value") - F.col("c")).alias("obs_a"),
+            (
+                F.col("value")
+                + ((F.col("event_id") * (F.col("lead") + 3)) % 7 - 3).cast("double")
+                - F.col("c")
+            ).alias("fc_a"),
+        )
+    )
+    return pairs.groupBy("lead").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("fc_a", "obs_a"), 6).alias("acc"),
+        F.round(F.avg(F.col("fc_a") - F.col("obs_a")), 6).alias("mean_anom_err"),
+    )
+
+
+@query(
     "quantile_map_correction",
     """
     WITH obs AS (
