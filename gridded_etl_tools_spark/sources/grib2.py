@@ -155,12 +155,15 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 tmpl = struct.unpack(">H", body[7:9])[0]
                 if tmpl == 0:
                     lats, lons, _ = _parse_grid_template_30(body[9:])
+                elif tmpl == 20:
+                    lats, lons, _ = _parse_grid_template_320(body[9:])
                 elif tmpl == 30:
                     lats, lons, _ = _parse_grid_template_330(body[9:])
                 else:
                     raise GRIB2Error(
-                        f"grid template 3.{tmpl}, only 3.0 (lat/lon) and "
-                        "3.30 (Lambert conformal) supported"
+                        f"grid template 3.{tmpl}, only 3.0 (lat/lon), "
+                        "3.20 (polar stereographic), and 3.30 (Lambert "
+                        "conformal) supported"
                     )
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
@@ -609,6 +612,34 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + bytes([rt.month, rt.day, rt.hour, rt.minute, rt.second, 0, 1])
         )
 
+        ps = m.get("ps")
+        if ps is not None:
+            # grid template 3.20 (polar stereographic)
+            tmpl320 = (
+                bytes([6])
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + struct.pack(">II", ni, nj)
+                + _enc_sm32(int(round(ps["la1"] * 1e6)))
+                + _enc_sm32(int(round(ps["lo1"] * 1e6)))
+                + bytes([0x08])
+                + _enc_sm32(int(round(ps["lad"] * 1e6)))
+                + _enc_sm32(int(round(ps["lov"] * 1e6)))
+                + struct.pack(">II", int(round(ps["dx"] * 1e3)),
+                              int(round(ps["dy"] * 1e3)))
+                + bytes([0x80 if ps.get("south") else 0])
+                + bytes([0x40])                    # scan +i/+j
+            )
+            s3 = (
+                bytes([0])
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])
+                + struct.pack(">H", 20)
+                + tmpl320
+            )
+        else:
+            s3 = None
         lcc = m.get("lcc")
         if lcc is not None:
             # grid template 3.30 (Lambert conformal): encode the x/y grid
@@ -640,8 +671,6 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                 + struct.pack(">H", 30)
                 + tmpl330
             )
-        else:
-            s3 = None  # built below from the lat/lon template
         tmpl30 = (
             bytes([6])                     # shape of earth: spherical r=6371229
             + bytes([0]) + struct.pack(">I", 0)      # radius scale/value (n/a)
@@ -961,6 +990,56 @@ def _parse_grid_template_330(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     latin2 = _sm32(body[55:59]) / 1e6
     c = lcc_constants(latin1, latin2, lad, lov, radius)
     fwd, inv = _lcc_np(c)
+    x0, y0 = fwd(lo1, la1)
+    x = x0 + dx * np.arange(nx)
+    y = y0 + dy * np.arange(ny)
+    xm, ym = np.meshgrid(x, y)
+    lons, lats = inv(xm, ym)
+    return lats, lons, scan
+
+
+# --- Polar stereographic grids (grid template 3.20) --------------------------
+
+
+def _ps_np(lad_deg: float, lov_deg: float, radius: float, south: bool):
+    """Numpy spherical polar-stereographic forward/inverse (Snyder), with
+    true scale at ``lad_deg`` and orientation ``lov_deg``."""
+    sgn = -1.0 if south else 1.0
+    k = radius * (1.0 + np.sin(np.radians(abs(lad_deg))))
+
+    def fwd(lon, lat):
+        rho = k * np.tan(np.pi / 4 - sgn * np.radians(lat) / 2)
+        dlon = np.radians(((np.asarray(lon) - lov_deg + 540.0) % 360.0) - 180.0)
+        return rho * np.sin(dlon), -sgn * rho * np.cos(dlon)
+
+    def inv(x, y):
+        rho = np.hypot(x, y)
+        lat = sgn * np.degrees(np.pi / 2 - 2 * np.arctan(rho / k))
+        lon = ((lov_deg + np.degrees(np.arctan2(x, -sgn * np.asarray(y))))
+               + 540.0) % 360.0 - 180.0
+        return lon, lat
+
+    return fwd, inv
+
+
+def _parse_grid_template_320(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Grid template 3.20 (polar stereographic — NSIDC/arctic products):
+    regular x/y grid in projection meters; every cell center is
+    inverse-projected, so lats/lons come back 2-D."""
+    radius = _earth_radius(body[0:16])
+    nx = struct.unpack(">I", body[16:20])[0]
+    ny = struct.unpack(">I", body[20:24])[0]
+    la1 = _sm32(body[24:28]) / 1e6
+    lo1 = _sm32(body[28:32]) / 1e6
+    lad = _sm32(body[33:37]) / 1e6
+    lov = _sm32(body[37:41]) / 1e6
+    dx = struct.unpack(">I", body[41:45])[0] / 1e3
+    dy = struct.unpack(">I", body[45:49])[0] / 1e3
+    south = bool(body[49] & 0x80)
+    scan = body[50]
+    if scan & 0x80 or not scan & 0x40:
+        raise GRIB2Error(f"PS scanning mode {scan:#x}: need +i/+j")
+    fwd, inv = _ps_np(lad, lov, radius, south)
     x0, y0 = fwd(lo1, la1)
     x = x0 + dx * np.arange(nx)
     y = y0 + dy * np.arange(ny)

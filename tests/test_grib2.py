@@ -342,3 +342,35 @@ def test_ensemble_member_templates(tmp_path):
     assert m1[0].valid_time == REF + dt.timedelta(hours=6)
     assert m1[1].valid_time == REF + dt.timedelta(days=1)  # 4.11 end time
     assert np.allclose(m1[0].values, _grid(0, mask_cells=()) + 10)
+
+
+@pytest.mark.parametrize("south", [False, True])
+def test_polar_stereographic_grid_template(tmp_path, south):
+    """Grid template 3.20 (polar stereographic — NSIDC/arctic products),
+    both projection hemispheres: the regular projection-meter grid
+    inverse-projects to 2-D per-cell coordinates; the origin cell lands
+    exactly back on (la1, lo1)."""
+    from gridded_etl_tools_spark.sources.grib2 import _ps_np
+
+    ny, nx = 4, 5
+    vals = (np.arange(ny * nx, dtype="f8").reshape(ny, nx) * 3) % 40
+    vals[1, 2] = np.nan
+    sgn = -1 if south else 1
+    ps = dict(lad=60.0 * sgn, lov=-45.0, dx=25000.0, dy=25000.0,
+              la1=70.0 * sgn, lo1=-120.0, south=south)
+    p = str(tmp_path / "ps.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, reference_time=REF, forecast_hours=0,
+                 nbits=8, ps=ps)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert f.lats.shape == (ny, nx)
+    assert f.lats[0, 0] == pytest.approx(ps["la1"], abs=1e-9)
+    assert f.lons[0, 0] == pytest.approx(ps["lo1"], abs=1e-9)
+    fwd, inv = _ps_np(ps["lad"], ps["lov"], 6371229.0, south)
+    x0, y0 = fwd(ps["lo1"], ps["la1"])
+    lon, lat = inv(x0 + 3 * 25000.0, y0 + 2 * 25000.0)
+    assert f.lats[2, 3] == pytest.approx(lat)
+    assert f.lons[2, 3] == pytest.approx(lon)
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
