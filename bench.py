@@ -71,6 +71,10 @@ HEADLINE = [
     # round-4 continuation additions:
     "semantic_dedup_flags",  # cluster-then-dedup within-cell self-join
     "interpolate_gaps",      # dual ignorenulls window scans over events
+    "kmeans_centroids",      # 2 Lloyd rounds, broadcast-argmax assignment
+    "pq_ann_topk",           # PQ encode + ADC table-lookup search
+    "spatial_nearest_cell",  # degree-bucket haversine join
+    "quantile_map_correction",  # rank windows + rank-as-of join
 ]
 
 
