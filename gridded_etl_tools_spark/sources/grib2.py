@@ -157,13 +157,15 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                     lats, lons, _ = _parse_grid_template_30(body[9:])
                 elif tmpl == 20:
                     lats, lons, _ = _parse_grid_template_320(body[9:])
+                elif tmpl == 40:
+                    lats, lons, _ = _parse_grid_template_340(body[9:])
                 elif tmpl == 30:
                     lats, lons, _ = _parse_grid_template_330(body[9:])
                 else:
                     raise GRIB2Error(
                         f"grid template 3.{tmpl}, only 3.0 (lat/lon), "
-                        "3.20 (polar stereographic), and 3.30 (Lambert "
-                        "conformal) supported"
+                        "3.20 (polar stereographic), 3.30 (Lambert "
+                        "conformal), and 3.40 (regular Gaussian) supported"
                     )
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
@@ -612,6 +614,42 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + bytes([rt.month, rt.day, rt.hour, rt.minute, rt.second, 0, 1])
         )
 
+        gaussian_n = m.get("gaussian_n")
+        if gaussian_n is not None:
+            glats = gaussian_latitudes(int(gaussian_n))
+            if nj != glats.size:
+                raise GRIB2Error(
+                    f"gaussian_n={gaussian_n} grid has {glats.size} parallels, "
+                    f"values have {nj} rows"
+                )
+            tmpl340 = (
+                bytes([6])
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + struct.pack(">II", ni, nj)
+                + struct.pack(">II", 0, 0)
+                + _enc_sm32(int(round(glats[0] * 1e6)))
+                + _enc_sm32(int(round(lons[0] * 1e6)))
+                + bytes([0x30])
+                + _enc_sm32(int(round(glats[-1] * 1e6)))
+                + _enc_sm32(int(round(lons[-1] * 1e6)))
+                + struct.pack(
+                    ">I",
+                    int(round(abs(lons[1] - lons[0]) * 1e6)) if ni > 1 else 0,
+                )
+                + struct.pack(">I", int(gaussian_n))
+                + bytes([0x00])                    # scan +i, -j (north->south)
+            )
+            s3 = (
+                bytes([0])
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])
+                + struct.pack(">H", 40)
+                + tmpl340
+            )
+        else:
+            s3 = None
         ps = m.get("ps")
         if ps is not None:
             # grid template 3.20 (polar stereographic)
@@ -638,8 +676,6 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                 + struct.pack(">H", 20)
                 + tmpl320
             )
-        else:
-            s3 = None
         lcc = m.get("lcc")
         if lcc is not None:
             # grid template 3.30 (Lambert conformal): encode the x/y grid
@@ -1046,3 +1082,47 @@ def _parse_grid_template_320(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     xm, ym = np.meshgrid(x, y)
     lons, lats = inv(xm, ym)
     return lats, lons, scan
+
+
+# --- Gaussian grids (grid template 3.40) -------------------------------------
+
+
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """The 2N Gaussian latitudes (degrees, north->south): arcsin of the
+    Gauss-Legendre quadrature nodes — the native ECMWF grid parallels
+    (ERA5's regular-Gaussian form)."""
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(nodes))[::-1].copy()
+
+
+def _parse_grid_template_340(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Grid template 3.40 (regular Gaussian): like lat/lon but the
+    parallels are the 2N Gaussian latitudes (N = parallels between pole
+    and equator, octets 68-71 replacing Dj).  The declared la1/la2 must
+    frame the computed latitudes (guard against half-degree drift from a
+    mis-encoded N)."""
+    ni = struct.unpack(">I", body[16:20])[0]
+    nj = struct.unpack(">I", body[20:24])[0]
+    la1 = _sm32(body[32:36]) / 1e6
+    lo1 = _sm32(body[36:40]) / 1e6
+    lo2 = _sm32(body[45:49]) / 1e6
+    n = struct.unpack(">I", body[53:57])[0]
+    scan = body[57]
+    if scan & 0x80 or scan & 0x20 or scan & 0x10:
+        raise GRIB2Error(f"Gaussian scanning mode {scan:#x} unsupported")
+    lats_all = gaussian_latitudes(n)
+    if scan & 0x40:
+        lats_all = lats_all[::-1]
+    if nj > lats_all.size:
+        raise GRIB2Error(
+            f"Gaussian grid declares nj={nj} > 2N={lats_all.size} parallels"
+        )
+    # subset grids start at the parallel nearest la1
+    start = int(np.argmin(np.abs(lats_all - la1)))
+    lats = lats_all[start : start + nj]
+    if lats.size != nj or abs(lats[0] - la1) > 0.5:
+        raise GRIB2Error(
+            f"declared la1={la1} does not sit on a Gaussian parallel of N={n}"
+        )
+    lons = np.linspace(lo1, lo2, ni)
+    return lats.copy(), lons, scan

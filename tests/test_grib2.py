@@ -374,3 +374,29 @@ def test_polar_stereographic_grid_template(tmp_path, south):
     assert f.lons[2, 3] == pytest.approx(lon)
     assert (np.isnan(f.values) == np.isnan(vals)).all()
     assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
+
+
+def test_gaussian_grid_template(tmp_path):
+    """Grid template 3.40 (regular Gaussian — the ERA5 native parallels):
+    latitudes are the arcsines of the Gauss-Legendre nodes, recomputed at
+    decode from N and cross-checked against the declared la1."""
+    from gridded_etl_tools_spark.sources.grib2 import gaussian_latitudes
+
+    n = 3
+    lats = gaussian_latitudes(n)
+    assert lats.size == 6 and lats[0] > 0 and np.all(np.diff(lats) < 0)
+    # antisymmetric about the equator
+    assert np.allclose(lats, -lats[::-1])
+    lons = np.linspace(0.0, 300.0, 6)
+    vals = (np.arange(36, dtype="f8").reshape(6, 6) * 5) % 60
+    vals[2, 4] = np.nan
+    p = str(tmp_path / "g.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, lats=lats, lons=lons, reference_time=REF,
+                 forecast_hours=0, nbits=8, gaussian_n=n)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert np.allclose(f.lats, lats, atol=1e-6)
+    assert np.allclose(f.lons, lons)
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
