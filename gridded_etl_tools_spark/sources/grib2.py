@@ -137,6 +137,7 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
 
         ref_time = None
         lats = lons = None
+        flat_grid = False  # reduced (ragged) grids: per-cell flat coords
         product = None
         packing = None
         bitmap = None  # carried forward for indicator 254
@@ -158,7 +159,13 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 elif tmpl == 20:
                     lats, lons, _ = _parse_grid_template_320(body[9:])
                 elif tmpl == 40:
-                    lats, lons, _ = _parse_grid_template_340(body[9:])
+                    ni_field = struct.unpack(">I", body[9 + 16 : 9 + 20])[0]
+                    if ni_field == 0xFFFFFFFF:
+                        lats, lons, _ = _parse_reduced_gaussian(body)
+                        flat_grid = True
+                    else:
+                        lats, lons, _ = _parse_grid_template_340(body[9:])
+                        flat_grid = False
                 elif tmpl == 30:
                     lats, lons, _ = _parse_grid_template_330(body[9:])
                 else:
@@ -242,7 +249,11 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 elif ind == 0:
                     if lats is None:
                         raise GRIB2Error("bitmap before grid definition")
-                    n = lats.size if lats.ndim == 2 else lats.size * lons.size
+                    n = (
+                        lats.size
+                        if (flat_grid or lats.ndim == 2)
+                        else lats.size * lons.size
+                    )
                     bits = np.unpackbits(np.frombuffer(body[1:], dtype="u1"))
                     if bits.size < n:
                         raise GRIB2Error(
@@ -262,7 +273,7 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 out.append(
                     _decode_field(
                         discipline, ref_time, lats, lons, product, packing,
-                        bitmap, body,
+                        bitmap, body, flat_grid=flat_grid,
                     )
                 )
             else:
@@ -364,9 +375,12 @@ def _unpack_complex(body: bytes, n_present: int, packing: dict) -> np.ndarray:
 
 
 def _decode_field(
-    discipline, ref_time, lats, lons, product, packing, bitmap, body
+    discipline, ref_time, lats, lons, product, packing, bitmap, body,
+    flat_grid: bool = False,
 ) -> Grib2Field:
-    if lats.ndim == 2:  # projected grid: per-cell 2-D coordinates
+    if flat_grid:  # ragged grid: flat per-cell coordinate arrays
+        nj, ni = lats.size, 1
+    elif lats.ndim == 2:  # projected grid: per-cell 2-D coordinates
         nj, ni = lats.shape
     else:
         nj, ni = lats.size, lons.size
@@ -437,7 +451,8 @@ def grib2_long_frame(
     per (valid_time, lat, lon) cell; bitmap-masked cells are NaN."""
     frames = []
     for f in select_fields(parse_grib2(buf), discipline, category, number, level_type):
-        if f.lats.ndim == 2:
+        if f.lats.ndim == 2 or f.lats.shape == f.lons.shape == f.values.reshape(-1).shape:
+            # projected (2-D) or reduced (flat) grid: coords are per-cell
             lat_mesh, lon_mesh = f.lats, f.lons
         else:
             lon_mesh, lat_mesh = np.meshgrid(f.lons, f.lats)
@@ -592,7 +607,19 @@ def write_grib2(path: str, messages: list[dict]) -> None:
     blob = bytearray()
     for m in messages:
         values = np.asarray(m["values"], dtype="f8")
-        nj, ni = values.shape
+        gaussian_pl = m.get("gaussian_pl")
+        if gaussian_pl is not None:
+            # reduced Gaussian: FLAT values, one ragged row per parallel
+            pl = np.asarray(gaussian_pl, dtype="int64")
+            values = values.reshape(1, -1)  # flat through the packer
+            if values.size != int(pl.sum()):
+                raise GRIB2Error(
+                    f"gaussian_pl sums to {int(pl.sum())} points, values "
+                    f"have {values.size}"
+                )
+            nj, ni = int(pl.size), values.size // max(int(pl.size), 1)
+        else:
+            nj, ni = values.shape
         # lat/lon axes are only meaningful for the lat/lon template;
         # LCC messages may omit them (geometry lives in the lcc dict)
         lats = np.asarray(m.get("lats", np.zeros(nj)))
@@ -614,8 +641,35 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + bytes([rt.month, rt.day, rt.hour, rt.minute, rt.second, 0, 1])
         )
 
-        gaussian_n = m.get("gaussian_n")
-        if gaussian_n is not None:
+        if gaussian_pl is not None:
+            n_par = int(m["gaussian_n"])
+            glats = gaussian_latitudes(n_par)
+            tmpl340r = (
+                bytes([6])
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + struct.pack(">II", 0xFFFFFFFF, pl.size)  # Ni missing
+                + struct.pack(">II", 0, 0)
+                + _enc_sm32(int(round(glats[0] * 1e6)))
+                + _enc_sm32(int(round(m.get("lo1", 0.0) * 1e6)))
+                + bytes([0x30])
+                + _enc_sm32(int(round(glats[-1] * 1e6)))
+                + _enc_sm32(0)
+                + struct.pack(">I", 0xFFFFFFFF)            # Di missing
+                + struct.pack(">I", n_par)
+                + bytes([0x00])
+            )
+            s3 = (
+                bytes([0])
+                + struct.pack(">I", int(pl.sum()))
+                + bytes([2, 1])                            # noct=2, per-row list
+                + struct.pack(">H", 40)
+                + tmpl340r
+                + b"".join(int(k).to_bytes(2, "big") for k in pl)
+            )
+        elif m.get("gaussian_n") is not None:
+            gaussian_n = m.get("gaussian_n")
             glats = gaussian_latitudes(int(gaussian_n))
             if nj != glats.size:
                 raise GRIB2Error(
@@ -1126,3 +1180,45 @@ def _parse_grid_template_340(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
         )
     lons = np.linspace(lo1, lo2, ni)
     return lats.copy(), lons, scan
+
+
+def _parse_reduced_gaussian(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Reduced Gaussian grid (template 3.40 with Ni missing and a
+    per-parallel point-count list — ERA5's TRUE native layout): each
+    parallel j carries ``pl[j]`` points at spacing 360/pl[j] from lo1.
+    Returns FLAT per-cell (lats, lons) arrays aligned with the data
+    values (the grid is ragged, so no rectangular mesh exists)."""
+    noct, interp = body[5], body[6]
+    if interp != 1:
+        raise GRIB2Error(
+            f"optional-list interpretation {interp}, need 1 (points per row)"
+        )
+    t = body[9:]
+    nj = struct.unpack(">I", t[20:24])[0]
+    la1 = _sm32(t[32:36]) / 1e6
+    lo1 = _sm32(t[36:40]) / 1e6
+    n = struct.unpack(">I", t[53:57])[0]
+    scan = t[57]
+    if scan & 0x80 or scan & 0x20 or scan & 0x10:
+        raise GRIB2Error(f"Gaussian scanning mode {scan:#x} unsupported")
+    raw = body[9 + 58 : 9 + 58 + nj * noct]
+    if len(raw) < nj * noct:
+        raise GRIB2Error("reduced-Gaussian point-count list truncated")
+    pl = np.array(
+        [int.from_bytes(raw[i * noct : (i + 1) * noct], "big") for i in range(nj)],
+        dtype="int64",
+    )
+    lats_all = gaussian_latitudes(n)
+    if scan & 0x40:
+        lats_all = lats_all[::-1]
+    start = int(np.argmin(np.abs(lats_all - la1)))
+    lats_rows = lats_all[start : start + nj]
+    if lats_rows.size != nj or abs(lats_rows[0] - la1) > 0.5:
+        raise GRIB2Error(
+            f"declared la1={la1} does not sit on a Gaussian parallel of N={n}"
+        )
+    lats_flat = np.repeat(lats_rows, pl)
+    lons_flat = np.concatenate(
+        [lo1 + np.arange(k) * (360.0 / k) for k in pl]
+    )
+    return lats_flat, lons_flat, scan

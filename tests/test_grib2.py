@@ -400,3 +400,35 @@ def test_gaussian_grid_template(tmp_path):
     assert np.allclose(f.lons, lons)
     assert (np.isnan(f.values) == np.isnan(vals)).all()
     assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
+
+
+def test_reduced_gaussian_grid(tmp_path):
+    """Reduced Gaussian grid (template 3.40 with Ni missing + per-parallel
+    point counts — ERA5's true native layout): fewer points near the
+    poles, per-row longitude spacing 360/pl[j], flat per-cell coords."""
+    from gridded_etl_tools_spark.sources.grib2 import gaussian_latitudes
+
+    n, pl = 2, [4, 8, 8, 4]
+    total = sum(pl)
+    vals = (np.arange(total, dtype="f8") * 3) % 31
+    vals[5] = np.nan
+    p = str(tmp_path / "rg.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, reference_time=REF, forecast_hours=0,
+                 nbits=8, gaussian_n=n, gaussian_pl=pl, lo1=0.0)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert np.allclose(f.lats, np.repeat(gaussian_latitudes(n), pl), atol=1e-6)
+    assert np.allclose(
+        f.lons,
+        np.concatenate([np.arange(k) * (360.0 / k) for k in pl]),
+        atol=1e-6,
+    )
+    fv = f.values.reshape(-1)
+    assert (np.isnan(fv) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(fv), np.nan_to_num(vals))
+    df = g2.grib2_long_frame(open(p, "rb").read())
+    assert len(df) == total
+    # polar rows really are sparser: 4 cells at the top parallel
+    top = df[df["latitude"] == df["latitude"].max()]
+    assert len(top) == 4
