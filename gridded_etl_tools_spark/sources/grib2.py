@@ -156,6 +156,8 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 tmpl = struct.unpack(">H", body[7:9])[0]
                 if tmpl == 0:
                     lats, lons, _ = _parse_grid_template_30(body[9:])
+                elif tmpl == 1:
+                    lats, lons, _ = _parse_grid_template_31(body[9:])
                 elif tmpl == 20:
                     lats, lons, _ = _parse_grid_template_320(body[9:])
                 elif tmpl == 40:
@@ -171,8 +173,9 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 else:
                     raise GRIB2Error(
                         f"grid template 3.{tmpl}, only 3.0 (lat/lon), "
-                        "3.20 (polar stereographic), 3.30 (Lambert "
-                        "conformal), and 3.40 (regular Gaussian) supported"
+                        "3.1 (rotated lat/lon), 3.20 (polar "
+                        "stereographic), 3.30 (Lambert conformal), and "
+                        "3.40 (regular/reduced Gaussian) supported"
                     )
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
@@ -607,6 +610,7 @@ def write_grib2(path: str, messages: list[dict]) -> None:
     blob = bytearray()
     for m in messages:
         values = np.asarray(m["values"], dtype="f8")
+        rotated = m.get("rotated")
         gaussian_pl = m.get("gaussian_pl")
         if gaussian_pl is not None:
             # reduced Gaussian: FLAT values, one ragged row per parallel
@@ -781,13 +785,25 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             + bytes([0x00 if nj < 2 or lats[0] >= lats[-1] else 0x40])  # scan mode
         )
         if s3 is None:
-            s3 = (
-                bytes([0])                 # grid definition source
-                + struct.pack(">I", ni * nj)
-                + bytes([0, 0])            # no optional list of numbers
-                + struct.pack(">H", 0)     # template 3.0
-                + tmpl30
-            )
+            if rotated is not None:
+                s3 = (
+                    bytes([0])
+                    + struct.pack(">I", ni * nj)
+                    + bytes([0, 0])
+                    + struct.pack(">H", 1)     # template 3.1 (rotated)
+                    + tmpl30
+                    + _enc_sm32(int(round(rotated["sp_lat"] * 1e6)))
+                    + _enc_sm32(int(round(rotated["sp_lon"] * 1e6)))
+                    + _enc_sm32(0)             # rotation angle 0
+                )
+            else:
+                s3 = (
+                    bytes([0])                 # grid definition source
+                    + struct.pack(">I", ni * nj)
+                    + bytes([0, 0])            # no optional list of numbers
+                    + struct.pack(">H", 0)     # template 3.0
+                    + tmpl30
+                )
 
         tmpl40 = (
             bytes([m.get("category", 1), m.get("number", 8)])
@@ -1222,3 +1238,45 @@ def _parse_reduced_gaussian(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
         [lo1 + np.arange(k) * (360.0 / k) for k in pl]
     )
     return lats_flat, lons_flat, scan
+
+
+# --- Rotated lat/lon grids (grid template 3.1) -------------------------------
+
+
+def _unrotate(lat_r, lon_r, sp_lat: float, sp_lon: float):
+    """True (lat, lon) for rotated-system coordinates, given the
+    geographic position of the rotated SOUTH pole (the COSMO/regional
+    convention template 3.1 encodes).  Rotated north pole: (-sp_lat,
+    sp_lon - 180)."""
+    pn_lat = np.radians(-sp_lat)
+    pn_lon = np.radians(sp_lon + 180.0)
+    phi_r = np.radians(np.asarray(lat_r))
+    lam_r = np.radians(np.asarray(lon_r))
+    sin_phi = (
+        np.sin(pn_lat) * np.sin(phi_r)
+        + np.cos(pn_lat) * np.cos(phi_r) * np.cos(lam_r)
+    )
+    phi = np.arcsin(np.clip(sin_phi, -1.0, 1.0))
+    lam = pn_lon + np.arctan2(
+        np.cos(phi_r) * np.sin(lam_r),
+        np.sin(pn_lat) * np.cos(phi_r) * np.cos(lam_r)
+        - np.cos(pn_lat) * np.sin(phi_r),
+    )
+    lat = np.degrees(phi)
+    lon = ((np.degrees(lam) + 540.0) % 360.0) - 180.0
+    return lat, lon
+
+
+def _parse_grid_template_31(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Grid template 3.1 (rotated lat/lon — COSMO/regional models): a
+    regular grid in the rotated system, un-rotated per cell to true
+    coordinates (2-D output).  Rotation angle != 0 is unsupported."""
+    lats_r, lons_r, scan = _parse_grid_template_30(body)
+    sp_lat = _sm32(body[58:62]) / 1e6
+    sp_lon = _sm32(body[62:66]) / 1e6
+    angle = _sm32(body[66:70])
+    if angle != 0:
+        raise GRIB2Error(f"rotation angle {angle} unsupported (only 0)")
+    lon_mesh, lat_mesh = np.meshgrid(lons_r, lats_r)
+    lat2d, lon2d = _unrotate(lat_mesh, lon_mesh, sp_lat, sp_lon)
+    return lat2d, lon2d, scan

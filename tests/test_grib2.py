@@ -432,3 +432,36 @@ def test_reduced_gaussian_grid(tmp_path):
     # polar rows really are sparser: 4 cells at the top parallel
     top = df[df["latitude"] == df["latitude"].max()]
     assert len(top) == 4
+
+
+def test_rotated_latlon_grid_template(tmp_path):
+    """Grid template 3.1 (rotated lat/lon — COSMO/regional models): the
+    regular rotated-system grid un-rotates per cell to 2-D true
+    coordinates.  Pinned: the rotated origin maps to
+    (90 + sp_lat, sp_lon + 180), and a south pole at (-90, -180) is the
+    identity rotation."""
+    lats_r = np.array([2.0, 1.0, 0.0, -1.0])
+    lons_r = np.array([-2.0, -1.0, 0.0, 1.0, 2.0])
+    vals = (np.arange(20, dtype="f8") * 3).reshape(4, 5) % 29
+    p = str(tmp_path / "rot.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, lats=lats_r, lons=lons_r, reference_time=REF,
+                 forecast_hours=0, nbits=8,
+                 rotated=dict(sp_lat=-50.0, sp_lon=10.0))],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert f.lats.ndim == 2
+    assert f.lats[2, 2] == pytest.approx(40.0, abs=1e-6)   # 90 + (-50)
+    assert f.lons[2, 2] == pytest.approx(-170.0, abs=1e-6)  # 10 + 180 wrapped
+    assert np.allclose(f.values, vals)
+
+    pid = str(tmp_path / "ident.grib2")
+    g2.write_grib2(
+        pid, [dict(values=vals, lats=lats_r, lons=lons_r, reference_time=REF,
+                   forecast_hours=0, nbits=8,
+                   rotated=dict(sp_lat=-90.0, sp_lon=-180.0))],
+    )
+    fi = g2.parse_grib2(open(pid, "rb").read())[0]
+    lon_mesh, lat_mesh = np.meshgrid(lons_r, lats_r)
+    assert np.allclose(fi.lats, lat_mesh, atol=1e-6)
+    assert np.allclose(fi.lons, lon_mesh, atol=1e-6)
