@@ -235,3 +235,44 @@ def quantile_map(
     )
     out = asof_join(fcr, obsr, on="__r", by=group_cols)
     return out.withColumn("corrected", F.col("asof___obs_v"))
+
+
+def quantile_delta_map(
+    future_fc: DataFrame,
+    hist_fc: DataFrame,
+    hist_obs: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Additive quantile DELTA mapping (QDM, Cannon et al. 2015): plain
+    quantile mapping forces the corrected series into the HISTORICAL
+    observed distribution, erasing any real trend in the new forecasts;
+    QDM instead applies the historical bias AT THE VALUE'S OWN QUANTILE,
+
+        corrected(x) = x + [obs_Q(tau) - hist_fc_Q(tau)],  tau = ECDF_fut(x)
+
+    so distribution shifts the model genuinely predicts survive while
+    the per-quantile historical bias is removed.
+
+    Physical shape: one percent_rank window per series over the same
+    group partitioning, then two rank-as-of joins (union trick) against
+    the historical observed and forecast quantile curves — every stage
+    reuses the one group-key shuffle."""
+    from gridded_etl_tools_spark.operators.joins import asof_join
+
+    wq = lambda c: Window.partitionBy(*group_cols).orderBy(c)  # noqa: E731
+    fut = future_fc.withColumn("__r", F.percent_rank().over(wq(value_col)))
+    obs_q = hist_obs.select(
+        *group_cols, F.col(value_col).alias("__obs_v")
+    ).withColumn("__r", F.percent_rank().over(wq("__obs_v")))
+    fc_q = hist_fc.select(
+        *group_cols, F.col(value_col).alias("__hfc_v")
+    ).withColumn("__r", F.percent_rank().over(wq("__hfc_v")))
+    step1 = asof_join(fut, obs_q, on="__r", by=group_cols).withColumnRenamed(
+        "asof___obs_v", "__obs_at_r"
+    ).drop("asof___r")
+    step2 = asof_join(step1, fc_q, on="__r", by=group_cols)
+    return step2.withColumn(
+        "corrected",
+        F.col(value_col) + F.col("__obs_at_r") - F.col("asof___hfc_v"),
+    )

@@ -2282,6 +2282,69 @@ def spatial_nearest_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_delta_map_trend",
+    """
+    WITH obs AS (
+      SELECT event_type, value AS v,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS r
+      FROM events),
+    hfc AS (
+      SELECT event_type, value * 1.2 + 8.0 AS v,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value * 1.2 + 8.0) AS r
+      FROM events),
+    fut AS (
+      SELECT event_type, value * 1.2 + 10.5 AS v,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value * 1.2 + 10.5) AS r
+      FROM events),
+    u1 AS (
+      SELECT event_type, r, 0 AS side, v AS ov, NULL::DOUBLE AS fv FROM obs
+      UNION ALL SELECT event_type, r, 1, NULL, v FROM fut),
+    f1 AS (
+      SELECT event_type, side, fv, r,
+             last_value(ov IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY r, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_at_r
+      FROM u1),
+    fut2 AS (SELECT event_type, r, fv, obs_at_r FROM f1 WHERE side = 1),
+    u2 AS (
+      SELECT event_type, r, 0 AS side, v AS hv,
+             NULL::DOUBLE AS fv, NULL::DOUBLE AS obs_at_r FROM hfc
+      UNION ALL SELECT event_type, r, 1, NULL, fv, obs_at_r FROM fut2),
+    f2 AS (
+      SELECT event_type, side, fv, obs_at_r,
+             last_value(hv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY r, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hfc_at_r
+      FROM u2)
+    SELECT event_type, count(*) AS n,
+           round(avg(fv), 4)                         AS mean_future,
+           round(avg(fv + obs_at_r - hfc_at_r), 4)   AS mean_corrected
+    FROM f2 WHERE side = 1 GROUP BY 1
+    """,
+)
+def quantile_delta_map_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile DELTA mapping (QDM): unlike plain quantile mapping —
+    which would erase the future forecasts' genuine +2.5 shift by
+    forcing them into the historical observed distribution — QDM removes
+    only the per-quantile historical bias, so the corrected mean keeps
+    the predicted trend.  Three rank windows + two union-trick rank-as-of
+    joins, all reusing one group-key shuffle
+    (operators/aggregations.py::quantile_delta_map)."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select("event_type", "value")
+    hfc = ev.select("event_type", (F.col("value") * 1.2 + 8.0).alias("value"))
+    fut = ev.select("event_type", (F.col("value") * 1.2 + 10.5).alias("value"))
+    out = agg_ops.quantile_delta_map(fut, hfc, obs, "value", ["event_type"])
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_future"),
+        F.round(F.avg("corrected"), 4).alias("mean_corrected"),
+    )
+
+
+@query(
     "anomaly_correlation",
     """
     WITH clim AS (

@@ -834,3 +834,18 @@ def test_quantile_map_recovers_observed_distribution(spark):
     got = sorted(r["corrected"] for r in out.collect())
     # rank-for-rank the corrected series IS the observed series
     assert got == obs_vals
+
+
+def test_quantile_delta_map_preserves_trend(spark):
+    """QDM removes the historical per-quantile bias but keeps the future
+    shift: hist_fc = obs + 10 (pure bias), future_fc = hist_fc + 3
+    (bias + real trend) -> corrected = obs + 3 exactly."""
+    from gridded_etl_tools_spark.operators.aggregations import quantile_delta_map
+
+    obs_vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    mk = lambda off: spark.createDataFrame(  # noqa: E731
+        [("a", v + off) for v in obs_vals], "g string, value double"
+    )
+    out = quantile_delta_map(mk(13.0), mk(10.0), mk(0.0), "value", ["g"])
+    got = sorted(r["corrected"] for r in out.collect())
+    assert got == pytest.approx([v + 3.0 for v in obs_vals])
