@@ -104,3 +104,59 @@ def nearest_cells(
         .filter(F.col("__rn") <= k)
         .select(probe_id, cell_id, "dist_km")
     )
+
+
+def idw_interpolate(
+    probes: DataFrame,
+    cells: DataFrame,
+    max_km: float,
+    k: int = 4,
+    power: float = 2.0,
+    probe_id: str = "probe_id",
+    cell_id: str = "cell_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    bucket_deg: float = 1.0,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at arbitrary probe points:
+    the value at each probe is the 1/d^power-weighted mean of its ``k``
+    nearest source cells within ``max_km`` — the standard scattered-data
+    regrid for IRREGULAR sources (stations, reduced-Gaussian rows) where
+    bilinear's rectangular stencil does not exist.
+
+    Same degree-bucket equi-join scale shape as :func:`nearest_cells`
+    (constant 9x probe fan-out, never probes x cells), then one
+    aggregation over <= k candidate rows per probe.  An exact grid hit
+    (distance ~0) returns that cell's value outright rather than
+    dividing by zero.
+
+    Returns (probe_id, idw_value, n_used)."""
+    neighbors = nearest_cells(
+        probes, cells, max_km=max_km, probe_id=probe_id, cell_id=cell_id,
+        lat_col=lat_col, lon_col=lon_col, k=k, bucket_deg=bucket_deg,
+    )
+    enriched = neighbors.join(
+        cells.select(F.col(cell_id), F.col(value_col).alias("__cv")),
+        on=cell_id,
+    )
+    eps = 1e-9
+    # clamp before weighting: an exact grid hit would otherwise divide by
+    # zero (hard error under ANSI mode); the short-circuit below returns
+    # the hit cell's value outright regardless
+    w = F.lit(1.0) / F.pow(F.greatest(F.col("dist_km"), F.lit(eps)), F.lit(power))
+    agg = enriched.groupBy(probe_id).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.min("dist_km").alias("__dmin"),
+        F.min_by("__cv", "dist_km").alias("__vmin"),
+        (
+            F.sum(F.col("__cv") * w) / F.sum(w)
+        ).alias("__idw"),
+    )
+    return agg.select(
+        F.col(probe_id),
+        F.when(F.col("__dmin") < eps, F.col("__vmin"))
+        .otherwise(F.col("__idw"))
+        .alias("idw_value"),
+        "n_used",
+    )

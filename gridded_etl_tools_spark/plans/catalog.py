@@ -2229,6 +2229,65 @@ def epoch_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "idw_regrid_probes",
+    """
+    WITH cells AS (
+      SELECT i AS cell_id,
+             35.0 + (i // 20) * 0.25   AS clat,
+             -120.0 + (i % 20) * 0.25  AS clon,
+             CAST((i * 37) % 101 AS DOUBLE) AS v
+      FROM (SELECT unnest(range(0, 400)) AS i)),
+    probes AS (
+      SELECT j AS probe_id,
+             35.005 + ((j * 37) % 97) / 97.0 * 4.75   AS plat,
+             -119.995 + ((j * 53) % 89) / 89.0 * 4.75 AS plon
+      FROM (SELECT unnest(range(0, 30)) AS j)),
+    d AS (
+      SELECT probe_id, cell_id, v,
+             2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(clat - plat) / 2), 2)
+               + cos(radians(plat)) * cos(radians(clat))
+                 * pow(sin(radians(clon - plon) / 2), 2))) AS dist_km
+      FROM probes CROSS JOIN cells),
+    nn AS (
+      SELECT probe_id, cell_id, v, dist_km,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY dist_km ASC, cell_id ASC) AS rn
+      FROM d WHERE dist_km <= 25.0)
+    SELECT probe_id,
+           round(sum(v / pow(dist_km, 2)) / sum(1.0 / pow(dist_km, 2)), 6)
+             AS idw_value,
+           count(*) AS n_used
+    FROM nn WHERE rn <= 4 GROUP BY 1
+    """,
+)
+def idw_regrid_probes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation at scattered probes (the
+    regrid path for irregular sources — stations, reduced-Gaussian rows
+    — where bilinear's rectangular stencil does not exist): 1/d^2-
+    weighted mean of the 4 nearest cells within 25 km.  Same
+    degree-bucket equi-join shape as the nearest-cell snap; the oracle
+    brute-forces all pairs (operators/spatial.py::idw_interpolate)."""
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    cells = spark.range(0, 400).select(
+        F.col("id").alias("cell_id"),
+        (F.lit(35.0) + F.floor(F.col("id") / 20) * 0.25).alias("lat"),
+        (F.lit(-120.0) + (F.col("id") % 20) * 0.25).alias("lon"),
+        ((F.col("id") * 37) % 101).cast("double").alias("value"),
+    )
+    probes = spark.range(0, 30).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(35.005) + ((F.col("id") * 37) % 97) / F.lit(97.0) * F.lit(4.75)).alias("lat"),
+        (F.lit(-119.995) + ((F.col("id") * 53) % 89) / F.lit(89.0) * F.lit(4.75)).alias("lon"),
+    )
+    out = spatial_ops.idw_interpolate(probes, cells, max_km=25.0, k=4)
+    return out.select(
+        "probe_id", F.round("idw_value", 6).alias("idw_value"), "n_used"
+    )
+
+
+@query(
     "spatial_nearest_cell",
     """
     WITH cells AS (

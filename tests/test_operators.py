@@ -849,3 +849,31 @@ def test_quantile_delta_map_preserves_trend(spark):
     out = quantile_delta_map(mk(13.0), mk(10.0), mk(0.0), "value", ["g"])
     got = sorted(r["corrected"] for r in out.collect())
     assert got == pytest.approx([v + 3.0 for v in obs_vals])
+
+
+def test_idw_interpolate_exact_hit_and_weighting(spark):
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    cells = spark.createDataFrame(
+        [(0, 10.0, 20.0, 100.0), (1, 10.0, 20.5, 200.0),
+         (2, 10.5, 20.0, 300.0), (3, 10.5, 20.5, 400.0)],
+        "cell_id long, lat double, lon double, value double",
+    )
+    probes = spark.createDataFrame(
+        [(0, 10.0, 20.0),        # exact grid hit -> cell 0's value
+         (1, 10.25, 20.25)],     # center-ish -> weighted mean of all 4
+        "probe_id long, lat double, lon double",
+    )
+    got = {
+        r["probe_id"]: (r["idw_value"], r["n_used"])
+        for r in spatial_ops.idw_interpolate(
+            probes, cells, max_km=60.0, k=4
+        ).collect()
+    }
+    assert got[0][0] == 100.0          # exact hit short-circuits
+    v, n = got[1]
+    assert n == 4
+    assert 100.0 < v < 400.0           # interior of the value range
+    # lat rows are closer together than lon cols at this latitude, so
+    # the probe is NOT equidistant; just pin the near-centroid band
+    assert abs(v - 250.0) < 30.0
