@@ -158,6 +158,8 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                     lats, lons, _ = _parse_grid_template_30(body[9:])
                 elif tmpl == 1:
                     lats, lons, _ = _parse_grid_template_31(body[9:])
+                elif tmpl == 10:
+                    lats, lons, _ = _parse_grid_template_310(body[9:])
                 elif tmpl == 20:
                     lats, lons, _ = _parse_grid_template_320(body[9:])
                 elif tmpl == 40:
@@ -173,9 +175,9 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
                 else:
                     raise GRIB2Error(
                         f"grid template 3.{tmpl}, only 3.0 (lat/lon), "
-                        "3.1 (rotated lat/lon), 3.20 (polar "
-                        "stereographic), 3.30 (Lambert conformal), and "
-                        "3.40 (regular/reduced Gaussian) supported"
+                        "3.1 (rotated lat/lon), 3.10 (Mercator), 3.20 "
+                        "(polar stereographic), 3.30 (Lambert conformal), "
+                        "and 3.40 (regular/reduced Gaussian) supported"
                     )
             elif sec_no == 4:
                 tmpl = struct.unpack(">H", body[2:4])[0]
@@ -708,6 +710,34 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             )
         else:
             s3 = None
+        merc = m.get("mercator")
+        if merc is not None:
+            # grid template 3.10: octets per spec — la2/lo2 are derivable
+            # from (la1, lo1, Di, Dj) and left approximate (decoder uses
+            # only the origin + steps)
+            tmpl310 = (
+                bytes([6])
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + bytes([0]) + struct.pack(">I", 0)
+                + struct.pack(">II", ni, nj)
+                + _enc_sm32(int(round(merc["la1"] * 1e6)))
+                + _enc_sm32(int(round(merc["lo1"] * 1e6)))
+                + bytes([0x08])
+                + _enc_sm32(int(round(merc["lad"] * 1e6)))
+                + _enc_sm32(0) + _enc_sm32(0)      # la2, lo2 (unused)
+                + bytes([0x40])                    # scan +i/+j
+                + struct.pack(">I", 0)             # grid orientation
+                + struct.pack(">II", int(round(merc["di"] * 1e3)),
+                              int(round(merc["dj"] * 1e3)))
+            )
+            s3 = (
+                bytes([0])
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])
+                + struct.pack(">H", 10)
+                + tmpl310
+            )
         ps = m.get("ps")
         if ps is not None:
             # grid template 3.20 (polar stereographic)
@@ -1280,3 +1310,34 @@ def _parse_grid_template_31(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     lon_mesh, lat_mesh = np.meshgrid(lons_r, lats_r)
     lat2d, lon2d = _unrotate(lat_mesh, lon_mesh, sp_lat, sp_lon)
     return lat2d, lon2d, scan
+
+
+# --- Mercator grids (grid template 3.10) -------------------------------------
+
+
+def _parse_grid_template_310(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Grid template 3.10 (Mercator): regular x/y in projection meters
+    with true scale at LaD; x maps linearly to longitude, y inverts
+    through the Mercator latitude formula.  Axes stay separable, so
+    lats/lons return 1-D like the plain lat/lon template."""
+    radius = _earth_radius(body[0:16])
+    ni = struct.unpack(">I", body[16:20])[0]
+    nj = struct.unpack(">I", body[20:24])[0]
+    la1 = _sm32(body[24:28]) / 1e6
+    lo1 = _sm32(body[28:32]) / 1e6
+    lad = _sm32(body[33:37]) / 1e6
+    # 37:45 = la2/lo2 (derivable; unused)  45 = scan  46:50 = orientation
+    scan = body[45]
+    if scan & 0x80 or scan & 0x20 or scan & 0x10:
+        raise GRIB2Error(f"Mercator scanning mode {scan:#x} unsupported")
+    di = struct.unpack(">I", body[50:54])[0] / 1e3
+    dj = struct.unpack(">I", body[54:58])[0] / 1e3
+    k = radius * np.cos(np.radians(lad))  # meters per radian at true-scale lat
+    x0 = k * np.radians(lo1)
+    y0 = k * np.log(np.tan(np.pi / 4 + np.radians(la1) / 2))
+    sgn_j = 1.0 if scan & 0x40 else -1.0
+    x = x0 + di * np.arange(ni)
+    y = y0 + sgn_j * dj * np.arange(nj)
+    lons = ((np.degrees(x / k) + 540.0) % 360.0) - 180.0
+    lats = np.degrees(2 * np.arctan(np.exp(y / k)) - np.pi / 2)
+    return lats, lons, scan

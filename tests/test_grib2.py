@@ -465,3 +465,32 @@ def test_rotated_latlon_grid_template(tmp_path):
     lon_mesh, lat_mesh = np.meshgrid(lons_r, lats_r)
     assert np.allclose(fi.lats, lat_mesh, atol=1e-6)
     assert np.allclose(fi.lons, lon_mesh, atol=1e-6)
+
+
+def test_mercator_grid_template(tmp_path):
+    """Grid template 3.10 (Mercator, true scale at LaD): x maps linearly
+    to longitude, y inverts through the Mercator latitude formula; axes
+    stay separable 1-D like plain lat/lon.  The origin cell lands back
+    exactly on (la1, lo1)."""
+    ny, nx = 4, 5
+    vals = (np.arange(ny * nx, dtype="f8").reshape(ny, nx) * 7) % 50
+    vals[1, 2] = np.nan
+    merc = dict(lad=20.0, la1=10.0, lo1=-80.0, di=50000.0, dj=50000.0)
+    p = str(tmp_path / "m.grib2")
+    g2.write_grib2(
+        p, [dict(values=vals, reference_time=REF, forecast_hours=0,
+                 nbits=8, mercator=merc)],
+    )
+    f = g2.parse_grib2(open(p, "rb").read())[0]
+    assert f.lats.ndim == 1 and f.lons.ndim == 1
+    assert f.lats[0] == pytest.approx(10.0, abs=1e-9)
+    assert f.lons[0] == pytest.approx(-80.0, abs=1e-9)
+    R, lad = 6371229.0, 20.0
+    k = R * np.cos(np.radians(lad))
+    y = k * np.log(np.tan(np.pi / 4 + np.radians(10.0) / 2)) + 2 * 50000.0
+    assert f.lats[2] == pytest.approx(
+        np.degrees(2 * np.arctan(np.exp(y / k)) - np.pi / 2)
+    )
+    assert f.lons[3] == pytest.approx(-80.0 + np.degrees(3 * 50000.0 / k))
+    assert (np.isnan(f.values) == np.isnan(vals)).all()
+    assert np.allclose(np.nan_to_num(f.values), np.nan_to_num(vals))
