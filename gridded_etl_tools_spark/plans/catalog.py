@@ -3312,6 +3312,7 @@ def netcdf4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401
+from gridded_etl_tools_spark.plans import climate_plans as _climate  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import multimodal_plans as _multimodal  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import relational as _relational  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import textpipe as _textpipe  # noqa: E402,F401

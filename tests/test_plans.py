@@ -194,6 +194,13 @@ SHUFFLE_BUDGET = {
     "interpolate_gaps": (1, 0),          # one group-key window shuffle
     "temperature_resample_counts": (3, 1),  # dim-sized rate aggs only
     "spatial_nearest_cell": (1, 0),      # bucket join broadcast + topk window
+    # round-4 climate-index family: every plan is facts -> station-day
+    # hash agg (the one full-data shuffle) -> station-keyed second stage.
+    "climate_degree_days": (2, 0),
+    "climate_dry_spells": (2, 0),        # daily agg + station window; run
+    "climate_heat_spells": (2, 0),       # groupBys reuse the station hash
+    "climate_return_levels": (2, 0),     # block agg + per-type moments
+    "parametric_payouts": (1, 0),        # one exact-decimal settlement agg
 }
 
 
