@@ -3309,6 +3309,60 @@ def netcdf4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zarr_fixture_root() -> str:
+    """Write (once, digest-named) the fixture grid as a REAL Zarr v2
+    store — zlib-compressed chunks, (2,3,2) chunking so every axis has an
+    edge chunk, consolidated metadata, xarray _ARRAY_DIMENSIONS naming."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import zarr2 as _z2
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_fixture_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, ".zmetadata")):
+        data, times, lats, lons = _nc_fixture_array()
+        _z2.write_zarr_store(
+            root,
+            variables={
+                "time": (("time",), np.asarray(times), {}),
+                "latitude": (("latitude",), np.asarray(lats), {}),
+                "longitude": (("longitude",), np.asarray(lons), {}),
+                "precip": (
+                    ("time", "latitude", "longitude"), np.asarray(data),
+                    {"_FillValue": -9999.0},
+                ),
+            },
+            chunks={"precip": (2, 3, 2), "time": (2,)},
+            fill_values={"precip": -9999.0},
+            compressor="zlib",
+        )
+    return root
+
+
+@query("zarr_decode", _nc_oracle())
+def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/S15 store substrate: decode a real Zarr v2 store — the
+    reference's native format (store.py:182-196 open_zarr,
+    publish.py:155-240 to_zarr) — chunk-parallel: each chunk file is one
+    binaryFile row decoding independently in mapInPandas, so the chunk
+    grid IS the task grid.  Same fixture cells as the NetCDF3/NetCDF4
+    front doors, so all three ingest paths must agree with the same
+    literal oracle (fill sentinel -> NULL, zlib chunks, edge trimming)."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    root = _zarr_fixture_root()
+    out = z2_mod.decode_zarr_long(spark, root, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

@@ -51,8 +51,15 @@ def input_files(
     return df.orderBy(nat)
 
 
-def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str = "*", recursive: bool = False
+) -> DataFrame:
     """Raw-file scan for the decode stage: (path, modificationTime,
-    length, content).  Decoders (NetCDF/GRIB) plug in as mapInPandas over
-    this — see gridded_etl_tools_spark.multimodal.binary."""
-    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    length, content).  Decoders (NetCDF/GRIB/Zarr) plug in as mapInPandas
+    over this — see gridded_etl_tools_spark.multimodal.binary.
+    ``recursive`` enables recursiveFileLookup (nested chunk layouts, e.g.
+    zarr ``dimension_separator='/'``)."""
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
