@@ -1,0 +1,101 @@
+"""Distributed Zarr sink round-trips: Spark-parallel chunk writes +
+metadata-last commit, read back through the chunk-parallel decoder."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+from gridded_etl_tools_spark.sources import zarr2
+
+
+def _long_frame(spark):
+    # 3 x 4 grid with two holes
+    rows = []
+    for it, t in enumerate([0.0, 1.0, 2.0]):
+        for ix, x in enumerate([10.0, 10.5, 11.0, 11.5]):
+            if (it, ix) in ((0, 1), (2, 3)):
+                continue
+            rows.append(Row(time=t, x=x, value=float(it * 10 + ix)))
+    return spark.createDataFrame(rows)
+
+
+def test_distributed_write_round_trip(spark, tmp_path):
+    root = str(tmp_path / "sink.zarr")
+    summary = write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(2, 3),
+    )
+    assert summary["shape"] == (3, 4)
+    assert summary["n_cells"] == 10
+    # chunk (1,1) holds only the (2, 11.5) hole -> untouched, not written
+    assert summary["n_chunks"] == 3
+
+    got = {
+        (r.time, r.x): r.value
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert len(got) == 11  # 3 written chunks' extents; absent chunk absent
+    assert got[(0.0, 10.0)] == 0.0
+    assert got[(2.0, 11.0)] == 22.0
+    assert got[(0.0, 10.5)] is None  # in-chunk hole -> NaN fill -> NULL
+    assert (2.0, 11.5) not in got
+    # the driver-side reader materializes the untouched chunk as fill
+    arr = zarr2.read_array(root, zarr2.open_store(root)["v"])
+    assert np.isnan(arr[2, 3])
+
+
+def test_distributed_write_untouched_chunk_is_fill(spark, tmp_path):
+    # only one cell: 3 of the 4 chunks have no file; reader fills them
+    df = spark.createDataFrame([Row(time=0.0, x=10.0, value=5.0)])
+    # axes must still span the full grid -> union fill rows? No: axes come
+    # from the data, so a single cell means a 1x1 store. Use two corner
+    # cells to span a 2x2 chunk grid with two untouched chunks.
+    df = spark.createDataFrame(
+        [Row(time=0.0, x=10.0, value=5.0), Row(time=3.0, x=13.0, value=8.0)]
+    )
+    root = str(tmp_path / "sparse.zarr")
+    summary = write_zarr_distributed(
+        df, root, "v", dims=["time", "x"], chunks=(1, 1)
+    )
+    assert summary["n_chunks"] == 2  # only touched chunks written
+    meta = zarr2.open_store(root)["v"]
+    assert meta.shape == (2, 2)
+    assert not os.path.exists(os.path.join(root, "v", "0.1"))
+    got = {
+        (r.time, r.x): r.value
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    # decode lists only existing chunk files; driver read fills the rest
+    arr = zarr2.read_array(root, meta)
+    assert arr[0, 0] == 5.0 and arr[1, 1] == 8.0
+    assert np.isnan(arr[0, 1]) and np.isnan(arr[1, 0])
+    assert got[(0.0, 10.0)] == 5.0 and got[(3.0, 13.0)] == 8.0
+
+
+def test_duplicate_cells_raise(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(time=0.0, x=1.0, value=1.0), Row(time=0.0, x=1.0, value=2.0)]
+    )
+    with pytest.raises(Exception, match="duplicate cells"):
+        write_zarr_distributed(
+            df, str(tmp_path / "dup.zarr"), "v", dims=["time", "x"]
+        )
+
+
+def test_explicit_fill_value_round_trips_as_null(spark, tmp_path):
+    root = str(tmp_path / "fillnum.zarr")
+    write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(3, 4),
+        fill_value=-7.0,
+    )
+    meta = zarr2.open_store(root)["v"]
+    assert meta.fill_value == -7.0
+    got = {
+        (r.time, r.x): r.value
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert got[(0.0, 10.5)] is None  # fill matches -> NULL, not -7.0
