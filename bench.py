@@ -75,6 +75,9 @@ HEADLINE = [
     "pq_ann_topk",           # PQ encode + ADC table-lookup search
     "spatial_nearest_cell",  # degree-bucket haversine join
     "quantile_map_correction",  # rank windows + rank-as-of join
+    # round-4 additions:
+    "climate_dry_spells",    # exact-decimal daily agg + station windows
+    "climate_return_levels",  # block maxima + moment algebra
 ]
 
 

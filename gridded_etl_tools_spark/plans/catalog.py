@@ -3363,6 +3363,138 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geotiff_fixture_path() -> str:
+    """Write (once, digest-named) one time slice of the fixture grid as a
+    REAL GeoTIFF: deflate strips, north-up ModelPixelScale/Tiepoint
+    georeferencing, GDAL_NODATA sentinel."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import geotiff as _gt
+
+    data, times, lats, lons = _nc_fixture_array()
+    raster = np.asarray(data[0])
+    digest = _fixture_digest(raster, lats, lons)
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tif_fixture_{digest}.tif"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _gt.write_geotiff(
+            tmp, raster, lon0=float(lons[0]), lat0=float(lats[-1]),
+            dx=0.25, dy=0.25, nodata=-9999.0, compression=8,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _geotiff_oracle() -> str:
+    """VALUES-literal oracle for the GeoTIFF fixture slice (north-up: the
+    raster's first row is the NORTHERNMOST latitude)."""
+    data, times, lats, lons = _nc_fixture_array()
+    raster = data[0]
+    rows = []
+    # raster row r sits at latitude lat0 - r*dy (lat0 = lats[-1], the top)
+    for r in range(len(lats)):
+        la = lats[-1] - 0.25 * r
+        for c, lo in enumerate(lons):
+            v = raster[r, c]
+            val = "NULL" if v == -9999.0 else repr(round(float(v), 6))
+            rows.append(f"({float(la)!r}, {float(lo)!r}, {val})")
+    return (
+        "SELECT CAST(latitude AS DOUBLE) AS latitude,"
+        " CAST(longitude AS DOUBLE) AS longitude,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(latitude, longitude, value)"
+    )
+
+
+@query("geotiff_decode", _geotiff_oracle())
+def geotiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 GeoTIFF branch (a format the reference's kerchunk path
+    cannot scan at all): decode a real deflate-compressed, georeferenced
+    GeoTIFF through the unified mixed-format front door
+    (sources/scan.py magic sniff -> mapInPandas decode), nodata -> NULL."""
+    from gridded_etl_tools_spark.sources import scan as scan_mod
+
+    path = _geotiff_fixture_path()
+    out = scan_mod.scan_gridded(
+        spark, path, data_var="band0", dims=["latitude", "longitude"],
+        glob="*.tif",
+    )
+    return out.select(
+        "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf, digest-named) the events daily (station, day)
+    mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —
+    chunk-keyed shuffle, executor-parallel chunk writes, metadata-last
+    commit (sinks/zarr_sink.py) — the reference's to_zarr publish path
+    (publish.py:155-240) end to end."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+
+    digest = hashlib.md5(f"zarr_pub_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_pub_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, ".zmetadata")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+        write_zarr_distributed(
+            rollup, root, "daily_mean", dims=["station", "day"],
+            chunks=(32, 8),
+        )
+    return root
+
+
+@query(
+    "zarr_publish_readback",
+    """
+    WITH rollup AS (
+      SELECT user_id AS station,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stations AS (SELECT DISTINCT user_id AS station FROM events),
+    days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT CAST(s.station AS DOUBLE) AS station,
+           CAST(d.day - DATE '1970-01-01' AS DOUBLE) AS day,
+           r.v AS value
+    FROM stations s CROSS JOIN days d
+    LEFT JOIN rollup r ON r.station = s.station AND r.day = d.day
+    """,
+)
+def zarr_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W7 on the reference's native format, full circle: daily
+    (station, day) means -> distributed Zarr v2 sink (one chunk-key
+    shuffle, executor chunk writes, metadata-last commit) -> chunk-
+    parallel decode.  The oracle recomputes the dense grid relationally,
+    so the store must round-trip every written cell AND materialize
+    every absent station-day as fill->NULL."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    root = _zarr_publish_root(spark, sf_dir)
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

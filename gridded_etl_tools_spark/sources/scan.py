@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from gridded_etl_tools_spark.sources import grib1, grib2, hdf5, netcdf3
+from gridded_etl_tools_spark.sources import geotiff, grib1, grib2, hdf5, netcdf3
 from gridded_etl_tools_spark.sources.files import read_binary_files
 
 
@@ -32,12 +32,15 @@ class UnknownFormatError(ValueError):
 
 
 def sniff_format(buf: bytes) -> str:
-    """'hdf5' | 'netcdf3' | 'grib1' | 'grib2' from the leading bytes
-    (HDF5 also checked at the power-of-two userblock offsets)."""
+    """'hdf5' | 'netcdf3' | 'grib1' | 'grib2' | 'geotiff' from the
+    leading bytes (HDF5 also checked at the power-of-two userblock
+    offsets)."""
     if buf[:4] == b"\x89HDF":
         return "hdf5"
     if buf[:3] == b"CDF" and len(buf) > 3 and buf[3] in (1, 2, 5):
         return "netcdf3"
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "geotiff"
     if buf[:4] == b"GRIB":
         # edition octet: byte 7 both editions (GRIB1 length+edition,
         # GRIB2 reserved+discipline+edition)
@@ -62,6 +65,12 @@ def _frame_for(buf: bytes, data_var: str, dims: list[str]) -> pd.DataFrame:
     # (time, latitude, longitude, value)
     if fmt == "grib2":
         return grib2.grib2_long_frame(buf)
+    if fmt == "geotiff":
+        # single-band, single-time rasters: (latitude, longitude, value);
+        # when the scan requests a time dim, the timestamp lives in the
+        # FILENAME (CHIRPS-style) and callers recover it via
+        # functions.normalize.filename_coords on the path column
+        return geotiff.geotiff_long_frame(buf)
     return grib1.grib1_long_frame(buf)
 
 
