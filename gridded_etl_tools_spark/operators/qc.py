@@ -512,3 +512,46 @@ def spatial_outliers(
             dev.alias("deviation"),
         )
     )
+
+
+def persistence_runs(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "value",
+    tiebreak_col: str = "event_id",
+    min_run: int = 3,
+) -> DataFrame:
+    """Stuck-sensor / repeated-state detection (the WMO persistence QC
+    check the reference's quality layer stops short of — its
+    ``attributes.py`` bounds only cadence and value extremes): per
+    entity, runs of >= ``min_run`` consecutive observations reporting the
+    IDENTICAL state.
+
+    Returns one row per flagged run: entity, state, ``run_start``,
+    ``run_end``, ``n_obs``.
+
+    Shape: gaps-and-islands over the observation order — a change flag
+    (``state != lag(state)``), a running sum for the run id, one group
+    agg.  Both windows and the agg key on the entity, so the single
+    shuffle is the entity hash; no fact-wide window.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(state_col)).over(w)
+    change = F.when(
+        prev.isNull() | (F.col(state_col) != prev), 1
+    ).otherwise(0)
+    runs = (
+        df.withColumn("__chg", change)
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(entity_col, "__run", state_col)
+        .agg(
+            F.min(ts_col).alias("run_start"),
+            F.max(ts_col).alias("run_end"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return runs.filter(F.col("n_obs") >= min_run).drop("__run")

@@ -3363,6 +3363,41 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "persistence_qc_runs",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS run
+      FROM ordered
+    )
+    SELECT user_id, event_type,
+           min(ts) AS run_start, max(ts) AS run_end,
+           count(*) AS n_obs
+    FROM runs GROUP BY user_id, run, event_type
+    HAVING count(*) >= 3
+    """,
+)
+def persistence_qc_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+ persistence QC (stuck-sensor analog): per-user runs of >= 3
+    consecutive events reporting the identical state.  Entity-keyed
+    gaps-and-islands — one shuffle on the entity hash."""
+    ev = load(spark, sf_dir, "events")
+    return qc_ops.persistence_runs(
+        ev, entity_col="user_id", ts_col="ts", state_col="event_type",
+        min_run=3,
+    )
+
+
 def _geotiff_fixture_path() -> str:
     """Write (once, digest-named) one time slice of the fixture grid as a
     REAL GeoTIFF: deflate strips, north-up ModelPixelScale/Tiepoint

@@ -877,3 +877,43 @@ def test_idw_interpolate_exact_hit_and_weighting(spark):
     # lat rows are closer together than lon cols at this latitude, so
     # the probe is NOT equidistant; just pin the near-centroid band
     assert abs(v - 250.0) < 30.0
+
+
+# --- persistence QC ----------------------------------------------------------
+
+def test_persistence_runs_flags_stuck_states(spark):
+    from gridded_etl_tools_spark.operators.qc import persistence_runs
+
+    rows = [
+        # user 1: A A A B A A -> one run of 3 (A), B and trailing AA short
+        Row(event_id=i, ts=ts(1, i), user_id=1, state=s)
+        for i, s in enumerate(["A", "A", "A", "B", "A", "A"])
+    ] + [
+        # user 2: four identical -> one run of 4
+        Row(event_id=10 + i, ts=ts(2, i), user_id=2, state="X")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    out = persistence_runs(
+        df, entity_col="user_id", ts_col="ts", state_col="state",
+        tiebreak_col="event_id", min_run=3,
+    ).collect()
+    got = {(r.user_id, r.state): r.n_obs for r in out}
+    assert got == {(1, "A"): 3, (2, "X"): 4}
+    run2 = [r for r in out if r.user_id == 2][0]
+    assert run2.run_start == ts(2, 0) and run2.run_end == ts(2, 3)
+
+
+def test_persistence_runs_min_run_boundary(spark):
+    from gridded_etl_tools_spark.operators.qc import persistence_runs
+
+    rows = [
+        Row(event_id=i, ts=ts(1, i), user_id=1, state=s)
+        for i, s in enumerate(["A", "A", "B", "B", "B"])
+    ]
+    out = persistence_runs(
+        spark.createDataFrame(rows), entity_col="user_id", ts_col="ts",
+        state_col="state", tiebreak_col="event_id", min_run=2,
+    ).collect()
+    got = sorted((r.state, r.n_obs) for r in out)
+    assert got == [("A", 2), ("B", 3)]
