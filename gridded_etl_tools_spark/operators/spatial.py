@@ -160,3 +160,54 @@ def idw_interpolate(
         .alias("idw_value"),
         "n_used",
     )
+
+
+def point_in_polygon(
+    points: DataFrame,
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    result_col: str = "inside",
+) -> DataFrame:
+    """Region mask: flag each point as inside/outside a simple polygon
+    (convex or concave) given as (lat, lon) vertices.
+
+    The coverage-region membership test parametric products settle
+    against (is this station inside the insured zone?) — a capability
+    the reference's rectangular bbox selection (Q16 extent) cannot
+    express.
+
+    Physical shape: even-odd ray casting evaluated with higher-order
+    array functions over a LITERAL edge array — pure JVM column
+    expressions inside whole-stage codegen, zero shuffles, zero UDFs.
+    The polygon is assumed small (boundary vertices, not a 100k-vertex
+    coastline); for multi-polygon layers join against a polygon table
+    and aggregate per polygon id instead.
+
+    Points lying exactly on an edge follow raw IEEE comparison outcomes
+    (the usual ray-casting caveat); keep test points off edges.
+    """
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(y1)).alias("y1"),
+                F.lit(float(x1)).alias("x1"),
+                F.lit(float(y2)).alias("y2"),
+                F.lit(float(x2)).alias("x2"),
+            )
+            for (y1, x1), (y2, x2) in zip(vertices, vertices[1:] + vertices[:1])
+        ]
+    )
+    y, x = F.col(lat_col), F.col(lon_col)
+    crossings = F.size(
+        F.filter(
+            edges,
+            lambda e: ((e["y1"] > y) != (e["y2"] > y))
+            & (
+                x
+                < (e["x2"] - e["x1"]) * (y - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+        )
+    )
+    return points.withColumn(result_col, crossings % 2 == 1)

@@ -3363,6 +3363,64 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: L-shaped (concave) coverage region for the region-mask query; probe
+#: coordinates are irrational in its vertex grid so no point can land
+#: exactly on an edge
+_REGION_VERTICES = [
+    (35.0, -120.0), (35.0, -117.0), (37.0, -117.0),
+    (37.0, -118.5), (36.0, -118.5), (36.0, -120.0),
+]
+
+
+@query(
+    "region_mask_membership",
+    """
+    WITH probes AS (
+      SELECT j AS probe_id,
+             35.005 + ((j * 37) % 197) / 197.0 * 2.49   AS plat,
+             -119.995 + ((j * 53) % 189) / 189.0 * 3.49 AS plon
+      FROM (SELECT unnest(range(0, 60)) AS j)),
+    edges AS (
+      SELECT * FROM (VALUES
+        (35.0, -120.0, 35.0, -117.0),
+        (35.0, -117.0, 37.0, -117.0),
+        (37.0, -117.0, 37.0, -118.5),
+        (37.0, -118.5, 36.0, -118.5),
+        (36.0, -118.5, 36.0, -120.0),
+        (36.0, -120.0, 35.0, -120.0)
+      ) AS e(y1, x1, y2, x2))
+    SELECT probe_id,
+           round(plat, 6) AS lat,
+           round(plon, 6) AS lon,
+           (count(*) FILTER (WHERE
+              ((e.y1 > plat) <> (e.y2 > plat))
+              AND (plon < (e.x2 - e.x1) * (plat - e.y1)
+                          / (e.y2 - e.y1) + e.x1)) % 2 = 1) AS inside
+    FROM probes CROSS JOIN edges e
+    GROUP BY probe_id, plat, plon
+    """,
+)
+def region_mask_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16+ coverage-region mask: even-odd ray casting against a concave
+    polygon as pure JVM higher-order array expressions (zero shuffles
+    beyond the probe generator, zero UDFs) — the polygon membership test
+    the reference's rectangular bbox selection cannot express."""
+    from gridded_etl_tools_spark.operators import spatial as spatial_ops
+
+    probes = spark.range(0, 60).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(35.005) + ((F.col("id") * 37) % 197) / F.lit(197.0) * F.lit(2.49)).alias("lat"),
+        (F.lit(-119.995) + ((F.col("id") * 53) % 189) / F.lit(189.0) * F.lit(3.49)).alias("lon"),
+    )
+    out = spatial_ops.point_in_polygon(probes, _REGION_VERTICES)
+    return out.select(
+        "probe_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "inside",
+    )
+
+
 @query(
     "persistence_qc_runs",
     """

@@ -917,3 +917,28 @@ def test_persistence_runs_min_run_boundary(spark):
     ).collect()
     got = sorted((r.state, r.n_obs) for r in out)
     assert got == [("A", 2), ("B", 3)]
+
+
+# --- region mask -------------------------------------------------------------
+
+def test_point_in_polygon_concave(spark):
+    from gridded_etl_tools_spark.operators.spatial import point_in_polygon
+
+    # L-shape: the notch (lat>36, lon>-118.5 .. -117 region removed)
+    poly = [
+        (35.0, -120.0), (35.0, -117.0), (37.0, -117.0),
+        (37.0, -118.5), (36.0, -118.5), (36.0, -120.0),
+    ]
+    pts = spark.createDataFrame(
+        [
+            Row(pid=1, lat=35.5, lon=-119.0),  # inside lower arm
+            Row(pid=2, lat=36.5, lon=-117.5),  # inside upper arm
+            Row(pid=3, lat=36.5, lon=-119.0),  # in the notch -> outside
+            Row(pid=4, lat=34.0, lon=-119.0),  # south of region
+            Row(pid=5, lat=35.5, lon=-116.0),  # east of region
+        ]
+    )
+    got = {
+        r.pid: r.inside for r in point_in_polygon(pts, poly).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
