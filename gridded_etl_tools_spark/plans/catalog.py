@@ -3363,6 +3363,56 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cf_calendar_decode",
+    """
+    WITH offs AS (
+      SELECT i * 11 AS days FROM (SELECT unnest(range(0, 400)) AS i)),
+    ns AS (SELECT [0,31,59,90,120,151,181,212,243,273,304,334] AS st),
+    al AS (SELECT [0,31,60,91,121,152,182,213,244,274,305,335] AS st),
+    calc AS (
+      SELECT days,
+             strftime(DATE '1990-01-01' + days * (INTERVAL 1 DAY),
+                      '%Y-%m-%d') AS std_iso,
+             1990 + days // 365 AS nl_y, days % 365 AS nl_rem,
+             1990 + days // 366 AS alp_y, days % 366 AS alp_rem,
+             1990 + days // 360 AS d3_y, days % 360 AS d3_rem
+      FROM offs),
+    months AS (
+      SELECT c.*,
+             len(list_filter(ns.st, x -> x <= c.nl_rem)) AS nl_m,
+             len(list_filter(al.st, x -> x <= c.alp_rem)) AS alp_m,
+             ns.st AS nst, al.st AS ast
+      FROM calc c, ns, al)
+    SELECT days, std_iso,
+           printf('%04d-%02d-%02d', CAST(nl_y AS INT), CAST(nl_m AS INT),
+                  CAST(nl_rem - nst[nl_m] + 1 AS INT)) AS noleap_iso,
+           printf('%04d-%02d-%02d', CAST(alp_y AS INT), CAST(alp_m AS INT),
+                  CAST(alp_rem - ast[alp_m] + 1 AS INT)) AS all_leap_iso,
+           printf('%04d-%02d-%02d', CAST(d3_y AS INT),
+                  CAST(d3_rem // 30 + 1 AS INT),
+                  CAST(d3_rem % 30 + 1 AS INT)) AS d360_iso
+    FROM months
+    """,
+)
+def cf_calendar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF 'days since 1990-01-01' axes decoded under all four supported
+    calendars (standard / noleap / all_leap / 360_day) — the climate-
+    model time semantics the reference delegates to cftime, as pure
+    integer column arithmetic + literal month-boundary array probes
+    (zero UDFs, zero shuffles)."""
+    from gridded_etl_tools_spark.functions import cftime
+
+    offs = spark.range(0, 400).select((F.col("id") * 11).alias("days"))
+    return offs.select(
+        "days",
+        cftime.decode_cf_days(F.col("days"), "standard")["iso"].alias("std_iso"),
+        cftime.decode_cf_days(F.col("days"), "noleap")["iso"].alias("noleap_iso"),
+        cftime.decode_cf_days(F.col("days"), "all_leap")["iso"].alias("all_leap_iso"),
+        cftime.decode_cf_days(F.col("days"), "360_day")["iso"].alias("d360_iso"),
+    )
+
+
 #: L-shaped (concave) coverage region for the region-mask query; probe
 #: coordinates are irrational in its vertex grid so no point can land
 #: exactly on an edge
