@@ -3364,6 +3364,102 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_window_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the SAME correctness gate as the batch
+    plans: the events table replayed as a file stream
+    (Trigger.AvailableNow), tumbling 1-day windows per event type in
+    complete mode into a memory sink, final table hash-matched against
+    the equivalent batch SQL — streaming execution must produce
+    bit-identical aggregates to the batch engine (exact DECIMAL sums).
+    Scale shape: the state store keys on (window, type) — bounded by the
+    calendar, not the stream."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    # the file-stream source wants a DIRECTORY to watch: stage the events
+    # file into one (once per sf, digest-named)
+    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
+        os.replace(tmp, target)
+
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    name = f"stream_rb_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n",
+        "total_value",
+    )
+
+
+@query(
+    "ensemble_rank_histogram",
+    """
+    WITH ens AS (
+      SELECT event_type,
+             len(list_filter(
+               list_transform(range(1, 6),
+                 m -> value + CAST((event_id + m * 37) % 11 - 5 AS DOUBLE)),
+               x -> x < value)) AS obs_rank
+      FROM events)
+    SELECT event_type, obs_rank, count(*) AS n
+    FROM ens GROUP BY event_type, obs_rank
+    """,
+)
+def ensemble_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification rank histogram (Talagrand diagram): position of each
+    observation within its sorted pseudo-ensemble (same 5-member
+    construction as ensemble_crps), counted per event type — THE
+    standard ensemble-calibration diagnostic (flat = calibrated).  Rank
+    is an array fold (size of filter(members < obs)): map-side JVM
+    expressions, then one tiny hash agg."""
+    ev = load(spark, sf_dir, "events")
+    members = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda m: F.col("value")
+        + ((F.col("event_id") + m * 37) % 11 - 5).cast("double"),
+    )
+    rank = F.size(F.filter(members, lambda x: x < F.col("value")))
+    return (
+        ev.select("event_type", rank.alias("obs_rank"))
+        .groupBy("event_type", "obs_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "cf_calendar_decode",
     """
     WITH offs AS (
