@@ -426,3 +426,105 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             ).alias("simhash")
         )
     )
+
+
+def _bloom_geometry(n: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for n items at the target false-positive rate
+    (standard formulas: m = -n ln p / ln^2 2, k = m/n ln 2)."""
+    import math
+
+    m = max(64, int(-n * math.log(fpp) / (math.log(2.0) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2.0)))
+    return m, k
+
+
+def _bloom_positions(key_col: str, m: int, k: int):
+    """k bit positions per key via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with two independent xxhash64 streams —
+    all JVM expressions."""
+    # reduce both streams mod m BEFORE combining: i*h2 on raw xxhash64
+    # output overflows long under ANSI arithmetic
+    h1 = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.lit("bloom2"), F.col(key_col)), F.lit(m))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
+def bloom_filter_words(
+    corpus: DataFrame, key_col: str, n_items: int, fpp: float = 0.01
+) -> DataFrame:
+    """Distributed Bloom-filter build with no driver bitmap: every key
+    contributes k (word_index, bit) pairs, ``bit_or`` folds them into
+    64-bit words — a (m/64)-row frame that broadcasts like a dim table.
+    Map-side combine makes the shuffle carry at most m/64 rows per task.
+    """
+    m, k = _bloom_geometry(n_items, fpp)
+    pos = F.explode(F.array(*_bloom_positions(key_col, m, k))).alias("__p")
+    words = (
+        corpus.select(pos)
+        .select(
+            (F.col("__p") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(__p, 64) as int))").alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+    return words
+
+
+def bloom_incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    n_items: int,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup against a published corpus via a
+    broadcast Bloom filter, optionally made exact with a second keyed
+    verify phase.
+
+    Scale rationale: an exact anti-join shuffles the 100 TB corpus every
+    ingest tick.  Here the corpus compresses once into Bloom words
+    (:func:`bloom_filter_words`) that broadcast like a dim table; each
+    new doc probes its k positions through that broadcast join —
+    constant fan-out on the SMALL batch, zero corpus shuffle.  Bloom
+    misses are DEFINITELY new (no false negatives); Bloom hits are
+    candidate duplicates (~fpp of them wrongly).  With ``exact=True``
+    only that small candidate set pays an exact semi-check against the
+    corpus, so the result is exactly the anti-join's — the two-phase
+    shape production dedup uses.
+
+    Returns the surviving (new, non-duplicate) rows of ``new_docs``.
+    """
+    m, k = _bloom_geometry(n_items, fpp)
+    words = F.broadcast(bloom_filter_words(corpus, key_col, n_items, fpp))
+    probes = new_docs.withColumn(
+        "__pos", F.explode(F.array(*_bloom_positions(key_col, m, k)))
+    ).withColumn("__word_idx", (F.col("__pos") / 64).cast("long"))
+    hit = (
+        F.col("bits").isNotNull()
+        & (
+            F.col("bits").bitwiseAND(
+                F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))")
+            )
+            != 0
+        )
+    )
+    probed = (
+        probes.join(words, on=(F.col("__word_idx") == F.col("word_idx")), how="left")
+        .withColumn("__hit", hit.cast("int"))
+        .groupBy(*new_docs.columns)
+        .agg((F.sum("__hit") == F.lit(k)).alias("__maybe_dup"))
+    )
+    definitely_new = probed.filter(~F.col("__maybe_dup")).drop("__maybe_dup")
+    if not exact:
+        return definitely_new
+    candidates = probed.filter(F.col("__maybe_dup")).drop("__maybe_dup")
+    # exact verify on the candidate sliver only (true dups + ~fpp FPs)
+    verified_new = candidates.join(
+        corpus.select(F.col(key_col).alias("__ck")).distinct(),
+        on=(F.col(key_col) == F.col("__ck")),
+        how="left_anti",
+    )
+    return definitely_new.unionByName(verified_new)

@@ -3364,6 +3364,33 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_two_phase_dedup",
+    """
+    SELECT n.doc_id, n.n_chars
+    FROM documents n
+    WHERE n.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 5 <> 0 AND c.text = n.text)
+    """,
+)
+def bloom_two_phase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup, two-phase: a natively-built Bloom filter
+    (bit_or-folded 64-bit words, Kirsch-Mitzenmacher double hashing —
+    no driver bitmap) broadcast-prefilters the new batch, then ONLY the
+    candidate sliver pays an exact keyed verify — so the result equals
+    the plain anti-join the oracle runs, while the corpus is never
+    shuffled.  Docs is split 80/20 into corpus/new by id residue."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dedup_ops.bloom_incremental_dedup(
+        new, corpus, key_col="text", n_items=8192, fpp=0.01, exact=True
+    )
+    return out.select("doc_id", "n_chars")
+
+
+@query(
     "streaming_window_readback",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

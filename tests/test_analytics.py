@@ -332,3 +332,47 @@ def test_pq_ann_recall_beats_chance(spark):
         got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
     mean_recall = sum(len(got[p] & exact[p]) / 5 for p in probes) / len(probes)
     assert mean_recall >= 0.08
+
+
+# --- bloom incremental dedup -------------------------------------------------
+
+def test_bloom_dedup_no_false_negatives_and_exactness(spark):
+    """Every true duplicate must be caught by the filter (no false
+    negatives), and the exact two-phase result must equal the anti-join."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame([Row(k=f"doc{i}") for i in range(2000)])
+    new = spark.createDataFrame(
+        [Row(k=f"doc{i}") for i in range(1900, 2100)]  # 100 dup, 100 new
+    )
+    exact = bloom_incremental_dedup(new, corpus, "k", n_items=2000)
+    got = sorted(r.k for r in exact.collect())
+    want = sorted(f"doc{i}" for i in range(2000, 2100))
+    assert got == want  # two-phase == anti-join, dups never survive
+
+    # inexact mode: still zero false negatives (no dup survives);
+    # may drop a ~fpp sliver of new docs
+    fast = bloom_incremental_dedup(
+        new, corpus, "k", n_items=2000, exact=False
+    )
+    survivors = {r.k for r in fast.collect()}
+    assert not survivors & {f"doc{i}" for i in range(1900, 2000)}
+    assert len(survivors) >= 95  # <= ~5% of 100 wrongly dropped at fpp=1%
+
+
+def test_bloom_filter_word_table_is_compact(spark):
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.dedup import (
+        _bloom_geometry,
+        bloom_filter_words,
+    )
+
+    corpus = spark.createDataFrame([Row(k=f"x{i}") for i in range(500)])
+    m, k = _bloom_geometry(500, 0.01)
+    words = bloom_filter_words(corpus, "k", 500, 0.01)
+    assert words.count() <= m // 64  # at most one row per 64-bit word
