@@ -276,3 +276,50 @@ def quantile_delta_map(
         "corrected",
         F.col(value_col) + F.col("__obs_at_r") - F.col("asof___hfc_v"),
     )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_by: list,
+    value_col: str,
+    cum_col: str = "cum",
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Global running sum WITHOUT a global single-partition window — the
+    two-level prefix-sum pattern: per-bucket totals (a dimension-sized
+    frame) get exclusive offsets from a tiny ordered scan, broadcast back,
+    and each bucket's interior cumsum runs under a window partitioned on
+    the bucket.  Equivalent to ``sum(value) OVER (ORDER BY ...)`` but the
+    fact table only ever shuffles on the bucket key.
+
+    ``bucket_col`` must be a monotone coarsening of the primary sort key
+    (e.g. ``floor(score * 20)`` when ordering by score) with
+    ``bucket_desc`` matching the sort direction; the caller's
+    ``order_by`` columns provide the exact within-bucket order (include a
+    unique tie-break).
+    """
+    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias("__btot"))
+    bucket_order = (
+        F.col(bucket_col).desc() if bucket_desc else F.col(bucket_col).asc()
+    )
+    # single-partition scan over BUCKET TOTALS only (bounded by the
+    # bucket count, not the data)
+    wb = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(bucket_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    ).select(bucket_col, "__off")
+    ww = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(F.broadcast(offsets), bucket_col)
+        .withColumn(cum_col, F.col("__off") + F.sum(value_col).over(ww))
+        .drop("__off")
+    )

@@ -3364,6 +3364,50 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_subset",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+               string_split_regex(lower(trim(text)), '\s+'),
+               w -> CAST(ceil(length(w) / 6.0) AS BIGINT))) AS BIGINT)
+               AS n_bpe
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_bpe,
+             sum(n_bpe) OVER (ORDER BY n_bpe DESC, doc_id) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_bpe, cum_tokens FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded dataset assembly: greedily keep the most token-rich
+    documents until a 20k-token budget fills — the 'build an N-token
+    training set' selection.  The global running sum is the two-level
+    bucketed prefix sum (operators/aggregations.py::bucketed_prefix_sum):
+    per-bucket totals + broadcast offsets + bucket-partitioned interior
+    windows, so the corpus NEVER funnels through one partition the way a
+    naive ``sum OVER (ORDER BY ...)`` would."""
+    docs = load(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        text_ops.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    ).withColumn("__bkt", F.floor(F.col("n_bpe") / 50))
+    cum = agg_ops.bucketed_prefix_sum(
+        with_toks,
+        bucket_col="__bkt",
+        order_by=[F.col("n_bpe").desc(), F.col("doc_id").asc()],
+        value_col="n_bpe",
+        cum_col="cum_tokens",
+        bucket_desc=True,
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "n_bpe", "cum_tokens")
+    )
+
+
+@query(
     "bloom_two_phase_dedup",
     """
     SELECT n.doc_id, n.n_chars

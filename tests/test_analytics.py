@@ -376,3 +376,28 @@ def test_bloom_filter_word_table_is_compact(spark):
     m, k = _bloom_geometry(500, 0.01)
     words = bloom_filter_words(corpus, "k", 500, 0.01)
     assert words.count() <= m // 64  # at most one row per 64-bit word
+
+
+def test_bucketed_prefix_sum_matches_global_cumsum(spark):
+    """Two-level prefix sum == naive global ORDER BY running sum."""
+    from pyspark.sql import Row, Window
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        bucketed_prefix_sum,
+    )
+
+    rows = [Row(id=i, v=(i * 37) % 23 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows).withColumn(
+        "bkt", F.floor(F.col("v") / 5)
+    )
+    two_level = bucketed_prefix_sum(
+        df, "bkt", [F.col("v").desc(), F.col("id").asc()], "v",
+        cum_col="cum", bucket_desc=True,
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("v").desc(), F.col("id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("cum", F.sum("v").over(w))
+    a = {r.id: r.cum for r in two_level.collect()}
+    b = {r.id: r.cum for r in naive.collect()}
+    assert a == b

@@ -201,6 +201,16 @@ SHUFFLE_BUDGET = {
     "climate_heat_spells": (2, 0),       # groupBys reuse the station hash
     "climate_return_levels": (2, 0),     # block agg + per-type moments
     "parametric_payouts": (1, 0),        # one exact-decimal settlement agg
+    "persistence_qc_runs": (1, 0),       # entity-keyed gaps-and-islands
+    "region_mask_membership": (0, 0),    # pure higher-order column math
+    "cf_calendar_decode": (0, 0),        # pure integer calendar math
+    "ensemble_rank_histogram": (1, 0),   # map-side rank fold + tiny agg
+    # the single-partition exchange is over BUCKET TOTALS (dim-sized),
+    # never the corpus — the point of the two-level prefix sum
+    "token_budget_subset": (2, 1),
+    # bloom words build + probe agg + candidate verify; corpus never
+    # shuffles as a join side
+    "bloom_two_phase_dedup": (5, 0),
 }
 
 
