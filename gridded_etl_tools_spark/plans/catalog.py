@@ -3740,6 +3740,59 @@ def geotiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zarr3_fixture_root() -> str:
+    """Write (once, digest-named) the fixture grid as a REAL Zarr v3
+    store: root group zarr.json, per-array zarr.json nodes, bytes+gzip
+    codec chain, c/-prefixed nested chunk keys, dimension_names."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import zarr2 as _z2
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr3_fixture_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, "zarr.json")):
+        data, times, lats, lons = _nc_fixture_array()
+        _z2.write_zarr3_store(
+            root,
+            variables={
+                "time": (("time",), np.asarray(times), {}),
+                "latitude": (("latitude",), np.asarray(lats), {}),
+                "longitude": (("longitude",), np.asarray(lons), {}),
+                "precip": (
+                    ("time", "latitude", "longitude"), np.asarray(data),
+                    {"_FillValue": -9999.0},
+                ),
+            },
+            chunks={"precip": (2, 3, 2), "time": (2,)},
+            fill_values={"precip": -9999.0},
+        )
+    return root
+
+
+@query("zarr3_decode", _nc_oracle())
+def zarr3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER zarr metadata generation the reference tolerates
+    (store.py:249-271 detects v3 by the root zarr.json): same fixture
+    cells decoded from a real v3 store — regular chunk grid, bytes+gzip
+    codecs, default chunk-key encoding — through the same chunk-parallel
+    mapInPandas path as v2, so all four store/ingest front doors
+    (NetCDF3, NetCDF4/HDF5, zarr v2, zarr v3) must agree with one
+    literal oracle."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    root = _zarr3_fixture_root()
+    out = z2_mod.decode_zarr_long(spark, root, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf, digest-named) the events daily (station, day)
     mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —

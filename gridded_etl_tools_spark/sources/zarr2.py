@@ -72,11 +72,24 @@ class ZArray:
     filters: list | None
     dimension_separator: str
     attrs: dict = field(default_factory=dict)
+    zarr_version: int = 2
+    chunk_prefix: str = ""  # v3 default chunk-key encoding prefixes "c"
+    dimension_names: list[str] | None = None  # v3 carries dims natively
 
     @property
     def dims(self) -> list[str]:
-        """xarray dimension names (``_ARRAY_DIMENSIONS`` convention)."""
+        """Dimension names: v3 ``dimension_names``, else xarray's
+        ``_ARRAY_DIMENSIONS`` v2 convention."""
+        if self.dimension_names:
+            return list(self.dimension_names)
         return list(self.attrs.get("_ARRAY_DIMENSIONS", []))
+
+    def chunk_rel(self, idx: tuple[int, ...]) -> str:
+        """Store-relative chunk key for grid index ``idx``."""
+        key = self.dimension_separator.join(str(i) for i in idx)
+        if self.chunk_prefix:
+            return f"{self.chunk_prefix}{self.dimension_separator}{key}"
+        return key
 
     @property
     def chunk_grid(self) -> tuple[int, ...]:
@@ -129,11 +142,97 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
     )
 
 
+#: zarr v3 data_type -> numpy kind/size (endianness comes from the
+#: ``bytes`` codec configuration)
+_V3_DTYPES = {
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
+    """Parse a zarr v3 array's ``zarr.json`` (reference store.py:249-271
+    detects v3 stores by exactly this file) into the shared
+    :class:`ZArray` form so both generations decode through one path.
+
+    Supported: regular chunk grids, ``default``/``v2`` chunk-key
+    encodings, ``bytes`` + optional ``gzip`` codec chain, numeric data
+    types, NaN-or-number fill values, ``dimension_names``."""
+    meta = json.loads(zjson)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ZarrError(f"{name}: not a zarr v3 array node")
+    grid = meta["chunk_grid"]
+    if grid.get("name") != "regular":
+        raise ZarrError(f"{name}: chunk_grid {grid.get('name')!r} unsupported")
+    dt = meta["data_type"]
+    if dt not in _V3_DTYPES:
+        raise ZarrError(f"{name}: data_type {dt!r} unsupported")
+    endian = "<"
+    compressor = None
+    for codec in meta.get("codecs", [{"name": "bytes"}]):
+        cname = codec.get("name")
+        conf = codec.get("configuration", {})
+        if cname == "bytes":
+            endian = {"little": "<", "big": ">"}.get(
+                conf.get("endian", "little"), "<"
+            )
+        elif cname == "gzip":
+            compressor = {"id": "gzip", "level": conf.get("level", 5)}
+        else:
+            raise ZarrError(
+                f"{name}: codec {cname!r} unsupported (bytes/gzip only)"
+            )
+    cke = meta.get(
+        "chunk_key_encoding", {"name": "default", "configuration": {}}
+    )
+    conf = cke.get("configuration", {})
+    if cke.get("name") == "default":
+        sep = conf.get("separator", "/")
+        prefix = "c"
+    elif cke.get("name") == "v2":
+        sep = conf.get("separator", ".")
+        prefix = ""
+    else:
+        raise ZarrError(f"{name}: chunk_key_encoding {cke.get('name')!r}")
+    size = _V3_DTYPES[dt]
+    dtype = np.dtype(("|" if size.endswith("1") else endian) + size)
+    return ZArray(
+        name=name,
+        shape=tuple(meta["shape"]),
+        chunks=tuple(grid["configuration"]["chunk_shape"]),
+        dtype=dtype,
+        order="C",
+        fill_value=_parse_fill(meta.get("fill_value"), dtype),
+        compressor=compressor,
+        filters=None,
+        dimension_separator=sep,
+        attrs=meta.get("attributes", {}),
+        zarr_version=3,
+        chunk_prefix=prefix,
+        dimension_names=meta.get("dimension_names"),
+    )
+
+
 def open_store(root: str) -> dict[str, ZArray]:
     """Read a store's metadata driver-side (KB-scale JSON — the analog of
     ``xr.open_zarr``'s eager metadata pass).  Prefers consolidated
     ``.zmetadata`` (one read on object stores) and falls back to per-array
     files."""
+    # v3 detection first: a root zarr.json group node (the check the
+    # reference's Store.has_v3_metadata does, store.py:257-271)
+    v3_root = os.path.join(root, "zarr.json")
+    if os.path.exists(v3_root):
+        arrays3: dict[str, ZArray] = {}
+        for entry in sorted(os.listdir(root)):
+            zj = os.path.join(root, entry, "zarr.json")
+            if os.path.isdir(os.path.join(root, entry)) and os.path.exists(zj):
+                with open(zj, "rb") as f:
+                    arrays3[entry] = parse_zarr3_array(entry, f.read())
+        if not arrays3:
+            raise ZarrError(f"{root}: v3 store with no array nodes")
+        return arrays3
+
     zmeta_path = os.path.join(root, ".zmetadata")
     arrays: dict[str, ZArray] = {}
     if os.path.exists(zmeta_path):
@@ -160,7 +259,7 @@ def open_store(root: str) -> dict[str, ZArray]:
                 att = f.read()
         arrays[entry] = parse_zarray(entry, za, att)
     if not arrays:
-        raise ZarrError(f"{root}: no zarr v2 arrays found")
+        raise ZarrError(f"{root}: no zarr arrays found")
     return arrays
 
 
@@ -185,8 +284,11 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
 
 def chunk_key_indices(rel: str, meta: ZArray) -> tuple[int, ...]:
     """Chunk grid indices from a chunk file's store-relative name —
-    ``"2.0.1"`` or nested ``"2/0/1"`` per ``dimension_separator``."""
+    ``"2.0.1"`` / nested ``"2/0/1"`` (v2) or ``"c/2/0/1"`` (v3 default
+    chunk-key encoding) per the array's metadata."""
     parts = rel.replace("/", ".").split(".")
+    if meta.chunk_prefix and parts and parts[0] == meta.chunk_prefix:
+        parts = parts[1:]
     if len(parts) != len(meta.shape):
         raise ZarrError(f"chunk key {rel!r} rank != array rank {len(meta.shape)}")
     return tuple(int(p) for p in parts)
@@ -218,8 +320,12 @@ def read_array(root: str, meta: ZArray) -> np.ndarray:
             idx.append(rem % g)
             rem //= g
         idx = tuple(reversed(idx))
-        rel = sep.join(str(i) for i in idx)
-        path = os.path.join(root, meta.name, *rel.split("/")) if sep == "/" else os.path.join(root, meta.name, rel)
+        rel = meta.chunk_rel(idx)
+        path = (
+            os.path.join(root, meta.name, *rel.split("/"))
+            if sep == "/"
+            else os.path.join(root, meta.name, rel)
+        )
         if not os.path.exists(path):
             continue  # missing chunk stays fill
         with open(path, "rb") as f:
@@ -298,8 +404,8 @@ def decode_zarr_long(
             for path, content in zip(pdf["path"], pdf["content"]):
                 rel = path.split("://")[-1]
                 rel = rel[rel.index(prefix) + len(prefix):] if prefix in rel else os.path.basename(rel)
-                if rel.startswith("."):
-                    continue  # .zarray/.zattrs metadata rows
+                if rel.startswith(".") or rel == "zarr.json":
+                    continue  # v2 .zarray/.zattrs or v3 zarr.json metadata
                 idx = chunk_key_indices(rel, meta)
                 block = decode_chunk(bytes(content), meta)
                 ranges, trimmed = chunk_cells(meta, idx, block)
@@ -501,3 +607,79 @@ def append_time_chunks(
         ]
         with open(zmeta_path, "w") as f:
             json.dump(z, f)
+
+
+def write_zarr3_store(
+    root: str,
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    gzip_level: int | None = 5,
+    fill_values: dict[str, Any] | None = None,
+) -> None:
+    """Write a real Zarr v3 store (root group ``zarr.json`` + per-array
+    ``zarr.json`` + ``c/``-prefixed chunk files; ``bytes``+``gzip``
+    codec chain, ``dimension_names``) — the other metadata generation the
+    reference tolerates (store.py:249-271).  Fixture-writer scale; the
+    distributed sink targets v2."""
+    import gzip as _gzip
+
+    inv_dtypes = {v: k for k, v in _V3_DTYPES.items()}
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
+    for name, (dims, data, attrs) in variables.items():
+        arr_dir = os.path.join(root, name)
+        os.makedirs(arr_dir, exist_ok=True)
+        cshape = (chunks or {}).get(name, data.shape)
+        fill = (fill_values or {}).get(name)
+        kind = data.dtype.str.lstrip("<>|=")
+        if kind not in inv_dtypes:
+            raise ZarrError(f"{name}: dtype {data.dtype} unsupported in v3 writer")
+        codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}}
+        ]
+        if gzip_level is not None:
+            codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(data.shape),
+            "data_type": inv_dtypes[kind],
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(cshape)},
+            },
+            "chunk_key_encoding": {
+                "name": "default", "configuration": {"separator": "/"},
+            },
+            "fill_value": _encode_fill(fill) if fill is not None else 0,
+            "codecs": codecs,
+            "attributes": attrs,
+            "dimension_names": list(dims),
+        }
+        with open(os.path.join(arr_dir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        little = data.astype(data.dtype.newbyteorder("<"))
+        grid = tuple(-(-s // c) for s, c in zip(data.shape, cshape))
+        for flat in range(int(np.prod(grid))):
+            idx, rem = [], flat
+            for g in reversed(grid):
+                idx.append(rem % g)
+                rem //= g
+            idx = tuple(reversed(idx))
+            block = np.full(
+                cshape, fill if fill is not None else 0, dtype=little.dtype
+            )
+            region = tuple(
+                slice(ci * c, min((ci + 1) * c, s))
+                for ci, c, s in zip(idx, cshape, data.shape)
+            )
+            extent = tuple(slice(0, r.stop - r.start) for r in region)
+            block[extent] = little[region]
+            raw = block.tobytes(order="C")
+            if gzip_level is not None:
+                raw = _gzip.compress(raw, gzip_level)
+            path = os.path.join(arr_dir, "c", *[str(i) for i in idx])
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(raw)

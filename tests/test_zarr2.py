@@ -198,3 +198,69 @@ def test_unsupported_compressor_raises(tmp_path):
         )
     with pytest.raises(zarr2.ZarrError, match="blosc"):
         zarr2.open_store(root)
+
+
+# --- zarr v3 -----------------------------------------------------------------
+
+def test_zarr3_round_trip(spark, tmp_path):
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "v3")
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (
+                ("time", "latitude", "longitude"), data,
+                {"_FillValue": -9999.0},
+            ),
+        },
+        chunks={"precip": (2, 3, 2), "time": (2,)},
+        fill_values={"precip": -9999.0},
+    )
+    metas = zarr2.open_store(root)
+    assert metas["precip"].zarr_version == 3
+    assert metas["precip"].dims == ["time", "latitude", "longitude"]
+    assert os.path.exists(os.path.join(root, "precip", "c", "0", "0", "0"))
+    got, rows = _collect(spark, root)
+    assert len(rows) == data.size
+    assert got[(0.0, 36.0, -116.0)] is None  # fill sentinel -> NULL
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+
+
+def test_zarr3_v2_encoding_and_uncompressed(spark, tmp_path):
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "v3nc")
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (("time", "latitude", "longitude"), data, {}),
+        },
+        chunks={"precip": (3, 4, 5)},
+        gzip_level=None,
+    )
+    arr = zarr2.read_array(str(tmp_path / "v3nc"), zarr2.open_store(root)["precip"])
+    import numpy as np
+    np.testing.assert_array_equal(arr, data)
+
+
+def test_zarr3_rejects_unknown_codec(tmp_path):
+    import json as _json
+    root = tmp_path / "v3bad"
+    (root / "v").mkdir(parents=True)
+    (root / "zarr.json").write_text(
+        _json.dumps({"zarr_format": 3, "node_type": "group"})
+    )
+    (root / "v" / "zarr.json").write_text(_json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes"}, {"name": "blosc", "configuration": {}}],
+    }))
+    with pytest.raises(zarr2.ZarrError, match="blosc"):
+        zarr2.open_store(str(root))
