@@ -3793,6 +3793,96 @@ def zarr3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kerchunk_fixture() -> tuple[dict, str]:
+    """Build (once, digest-named) a kerchunk v1 document whose byte-range
+    refs point into ONE packed binary blob holding the fixture grid's
+    zlib chunks at known offsets — the reference's scan_grib/kerchunkify
+    output shape (many refs into a raw archive file)."""
+    import json as _json
+    import os
+    import tempfile
+    import zlib as _zlib
+
+    import numpy as np
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kc_{digest}")
+    refs_path = os.path.join(base, "refs.json")
+    if not os.path.exists(refs_path):
+        os.makedirs(base, exist_ok=True)
+        data, times, lats, lons = _nc_fixture_array()
+        cshape = (2, 3, 2)
+        grid = tuple(-(-s // c) for s, c in zip(data.shape, cshape))
+        blob = bytearray(b"KCHK")
+        refs: dict[str, object] = {
+            "precip/.zarray": _json.dumps(
+                {"zarr_format": 2, "shape": list(data.shape),
+                 "chunks": list(cshape), "dtype": "<f8",
+                 "compressor": {"id": "zlib", "level": 5},
+                 "fill_value": -9999.0, "order": "C", "filters": None,
+                 "dimension_separator": "."}
+            ),
+            "precip/.zattrs": _json.dumps(
+                {"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"],
+                 "_FillValue": -9999.0}
+            ),
+        }
+        for it in range(grid[0]):
+            for ila in range(grid[1]):
+                for ilo in range(grid[2]):
+                    block = np.full(cshape, -9999.0)
+                    region = tuple(
+                        slice(ci * c, min((ci + 1) * c, s))
+                        for ci, c, s in zip((it, ila, ilo), cshape, data.shape)
+                    )
+                    extent = tuple(
+                        slice(0, r.stop - r.start) for r in region
+                    )
+                    block[extent] = data[region]
+                    raw = _zlib.compress(block.tobytes(), 5)
+                    refs[f"precip/{it}.{ila}.{ilo}"] = [
+                        "grid.bin", len(blob), len(raw)
+                    ]
+                    blob += raw
+        for name, arr in (
+            ("time", times), ("latitude", lats), ("longitude", lons)
+        ):
+            refs[f"{name}/.zarray"] = _json.dumps(
+                {"zarr_format": 2, "shape": [arr.size], "chunks": [arr.size],
+                 "dtype": "<f8", "compressor": None, "fill_value": None,
+                 "order": "C", "filters": None}
+            )
+            refs[f"{name}/.zattrs"] = _json.dumps({"_ARRAY_DIMENSIONS": [name]})
+            raw = np.asarray(arr).astype("<f8").tobytes()
+            refs[f"{name}/0"] = ["grid.bin", len(blob), len(raw)]
+            blob += raw
+        with open(os.path.join(base, "grid.bin"), "wb") as f:
+            f.write(bytes(blob))
+        tmp = refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"version": 1, "refs": refs}, f)
+        os.replace(tmp, refs_path)
+    with open(refs_path) as f:
+        return _json.load(f), base
+
+
+@query("kerchunk_decode", _nc_oracle())
+def kerchunk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE ingest mechanism (kerchunkify,
+    transform.py:119-279) as a Spark manifest scan: byte-range chunk refs
+    into one packed archive file, each manifest row fetching + decoding
+    its range inside mapInPandas.  Same literal oracle as every other
+    ingest front door — the virtual-zarr read must agree cell-for-cell."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    doc, base = _kerchunk_fixture()
+    out = kc_mod.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf, digest-named) the events daily (station, day)
     mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —

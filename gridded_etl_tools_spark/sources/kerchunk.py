@@ -1,0 +1,255 @@
+"""Kerchunk reference-manifest reader: zarr-over-byte-ranges, decoded as
+a Spark manifest scan.
+
+Reference parity: THIS is the reference's core ingest mechanism —
+``kerchunkify`` (``utils/transform.py:119-279``) scans raw NetCDF/GRIB
+files into a JSON of chunk references ``{"var/0.0": [url, offset,
+length], "var/.zarray": "..."}`` and xarray then reads the archive as a
+virtual zarr without copying bytes.  The Spark-first re-expression: the
+refs mapping IS a chunk manifest table; each row (key, url, offset,
+length) fetches its byte range and decodes independently inside
+Arrow-batched ``mapInPandas`` — ranged reads per task, exactly the
+object-store access pattern kerchunk was designed around, with no
+fsspec/zarr dependency.
+
+Scale shape: the manifest partitions like any other table (millions of
+chunk refs spread across executors); per-partition file handles are
+reused across rows sharing a url, and array metadata / coordinate axes
+are resolved once driver-side (KB-scale).  Supports kerchunk v0 (bare
+dict) and v1 (``{"version": 1, "refs": {...}}``) formats, inline string
+refs (optionally ``base64:``-prefixed), and whole-file refs
+(``[url]`` with no offset).  Templated/generated refs raise — they are a
+size optimization the manifest-table form does not need.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from gridded_etl_tools_spark.sources import zarr2
+
+
+class KerchunkError(ValueError):
+    pass
+
+
+def parse_refs(doc: dict | str | bytes) -> dict[str, object]:
+    """Normalize a kerchunk document (v0 bare mapping or v1 wrapper) to
+    the flat ``key -> ref`` mapping."""
+    if isinstance(doc, (str, bytes)):
+        doc = json.loads(doc)
+    if "refs" in doc and isinstance(doc.get("refs"), dict):
+        if doc.get("templates") or doc.get("gen"):
+            raise KerchunkError(
+                "templated/generated refs unsupported — materialize them "
+                "(the manifest-table form has no size pressure)"
+            )
+        return dict(doc["refs"])
+    return dict(doc)
+
+
+def _inline_bytes(val: str) -> bytes:
+    if val.startswith("base64:"):
+        return base64.b64decode(val[len("base64:"):])
+    return val.encode("latin1")
+
+
+def _fetch_range(url: str, offset: int | None, length: int | None) -> bytes:
+    with open(url, "rb") as f:
+        if offset is None:
+            return f.read()
+        f.seek(offset)
+        return f.read(length)
+
+
+def store_metadata(refs: dict) -> dict[str, zarr2.ZArray]:
+    """Array metadata from the refs' ``.zarray``/``.zattrs`` entries
+    (driver-side, KB-scale)."""
+    arrays: dict[str, zarr2.ZArray] = {}
+    for key, val in refs.items():
+        if not key.endswith("/.zarray"):
+            continue
+        name = key[: -len("/.zarray")]
+        zarray = val if isinstance(val, (str, bytes)) else json.dumps(val)
+        zattrs = refs.get(f"{name}/.zattrs")
+        if zattrs is not None and not isinstance(zattrs, (str, bytes)):
+            zattrs = json.dumps(zattrs)
+        arrays[name] = zarr2.parse_zarray(
+            name,
+            zarray.encode() if isinstance(zarray, str) else zarray,
+            zattrs.encode() if isinstance(zattrs, str) else zattrs,
+        )
+    if not arrays:
+        raise KerchunkError("no .zarray entries in refs")
+    return arrays
+
+
+def _chunk_refs(refs: dict, name: str) -> list[tuple[str, object]]:
+    prefix = f"{name}/"
+    out = []
+    for key, val in refs.items():
+        if key.startswith(prefix) and not key[len(prefix):].startswith("."):
+            out.append((key[len(prefix):], val))
+    return out
+
+
+def read_array(refs: dict, meta: zarr2.ZArray, base_dir: str = "") -> np.ndarray:
+    """Driver-side materialization for dimension-sized coordinate
+    arrays."""
+    out = np.full(meta.shape, meta.fill_value, dtype=meta.dtype)
+    if meta.fill_value is None:
+        out = np.zeros(meta.shape, dtype=meta.dtype)
+    for rel, ref in _chunk_refs(refs, meta.name):
+        idx = zarr2.chunk_key_indices(rel, meta)
+        raw = _resolve_ref(ref, base_dir)
+        block = zarr2.decode_chunk(raw, meta)
+        ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
+        region = tuple(slice(r[0], r[-1] + 1) for r in ranges)
+        out[region] = trimmed
+    return out
+
+
+def _resolve_ref(ref: object, base_dir: str) -> bytes:
+    if isinstance(ref, str):
+        return _inline_bytes(ref)
+    if isinstance(ref, list) and ref:
+        url = ref[0]
+        if base_dir and not os.path.isabs(url):
+            url = os.path.join(base_dir, url)
+        offset = ref[1] if len(ref) > 1 else None
+        length = ref[2] if len(ref) > 2 else None
+        return _fetch_range(url, offset, length)
+    raise KerchunkError(f"malformed ref {ref!r}")
+
+
+def refs_manifest(
+    spark: SparkSession, refs: dict, data_var: str, base_dir: str = ""
+) -> DataFrame:
+    """The data variable's chunk refs as a manifest DataFrame
+    ``(key, url, offset, length, inline)`` — at production scale this
+    frame comes straight off ``spark.read.json`` over the refs file(s);
+    here it parallelizes the parsed mapping."""
+    rows = []
+    for rel, ref in _chunk_refs(refs, data_var):
+        if isinstance(ref, str):
+            rows.append((rel, None, None, None, ref))
+        else:
+            url = ref[0]
+            if base_dir and not os.path.isabs(url):
+                url = os.path.join(base_dir, url)
+            rows.append(
+                (
+                    rel,
+                    url,
+                    int(ref[1]) if len(ref) > 1 else None,
+                    int(ref[2]) if len(ref) > 2 else None,
+                    None,
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("length", T.LongType(), True),
+            T.StructField("inline", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def decode_kerchunk_long(
+    spark: SparkSession,
+    refs: dict | str | bytes,
+    data_var: str,
+    base_dir: str = "",
+) -> DataFrame:
+    """Distributed decode of a kerchunked dataset to long form:
+    ``chunk`` key + one double column per dimension + ``value`` (fill →
+    NULL, CF-unpacked) — the virtual-zarr read, one ranged fetch + decode
+    per manifest row."""
+    refs = parse_refs(refs)
+    arrays = store_metadata(refs)
+    if data_var not in arrays:
+        raise KerchunkError(f"{data_var!r} not in refs (has {sorted(arrays)})")
+    meta = arrays[data_var]
+    dims = meta.dims or [f"dim_{i}" for i in range(len(meta.shape))]
+    coords: dict[str, np.ndarray] = {}
+    for i, d in enumerate(dims):
+        if d in arrays and arrays[d].shape == (meta.shape[i],):
+            coords[d] = read_array(refs, arrays[d], base_dir).astype("f8")
+        else:
+            coords[d] = np.arange(meta.shape[i], dtype="f8")
+
+    manifest = refs_manifest(spark, refs, data_var, base_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if isinstance(row.inline, str):
+                        raw = _inline_bytes(row.inline)
+                    else:
+                        fh = handles.get(row.url)
+                        if fh is None:
+                            fh = handles[row.url] = open(row.url, "rb")
+                        # nullable long columns surface as float NaN in
+                        # pandas — normalize before seek/read
+                        if row.offset is None or pd.isna(row.offset):
+                            fh.seek(0)
+                            raw = fh.read()
+                        else:
+                            fh.seek(int(row.offset))
+                            raw = fh.read(int(row.length))
+                    idx = zarr2.chunk_key_indices(row.key, meta)
+                    block = zarr2.decode_chunk(raw, meta)
+                    ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
+                    vals = zarr2.cf_unpack_values(trimmed, meta).reshape(-1)
+                    mesh = np.meshgrid(
+                        *[coords[d][r] for d, r in zip(dims, ranges)],
+                        indexing="ij",
+                    )
+                    out = {d: m.reshape(-1) for d, m in zip(dims, mesh)}
+                    frame = pd.DataFrame(out)
+                    frame["value"] = vals
+                    frame.insert(0, "chunk", row.key)
+                    yield frame
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return manifest.mapInPandas(run, zarr2.decode_schema(dims))
+
+
+def build_refs_for_zarr_store(root: str) -> dict:
+    """Turn an on-disk zarr v2 store into a kerchunk v1 document (each
+    chunk file referenced whole) — the shape ``MultiZarrToZarr`` merges
+    produce; useful for tests and for manifesting existing stores."""
+    arrays = zarr2.open_store(root)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    for name, meta in arrays.items():
+        arr_dir = os.path.join(root, name)
+        with open(os.path.join(arr_dir, ".zarray")) as f:
+            refs[f"{name}/.zarray"] = f.read()
+        zattrs = os.path.join(arr_dir, ".zattrs")
+        if os.path.exists(zattrs):
+            with open(zattrs) as f:
+                refs[f"{name}/.zattrs"] = f.read()
+        for dirpath, _dirs, files in os.walk(arr_dir):
+            for fn in files:
+                if fn.startswith("."):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, arr_dir).replace(os.sep, "/")
+                key = rel if meta.dimension_separator == "/" else fn
+                refs[f"{name}/{key}"] = [full, 0, os.path.getsize(full)]
+    return {"version": 1, "refs": refs}

@@ -1,0 +1,135 @@
+"""Kerchunk reference-manifest decode: byte-range refs into a packed
+blob, inline/base64 refs, v0/v1 formats, and refs built over a real
+zarr store."""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+
+import numpy as np
+import pytest
+
+from gridded_etl_tools_spark.sources import kerchunk, zarr2
+
+
+def _grid():
+    nt, nlat, nlon = 3, 4, 5
+    idx = np.arange(nt * nlat * nlon, dtype="f8").reshape(nt, nlat, nlon)
+    data = (idx * 7 % 101) / 4.0
+    data[0, 0, 0] = -9999.0
+    lats = 36.0 + 0.25 * np.arange(nlat)
+    lons = -116.0 + 0.25 * np.arange(nlon)
+    times = np.arange(nt, dtype="f8")
+    return data, times, lats, lons
+
+
+def _packed_refs(tmp_path, inline_first=False):
+    """Pack the grid's zlib chunks into ONE blob at known offsets —
+    kerchunk's essential shape: many refs into one raw archive file."""
+    data, times, lats, lons = _grid()
+    cshape = (2, 3, 2)
+    grid = tuple(-(-s // c) for s, c in zip(data.shape, cshape))
+    blob = bytearray(b"HDR!")  # nonzero base offset, like a real archive
+    refs: dict[str, object] = {}
+    zarray = {
+        "zarr_format": 2, "shape": list(data.shape),
+        "chunks": list(cshape), "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 5}, "fill_value": -9999.0,
+        "order": "C", "filters": None, "dimension_separator": ".",
+    }
+    refs["precip/.zarray"] = json.dumps(zarray)
+    refs["precip/.zattrs"] = json.dumps(
+        {"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"],
+         "_FillValue": -9999.0}
+    )
+    first = True
+    for it in range(grid[0]):
+        for ila in range(grid[1]):
+            for ilo in range(grid[2]):
+                block = np.full(cshape, -9999.0)
+                region = tuple(
+                    slice(ci * c, min((ci + 1) * c, s))
+                    for ci, c, s in zip((it, ila, ilo), cshape, data.shape)
+                )
+                extent = tuple(slice(0, r.stop - r.start) for r in region)
+                block[extent] = data[region]
+                raw = zlib.compress(block.tobytes(), 5)
+                key = f"precip/{it}.{ila}.{ilo}"
+                if inline_first and first:
+                    refs[key] = "base64:" + base64.b64encode(raw).decode()
+                    first = False
+                else:
+                    refs[key] = ["grid.bin", len(blob), len(raw)]
+                    blob += raw
+    for name, arr in (("time", times), ("latitude", lats), ("longitude", lons)):
+        refs[f"{name}/.zarray"] = json.dumps(
+            {"zarr_format": 2, "shape": [arr.size], "chunks": [arr.size],
+             "dtype": "<f8", "compressor": None, "fill_value": None,
+             "order": "C", "filters": None}
+        )
+        refs[f"{name}/.zattrs"] = json.dumps({"_ARRAY_DIMENSIONS": [name]})
+        raw = arr.astype("<f8").tobytes()
+        refs[f"{name}/0"] = ["grid.bin", len(blob), len(raw)]
+        blob += raw
+    (tmp_path / "grid.bin").write_bytes(bytes(blob))
+    return {"version": 1, "refs": refs}, str(tmp_path)
+
+
+def test_byte_range_refs_round_trip(spark, tmp_path):
+    doc, base = _packed_refs(tmp_path)
+    out = kerchunk.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
+    data, times, lats, lons = _grid()
+    assert len(got) == data.size
+    assert got[(0.0, 36.0, -116.0)] is None  # fill -> NULL
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+    assert got[(1.0, 36.5, -115.5)] == data[1, 2, 2]
+
+
+def test_inline_base64_ref(spark, tmp_path):
+    doc, base = _packed_refs(tmp_path, inline_first=True)
+    out = kerchunk.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
+    data, *_ = _grid()
+    assert len(got) == data.size
+    assert got[(1.0, 36.25, -116.0)] == data[1, 1, 0]  # from the inline chunk's sibling era
+    assert got[(0.0, 36.25, -115.5)] == data[0, 1, 2]  # inside inline chunk extent
+
+
+def test_v0_bare_mapping_accepted(spark, tmp_path):
+    doc, base = _packed_refs(tmp_path)
+    bare = doc["refs"]  # v0: no wrapper
+    out = kerchunk.decode_kerchunk_long(spark, bare, "precip", base_dir=base)
+    assert out.count() == 60
+
+
+def test_templates_rejected():
+    with pytest.raises(kerchunk.KerchunkError, match="templated"):
+        kerchunk.parse_refs({"version": 1, "refs": {}, "templates": {"u": "x"}})
+
+
+def test_refs_built_over_real_zarr_store(spark, tmp_path):
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "store")
+    zarr2.write_zarr_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (
+                ("time", "latitude", "longitude"), data,
+                {"_FillValue": -9999.0},
+            ),
+        },
+        chunks={"precip": (2, 3, 2)},
+        fill_values={"precip": -9999.0},
+    )
+    doc = kerchunk.build_refs_for_zarr_store(root)
+    out = kerchunk.decode_kerchunk_long(spark, doc, "precip")
+    got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
+    assert len(got) == data.size
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+    assert got[(0.0, 36.0, -116.0)] is None
