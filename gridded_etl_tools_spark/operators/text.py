@@ -384,3 +384,60 @@ def epoch_order(
         .withColumn("pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb cleaning step):
+    drop every line that appears in MORE than ``max_doc_freq`` distinct
+    documents (nav bars, cookie banners, shared headers/footers), keeping
+    each surviving document's remaining lines in their original order.
+
+    Returns ``id_col, cleaned_text, n_kept, n_removed``.
+
+    Shape: posexplode lines -> per-line distinct-doc counts (hash agg on
+    the line hash) -> broadcast the FREQUENT set back (boilerplate lines
+    are by definition few and heavy) -> filter + ordered reassembly under
+    a doc-keyed agg.  Two shuffles: the line-hash agg and the doc-keyed
+    rebuild; the frequent-line join is a broadcast.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).filter(F.trim(F.col("__line")) != "")
+    freq = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__line", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(F.broadcast(freq), on="__line", how="left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+            ).alias("cleaned_text"),
+            F.sum(
+                F.when(F.col("__boiler").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+        )
+    )

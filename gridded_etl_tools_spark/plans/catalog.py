@@ -3364,6 +3364,59 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_removal",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             'SITE HEADER' || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'PROMO BANNER' || chr(10) ELSE '' END
+             || text || chr(10) || 'SITE FOOTER' AS text2
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text2, chr(10)) AS sp FROM built),
+    lines AS (
+      SELECT doc_id, sp[CAST(t.ord AS INT)] AS line, t.ord
+      FROM split, unnest(range(1, len(sp) + 1)) AS t(ord)
+      WHERE trim(sp[CAST(t.ord AS INT)]) <> ''),
+    freq AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) > 2)
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY ord)
+             FILTER (WHERE line NOT IN (SELECT line FROM freq))
+             AS cleaned_text,
+           count(*) FILTER (WHERE line NOT IN (SELECT line FROM freq))
+             AS n_kept,
+           count(*) FILTER (WHERE line IN (SELECT line FROM freq))
+             AS n_removed
+    FROM lines GROUP BY doc_id
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level boilerplate removal: lines shared
+    by more than 2 documents (injected site header/footer + a
+    half-corpus promo banner) are dropped, each document's own unique
+    content survives in order.  Line-hash agg -> broadcast frequent set
+    -> doc-keyed ordered rebuild (operators/text.py::
+    remove_boilerplate_lines)."""
+    docs = load(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SITE HEADER\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("PROMO BANNER\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nSITE FOOTER"),
+        ).alias("text2"),
+    )
+    return text_ops.remove_boilerplate_lines(
+        built, text_col="text2", id_col="doc_id", max_doc_freq=2
+    )
+
+
+@query(
     "token_budget_subset",
     r"""
     WITH t AS (
@@ -3738,6 +3791,59 @@ def geotiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "latitude", "longitude", F.round("value", 6).alias("value")
     )
+
+
+def _register_ann_recall_eval() -> None:
+    """ann_recall_eval composes two already-oracled queries: recall of
+    the IVF ANN path against the exact brute-force top-k, per probe,
+    computed AS A QUERY — the evaluation harness expressed in the engine
+    itself.  The oracle nests both queries' own oracle texts as CTEs, so
+    the three stay in lockstep by construction."""
+    oracle = f"""
+    WITH exact AS ({ORACLES["cosine_topk"]}),
+    approx AS ({ORACLES["ivf_ann_topk"]}),
+    per AS (
+      SELECT e.probe_id,
+             CAST(count(a.neighbor_id) AS DOUBLE)
+               / count(*) AS recall
+      FROM exact e
+      LEFT JOIN approx a
+        ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id)
+    SELECT count(*) AS n_probes,
+           round(avg(recall), 6) AS mean_recall,
+           round(min(recall), 6) AS worst_recall
+    FROM per
+    """
+
+    @query("ann_recall_eval", oracle)
+    def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact = QUERIES["cosine_topk"](spark, sf_dir).select(
+            "probe_id", "neighbor_id"
+        )
+        approx = (
+            QUERIES["ivf_ann_topk"](spark, sf_dir)
+            .select("probe_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        per = (
+            exact.join(approx, on=["probe_id", "neighbor_id"], how="left")
+            .groupBy("probe_id")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("recall")
+            )
+        )
+        return per.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("worst_recall"),
+        )
+
+
+_register_ann_recall_eval()
 
 
 def _zarr3_fixture_root() -> str:

@@ -401,3 +401,28 @@ def test_bucketed_prefix_sum_matches_global_cumsum(spark):
     a = {r.id: r.cum for r in two_level.collect()}
     b = {r.id: r.cum for r in naive.collect()}
     assert a == b
+
+
+def test_remove_boilerplate_lines_order_and_counts(spark):
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="BANNER\nalpha\nmid\nFOOT"),
+            Row(doc_id=2, text="BANNER\nbeta\nFOOT"),
+            Row(doc_id=3, text="BANNER\ngamma\nFOOT\n\n"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, max_doc_freq=2).collect()
+    }
+    assert out[1].cleaned_text == "alpha\nmid"  # order preserved
+    assert out[1].n_kept == 2 and out[1].n_removed == 2
+    assert out[2].cleaned_text == "beta"
+    assert out[3].cleaned_text == "gamma"  # blank lines never counted
+    assert out[3].n_kept == 1 and out[3].n_removed == 2
