@@ -311,7 +311,10 @@ def chunk_cells(meta: ZArray, idx: tuple[int, ...], values: np.ndarray):
 def read_array(root: str, meta: ZArray) -> np.ndarray:
     """Driver-side full materialization — for dimension-sized coordinate
     arrays only (data variables go through :func:`decode_zarr_long`)."""
-    out = np.full(meta.shape, meta.fill_value, dtype=meta.dtype)
+    if meta.fill_value is None:
+        out = np.zeros(meta.shape, dtype=meta.dtype)
+    else:
+        out = np.full(meta.shape, meta.fill_value, dtype=meta.dtype)
     grid = meta.chunk_grid
     sep = meta.dimension_separator
     for flat in range(int(np.prod(grid))):

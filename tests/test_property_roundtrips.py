@@ -1,0 +1,98 @@
+"""Property-based round-trips for the in-repo codecs (hypothesis):
+random shapes/chunks/dtypes/values must survive write -> read exactly.
+Driver-side readers only — the distributed paths reuse the same decode
+functions and are covered by the per-format suites."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gridded_etl_tools_spark.sources import geotiff, zarr2
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _grids(draw):
+    ndim = draw(st.integers(1, 3))
+    shape = tuple(draw(st.integers(1, 7)) for _ in range(ndim))
+    chunks = tuple(draw(st.integers(1, s)) for s in shape)
+    dtype = draw(st.sampled_from(["<f8", "<f4", "<i4", "<i2", ">f8"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if dtype[1] == "f":
+        data = rng.integers(-1000, 1000, size=shape).astype(dtype) / 4.0
+    else:
+        data = rng.integers(-1000, 1000, size=shape).astype(dtype)
+    return shape, chunks, dtype, data
+
+
+@given(_grids(), st.sampled_from(["zlib", "gzip", None]),
+       st.sampled_from([".", "/"]), st.sampled_from(["C", "F"]))
+@settings(**_SETTINGS)
+def test_zarr2_round_trip_property(tmp_path_factory, grid, comp, sep, order):
+    shape, chunks, dtype, data = grid
+    root = str(tmp_path_factory.mktemp("z2"))
+    dims = tuple(f"d{i}" for i in range(len(shape)))
+    zarr2.write_zarr_store(
+        root,
+        variables={"v": (dims, data, {})},
+        chunks={"v": chunks},
+        compressor=comp,
+        dimension_separator=sep,
+        order=order,
+    )
+    meta = zarr2.open_store(root)["v"]
+    got = zarr2.read_array(root, meta)
+    np.testing.assert_array_equal(got, data)
+
+
+@given(_grids())
+@settings(**_SETTINGS)
+def test_zarr3_round_trip_property(tmp_path_factory, grid):
+    shape, chunks, dtype, data = grid
+    if dtype.startswith(">"):
+        data = data.astype(dtype.replace(">", "<"))
+    root = str(tmp_path_factory.mktemp("z3"))
+    dims = tuple(f"d{i}" for i in range(len(shape)))
+    zarr2.write_zarr3_store(
+        root, variables={"v": (dims, data, {})}, chunks={"v": chunks},
+    )
+    meta = zarr2.open_store(root)["v"]
+    got = zarr2.read_array(root, meta)
+    np.testing.assert_array_equal(got, data)
+
+
+@given(
+    st.integers(1, 9), st.integers(1, 9),
+    st.sampled_from(["<f8", "<f4", "<i2", "<u2"]),
+    st.sampled_from([1, 8]),
+    st.booleans(),
+    st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_geotiff_round_trip_property(
+    tmp_path_factory, h, w, dtype, comp, tiled, seed
+):
+    rng = np.random.default_rng(seed)
+    if dtype[1] == "f":
+        data = rng.integers(-500, 500, size=(h, w)).astype(dtype) / 4.0
+    elif dtype[1] == "u":
+        data = rng.integers(0, 1000, size=(h, w)).astype(dtype)
+    else:
+        data = rng.integers(-500, 500, size=(h, w)).astype(dtype)
+    path = os.path.join(str(tmp_path_factory.mktemp("tif")), "t.tif")
+    tile = (max(1, w // 2), max(1, h // 2)) if tiled else None
+    geotiff.write_geotiff(path, data, compression=comp, tile=tile)
+    with open(path, "rb") as f:
+        got = geotiff.read_raster(f.read())
+    np.testing.assert_array_equal(got, data)
