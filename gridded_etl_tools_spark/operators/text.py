@@ -441,3 +441,46 @@ def remove_boilerplate_lines(
             ).alias("n_removed"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): each row draws key = ln(u)/w from an
+    md5-derived uniform u and the k LARGEST keys win — inclusion
+    probability proportional to weight, exactly the quality-weighted
+    subset selection a curated training mix needs.
+
+    Deterministic and engine-portable: u comes from the id's md5 (the
+    same re-run-stable idiom as split_assign), and the key is rounded to
+    12 dp with an id tie-break so rank order can never hinge on a libm
+    ulp.  Rows with non-positive weight are excluded.
+
+    Shape: map-side key computation + one ranking window per stratum
+    (or a documented single-partition window when unstratified — pass
+    strata at scale).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    part = [F.col(c) for c in strata] if strata else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .withColumn("__wrank", F.row_number().over(w))
+        .filter(F.col("__wrank") <= k)
+        .drop("__wkey", "__wrank")
+    )

@@ -3364,6 +3364,35 @@ def zarr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((CAST(concat('0x',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM keyed
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY k DESC, doc_id) <= 20
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys,
+    inclusion probability proportional to document length): 20 docs per
+    source stratum, re-run stable via md5-derived uniforms, rank order
+    protected from libm ulps by the rounded key + id tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=20,
+        strata=["source"],
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+@query(
     "boilerplate_removal",
     """
     WITH built AS (

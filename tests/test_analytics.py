@@ -426,3 +426,24 @@ def test_remove_boilerplate_lines_order_and_counts(spark):
     assert out[2].cleaned_text == "beta"
     assert out[3].cleaned_text == "gamma"  # blank lines never counted
     assert out[3].n_kept == 1 and out[3].n_removed == 2
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(id=i, w=100.0 if i < 50 else 1.0) for i in range(1000)]
+    )
+    out1 = {r.id for r in weighted_sample(df, "id", "w", k=30).collect()}
+    out2 = {r.id for r in weighted_sample(df, "id", "w", k=30).collect()}
+    assert out1 == out2  # re-run stable
+    assert len(out1) == 30
+    # 50 heavy rows (w=100) vs 950 light (w=1): heavies must dominate
+    assert sum(1 for i in out1 if i < 50) >= 20
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [Row(id=1, w=0.0), Row(id=2, w=-3.0), Row(id=3, w=1.0)]
+    )
+    assert {r.id for r in weighted_sample(df2, "id", "w", k=5).collect()} == {3}
