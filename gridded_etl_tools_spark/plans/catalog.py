@@ -3578,6 +3578,59 @@ def streaming_window_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_readback",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def streaming_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup under the batch oracle: the
+    events file stream UNIONED WITH ITSELF (every event arrives twice)
+    must come out exactly once through dropDuplicatesWithinWatermark —
+    the incremental-ingest at-least-once absorber — and the memory-sink
+    result hash-matches the plain batch table.  State is bounded by the
+    watermark, not the stream length."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
+        os.replace(tmp, target)
+
+    schema = load(spark, sf_dir, "events").schema
+    s1 = spark.readStream.schema(schema).parquet(watch_dir)
+    s2 = spark.readStream.schema(schema).parquet(watch_dir)
+    # watermarks require TIMESTAMP (not NTZ); the cast is value-preserving
+    # in a UTC session and str-identical for the hash compare
+    deduped = (
+        s1.union(s2)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dd_{uuid.uuid4().hex}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
     "ensemble_rank_histogram",
     """
     WITH ens AS (
