@@ -142,3 +142,92 @@ def running_extremes(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- transformWithState (Spark 4 state-v2 API) -------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningNormalsProcessor(StatefulProcessor):
+        """Per-key running climatology normals (count/sum/min/max →
+        mean) via the state-v2 ``transformWithState`` API — the
+        arbitrary-accumulator shape ``applyInPandasWithState`` covers on
+        the old API, on the engine's current recommended one (typed
+        ValueState, composable with timers/TTL)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("total", DoubleType()),
+                    StructField("vmin", DoubleType()),
+                    StructField("vmax", DoubleType()),
+                ]
+            )
+            self._acc = handle.getValueState("acc", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+            if self._acc.exists():
+                n, total, vmin, vmax = self._acc.get()
+            for pdf in rows:
+                v = pdf["value"].astype("float64")
+                n += int(v.size)
+                total += float(v.sum())
+                vmin = min(vmin, float(v.min()))
+                vmax = max(vmax, float(v.max()))
+            self._acc.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_seen": [n],
+                    "mean_value": [total / n],
+                    "min_value": [vmin],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_normals(
+        stream: DataFrame,
+        entity_col: str = "user_id",
+        ts_col: str = "ts",
+        watermark_sql: str = "1 hour",
+    ) -> DataFrame:
+        """Running per-entity normals over a stream using
+        ``transformWithStateInPandas`` — state partitions with the
+        groupBy key, updates emit per micro-batch."""
+        out_schema = StructType(
+            [
+                StructField("key", LongType()),
+                StructField("n_seen", LongType()),
+                StructField("mean_value", DoubleType()),
+                StructField("min_value", DoubleType()),
+                StructField("max_value", DoubleType()),
+            ]
+        )
+        return (
+            stream.withWatermark(ts_col, watermark_sql)
+            .groupBy(entity_col)
+            .transformWithStateInPandas(
+                statefulProcessor=RunningNormalsProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="EventTime",
+            )
+        )
+
+except ImportError:  # pragma: no cover - Spark < 4 fallback documented
+    RunningNormalsProcessor = None
+
+    def running_normals(*args, **kwargs):
+        raise NotImplementedError(
+            "transformWithState requires Spark >= 4.0; use "
+            "running_extremes (applyInPandasWithState) instead"
+        )
