@@ -177,3 +177,68 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_duplicate"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+    step_round: int = 8,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Simple PageRank over a directed edge list (pass both directions
+    for an undirected graph): ``r' = (1-d)/N + d * sum(r(u)/deg(u))``.
+
+    The graph-centrality sibling of :func:`~gridded_etl_tools_spark.
+    operators.dedup.duplicate_clusters` — rank documents by their
+    position in the near-duplicate graph (hubs of heavily-templated
+    content score high and are prime removal candidates).
+
+    Physical shape per iteration: one equi-join of ranks onto edges on
+    the src key + one hash agg on dst — exactly a shuffle pair per
+    round, dimension-free.  Ranks are rounded to ``step_round`` each
+    iteration so cross-engine (and cross-partitioning) float-sum order
+    can never compound; set ``checkpoint_every`` for deep iteration
+    counts (same lineage-cut pattern as :func:`kmeans`).  Dangling-mass
+    redistribution is intentionally omitted (the simple form; nodes
+    without in-edges settle at ``(1-d)/N``).
+
+    Returns ``id, rank``.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0) / n, step_round))
+    for i in range(iterations):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["id"])
+            .join(deg, ranks["id"] == deg["id"])
+            .select(
+                F.col(dst).alias("id"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(
+            F.round(F.sum("__c"), step_round).alias("__s")
+        )
+        ranks = nodes.join(sums, on="id", how="left").select(
+            "id",
+            F.round(
+                (F.lit(1.0) - F.lit(damping)) / n
+                + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0)),
+                step_round,
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1168,6 +1168,62 @@ ORACLES["duplicate_clusters"] = ORACLES["duplicate_clusters"].replace(
 
 
 @query(
+    "similarity_pagerank",
+    """
+    WITH cand AS ({LSH_CANDIDATES}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT id, round(CAST(1.0 AS DOUBLE) / n, 8) AS rank
+           FROM nodes CROSS JOIN nn),
+    s1 AS (SELECT e.dst AS id, round(sum(r.rank / d.deg), 8) AS s
+           FROM edges e
+           JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.id
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.id,
+                  round(CAST(0.15 AS DOUBLE) / n
+                        + 0.85 * coalesce(s1.s, 0.0), 8) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+    s2 AS (SELECT e.dst AS id, round(sum(r.rank / d.deg), 8) AS s
+           FROM edges e
+           JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.id
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.id,
+                  round(CAST(0.15 AS DOUBLE) / n
+                        + 0.85 * coalesce(s2.s, 0.0), 8) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id)
+    SELECT id AS doc_id, rank FROM r2
+    """.replace("{LSH_CANDIDATES}", ORACLES["minhash_lsh_candidates"]),
+)
+def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the near-duplicate graph: 2 PageRank
+    iterations on the symmetrized MinHash-LSH candidate edges — hubs of
+    heavily-templated content rank high (prime removal candidates).
+    Iterative join+agg per round with per-step rounding pinned at 8dp so
+    the SQL replay (which nests the LSH oracle verbatim) is bit-stable
+    cross-engine — the same replayed-iteration oracle pattern as
+    kmeans_centroids."""
+    from gridded_etl_tools_spark.operators.clustering import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_n=2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    out = pagerank(edges, iterations=2, damping=0.85, step_round=8)
+    return out.select(F.col("id").alias("doc_id"), "rank")
+
+
+@query(
     "embedding_near_duplicates",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -128,3 +128,35 @@ def test_semantic_dedup_joins_only_on_cell(spark):
     # packs — the assignment subplan appears three times (pair sides +
     # final flag projection), each with its own broadcast
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 3, plan
+
+
+def test_pagerank_star_graph_exact(spark):
+    """Hand-computed 2-iteration simple PageRank on a 4-leaf star:
+    hub = 0.2765, leaves = 0.180875 (d=0.85, uniform init)."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.clustering import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in range(1, 5)]
+        + [Row(src=i, dst=0) for i in range(1, 5)]
+    )
+    got = {r.id: r.rank for r in pagerank(edges).collect()}
+    assert got[0] == 0.2765
+    assert all(got[i] == 0.180875 for i in range(1, 5))
+    # total mass stays ~1 in the simple form on a dangling-free graph
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_empty_graph(spark):
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.operators.clustering import pagerank
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ])
+    )
+    assert pagerank(empty).count() == 0
