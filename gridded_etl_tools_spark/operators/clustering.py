@@ -242,3 +242,105 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: float = 1.0,
+    min_pts: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN) over 2-D points: core points
+    have >= ``min_pts`` points (counting themselves) within ``eps``;
+    clusters are connected components of the core-core eps-graph; border
+    points attach to their lowest-labeled neighboring core cluster;
+    everything else is noise.  Returns ``id, role (core|border|noise),
+    cluster_id (NULL for noise)``.
+
+    Physical shape — NEVER all-pairs: points land in an eps-sized grid,
+    the candidate join fans each point out to its 3x3 neighbor buckets
+    (constant 9x, the spatial.nearest_cells pattern), so candidates per
+    point are its bucket-neighborhood population.  Core flags are one
+    hash agg over the pair list; components reuse the min-label CC
+    fixpoint from dedup.duplicate_clusters (shuffles only (node, label)
+    longs); border assignment is one more agg over the pair list.
+    Deterministic throughout (min-cluster tie-breaks).
+    """
+    from gridded_etl_tools_spark.operators.dedup import duplicate_clusters
+
+    eps2 = float(eps) * float(eps)
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    b = p.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / eps).cast("long").alias("bx"),
+        F.floor(F.col("y") / eps).cast("long").alias("by"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    contrib = (
+        b.select(
+            F.col("id").alias("nid"),
+            F.col("x").alias("nx"),
+            F.col("y").alias("ny"),
+            "bx", "by",
+            F.explode(off).alias("dy"),
+        )
+        .withColumn("dx", F.explode(off))
+        .select(
+            "nid", "nx", "ny",
+            (F.col("bx") + F.col("dx")).alias("bx"),
+            (F.col("by") + F.col("dy")).alias("by"),
+        )
+    )
+    d2 = (F.col("x") - F.col("nx")) ** 2 + (F.col("y") - F.col("ny")) ** 2
+    pairs = (
+        b.join(contrib, on=["bx", "by"])
+        .filter((F.col("id") != F.col("nid")) & (d2 <= F.lit(eps2)))
+        .select("id", "nid")
+    ).persist()
+
+    counts = pairs.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    core = counts.filter(F.col("__n") >= min_pts - 1).select("id")
+
+    core_pairs = (
+        pairs.join(core, on="id")
+        .join(core.select(F.col("id").alias("nid")), on="nid")
+        .filter(F.col("id") < F.col("nid"))
+        .select(F.col("id").alias("id_a"), F.col("nid").alias("id_b"))
+    )
+    cc = duplicate_clusters(core_pairs, max_iter=max_iter)
+    # singleton cores (no core neighbor) form their own cluster
+    core_clusters = core.join(cc, on="id", how="left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    )
+
+    border = (
+        pairs.join(core.select(F.col("id").alias("__cid")),
+                   pairs["nid"] == F.col("__cid"))
+        .join(core_clusters.select(F.col("id").alias("__cid2"),
+                                   F.col("cluster_id")),
+              F.col("nid") == F.col("__cid2"))
+        .join(core, on="id", how="left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    labeled = core_clusters.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    noise = p.select("id").join(labeled.select("id"), on="id", how="left_anti")
+    out = labeled.unionByName(
+        noise.select(
+            "id",
+            F.lit(None).cast(labeled.schema["cluster_id"].dataType).alias(
+                "cluster_id"
+            ),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return out.select("id", "role", "cluster_id")

@@ -3830,6 +3830,86 @@ def region_mask_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dbscan_clusters",
+    """
+    WITH RECURSIVE pts AS (
+      SELECT k * 100 + j AS id,
+             CASE k WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 ELSE 5.0 END
+               + ((j * 37) % 97) / 97.0 * 2.0 - 1.0 AS x,
+             CASE k WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 ELSE 8.0 END
+               + ((j * 53) % 89) / 89.0 * 2.0 - 1.0 AS y
+      FROM (SELECT unnest(range(0, 3)) AS k),
+           (SELECT unnest(range(0, 40)) AS j)
+      UNION ALL
+      SELECT 900 + j, 30.0 + j * 7.0, -20.0 - j * 5.0
+      FROM (SELECT unnest(range(0, 10)) AS j)
+    ), pairs AS (
+      SELECT a.id AS id, b.id AS nid
+      FROM pts a JOIN pts b
+        ON a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) <= 2.25
+    ), core AS (
+      SELECT id FROM pairs GROUP BY id HAVING count(*) >= 3
+    ), cedges AS (
+      SELECT p.id AS u, p.nid AS v FROM pairs p
+      WHERE p.id IN (SELECT id FROM core)
+        AND p.nid IN (SELECT id FROM core)
+    ), walk(id, r) AS (
+      SELECT u, u FROM cedges
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN cedges e ON e.u = w.r
+    ), ccl AS (
+      SELECT id, min(r) AS cluster_id FROM walk GROUP BY id
+      UNION ALL
+      SELECT id, id FROM core WHERE id NOT IN (SELECT u FROM cedges)
+    ), border AS (
+      SELECT p.id, min(c.cluster_id) AS cluster_id
+      FROM pairs p JOIN ccl c ON p.nid = c.id
+      WHERE p.id NOT IN (SELECT id FROM core)
+      GROUP BY p.id
+    )
+    SELECT id, 'core' AS role, cluster_id FROM ccl
+    UNION ALL SELECT id, 'border' AS role, cluster_id FROM border
+    UNION ALL
+    SELECT id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster_id
+    FROM pts
+    WHERE id NOT IN (SELECT id FROM ccl)
+      AND id NOT IN (SELECT id FROM border)
+    """,
+)
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering: DBSCAN (eps=1.5, minPts=4) over three
+    synthetic blobs + scattered noise.  The Spark plan is the eps-grid
+    bucket join (constant 9x fan-out, never all-pairs) + the min-label
+    CC fixpoint; the oracle brute-forces all pairs and walks the core
+    graph with a recursive CTE — both must agree on every point's role
+    AND cluster label."""
+    from gridded_etl_tools_spark.operators.clustering import dbscan
+
+    blobs = spark.range(0, 120).select(
+        (F.floor(F.col("id") / 40) * 100 + F.col("id") % 40).alias("id"),
+        (
+            F.when(F.floor(F.col("id") / 40) == 0, 0.0)
+            .when(F.floor(F.col("id") / 40) == 1, 10.0)
+            .otherwise(5.0)
+            + ((F.col("id") % 40 * 37) % 97) / F.lit(97.0) * 2.0 - 1.0
+        ).alias("x"),
+        (
+            F.when(F.floor(F.col("id") / 40) == 2, 8.0).otherwise(0.0)
+            + ((F.col("id") % 40 * 53) % 89) / F.lit(89.0) * 2.0 - 1.0
+        ).alias("y"),
+    )
+    noise = spark.range(0, 10).select(
+        (F.col("id") + 900).alias("id"),
+        (F.lit(30.0) + F.col("id") * 7.0).alias("x"),
+        (F.lit(-20.0) - F.col("id") * 5.0).alias("y"),
+    )
+    pts = blobs.unionByName(noise)
+    return dbscan(pts, eps=1.5, min_pts=4)
+
+
+@query(
     "persistence_qc_runs",
     """
     WITH ordered AS (

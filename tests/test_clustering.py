@@ -160,3 +160,30 @@ def test_pagerank_empty_graph(spark):
         ])
     )
     assert pagerank(empty).count() == 0
+
+
+def test_dbscan_roles_and_labels(spark):
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.clustering import dbscan
+
+    # cluster A: 4 mutually-close points (all within eps of each other)
+    a = [Row(id=i, x=float(i) * 0.1, y=0.0) for i in range(4)]
+    # border: within eps of A's edge point (0.95) but of nothing else
+    border = [Row(id=10, x=1.25, y=0.0)]
+    # noise: far away
+    noise = [Row(id=20, x=100.0, y=100.0)]
+    # cluster B: separate 4-point clique across a bucket boundary
+    bpts = [Row(id=30 + i, x=50.0 + i * 0.2, y=50.0) for i in range(4)]
+    out = dbscan(
+        spark.createDataFrame(a + border + noise + bpts),
+        eps=1.0, min_pts=4,
+    ).collect()
+    got = {r.id: (r.role, r.cluster_id) for r in out}
+    for i in range(4):
+        assert got[i] == ("core", 0)
+    assert got[10] == ("border", 0)
+    assert got[20] == ("noise", None)
+    for i in range(4):
+        assert got[30 + i] == ("core", 30)
+    assert len(got) == 10
