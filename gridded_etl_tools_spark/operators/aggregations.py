@@ -323,3 +323,68 @@ def bucketed_prefix_sum(
         .withColumn(cum_col, F.col("__off") + F.sum(value_col).over(ww))
         .drop("__off")
     )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    keys: list[str],
+    day_col: str = "day",
+    value_col: str = "day_mean",
+    ma_window: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series per
+    key group: trend = centered ``ma_window``-day moving average (full
+    windows only), seasonal = centered mean weekday departure from
+    trend, residual = value - trend - seasonal.
+
+    Everything is rounded to 6dp at each stage so the decomposition is
+    bit-stable across engines and partitionings (window-frame float-sum
+    order differs between engines by design).
+
+    Shape: two key-partitioned windows over the DAILY rollup (thousands
+    of rows per key, never facts) + one (key, weekday) hash agg
+    broadcast back.  Returns the daily frame + ``trend, seasonal,
+    residual`` for days with a full trend window.
+    """
+    half = ma_window // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(-half, half)
+    )
+    v = F.round(F.col(value_col), 6)
+    with_trend = (
+        daily.withColumn("__v6", v)
+        .withColumn("__n_win", F.count(F.lit(1)).over(w))
+        .withColumn("__trend", F.round(F.avg("__v6").over(w), 6))
+        .filter(F.col("__n_win") == ma_window)
+    )
+    detrended = with_trend.withColumn(
+        "__dt", F.round(F.col("__v6") - F.col("__trend"), 6)
+    ).withColumn("__wd", F.weekday(F.col(day_col)))
+    wk = detrended.groupBy(*keys, "__wd").agg(
+        F.round(F.avg("__dt"), 6).alias("__raw_seasonal")
+    )
+    center = wk.groupBy(*keys).agg(
+        F.round(F.avg("__raw_seasonal"), 6).alias("__center")
+    )
+    seasonal = (
+        wk.join(center, on=list(keys))
+        .select(
+            *keys, "__wd",
+            F.round(F.col("__raw_seasonal") - F.col("__center"), 6).alias(
+                "__seasonal"
+            ),
+        )
+    )
+    out = detrended.join(F.broadcast(seasonal), on=[*keys, "__wd"])
+    return out.select(
+        *keys,
+        F.col(day_col),
+        F.col("__v6").alias("value"),
+        F.col("__trend").alias("trend"),
+        F.col("__seasonal").alias("seasonal"),
+        F.round(
+            F.col("__v6") - F.col("__trend") - F.col("__seasonal"), 6
+        ).alias("residual"),
+    )

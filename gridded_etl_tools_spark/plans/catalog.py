@@ -3830,6 +3830,57 @@ def region_mask_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS day_mean
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, day, round(day_mean, 6) AS v6,
+             count(*) OVER w AS n_win,
+             round(avg(round(day_mean, 6)) OVER w, 6) AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    d AS (
+      SELECT *, round(v6 - trend, 6) AS dt, isodow(day) - 1 AS wd
+      FROM t WHERE n_win = 7),
+    wk AS (
+      SELECT event_type, wd, round(avg(dt), 6) AS raw_s
+      FROM d GROUP BY 1, 2),
+    ctr AS (SELECT event_type, round(avg(raw_s), 6) AS c FROM wk GROUP BY 1),
+    sea AS (
+      SELECT wk.event_type, wd, round(raw_s - c, 6) AS s
+      FROM wk JOIN ctr USING (event_type))
+    SELECT d.event_type, d.day, v6 AS value, trend, s AS seasonal,
+           round(v6 - trend - s, 6) AS residual
+    FROM d JOIN sea ON sea.event_type = d.event_type AND sea.wd = d.wd
+    """,
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event type's daily
+    series: centered 7-day MA trend, centered weekday seasonal,
+    residual — the climate-normals analysis shape (departures from
+    trend and season), windowed over the DAILY rollup and bit-stable
+    via exact-decimal day means + per-stage 6dp rounding."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+    ).withColumn(
+        "day_mean", F.col("__sum").cast("double") / F.col("__n")
+    )
+    return agg_ops.seasonal_decompose(
+        daily, keys=["event_type"], day_col="day", value_col="day_mean",
+        ma_window=7,
+    )
+
+
+@query(
     "dbscan_clusters",
     """
     WITH RECURSIVE pts AS (

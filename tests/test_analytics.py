@@ -447,3 +447,35 @@ def test_weighted_sample_bias_and_determinism(spark):
         [Row(id=1, w=0.0), Row(id=2, w=-3.0), Row(id=3, w=1.0)]
     )
     assert {r.id for r in weighted_sample(df2, "id", "w", k=5).collect()} == {3}
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    """Pure weekly signal + linear trend: the decomposition must hand
+    back the trend (exactly, for a linear series under a centered MA)
+    and a seasonal component matching the planted weekday offsets."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        seasonal_decompose,
+    )
+
+    offsets = [3.0, -1.0, 0.5, -2.0, 1.5, 0.0, -2.0]  # sums to 0
+    rows = []
+    for d in range(28):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+        # 2024-01-01 is a Monday -> weekday(day) == d % 7
+        rows.append(
+            Row(k="a", day=day, v=100.0 + 2.0 * d + offsets[d % 7])
+        )
+    daily = spark.createDataFrame(rows)
+    out = seasonal_decompose(daily, ["k"], "day", "v", ma_window=7)
+    got = {r.day: r for r in out.collect()}
+    assert len(got) == 22  # 28 days minus 3 edge days each side
+    mid = dt.date(2024, 1, 10)  # d=9, weekday 2
+    r = got[mid]
+    # centered 7-day MA of (linear + zero-sum weekly signal) = linear part
+    assert r.trend == 100.0 + 2.0 * 9
+    assert abs(r.seasonal - offsets[9 % 7]) < 1e-6
+    assert abs(r.residual) < 1e-6
