@@ -388,3 +388,100 @@ def seasonal_decompose(
             F.col("__v6") - F.col("__trend") - F.col("__seasonal"), 6
         ).alias("residual"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    keys: list[str],
+    day_col: str = "day",
+    value_col: str = "day_mean",
+    threshold_sigmas: float = 3.0,
+) -> DataFrame:
+    """CUSUM drift monitor per key group: running sum of (rounded)
+    departures from the group mean, flagged where |cusum| exceeds
+    ``threshold_sigmas`` group standard deviations — the sequential
+    level-shift detector QC dashboards run on station series.
+
+    Group mean/std come from one hash agg broadcast back; the running
+    sum is a key-partitioned window over the daily rollup.  Departures
+    are rounded to 6dp before accumulation so the running sum is
+    engine-exact.  Returns one row per (key, day) with ``cusum`` and
+    ``flagged``.
+    """
+    stats = daily.groupBy(*keys).agg(
+        F.round(F.avg(F.round(F.col(value_col), 6)), 6).alias("__mu"),
+        F.round(F.stddev_samp(F.round(F.col(value_col), 6)), 6).alias("__sd"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.round(F.round(F.col(value_col), 6) - F.col("__mu"), 6)
+    out = (
+        daily.join(F.broadcast(stats), on=list(keys))
+        .withColumn("__dev", dev)
+        .withColumn("cusum", F.round(F.sum("__dev").over(w), 6))
+        .withColumn(
+            "flagged",
+            F.abs(F.col("cusum"))
+            > F.lit(threshold_sigmas) * F.col("__sd"),
+        )
+    )
+    return out.select(
+        *keys, day_col,
+        F.round(F.col(value_col), 6).alias("value"),
+        "cusum", "flagged",
+    )
+
+
+def mann_kendall_trend(
+    daily: DataFrame,
+    keys: list[str],
+    day_col: str = "day",
+    value_col: str = "day_mean",
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per key group — THE
+    nonparametric trend statistics climate monitoring reports: S =
+    sum of sign(x_j - x_i) over ordered pairs, the no-ties normal
+    approximation variance n(n-1)(2n+5)/18, the continuity-corrected Z,
+    and the median pairwise slope.
+
+    Shape: a pairwise self-join ON THE DAILY AXIS per key — O(n^2) in
+    series length, bounded because n is days-per-key (365-ish), never
+    facts; one hash agg finishes.  Values are rounded to 6dp before
+    differencing so sign() can never flip on an engine ulp.
+    """
+    v6 = F.round(F.col(value_col), 6)
+    d = daily.select(
+        *keys, F.col(day_col).alias("__d"), v6.alias("__v")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    pairs = a.join(b, cond).filter(F.col("a.__d") < F.col("b.__d")).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        F.signum(F.col("b.__v") - F.col("a.__v")).alias("__sgn"),
+        (
+            (F.col("b.__v") - F.col("a.__v"))
+            / F.datediff(F.col("b.__d"), F.col("a.__d"))
+        ).alias("__slope"),
+    )
+    n_expr = F.count(F.lit(1))
+    out = pairs.groupBy(*keys).agg(
+        F.sum("__sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(__slope, 0.5)"), 6).alias("sen_slope"),
+    )
+    # recover n from the pair count: n_pairs = n(n-1)/2
+    n = F.round((F.lit(1.0) + F.sqrt(1.0 + 8.0 * F.col("n_pairs"))) / 2.0, 0)
+    var = n * (n - 1) * (2 * n + 5) / F.lit(18.0)
+    z = F.when(
+        F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)
+    ).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *keys, "s_stat", "n_pairs", "sen_slope",
+        F.round(z, 6).alias("z_stat"),
+    )

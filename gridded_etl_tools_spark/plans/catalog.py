@@ -3829,6 +3829,106 @@ def region_mask_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-decimal daily mean per (event_type, day) — shared by the trend
+#: / changepoint oracles so every downstream comparison starts from
+#: engine-identical values
+_TYPE_DAILY_SQL = """
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS day_mean
+  FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "cusum_changepoints",
+    f"""
+    WITH daily AS ({_TYPE_DAILY_SQL}),
+    stats AS (
+      SELECT event_type,
+             round(avg(round(day_mean, 6)), 6) AS mu,
+             round(stddev_samp(round(day_mean, 6)), 6) AS sd
+      FROM daily GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.day,
+             round(day_mean, 6) AS value,
+             sd,
+             round(sum(round(round(day_mean, 6) - mu, 6)) OVER (
+               PARTITION BY d.event_type ORDER BY d.day), 6) AS cusum
+      FROM daily d JOIN stats USING (event_type))
+    SELECT event_type, day, value, cusum,
+           (abs(cusum) > 3.0 * sd) AS flagged
+    FROM c
+    """,
+)
+def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential level-shift monitor: running CUSUM of 6dp-rounded
+    departures from each event type's mean, flagged beyond 3 sigma —
+    one broadcast stats join + one key-partitioned window over the
+    daily rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+    ).withColumn(
+        "day_mean", F.col("__sum").cast("double") / F.col("__n")
+    )
+    return agg_ops.cusum_changepoints(
+        daily, keys=["event_type"], day_col="day", value_col="day_mean",
+        threshold_sigmas=3.0,
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    f"""
+    WITH daily AS ({_TYPE_DAILY_SQL}),
+    pairs AS (
+      SELECT a.event_type,
+             sign(round(b.day_mean, 6) - round(a.day_mean, 6)) AS sgn,
+             (round(b.day_mean, 6) - round(a.day_mean, 6))
+               / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             count(*) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 6) AS sen_slope
+      FROM pairs GROUP BY 1),
+    withn AS (
+      SELECT *,
+             round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) AS n
+      FROM agg)
+    SELECT event_type, s_stat, n_pairs, sen_slope,
+           round(CASE WHEN s_stat > 0
+                      THEN (s_stat - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                      WHEN s_stat < 0
+                      THEN (s_stat + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM withn
+    """,
+)
+def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S/Z + Theil-Sen median slope per event type — the
+    nonparametric climate trend report, pairwise over the DAILY axis
+    (bounded n^2), never facts."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+    ).withColumn(
+        "day_mean", F.col("__sum").cast("double") / F.col("__n")
+    )
+    return agg_ops.mann_kendall_trend(
+        daily, keys=["event_type"], day_col="day", value_col="day_mean"
+    )
+
+
 @query(
     "seasonal_decomposition",
     """

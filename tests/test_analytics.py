@@ -479,3 +479,60 @@ def test_seasonal_decompose_recovers_planted_seasonality(spark):
     assert r.trend == 100.0 + 2.0 * 9
     assert abs(r.seasonal - offsets[9 % 7]) < 1e-6
     assert abs(r.residual) < 1e-6
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing series: S = n(n-1)/2, Sen slope = step."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        mann_kendall_trend,
+    )
+
+    rows = [
+        Row(k="a", day=dt.date(2024, 1, 1) + dt.timedelta(days=d),
+            v=10.0 + 2.5 * d)
+        for d in range(10)
+    ]
+    out = mann_kendall_trend(
+        spark.createDataFrame(rows), ["k"], "day", "v"
+    ).collect()[0]
+    assert out.s_stat == 45  # all 45 pairs increasing
+    assert out.n_pairs == 45
+    assert out.sen_slope == 2.5
+    # z = (S-1)/sqrt(n(n-1)(2n+5)/18) with n=10
+    import math
+    assert abs(out.z_stat - round(44 / math.sqrt(10 * 9 * 25 / 18.0), 6)) < 1e-9
+
+
+def test_cusum_flags_level_shift(spark):
+    """Flat series with a mid-series level jump: the post-shift cusum
+    must cross the 3-sigma band exactly once the drift accumulates."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        Row(k="a", day=dt.date(2024, 1, 1) + dt.timedelta(days=d),
+            v=10.0 if d < 20 else 11.0)
+        for d in range(40)
+    ]
+    out = cusum_changepoints(
+        spark.createDataFrame(rows), ["k"], "day", "v",
+        threshold_sigmas=3.0,
+    ).orderBy("day").collect()
+    flags = [r.flagged for r in out]
+    # drift accumulates: the first days sit inside the 3-sigma band,
+    # the accumulated shift eventually leaves it
+    assert not flags[0] and not flags[1]
+    assert any(flags)
+    # the retrospective change point is the cusum minimum: the last
+    # low-era day (drift reverses direction there)
+    cmin = min(out, key=lambda r: r.cusum)
+    assert cmin.day == dt.date(2024, 1, 20)
