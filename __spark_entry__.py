@@ -23,10 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver caps its per-round check at ~50 queries in registration
 # order, so we rotate by urgency, computed from the recorded CORRECTNESS
-# rounds themselves: (1) queries with no correctness row in ANY round,
-# (2) queries fixed/changed this round that must re-confirm green,
-# (3) stalest-checked first (round-robin re-confirmation of old greens),
-# with the most-recently-green queries last.
+# rounds themselves: (1) queries fixed/changed this round that must
+# re-confirm green — a prior round recorded these as ERR/MISMATCH, so
+# proving the fix outranks first-checks of brand-new queries, (2) queries
+# with no correctness row in ANY round, (3) stalest-checked first
+# (round-robin re-confirmation of old greens), with the most-recently-green
+# queries last.
 _FIXED_THIS_ROUND = (
     "session_stats",            # r3 ERR: unix_micros on TIMESTAMP_NTZ
     "time_bucket_resample",     # r3 ERR: same
@@ -65,9 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = sorted(
         catalog.QUERIES,
         key=lambda k: (
-            seen.get(k, 0) != 0,              # never-checked first
-            fixed_rank.get(k, len(fixed_rank)),  # then this round's fixes
-            seen.get(k, 0),                   # then stalest-checked
+            fixed_rank.get(k, len(fixed_rank)),  # this round's fixes first
+            seen.get(k, 0),                   # then never-checked (0), then stalest
         ),
     )
     return {k: catalog.QUERIES[k] for k in names}
