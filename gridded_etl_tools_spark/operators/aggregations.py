@@ -337,9 +337,12 @@ def seasonal_decompose(
     windows only), seasonal = centered mean weekday departure from
     trend, residual = value - trend - seasonal.
 
-    Everything is rounded to 6dp at each stage so the decomposition is
-    bit-stable across engines and partitionings (window-frame float-sum
-    order differs between engines by design).
+    Every mean is computed as an EXACT DECIMAL(18,6) sum divided once,
+    and every stage output is rounded to 6dp, so the decomposition is
+    bit-stable across engines and partitionings: float summation order
+    differs between engines (and between runs at different
+    parallelisms), but decimal sums are associative and the single
+    IEEE division of identical operands is deterministic.
 
     Shape: two key-partitioned windows over the DAILY rollup (thousands
     of rows per key, never facts) + one (key, weekday) hash agg
@@ -353,20 +356,33 @@ def seasonal_decompose(
         .rowsBetween(-half, half)
     )
     v = F.round(F.col(value_col), 6)
+
+    def _exact_mean(col: str, n):  # decimal sum, one double division
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / n, 6
+        )
+
+    def _exact_mean_over(col: str, win, n):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,6)")).over(win).cast("double")
+            / n,
+            6,
+        )
+
     with_trend = (
         daily.withColumn("__v6", v)
         .withColumn("__n_win", F.count(F.lit(1)).over(w))
-        .withColumn("__trend", F.round(F.avg("__v6").over(w), 6))
+        .withColumn("__trend", _exact_mean_over("__v6", w, F.col("__n_win")))
         .filter(F.col("__n_win") == ma_window)
     )
     detrended = with_trend.withColumn(
         "__dt", F.round(F.col("__v6") - F.col("__trend"), 6)
     ).withColumn("__wd", F.weekday(F.col(day_col)))
     wk = detrended.groupBy(*keys, "__wd").agg(
-        F.round(F.avg("__dt"), 6).alias("__raw_seasonal")
+        _exact_mean("__dt", F.count(F.lit(1))).alias("__raw_seasonal")
     )
     center = wk.groupBy(*keys).agg(
-        F.round(F.avg("__raw_seasonal"), 6).alias("__center")
+        _exact_mean("__raw_seasonal", F.count(F.lit(1))).alias("__center")
     )
     seasonal = (
         wk.join(center, on=list(keys))

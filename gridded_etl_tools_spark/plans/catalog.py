@@ -3940,7 +3940,8 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (
       SELECT event_type, day, round(day_mean, 6) AS v6,
              count(*) OVER w AS n_win,
-             round(avg(round(day_mean, 6)) OVER w, 6) AS trend
+             round(CAST(sum(CAST(round(day_mean, 6) AS DECIMAL(18,6)))
+                          OVER w AS DOUBLE) / (count(*) OVER w), 6) AS trend
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
@@ -3948,9 +3949,15 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, round(v6 - trend, 6) AS dt, isodow(day) - 1 AS wd
       FROM t WHERE n_win = 7),
     wk AS (
-      SELECT event_type, wd, round(avg(dt), 6) AS raw_s
+      SELECT event_type, wd,
+             round(CAST(sum(CAST(dt AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS raw_s
       FROM d GROUP BY 1, 2),
-    ctr AS (SELECT event_type, round(avg(raw_s), 6) AS c FROM wk GROUP BY 1),
+    ctr AS (
+      SELECT event_type,
+             round(CAST(sum(CAST(raw_s AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS c
+      FROM wk GROUP BY 1),
     sea AS (
       SELECT wk.event_type, wd, round(raw_s - c, 6) AS s
       FROM wk JOIN ctr USING (event_type))
@@ -4496,3 +4503,141 @@ def published_table_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _table_fixture_root(spark, sf_dir)
     t = GriddedTable(root, time_col="day")
     return t.read(spark, time_lo=_dt.datetime(2024, 1, 10))
+
+
+@query(
+    "ivm_rollup_maintenance",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           o_orderpriority,
+           count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 10 = 0) OR (o_orderkey % 7 <> 0)
+    GROUP BY 1, 2
+    """,
+)
+def ivm_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the oracle: a materialized
+    monthly rollup is MAINTAINED from a signed insert/delete change feed
+    (``operators.ivm``) instead of recomputed, and the maintained table
+    must hash-match the from-scratch GROUP BY the oracle runs on the
+    final row set.  Baseline = orders with key%10!=0; the feed then
+    inserts the remaining 10% and deletes the baseline's key%7==0 rows
+    (an update being a delete+insert pair nets automatically).
+
+    Scale shape (the whole point at 100 TB): the only work proportional
+    to anything is one narrow hash-agg over the DELTA plus a broadcast
+    merge into the rollup — the base table is never rescanned.  The
+    reference recomputes derived products from scratch per publish
+    (``utils/publish.py`` climatology path); this is the maintained
+    version its change feed (``GriddedTable.diff``) enables."""
+    from gridded_etl_tools_spark.operators import ivm
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        # exact sums: signed-delta maintenance must be associative, and
+        # double summation order is not — decimal is
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    key = F.col("o_orderkey")
+    month = F.trunc("o_orderdate", "month").alias("month")
+    base = orders.filter(key % 10 != 0).select(
+        month, "o_orderpriority", "o_totalprice"
+    )
+    rollup = ivm.full_rollup(
+        base, ["month", "o_orderpriority"], ["o_totalprice"]
+    )
+    inserts = orders.filter(key % 10 == 0).withColumn(
+        ivm.CHANGE_TYPE_COL, F.lit("insert")
+    )
+    deletes = orders.filter((key % 10 != 0) & (key % 7 == 0)).withColumn(
+        ivm.CHANGE_TYPE_COL, F.lit("delete")
+    )
+    feed = inserts.unionByName(deletes).select(
+        month, "o_orderpriority", "o_totalprice", ivm.CHANGE_TYPE_COL
+    )
+    delta = ivm.rollup_delta(
+        feed, ["month", "o_orderpriority"], ["o_totalprice"]
+    )
+    return ivm.apply_rollup_delta(
+        rollup, delta, ["month", "o_orderpriority"], ["o_totalprice"]
+    ).select("month", "o_orderpriority", "n", "sum_o_totalprice")
+
+
+@query(
+    "streaming_session_readback",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def streaming_session_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ``session_window`` under the batch oracle:
+    the events file stream (Trigger.AvailableNow) sessionized with the
+    built-in gap-merging session state, complete-mode memory sink, and
+    the final table must hash-match the batch gaps-and-islands SQL.
+    Note the boundary: ``session_window`` windows are half-open
+    [start, last+gap), so an event landing exactly at the previous
+    window's end starts a NEW session — the oracle's island break is
+    therefore >= gap where the batch ``session_stats`` uses > gap.
+    Scale shape: state keys on (user, open session) and merges within
+    the entity partition — the same key distribution as the shuffle, no
+    single-node state."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
+        os.replace(tmp, target)
+
+    schema = load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(watch_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = streaming_sessionize(
+        stream, "user_id", "ts", gap_sql="30 minutes", watermark_sql=None
+    )
+    name = f"stream_sess_{uuid.uuid4().hex}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )

@@ -38,16 +38,23 @@ def streaming_sessionize(
     ts_col: str = "ts",
     value_col: str | None = None,
     gap_sql: str = "30 minutes",
-    watermark_sql: str = "1 hour",
+    watermark_sql: str | None = "1 hour",
 ) -> DataFrame:
     """Gap-based sessions over a live stream with ``session_window``.
     Emits one row per closed session (watermark advances past the gap):
-    (entity, session start/end, n_events[, sum_value])."""
+    (entity, session start/end, n_events[, sum_value]).
+
+    ``watermark_sql=None`` skips the watermark for complete-mode replay
+    (finite backfills / oracle readback), where state is retained for the
+    whole run and every session — including still-open ones — is in the
+    sink table."""
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
         aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    if watermark_sql is not None:
+        stream = stream.withWatermark(ts_col, watermark_sql)
     return (
-        stream.withWatermark(ts_col, watermark_sql)
+        stream
         .groupBy(F.session_window(F.col(ts_col), gap_sql).alias("session"), F.col(entity_col))
         .agg(*aggs)
         .select(
