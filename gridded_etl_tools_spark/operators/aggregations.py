@@ -501,3 +501,108 @@ def mann_kendall_trend(
         *keys, "s_stat", "n_pairs", "sen_slope",
         F.round(z, 6).alias("z_stat"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x``:
+    ``slope, intercept, r2, n`` — the parametric complement of
+    :func:`mann_kendall_trend` (which is rank-based and outlier-robust;
+    OLS gives the magnitude and fit quality the MK test doesn't).
+
+    Engine-exactness: ``x`` must be integer-valued (a day/step index —
+    cast to long, exact); ``y`` is rounded to ``decimals`` and cast to
+    DECIMAL(18,6).  The five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) are then EXACT sums — int×int and decimal×int are exact, and
+    (18,6)×(18,6) products keep full 12-digit scale in both Spark and
+    DuckDB decimal arithmetic — so decimal-sum associativity makes them
+    independent of partitioning/shuffle order.  Each is cast once to
+    double and the closed-form slope/intercept/r² arithmetic on those
+    identical doubles is deterministic IEEE — no avg(), no float
+    accumulation anywhere.  One hash agg; map-side partials do the
+    heavy lifting at 100 TB.
+
+    Degenerate groups (var(x)=0 or var(y)=0) return NULL slope/r2.
+    """
+    xl = F.col(x_col).cast("long")
+    yd = F.round(F.col(y_col).cast("double"), decimals).cast("decimal(18,6)")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(xl).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(yd * xl).cast("double").alias("__sxy"),
+        F.sum(xl * xl).cast("double").alias("__sxx"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    cov_n = n * sxy - sx * sy  # n^2 * covariance
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when(varx_n != 0.0, cov_n / varx_n)
+    intercept = F.when(varx_n != 0.0, (sy - (cov_n / varx_n) * sx) / n)
+    r2 = F.when(
+        (varx_n != 0.0) & (vary_n != 0.0),
+        (cov_n * cov_n) / (varx_n * vary_n),
+    )
+    return stats.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )
+
+
+def categorical_drift_chi2(
+    df: DataFrame,
+    category_col: str,
+    period_col,
+    keys: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between a categorical
+    column and a (boolean/binary) period split — the drift check QC
+    dashboards run between ingest snapshots ("did the event-type mix
+    shift?").  ``period_col`` is a Column evaluating to a 0/1 period id.
+
+    Returns one row per category: observed counts per period, the
+    category's chi² contribution, and the same grand total + dof on
+    every row (window over the category axis, never the facts).
+    Contributions are computed from EXACT integer counts with
+    deterministic double arithmetic, rounded, then decimal-summed — so
+    the statistic is engine- and partitioning-exact.  One hash agg over
+    the facts; everything after runs on the category-sized rollup.
+    """
+    keys = keys or []
+    cells = df.groupBy(*keys, category_col).agg(
+        F.sum(F.when(period_col == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(period_col == 1, 1).otherwise(0)).alias("n1"),
+    )
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    t0 = F.sum("n0").over(wk).cast("double")
+    t1 = F.sum("n1").over(wk).cast("double")
+    grand = t0 + t1
+    row_t = (F.col("n0") + F.col("n1")).cast("double")
+    e0 = row_t * t0 / grand
+    e1 = row_t * t1 / grand
+    part = F.round(
+        (F.col("n0").cast("double") - e0) * (F.col("n0").cast("double") - e0) / e0
+        + (F.col("n1").cast("double") - e1) * (F.col("n1").cast("double") - e1) / e1,
+        decimals,
+    )
+    with_part = cells.withColumn("chi2_part", part)
+    total = F.round(
+        F.sum(F.col("chi2_part").cast("decimal(28,6)")).over(wk).cast("double"),
+        decimals,
+    )
+    dof = F.count(F.lit(1)).over(wk) - 1
+    return with_part.select(
+        *keys, category_col, "n0", "n1", "chi2_part",
+        total.alias("chi2_total"), dof.cast("long").alias("dof"),
+    )

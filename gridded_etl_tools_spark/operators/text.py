@@ -8,7 +8,7 @@ scan and the only shuffle is whatever aggregation the caller adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
@@ -483,4 +483,90 @@ def weighted_sample(
         .withColumn("__wrank", F.row_number().over(w))
         .filter(F.col("__wrank") <= k)
         .drop("__wkey", "__wrank")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character chunks
+    (window ``chunk_chars``, step ``stride``) — the context-window
+    chunking pass that precedes embedding / retrieval indexing in a
+    training-data pipeline.  The last chunk may be short; empty documents
+    yield no chunks.
+
+    Map-side only: the offset list is a per-row ``sequence`` + explode,
+    so chunking 100 TB is a scan with zero shuffles; the output carries
+    (id, chunk_idx, chunk_text) straight into dedup/embedding stages.
+    """
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - chunk_chars, F.lit(0)) + stride - 1) / stride) + 1
+    )
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    # empty-document case with an empty array instead
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(idxs).alias("chunk_idx"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.substring(
+            F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
+def term_distribution_shift(
+    df: DataFrame,
+    split_pred,
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-term Jensen-Shannon divergence contributions between two
+    corpus slices (``split_pred`` false → P, true → Q) — the
+    domain-shift / snapshot-drift detector for training-corpus curation
+    ("which words' frequencies moved between crawls?").
+
+    JSD(P,Q) = 0.5 Σ_t [ p ln(2p/(p+q)) + q ln(2q/(p+q)) ] and this
+    returns the bracketed per-term halves.  Counts are exact integers
+    from one hash agg; each term's probabilities are single divisions of
+    those integers and the ln() terms are plain scalar math on them —
+    deterministic per row, no float accumulation (callers that want the
+    scalar JSD decimal-sum the rounded contributions, as the oracle
+    does).  Absent terms contribute with the 0·ln0 → 0 convention.
+    Shape: explode → one (term, side) hash agg → term-keyed arithmetic;
+    the corpus text never shuffles, only (term, count) pairs do.
+    """
+    side = F.when(split_pred, 1).otherwise(0)
+    terms = df.select(
+        side.alias("__side"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("p_cnt"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("q_cnt"),
+    )
+    w = Window.partitionBy(F.lit(0))
+    tp = F.sum("p_cnt").over(w).cast("double")
+    tq = F.sum("q_cnt").over(w).cast("double")
+    p = F.col("p_cnt").cast("double") / tp
+    q = F.col("q_cnt").cast("double") / tq
+    m2 = p + q  # 2 * mixture
+    term_of = lambda r: F.when(  # noqa: E731 - x ln(2x/(p+q)), 0 at x=0
+        r > 0.0, r * F.log(F.lit(2.0) * r / m2)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "term",
+        "p_cnt",
+        "q_cnt",
+        F.round(0.5 * (term_of(p) + term_of(q)), decimals).alias("jsd_part"),
     )

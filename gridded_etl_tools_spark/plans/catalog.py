@@ -4641,3 +4641,285 @@ def streaming_session_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+@query(
+    "value_percentiles_exact",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (percentile_cont semantics: h=(n-1)p
+    linear interpolation) — the exact counterpart of the rows-only
+    ``approx_value_percentiles`` sketch row, hash-checked because both
+    engines interpolate between the same two order statistics.  Spark's
+    ``percentile`` runs as a proper aggregate (per-group sorted buffer);
+    the shuffle carries (type, value) pairs only.  At 100 TB you run the
+    approx sketch instead — this row is the ground truth it is judged
+    against (same pairing as ann_recall_eval)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "ols_trend_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(y * x) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM daily GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+)
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend of the daily mean on the day index — the
+    parametric complement of ``mann_kendall_trend`` (magnitude + fit
+    quality instead of rank significance).  Sufficient statistics are
+    exact sums (int×int, decimal×int, decimal×decimal), so the closed
+    form is engine-deterministic; see ``operators/aggregations.
+    grouped_ols``.  Two narrow hash aggs (daily rollup, then per-type)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
+            (F.col("__sum").cast("double") / F.col("__n")).alias("y"),
+        )
+    )
+    return agg_ops.grouped_ols(daily, ["event_type"], "x", "y")
+
+
+@query(
+    "event_mix_drift_chi2",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS n1
+      FROM events GROUP BY event_type),
+    e AS (
+      SELECT *,
+             CAST(sum(n0) OVER () AS DOUBLE) AS t0,
+             CAST(sum(n1) OVER () AS DOUBLE) AS t1,
+             CAST(n0 + n1 AS DOUBLE) AS rt
+      FROM cells),
+    p AS (
+      SELECT event_type, n0, n1,
+             round((n0 - rt*t0/(t0+t1)) * (n0 - rt*t0/(t0+t1)) / (rt*t0/(t0+t1))
+                 + (n1 - rt*t1/(t0+t1)) * (n1 - rt*t1/(t0+t1)) / (rt*t1/(t0+t1)),
+                   6) AS chi2_part
+      FROM e)
+    SELECT event_type, n0, n1, chi2_part,
+           round(CAST(sum(CAST(chi2_part AS DECIMAL(28,6))) OVER () AS DOUBLE),
+                 6) AS chi2_total,
+           count(*) OVER () - 1 AS dof
+    FROM p
+    """,
+)
+def event_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift QC: Pearson chi² independence test between the
+    event-type mix and a month-half period split — the "did the
+    ingest's composition shift?" check run between snapshots
+    (reference's QC gates test values; this tests the DISTRIBUTION).
+    Exact integer counts → deterministic double cell terms →
+    decimal-summed statistic; one hash agg over the facts, everything
+    else on the category axis."""
+    ev = load(spark, sf_dir, "events")
+    out = agg_ops.categorical_drift_chi2(
+        ev, "event_type", F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1)
+    )
+    return out.select(
+        "event_type", "n0", "n1", "chi2_part", "chi2_total",
+        F.col("dof").cast("long").alias("dof"),
+    )
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               (greatest(length(text) - 200, 0) + 149) // 150 + 1)) AS INT)
+               AS chunk_idx
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, chunk_idx,
+           length(substr(text, chunk_idx * 150 + 1, 200)) AS n_chunk_chars,
+           md5(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_md5
+    FROM idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (200-char windows, stride
+    150) — the retrieval/embedding prep pass.  Map-side sequence+explode,
+    zero shuffles; see ``operators/text.chunk_documents``."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_documents(
+        docs, chunk_chars=200, stride=150
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk_text").alias("n_chunk_chars"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "term_shift_jsd",
+    r"""
+    WITH toks AS (
+      SELECT CAST(doc_id % 2 AS INT) AS side,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    counts AS (
+      SELECT term,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS p_cnt,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS q_cnt
+      FROM toks WHERE length(term) > 0 GROUP BY term),
+    probs AS (
+      SELECT term, p_cnt, q_cnt,
+             CAST(p_cnt AS DOUBLE) / CAST(sum(p_cnt) OVER () AS DOUBLE) AS p,
+             CAST(q_cnt AS DOUBLE) / CAST(sum(q_cnt) OVER () AS DOUBLE) AS q
+      FROM counts),
+    parts AS (
+      SELECT term, p_cnt, q_cnt,
+             round(0.5 * (
+               CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+             + CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END),
+               6) AS jsd_part
+      FROM probs)
+    SELECT term, p_cnt, q_cnt, jsd_part
+    FROM parts
+    QUALIFY row_number() OVER (ORDER BY jsd_part DESC, term) <= 50
+    """,
+)
+def term_shift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-snapshot drift: per-term Jensen-Shannon divergence
+    contributions between the even- and odd-id document halves, top 50
+    movers — the domain-shift detector run between crawls before mixing
+    a training corpus.  Counts are exact; each term's contribution is
+    scalar math on its own row (no float accumulation); the ranking is
+    on the ROUNDED contribution with a term tie-break, so top-k is
+    engine-stable.  Shape: explode → one (term) hash agg → category-axis
+    window; corpus text never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    parts = text_ops.term_distribution_shift(docs, F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("jsd_part").desc(), F.col("term").asc()
+    )
+    return (
+        parts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 50)
+        .select("term", "p_cnt", "q_cnt", "jsd_part")
+    )
+
+
+@query(
+    "streaming_join_readback",
+    """
+    SELECT a.user_id,
+           a.event_id AS click_id, b.event_id AS other_id,
+           a.ts AS click_ts, b.ts AS other_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the batch oracle: the events
+    file replayed as TWO live streams (clicks vs purchases), joined on
+    user within ±30 min event time via the watermark-bounded interval
+    join (state evictable on both sides), memory sink, and the result
+    must hash-match the plain batch self-join.  Inner stream-stream
+    joins emit eagerly (the watermark only bounds state), so AvailableNow
+    replay produces the complete pair set."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.streaming.ingest import (
+        interval_correlate_streams,
+    )
+
+    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
+        os.replace(tmp, target)
+
+    schema = load(spark, sf_dir, "events").schema
+    def _stream(etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(watch_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == etype)
+            .select("user_id", "ts", "event_id")
+        )
+
+    joined = interval_correlate_streams(
+        _stream("click"), _stream("purchase"),
+        key="user_id", left_time="ts", right_time="ts",
+        tolerance_sql="INTERVAL 30 MINUTES",
+        left_watermark="1 hour", right_watermark="1 hour",
+    )
+    name = f"stream_j_{uuid.uuid4().hex}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("other_id"),
+        F.col("__l_ts").alias("click_ts"),
+        F.col("__r_ts").alias("other_ts"),
+    )

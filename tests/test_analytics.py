@@ -536,3 +536,95 @@ def test_cusum_flags_level_shift(spark):
     # low-era day (drift reverses direction there)
     cmin = min(out, key=lambda r: r.cusum)
     assert cmin.day == dt.date(2024, 1, 20)
+
+
+def test_grouped_ols_recovers_planted_line(spark):
+    """y = 3x + 7 exactly -> slope 3, intercept 7, r2 1; a constant-y
+    group -> slope 0 and NULL-free n; a constant-x group -> NULL slope."""
+    from gridded_etl_tools_spark.operators.aggregations import grouped_ols
+
+    rows = (
+        [("lin", x, 3.0 * x + 7.0) for x in range(10)]
+        + [("flat", x, 5.0) for x in range(10)]
+        + [("degx", 4, float(v)) for v in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert out["lin"]["slope"] == 3.0
+    assert out["lin"]["intercept"] == 7.0
+    assert out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0
+    assert out["flat"]["r2"] is None  # var(y) = 0
+    assert out["degx"]["slope"] is None  # var(x) = 0
+    assert out["degx"]["n"] == 5
+
+
+def test_categorical_drift_chi2_null_and_shift(spark):
+    """Identical period mixes -> chi2 ~ 0; a hard shift -> large chi2;
+    dof = n_categories - 1; per-part decimal sum equals the total."""
+    from gridded_etl_tools_spark.operators.aggregations import (
+        categorical_drift_chi2,
+    )
+    from pyspark.sql import functions as F
+
+    same = [("a", p) for p in (0, 1) for _ in range(50)] + [
+        ("b", p) for p in (0, 1) for _ in range(30)
+    ]
+    df = spark.createDataFrame(same, "cat string, period int")
+    out = categorical_drift_chi2(df, "cat", F.col("period")).collect()
+    assert all(r["chi2_total"] == 0.0 for r in out)
+    assert all(r["dof"] == 1 for r in out)
+
+    shifted = [("a", 0)] * 90 + [("b", 0)] * 10 + [("a", 1)] * 10 + [("b", 1)] * 90
+    df2 = spark.createDataFrame(shifted, "cat string, period int")
+    out2 = categorical_drift_chi2(df2, "cat", F.col("period")).collect()
+    total = out2[0]["chi2_total"]
+    assert total > 50  # massive shift
+    assert abs(sum(r["chi2_part"] for r in out2) - total) < 1e-6
+
+
+def test_chunk_documents_bounds_and_overlap(spark):
+    """Chunks tile the doc with the configured stride/window; the final
+    chunk is the short tail; empty docs produce no chunks; adjacent
+    chunks overlap by window - stride characters."""
+    from gridded_etl_tools_spark.operators.text import chunk_documents
+
+    text = "abcdefghij" * 50  # 500 chars
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=200, stride=150)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in out.collect()}
+    n1 = [k for k in rows if k[0] == 1]
+    assert len(n1) == 3  # offsets 0,150,300 cover 500 chars
+    assert rows[(1, 0)] == text[0:200]
+    assert rows[(1, 1)] == text[150:350]
+    assert rows[(1, 2)] == text[300:500]
+    assert rows[(1, 0)][150:] == rows[(1, 1)][:50]  # 50-char overlap
+    assert rows[(2, 0)] == "short"
+    assert not [k for k in rows if k[0] == 3]
+
+
+def test_term_distribution_shift_moved_term_ranks_first(spark):
+    """A term appearing only in one half carries the largest JSD part;
+    terms with identical frequencies contribute ~0."""
+    from gridded_etl_tools_spark.operators.text import (
+        term_distribution_shift,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "common common stable"),
+        (2, "common stable filler"),
+        (1, "common common stable"),
+        (3, "common stable NEWTERM NEWTERM NEWTERM"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["term"]: r
+        for r in term_distribution_shift(df, F.col("doc_id") % 2 == 1).collect()
+    }
+    assert out["newterm"]["p_cnt"] == 0 and out["newterm"]["q_cnt"] == 3
+    best = max(out.values(), key=lambda r: r["jsd_part"])
+    assert best["term"] == "newterm"
+    assert out["common"]["jsd_part"] < out["newterm"]["jsd_part"]
