@@ -39,6 +39,29 @@ _FIXED_THIS_ROUND = (
     "ngram_overlap_pairs",      # r4: boilerplate cap added
 )
 
+# With more never-checked queries than the driver's ~50-query window can
+# hold, make sure every OPERATOR FAMILY gets at least one representative
+# row this round (the rest of each family follows in later rounds'
+# stalest-first rotation).
+_FAMILY_REPRESENTATIVES = (
+    "published_table_readback",   # table commit protocol end-to-end
+    "multimodal_features",        # mapInPandas binary plumbing
+    "ivm_rollup_maintenance",     # incremental view maintenance
+    "streaming_session_readback",  # session_window state
+    "streaming_join_readback",    # stream-stream interval join
+    "climate_dry_spells",         # climate indices family
+    "sequence_packing",           # training-data assembly
+    "decontamination_flags",      # eval-overlap scrub
+    "pii_scrub",                  # PII redaction
+    "dataset_split_counts",       # deterministic splits
+    "value_percentiles_exact",    # exact-vs-sketch ground truth
+    "ols_trend_by_type",          # grouped OLS
+    "event_mix_drift_chi2",       # categorical drift QC
+    "doc_chunks",                 # context-window chunking
+    "term_shift_jsd",             # corpus-snapshot divergence
+    "skew_two_phase_agg",         # skew hardening
+)
+
 
 def _last_checked() -> dict[str, int]:
     """query -> most recent round with a correctness row (0 = never)."""
@@ -63,11 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-checked and just-fixed queries land inside the driver's
     ~50-query correctness window."""
     seen = _last_checked()
-    fixed_rank = {k: i for i, k in enumerate(_FIXED_THIS_ROUND)}
+    priority = _FIXED_THIS_ROUND + _FAMILY_REPRESENTATIVES
+    rank = {k: i for i, k in enumerate(priority)}
     names = sorted(
         catalog.QUERIES,
         key=lambda k: (
-            fixed_rank.get(k, len(fixed_rank)),  # this round's fixes first
+            rank.get(k, len(rank)),           # fixes + family reps first
             seen.get(k, 0),                   # then never-checked (0), then stalest
         ),
     )
