@@ -555,9 +555,17 @@ def term_distribution_shift(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("p_cnt"),
         F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("q_cnt"),
     )
-    w = Window.partitionBy(F.lit(0))
-    tp = F.sum("p_cnt").over(w).cast("double")
-    tq = F.sum("q_cnt").over(w).cast("double")
+    # corpus totals are two scalars: broadcast them rather than running a
+    # single-partition window over the vocab axis (the vocab itself can be
+    # billions of terms at 100 TB)
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("p_cnt").alias("__tp"), F.sum("q_cnt").alias("__tq")
+        )
+    )
+    counts = counts.crossJoin(totals)
+    tp = F.col("__tp").cast("double")
+    tq = F.col("__tq").cast("double")
     p = F.col("p_cnt").cast("double") / tp
     q = F.col("q_cnt").cast("double") / tq
     m2 = p + q  # 2 * mixture

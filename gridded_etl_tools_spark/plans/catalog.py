@@ -4839,12 +4839,12 @@ def term_shift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; corpus text never shuffles."""
     docs = load(spark, sf_dir, "documents")
     parts = text_ops.term_distribution_shift(docs, F.col("doc_id") % 2 == 1)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("jsd_part").desc(), F.col("term").asc()
-    )
+    # (jsd_part desc, term) is a total order, so orderBy+limit plans as
+    # TakeOrderedAndProject — per-partition partial top-k, no global sort
+    # over the vocab axis
     return (
-        parts.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= 50)
+        parts.orderBy(F.col("jsd_part").desc(), F.col("term").asc())
+        .limit(50)
         .select("term", "p_cnt", "q_cnt", "jsd_part")
     )
 
