@@ -55,6 +55,8 @@ _FAMILY_REPRESENTATIVES = (
     "pii_scrub",                  # PII redaction
     "dataset_split_counts",       # deterministic splits
     "value_percentiles_exact",    # exact-vs-sketch ground truth
+    "hll_distinct_users_daily",   # sketch with hash-checked estimate
+    "cms_user_frequencies",       # sketch with hash-checked estimate
     "ols_trend_by_type",          # grouped OLS
     "event_mix_drift_chi2",       # categorical drift QC
     "doc_chunks",                 # context-window chunking

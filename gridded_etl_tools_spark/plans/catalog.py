@@ -4923,3 +4923,121 @@ def streaming_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__l_ts").alias("click_ts"),
         F.col("__r_ts").alias("other_ts"),
     )
+
+
+@query(
+    "hll_distinct_users_daily",
+    """
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h60
+      FROM events),
+    reg AS (
+      SELECT day, h60 // 4503599627370496 AS bucket,
+             min(CASE WHEN h60 % 4503599627370496 > 0
+                      THEN length(bin(h60 % 4503599627370496))
+                      ELSE 0 END) AS bl
+      FROM h GROUP BY day, bucket),
+    est AS (
+      SELECT day,
+             sum(1::BIGINT << bl) AS s_ne,
+             count(*) AS nb
+      FROM reg GROUP BY day),
+    x AS (
+      SELECT day,
+             CAST(s_ne + (256 - nb) * 9007199254740992 AS DOUBLE) AS s_d,
+             256 - nb AS v
+      FROM est),
+    e AS (
+      SELECT day, v,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               * 9007199254740992.0 / s_d AS e_raw
+      FROM x),
+    final AS (
+      SELECT day,
+             round(CASE WHEN e_raw <= 640.0 AND v > 0
+                        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                        ELSE e_raw END, 4) AS hll_estimate
+      FROM e)
+    SELECT f.day, f.hll_estimate, d.n_exact
+    FROM final f JOIN (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) d ON d.day = f.day
+    """,
+)
+def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per day with the ESTIMATE ITSELF
+    hash-checked: unlike the built-in ``approx_count_distinct`` row
+    (rows-only — engine-private registers), this HLL is built from
+    md5-derived hashes both engines compute bit-for-bit, so the DuckDB
+    oracle replays the whole sketch (registers as integer min-bitlen,
+    harmonic sum as an exact integer, linear-counting small-range
+    correction) and the 4dp estimates must match exactly.  ``n_exact``
+    rides along to exhibit the error (~6.5% at m=256).  Shape: one
+    (day, bucket) hash agg — 256 registers per day regardless of fact
+    count — then estimate arithmetic on the register table."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    regs = sketches.hll_registers(ev, ["day"], "user_id", bucket_bits=8)
+    est = sketches.hll_estimate(regs, ["day"], bucket_bits=8)
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, on="day").select("day", "hll_estimate", "n_exact")
+
+
+@query(
+    "cms_user_frequencies",
+    """
+    WITH counters AS (
+      SELECT r.row,
+             ('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), chr(1),
+                                        CAST(e.user_id AS VARCHAR))),
+                             1, 8))::BIGINT % 64 AS col,
+             count(*) AS cnt
+      FROM events e, (SELECT unnest(range(0, 3)) AS row) r
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+    keyed AS (
+      SELECT p.user_id, r.row,
+             ('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), chr(1),
+                                        CAST(p.user_id AS VARCHAR))),
+                             1, 8))::BIGINT % 64 AS col
+      FROM probes p, (SELECT unnest(range(0, 3)) AS row) r),
+    est AS (
+      SELECT k.user_id, min(coalesce(c.cnt, 0)) AS cms_estimate
+      FROM keyed k LEFT JOIN counters c ON c.row = k.row AND c.col = k.col
+      GROUP BY k.user_id)
+    SELECT est.user_id, est.cms_estimate, x.n_exact
+    FROM est JOIN (
+      SELECT user_id, count(*) AS n_exact FROM events
+      WHERE user_id % 7 = 0 GROUP BY user_id) x
+      ON x.user_id = est.user_id
+    """,
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates, hash-checked end-to-end: a d=3 x
+    w=64 counter table over user events (row-salted md5 column hash,
+    exact integer sums — DuckDB replays every cell), probed for the
+    user_id % 7 == 0 cohort; estimates are min-over-rows and
+    overestimate exactly where the oracle's collisions do.  ``n_exact``
+    rides along.  Shape: one (row, col) hash agg — 192 cells total,
+    mergeable by cell-wise + — then a broadcast probe join."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    counters = sketches.cms_counters(ev, "user_id", depth=3, width=64)
+    probes = ev.filter(F.col("user_id") % 7 == 0)
+    est = sketches.cms_point_estimates(
+        counters, probes, "user_id", depth=3, width=64
+    )
+    exact = probes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return est.join(exact, on="user_id").select(
+        "user_id", "cms_estimate", "n_exact"
+    )

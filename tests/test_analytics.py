@@ -628,3 +628,88 @@ def test_term_distribution_shift_moved_term_ranks_first(spark):
     best = max(out.values(), key=lambda r: r["jsd_part"])
     assert best["term"] == "newterm"
     assert out["common"]["jsd_part"] < out["newterm"]["jsd_part"]
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """m=256 HLL: estimate within ~3 sigma (20%) of true cardinality at
+    10k distinct items; registers from two disjoint halves merged by
+    min() give EXACTLY the combined-stream estimate (mergeability)."""
+    from gridded_etl_tools_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("item")
+    )
+    regs = hll_registers(df, ["g"], "item")
+    est = hll_estimate(regs, ["g"]).collect()[0]["hll_estimate"]
+    assert abs(est - 10_000) / 10_000 < 0.20
+
+    h1 = df.filter(F.col("item") < 6_000)
+    h2 = df.filter(F.col("item") >= 4_000)  # overlapping halves
+    merged = (
+        hll_registers(h1, ["g"], "item")
+        .unionByName(hll_registers(h2, ["g"], "item"))
+        .groupBy("g", "bucket")
+        .agg(F.min("min_bitlen").alias("min_bitlen"))
+    )
+    est_m = hll_estimate(merged, ["g"]).collect()[0]["hll_estimate"]
+    assert est_m == est  # sketch merge == single-pass sketch
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch and land very
+    close to exact (the regime the catalog's daily query exercises)."""
+    from gridded_etl_tools_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(F.lit("g").alias("g"), F.col("id").alias("item"))
+    est = hll_estimate(hll_registers(df, ["g"], "item"), ["g"]).collect()[0][
+        "hll_estimate"
+    ]
+    assert abs(est - 50) < 5
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS point estimates >= exact counts always (collisions only add);
+    two halves' counter tables merged by cell-wise + equal the
+    single-pass table."""
+    from gridded_etl_tools_spark.operators.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed stream: item i appears (i % 10) + 1 times
+    base = spark.range(200).select(
+        F.col("id").alias("item"),
+        F.explode(F.sequence(F.lit(1), (F.col("id") % 10 + 1).cast("int"))),
+    ).select("item")
+    counters = cms_counters(base, "item", depth=3, width=32)
+    probes = base.select("item").distinct()
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_point_estimates(counters, probes, "item", 3, 32).collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in base.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[i] >= exact[i] for i in exact)
+    assert sum(est[i] > exact[i] for i in exact) > 0  # w=32 must collide
+
+    h1 = base.filter(F.col("item") < 100)
+    h2 = base.filter(F.col("item") >= 100)
+    merged = (
+        cms_counters(h1, "item", 3, 32)
+        .unionByName(cms_counters(h2, "item", 3, 32))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est_m = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_point_estimates(merged, probes, "item", 3, 32).collect()
+    }
+    assert est_m == est
