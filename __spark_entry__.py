@@ -61,6 +61,8 @@ _FAMILY_REPRESENTATIVES = (
     "event_mix_drift_chi2",       # categorical drift QC
     "doc_chunks",                 # context-window chunking
     "term_shift_jsd",             # corpus-snapshot divergence
+    "conversion_funnel",          # ordered-step funnel
+    "bm25_search_scores",         # lexical retrieval
     "skew_two_phase_agg",         # skew hardening
 )
 

@@ -606,3 +606,63 @@ def categorical_drift_chi2(
         *keys, category_col, "n0", "n1", "chi2_part",
         total.alias("chi2_total"), dof.cast("long").alias("dof"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: how many entities performed step 1,
+    then step 2 strictly after their FIRST step-1 event, then step 3
+    strictly after that step-2 event, and so on (the standard
+    first-touch funnel).  Returns one row per step: ``step_idx, step,
+    n_entities``.
+
+    Shape: ONE shuffle on the entity key, then ``len(steps)`` stacked
+    window passes over the same partitioning (each computes the
+    min-timestamp of the next step conditional on the previous
+    anchor — Catalyst reuses the single sort).  The final rollup
+    reduces per-entity anchors to ``len(steps)`` counters — map-side
+    combinable, so the funnel of a 100 TB event table leaves the
+    executors as a handful of longs.
+    """
+    w = Window.partitionBy(entity_col)
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    cur = events.select(
+        F.col(entity_col), F.col(type_col).alias("__t"), ts.alias("__ts")
+    )
+    prev_anchor = None
+    for i, step in enumerate(steps):
+        cond = F.col("__t") == step
+        if prev_anchor is not None:
+            cond = cond & (F.col("__ts") > F.col(prev_anchor))
+        anchor = f"__a{i}"
+        cur = cur.withColumn(
+            anchor, F.min(F.when(cond, F.col("__ts"))).over(w)
+        )
+        prev_anchor = anchor
+    per_entity = cur.groupBy(entity_col).agg(
+        *[F.max(f"__a{i}").alias(f"__a{i}") for i in range(len(steps))]
+    )
+    counters = per_entity.agg(
+        *[
+            F.count(F.col(f"__a{i}")).alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"__n{i}").alias("n_entities"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counters.select(F.explode(rows).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_entities"
+    )

@@ -578,3 +578,71 @@ def term_distribution_shift(
         "q_cnt",
         F.round(0.5 * (term_of(p) + term_of(q)), decimals).alias("jsd_part"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-terms query —
+    the lexical retrieval scorer (data selection, retrieval-eval
+    baselines).  Uses the Lucene idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and per-term saturation
+    ``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Engine-exactness: tf/df/dl/N are exact integers from hash aggs;
+    avgdl is one division of exact integers; each term's score is
+    scalar double math on those, rounded to ``decimals``, and the
+    per-document total decimal-sums the rounded parts.
+
+    Scale shape: tokens are FILTERED TO THE QUERY TERMS before the tf
+    aggregation, so the shuffle carries only the query's posting lists,
+    never the corpus vocabulary; df and the corpus stats broadcast.
+    Returns (id, bm25) for documents matching >= 1 term.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("dl").alias("__sum_dl"),
+        )
+    )
+    j = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+    )
+    n_d = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - F.col("df") + 0.5) / (F.col("df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    part = F.round(idf * sat, decimals)
+    return (
+        j.select(F.col(id_col), part.alias("__part"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__part").cast("decimal(28,6)")).cast("double"),
+                decimals,
+            ).alias("bm25")
+        )
+    )

@@ -5041,3 +5041,86 @@ def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, on="user_id").select(
         "user_id", "cms_estimate", "n_exact"
     )
+
+
+@query(
+    "conversion_funnel",
+    """
+    WITH pe AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS a0
+      FROM events GROUP BY user_id),
+    p2 AS (
+      SELECT e.user_id, pe.a0,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > pe.a0
+                      THEN e.ts END) AS a1
+      FROM events e JOIN pe ON pe.user_id = e.user_id
+      GROUP BY e.user_id, pe.a0),
+    p3 AS (
+      SELECT e.user_id, p2.a0, p2.a1,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > p2.a1
+                      THEN e.ts END) AS a2
+      FROM events e JOIN p2 ON p2.user_id = e.user_id
+      GROUP BY e.user_id, p2.a0, p2.a1),
+    c AS (SELECT count(a0) AS n0, count(a1) AS n1, count(a2) AS n2 FROM p3)
+    SELECT 1 AS step_idx, 'view' AS step, n0 AS n_entities FROM c
+    UNION ALL SELECT 2, 'click', n1 FROM c
+    UNION ALL SELECT 3, 'purchase', n2 FROM c
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel view → click → purchase: users who
+    viewed, then clicked strictly after their first view, then purchased
+    strictly after that click.  One entity-keyed shuffle + stacked
+    conditional-min window passes; the rollup leaves the executors as
+    three longs (``operators/aggregations.funnel_counts``).  The oracle
+    computes the same anchors with iterated conditional-min joins."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.funnel_counts(
+        ev, ["view", "click", "purchase"], "user_id", "event_type", "ts"
+    )
+
+
+@query(
+    "bm25_search_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    dl AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    parts AS (
+      SELECT tf.doc_id,
+             round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                              / (CAST(sum_dl AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))))),
+               6) AS part
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id,
+           round(CAST(sum(CAST(part AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+    FROM parts GROUP BY doc_id
+    """,
+)
+def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical relevance of every document to the query
+    {spark, window, merge} — the retrieval scorer for data selection /
+    search baselines (``operators/text.bm25_scores``).  Exact tf/df/dl
+    integers, per-term scalar math rounded then decimal-summed — the
+    oracle replays the identical expression tree.  Tokens are filtered
+    to the query terms BEFORE the tf agg, so only the query's posting
+    lists ever shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.bm25_scores(docs, ["spark", "window", "merge"])

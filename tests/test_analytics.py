@@ -713,3 +713,49 @@ def test_cms_never_underestimates_and_merges(spark):
         for r in cms_point_estimates(merged, probes, "item", 3, 32).collect()
     }
     assert est_m == est
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """A user who clicks BEFORE their first view doesn't count at the
+    click step; completing all steps in order counts everywhere."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.operators.aggregations import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view(1) -> click(2) -> purchase(3): full funnel
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2: click(1) -> view(2): click precedes first view -> view only
+        (2, "click", t(1)), (2, "view", t(2)),
+        # u3: view(1) -> purchase(2): skipped click -> view only
+        (3, "view", t(1)), (3, "purchase", t(2)),
+        # u4: never viewed
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["step"]: r["n_entities"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    """A doc repeating a rare query term outscores one with a common
+    term; docs without query terms are absent."""
+    from gridded_etl_tools_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "rare rare rare filler filler"),
+        (2, "common filler filler filler filler"),
+        (3, "common filler pad pad pad"),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] > out[2] > 0
+    assert out[1] > out[3] > 0
