@@ -44,6 +44,11 @@ _FIXED_THIS_ROUND = (
 # row this round (the rest of each family follows in later rounds'
 # stalest-first rotation).
 _FAMILY_REPRESENTATIVES = (
+    "grib_decode",                # format decodes: the reference's real
+    "grib2_decode",               #   ingest substrate (VERDICT r3 item 1)
+    "netcdf4_decode",             #   — pin them ahead of the window edge
+    "zarr_decode",
+    "mixed_format_scan",
     "published_table_readback",   # table commit protocol end-to-end
     "multimodal_features",        # mapInPandas binary plumbing
     "ivm_rollup_maintenance",     # incremental view maintenance
