@@ -783,3 +783,122 @@ def concurrent_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_concurrent")
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape (late-lineitem EXISTS; the schema has no
+    commit/receipt dates, so "late" = shipped more than 60 days after
+    the order date): order counts per priority for one quarter.  The
+    EXISTS is a LEFT SEMI join — Spark keeps it a semi so each order
+    pays at most one probe hit; the quarter filter pushes to the orders
+    scan before the orderkey shuffle."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= dt.datetime(1997, 7, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 10, 1))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promotion revenue share for one month.  The part
+    dimension BROADCASTS into the month-pruned lineitem scan (no fact
+    shuffle at all — the aggregate is global), both revenue sums
+    accumulate in DECIMAL, and the share is one double division."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= dt.datetime(1997, 9, 1))
+        & (F.col("l_shipdate") < dt.datetime(1997, 10, 1))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = _rev()
+    zero = F.lit(0).cast(_DEC)
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: orders whose total quantity exceeds 300, with
+    their customers.  The HAVING subquery is ONE hash agg over lineitem
+    whose surviving keyset is tiny — it BROADCASTS as a semi join back
+    onto lineitem before the re-aggregation, and orders/customer join
+    the reduced set; exact DECIMAL quantity sums both places."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    li_big = li.join(F.broadcast(big), on="l_orderkey", how="left_semi")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = (
+        li_big.join(orders, orders.o_orderkey == li_big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+    )
+    return j.groupBy(
+        "c_custkey", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    ).agg(F.sum(qty).alias("total_qty"))
