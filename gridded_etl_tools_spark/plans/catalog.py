@@ -5124,3 +5124,74 @@ def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists ever shuffle."""
     docs = load(spark, sf_dir, "documents")
     return text_ops.bm25_scores(docs, ["spark", "window", "merge"])
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT
+             CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+             date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE))
+               // 7 AS weeks_since,
+             e.user_id
+      FROM events e JOIN first f ON f.user_id = e.user_id)
+    SELECT cohort_week, weeks_since, count(*) AS n_active
+    FROM act GROUP BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active N weeks later — the standard product-analytics
+    triangle.  Shape: one user-keyed hash agg for the cohort anchor,
+    a co-partitioned join back (same key → AQE reuses the exchange),
+    distinct on (cohort, week, user), then the counting agg.  All
+    exact integers."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("__first"))
+    j = ev.join(first, on="user_id")
+    act = j.select(
+        F.date_trunc("week", F.col("__first").cast("timestamp")).alias(
+            "cohort_week"
+        ),
+        (
+            F.datediff(F.to_date("ts"), F.to_date("__first")) / 7
+        ).cast("long").alias("weeks_since"),
+        "user_id",
+    ).distinct()
+    return act.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user (ordered by time, event-id tie-break) — the path-analysis /
+    next-action primitive.  One entity-keyed window shuffle, then a
+    tiny (type, type) hash agg; exact integers."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
