@@ -5195,3 +5195,78 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "hll_running_distinct_users",
+    """
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h60
+      FROM events),
+    reg AS (
+      SELECT day, h60 // 4503599627370496 AS bucket,
+             min(CASE WHEN h60 % 4503599627370496 > 0
+                      THEN length(bin(h60 % 4503599627370496))
+                      ELSE 0 END) AS bl
+      FROM h GROUP BY day, bucket),
+    dense AS (
+      SELECT d.day, b.bucket, r.bl
+      FROM (SELECT DISTINCT day FROM reg) d
+      CROSS JOIN (SELECT DISTINCT bucket FROM reg) b
+      LEFT JOIN reg r ON r.day = d.day AND r.bucket = b.bucket),
+    run AS (
+      SELECT day, bucket,
+             min(bl) OVER (PARTITION BY bucket ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS bl
+      FROM dense),
+    est AS (
+      SELECT day,
+             sum(1::BIGINT << bl) AS s_ne, count(bl) AS nb
+      FROM run WHERE bl IS NOT NULL GROUP BY day),
+    x AS (
+      SELECT day,
+             CAST(s_ne + (256 - nb) * 9007199254740992 AS DOUBLE) AS s_d,
+             256 - nb AS v
+      FROM est),
+    e AS (
+      SELECT day, v,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               * 9007199254740992.0 / s_d AS e_raw
+      FROM x)
+    SELECT day,
+           round(CASE WHEN e_raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                      ELSE e_raw END, 4) AS running_distinct
+    FROM e
+    """,
+)
+def hll_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING (cumulative) distinct users per day via HLL register
+    merge — the query exact methods cannot do cheaply at scale (an
+    exact running distinct re-scans every prefix); sketch registers
+    merge with a windowed ``min`` instead.  Register axis is densified
+    (days × 256 buckets — tiny) so unseen buckets carry forward, then
+    the same estimate arithmetic as ``hll_distinct_users_daily``; the
+    oracle replays everything.  Facts are touched exactly once."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    regs = sketches.hll_registers(ev, ["day"], "user_id", bucket_bits=8)
+    days = regs.select("day").distinct()
+    buckets = regs.select("bucket").distinct()
+    dense = days.crossJoin(buckets).join(regs, ["day", "bucket"], "left")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dense.select(
+        "day", "bucket", F.min("min_bitlen").over(w).alias("min_bitlen")
+    ).filter(F.col("min_bitlen").isNotNull())
+    return sketches.hll_estimate(run, ["day"], bucket_bits=8).select(
+        "day", F.col("hll_estimate").alias("running_distinct")
+    )
