@@ -78,6 +78,12 @@ HEADLINE = [
     # round-4 additions:
     "climate_dry_spells",    # exact-decimal daily agg + station windows
     "climate_return_levels",  # block maxima + moment algebra
+    # round-4 analytics batch:
+    "hll_distinct_users_daily",  # sketch registers + estimate arithmetic
+    "bm25_search_scores",    # posting-list filter + broadcast stats
+    "conversion_funnel",     # stacked conditional-min windows
+    "cohort_retention_weekly",  # anchor agg + co-partitioned join back
+    "ivm_rollup_maintenance",  # delta agg + broadcast merge
 ]
 
 
