@@ -211,6 +211,26 @@ SHUFFLE_BUDGET = {
     # bloom words build + probe agg + candidate verify; corpus never
     # shuffles as a join side
     "bloom_two_phase_dedup": (5, 0),
+    # round-4 analytics batch.  hll_daily's extra exchanges are the
+    # exact-count companion column (countDistinct expand) — the sketch
+    # itself is one facts agg + register-table arithmetic; the funnel's
+    # single-partition exchange carries 3 longs.
+    "value_percentiles_exact": (1, 0),   # one (type,value) sort agg
+    "ols_trend_by_type": (2, 0),         # daily rollup + per-type stats
+    "event_mix_drift_chi2": (1, 1),      # facts agg + category-axis window
+    "doc_chunks": (0, 0),                # sequence+explode, map-only
+    "term_shift_jsd": (2, 1),            # term agg + totals + top-k merge
+    "hll_distinct_users_daily": (4, 0),
+    "hll_running_distinct_users": (5, 0),  # register axis only after agg
+    "cms_user_frequencies": (3, 0),      # counters + probe + exact ref
+    "conversion_funnel": (1, 1),         # entity window + 3-long rollup
+    "bm25_search_scores": (4, 1),        # posting lists + broadcast stats
+    "cohort_retention_weekly": (3, 0),   # anchor agg reuses user hash
+    "event_transition_matrix": (2, 0),   # entity window + tiny type agg
+    "ivm_rollup_maintenance": (2, 0),    # base rollup + delta agg; merge
+    "q4_order_priority": (1, 0),         # semi probe + priority agg
+    "q14_promo_revenue": (0, 1),         # broadcast dim, global agg only
+    "q18_large_volume_customers": (2, 0),  # keyset semi + final rollup
 }
 
 
