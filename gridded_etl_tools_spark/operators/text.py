@@ -646,3 +646,67 @@ def bm25_scores(
             ).alias("bm25")
         )
     )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-1-smoothed
+    unigram LM — the classic cheap LM-quality filter (CCNet-style: low
+    perplexity ≈ in-distribution text, high ≈ junk), self-contained so
+    no external model ships with the job.
+
+    ``p(t) = (cnt(t) + 1) / (T + V)``; ``ppl = exp(-Σ tf·ln p / n)``.
+    Exactness: counts are exact integers; each term's ln p rounds to
+    ``decimals``; per-doc Σ tf·lnp6 rounds per term then decimal-sums,
+    and the final exp of a deterministic double is engine-stable at 4dp.
+
+    Scale shape: one (term) hash agg builds the LM, one (doc, term)
+    hash agg the term frequencies; they join ON TERM — a plain shuffled
+    hash join because at 100 TB the vocab is not broadcastable — then
+    one doc-keyed agg.  The raw text never joins anything.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = F.broadcast(
+        vocab.agg(
+            F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")
+        )
+    )
+    probs = vocab.crossJoin(totals).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("__T") + F.col("__V")).cast("double")
+            ),
+            decimals,
+        ).alias("__lnp"),
+    )
+    part = F.round(F.col("tf") * F.col("__lnp"), decimals)
+    return (
+        tf.join(probs, "term")
+        .select(F.col(id_col), F.col("tf"), part.alias("__part"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("__part").cast("decimal(28,6)")).alias("__S"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.exp(
+                    -F.col("__S").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ),
+                4,
+            ).alias("perplexity"),
+        )
+    )

@@ -5270,3 +5270,38 @@ def hll_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(run, ["day"], bucket_bits=8).select(
         "day", F.col("hll_estimate").alias("running_distinct")
     )
+
+
+@query(
+    "unigram_perplexity_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE length(term) > 0),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks2 GROUP BY term),
+    totals AS (SELECT sum(cnt) AS t, count(*) AS v FROM vocab),
+    probs AS (
+      SELECT term,
+             round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 6)
+               AS lnp
+      FROM vocab, totals),
+    parts AS (
+      SELECT doc_id, tf, round(tf * lnp, 6) AS part
+      FROM tf JOIN probs USING (term))
+    SELECT doc_id, sum(tf) AS n_tokens,
+           round(exp(-CAST(sum(CAST(part AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(sum(tf) AS DOUBLE)), 4) AS perplexity
+    FROM parts GROUP BY doc_id
+    """,
+)
+def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained LM-quality scoring: perplexity of every document
+    under the corpus's own add-1 unigram model (the CCNet-style cheap
+    quality filter; see ``operators/text.unigram_perplexity``).  The
+    oracle replays the exact LM build + scoring."""
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.unigram_perplexity(docs)

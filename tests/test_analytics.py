@@ -759,3 +759,17 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     assert set(out) == {1, 2, 3}
     assert out[1] > out[2] > 0
     assert out[1] > out[3] > 0
+
+
+def test_unigram_perplexity_orders_quality(spark):
+    """In-distribution repetitive text scores lower perplexity than a
+    document of corpus-rare terms; perplexity >= 1 always."""
+    from gridded_etl_tools_spark.operators.text import unigram_perplexity
+
+    docs = [(i, "the cat sat on the mat") for i in range(10)] + [
+        (99, "zyx qwv jkl pqr stu")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(df).collect()}
+    assert out[0] < out[99]
+    assert all(v >= 1.0 for v in out.values())
