@@ -666,3 +666,64 @@ def funnel_counts(
     return counters.select(F.explode(rows).alias("r")).select(
         "r.step_idx", "r.step", "r.n_entities"
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    time_col: str = "t",
+    event_col: str = "is_event",
+    decimals: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator from one row per subject
+    (``time_col`` = event-or-censor time, ``event_col`` = 1 event /
+    0 censored): for each time with >= 1 event, the at-risk count,
+    event count, and ``S(t) = Π_{s<=t} (1 - d_s/n_s)``.
+
+    Exactness: d/n are exact integers from one hash agg; the product is
+    ``exp`` of a CUMULATIVE DECIMAL SUM of per-time rounded ln factors,
+    so no float product order exists.  A time where the whole remaining
+    risk set fails (n == d — necessarily the last event time) emits
+    ``survival = 0`` directly instead of folding ln 0 into the sum.
+
+    Shape: subjects reduce to the distinct-time axis in one hash agg;
+    the cumulative windows run on that axis (days/weeks — thousands of
+    rows at most, the same bounded-axis pattern as gaps-and-islands),
+    never on subjects."""
+    per_t = subjects.groupBy(F.col(time_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col(event_col) == 1, 0).otherwise(1)).alias("c"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("t")
+    before = (
+        F.sum(F.col("d") + F.col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    total = F.sum(F.col("d") + F.col("c")).over(
+        Window.partitionBy(F.lit(0))
+    )
+    axis = per_t.select(
+        "t", "d", "c",
+        (total - F.coalesce(before, F.lit(0))).alias("n_at_risk"),
+    )
+    lnf = F.when(
+        (F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")),
+        F.round(
+            F.log(
+                1.0
+                - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+            ),
+            decimals,
+        ),
+    ).otherwise(F.lit(0.0))
+    flagged = axis.withColumn("__lnf", lnf)
+    cum = F.sum(F.col("__lnf").cast("decimal(28,6)")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = F.when(
+        F.col("n_at_risk") == F.col("d"), F.lit(0.0)
+    ).otherwise(F.round(F.exp(cum.cast("double")), decimals))
+    return (
+        flagged.withColumn("survival", surv)
+        .filter(F.col("d") > 0)
+        .select("t", "n_at_risk", F.col("d").alias("d_events"), "survival")
+    )

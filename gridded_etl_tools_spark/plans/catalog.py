@@ -5305,3 +5305,131 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the exact LM build + scoring."""
     docs = load(spark, sf_dir, "documents")
     return text_ops.unigram_perplexity(docs)
+
+
+@query(
+    "event_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           count(*) AS bin_count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-width histogram (bin = floor(value/width)) —
+    map-side binning + one hash agg, the no-sort no-driver histogram
+    (``operators/aggregations.fixed_width_histogram``)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.fixed_width_histogram(ev, ["event_type"], "value", 5.0)
+
+
+@query(
+    "modal_event_type_per_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type AS mode_value, n AS mode_count
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type ASC) = 1
+    """,
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a deterministic tie-break —
+    builtin ``mode()`` resolves ties arbitrarily, so it is re-expressed
+    as count + ranking window (``operators/aggregations.grouped_mode``);
+    both shuffles key on the user."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.grouped_mode(ev, ["user_id"], "event_type")
+
+
+@query(
+    "survival_signup_to_purchase",
+    """
+    WITH anchors AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS a_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    horizon AS (SELECT CAST(max(ts) AS DATE) AS h_day FROM events),
+    ev AS (
+      SELECT a.user_id, a.a_day,
+             min(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > (SELECT min(ts) FROM events s
+                                   WHERE s.user_id = a.user_id
+                                     AND s.event_type = 'signup')
+                      THEN CAST(e.ts AS DATE) END) AS p_day
+      FROM anchors a JOIN events e ON e.user_id = a.user_id
+      GROUP BY a.user_id, a.a_day),
+    subj AS (
+      SELECT user_id,
+             CASE WHEN p_day IS NOT NULL
+                  THEN date_diff('day', a_day, p_day)
+                  ELSE date_diff('day', a_day, h_day) END AS t,
+             CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM ev, horizon),
+    per_t AS (
+      SELECT t,
+             sum(CASE WHEN is_event = 1 THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN is_event = 1 THEN 0 ELSE 1 END) AS c
+      FROM subj GROUP BY t),
+    axis AS (
+      SELECT t, d, c,
+             sum(d + c) OVER ()
+               - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM per_t),
+    flagged AS (
+      SELECT t, d, n_at_risk,
+             CASE WHEN d > 0 AND n_at_risk > d
+                  THEN round(ln(1.0 - CAST(d AS DOUBLE)
+                                / CAST(n_at_risk AS DOUBLE)), 6)
+                  ELSE 0.0 END AS lnf
+      FROM axis)
+    SELECT t, n_at_risk, d AS d_events,
+           CASE WHEN n_at_risk = d THEN 0.0
+                ELSE round(exp(CAST(sum(CAST(lnf AS DECIMAL(28,6)))
+                            OVER (ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+           END AS survival
+    FROM flagged QUALIFY d > 0
+    """,
+)
+def survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival from signup to first purchase (censored at
+    the observation horizon) — the churn/time-to-convert curve.  Subjects
+    reduce to the distinct-duration axis in one hash agg; the cumulative
+    product is exp of a decimal cumsum of rounded ln factors on that
+    bounded axis (``operators/aggregations.kaplan_meier``)."""
+    ev = load(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__a_ts"))
+    )
+    horizon = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("__h_day")))
+    j = ev.join(anchors, "user_id")
+    per_user = j.groupBy(
+        "user_id", F.to_date("__a_ts").alias("__a_day")
+    ).agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("__a_ts")),
+                F.to_date("ts"),
+            )
+        ).alias("__p_day")
+    )
+    subj = per_user.crossJoin(horizon).select(
+        F.when(
+            F.col("__p_day").isNotNull(),
+            F.datediff("__p_day", "__a_day"),
+        )
+        .otherwise(F.datediff("__h_day", "__a_day"))
+        .alias("t"),
+        F.when(F.col("__p_day").isNotNull(), 1).otherwise(0).alias(
+            "is_event"
+        ),
+    )
+    return agg_ops.kaplan_meier(subj, "t", "is_event")

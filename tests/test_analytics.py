@@ -773,3 +773,20 @@ def test_unigram_perplexity_orders_quality(spark):
     out = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(df).collect()}
     assert out[0] < out[99]
     assert all(v >= 1.0 for v in out.values())
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic small KM: times {1(e),2(e),3(c),4(e)} with N=4:
+    S(1)=0.75, S(2)=0.5, S(4)=0.25; censored time 3 emits no row but
+    shrinks the risk set."""
+    from gridded_etl_tools_spark.operators.aggregations import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 1)], "t int, is_event int"
+    )
+    rows = {r["t"]: r for r in kaplan_meier(df).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_at_risk"] == 4 and rows[1]["survival"] == 0.75
+    assert rows[2]["n_at_risk"] == 3 and rows[2]["survival"] == 0.5
+    # terminal time: the whole remaining risk set fails -> survival 0
+    assert rows[4]["n_at_risk"] == 1 and rows[4]["survival"] == 0.0
