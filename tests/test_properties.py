@@ -353,3 +353,103 @@ def test_hdf5_roundtrip_any_layout(shape, chunked, compress, latest, data):
         f = h5.parse_hdf5(open(path, "rb").read())
     assert f.variables["v"].dim_names == ("t", "y", "x")
     np.testing.assert_array_equal(f.variables["v"].data, vals)
+
+
+# --- round-4 analytics operators --------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", categories=("L", "N", "Zs")),
+            min_size=0, max_size=120,
+        ),
+        min_size=1, max_size=6,
+    ),
+    chunk=st.integers(min_value=5, max_value=40),
+)
+def test_chunk_documents_tiles_exactly(spark, texts, chunk):
+    """Chunks reconstruct the document: chunk i starts at i*stride, the
+    last chunk reaches the end, and no chunk exceeds the window."""
+    from gridded_etl_tools_spark.operators.text import chunk_documents
+
+    stride = max(1, chunk - 3)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_chars=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    for i, t in enumerate(texts):
+        got = by_doc.get(i, {})
+        if len(t) == 0:
+            assert got == {}
+            continue
+        n = len(got)
+        assert set(got) == set(range(n))
+        for k, c in got.items():
+            assert c == t[k * stride : k * stride + chunk]
+            assert len(c) <= chunk
+        # the final chunk must reach the document end
+        assert (n - 1) * stride + len(got[n - 1]) == len(t)
+        # and n is minimal for the stride/window tiling
+        assert n == max(0, -(-max(len(t) - chunk, 0) // stride)) + 1
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=3, max_size=25,
+    )
+)
+def test_grouped_ols_matches_closed_form(spark, pts):
+    """grouped_ols agrees with the numpy closed form on random data."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.operators.aggregations import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x int, y double"
+    )
+    row = grouped_ols(df, ["g"], "x", "y").collect()[0]
+    xs = np.array([x for x, _ in pts], dtype=float)
+    ys = np.array([round(y, 6) for _, y in pts], dtype=float)
+    if np.var(xs) == 0:
+        assert row["slope"] is None
+        return
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row["slope"] == pytest.approx(slope, abs=1e-4)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-3)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.booleans(),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_kaplan_meier_monotone_and_bounded(spark, subjects):
+    """S(t) is non-increasing in t and always within [0, 1]; the at-risk
+    counts are non-increasing too."""
+    from gridded_etl_tools_spark.operators.aggregations import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t, int(e)) for t, e in subjects], "t int, is_event int"
+    )
+    rows = sorted(kaplan_meier(df).collect(), key=lambda r: r["t"])
+    last_s, last_n = 1.0, float("inf")
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= last_s + 1e-9
+        assert r["n_at_risk"] <= last_n
+        last_s, last_n = r["survival"], r["n_at_risk"]
