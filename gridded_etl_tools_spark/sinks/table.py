@@ -573,6 +573,23 @@ class GriddedTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def restore(self, version: int) -> Snapshot:
+        """Roll the table back to an earlier version AS A NEW COMMIT
+        (Delta-style RESTORE): the target version's manifest entries are
+        re-committed under version+1, so history is append-only, nothing
+        is deleted, and a concurrent reader never observes a pointer
+        moving backwards.  Data files are immutable and shared between
+        manifests, so this writes no data — one manifest + one pointer
+        swap.  ``vacuum(keep_versions=True)`` keeps every referenced
+        file alive afterwards."""
+        pointer = self._acquire()
+        try:
+            target = self.snapshot(version)
+            return self._commit(pointer, target.entries, target.attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
     def vacuum(self, keep_versions: bool = True) -> list[str]:
         """Delete data files not referenced by ANY retained manifest
         (debris from crashed writers).  Takes the writer flag so a

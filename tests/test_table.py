@@ -453,3 +453,34 @@ def test_bloom_filter_cols_written(spark, month1, tmp_path):
     assert t.read(spark).count() == 480
     probe = wide.select("entity").first()["entity"]
     assert t.read(spark).filter(F.col("entity") == probe).count() == 1
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """restore(v) re-publishes an old version's contents under a NEW
+    version: reads return the old rows, history is append-only, and a
+    vacuum afterwards keeps every referenced file."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    root = str(tmp_path / "restore_tbl")
+    t = GriddedTable(root, time_col="time")
+    df1 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0), (dt.datetime(2024, 1, 2), 2.0)],
+        "time timestamp, value double",
+    )
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 3), 3.0)], "time timestamp, value double"
+    )
+    s1 = t.write_initial(df1)
+    s2 = t.append(df2)
+    assert t.read(spark).count() == 3
+
+    s3 = t.restore(s1.version)
+    assert s3.version == s2.version + 1          # new commit, not a rewind
+    assert t.read(spark).count() == 2            # v1 contents are live
+    assert sorted(v["version"] for v in t.history())[-1] == s3.version
+
+    # appended version is still time-travelable, and vacuum keeps its files
+    assert len(t.snapshot(s2.version).paths()) > len(s3.entries) - 1
+    removed = t.vacuum(keep_versions=True)
+    assert removed == []
+    assert t.read(spark).count() == 2
