@@ -172,3 +172,75 @@ def interval_correlate_streams(
         & (F.col(rt) >= F.col(lt) - F.expr(tolerance_sql))
         & (F.col(rt) <= F.col(lt) + F.expr(tolerance_sql)),
     ).drop("__rk")
+
+
+def stream_maintain_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    rollup_table: GriddedTable,
+    checkpoint_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    derive=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous aggregate (TimescaleDB-style): maintain a materialized
+    rollup from a live stream by INCREMENTAL view maintenance instead of
+    recompute — each micro-batch becomes an insert-only change feed,
+    ``operators.ivm.rollup_delta`` reduces it to signed per-key deltas,
+    and the delta merges into the committed rollup table through the
+    same atomic pointer-swap protocol every other write uses.
+
+    ``derive(df)`` optionally projects the raw batch into rollup space
+    (e.g. timestamp → day bucket) before the delta agg.
+
+    Scale shape: per batch, the only work proportional to the batch is
+    one narrow hash agg; the merge joins delta × rollup on the keys
+    (delta broadcasts — a batch touches few keys).  The rollup table is
+    key-cardinality-sized, so the full-table rewrite per commit is the
+    cheap part; at very large key counts switch to
+    ``overwrite_buckets`` on the touched buckets.
+
+    Idempotent under foreachBatch's at-least-once replay via the same
+    batch-id attr guard as :func:`stream_parquet_ingest`."""
+    from gridded_etl_tools_spark.operators import ivm
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    attr_key = f"stream_rollup_last_batch_id:{checkpoint_dir}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feed = derive(batch_df) if derive is not None else batch_df
+        feed = feed.withColumn(ivm.CHANGE_TYPE_COL, F.lit("insert"))
+        delta = ivm.rollup_delta(feed, keys, sum_cols)
+        if rollup_table.exists():
+            last = rollup_table.attrs().get(attr_key, -1)
+            if batch_id <= last:
+                return
+            current = rollup_table.read(spark)
+            merged = ivm.apply_rollup_delta(current, delta, keys, sum_cols)
+            rollup_table.write_initial(
+                merged, attrs={attr_key: batch_id}, overwrite=True
+            )
+        else:
+            # bootstrap: the first batch's delta IS the rollup (all
+            # inserts, so the signed counts are plain counts)
+            first = delta.select(
+                *keys,
+                F.col("__d_count").cast("long").alias("n"),
+                *[
+                    F.col(f"__d_sum_{c}").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            ).filter(F.col("n") > 0)
+            rollup_table.write_initial(first, attrs={attr_key: batch_id})
+
+    writer = (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

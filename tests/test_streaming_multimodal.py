@@ -339,3 +339,56 @@ def test_running_normals_plan_constructs(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "key", "n_seen", "mean_value", "min_value", "max_value",
     ]
+
+
+def test_stream_maintain_rollup_matches_batch(spark, month1, month2, tmp_path):
+    """Continuous aggregate: the IVM-maintained daily rollup after two
+    incremental drops equals the from-scratch batch rollup of all data,
+    and replaying the stream (same checkpoint/batch ids) is a no-op."""
+    from gridded_etl_tools_spark.streaming.ingest import stream_maintain_rollup
+
+    src = str(tmp_path / "drops")
+    month1.write.parquet(src)
+    rollup = GriddedTable(str(tmp_path / "rollup"), time_col="day")
+    ckpt = str(tmp_path / "ckpt_rollup")
+
+    def derive(df):
+        return df.select(
+            F.to_date("time").alias("day"), F.col("value")
+        )
+
+    q = stream_maintain_rollup(
+        spark, src, GRID_SCHEMA, rollup, ckpt, ["day"], ["value"],
+        derive=derive,
+    )
+    q.awaitTermination(120)
+    v1 = rollup.read(spark).agg(F.sum("n")).collect()[0][0]
+    assert v1 == 480
+
+    month2.write.mode("append").parquet(src)
+    q2 = stream_maintain_rollup(
+        spark, src, GRID_SCHEMA, rollup, ckpt, ["day"], ["value"],
+        derive=derive,
+    )
+    q2.awaitTermination(120)
+
+    maintained = rollup.read(spark).select("day", "n", "sum_value")
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.to_date("time").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        )
+    )
+    m = {r["day"]: (r["n"], round(r["sum_value"], 6)) for r in maintained.collect()}
+    b = {r["day"]: (r["n"], round(r["sum_value"], 6)) for r in batch.collect()}
+    assert m == b
+
+    # replay with the same checkpoint: batch ids already committed -> no-op
+    ver_before = rollup.snapshot().version
+    q3 = stream_maintain_rollup(
+        spark, src, GRID_SCHEMA, rollup, ckpt, ["day"], ["value"],
+        derive=derive,
+    )
+    q3.awaitTermination(120)
+    assert rollup.snapshot().version == ver_before
