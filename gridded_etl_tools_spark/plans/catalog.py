@@ -5433,3 +5433,65 @@ def survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return agg_ops.kaplan_meier(subj, "t", "is_event")
+
+
+@query(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 4) AS click,
+             round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 4) AS error,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase,
+             round(sum(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 4) AS signup,
+             round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 4) AS view
+      FROM events GROUP BY 1)
+    SELECT day, event_type, total_value
+    FROM wide
+    UNPIVOT (total_value FOR event_type
+             IN (click, error, purchase, signup, view))
+    """,
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): the inverse of ``pivot_event_matrix`` via the
+    native ``unpivot``/melt operator — the wide matrix melts back to the
+    long form the grid model stores.  Pivot+unpivot round-trips the
+    matrix; both directions are map-side reshapes around one day-keyed
+    hash agg."""
+    wide = QUERIES["pivot_event_matrix"](spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        ["day"], types, "event_type", "total_value"
+    )
+
+
+@query(
+    "event_value_deciles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM ranked GROUP BY event_type, decile
+    """,
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile bands per event type with a DETERMINISTIC total
+    order (value, event_id) — ntile assigns by row position, so an
+    ambiguous sort would be engine-unstable; the unique tie-break makes
+    both engines produce identical bands.  One partition-keyed window +
+    a tiny band agg."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
