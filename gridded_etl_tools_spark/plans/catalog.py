@@ -5495,3 +5495,99 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+#: EWMA weights as Python-computed double literals, embedded in BOTH
+#: engines so no runtime power() (1-ulp libm/JVM divergence) exists:
+#: term weight a(1-a)^k and seed weight (1-a)^k for lag k in [0, 60)
+def _EWMA_TERM_W():  # lazy: F.lit needs an active SparkContext
+    return F.array(*[F.lit(0.5 * 0.5 ** k) for k in range(60)])
+
+
+def _EWMA_SEED_W():
+    return F.array(*[F.lit(0.5 ** k) for k in range(60)])
+
+
+@query(
+    "ewma_daily_values",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS y
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, y,
+             CAST(row_number() OVER w AS INT) AS rn
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    terms AS (
+      -- weights are PYTHON-PRECOMPUTED double literals shared verbatim
+      -- with the Spark side: power() differs by 1 ulp between libm and
+      -- the JVM on some exponents, which flips 6dp roundings
+      SELECT a.event_type, a.day,
+             CASE WHEN b.rn = 1
+                  THEN round([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10, 4.656612873077393e-10, 2.3283064365386963e-10, 1.1641532182693481e-10, 5.820766091346741e-11, 2.9103830456733704e-11, 1.4551915228366852e-11, 7.275957614183426e-12, 3.637978807091713e-12, 1.8189894035458565e-12, 9.094947017729282e-13, 4.547473508864641e-13, 2.2737367544323206e-13, 1.1368683772161603e-13, 5.684341886080802e-14, 2.842170943040401e-14, 1.4210854715202004e-14, 7.105427357601002e-15, 3.552713678800501e-15, 1.7763568394002505e-15, 8.881784197001252e-16, 4.440892098500626e-16, 2.220446049250313e-16, 1.1102230246251565e-16, 5.551115123125783e-17, 2.7755575615628914e-17, 1.3877787807814457e-17, 6.938893903907228e-18, 3.469446951953614e-18, 1.734723475976807e-18][a.rn - b.rn + 1] * b.y, 6)
+                  ELSE round([0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10, 4.656612873077393e-10, 2.3283064365386963e-10, 1.1641532182693481e-10, 5.820766091346741e-11, 2.9103830456733704e-11, 1.4551915228366852e-11, 7.275957614183426e-12, 3.637978807091713e-12, 1.8189894035458565e-12, 9.094947017729282e-13, 4.547473508864641e-13, 2.2737367544323206e-13, 1.1368683772161603e-13, 5.684341886080802e-14, 2.842170943040401e-14, 1.4210854715202004e-14, 7.105427357601002e-15, 3.552713678800501e-15, 1.7763568394002505e-15, 8.881784197001252e-16, 4.440892098500626e-16, 2.220446049250313e-16, 1.1102230246251565e-16, 5.551115123125783e-17, 2.7755575615628914e-17, 1.3877787807814457e-17, 6.938893903907228e-18, 3.469446951953614e-18, 1.734723475976807e-18, 8.673617379884035e-19][a.rn - b.rn + 1] * b.y, 6)
+             END AS term
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type
+       AND b.rn <= a.rn AND b.rn > a.rn - 60)
+    SELECT event_type, day,
+           round(CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS ewma
+    FROM terms GROUP BY event_type, day
+    """,
+)
+def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily series
+    (alpha=0.5), in the DISTRIBUTABLE weighted-window form: the
+    sequential recurrence s_t = a·y_t + (1-a)·s_{t-1} unrolls to
+    s_t = Σ a(1-a)^(t-i) y_i + (1-a)^(t-1) y_1, computed as a 60-step
+    bounded self-join on the DAILY AXIS (weights below (1-a)^60 ≈ 1e-9
+    are dropped — the truncation that makes the window bounded at
+    100k-step series).  Terms are rounded then decimal-summed, so the
+    smoothing is engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "event_type", "day",
+            F.round(F.col("__sum").cast("double") / F.col("__n"), 6).alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("rn", F.row_number().over(w).cast("int"))
+    a_, b_ = idx.alias("a"), idx.alias("b")
+    terms = a_.join(
+        b_,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") <= F.col("a.rn"))
+        & (F.col("b.rn") > F.col("a.rn") - 60),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.when(
+            F.col("b.rn") == 1,
+            F.round(
+                F.element_at(_EWMA_SEED_W(), F.col("a.rn") - F.col("b.rn") + 1)
+                * F.col("b.y"),
+                6,
+            ),
+        )
+        .otherwise(
+            F.round(
+                F.element_at(_EWMA_TERM_W(), F.col("a.rn") - F.col("b.rn") + 1)
+                * F.col("b.y"),
+                6,
+            )
+        )
+        .alias("term"),
+    )
+    return terms.groupBy("event_type", "day").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("ewma")
+    )
