@@ -5591,3 +5591,60 @@ def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(28,6)")).cast("double"), 6
         ).alias("ewma")
     )
+
+
+@query(
+    "robust_outlier_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS y
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_cont(y, 0.5) AS med FROM daily GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.day, d.y, abs(d.y - m.med) AS adev, m.med
+      FROM daily d JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type, d.day, d.y
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > 2.0 * 1.4826 * m.mad
+    """,
+)
+def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the daily series: median/MAD z-score
+    (the QC standard when means/stddevs are themselves polluted by the
+    outliers being hunted) — days whose |y - median| exceeds 2 robust
+    sigmas (1.4826·MAD).  Two exact-percentile aggs broadcast back onto
+    the day axis; the OUTPUT carries only exact columns (the flag is a
+    deterministic comparison of identical doubles — no derived float
+    ever reaches the hash)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "event_type", "day",
+            F.round(F.col("__sum").cast("double") / F.col("__n"), 6).alias("y"),
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(y, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 2.0 * 1.4826 * F.col("mad"))
+        .select("event_type", "day", "y")
+    )
