@@ -68,6 +68,10 @@ _FAMILY_REPRESENTATIVES = (
     "term_shift_jsd",             # corpus-snapshot divergence
     "conversion_funnel",          # ordered-step funnel
     "bm25_search_scores",         # lexical retrieval
+    "cohort_retention_weekly",    # retention triangle
+    "survival_signup_to_purchase",  # Kaplan-Meier curve
+    "ewma_daily_values",          # exponential smoothing
+    "unigram_perplexity_scores",  # LM-quality filter
     "skew_two_phase_agg",         # skew hardening
 )
 
