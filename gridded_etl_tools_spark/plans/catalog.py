@@ -5648,3 +5648,51 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 2.0 * 1.4826 * F.col("mad"))
         .select("event_type", "day", "y")
     )
+
+
+@query(
+    "last_touch_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    p AS (
+      SELECT user_id, ts, event_id AS purchase_id,
+             CAST(value AS DECIMAL(18,2)) AS revenue
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.user_id, p.purchase_id, p.revenue, p.ts AS p_ts,
+             max(c.ts) AS c_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY 1, 2, 3, 4)
+    SELECT m.user_id, m.purchase_id, m.revenue, c2.click_id
+    FROM m LEFT JOIN c c2
+      ON c2.user_id = m.user_id AND c2.ts = m.c_ts
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent preceding click — the marketing-analytics shape that is
+    exactly a keyed backward AS-OF JOIN (``operators/joins.asof_join``,
+    union-merge form: one shuffle on the user key, single sort, no
+    range explosion).  Clicks pre-dedup to one per (user, ts) with a
+    max-id tie-break so the as-of pick is deterministic; the oracle
+    computes the same match with a conditional-max join."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("decimal(18,2)").alias("revenue"),
+    )
+    out = join_ops.asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="backward"
+    )
+    return out.select(
+        "user_id", "purchase_id", "revenue",
+        F.col("asof_click_id").alias("click_id"),
+    )
