@@ -231,6 +231,22 @@ SHUFFLE_BUDGET = {
     "q4_order_priority": (1, 0),         # semi probe + priority agg
     "q14_promo_revenue": (0, 1),         # broadcast dim, global agg only
     "q18_large_volume_customers": (2, 0),  # keyset semi + final rollup
+    # later round-4 analytics.  robust_outlier's static plan duplicates
+    # the 150-row daily-rollup subtree across the med/mad stages (AQE
+    # reuses the exchange at runtime); survival's single-partition
+    # exchanges run on the distinct-duration axis.
+    "cohort_retention_weekly": (3, 0),
+    "event_transition_matrix": (2, 0),
+    "unigram_perplexity_scores": (4, 1),
+    "survival_signup_to_purchase": (3, 2),
+    "event_value_histogram": (1, 0),
+    "modal_event_type_per_user": (2, 0),
+    "unpivot_event_matrix": (2, 0),
+    "event_value_deciles": (1, 0),
+    "ewma_daily_values": (4, 0),
+    "robust_outlier_days": (7, 0),
+    "last_touch_attribution": (2, 0),
+    "hll_running_distinct_users": (5, 0),
 }
 
 
