@@ -942,3 +942,32 @@ def test_point_in_polygon_concave(spark):
         r.pid: r.inside for r in point_in_polygon(pts, poly).collect()
     }
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_grouped_mode_deterministic_tiebreak(spark):
+    """Equal counts resolve to the smallest value — builtin mode() is
+    arbitrary on ties, this operator must not be."""
+    from gridded_etl_tools_spark.operators.aggregations import grouped_mode
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "g string, v string",
+    )
+    row = grouped_mode(df, ["g"], "v").collect()[0]
+    assert row["mode_value"] == "a" and row["mode_count"] == 2
+
+
+def test_fixed_width_histogram_bins_negatives_toward_minus_inf(spark):
+    """floor-based binning: -0.1 lands in bin -1, not bin 0; counts
+    partition the rows."""
+    from gridded_etl_tools_spark.operators.aggregations import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -0.1), ("g", 0.0), ("g", 4.9), ("g", 5.0), ("g", 9.9)],
+        "g string, v double",
+    )
+    out = {r["bin"]: r["bin_count"] for r in
+           fixed_width_histogram(df, ["g"], "v", 5.0).collect()}
+    assert out == {-1: 1, 0: 2, 1: 2}
