@@ -5696,3 +5696,63 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", "revenue",
         F.col("asof_click_id").alias("click_id"),
     )
+
+
+@query(
+    "cube_event_revenue",
+    """
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INT) AS weekday,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(isodow(ts) - 1 AS INT))
+    """,
+)
+def cube_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (event type, weekday): all four grouping
+    combinations in ONE pass — the Expand-based physical plan that
+    subsumes four separate GROUP BYs (rollup_revenue covers the ROLLUP
+    prefix lattice; this is the complete one).  Exact DECIMAL sums."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.weekday("ts").alias("weekday"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "revenue_share_by_type",
+    """
+    WITH t AS (
+      SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events GROUP BY event_type),
+    g AS (SELECT sum(rev) AS total FROM t)
+    SELECT event_type, rev,
+           round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM t, g
+    """,
+)
+def revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report: each type's exact-decimal revenue and
+    its share of the grand total (one broadcast scalar, one division of
+    exact operands).  One facts agg; everything else on the type axis."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    g = F.broadcast(t.agg(F.sum("rev").alias("total")))
+    return t.crossJoin(g).select(
+        "event_type", "rev",
+        F.round(
+            F.col("rev").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )
