@@ -5756,3 +5756,62 @@ def revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.col("total").cast("double"), 6
         ).alias("share"),
     )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join — the missing-dimension audit
+    (publish-side analog: times in the update absent from the table,
+    ``operators/joins.split_update_times``): customers who never placed
+    an urgent order.  The filter pushes into the orders scan BEFORE the
+    anti probe; only the surviving keyset travels."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "orders_above_global_avg",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+      SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 2)
+      FROM orders)
+    """,
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.
+    The scalar reduces in one exact-decimal agg and BROADCASTS into the
+    scan filter — no self-join, no second pass shaped by the fact
+    table.  The threshold rounds to 2dp so the comparison operand is
+    engine-exact."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    avg_ = F.broadcast(
+        orders.agg(
+            F.round(
+                F.sum("o_totalprice").cast("double") / F.count(F.lit(1)), 2
+            ).alias("__avg")
+        )
+    )
+    return (
+        orders.crossJoin(avg_)
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
