@@ -5815,3 +5815,93 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "benford_first_digit_qc",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM events WHERE value >= 1.0),
+    obs AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs),
+    e AS (
+      SELECT d, n,
+             round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+             CAST(total AS DOUBLE) AS t
+      FROM obs, tot)
+    SELECT d, n, benford_p,
+           round((n - benford_p * t) * (n - benford_p * t)
+                 / (benford_p * t), 6) AS chi2_part
+    FROM e
+    """,
+)
+def benford_first_digit_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic QC for fabricated
+    or truncated numeric feeds: observed leading-digit counts against
+    log10(1 + 1/d) expectations with per-digit chi² contributions.
+    (Uniform synthetic values fail Benford loudly — the point is the
+    mechanics: exact counts, deterministic expectation arithmetic.)
+    One facts agg to 9 digit rows; everything else on the digit axis."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    digits = ev.select(
+        F.substring(F.col("value").cast("double").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(obs.agg(F.sum("n").alias("total")))
+    e = obs.crossJoin(tot).select(
+        "d", "n",
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+        F.col("total").cast("double").alias("t"),
+    )
+    part = F.round(
+        (F.col("n") - F.col("benford_p") * F.col("t"))
+        * (F.col("n") - F.col("benford_p") * F.col("t"))
+        / (F.col("benford_p") * F.col("t")),
+        6,
+    )
+    return e.select("d", "n", "benford_p", part.alias("chi2_part"))
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a JOIN names b
+        ON split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1)
+       AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           levenshtein(name_a, name_b) AS dist
+    FROM blocked
+    WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: distinct part-name pairs within Levenshtein
+    distance 2, BLOCKED on the final token so the quadratic edit-distance
+    work runs per block, never all-pairs (the standard linkage shape —
+    blocks are vocabulary-bounded).  Exact integer distances; both
+    engines ship the same Wagner-Fischer builtin."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    key = F.element_at(F.split(F.col("p_name"), " "), -1)
+    a = names.select(
+        F.col("p_name").alias("name_a"), key.alias("__blk")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("__blk"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
