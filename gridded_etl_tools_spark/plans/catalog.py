@@ -5905,3 +5905,162 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist")
     )
+
+
+@query(
+    "streaming_cms_readback",
+    """
+    SELECT r.row,
+           ('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), chr(1),
+                                      CAST(e.user_id AS VARCHAR))),
+                           1, 8))::BIGINT % 64 AS col,
+           count(*) AS cnt
+    FROM events e, (SELECT unnest(range(0, 3)) AS row) r
+    GROUP BY 1, 2
+    """,
+)
+def streaming_cms_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-on-stream under the batch oracle: the Count-Min counter
+    table built INCREMENTALLY over the events file stream (the (row,
+    col) count aggregation is exactly a streaming groupBy — state is
+    the d*w counter cells, constant regardless of stream length) must
+    hash-match the batch-built table the oracle computes.  Complete-mode
+    memory sink over AvailableNow replay."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.operators.sketches import _cms_col
+
+    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
+        os.replace(tmp, target)
+
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    e = stream.select(
+        F.col("user_id").alias("__it"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("row"),
+    )
+    counters = (
+        e.select("row", _cms_col(F.col("__it"), F.col("row"), 64).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"stream_cms_{uuid.uuid4().hex}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("row", "col", "cnt")
+
+
+@query(
+    "prefix_refine_ann_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             embedding[1:16] AS prefix,
+             sqrt(list_sum(list_transform(embedding, x -> x * x))) AS fnorm,
+             sqrt(list_sum(list_transform(embedding[1:16], x -> x * x)))
+               AS pnorm
+      FROM embeddings),
+    probes AS (SELECT * FROM base WHERE vec_id % 100 = 0),
+    coarse AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(p.prefix, c.prefix),
+                                     t -> t[1] * t[2]))
+               / (p.pnorm * c.pnorm) AS psim,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+                                     t -> t[1] * t[2]))
+               / (p.fnorm * c.fnorm) AS fsim
+      FROM probes p JOIN base c ON c.vec_id <> p.vec_id),
+    shortlist AS (
+      SELECT probe_id, neighbor_id, fsim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY round(psim, 6) DESC, neighbor_id)
+               AS crank
+      FROM coarse)
+    SELECT probe_id, neighbor_id, round(fsim, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                              ORDER BY round(fsim, 6) DESC, neighbor_id)
+             AS INT) AS rank
+    FROM shortlist WHERE crank <= 50
+    QUALIFY rank <= 5
+    """,
+)
+def prefix_refine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine ANN (Matryoshka-style): rank ALL candidates by
+    the 16-dim PREFIX cosine (4x cheaper per pair), keep a 50-deep
+    shortlist per probe, then re-rank only the shortlist with the full
+    64-dim cosine — the two-stage funnel that cuts full-precision work
+    to the shortlist while keeping recall (the prefix of a trained
+    matryoshka embedding preserves neighborhoods).  Both stages rank on
+    ROUNDED similarity with id tie-breaks, so the shortlist and the
+    final top-5 are engine-exact.  Scale: stage 1 is the same shape as
+    cosine_topk (broadcast probes); stage 2 touches 50 rows per probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    base = emb.select(
+        "vec_id", "embedding",
+        F.slice("embedding", 1, 16).alias("prefix"),
+        norm(F.col("embedding")).alias("fnorm"),
+        norm(F.slice("embedding", 1, 16)).alias("pnorm"),
+    )
+    probes = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("prefix").alias("p_pre"),
+        F.col("fnorm").alias("p_fn"),
+        F.col("pnorm").alias("p_pn"),
+    )
+    cand = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("p_pre"), F.col("prefix"))
+            / (F.col("p_pn") * F.col("pnorm"))
+        ).alias("psim"),
+        (
+            dot(F.col("p_emb"), F.col("embedding"))
+            / (F.col("p_fn") * F.col("fnorm"))
+        ).alias("fsim"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.round("psim", 6).desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = scored.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= 50
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.round("fsim", 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id", "neighbor_id",
+            F.round("fsim", 6).alias("cosine"), "rank",
+        )
+    )
