@@ -790,3 +790,63 @@ def test_kaplan_meier_textbook_example(spark):
     assert rows[2]["n_at_risk"] == 3 and rows[2]["survival"] == 0.5
     # terminal time: the whole remaining risk set fails -> survival 0
     assert rows[4]["n_at_risk"] == 1 and rows[4]["survival"] == 0.0
+
+
+def test_prefix_refine_ann_recall(spark):
+    """Coarse-to-fine prefix search: with a 50-deep shortlist over 400
+    vectors, full-precision re-ranking recovers most of the true top-5
+    (recall@5 well above the 50/400 shortlist-chance floor)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 64
+    vecs = rng.normal(size=(n, dim)).astype("float64")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    base = df.select(
+        "vec_id", "embedding",
+        F.slice("embedding", 1, 16).alias("prefix"),
+    )
+    probes = base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("prefix").alias("p_pre"),
+    )
+    cand = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("p_pre"), F.col("prefix")).alias("psim"),
+        dot(F.col("p_emb"), F.col("embedding")).alias("fsim"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("psim"))
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("fsim"))
+    got = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 50)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    sims = vecs @ vecs.T
+    np.fill_diagonal(sims, -2)
+    hits = total = 0
+    for p in range(20):
+        truth = set(np.argsort(-sims[p])[:5].tolist())
+        hits += len(truth & by_probe.get(p, set()))
+        total += 5
+    recall = hits / total
+    assert recall > 0.5  # shortlist-chance floor is 50/399 ~ 0.125
