@@ -6064,3 +6064,113 @@ def prefix_refine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("fsim", 6).alias("cosine"), "rank",
         )
     )
+
+
+@query(
+    "largest_purchase_per_user",
+    """
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, v AS top_value, event_id AS top_event_id, ts AS top_ts
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY v DESC, event_id DESC) = 1
+    """,
+)
+def largest_purchase_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via STRUCT MAX — ``max_by`` resolves ties
+    arbitrarily, but ``max(struct(v, id, payload))`` is total-ordered
+    and deterministic, and it is ONE hash aggregate (map-side
+    combinable) instead of a ranking window — the idiomatic distributed
+    argmax.  The oracle's row_number formulation must agree exactly."""
+    p = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.struct(
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            F.col("event_id").alias("event_id"),
+            F.col("ts").alias("ts"),
+        ).alias("s"),
+    )
+    top = p.groupBy("user_id").agg(F.max("s").alias("s"))
+    return top.select(
+        "user_id",
+        F.col("s.v").alias("top_value"),
+        F.col("s.event_id").alias("top_event_id"),
+        F.col("s.ts").alias("top_ts"),
+    )
+
+
+@query(
+    "locf_filled_daily",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(
+        (SELECT CAST(min(ts) AS DATE) FROM events),
+        (SELECT CAST(max(ts) AS DATE) FROM events),
+        INTERVAL 1 DAY)) AS d),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS y
+      FROM events WHERE event_type IN ('signup', 'error')
+        AND day(ts) % 3 <> 0
+      GROUP BY 1, 2),
+    dense AS (
+      SELECT t.event_type, CAST(days.d AS DATE) AS d, daily.y
+      FROM days CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily ON daily.event_type = t.event_type
+                     AND daily.d = CAST(days.d AS DATE))
+    SELECT event_type, CAST(d AS TIMESTAMP) AS day, y,
+           last_value(y IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS y_filled
+    FROM dense
+    """,
+)
+def locf_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: the daily series is
+    punched with holes (every third calendar day dropped), densified
+    against the full day axis, and filled with ``last(ignorenulls)`` —
+    the step-function fill that complements ``interpolate_na``'s linear
+    fill (reference reindex-then-fill, ``utils/publish.py`` dense-slice
+    prep).  The window runs per series over the DAY AXIS; leading NULLs
+    stay NULL by design."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.col("event_type").isin("signup", "error")
+            & (F.dayofmonth("ts") % 3 != 0)
+        )
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "event_type", "d",
+            F.round(F.col("__sum").cast("double") / F.col("__n"), 6).alias("y"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    dense = days.crossJoin(types).join(daily, ["event_type", "d"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("day"),
+        "y",
+        F.last("y", ignorenulls=True).over(w).alias("y_filled"),
+    )
