@@ -247,6 +247,16 @@ SHUFFLE_BUDGET = {
     "robust_outlier_days": (7, 0),
     "last_touch_attribution": (2, 0),
     "hll_running_distinct_users": (5, 0),
+    # final round-4 batch
+    "cube_event_revenue": (1, 0),        # one Expand + hash agg
+    "revenue_share_by_type": (2, 1),     # type agg + broadcast scalar
+    "customers_without_orders": (0, 0),  # broadcast anti probe
+    "orders_above_global_avg": (0, 1),   # scalar agg broadcast to filter
+    "benford_first_digit_qc": (2, 1),    # digit agg + total scalar
+    "fuzzy_name_pairs": (2, 0),          # name distinct + block join
+    "prefix_refine_ann_topk": (1, 0),    # broadcast probes + one window
+    "largest_purchase_per_user": (1, 0),  # single struct-max hash agg
+    "locf_filled_daily": (2, 1),         # daily agg + day-axis window
 }
 
 
