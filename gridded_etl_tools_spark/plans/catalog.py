@@ -6174,3 +6174,126 @@ def locf_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.last("y", ignorenulls=True).over(w).alias("y_filled"),
     )
+
+
+@query(
+    "weighted_median_daily_mean",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS w,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS y
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, day, y, w,
+             sum(w) OVER (PARTITION BY event_type
+                          ORDER BY y, day
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY y, day) AS rn
+      FROM daily),
+    picked AS (
+      SELECT *,
+             min(CASE WHEN 2 * cumw >= total THEN rn END)
+               OVER (PARTITION BY event_type) AS pick
+      FROM c)
+    SELECT event_type, y AS weighted_median, w AS median_day_weight
+    FROM picked WHERE rn = pick
+    """,
+)
+def weighted_median_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted-median convention: first value
+    whose cumulative weight reaches half the total) of the daily means,
+    weighted by each day's event count — the weighted-quantile shape a
+    weighted corpus needs, computed RANK-EXACTLY: integer cumulative
+    weights, no interpolation, nothing for engines to disagree on.
+    One facts agg to the day axis, then axis-sized windows."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "event_type", "day", "w",
+            F.round(F.col("__sum").cast("double") / F.col("w"), 6).alias("y"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("y", "day")
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type", "day", "y", "w",
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("w").over(wall).alias("total"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    first_rn = F.min(
+        F.when(2 * F.col("cumw") >= F.col("total"), F.col("rn"))
+    ).over(wall)
+    return (
+        c.withColumn("__pick", first_rn)
+        .filter(F.col("rn") == F.col("__pick"))
+        .select(
+            "event_type",
+            F.col("y").alias("weighted_median"),
+            F.col("w").alias("median_day_weight"),
+        )
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH dims AS (
+      SELECT u.pos AS dim,
+             CAST(round(u.x, 6) AS DECIMAL(18,6)) AS x6
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS pos) u),
+    s AS (
+      SELECT dim, count(*) AS n,
+             sum(x6) AS sx,
+             sum(x6 * x6) AS sxx
+      FROM dims GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim, n,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+           round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / n)) / (n - 1), 6) AS variance
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    standardization statistics a whitening / normalization pass needs
+    before clustering or PQ training.  posexplode to (dim, value), one
+    hash agg with EXACT decimal Σx and Σx² (values rounded to 6dp and
+    cast; (18,6)×(18,6) keeps full scale), then deterministic double
+    closed forms.  Shuffle carries (dim, partial sums) — 64 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round("x", 6).cast("decimal(18,6)").alias("x6"),
+    )
+    s = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    sx, sxx, n = (
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("n"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(sx / n, 6).alias("mean"),
+        F.round((sxx - sx * (sx / n)) / (n - 1), 6).alias("variance"),
+    )
