@@ -257,6 +257,8 @@ SHUFFLE_BUDGET = {
     "prefix_refine_ann_topk": (1, 0),    # broadcast probes + one window
     "largest_purchase_per_user": (1, 0),  # single struct-max hash agg
     "locf_filled_daily": (2, 1),         # daily agg + day-axis window
+    "weighted_median_daily_mean": (2, 0),  # daily agg + axis windows
+    "embedding_dim_stats": (1, 0),       # posexplode + one (dim) agg
 }
 
 
