@@ -525,3 +525,70 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "corpus_prep_end_to_end",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, source, n_chars,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    quality AS (
+      SELECT doc_id, text, source, n_chars,
+             len(t) AS n_tokens
+      FROM toks
+      WHERE n_chars >= 50
+        AND CAST(len(list_distinct(t)) AS DOUBLE)
+            / greatest(len(t), 1) >= 0.3),
+    dedup AS (
+      SELECT * FROM quality
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    assigned AS (
+      SELECT *,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS bucket
+      FROM dedup)
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM assigned GROUP BY 1
+    """,
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE declarative plan —
+    quality gate (length + distinct-token ratio) → exact dedup (first
+    id per content) → deterministic hash split → per-split shard stats
+    — composed from the same operators the standalone rows exercise
+    (`text.distinct_token_ratio`, `dedup.exact_dedup` semantics,
+    `text.split_assign`), so Catalyst fuses the stages into a single
+    job: the quality filter runs inside the scan projection, the dedup
+    is the lone content-keyed shuffle, the split is map-side, and the
+    rollup leaves three rows.  The oracle replays every stage."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    quality = docs.filter(
+        (F.col("n_chars") >= 50)
+        & (text_ops.distinct_token_ratio(t) >= 0.3)
+    ).withColumn("n_tokens", text_ops.token_count(t))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    dedup = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    assigned = dedup.withColumn(
+        "split",
+        text_ops.split_assign(
+            F.col("doc_id"), {"train": 90, "val": 5, "test": 5}
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
