@@ -6297,3 +6297,114 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / n, 6).alias("mean"),
         F.round((sxx - sx * (sx / n)) / (n - 1), 6).alias("variance"),
     )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), CAST(max(h) AS DATE))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(value AS DECIMAL(18,2))) AS monetary
+      FROM events, horizon
+      WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM rfm)
+    SELECT user_id, recency_days, frequency, monetary,
+           concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+                  CAST(m AS VARCHAR)) AS rfm_code
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartile codes — the classic marketing rollup.  One purchase agg,
+    then three ntile windows over the CUSTOMER AXIS with unique
+    tie-breaks (ntile is positional, so ambiguous sorts would be
+    engine-unstable).  Monetary sums are exact decimals."""
+    ev = load(spark, sf_dir, "events")
+    horizon = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("h")))
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(horizon)
+        .select(
+            "user_id",
+            F.datediff("h", "__last").alias("recency_days"),
+            "frequency", "monetary",
+        )
+    )
+    one = Window.partitionBy(F.lit(0))
+    r = F.ntile(4).over(one.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+    f = F.ntile(4).over(one.orderBy(F.col("frequency").desc(), F.col("user_id")))
+    m = F.ntile(4).over(one.orderBy(F.col("monetary").desc(), F.col("user_id")))
+    return rfm.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("rfm_code"),
+    )
+
+
+@query(
+    "pareto_part_classes",
+    """
+    WITH rev AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    c AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev)
+    SELECT l_partkey, revenue,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classed by CUMULATIVE revenue share (A = first 80%, B = next 15%,
+    C = tail) — the running percent-of-total shape.  Cumulative sums
+    are EXACT decimals over a unique total order, so the class cut is a
+    deterministic comparison; the window runs on the PART AXIS (post-agg),
+    not the facts.  (The single-sequence window is the inherent shape
+    of a global ranking — at scale, range-partition the sort.)"""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("revenue")
+    )
+    one = Window.partitionBy(F.lit(0))
+    cum = F.sum("revenue").over(
+        one.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("revenue").over(one)
+    share = cum.cast("double") / total.cast("double")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return rev.select("l_partkey", "revenue", cls.alias("abc_class"))
