@@ -6408,3 +6408,87 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
     )
     return rev.select("l_partkey", "revenue", cls.alias("abc_class"))
+
+
+@query(
+    "association_rules_parts",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+    item AS (
+      SELECT l_partkey, count(*) AS item_cnt FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT ante, cons, pair_cnt,
+           round(CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+           round(CAST(pair_cnt AS DOUBLE) / CAST(ia.item_cnt AS DOUBLE), 6)
+             AS confidence,
+           round((CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(ia.item_cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(ic.item_cnt AS DOUBLE) / CAST(n AS DOUBLE))),
+                 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = ante
+    JOIN item ic ON ic.l_partkey = cons
+    CROSS JOIN n_orders
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: support /
+    confidence / lift for co-purchased part pairs (min pair support 3)
+    — the A-priori first rung.  The pair join is WITHIN BASKET (keyed
+    on the orderkey, quadratic only in basket width ~4, never item
+    pairs globally); item counts broadcast back; every measure is one
+    division of exact integers."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = F.broadcast(
+        baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("item_cnt")
+    )
+    a = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("ante")
+    )
+    b = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("cons")
+    )
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ante"), F.col("item_cnt").alias("__ia")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("cons"), F.col("item_cnt").alias("__ic")
+    )
+    j = (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(n_orders)
+    )
+    nd = F.col("n").cast("double")
+    pc = F.col("pair_cnt").cast("double")
+    return j.select(
+        "ante", "cons", "pair_cnt",
+        F.round(pc / nd, 6).alias("support"),
+        F.round(pc / F.col("__ia").cast("double"), 6).alias("confidence"),
+        F.round(
+            (pc / nd)
+            / (
+                (F.col("__ia").cast("double") / nd)
+                * (F.col("__ic").cast("double") / nd)
+            ),
+            6,
+        ).alias("lift"),
+    )
