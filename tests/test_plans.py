@@ -259,6 +259,10 @@ SHUFFLE_BUDGET = {
     "locf_filled_daily": (2, 1),         # daily agg + day-axis window
     "weighted_median_daily_mean": (2, 0),  # daily agg + axis windows
     "embedding_dim_stats": (1, 0),       # posexplode + one (dim) agg
+    "corpus_prep_end_to_end": (2, 0),    # content dedup + split rollup
+    "rfm_segments": (1, 2),              # purchase agg; ntile on user axis
+    "pareto_part_classes": (1, 1),       # part agg; ranking on part axis
+    "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }
 
 
