@@ -68,6 +68,7 @@ _FAMILY_REPRESENTATIVES = (
     "term_shift_jsd",             # corpus-snapshot divergence
     "conversion_funnel",          # ordered-step funnel
     "bm25_search_scores",         # lexical retrieval
+    "corpus_prep_end_to_end",     # whole prep pipeline, one plan
     "cohort_retention_weekly",    # retention triangle
     "survival_signup_to_purchase",  # Kaplan-Meier curve
     "ewma_daily_values",          # exponential smoothing
