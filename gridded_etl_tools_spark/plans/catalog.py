@@ -5621,7 +5621,13 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmas (1.4826·MAD).  Two exact-percentile aggs broadcast back onto
     the day axis; the OUTPUT carries only exact columns (the flag is a
     deterministic comparison of identical doubles — no derived float
-    ever reaches the hash)."""
+    ever reaches the hash).
+
+    The day-axis rollup is ``localCheckpoint``-materialized: the med →
+    dev → mad chain references it three times and Catalyst does NOT
+    dedup the common subtree (no ReusedExchange — measured 4 fact
+    scans), so without the cut a 100 TB fact table is scanned four
+    times for a 150-row axis."""
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
@@ -5633,6 +5639,7 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day",
             F.round(F.col("__sum").cast("double") / F.col("__n"), 6).alias("y"),
         )
+        .localCheckpoint(eager=True)  # one fact scan, not four
     )
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(y, 0.5)").alias("med")

@@ -244,7 +244,7 @@ SHUFFLE_BUDGET = {
     "unpivot_event_matrix": (2, 0),
     "event_value_deciles": (1, 0),
     "ewma_daily_values": (4, 0),
-    "robust_outlier_days": (7, 0),
+    "robust_outlier_days": (3, 0),  # daily axis localCheckpointed: 1 fact scan
     "last_touch_attribution": (2, 0),
     "hll_running_distinct_users": (5, 0),
     # final round-4 batch
