@@ -612,7 +612,11 @@ def bm25_scores(
     dfreq = F.broadcast(
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    # dl is referenced by both the stats reduction and the per-doc join;
+    # uncut that re-tokenizes the corpus twice — materialize the doc axis
+    dl = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    ).localCheckpoint(eager=True)
     stats = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("__n_docs"),
@@ -673,7 +677,11 @@ def unigram_perplexity(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab feeds both the totals scalar and the per-term probabilities;
+    # materialize so the corpus is tokenized once for the LM build
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
     totals = F.broadcast(
         vocab.agg(
             F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")

@@ -3874,7 +3874,7 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
     ).withColumn(
         "day_mean", F.col("__sum").cast("double") / F.col("__n")
-    )
+    ).localCheckpoint(eager=True)  # stats + window both reference the axis
     return agg_ops.cusum_changepoints(
         daily, keys=["event_type"], day_col="day", value_col="day_mean",
         threshold_sigmas=3.0,
@@ -3923,7 +3923,7 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
     ).withColumn(
         "day_mean", F.col("__sum").cast("double") / F.col("__n")
-    )
+    ).localCheckpoint(eager=True)  # pairwise self-join over the axis
     return agg_ops.mann_kendall_trend(
         daily, keys=["event_type"], day_col="day", value_col="day_mean"
     )
@@ -3980,7 +3980,8 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
     ).withColumn(
         "day_mean", F.col("__sum").cast("double") / F.col("__n")
-    )
+    ).localCheckpoint(eager=True)  # decompose references the axis 3x;
+    # Catalyst does not dedup the subtree, so uncut this is 3 fact scans
     return agg_ops.seasonal_decompose(
         daily, keys=["event_type"], day_col="day", value_col="day_mean",
         ma_window=7,
@@ -5559,7 +5560,10 @@ def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("event_type").orderBy("day")
-    idx = daily.withColumn("rn", F.row_number().over(w).cast("int"))
+    # both self-join sides reference the axis: materialize it once
+    idx = daily.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).localCheckpoint(eager=True)
     a_, b_ = idx.alias("a"), idx.alias("b")
     terms = a_.join(
         b_,
@@ -6162,6 +6166,7 @@ def locf_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__sum").cast("double") / F.col("__n"), 6).alias("y"),
         )
     )
+    daily = daily.localCheckpoint(eager=True)  # axis referenced 3x below
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
     )
