@@ -207,6 +207,12 @@ def pagerank(
 
     Returns ``id, rank``.
     """
+    # The edge list is referenced every round (and nodes/deg derive from
+    # it); Catalyst does not dedup the common subtree, so a lazily-derived
+    # graph (e.g. the MinHash-LSH near-dup pipeline) would be recomputed
+    # per iteration — measured 28 corpus scans for 2 rounds.  Materialize
+    # the graph once; everything downstream reads the checkpoint.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))

@@ -6458,7 +6458,13 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs globally); item counts broadcast back; every measure is one
     division of exact integers."""
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # baskets feeds n_orders, item counts, and BOTH pair-join sides —
+    # materialize so the distinct shuffle runs once, not five times
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = F.broadcast(
         baskets.agg(F.countDistinct("l_orderkey").alias("n"))
     )
