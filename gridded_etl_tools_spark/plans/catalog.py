@@ -6510,3 +6510,63 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "table_profile_events",
+    """
+    SELECT 'event_id' AS column_name, count(*) AS n_rows,
+           sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_repr,
+           CAST(max(event_id) AS VARCHAR) AS max_repr
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT event_type),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT value),
+           CAST(round(min(value), 6) AS VARCHAR),
+           CAST(round(max(value), 6) AS VARCHAR)
+    FROM events
+    """,
+)
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts and min/max
+    — the first query every engine runs against an unknown table (the
+    reference's pre-parse QC gathers the same facts imperatively,
+    ``utils/publish.py`` pre-checks).  All four column profiles compute
+    in parallel branches over ONE logical scan each with full column
+    pruning; counts are exact.  min/max stringify for a uniform schema
+    (numeric reprs are integer-exact; value rounds to 6dp first)."""
+    ev = load(spark, sf_dir, "events")
+
+    def profile(col: str, repr_expr=None):
+        c = F.col(col)
+        rep = repr_expr if repr_expr is not None else c
+        return ev.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(rep).cast("string").alias("min_repr"),
+            F.max(rep).cast("string").alias("max_repr"),
+        )
+
+    return (
+        profile("event_id")
+        .unionByName(profile("user_id"))
+        .unionByName(profile("event_type"))
+        .unionByName(profile("value", F.round(F.col("value"), 6)))
+    )
