@@ -6570,3 +6570,56 @@ def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("event_type"))
         .unionByName(profile("value", F.round(F.col("value"), 6)))
     )
+
+
+@query(
+    "join_key_skew_report",
+    """
+    WITH k AS (
+      SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*) AS n_keys, sum(n) AS total,
+             round(CAST(max(n) AS DOUBLE)
+                   / (CAST(sum(n) AS DOUBLE) / count(*)), 4) AS skew_ratio
+      FROM k),
+    top AS (
+      SELECT key, n,
+             row_number() OVER (ORDER BY n DESC, key) AS rk
+      FROM k)
+    SELECT t.rk, t.key, t.n, s.n_keys, s.total, s.skew_ratio,
+           round(CAST(t.n AS DOUBLE) / CAST(s.total AS DOUBLE), 6)
+             AS key_share
+    FROM top t, s WHERE t.rk <= 10
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top-10 heaviest keys of a join
+    column with their share of rows and the max/mean skew ratio — the
+    report that decides WHICH keys get salted
+    (``operators/skew.salted_join``) or isolated before a 100 TB
+    shuffle.  One hash agg to the key axis; the ranking is a top-k over
+    keys (TakeOrdered shape), never facts; all figures exact or single
+    divisions of exact counts."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = F.broadcast(
+        k.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("total"),
+            F.round(
+                F.max("n").cast("double")
+                / (F.sum("n").cast("double") / F.count(F.lit(1))),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("key"))
+    top = k.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    return top.crossJoin(s).select(
+        "rk", "key", "n", "n_keys", "total", "skew_ratio",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"), 6
+        ).alias("key_share"),
+    )
