@@ -6623,3 +6623,65 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("total").cast("double"), 6
         ).alias("key_share"),
     )
+
+
+@query(
+    "session_conversion_daily",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    ), per_session AS (
+      SELECT user_id, sess,
+             CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY user_id, sess)
+    SELECT day,
+           count(*) AS n_sessions,
+           sum(converted) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+             AS conversion_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def session_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion rate per day: sessions (30-min inactivity
+    islands, same semantics as ``session_stats``) flagged converted if
+    they contain a purchase, rolled up by session-start day — the
+    session-level funnel metric.  One entity-keyed shuffle for the
+    islands (reused by the per-session agg), then a day-axis rollup;
+    the rate is one division of exact counts."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((ts_us - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    s = ev.withColumn("__new", new_sess).withColumn(
+        "sess",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = s.groupBy("user_id", "sess").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
