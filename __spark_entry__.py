@@ -29,51 +29,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # with no correctness row in ANY round, (3) stalest-checked first
 # (round-robin re-confirmation of old greens), with the most-recently-green
 # queries last.
+# Round 5: the r4 gate showed 8 hash mismatches — ALL had DuckDB
+# HUGEINT (integer-sum) or DECIMAL/DATE output columns, whose pandas
+# conversion is DuckDB-build-dependent; no green query had any.  Every
+# oracle now CASTs to the conversion-safe canon (BIGINT/DOUBLE/
+# TIMESTAMP...) at the output boundary, enforced by
+# tests/test_plans.py::test_oracle_output_type_canon and verified by
+# scripts/verify_strict.py (type-sensitive, both fetch paths).  The 8
+# re-confirms + the canary take the first window slots.
 _FIXED_THIS_ROUND = (
-    "session_stats",            # r3 ERR: unix_micros on TIMESTAMP_NTZ
-    "time_bucket_resample",     # r3 ERR: same
-    "interval_window_shipments",  # r2/r3 hash mismatch: DECIMAL output
-    "lsh_ann_topk",             # r4: gained a full oracle (was rows-only)
-    "q2_min_cost_supplier",     # r4: half-way rounding fix (sf0.1 sweep)
-    "customer_retention",       # r4: single-pass rewrite
-    "ngram_overlap_pairs",      # r4: boilerplate cap added
+    "ivm_rollup_maintenance",     # r4 hash: DECIMAL + DATE output
+    "climate_dry_spells",         # r4 hash: HUGEINT n_event_days
+    "sequence_packing",           # r4 hash: HUGEINT bin_tokens
+    "event_mix_drift_chi2",       # r4 hash: HUGEINT n0/n1
+    "term_shift_jsd",             # r4 hash: HUGEINT p_cnt/q_cnt
+    "corpus_prep_end_to_end",     # r4 hash: HUGEINT token/char sums
+    "survival_signup_to_purchase",  # r4 hash: HUGEINT at-risk counts
+    "unigram_perplexity_scores",  # r4 hash: HUGEINT n_tokens
+    "engine_canary",              # NEW: primitive-divergence probe row
+    "doc_chunks",                 # r4 green; NULL-text guard hardened
 )
 
-# With more never-checked queries than the driver's ~50-query window can
-# hold, make sure every OPERATOR FAMILY gets at least one representative
-# row this round (the rest of each family follows in later rounds'
-# stalest-first rotation).
+# Never-checked queries, ordered by round-5 urgency: first the ones
+# whose output types were hardened this round (they would have failed
+# the old way), then the new round-5 surface, then the r4 flagship
+# format/sink rows still awaiting their first driver row.
 _FAMILY_REPRESENTATIVES = (
-    "grib_decode",                # format decodes: the reference's real
-    "grib2_decode",               #   ingest substrate (VERDICT r3 item 1)
-    "netcdf4_decode",             #   — pin them ahead of the window edge
-    "zarr_decode",
-    "mixed_format_scan",
-    "published_table_readback",   # table commit protocol end-to-end
-    "multimodal_features",        # mapInPandas binary plumbing
-    "ivm_rollup_maintenance",     # incremental view maintenance
-    "streaming_session_readback",  # session_window state
-    "streaming_join_readback",    # stream-stream interval join
-    "climate_dry_spells",         # climate indices family
-    "sequence_packing",           # training-data assembly
-    "decontamination_flags",      # eval-overlap scrub
-    "pii_scrub",                  # PII redaction
-    "dataset_split_counts",       # deterministic splits
-    "value_percentiles_exact",    # exact-vs-sketch ground truth
-    "hll_distinct_users_daily",   # sketch with hash-checked estimate
-    "cms_user_frequencies",       # sketch with hash-checked estimate
-    "ols_trend_by_type",          # grouped OLS
-    "event_mix_drift_chi2",       # categorical drift QC
-    "doc_chunks",                 # context-window chunking
-    "term_shift_jsd",             # corpus-snapshot divergence
-    "conversion_funnel",          # ordered-step funnel
-    "bm25_search_scores",         # lexical retrieval
-    "corpus_prep_end_to_end",     # whole prep pipeline, one plan
-    "cohort_retention_weekly",    # retention triangle
-    "survival_signup_to_purchase",  # Kaplan-Meier curve
-    "ewma_daily_values",          # exponential smoothing
-    "unigram_perplexity_scores",  # LM-quality filter
-    "skew_two_phase_agg",         # skew hardening
+    # type-canon hardened, never driver-checked
+    "token_budget_subset",
+    "streaming_window_readback",
+    "parametric_payouts",
+    "climate_heat_spells",
+    "climate_degree_days",
+    "q18_large_volume_customers",
+    "last_touch_attribution",
+    "cube_event_revenue",
+    "revenue_share_by_type",
+    "orders_above_global_avg",
+    "largest_purchase_per_user",
+    "rfm_segments",               # + scalable global_ntile rework
+    "pareto_part_classes",
+    "table_profile_events",
+    "join_key_skew_report",       # + TakeOrderedAndProject rework
+    "session_conversion_daily",
+    "sequence_packing_sharded",
+    "user_activity_deciles",      # + scalable global_ntile rework
+    "cusum_changepoints",
+    "seasonal_decomposition",
+    # new round-5 surface
+    "multimodal_real_decode",     # real PNG decode on executors
+    "cf_gridmapping_reproject",   # generic CF projection registry
+    "approx_distinct_bound_check",    # sketch error-bound certificates
+    "sketch_rollup_bound_check",
+    "approx_percentiles_bound_check",
+    # r4 flagship formats/sinks, never checked
+    "geotiff_decode",
+    "kerchunk_decode",
+    "zarr3_decode",
+    "zarr_publish_readback",
+    "bloom_two_phase_dedup",
 )
 
 

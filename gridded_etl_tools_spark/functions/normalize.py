@@ -23,6 +23,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def pos_zero(col: Column) -> Column:
+    """Canonicalize IEEE signed zero: ``x + 0.0`` maps ``-0.0`` to
+    ``+0.0`` and changes nothing else.
+
+    THE cross-engine convention for any output column that can hit an
+    exact zero from a signed direction (rounded near-zero means,
+    covariances, correlations): DuckDB's round()/covar can emit ``-0.0``
+    where Spark emits ``0.0``, and the gate's stringify distinguishes
+    them.  Apply this to the Spark column AND append ``+ 0.0`` to the
+    same column in the oracle SQL — both sides, always together."""
+    return col + F.lit(0.0)
+
+
 def sentinel_to_null(df: DataFrame, value_col: str, sentinel: float) -> DataFrame:
     """Rewrite the provider's missing-value sentinel (and non-finite
     stand-ins) to NULL."""

@@ -63,11 +63,24 @@ def deterministic_fake_decode(payload: bytes, n_features: int = 8) -> list[float
 
 def real_decode_placeholder(payload: bytes) -> list[float]:
     """Where a real decoder plugs in (PIL image decode, librosa mel
-    features, ffmpeg frame sampling).  Deliberately unimplemented here:
-    the container has no media libraries."""
+    features, ffmpeg frame sampling).  PNG payloads have a REAL in-repo
+    decoder — ``multimodal/png.py`` (zlib inflate + full unfilter,
+    promoted from the GRIB2 5.41/7.41 path; see the
+    ``multimodal_real_decode`` catalog row for its oracle-checked pixel
+    statistics).  Other codecs remain unimplemented: the container
+    ships no media libraries."""
+    from gridded_etl_tools_spark.multimodal import png
+
+    if payload[:8] == png._PNG_SIG:
+        _w, _h, _c, px = png.decode_png(payload)
+        # simple real features: dimensions + global intensity moments
+        mean = float(px.mean())
+        std = float(px.std())
+        return [float(_w), float(_h), float(_c), mean, std]
     raise NotImplementedError(
-        "no media codec available in this environment; pass decode_fn="
-        "deterministic_fake_decode or a real decoder"
+        "no codec for this payload type in this environment; PNG is "
+        "supported natively (multimodal/png.py), otherwise pass "
+        "decode_fn=deterministic_fake_decode or a real decoder"
     )
 
 

@@ -325,6 +325,61 @@ def bucketed_prefix_sum(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: list,
+    bucket_col: str,
+    tile_col: str = "tile",
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY ...)`` WITHOUT the global
+    single-partition window — the scale path for quantile bucketing over
+    an unbounded axis (users, parts).
+
+    ntile is positional: with n rows, the first ``n % k`` tiles get
+    ``n // k + 1`` rows, the rest ``n // k`` (identical in Spark and
+    DuckDB/ANSI).  So the tile of a row is a closed-form function of its
+    GLOBAL POSITION, and the global position is a two-level bucketed
+    prefix count (:func:`bucketed_prefix_sum` of ones): per-bucket
+    counts + broadcast offsets + a bucket-partitioned interior
+    row_number.  The axis only ever shuffles on ``bucket_col`` — a
+    monotone coarsening of the primary sort key (same contract as
+    ``bucketed_prefix_sum``), with ``bucket_desc`` matching the sort
+    direction.  Equality with the positional ntile is exact, so oracle
+    parity holds with no window over ``lit(0)``.
+
+    The input is localCheckpointed first: the axis frame is referenced
+    three times (bucket totals, position join, row count) and chained
+    ntile passes would otherwise re-embed the whole upstream plan per
+    reference (Catalyst does not dedup common subtrees) — the barrier
+    keeps each pass at two bucket-keyed exchanges over the
+    already-materialized axis.
+    """
+    df = df.localCheckpoint(eager=True)
+    pos = bucketed_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        bucket_col=bucket_col,
+        order_by=order_by,
+        value_col="__one",
+        cum_col="__pos",
+        bucket_desc=bucket_desc,
+    )
+    n_total = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    base = F.floor(F.col("__n") / n_tiles)          # rows in a small tile
+    rem = F.col("__n") % n_tiles                    # number of big tiles
+    cut = rem * (base + 1)                          # rows in big tiles
+    i = F.col("__pos")
+    tile = F.when(
+        i <= cut, F.floor((i - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((i - cut - 1) / base) + 1)
+    return (
+        pos.crossJoin(n_total)
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("__one", "__pos", "__n")
+    )
+
+
 def seasonal_decompose(
     daily: DataFrame,
     keys: list[str],

@@ -504,9 +504,16 @@ def chunk_documents(
     (id, chunk_idx, chunk_text) straight into dedup/embedding stages.
     """
     n = F.length(F.col(text_col))
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((F.greatest(n - chunk_chars, F.lit(0)) + stride - 1) / stride) + 1
-    )
+    # null-SAFE guard: for NULL text `n <= 0` is NULL (not false), so the
+    # positive branch must be the guarded one — NULL and empty text both
+    # fall to 0 chunks (matches the oracle's WHERE length(text) > 0)
+    n_chunks = F.when(
+        n > 0,
+        F.floor(
+            (F.greatest(n - chunk_chars, F.lit(0)) + stride - 1) / stride
+        )
+        + 1,
+    ).otherwise(F.lit(0))
     # sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
     # empty-document case with an empty array instead
     idxs = F.when(

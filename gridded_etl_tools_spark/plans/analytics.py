@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gridded_etl_tools_spark.functions.normalize import pos_zero
 from gridded_etl_tools_spark.operators import aggregations as agg_ops
 from gridded_etl_tools_spark.plans.catalog import query
 from gridded_etl_tools_spark.plans.tables import load
@@ -88,9 +89,10 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
-        # `+ 0.0` on both engine and oracle normalizes IEEE -0.0 to +0.0
-        # (DuckDB's covar_pop can yield -0.0 where Spark yields 0.0).
-        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+        # signed-zero canon (functions/normalize.pos_zero, mirrored by
+        # `+ 0.0` in the oracle SQL): DuckDB's covar_pop can yield -0.0
+        # where Spark yields 0.0.
+        pos_zero(F.round(F.covar_pop("l_discount", "l_tax"), 6)).alias(
             "disc_tax_covar_pop"
         ),
     )
@@ -143,21 +145,21 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile buckets over per-user activity.  ntile is ordered on
-    (count, user_id) so tie placement is engine-independent.  The window
-    is global but runs over the already-aggregated per-user table, not
-    the facts; at scale replace with pre-computed percentile cut-points
-    joined back (the ⊘ sketch path)."""
+    (count, user_id) so tie placement is engine-independent.  The user
+    axis grows with the data, so NO global single-partition window runs:
+    ``operators/aggregations.global_ntile`` computes each user's exact
+    global position with a two-level bucketed prefix count (bucket =
+    the activity count itself — the monotone coarsening of the primary
+    sort key) and derives the identical positional ntile in closed
+    form.  The oracle's native ntile must agree exactly."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    # Window input is the per-user aggregate (|distinct users|, not the
-    # facts) — bounded, but still single-partition by nature of a global
-    # ntile; the constant partition key documents that bound.  At 100 TB
-    # replace with percentile cut-points joined back (see docstring).
-    tiled = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.partitionBy(F.lit(0)).orderBy(F.asc("n_events"), F.asc("user_id"))
-        ),
+    tiled = agg_ops.global_ntile(
+        per_user.withColumn("__bkt", F.col("n_events")),
+        10,
+        order_by=[F.asc("n_events"), F.asc("user_id")],
+        bucket_col="__bkt",
+        tile_col="decile",
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -359,6 +361,126 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p")[1], 6).alias("p50"),
         F.round(F.col("p")[2], 6).alias("p75"),
         F.round(F.col("p")[3], 6).alias("p90"),
+    )
+
+
+# Bound-check companions: the estimate queries above are ⊘ rows-only
+# (sketch buffers are engine-specific), but the CLAIM a sketch makes —
+# "the estimate lands within ε of the truth" — is a boolean BOTH engines
+# can agree on.  Spark computes exact + estimate + |est-exact|/exact<=ε;
+# the oracle computes the same exact value and asserts the bound as a
+# literal TRUE.  A sketch regression (wrong merge, wrong parameters)
+# flips the boolean and fails the hash — so the 3 sketch families are
+# now driver-checkable end-to-end, not just pytest-asserted.
+
+
+@query(
+    "approx_distinct_bound_check",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certificate for ``approx_distinct_users_daily``:
+    the DataSketches HLL (lgK=14, relative error ~0.8%) daily estimate
+    must land within 5% of the exact distinct count.  The exact side
+    exists only to certify the sketch at test scale — at 100 TB you run
+    the sketch alone and trust exactly this certified bound."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    per_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+    )
+    est = F.hll_sketch_estimate("sk")
+    return per_day.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(est - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "sketch_rollup_bound_check",
+    """
+    SELECT CAST(date_trunc('week', date_trunc('day', ts)) AS TIMESTAMP)
+             AS week,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_rollup_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certificate for ``sketch_rollup_weekly``: daily HLL
+    sketches union-merged to weekly estimates (facts touched once) must
+    land within 5% of the exact weekly distinct count — certifying that
+    the MERGE path, not just the base sketch, preserves the bound."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    weekly_est = (
+        daily.withColumn("week", F.date_trunc("week", "day"))
+        .groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    weekly_exact = (
+        ev.withColumn("week", F.date_trunc("week", "day"))
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return weekly_exact.join(weekly_est, "week").select(
+        "week",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "approx_percentiles_bound_check",
+    """
+    SELECT event_type, count(*) AS n,
+           TRUE AS p50_within_bound, TRUE AS p90_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentiles_bound_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Error-bound certificate for ``approx_value_percentiles``: the
+    Greenwald-Khanna p50/p90 (accuracy 10000) must land within 5%
+    relative of the exact interpolated percentiles per event type."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.50, 0.90))").alias("ex"),
+        F.approx_percentile(
+            "value", F.lit([0.50, 0.90]), F.lit(10000)
+        ).alias("ap"),
+    )
+    def within(i: int):
+        return (
+            F.abs(F.col("ap")[i] - F.col("ex")[i]) / F.abs(F.col("ex")[i])
+            <= 0.05
+        )
+    return agg.select(
+        "event_type", "n",
+        within(0).alias("p50_within_bound"),
+        within(1).alias("p90_within_bound"),
     )
 
 

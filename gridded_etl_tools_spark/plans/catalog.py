@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from gridded_etl_tools_spark.functions.normalize import (
     filename_coords,
+    pos_zero,
     sentinel_to_null,
     standardize_longitude,
 )
@@ -51,6 +52,37 @@ def query(name: str, oracle: str | None = None):
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def _stage_stream_source(sf_dir: str) -> str:
+    """Stage ``events.parquet`` into a tempdir the file-stream source can
+    watch, and return that directory.
+
+    The digest keys on the source file's CONTENT IDENTITY (size +
+    mtime_ns), not just its path — if the fixture at ``sf_dir`` is ever
+    regenerated, the stale cached copy is abandoned for a fresh
+    directory instead of silently diverging from the batch oracle
+    (round-3/4 advice: fixture-caching footgun)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"stream_rb_v2:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
+    )
+    target = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = target + ".tmp"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, target)
+    return watch_dir
 
 
 # ---------------------------------------------------------------------------
@@ -2616,8 +2648,10 @@ def ensemble_crps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              corr(fc, obs)          AS corr_fo
       FROM pairs GROUP BY 1)
     SELECT CAST(lead AS BIGINT) AS lead, n_pairs,
-           round(bias, 6) AS bias, round(mae, 6) AS mae,
-           round(rmse, 6) AS rmse, round(corr_fo, 6) AS corr_fo
+           -- + 0.0: signed-zero canon (functions/normalize.pos_zero) —
+           -- a rounded near-zero mean/corr can be -0.0 in one engine
+           round(bias, 6) + 0.0 AS bias, round(mae, 6) AS mae,
+           round(rmse, 6) AS rmse, round(corr_fo, 6) + 0.0 AS corr_fo
     FROM m
     """,
 )
@@ -2643,10 +2677,10 @@ def forecast_skill_by_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg_ops.verification_metrics(pairs, "fc", "obs", ["lead"])
     return out.select(
         "lead", "n_pairs",
-        F.round("bias", 6).alias("bias"),
+        pos_zero(F.round("bias", 6)).alias("bias"),
         F.round("mae", 6).alias("mae"),
         F.round("rmse", 6).alias("rmse"),
-        F.round("corr_fo", 6).alias("corr_fo"),
+        pos_zero(F.round("corr_fo", 6)).alias("corr_fo"),
     )
 
 
@@ -3513,7 +3547,8 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     c AS (
       SELECT doc_id, n_bpe,
-             sum(n_bpe) OVER (ORDER BY n_bpe DESC, doc_id) AS cum_tokens
+             CAST(sum(n_bpe) OVER (ORDER BY n_bpe DESC, doc_id) AS BIGINT)
+               AS cum_tokens
       FROM t)
     SELECT doc_id, n_bpe, cum_tokens FROM c WHERE cum_tokens <= 20000
     """,
@@ -3578,7 +3613,7 @@ def bloom_two_phase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -3599,16 +3634,7 @@ def streaming_window_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the file-stream source wants a DIRECTORY to watch: stage the events
     # file into one (once per sf, digest-named)
-    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
-    )
-    target = os.path.join(watch_dir, "events.parquet")
-    if not os.path.exists(target):
-        os.makedirs(watch_dir, exist_ok=True)
-        tmp = target + ".tmp"
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
-        os.replace(tmp, target)
+    watch_dir = _stage_stream_source(sf_dir)
 
     schema = load(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(schema).parquet(watch_dir)
@@ -3627,9 +3653,11 @@ def streaming_window_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # exact DECIMAL sum inside the stream, DOUBLE at the output boundary
+    # (output-type canon: decimal/hugeint never cross into the gate)
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type", "n",
-        "total_value",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
@@ -3650,16 +3678,7 @@ def streaming_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
-    )
-    target = os.path.join(watch_dir, "events.parquet")
-    if not os.path.exists(target):
-        os.makedirs(watch_dir, exist_ok=True)
-        tmp = target + ".tmp"
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
-        os.replace(tmp, target)
+    watch_dir = _stage_stream_source(sf_dir)
 
     schema = load(spark, sf_dir, "events").schema
     s1 = spark.readStream.schema(schema).parquet(watch_dir)
@@ -3856,7 +3875,7 @@ _TYPE_DAILY_SQL = """
              round(sum(round(round(day_mean, 6) - mu, 6)) OVER (
                PARTITION BY d.event_type ORDER BY d.day), 6) AS cusum
       FROM daily d JOIN stats USING (event_type))
-    SELECT event_type, day, value, cusum,
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, value, cusum,
            (abs(cusum) > 3.0 * sd) AS flagged
     FROM c
     """,
@@ -3875,10 +3894,12 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "day_mean", F.col("__sum").cast("double") / F.col("__n")
     ).localCheckpoint(eager=True)  # stats + window both reference the axis
-    return agg_ops.cusum_changepoints(
+    out = agg_ops.cusum_changepoints(
         daily, keys=["event_type"], day_col="day", value_col="day_mean",
         threshold_sigmas=3.0,
     )
+    # DATE never crosses the gate (output-type canon): TIMESTAMP out
+    return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 @query(
@@ -3961,7 +3982,8 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sea AS (
       SELECT wk.event_type, wd, round(raw_s - c, 6) AS s
       FROM wk JOIN ctr USING (event_type))
-    SELECT d.event_type, d.day, v6 AS value, trend, s AS seasonal,
+    SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, v6 AS value,
+           trend, s AS seasonal,
            round(v6 - trend - s, 6) AS residual
     FROM d JOIN sea ON sea.event_type = d.event_type AND sea.wd = d.wd
     """,
@@ -3982,10 +4004,12 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_mean", F.col("__sum").cast("double") / F.col("__n")
     ).localCheckpoint(eager=True)  # decompose references the axis 3x;
     # Catalyst does not dedup the subtree, so uncut this is 3 fact scans
-    return agg_ops.seasonal_decompose(
+    out = agg_ops.seasonal_decompose(
         daily, keys=["event_type"], day_col="day", value_col="day_mean",
         ma_window=7,
     )
+    # DATE never crosses the gate (output-type canon): TIMESTAMP out
+    return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 @query(
@@ -4509,10 +4533,11 @@ def published_table_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivm_rollup_maintenance",
     """
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            o_orderpriority,
            count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_o_totalprice
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_o_totalprice
     FROM orders
     WHERE (o_orderkey % 10 = 0) OR (o_orderkey % 7 <> 0)
     GROUP BY 1, 2
@@ -4541,7 +4566,10 @@ def ivm_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
     )
     key = F.col("o_orderkey")
-    month = F.trunc("o_orderdate", "month").alias("month")
+    # date_trunc (TIMESTAMP), not trunc (DATE): the output-type canon
+    # keeps DATE out of the gate — TIMESTAMP converts identically on
+    # every engine/fetch path, DATE does not
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
     base = orders.filter(key % 10 != 0).select(
         month, "o_orderpriority", "o_totalprice"
     )
@@ -4560,9 +4588,14 @@ def ivm_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = ivm.rollup_delta(
         feed, ["month", "o_orderpriority"], ["o_totalprice"]
     )
+    # maintenance runs on exact DECIMAL deltas; the output boundary is
+    # DOUBLE (output-type canon — decimal never crosses into the gate)
     return ivm.apply_rollup_delta(
         rollup, delta, ["month", "o_orderpriority"], ["o_totalprice"]
-    ).select("month", "o_orderpriority", "n", "sum_o_totalprice")
+    ).select(
+        "month", "o_orderpriority", "n",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+    )
 
 
 @query(
@@ -4610,16 +4643,7 @@ def streaming_session_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sessionize,
     )
 
-    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
-    )
-    target = os.path.join(watch_dir, "events.parquet")
-    if not os.path.exists(target):
-        os.makedirs(watch_dir, exist_ok=True)
-        tmp = target + ".tmp"
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
-        os.replace(tmp, target)
+    watch_dir = _stage_stream_source(sf_dir)
 
     schema = load(spark, sf_dir, "events").schema
     stream = (
@@ -4729,8 +4753,10 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cells AS (
       SELECT event_type,
-             sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS n0,
-             sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS n1
+             CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n1
       FROM events GROUP BY event_type),
     e AS (
       SELECT *,
@@ -4809,8 +4835,10 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     counts AS (
       SELECT term,
-             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS p_cnt,
-             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS q_cnt
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS p_cnt,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_cnt
       FROM toks WHERE length(term) > 0 GROUP BY term),
     probs AS (
       SELECT term, p_cnt, q_cnt,
@@ -4881,16 +4909,7 @@ def streaming_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_correlate_streams,
     )
 
-    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
-    )
-    target = os.path.join(watch_dir, "events.parquet")
-    if not os.path.exists(target):
-        os.makedirs(watch_dir, exist_ok=True)
-        tmp = target + ".tmp"
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
-        os.replace(tmp, target)
+    watch_dir = _stage_stream_source(sf_dir)
 
     schema = load(spark, sf_dir, "events").schema
     def _stream(etype: str) -> DataFrame:
@@ -5293,7 +5312,7 @@ def hll_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts AS (
       SELECT doc_id, tf, round(tf * lnp, 6) AS part
       FROM tf JOIN probs USING (term))
-    SELECT doc_id, sum(tf) AS n_tokens,
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            round(exp(-CAST(sum(CAST(part AS DECIMAL(28,6))) AS DOUBLE)
                      / CAST(sum(tf) AS DOUBLE)), 4) AS perplexity
     FROM parts GROUP BY doc_id
@@ -5371,15 +5390,17 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev, horizon),
     per_t AS (
       SELECT t,
-             sum(CASE WHEN is_event = 1 THEN 1 ELSE 0 END) AS d,
-             sum(CASE WHEN is_event = 1 THEN 0 ELSE 1 END) AS c
+             CAST(sum(CASE WHEN is_event = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN is_event = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS c
       FROM subj GROUP BY t),
     axis AS (
       SELECT t, d, c,
-             sum(d + c) OVER ()
+             CAST(sum(d + c) OVER ()
                - coalesce(sum(d + c) OVER (ORDER BY t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS n_at_risk
+               AS BIGINT) AS n_at_risk
       FROM per_t),
     flagged AS (
       SELECT t, d, n_at_risk,
@@ -5669,7 +5690,7 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
     p AS (
       SELECT user_id, ts, event_id AS purchase_id,
-             CAST(value AS DECIMAL(18,2)) AS revenue
+             value AS revenue
       FROM events WHERE event_type = 'purchase'),
     m AS (
       SELECT p.user_id, p.purchase_id, p.revenue, p.ts AS p_ts,
@@ -5698,7 +5719,8 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts",
         F.col("event_id").alias("purchase_id"),
-        F.col("value").cast("decimal(18,2)").alias("revenue"),
+        # raw double pass-through (no arithmetic): output-type canon
+        F.col("value").alias("revenue"),
     )
     out = join_ops.asof_join(
         purchases, clicks, on="ts", by=["user_id"], direction="backward"
@@ -5715,7 +5737,7 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(isodow(ts) - 1 AS INT) AS weekday,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY CUBE (event_type, CAST(isodow(ts) - 1 AS INT))
     """,
@@ -5735,7 +5757,8 @@ def cube_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "weekday")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").alias("total_value"),
+            # exact decimal sum, double at the output boundary
+            F.sum("v").cast("double").alias("total_value"),
         )
     )
 
@@ -5747,7 +5770,7 @@ def cube_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS rev
       FROM events GROUP BY event_type),
     g AS (SELECT sum(rev) AS total FROM t)
-    SELECT event_type, rev,
+    SELECT event_type, CAST(rev AS DOUBLE) AS rev,
            round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
     FROM t, g
     """,
@@ -5762,7 +5785,8 @@ def revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = F.broadcast(t.agg(F.sum("rev").alias("total")))
     return t.crossJoin(g).select(
-        "event_type", "rev",
+        "event_type",
+        F.col("rev").cast("double").alias("rev"),
         F.round(
             F.col("rev").cast("double") / F.col("total").cast("double"), 6
         ).alias("share"),
@@ -5797,9 +5821,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_above_global_avg",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+    WHERE o_totalprice > (
       SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    / count(*), 2)
       FROM orders)
@@ -5811,13 +5835,16 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan filter — no self-join, no second pass shaped by the fact
     table.  The threshold rounds to 2dp so the comparison operand is
     engine-exact."""
-    orders = load(spark, sf_dir, "orders").withColumn(
-        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
-    )
+    orders = load(spark, sf_dir, "orders")
+    # exact decimal mean INSIDE the scalar; the comparison and the output
+    # stay raw double (output-type canon — no per-row decimal casts)
     avg_ = F.broadcast(
         orders.agg(
             F.round(
-                F.sum("o_totalprice").cast("double") / F.count(F.lit(1)), 2
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                2,
             ).alias("__avg")
         )
     )
@@ -5945,16 +5972,7 @@ def streaming_cms_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gridded_etl_tools_spark.operators.sketches import _cms_col
 
-    digest = hashlib.md5(f"stream_rb_v1:{sf_dir}".encode()).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src_{digest}"
-    )
-    target = os.path.join(watch_dir, "events.parquet")
-    if not os.path.exists(target):
-        os.makedirs(watch_dir, exist_ok=True)
-        tmp = target + ".tmp"
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), tmp)
-        os.replace(tmp, target)
+    watch_dir = _stage_stream_source(sf_dir)
 
     schema = load(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(schema).parquet(watch_dir)
@@ -6081,8 +6099,7 @@ def prefix_refine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "largest_purchase_per_user",
     """
     WITH p AS (
-      SELECT user_id, event_id,
-             CAST(value AS DECIMAL(18,2)) AS v, ts
+      SELECT user_id, event_id, value AS v, ts
       FROM events WHERE event_type = 'purchase')
     SELECT user_id, v AS top_value, event_id AS top_event_id, ts AS top_ts
     FROM p
@@ -6101,7 +6118,8 @@ def largest_purchase_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.struct(
-            F.col("value").cast("decimal(18,2)").alias("v"),
+            # raw double (no arithmetic; argmax order is value order)
+            F.col("value").alias("v"),
             F.col("event_id").alias("event_id"),
             F.col("ts").alias("ts"),
         ).alias("s"),
@@ -6320,7 +6338,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('day', CAST(max(ts) AS DATE), CAST(max(h) AS DATE))
                AS recency_days,
              count(*) AS frequency,
-             sum(CAST(value AS DECIMAL(18,2))) AS monetary
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
       FROM events, horizon
       WHERE event_type = 'purchase'
       GROUP BY user_id),
@@ -6339,9 +6357,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quartile codes — the classic marketing rollup.  One purchase agg,
-    then three ntile windows over the CUSTOMER AXIS with unique
-    tie-breaks (ntile is positional, so ambiguous sorts would be
-    engine-unstable).  Monetary sums are exact decimals."""
+    then THREE exact positional quartile assignments over the CUSTOMER
+    AXIS via ``operators/aggregations.global_ntile`` (two-level bucketed
+    prefix counts — the user axis grows with the data, so no global
+    single-partition ntile window ever runs; each pass shuffles the
+    per-user frame on its bucket key only).  Unique tie-breaks keep the
+    positional assignment engine-stable; monetary accumulates in exact
+    decimal and crosses the output boundary as double."""
     ev = load(spark, sf_dir, "events")
     horizon = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("h")))
     rfm = (
@@ -6350,7 +6372,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("ts")).alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
         )
         .crossJoin(horizon)
         .select(
@@ -6359,14 +6383,35 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency", "monetary",
         )
     )
-    one = Window.partitionBy(F.lit(0))
-    r = F.ntile(4).over(one.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-    f = F.ntile(4).over(one.orderBy(F.col("frequency").desc(), F.col("user_id")))
-    m = F.ntile(4).over(one.orderBy(F.col("monetary").desc(), F.col("user_id")))
-    return rfm.select(
+    step_r = agg_ops.global_ntile(
+        rfm.withColumn("__bkt", F.col("recency_days")),
+        4,
+        order_by=[F.col("recency_days").asc(), F.col("user_id").asc()],
+        bucket_col="__bkt",
+        tile_col="__r",
+    ).drop("__bkt")
+    step_f = agg_ops.global_ntile(
+        step_r.withColumn("__bkt", F.col("frequency")),
+        4,
+        order_by=[F.col("frequency").desc(), F.col("user_id").asc()],
+        bucket_col="__bkt",
+        tile_col="__f",
+        bucket_desc=True,
+    ).drop("__bkt")
+    step_m = agg_ops.global_ntile(
+        step_f.withColumn("__bkt", F.floor(F.col("monetary") / 100.0)),
+        4,
+        order_by=[F.col("monetary").desc(), F.col("user_id").asc()],
+        bucket_col="__bkt",
+        tile_col="__m",
+        bucket_desc=True,
+    ).drop("__bkt")
+    return step_m.select(
         "user_id", "recency_days", "frequency", "monetary",
         F.concat(
-            r.cast("string"), f.cast("string"), m.cast("string")
+            F.col("__r").cast("string"),
+            F.col("__f").cast("string"),
+            F.col("__m").cast("string"),
         ).alias("rfm_code"),
     )
 
@@ -6384,7 +6429,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS cum,
              sum(revenue) OVER () AS total
       FROM rev)
-    SELECT l_partkey, revenue,
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
            CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
                   THEN 'A'
                 WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
@@ -6419,7 +6464,11 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
     )
-    return rev.select("l_partkey", "revenue", cls.alias("abc_class"))
+    return rev.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        cls.alias("abc_class"),
+    )
 
 
 @query(
@@ -6516,26 +6565,27 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_profile_events",
     """
     SELECT 'event_id' AS column_name, count(*) AS n_rows,
-           sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
            count(DISTINCT event_id) AS n_distinct,
            CAST(min(event_id) AS VARCHAR) AS min_repr,
            CAST(max(event_id) AS VARCHAR) AS max_repr
     FROM events
     UNION ALL
     SELECT 'user_id', count(*),
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT user_id),
            CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
     FROM events
     UNION ALL
     SELECT 'event_type', count(*),
-           sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT event_type),
            min(event_type), max(event_type)
     FROM events
     UNION ALL
     SELECT 'value', count(*),
-           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT value),
            CAST(round(min(value), 6) AS VARCHAR),
            CAST(round(max(value), 6) AS VARCHAR)
@@ -6578,7 +6628,7 @@ def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
     s AS (
-      SELECT count(*) AS n_keys, sum(n) AS total,
+      SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
              round(CAST(max(n) AS DOUBLE)
                    / (CAST(sum(n) AS DOUBLE) / count(*)), 4) AS skew_ratio
       FROM k),
@@ -6597,9 +6647,12 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     column with their share of rows and the max/mean skew ratio — the
     report that decides WHICH keys get salted
     (``operators/skew.salted_join``) or isolated before a 100 TB
-    shuffle.  One hash agg to the key axis; the ranking is a top-k over
-    keys (TakeOrdered shape), never facts; all figures exact or single
-    divisions of exact counts."""
+    shuffle.  One hash agg to the key axis; the ranking plans as
+    TakeOrderedAndProject (orderBy + limit = per-partition partial
+    top-k, a few rows per task merged on the driver — NEVER a global
+    single-partition sort of the key axis); rk is then a window over
+    the 10 survivors only.  All figures exact or single divisions of
+    exact counts."""
     ev = load(spark, sf_dir, "events")
     k = ev.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
@@ -6615,8 +6668,14 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("key"))
-    top = k.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    # TakeOrderedAndProject: (n desc, key) is a total order, so the
+    # top-10 is a partial per-partition top-k — the full key axis never
+    # funnels through one task (contrast a row_number window over lit(0))
+    top10 = k.orderBy(F.col("n").desc(), F.col("key")).limit(10)
+    w10 = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), F.col("key")
+    )
+    top = top10.withColumn("rk", F.row_number().over(w10))
     return top.crossJoin(s).select(
         "rk", "key", "n", "n_keys", "total", "skew_ratio",
         F.round(
@@ -6648,7 +6707,7 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY user_id, sess)
     SELECT day,
            count(*) AS n_sessions,
-           sum(converted) AS n_converted,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
            round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
              AS conversion_rate
     FROM per_session GROUP BY day
@@ -6684,4 +6743,230 @@ def session_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("converted").cast("double") / F.count(F.lit(1)), 6
         ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "engine_canary",
+    r"""
+    SELECT
+      CAST(1 AS BIGINT)                                        AS probe_row,
+      CAST(1 + 2 + 3 AS BIGINT)                                AS c_bigint_sum,
+      CAST(7 AS DOUBLE) / CAST(3 AS DOUBLE)                    AS c_double_div,
+      round(CAST(1.2345678 AS DOUBLE), 6)                      AS c_round6,
+      -- NB literal typing: 12.345 alone is DECIMAL in DuckDB but DOUBLE
+      -- in Spark — the CAST pins both engines to the IEEE path, where
+      -- 12.345*100 = 1234.4999... and the floor lands on 1234
+      CAST(floor(CAST(12.345 AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                                                               AS c_cents_floor,
+      CAST(CAST('123.456' AS DECIMAL(18,3)) AS DOUBLE)         AS c_dec_to_double,
+      CAST(floor(ln(2.0) * 1000000.0 + 0.5) AS BIGINT)         AS c_ln_micro,
+      CAST(floor(exp(1.0) * 10000.0 + 0.5) AS BIGINT)          AS c_exp_q4,
+      CAST(floor(sqrt(2.0) * 1000000.0 + 0.5) AS BIGINT)       AS c_sqrt_micro,
+      CAST(len(list_filter(string_split_regex(' a  b c ', '[ \t\n\r\f]+'),
+                           x -> len(x) > 0)) AS BIGINT)        AS c_split_n,
+      md5('spark-graft')                                       AS c_md5,
+      CAST(date_diff('day', DATE '2024-01-01', DATE '2024-12-31')
+           AS INT)                                             AS c_datediff,
+      epoch_us(TIMESTAMP '2024-01-02 03:04:05')                AS c_ts_micros,
+      round(CAST(-0.0000001 AS DOUBLE), 3) + 0.0               AS c_neg_zero
+    """,
+)
+def engine_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primitive-divergence canary: one row of fixed literals pushed
+    through every numeric/string primitive the catalog's exactness
+    strategy leans on — integer-cast sums (the HUGEINT/DECIMAL
+    output-boundary canon), IEEE division, round, the
+    floor(x*scale+0.5) quantization used for cents/micros, decimal→
+    double boundary casts, libm ln/exp/sqrt behind a coarse quantum,
+    whitespace tokenization with explicit character class + empty-token
+    filter, md5, date/timestamp arithmetic, and -0.0 normalization.
+
+    If any future driver round reports a hash mismatch elsewhere, this
+    row pinpoints WHICH primitive family diverges in that environment
+    (each column names its primitive); if the canary itself is green,
+    the by-construction primitives are sound there.  Constant-folded on
+    both engines — zero data touched."""
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5).cast("long")  # noqa: E731
+    return spark.range(1).select(
+        F.lit(1).cast("long").alias("probe_row"),
+        F.lit(1 + 2 + 3).cast("long").alias("c_bigint_sum"),
+        (F.lit(7).cast("double") / F.lit(3).cast("double")).alias(
+            "c_double_div"
+        ),
+        F.round(F.lit(1.2345678), 6).alias("c_round6"),
+        F.floor(F.lit(12.345) * 100.0 + 0.5).cast("long").alias(
+            "c_cents_floor"
+        ),
+        F.lit("123.456").cast("decimal(18,3)").cast("double").alias(
+            "c_dec_to_double"
+        ),
+        micro(F.log(F.lit(2.0))).alias("c_ln_micro"),
+        F.floor(F.exp(F.lit(1.0)) * 10000.0 + 0.5).cast("long").alias(
+            "c_exp_q4"
+        ),
+        micro(F.sqrt(F.lit(2.0))).alias("c_sqrt_micro"),
+        F.size(
+            F.filter(
+                F.split(F.lit(" a  b c "), r"[ \t\n\r\f]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("c_split_n"),
+        F.md5(F.lit("spark-graft").cast("binary")).alias("c_md5"),
+        F.datediff(
+            F.lit("2024-12-31").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("int").alias("c_datediff"),
+        F.unix_micros(F.lit("2024-01-02 03:04:05").cast("timestamp")).alias(
+            "c_ts_micros"
+        ),
+        (F.round(F.lit(-0.0000001), 3) + F.lit(0.0)).alias("c_neg_zero"),
+    )
+
+
+def _cf_oracle() -> str:
+    """SQL mirror of cf_gridmapping_reproject: identical rotation-matrix
+    and Mercator constants (Python-double literals embedded on both
+    sides), identical operation order."""
+    import math as m
+
+    phi_p, lam_p = m.radians(39.25), m.radians(-162.0)
+    sp, cp = m.sin(phi_p), m.cos(phi_p)
+    sl, cl = m.sin(lam_p), m.cos(lam_p)
+    rk = 6371229.0 * m.cos(m.radians(20.0))
+    return f"""
+    WITH g AS (
+      SELECT i,
+             30.0 + CAST(i // 20 AS DOUBLE) * 0.5 AS lat,
+             -20.0 + CAST(i % 20 AS DOUBLE) * 0.5 AS lon
+      FROM (SELECT unnest(range(0, 400)) AS i)
+    ),
+    v AS (
+      SELECT i, lat, lon,
+             cos(radians(lat)) * cos(radians(lon)) AS x,
+             cos(radians(lat)) * sin(radians(lon)) AS y,
+             sin(radians(lat)) AS z
+      FROM g
+    ),
+    r1 AS (
+      SELECT i, lat, lon,
+             x * {cl!r} + y * {sl!r}  AS x1,
+             -x * {sl!r} + y * {cl!r} AS y1,
+             z AS z1
+      FROM v
+    ),
+    r2 AS (
+      SELECT i, lat, lon,
+             x1 * {sp!r} - z1 * {cp!r} AS x2,
+             y1 AS y2,
+             x1 * {cp!r} + z1 * {sp!r} AS z2
+      FROM r1
+    ),
+    rot AS (
+      SELECT i, lat, lon,
+             degrees(atan2(y2, x2)) AS rlon,
+             degrees(asin(greatest(-1.0, least(1.0, z2)))) AS rlat
+      FROM r2
+    ),
+    back AS (
+      SELECT i, lat, lon, rlon, rlat,
+             cos(radians(rlat)) * cos(radians(rlon)) AS bx2,
+             cos(radians(rlat)) * sin(radians(rlon)) AS by2,
+             sin(radians(rlat)) AS bz2
+      FROM rot
+    ),
+    binv AS (
+      SELECT i, lat, lon, rlon, rlat,
+             (bx2 * {sp!r} + bz2 * {cp!r}) * {cl!r} - by2 * {sl!r} AS bx,
+             (bx2 * {sp!r} + bz2 * {cp!r}) * {sl!r} + by2 * {cl!r} AS by,
+             -bx2 * {cp!r} + bz2 * {sp!r} AS bz1
+      FROM back
+    ),
+    rot_done AS (
+      SELECT i, lat, lon, rlon, rlat,
+             degrees(atan2(by, bx)) AS lon_back,
+             degrees(asin(greatest(-1.0, least(1.0, bz1)))) AS lat_back
+      FROM binv
+    ),
+    merc AS (
+      SELECT i, lat, lon, rlon, rlat, lon_back, lat_back,
+             {rk!r} * radians(((lon - 0.0 + 540.0) % 360.0) - 180.0) AS mx,
+             {rk!r} * ln(tan(pi() / 4 + radians(lat) / 2)) AS my
+      FROM rot_done
+    )
+    SELECT i,
+           round(rlat, 6) AS rlat,
+           round(rlon, 6) AS rlon,
+           round(abs(lon_back - lon) + abs(lat_back - lat), 6) AS rot_rt_err,
+           round(mx, 3) AS mx,
+           round(my, 3) AS my,
+           round(abs((((0.0 + degrees(mx / {rk!r})) + 540.0) % 360.0) - 180.0
+                     - lon)
+                 + abs(degrees(2.0 * atan(exp(my / {rk!r})) - pi() / 2)
+                       - lat), 6) AS merc_rt_err
+    FROM merc
+    """
+
+
+@query("cf_gridmapping_reproject", _cf_oracle())
+def cf_gridmapping_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic CF grid_mapping registry under the oracle (reference
+    ``util_funcs/projections.py:6-43`` metpy/pyproj dispatch, rebuilt as
+    ``functions/projections.py``): a 20x20 degree grid is pushed through
+    TWO registry-dispatched transforms — ``rotated_latitude_longitude``
+    (CORDEX-style pole 39.25/-162, rotation-matrix construction) and
+    ``mercator`` (true-scale parallel 20°) — forward AND inverse, all as
+    JVM column trig inside one projection; round-trip errors pinned at
+    1e-6 degrees.  Projected-grid ingest is therefore no longer bound to
+    GRIB2 templates: any CF attrs dict with a registered mapping plans
+    the same way."""
+    from gridded_etl_tools_spark.functions.projections import cf_transforms
+
+    rot_fwd, rot_inv = cf_transforms(
+        {
+            "grid_mapping_name": "rotated_latitude_longitude",
+            "grid_north_pole_latitude": 39.25,
+            "grid_north_pole_longitude": -162.0,
+        }
+    )
+    m_fwd, m_inv = cf_transforms(
+        {
+            "grid_mapping_name": "mercator",
+            "standard_parallel": 20.0,
+            "longitude_of_projection_origin": 0.0,
+            "earth_radius": 6371229.0,
+        }
+    )
+    grid = spark.range(0, 400).select(
+        F.col("id").alias("i"),
+        (30.0 + (F.col("id") / 20).cast("long").cast("double") * 0.5).alias(
+            "lat"
+        ),
+        (-20.0 + (F.col("id") % 20).cast("double") * 0.5).alias("lon"),
+    )
+    rlon, rlat = rot_fwd(F.col("lon"), F.col("lat"))
+    step = grid.select(
+        "i", "lat", "lon", rlon.alias("rlon"), rlat.alias("rlat")
+    )
+    lon_b, lat_b = rot_inv(F.col("rlon"), F.col("rlat"))
+    mx, my = m_fwd(F.col("lon"), F.col("lat"))
+    step = step.select(
+        "i", "lat", "lon", "rlon", "rlat",
+        lon_b.alias("lon_back"), lat_b.alias("lat_back"),
+        mx.alias("mx"), my.alias("my"),
+    )
+    mlon_b, mlat_b = m_inv(F.col("mx"), F.col("my"))
+    return step.select(
+        "i",
+        F.round("rlat", 6).alias("rlat"),
+        F.round("rlon", 6).alias("rlon"),
+        F.round(
+            F.abs(F.col("lon_back") - F.col("lon"))
+            + F.abs(F.col("lat_back") - F.col("lat")),
+            6,
+        ).alias("rot_rt_err"),
+        F.round("mx", 3).alias("mx"),
+        F.round("my", 3).alias("my"),
+        F.round(
+            F.abs(mlon_b - F.col("lon")) + F.abs(mlat_b - F.col("lat")), 6
+        ).alias("merc_rt_err"),
     )

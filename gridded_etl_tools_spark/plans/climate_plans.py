@@ -68,7 +68,7 @@ def climate_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dry GROUP BY station, anchor
     )
     SELECT station,
-           sum(spell_days) AS n_event_days,
+           CAST(sum(spell_days) AS BIGINT) AS n_event_days,
            max(spell_days) AS max_run
     FROM runs GROUP BY station
     """,
@@ -94,8 +94,8 @@ def climate_dry_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily WHERE day_sum > 70 * n_obs
     )
     SELECT station,
-           min(day) AS spell_start,
-           max(day) AS spell_end,
+           CAST(min(day) AS TIMESTAMP) AS spell_start,
+           CAST(max(day) AS TIMESTAMP) AS spell_end,
            count(*) AS spell_days
     FROM hot GROUP BY station, anchor
     HAVING count(*) >= 2
@@ -106,7 +106,14 @@ def climate_heat_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
     70/obs, one row per spell with its start/end/length."""
     daily = climate_ops.daily_index(load(spark, sf_dir, "events"))
     hot = F.col("day_sum") > F.lit(70) * F.col("n_obs")
-    return climate_ops.threshold_spells(daily, hot, min_length=2)
+    spells = climate_ops.threshold_spells(daily, hot, min_length=2)
+    # DATE never crosses the gate (output-type canon): TIMESTAMP out
+    return spells.select(
+        "station",
+        F.col("spell_start").cast("timestamp").alias("spell_start"),
+        F.col("spell_end").cast("timestamp").alias("spell_end"),
+        "spell_days",
+    )
 
 
 @query(
@@ -162,7 +169,8 @@ def climate_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH settled AS (
       SELECT user_id AS station,
-             sum(CAST(value AS DECIMAL(18,2))) AS season_total
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS season_total
       FROM events GROUP BY 1
     )
     SELECT station,
@@ -180,8 +188,11 @@ def parametric_payouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     $5000.  The settlement index is a DECIMAL sum — one hash agg —
     so payouts are reproducible to the cent on any partitioning."""
     ev = load(spark, sf_dir, "events")
+    # exact decimal accumulation; DOUBLE at the output boundary
     settled = ev.groupBy(F.col("user_id").alias("station")).agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("season_total")
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("season_total")
     )
     return climate_ops.parametric_payout(
         settled, "season_total", strike=1400.0, tick=2.0, limit=5000.0,

@@ -865,8 +865,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     """
     SELECT c_custkey, o_orderkey,
-           o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
     FROM customer
     JOIN orders ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -882,7 +883,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     their customers.  The HAVING subquery is ONE hash agg over lineitem
     whose surviving keyset is tiny — it BROADCASTS as a semi join back
     onto lineitem before the re-aggregation, and orders/customer join
-    the reduced set; exact DECIMAL quantity sums both places."""
+    the reduced set; exact DECIMAL quantity sums both places (double at
+    the output boundary per the output-type canon)."""
     li = load(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     big = (
@@ -899,6 +901,5 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, cust.c_custkey == orders.o_custkey)
     )
     return j.groupBy(
-        "c_custkey", "o_orderkey", "o_orderdate",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-    ).agg(F.sum(qty).alias("total_qty"))
+        "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(qty).cast("double").alias("total_qty"))

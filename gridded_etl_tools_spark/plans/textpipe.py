@@ -385,7 +385,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                            AS n_docs,
            min(doc_id)                         AS first_doc,
            max(doc_id)                         AS last_doc,
-           sum(n_tokens)                       AS bin_tokens
+           CAST(sum(n_tokens) AS BIGINT)       AS bin_tokens
     FROM o
     GROUP BY 1
     """,
@@ -471,8 +471,8 @@ def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT source, CAST(start_offset // 512 AS BIGINT) AS bin,
-           count(*)      AS n_docs,
-           sum(n_tokens) AS bin_tokens
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM o
     GROUP BY 1, 2
     """,
@@ -558,8 +558,8 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc
     FROM assigned GROUP BY 1
     """,

@@ -221,8 +221,13 @@ def stream_maintain_rollup(
                 return
             current = rollup_table.read(spark)
             merged = ivm.apply_rollup_delta(current, delta, keys, sum_cols)
+            # MERGE attrs rather than replace: a second maintaining
+            # stream (different checkpoint) keeps its own batch-id
+            # guard, and user attrs survive every commit
             rollup_table.write_initial(
-                merged, attrs={attr_key: batch_id}, overwrite=True
+                merged,
+                attrs={**rollup_table.attrs(), attr_key: batch_id},
+                overwrite=True,
             )
         else:
             # bootstrap: the first batch's delta IS the rollup (all

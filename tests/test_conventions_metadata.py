@@ -205,3 +205,49 @@ def test_projected_grid_round_trip(spark, tmp_path):
     out = t.read(spark)
     assert {"northing", "easting"} <= set(out.columns)
     assert out.count() == len(rows)
+
+
+def test_cf_registry_polar_stereo_and_identity_roundtrip(spark):
+    """The CF grid_mapping registry's polar-stereographic and identity
+    entries must round-trip lon/lat through forward+inverse (the
+    rotated/mercator/LCC entries are oracle-checked by the
+    cf_gridmapping_reproject catalog row)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from gridded_etl_tools_spark.functions.projections import cf_transforms
+
+    fwd, inv = cf_transforms(
+        {
+            "grid_mapping_name": "polar_stereographic",
+            "straight_vertical_longitude_from_pole": -45.0,
+            "standard_parallel": 60.0,
+            "latitude_of_projection_origin": 90.0,
+        }
+    )
+    grid = spark.range(0, 100).select(
+        (40.0 + (F.col("id") / 10).cast("long").cast("double") * 2.0).alias("lat"),
+        (-170.0 + (F.col("id") % 10).cast("double") * 30.0).alias("lon"),
+    )
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    prj = grid.select("lat", "lon", x.alias("x"), y.alias("y"))
+    lon_b, lat_b = inv(F.col("x"), F.col("y"))
+    err = prj.select(
+        F.max(
+            F.abs(lat_b - F.col("lat"))
+            + F.abs(
+                F.pmod(lon_b - F.col("lon") + 540.0, F.lit(360.0)) - 180.0
+            )
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert err < 1e-9
+
+    ident_f, ident_i = cf_transforms(
+        {"grid_mapping_name": "latitude_longitude"}
+    )
+    a, b = ident_f(F.lit(10.0), F.lit(20.0))
+    row = spark.range(1).select(a.alias("a"), b.alias("b")).collect()[0]
+    assert (row["a"], row["b"]) == (10.0, 20.0)
+
+    with _pt.raises(KeyError):
+        cf_transforms({"grid_mapping_name": "geostationary"})

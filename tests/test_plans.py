@@ -87,13 +87,71 @@ def test_minhash_lsh_shuffles_signatures_never_text(spark):
 def test_no_python_udf_in_any_plan(spark, name):
     """Every catalog query must stay JVM-side: no row-at-a-time Python
     (BatchEvalPython) and no Arrow Python UDF (ArrowEvalPython) in the
-    data plane — all operators are expression compositions."""
+    data plane — all operators are expression compositions.
+
+    Also pins the OUTPUT-TYPE CANON (round-5 driver-gate lesson): the
+    result schema may only contain types whose Python/pandas conversion
+    is identical across engines and fetch paths — so no DecimalType and
+    no DateType at the output boundary (decimal arithmetic stays
+    internal and crosses out as double; dates cross out as timestamp).
+    DuckDB-side counterpart: test_oracle_output_type_canon."""
     df = QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        assert not tn.startswith("decimal"), (
+            f"{name}.{f.name}: decimal at the output boundary"
+        )
+        assert tn != "date", (
+            f"{name}.{f.name}: date at the output boundary"
+        )
+
+
+def test_oracle_output_type_canon():
+    """Every DuckDB oracle's result schema must stay inside the
+    conversion-safe type set.  DuckDB returns integer sums as HUGEINT
+    and decimal sums as DECIMAL — both convert to pandas float64 under
+    some DuckDB builds and to int64/Decimal under others, which is
+    exactly the round-4 class of driver-only hash mismatches (all 8
+    were HUGEINT/DECIMAL outputs; no green query had any).  Fix is
+    always CAST(... AS BIGINT / DOUBLE / TIMESTAMP) at the boundary."""
+    import duckdb
+
+    from gridded_etl_tools_spark.plans.catalog import ORACLES
+    from gridded_etl_tools_spark.plans.tables import TABLES
+
+    allowed = (
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+        "VARCHAR", "TIMESTAMP", "BOOLEAN",
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in ORACLES.items():
+        desc = con.sql("DESCRIBE " + sql).fetchall()
+        flagged = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if not ty.startswith(allowed)
+        ]
+        if flagged:
+            bad[name] = flagged
+    assert not bad, f"oracle outputs outside the type canon: {bad}"
+
+
+def test_skew_report_take_ordered(spark):
+    """join_key_skew_report's top-10 must plan as TakeOrderedAndProject
+    (per-partition partial top-k) — never a row_number window over the
+    whole key axis funneled through one task (round-4 verdict item)."""
+    plan = formatted_plan(spark, "join_key_skew_report")
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q19_disjunction_pushes_to_both_scans(spark):
@@ -235,8 +293,6 @@ SHUFFLE_BUDGET = {
     # the 150-row daily-rollup subtree across the med/mad stages (AQE
     # reuses the exchange at runtime); survival's single-partition
     # exchanges run on the distinct-duration axis.
-    "cohort_retention_weekly": (3, 0),
-    "event_transition_matrix": (2, 0),
     "unigram_perplexity_scores": (4, 1),
     "survival_signup_to_purchase": (3, 2),
     "event_value_histogram": (1, 0),
@@ -246,7 +302,6 @@ SHUFFLE_BUDGET = {
     "ewma_daily_values": (4, 0),
     "robust_outlier_days": (3, 0),  # daily axis localCheckpointed: 1 fact scan
     "last_touch_attribution": (2, 0),
-    "hll_running_distinct_users": (5, 0),
     # final round-4 batch
     "cube_event_revenue": (1, 0),        # one Expand + hash agg
     "revenue_share_by_type": (2, 1),     # type agg + broadcast scalar
@@ -260,7 +315,12 @@ SHUFFLE_BUDGET = {
     "weighted_median_daily_mean": (2, 0),  # daily agg + axis windows
     "embedding_dim_stats": (1, 0),       # posexplode + one (dim) agg
     "corpus_prep_end_to_end": (2, 0),    # content dedup + split rollup
-    "rfm_segments": (1, 2),              # purchase agg; ntile on user axis
+    # global_ntile passes sit behind localCheckpoint barriers: the final
+    # segment shows the last pass only (bucket agg + bucket window; the
+    # single-partition exchanges run on the bucket-totals axis)
+    "rfm_segments": (2, 2),
+    "user_activity_deciles": (3, 2),
+    "join_key_skew_report": (2, 1),      # key agg + TakeOrdered + scalar
     "pareto_part_classes": (1, 1),       # part agg; ranking on part axis
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }

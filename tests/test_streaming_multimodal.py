@@ -73,9 +73,47 @@ def test_extract_features_fake_decode(spark):
     assert len(out[0]["features"]) == 8
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_is_explicit_stub_for_unknown_codecs():
     with pytest.raises(NotImplementedError):
         real_decode_placeholder(b"x")
+
+
+def test_real_decode_handles_png_natively():
+    import numpy as np
+
+    from gridded_etl_tools_spark.multimodal.png import encode_png_gray8
+
+    px = (np.arange(64, dtype=np.uint8) * 3 % 256).reshape(8, 8)
+    feats = real_decode_placeholder(encode_png_gray8(px))
+    assert feats[:3] == [8.0, 8.0, 1.0]
+    assert feats[3] == pytest.approx(float(px.mean()))
+
+
+def test_png_roundtrip_all_filters():
+    """The cycling-filter encoder exercises every unfilter branch; the
+    decoder must recover the exact pixel matrix (incl. 1-wide and
+    1-tall edge shapes), and corrupt streams must raise."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.multimodal.png import (
+        decode_png,
+        encode_png_gray8,
+        png_pixel_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 17), (6, 1), (7, 5), (16, 33)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint16).astype(
+            np.uint8
+        )
+        width, height, channels, flat = decode_png(encode_png_gray8(px))
+        assert (width, height, channels) == (w, h, 1)
+        assert (flat.reshape(h, w) == px).all()
+        s = png_pixel_stats(encode_png_gray8(px))
+        assert s["pixel_sum"] == int(px.astype("int64").sum())
+        assert s["n_pixels"] == h * w
+    with pytest.raises(Exception):
+        decode_png(b"not a png at all")
 
 
 def test_frame_sample_plan(spark):
