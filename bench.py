@@ -84,6 +84,11 @@ HEADLINE = [
     "conversion_funnel",     # stacked conditional-min windows
     "cohort_retention_weekly",  # anchor agg + co-partitioned join back
     "ivm_rollup_maintenance",  # delta agg + broadcast merge
+    # round-5 additions — the new surface's heaviest plans:
+    "rfm_segments",          # 3x global_ntile (bucketed prefix counts)
+    "multimodal_real_decode",  # real PNG encode+decode in mapInPandas
+    "cf_gridmapping_reproject",  # rotated-pole + mercator column trig
+    "corpus_prep_end_to_end",  # quality gate -> dedup -> split rollup
 ]
 
 

@@ -380,6 +380,123 @@ def global_ntile(
     )
 
 
+def grouped_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: list,
+    bucket_col: str,
+    partition_cols: list[str],
+    tile_col: str = "tile",
+    bucket_desc: bool = False,
+    barrier: bool = False,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (PARTITION BY keys ORDER BY ...)`` where
+    each key's partition is FACT-SIZED (e.g. all events of a type) — the
+    keyed analog of :func:`global_ntile`, and the scale fix for windows
+    that funnel a whole key through one task.
+
+    Positions come from a per-key two-level prefix count: (keys, bucket)
+    occupancy totals, per-key exclusive offsets via a window over the
+    bucket AXIS (bounded by bucket cardinality, keyed by ``keys`` — no
+    single-partition stage anywhere), then a (keys, bucket)-partitioned
+    interior row_number.  Tile assignment is the closed-form positional
+    formula with the per-key row count, identical to ANSI ntile.
+
+    ``barrier=True`` localCheckpoints the input before the three
+    references to it (totals, position join, per-key counts) — use it
+    when the input is an expensive derived frame (chained passes); for
+    a plain scan, three pruned scans are cheaper than materializing the
+    fact table, so the default leaves the plan uncut."""
+    if barrier:
+        df = df.localCheckpoint(eager=True)
+    totals = df.groupBy(*partition_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("__btot")
+    )
+    bucket_order = (
+        F.col(bucket_col).desc() if bucket_desc else F.col(bucket_col).asc()
+    )
+    wb = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(bucket_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    ).select(*partition_cols, bucket_col, "__off")
+    ww = (
+        Window.partitionBy(*partition_cols, bucket_col)
+        .orderBy(*order_by)
+    )
+    counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__n"))
+    pos = (
+        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
+        .withColumn("__pos", F.col("__off") + F.row_number().over(ww))
+        .join(F.broadcast(counts), partition_cols)
+    )
+    base = F.floor(F.col("__n") / n_tiles)
+    rem = F.col("__n") % n_tiles
+    cut = rem * (base + 1)
+    i = F.col("__pos")
+    tile = F.when(
+        i <= cut, F.floor((i - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((i - cut - 1) / base) + 1)
+    return (
+        pos.withColumn(tile_col, tile.cast("int"))
+        .drop("__off", "__pos", "__n")
+    )
+
+
+def bucketed_sliding_time_window(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Trailing time-range window aggregate (count + EXACT decimal sum)
+    without fact-sized window partitions — the scale form of
+    ``PARTITION BY key ORDER BY ts RANGE BETWEEN W PRECEDING AND
+    CURRENT ROW`` when a key's history is fact-sized.
+
+    Overlap replication: rows land in time buckets of width
+    ``window_seconds``; each row is ALSO replicated as a ghost into the
+    next bucket (a trailing window of width W can only reach back into
+    the immediately previous bucket when buckets are >= W wide).  The
+    window then runs partitioned by (keys, bucket) — bounded work per
+    task at any scale — and ghost rows are dropped after providing
+    frame context.  2x row replication buys unbounded parallelism.
+
+    The frame sum is an exact DECIMAL accumulation, so Spark's
+    incremental add/remove sliding-frame evaluation and an oracle's
+    recompute-per-row evaluation agree bit-for-bit; cast the returned
+    ``trailing_sum`` to double at the output boundary.  Adds
+    ``trailing_n`` (BIGINT) and ``trailing_sum`` (decimal) columns."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    window_us = window_seconds * 1_000_000
+    with_b = df.withColumn("__us", us).withColumn(
+        "__bkt", F.floor(F.col("__us") / window_us)
+    )
+    own = with_b.withColumn("__p", F.col("__bkt"))
+    ghost = with_b.withColumn("__p", F.col("__bkt") + 1)
+    both = own.unionByName(ghost)
+    w = (
+        Window.partitionBy(*keys, "__p")
+        .orderBy("__us")
+        .rangeBetween(-window_us, 0)
+    )
+    out = both.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col(value_col).cast(decimal_type)).over(w).alias(
+            "trailing_sum"
+        ),
+    )
+    return out.filter(F.col("__p") == F.col("__bkt")).drop(
+        "__us", "__bkt", "__p"
+    )
+
+
 def seasonal_decompose(
     daily: DataFrame,
     keys: list[str],

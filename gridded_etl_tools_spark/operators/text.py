@@ -31,6 +31,23 @@ def token_count(text_col) -> Column:
     return F.size(tokens(text_col))
 
 
+def adjacent_token_pairs(text_col) -> Column:
+    """Array of adjacent token bigrams (``'left right'`` strings) — the
+    substrate of the BPE-training inner loop: counting merge-candidate
+    pair frequencies over a corpus.  Pure array intrinsics; documents
+    with fewer than two tokens yield an empty array (``sequence(1, 0)``
+    would generate a DESCENDING range, so the short case is guarded
+    explicitly)."""
+    t = tokens(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return F.when(F.size(t) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def bpe_ish_token_count(text_col) -> Column:
     """BPE-flavored proxy: count word pieces after splitting words longer
     than 6 chars in half — ~ how sub-word tokenizers inflate counts.

@@ -2503,8 +2503,9 @@ def quantile_delta_map_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN clim USING (event_type),
            (SELECT unnest(range(1, 4)) AS lead) l)
     SELECT CAST(lead AS BIGINT) AS lead, count(*) AS n_pairs,
-           round(corr(fc_a, obs_a), 6) AS acc,
-           round(avg(fc_a - obs_a), 6) AS mean_anom_err
+           round(corr(fc_a, obs_a), 6) + 0.0 AS acc,
+           -- + 0.0: signed-zero canon (functions/normalize.pos_zero)
+           round(avg(fc_a - obs_a), 6) + 0.0 AS mean_anom_err
     FROM pairs GROUP BY 1
     """,
 )
@@ -2535,8 +2536,10 @@ def anomaly_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("lead").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.corr("fc_a", "obs_a"), 6).alias("acc"),
-        F.round(F.avg(F.col("fc_a") - F.col("obs_a")), 6).alias("mean_anom_err"),
+        pos_zero(F.round(F.corr("fc_a", "obs_a"), 6)).alias("acc"),
+        pos_zero(
+            F.round(F.avg(F.col("fc_a") - F.col("obs_a")), 6)
+        ).alias("mean_anom_err"),
     )
 
 
@@ -5504,13 +5507,25 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile bands per event type with a DETERMINISTIC total
     order (value, event_id) — ntile assigns by row position, so an
     ambiguous sort would be engine-unstable; the unique tie-break makes
-    both engines produce identical bands.  One partition-keyed window +
-    a tiny band agg."""
+    both engines produce identical bands.
+
+    Scale shape: each type's partition is FACT-sized, so a plain
+    partition-keyed ntile window would funnel a whole event type through
+    one task at 100 TB.  ``operators/aggregations.grouped_ntile``
+    computes the identical positional assignment from per-(type,
+    value-bucket) prefix counts instead — every stage keys on (type,
+    bucket), no per-type single-task sort exists."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = agg_ops.grouped_ntile(
+        ev.withColumn("__bkt", F.floor(F.col("value") / 5.0)),
+        10,
+        order_by=[F.col("value").asc(), F.col("event_id").asc()],
+        bucket_col="__bkt",
+        partition_cols=["event_type"],
+        tile_col="decile",
+    )
     return (
-        ev.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("event_type", "decile")
+        tiled.groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 6).alias("lo"),
@@ -6443,9 +6458,14 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     classed by CUMULATIVE revenue share (A = first 80%, B = next 15%,
     C = tail) — the running percent-of-total shape.  Cumulative sums
     are EXACT decimals over a unique total order, so the class cut is a
-    deterministic comparison; the window runs on the PART AXIS (post-agg),
-    not the facts.  (The single-sequence window is the inherent shape
-    of a global ranking — at scale, range-partition the sort.)"""
+    deterministic comparison.
+
+    Scale shape: the part axis grows with the catalog, so the running
+    sum is ``operators/aggregations.bucketed_prefix_sum`` (two-level:
+    per-revenue-bucket decimal totals + broadcast offsets + interior
+    windows keyed on the bucket) rather than a single-partition ORDER
+    BY window — decimal addition is associative, so the two-level sum
+    equals the oracle's sequential window exactly."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -6453,18 +6473,23 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(18,6)"
             )
         ).alias("revenue")
+    ).localCheckpoint(eager=True)  # referenced by prefix sum + total
+    cum_df = agg_ops.bucketed_prefix_sum(
+        rev.withColumn(
+            "__bkt", F.floor(F.col("revenue").cast("double") / 1000.0)
+        ),
+        bucket_col="__bkt",
+        order_by=[F.col("revenue").desc(), F.col("l_partkey").asc()],
+        value_col="revenue",
+        cum_col="__cum",
+        bucket_desc=True,
     )
-    one = Window.partitionBy(F.lit(0))
-    cum = F.sum("revenue").over(
-        one.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    total = F.sum("revenue").over(one)
-    share = cum.cast("double") / total.cast("double")
+    total = F.broadcast(rev.agg(F.sum("revenue").alias("__total")))
+    share = F.col("__cum").cast("double") / F.col("__total").cast("double")
     cls = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
     )
-    return rev.select(
+    return cum_df.crossJoin(total).select(
         "l_partkey",
         F.col("revenue").cast("double").alias("revenue"),
         cls.alias("abc_class"),
@@ -6969,4 +6994,38 @@ def cf_gridmapping_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.abs(mlon_b - F.col("lon")) + F.abs(mlat_b - F.col("lat")), 6
         ).alias("merc_rt_err"),
+    )
+
+
+@query(
+    "rolling_hour_stats_bucketed",
+    """
+    SELECT event_id, event_type,
+           count(*) OVER w AS trailing_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_hour_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event count + exact revenue sum per event — the
+    sliding time-range window re-expressed at scale
+    (``operators/aggregations.bucketed_sliding_time_window``): a plain
+    ``PARTITION BY event_type`` window funnels a whole type's fact
+    history through one task, so rows are bucketed by hour, ghost-
+    replicated into the next bucket for frame context, and the window
+    runs per (type, hour-bucket) — bounded tasks at any scale, results
+    identical to the oracle's single-sequence window because the frame
+    sum is exact decimal.  The companion scale class to
+    ``rolling_volatility`` (which documents the single-task form)."""
+    ev = load(spark, sf_dir, "events")
+    out = agg_ops.bucketed_sliding_time_window(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        window_seconds=3600,
+    )
+    return out.select(
+        "event_id", "event_type", "trailing_n",
+        F.col("trailing_sum").cast("double").alias("trailing_sum"),
     )

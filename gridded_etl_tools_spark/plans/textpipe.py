@@ -597,3 +597,41 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    pairs AS (
+      SELECT tk[i] || ' ' || tk[i + 1] AS pair
+      FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2)
+    SELECT pair, count(*) AS n_pair
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_pair DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop at corpus scale: frequency
+    of every adjacent token pair, top-50 merge candidates (deterministic
+    (count desc, pair) tie-break).  One explode + one hash agg; the
+    top-k plans as TakeOrderedAndProject.  At 100 TB this is exactly the
+    job that picks the next BPE merge — the pair axis is
+    vocabulary-squared bounded and combiner-friendly, the corpus is
+    touched once per merge round (production caches the token arrays
+    between rounds)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(text_ops.adjacent_token_pairs(F.col("text"))).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
+        .limit(50)
+    )

@@ -298,7 +298,11 @@ SHUFFLE_BUDGET = {
     "event_value_histogram": (1, 0),
     "modal_event_type_per_user": (2, 0),
     "unpivot_event_matrix": (2, 0),
-    "event_value_deciles": (1, 0),
+    # grouped_ntile: totals agg + per-key offsets window + position
+    # window + per-key counts + band agg — 5 keyed exchanges, ZERO
+    # single-partition stages (the old plan was 1 exchange + a
+    # fact-sized per-type window task; more exchanges, no bottleneck)
+    "event_value_deciles": (5, 0),
     "ewma_daily_values": (4, 0),
     "robust_outlier_days": (3, 0),  # daily axis localCheckpointed: 1 fact scan
     "last_touch_attribution": (2, 0),
@@ -321,7 +325,11 @@ SHUFFLE_BUDGET = {
     "rfm_segments": (2, 2),
     "user_activity_deciles": (3, 2),
     "join_key_skew_report": (2, 1),      # key agg + TakeOrdered + scalar
-    "pareto_part_classes": (1, 1),       # part agg; ranking on part axis
+    # bucketed prefix sum: part agg + interior bucket window (hash) +
+    # bucket-totals offsets + grand total (single, bucket-axis sized)
+    "pareto_part_classes": (2, 2),
+    "rolling_hour_stats_bucketed": (1, 0),  # one (type,bucket) window
+    "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }
 
