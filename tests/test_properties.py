@@ -453,3 +453,132 @@ def test_kaplan_meier_monotone_and_bounded(spark, subjects):
         assert r["survival"] <= last_s + 1e-9
         assert r["n_at_risk"] <= last_n
         last_s, last_n = r["survival"], r["n_at_risk"]
+
+
+# --- round-5 scalable-window operators vs their single-partition
+# reference forms (the equivalence the oracle rows rely on) ------------
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_global_ntile_matches_window_ntile(spark, vals, k):
+    """global_ntile (two-level bucketed prefix counts) must equal the
+    positional Window.ntile for any data and tile count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import global_ntile
+
+    rows = [Row(rid=i, v=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["rid"]): r["tile"]
+        for r in global_ntile(
+            df.withColumn("__bkt", F.col("v")),
+            k,
+            order_by=[F.asc("v"), F.asc("rid")],
+            bucket_col="__bkt",
+        ).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("v"), F.asc("rid"))
+    want = {
+        r["rid"]: r["t"]
+        for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_ntile_matches_keyed_window_ntile(spark, pairs):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import grouped_ntile
+
+    rows = [Row(rid=i, g=g, v=v) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["rid"]: r["tile"]
+        for r in grouped_ntile(
+            df.withColumn("__bkt", F.floor(F.col("v") / 5)),
+            4,
+            order_by=[F.asc("v"), F.asc("rid")],
+            bucket_col="__bkt",
+            partition_cols=["g"],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("rid"))
+    want = {
+        r["rid"]: r["t"]
+        for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20_000),  # seconds offset
+            st.integers(min_value=-500, max_value=500),  # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketed_sliding_window_matches_plain_window(spark, pairs):
+    """Overlap replication must reproduce the plain single-partition
+    trailing RANGE window exactly (count and exact decimal sum),
+    including rows landing exactly on bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        bucketed_sliding_time_window,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(rid=i, g="k", ts=base + dt.timedelta(seconds=s), v=c / 100.0)
+        for i, (s, c) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["rid"]: (r["trailing_n"], float(r["trailing_sum"]))
+        for r in bucketed_sliding_time_window(
+            df, keys=["g"], ts_col="ts", value_col="v",
+            window_seconds=3600,
+        ).collect()
+    }
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    want = {
+        r["rid"]: (r["n"], float(r["s"]))
+        for r in df.select(
+            "rid",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w).alias("s"),
+        ).collect()
+    }
+    assert got == want
