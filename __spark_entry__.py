@@ -74,9 +74,14 @@ _FAMILY_REPRESENTATIVES = (
     "session_conversion_daily",
     "sequence_packing_sharded",
     "user_activity_deciles",      # + scalable global_ntile rework
+    "event_value_deciles",        # + scalable grouped_ntile rework
     "cusum_changepoints",
     "seasonal_decomposition",
     # new round-5 surface
+    "rolling_hour_stats_bucketed",  # overlap-replicated sliding window
+    "bpe_pair_counts",            # BPE-training pair counts
+    "streaming_rollup_readback",  # streaming IVM merge under the oracle
+    "streaming_stateful_extremes_readback",  # custom state machine
     "multimodal_real_decode",     # real PNG decode on executors
     "cf_gridmapping_reproject",   # generic CF projection registry
     "approx_distinct_bound_check",    # sketch error-bound certificates

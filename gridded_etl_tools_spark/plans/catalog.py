@@ -85,6 +85,51 @@ def _stage_stream_source(sf_dir: str) -> str:
     return watch_dir
 
 
+def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
+    """Stage events.parquet as ``n_parts`` TIME-ORDERED part files with
+    increasing mtimes, so a ``maxFilesPerTrigger=1`` file stream replays
+    them as ``n_parts`` chronological micro-batches — exercising
+    multi-batch state/merge paths (IVM merge, watermark advance)
+    instead of a single bootstrap batch.  Content-keyed digest, same
+    staleness guard as :func:`_stage_stream_source`."""
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"stream_parts_v1:{src}:{st.st_size}:{st.st_mtime_ns}:{n_parts}"
+        .encode()
+    ).hexdigest()[:12]
+    watch_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_parts_{digest}"
+    )
+    done = os.path.join(watch_dir, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(watch_dir, exist_ok=True)
+        tbl = pq.read_table(src)
+        # chronological split: later parts must never carry rows behind
+        # an already-advanced watermark
+        order = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n = order.num_rows
+        bounds = [n * i // n_parts for i in range(n_parts + 1)]
+        now = time.time()
+        for i in range(n_parts):
+            part = order.slice(bounds[i], bounds[i + 1] - bounds[i])
+            path = os.path.join(watch_dir, f"part-{i:03d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, path)
+            # FileStreamSource orders by modification time: pin it
+            os.utime(path, (now + i, now + i))
+        open(done, "w").close()
+    return watch_dir
+
+
 # ---------------------------------------------------------------------------
 # Flagship + classic relational aggregation (SURVEY §2.4 A12)
 # ---------------------------------------------------------------------------
@@ -7028,4 +7073,118 @@ def rolling_hour_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "trailing_n",
         F.col("trailing_sum").cast("double").alias("trailing_sum"),
+    )
+
+
+@query(
+    "streaming_rollup_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL VIEW MAINTENANCE under the batch oracle:
+    the events file replayed as THREE chronological micro-batches
+    (maxFilesPerTrigger=1 over time-split part files), each folded into
+    a materialized daily rollup GriddedTable by signed-delta merge
+    (``streaming/ingest.stream_maintain_rollup`` -> ``operators/ivm``)
+    — bootstrap on batch 0, true IVM merges on batches 1-2 — then the
+    committed table must hash-match the from-scratch GROUP BY.  Sums
+    accumulate in exact decimal through every merge (double at the
+    output boundary), so maintenance order cannot leak into values.
+    Scale shape: per batch one narrow delta agg + a key-equi broadcast
+    merge; the base stream is never rescanned."""
+    import os
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+    from gridded_etl_tools_spark.streaming.ingest import (
+        stream_maintain_rollup,
+    )
+
+    watch_dir = _stage_stream_source_parts(sf_dir, 3)
+    schema = load(spark, sf_dir, "events").schema
+    run = uuid.uuid4().hex
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_roll_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_rollck_{run}")
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+
+    table = GriddedTable(root, time_col="day")
+    q = stream_maintain_rollup(
+        spark, watch_dir, schema, table, ckpt,
+        keys=["day", "event_type"], sum_cols=["v"], derive=derive,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return table.read(spark).select(
+        "day", "event_type", "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+    )
+
+
+@query(
+    "streaming_stateful_extremes_readback",
+    """
+    SELECT user_id AS key,
+           count(*) AS n_seen,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_extremes_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator under the batch oracle: the
+    per-user running (count, min, max, last-seen) accumulator
+    (``streaming/stateful.running_extremes`` via
+    ``applyInPandasWithState``) over a THREE-micro-batch chronological
+    replay, update-mode memory sink; the FINAL state row per key (max
+    n_seen — counts are strictly increasing per emission) must
+    hash-match the batch GROUP BY.  This puts the hand-written state
+    machine — not just built-in windows — under the value gate.
+    Scale shape: state keys on the user hash like any shuffle; min/max
+    are raw input values (no float accumulation)."""
+    import uuid
+
+    from gridded_etl_tools_spark.streaming.stateful import running_extremes
+
+    watch_dir = _stage_stream_source_parts(sf_dir, 3)
+    schema = load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # huge watermark delay: nothing is late, no state times out — the
+    # replay is exact; production trims both knobs
+    out = running_extremes(stream, watermark_sql="365 days")
+    name = f"stream_ext_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_seen", "min_value", "max_value", "last_ts")
     )

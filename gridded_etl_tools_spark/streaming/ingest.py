@@ -184,6 +184,7 @@ def stream_maintain_rollup(
     sum_cols: list[str],
     derive=None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate (TimescaleDB-style): maintain a materialized
     rollup from a live stream by INCREMENTAL view maintenance instead of
@@ -206,7 +207,12 @@ def stream_maintain_rollup(
     batch-id attr guard as :func:`stream_parquet_ingest`."""
     from gridded_etl_tools_spark.operators import ivm
 
-    src = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # force multi-batch replay (one file per micro-batch) so tests
+        # and oracle rows exercise the MERGE path, not just bootstrap
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
     attr_key = f"stream_rollup_last_batch_id:{checkpoint_dir}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
