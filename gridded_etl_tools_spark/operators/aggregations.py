@@ -446,6 +446,69 @@ def grouped_ntile(
     )
 
 
+def grouped_rank_stats(
+    df: DataFrame,
+    partition_cols: list[str],
+    value_col: str,
+    bucket_col: str,
+    order_tiebreak: list | None = None,
+) -> DataFrame:
+    """ANSI ``rank()`` / ``percent_rank()`` / ``cume_dist()`` over
+    fact-sized key partitions WITHOUT a per-key window task.
+
+    Positions come from the same two-level (keys, value-bucket) prefix
+    counts as :func:`grouped_ntile`; tie semantics are then recovered
+    exactly by collapsing positions per (keys, value): ``rank`` =
+    min(position) among equal values, ``cume_dist`` = max(position)/n,
+    ``percent_rank`` = (rank-1)/(n-1) — every stage keys on (keys,
+    bucket) or (keys, value), nothing single-task.  The divisions are
+    single exact-integer-operand IEEE ops, so results are bit-identical
+    to the window-function oracle."""
+    tiebreak = order_tiebreak or []
+    totals = df.groupBy(*partition_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("__btot")
+    )
+    wb = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    ).select(*partition_cols, bucket_col, "__off")
+    ww = Window.partitionBy(*partition_cols, bucket_col).orderBy(
+        F.col(value_col).asc(), *tiebreak
+    )
+    counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__n"))
+    pos = (
+        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
+        .withColumn("__pos", F.col("__off") + F.row_number().over(ww))
+    )
+    ties = pos.groupBy(*partition_cols, value_col).agg(
+        F.min("__pos").alias("__rank"),
+        F.max("__pos").alias("__peer_cum"),
+    )
+    out = (
+        pos.join(ties, [*partition_cols, value_col])
+        .join(F.broadcast(counts), partition_cols)
+    )
+    return (
+        out.withColumn("rank", F.col("__rank"))
+        .withColumn(
+            "percent_rank",
+            F.when(F.col("__n") > 1,
+                   (F.col("__rank") - 1).cast("double")
+                   / (F.col("__n") - 1).cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "cume_dist",
+            F.col("__peer_cum").cast("double") / F.col("__n").cast("double"),
+        )
+        .drop("__pos", "__rank", "__peer_cum", "__n", "__off")
+    )
+
+
 def bucketed_sliding_time_window(
     df: DataFrame,
     keys: list[str],

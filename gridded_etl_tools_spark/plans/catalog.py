@@ -7188,3 +7188,38 @@ def streaming_stateful_extremes_readback(
         .filter(F.col("__rn") == 1)
         .select("key", "n_seen", "min_value", "max_value", "last_ts")
     )
+
+
+@query(
+    "event_value_rank_enrich",
+    """
+    SELECT event_id, event_type,
+           rank() OVER w AS rank,
+           percent_rank() OVER w AS percent_rank,
+           cume_dist() OVER w AS cume_dist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def event_value_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI rank / percent_rank / cume_dist per event against its
+    type's value distribution — computed WITHOUT a fact-sized window
+    partition (``operators/aggregations.grouped_rank_stats``): two-level
+    (type, value-bucket) prefix counts give each row its global
+    position, then a (type, value) tie-collapse recovers exact ANSI tie
+    semantics (rank = min position, cume_dist = max position / n).
+    Bit-identical to the oracle's window functions because every
+    derived number is a single division of exact integers.  The scale
+    form of the ``value_cume_dist_tail`` / ``quantile_map_correction``
+    rank windows."""
+    ev = load(spark, sf_dir, "events")
+    stats = agg_ops.grouped_rank_stats(
+        ev.withColumn("__bkt", F.floor(F.col("value") / 5.0)),
+        partition_cols=["event_type"],
+        value_col="value",
+        bucket_col="__bkt",
+        order_tiebreak=[F.col("event_id").asc()],
+    )
+    return stats.select(
+        "event_id", "event_type", "rank", "percent_rank", "cume_dist"
+    )

@@ -329,6 +329,10 @@ SHUFFLE_BUDGET = {
     # bucket-totals offsets + grand total (single, bucket-axis sized)
     "pareto_part_classes": (2, 2),
     "rolling_hour_stats_bucketed": (1, 0),  # one (type,bucket) window
+    # grouped_rank_stats: bucket totals + offsets + position window +
+    # tie-collapse + per-key counts — 6 keyed exchanges, zero
+    # single-partition stages
+    "event_value_rank_enrich": (6, 0),
     "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }

@@ -582,3 +582,49 @@ def test_bucketed_sliding_window_matches_plain_window(spark, pairs):
         ).collect()
     }
     assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=12),  # dense -> many ties
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_grouped_rank_stats_matches_window_functions(spark, pairs):
+    """Two-level positions + tie-collapse must reproduce ANSI rank /
+    percent_rank / cume_dist exactly, including heavy ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        grouped_rank_stats,
+    )
+
+    rows = [Row(rid=i, g=g, v=float(v)) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["rid"]: (r["rank"], r["percent_rank"], r["cume_dist"])
+        for r in grouped_rank_stats(
+            df.withColumn("__bkt", F.floor(F.col("v") / 4)),
+            partition_cols=["g"],
+            value_col="v",
+            bucket_col="__bkt",
+            order_tiebreak=[F.col("rid").asc()],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        r["rid"]: (r["rk"], r["pr"], r["cd"])
+        for r in df.select(
+            "rid",
+            F.rank().over(w).alias("rk"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
