@@ -89,6 +89,8 @@ HEADLINE = [
     "multimodal_real_decode",  # real PNG encode+decode in mapInPandas
     "cf_gridmapping_reproject",  # rotated-pole + mercator column trig
     "corpus_prep_end_to_end",  # quality gate -> dedup -> split rollup
+    "event_value_rank_enrich",  # distributed ANSI ranks (fact output)
+    "rolling_hour_stats_bucketed",  # overlap-replicated sliding window
 ]
 
 

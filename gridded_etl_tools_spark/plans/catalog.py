@@ -7223,3 +7223,66 @@ def event_value_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "event_id", "event_type", "rank", "percent_rank", "cume_dist"
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    """
+    WITH thr AS (
+      SELECT CAST(ceil(1.15 * count(*) / count(DISTINCT user_id)) AS BIGINT)
+               AS t
+      FROM events)
+    SELECT user_id, count(*) AS n_events
+    FROM events, thr
+    GROUP BY user_id, thr.t
+    HAVING count(*) >= t
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection, sketch-prefiltered but EXACT-output (the
+    same two-phase contract as ``bloom_two_phase_dedup``): a d=3 x w=64
+    Count-Min table flags candidate keys whose estimate reaches the
+    threshold (1.15x the mean key frequency); only candidate rows are
+    shuffled for the exact count, and the exact filter finalizes.
+    Because CMS never underestimates, the candidate set is a SUPERSET
+    of the true heavy keys, so the result provably equals the plain
+    ``HAVING count(*) >= t`` the oracle runs — no sketch appears on the
+    oracle side at all.
+
+    Scale shape: the counter table is 192 cells (one map-side
+    combinable agg + broadcast); the exact phase shuffles only rows of
+    candidate keys — shuffle volume tracks the heavy sliver, not the
+    key axis."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    scalars = F.broadcast(
+        ev.agg(
+            F.ceil(
+                F.lit(1.15) * F.count(F.lit(1))
+                / F.countDistinct("user_id")
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    counters = sketches.cms_counters(ev, "user_id", depth=3, width=64)
+    users = ev.select("user_id").distinct()
+    est = sketches.cms_point_estimates(
+        counters, users, "user_id", depth=3, width=64
+    )
+    cand = (
+        est.crossJoin(scalars)
+        .filter(F.col("cms_estimate") >= F.col("t"))
+        .select("user_id")
+    )
+    exact = (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        exact.crossJoin(scalars)
+        .filter(F.col("n_events") >= F.col("t"))
+        .select("user_id", "n_events")
+    )
