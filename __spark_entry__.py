@@ -84,6 +84,7 @@ _FAMILY_REPRESENTATIVES = (
     "streaming_stateful_extremes_readback",  # custom state machine
     "event_value_rank_enrich",    # distributed ANSI rank/percent/cume
     "cms_heavy_hitters",          # sketch-prefiltered exact heavy keys
+    "locf_event_fill_bucketed",   # two-level LOCF over fact-sized axis
     "multimodal_real_decode",     # real PNG decode on executors
     "cf_gridmapping_reproject",   # generic CF projection registry
     "approx_distinct_bound_check",    # sketch error-bound certificates

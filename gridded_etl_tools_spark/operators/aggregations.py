@@ -446,6 +446,61 @@ def grouped_ntile(
     )
 
 
+def bucketed_locf(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    value_col: str,
+    bucket_col: str,
+    filled_col: str = "filled",
+) -> DataFrame:
+    """Last-observation-carried-forward over FACT-SIZED key partitions
+    without a per-key window task — the two-level form of
+    ``last(value, ignorenulls) OVER (PARTITION BY keys ORDER BY ...)``.
+
+    Three keyed stages: (1) per-(keys, bucket) last non-null value (a
+    hash agg via ``max_by`` over non-null rows); (2) a SEED per bucket =
+    the latest per-bucket-last among STRICTLY EARLIER buckets, via an
+    ignorenulls window over the densified (keys × bucket) AXIS — bounded
+    by bucket cardinality, keyed by ``keys``; (3) the interior LOCF
+    within each (keys, bucket) partition, coalesced with the seed.
+    ``bucket_col`` must be a monotone coarsening of the primary order
+    column.  Results are picks, not accumulations — exactly equal to
+    the single-sequence window on any engine."""
+    nonnull = df.filter(F.col(value_col).isNotNull())
+    ord_struct = F.struct(*order_by)
+    bucket_last = nonnull.groupBy(*keys, bucket_col).agg(
+        F.max_by(F.col(value_col), ord_struct).alias("__blast")
+    )
+    axis = df.select(*keys, bucket_col).distinct()
+    wseed = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        axis.join(bucket_last, [*keys, bucket_col], "left")
+        .withColumn("__seed", F.last("__blast", ignorenulls=True).over(wseed))
+        .select(*keys, bucket_col, "__seed")
+    )
+    win = (
+        Window.partitionBy(*keys, bucket_col)
+        .orderBy(*[c for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(F.broadcast(seeds), [*keys, bucket_col])
+        .withColumn(
+            filled_col,
+            F.coalesce(
+                F.last(value_col, ignorenulls=True).over(win),
+                F.col("__seed"),
+            ),
+        )
+        .drop("__blast", "__seed")
+    )
+
+
 def grouped_rank_stats(
     df: DataFrame,
     partition_cols: list[str],

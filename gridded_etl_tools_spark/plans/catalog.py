@@ -7286,3 +7286,49 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") >= F.col("t"))
         .select("user_id", "n_events")
     )
+
+
+@query(
+    "locf_event_fill_bucketed",
+    """
+    WITH punched AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_id, event_type,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM punched
+    """,
+)
+def locf_event_fill_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-style LOCF gap fill over a FACT-SIZED axis (every fifth
+    event's value punched to NULL, carried forward per event type) —
+    computed with ``operators/aggregations.bucketed_locf``: per-(type,
+    hour-bucket) last non-null + seed carry-in over the bucket axis +
+    interior fill, so no event type ever funnels through one window
+    task.  Results are picks (not accumulations), so the two-level form
+    equals the oracle's single-sequence window exactly.  Completes the
+    scale-window toolkit: ntile (grouped_ntile), ranks
+    (grouped_rank_stats), sliding frames (bucketed_sliding_time_window),
+    and now carry-forward fills."""
+    ev = load(spark, sf_dir, "events")
+    punched = ev.select(
+        "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    ).withColumn(
+        "__bkt", F.floor(F.unix_micros("ts") / 3_600_000_000)
+    )
+    filled = agg_ops.bucketed_locf(
+        punched,
+        keys=["event_type"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        value_col="v",
+        bucket_col="__bkt",
+        filled_col="v_filled",
+    )
+    return filled.select("event_id", "event_type", "v_filled")

@@ -22,6 +22,11 @@ conversion of the canonical output types (BIGINT / DOUBLE / VARCHAR /
 DATE / TIMESTAMP / BOOLEAN).
 
 Usage: python scripts/verify_strict.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_VANILLA=1 to run under a DRIVER-LIKE vanilla session
+(``local[4]``, default 200 shuffle partitions, no tuned configs) —
+catches any query whose values depend on partitioning or session
+configuration rather than being exact by construction.
 """
 
 from __future__ import annotations
@@ -91,9 +96,21 @@ def table_lines(rows, columns):
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_session("verify_strict")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("verify_strict_vanilla")
+            .getOrCreate()
+        )
+        print("== VANILLA session (driver-like, untuned) ==", flush=True)
+    else:
+        spark = get_session("verify_strict")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -333,6 +333,9 @@ SHUFFLE_BUDGET = {
     # tie-collapse + per-key counts — 6 keyed exchanges, zero
     # single-partition stages
     "event_value_rank_enrich": (6, 0),
+    # bucketed_locf: per-bucket last + axis seeds + interior fill —
+    # all keyed, zero single-partition stages
+    "locf_event_fill_bucketed": (4, 0),
     "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }

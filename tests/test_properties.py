@@ -628,3 +628,60 @@ def test_grouped_rank_stats_matches_window_functions(spark, pairs):
         ).collect()
     }
     assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20_000),  # seconds
+            st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketed_locf_matches_plain_window(spark, triples):
+    """Two-level LOCF (per-bucket last + seed carry-in + interior fill)
+    must equal the single-sequence ignorenulls window, including
+    all-null buckets, leading nulls, and bucket-boundary rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import bucketed_locf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            rid=i, g=g,
+            ts=base + dt.timedelta(seconds=s),
+            v=None if c is None else float(c),
+        )
+        for i, (g, s, c) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(rows, "rid long, g string, ts timestamp, v double")
+    got = {
+        r["rid"]: r["filled"]
+        for r in bucketed_locf(
+            df.withColumn(
+                "__bkt", F.floor(F.unix_micros("ts") / 3_600_000_000)
+            ),
+            keys=["g"],
+            order_by=[F.col("ts"), F.col("rid")],
+            value_col="v",
+            bucket_col="__bkt",
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("ts", "rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["rid"]: r["f"]
+        for r in df.select(
+            "rid", F.last("v", ignorenulls=True).over(w).alias("f")
+        ).collect()
+    }
+    assert got == want
