@@ -215,26 +215,66 @@ def quantile_map(
     the observed distribution exactly — systematic scale/offset biases
     vanish by construction.
 
-    Physical shape: percent_rank windows on both sides over the SAME
-    group partitioning, then a rank-as-of join (the union-trick as-of:
-    one sort, no range explosion) — two window passes and one shuffle on
-    the group key, reused across all three stages.
+    Physical shape (round-5 rework — each group's rank axis is
+    FACT-sized, so neither stage may funnel a group through one task):
+    percent_rank on both sides via :func:`grouped_rank_stats`
+    (two-level positions + tie-collapse — exact ANSI percent_rank), and
+    the rank-as-of lookup as a two-level LOCF over the rank axis via
+    :func:`bucketed_locf` (obs quantile curve union'd under the
+    forecast ranks, bucket = floor(rank*64), seed carry-in across
+    buckets).  Every stage keys on (group, bucket); values are
+    identical to the single-sequence windows because ranks are exact
+    rationals and the fill is a pick.
 
-    Returns the forecast rows + ``corrected`` (and the matched
-    ``asof___r`` rank diagnostics)."""
-    from gridded_etl_tools_spark.operators.joins import asof_join
-
-    wf = Window.partitionBy(*group_cols).orderBy(value_col)
-    fcr = forecast.withColumn("__r", F.percent_rank().over(wf))
-    obsr = observed.select(
-        *group_cols, F.col(value_col).alias("__obs_v")
-    ).withColumn(
-        "__r", F.percent_rank().over(
-            Window.partitionBy(*group_cols).orderBy("__obs_v")
-        )
+    Returns the forecast rows + ``corrected``."""
+    fcr = grouped_rank_stats(
+        forecast.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
+        partition_cols=group_cols,
+        value_col=value_col,
+        bucket_col="__qb",
+    ).withColumnRenamed("percent_rank", "__r").drop(
+        "rank", "cume_dist", "__qb"
     )
-    out = asof_join(fcr, obsr, on="__r", by=group_cols)
-    return out.withColumn("corrected", F.col("asof___obs_v"))
+    obsr = grouped_rank_stats(
+        observed.select(*group_cols, F.col(value_col).alias("__obs_v"))
+        .withColumn("__qb", F.floor(F.col("__obs_v") / 5.0)),
+        partition_cols=group_cols,
+        value_col="__obs_v",
+        bucket_col="__qb",
+    ).withColumnRenamed("percent_rank", "__r").select(
+        *group_cols, "__r", "__obs_v"
+    )
+    payload = [c for c in fcr.columns if c not in (*group_cols, "__r")]
+    fc_tagged = fcr.select(
+        *group_cols, "__r", F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__av"),
+        *[F.col(c) for c in payload],
+    )
+    obs_tagged = obsr.select(
+        *group_cols, "__r", F.lit(0).alias("__side"),
+        F.col("__obs_v").alias("__av"),
+        *[
+            F.lit(None).cast(fcr.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+    )
+    # barrier: bucketed_locf references its input three times (bucket
+    # lasts, axis, join) — without the cut, BOTH rank-stat chains would
+    # be re-embedded per reference (Catalyst does not dedup subtrees)
+    unioned = fc_tagged.unionByName(obs_tagged).withColumn(
+        "__rb", F.floor(F.col("__r") * 64)
+    ).localCheckpoint(eager=True)
+    filled = bucketed_locf(
+        unioned,
+        keys=group_cols,
+        order_by=[F.col("__r"), F.col("__side")],
+        value_col="__av",
+        bucket_col="__rb",
+        filled_col="corrected",
+    )
+    return filled.filter(F.col("__side") == 1).drop(
+        "__side", "__av", "__rb"
+    )
 
 
 def quantile_delta_map(

@@ -2621,8 +2621,10 @@ def quantile_map_correction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     downscaling): a deliberately biased forecast (obs * 1.3 + 5) is
     mapped back onto the observed distribution per event type — the
     corrected mean lands back on the observed mean by construction.
-    Rank windows + the union-trick rank-as-of join; one shuffle on the
-    group key (operators/aggregations.py::quantile_map)."""
+    Round-5 scale form (operators/aggregations.py::quantile_map):
+    percent_rank via grouped_rank_stats and the rank-as-of lookup via
+    bucketed_locf on the rank axis — no fact-sized window partition
+    anywhere; values identical to the window formulation."""
     ev = load(spark, sf_dir, "events")
     obs = ev.select("event_type", "value")
     fc = ev.select(

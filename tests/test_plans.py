@@ -336,6 +336,9 @@ SHUFFLE_BUDGET = {
     # bucketed_locf: per-bucket last + axis seeds + interior fill —
     # all keyed, zero single-partition stages
     "locf_event_fill_bucketed": (4, 0),
+    # reworked quantile map: rank stats x2 + rank-axis LOCF behind one
+    # barrier — final segment = locf stages + rollup, all keyed
+    "quantile_map_correction": (5, 0),
     "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }
