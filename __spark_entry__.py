@@ -50,34 +50,21 @@ _FIXED_THIS_ROUND = (
     "doc_chunks",                 # r4 green; NULL-text guard hardened
 )
 
-# Never-checked queries, ordered by round-5 urgency: first the ones
-# whose output types were hardened this round (they would have failed
-# the old way), then the new round-5 surface, then the r4 flagship
-# format/sink rows still awaiting their first driver row.
+# Never-checked / just-changed queries, ordered by round-5 urgency:
+# (a) previously-GREEN queries whose plans were reworked this round
+# (scalable-window rewrites + signed-zero fixes) — they must
+# re-confirm; (b) the new round-5 surface; (c) the r4 flagship
+# format/sink rows still awaiting their first driver row; (d) the
+# never-checked queries whose output types were hardened this round
+# (they would have failed the old way).  The tail of (d) may fall off
+# the ~50-query window edge; round 6 picks it up via seen==0.
 _FAMILY_REPRESENTATIVES = (
-    # type-canon hardened, never driver-checked
-    "token_budget_subset",
-    "streaming_window_readback",
-    "parametric_payouts",
-    "climate_heat_spells",
-    "climate_degree_days",
-    "q18_large_volume_customers",
-    "last_touch_attribution",
-    "cube_event_revenue",
-    "revenue_share_by_type",
-    "orders_above_global_avg",
-    "largest_purchase_per_user",
-    "rfm_segments",               # + scalable global_ntile rework
-    "pareto_part_classes",
-    "table_profile_events",
-    "join_key_skew_report",       # + TakeOrderedAndProject rework
-    "session_conversion_daily",
-    "sequence_packing_sharded",
-    "user_activity_deciles",      # + scalable global_ntile rework
-    "event_value_deciles",        # + scalable grouped_ntile rework
-    "cusum_changepoints",
-    "seasonal_decomposition",
-    # new round-5 surface
+    # (a) reworked greens: re-confirm
+    "quantile_map_correction",    # rank stats + rank-axis LOCF rework
+    "quantile_delta_map_trend",   # same toolkit, two curve lookups
+    "value_cume_dist_tail",       # grouped_rank_stats cume_dist
+    "forecast_skill_by_lead",     # signed-zero canon (pos_zero)
+    # (b) new round-5 surface
     "rolling_hour_stats_bucketed",  # overlap-replicated sliding window
     "bpe_pair_counts",            # BPE-training pair counts
     "streaming_rollup_readback",  # streaming IVM merge under the oracle
@@ -90,12 +77,34 @@ _FAMILY_REPRESENTATIVES = (
     "approx_distinct_bound_check",    # sketch error-bound certificates
     "sketch_rollup_bound_check",
     "approx_percentiles_bound_check",
-    # r4 flagship formats/sinks, never checked
+    # (c) r4 flagship formats/sinks, never checked
     "geotiff_decode",
     "kerchunk_decode",
     "zarr3_decode",
     "zarr_publish_readback",
     "bloom_two_phase_dedup",
+    # (d) type-canon hardened, never driver-checked
+    "token_budget_subset",
+    "streaming_window_readback",
+    "parametric_payouts",
+    "climate_heat_spells",
+    "q18_large_volume_customers",
+    "last_touch_attribution",
+    "cube_event_revenue",
+    "revenue_share_by_type",
+    "orders_above_global_avg",
+    "largest_purchase_per_user",
+    "rfm_segments",               # + scalable global_ntile rework
+    "pareto_part_classes",        # + bucketed prefix-sum rework
+    "table_profile_events",
+    "join_key_skew_report",       # + TakeOrderedAndProject rework
+    "session_conversion_daily",
+    "sequence_packing_sharded",
+    "user_activity_deciles",      # + scalable global_ntile rework
+    "event_value_deciles",        # + scalable grouped_ntile rework
+    "cusum_changepoints",
+    "seasonal_decomposition",
+    "climate_degree_days",
 )
 
 

@@ -244,24 +244,42 @@ def quantile_map(
     ).withColumnRenamed("percent_rank", "__r").select(
         *group_cols, "__r", "__obs_v"
     )
-    payload = [c for c in fcr.columns if c not in (*group_cols, "__r")]
-    fc_tagged = fcr.select(
+    return rank_curve_lookup(fcr, obsr, group_cols, "__obs_v", "corrected")
+
+
+def rank_curve_lookup(
+    left: DataFrame,
+    curve: DataFrame,
+    group_cols: list[str],
+    curve_val_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Rank-as-of lookup at scale: for each ``left`` row (carrying a
+    ``__r`` rank column), the ``curve`` value at the greatest curve
+    ``__r`` <= the row's ``__r`` (inclusive), per group — i.e. read an
+    empirical quantile curve at each row's own quantile.
+
+    The per-group rank axis is fact-sized, so the lookup runs as a
+    two-level LOCF (:func:`bucketed_locf`, bucket = floor(rank*64))
+    over the union of rows and curve points — never a single
+    group-partition window.  The union is localCheckpointed because the
+    LOCF references it three times.  Returns the left rows +
+    ``out_col``."""
+    payload = [c for c in left.columns if c not in (*group_cols, "__r")]
+    l_tag = left.select(
         *group_cols, "__r", F.lit(1).alias("__side"),
-        F.lit(None).cast("double").alias("__av"),
+        F.lit(None).cast(curve.schema[curve_val_col].dataType).alias("__av"),
         *[F.col(c) for c in payload],
     )
-    obs_tagged = obsr.select(
+    c_tag = curve.select(
         *group_cols, "__r", F.lit(0).alias("__side"),
-        F.col("__obs_v").alias("__av"),
+        F.col(curve_val_col).alias("__av"),
         *[
-            F.lit(None).cast(fcr.schema[c].dataType).alias(c)
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in payload
         ],
     )
-    # barrier: bucketed_locf references its input three times (bucket
-    # lasts, axis, join) — without the cut, BOTH rank-stat chains would
-    # be re-embedded per reference (Catalyst does not dedup subtrees)
-    unioned = fc_tagged.unionByName(obs_tagged).withColumn(
+    unioned = l_tag.unionByName(c_tag).withColumn(
         "__rb", F.floor(F.col("__r") * 64)
     ).localCheckpoint(eager=True)
     filled = bucketed_locf(
@@ -270,7 +288,7 @@ def quantile_map(
         order_by=[F.col("__r"), F.col("__side")],
         value_col="__av",
         bucket_col="__rb",
-        filled_col="corrected",
+        filled_col=out_col,
     )
     return filled.filter(F.col("__side") == 1).drop(
         "__side", "__av", "__rb"
@@ -294,27 +312,40 @@ def quantile_delta_map(
     so distribution shifts the model genuinely predicts survive while
     the per-quantile historical bias is removed.
 
-    Physical shape: one percent_rank window per series over the same
-    group partitioning, then two rank-as-of joins (union trick) against
-    the historical observed and forecast quantile curves — every stage
-    reuses the one group-key shuffle."""
-    from gridded_etl_tools_spark.operators.joins import asof_join
+    Physical shape (round-5 rework): exact percent_rank per series via
+    :func:`grouped_rank_stats` and two :func:`rank_curve_lookup` passes
+    against the historical observed and forecast quantile curves — the
+    per-group rank axis never funnels through one window task."""
+    def ranked(df: DataFrame, col_alias: str) -> DataFrame:
+        src = df.select(*group_cols, F.col(value_col).alias(col_alias))
+        return grouped_rank_stats(
+            src.withColumn("__qb", F.floor(F.col(col_alias) / 5.0)),
+            partition_cols=group_cols,
+            value_col=col_alias,
+            bucket_col="__qb",
+        ).withColumnRenamed("percent_rank", "__r").select(
+            *group_cols, "__r", col_alias
+        )
 
-    wq = lambda c: Window.partitionBy(*group_cols).orderBy(c)  # noqa: E731
-    fut = future_fc.withColumn("__r", F.percent_rank().over(wq(value_col)))
-    obs_q = hist_obs.select(
-        *group_cols, F.col(value_col).alias("__obs_v")
-    ).withColumn("__r", F.percent_rank().over(wq("__obs_v")))
-    fc_q = hist_fc.select(
-        *group_cols, F.col(value_col).alias("__hfc_v")
-    ).withColumn("__r", F.percent_rank().over(wq("__hfc_v")))
-    step1 = asof_join(fut, obs_q, on="__r", by=group_cols).withColumnRenamed(
-        "asof___obs_v", "__obs_at_r"
-    ).drop("asof___r")
-    step2 = asof_join(step1, fc_q, on="__r", by=group_cols)
+    fut = grouped_rank_stats(
+        future_fc.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
+        partition_cols=group_cols,
+        value_col=value_col,
+        bucket_col="__qb",
+    ).withColumnRenamed("percent_rank", "__r").drop(
+        "rank", "cume_dist", "__qb"
+    )
+    obs_q = ranked(hist_obs, "__obs_v")
+    fc_q = ranked(hist_fc, "__hfc_v")
+    step1 = rank_curve_lookup(
+        fut, obs_q, group_cols, "__obs_v", "__obs_at_r"
+    )
+    step2 = rank_curve_lookup(
+        step1, fc_q, group_cols, "__hfc_v", "__hfc_at_r"
+    )
     return step2.withColumn(
         "corrected",
-        F.col(value_col) + F.col("__obs_at_r") - F.col("asof___hfc_v"),
+        F.col(value_col) + F.col("__obs_at_r") - F.col("__hfc_at_r"),
     )
 
 

@@ -182,17 +182,25 @@ def user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_cume_dist_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF tail: events in the top half-percent of their
-    type's value distribution.  cume_dist is tie-stable (counts rows with
-    value <= current), so no artificial tie-break is needed."""
+    type's value distribution.  cume_dist is tie-stable (counts rows
+    with value <= current), so no artificial tie-break is needed.
+    Round-5 scale form: ``operators/aggregations.grouped_rank_stats``
+    computes the identical cume_dist from two-level (type, value-
+    bucket) prefix counts — each type's fact-sized axis never funnels
+    through one window task."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
+    stats = agg_ops.grouped_rank_stats(
+        ev.withColumn("__bkt", F.floor(F.col("value") / 5.0)),
+        partition_cols=["event_type"],
+        value_col="value",
+        bucket_col="__bkt",
+    )
     return (
-        ev.withColumn("cd", F.cume_dist().over(w))
-        .filter(F.col("cd") >= 0.995)
+        stats.filter(F.col("cume_dist") >= 0.995)
         .select(
             "event_id", "event_type",
             F.round("value", 6).alias("value"),
-            F.round("cd", 6).alias("cd"),
+            F.round("cume_dist", 6).alias("cd"),
         )
     )
 
