@@ -63,6 +63,7 @@ _FAMILY_REPRESENTATIVES = (
     "quantile_map_correction",    # rank stats + rank-axis LOCF rework
     "quantile_delta_map_trend",   # same toolkit, two curve lookups
     "value_cume_dist_tail",       # grouped_rank_stats cume_dist
+    "rolling_volatility",         # block-ghost ROWS-frame rework
     "forecast_skill_by_lead",     # signed-zero canon (pos_zero)
     # (b) new round-5 surface
     "rolling_hour_stats_bucketed",  # overlap-replicated sliding window

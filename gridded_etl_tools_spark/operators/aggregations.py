@@ -635,6 +635,88 @@ def grouped_rank_stats(
     )
 
 
+def grouped_positions(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_by: list,
+    bucket_col: str,
+    pos_col: str = "__pos",
+) -> DataFrame:
+    """Exact global row position per key group (``row_number() OVER
+    (PARTITION BY keys ORDER BY ...)``) via two-level prefix counts —
+    the shared primitive behind :func:`grouped_ntile`,
+    :func:`grouped_rank_stats`, and
+    :func:`bucketed_sliding_rows_window`.  ``bucket_col`` must be a
+    monotone ascending coarsening of the primary order column."""
+    totals = df.groupBy(*partition_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("__btot")
+    )
+    wb = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    ).select(*partition_cols, bucket_col, "__off")
+    ww = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_by)
+    return (
+        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
+        .withColumn(pos_col, F.col("__off") + F.row_number().over(ww))
+        .drop("__off")
+    )
+
+
+def bucketed_sliding_rows_window(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    n_preceding: int,
+    bucket_col: str,
+    frame_aggs: dict,
+    block_rows: int = 512,
+) -> DataFrame:
+    """ROWS-frame sliding window (``ROWS BETWEEN n PRECEDING AND
+    CURRENT ROW``) over FACT-SIZED key partitions without a per-key
+    window task — the row-count analog of
+    :func:`bucketed_sliding_time_window`.
+
+    Each row gets its exact global position (:func:`grouped_positions`)
+    and lands in a fixed ``block_rows``-row block; the last
+    ``n_preceding`` rows of every block are ghost-replicated into the
+    next block (blocks are exactly full except the last, so the frame
+    can never reach back past one block), and the window runs per
+    (keys, block) — bounded tasks at any scale, frame CONTENT identical
+    to the single-sequence window.  ``frame_aggs`` maps output names to
+    aggregate Columns (e.g. ``{"vol": F.stddev_samp("value")}``);
+    requires ``block_rows > n_preceding``."""
+    if block_rows <= n_preceding:
+        raise ValueError("block_rows must exceed n_preceding")
+    pos = grouped_positions(df, keys, order_by, bucket_col)
+    # barrier: the own/ghost union references the position frame twice —
+    # without the cut the whole position chain (agg + offsets join) is
+    # re-embedded per branch
+    blocked = pos.withColumn(
+        "__blk", F.floor((F.col("__pos") - 1) / block_rows)
+    ).localCheckpoint(eager=True)
+    own = blocked.withColumn("__p", F.col("__blk"))
+    ghost = blocked.filter(
+        ((F.col("__pos") - 1) % block_rows) >= block_rows - n_preceding
+    ).withColumn("__p", F.col("__blk") + 1)
+    both = own.unionByName(ghost)
+    w = (
+        Window.partitionBy(*keys, "__p")
+        .orderBy(F.col("__pos").asc())
+        .rowsBetween(-n_preceding, 0)
+    )
+    out = both.select(
+        "*", *[agg.over(w).alias(name) for name, agg in frame_aggs.items()]
+    )
+    return out.filter(F.col("__p") == F.col("__blk")).drop(
+        "__pos", "__blk", "__p"
+    )
+
+
 def bucketed_sliding_time_window(
     df: DataFrame,
     keys: list[str],

@@ -504,19 +504,30 @@ def approx_percentiles_bound_check(
 )
 def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row stddev per event type (rolling volatility / local
-    variability of a sensor series).  Frame ordering includes event_id so
-    the ROWS frame is identical across engines under timestamp ties.  At
-    scale the partition keys match the table's write-time clustering, so
-    the sort is partial."""
+    variability of a sensor series).  Frame ordering includes event_id
+    so the ROWS frame is identical across engines under timestamp ties.
+    Round-5 scale form (``operators/aggregations.
+    bucketed_sliding_rows_window``): exact global positions land rows
+    in 512-row blocks, the last 6 rows of each block ghost-replicate
+    into the next, and the ROWS frame runs per (type, block) — frame
+    CONTENT is identical to the single-sequence window, so values are
+    unchanged while no event type ever funnels through one task."""
     ev = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(-6, 0)
+    prepared = ev.select(
+        "event_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).withColumn("__bkt", F.floor(F.unix_micros("ts") / 3_600_000_000))
+    out = agg_ops.bucketed_sliding_rows_window(
+        prepared,
+        keys=["event_type"],
+        order_by=[F.asc("ts"), F.asc("event_id")],
+        n_preceding=6,
+        bucket_col="__bkt",
+        frame_aggs={"__vol": F.stddev_samp("value")},
     )
-    return ev.select(
+    return out.select(
         "event_id", "event_type",
-        F.round(F.stddev_samp("value").over(w), 5).alias("vol7"),
+        F.round(F.col("__vol"), 5).alias("vol7"),
     )
 
 

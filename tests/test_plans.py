@@ -339,6 +339,8 @@ SHUFFLE_BUDGET = {
     # reworked quantile map: rank stats x2 + rank-axis LOCF behind one
     # barrier — final segment = locf stages + rollup, all keyed
     "quantile_map_correction": (5, 0),
+    # block ghost-replicated ROWS frame behind the positions barrier
+    "rolling_volatility": (1, 0),
     "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
 }

@@ -685,3 +685,62 @@ def test_bucketed_locf_matches_plain_window(spark, triples):
         ).collect()
     }
     assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketed_sliding_rows_window_matches_plain(spark, triples):
+    """Block ghost-replication must reproduce the ROWS-frame window
+    exactly — tiny blocks force frames to span block boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        bucketed_sliding_rows_window,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(rid=i, g=g, ts=base + dt.timedelta(seconds=s), v=float(c))
+        for i, (g, s, c) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["rid"]: (r["n"], r["s"])
+        for r in bucketed_sliding_rows_window(
+            df.withColumn("__bkt", F.floor(F.unix_micros("ts") / 60_000_000)),
+            keys=["g"],
+            order_by=[F.asc("ts"), F.asc("rid")],
+            n_preceding=3,
+            bucket_col="__bkt",
+            frame_aggs={
+                "n": F.count(F.lit(1)),
+                "s": F.sum(F.col("v").cast("decimal(18,2)")),
+            },
+            block_rows=4,   # force boundary-spanning frames
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("ts"), F.asc("rid"))
+        .rowsBetween(-3, 0)
+    )
+    want = {
+        r["rid"]: (r["n"], r["s"])
+        for r in df.select(
+            "rid",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w).alias("s"),
+        ).collect()
+    }
+    assert got == want
