@@ -1,0 +1,144 @@
+"""DatasetManager lifecycle tests — the reference's system-test shape
+(``tests/system/test_chirps.py``): subclass declaration, registry
+lookup, end-to-end initial + append ETL over real on-disk NetCDF3
+files, golden point-value check, and the hook surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.manager import DatasetManager, ManagerLookupError
+from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+LATS = np.array([36.0, 36.25, 36.5, 36.75], dtype="f8")
+LONS = np.array([244.25, 244.5, 244.75, 245.0], dtype="f8")  # 0-360 form
+
+
+def _write_nc(path: str, day0: int, n_days: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    data = (rng.random((n_days, LATS.size, LONS.size)) * 50).astype("f4")
+    data[0, 0, 0] = -9999.0  # provider sentinel
+    nc.write_netcdf3(
+        path,
+        dims={"time": None, "latitude": LATS.size, "longitude": LONS.size},
+        variables={
+            "latitude": (
+                ("latitude",), nc.NC_DOUBLE,
+                {"units": (nc.NC_CHAR, "degrees_north")}, LATS,
+            ),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {}, LONS),
+            "time": (
+                ("time",), nc.NC_DOUBLE,
+                {"units": (nc.NC_CHAR, "days since 2024-12-01")},
+                np.arange(day0, day0 + n_days, dtype="f8"),
+            ),
+            "precip": (
+                ("time", "latitude", "longitude"), nc.NC_FLOAT,
+                {"_FillValue": (nc.NC_FLOAT, -9999.0)}, data,
+            ),
+        },
+    )
+    return data
+
+
+class ChirpsLike(DatasetManager):
+    dataset_name = "chirps_like"
+    data_var = "precip"
+    missing_value = -9999.0
+    spatial_resolution = 0.25
+    time_resolution = "daily"
+    time_epoch = dt.datetime(2024, 12, 1)  # CF "days since 2024-12-01"
+
+
+class ChirpsLikeMonthly(ChirpsLike):
+    time_resolution = "monthly"
+
+
+def test_registry_lookup_and_tiebreak():
+    assert DatasetManager.get_manager("chirps_like", "daily") is ChirpsLike
+    assert (
+        DatasetManager.get_manager("chirps_like", "monthly")
+        is ChirpsLikeMonthly
+    )
+    with pytest.raises(ManagerLookupError):
+        DatasetManager.get_manager("chirps_like")  # ambiguous
+    with pytest.raises(ManagerLookupError):
+        DatasetManager.get_manager("no_such_dataset")
+
+
+def test_manager_requires_declaration(tmp_path):
+    class Undeclared(DatasetManager):
+        pass
+
+    with pytest.raises(TypeError):
+        Undeclared(str(tmp_path / "t"))
+
+
+def test_manager_end_to_end_initial_append_golden(spark, tmp_path):
+    """The reference's golden system test through the manager surface:
+    initial month, appended month, written value at a point equals the
+    source value; sentinel lands as NULL; longitudes standardized to
+    [-180, 180)."""
+    in1 = tmp_path / "in1"
+    in2 = tmp_path / "in2"
+    in1.mkdir()
+    in2.mkdir()
+    d1 = _write_nc(str(in1 / "m1.nc"), 0, 30, seed=1)
+    d2 = _write_nc(str(in2 / "m2.nc"), 30, 31, seed=2)
+
+    m = ChirpsLike(str(tmp_path / "tbl"))
+    r1 = m.run_etl(spark, str(in1), expected_delta=dt.timedelta(days=1))
+    assert r1["mode"] == "initial"
+    r2 = m.run_etl(spark, str(in2), expected_delta=dt.timedelta(days=1))
+    assert r2["mode"] == "update"
+    assert r2["n_appended_times"] == 31
+
+    out = m.table.read(spark)
+    assert out.count() == (30 + 31) * LATS.size * LONS.size
+    # golden point: (2024-12-12, 36.25, 244.5-360=-115.5), month-1 file
+    got = out.filter(
+        (F.col("time") == dt.datetime(2024, 12, 12))
+        & (F.col("latitude") == 36.25)
+        & (F.col("longitude") == -115.5)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["precip"] == pytest.approx(float(d1[11, 1, 1]), rel=1e-6)
+    # appended month readable at a point too
+    got2 = out.filter(
+        (F.col("time") == dt.datetime(2025, 1, 5))
+        & (F.col("latitude") == 36.0)
+        & (F.col("longitude") == -115.75)
+    ).collect()
+    assert got2[0]["precip"] == pytest.approx(float(d2[5, 0, 0]), rel=1e-6)
+    # sentinel → NULL survived publish
+    assert (
+        out.filter(
+            (F.col("time") == dt.datetime(2024, 12, 1))
+            & F.col("precip").isNull()
+        ).count()
+        == 1
+    )
+
+
+def test_manager_hooks_run_inside_transform(spark, tmp_path):
+    class Hooked(ChirpsLike):
+        dataset_name = "chirps_hooked"
+
+        def postprocess(self, df):
+            return df.withColumn("precip", F.col("precip") * 2.0)
+
+    in1 = tmp_path / "in"
+    in1.mkdir()
+    d = _write_nc(str(in1 / "m.nc"), 0, 3, seed=3)
+    m = Hooked(str(tmp_path / "tbl"))
+    out = m.transform(spark, str(in1))
+    got = out.filter(
+        (F.col("time") == dt.datetime(2024, 12, 2))
+        & (F.col("latitude") == 36.5)
+        & (F.col("longitude") == -115.25)
+    ).collect()
+    assert got[0]["precip"] == pytest.approx(2.0 * float(d[1, 2, 2]), rel=1e-6)
