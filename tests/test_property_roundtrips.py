@@ -96,3 +96,58 @@ def test_geotiff_round_trip_property(
     with open(path, "rb") as f:
         got = geotiff.read_raster(f.read())
     np.testing.assert_array_equal(got, data)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_png_round_trip_property(w, h, seed):
+    """Random shapes/content through the real PNG codec (cycling
+    scanline filters on encode, inflate + unfilter on decode)."""
+    from gridded_etl_tools_spark.multimodal import png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint16).astype(np.uint8)
+    width, height, channels, flat = png.decode_png(png.encode_png_gray8(px))
+    assert (width, height, channels) == (w, h, 1)
+    assert (flat.reshape(h, w) == px).all()
+
+
+@given(
+    st.integers(1, 31),
+    st.integers(1, 6),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([1, 5]),
+)
+@settings(**_SETTINGS)
+def test_netcdf3_round_trip_property(tmp_path_factory, n_lon, n_t, seed, version):
+    """Random record/static shapes through the classic-NetCDF writer +
+    parser (CDF-1 and CDF-5): float32 payload with a fill sentinel."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    rng = np.random.default_rng(seed)
+    data = (rng.random((n_t, 2, n_lon)) * 100 - 50).astype("f4")
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("nc")), f"p_{seed}_{version}.nc"
+    )
+    nc.write_netcdf3(
+        path,
+        dims={"time": None, "latitude": 2, "longitude": n_lon},
+        variables={
+            "latitude": (("latitude",), nc.NC_DOUBLE, {},
+                         np.array([0.0, 0.25])),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {},
+                          np.arange(n_lon, dtype="f8")),
+            "time": (("time",), nc.NC_DOUBLE, {},
+                     np.arange(n_t, dtype="f8")),
+            "v": (("time", "latitude", "longitude"), nc.NC_FLOAT, {}, data),
+        },
+        version=version,
+    )
+    ds = nc.parse_netcdf3(open(path, "rb").read())
+    got = nc.cf_unpack(ds.variables["v"])
+    assert got.shape == (n_t, 2, n_lon)
+    np.testing.assert_array_equal(got.astype("f4"), data)
