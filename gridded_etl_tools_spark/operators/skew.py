@@ -62,6 +62,17 @@ def two_phase_agg(
     final aggregate on keys.  Supports the decomposable aggs
     (sum/count/min/max); mean = sum/count downstream.
 
+    WHEN TO USE (measured — scripts/ab_scale.py, BASELINE round-5 A/B):
+    for these map-side-COMBINABLE aggregates Spark's own partial
+    aggregation already crushes the hot key before the shuffle, so on a
+    skewed 10M-row set the plain groupBy beat this by 5x — salting a
+    combinable agg is pure overhead.  Reach for the salt only when the
+    per-key state does NOT combine (exact count-distinct buffers,
+    collect_list/percentile buffers) or when the explicit (key, salt)
+    partial feeds further per-salt processing; for skewed JOINS prefer
+    AQE's skew-join split first and :func:`salted_join` when the skew
+    is known ahead of plan time.
+
     ``agg_exprs``: {column: fn or [fn, ...]} with fn one of
     sum|count|min|max.  Output columns are ``{fn}_{col}``.
     """
