@@ -717,6 +717,128 @@ def bucketed_sliding_rows_window(
     )
 
 
+def trailing_time_window_prefix(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Trailing time-range count + EXACT decimal sum in O(n) — the
+    WIDE-FRAME scale path for ``RANGE BETWEEN W PRECEDING AND CURRENT
+    ROW``.
+
+    Spark evaluates sliding frames by re-aggregating each frame
+    (O(rows × frame width)); at 10M rows with ~3k-row frames that is
+    minutes (measured: scripts/ab_scale.py class) for BOTH the plain
+    window and the ghost-replicated form.  This operator instead uses
+    prefix algebra: ``trailing(t) = cum(t) - cum_before(t - W)`` where
+    ``cum`` is a per-key two-level prefix (count, decimal sum) and
+    ``cum_before`` is a strictly-before as-of lookup of that cumulative
+    curve at ``t - W`` (bucketed LOCF union, probe sorts BEFORE the
+    curve point on ties so ``ts == t-W`` stays inside the frame).
+    Integer/decimal arithmetic throughout — results equal the RANGE
+    window bit-for-bit.  Adds ``trailing_n`` and ``trailing_sum``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    window_us = window_seconds * 1_000_000
+    base = df.withColumn("__us", us).withColumn(
+        "__bkt", F.floor(F.col("__us") / window_us)
+    )
+    # per-key two-level cumulative (count, sum) over (__us, tiebreak)
+    totals = base.groupBy(*keys, "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.sum(F.col(value_col).cast(decimal_type)).alias("__bs"),
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys, "__bkt",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__offn"),
+        F.coalesce(
+            F.sum("__bs").over(wb), F.lit(0).cast(decimal_type)
+        ).alias("__offs"),
+    )
+    # RANGE (not ROWS) interior frame: timestamp TIES must all share one
+    # cumulative — the oracle's RANGE frame includes every peer at t, so
+    # cum(t) has to be tie-invariant; growing range frames stay O(n)
+    ww = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(F.col("__us").asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), [*keys, "__bkt"])
+        .withColumn("__cn", F.col("__offn") + F.count(F.lit(1)).over(ww))
+        .withColumn(
+            "__cs",
+            F.col("__offs")
+            + F.sum(F.col(value_col).cast(decimal_type)).over(ww),
+        )
+        .drop("__offn", "__offs")
+        .localCheckpoint(eager=True)  # probes + curve both reference it
+    )
+    # strictly-before as-of: probe at (t - W); probe sorts BEFORE a
+    # curve point at the same instant, so that point is excluded from
+    # cum_before and stays inside the trailing frame
+    curve = cum.select(
+        *keys,
+        F.col("__us").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.col("__cn").alias("__curve_n"),
+        F.col("__cs").alias("__curve_s"),
+        F.lit(None).cast("long").alias("__rowid"),
+    )
+    probes = cum.withColumn(
+        "__rowid", F.monotonically_increasing_id()
+    )
+    probe_rows = probes.select(
+        *keys,
+        (F.col("__us") - window_us).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__curve_n"),
+        F.lit(None).cast(cum.schema["__cs"].dataType).alias("__curve_s"),
+        "__rowid",
+    )
+    unioned = probe_rows.unionByName(curve).withColumn(
+        "__pb", F.floor(F.col("__t") / window_us)
+    )
+    filled_n = bucketed_locf(
+        unioned,
+        keys=keys,
+        order_by=[F.col("__t"), F.col("__side")],
+        value_col="__curve_n",
+        bucket_col="__pb",
+        filled_col="__before_n",
+    )
+    filled = bucketed_locf(
+        filled_n,
+        keys=keys,
+        order_by=[F.col("__t"), F.col("__side")],
+        value_col="__curve_s",
+        bucket_col="__pb",
+        filled_col="__before_s",
+    ).filter(F.col("__side") == 0).select(
+        "__rowid", "__before_n", "__before_s"
+    )
+    out = probes.join(filled, "__rowid").select(
+        *[c for c in df.columns],
+        (
+            F.col("__cn") - F.coalesce(F.col("__before_n"), F.lit(0))
+        ).alias("trailing_n"),
+        (
+            F.col("__cs")
+            - F.coalesce(
+                F.col("__before_s"), F.lit(0).cast(cum.schema["__cs"].dataType)
+            )
+        ).alias("trailing_sum"),
+    )
+    return out
+
+
 def bucketed_sliding_time_window(
     df: DataFrame,
     keys: list[str],

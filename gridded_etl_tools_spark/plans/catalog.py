@@ -7058,17 +7058,20 @@ def cf_gridmapping_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_hour_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour event count + exact revenue sum per event — the
-    sliding time-range window re-expressed at scale
-    (``operators/aggregations.bucketed_sliding_time_window``): a plain
-    ``PARTITION BY event_type`` window funnels a whole type's fact
-    history through one task, so rows are bucketed by hour, ghost-
-    replicated into the next bucket for frame context, and the window
-    runs per (type, hour-bucket) — bounded tasks at any scale, results
-    identical to the oracle's single-sequence window because the frame
-    sum is exact decimal.  The companion scale class to
-    ``rolling_volatility`` (which documents the single-task form)."""
+    sliding time-range window in its O(n) prefix-algebra form
+    (``operators/aggregations.trailing_time_window_prefix``):
+    ``trailing(t) = cum(t) - cum_before(t - 1h)`` where the per-key
+    cumulative is a two-level prefix (count, decimal sum) and
+    cum_before is a strictly-before bucketed as-of lookup of that
+    curve.  Spark evaluates sliding frames by re-aggregating each
+    frame (O(rows x frame)); the measured 10M-row A/B in BASELINE puts
+    this form 16x ahead of frame evaluation once frames get dense, on
+    top of removing the per-type single-task bound.  Exact
+    integer/decimal algebra — hash-identical to the oracle's RANGE
+    window.  ``bucketed_sliding_time_window`` (ghost replication)
+    remains the narrow-frame alternative."""
     ev = load(spark, sf_dir, "events")
-    out = agg_ops.bucketed_sliding_time_window(
+    out = agg_ops.trailing_time_window_prefix(
         ev, keys=["event_type"], ts_col="ts", value_col="value",
         window_seconds=3600,
     )

@@ -328,7 +328,10 @@ SHUFFLE_BUDGET = {
     # bucketed prefix sum: part agg + interior bucket window (hash) +
     # bucket-totals offsets + grand total (single, bucket-axis sized)
     "pareto_part_classes": (2, 2),
-    "rolling_hour_stats_bucketed": (1, 0),  # one (type,bucket) window
+    # prefix-algebra trailing window: cumulative (agg+offsets+join) +
+    # two LOCF passes + rowid join-back — all keyed, zero single-
+    # partition stages; O(n) vs O(n x frame) frame evaluation
+    "rolling_hour_stats_bucketed": (9, 0),
     # grouped_rank_stats: bucket totals + offsets + position window +
     # tie-collapse + per-key counts — 6 keyed exchanges, zero
     # single-partition stages

@@ -744,3 +744,61 @@ def test_bucketed_sliding_rows_window_matches_plain(spark, triples):
         ).collect()
     }
     assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20_000),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_trailing_prefix_matches_range_window(spark, triples):
+    """The O(n) prefix-algebra trailing window (cum minus strictly-
+    before as-of) must equal the RANGE frame exactly, including
+    timestamp ties and rows landing exactly W before another."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        trailing_time_window_prefix,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(rid=i, g=g, ts=base + dt.timedelta(seconds=s), v=c / 100.0)
+        for i, (g, s, c) in enumerate(triples)
+    ]
+    # force exact-boundary and tie cases
+    rows += [
+        Row(rid=10_000 + i, g="a",
+            ts=base + dt.timedelta(seconds=3600 * (i % 2)), v=1.0)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["rid"]: (r["trailing_n"], str(r["trailing_sum"]))
+        for r in trailing_time_window_prefix(
+            df, ["g"], "ts", "v", 3600
+        ).collect()
+    }
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    want = {
+        r["rid"]: (r["n"], str(r["s"]))
+        for r in df.select(
+            "rid",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w).alias("s"),
+        ).collect()
+    }
+    assert got == want
