@@ -48,6 +48,29 @@ def cosine_similarity(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pandas(a_col, b_col):
+    """Arrow-batched cosine between two vector columns: each batch is
+    two vstacks + one einsum — the BLAS scoring path for candidate sets
+    large enough that the interpreted JVM fold (~aggregate over
+    zip_with) dominates.  Same values as :func:`cosine_similarity` up
+    to float-sum ordering; catalog queries keep the JVM form (no Python
+    in the data plane), scale paths opt in via ``vectorized=True``."""
+    from pyspark.sql.types import DoubleType
+
+    if np is None:  # pragma: no cover - numpy ships with the env
+        raise RuntimeError("numpy required for vectorized cosine")
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.vstack(a.to_numpy()).astype("float64")
+        bv = np.vstack(b.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a_col, b_col)
+
+
 def cosine_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -327,6 +350,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are bucketed by nearest centroid
     (:func:`ivf_assign`); each probe searches its ``nprobe`` nearest
@@ -335,9 +359,15 @@ def ivf_topk(
     most once per probe and no dedup is needed).  The search is an
     equi-join on centroid_id — candidates per probe are the probed cell
     populations, not the corpus; raising nprobe trades candidate count
-    for recall at the cell boundaries.  Returns
+    for recall at the cell boundaries.  ``vectorized=True`` forwards to
+    :func:`ivf_assign`'s BLAS batch-matmul assignment — measured ~100x
+    on a 200k x 64-dim corpus (BASELINE round-5 notes) where the
+    interpreted per-row argmax fold dominates; catalog queries keep the
+    pure-JVM default (no Python in the data plane).  Returns
     (probe_id, neighbor_id, cosine, rank<=k)."""
-    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    cells = ivf_assign(
+        corpus, centroids, id_col, vec_col, vectorized=vectorized
+    )
     probe_rows = cells.filter(probe_predicate)
     if nprobe > 1:
         probe_rows = nearest_centroids(
@@ -359,17 +389,22 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("neighbor_norm"),
         "centroid_id",
     )
+    # only the PROBED cells' vectors may enter the scoring join: the
+    # probe-side centroid set is tiny (probes x nprobe), so a broadcast
+    # semi filter keeps unprobed cells — at production cell counts, the
+    # overwhelming majority of the corpus — out of the shuffle entirely
+    probed_cells = p.select("centroid_id").distinct()
+    n = n.join(F.broadcast(probed_cells), "centroid_id", "left_semi")
+    if vectorized:
+        score = cosine_pandas(F.col("probe_vec"), F.col("neighbor_vec"))
+    else:
+        score = _dot(F.col("probe_vec"), F.col("neighbor_vec")) / (
+            F.col("probe_norm") * F.col("neighbor_norm")
+        )
     scored = (
         p.join(n, on="centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            (
-                _dot(F.col("probe_vec"), F.col("neighbor_vec"))
-                / (F.col("probe_norm") * F.col("neighbor_norm"))
-            ).alias("cosine"),
-        )
+        .select("probe_id", "neighbor_id", score.alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
