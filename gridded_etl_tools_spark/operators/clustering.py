@@ -73,6 +73,7 @@ def kmeans(
     centroid_id_col: str = "centroid_id",
     decimals: int = 6,
     checkpoint: bool = False,
+    vectorized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Spherical k-means: ``iters`` Lloyd rounds of (argmax-cosine
     assignment, per-dimension mean update).  Assignment ties break on the
@@ -88,25 +89,42 @@ def kmeans(
     ``checkpoint=True`` materializes each round's centroid table with
     ``localCheckpoint`` — use for deep iteration counts; the default
     keeps the plan lazy so small fixed-round queries stay single-job.
+
+    ``vectorized=True`` assigns via the BLAS batch-matmul path
+    (:func:`~gridded_etl_tools_spark.operators.similarity.ivf_assign`
+    with ``vectorized=True`` — each Lloyd round collects the centroid
+    table, which per-round decimal rounding makes deterministic, and
+    each Arrow batch is one matmul + argmax).  Measured ~100x on the
+    assignment stage at 200k x 64-dim (BASELINE round-5 notes);
+    catalog queries keep the pure-JVM default.
     """
+    from gridded_etl_tools_spark.operators.similarity import ivf_assign
+
+    def _assign(frame: DataFrame, cent: DataFrame) -> DataFrame:
+        cent_in = cent.select(
+            F.col(centroid_id_col).alias(id_col), F.col(vec_col)
+        )
+        if vectorized:
+            return ivf_assign(
+                frame, cent_in, id_col=id_col, vec_col=vec_col,
+                centroid_id_col=centroid_id_col, vectorized=True,
+            )
+        return nearest_centroids(
+            frame, cent_in,
+            id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
+        )
+
     cents = init_centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col)
     )
     assigned = None
     for _ in range(max(iters, 1)):
-        assigned = nearest_centroids(
-            df,
-            cents.select(F.col(centroid_id_col).alias(id_col), F.col(vec_col)),
-            id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
-        )
+        assigned = _assign(df, cents)
         cents = _mean_centroids(assigned, vec_col, centroid_id_col, decimals)
         if checkpoint:
             cents = cents.localCheckpoint(eager=True)
     # final assignment against the final centroids
-    assigned = nearest_centroids(
-        df, cents.select(F.col(centroid_id_col).alias(id_col), F.col(vec_col)),
-        id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
-    )
+    assigned = _assign(df, cents)
     return cents, assigned
 
 
