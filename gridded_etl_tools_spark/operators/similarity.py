@@ -368,7 +368,13 @@ def ivf_topk(
     cells = ivf_assign(
         corpus, centroids, id_col, vec_col, vectorized=vectorized
     )
-    probe_rows = cells.filter(probe_predicate)
+    # assign the PROBES separately (probe-sized work): the probed-cell
+    # set must not re-embed the corpus assignment subtree when it is
+    # collected for the broadcast semi filter below
+    probe_rows = ivf_assign(
+        corpus.filter(probe_predicate), centroids, id_col, vec_col,
+        vectorized=vectorized,
+    )
     if nprobe > 1:
         probe_rows = nearest_centroids(
             probe_rows.select(id_col, vec_col),

@@ -187,3 +187,50 @@ def test_dbscan_roles_and_labels(spark):
     for i in range(4):
         assert got[30 + i] == ("core", 30)
     assert len(got) == 10
+
+
+def test_kmeans_vectorized_matches_jvm_assignment(spark):
+    """The BLAS opt-in must produce the same clusters as the pure-JVM
+    path on well-separated data (parity up to float-sum ordering; the
+    fixture has no tie-adjacent vectors)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.clustering import kmeans
+
+    rows = []
+    for i in range(60):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 3 == 0 else (
+            [0.0, 10.0, 0.0, 0.0] if i % 3 == 1 else [0.0, 0.0, 10.0, 0.0]
+        )
+        rows.append(Row(vec_id=i, embedding=[b + (i % 7) * 0.01 for b in base]))
+    df = spark.createDataFrame(rows)
+    seeds = df.filter(F.col("vec_id") < 3)
+    _, a_jvm = kmeans(df, seeds, iters=2)
+    _, a_vec = kmeans(df, seeds, iters=2, vectorized=True)
+    jm = {r["vec_id"]: r["centroid_id"] for r in a_jvm.collect()}
+    vm = {r["vec_id"]: r["centroid_id"] for r in a_vec.collect()}
+    assert jm == vm
+
+
+def test_cosine_pandas_matches_jvm_cosine(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        cosine_pandas,
+        cosine_similarity,
+    )
+
+    rows = [
+        Row(a=[1.0, 2.0, 3.0], b=[3.0, -1.0, 0.5]),
+        Row(a=[0.1, 0.0, -4.0], b=[0.1, 0.0, -4.0]),
+        Row(a=[5.0, 5.0, 5.0], b=[-5.0, -5.0, -5.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("jvm"),
+        cosine_pandas(F.col("a"), F.col("b")).alias("blas"),
+    ).collect()
+    for r in out:
+        assert abs(r["jvm"] - r["blas"]) < 1e-12

@@ -142,3 +142,26 @@ def test_manager_hooks_run_inside_transform(spark, tmp_path):
         & (F.col("longitude") == -115.25)
     ).collect()
     assert got[0]["precip"] == pytest.approx(2.0 * float(d[1, 2, 2]), rel=1e-6)
+
+
+def test_manager_time_units_hours(spark, tmp_path):
+    """CF decode declaration: an 'hours since' dataset must land on the
+    right timestamps."""
+    class Hourly(ChirpsLike):
+        dataset_name = "chirps_hourly"
+        time_unit = "hours"
+        time_epoch = dt.datetime(2024, 6, 1)
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    _write_nc(str(ind / "h.nc"), 0, 3, seed=9)  # raw time values 0,1,2
+    m = Hourly(str(tmp_path / "tbl"))
+    out = m.transform(spark, str(ind))
+    times = sorted(
+        r["time"] for r in out.select("time").distinct().collect()
+    )
+    assert times == [
+        dt.datetime(2024, 6, 1, 0),
+        dt.datetime(2024, 6, 1, 1),
+        dt.datetime(2024, 6, 1, 2),
+    ]

@@ -230,7 +230,11 @@ SHUFFLE_BUDGET = {
     "cosine_topk": (1, 0),            # broadcast probes, one top-k window
     "skew_two_phase_agg": (2, 0),     # salted partial + final
     "lsh_ann_topk": (2, 0),           # id-only candidate dedup + top-k
-    "ivf_ann_topk": (1, 2),           # cell join + topk; 2 tiny centroid packs
+    # r5: probes assigned separately (probe-sized) + probed-cell semi
+    # filter — the extra hash exchange is the probe-axis distinct, the
+    # singles are tiny centroid/probe packs; buys unprobed cells never
+    # entering the scoring shuffle
+    "ivf_ann_topk": (2, 3),
     "sequence_packing": (0, 1),       # single documented global sequence
     "windowed_event_counts": (1, 0),
     "conservative_regrid_grid": (1, 0),  # explode + one hash agg, like coarsen
@@ -240,7 +244,7 @@ SHUFFLE_BUDGET = {
     "multimodal_exact_dedup": (2, 0),    # sha agg + countDistinct expand
     "skew_salted_join": (2, 0),          # dim agg + salted-join final agg
     "lcc_reproject": (0, 0),             # pure column trig over spark.range
-    "ivf_nprobe_topk": (1, 3),           # cell join + topk; 3 tiny packs
+    "ivf_nprobe_topk": (2, 5),           # see ivf_ann_topk r5 note
     # round-4 continuation additions.  kmeans' exchanges all carry
     # dimension-sized state: (centroid,dim) partial means per Lloyd round
     # (hash) and 1-row centroid-book packs (single) — the corpus itself

@@ -802,3 +802,34 @@ def test_trailing_prefix_matches_range_window(spark, triples):
         ).collect()
     }
     assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=25),
+)
+def test_rank_curve_lookup_matches_asof(spark, probes, curve_pts):
+    """rank_curve_lookup (bucketed LOCF form) must equal the inclusive
+    backward as-of against the curve, including exact rank ties."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        rank_curve_lookup,
+    )
+
+    left = spark.createDataFrame(
+        [Row(g="a", rid=i, __r=p / 100.0) for i, p in enumerate(probes)]
+    ).withColumnRenamed("__r", "__r")
+    curve = spark.createDataFrame(
+        [Row(g="a", __r=c / 100.0, v=float(c)) for c in sorted(set(curve_pts))]
+    )
+    got = {
+        r["rid"]: r["out"]
+        for r in rank_curve_lookup(left, curve, ["g"], "v", "out").collect()
+    }
+    cpts = sorted(set(curve_pts))
+    for i, p in enumerate(probes):
+        le = [c for c in cpts if c / 100.0 <= p / 100.0]
+        want = float(le[-1]) if le else None
+        assert got[i] == want, (i, p, got[i], want)
