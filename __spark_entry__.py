@@ -73,6 +73,8 @@ _FAMILY_REPRESENTATIVES = (
     "event_value_rank_enrich",    # distributed ANSI rank/percent/cume
     "cms_heavy_hitters",          # sketch-prefiltered exact heavy keys
     "locf_event_fill_bucketed",   # two-level LOCF over fact-sized axis
+    "table_time_travel_readback",  # VERSION AS OF under the oracle
+    "table_change_feed_readback",  # change data feed under the oracle
     "multimodal_real_decode",     # real PNG decode on executors
     "cf_gridmapping_reproject",   # generic CF projection registry
     "approx_distinct_bound_check",    # sketch error-bound certificates
@@ -97,12 +99,12 @@ _FAMILY_REPRESENTATIVES = (
     "largest_purchase_per_user",
     "rfm_segments",               # + scalable global_ntile rework
     "pareto_part_classes",        # + bucketed prefix-sum rework
+    "user_activity_deciles",      # + scalable global_ntile rework
+    "event_value_deciles",        # + scalable grouped_ntile rework
     "table_profile_events",
     "join_key_skew_report",       # + TakeOrderedAndProject rework
     "session_conversion_daily",
     "sequence_packing_sharded",
-    "user_activity_deciles",      # + scalable global_ntile rework
-    "event_value_deciles",        # + scalable grouped_ntile rework
     "cusum_changepoints",
     "seasonal_decomposition",
     "climate_degree_days",

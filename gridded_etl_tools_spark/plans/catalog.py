@@ -4530,7 +4530,13 @@ def _table_fixture_root(spark: SparkSession, sf_dir: str) -> str:
 
     from gridded_etl_tools_spark.sinks.table import GriddedTable
 
-    digest = hashlib.md5(f"table_fixture_v1|{sf_dir}".encode()).hexdigest()[:12]
+    # content-identity digest (same staleness guard as the streaming
+    # fixture staging): a regenerated events fixture abandons the cache
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"table_fixture_v2|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_tbl_fixture_{digest}"
     )
@@ -7337,3 +7343,52 @@ def locf_event_fill_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled_col="v_filled",
     )
     return filled.select("event_id", "event_type", "v_filled")
+
+
+@query(
+    "table_time_travel_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, round(avg(value), 6) AS mean_value
+    FROM events
+    WHERE date_trunc('day', ts) < TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def table_time_travel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL under the oracle (beyond-W13 surface, Delta
+    `VERSION AS OF` analog): the two-version fixture table is read AT
+    VERSION 0 — the snapshot BEFORE the append — and must hash-match
+    the oracle's recomputation of only the pre-append slice.  Retained
+    immutable manifests make any prior version a plain file-list read;
+    nothing is reconstructed."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    root = _table_fixture_root(spark, sf_dir)
+    t = GriddedTable(root, time_col="day")
+    return t.read(spark, version=0)  # versions are 0-based: 0 = initial
+
+
+@query(
+    "table_change_feed_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, round(avg(value), 6) AS mean_value,
+           'insert' AS _change_type
+    FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def table_change_feed_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED under the oracle (the substrate of every IVM
+    row): ``GriddedTable.diff(0, 1)`` between the fixture's initial and
+    appended versions must emit exactly the appended slice as inserts
+    (and nothing as deletes) — immutable files mean the diff reads only
+    the churned file set, and the oracle recomputes that slice from the
+    raw events."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    root = _table_fixture_root(spark, sf_dir)
+    t = GriddedTable(root, time_col="day")
+    return t.diff(spark, 0, 1)  # initial -> appended
