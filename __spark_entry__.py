@@ -65,6 +65,7 @@ _FAMILY_REPRESENTATIVES = (
     "value_cume_dist_tail",       # grouped_rank_stats cume_dist
     "rolling_volatility",         # block-ghost ROWS-frame rework
     "forecast_skill_by_lead",     # signed-zero canon (pos_zero)
+    "join_key_skew_report",       # VERDICT item 2: TakeOrdered rework
     # (b) new round-5 surface
     "rolling_hour_stats_bucketed",  # overlap-replicated sliding window
     "bpe_pair_counts",            # BPE-training pair counts
@@ -75,6 +76,7 @@ _FAMILY_REPRESENTATIVES = (
     "locf_event_fill_bucketed",   # two-level LOCF over fact-sized axis
     "table_time_travel_readback",  # VERSION AS OF under the oracle
     "table_change_feed_readback",  # change data feed under the oracle
+    "table_restore_readback",     # RESTORE-as-new-commit under the oracle
     "multimodal_real_decode",     # real PNG decode on executors
     "cf_gridmapping_reproject",   # generic CF projection registry
     "approx_distinct_bound_check",    # sketch error-bound certificates
@@ -102,7 +104,6 @@ _FAMILY_REPRESENTATIVES = (
     "user_activity_deciles",      # + scalable global_ntile rework
     "event_value_deciles",        # + scalable grouped_ntile rework
     "table_profile_events",
-    "join_key_skew_report",       # + TakeOrderedAndProject rework
     "session_conversion_daily",
     "sequence_packing_sharded",
     "cusum_changepoints",

@@ -7392,3 +7392,50 @@ def table_change_feed_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _table_fixture_root(spark, sf_dir)
     t = GriddedTable(root, time_col="day")
     return t.diff(spark, 0, 1)  # initial -> appended
+
+
+@query(
+    "table_restore_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, round(avg(value), 6) AS mean_value
+    FROM events
+    WHERE date_trunc('day', ts) < TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def table_restore_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the oracle (Delta-style roll-back-as-new-commit):
+    a throwaway copy of the daily rollup table is published (v0) and
+    appended (v1), then RESTOREd to v0 — which re-commits v0's manifest
+    as v2 (history append-only, no data deleted, pointer never moves
+    backwards) — and the LATEST read must hash-match the pre-append
+    slice.  Completes the versioned-table family under the gate:
+    read-at-version, change feed, and now restore."""
+    import os
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_restore_{uuid.uuid4().hex}"
+    )
+    t = GriddedTable(root, time_col="day")
+    t.write_initial(daily.filter(F.col("day") < cut))       # v0
+    t.append(daily.filter(F.col("day") >= cut))             # v1
+    t.restore(0)                                            # v2 == v0
+    assert [h["version"] for h in t.history()] == [0, 1, 2]
+    return t.read(spark)
