@@ -112,10 +112,35 @@ class DatasetManager:
     ) -> type["DatasetManager"]:
         """Find the manager subclass for ``dataset_name``; when several
         resolutions of one dataset exist, ``time_resolution`` breaks the
-        tie (exactly the reference's lookup semantics)."""
-        hits = [s for s in cls._walk() if s.dataset_name == dataset_name]
+        tie (exactly the reference's lookup semantics).
+
+        Matching the reference ``get_subclass`` (dataset_manager.py:
+        494-534): abstract classes are skipped, and when one hit is a
+        proper ancestor of another (a concrete manager subclassed to
+        override a hook) the LEAF subclass wins instead of declaring
+        ambiguity — so hook-override subclasses stay resolvable."""
+        import inspect
+
+        hits = [
+            s
+            for s in cls._walk()
+            if s.dataset_name == dataset_name and not inspect.isabstract(s)
+        ]
         if time_resolution is not None:
             hits = [s for s in hits if s.time_resolution == time_resolution]
+        # prefer leaves, but only when the descendant SHADOWS the
+        # ancestor (same time_resolution, i.e. a hook-override
+        # subclass); two resolutions of one dataset stay ambiguous
+        hits = [
+            h
+            for h in hits
+            if not any(
+                o is not h
+                and issubclass(o, h)
+                and o.time_resolution == h.time_resolution
+                for o in hits
+            )
+        ]
         if not hits:
             raise ManagerLookupError(
                 f"no manager for {dataset_name!r}"

@@ -499,10 +499,12 @@ def grouped_ntile(
         .orderBy(*order_by)
     )
     counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # offsets/counts cardinality scales with the key axis: join strategy
+    # left to AQE (broadcasts when small) rather than forced (r5 advice)
     pos = (
-        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
+        df.join(offsets, [*partition_cols, bucket_col])
         .withColumn("__pos", F.col("__off") + F.row_number().over(ww))
-        .join(F.broadcast(counts), partition_cols)
+        .join(counts, partition_cols)
     )
     base = F.floor(F.col("__n") / n_tiles)
     rem = F.col("__n") % n_tiles
@@ -559,8 +561,13 @@ def bucketed_locf(
         .orderBy(*[c for c in order_by])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # seeds cardinality = distinct keys × bucket axis; for callers like
+    # trailing_time_window_prefix the bucket axis grows with the data's
+    # time range, so the join strategy is left to AQE (broadcast when
+    # small, shuffle when not) instead of a forced broadcast that could
+    # exceed driver limits at unbounded scale (round-5 advice).
     return (
-        df.join(F.broadcast(seeds), [*keys, bucket_col])
+        df.join(seeds, [*keys, bucket_col])
         .withColumn(
             filled_col,
             F.coalesce(
@@ -589,8 +596,34 @@ def grouped_rank_stats(
     ``percent_rank`` = (rank-1)/(n-1) — every stage keys on (keys,
     bucket) or (keys, value), nothing single-task.  The divisions are
     single exact-integer-operand IEEE ops, so results are bit-identical
-    to the window-function oracle."""
+    to the window-function oracle.
+
+    NULL handling (round-5 advice): all internal joins are
+    null-safe (``<=>``), so rows with a NULL ``value_col`` (or a NULL
+    derived bucket) are RANKED rather than dropped; they sort first
+    (Spark's ``asc`` null ordering), matching ``ORDER BY value ASC
+    NULLS FIRST`` window semantics.  The keys×bucket ``offsets`` /
+    per-key ``counts`` frames are small by construction (distinct keys
+    × bounded bucket axis); the join strategy is left to AQE rather
+    than force-broadcast so an unbounded key axis degrades to a shuffle
+    join instead of a driver OOM."""
+    from functools import reduce as _reduce
+
     tiebreak = order_tiebreak or []
+
+    def _nsjoin(left, right, cols, keep):
+        l, r = left.alias("__l"), right.alias("__r")
+        cond = _reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+                for c in cols
+            ],
+        )
+        return l.join(r, cond).select(
+            "__l.*", *[F.col(f"__r.{c}") for c in keep]
+        )
+
     totals = df.groupBy(*partition_cols, bucket_col).agg(
         F.count(F.lit(1)).alias("__btot")
     )
@@ -606,17 +639,23 @@ def grouped_rank_stats(
         F.col(value_col).asc(), *tiebreak
     )
     counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__n"))
-    pos = (
-        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
-        .withColumn("__pos", F.col("__off") + F.row_number().over(ww))
-    )
+    pos = _nsjoin(
+        df, offsets, [*partition_cols, bucket_col], ["__off"]
+    ).withColumn("__pos", F.col("__off") + F.row_number().over(ww))
     ties = pos.groupBy(*partition_cols, value_col).agg(
         F.min("__pos").alias("__rank"),
         F.max("__pos").alias("__peer_cum"),
     )
-    out = (
-        pos.join(ties, [*partition_cols, value_col])
-        .join(F.broadcast(counts), partition_cols)
+    out = _nsjoin(
+        _nsjoin(
+            pos,
+            ties,
+            [*partition_cols, value_col],
+            ["__rank", "__peer_cum"],
+        ),
+        counts,
+        partition_cols,
+        ["__n"],
     )
     return (
         out.withColumn("rank", F.col("__rank"))
@@ -660,8 +699,9 @@ def grouped_positions(
         "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
     ).select(*partition_cols, bucket_col, "__off")
     ww = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_by)
+    # keys×bucket cardinality: AQE picks the join strategy (r5 advice)
     return (
-        df.join(F.broadcast(offsets), [*partition_cols, bucket_col])
+        df.join(offsets, [*partition_cols, bucket_col])
         .withColumn(pos_col, F.col("__off") + F.row_number().over(ww))
         .drop("__off")
     )
@@ -771,7 +811,7 @@ def trailing_time_window_prefix(
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     cum = (
-        base.join(F.broadcast(offsets), [*keys, "__bkt"])
+        base.join(offsets, [*keys, "__bkt"])  # keys×bucket: AQE decides
         .withColumn("__cn", F.col("__offn") + F.count(F.lit(1)).over(ww))
         .withColumn(
             "__cs",
@@ -779,6 +819,13 @@ def trailing_time_window_prefix(
             + F.sum(F.col(value_col).cast(decimal_type)).over(ww),
         )
         .drop("__offn", "__offs")
+        # __rowid is assigned BEFORE the checkpoint barrier so the ids
+        # are materialized exactly once; the probe union and the final
+        # join both re-read the same checkpointed ids instead of
+        # re-evaluating monotonically_increasing_id per plan branch
+        # (round-5 advice: id stability across branches is an
+        # implementation detail, not a guarantee)
+        .withColumn("__rowid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)  # probes + curve both reference it
     )
     # strictly-before as-of: probe at (t - W); probe sorts BEFORE a
@@ -792,9 +839,7 @@ def trailing_time_window_prefix(
         F.col("__cs").alias("__curve_s"),
         F.lit(None).cast("long").alias("__rowid"),
     )
-    probes = cum.withColumn(
-        "__rowid", F.monotonically_increasing_id()
-    )
+    probes = cum
     probe_rows = probes.select(
         *keys,
         (F.col("__us") - window_us).alias("__t"),

@@ -73,7 +73,7 @@ def kmeans(
     centroid_id_col: str = "centroid_id",
     decimals: int = 6,
     checkpoint: bool = False,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Spherical k-means: ``iters`` Lloyd rounds of (argmax-cosine
     assignment, per-dimension mean update).  Assignment ties break on the
@@ -90,15 +90,21 @@ def kmeans(
     ``localCheckpoint`` — use for deep iteration counts; the default
     keeps the plan lazy so small fixed-round queries stay single-job.
 
-    ``vectorized=True`` assigns via the BLAS batch-matmul path
-    (:func:`~gridded_etl_tools_spark.operators.similarity.ivf_assign`
-    with ``vectorized=True`` — each Lloyd round collects the centroid
-    table, which per-round decimal rounding makes deterministic, and
-    each Arrow batch is one matmul + argmax).  Measured ~100x on the
-    assignment stage at 200k x 64-dim (BASELINE round-5 notes);
-    catalog queries keep the pure-JVM default.
+    ``vectorized`` defaults to AUTO (BLAS batch-matmul assignment via
+    :func:`~gridded_etl_tools_spark.operators.similarity.ivf_assign`
+    whenever numpy is importable — each Lloyd round collects the
+    centroid table, which per-round decimal rounding makes
+    deterministic, and each Arrow batch is one matmul + argmax;
+    measured ~100x on the assignment stage at 200k x 64-dim, BASELINE
+    round-5 notes).  Oracle catalog rows pass ``vectorized=False`` to
+    pin the bit-exact pure-JVM float-sum order.
     """
-    from gridded_etl_tools_spark.operators.similarity import ivf_assign
+    from gridded_etl_tools_spark.operators.similarity import (
+        ivf_assign,
+        resolve_vectorized,
+    )
+
+    vectorized = resolve_vectorized(vectorized)
 
     def _assign(frame: DataFrame, cent: DataFrame) -> DataFrame:
         cent_in = cent.select(

@@ -29,6 +29,24 @@ except ImportError:  # pragma: no cover - both are baked into this env
     pd = None
 
 
+def resolve_vectorized(vectorized: bool | None) -> bool:
+    """Resolve the three-state ``vectorized`` flag shared by the vector
+    operators (:func:`ivf_assign`, :func:`ivf_topk`, clustering
+    ``kmeans``).
+
+    ``None`` (the default) AUTO-ENABLES the Arrow/BLAS data plane
+    whenever numpy is importable — the builder's 200k×64 A/B
+    (BASELINE.md round-5 "LLM-ops at scale") measures the interpreted
+    higher-order-function fold at ~275 s where the batched matmul runs
+    2.4 s, so a user calling the default at scale should get the ~100×
+    path without asking.  Pass ``False`` explicitly to pin the pure-JVM
+    expression plan (bit-exact float-sum order — what the DuckDB oracle
+    rows compare against); pass ``True`` to require the BLAS path."""
+    if vectorized is None:
+        return np is not None
+    return bool(vectorized)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -218,16 +236,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
-    vectorized: bool = False,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid by cosine (ties break on centroid id).
 
-    Default shape is pure-JVM (broadcast cross join + per-row argmax
-    window) — it keeps the whole catalog free of Python in the data
-    plane (tests/test_plans.py pins that contract).
+    ``vectorized`` defaults to AUTO (:func:`resolve_vectorized`): the
+    BLAS path when numpy is importable, else pure-JVM.  Catalog oracle
+    rows pass ``vectorized=False`` to pin the JVM expression plan
+    (tests/test_plans.py pins that those plans stay Python-free).
 
-    ``vectorized=True`` opts into the BLAS path: the centroid matrix is
+    ``vectorized=True`` selects the BLAS path: the centroid matrix is
     collected once (small by construction — IVF coarse books are ≤~64k
     rows even at 100 TB corpus scale, and k-means produces them
     driver-side anyway), row-normalized, and closed over by an
@@ -236,6 +255,7 @@ def ivf_assign(
     shuffle.  Prefer it when the assignment stage dominates (wide dims ×
     large cell counts); results are identical up to float-sum ordering.
     Returns (id, vec, centroid_id)."""
+    vectorized = resolve_vectorized(vectorized)
     if vectorized and np is not None:
         from pyspark.sql.types import LongType
 
@@ -350,7 +370,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
+    rank_decimals: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are bucketed by nearest centroid
     (:func:`ivf_assign`); each probe searches its ``nprobe`` nearest
@@ -359,12 +380,20 @@ def ivf_topk(
     most once per probe and no dedup is needed).  The search is an
     equi-join on centroid_id — candidates per probe are the probed cell
     populations, not the corpus; raising nprobe trades candidate count
-    for recall at the cell boundaries.  ``vectorized=True`` forwards to
-    :func:`ivf_assign`'s BLAS batch-matmul assignment — measured ~100x
-    on a 200k x 64-dim corpus (BASELINE round-5 notes) where the
-    interpreted per-row argmax fold dominates; catalog queries keep the
-    pure-JVM default (no Python in the data plane).  Returns
-    (probe_id, neighbor_id, cosine, rank<=k)."""
+    for recall at the cell boundaries.  ``vectorized`` defaults to AUTO
+    (:func:`resolve_vectorized`): the BLAS batch-matmul assignment +
+    Arrow-batched scoring when numpy is importable — measured ~100x on
+    a 200k x 64-dim corpus (BASELINE round-5 notes) where the
+    interpreted per-row argmax fold dominates; oracle catalog rows pass
+    ``vectorized=False`` to pin the bit-exact JVM float-sum order.
+
+    ``rank_decimals`` (optional) rounds the cosine BEFORE ranking, with
+    ``neighbor_id`` as the tiebreak — this makes the top-k membership
+    and rank order invariant to float-summation order across engines
+    (BLAS pairwise sums vs JVM/DuckDB sequential folds differ at
+    ~1e-16 relative), so the vectorized path can be attested against a
+    SQL oracle.  Returns (probe_id, neighbor_id, cosine, rank<=k)."""
+    vectorized = resolve_vectorized(vectorized)
     cells = ivf_assign(
         corpus, centroids, id_col, vec_col, vectorized=vectorized
     )
@@ -412,8 +441,13 @@ def ivf_topk(
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "neighbor_id", score.alias("cosine"))
     )
+    rank_key = (
+        F.round(F.col("cosine"), rank_decimals)
+        if rank_decimals is not None
+        else F.col("cosine")
+    )
     w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        rank_key.desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -91,9 +91,17 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
     them as ``n_parts`` chronological micro-batches — exercising
     multi-batch state/merge paths (IVM merge, watermark advance)
     instead of a single bootstrap batch.  Content-keyed digest, same
-    staleness guard as :func:`_stage_stream_source`."""
+    staleness guard as :func:`_stage_stream_source`.
+
+    Concurrency-safe (round-5 advice): parts are written into a
+    process-unique scratch dir and published with one atomic
+    ``os.rename`` to the digest path, so a second process either sees
+    the complete directory or stages its own copy — never a half-
+    written one, and never mutates files a running stream is replaying.
+    """
     import hashlib
     import os
+    import shutil
     import tempfile
     import time
 
@@ -108,9 +116,10 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
     watch_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_stream_parts_{digest}"
     )
-    done = os.path.join(watch_dir, "_STAGED")
-    if not os.path.exists(done):
-        os.makedirs(watch_dir, exist_ok=True)
+    if not os.path.isdir(watch_dir):  # existing digest dir == complete
+        stage = tempfile.mkdtemp(
+            prefix=f"spark_graft_stream_parts_{digest}_wip_"
+        )
         tbl = pq.read_table(src)
         # chronological split: later parts must never carry rows behind
         # an already-advanced watermark
@@ -120,13 +129,15 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
         now = time.time()
         for i in range(n_parts):
             part = order.slice(bounds[i], bounds[i + 1] - bounds[i])
-            path = os.path.join(watch_dir, f"part-{i:03d}.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(part, tmp)
-            os.replace(tmp, path)
+            path = os.path.join(stage, f"part-{i:03d}.parquet")
+            pq.write_table(part, path)
             # FileStreamSource orders by modification time: pin it
             os.utime(path, (now + i, now + i))
-        open(done, "w").close()
+        open(os.path.join(stage, "_STAGED"), "w").close()
+        try:
+            os.rename(stage, watch_dir)
+        except OSError:  # another process published first; theirs wins
+            shutil.rmtree(stage, ignore_errors=True)
     return watch_dir
 
 
@@ -1776,7 +1787,10 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
-    out = sim_ops.ivf_topk(emb, centroids, F.col("vec_id") % 100 == 0, k=5)
+    # vectorized=False pins the JVM float-sum order the oracle compares
+    out = sim_ops.ivf_topk(
+        emb, centroids, F.col("vec_id") % 100 == 0, k=5, vectorized=False
+    )
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -1822,7 +1836,60 @@ def ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     out = sim_ops.ivf_topk(
-        emb, centroids, F.col("vec_id") % 100 == 0, k=5, nprobe=4
+        emb, centroids, F.col("vec_id") % 100 == 0, k=5, nprobe=4,
+        vectorized=False,  # JVM float-sum order, oracle-exact
+    )
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "ivf_topk_auto",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cv)
+                        / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+                        centroid_id ASC) AS rn
+      FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv, centroid_id FROM cells WHERE vec_id % 100 = 0)
+    SELECT probe_id, n.vec_id AS neighbor_id,
+           round(list_inner_product(pv, n.v)
+                 / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY round(list_inner_product(pv, n.v)
+                      / (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(n.v, n.v))), 6) DESC,
+                      n.vec_id ASC) AS INT) AS rank
+    FROM p JOIN cells n USING (centroid_id)
+    WHERE n.vec_id <> probe_id
+    QUALIFY rank <= 5
+    """,
+)
+def ivf_topk_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the AUTO-vectorized default (round-5 verdict
+    item 2): ``ivf_topk`` with ``vectorized`` unset auto-selects the
+    Arrow/BLAS data plane (numpy is importable here), so this row
+    attests the ~100x scale path — batched matmul assignment + einsum
+    scoring — against the same SQL oracle as ``ivf_ann_topk``.
+
+    Cross-engine stability: ranking uses ``rank_decimals=6`` (cosine
+    rounded before ranking, neighbor_id tiebreak), making top-k
+    membership invariant to float-summation order (BLAS pairwise sums
+    vs DuckDB's sequential fold differ at ~1e-16 relative).  This is
+    the ONE catalog plan allowed to carry an ArrowEvalPython stage —
+    tests/test_plans.py allowlists it explicitly."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim_ops.ivf_topk(
+        emb, centroids, F.col("vec_id") % 100 == 0, k=5, rank_decimals=6
     )
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -1948,7 +2015,10 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint=True cuts each Lloyd round's lineage: without it the
     # final centroids + assignment replan the full 2-round chain 3x
     # (~3x slower cold)
-    cents, assigned = clus_ops.kmeans(emb, init, iters=2, checkpoint=True)
+    cents, assigned = clus_ops.kmeans(
+        emb, init, iters=2, checkpoint=True,
+        vectorized=False,  # JVM float-sum order, oracle-exact
+    )
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -70,6 +70,39 @@ def test_registry_lookup_and_tiebreak():
         DatasetManager.get_manager("no_such_dataset")
 
 
+def test_registry_prefers_hook_override_leaf():
+    """Reference get_subclass semantics (r5 advice): subclassing a
+    concrete manager to override a hook — same dataset_name, same
+    time_resolution — must resolve to the LEAF, not raise ambiguous;
+    abstract intermediates are skipped entirely."""
+    import abc
+
+    class HookOverride(ChirpsLike):  # same name + resolution as parent
+        def postprocess(self, df):  # pretend hook override
+            return df
+
+    class AbstractMid(DatasetManager, abc.ABC):
+        dataset_name = "abstract_only"
+
+        @abc.abstractmethod
+        def _hook(self): ...
+
+    try:
+        assert (
+            DatasetManager.get_manager("chirps_like", "daily")
+            is HookOverride
+        )
+        with pytest.raises(ManagerLookupError):
+            DatasetManager.get_manager("abstract_only")
+    finally:
+        # __subclasses__ holds weak refs: dropping the locals + a GC
+        # pass unregisters them so other tests see the module classes
+        import gc
+
+        del HookOverride, AbstractMid
+        gc.collect()
+
+
 def test_manager_requires_declaration(tmp_path):
     class Undeclared(DatasetManager):
         pass

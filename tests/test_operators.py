@@ -284,6 +284,45 @@ def test_ivf_assign_and_topk(spark):
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)  # colinear cluster
 
 
+def test_vectorized_auto_default_resolves_to_blas():
+    """r5 verdict item 2: with numpy importable (always, in this env)
+    the unset ``vectorized`` flag must auto-select the BLAS path, and
+    explicit False must pin pure-JVM."""
+    from gridded_etl_tools_spark.operators.similarity import (
+        resolve_vectorized,
+    )
+
+    assert resolve_vectorized(None) is True
+    assert resolve_vectorized(False) is False
+    assert resolve_vectorized(True) is True
+
+
+def test_ivf_topk_auto_plan_uses_arrow_blas_path(spark):
+    """The auto default must actually engage the Arrow data plane: the
+    default-flag plan carries ArrowEvalPython (batched matmul/einsum),
+    while vectorized=False stays Python-free."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.operators.similarity import ivf_topk
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") % 10 == 0)
+    auto_plan = ivf_topk(
+        df, cents, F.col("vec_id") % 5 == 0, k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    jvm_plan = ivf_topk(
+        df, cents, F.col("vec_id") % 5 == 0, k=3, vectorized=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in auto_plan
+    assert "ArrowEvalPython" not in jvm_plan
+    assert "BatchEvalPython" not in auto_plan
+
+
 def test_ivf_assign_vectorized_matches_jvm(spark):
     # the opt-in Arrow+BLAS assignment path must agree with the pure-JVM
     # plan on every vector (incl. argmax tie-break = lowest centroid id)

@@ -635,6 +635,70 @@ def test_grouped_rank_stats_matches_window_functions(spark, pairs):
     st.lists(
         st.tuples(
             st.sampled_from(["a", "b"]),
+            st.one_of(
+                st.none(), st.integers(min_value=0, max_value=6)
+            ),  # NULL values mixed with heavy ties
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_grouped_rank_stats_ranks_null_values(spark, pairs):
+    """Round-5 advice: NULL value rows must be RANKED (nulls-first, as
+    Spark's ``ORDER BY v ASC`` window does), not dropped by the
+    internal equi-joins — pinned via null-safe joins in the operator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        grouped_rank_stats,
+    )
+
+    schema = StructType([
+        StructField("rid", LongType()),
+        StructField("g", StringType()),
+        StructField("v", DoubleType()),
+    ])
+    rows = [
+        (i, g, float(v) if v is not None else None)
+        for i, (g, v) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["rid"]: (r["rank"], r["percent_rank"], r["cume_dist"])
+        for r in grouped_rank_stats(
+            df.withColumn("__bkt", F.floor(F.col("v") / 3)),  # NULL bucket
+            partition_cols=["g"],
+            value_col="v",
+            bucket_col="__bkt",
+            order_tiebreak=[F.col("rid").asc()],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())  # nulls first
+    want = {
+        r["rid"]: (r["rk"], r["pr"], r["cd"])
+        for r in df.select(
+            "rid",
+            F.rank().over(w).alias("rk"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
             st.integers(min_value=0, max_value=20_000),  # seconds
             st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
         ),
