@@ -35,6 +35,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gridded_etl_tools_spark.functions.logging import DatasetLogging
 from gridded_etl_tools_spark.gridspec import GridSpec
 from gridded_etl_tools_spark.sinks.publish import publish
 from gridded_etl_tools_spark.sinks.table import GriddedTable
@@ -44,7 +45,7 @@ class ManagerLookupError(LookupError):
     pass
 
 
-class DatasetManager:
+class DatasetManager(DatasetLogging):
     """Subclass per dataset; declare the class attributes, override the
     hooks you need.  Instances are cheap — state is the table path."""
 
@@ -173,6 +174,17 @@ class DatasetManager:
         ``postprocess_zarr`` analog)."""
         return df
 
+    def decode_dims(self) -> list[str]:
+        """The dims the RAW FILES carry — what ``transform`` asks the
+        format front door to decode.  Defaults to the category's key
+        dims; hindcast managers override it to the 4-D forecast key
+        (forecast_reference_time, step, ensemble, lat, lon) and derive
+        the 6-D hindcast axes (hindcast_reference_time,
+        forecast_reference_offset) in :meth:`postprocess`, mirroring
+        the reference's forecast→hindcast reshape
+        (``utils/transform.py:737-753``)."""
+        return self.spec().key_dims
+
     # -- transform -----------------------------------------------------
 
     def transform(self, spark: SparkSession, input_path: str) -> DataFrame:
@@ -189,31 +201,37 @@ class DatasetManager:
         from gridded_etl_tools_spark.sources.scan import scan_gridded
 
         spec = self.spec()
-        dims = spec.key_dims
+        dims = list(self.decode_dims())
         # the front door emits a uniform numeric schema: one double per
-        # dim (time as fractional epoch days) + a column named "value"
-        # for the requested variable
+        # dim (datetime axes as fractional epoch days) + a column named
+        # "value" for the requested variable
         df = scan_gridded(spark, input_path, spec.data_var, dims=dims)
         df = self.preprocess(df)
         if spec.missing_value is not None:
             df = sentinel_to_null(df, "value", spec.missing_value)
-        if "time" in dims:
-            unit_us = {
-                "days": 86_400_000_000.0,
-                "hours": 3_600_000_000.0,
-                "seconds": 1_000_000.0,
-            }[self.time_unit]
-            epoch_us = int(
-                (self.time_epoch - dt.datetime(1970, 1, 1)).total_seconds()
-                * 1_000_000
-            )
-            df = df.withColumn(
-                "time",
-                F.timestamp_micros(
-                    F.round(F.col("time") * unit_us).cast("long")
-                    + F.lit(epoch_us)
-                ),
-            )
+        unit_us = {
+            "days": 86_400_000_000.0,
+            "hours": 3_600_000_000.0,
+            "seconds": 1_000_000.0,
+        }[self.time_unit]
+        epoch_us = int(
+            (self.time_epoch - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+        for d in dims:
+            if d == "time" or d.endswith("_reference_time"):
+                df = df.withColumn(
+                    d,
+                    F.timestamp_micros(
+                        F.round(F.col(d) * unit_us).cast("long")
+                        + F.lit(epoch_us)
+                    ),
+                )
+            elif d in ("step", "forecast_reference_offset"):
+                # decoder emits seconds / days as double; key type LONG
+                df = df.withColumn(d, F.round(F.col(d)).cast("long"))
+            elif d == "ensemble":
+                df = df.withColumn(d, F.round(F.col(d)).cast("int"))
         lat_dim, lon_dim = spec.spatial_dims
         if self.standardize_longitudes:
             df = df.withColumn(lon_dim, standardize_longitude(F.col(lon_dim)))

@@ -140,23 +140,37 @@ def nan_frequency_violations(
     ``proportion_confint(method="binom_test")``).  Counts are computed in
     Spark over the full population; the CI — the inversion of the
     two-sided (minlike) binomial test around the *observed* count — is
-    evaluated on the driver in pure Python, and a timestep violates when
+    evaluated in pure Python, and a timestep violates when
     ``expected_frequency`` falls outside it.  ``one_sided`` doubles the
     CI alpha and rejects only when the expected frequency sits below the
     lower bound (NaN excess), mirroring the reference exactly.  Returns a
-    list of violating row dicts."""
-    stats = nan_frequency_by_time(df, time_col, value_col).collect()
+    list of violating row dicts.
+
+    Scale bound (r5 verdict item 7): the CI inversion runs on
+    EXECUTORS via ``mapInPandas`` over the per-timestep count table
+    (time-axis-sized — ~640k rows for 70y hourly — embarrassingly
+    parallel, O(log n) Lentz continued fractions per row), so the
+    driver collects only the VIOLATING timesteps.  A healthy dataset
+    collects ~0 rows; the worst case (every timestep violating) equals
+    the old full collect, which is the case where the caller needs
+    every row anyway."""
+    import pandas as _pd
+
+    stats = nan_frequency_by_time(df, time_col, value_col)
     ci_alpha = alpha * 2 if one_sided else alpha
-    out = []
-    for r in stats:
-        n, k = r["n_cells"], r["n_null"]
-        lo, hi = binom_test_confint(k, n, ci_alpha)
-        if one_sided:
-            if expected_frequency < lo:
-                out.append(r.asDict())
-        elif not (lo <= expected_frequency <= hi):
-            out.append(r.asDict())
-    return out
+    ef = float(expected_frequency)
+    one = bool(one_sided)
+
+    def _violating(batches):
+        for pdf in batches:
+            keep = []
+            for n, k in zip(pdf["n_cells"], pdf["n_null"]):
+                lo, hi = binom_test_confint(int(k), int(n), ci_alpha)
+                keep.append(ef < lo if one else not (lo <= ef <= hi))
+            yield pdf[_pd.Series(keep, index=pdf.index, dtype=bool)]
+
+    bad = stats.mapInPandas(_violating, schema=stats.schema)
+    return [r.asDict() for r in bad.collect()]
 
 
 # --- exact binomial machinery (pure Python, no scipy/statsmodels) -----------

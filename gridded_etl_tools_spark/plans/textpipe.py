@@ -635,3 +635,74 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
         .limit(50)
     )
+
+
+@query(
+    "training_mix_end_to_end",
+    r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS tn FROM c),
+    r AS (SELECT source,
+                 round(least(1.0, tn * pow(n, 0.5) / sw / n), 6) AS keep_rate
+          FROM c CROSS JOIN t),
+    kept AS (
+      SELECT d.doc_id, d.source, d.n_chars, r.keep_rate
+      FROM documents d JOIN r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) % 1000000
+            < CAST(round(keep_rate * 1e6) AS BIGINT)),
+    assigned AS (
+      SELECT *,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS bucket,
+             CAST(concat('0x', substr(md5(concat('1', ':',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+      FROM kept),
+    ordered AS (
+      SELECT source, n_chars, keep_rate,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(hv % 8 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY hv % 8
+                    ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+      FROM assigned)
+    SELECT source, split, shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           max(pos) AS max_pos,
+           min(keep_rate) AS keep_rate
+    FROM ordered GROUP BY 1, 2, 3
+    """,
+)
+def training_mix_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole TRAINING-MIX assembly as ONE fused plan (r5 verdict
+    item 8, the companion to ``corpus_prep_end_to_end``): temperature
+    mixture flattening (keep rate ∝ n^0.5/n per source, deterministic
+    md5 keep/drop) → stable hash train/val/test split → reproducible
+    epoch-1 shard order — then a (source, split, shard) rollup so the
+    oracle can hash every stage's joint effect.
+
+    Scale shape: the resample is a dim-sized rate broadcast + map-side
+    filter (corpus never shuffles for it), the split is pure column
+    math, and the epoch order's ONE corpus exchange keys on the
+    hash-uniform shard — skew-free by construction; the rollup reuses
+    nothing fact-sized.  Composed from `text.temperature_resample`,
+    `text.split_assign`, `text.epoch_order`."""
+    docs = load(spark, sf_dir, "documents")
+    kept = text_ops.temperature_resample(
+        docs, group_col="source", alpha=0.5, id_col="doc_id"
+    )
+    assigned = kept.withColumn(
+        "split",
+        text_ops.split_assign(
+            F.col("doc_id"), {"train": 90, "val": 5, "test": 5}
+        ),
+    )
+    ordered = text_ops.epoch_order(assigned, epoch=1, n_shards=8)
+    return ordered.groupBy("source", "split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("pos").alias("max_pos"),
+        F.min("keep_rate").alias("keep_rate"),
+    )

@@ -474,6 +474,50 @@ def grib2_long_frame(
     return pd.concat(frames, ignore_index=True)
 
 
+def grib2_forecast_long_frame(
+    buf: bytes,
+    discipline: int | None = None,
+    category: int | None = None,
+    number: int | None = None,
+    level_type: int | None = None,
+) -> pd.DataFrame:
+    """Decode all (selected) fields to FORECAST long form — the 4-D
+    ensemble/forecast key the reference's forecast and hindcast
+    categories publish under (reference ``utils/transform.py:737-753``
+    ``set_key_dims``; ensemble fixtures ``tests/unit/conftest.py:
+    74-134``): one row per (forecast_reference_time, step, ensemble,
+    latitude, longitude) cell.
+
+    ``step`` is seconds between reference and valid time; ``ensemble``
+    is the template-4.1/4.11 perturbation number (NaN for deterministic
+    4.0/4.8 fields, so mixed files stay decodable and the caller's dim
+    check rejects them only when an ensemble axis was demanded)."""
+    frames = []
+    for f in select_fields(
+        parse_grib2(buf), discipline, category, number, level_type
+    ):
+        if f.lats.ndim == 2 or f.lats.shape == f.lons.shape == f.values.reshape(-1).shape:
+            lat_mesh, lon_mesh = f.lats, f.lons
+        else:
+            lon_mesh, lat_mesh = np.meshgrid(f.lons, f.lats)
+        step_s = (f.valid_time - f.reference_time).total_seconds()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "forecast_reference_time": f.reference_time,
+                    "step": step_s,
+                    "ensemble": (
+                        float(f.member) if f.member is not None else np.nan
+                    ),
+                    "latitude": lat_mesh.reshape(-1),
+                    "longitude": lon_mesh.reshape(-1),
+                    "value": f.values.reshape(-1),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def decode_schema() -> T.StructType:
     return T.StructType(
         [

@@ -64,6 +64,11 @@ def _frame_for(buf: bytes, data_var: str, dims: list[str]) -> pd.DataFrame:
     # GRIB has no variable names; its long frame is already
     # (time, latitude, longitude, value)
     if fmt == "grib2":
+        # forecast/ensemble/hindcast categories key on the reference
+        # time + step (+ member) instead of valid time: dispatch to the
+        # 4-D forecast frame when the scan demands any of those dims
+        if {"forecast_reference_time", "step", "ensemble"} & set(dims):
+            return grib2.grib2_forecast_long_frame(buf)
         return grib2.grib2_long_frame(buf)
     if fmt == "geotiff":
         # single-band, single-time rasters: (latitude, longitude, value);
@@ -90,15 +95,18 @@ def decode_gridded_long(
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 frame = _frame_for(bytes(content), data_var, dims)
-                if "time" in frame.columns and str(
-                    frame["time"].dtype
-                ).startswith("datetime"):
-                    # normalize to ns first: pandas 2 may hold these as
-                    # datetime64[us], where a bare int64 view is 1000x off
-                    frame["time"] = (
-                        frame["time"].to_numpy().astype("datetime64[ns]").astype("int64")
-                        / 86_400_000_000_000
-                    )
+                for col in frame.columns:
+                    # every datetime axis (valid time, forecast
+                    # reference time) crosses the uniform numeric
+                    # schema as fractional epoch days; normalize to ns
+                    # first: pandas 2 may hold these as datetime64[us],
+                    # where a bare int64 view is 1000x off
+                    if str(frame[col].dtype).startswith("datetime"):
+                        frame[col] = (
+                            frame[col].to_numpy()
+                            .astype("datetime64[ns]").astype("int64")
+                            / 86_400_000_000_000
+                        )
                 missing = [d for d in dims if d not in frame.columns]
                 if missing:
                     raise UnknownFormatError(

@@ -198,3 +198,147 @@ def test_manager_time_units_hours(spark, tmp_path):
         dt.datetime(2024, 6, 1, 1),
         dt.datetime(2024, 6, 1, 2),
     ]
+
+
+# --- GRIB2 ensemble + hindcast lifecycle (r5 verdict item 4) ---------------
+
+GLATS = np.array([40.0, 39.5, 39.0, 38.5], dtype="f8")  # north -> south
+GLONS = np.array([250.0, 250.5, 251.0, 251.5], dtype="f8")  # 0-360 form
+
+
+def _write_ens_grib2(path: str, ref: dt.datetime, members=(0, 1, 2),
+                     step_hours=(6, 12)) -> None:
+    """Template-4.1 ensemble fixture (reference
+    tests/unit/conftest.py:74-134 shape): integer grids so simple
+    packing round-trips exactly."""
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    idx = np.arange(GLATS.size * GLONS.size, dtype="f8").reshape(
+        GLATS.size, GLONS.size
+    )
+    msgs = [
+        dict(values=idx + 100 * k + h, lats=GLATS, lons=GLONS,
+             reference_time=ref, forecast_hours=h, member=k,
+             n_members=len(members), nbits=12)
+        for k in members
+        for h in step_hours
+    ]
+    g2.write_grib2(path, msgs)
+
+
+class EnsLike(DatasetManager):
+    dataset_name = "ens_like"
+    data_var = "tp"
+    category = "ensemble"
+    spatial_resolution = 0.5
+    time_resolution = "daily"
+    # GRIB epoch identity: decode emits days since 1970
+
+
+def test_manager_grib2_ensemble_end_to_end_golden(spark, tmp_path):
+    """4-D forecast/ensemble category from RAW template-4.1 GRIB2 files
+    through the full manager lifecycle: transform (front-door decode ->
+    member/step/ref-time keys) -> publish -> point query equals the
+    value written into the file."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    ref = dt.datetime(2024, 1, 1)
+    _write_ens_grib2(str(src / "ens.grib2"), ref)
+
+    m = EnsLike(str(tmp_path / "tbl"), time_col="forecast_reference_time")
+    r = m.run_etl(spark, str(src), run_quality_checks=False)
+    assert r["mode"] == "initial"
+
+    out = m.table.read(spark)
+    # 3 members x 2 steps x 4x4 grid
+    assert out.count() == 3 * 2 * GLATS.size * GLONS.size
+    assert set(out.columns) == {
+        "forecast_reference_time", "step", "ensemble",
+        "latitude", "longitude", "tp",
+    }
+    # golden point: member 2, +6h, cell (39.5, 250.5->-109.5):
+    # idx row 1 col 1 = 5 -> 5 + 100*2 + 6 = 211
+    row = out.filter(
+        (F.col("forecast_reference_time") == ref)
+        & (F.col("step") == 6 * 3600)
+        & (F.col("ensemble") == 2)
+        & (F.col("latitude") == 39.5)
+        & (F.col("longitude") == -109.5)
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["tp"] == 211.0
+
+
+class HindcastLike(DatasetManager):
+    dataset_name = "hindcast_like"
+    data_var = "tp"
+    category = "hindcast"
+    spatial_resolution = 0.5
+    time_resolution = "weekly"
+
+    def decode_dims(self):
+        # raw GRIB2 carries the 4-D forecast key; the 6-D hindcast axes
+        # are derived in postprocess (reference forecast->hindcast
+        # reshape, utils/transform.py:737-753)
+        return [
+            "forecast_reference_time", "step", "ensemble",
+            "latitude", "longitude",
+        ]
+
+    def postprocess(self, df):
+        hrt = df.agg(
+            F.max("forecast_reference_time").alias("hindcast_reference_time")
+        )
+        return (
+            df.crossJoin(F.broadcast(hrt))  # singleton scalar aggregate
+            .withColumn(
+                "forecast_reference_offset",
+                F.datediff(
+                    F.col("hindcast_reference_time"),
+                    F.col("forecast_reference_time"),
+                ).cast("long"),
+            )
+            .select(*self.spec().key_dims, self.data_var)
+        )
+
+
+def test_manager_grib2_hindcast_end_to_end_golden(spark, tmp_path):
+    """6-D hindcast category from raw multi-reference-time GRIB2
+    ensemble files: the manager decodes the 4-D forecast key, the
+    postprocess hook derives (hindcast_reference_time,
+    forecast_reference_offset), publish keys on the full 6-D composite,
+    and a point query returns the written value."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    r0 = dt.datetime(2021, 10, 15)
+    r1 = dt.datetime(2021, 10, 16)
+    _write_ens_grib2(str(src / "d0.grib2"), r0, members=(0, 1),
+                     step_hours=(6,))
+    _write_ens_grib2(str(src / "d1.grib2"), r1, members=(0, 1),
+                     step_hours=(6,))
+
+    m = HindcastLike(
+        str(tmp_path / "tbl"), time_col="hindcast_reference_time"
+    )
+    r = m.run_etl(spark, str(src), run_quality_checks=False)
+    assert r["mode"] == "initial"
+
+    out = m.table.read(spark)
+    # 2 ref times x 2 members x 1 step x 4x4 grid
+    assert out.count() == 2 * 2 * GLATS.size * GLONS.size
+    assert set(out.columns) == {
+        "hindcast_reference_time", "forecast_reference_offset", "step",
+        "ensemble", "latitude", "longitude", "tp",
+    }
+    # the older init (10-15) sits at offset 1 from the 10-16 anchor;
+    # member 1, +6h, cell (40.0, 250.0->-110.0): idx 0 + 100*1 + 6 = 106
+    row = out.filter(
+        (F.col("hindcast_reference_time") == r1)
+        & (F.col("forecast_reference_offset") == 1)
+        & (F.col("step") == 6 * 3600)
+        & (F.col("ensemble") == 1)
+        & (F.col("latitude") == 40.0)
+        & (F.col("longitude") == -110.0)
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["tp"] == 106.0
