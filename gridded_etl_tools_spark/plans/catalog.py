@@ -7509,3 +7509,104 @@ def table_restore_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.restore(0)                                            # v2 == v0
     assert [h["version"] for h in t.history()] == [0, 1, 2]
     return t.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# 6-D hindcast key algebra under the oracle (r5 verdict item 4 companion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "hindcast_point_lookup",
+    r"""
+    WITH axes AS (
+      SELECT ih, off, istp, ens, ilat, ilon
+      FROM range(0, 2)  t_ih(ih),
+           range(0, 3)  t_off(off),
+           range(0, 2)  t_istp(istp),
+           range(0, 4)  t_ens(ens),
+           range(0, 4)  t_ilat(ilat),
+           range(0, 4)  t_ilon(ilon)),
+    cube6 AS (
+      SELECT TIMESTAMP '2021-10-09' + INTERVAL (ih * 7) DAY
+               AS hindcast_reference_time,
+             off AS forecast_reference_offset,
+             (istp + 1) * 21600 AS step,
+             ens AS ensemble,
+             35.0 + ilat * 0.5 AS latitude,
+             -110.0 + ilon * 0.5 AS longitude,
+             CAST((ih * 1000 + off * 100 + (istp + 1) * 6 + ens * 7
+                   + ilat * 3 + ilon) % 97 AS DOUBLE) AS tp
+      FROM axes)
+    SELECT hindcast_reference_time,
+           CAST(ensemble AS BIGINT) AS ensemble,
+           count(*) AS n_cells,
+           round(sum(tp), 2) AS total_tp,
+           min(tp) AS min_tp,
+           max(tp) AS max_tp
+    FROM cube6
+    WHERE forecast_reference_offset BETWEEN 0 AND 1
+      AND step = 21600
+      AND latitude = 35.5
+    GROUP BY 1, 2
+    """,
+)
+def hindcast_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-D hindcast composite key (hindcast_reference_time,
+    forecast_reference_offset, step, ensemble, lat, lon — reference
+    fixture ``tests/unit/conftest.py:107-134``) exercised as a query:
+    a deterministic generated hindcast cube, a range-select on the
+    offset axis + point-select on (step, latitude) — the
+    ``sel(offset=slice(0,1), step=21600, lat=35.5)`` shape every
+    hindcast consumer runs — rolled up per (reference_time, member).
+
+    Scale shape: the cube is built from broadcast-sized axis ranges
+    (every crossJoin side is <=4 rows — dimension explosion, not data
+    explosion); the filters are pure Catalyst predicates that would
+    push into partition pruning on a published hindcast table (see
+    tests/test_hindcast.py for the on-disk pruning proof), and the
+    rollup is one hash agg on (time, member)."""
+    import functools as _ft
+    import operator as _op
+
+    axes = [
+        spark.range(2).select(F.col("id").alias("ih")),
+        spark.range(3).select(F.col("id").alias("off")),
+        spark.range(2).select(F.col("id").alias("istp")),
+        spark.range(4).select(F.col("id").alias("ens")),
+        spark.range(4).select(F.col("id").alias("ilat")),
+        spark.range(4).select(F.col("id").alias("ilon")),
+    ]
+    cube = _ft.reduce(lambda a, b: a.crossJoin(F.broadcast(b)), axes)
+    frame = cube.select(
+        F.timestamp_seconds(
+            # tz-independent epoch seconds for 2021-10-09T00Z
+            F.lit(
+                int(
+                    (
+                        dt.datetime(2021, 10, 9) - dt.datetime(1970, 1, 1)
+                    ).total_seconds()
+                )
+            )
+            + F.col("ih") * 7 * 86400
+        ).alias("hindcast_reference_time"),
+        F.col("off").alias("forecast_reference_offset"),
+        ((F.col("istp") + 1) * 21600).alias("step"),
+        F.col("ens").alias("ensemble"),
+        (F.lit(35.0) + F.col("ilat") * 0.5).alias("latitude"),
+        (F.lit(-110.0) + F.col("ilon") * 0.5).alias("longitude"),
+        (
+            (F.col("ih") * 1000 + F.col("off") * 100 + (F.col("istp") + 1) * 6
+             + F.col("ens") * 7 + F.col("ilat") * 3 + F.col("ilon")) % 97
+        ).cast("double").alias("tp"),
+    )
+    sliced = select_ops.point_select(
+        select_ops.range_select(frame, "forecast_reference_offset", 0, 1),
+        step=21600,
+        latitude=35.5,
+    )
+    return sliced.groupBy("hindcast_reference_time", "ensemble").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("tp"), 2).alias("total_tp"),
+        F.min("tp").alias("min_tp"),
+        F.max("tp").alias("max_tp"),
+    )
