@@ -91,6 +91,9 @@ HEADLINE = [
     "corpus_prep_end_to_end",  # quality gate -> dedup -> split rollup
     "event_value_rank_enrich",  # distributed ANSI ranks (fact output)
     "rolling_hour_stats_bucketed",  # overlap-replicated sliding window
+    # round-6 additions:
+    "training_mix_end_to_end",  # resample -> split -> epoch order fused
+    "ivf_topk_auto",         # auto-vectorized Arrow/BLAS ANN default
 ]
 
 

@@ -131,6 +131,62 @@ def main() -> None:
     assert mism == 0, f"{mism} written-value mismatches"
 
     n_written = m.table.read(spark).count()
+
+    # incremental append — the reference's daily operational mode: one
+    # month of new files lands, the update splits as pure append, QC
+    # gates (cadence vs the stored extent, update position) run, and
+    # only the NEW data + manifest are written
+    raw2 = f"{workdir}/raw_append"
+    shutil.rmtree(raw2, ignore_errors=True)
+    os.makedirs(raw2, exist_ok=True)
+    rng = np.random.default_rng(11)
+    for d in range(n_days, n_days + 30):
+        data = (rng.random((1, LATS.size, LONS.size)) * 50).astype("f4")
+        nc.write_netcdf3(
+            f"{raw2}/chirps-{d:05d}.nc",
+            dims={
+                "time": None,
+                "latitude": LATS.size,
+                "longitude": LONS.size,
+            },
+            variables={
+                "latitude": (("latitude",), nc.NC_DOUBLE, {}, LATS),
+                "longitude": (("longitude",), nc.NC_DOUBLE, {}, LONS),
+                "time": (
+                    ("time",), nc.NC_DOUBLE,
+                    {"units": (nc.NC_CHAR, "days since 1981-01-01")},
+                    np.array([float(d)]),
+                ),
+                "precip": (
+                    ("time", "latitude", "longitude"), nc.NC_FLOAT,
+                    {"_FillValue": (nc.NC_FLOAT, SENTINEL)}, data,
+                ),
+            },
+        )
+    t3 = time.time()
+    r2 = m.run_etl(spark, raw2, expected_delta=dt.timedelta(days=1))
+    t_append = time.time() - t3
+    assert r2["mode"] == "update" and r2["n_appended_times"] == 30, r2
+
+    # reader latency: one 6-key point query against the full table —
+    # manifest time-range pruning + parquet row-group skipping must
+    # keep this independent of archive size
+    t4 = time.time()
+    probe_day = EPOCH + dt.timedelta(days=n_days // 2)
+    got = (
+        m.table.read(
+            spark,
+            time_lo=probe_day,
+            time_hi=probe_day,
+        )
+        .filter(
+            (F.col("latitude") == 36.0) & (F.col("longitude") == -115.0)
+        )
+        .collect()
+    )
+    t_point = time.time() - t4
+    assert len(got) == 1
+
     print(json.dumps({
         "bench": "etl_at_scale",
         "n_files": n_days,
@@ -139,6 +195,8 @@ def main() -> None:
         "t_synth_s": round(t_synth, 1),
         "t_etl_s": round(t_etl, 1),       # decode + QC + publish commit
         "t_audit_s": round(t_audit, 1),   # full-population A7/A8 audit
+        "t_append_month_s": round(t_append, 1),  # incremental append
+        "t_point_query_s": round(t_point, 2),    # pruned 6-key lookup
         "etl_points_per_s": round(n_points / t_etl),
     }))
 

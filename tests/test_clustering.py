@@ -206,7 +206,9 @@ def test_kmeans_vectorized_matches_jvm_assignment(spark):
         rows.append(Row(vec_id=i, embedding=[b + (i % 7) * 0.01 for b in base]))
     df = spark.createDataFrame(rows)
     seeds = df.filter(F.col("vec_id") < 3)
-    _, a_jvm = kmeans(df, seeds, iters=2)
+    # explicit False: the bare call auto-selects BLAS since r6, so the
+    # parity comparison must pin the JVM side by hand
+    _, a_jvm = kmeans(df, seeds, iters=2, vectorized=False)
     _, a_vec = kmeans(df, seeds, iters=2, vectorized=True)
     jm = {r["vec_id"]: r["centroid_id"] for r in a_jvm.collect()}
     vm = {r["vec_id"]: r["centroid_id"] for r in a_vec.collect()}

@@ -362,6 +362,15 @@ SHUFFLE_BUDGET = {
     "rolling_volatility": (1, 0),
     "bpe_pair_counts": (1, 0),           # pair agg + TakeOrdered top-k
     "association_rules_parts": (8, 1),   # basket distinct + pair + 2 dims
+    # round-6 additions.  training_mix: source-rate agg + shard window +
+    # final rollup (all keyed); the single-partition exchange is the
+    # dim-sized rate table's grand total.  hindcast: generated
+    # broadcast-axis cube -> one (time, member) agg.  ivf_topk_auto:
+    # probe-cell semi filter distinct + the scoring-join shuffle; the
+    # Arrow assignment stages are map-side.
+    "training_mix_end_to_end": (3, 1),
+    "hindcast_point_lookup": (1, 0),
+    "ivf_topk_auto": (2, 0),
 }
 
 
