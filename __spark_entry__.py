@@ -46,6 +46,7 @@ _FAMILY_REPRESENTATIVES = (
     "training_mix_end_to_end",    # r6: fused mixture→resample→split→order
     "hindcast_point_lookup",      # r6: 6-D hindcast lifecycle readback
     "ivf_topk_auto",              # r6: auto-vectorized ANN default
+    "kmeans_auto_centroids",      # r6: auto-vectorized clustering default
 )
 
 

@@ -94,6 +94,7 @@ HEADLINE = [
     # round-6 additions:
     "training_mix_end_to_end",  # resample -> split -> epoch order fused
     "ivf_topk_auto",         # auto-vectorized Arrow/BLAS ANN default
+    "kmeans_auto_centroids",  # auto-vectorized clustering default
 ]
 
 

@@ -1976,9 +1976,12 @@ def _km_assign(corpus: str, book: str) -> str:
       FROM {corpus} CROSS JOIN {book}"""
 
 
-@query(
-    "kmeans_centroids",
-    f"""
+# Two rounded Lloyd rounds + final-round sizes — shared by the pure-JVM
+# row (kmeans_centroids) and the auto-vectorized row
+# (kmeans_auto_centroids): the per-round round(avg, 6) re-quantizes the
+# trajectory, so BOTH engines and BOTH Spark data planes walk identical
+# centroids (operators/clustering.py module doc).
+_KMEANS_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
     a1 AS ({_km_assign('e', 'c0')}),
@@ -1997,8 +2000,10 @@ def _km_assign(corpus: str, book: str) -> str:
     sizes AS (SELECT cid, count(*) AS n_members FROM a3 WHERE rn = 1 GROUP BY 1)
     SELECT m2.cid AS centroid_id, m2.pos, m2.x AS centroid_val, sizes.n_members
     FROM m2 JOIN sizes ON m2.cid = sizes.cid
-    """,
-)
+    """
+
+
+@query("kmeans_centroids", _KMEANS_ORACLE)
 def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means (north star: the clustering stage of
     cluster-then-dedup pipelines a la SemDeDup): two Lloyd rounds from
@@ -2019,6 +2024,43 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, init, iters=2, checkpoint=True,
         vectorized=False,  # JVM float-sum order, oracle-exact
     )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cents.select(
+            "centroid_id",
+            F.posexplode("embedding").alias("pos", "centroid_val"),
+        )
+        .join(F.broadcast(sizes), on="centroid_id")
+        .select("centroid_id", "pos", "centroid_val", "n_members")
+    )
+
+
+@query("kmeans_auto_centroids", _KMEANS_ORACLE)
+def kmeans_auto_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means through the AUTO-vectorized default (the
+    companion to ``ivf_topk_auto``, closing round-5 verdict item 2 for
+    the clustering family): ``kmeans`` with ``vectorized`` unset
+    auto-selects the Arrow/BLAS assignment plane (batched matmul +
+    argmax per Arrow batch), so this row attests the ~100x scale path a
+    bare caller now gets — against the same DuckDB oracle as the
+    pure-JVM ``kmeans_centroids`` row.
+
+    Cross-engine/cross-plane stability: centroid coordinates are
+    rounded to 6 dp after EVERY Lloyd update, so BLAS pairwise
+    summation vs the JVM float fold vs DuckDB's sequential sum all walk
+    bit-identical centroid trajectories; assignments compare cosines
+    against identical centroids on well-separated synthetic clusters.
+    This row and ``ivf_topk_auto`` are the two catalog plans allowed to
+    carry ArrowEvalPython stages (tests/test_plans.py allowlist)."""
+    from gridded_etl_tools_spark.operators import clustering as clus_ops
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    init = emb.filter(F.col("vec_id") % 100 == 0)
+    cents, assigned = clus_ops.kmeans(emb, init, iters=2, checkpoint=True)
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -100,12 +100,12 @@ def test_no_python_udf_in_any_plan(spark, name):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan
-    # ivf_topk_auto exists PRECISELY to attest the Arrow/BLAS data
-    # plane (auto-vectorized default, r5 verdict item 2) under the
-    # oracle — its ArrowEvalPython stages are the vetted ~100x scale
-    # path (vectorized batches, never row-at-a-time), so it is the one
-    # allowed exception.
-    if name != "ivf_topk_auto":
+    # ivf_topk_auto / kmeans_auto_centroids exist PRECISELY to attest
+    # the Arrow/BLAS data plane (auto-vectorized default, r5 verdict
+    # item 2) under the oracle — their ArrowEvalPython stages are the
+    # vetted ~100x scale path (vectorized batches, never
+    # row-at-a-time), so they are the only allowed exceptions.
+    if name not in ("ivf_topk_auto", "kmeans_auto_centroids"):
         assert "ArrowEvalPython" not in plan
     for f in df.schema.fields:
         tn = f.dataType.typeName()
@@ -371,6 +371,11 @@ SHUFFLE_BUDGET = {
     "training_mix_end_to_end": (3, 1),
     "hindcast_point_lookup": (1, 0),
     "ivf_topk_auto": (2, 0),
+    # Arrow assignment stages are map-side; the (centroid, dim) mean
+    # updates + sizes agg + final posexplode join are the keyed
+    # exchanges (fewer than the JVM row's 9: broadcast argmax rounds
+    # replaced by collected-book matmul).
+    "kmeans_auto_centroids": (9, 5),
 }
 
 
