@@ -47,6 +47,7 @@ _FAMILY_REPRESENTATIVES = (
     "hindcast_point_lookup",      # r6: 6-D hindcast lifecycle readback
     "ivf_topk_auto",              # r6: auto-vectorized ANN default
     "kmeans_auto_centroids",      # r6: auto-vectorized clustering default
+    "hybrid_rrf_search",          # r6: lexical+dense RRF fusion
 )
 
 

@@ -95,6 +95,7 @@ HEADLINE = [
     "training_mix_end_to_end",  # resample -> split -> epoch order fused
     "ivf_topk_auto",         # auto-vectorized Arrow/BLAS ANN default
     "kmeans_auto_centroids",  # auto-vectorized clustering default
+    "hybrid_rrf_search",     # lexical+dense RRF fusion retrieval
 ]
 
 

@@ -5315,6 +5315,103 @@ def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_rrf_search",
+    f"""
+    WITH lex AS ({ORACLES["bm25_search_scores"]}),
+    lex_top AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+               AS lex_rank
+      FROM lex QUALIFY lex_rank <= 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense_top AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY list_inner_product(qv, v)
+                        / (sqrt(list_inner_product(qv, qv))
+                           * sqrt(list_inner_product(v, v))) DESC,
+                        e.vec_id ASC) AS INT) AS dense_rank
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      QUALIFY dense_rank <= 20)
+    SELECT doc_id, lex_rank, dense_rank,
+           round(coalesce(1.0 / (60 + lex_rank), 0)
+                 + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf_score,
+           CAST(row_number() OVER (
+             ORDER BY coalesce(1.0 / (60 + lex_rank), 0)
+                      + coalesce(1.0 / (60 + dense_rank), 0) DESC,
+                      doc_id ASC) AS INT) AS rrf_rank
+    FROM lex_top FULL OUTER JOIN dense_top USING (doc_id)
+    QUALIFY rrf_rank <= 10
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (north star: the
+    standard lexical+dense search stack for data selection and RAG
+    corpus curation): the BM25 leg ranks documents for the query
+    (spark, window, merge), the dense leg ranks them by cosine to a
+    query embedding (vec_id 0 — the tables share the 0..N id space),
+    and RRF fuses the two top-20 lists with score
+    Σ 1/(60 + rank) — rank-based, so no score calibration between the
+    incomparable BM25/cosine scales is needed (Cormack et al. 2009's
+    public formulation).
+
+    Scale shape: the lexical leg shuffles only the query terms' posting
+    lists (bm25_scores); the dense leg is a broadcast one-probe scan
+    (cosine_topk); each leg's top-k plans as TakeOrderedAndProject, and
+    everything after — rank assignment, the full-outer fusion join, the
+    final re-rank — runs on <=20-row frames (bounded axis, the
+    documented top-k-survivors pattern for the global windows)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    lex = text_ops.bm25_scores(docs, ["spark", "window", "merge"])
+    # TakeOrdered top-20, THEN rank the 20 survivors (bounded axis)
+    lex_top = (
+        lex.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0))
+                  .orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    dense_top = sim_ops.cosine_topk(probe, emb, k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+        )
+    )
+    fused = (
+        lex_top.join(dense_top, on="doc_id", how="full_outer")
+        .withColumn("rrf_score", F.round(rrf, 6))
+        .withColumn(
+            "rrf_rank",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0))
+                  .orderBy(rrf.desc(), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("rrf_rank") <= 10)
+    )
+    return fused.select(
+        "doc_id", "lex_rank", "dense_rank", "rrf_score", "rrf_rank"
+    )
+
+
+@query(
     "cohort_retention_weekly",
     """
     WITH first AS (

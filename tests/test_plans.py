@@ -376,6 +376,11 @@ SHUFFLE_BUDGET = {
     # exchanges (fewer than the JVM row's 9: broadcast argmax rounds
     # replaced by collected-book matmul).
     "kmeans_auto_centroids": (9, 5),
+    # bm25 leg's posting-list exchanges (4) + the full-outer fusion
+    # join's two sides + the dense top-k — every post-leg exchange
+    # carries <=20-row frames; the single is the 20-survivor rank
+    # window (bounded axis).
+    "hybrid_rrf_search": (7, 1),
 }
 
 
