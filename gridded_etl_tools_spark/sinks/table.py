@@ -104,6 +104,7 @@ class GriddedTable:
         bucket_fmt: str = DEFAULT_BUCKET_FMT,
         bloom_cols: list[str] | None = None,
         bloom_ndv: int = 100_000,
+        stale_lock_seconds: float | None = None,
     ):
         """``bloom_cols``: write parquet bloom filters for these columns
         (point-lookup keys that are neither the time axis nor part of the
@@ -112,12 +113,28 @@ class GriddedTable:
         groups for equality probes on unsorted high-cardinality keys —
         at 100 TB the difference between a point lookup touching every
         file and touching ~one.  ``bloom_ndv``: expected distinct values
-        per row group (sizes the filter's false-positive rate)."""
+        per row group (sizes the filter's false-positive rate).
+
+        ``stale_lock_seconds``: opt-in crashed-writer recovery.  A
+        writer that dies between acquiring the update flag and
+        committing (or releasing on failure) leaves
+        ``update_in_progress`` set forever, and every later write
+        raises :class:`ConcurrentWriteError` (the reference has the
+        same failure mode — its flag lives in the zarr attrs,
+        publish.py:155-268).  With a TTL set, ``_acquire`` breaks a
+        lock whose ``locked_at`` is older than the TTL and takes over;
+        readers are never affected either way (the published pointer
+        version only moves at commit), and any data files the dead
+        writer orphaned are swept by :meth:`vacuum`.  Default ``None``
+        keeps strict mutual exclusion: never break a lock that might
+        belong to a live slow writer; use :meth:`force_unlock` for
+        manual recovery."""
         self.root = root
         self.time_col = time_col
         self.bucket_fmt = bucket_fmt
         self.bloom_cols = bloom_cols or []
         self.bloom_ndv = bloom_ndv
+        self.stale_lock_seconds = stale_lock_seconds
 
     # -- layout ------------------------------------------------------------
 
@@ -185,13 +202,38 @@ class GriddedTable:
             return {"version": -1, "attrs": {}, "update_in_progress": True}
         pointer = self._read_pointer()
         if pointer.get("update_in_progress"):
-            raise ConcurrentWriteError(
-                f"update already in progress on {self.root} "
-                f"(version {pointer['version']})"
-            )
+            age = time.time() - pointer.get("locked_at", 0)
+            if (
+                self.stale_lock_seconds is not None
+                and age >= self.stale_lock_seconds
+            ):
+                # crashed-writer takeover: the published version never
+                # moved, so adopting the flag is safe for readers; the
+                # dead writer's orphan data files fall to vacuum()
+                pass
+            else:
+                raise ConcurrentWriteError(
+                    f"update already in progress on {self.root} "
+                    f"(version {pointer['version']}, lock age {age:.0f}s)"
+                )
         pointer["update_in_progress"] = True
+        pointer["locked_at"] = time.time()
         self._write_pointer(pointer)
         return pointer
+
+    def force_unlock(self) -> None:
+        """Manually clear a crashed writer's update flag (operational
+        recovery; see ``stale_lock_seconds``).  Never call while a
+        writer might still be alive — two concurrent committers can
+        each publish a version numbered from the same parent, and the
+        second ``os.replace`` would silently supersede the first."""
+        if not self.exists():
+            return
+        pointer = self._read_pointer()
+        if pointer.get("update_in_progress"):
+            pointer["update_in_progress"] = False
+            pointer.pop("locked_at", None)
+            self._write_pointer(pointer)
 
     def _release_failed(self, pointer: dict[str, Any]) -> None:
         """On failure: clear the flag, change nothing else — the published

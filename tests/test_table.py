@@ -94,6 +94,39 @@ def test_concurrent_write_guard(spark, month1, month2, tmp_path):
         t.append(month2)
 
 
+def test_stale_lock_recovery(spark, month1, month2, tmp_path):
+    """Crashed-writer recovery: a dead writer's update flag blocks
+    strict tables forever; force_unlock clears it manually, and a TTL
+    table auto-breaks an expired lock and takes over."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    # simulate a writer that died right after acquiring
+    abandoned = t._acquire()
+    assert abandoned["version"] == 0
+
+    # strict table: blocked, with the lock age in the message
+    with pytest.raises(ConcurrentWriteError, match="lock age"):
+        t.append(month2)
+
+    # manual recovery path
+    t.force_unlock()
+    t.append(month2)
+    assert t.snapshot().version == 1
+
+    # TTL path: a fresh abandoned lock is NOT stale for a generous TTL...
+    t._acquire()
+    t_ttl = GriddedTable(str(tmp_path / "tbl"), stale_lock_seconds=3600)
+    with pytest.raises(ConcurrentWriteError):
+        t_ttl._acquire()
+    # ...but an expired one is broken and the writer takes over
+    t_now = GriddedTable(str(tmp_path / "tbl"), stale_lock_seconds=0)
+    pointer = t_now._acquire()
+    assert pointer["update_in_progress"]
+    t_now._release_failed(pointer)
+    # table still readable and at the committed version throughout
+    assert t.snapshot().version == 1
+
+
 def test_overwrite_buckets_preserves_untouched_rows(spark, month1, tmp_path):
     """Partial-bucket insert must not drop the bucket's other rows
     (SURVEY §7.4 'subtle failure mode')."""
