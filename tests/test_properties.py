@@ -897,3 +897,99 @@ def test_rank_curve_lookup_matches_asof(spark, probes, curve_pts):
         le = [c for c in cpts if c / 100.0 <= p / 100.0]
         want = float(le[-1]) if le else None
         assert got[i] == want, (i, p, got[i], want)
+
+
+# --- round-6: training-mix determinism --------------------------------------
+
+
+@spark_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # doc_id
+            st.integers(min_value=0, max_value=3),        # source idx
+        ),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=3),                # epoch
+)
+def test_training_mix_deterministic_under_repartition(spark, rows, epoch):
+    """The whole resample→split→order chain must be a pure function of
+    document ids: re-running over an arbitrarily re-partitioned input
+    yields the identical (keep, split, shard, pos) for every doc — the
+    guarantee Bernoulli sampling / orderBy(rand()) cannot give, and what
+    makes a training mix reproducible across cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [Row(doc_id=d, source=f"s{s}", n_chars=10 + d % 7) for d, s in rows]
+    )
+
+    def run(frame):
+        kept = text_ops.temperature_resample(
+            frame, group_col="source", alpha=0.5, id_col="doc_id"
+        )
+        assigned = kept.withColumn(
+            "split",
+            text_ops.split_assign(
+                F.col("doc_id"), {"train": 90, "val": 5, "test": 5}
+            ),
+        )
+        ordered = text_ops.epoch_order(assigned, epoch=epoch, n_shards=4)
+        return {
+            r["doc_id"]: (r["split"], r["shard"], r["pos"])
+            for r in ordered.collect()
+        }
+
+    a = run(df)
+    b = run(df.repartition(7, "source"))
+    assert a == b
+    # keeps are downsample-only: every surviving doc came from the input
+    assert set(a) <= {d for d, _ in rows}
+
+
+@spark_settings
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=2, max_size=12,
+             unique=True),
+    st.lists(st.integers(min_value=1, max_value=400), min_size=2, max_size=12,
+             unique=True),
+)
+def test_rrf_fusion_matches_reference_formula(spark, lex_ids, dense_ids):
+    """Reciprocal-rank fusion over two arbitrary ranked lists: the
+    fused score of every doc equals sum(1/(60+rank)) over the lists it
+    appears in, and the engine's full-outer-join form keeps docs that
+    appear in only one list (the property a plain inner join silently
+    breaks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lex = spark.createDataFrame(
+        [Row(doc_id=d, lex_rank=i + 1) for i, d in enumerate(lex_ids)]
+    )
+    dense = spark.createDataFrame(
+        [Row(doc_id=d, dense_rank=i + 1) for i, d in enumerate(dense_ids)]
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+        )
+    )
+    fused = (
+        lex.join(dense, on="doc_id", how="full_outer")
+        .withColumn("rrf_score", F.round(rrf, 6))
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in fused.collect()}
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_ids)}
+    dense_rank = {d: i + 1 for i, d in enumerate(dense_ids)}
+    assert set(got) == set(lex_rank) | set(dense_rank)
+    for d, score in got.items():
+        want = 0.0
+        if d in lex_rank:
+            want += 1.0 / (60 + lex_rank[d])
+        if d in dense_rank:
+            want += 1.0 / (60 + dense_rank[d])
+        assert score == round(want, 6), (d, score, want)
