@@ -1,0 +1,96 @@
+"""The shipped example managers (examples/managers/) must actually
+work: registry resolution and a full synthetic CHIRPS-shaped ETL
+(reference system test ``tests/system/test_chirps.py`` shape)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.manager import DatasetManager
+from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+_EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "managers")
+
+
+def _load(alias: str, filename: str):
+    spec = importlib.util.spec_from_file_location(
+        alias, os.path.join(_EX, filename)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+chirps = _load("example_chirps", "chirps.py")
+my_new_etl = _load("example_my_new_etl", "my_new_etl.py")
+
+LATS = np.array([36.0, 36.25], dtype="f8")
+LONS = np.array([244.25, 244.5], dtype="f8")
+
+
+def _write_chirps_nc(path: str, day0: int, n_days: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    data = (rng.random((n_days, LATS.size, LONS.size)) * 50).astype("f4")
+    data[0, 0, 0] = -9999.0
+    nc.write_netcdf3(
+        path,
+        dims={"time": None, "latitude": LATS.size, "longitude": LONS.size},
+        variables={
+            "latitude": (("latitude",), nc.NC_DOUBLE, {}, LATS),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {}, LONS),
+            "time": (
+                ("time",), nc.NC_DOUBLE,
+                {"units": (nc.NC_CHAR, "days since 1981-01-01")},
+                np.arange(day0, day0 + n_days, dtype="f8"),
+            ),
+            "precip": (
+                ("time", "latitude", "longitude"), nc.NC_FLOAT,
+                {"_FillValue": (nc.NC_FLOAT, -9999.0)}, data,
+            ),
+        },
+    )
+    return data
+
+
+def test_example_managers_resolve_in_registry():
+    m = DatasetManager.get_manager("chirps_spark_example_final_25")
+    assert m is chirps.CHIRPSFinal25
+    assert DatasetManager.get_manager("chirps_spark_example_prelim_05") is chirps.CHIRPSPrelim05
+
+
+def test_chirps_final25_end_to_end(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    d = _write_chirps_nc(str(raw / "chirps-v2.0.1981.days_p25.nc"), 0, 12, seed=5)
+
+    m = chirps.CHIRPSFinal25(str(tmp_path / "tbl"))
+    r = m.run_etl(spark, str(raw), expected_delta=dt.timedelta(days=1))
+    assert r["mode"] == "initial"
+
+    out = m.table.read(spark)
+    assert out.count() == 12 * LATS.size * LONS.size
+    # golden point: day 7, lat idx 1, lon idx 0; lon standardized 244.25-360
+    got = out.filter(
+        (F.col("time") == dt.datetime(1981, 1, 8))
+        & (F.col("latitude") == 36.25)
+        & (F.col("longitude") == (244.25 - 360.0))
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["precip"] == pytest.approx(float(d[7, 1, 0]), rel=1e-6)
+    # provider sentinel -> NULL
+    assert out.filter(F.col("precip").isNull()).count() == 1
+
+
+def test_template_postprocess_clamps_negatives(spark):
+    m = my_new_etl.MyNewETL  # class-level hook, no table needed
+    df = spark.createDataFrame([(1, -5.0), (2, 3.0)], ["id", "value"])
+    out = {r["id"]: r["value"] for r in m.postprocess(m, df).collect()}
+    assert out == {1: 0.0, 2: 3.0}
