@@ -48,6 +48,7 @@ _FAMILY_REPRESENTATIVES = (
     "ivf_topk_auto",              # r6: auto-vectorized ANN default
     "kmeans_auto_centroids",      # r6: auto-vectorized clustering default
     "hybrid_rrf_search",          # r6: lexical+dense RRF fusion
+    "dedup_keep_best",            # r6: quality-ranked canonical selection
 )
 
 

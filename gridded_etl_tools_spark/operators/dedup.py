@@ -38,6 +38,30 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def keep_best(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-ranked canonical selection: keep the HIGHEST-``score_col``
+    row per distinct content tuple (tie: lowest ``id_col``) — the
+    curation policy next to :func:`exact_dedup`'s keep-first.  Keep-first
+    is the right default for stable ids; keep-best is what corpus
+    curation wants when duplicates differ in extraction quality (the
+    cleanest crawl of a page survives, not the earliest).  Same shape:
+    one shuffle on the hashed content key.  Round ``score_col`` before
+    calling if it is float-derived, so ranking is engine-stable."""
+    w = Window.partitionBy(
+        *[F.md5(F.col(c).cast("string")).alias(f"__h_{c}") for c in content_cols]
+    ).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Content groups with multiplicity > 1: (content hash, n_dups,
     keeper id) — the audit view of exact dedup.

@@ -933,6 +933,38 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    f"""
+    WITH q AS ({ORACLES["quality_scores"]}),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.source, q.quality
+      FROM documents d JOIN q USING (doc_id))
+    SELECT doc_id, lang, source, quality
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY lang, source
+                               ORDER BY quality DESC, doc_id ASC) = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection (Q22 companion to
+    dedup_keep_first): per content group, the HIGHEST-quality document
+    survives (tie: lowest doc_id) — what corpus curation wants when
+    duplicates differ in extraction quality (the cleanest crawl of a
+    page, not the earliest).  The score is the engine's composite
+    quality_score rounded to 6 dp BEFORE ranking, so the order is
+    engine-stable; one shuffle on the hashed content key
+    (operators/dedup.py::keep_best)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        F.round(text_ops.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return dedup_ops.keep_best(
+        scored, ["lang", "source"], "doc_id", "quality"
+    )
+
+
+@query(
     "quality_quartile_filter",
     r"""
     WITH t AS (
