@@ -241,6 +241,7 @@ class GriddedTable:
         if pointer["version"] >= 0:
             fresh = self._read_pointer()
             fresh["update_in_progress"] = False
+            fresh.pop("locked_at", None)
             self._write_pointer(fresh)
 
     def _commit(
