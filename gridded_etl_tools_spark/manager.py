@@ -202,6 +202,7 @@ class DatasetManager(DatasetLogging):
 
         spec = self.spec()
         dims = list(self.decode_dims())
+        self.info(f"transforming raw files at {input_path} -> dims {dims}")
         # the front door emits a uniform numeric schema: one double per
         # dim (datetime axes as fractional epoch days) + a column named
         # "value" for the requested variable
@@ -250,11 +251,16 @@ class DatasetManager(DatasetLogging):
     ) -> dict[str, Any]:
         """Publish the transformed frame: initial write, append, or
         insert-region update — QC gates and the atomic manifest commit
-        included (reference ``parse``/``publish_data``/``to_zarr``)."""
-        return publish(
+        included (reference ``parse``/``publish_data``/``to_zarr``).
+        Emits the reference's parse audit trail through the
+        dataset-named logger (``DatasetLogging``)."""
+        self.info(f"parsing update into {self.table.root}")
+        result = publish(
             self.table, update, self.spec(),
             expected_delta=expected_delta, **publish_kwargs,
         )
+        self.info(f"parse complete: {result}")
+        return result
 
     def run_etl(
         self,

@@ -72,3 +72,26 @@ def test_manager_inherits_logging_surface(tmp_path):
     assert hasattr(DatasetManager, "log_to_file")
     assert hasattr(DatasetManager, "log_to_console")
     assert hasattr(DatasetManager, "info")
+
+
+def test_run_etl_emits_dataset_named_audit_trail(spark, tmp_path, caplog):
+    """The lifecycle must actually USE the logging surface (reference
+    parse logs its progress): transform + parse emit under the
+    dataset-named logger."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parent))  # noop; keep imports local
+    from test_manager import ChirpsLike, _write_nc
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_nc(str(raw / "m.nc"), 0, 5, seed=9)
+    m = ChirpsLike(str(tmp_path / "tbl"))
+    import datetime as dt
+    import logging as _l
+
+    with caplog.at_level(_l.INFO, logger="chirps_like"):
+        m.run_etl(spark, str(raw), expected_delta=dt.timedelta(days=1))
+    msgs = [r.message for r in caplog.records if r.name == "chirps_like"]
+    assert any("transforming raw files" in s for s in msgs)
+    assert any("parse complete" in s and "initial" in s for s in msgs)
