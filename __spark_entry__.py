@@ -49,6 +49,7 @@ _FAMILY_REPRESENTATIVES = (
     "kmeans_auto_centroids",      # r6: auto-vectorized clustering default
     "hybrid_rrf_search",          # r6: lexical+dense RRF fusion
     "dedup_keep_best",            # r6: quality-ranked canonical selection
+    "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )
 
 

@@ -763,3 +763,139 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- persisted IVF index (build once, query many) ---------------------------
+
+
+class IvfIndex:
+    """On-disk IVF index: the coarse assignment is computed ONCE at
+    build time and persisted as parquet PARTITIONED BY ``centroid_id``,
+    so every later query reads only its probed cells' directories —
+    partition pruning at the storage layer, not just shuffle avoidance.
+    At 100 TB this is the difference between "every ANN query
+    re-assigns the corpus" (what a bare :func:`ivf_topk` call does) and
+    "a query touches nprobe/k_cells of the bytes on disk".
+
+    Layout under ``root``::
+
+        cells/centroid_id=<c>/...parquet   # id, vec, precomputed norm
+        centroids/...parquet               # the coarse book
+        _ivf_meta.json                     # column names, build options
+
+    Vector norms are precomputed at build time (one less pass per
+    query).  ``query`` assigns the probes against the persisted book
+    (probe-sized work), collects the probed cell ids (<= probes x
+    nprobe longs — bounded, never corpus-sized) and pushes them as an
+    ``isin`` partition filter, which Spark resolves to directory
+    pruning at planning time (``PartitionFilters`` in the scan node —
+    pinned by tests/test_clustering.py)."""
+
+    _META = "_ivf_meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- build ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        vectorized: bool | None = None,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        cells = ivf_assign(
+            corpus, centroids, id_col, vec_col, vectorized=vectorized
+        ).withColumn("__norm", _norm(F.col(vec_col)))
+        cells.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(root, "cells")
+        )
+        centroids.select(id_col, vec_col).write.mode("overwrite").parquet(
+            os.path.join(root, "centroids")
+        )
+        with open(os.path.join(root, cls._META), "w") as f:
+            json.dump({"id_col": id_col, "vec_col": vec_col}, f)
+        return cls(root)
+
+    # -- query ---------------------------------------------------------
+
+    def query(
+        self,
+        spark,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        vectorized: bool | None = None,
+        rank_decimals: int | None = None,
+    ) -> DataFrame:
+        """Top-``k`` neighbors per probe row, same semantics and output
+        as :func:`ivf_topk` (probe_id, neighbor_id, cosine, rank) — but
+        against the PERSISTED cells, reading only probed partitions."""
+        import json
+        import os
+
+        with open(os.path.join(self.root, self._META)) as f:
+            meta = json.load(f)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        vectorized = resolve_vectorized(vectorized)
+
+        cents = spark.read.parquet(os.path.join(self.root, "centroids"))
+        probe_rows = ivf_assign(
+            probes, cents, id_col, vec_col, vectorized=vectorized
+        )
+        if nprobe > 1:
+            probe_rows = nearest_centroids(
+                probe_rows.select(id_col, vec_col), cents,
+                id_col, vec_col, n=nprobe,
+            )
+        p = probe_rows.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            _norm(F.col(vec_col)).alias("probe_norm"),
+            "centroid_id",
+        )
+        # probe-sized collect (<= probes x nprobe distinct longs) ->
+        # STATIC partition filter: the scan plans with PartitionFilters
+        # on centroid_id and never lists unprobed directories
+        probed = [
+            r["centroid_id"]
+            for r in p.select("centroid_id").distinct().collect()
+        ]
+        cells = spark.read.parquet(os.path.join(self.root, "cells")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        n = cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            F.col("__norm").alias("neighbor_norm"),
+            "centroid_id",
+        )
+        if vectorized:
+            score = cosine_pandas(F.col("probe_vec"), F.col("neighbor_vec"))
+        else:
+            score = _dot(F.col("probe_vec"), F.col("neighbor_vec")) / (
+                F.col("probe_norm") * F.col("neighbor_norm")
+            )
+        scored = (
+            p.join(n, on="centroid_id")
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select("probe_id", "neighbor_id", score.alias("cosine"))
+        )
+        rank_key = (
+            F.round(F.col("cosine"), rank_decimals)
+            if rank_decimals is not None
+            else F.col("cosine")
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            rank_key.desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )

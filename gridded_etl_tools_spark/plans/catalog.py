@@ -1928,6 +1928,38 @@ def ivf_topk_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_index_query_readback", ORACLES["ivf_topk_auto"])
+def ivf_index_query_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF index (operators/similarity.py::
+    IvfIndex): the coarse assignment is computed once at build time and
+    written as parquet partitioned by centroid_id; the query assigns
+    only the probes, pushes the probed cell ids as a static partition
+    filter (directory pruning — unprobed cells are never listed, let
+    alone read), and scores against precomputed norms.  Same semantics
+    as ivf_topk, attested by the SAME oracle as ivf_topk_auto — at
+    100 TB this is the assign-once/query-many shape: a query touches
+    nprobe/k_cells of the bytes on disk instead of re-assigning the
+    corpus."""
+    import os
+    import tempfile
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfidx_{uuid.uuid4().hex}"
+    )
+    idx = sim_ops.IvfIndex.build(emb, centroids, root)
+    out = idx.query(
+        spark, emb.filter(F.col("vec_id") % 100 == 0), k=5, rank_decimals=6
+    )
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @query(
     "pq_ann_topk",
     """

@@ -236,3 +236,33 @@ def test_cosine_pandas_matches_jvm_cosine(spark):
     ).collect()
     for r in out:
         assert abs(r["jvm"] - r["blas"]) < 1e-12
+
+
+def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
+    """IvfIndex: build-once/query-many must (a) match ivf_topk exactly
+    and (b) plan the cells scan with a PartitionFilters entry on
+    centroid_id — storage-level pruning, the index's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IvfIndex.build(emb, cents, str(tmp_path / "idx"))
+
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    got = idx.query(spark, probes, k=5, rank_decimals=6)
+    want = ivf_topk(
+        emb, cents, F.col("vec_id") % 100 == 0, k=5, rank_decimals=6
+    )
+    gm = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    wm = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert gm == wm and gm
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

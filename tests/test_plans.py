@@ -100,12 +100,15 @@ def test_no_python_udf_in_any_plan(spark, name):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan
-    # ivf_topk_auto / kmeans_auto_centroids exist PRECISELY to attest
-    # the Arrow/BLAS data plane (auto-vectorized default, r5 verdict
-    # item 2) under the oracle — their ArrowEvalPython stages are the
-    # vetted ~100x scale path (vectorized batches, never
-    # row-at-a-time), so they are the only allowed exceptions.
-    if name not in ("ivf_topk_auto", "kmeans_auto_centroids"):
+    # ivf_topk_auto / kmeans_auto_centroids / ivf_index_query_readback
+    # exist PRECISELY to attest the Arrow/BLAS data plane
+    # (auto-vectorized default, r5 verdict item 2) under the oracle —
+    # their ArrowEvalPython stages are the vetted ~100x scale path
+    # (vectorized batches, never row-at-a-time), so they are the only
+    # allowed exceptions.
+    if name not in (
+        "ivf_topk_auto", "kmeans_auto_centroids", "ivf_index_query_readback"
+    ):
         assert "ArrowEvalPython" not in plan
     for f in df.schema.fields:
         tn = f.dataType.typeName()
