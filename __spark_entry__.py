@@ -50,6 +50,7 @@ _FAMILY_REPRESENTATIVES = (
     "hybrid_rrf_search",          # r6: lexical+dense RRF fusion
     "dedup_keep_best",            # r6: quality-ranked canonical selection
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
+    "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
 )
 
 

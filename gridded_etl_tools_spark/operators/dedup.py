@@ -255,7 +255,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_hashes(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -263,9 +263,11 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) that collide in at
-    least one LSH band.  rows_per_band = num_hashes / bands sets the
-    similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    """(id, band, band_hash): each document's LSH band fingerprints —
+    the signature stage of :func:`minhash_lsh_candidates`, exposed so
+    the band table can be PERSISTED (:class:`LshIndex`) instead of
+    recomputed per dedup run.  Map-side for unigram shingles; one
+    narrow (id, k longs) shuffle otherwise."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
     rows_per_band = num_hashes // bands
@@ -313,9 +315,25 @@ def minhash_lsh_candidates(
             ]
         )
         source = wide
-    band_hash = (
+    return (
         source.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that collide in at
+    least one LSH band.  rows_per_band = num_hashes / bands sets the
+    similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    band_hash = lsh_band_hashes(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     )
     a = band_hash.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
@@ -329,6 +347,108 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+class LshIndex:
+    """On-disk LSH band index: the corpus's MinHash band fingerprints
+    are computed ONCE at build time and persisted as parquet
+    partitioned by ``band`` — the dedup twin of :class:`~gridded_etl_tools_spark.operators.similarity.IvfIndex`'s
+    assign-once/query-many shape.  Incremental near-dup then runs as
+    "new batch vs index": only the NEW documents are shingled and
+    hashed; the corpus contributes its persisted (id, band, band_hash)
+    rows to the equi-join.  At 100 TB this is the daily-crawl dedup
+    mode — re-shingling the whole corpus per batch is the cost this
+    index exists to delete.  A new batch can be appended to the index
+    after its own dedup (same partitioned layout, append mode).
+
+    Layout under ``root``::
+
+        bands/band=<b>/...parquet   # id, band_hash
+        _lsh_meta.json              # text/id cols + hash config
+    """
+
+    _META = "_lsh_meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ) -> "LshIndex":
+        import json
+        import os
+
+        bh = lsh_band_hashes(
+            corpus, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        # one writer task per band partition (see IvfIndex.build)
+        bh.repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(os.path.join(root, "bands"))
+        with open(os.path.join(root, cls._META), "w") as f:
+            json.dump(
+                {
+                    "text_col": text_col,
+                    "id_col": id_col,
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "shingle_n": shingle_n,
+                },
+                f,
+            )
+        return cls(root)
+
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.root, self._META)) as f:
+            return json.load(f)
+
+    def candidates(self, spark, new_docs: DataFrame) -> DataFrame:
+        """(new_id, corpus_id) pairs colliding in >=1 band: only
+        ``new_docs`` pays the shingle/hash cost; the corpus side is the
+        persisted band table.  Pairs where the same id appears on both
+        sides (a re-submitted document) are excluded."""
+        import os
+
+        m = self._meta()
+        bh_new = lsh_band_hashes(
+            new_docs, m["text_col"], m["id_col"],
+            m["num_hashes"], m["bands"], m["shingle_n"],
+        ).select(
+            F.col(m["id_col"]).alias("new_id"), "band", "band_hash"
+        )
+        corpus = spark.read.parquet(os.path.join(self.root, "bands")).select(
+            F.col(m["id_col"]).alias("corpus_id"), "band", "band_hash"
+        )
+        return (
+            bh_new.join(corpus, on=["band", "band_hash"])
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+
+    def append(self, new_docs: DataFrame) -> None:
+        """Add a (deduplicated) batch's fingerprints to the index."""
+        import os
+
+        m = self._meta()
+        bh = lsh_band_hashes(
+            new_docs, m["text_col"], m["id_col"],
+            m["num_hashes"], m["bands"], m["shingle_n"],
+        )
+        bh.repartition("band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(os.path.join(self.root, "bands"))
 
 
 def duplicate_clusters(

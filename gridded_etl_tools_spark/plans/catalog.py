@@ -1249,6 +1249,62 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_index_incremental_candidates",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat(toks[i], ' ', toks[i+1]))
+               ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM t
+    ), hashed AS (
+      SELECT doc_id, c.i AS hash_idx,
+             (c.a * {_BASE_HASH_SQL} + c.b) % 2147483647 AS h
+      FROM sh CROSS JOIN {_minhash_consts_values(8)}
+    ), sig AS (
+      SELECT doc_id, hash_idx, min(h) AS minhash FROM hashed GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, CAST(floor(hash_idx / 4.0) AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_idx)) AS band_hash
+      FROM sig GROUP BY doc_id, CAST(floor(hash_idx / 4.0) AS INT)
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c ON n.band = c.band AND n.band_hash = c.band_hash
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    """,
+)
+def lsh_index_incremental_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup against a PERSISTED LSH band index
+    (operators/dedup.py::LshIndex — the dedup twin of IvfIndex):
+    the corpus (doc_id%10<>0) is fingerprinted once at build time and
+    written partitioned by band; the new batch (doc_id%10=0) is the
+    only side that pays shingling/hashing at query time, joined against
+    the stored (id, band, band_hash) rows.  The daily-crawl dedup mode:
+    at 100 TB, re-shingling the corpus per batch is the cost the index
+    deletes.  Same 8-hash/2-band/bigram family as
+    minhash_lsh_candidates, so the oracle replays the identical md5
+    hash algebra."""
+    import os
+    import tempfile
+    import uuid
+
+    docs = load(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lshidx_{uuid.uuid4().hex}"
+    )
+    idx = dedup_ops.LshIndex.build(
+        docs.filter(F.col("doc_id") % 10 != 0), root,
+        num_hashes=8, bands=2, shingle_n=2,
+    )
+    return idx.candidates(spark, docs.filter(F.col("doc_id") % 10 == 0))
+
+
+@query(
     "duplicate_clusters",
     rf"""
     WITH RECURSIVE cand AS (

@@ -1010,3 +1010,52 @@ def test_fixed_width_histogram_bins_negatives_toward_minus_inf(spark):
     out = {r["bin"]: r["bin_count"] for r in
            fixed_width_histogram(df, ["g"], "v", 5.0).collect()}
     assert out == {-1: 1, 0: 2, 1: 2}
+
+
+def test_lsh_index_incremental_and_append(spark, tmp_path):
+    """LshIndex: candidates(new) must equal the cross-batch slice of the
+    full-corpus LSH candidates, and append() folds the batch in so a
+    re-query sees it as corpus."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.dedup import (
+        LshIndex,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    idx = LshIndex.build(
+        corpus, str(tmp_path / "lsh"), num_hashes=8, bands=2, shingle_n=2
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in idx.candidates(spark, batch).collect()
+    }
+    full = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_n=2
+    )
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 10 == 0) != (b % 10 == 0):  # cross-batch pairs only
+            new, old = (a, b) if a % 10 == 0 else (b, a)
+            want.add((new, old))
+    assert got == want
+
+    # append the batch; a batch doc colliding with another batch doc is
+    # now a corpus hit on re-query
+    idx.append(batch)
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in idx.candidates(spark, batch).collect()
+    }
+    batch_pairs = {
+        (a, b)
+        for r in full.collect()
+        for a, b in [(r["id_a"], r["id_b"])]
+        if a % 10 == 0 and b % 10 == 0
+    }
+    assert got2 == want | batch_pairs | {(b, a) for a, b in batch_pairs}
