@@ -314,9 +314,20 @@ class GriddedTable:
     def _bucket_col(self):
         return F.date_format(F.col(self.time_col), self.bucket_fmt)
 
-    def _write_data_files(self, df: DataFrame, sort_cols: list[str]) -> list[dict[str, Any]]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        sort_cols: list[str],
+        stat_cols: tuple[str, ...] = (),
+        sort_exprs: list | None = None,
+        drop_after_sort: tuple[str, ...] = (),
+        range_partition: int = 0,
+    ) -> list[dict[str, Any]]:
         """Write ``df`` as new immutable parquet files partitioned by time
-        bucket; return manifest entries with per-file time stats.
+        bucket; return manifest entries with per-file time stats (plus
+        per-file min/max for each of ``stat_cols`` — the hook
+        :meth:`optimize` uses to make spatial clustering prunable at the
+        manifest level).
 
         Layout choices for scale: ``repartition(bucket)`` aligns Spark
         partitions with storage buckets (one shuffle, map-side combine
@@ -325,14 +336,34 @@ class GriddedTable:
         monotone time + spatially clustered rows, so parquet row-group
         stats prune both time and space predicates — the analog of the
         reference's zarr chunk layout (dataset_manager.py:220-221).
+        ``sort_exprs`` replaces that default ordering entirely (z-order
+        rewrites sort space-first); ``drop_after_sort`` drops helper
+        columns (e.g. the Morton code) after ordering, before the bytes
+        hit disk — a projection preserves partition-local order.
+        ``range_partition=N`` switches the bucket-hash shuffle to a
+        RANGE partitioning into N explicit partitions over the ordering,
+        so one bucket splits into several files each covering a
+        contiguous slice — what gives z-order rewrites per-FILE (not
+        just per-row-group) prunable extents.
         """
         staging = os.path.join(self._data_dir, uuid.uuid4().hex)
-        writer = (
-            df.withColumn("__bucket", self._bucket_col())
-            .repartition(F.col("__bucket"))
-            .sortWithinPartitions(self.time_col, *sort_cols)
-            .write.partitionBy("__bucket")
+        ordering = (
+            sort_exprs
+            if sort_exprs is not None
+            else [self.time_col, *sort_cols]
         )
+        df = df.withColumn("__bucket", self._bucket_col())
+        if range_partition:
+            # explicit partition count: AQE would otherwise coalesce the
+            # range shuffle and collapse the per-file extents OPTIMIZE
+            # exists to create
+            part = df.repartitionByRange(range_partition, "__bucket", *ordering)
+        else:
+            part = df.repartition(F.col("__bucket"))
+        part = part.sortWithinPartitions(*ordering)
+        for c in drop_after_sort:
+            part = part.drop(c)
+        writer = part.write.partitionBy("__bucket")
         for c in self.bloom_cols:
             # parquet-mr suppresses bloom filters for dictionary-only
             # column chunks (the dictionary already answers membership);
@@ -355,16 +386,18 @@ class GriddedTable:
                 if not fname.endswith(".parquet"):
                     continue
                 path = os.path.join(bdir, fname)
-                entries.append({"bucket": bucket, "path": path, **self._file_stats(path)})
+                entries.append(
+                    {"bucket": bucket, "path": path, **self._file_stats(path, stat_cols)}
+                )
         return entries
 
-    def _file_stats(self, path: str) -> dict[str, Any]:
-        """Per-file (rows, min_time, max_time) from the parquet footer —
-        no data scan, exactly the stats a format like Iceberg tracks."""
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(path).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(self.time_col)
+    @staticmethod
+    def _footer_minmax(md, name: str):
+        """Footer-only min/max of one column across row groups (None when
+        the column has no usable statistics)."""
+        idx = md.schema.to_arrow_schema().get_field_index(name)
+        if idx < 0:
+            return None, None
         lo = hi = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
@@ -372,7 +405,18 @@ class GriddedTable:
                 continue
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        return {
+        return lo, hi
+
+    def _file_stats(self, path: str, stat_cols: tuple[str, ...] = ()) -> dict[str, Any]:
+        """Per-file (rows, min_time, max_time) from the parquet footer —
+        no data scan, exactly the stats a format like Iceberg tracks.
+        ``stat_cols`` adds a ``stats: {col: [min, max]}`` block for
+        manifest-level pruning on non-time axes (see :meth:`optimize`)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        lo, hi = self._footer_minmax(md, self.time_col)
+        out: dict[str, Any] = {
             "rows": md.num_rows,
             "min_time": str(lo) if lo is not None else "",
             "max_time": str(hi) if hi is not None else "9999",
@@ -381,6 +425,19 @@ class GriddedTable:
             # when file schemas actually diverge
             "columns": sorted(md.schema.to_arrow_schema().names),
         }
+        stats: dict[str, list[Any]] = {}
+        for c in stat_cols:
+            clo, chi = self._footer_minmax(md, c)
+            if clo is not None:
+                # numpy scalars -> native python so the manifest JSON
+                # round-trips to comparable types
+                stats[c] = [
+                    getattr(clo, "item", lambda v=clo: v)(),
+                    getattr(chi, "item", lambda v=chi: v)(),
+                ]
+        if stats:
+            out["stats"] = stats
+        return out
 
     # -- public write API ----------------------------------------------------
 
@@ -460,6 +517,168 @@ class GriddedTable:
             self._release_failed(pointer)
             raise
 
+    @staticmethod
+    def _norm_file_uri(p: str) -> str:
+        """``input_file_name()`` URIs -> the plain os paths manifests use."""
+        from urllib.parse import unquote, urlparse
+
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        return os.path.abspath(p)
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        sort_cols: list[str] | None = None,
+        attrs_update: dict[str, Any] | None = None,
+        evolve_schema: bool = False,
+    ) -> Snapshot:
+        """Keyed MERGE (the Delta ``MERGE INTO`` / Iceberg upsert shape):
+        rows of ``updates`` whose ``key_cols`` match an existing row
+        REPLACE that row; unmatched rows are inserted.  The reference has
+        no keyed upsert — its updates are whole-time-slice overwrites
+        (publish.py:406-450) — but a relational port needs one the moment
+        late-arriving corrections stop aligning with chunk boundaries.
+
+        Scale shape (what Delta calls *merge touched files only*):
+
+        1. **Manifest prune** — when ``time_col`` is part of the key, the
+           batch's [min, max] time (two scalars) drops every file whose
+           stat range cannot contain a matching key: a recent-data MERGE
+           against a 100 TB table reads only the recent sliver.
+        2. **Key probe** — surviving files are scanned reading ONLY the
+           key columns (+ ``input_file_name``), semi-joined against the
+           distinct update keys to find the touched-file set.  The join
+           strategy is left to AQE: a typical batch broadcasts, a huge
+           backfill degrades to a shuffle instead of OOMing the driver.
+        3. **Surgical rewrite** — only touched files are re-read in full;
+           their unmatched rows survive via an anti-join and the update
+           batch is unioned in.  Untouched files keep their manifest
+           entries byte-for-byte; readers of prior versions are
+           unaffected (immutable files + new manifest = ACID).
+
+        Precondition: ``key_cols`` identify rows uniquely in the TABLE
+        (the usual primary-key contract).  Duplicate keys *within the
+        batch* are written as-is (multiset semantics) — dedup the batch
+        first (`dedup_keep_best`) when that is not intended.
+        """
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
+            if not snap.entries:
+                entries = self._write_data_files(updates, sort_cols or [])
+                return self._commit(pointer, entries, attrs)
+            updates = self._align_schema(updates, snap, evolve=evolve_schema)
+            # one materialization: the batch feeds the key probe, the
+            # anti-join, and the final union — localCheckpoint guarantees
+            # all three branches see identical rows even for
+            # nondeterministic upstreams
+            updates = updates.localCheckpoint(eager=True)
+            candidates = snap.entries
+            if self.time_col in key_cols:
+                lo, hi = updates.agg(
+                    F.min(self.time_col), F.max(self.time_col)
+                ).first()
+                candidates = [
+                    e
+                    for e in candidates
+                    if not (str(e["max_time"]) < str(lo) or str(e["min_time"]) > str(hi))
+                ]
+            touched: set[str] = set()
+            if candidates:
+                keys = updates.select(*key_cols).dropDuplicates(key_cols)
+                probe = (
+                    spark.read.parquet(*[e["path"] for e in candidates])
+                    .withColumn("__file", F.input_file_name())
+                    .select("__file", *key_cols)
+                )
+                hit = (
+                    probe.join(keys, key_cols, "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                touched = {self._norm_file_uri(r[0]) for r in hit}
+            if touched:
+                touched_paths = [
+                    e["path"]
+                    for e in snap.entries
+                    if os.path.abspath(e["path"]) in touched
+                ]
+                current = spark.read.parquet(*touched_paths)
+                keys = updates.select(*key_cols).dropDuplicates(key_cols)
+                kept_rows = current.join(keys, key_cols, "left_anti")
+                merged = kept_rows.unionByName(updates)
+            else:
+                merged = updates
+            new_entries = self._write_data_files(merged, sort_cols or [])
+            kept_entries = [
+                e
+                for e in snap.entries
+                if os.path.abspath(e["path"]) not in touched
+            ]
+            return self._commit(pointer, kept_entries + new_entries, attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        sort_cols: list[str] | None = None,
+        attrs_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Predicate DELETE (the Delta ``DELETE FROM ... WHERE`` shape):
+        rewrite ONLY the files that contain at least one matching row,
+        dropping those rows; every other file's manifest entry survives
+        untouched.  Two passes, both minimal: the probe scan reads only
+        the predicate's columns (+ ``input_file_name`` — Parquet column
+        pruning does the rest), the rewrite re-reads just the touched
+        files.  A no-match delete is a no-op that writes nothing.
+
+        ``condition`` is a Column or SQL string over the table's columns.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
+            if not snap.entries:
+                self._release_failed(pointer)
+                return snap
+            hit = (
+                spark.read.parquet(*snap.paths())
+                .withColumn("__file", F.input_file_name())
+                .filter(cond)
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched = {self._norm_file_uri(r[0]) for r in hit}
+            if not touched:
+                self._release_failed(pointer)
+                return snap
+            touched_paths = [
+                e["path"]
+                for e in snap.entries
+                if os.path.abspath(e["path"]) in touched
+            ]
+            kept_rows = spark.read.parquet(*touched_paths).filter(~cond)
+            new_entries = self._write_data_files(kept_rows, sort_cols or [])
+            kept_entries = [
+                e
+                for e in snap.entries
+                if os.path.abspath(e["path"]) not in touched
+            ]
+            return self._commit(pointer, kept_entries + new_entries, attrs)
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
     def write_metadata_only(self, attrs_update: dict[str, Any]) -> Snapshot:
         """Attrs-only commit (reference ``write_metadata_only``,
         store.py:200-247): same data entries, new version with merged
@@ -507,6 +726,79 @@ class GriddedTable:
             self._release_failed(pointer)
             raise
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str],
+        ranges: dict[str, tuple[float, float]] | None = None,
+        resolution: float | None = None,
+        target_file_rows: int = 5_000_000,
+    ) -> Snapshot:
+        """OPTIMIZE ZORDER BY (the Delta maintenance analog): rewrite
+        every bucket with rows ordered by the Morton interleave of two
+        ``cluster_by`` columns (one column degrades to a plain sort), and
+        record per-file min/max for those columns in the manifest.
+        Afterwards a bbox read through :meth:`read`'s ``where`` ranges
+        prunes files at the MANIFEST level and row groups at the parquet
+        level — the relational analog of the reference's 2-D zarr chunk
+        tiling (``dataset_manager.py:220-221``), applied retroactively to
+        a table that was written time-sorted.
+
+        Rewriting every bucket is a full-table pass by design (it is an
+        explicit maintenance job, like Delta's OPTIMIZE); per-bucket
+        task parallelism makes it one shuffle + one write.  Readers are
+        unaffected until the atomic commit; prior versions time-travel
+        to the pre-optimize layout.
+
+        ``ranges``: per-column (lo, hi) quantization bounds (defaults to
+        lat/lon whole-globe bounds per :mod:`operators.zorder`);
+        ``resolution``: regular-grid cell size so cell indices, not range
+        fractions, interleave."""
+        from gridded_etl_tools_spark.operators.zorder import z_index
+
+        if not 1 <= len(cluster_by) <= 2:
+            raise ValueError("cluster_by takes one or two columns")
+        pointer = self._acquire()
+        try:
+            snap = self.snapshot(pointer["version"])
+            if not snap.entries:
+                self._release_failed(pointer)
+                return snap
+            df = spark.read.parquet(*snap.paths())
+            if len(cluster_by) == 2:
+                rng = ranges or {}
+                a, b = cluster_by
+                df = df.withColumn(
+                    "__z",
+                    z_index(
+                        a,
+                        b,
+                        lat_range=tuple(rng.get(a, (-90.0, 90.0))),
+                        lon_range=tuple(rng.get(b, (-180.0, 180.0))),
+                        resolution=resolution,
+                    ),
+                )
+                order, drop = ["__z", self.time_col], ("__z",)
+            else:
+                order, drop = [cluster_by[0], self.time_col], ()
+            entries = self._write_data_files(
+                df,
+                [],
+                stat_cols=tuple(cluster_by),
+                sort_exprs=order,
+                drop_after_sort=drop,
+                # file count sized from committed manifest row totals —
+                # deterministic, no sampling job
+                range_partition=max(
+                    1,
+                    -(-sum(e.get("rows", 0) for e in snap.entries) // target_file_rows),
+                ),
+            )
+            return self._commit(pointer, entries, pointer.get("attrs", {}))
+        except Exception:
+            self._release_failed(pointer)
+            raise
+
     # -- read API ------------------------------------------------------------
 
     def read(
@@ -515,6 +807,7 @@ class GriddedTable:
         time_lo=None,
         time_hi=None,
         version: int | None = None,
+        where: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame | None:
         """Open a snapshot (reference ``store.dataset``, store.py:182-198 —
         None when absent), latest by default or a retained prior
@@ -522,7 +815,14 @@ class GriddedTable:
         overwrite, store.py:398-422).  ``time_lo``/``time_hi`` prune
         manifest entries by file stats before Spark ever lists them (the
         reference's binary search, publish.py:897-949), then re-apply the
-        predicate for row-group pruning inside the files."""
+        predicate for row-group pruning inside the files.
+
+        ``where``: ``{col: (lo, hi)}`` range predicates on non-time
+        columns.  Files whose recorded per-file stats (written by
+        :meth:`optimize`) cannot overlap the range are skipped at the
+        manifest level; files without stats for a column are
+        conservatively kept.  Predicates are re-applied as filters either
+        way, so results are exact regardless of layout."""
         if not self.exists():
             return None
         snap = self.snapshot(version)
@@ -531,6 +831,16 @@ class GriddedTable:
             entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
         if time_hi is not None:
             entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+        for col, (lo, hi) in (where or {}).items():
+            entries = [
+                e
+                for e in entries
+                if col not in e.get("stats", {})
+                or not (
+                    (hi is not None and e["stats"][col][0] > hi)
+                    or (lo is not None and e["stats"][col][1] < lo)
+                )
+            ]
         # schema-evolution detection from the manifest alone: parquet
         # footer merging (mergeSchema) costs a distributed footer pass at
         # scale, so only pay it when the per-file column signatures
@@ -549,7 +859,40 @@ class GriddedTable:
             df = df.filter(F.col(self.time_col) >= F.lit(time_lo))
         if time_hi is not None:
             df = df.filter(F.col(self.time_col) <= F.lit(time_hi))
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def pruned_file_count(
+        self,
+        time_lo=None,
+        time_hi=None,
+        where: dict[str, tuple[Any, Any]] | None = None,
+        version: int | None = None,
+    ) -> tuple[int, int]:
+        """(files the predicate set would scan, total files) — the
+        manifest-level skipping measurement :meth:`optimize`'s A/B uses,
+        computed from stats alone (no Spark job)."""
+        snap = self.snapshot(version)
+        entries = snap.entries
+        if time_lo is not None:
+            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
+        if time_hi is not None:
+            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+        for col, (lo, hi) in (where or {}).items():
+            entries = [
+                e
+                for e in entries
+                if col not in e.get("stats", {})
+                or not (
+                    (hi is not None and e["stats"][col][0] > hi)
+                    or (lo is not None and e["stats"][col][1] < lo)
+                )
+            ]
+        return len(entries), len(snap.entries)
 
     def distinct_times(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)

@@ -517,3 +517,130 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     removed = t.vacuum(keep_versions=True)
     assert removed == []
     assert t.read(spark).count() == 2
+
+
+# -- keyed MERGE / DELETE / OPTIMIZE (Delta-parity surface) -----------------
+
+
+def test_merge_upsert_updates_and_inserts(spark, month1, month2, tmp_path):
+    """Whole-row upsert: matched keys replaced, new keys inserted, and
+    files in untouched buckets survive the commit BYTE-IDENTICAL (their
+    manifest paths are shared between versions) — the merge only
+    rewrites the touched sliver."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    v1_paths = set(t.snapshot().paths())
+
+    keys = ["time", "latitude", "longitude"]
+    # 3 corrections to existing Dec rows + 2 brand-new Dec rows
+    updates = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 12, 5), 36.0, -115.75, 999.0),
+            (dt.datetime(2024, 12, 6), 36.25, -115.5, 998.0),
+            (dt.datetime(2024, 12, 7), 36.5, -115.25, 997.0),
+            (dt.datetime(2024, 12, 5), 40.0, -100.0, 1.5),
+            (dt.datetime(2024, 12, 6), 40.0, -100.0, 2.5),
+        ],
+        month1.schema,
+    )
+    snap = t.merge_upsert(spark, updates, keys)
+    assert snap.version == 2
+
+    df = t.read(spark)
+    assert df.count() == 480 + 496 + 2  # 3 replaced in place, 2 inserted
+    got = {
+        (r["time"], r["latitude"], r["longitude"]): r["value"]
+        for r in df.filter(F.col("value") > 900).collect()
+    }
+    assert got[(dt.datetime(2024, 12, 5), 36.0, -115.75)] == 999.0
+    assert len(got) == 3
+    # November's bucket was never touched: its file is shared verbatim
+    nov = {p for p in v1_paths if "2024-11" in p}
+    assert nov and nov <= set(snap.paths())
+    # and the touched December file was replaced, not patched
+    dec_old = {p for p in v1_paths if "2024-12" in p}
+    assert not (dec_old & set(snap.paths()))
+
+
+def test_merge_upsert_only_inserts(spark, month1, tmp_path):
+    """A batch with no matching keys degrades to a pure append — nothing
+    is rewritten."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    v0_paths = set(t.snapshot().paths())
+    updates = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1), 36.0, -115.75, 5.0)], month1.schema
+    )
+    snap = t.merge_upsert(spark, updates, ["time", "latitude", "longitude"])
+    assert v0_paths <= set(snap.paths())
+    assert t.read(spark).count() == 481
+
+
+def test_merge_upsert_respects_schema_enforcement(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    bad = month1.withColumn("extra", F.lit(1))
+    with pytest.raises(TableCorruptionGuard):
+        t.merge_upsert(spark, bad, ["time", "latitude", "longitude"])
+    assert not t.update_in_progress()
+
+
+def test_delete_where_rewrites_only_touched_files(spark, month1, month2, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    v1_paths = set(t.snapshot().paths())
+
+    snap = t.delete_where(spark, "time >= timestamp'2024-12-15 00:00:00'")
+    df = t.read(spark)
+    assert df.count() == 480 + 16 * 14  # Nov intact + Dec 1-14
+    assert df.filter(F.col("time") >= dt.datetime(2024, 12, 15)).count() == 0
+    nov = {p for p in v1_paths if "2024-11" in p}
+    assert nov and nov <= set(snap.paths())
+    # time travel still sees the pre-delete rows
+    assert t.read(spark, version=1).count() == 480 + 496
+
+
+def test_delete_where_no_match_is_noop(spark, month1, tmp_path):
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    snap = t.delete_where(spark, F.col("value") < -1.0)
+    assert snap.version == 0  # no new commit
+    assert not t.update_in_progress()
+    assert t.read(spark).count() == 480
+
+
+def test_optimize_zorder_file_skipping_and_equality(spark, month1, tmp_path):
+    """OPTIMIZE ZORDER: (1) results are layout-invariant — the full
+    readback matches pre-optimize row-for-row; (2) the manifest gains
+    per-file lat/lon stats and a corner bbox scans strictly fewer files
+    than the table holds."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    before = {tuple(r) for r in t.read(spark).collect()}
+
+    snap = t.optimize(
+        spark,
+        cluster_by=["latitude", "longitude"],
+        resolution=0.25,
+        target_file_rows=120,  # 480 rows -> 4 z-contiguous files
+    )
+    after = {tuple(r) for r in t.read(spark).collect()}
+    assert after == before
+    assert any("stats" in e for e in snap.entries)
+    assert len(snap.entries) > 1  # bucket split into z-contiguous files
+
+    bbox = {"latitude": (36.0, 36.25), "longitude": (-115.75, -115.5)}
+    scanned, total = t.pruned_file_count(where=bbox)
+    assert scanned < total
+    got = {
+        (r["time"], r["latitude"], r["longitude"], r["value"])
+        for r in t.read(spark, where=bbox).collect()
+    }
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in before
+        if 36.0 <= r[1] <= 36.25 and -115.75 <= r[2] <= -115.5
+    }
+    assert got == want
