@@ -51,6 +51,9 @@ _FAMILY_REPRESENTATIVES = (
     "dedup_keep_best",            # r6: quality-ranked canonical selection
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
+    "table_merge_upsert_readback",       # r6: keyed MERGE (Delta parity)
+    "table_delete_where_readback",       # r6: predicate DELETE
+    "table_optimize_zorder_readback",    # r6: OPTIMIZE ZORDER + bbox prune
 )
 
 

@@ -7869,3 +7869,183 @@ def hindcast_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tp").alias("min_tp"),
         F.max("tp").alias("max_tp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# keyed MERGE / predicate DELETE / OPTIMIZE ZORDER under the oracle
+# (round 6: Delta-parity mutation surface on the committed table —
+#  merge_upsert / delete_where / optimize in sinks/table.py)
+# ---------------------------------------------------------------------------
+
+def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> per-(day, type) rollup — the shared base relation of the
+    table-mutation readback rows (same shape as the restore fixture)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+def _throwaway_root(prefix: str) -> str:
+    import os
+    import tempfile
+    import uuid
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{prefix}_{uuid.uuid4().hex}"
+    )
+
+
+@query(
+    "table_merge_upsert_readback",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n, round(avg(value), 6) AS mean_value
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type,
+           CASE WHEN day >= TIMESTAMP '2024-01-21 00:00:00'
+                THEN n * 10 ELSE n END AS n,
+           mean_value
+    FROM daily
+    UNION ALL
+    SELECT max(day) + INTERVAL 1 DAY AS day, 'synthetic' AS event_type,
+           CAST(1 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS mean_value
+    FROM daily
+    """,
+)
+def table_merge_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE under the oracle (Delta ``MERGE INTO`` analog —
+    beyond-W6 surface; the reference's updates are whole-time-slice
+    overwrites, publish.py:406-450, never keyed).  A throwaway copy of
+    the daily rollup is published with DAILY buckets, then a single
+    merge batch both CORRECTS the late window (n -> n*10 for days >=
+    Jan 21) and INSERTS one brand-new key (max day + 1, 'synthetic').
+    The readback must hash-match the oracle's recomputation of the
+    merged state.  Scale shape: time is part of the key, so the batch's
+    [min, max] prunes the manifest to the late sliver — the early-day
+    files are never read OR rewritten, which the shared-path assert
+    pins."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    daily = _daily_rollup(spark, sf_dir)
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    t = GriddedTable(
+        _throwaway_root("merge"), time_col="day", bucket_fmt="yyyy-MM-dd"
+    )
+    t.write_initial(daily)  # v0
+    v0_paths = set(t.snapshot().paths())
+
+    corrections = daily.filter(F.col("day") >= cut).withColumn(
+        "n", F.col("n") * F.lit(10)
+    )
+    insert = daily.agg(
+        (F.max("day") + F.expr("INTERVAL 1 DAY")).alias("day")
+    ).select(
+        "day",
+        F.lit("synthetic").alias("event_type"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(0.0).alias("mean_value"),
+    )
+    snap = t.merge_upsert(
+        spark, corrections.unionByName(insert), ["day", "event_type"]
+    )
+    # surgical-rewrite pin: every pre-cut daily bucket's file survives
+    # the commit byte-identical (shared manifest path across versions)
+    untouched = {
+        p for p in v0_paths if p.split("__bucket=")[1][:10] < "2024-01-21"
+    }
+    assert untouched and untouched <= set(snap.paths())
+    return t.read(spark)
+
+
+@query(
+    "table_delete_where_readback",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n, round(avg(value), 6) AS mean_value
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n, mean_value
+    FROM daily
+    WHERE NOT (mean_value > 50.0)
+    """,
+)
+def table_delete_where_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE under the oracle (Delta ``DELETE FROM`` analog):
+    a throwaway daily-rollup table loses every row whose mean exceeds
+    50, via the two-pass touched-files-only rewrite (probe scan reads
+    just the predicate column + input_file_name; only files containing
+    a match are re-read and rewritten).  The readback must hash-match
+    the oracle's NOT-filtered recomputation, and version 0 still
+    time-travels to the pre-delete state (history is append-only)."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    daily = _daily_rollup(spark, sf_dir)
+    t = GriddedTable(_throwaway_root("delete"), time_col="day")
+    t.write_initial(daily)  # v0
+    before = t.read(spark).count()
+    t.delete_where(spark, F.col("mean_value") > F.lit(50.0))
+    # append-only history: v0 re-reads the full pre-delete rollup
+    assert t.read(spark, version=0).count() == before
+    return t.read(spark)
+
+
+@query(
+    "table_optimize_zorder_readback",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event
+    FROM events
+    WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 50.0 AND 200.0
+    """,
+)
+def table_optimize_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the oracle (Delta maintenance analog; the
+    relational retrofit of the reference's 2-D zarr chunk tiling,
+    dataset_manager.py:220-221): point-level events are published
+    time-sorted, then rewritten with rows ordered by the Morton
+    interleave of (user_id, value) and per-file min/max for both columns
+    recorded in the manifest.  A bbox read through ``where=`` prunes
+    files from stats alone, and the filtered readback must hash-match
+    the oracle's plain WHERE — layout changes, answers don't.  The
+    z-ranges come from one 4-scalar agg (never hardcoded, so the row is
+    scale-invariant)."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    t = GriddedTable(_throwaway_root("zorder"), time_col="day")
+    t.write_initial(ev)
+    lo_u, hi_u, lo_v, hi_v, n_rows = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value"),
+        F.count(F.lit(1)),
+    ).first()
+    t.optimize(
+        spark,
+        cluster_by=["user_id", "value"],
+        ranges={
+            "user_id": (float(lo_u), float(hi_u)),
+            "value": (float(lo_v), float(hi_v)),
+        },
+        target_file_rows=max(1, n_rows // 6),
+    )
+    bbox = {"user_id": (2, 9), "value": (50.0, 200.0)}
+    return t.read(spark, where=bbox).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

@@ -384,6 +384,14 @@ SHUFFLE_BUDGET = {
     # carries <=20-row frames; the single is the 20-survivor rank
     # window (bounded axis).
     "hybrid_rrf_search": (7, 1),
+    # table-mutation readbacks: the inspected plan is the POST-mutation
+    # read — a manifest-pruned parquet scan (merge/delete rows return
+    # the raw readback: zero exchanges; zorder returns a global bbox
+    # rollup: one single-partition final agg).
+    "table_merge_upsert_readback": (0, 0),
+    "table_delete_where_readback": (0, 0),
+    # (the hash exchange is countDistinct's partial-dedup on user_id)
+    "table_optimize_zorder_readback": (1, 1),
 }
 
 
