@@ -54,6 +54,7 @@ _FAMILY_REPRESENTATIVES = (
     "table_merge_upsert_readback",       # r6: keyed MERGE (Delta parity)
     "table_delete_where_readback",       # r6: predicate DELETE
     "table_optimize_zorder_readback",    # r6: OPTIMIZE ZORDER + bbox prune
+    "streaming_cdc_upsert_readback",     # r6: foreachBatch + keyed MERGE
 )
 
 

@@ -8049,3 +8049,56 @@ def table_optimize_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+@query(
+    "streaming_cdc_upsert_readback",
+    """
+    SELECT user_id, ts, event_id, event_type, value
+    FROM events
+    QUALIFY row_number()
+            OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def streaming_cdc_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC UPSERT under the batch oracle — the composite of the round-6
+    keyed MERGE and the streaming sink (Delta's ``foreachBatch + MERGE
+    INTO`` idiom): the events file replayed as THREE chronological
+    micro-batches, each collapsed to its latest row per user and
+    keyed-MERGEd into a committed per-user profile table
+    (``streaming/ingest.stream_cdc_upsert``); the final table must
+    hash-match the batch world's last-row-per-user window.  Batches 1-2
+    exercise the real merge path (matched users replaced, new users
+    inserted), not just bootstrap.  Scale shape: per batch one
+    struct-max hash agg + a manifest-pruned touched-files-only merge —
+    O(batch), never O(table)."""
+    import os
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+    from gridded_etl_tools_spark.streaming.ingest import stream_cdc_upsert
+
+    watch_dir = _stage_stream_source_parts(sf_dir, 3)
+    schema = load(spark, sf_dir, "events").schema
+    run = uuid.uuid4().hex
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_cdcck_{run}")
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+
+    table = GriddedTable(root, time_col="ts")
+    q = stream_cdc_upsert(
+        spark, watch_dir, schema, table, ckpt,
+        key_cols=["user_id"], latest_by=["ts", "event_id"],
+        derive=derive, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return table.read(spark)

@@ -389,6 +389,7 @@ SHUFFLE_BUDGET = {
     # the raw readback: zero exchanges; zorder returns a global bbox
     # rollup: one single-partition final agg).
     "table_merge_upsert_readback": (0, 0),
+    "streaming_cdc_upsert_readback": (0, 0),
     "table_delete_where_readback": (0, 0),
     # (the hash exchange is countDistinct's partial-dedup on user_id)
     "table_optimize_zorder_readback": (1, 1),

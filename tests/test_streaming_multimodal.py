@@ -430,3 +430,52 @@ def test_stream_maintain_rollup_matches_batch(spark, month1, month2, tmp_path):
     )
     q3.awaitTermination(120)
     assert rollup.snapshot().version == ver_before
+
+
+def test_stream_cdc_upsert_last_writer_wins(spark, month1, month2, tmp_path):
+    """CDC upsert: after two chronological drops the profile table holds
+    exactly the LATEST row per grid cell (keyed MERGE per micro-batch,
+    not append), and replaying the stream is a no-op."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.streaming.ingest import stream_cdc_upsert
+
+    src = str(tmp_path / "cdc_src")
+    month1.write.parquet(src)
+    t = GriddedTable(str(tmp_path / "profile"), time_col="time")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    keys = ["latitude", "longitude"]
+
+    q = stream_cdc_upsert(
+        spark, src, GRID_SCHEMA, t, ckpt, key_cols=keys, latest_by=["time"]
+    )
+    q.awaitTermination(120)
+    assert t.read(spark).count() == 16  # one profile row per cell
+    assert t.read(spark).agg(F.max("time")).first()[0] == dt.datetime(
+        2024, 11, 30
+    )
+
+    month2.write.mode("append").parquet(src)
+    q2 = stream_cdc_upsert(
+        spark, src, GRID_SCHEMA, t, ckpt, key_cols=keys, latest_by=["time"]
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r["latitude"], r["longitude"]): (r["time"], r["value"])
+        for r in t.read(spark).collect()
+    }
+    want = {
+        (r["latitude"], r["longitude"]): (r["time"], r["value"])
+        for r in month2.filter(
+            F.col("time") == dt.datetime(2024, 12, 31)
+        ).collect()
+    }
+    assert got == want  # last writer wins, values carried from the batch
+
+    # replay with the same checkpoint: batch ids already merged -> no-op
+    ver = t.snapshot().version
+    q3 = stream_cdc_upsert(
+        spark, src, GRID_SCHEMA, t, ckpt, key_cols=keys, latest_by=["time"]
+    )
+    q3.awaitTermination(120)
+    assert t.snapshot().version == ver
