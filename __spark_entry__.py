@@ -55,6 +55,8 @@ _FAMILY_REPRESENTATIVES = (
     "table_delete_where_readback",       # r6: predicate DELETE
     "table_optimize_zorder_readback",    # r6: OPTIMIZE ZORDER + bbox prune
     "streaming_cdc_upsert_readback",     # r6: foreachBatch + keyed MERGE
+    "ddsketch_value_quantiles",          # r6: mergeable quantile sketch
+    "ddsketch_bound_check",              # r6: its error certificate
 )
 
 

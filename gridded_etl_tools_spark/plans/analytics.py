@@ -682,3 +682,90 @@ def seasonal_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         )
     )
+
+
+@query(
+    "ddsketch_value_quantiles",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(ceil(round(ln(value) / ln(1.02), 6)) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events WHERE value > 0 GROUP BY 1, 2, 3),
+    m AS (SELECT event_type, bin, sum(c) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM m)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      min(CASE WHEN cum >= ceil(0.50 * n)
+               THEN round(2 * power(1.02, bin) / 2.02, 6) END) AS p50,
+      min(CASE WHEN cum >= ceil(0.90 * n)
+               THEN round(2 * power(1.02, bin) / 2.02, 6) END) AS p90,
+      min(CASE WHEN cum >= ceil(0.99 * n)
+               THEN round(2 * power(1.02, bin) / 2.02, 6) END) AS p99
+    FROM cum GROUP BY event_type
+    """,
+)
+def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson, Lee & Rice, VLDB 2019) — the
+    MERGEABLE quantile sketch completing the deterministic sketch trio
+    (HLL distinct / CMS frequency / DD quantile,
+    ``operators/sketches.py``): per-(day, type) log-gamma bin
+    histograms are merged across days by plain count addition, then
+    p50/p90/p99 reconstruct from the merged bin table.  Every step is
+    arithmetic both engines compute bit-for-bit, so the APPROXIMATE
+    ESTIMATES THEMSELVES hash-match DuckDB's replay of the same
+    sketch — not just a rows-only check.  Built-in approx_percentile
+    (GK) can't do this (engine-private buffers) and GK is famously
+    non-mergeable without accuracy loss; DD merges losslessly.
+    Scale shape: facts touched once by one hash agg; everything after
+    runs on ≤~550 bins per key (gamma geometry), and the cumulative
+    window rides the bounded bin axis."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    daily = sketches.dd_histogram(ev, ["day", "event_type"], "value")
+    merged = sketches.dd_merge(daily, ["event_type"])
+    return sketches.dd_quantiles(merged, ["event_type"], [0.50, 0.90, 0.99])
+
+
+@query(
+    "ddsketch_bound_check",
+    """
+    SELECT event_type, count(*) AS n,
+           TRUE AS p50_within_bound, TRUE AS p90_within_bound
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def ddsketch_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certificate for ``ddsketch_value_quantiles``: the
+    published guarantee is relative error alpha = (gamma-1)/(gamma+1)
+    (≈0.99% at gamma=1.02) against the true item quantile; checked here
+    at 2.5% against the exact interpolated percentile (the slack covers
+    interpolated-vs-item quantile discretization).  Certifies the MERGE
+    path end-to-end, same pattern as the HLL/GK certificates."""
+    from gridded_etl_tools_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    sk = sketches.dd_quantiles(
+        sketches.dd_histogram(ev, ["event_type"], "value"),
+        ["event_type"],
+        [0.50, 0.90],
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.50, 0.90))").alias("ex")
+    )
+
+    def within(est, i: int):
+        return F.abs(est - F.col("ex")[i]) / F.abs(F.col("ex")[i]) <= 0.025
+
+    return sk.join(ex, "event_type").select(
+        "event_type",
+        "n",
+        within(F.col("p50"), 0).alias("p50_within_bound"),
+        within(F.col("p90"), 1).alias("p90_within_bound"),
+    )

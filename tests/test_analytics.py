@@ -850,3 +850,41 @@ def test_prefix_refine_ann_recall(spark):
         total += 5
     recall = hits / total
     assert recall > 0.5  # shortlist-chance floor is 50/399 ~ 0.125
+
+
+def test_ddsketch_merge_invariance_and_bound(spark):
+    """DDSketch: (1) sketching shards then merging == sketching the
+    whole corpus (lossless mergeability — what GK can't do); (2) every
+    reconstructed quantile is within the published relative-error bound
+    alpha=(gamma-1)/(gamma+1) of the true item quantile."""
+    import math
+
+    from gridded_etl_tools_spark.operators.sketches import (
+        dd_histogram, dd_merge, dd_quantiles,
+    )
+
+    gamma = 1.02
+    vals = [round(1.5 ** (i % 17) + i * 0.37, 4) for i in range(1, 401)]
+    df = spark.createDataFrame(
+        [(("a" if i % 3 else "b"), v) for i, v in enumerate(vals)],
+        "g string, v double",
+    )
+    whole = dd_histogram(df, ["g"], "v", gamma)
+    h1 = dd_histogram(df.filter(F.col("v") < 10), ["g"], "v", gamma)
+    h2 = dd_histogram(df.filter(F.col("v") >= 10), ["g"], "v", gamma)
+    merged = dd_merge(h1.unionByName(h2), ["g"])
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b  # bin counts identical: merge is exact
+
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in dd_quantiles(merged, ["g"], [0.5, 0.9], gamma).collect()
+    }
+    alpha = (gamma - 1) / (gamma + 1)
+    rows = sorted((("a" if i % 3 else "b"), v) for i, v in enumerate(vals))
+    for g in ("a", "b"):
+        xs = sorted(v for gg, v in rows if gg == g)
+        for q, est in zip((0.5, 0.9), got[g]):
+            true = xs[math.ceil(q * len(xs)) - 1]  # item quantile
+            assert abs(est - true) / true <= alpha + 1e-9, (g, q, est, true)

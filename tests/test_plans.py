@@ -390,6 +390,10 @@ SHUFFLE_BUDGET = {
     # rollup: one single-partition final agg).
     "table_merge_upsert_readback": (0, 0),
     "streaming_cdc_upsert_readback": (0, 0),
+    # DDSketch: one fact agg to (day,type,bin), then merge agg + the
+    # type-keyed cumulative window all run on the bounded bin axis
+    "ddsketch_value_quantiles": (3, 0),
+    "ddsketch_bound_check": (3, 0),
     "table_delete_where_readback": (0, 0),
     # (the hash exchange is countDistinct's partial-dedup on user_id)
     "table_optimize_zorder_readback": (1, 1),
