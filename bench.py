@@ -96,6 +96,7 @@ HEADLINE = [
     "ivf_topk_auto",         # auto-vectorized Arrow/BLAS ANN default
     "kmeans_auto_centroids",  # auto-vectorized clustering default
     "hybrid_rrf_search",     # lexical+dense RRF fusion retrieval
+    "ddsketch_value_quantiles",  # mergeable quantile sketch, bin-axis windows
 ]
 
 

@@ -733,22 +733,26 @@ class GriddedTable:
         ranges: dict[str, tuple[float, float]] | None = None,
         resolution: float | None = None,
         target_file_rows: int = 5_000_000,
+        time_lo=None,
+        time_hi=None,
     ) -> Snapshot:
         """OPTIMIZE ZORDER BY (the Delta maintenance analog): rewrite
-        every bucket with rows ordered by the Morton interleave of two
-        ``cluster_by`` columns (one column degrades to a plain sort), and
-        record per-file min/max for those columns in the manifest.
-        Afterwards a bbox read through :meth:`read`'s ``where`` ranges
-        prunes files at the MANIFEST level and row groups at the parquet
-        level — the relational analog of the reference's 2-D zarr chunk
-        tiling (``dataset_manager.py:220-221``), applied retroactively to
-        a table that was written time-sorted.
+        the selected buckets with rows ordered by the Morton interleave
+        of two ``cluster_by`` columns (one column degrades to a plain
+        sort), and record per-file min/max for those columns in the
+        manifest.  Afterwards a bbox read through :meth:`read`'s
+        ``where`` ranges prunes files at the MANIFEST level and row
+        groups at the parquet level — the relational analog of the
+        reference's 2-D zarr chunk tiling (``dataset_manager.py:220-221``),
+        applied retroactively to a table that was written time-sorted.
 
-        Rewriting every bucket is a full-table pass by design (it is an
-        explicit maintenance job, like Delta's OPTIMIZE); per-bucket
-        task parallelism makes it one shuffle + one write.  Readers are
-        unaffected until the atomic commit; prior versions time-travel
-        to the pre-optimize layout.
+        ``time_lo``/``time_hi`` bound the maintenance pass (Delta's
+        ``OPTIMIZE ... WHERE``): only files whose stat range overlaps
+        are rewritten, everything else keeps its manifest entry — at
+        100 TB the periodic job z-orders the newly-landed slice instead
+        of repaying the whole archive; omit both for the full-table
+        pass.  Readers are unaffected until the atomic commit; prior
+        versions time-travel to the pre-optimize layout.
 
         ``ranges``: per-column (lo, hi) quantization bounds (defaults to
         lat/lon whole-globe bounds per :mod:`operators.zorder`);
@@ -761,10 +765,21 @@ class GriddedTable:
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
-            if not snap.entries:
+            targets = snap.entries
+            if time_lo is not None:
+                targets = [
+                    e for e in targets if str(e["max_time"]) >= str(time_lo)
+                ]
+            if time_hi is not None:
+                targets = [
+                    e for e in targets if str(e["min_time"]) <= str(time_hi)
+                ]
+            if not targets:
                 self._release_failed(pointer)
                 return snap
-            df = spark.read.parquet(*snap.paths())
+            tgt = {e["path"] for e in targets}
+            kept = [e for e in snap.entries if e["path"] not in tgt]
+            df = spark.read.parquet(*[e["path"] for e in targets])
             if len(cluster_by) == 2:
                 rng = ranges or {}
                 a, b = cluster_by
@@ -791,10 +806,10 @@ class GriddedTable:
                 # deterministic, no sampling job
                 range_partition=max(
                     1,
-                    -(-sum(e.get("rows", 0) for e in snap.entries) // target_file_rows),
+                    -(-sum(e.get("rows", 0) for e in targets) // target_file_rows),
                 ),
             )
-            return self._commit(pointer, entries, pointer.get("attrs", {}))
+            return self._commit(pointer, kept + entries, pointer.get("attrs", {}))
         except Exception:
             self._release_failed(pointer)
             raise

@@ -644,3 +644,32 @@ def test_optimize_zorder_file_skipping_and_equality(spark, month1, tmp_path):
         if 36.0 <= r[1] <= 36.25 and -115.75 <= r[2] <= -115.5
     }
     assert got == want
+
+
+def test_optimize_zorder_incremental_window(spark, month1, month2, tmp_path):
+    """OPTIMIZE ... WHERE (the incremental maintenance shape): a
+    time-bounded optimize rewrites ONLY the overlapping files — the
+    out-of-window month keeps its manifest entry byte-identical — and
+    the full readback is unchanged."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.append(month2)
+    before = {tuple(r) for r in t.read(spark).collect()}
+    v1_paths = set(t.snapshot().paths())
+
+    snap = t.optimize(
+        spark,
+        cluster_by=["latitude", "longitude"],
+        resolution=0.25,
+        target_file_rows=130,
+        time_lo=dt.datetime(2024, 12, 1),  # December only
+    )
+    nov = {p for p in v1_paths if "2024-11" in p}
+    dec_old = {p for p in v1_paths if "2024-12" in p}
+    assert nov and nov <= set(snap.paths())          # untouched, shared
+    assert not (dec_old & set(snap.paths()))         # rewritten
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    # December files carry cluster stats; November files don't
+    dec_entries = [e for e in snap.entries if e["path"] not in nov]
+    assert dec_entries and all("stats" in e for e in dec_entries)
+    assert all("stats" not in e for e in snap.entries if e["path"] in nov)
