@@ -587,6 +587,31 @@ class GriddedTable:
                     for e in candidates
                     if not (str(e["max_time"]) < str(lo) or str(e["min_time"]) > str(hi))
                 ]
+            # stats-pruning on NON-time key columns: after OPTIMIZE the
+            # manifest carries per-file min/max for the cluster columns,
+            # so a keyed merge on (say) user_id skips every z-file whose
+            # recorded range cannot contain a batch key — two scalars per
+            # column, files without stats are conservatively kept
+            stat_keys = [
+                c
+                for c in key_cols
+                if c != self.time_col
+                and any(c in e.get("stats", {}) for e in candidates)
+            ]
+            if stat_keys:
+                row = updates.agg(
+                    *[m(c) for c in stat_keys for m in (F.min, F.max)]
+                ).first()
+                for i, c in enumerate(stat_keys):
+                    lo, hi = row[2 * i], row[2 * i + 1]
+                    candidates = [
+                        e
+                        for e in candidates
+                        if c not in e.get("stats", {})
+                        or not (
+                            e["stats"][c][0] > hi or e["stats"][c][1] < lo
+                        )
+                    ]
             touched: set[str] = set()
             if candidates:
                 keys = updates.select(*key_cols).dropDuplicates(key_cols)

@@ -673,3 +673,33 @@ def test_optimize_zorder_incremental_window(spark, month1, month2, tmp_path):
     dec_entries = [e for e in snap.entries if e["path"] not in nov]
     assert dec_entries and all("stats" in e for e in dec_entries)
     assert all("stats" not in e for e in snap.entries if e["path"] in nov)
+
+
+def test_merge_upsert_prunes_on_cluster_stats(spark, month1, tmp_path):
+    """MERGE x OPTIMIZE composition: after a z-order rewrite the
+    manifest's per-file (lat, lon) stats prune the merge probe on a
+    NON-time key — a corner-of-the-grid correction batch rewrites only
+    the z-files whose recorded ranges can contain its keys."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.optimize(
+        spark,
+        cluster_by=["latitude", "longitude"],
+        resolution=0.25,
+        target_file_rows=60,  # 480 rows -> 8 z-contiguous files
+    )
+    vz_paths = set(t.snapshot().paths())
+    assert len(vz_paths) > 4
+
+    keys = ["latitude", "longitude", "time"]
+    updates = spark.createDataFrame(
+        [(dt.datetime(2024, 11, 5), 36.0, -115.75, 777.0)], month1.schema
+    )
+    snap = t.merge_upsert(spark, updates, keys)
+    rewritten = vz_paths - set(snap.paths())
+    # stats-pruned probe: only the z-files covering the corner cell are
+    # candidates, so the rewrite is a strict subset of the layout
+    assert len(rewritten) < len(vz_paths)
+    got = t.read(spark).filter(F.col("value") == 777.0).collect()
+    assert len(got) == 1 and got[0]["latitude"] == 36.0
+    assert t.read(spark).count() == 480
