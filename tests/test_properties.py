@@ -993,3 +993,68 @@ def test_rrf_fusion_matches_reference_formula(spark, lex_ids, dense_ids):
         if d in dense_rank:
             want += 1.0 / (60 + dense_rank[d])
         assert score == round(want, 6), (d, score, want)
+
+
+# --- keyed MERGE semantics (Spark, small budget) -----------------------------
+
+merge_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@merge_settings
+@given(
+    st.lists(  # table rows: (day-offset, key, value)
+        st.tuples(
+            st.integers(min_value=0, max_value=59),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.lists(  # batch rows, same key space
+        st.tuples(
+            st.integers(min_value=0, max_value=59),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=51, max_value=99),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_merge_upsert_equals_reference_merge(spark, tmp_path_factory, table_rows, batch_rows):
+    """merge_upsert == the textbook MERGE: matched (time, key) rows take
+    the batch value, unmatched table rows survive, unmatched batch rows
+    insert — for ANY table/batch shape, across bucket boundaries."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    t0 = dt.datetime(2024, 11, 1)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [
+                (t0 + dt.timedelta(days=d), int(k), float(v))
+                for d, k, v in rows
+            ],
+            "time timestamp, key long, value double",
+        )
+
+    root = str(tmp_path_factory.mktemp("merge_prop") / "tbl")
+    t = GriddedTable(root)
+    t.write_initial(frame(table_rows))
+    t.merge_upsert(spark, frame(batch_rows), ["time", "key"])
+
+    expected = {(d, k): float(v) for d, k, v in table_rows}
+    expected.update({(d, k): float(v) for d, k, v in batch_rows})
+    got = {
+        ((r["time"] - t0).days, r["key"]): r["value"]
+        for r in t.read(spark).collect()
+    }
+    assert got == expected
