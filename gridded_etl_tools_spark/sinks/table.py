@@ -1016,6 +1016,48 @@ class GriddedTable:
             self._release_failed(pointer)
             raise
 
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        attrs_update: dict[str, Any] | None = None,
+    ) -> "GriddedTable":
+        """ZERO-COPY SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE``): commit the source snapshot's manifest entries as the
+        destination's version 0 — no data moves, so a dev/test copy of
+        a 100 TB production table is one manifest write.  Files are
+        immutable under this protocol, so the clone's own commits
+        (append / merge / delete / optimize) write NEW files under the
+        clone's root and progressively stop referencing the source;
+        the source is never mutated through a clone.
+
+        Caveat (same as Delta's): ``vacuum(keep_versions=False)`` /
+        ``expire_versions`` on the SOURCE can delete files a shallow
+        clone still references — retain the cloned version there, or
+        rewrite the clone (e.g. a no-op ``optimize``) to deep-copy."""
+        snap = self.snapshot(version)
+        dest = GriddedTable(
+            dest_root,
+            time_col=self.time_col,
+            bucket_fmt=self.bucket_fmt,
+            bloom_cols=list(self.bloom_cols),
+            bloom_ndv=self.bloom_ndv,
+            stale_lock_seconds=self.stale_lock_seconds,
+        )
+        if dest.exists():
+            raise TableCorruptionGuard(
+                f"clone destination already exists: {dest_root}"
+            )
+        pointer = dest._acquire()
+        try:
+            dest._commit(
+                pointer, snap.entries, {**snap.attrs, **(attrs_update or {})}
+            )
+        except Exception:
+            dest._release_failed(pointer)
+            raise
+        return dest
+
     def vacuum(self, keep_versions: bool = True) -> list[str]:
         """Delete data files not referenced by ANY retained manifest
         (debris from crashed writers).  Takes the writer flag so a

@@ -703,3 +703,40 @@ def test_merge_upsert_prunes_on_cluster_stats(spark, month1, tmp_path):
     got = t.read(spark).filter(F.col("value") == 777.0).collect()
     assert len(got) == 1 and got[0]["latitude"] == 36.0
     assert t.read(spark).count() == 480
+
+
+def test_shallow_clone_zero_copy_then_diverge(spark, month1, month2, tmp_path):
+    """Shallow clone: v0 shares the source's files byte-for-byte (no
+    data copied), subsequent clone commits write under the clone's root
+    without touching the source, and the clone's vacuum never sweeps
+    source files."""
+    src = GriddedTable(str(tmp_path / "src"))
+    src.write_initial(month1)
+    clone = src.clone_to(str(tmp_path / "clone"))
+
+    assert set(clone.snapshot().paths()) == set(src.snapshot().paths())
+    assert {tuple(r) for r in clone.read(spark).collect()} == {
+        tuple(r) for r in src.read(spark).collect()
+    }
+    # no parquet lives under the clone's root yet
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in __import__("os").walk(str(tmp_path / "clone"))
+        for f in fs
+    )
+
+    # diverge: append lands under the CLONE root; source is untouched
+    clone.append(month2)
+    assert clone.read(spark).count() == 480 + 496
+    assert src.read(spark).count() == 480
+    new_files = set(clone.snapshot().paths()) - set(src.snapshot().paths())
+    assert new_files and all(str(tmp_path / "clone") in p for p in new_files)
+
+    # clone vacuum sweeps only its own data dir
+    removed = clone.vacuum(keep_versions=True)
+    assert removed == []
+    assert src.read(spark).count() == 480
+
+    # double-clone to the same destination refuses
+    with pytest.raises(TableCorruptionGuard):
+        src.clone_to(str(tmp_path / "clone"))
