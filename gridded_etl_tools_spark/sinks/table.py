@@ -692,7 +692,13 @@ class GriddedTable:
                 for e in snap.entries
                 if os.path.abspath(e["path"]) in touched
             ]
-            kept_rows = spark.read.parquet(*touched_paths).filter(~cond)
+            # keep every row where cond is NOT TRUE — plain ~cond would
+            # also drop NULL-evaluating rows from touched files while
+            # identical rows in untouched files survive (SQL DELETE
+            # removes only rows where the predicate IS TRUE)
+            kept_rows = spark.read.parquet(*touched_paths).filter(
+                ~F.coalesce(cond.cast("boolean"), F.lit(False))
+            )
             new_entries = self._write_data_files(kept_rows, sort_cols or [])
             kept_entries = [
                 e
@@ -892,6 +898,12 @@ class GriddedTable:
         reader = spark.read
         if len(sigs) > 1 or (sigs and legacy):
             reader = reader.option("mergeSchema", "true")
+        if not snap.entries:
+            # a table emptied by delete_where: nothing to read and no
+            # file to take a schema from — same None contract as absent
+            # (reference store.dataset, store.py:182-198); time travel
+            # to a pre-delete version still reads normally
+            return None
         if not entries:
             return reader.parquet(*snap.paths()).limit(0)
         df = reader.parquet(*[e["path"] for e in entries])

@@ -740,3 +740,37 @@ def test_shallow_clone_zero_copy_then_diverge(spark, month1, month2, tmp_path):
     # double-clone to the same destination refuses
     with pytest.raises(TableCorruptionGuard):
         src.clone_to(str(tmp_path / "clone"))
+
+
+def test_delete_where_everything_leaves_readable_history(spark, month1, tmp_path):
+    """A delete that matches every row commits an EMPTY snapshot: the
+    latest read is None (same contract as an absent table), but time
+    travel still reads the pre-delete version and a later append
+    repopulates normally."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    snap = t.delete_where(spark, F.col("value").isNotNull() | F.col("value").isNull())
+    assert snap.version == 1 and snap.entries == []
+    assert t.read(spark) is None
+    assert t.read(spark, version=0).count() == 480
+    t.append(month1)
+    assert t.read(spark).count() == 480
+
+
+def test_delete_where_null_predicate_rows_survive(spark, month1, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    KEPT, even when they share a file with true-matching rows."""
+    withnull = month1.withColumn(
+        "value",
+        F.when(F.col("time") == dt.datetime(2024, 11, 2), F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(withnull)
+    t.delete_where(spark, F.col("value") > 1e12)  # matches nothing TRUE... 
+    assert t.read(spark).count() == 480  # no-op, nulls untouched
+    t.delete_where(spark, F.col("value") <= 1e12)  # true for all non-null
+    df = t.read(spark)
+    assert df.count() == 16  # exactly the NULL-value rows survive
+    assert df.filter(F.col("value").isNull()).count() == 16
