@@ -311,6 +311,52 @@ class GriddedTable:
             ]
         )
 
+    def _schema_reader(self, spark: SparkSession, entries: list[dict[str, Any]]):
+        """Reader with parquet schema merging enabled iff the per-file
+        column signatures in ``entries`` diverge (the same detection
+        :meth:`read` uses).  Every internal REWRITE (merge / delete /
+        optimize) must read through this: a plain read of
+        mixed-generation files infers the schema from one arbitrary
+        file and would silently drop evolved columns from the files it
+        rewrites — permanent data loss, not a read-time artifact."""
+        sigs = {tuple(e["columns"]) for e in entries if "columns" in e}
+        legacy = any("columns" not in e for e in entries)
+        reader = spark.read
+        if len(sigs) > 1 or (sigs and legacy):
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
+    @staticmethod
+    def _prune_entries(
+        entries: list[dict[str, Any]],
+        time_lo=None,
+        time_hi=None,
+        where: dict[str, tuple[Any, Any]] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Manifest-level pruning, shared by :meth:`read`,
+        :meth:`pruned_file_count`, and :meth:`merge_upsert`: time-range
+        overlap on the recorded per-file (min_time, max_time), then
+        stats-range overlap per ``where`` column.  Files without stats
+        for a column are conservatively kept; ``None`` bounds are open;
+        a fully-None range (empty/all-NULL probe) prunes nothing."""
+        if time_lo is not None:
+            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
+        if time_hi is not None:
+            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+        for col, (lo, hi) in (where or {}).items():
+            if lo is None and hi is None:
+                continue
+            entries = [
+                e
+                for e in entries
+                if col not in e.get("stats", {})
+                or not (
+                    (hi is not None and e["stats"][col][0] > hi)
+                    or (lo is not None and e["stats"][col][1] < lo)
+                )
+            ]
+        return entries
+
     def _bucket_col(self):
         return F.date_format(F.col(self.time_col), self.bucket_fmt)
 
@@ -582,16 +628,16 @@ class GriddedTable:
                 lo, hi = updates.agg(
                     F.min(self.time_col), F.max(self.time_col)
                 ).first()
-                candidates = [
-                    e
-                    for e in candidates
-                    if not (str(e["max_time"]) < str(lo) or str(e["min_time"]) > str(hi))
-                ]
+                if lo is not None:
+                    candidates = self._prune_entries(
+                        candidates, time_lo=lo, time_hi=hi
+                    )
             # stats-pruning on NON-time key columns: after OPTIMIZE the
             # manifest carries per-file min/max for the cluster columns,
             # so a keyed merge on (say) user_id skips every z-file whose
             # recorded range cannot contain a batch key — two scalars per
-            # column, files without stats are conservatively kept
+            # column, files without stats (or an all-NULL/empty batch
+            # range) are conservatively kept
             stat_keys = [
                 c
                 for c in key_cols
@@ -602,21 +648,20 @@ class GriddedTable:
                 row = updates.agg(
                     *[m(c) for c in stat_keys for m in (F.min, F.max)]
                 ).first()
-                for i, c in enumerate(stat_keys):
-                    lo, hi = row[2 * i], row[2 * i + 1]
-                    candidates = [
-                        e
-                        for e in candidates
-                        if c not in e.get("stats", {})
-                        or not (
-                            e["stats"][c][0] > hi or e["stats"][c][1] < lo
-                        )
-                    ]
+                candidates = self._prune_entries(
+                    candidates,
+                    where={
+                        c: (row[2 * i], row[2 * i + 1])
+                        for i, c in enumerate(stat_keys)
+                    },
+                )
+            keys = updates.select(*key_cols).dropDuplicates(key_cols)
+            keys = keys.localCheckpoint(eager=True)  # probe + anti-join reuse
             touched: set[str] = set()
             if candidates:
-                keys = updates.select(*key_cols).dropDuplicates(key_cols)
                 probe = (
-                    spark.read.parquet(*[e["path"] for e in candidates])
+                    self._schema_reader(spark, candidates)
+                    .parquet(*[e["path"] for e in candidates])
                     .withColumn("__file", F.input_file_name())
                     .select("__file", *key_cols)
                 )
@@ -628,15 +673,21 @@ class GriddedTable:
                 )
                 touched = {self._norm_file_uri(r[0]) for r in hit}
             if touched:
-                touched_paths = [
-                    e["path"]
+                touched_entries = [
+                    e
                     for e in snap.entries
                     if os.path.abspath(e["path"]) in touched
                 ]
-                current = spark.read.parquet(*touched_paths)
-                keys = updates.select(*key_cols).dropDuplicates(key_cols)
+                current = self._schema_reader(spark, touched_entries).parquet(
+                    *[e["path"] for e in touched_entries]
+                )
                 kept_rows = current.join(keys, key_cols, "left_anti")
-                merged = kept_rows.unionByName(updates)
+                # allowMissingColumns: touched files may predate a column
+                # the aligned batch carries (schema evolution) — those
+                # rows never had it, NULL is the correct fill
+                merged = kept_rows.unionByName(
+                    updates, allowMissingColumns=True
+                )
             else:
                 merged = updates
             new_entries = self._write_data_files(merged, sort_cols or [])
@@ -676,7 +727,8 @@ class GriddedTable:
                 self._release_failed(pointer)
                 return snap
             hit = (
-                spark.read.parquet(*snap.paths())
+                self._schema_reader(spark, snap.entries)
+                .parquet(*snap.paths())
                 .withColumn("__file", F.input_file_name())
                 .filter(cond)
                 .select("__file")
@@ -687,8 +739,8 @@ class GriddedTable:
             if not touched:
                 self._release_failed(pointer)
                 return snap
-            touched_paths = [
-                e["path"]
+            touched_entries = [
+                e
                 for e in snap.entries
                 if os.path.abspath(e["path"]) in touched
             ]
@@ -696,8 +748,10 @@ class GriddedTable:
             # also drop NULL-evaluating rows from touched files while
             # identical rows in untouched files survive (SQL DELETE
             # removes only rows where the predicate IS TRUE)
-            kept_rows = spark.read.parquet(*touched_paths).filter(
-                ~F.coalesce(cond.cast("boolean"), F.lit(False))
+            kept_rows = (
+                self._schema_reader(spark, touched_entries)
+                .parquet(*[e["path"] for e in touched_entries])
+                .filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
             )
             new_entries = self._write_data_files(kept_rows, sort_cols or [])
             kept_entries = [
@@ -785,10 +839,12 @@ class GriddedTable:
         pass.  Readers are unaffected until the atomic commit; prior
         versions time-travel to the pre-optimize layout.
 
-        ``ranges``: per-column (lo, hi) quantization bounds (defaults to
-        lat/lon whole-globe bounds per :mod:`operators.zorder`);
-        ``resolution``: regular-grid cell size so cell indices, not range
-        fractions, interleave."""
+        ``ranges``: per-column (lo, hi) quantization bounds; any column
+        without one gets the ACTUAL data extent from a 2-scalar agg
+        (correct for arbitrary columns — a fixed geographic default
+        would clamp non-lat/lon values into edge cells and void the
+        pruning); ``resolution``: regular-grid cell size so cell
+        indices, not range fractions, interleave."""
         from gridded_etl_tools_spark.operators.zorder import z_index
 
         if not 1 <= len(cluster_by) <= 2:
@@ -810,17 +866,33 @@ class GriddedTable:
                 return snap
             tgt = {e["path"] for e in targets}
             kept = [e for e in snap.entries if e["path"] not in tgt]
-            df = spark.read.parquet(*[e["path"] for e in targets])
+            df = self._schema_reader(spark, targets).parquet(
+                *[e["path"] for e in targets]
+            )
             if len(cluster_by) == 2:
-                rng = ranges or {}
+                # quantization bounds: caller-supplied, else the ACTUAL
+                # data extent (one 2-scalar agg per missing column) —
+                # a fixed whole-globe default would collapse
+                # non-geographic columns into edge cells and quietly
+                # void the per-file pruning this rewrite exists for
+                rng = dict(ranges or {})
+                missing = [c for c in cluster_by if c not in rng]
+                if missing:
+                    row = df.agg(
+                        *[m(c) for c in missing for m in (F.min, F.max)]
+                    ).first()
+                    for i, c in enumerate(missing):
+                        lo_v = float(row[2 * i])
+                        hi_v = float(row[2 * i + 1])
+                        rng[c] = (lo_v, hi_v if hi_v > lo_v else lo_v + 1.0)
                 a, b = cluster_by
                 df = df.withColumn(
                     "__z",
                     z_index(
                         a,
                         b,
-                        lat_range=tuple(rng.get(a, (-90.0, 90.0))),
-                        lon_range=tuple(rng.get(b, (-180.0, 180.0))),
+                        lat_range=tuple(rng[a]),
+                        lon_range=tuple(rng[b]),
                         resolution=resolution,
                     ),
                 )
@@ -872,32 +944,15 @@ class GriddedTable:
         if not self.exists():
             return None
         snap = self.snapshot(version)
-        entries = snap.entries
-        if time_lo is not None:
-            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
-        if time_hi is not None:
-            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
-        for col, (lo, hi) in (where or {}).items():
-            entries = [
-                e
-                for e in entries
-                if col not in e.get("stats", {})
-                or not (
-                    (hi is not None and e["stats"][col][0] > hi)
-                    or (lo is not None and e["stats"][col][1] < lo)
-                )
-            ]
+        entries = self._prune_entries(snap.entries, time_lo, time_hi, where)
         # schema-evolution detection from the manifest alone: parquet
         # footer merging (mergeSchema) costs a distributed footer pass at
         # scale, so only pay it when the per-file column signatures
         # actually diverge (legacy entries without a signature are
         # conservatively treated as divergent-unknown only if a recorded
-        # signature also exists to differ from)
-        sigs = {tuple(e["columns"]) for e in snap.entries if "columns" in e}
-        legacy = any("columns" not in e for e in snap.entries)
-        reader = spark.read
-        if len(sigs) > 1 or (sigs and legacy):
-            reader = reader.option("mergeSchema", "true")
+        # signature also exists to differ from) — _schema_reader is the
+        # shared implementation every internal rewrite also uses
+        reader = self._schema_reader(spark, snap.entries)
         if not snap.entries:
             # a table emptied by delete_where: nothing to read and no
             # file to take a schema from — same None contract as absent
@@ -929,21 +984,7 @@ class GriddedTable:
         manifest-level skipping measurement :meth:`optimize`'s A/B uses,
         computed from stats alone (no Spark job)."""
         snap = self.snapshot(version)
-        entries = snap.entries
-        if time_lo is not None:
-            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
-        if time_hi is not None:
-            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
-        for col, (lo, hi) in (where or {}).items():
-            entries = [
-                e
-                for e in entries
-                if col not in e.get("stats", {})
-                or not (
-                    (hi is not None and e["stats"][col][0] > hi)
-                    or (lo is not None and e["stats"][col][1] < lo)
-                )
-            ]
+        entries = self._prune_entries(snap.entries, time_lo, time_hi, where)
         return len(entries), len(snap.entries)
 
     def distinct_times(self, spark: SparkSession) -> DataFrame | None:

@@ -304,9 +304,14 @@ def stream_cdc_upsert(
             return
         feed = derive(batch_df) if derive is not None else batch_df
         rest = [c for c in feed.columns if c not in key_cols]
-        # recency columns FIRST so they dominate the struct comparison;
-        # the remaining columns ride along and are emitted, not compared
-        ordered = [*latest_by, *[c for c in rest if c not in latest_by]]
+        # recency columns FIRST so they dominate the struct comparison
+        # (key columns are constant within a group, so any latest_by
+        # entry that is also a key is dropped — keeping it would emit
+        # the column twice and break the select).  The remaining
+        # columns ride along; they only act as tie-breakers when every
+        # recency column ties.
+        recency = [c for c in latest_by if c not in key_cols]
+        ordered = [*recency, *[c for c in rest if c not in recency]]
         latest = (
             feed.groupBy(*key_cols)
             .agg(F.max(F.struct(*ordered)).alias("__s"))

@@ -103,7 +103,12 @@ def test_training_data_pipeline_end_to_end(spark):
     from examples.training_data_pipeline import build_training_set
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    evals = docs.limit(3).select("text")  # eval set drawn from the corpus
+    # pin the eval rows ONCE — two independent limit(3) plans over an
+    # unordered scan are not guaranteed to return the same rows
+    eval_rows = docs.orderBy("doc_id").limit(3).collect()
+    evals = spark.createDataFrame(
+        [(r["text"],) for r in eval_rows], "text string"
+    )
     out = build_training_set(spark, docs, eval_texts=evals, seq_len=64)
     rows = out.collect()
     assert rows  # something survived
@@ -112,7 +117,7 @@ def test_training_data_pipeline_end_to_end(spark):
 
     # eval contamination is gone: the 3 eval docs can't survive their
     # own >2-trigram overlap
-    eval_ids = {r["doc_id"] for r in docs.limit(3).collect()}
+    eval_ids = {r["doc_id"] for r in eval_rows}
     assert not eval_ids & {r["doc_id"] for r in rows}
 
     # split/shard/pos are a total order per shard; bins are contiguous

@@ -479,3 +479,23 @@ def test_stream_cdc_upsert_last_writer_wins(spark, month1, month2, tmp_path):
     )
     q3.awaitTermination(120)
     assert t.snapshot().version == ver
+
+
+def test_stream_cdc_upsert_latest_by_overlapping_keys(spark, month1, tmp_path):
+    """Review finding: latest_by entries that are ALSO key columns must
+    not duplicate the column in the per-batch reduction (ambiguous
+    reference crash); they are constant within a group, so dropping
+    them from the recency struct is semantics-preserving."""
+    from gridded_etl_tools_spark.streaming.ingest import stream_cdc_upsert
+
+    src = str(tmp_path / "cdc_src")
+    month1.write.parquet(src)
+    t = GriddedTable(str(tmp_path / "profile"), time_col="time")
+    q = stream_cdc_upsert(
+        spark, src, GRID_SCHEMA, t, str(tmp_path / "ckpt"),
+        key_cols=["latitude", "longitude", "time"],
+        latest_by=["time"],  # fully contained in the key set
+    )
+    q.awaitTermination(120)
+    # unique keys -> pure upsert: every row lands exactly once
+    assert t.read(spark).count() == 480

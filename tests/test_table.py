@@ -774,3 +774,62 @@ def test_delete_where_null_predicate_rows_survive(spark, month1, tmp_path):
     df = t.read(spark)
     assert df.count() == 16  # exactly the NULL-value rows survive
     assert df.filter(F.col("value").isNull()).count() == 16
+
+
+def test_delete_and_merge_preserve_evolved_columns(spark, month1, month2, tmp_path):
+    """Schema evolution x rewrite (review finding): when a delete or
+    merge touches files from BOTH schema generations, the rewrite must
+    read with schema merging — otherwise the evolved column would be
+    silently dropped from the rewritten files (data loss)."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)                                   # no 'extra'
+    t.append(month2.withColumn("extra", F.lit(7)), evolve_schema=True)
+
+    # delete touches November (pre-evolution) AND December (evolved)
+    t.delete_where(
+        spark,
+        (F.col("time") == dt.datetime(2024, 11, 3))
+        | (F.col("time") == dt.datetime(2024, 12, 3)),
+    )
+    df = t.read(spark)
+    assert "extra" in df.columns
+    assert df.count() == 480 + 496 - 32
+    dec = df.filter(F.col("time") >= dt.datetime(2024, 12, 1))
+    assert dec.filter(F.col("extra") == 7).count() == dec.count()  # intact
+    assert df.filter(F.col("time") < dt.datetime(2024, 12, 1)).filter(
+        F.col("extra").isNull()
+    ).count() == 480 - 16
+
+    # merge whose touched set again spans both generations
+    updates = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 11, 4), 36.0, -115.75, 111.0, None),
+            (dt.datetime(2024, 12, 4), 36.0, -115.75, 222.0, 9),
+        ],
+        "time timestamp, latitude double, longitude double, value double, extra int",
+    )
+    t.merge_upsert(spark, updates, ["time", "latitude", "longitude"])
+    df = t.read(spark)
+    assert df.count() == 480 + 496 - 32  # 2 replaced in place
+    dec = df.filter(F.col("time") >= dt.datetime(2024, 12, 1))
+    got = {r["value"]: r["extra"] for r in df.filter(F.col("value") > 100).collect()}
+    assert got == {111.0: None, 222.0: 9}
+    # December's untouched evolved values survived the merge rewrite
+    assert dec.filter(F.col("extra") == 7).count() == dec.count() - 1
+
+
+def test_merge_upsert_empty_batch_on_stats_table(spark, month1, tmp_path):
+    """Review finding: an empty (or all-NULL-key) batch against a table
+    whose manifest carries stats must be a clean no-op, not a TypeError
+    from comparing stats to None."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    t.optimize(
+        spark, cluster_by=["latitude", "longitude"], resolution=0.25,
+        target_file_rows=120,
+    )
+    empty = month1.filter(F.col("value") > 1e12)
+    snap = t.merge_upsert(
+        spark, empty, ["latitude", "longitude", "time"]
+    )
+    assert t.read(spark).count() == 480
