@@ -29,34 +29,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # with no correctness row in ANY round, (3) stalest-checked first
 # (round-robin re-confirmation of old greens), with the most-recently-green
 # queries last.
-# Round 6: the r5 gate was 50/50 strict, so there is nothing to
-# re-confirm.  The window goes to (1) queries changed/added this round,
-# (2) the 41 queries that have never had a driver row (seen==0 sorts
-# them ahead automatically; they all passed the judge's independent
-# type-strict check in r5, so these should be cheap first-time greens),
-# and (3) the stalest r1-r3 greens, whose driver rows predate the
-# round-5 output-type canon — the staleness key re-confirms them
-# oldest-first once never-checked is exhausted.
+# Round 7: the r6 gate was 50/50 strict.  The window goes to (1) rows
+# whose write path changed this round (stat-col preservation across
+# MERGE/DELETE rewrites, lock fencing) — they must re-confirm green,
+# (2) the 6 queries that have never had a driver row (seen==0 sorts
+# them ahead automatically) plus the 3 rows-only sketch estimates whose
+# last driver entry (r3) predates their bound-certificate design, (3)
+# rows added this round, then (4) the ~90 stale r1-r3 greens via the
+# staleness key, oldest-first.
 _FIXED_THIS_ROUND = (
-    "engine_canary",              # primitive-divergence probe row
+    "engine_canary",                     # primitive-divergence probe row
+    "table_merge_upsert_readback",       # r7: rewrites now preserve stat_cols
+    "table_delete_where_readback",       # r7: same rewrite path
+    "table_optimize_zorder_readback",    # r7: cluster cols persisted as table prop
+    "streaming_cdc_upsert_readback",     # r7: sits on merge_upsert
+    # never-driver-checked (VERDICT r6 missing item 2)
+    "association_rules_parts",
+    "embedding_dim_stats",
+    "locf_filled_daily",
+    "session_conversion_daily",
+    "table_profile_events",
+    "weighted_median_daily_mean",
+    # rows-only sketch estimates whose driver record reads as r3
+    # `no_oracle` failures — re-attest alongside their certificates
+    "approx_distinct_users_daily",
+    "sketch_rollup_weekly",
+    "approx_value_percentiles",
 )
 
-# New round-6 surface (appended as the round adds queries).
+# New round-7 surface (appended as the round adds queries).
 _FAMILY_REPRESENTATIVES = (
-    "training_mix_end_to_end",    # r6: fused mixture→resample→split→order
-    "hindcast_point_lookup",      # r6: 6-D hindcast lifecycle readback
-    "ivf_topk_auto",              # r6: auto-vectorized ANN default
-    "kmeans_auto_centroids",      # r6: auto-vectorized clustering default
-    "hybrid_rrf_search",          # r6: lexical+dense RRF fusion
-    "dedup_keep_best",            # r6: quality-ranked canonical selection
-    "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
+    "ivf_index_append_readback",  # r7: incremental IVF append (O(batch))
+    "streaming_lsh_dedup_readback",  # r7: streaming dedup x persisted index
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
-    "table_merge_upsert_readback",       # r6: keyed MERGE (Delta parity)
-    "table_delete_where_readback",       # r6: predicate DELETE
-    "table_optimize_zorder_readback",    # r6: OPTIMIZE ZORDER + bbox prune
-    "streaming_cdc_upsert_readback",     # r6: foreachBatch + keyed MERGE
-    "ddsketch_value_quantiles",          # r6: mergeable quantile sketch
-    "ddsketch_bound_check",              # r6: its error certificate
+    "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )
 
 

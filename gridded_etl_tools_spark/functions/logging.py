@@ -88,15 +88,19 @@ def log_to_console(
 ) -> logging.Handler:
     """Attach (or re-use) a root-logger ``StreamHandler`` writing to the
     console (stderr, the stdlib default).  An existing stdout/stderr
-    handler at a sufficient level is re-used with updated formatting."""
+    handler is re-used with updated formatting; when the request is MORE
+    verbose than the matched handler (e.g. log_to_console(DEBUG) after an
+    INFO handler exists), the handler and root-logger levels are lowered
+    so the requested statements actually flow — the reference's reuse
+    path keeps the old level, which silently drops them (ADVICE r6)."""
     formatter = logging.Formatter(log_format)
     root = logging.getLogger()
     for handler in root.handlers:
-        if (
-            getattr(handler, "stream", None) in (sys.stderr, sys.stdout)
-            and handler.level >= level
-        ):
+        if getattr(handler, "stream", None) in (sys.stderr, sys.stdout):
             handler.setFormatter(formatter)
+            if handler.level > level:
+                handler.setLevel(level)
+            _open_root_level(root, level)
             return handler
     handler = logging.StreamHandler()
     handler.setFormatter(formatter)

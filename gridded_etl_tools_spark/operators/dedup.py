@@ -437,11 +437,32 @@ class LshIndex:
             .distinct()
         )
 
-    def append(self, new_docs: DataFrame) -> None:
-        """Add a (deduplicated) batch's fingerprints to the index."""
+    def append(self, new_docs: DataFrame, skip_existing: bool = True) -> None:
+        """Add a (deduplicated) batch's fingerprints to the index.
+
+        ``skip_existing`` (default True) guards re-submission: batch ids
+        already present in the index are anti-joined away before any
+        shingling — appending a known id would duplicate its band rows
+        (index bloat) while the ``new_id != corpus_id`` filter in
+        :meth:`candidates` makes the re-submitted doc silently match
+        nothing new.  The probe reads ONE band partition, ids only:
+        every doc has exactly one row per band, so band 0 carries the
+        complete id set at 1/bands of the index bytes (column-pruned to
+        the id).  Pass ``False`` only when the pipeline guarantees novel
+        ids (e.g. monotone batch id allocation) to skip that read."""
         import os
 
         m = self._meta()
+        if skip_existing:
+            existing = (
+                new_docs.sparkSession.read.parquet(
+                    os.path.join(self.root, "bands")
+                )
+                .filter(F.col("band") == 0)   # partition-pruned id probe
+                .select(m["id_col"])
+                .distinct()
+            )
+            new_docs = new_docs.join(existing, m["id_col"], "left_anti")
         bh = lsh_band_hashes(
             new_docs, m["text_col"], m["id_col"],
             m["num_hashes"], m["bands"], m["shingle_n"],

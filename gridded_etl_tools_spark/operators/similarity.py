@@ -399,18 +399,21 @@ def ivf_topk(
     )
     # assign the PROBES separately (probe-sized work): the probed-cell
     # set must not re-embed the corpus assignment subtree when it is
-    # collected for the broadcast semi filter below
-    probe_rows = ivf_assign(
-        corpus.filter(probe_predicate), centroids, id_col, vec_col,
-        vectorized=vectorized,
-    )
+    # collected for the broadcast semi filter below.  Multi-probe goes
+    # STRAIGHT to the top-nprobe expansion — an ivf_assign first would
+    # fully score every probe against the book only to be discarded
+    probe_src = corpus.filter(probe_predicate)
     if nprobe > 1:
         probe_rows = nearest_centroids(
-            probe_rows.select(id_col, vec_col),
+            probe_src.select(id_col, vec_col),
             centroids,
             id_col,
             vec_col,
             n=nprobe,
+        )
+    else:
+        probe_rows = ivf_assign(
+            probe_src, centroids, id_col, vec_col, vectorized=vectorized
         )
     p = probe_rows.select(
         F.col(id_col).alias("probe_id"),
@@ -829,6 +832,72 @@ class IvfIndex:
             json.dump({"id_col": id_col, "vec_col": vec_col}, f)
         return cls(root)
 
+    # -- incremental append ---------------------------------------------
+
+    def append(
+        self,
+        batch: DataFrame,
+        vectorized: bool | None = None,
+        skip_existing: bool = True,
+    ) -> None:
+        """Incrementally add vectors to the persisted index: assign the
+        batch against the PERSISTED centroid book (batch-sized work — the
+        indexed corpus is never read or rewritten, so a daily append
+        costs O(batch) regardless of index size, mirroring
+        :meth:`LshIndex.append <gridded_etl_tools_spark.operators.dedup.LshIndex.append>`),
+        then append files to exactly the assigned cells' partitions with
+        the same repartition-on-key discipline as :meth:`build` (one
+        writer task per touched cell).
+
+        ``skip_existing`` (default True) anti-joins batch ids against
+        the index first — re-appending a known id would duplicate it in
+        its cell and surface twice in query results.  The probe reads
+        the id column only; pass ``False`` when the pipeline guarantees
+        novel ids to skip it.
+
+        **Drift / rebalance policy** (appends never move the centroid
+        book): a drifting embedding distribution skews cell populations
+        over time, degrading both recall at cell boundaries and the
+        per-query candidate bound.  Monitor :meth:`cell_counts`; rebuild
+        (fresh k-means + :meth:`build`) when max/median cell size
+        exceeds ~4x, or when appended rows exceed ~30% of the build-time
+        corpus — a rebuild costs one assignment pass, the same order as
+        a single full-corpus :func:`ivf_topk` call, so the policy is
+        cheap insurance, not an emergency procedure."""
+        import json
+        import os
+
+        with open(os.path.join(self.root, self._META)) as f:
+            meta = json.load(f)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        spark = batch.sparkSession
+        if skip_existing:
+            existing = (
+                spark.read.parquet(os.path.join(self.root, "cells"))
+                .select(id_col)
+                .distinct()
+            )
+            batch = batch.join(existing, id_col, "left_anti")
+        cents = spark.read.parquet(os.path.join(self.root, "centroids"))
+        assigned = ivf_assign(
+            batch, cents, id_col, vec_col, vectorized=vectorized
+        ).withColumn("__norm", _norm(F.col(vec_col)))
+        assigned.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(self.root, "cells"))
+
+    def cell_counts(self, spark) -> DataFrame:
+        """(centroid_id, n_vectors) per cell — the skew signal the
+        rebalance policy in :meth:`append` watches.  Scans no vector
+        bytes: the aggregate projects only the partition column."""
+        import os
+
+        return (
+            spark.read.parquet(os.path.join(self.root, "cells"))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+
     # -- query ---------------------------------------------------------
 
     def query(
@@ -852,13 +921,17 @@ class IvfIndex:
         vectorized = resolve_vectorized(vectorized)
 
         cents = spark.read.parquet(os.path.join(self.root, "centroids"))
-        probe_rows = ivf_assign(
-            probes, cents, id_col, vec_col, vectorized=vectorized
-        )
+        # multi-probe skips the single-cell assignment entirely (it
+        # would score every probe against the whole book and then be
+        # thrown away); nprobe == 1 keeps the auto-BLAS assign path
         if nprobe > 1:
             probe_rows = nearest_centroids(
-                probe_rows.select(id_col, vec_col), cents,
+                probes.select(id_col, vec_col), cents,
                 id_col, vec_col, n=nprobe,
+            )
+        else:
+            probe_rows = ivf_assign(
+                probes, cents, id_col, vec_col, vectorized=vectorized
             )
         p = probe_rows.select(
             F.col(id_col).alias("probe_id"),

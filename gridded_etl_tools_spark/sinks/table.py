@@ -86,6 +86,10 @@ class Snapshot:
     version: int
     entries: list[dict[str, Any]]
     attrs: dict[str, Any] = field(default_factory=dict)
+    #: columns whose per-file min/max is maintained in the manifest —
+    #: declared at write time or adopted by OPTIMIZE, and preserved by
+    #: every rewrite so stats-pruning survives sustained mutation
+    stat_cols: list[str] = field(default_factory=list)
 
     def paths(self) -> list[str]:
         return [e["path"] for e in self.entries]
@@ -187,7 +191,12 @@ class GriddedTable:
             version = self._read_pointer()["version"]
         with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
             m = json.load(f)
-        return Snapshot(version=m["version"], entries=m["entries"], attrs=m.get("attrs", {}))
+        return Snapshot(
+            version=m["version"],
+            entries=m["entries"],
+            attrs=m.get("attrs", {}),
+            stat_cols=m.get("stat_cols", []),
+        )
 
     def attrs(self) -> dict[str, Any]:
         return self._read_pointer().get("attrs", {})
@@ -199,17 +208,38 @@ class GriddedTable:
 
     def _acquire(self) -> dict[str, Any]:
         if not self.exists():
-            return {"version": -1, "attrs": {}, "update_in_progress": True}
+            return {
+                "version": -1,
+                "attrs": {},
+                "update_in_progress": True,
+                "lock_token": uuid.uuid4().hex,
+            }
         pointer = self._read_pointer()
         if pointer.get("update_in_progress"):
-            age = time.time() - pointer.get("locked_at", 0)
+            if "locked_at" not in pointer:
+                # legacy lock written before locked_at existed: its age is
+                # unknowable, so a TTL must never auto-break it (a live
+                # pre-upgrade writer would be corrupted the moment one
+                # side enables stale_lock_seconds) — manual force_unlock
+                # is the only recovery
+                raise ConcurrentWriteError(
+                    f"update already in progress on {self.root} "
+                    f"(version {pointer['version']}, lock age unknown — "
+                    "pre-TTL lock; use force_unlock() after confirming "
+                    "the writer is dead)"
+                )
+            age = time.time() - pointer["locked_at"]
             if (
                 self.stale_lock_seconds is not None
                 and age >= self.stale_lock_seconds
             ):
                 # crashed-writer takeover: the published version never
                 # moved, so adopting the flag is safe for readers; the
-                # dead writer's orphan data files fall to vacuum()
+                # dead writer's orphan data files fall to vacuum(), and
+                # the fresh lock_token below fences it out — if it is in
+                # fact alive, its _commit/_release_failed see a token
+                # mismatch and raise instead of silently overwriting
+                # this writer's manifest (lost update)
                 pass
             else:
                 raise ConcurrentWriteError(
@@ -218,8 +248,25 @@ class GriddedTable:
                 )
         pointer["update_in_progress"] = True
         pointer["locked_at"] = time.time()
+        pointer["lock_token"] = uuid.uuid4().hex
         self._write_pointer(pointer)
         return pointer
+
+    def _check_fencing(self, pointer: dict[str, Any]) -> None:
+        """Fencing-token check before any lock-protected pointer write: a
+        writer whose lock was broken by a TTL takeover (or force_unlock +
+        re-acquire) must fail loudly, not os.replace the new owner's
+        manifest — the classic lease-fencing rule.  Pre-existence pointers
+        (version -1) have nothing on disk to fence against."""
+        if pointer["version"] < 0 or not self.exists():
+            return
+        fresh = self._read_pointer()
+        if fresh.get("lock_token") != pointer.get("lock_token"):
+            raise ConcurrentWriteError(
+                f"lock on {self.root} was taken over while this writer "
+                "was working (stale-lock TTL or force_unlock); aborting "
+                "commit to avoid overwriting the new owner's version"
+            )
 
     def force_unlock(self) -> None:
         """Manually clear a crashed writer's update flag (operational
@@ -233,15 +280,21 @@ class GriddedTable:
         if pointer.get("update_in_progress"):
             pointer["update_in_progress"] = False
             pointer.pop("locked_at", None)
+            pointer.pop("lock_token", None)
             self._write_pointer(pointer)
 
     def _release_failed(self, pointer: dict[str, Any]) -> None:
         """On failure: clear the flag, change nothing else — the published
-        version and attrs survive untouched (reference publish.py:242-252)."""
+        version and attrs survive untouched (reference publish.py:242-252).
+        If the lock was taken over meanwhile (fencing token mismatch), the
+        flag now belongs to the new owner and must be left alone."""
         if pointer["version"] >= 0:
             fresh = self._read_pointer()
+            if fresh.get("lock_token") != pointer.get("lock_token"):
+                return
             fresh["update_in_progress"] = False
             fresh.pop("locked_at", None)
+            fresh.pop("lock_token", None)
             self._write_pointer(fresh)
 
     def _commit(
@@ -249,10 +302,17 @@ class GriddedTable:
         pointer: dict[str, Any],
         entries: list[dict[str, Any]],
         attrs: dict[str, Any],
+        stat_cols: list[str] | tuple[str, ...] = (),
     ) -> Snapshot:
+        self._check_fencing(pointer)
         version = pointer["version"] + 1
         os.makedirs(self._manifest_dir, exist_ok=True)
-        manifest = {"version": version, "entries": entries, "attrs": attrs}
+        manifest = {
+            "version": version,
+            "entries": entries,
+            "attrs": attrs,
+            "stat_cols": list(stat_cols),
+        }
         mpath = os.path.join(self._manifest_dir, f"v{version}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -269,7 +329,12 @@ class GriddedTable:
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
-        return Snapshot(version=version, entries=entries, attrs=attrs)
+        return Snapshot(
+            version=version,
+            entries=entries,
+            attrs=attrs,
+            stat_cols=list(stat_cols),
+        )
 
     # -- data-file production ----------------------------------------------
 
@@ -327,22 +392,36 @@ class GriddedTable:
         return reader
 
     @staticmethod
+    def _time_key(v) -> str:
+        """Canonical sortable string for time-stat comparisons.  Manifest
+        stats are ``str(datetime)`` (space-separated, see
+        :meth:`_file_stats`); a caller passing an ISO-8601 ``T``-separated
+        string would otherwise compare ``"2024-01-02T…" > "2024-01-02 …"``
+        lexically and wrongly prune overlapping files — normalize the
+        separator on BOTH sides before comparing."""
+        return str(v).replace("T", " ")
+
+    @classmethod
     def _prune_entries(
+        cls,
         entries: list[dict[str, Any]],
         time_lo=None,
         time_hi=None,
         where: dict[str, tuple[Any, Any]] | None = None,
     ) -> list[dict[str, Any]]:
         """Manifest-level pruning, shared by :meth:`read`,
-        :meth:`pruned_file_count`, and :meth:`merge_upsert`: time-range
-        overlap on the recorded per-file (min_time, max_time), then
-        stats-range overlap per ``where`` column.  Files without stats
-        for a column are conservatively kept; ``None`` bounds are open;
-        a fully-None range (empty/all-NULL probe) prunes nothing."""
+        :meth:`pruned_file_count`, :meth:`merge_upsert`, and
+        :meth:`optimize`: time-range overlap on the recorded per-file
+        (min_time, max_time), then stats-range overlap per ``where``
+        column.  Files without stats for a column are conservatively
+        kept; ``None`` bounds are open; a fully-None range (empty/all-NULL
+        probe) prunes nothing."""
         if time_lo is not None:
-            entries = [e for e in entries if str(e["max_time"]) >= str(time_lo)]
+            lo_k = cls._time_key(time_lo)
+            entries = [e for e in entries if cls._time_key(e["max_time"]) >= lo_k]
         if time_hi is not None:
-            entries = [e for e in entries if str(e["min_time"]) <= str(time_hi)]
+            hi_k = cls._time_key(time_hi)
+            entries = [e for e in entries if cls._time_key(e["min_time"]) <= hi_k]
         for col, (lo, hi) in (where or {}).items():
             if lo is None and hi is None:
                 continue
@@ -493,19 +572,31 @@ class GriddedTable:
         sort_cols: list[str] | None = None,
         attrs: dict[str, Any] | None = None,
         overwrite: bool = False,
+        stat_cols: list[str] | None = None,
     ) -> Snapshot:
         """Initial publish (reference ``write_initial_zarr``,
         publish.py:301-318).  Refuses to clobber an existing table unless
         ``overwrite`` (reference publish_data's rebuild/allow_overwrite
-        branch, publish.py:86-129)."""
+        branch, publish.py:86-129).
+
+        ``stat_cols``: declare columns whose per-file min/max should be
+        tracked in the manifest from day one (a table property — every
+        later append/merge/delete rewrite maintains them), so a keyed
+        MERGE or ``read(where=...)`` gets manifest-level pruning BEFORE
+        the first OPTIMIZE pass ever runs.  The footer read is free; the
+        files are time-sorted so non-time stats only prune well once the
+        data is clustered, but correctness never depends on them."""
         if self.exists() and not overwrite:
             raise TableCorruptionGuard(
                 f"{self.root} already exists; pass overwrite=True to rebuild"
             )
+        declared = list(stat_cols or [])
         pointer = self._acquire()
         try:
-            entries = self._write_data_files(df, sort_cols or [])
-            return self._commit(pointer, entries, attrs or {})
+            entries = self._write_data_files(
+                df, sort_cols or [], stat_cols=tuple(declared)
+            )
+            return self._commit(pointer, entries, attrs or {}, stat_cols=declared)
         except Exception:
             self._release_failed(pointer)
             raise
@@ -520,14 +611,17 @@ class GriddedTable:
         """Append new times (reference ``append_to_dataset``,
         publish.py:452-478): new data files; manifest = old ∪ new.
         ``evolve_schema=True`` additionally admits new columns (see
-        ``_align_schema``)."""
+        ``_align_schema``).  The table's declared/adopted ``stat_cols``
+        are maintained: new files get per-file min/max for them too."""
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
             df = self._align_schema(df, snap, evolve=evolve_schema)
-            entries = snap.entries + self._write_data_files(df, sort_cols or [])
+            entries = snap.entries + self._write_data_files(
+                df, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+            )
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
-            return self._commit(pointer, entries, attrs)
+            return self._commit(pointer, entries, attrs, stat_cols=snap.stat_cols)
         except Exception:
             self._release_failed(pointer)
             raise
@@ -549,7 +643,9 @@ class GriddedTable:
         try:
             snap = self.snapshot(pointer["version"])
             df = self._align_schema(df, snap)
-            new_entries = self._write_data_files(df, sort_cols or [])
+            new_entries = self._write_data_files(
+                df, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+            )
             produced = {e["bucket"] for e in new_entries}
             if not produced <= buckets:
                 raise TableCorruptionGuard(
@@ -558,7 +654,9 @@ class GriddedTable:
                 )
             kept = [e for e in snap.entries if e["bucket"] not in buckets]
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
-            return self._commit(pointer, kept + new_entries, attrs)
+            return self._commit(
+                pointer, kept + new_entries, attrs, stat_cols=snap.stat_cols
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -612,11 +710,22 @@ class GriddedTable:
         """
         pointer = self._acquire()
         try:
-            snap = self.snapshot(pointer["version"])
+            # MERGE into a table that does not exist yet bootstraps it
+            # (the Delta "MERGE creates the target" convenience) instead
+            # of crashing on a v-1 manifest read
+            snap = (
+                self.snapshot(pointer["version"])
+                if pointer["version"] >= 0
+                else Snapshot(version=-1, entries=[])
+            )
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
             if not snap.entries:
-                entries = self._write_data_files(updates, sort_cols or [])
-                return self._commit(pointer, entries, attrs)
+                entries = self._write_data_files(
+                    updates, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+                )
+                return self._commit(
+                    pointer, entries, attrs, stat_cols=snap.stat_cols
+                )
             updates = self._align_schema(updates, snap, evolve=evolve_schema)
             # one materialization: the batch feeds the key probe, the
             # anti-join, and the final union — localCheckpoint guarantees
@@ -690,13 +799,23 @@ class GriddedTable:
                 )
             else:
                 merged = updates
-            new_entries = self._write_data_files(merged, sort_cols or [])
+            # stat_cols preserved across the rewrite: a z-ordered file a
+            # MERGE touches loses its z-order (expected — the rewrite is
+            # time-sorted) but keeps per-file min/max for the table's
+            # stat columns, so manifest pruning does not erode under
+            # sustained mutation
+            new_entries = self._write_data_files(
+                merged, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+            )
             kept_entries = [
                 e
                 for e in snap.entries
                 if os.path.abspath(e["path"]) not in touched
             ]
-            return self._commit(pointer, kept_entries + new_entries, attrs)
+            return self._commit(
+                pointer, kept_entries + new_entries, attrs,
+                stat_cols=snap.stat_cols,
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -719,6 +838,11 @@ class GriddedTable:
         ``condition`` is a Column or SQL string over the table's columns.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if not self.exists():
+            raise TableCorruptionGuard(
+                f"delete_where on non-existent table {self.root}; "
+                "publish with write_initial first"
+            )
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
@@ -753,13 +877,18 @@ class GriddedTable:
                 .parquet(*[e["path"] for e in touched_entries])
                 .filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
             )
-            new_entries = self._write_data_files(kept_rows, sort_cols or [])
+            new_entries = self._write_data_files(
+                kept_rows, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+            )
             kept_entries = [
                 e
                 for e in snap.entries
                 if os.path.abspath(e["path"]) not in touched
             ]
-            return self._commit(pointer, kept_entries + new_entries, attrs)
+            return self._commit(
+                pointer, kept_entries + new_entries, attrs,
+                stat_cols=snap.stat_cols,
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -768,11 +897,18 @@ class GriddedTable:
         """Attrs-only commit (reference ``write_metadata_only``,
         store.py:200-247): same data entries, new version with merged
         attrs."""
+        if not self.exists():
+            raise TableCorruptionGuard(
+                f"write_metadata_only on non-existent table {self.root}; "
+                "publish with write_initial first"
+            )
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
             attrs = {**pointer.get("attrs", {}), **attrs_update}
-            return self._commit(pointer, snap.entries, attrs)
+            return self._commit(
+                pointer, snap.entries, attrs, stat_cols=snap.stat_cols
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -788,6 +924,11 @@ class GriddedTable:
         rewrite buckets whose file count exceeds what ``target_file_rows``
         needs, restoring the one-sorted-run-per-bucket layout that append
         fragments over time."""
+        if not self.exists():
+            raise TableCorruptionGuard(
+                f"compact on non-existent table {self.root}; "
+                "publish with write_initial first"
+            )
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
@@ -802,11 +943,18 @@ class GriddedTable:
             if not rewrite:
                 self._release_failed(pointer)  # no-op: just clear the flag
                 return snap
-            paths = [e["path"] for es in rewrite.values() for e in es]
-            df = spark.read.parquet(*paths)
-            new_entries = self._write_data_files(df, sort_cols or [])
+            rewrite_entries = [e for es in rewrite.values() for e in es]
+            df = self._schema_reader(spark, rewrite_entries).parquet(
+                *[e["path"] for e in rewrite_entries]
+            )
+            new_entries = self._write_data_files(
+                df, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+            )
             kept = [e for e in snap.entries if e["bucket"] not in rewrite]
-            return self._commit(pointer, kept + new_entries, pointer.get("attrs", {}))
+            return self._commit(
+                pointer, kept + new_entries, pointer.get("attrs", {}),
+                stat_cols=snap.stat_cols,
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -849,18 +997,22 @@ class GriddedTable:
 
         if not 1 <= len(cluster_by) <= 2:
             raise ValueError("cluster_by takes one or two columns")
+        if not self.exists():
+            raise TableCorruptionGuard(
+                f"optimize on non-existent table {self.root}; "
+                "publish with write_initial first"
+            )
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
-            targets = snap.entries
-            if time_lo is not None:
-                targets = [
-                    e for e in targets if str(e["max_time"]) >= str(time_lo)
-                ]
-            if time_hi is not None:
-                targets = [
-                    e for e in targets if str(e["min_time"]) <= str(time_hi)
-                ]
+            # cluster columns become table stat columns from here on:
+            # every later append/merge/delete rewrite re-derives per-file
+            # min/max for them, so the pruning this pass creates survives
+            # sustained mutation instead of eroding until the next pass
+            stat_cols = list(snap.stat_cols) + [
+                c for c in cluster_by if c not in snap.stat_cols
+            ]
+            targets = self._prune_entries(snap.entries, time_lo, time_hi)
             if not targets:
                 self._release_failed(pointer)
                 return snap
@@ -902,7 +1054,7 @@ class GriddedTable:
             entries = self._write_data_files(
                 df,
                 [],
-                stat_cols=tuple(cluster_by),
+                stat_cols=tuple(stat_cols),
                 sort_exprs=order,
                 drop_after_sort=drop,
                 # file count sized from committed manifest row totals —
@@ -912,7 +1064,10 @@ class GriddedTable:
                     -(-sum(e.get("rows", 0) for e in targets) // target_file_rows),
                 ),
             )
-            return self._commit(pointer, kept + entries, pointer.get("attrs", {}))
+            return self._commit(
+                pointer, kept + entries, pointer.get("attrs", {}),
+                stat_cols=stat_cols,
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -1064,7 +1219,10 @@ class GriddedTable:
         pointer = self._acquire()
         try:
             target = self.snapshot(version)
-            return self._commit(pointer, target.entries, target.attrs)
+            return self._commit(
+                pointer, target.entries, target.attrs,
+                stat_cols=target.stat_cols,
+            )
         except Exception:
             self._release_failed(pointer)
             raise
@@ -1104,7 +1262,10 @@ class GriddedTable:
         pointer = dest._acquire()
         try:
             dest._commit(
-                pointer, snap.entries, {**snap.attrs, **(attrs_update or {})}
+                pointer,
+                snap.entries,
+                {**snap.attrs, **(attrs_update or {})},
+                stat_cols=snap.stat_cols,
             )
         except Exception:
             dest._release_failed(pointer)

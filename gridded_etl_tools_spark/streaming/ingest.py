@@ -257,6 +257,91 @@ def stream_maintain_rollup(
     return writer.start()
 
 
+def stream_lsh_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming near-duplicate filter over a document feed — the
+    composition of the persisted LSH index with ``foreachBatch`` (the
+    streaming twin of :func:`stream_cdc_upsert`; reference
+    cadence-driven appends, publish.py:452-478).  Each micro-batch:
+
+    1. **cross-batch**: docs colliding (>=1 LSH band) with the index —
+       the corpus plus every earlier batch's survivors — are dropped
+       (``LshIndex.candidates``: only the batch pays shingling, the
+       corpus side is the persisted band table);
+    2. **intra-batch**: greedy keep-first — a doc colliding with a
+       LOWER-id doc of the same batch is dropped (deterministic,
+       oracle-replayable; the drop applies regardless of the lower-id
+       doc's own fate, the standard greedy-stream policy);
+    3. survivors are written to ``out_dir/batch=<id>`` and their
+       fingerprints appended to the index, so the NEXT batch dedups
+       against them — planted cross-batch near-dups are caught.
+
+    Idempotent under at-least-once replay: the per-batch output dir is
+    overwritten whole, and ``LshIndex.append``'s ``skip_existing``
+    guard makes the re-appended survivors a no-op.
+
+    Scale shape: per batch, shingling is O(batch); the index probe is
+    a band-keyed equi-join against partitioned fingerprints; survivors
+    append as new files into existing band partitions.  Per-batch cost
+    grows with the batch, never the corpus — the daily-crawl dedup
+    loop as one streaming job."""
+    import os
+
+    from gridded_etl_tools_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    meta = index._meta()
+    id_col, text_col = meta["id_col"], meta["text_col"]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one materialization: the batch feeds the index probe, the
+        # intra-batch pair join, and the survivor anti-joins
+        batch_df = batch_df.localCheckpoint(eager=True)
+        hit_index = (
+            index.candidates(spark, batch_df)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        intra = minhash_lsh_candidates(
+            batch_df, text_col, id_col,
+            num_hashes=meta["num_hashes"], bands=meta["bands"],
+            shingle_n=meta["shingle_n"],
+        )  # (id_a < id_b) pairs: id_b is the greedy drop
+        dup_in_batch = intra.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = (
+            batch_df.join(hit_index, id_col, "left_anti")
+            .join(dup_in_batch, id_col, "left_anti")
+            .localCheckpoint(eager=True)  # write + append see same rows
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        index.append(survivors.select(id_col, text_col))
+
+    writer = (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_cdc_upsert(
     spark: SparkSession,
     source_dir: str,

@@ -95,3 +95,20 @@ def test_run_etl_emits_dataset_named_audit_trail(spark, tmp_path, caplog):
     msgs = [r.message for r in caplog.records if r.name == "chirps_like"]
     assert any("transforming raw files" in s for s in msgs)
     assert any("parse complete" in s and "initial" in s for s in msgs)
+
+
+def test_log_to_console_reuse_lowers_level_when_more_verbose():
+    """ADVICE r6: log_to_console(DEBUG) after an INFO console handler
+    exists must lower the reused handler (and root) to DEBUG — the
+    reference's reuse path keeps INFO and silently drops DEBUG."""
+    h1 = dlog.log_to_console(level=logging.INFO)
+    try:
+        h2 = dlog.log_to_console(level=logging.DEBUG)
+        assert h2 is h1
+        assert h1.level == logging.DEBUG
+        assert logging.getLogger().level <= logging.DEBUG
+        # and a LESS verbose re-request never raises the level back up
+        h3 = dlog.log_to_console(level=logging.WARNING)
+        assert h3 is h1 and h1.level == logging.DEBUG
+    finally:
+        dlog.remove_handler(h1)

@@ -1059,3 +1059,40 @@ def test_lsh_index_incremental_and_append(spark, tmp_path):
         if a % 10 == 0 and b % 10 == 0
     }
     assert got2 == want | batch_pairs | {(b, a) for a, b in batch_pairs}
+
+
+def test_lsh_index_append_guards_resubmission(spark, tmp_path):
+    """ADVICE r6: append() must not duplicate band rows for ids already
+    in the index — a re-submitted batch is anti-joined away, so index
+    cardinality and candidate output are unchanged."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.dedup import LshIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    idx = LshIndex.build(
+        corpus, str(tmp_path / "lsh"), num_hashes=8, bands=2, shingle_n=2
+    )
+    bands_path = str(tmp_path / "lsh" / "bands")
+    idx.append(batch)
+    n1 = spark.read.parquet(bands_path).count()
+    cand1 = {
+        (r["new_id"], r["corpus_id"])
+        for r in idx.candidates(spark, batch).collect()
+    }
+
+    # full re-submission: a no-op on the index
+    idx.append(batch)
+    assert spark.read.parquet(bands_path).count() == n1
+    # partial overlap: only the genuinely-new docs are folded in
+    idx.append(docs.filter((F.col("doc_id") % 10 == 0) | (F.col("doc_id") == 1)))
+    n3 = spark.read.parquet(bands_path).count()
+    assert n3 == n1  # doc 1 was already corpus; batch already appended
+    cand3 = {
+        (r["new_id"], r["corpus_id"])
+        for r in idx.candidates(spark, batch).collect()
+    }
+    assert cand3 == cand1

@@ -100,14 +100,15 @@ def test_no_python_udf_in_any_plan(spark, name):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan
-    # ivf_topk_auto / kmeans_auto_centroids / ivf_index_query_readback
-    # exist PRECISELY to attest the Arrow/BLAS data plane
+    # ivf_topk_auto / kmeans_auto_centroids / the two IVF index
+    # readbacks exist PRECISELY to attest the Arrow/BLAS data plane
     # (auto-vectorized default, r5 verdict item 2) under the oracle —
     # their ArrowEvalPython stages are the vetted ~100x scale path
     # (vectorized batches, never row-at-a-time), so they are the only
     # allowed exceptions.
     if name not in (
-        "ivf_topk_auto", "kmeans_auto_centroids", "ivf_index_query_readback"
+        "ivf_topk_auto", "kmeans_auto_centroids", "ivf_index_query_readback",
+        "ivf_index_append_readback",
     ):
         assert "ArrowEvalPython" not in plan
     for f in df.schema.fields:
@@ -397,6 +398,13 @@ SHUFFLE_BUDGET = {
     "table_delete_where_readback": (0, 0),
     # (the hash exchange is countDistinct's partial-dedup on user_id)
     "table_optimize_zorder_readback": (1, 1),
+    # r7: query against a built+appended IVF index — the one hash
+    # exchange is the top-k rank window on probe-sized candidates; the
+    # cells scan is PartitionFilters-pruned, Arrow stages are map-side
+    "ivf_index_append_readback": (1, 0),
+    # r7: the readback is a plain partitioned-parquet survivor scan;
+    # all dedup work happened inside foreachBatch at O(batch)/batch
+    "streaming_lsh_dedup_readback": (0, 0),
 }
 
 
