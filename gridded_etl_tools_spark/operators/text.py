@@ -676,6 +676,75 @@ def bm25_scores(
     )
 
 
+def bm25_scores_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 6,
+) -> DataFrame:
+    """BM25 for a BATCH of queries in one plan — ``queries`` is a
+    (query_id, term) table, one row per query term.  Same scoring
+    algebra and engine-exactness recipe as :func:`bm25_scores`.
+
+    Scale shape (why this beats N single-query runs): the per-(doc,
+    term) score part is QUERY-INDEPENDENT — tf, df, dl, avgdl don't
+    mention the query — so the corpus is scanned and the posting lists
+    aggregated ONCE for the union of all query terms; fanning out to
+    per-query totals is then a broadcast join of the tiny (query_id,
+    term) table against the already-aggregated parts.  Batch retrieval
+    (the actual curation workload: thousands of probes against one
+    corpus) costs one corpus pass + per-query posting-list-sized aggs,
+    not N corpus passes.  Returns (query_id, id, bm25) for documents
+    matching >= 1 of that query's terms."""
+    all_terms = queries.select(term_col).distinct()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias(term_col)
+    ).join(F.broadcast(all_terms), term_col)
+    tf = toks.groupBy(id_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.broadcast(
+        tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    )
+    dl = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    ).localCheckpoint(eager=True)
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("dl").alias("__sum_dl"),
+        )
+    )
+    j = tf.join(dfreq, term_col).join(dl, id_col).crossJoin(stats)
+    n_d = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - F.col("df") + 0.5) / (F.col("df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    parts = j.select(
+        F.col(id_col), F.col(term_col), F.round(idf * sat, decimals).alias("__part")
+    )
+    return (
+        parts.join(F.broadcast(queries), term_col)
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__part").cast("decimal(28,6)")).cast("double"),
+                decimals,
+            ).alias("bm25")
+        )
+    )
+
+
 def unigram_perplexity(
     df: DataFrame,
     text_col: str = "text",

@@ -405,6 +405,11 @@ SHUFFLE_BUDGET = {
     # r7: the readback is a plain partitioned-parquet survivor scan;
     # all dedup work happened inside foreachBatch at O(batch)/batch
     "streaming_lsh_dedup_readback": (0, 0),
+    # r7: 3 queries, ONE corpus pass — tf/df posting-list aggs for the
+    # term union, broadcast (query_id, term) fan-out agg, per-query
+    # lex/dense/fusion windows all on <=40-row frames; the single is
+    # the corpus-stats grand total
+    "hybrid_rrf_search_batch": (11, 1),
 }
 
 
