@@ -62,6 +62,7 @@ _FAMILY_REPRESENTATIVES = (
     "ivf_index_append_readback",  # r7: incremental IVF append (O(batch))
     "streaming_lsh_dedup_readback",  # r7: streaming dedup x persisted index
     "hybrid_rrf_search_batch",    # r7: N-query RRF fusion, one corpus pass
+    "ivfpq_index_query_readback",  # r7: persisted IVF+PQ (FAISS IVFPQ shape)
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )

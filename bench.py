@@ -97,6 +97,10 @@ HEADLINE = [
     "kmeans_auto_centroids",  # auto-vectorized clustering default
     "hybrid_rrf_search",     # lexical+dense RRF fusion retrieval
     "ddsketch_value_quantiles",  # mergeable quantile sketch, bin-axis windows
+    # round-7 additions:
+    "hybrid_rrf_search_batch",  # N-query RRF, one corpus pass
+    "ivf_index_append_readback",  # build 90% + append 10% + pruned query
+    "ivfpq_index_query_readback",  # IVF+PQ: pruned cells x ADC code scan
 ]
 
 

@@ -768,6 +768,162 @@ def pq_topk(
     )
 
 
+class IvfPqIndex:
+    """Persisted IVF+PQ index — the production ANN shape (FAISS's
+    ``IVFPQ``): coarse cells give storage-level partition pruning (a
+    query lists only its probed cells' directories, like
+    :class:`IvfIndex`), and inside each cell vectors are stored as
+    ``m`` one-byte PQ codes instead of raw floats — at dim=64 float64
+    that is a 128x byte reduction on the scanned data.  A query reads
+    ``nprobe/k_cells`` of the files AND only code bytes within them;
+    scoring is ADC table lookups (:func:`pq_topk`'s algebra), no
+    per-pair vector math.
+
+    Layout under ``root``::
+
+        cells/centroid_id=<c>/...parquet   # id, codes array<int>
+        centroids/...parquet               # coarse book
+        codebooks/...parquet               # (subspace, cw_id, cw)
+        _ivfpq_meta.json                   # column names, m, dim
+
+    Recall trade vs :class:`IvfIndex`: ADC distance is quantized, so
+    ranks inside a cell are approximate where raw-vector cosine is
+    exact — the standard accuracy/byte trade; re-rank the top
+    candidates against raw vectors (``IvfIndex`` or the source table)
+    when exactness matters."""
+
+    _META = "_ivfpq_meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        codebooks: DataFrame,
+        root: str,
+        m: int = 4,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        vectorized: bool | None = None,
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        cells = ivf_assign(
+            corpus, centroids, id_col, vec_col, vectorized=vectorized
+        ).select(F.col(id_col), "centroid_id")
+        codes = pq_encode(corpus, codebooks, m, dim, id_col, vec_col)
+        enc = cells.join(codes, id_col)
+        # one writer task per cell partition (see IvfIndex.build)
+        enc.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(root, "cells"))
+        centroids.select(id_col, vec_col).write.mode("overwrite").parquet(
+            os.path.join(root, "centroids")
+        )
+        codebooks.write.mode("overwrite").parquet(
+            os.path.join(root, "codebooks")
+        )
+        with open(os.path.join(root, cls._META), "w") as f:
+            json.dump(
+                {"id_col": id_col, "vec_col": vec_col, "m": m, "dim": dim}, f
+            )
+        return cls(root)
+
+    def query(
+        self,
+        spark,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        rank_decimals: int | None = None,
+        vectorized: bool | None = None,
+    ) -> DataFrame:
+        """Top-``k`` per probe by ADC distance over the probed cells'
+        codes: (probe_id, neighbor_id, adc, rank).  The probe side does
+        probe-sized work (assignment + one (m x codewords) distance
+        table each, broadcast); the corpus side is a partition-pruned
+        scan of code arrays."""
+        import json
+        import os
+
+        with open(os.path.join(self.root, self._META)) as f:
+            meta = json.load(f)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        m, dim = meta["m"], meta["dim"]
+        dsub = dim // m
+
+        cents = spark.read.parquet(os.path.join(self.root, "centroids"))
+        cb = spark.read.parquet(os.path.join(self.root, "codebooks"))
+        if nprobe > 1:
+            probe_rows = nearest_centroids(
+                probes.select(id_col, vec_col), cents,
+                id_col, vec_col, n=nprobe,
+            )
+        else:
+            probe_rows = ivf_assign(
+                probes, cents, id_col, vec_col, vectorized=vectorized
+            )
+        # per-probe ADC table against the broadcast codebooks
+        sub = lambda col, s: F.slice(col, s * dsub + 1, dsub)  # noqa: E731
+        ptab = probe_rows.crossJoin(_packed_codebooks(cb, m)).select(
+            F.col(id_col).alias("probe_id"),
+            "centroid_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.element_at(F.col("__book"), s + 1),
+                    lambda c: c["cn2"]
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(
+                            sub(F.col(vec_col), s), c["cw"], lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+            ).alias("dtab"),
+        )
+        probed = [
+            r["centroid_id"]
+            for r in ptab.select("centroid_id").distinct().collect()
+        ]
+        # static PartitionFilters: unprobed cell directories never listed
+        codes = spark.read.parquet(os.path.join(self.root, "cells")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        scored = (
+            codes.join(F.broadcast(ptab), "centroid_id")
+            .filter(F.col("probe_id") != F.col(id_col))
+            .select(
+                "probe_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("dtab"), s + 1),
+                        F.element_at(F.col("codes"), s + 1) + 1,
+                    ),
+                ).alias("adc"),
+            )
+        )
+        if rank_decimals is not None:
+            scored = scored.withColumn("adc", F.round("adc", rank_decimals))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+
 # --- persisted IVF index (build once, query many) ---------------------------
 
 

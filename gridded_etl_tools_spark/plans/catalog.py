@@ -2112,6 +2112,90 @@ def ivf_index_append_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_index_query_readback",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cv)
+                        / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+                        centroid_id ASC) AS rn
+      FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+    cb AS (
+      SELECT s.s AS subspace, vec_id AS cw_id,
+             list_slice(v, s.s*16 + 1, s.s*16 + 16) AS cw
+      FROM e, (SELECT unnest(range(0, 4)) AS s) s
+      WHERE vec_id % 50 = 0),
+    cbi AS (
+      SELECT subspace, cw_id, cw,
+             CAST(row_number() OVER (PARTITION BY subspace ORDER BY cw_id) - 1
+                  AS INT) AS ci
+      FROM cb),
+    enc AS (
+      SELECT e.vec_id, cx.subspace, cx.ci,
+             row_number() OVER (PARTITION BY e.vec_id, cx.subspace
+               ORDER BY list_inner_product(cx.cw, cx.cw)
+                 - 2 * list_inner_product(
+                     list_slice(e.v, cx.subspace*16 + 1, cx.subspace*16 + 16),
+                     cx.cw) ASC,
+                 cx.ci ASC) AS rn
+      FROM e CROSS JOIN cbi cx),
+    codes AS (SELECT vec_id, subspace, ci FROM enc WHERE rn = 1),
+    nc AS (
+      SELECT codes.vec_id, codes.subspace, codes.ci, cells.centroid_id
+      FROM codes JOIN cells ON cells.vec_id = codes.vec_id),
+    p AS (
+      SELECT vec_id AS probe_id, v AS pv, centroid_id
+      FROM cells WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT p.probe_id, nc.vec_id AS neighbor_id,
+             round(sum(list_inner_product(cx.cw, cx.cw)
+               - 2 * list_inner_product(
+                   list_slice(p.pv, nc.subspace*16 + 1, nc.subspace*16 + 16),
+                   cx.cw)), 6) AS adc
+      FROM p JOIN nc ON nc.centroid_id = p.centroid_id
+      JOIN cbi cx ON cx.subspace = nc.subspace AND cx.ci = nc.ci
+      WHERE nc.vec_id <> p.probe_id
+      GROUP BY 1, 2)
+    SELECT probe_id, neighbor_id, adc,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+    FROM adc QUALIFY rank <= 5
+    """,
+)
+def ivfpq_index_query_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF+PQ index (the FAISS ``IVFPQ`` production shape,
+    operators/similarity.py::IvfPqIndex): coarse cells give partition
+    pruning — the query lists only probed cell directories — and inside
+    each cell vectors are stored as m=4 one-byte PQ codes, so the scan
+    reads ~1/128th the bytes of raw float64 vectors; scoring is ADC
+    table lookups per code.  The oracle composes the exact IVF
+    assignment CTE with pq_ann_topk's codebook/encode/ADC algebra,
+    restricted to same-cell (probe, neighbor) pairs."""
+    import os
+    import tempfile
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = sim_ops.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_{uuid.uuid4().hex}"
+    )
+    idx = sim_ops.IvfPqIndex.build(emb, centroids, cb, root, m=4, dim=64)
+    out = idx.query(
+        spark, emb.filter(F.col("vec_id") % 100 == 0), k=5, rank_decimals=6
+    )
+    return out.select("probe_id", "neighbor_id", "adc", "rank")
+
+
+@query(
     "pq_ann_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

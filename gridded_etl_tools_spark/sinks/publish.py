@@ -74,8 +74,13 @@ def publish(
 
     sort_cols = list(spec.spatial_dims)
     if not exists or rebuild:
+        # spatial dims double as declared stat columns: every file the
+        # table ever writes (initial, append, merge/delete rewrites)
+        # carries per-file min/max for them, so bbox reads and keyed
+        # merges get manifest pruning from day one — before any OPTIMIZE
         snap = table.write_initial(
-            update, sort_cols=sort_cols, attrs=attrs_update or {}, overwrite=rebuild
+            update, sort_cols=sort_cols, attrs=attrs_update or {},
+            overwrite=rebuild, stat_cols=sort_cols,
         )
         return {"mode": "initial", "version": snap.version}
 

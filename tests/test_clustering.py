@@ -319,3 +319,96 @@ def test_ivf_index_append_matches_full_build(spark, tmp_path):
     assert sum(
         r["n_vectors"] for r in inc.cell_counts(spark).collect()
     ) == emb.count()
+
+
+def test_ivf_index_query_multiprobe_matches_ivf_topk(spark, tmp_path):
+    """nprobe>1 through the persisted index (the path that now skips the
+    discarded single-cell pre-assign, ADVICE r6) must match the bare
+    ivf_topk multi-probe search."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IvfIndex.build(emb, cents, str(tmp_path / "idx"))
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+
+    got = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in idx.query(spark, probes, k=5, nprobe=3, rank_decimals=6).collect()
+    }
+    want = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            emb, cents, F.col("vec_id") % 100 == 0, k=5, nprobe=3,
+            rank_decimals=6,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_index_prunes_partitions_and_matches_pq_within_cells(spark, tmp_path):
+    """IvfPqIndex: (a) the cells scan plans with PartitionFilters on
+    centroid_id; (b) results equal the composition of exact IVF cells
+    with PQ ADC scoring computed directly (same-cell pairs only)."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfPqIndex,
+        ivf_assign,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    idx = IvfPqIndex.build(emb, cents, cb, str(tmp_path / "ivfpq"), m=4, dim=64)
+
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    got_df = idx.query(spark, probes, k=5, rank_decimals=6)
+    got = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in got_df.collect()
+    }
+
+    # reference composition: global PQ ADC restricted to same-cell pairs
+    cells = ivf_assign(emb, cents, vectorized=False)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    adc_all = pq_topk(
+        probes, codes, cb, m=4, dim=64, k=10**6, rank_decimals=6
+    ).drop("rank")
+    pc = cells.select(
+        F.col("vec_id").alias("probe_id"), F.col("centroid_id").alias("pc")
+    )
+    nc = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("nc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    want_df = (
+        adc_all.join(pc, "probe_id").join(nc, "neighbor_id")
+        .filter(F.col("pc") == F.col("nc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    want = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in want_df.collect()
+    }
+    assert got == want and got
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

@@ -108,7 +108,7 @@ def test_no_python_udf_in_any_plan(spark, name):
     # allowed exceptions.
     if name not in (
         "ivf_topk_auto", "kmeans_auto_centroids", "ivf_index_query_readback",
-        "ivf_index_append_readback",
+        "ivf_index_append_readback", "ivfpq_index_query_readback",
     ):
         assert "ArrowEvalPython" not in plan
     for f in df.schema.fields:
@@ -410,6 +410,10 @@ SHUFFLE_BUDGET = {
     # lex/dense/fusion windows all on <=40-row frames; the single is
     # the corpus-stats grand total
     "hybrid_rrf_search_batch": (11, 1),
+    # r7: IVF+PQ — partition-pruned code scan + broadcast probe tables;
+    # the hash exchanges are the probe-side distinct and the top-k
+    # window, the singles are the 1-row packed-codebook aggregates
+    "ivfpq_index_query_readback": (3, 2),
 }
 
 

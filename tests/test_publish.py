@@ -119,3 +119,36 @@ def test_publish_insert_only_rewrites_values(spark, month1, spec, tmp_path):
     df = t.read(spark)
     assert df.count() == 480
     assert df.filter(F.col("value") == 7.25).count() == 48
+
+
+def test_publish_declares_spatial_stat_cols(spark, month1, month2, spec, tmp_path):
+    """r7: the initial publish declares the spec's spatial dims as table
+    stat columns — every file (initial AND appended) carries per-file
+    lat/lon min/max, so bbox reads prune at the manifest before any
+    OPTIMIZE, and the declaration persists across commits."""
+    t = GriddedTable(str(tmp_path / "ds"))
+    publish(t, month1, spec, expected_delta=DAY)
+    snap = t.snapshot()
+    assert snap.stat_cols == ["latitude", "longitude"]
+    assert all(
+        set(e.get("stats", {})) >= {"latitude", "longitude"}
+        for e in snap.entries
+    )
+    publish(t, month2, spec, expected_delta=DAY)
+    snap = t.snapshot()
+    assert snap.stat_cols == ["latitude", "longitude"]
+    assert all(
+        set(e.get("stats", {})) >= {"latitude", "longitude"}
+        for e in snap.entries
+    )
+    # bbox read stays exact (files are time-sorted, so the stats are
+    # wide and prune little here — correctness is the contract)
+    got = t.read(
+        spark, where={"latitude": (36.0, 36.25)}
+    ).count()
+    want = (
+        t.read(spark).filter(
+            (F.col("latitude") >= 36.0) & (F.col("latitude") <= 36.25)
+        ).count()
+    )
+    assert got == want
