@@ -834,6 +834,45 @@ class IvfPqIndex:
             )
         return cls(root)
 
+    def append(
+        self,
+        batch: DataFrame,
+        vectorized: bool | None = None,
+        skip_existing: bool = True,
+    ) -> None:
+        """Incrementally add vectors: assign + PQ-encode the batch
+        against the PERSISTED centroid book and codebooks (both
+        broadcast, so the work is O(batch) — the indexed corpus is
+        never read or rewritten), append into the assigned cells'
+        partitions.  Same ``skip_existing`` guard and drift/rebalance
+        policy as :meth:`IvfIndex.append` — with the extra PQ caveat
+        that the CODEBOOKS are frozen too, so embedding-distribution
+        drift also degrades quantization error, not just cell balance;
+        the rebuild refreshes both."""
+        import json
+        import os
+
+        with open(os.path.join(self.root, self._META)) as f:
+            meta = json.load(f)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        spark = batch.sparkSession
+        if skip_existing:
+            existing = (
+                spark.read.parquet(os.path.join(self.root, "cells"))
+                .select(id_col)
+                .distinct()
+            )
+            batch = batch.join(existing, id_col, "left_anti")
+        cents = spark.read.parquet(os.path.join(self.root, "centroids"))
+        cb = spark.read.parquet(os.path.join(self.root, "codebooks"))
+        cells = ivf_assign(
+            batch, cents, id_col, vec_col, vectorized=vectorized
+        ).select(F.col(id_col), "centroid_id")
+        codes = pq_encode(batch, cb, meta["m"], meta["dim"], id_col, vec_col)
+        cells.join(codes, id_col).repartition("centroid_id").write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(os.path.join(self.root, "cells"))
+
     def query(
         self,
         spark,

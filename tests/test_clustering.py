@@ -412,3 +412,43 @@ def test_ivfpq_index_prunes_partitions_and_matches_pq_within_cells(spark, tmp_pa
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_ivfpq_index_append_matches_full_build(spark, tmp_path):
+    """IvfPqIndex.append: build 90% + append the rest (with planted
+    overlap for skip_existing) equals a full build — assignment and PQ
+    encoding are per-vector, so incremental growth is exact."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfPqIndex,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+
+    full = IvfPqIndex.build(emb, cents, cb, str(tmp_path / "full"))
+    inc = IvfPqIndex.build(
+        emb.filter(F.col("vec_id") % 10 != 0), cents, cb, str(tmp_path / "inc")
+    )
+    inc.append(
+        emb.filter((F.col("vec_id") % 10 == 0) | (F.col("vec_id") % 7 == 0))
+    )
+    got = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in inc.query(spark, probes, k=5, rank_decimals=6).collect()
+    }
+    want = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in full.query(spark, probes, k=5, rank_decimals=6).collect()
+    }
+    assert got == want and got
+    # re-append is a no-op
+    inc.append(emb.filter(F.col("vec_id") % 10 == 0))
+    n = spark.read.parquet(str(tmp_path / "inc" / "cells")).count()
+    assert n == emb.count()
