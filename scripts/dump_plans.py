@@ -78,6 +78,15 @@ SHOWCASE = [
     ("ddsketch_value_quantiles", "facts reduce once to (day, type, bin) "
      "counts; the merge agg and the cumulative quantile window run on "
      "the bounded bin axis (~550 rows per key), never the facts"),
+    # round-7 additions
+    ("hybrid_rrf_search_batch", "N queries, ONE corpus pass: posting-list "
+     "aggs cover the term UNION, per-query fan-out is a broadcast "
+     "(query_id, term) join; fusion windows PARTITION BY query_id on "
+     "<=40-row frames"),
+    ("ivfpq_index_query_readback", "IVF+PQ: the cells scan carries "
+     "PartitionFilters on centroid_id AND reads only m-byte code arrays "
+     "(62.5x fewer bytes than raw vectors); probe ADC tables broadcast, "
+     "scoring is per-code table lookups"),
 ]
 
 
