@@ -1282,6 +1282,7 @@ class GriddedTable:
         if not self.exists():
             return []
         pointer = self._acquire()
+        acquired_at = time.time()
         try:
             if keep_versions:
                 live: set[str] = set()
@@ -1294,7 +1295,9 @@ class GriddedTable:
                     if fname.startswith("v") and fname.endswith(".json"):
                         if int(fname[1:-5]) != current.version:
                             os.remove(os.path.join(self._manifest_dir, fname))
-            removed = self._sweep_unreferenced(live)
+            removed = self._sweep_unreferenced(
+                live, pointer=pointer, newer_than=acquired_at
+            )
             return removed
         finally:
             self._release_failed(pointer)
@@ -1311,6 +1314,7 @@ class GriddedTable:
         if not self.exists():
             return []
         pointer = self._acquire()
+        acquired_at = time.time()
         try:
             versions = [h["version"] for h in self.history()]
             expired = versions[:-keep_last]
@@ -1324,12 +1328,32 @@ class GriddedTable:
                 live |= set(self.snapshot(v).paths())
             for v in expired:
                 os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
-            self._sweep_unreferenced(live)
+            self._sweep_unreferenced(
+                live, pointer=pointer, newer_than=acquired_at
+            )
             return expired
         finally:
             self._release_failed(pointer)
 
-    def _sweep_unreferenced(self, live: set[str]) -> list[str]:
+    def _sweep_unreferenced(
+        self,
+        live: set[str],
+        pointer: dict[str, Any] | None = None,
+        newer_than: float | None = None,
+    ) -> list[str]:
+        """Delete unreferenced data files.  Two guards against the
+        stale-lock-takeover race (a TTL takeover during a LONG sweep
+        means another writer may be staging files this sweep's ``live``
+        set cannot know about):
+
+        * files whose mtime is at or after ``newer_than`` (the sweep's
+          lock-acquire time) are never deleted — any concurrent
+          staging is by definition newer than our acquire, and debris
+          that fresh can wait for the next vacuum;
+        * ``pointer`` re-checks the fencing token immediately before
+          deleting anything, aborting if the lock changed hands."""
+        if pointer is not None:
+            self._check_fencing(pointer)
         removed: list[str] = []
         if not os.path.isdir(self._data_dir):
             return []
@@ -1338,9 +1362,15 @@ class GriddedTable:
             for dirpath, _dirnames, filenames in os.walk(sdir):
                 for fn in filenames:
                     p = os.path.join(dirpath, fn)
-                    if fn.endswith(".parquet") and p not in live:
-                        os.remove(p)
-                        removed.append(p)
+                    if not fn.endswith(".parquet") or p in live:
+                        continue
+                    if (
+                        newer_than is not None
+                        and os.path.getmtime(p) >= newer_than
+                    ):
+                        continue  # possibly another writer's staging
+                    os.remove(p)
+                    removed.append(p)
             # prune empty staging trees
             if not any(files for _, _, files in os.walk(sdir)):
                 shutil.rmtree(sdir, ignore_errors=True)

@@ -994,3 +994,33 @@ def test_mutators_on_missing_table(spark, month1, tmp_path):
         missing.compact(spark)
     with pytest.raises(TableCorruptionGuard, match="non-existent"):
         missing.write_metadata_only({"k": "v"})
+
+
+def test_vacuum_spares_files_staged_after_acquire(spark, month1, tmp_path):
+    """Takeover-race guard: a sweep never deletes files whose mtime is
+    at/after its own lock-acquire time — a concurrent writer (possible
+    after a TTL takeover) may be staging them; genuinely old debris is
+    still collected."""
+    import os
+    import time
+
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    data_dir = os.path.join(str(tmp_path / "tbl"), "data")
+    staging = os.path.join(data_dir, "someoneelses_staging")
+    os.makedirs(staging)
+    old = os.path.join(staging, "old_orphan.parquet")
+    fresh = os.path.join(staging, "fresh_staged.parquet")
+    for p in (old, fresh):
+        with open(p, "wb") as f:
+            f.write(b"PAR1")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    os.utime(fresh, (time.time() + 5, time.time() + 5))  # "during" sweep
+
+    removed = t.vacuum()
+    assert old in removed
+    assert fresh not in removed and os.path.exists(fresh)
+    # next vacuum (fresh file now older than that acquire) collects it
+    os.utime(fresh, (past, past))
+    assert fresh in t.vacuum()
