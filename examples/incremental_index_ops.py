@@ -1,0 +1,63 @@
+"""Daily index operations, Spark idiom — the composed USER API of the
+persisted-index family (the catalog rows ``lsh_index_incremental_candidates``,
+``ivf_index_append_readback``, ``ivfpq_index_query_readback``, and
+``streaming_lsh_dedup_readback`` exercise the same pieces under the
+DuckDB oracle; this module is the call-it-yourself daily-crawl loop):
+
+1. **Dedup the day's batch against the corpus** —
+   ``LshIndex.candidates`` shingles ONLY the batch; the corpus side is
+   the persisted band table (O(batch), never O(corpus)).
+2. **Fold the survivors in** — ``LshIndex.append`` (re-submitted ids
+   are anti-joined away), so tomorrow's batch dedups against today's
+   survivors too.
+3. **Grow the ANN index** — ``IvfIndex.append`` / ``IvfPqIndex.append``
+   assign the survivors against the persisted centroid book (and PQ
+   codebooks) and append into the assigned cells' partitions.
+4. **Serve retrieval** — ``IvfIndex.query`` (exact cosine in probed
+   cells) or ``IvfPqIndex.query`` (ADC over one-byte codes, ~60x fewer
+   scanned bytes) with static partition filters; monitor
+   ``cell_counts`` and rebuild when cell skew passes ~4x max/median or
+   appends pass ~30% of the build-time corpus.
+
+Every step is O(batch) or partition-pruned — nothing re-reads or
+re-fingerprints the corpus.  ``run_daily_batch`` composes 1-3 and
+returns the surviving docs; tests/test_examples.py drives it twice to
+show cross-batch dedup through the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.operators.dedup import LshIndex
+from gridded_etl_tools_spark.operators.similarity import IvfIndex
+
+
+def run_daily_batch(
+    spark,
+    lsh: LshIndex,
+    batch: DataFrame,
+    ann: IvfIndex | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One day's crawl through the index pair: near-dups of anything
+    already indexed are dropped, survivors join both indexes.  Returns
+    the surviving documents (materialized — the caller's write and the
+    index appends must agree on the row set)."""
+    dup_ids = (
+        lsh.candidates(spark, batch)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    lsh.append(survivors)
+    if ann is not None and embeddings is not None:
+        vecs = embeddings.join(
+            survivors.select(F.col(id_col).alias("vec_id")), "vec_id"
+        )
+        ann.append(vecs)
+    return survivors

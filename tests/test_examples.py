@@ -136,3 +136,48 @@ def test_training_data_pipeline_end_to_end(spark):
     # byte-identical (what restartability at 100 TB rests on)
     again = build_training_set(spark, docs, eval_texts=evals, seq_len=64)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_incremental_index_ops_daily_loop(spark, tmp_path):
+    """examples/incremental_index_ops.py: two daily batches through the
+    persisted index pair — a day-2 near-dup of a day-1 SURVIVOR is
+    dropped, and the ANN index ends exactly on the survivor set."""
+    from pyspark.sql import functions as F
+
+    from examples.incremental_index_ops import run_daily_batch
+    from gridded_etl_tools_spark.operators.dedup import LshIndex
+    from gridded_etl_tools_spark.operators.similarity import IvfIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    lsh = LshIndex.build(
+        corpus, str(tmp_path / "lsh"), num_hashes=8, bands=2, shingle_n=2
+    )
+    ann = IvfIndex.build(
+        emb.join(corpus.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        str(tmp_path / "ann"),
+    )
+
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    s1 = run_daily_batch(spark, lsh, day1, ann=ann, embeddings=emb)
+    s1_ids = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    assert s1_ids  # something survived
+
+    # day 2 includes a verbatim copy of a day-1 survivor under a new id
+    copy_src = sorted(s1_ids)[0]
+    dup_row = (
+        docs.filter(F.col("doc_id") == copy_src)
+        .withColumn("doc_id", F.lit(10_000_000).cast("long"))
+    )
+    day2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(dup_row)
+    s2 = run_daily_batch(spark, lsh, day2)
+    s2_ids = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert 10_000_000 not in s2_ids  # caught via the appended index
+
+    # ANN index holds exactly corpus+day-1 survivors (day 2 ran without it)
+    n = spark.read.parquet(str(tmp_path / "ann" / "cells")).count()
+    assert n == corpus.count() + len(s1_ids)
