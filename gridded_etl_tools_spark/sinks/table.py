@@ -398,8 +398,22 @@ class GriddedTable:
         :meth:`_file_stats`); a caller passing an ISO-8601 ``T``-separated
         string would otherwise compare ``"2024-01-02T…" > "2024-01-02 …"``
         lexically and wrongly prune overlapping files — normalize the
-        separator on BOTH sides before comparing."""
-        return str(v).replace("T", " ")
+        separator on BOTH sides before comparing.  A bare DATE bound
+        (``datetime.date`` or ``"YYYY-MM-DD"``) is padded to midnight:
+        unpadded it sorts BELOW every same-day stat string, so a
+        ``time_hi`` date would wrongly prune the file containing exactly
+        the midnight rows the row-level filter keeps."""
+        s = str(v).replace("T", " ")
+        # strip an explicit-UTC suffix: footer stats of tz-aware
+        # timestamps stringify as '... 00:00:00+00:00', which would
+        # sort above the same instant without the suffix
+        for suf in ("+00:00", "Z", " UTC"):
+            if s.endswith(suf):
+                s = s[: -len(suf)]
+                break
+        if len(s) == 10 and s[4:5] == "-" and s[7:8] == "-":
+            s += " 00:00:00"
+        return s
 
     @classmethod
     def _prune_entries(

@@ -1024,3 +1024,18 @@ def test_vacuum_spares_files_staged_after_acquire(spark, month1, tmp_path):
     # next vacuum (fresh file now older than that acquire) collects it
     os.utime(fresh, (past, past))
     assert fresh in t.vacuum()
+
+
+def test_time_prune_bare_date_bound(spark, month1, tmp_path):
+    """A datetime.date (or 'YYYY-MM-DD' string) bound must agree with
+    the row-level filter: unpadded it sorts below every same-day stat
+    string and a time_hi date wrongly pruned the midnight-containing
+    file."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)  # Nov 1-30, min_time '2024-11-01 00:00:00'
+    df = t.read(spark, time_hi=dt.date(2024, 11, 1))
+    assert df.count() == 16  # the 4x4 grid at the Nov 1 midnight step
+    df = t.read(spark, time_lo="2024-11-30", time_hi="2024-11-30")
+    assert df.count() == 16
+    scanned, total = t.pruned_file_count(time_hi=dt.date(2024, 11, 1))
+    assert scanned == total == 1
