@@ -927,7 +927,8 @@ class IvfPqIndex:
                     ),
                 ),
             ).alias("dtab"),
-        )
+        ).localCheckpoint(eager=True)  # assignment + ADC-table folds run
+        # once: the probed-cell collect and the scoring join reuse them
         probed = [
             r["centroid_id"]
             for r in ptab.select("centroid_id").distinct().collect()
@@ -1133,7 +1134,8 @@ class IvfIndex:
             F.col(vec_col).alias("probe_vec"),
             _norm(F.col(vec_col)).alias("probe_norm"),
             "centroid_id",
-        )
+        ).localCheckpoint(eager=True)  # assignment runs once: the probed-
+        # cell collect below and the scoring join both reuse it
         # probe-sized collect (<= probes x nprobe distinct longs) ->
         # STATIC partition filter: the scan plans with PartitionFilters
         # on centroid_id and never lists unprobed directories
