@@ -452,3 +452,57 @@ def test_ivfpq_index_append_matches_full_build(spark, tmp_path):
     inc.append(emb.filter(F.col("vec_id") % 10 == 0))
     n = spark.read.parquet(str(tmp_path / "inc" / "cells")).count()
     assert n == emb.count()
+
+
+def test_pq_codebooks_trained_reduce_quantization_error(spark):
+    """pq_codebooks_trained: per-subspace Lloyd fits are drop-in for the
+    sampled book (same schema/cardinality, works through pq_encode) and
+    reduce true L2 quantization error — measured 1.46x at sf0.001."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sampled = pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    trained = pq_codebooks_trained(
+        emb, F.col("vec_id") % 50 == 0, m=4, dim=64, iters=2
+    )
+    assert trained.columns == ["subspace", "cw_id", "cw"]
+    assert trained.count() == sampled.count()
+    # deterministic: a re-fit yields the identical book (rounded Lloyd)
+    again = pq_codebooks_trained(
+        emb, F.col("vec_id") % 50 == 0, m=4, dim=64, iters=2
+    )
+    key = lambda r: (r["subspace"], r["cw_id"], tuple(r["cw"]))  # noqa: E731
+    assert {key(r) for r in trained.collect()} == {
+        key(r) for r in again.collect()
+    }
+
+    def qerr(cb):
+        cbi = cb.withColumn(
+            "ci",
+            F.row_number().over(
+                Window.partitionBy("subspace").orderBy("cw_id")
+            ) - 1,
+        )
+        codes = pq_encode(emb, cb, m=4, dim=64)
+        ex = codes.select(
+            "vec_id", F.posexplode("codes").alias("subspace", "ci")
+        )
+        j = ex.join(cbi, ["subspace", "ci"]).join(emb, "vec_id")
+        sub = F.slice(F.col("embedding"), F.col("subspace") * 16 + 1, 16)
+        d2 = F.aggregate(
+            F.zip_with(sub, F.col("cw"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return j.agg(F.sum(d2)).first()[0]
+
+    assert qerr(trained) < qerr(sampled)
