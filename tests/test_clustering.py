@@ -506,3 +506,41 @@ def test_pq_codebooks_trained_reduce_quantization_error(spark):
         return j.agg(F.sum(d2)).first()[0]
 
     assert qerr(trained) < qerr(sampled)
+
+
+def test_ivfpq_multiprobe_all_cells_equals_global_pq(spark, tmp_path):
+    """IvfPqIndex.query with nprobe = every cell degenerates to the
+    global PQ ADC search — pins the multi-probe branch (which skips the
+    single-cell pre-assign) end to end."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfPqIndex,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    n_cells = cents.count()
+    cb = pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    idx = IvfPqIndex.build(emb, cents, cb, str(tmp_path / "ivfpq"))
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+
+    got = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in idx.query(
+            spark, probes, k=5, nprobe=n_cells, rank_decimals=6
+        ).collect()
+    }
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    want = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in pq_topk(
+            probes, codes, cb, m=4, dim=64, k=5, rank_decimals=6
+        ).collect()
+    }
+    assert got == want and got
