@@ -75,6 +75,42 @@ def z_index(
     return xi.bitwiseOR(F.shiftleft(yi, 1))
 
 
+def z_index_n(
+    cols: list,
+    ranges: list[tuple[float, float]],
+    resolution: float | None = None,
+    bits: int | None = None,
+) -> Column:
+    """Generic k-axis Morton interleave (the 3+-column ``OPTIMIZE
+    ZORDER BY`` shape — e.g. (time-bucket, lat, lon) or
+    (user, value, event)): bit ``i`` of axis ``a`` lands at position
+    ``i*k + a``, so all k axes share locality in the code prefix.
+
+    ``bits`` defaults to ``min(16, 62 // k)`` per axis (the whole code
+    must fit a signed long).  Two axes should prefer :func:`z_index`
+    (the magic-mask spread is a shorter expression tree); this form is
+    a loop of shift/and/or column ops — still pure JVM whole-stage
+    codegen, ~``bits`` ops per axis."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z_index_n interleaves 2+ columns")
+    if len(ranges) != k:
+        raise ValueError("one (lo, hi) range per column")
+    if bits is None:
+        bits = min(16, 62 // k)
+    if bits * k > 62:
+        raise ValueError(f"{bits} bits x {k} axes overflows a long")
+    out = F.lit(0).cast("long")
+    for axis, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        lo, hi = ranges[axis]
+        q = _quantize(col, lo, hi, resolution, bits)
+        for i in range(bits):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * k + axis))
+    return out
+
+
 def with_zorder(
     df: DataFrame,
     lat_col: str = "latitude",

@@ -8366,6 +8366,69 @@ def table_optimize_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "table_optimize_zorder3_readback",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event
+    FROM events
+    WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 50.0 AND 200.0
+      AND event_id BETWEEN 100 AND 5000
+    """,
+)
+def table_optimize_zorder3_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-column OPTIMIZE ZORDER (r7: the generic k-axis Morton
+    interleave — bit i of axis a lands at position i*k + a, all pure
+    JVM shift/and/or): same layout-invariance contract as the 2-column
+    row, now with a 3-D (user_id, value, event_id) box pruning files
+    from per-file stats on ALL THREE columns.  The k-axis form is what
+    a (time-bucket, lat, lon) or (tenant, key, version) clustering
+    needs — two axes were an artificial ceiling."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    t = GriddedTable(_throwaway_root("zorder3"), time_col="day")
+    t.write_initial(ev)
+    row = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("value"), F.max("value"),
+        F.min("event_id"), F.max("event_id"),
+        F.count(F.lit(1)),
+    ).first()
+    t.optimize(
+        spark,
+        cluster_by=["user_id", "value", "event_id"],
+        ranges={
+            "user_id": (float(row[0]), float(row[1])),
+            "value": (float(row[2]), float(row[3])),
+            "event_id": (float(row[4]), float(row[5])),
+        },
+        target_file_rows=max(1, row[6] // 6),
+    )
+    box = {
+        "user_id": (2, 9),
+        "value": (50.0, 200.0),
+        "event_id": (100, 5000),
+    }
+    return t.read(spark, where=box).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@query(
     "streaming_cdc_upsert_readback",
     """
     SELECT user_id, ts, event_id, event_type, value

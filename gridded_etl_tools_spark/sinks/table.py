@@ -985,9 +985,9 @@ class GriddedTable:
     ) -> Snapshot:
         """OPTIMIZE ZORDER BY (the Delta maintenance analog): rewrite
         the selected buckets with rows ordered by the Morton interleave
-        of two ``cluster_by`` columns (one column degrades to a plain
-        sort), and record per-file min/max for those columns in the
-        manifest.  Afterwards a bbox read through :meth:`read`'s
+        of 2-4 ``cluster_by`` columns (one column degrades to a plain
+        sort; 3+ use the generic k-axis interleave), and record
+        per-file min/max for those columns in the manifest.  Afterwards a bbox read through :meth:`read`'s
         ``where`` ranges prunes files at the MANIFEST level and row
         groups at the parquet level — the relational analog of the
         reference's 2-D zarr chunk tiling (``dataset_manager.py:220-221``),
@@ -1007,10 +1007,13 @@ class GriddedTable:
         would clamp non-lat/lon values into edge cells and void the
         pruning); ``resolution``: regular-grid cell size so cell
         indices, not range fractions, interleave."""
-        from gridded_etl_tools_spark.operators.zorder import z_index
+        from gridded_etl_tools_spark.operators.zorder import (
+            z_index,
+            z_index_n,
+        )
 
-        if not 1 <= len(cluster_by) <= 2:
-            raise ValueError("cluster_by takes one or two columns")
+        if not 1 <= len(cluster_by) <= 4:
+            raise ValueError("cluster_by takes one to four columns")
         if not self.exists():
             raise TableCorruptionGuard(
                 f"optimize on non-existent table {self.root}; "
@@ -1035,11 +1038,11 @@ class GriddedTable:
             df = self._schema_reader(spark, targets).parquet(
                 *[e["path"] for e in targets]
             )
-            if len(cluster_by) == 2:
+            if len(cluster_by) >= 2:
                 # quantization bounds: caller-supplied, else the ACTUAL
                 # data extent (one 2-scalar agg per missing column) —
                 # a fixed whole-globe default would collapse
-                # non-geographic columns into edge cells and quietly
+                # non-geographic values into edge cells and quietly
                 # void the per-file pruning this rewrite exists for
                 rng = dict(ranges or {})
                 missing = [c for c in cluster_by if c not in rng]
@@ -1051,17 +1054,23 @@ class GriddedTable:
                         lo_v = float(row[2 * i])
                         hi_v = float(row[2 * i + 1])
                         rng[c] = (lo_v, hi_v if hi_v > lo_v else lo_v + 1.0)
-                a, b = cluster_by
-                df = df.withColumn(
-                    "__z",
-                    z_index(
+                if len(cluster_by) == 2:
+                    # 2-axis keeps the magic-mask spread (shorter tree)
+                    a, b = cluster_by
+                    z = z_index(
                         a,
                         b,
                         lat_range=tuple(rng[a]),
                         lon_range=tuple(rng[b]),
                         resolution=resolution,
-                    ),
-                )
+                    )
+                else:
+                    z = z_index_n(
+                        list(cluster_by),
+                        [tuple(rng[c]) for c in cluster_by],
+                        resolution=resolution,
+                    )
+                df = df.withColumn("__z", z)
                 order, drop = ["__z", self.time_col], ("__z",)
             else:
                 order, drop = [cluster_by[0], self.time_col], ()

@@ -414,6 +414,8 @@ SHUFFLE_BUDGET = {
     # the hash exchanges are the probe-side distinct and the top-k
     # window, the singles are the 1-row packed-codebook aggregates
     "ivfpq_index_query_readback": (3, 2),
+    # r7: 3-D box rollup over the stats-pruned post-optimize read
+    "table_optimize_zorder3_readback": (1, 1),
 }
 
 

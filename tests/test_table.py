@@ -1039,3 +1039,45 @@ def test_time_prune_bare_date_bound(spark, month1, tmp_path):
     assert df.count() == 16
     scanned, total = t.pruned_file_count(time_hi=dt.date(2024, 11, 1))
     assert scanned == total == 1
+
+
+def test_optimize_zorder_three_columns(spark, month1, tmp_path):
+    """3-column OPTIMIZE ZORDER (generic k-axis Morton interleave):
+    layout-invariant results, per-file stats on all three cluster
+    columns, and a 3-D box scans strictly fewer files than the table."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1)
+    before = {tuple(r) for r in t.read(spark).collect()}
+
+    snap = t.optimize(
+        spark,
+        cluster_by=["latitude", "longitude", "value"],
+        target_file_rows=60,  # 480 rows -> 8 z-contiguous files
+    )
+    assert snap.stat_cols == ["latitude", "longitude", "value"]
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    assert all(
+        set(e.get("stats", {})) >= {"latitude", "longitude", "value"}
+        for e in snap.entries
+    )
+    assert len(snap.entries) > 4
+
+    box = {
+        "latitude": (36.0, 36.25),
+        "longitude": (-115.75, -115.5),
+        "value": (0.0, 50.0),
+    }
+    scanned, total = t.pruned_file_count(where=box)
+    assert scanned < total
+    got = {
+        (r["time"], r["latitude"], r["longitude"], r["value"])
+        for r in t.read(spark, where=box).collect()
+    }
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in before
+        if 36.0 <= r[1] <= 36.25
+        and -115.75 <= r[2] <= -115.5
+        and 0.0 <= r[3] <= 50.0
+    }
+    assert got == want
