@@ -18,8 +18,13 @@ Parquet, no extra dependencies:
 
 * Every commit is a **version**: an immutable manifest
   ``_manifests/v{N}.json`` listing data *entries*; each entry =
-  ``{bucket, path, min_time, max_time, rows}``.  Data files are written
-  once and never mutated; versions share unchanged files.
+  ``{bucket, path, min_time, max_time, rows, columns[, stats]}`` —
+  ``columns`` is the file's column-set signature (schema-evolution
+  detection), ``stats`` per-file min/max for the table's declared
+  ``stat_cols`` (manifest-level pruning).  The manifest also records
+  ``stat_cols`` itself, so every rewrite re-derives the stats.  Data
+  files are written once and never mutated; versions share unchanged
+  files.
 * ``_latest.json`` is the atomic pointer (temp-file + ``os.replace``)
   carrying ``{version, attrs, update_in_progress}``.  Readers resolve
   the pointer, then the manifest, then ``spark.read.parquet(*paths)``.
@@ -621,21 +626,30 @@ class GriddedTable:
         sort_cols: list[str] | None = None,
         attrs_update: dict[str, Any] | None = None,
         evolve_schema: bool = False,
+        stat_cols: list[str] | None = None,
     ) -> Snapshot:
         """Append new times (reference ``append_to_dataset``,
         publish.py:452-478): new data files; manifest = old ∪ new.
         ``evolve_schema=True`` additionally admits new columns (see
         ``_align_schema``).  The table's declared/adopted ``stat_cols``
-        are maintained: new files get per-file min/max for them too."""
+        are maintained: new files get per-file min/max for them too.
+        ``stat_cols`` widens the declaration mid-life (union with the
+        existing property): NEW files carry the added columns' stats,
+        pre-existing files stay stat-less for them and are
+        conservatively kept by pruning until OPTIMIZE or a rewrite
+        touches them."""
         pointer = self._acquire()
         try:
             snap = self.snapshot(pointer["version"])
+            declared = list(snap.stat_cols) + [
+                c for c in (stat_cols or []) if c not in snap.stat_cols
+            ]
             df = self._align_schema(df, snap, evolve=evolve_schema)
             entries = snap.entries + self._write_data_files(
-                df, sort_cols or [], stat_cols=tuple(snap.stat_cols)
+                df, sort_cols or [], stat_cols=tuple(declared)
             )
             attrs = {**pointer.get("attrs", {}), **(attrs_update or {})}
-            return self._commit(pointer, entries, attrs, stat_cols=snap.stat_cols)
+            return self._commit(pointer, entries, attrs, stat_cols=declared)
         except Exception:
             self._release_failed(pointer)
             raise

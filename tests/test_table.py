@@ -1081,3 +1081,26 @@ def test_optimize_zorder_three_columns(spark, month1, tmp_path):
         and 0.0 <= r[3] <= 50.0
     }
     assert got == want
+
+
+def test_append_widens_stat_col_declaration(spark, month1, month2, tmp_path):
+    """append(stat_cols=[...]) unions with the existing declaration:
+    new files carry the added column's stats, old files stay stat-less
+    for it (conservatively kept), and later rewrites maintain the
+    widened set."""
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(month1, stat_cols=["latitude"])
+    snap = t.append(month2, stat_cols=["longitude"])
+    assert snap.stat_cols == ["latitude", "longitude"]
+    nov = [e for e in snap.entries if e["bucket"] == "2024-11"]
+    dec = [e for e in snap.entries if e["bucket"] == "2024-12"]
+    assert all(set(e.get("stats", {})) == {"latitude"} for e in nov)
+    assert all(
+        set(e.get("stats", {})) == {"latitude", "longitude"} for e in dec
+    )
+    # a rewrite of a November file re-derives BOTH columns' stats
+    snap = t.delete_where(spark, F.col("time") == dt.datetime(2024, 11, 3))
+    nov = [e for e in snap.entries if e["bucket"] == "2024-11"]
+    assert all(
+        set(e.get("stats", {})) == {"latitude", "longitude"} for e in nov
+    )
