@@ -56,8 +56,14 @@ def run_daily_batch(
     )
     lsh.append(survivors)
     if ann is not None and embeddings is not None:
+        import json
+        import os
+
+        # the ANN index's own id column (from its meta), not a guess
+        with open(os.path.join(ann.root, ann._META)) as f:
+            ann_id = json.load(f)["id_col"]
         vecs = embeddings.join(
-            survivors.select(F.col(id_col).alias("vec_id")), "vec_id"
+            survivors.select(F.col(id_col).alias(ann_id)), ann_id
         )
         ann.append(vecs)
     return survivors

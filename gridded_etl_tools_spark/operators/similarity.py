@@ -866,6 +866,14 @@ class IvfPqIndex:
         import json
         import os
 
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        n_sub = codebooks.select("subspace").distinct().count()
+        if n_sub != m:
+            raise ValueError(
+                f"codebooks cover {n_sub} subspaces but m={m}; a mismatch "
+                "would silently encode NULL/truncated codes"
+            )
         cells = ivf_assign(
             corpus, centroids, id_col, vec_col, vectorized=vectorized
         ).select(F.col(id_col), "centroid_id")
@@ -951,20 +959,26 @@ class IvfPqIndex:
 
         cents = spark.read.parquet(os.path.join(self.root, "centroids"))
         cb = spark.read.parquet(os.path.join(self.root, "codebooks"))
+        pvecs = probes.select(id_col, vec_col).localCheckpoint(eager=True)
         if nprobe > 1:
-            probe_rows = nearest_centroids(
-                probes.select(id_col, vec_col), cents,
-                id_col, vec_col, n=nprobe,
+            assigned = nearest_centroids(
+                pvecs, cents, id_col, vec_col, n=nprobe
             )
         else:
-            probe_rows = ivf_assign(
-                probes, cents, id_col, vec_col, vectorized=vectorized
+            assigned = ivf_assign(
+                pvecs, cents, id_col, vec_col, vectorized=vectorized
             )
-        # per-probe ADC table against the broadcast codebooks
+        # (probe, cell) pairs carry NO payload; the ADC table is built
+        # separately ONCE PER PROBE — dtab is cell-independent, so the
+        # per-(probe, cell) form would fold and broadcast the
+        # m x codewords table nprobe times per probe
+        pairs = assigned.select(
+            F.col(id_col).alias("probe_id"), "centroid_id"
+        ).localCheckpoint(eager=True)  # assignment runs once: the
+        # probed-cell collect and the scoring join reuse it
         sub = lambda col, s: F.slice(col, s * dsub + 1, dsub)  # noqa: E731
-        ptab = probe_rows.crossJoin(_packed_codebooks(cb, m)).select(
+        dtab = pvecs.crossJoin(_packed_codebooks(cb, m)).select(
             F.col(id_col).alias("probe_id"),
-            "centroid_id",
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda s: F.transform(
@@ -980,19 +994,19 @@ class IvfPqIndex:
                     ),
                 ),
             ).alias("dtab"),
-        ).localCheckpoint(eager=True)  # assignment + ADC-table folds run
-        # once: the probed-cell collect and the scoring join reuse them
+        )
         probed = [
             r["centroid_id"]
-            for r in ptab.select("centroid_id").distinct().collect()
+            for r in pairs.select("centroid_id").distinct().collect()
         ]
         # static PartitionFilters: unprobed cell directories never listed
         codes = spark.read.parquet(os.path.join(self.root, "cells")).filter(
             F.col("centroid_id").isin(probed)
         )
         scored = (
-            codes.join(F.broadcast(ptab), "centroid_id")
+            codes.join(F.broadcast(pairs), "centroid_id")
             .filter(F.col("probe_id") != F.col(id_col))
+            .join(F.broadcast(dtab), "probe_id")
             .select(
                 "probe_id",
                 F.col(id_col).alias("neighbor_id"),

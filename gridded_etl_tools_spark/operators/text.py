@@ -669,7 +669,9 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(F.col("__part").cast("decimal(28,6)")).cast("double"),
+                F.sum(
+                    F.col("__part").cast(f"decimal(28,{decimals})")
+                ).cast("double"),
                 decimals,
             ).alias("bm25")
         )
@@ -738,7 +740,9 @@ def bm25_scores_batch(
         .groupBy(query_id_col, id_col)
         .agg(
             F.round(
-                F.sum(F.col("__part").cast("decimal(28,6)")).cast("double"),
+                F.sum(
+                    F.col("__part").cast(f"decimal(28,{decimals})")
+                ).cast("double"),
                 decimals,
             ).alias("bm25")
         )

@@ -85,13 +85,13 @@ def _stage_stream_source(sf_dir: str) -> str:
     return watch_dir
 
 
-def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
-    """Stage events.parquet as ``n_parts`` TIME-ORDERED part files with
-    increasing mtimes, so a ``maxFilesPerTrigger=1`` file stream replays
-    them as ``n_parts`` chronological micro-batches — exercising
-    multi-batch state/merge paths (IVM merge, watermark advance)
-    instead of a single bootstrap batch.  Content-keyed digest, same
-    staleness guard as :func:`_stage_stream_source`.
+def _stage_parts(
+    src: str, tag: str, n_parts: int, build_parts
+) -> str:
+    """Shared micro-batch staging scaffold: write ``n_parts`` part files
+    (produced by ``build_parts(table, n_parts) -> list[pa.Table]``) with
+    increasing mtimes (``FileStreamSource`` orders by modification time),
+    under a content-keyed digest directory.
 
     Concurrency-safe (round-5 advice): parts are written into a
     process-unique scratch dir and published with one atomic
@@ -107,31 +107,20 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
 
     import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     digest = hashlib.md5(
-        f"stream_parts_v1:{src}:{st.st_size}:{st.st_mtime_ns}:{n_parts}"
-        .encode()
+        f"{tag}_v1:{src}:{st.st_size}:{st.st_mtime_ns}:{n_parts}".encode()
     ).hexdigest()[:12]
     watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_parts_{digest}"
+        tempfile.gettempdir(), f"spark_graft_{tag}_{digest}"
     )
     if not os.path.isdir(watch_dir):  # existing digest dir == complete
-        stage = tempfile.mkdtemp(
-            prefix=f"spark_graft_stream_parts_{digest}_wip_"
-        )
-        tbl = pq.read_table(src)
-        # chronological split: later parts must never carry rows behind
-        # an already-advanced watermark
-        order = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        n = order.num_rows
-        bounds = [n * i // n_parts for i in range(n_parts + 1)]
+        stage = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_{digest}_wip_")
+        parts = build_parts(pq.read_table(src), n_parts)
         now = time.time()
-        for i in range(n_parts):
-            part = order.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i, part in enumerate(parts):
             path = os.path.join(stage, f"part-{i:03d}.parquet")
             pq.write_table(part, path)
-            # FileStreamSource orders by modification time: pin it
             os.utime(path, (now + i, now + i))
         open(os.path.join(stage, "_STAGED"), "w").close()
         try:
@@ -141,56 +130,51 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
     return watch_dir
 
 
+def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
+    """Stage events.parquet as ``n_parts`` TIME-ORDERED part files so a
+    ``maxFilesPerTrigger=1`` file stream replays them as chronological
+    micro-batches — exercising multi-batch state/merge paths (IVM merge,
+    watermark advance) instead of a single bootstrap batch."""
+    import os
+
+    def build(tbl, n):
+        # chronological split: later parts must never carry rows behind
+        # an already-advanced watermark
+        order = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        bounds = [order.num_rows * i // n for i in range(n + 1)]
+        return [
+            order.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(n)
+        ]
+
+    return _stage_parts(
+        os.path.join(sf_dir, "events.parquet"), "stream_parts", n_parts, build
+    )
+
+
 def _stage_stream_doc_parts(sf_dir: str, n_parts: int = 3) -> str:
     """Stage the STREAMED slice of documents.parquet (doc_id % 10 == 0)
-    as ``n_parts`` part files keyed by ``(doc_id // 10) % n_parts`` with
-    increasing mtimes — the document-feed twin of
-    :func:`_stage_stream_source_parts` (same digest + atomic-rename
-    concurrency guard).  The batch assignment is pure id arithmetic so
-    a SQL oracle can replay exactly which doc arrived in which
-    micro-batch."""
-    import hashlib
+    as ``n_parts`` part files keyed by ``(doc_id // 10) % n_parts`` —
+    the document-feed twin of :func:`_stage_stream_source_parts`.  The
+    batch assignment is pure id arithmetic so a SQL oracle can replay
+    exactly which doc arrived in which micro-batch."""
     import os
-    import shutil
-    import tempfile
-    import time
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    digest = hashlib.md5(
-        f"stream_doc_parts_v1:{src}:{st.st_size}:{st.st_mtime_ns}:{n_parts}"
-        .encode()
-    ).hexdigest()[:12]
-    watch_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_docs_{digest}"
-    )
-    if not os.path.isdir(watch_dir):  # existing digest dir == complete
-        stage = tempfile.mkdtemp(
-            prefix=f"spark_graft_stream_docs_{digest}_wip_"
-        )
-        tbl = pq.read_table(src)
-
+    def build(tbl, n):
         def _mod(arr, d):  # arrow has no mod kernel; ids are >= 0
             return pc.subtract(arr, pc.multiply(pc.divide(arr, d), d))
 
         ids = tbl.column("doc_id")
         streamed = tbl.filter(pc.equal(_mod(ids, 10), 0)).sort_by("doc_id")
-        part_key = _mod(pc.divide(streamed.column("doc_id"), 10), n_parts)
-        now = time.time()
-        for i in range(n_parts):
-            part = streamed.filter(pc.equal(part_key, i))
-            path = os.path.join(stage, f"part-{i:03d}.parquet")
-            pq.write_table(part, path)
-            os.utime(path, (now + i, now + i))
-        open(os.path.join(stage, "_STAGED"), "w").close()
-        try:
-            os.rename(stage, watch_dir)
-        except OSError:  # another process published first; theirs wins
-            shutil.rmtree(stage, ignore_errors=True)
-    return watch_dir
+        key = _mod(pc.divide(streamed.column("doc_id"), 10), n)
+        return [streamed.filter(pc.equal(key, i)) for i in range(n)]
+
+    return _stage_parts(
+        os.path.join(sf_dir, "documents.parquet"), "stream_docs", n_parts,
+        build,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -408,17 +408,25 @@ class GriddedTable:
         unpadded it sorts BELOW every same-day stat string, so a
         ``time_hi`` date would wrongly prune the file containing exactly
         the midnight rows the row-level filter keeps."""
-        s = str(v).replace("T", " ")
-        # strip an explicit-UTC suffix: footer stats of tz-aware
-        # timestamps stringify as '... 00:00:00+00:00', which would
-        # sort above the same instant without the suffix
-        for suf in ("+00:00", "Z", " UTC"):
-            if s.endswith(suf):
-                s = s[: -len(suf)]
-                break
-        if len(s) == 10 and s[4:5] == "-" and s[7:8] == "-":
-            s += " 00:00:00"
-        return s
+        import datetime as _dt
+
+        s = str(v).replace("T", " ").replace("Z", "+00:00")
+        if s.endswith(" UTC"):
+            s = s[:-4] + "+00:00"
+        try:
+            # full normalization: any parseable instant (incl. non-UTC
+            # offsets — '…05:00:00+05:00' must compare EQUAL to
+            # '…00:00:00' UTC, not lexically above it) converts to a
+            # naive-UTC string; bare dates parse to midnight
+            parsed = _dt.datetime.fromisoformat(s)
+            if parsed.tzinfo is not None:
+                parsed = parsed.astimezone(_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return f"{parsed:%Y-%m-%d %H:%M:%S.%f}"
+        except ValueError:
+            # sentinels ('', '9999') and non-time strings: compare as-is
+            return s
 
     @classmethod
     def _prune_entries(
@@ -448,12 +456,38 @@ class GriddedTable:
                 e
                 for e in entries
                 if col not in e.get("stats", {})
-                or not (
-                    (hi is not None and e["stats"][col][0] > hi)
-                    or (lo is not None and e["stats"][col][1] < lo)
+                or cls._stat_overlaps(
+                    e["stats"][col][0], e["stats"][col][1], lo, hi
                 )
             ]
         return entries
+
+    @classmethod
+    def _stat_overlaps(cls, stat_lo, stat_hi, lo, hi) -> bool:
+        """Range-overlap test between a file's recorded [stat_lo,
+        stat_hi] and the caller's [lo, hi].  Numeric stats compare
+        natively; temporal/string stats go through :meth:`_time_key` —
+        manifest JSON stringifies datetime stats (``default=str``), so
+        a datetime bound against a reloaded manifest would otherwise
+        raise TypeError (str vs datetime), and string-vs-string hits
+        the same separator/date-padding pitfalls the time axis fixes."""
+        if isinstance(stat_lo, str) or isinstance(lo, str) or isinstance(hi, str):
+            k = cls._time_key
+            return not (
+                (hi is not None and k(stat_lo) > k(hi))
+                or (lo is not None and k(stat_hi) < k(lo))
+            )
+        try:
+            return not (
+                (hi is not None and stat_lo > hi)
+                or (lo is not None and stat_hi < lo)
+            )
+        except TypeError:  # e.g. datetime bound vs date stat
+            k = cls._time_key
+            return not (
+                (hi is not None and k(stat_lo) > k(hi))
+                or (lo is not None and k(stat_hi) < k(lo))
+            )
 
     def _bucket_col(self):
         return F.date_format(F.col(self.time_col), self.bucket_fmt)
@@ -1408,7 +1442,17 @@ class GriddedTable:
                         continue  # possibly another writer's staging
                     os.remove(p)
                     removed.append(p)
-            # prune empty staging trees
-            if not any(files for _, _, files in os.walk(sdir)):
+            # prune empty staging trees — but never one created/touched
+            # at/after our acquire: a takeover writer's just-created
+            # staging dir (or its _temporary tree) is file-less until
+            # its tasks start writing, and rmtree-ing it would fail that
+            # writer's job commit (same race the mtime guard closes)
+            if not any(files for _, _, files in os.walk(sdir)) and (
+                newer_than is None
+                or all(
+                    os.path.getmtime(d) < newer_than
+                    for d, _, _ in os.walk(sdir)
+                )
+            ):
                 shutil.rmtree(sdir, ignore_errors=True)
         return removed

@@ -1104,3 +1104,31 @@ def test_append_widens_stat_col_declaration(spark, month1, month2, tmp_path):
     assert all(
         set(e.get("stats", {})) == {"latitude", "longitude"} for e in nov
     )
+
+
+def test_stat_cols_on_datetime_column(spark, month1, tmp_path):
+    """Review finding: a datetime stat column's manifest values are
+    stringified by the JSON round-trip; pruning with datetime (or
+    ISO-string, or mixed) bounds must neither crash nor mis-prune."""
+    withts = month1.withColumn(
+        "observed_at", F.col("time") + F.expr("INTERVAL 1 HOUR")
+    )
+    t = GriddedTable(str(tmp_path / "tbl"))
+    t.write_initial(withts, stat_cols=["observed_at"])
+    t.append(
+        withts.withColumn("time", F.col("time") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn("observed_at", F.col("observed_at") + F.expr("INTERVAL 60 DAYS"))
+    )
+    # fresh handle -> manifest reloaded from JSON (stats now strings)
+    t2 = GriddedTable(str(tmp_path / "tbl"))
+    bounds = (dt.datetime(2024, 11, 1), dt.datetime(2024, 11, 30, 23))
+    scanned, total = t2.pruned_file_count(where={"observed_at": bounds})
+    assert scanned < total  # the +60d files prune
+    got = t2.read(spark, where={"observed_at": bounds}).count()
+    assert got == 480
+    # ISO 'T' string bounds agree
+    got2 = t2.read(
+        spark,
+        where={"observed_at": ("2024-11-01T00:00:00", "2024-11-30T23:00:00")},
+    ).count()
+    assert got2 == 480
