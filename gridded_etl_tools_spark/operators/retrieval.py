@@ -1,0 +1,99 @@
+"""Hybrid retrieval: lexical (BM25) + dense (cosine) legs fused by
+reciprocal-rank fusion (Cormack et al. 2009's public formulation,
+score = Σ 1/(rrf_k + rank)) — rank-based, so the incomparable BM25 and
+cosine scales need no calibration.  The standard search stack for
+data selection and RAG corpus curation.
+
+The catalog rows ``hybrid_rrf_search`` / ``hybrid_rrf_search_batch``
+attest both forms under the DuckDB oracle; this module is the
+call-it-yourself API.
+
+Scale shape: the lexical leg shuffles only the query terms' posting
+lists (``text.bm25_scores`` / ``bm25_scores_batch`` — the batch form
+pays ONE corpus pass for the union of all query terms); the dense leg
+broadcasts the probes through one ``similarity.cosine_topk`` scan;
+each leg's per-query top-k bounds everything downstream, so fusion and
+the final re-rank run on <= 2*k_leg-row frames per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.operators import similarity as sim_ops
+from gridded_etl_tools_spark.operators import text as text_ops
+
+
+def rrf_fuse(
+    lex_top: DataFrame,
+    dense_top: DataFrame,
+    by: list[str],
+    k_out: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Fuse two rank lists (columns ``by`` + ``lex_rank`` /
+    ``dense_rank``) by reciprocal rank; rows appearing in only one leg
+    contribute that leg's term alone.  Returns the ``by`` columns +
+    lex_rank, dense_rank, rrf_score, rrf_rank (<= ``k_out``)."""
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+        )
+    )
+    w = Window.partitionBy(*by[:-1]).orderBy(rrf.desc(), F.asc(by[-1]))
+    return (
+        lex_top.join(dense_top, on=by, how="full_outer")
+        .withColumn("rrf_score", F.round(rrf, 6))
+        .withColumn("rrf_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rrf_rank") <= k_out)
+    )
+
+
+def hybrid_rrf_batch(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: DataFrame,
+    probe_ids: list,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_leg: int = 20,
+    k_out: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Batched hybrid retrieval: N queries in ONE plan.  ``query_terms``
+    is a (query_id, term) table; ``probe_ids`` names each query's
+    embedding row in ``emb`` (query_id doubles as the probe vector id —
+    the tables share an id space, as in the single-query catalog row).
+    Returns (query_id, doc_id, lex_rank, dense_rank, rrf_score,
+    rrf_rank)."""
+    lex = text_ops.bm25_scores_batch(
+        docs, query_terms, text_col=text_col, id_col=doc_id_col
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(doc_id_col)
+    )
+    lex_top = (
+        lex.withColumn("lex_rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("lex_rank") <= k_leg)
+        .select("query_id", doc_id_col, "lex_rank")
+    )
+    probes = emb.filter(F.col(vec_id_col).isin(list(probe_ids)))
+    dense_top = (
+        sim_ops.cosine_topk(probes, emb, id_col=vec_id_col, vec_col=vec_col, k=k_leg)
+        .select(
+            F.col("probe_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias(doc_id_col),
+            F.col("rank").cast("int").alias("dense_rank"),
+        )
+    )
+    return rrf_fuse(
+        lex_top, dense_top, by=["query_id", doc_id_col],
+        k_out=k_out, rrf_k=rrf_k,
+    ).select(
+        "query_id", doc_id_col, "lex_rank", "dense_rank",
+        "rrf_score", "rrf_rank",
+    )

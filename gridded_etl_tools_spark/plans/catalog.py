@@ -5776,6 +5776,8 @@ def hybrid_rrf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PARTITION BY query_id replaces the single-query row's bounded
     global window — same bounded-axis discipline, one plan for N
     queries)."""
+    from gridded_etl_tools_spark.operators.retrieval import hybrid_rrf_batch
+
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -5788,44 +5790,8 @@ def hybrid_rrf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id int, term string",
     )
-    qids = [0, 100, 200]
-
-    lex = text_ops.bm25_scores_batch(docs, qterms)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("bm25"), F.asc("doc_id")
-    )
-    lex_top = (
-        lex.withColumn("lex_rank", F.row_number().over(wq).cast("int"))
-        .filter(F.col("lex_rank") <= 20)
-        .select("query_id", "doc_id", "lex_rank")
-    )
-
-    probes = emb.filter(F.col("vec_id").isin(qids))
-    dense_top = (
-        sim_ops.cosine_topk(probes, emb, k=20)
-        .filter(F.col("rank") <= 20)
-        .select(
-            F.col("probe_id").cast("int").alias("query_id"),
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("rank").cast("int").alias("dense_rank"),
-        )
-    )
-
-    rrf = (
-        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(
-            F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(rrf.desc(), F.asc("doc_id"))
-    fused = (
-        lex_top.join(dense_top, on=["query_id", "doc_id"], how="full_outer")
-        .withColumn("rrf_score", F.round(rrf, 6))
-        .withColumn("rrf_rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rrf_rank") <= 10)
-    )
-    return fused.select(
-        "query_id", "doc_id", "lex_rank", "dense_rank", "rrf_score", "rrf_rank"
+    return hybrid_rrf_batch(
+        docs, emb, qterms, probe_ids=[0, 100, 200], k_leg=20, k_out=10
     )
 
 
