@@ -247,3 +247,102 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0
     ).select("doc_id")
     return ids.mapInPandas(run, schema)
+
+
+@query(
+    "multimodal_audio_decode",
+    """
+    WITH au AS (
+      SELECT doc_id,
+             200 + doc_id % 100 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents WHERE doc_id % 4 = 0),
+    s AS (
+      SELECT doc_id, n, rate, i,
+             ((doc_id * 13 + i * 17) % 4001) - 2000 AS v
+      FROM au, UNNEST(range(0, CAST(n AS BIGINT))) AS u(i)),
+    x AS (
+      SELECT doc_id, n, rate, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s)
+    SELECT doc_id AS item_id,
+           CAST(min(rate) AS INT)                        AS sample_rate,
+           count(*)                                      AS n_samples,
+           CAST(min(n) * 1000 // min(rate) AS BIGINT)    AS duration_ms,
+           CAST(sum(v) AS BIGINT)                        AS sample_sum,
+           min(v)                                        AS sample_min,
+           max(v)                                        AS sample_max,
+           CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_zero_crossings
+    FROM x GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode on executors, zero new dependencies (the PNG
+    row's audio twin — the modality is no longer a stub): every fourth
+    document id defines a deterministic int16 waveform (n = 200 +
+    id%100 samples, v_i = ((id*13 + i*17) % 4001) - 2000, rate = 8000 +
+    (id%4)*4000 Hz); the Spark side ENCODES it to real RIFF/WAV bytes
+    and REAL-DECODES the payload — chunk walk + PCM16 parse via
+    ``multimodal/wav.py`` — inside one Arrow-batched ``mapInPandas``,
+    emitting exact integer sample statistics including the
+    zero-crossing count (the classic cheap audio feature).  The oracle
+    recomputes the same statistics from the waveform FORMULA, so the
+    hash gate certifies the decoder recovered every actual sample.
+
+    Scale shape: map-only; payloads never leave their partition."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.multimodal.wav import (
+        encode_wav_pcm16,
+        wav_sample_stats,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("sample_sum", T.LongType(), False),
+            T.StructField("sample_min", T.LongType(), False),
+            T.StructField("sample_max", T.LongType(), False),
+            T.StructField("n_zero_crossings", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 200 + d % 100
+                rate = 8000 + (d % 4) * 4000
+                v = (((d * 13 + np.arange(n) * 17) % 4001) - 2000).astype(
+                    np.int16
+                )
+                payload = encode_wav_pcm16(v, rate)   # real WAV bytes
+                s = wav_sample_stats(payload)         # real decode
+                rows.append(
+                    (
+                        d, s["sample_rate"], s["n_samples"],
+                        s["duration_ms"], s["sample_sum"], s["sample_min"],
+                        s["sample_max"], s["n_zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "sample_rate", "n_samples", "duration_ms",
+                    "sample_sum", "sample_min", "sample_max",
+                    "n_zero_crossings",
+                ],
+            )
+
+    ids = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    ).select("doc_id")
+    return ids.mapInPandas(run, schema)

@@ -416,6 +416,8 @@ SHUFFLE_BUDGET = {
     "ivfpq_index_query_readback": (3, 2),
     # r7: 3-D box rollup over the stats-pruned post-optimize read
     "table_optimize_zorder3_readback": (1, 1),
+    # r7: real WAV encode+decode inside one mapInPandas — map-only
+    "multimodal_audio_decode": (0, 0),
 }
 
 

@@ -572,3 +572,46 @@ def test_stream_lsh_dedup_planted_cross_batch_dups(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert band_ids == {1, 60, 40, 50}
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Real WAV codec: encode->decode recovers exact samples, the chunk
+    walk tolerates non-canonical layouts (extra LIST chunk, odd-size
+    padding), and non-PCM16 inputs raise explicitly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gridded_etl_tools_spark.multimodal.wav import (
+        encode_wav_pcm16,
+        wav_sample_stats,
+    )
+
+    v = np.array([0, 100, -100, 32767, -32768, 1, -1, 0], dtype=np.int16)
+    payload = encode_wav_pcm16(v, 16000)
+    s = wav_sample_stats(payload)
+    assert s["sample_rate"] == 16000
+    assert s["n_samples"] == 8
+    assert s["sample_sum"] == int(v.astype(np.int64).sum())
+    assert (s["sample_min"], s["sample_max"]) == (-32768, 32767)
+    # sign changes: 100->-100, -100->32767, 32767->-32768, -32768->1, 1->-1
+    assert s["n_zero_crossings"] == 5
+    assert s["duration_ms"] == 0  # 8 samples @ 16kHz
+
+    # non-canonical: inject an odd-size LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    weird = payload[:fmt_end] + extra + payload[fmt_end:]
+    weird = (
+        b"RIFF" + struct.pack("<I", len(weird) - 8) + b"WAVE" + weird[12:]
+    )
+    assert wav_sample_stats(weird) == s
+
+    # stereo rejected loudly, not silently mis-parsed
+    stereo = bytearray(payload)
+    stereo[22] = 2  # n_channels
+    with _pytest.raises(NotImplementedError):
+        wav_sample_stats(bytes(stereo))
+    with _pytest.raises(ValueError):
+        wav_sample_stats(b"not a wav")
