@@ -254,7 +254,9 @@ SHUFFLE_BUDGET = {
     "multimodal_exact_dedup": (2, 0),    # sha agg + countDistinct expand
     "skew_salted_join": (2, 0),          # dim agg + salted-join final agg
     "lcc_reproject": (0, 0),             # pure column trig over spark.range
-    "ivf_nprobe_topk": (2, 5),           # see ivf_ann_topk r5 note
+    # r7: multi-probe no longer runs a discarded single-cell
+    # pre-assign, dropping two centroid-pack singles (was (2, 5))
+    "ivf_nprobe_topk": (2, 3),
     # round-4 continuation additions.  kmeans' exchanges all carry
     # dimension-sized state: (centroid,dim) partial means per Lloyd round
     # (hash) and 1-row centroid-book packs (single) — the corpus itself
