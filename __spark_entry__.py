@@ -65,6 +65,7 @@ _FAMILY_REPRESENTATIVES = (
     "ivfpq_index_query_readback",  # r7: persisted IVF+PQ (FAISS IVFPQ shape)
     "table_optimize_zorder3_readback",  # r7: k-axis Morton interleave
     "multimodal_audio_decode",    # r7: real WAV codec (audio de-stubbed)
+    "multimodal_video_decode",    # r7: real animated-GIF codec (video de-stubbed)
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )

@@ -1,0 +1,249 @@
+"""Real animated-GIF (GIF89a + LZW) codec — zero new dependencies.
+
+The video twin of :mod:`png` and :mod:`wav`: an animated GIF is a real
+multi-frame container, so frame sampling and per-frame feature
+extraction run against REAL video-style bytes instead of a stub.
+``encode_gif_gray8`` writes a GIF89a with a 256-entry grayscale
+palette and one image block per frame (each LZW-compressed with the
+standard variable-code-width scheme, 9→12 bits, dictionary reset via
+CLEAR when full); ``gif_frame_stats`` decodes every frame back to
+pixel values and returns exact integer statistics.
+
+Executor-side only: the catalog row ``multimodal_video_decode``
+encodes + decodes inside one Arrow-batched ``mapInPandas`` and the
+oracle recomputes the statistics from the frame formula, so the hash
+gate certifies the LZW decoder recovered every actual pixel of every
+frame.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then codes with growing width
+    (min_code_size+1 .. 12 bits, LSB-first bit packing); reset the
+    dictionary with CLEAR when it reaches 4096; finish with END."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out_bits: list[int] = []  # (value, width) flattened via helper
+
+    bitbuf = 0
+    bitcnt = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh_dict():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_dict()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for byte in data:
+        probe = prefix + bytes([byte])
+        if probe in table:
+            prefix = probe
+            continue
+        emit(table[prefix], width)
+        table[probe] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh_dict()
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    del out_bits
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode` (standard GIF LZW decoder)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    width = min_code_size + 1
+
+    def read_code():
+        nonlocal bitbuf, bitcnt, pos
+        while bitcnt < width and pos < len(data):
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    reset()
+    prev: bytes | None = None
+    while True:
+        code = read_code()
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _blocks(payload: bytes) -> bytes:
+    """Wrap raw bytes into GIF data sub-blocks (<=255 bytes each)."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif_gray8(frames, delay_cs: int = 4) -> bytes:
+    """GIF89a bytes for a list of equal-shape uint8 (h, w) frames with a
+    256-entry grayscale global palette; each frame gets a Graphic
+    Control Extension carrying ``delay_cs`` (centiseconds)."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 256 entries, 8 bpp
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):  # grayscale palette
+        out += bytes((i, i, i))
+    # netscape loop extension (loop forever) — standard for animation
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        # graphic control extension: delay, no transparency
+        out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, delay_cs, 0, 0)
+        # image descriptor: full-frame, no local palette
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        out += _blocks(
+            _lzw_encode(np.ascontiguousarray(frame, dtype=np.uint8).tobytes())
+        )
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_frame_stats(payload: bytes) -> dict:
+    """REAL decode: parse the GIF89a structure, LZW-decode every frame,
+    and return exact integer statistics — n_frames, width, height,
+    total delay (ms), pixel sum/min/max across ALL frames, and the sum
+    of absolute inter-frame pixel deltas (the motion-energy signal a
+    frame sampler keys on)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames = []
+    total_delay_cs = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control: read the delay
+                size = payload[pos]
+                _, delay = struct.unpack(
+                    "<BH", payload[pos + 1:pos + 4]
+                )
+                total_delay_cs += delay
+            while True:  # skip sub-blocks
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if b0 == 0x2C:  # image descriptor
+            fx, fy, fw, fh, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10]
+            )
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                lzw += payload[pos:pos + size]
+                pos += size
+                if size == 0:
+                    break
+            pixels = np.frombuffer(
+                _lzw_decode(bytes(lzw), mcs), dtype=np.uint8
+            )
+            if pixels.size != fw * fh:
+                raise ValueError(
+                    f"frame decoded {pixels.size} pixels, expected {fw * fh}"
+                )
+            frames.append(pixels.astype(np.int64))
+            continue
+        raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("no image frames in GIF")
+    stacked = np.stack(frames)
+    motion = (
+        int(np.abs(np.diff(stacked, axis=0)).sum()) if len(frames) > 1 else 0
+    )
+    return {
+        "n_frames": len(frames),
+        "width": int(w),
+        "height": int(h),
+        "total_delay_ms": int(total_delay_cs) * 10,
+        "pixel_sum": int(stacked.sum()),
+        "pixel_min": int(stacked.min()),
+        "pixel_max": int(stacked.max()),
+        "motion_abs_sum": motion,
+    }

@@ -346,3 +346,111 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 4 == 0
     ).select("doc_id")
     return ids.mapInPandas(run, schema)
+
+
+@query(
+    "multimodal_video_decode",
+    """
+    WITH vid AS (
+      SELECT doc_id,
+             2 + doc_id % 4  AS nf,
+             12 + doc_id % 12 AS w,
+             6 + doc_id % 6  AS h
+      FROM documents WHERE doc_id % 6 = 0),
+    px AS (
+      SELECT doc_id, nf, w, h, k.k AS k, i.i AS i,
+             CAST((doc_id * 31 + k.k * 97 + i.i * 7) % 256 AS BIGINT) AS v
+      FROM vid,
+           UNNEST(range(0, CAST(nf AS BIGINT))) AS k(k),
+           UNNEST(range(0, CAST(w * h AS BIGINT))) AS i(i)),
+    motion AS (
+      SELECT a.doc_id,
+             CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_abs_sum
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.i = a.i AND b.k = a.k - 1
+      GROUP BY a.doc_id)
+    SELECT px.doc_id AS item_id,
+           CAST(min(nf) AS INT)            AS n_frames,
+           CAST(min(w) AS INT)             AS width,
+           CAST(min(h) AS INT)             AS height,
+           CAST(min(nf) * 40 AS BIGINT)    AS total_delay_ms,
+           CAST(sum(v) AS BIGINT)          AS pixel_sum,
+           min(v)                          AS pixel_min,
+           max(v)                          AS pixel_max,
+           CAST(min(m.motion_abs_sum) AS BIGINT) AS motion_abs_sum
+    FROM px JOIN motion m ON m.doc_id = px.doc_id
+    GROUP BY px.doc_id
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode on executors, zero new dependencies
+    (completing the modality trio: PNG images r5, WAV audio r7, and now
+    animated GIF — no multimodal stub remains): every sixth document id
+    defines a deterministic animation (2 + id%4 frames of (12 + id%12)
+    x (6 + id%6) pixels, pixel(k, i) = (id*31 + k*97 + i*7) % 256); the
+    Spark side ENCODES it to a real GIF89a (per-frame variable-width
+    LZW, 9-12 bits with CLEAR resets) and REAL-DECODES every frame via
+    ``multimodal/gif.py``, emitting exact statistics including the
+    inter-frame motion energy a frame sampler keys on.  The oracle
+    recomputes all of it from the pixel formula, so the hash gate
+    certifies the LZW decoder recovered every pixel of every frame.
+
+    Scale shape: map-only; payloads never leave their partition."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.multimodal.gif import (
+        encode_gif_gray8,
+        gif_frame_stats,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("total_delay_ms", T.LongType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+            T.StructField("pixel_min", T.LongType(), False),
+            T.StructField("pixel_max", T.LongType(), False),
+            T.StructField("motion_abs_sum", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                nf, w, h = 2 + d % 4, 12 + d % 12, 6 + d % 6
+                frames = [
+                    ((d * 31 + k * 97 + np.arange(w * h) * 7) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for k in range(nf)
+                ]
+                payload = encode_gif_gray8(frames, delay_cs=4)  # real GIF
+                s = gif_frame_stats(payload)                    # real decode
+                rows.append(
+                    (
+                        d, s["n_frames"], s["width"], s["height"],
+                        s["total_delay_ms"], s["pixel_sum"],
+                        s["pixel_min"], s["pixel_max"], s["motion_abs_sum"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "n_frames", "width", "height",
+                    "total_delay_ms", "pixel_sum", "pixel_min",
+                    "pixel_max", "motion_abs_sum",
+                ],
+            )
+
+    ids = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 0
+    ).select("doc_id")
+    return ids.mapInPandas(run, schema)

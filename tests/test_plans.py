@@ -420,6 +420,8 @@ SHUFFLE_BUDGET = {
     "table_optimize_zorder3_readback": (1, 1),
     # r7: real WAV encode+decode inside one mapInPandas — map-only
     "multimodal_audio_decode": (0, 0),
+    # r7: real animated-GIF (LZW) encode+decode, same map-only shape
+    "multimodal_video_decode": (0, 0),
 }
 
 

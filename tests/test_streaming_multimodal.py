@@ -615,3 +615,46 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         wav_sample_stats(bytes(stereo))
     with _pytest.raises(ValueError):
         wav_sample_stats(b"not a wav")
+
+
+def test_gif_codec_roundtrip_lzw_stress():
+    """Real animated-GIF codec: multi-frame roundtrip recovers every
+    pixel; the LZW pair survives pathological inputs (all-zeros deep
+    chains, KwKwK, dictionary-reset at 4096 codes); malformed payloads
+    raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gridded_etl_tools_spark.multimodal.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        encode_gif_gray8,
+        gif_frame_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    for data in (
+        bytes(rng.randint(0, 256, 10000, dtype=np.uint8)),
+        bytes(5000),                  # all zeros (deep dict chains)
+        bytes(range(256)) * 40,       # cycling, forces 4096-code resets
+        b"",
+        b"abababababababab" * 700,    # KwKwK stress
+    ):
+        assert _lzw_decode(_lzw_encode(data), 8) == data
+
+    frames = [
+        ((np.arange(48 * 32, dtype=np.int64) * 7 + k * 31) % 256)
+        .astype(np.uint8).reshape(32, 48)
+        for k in range(5)
+    ]
+    s = gif_frame_stats(encode_gif_gray8(frames, delay_cs=4))
+    stacked = np.stack([f.astype(np.int64) for f in frames])
+    assert s["n_frames"] == 5
+    assert (s["width"], s["height"]) == (48, 32)
+    assert s["pixel_sum"] == int(stacked.sum())
+    assert s["total_delay_ms"] == 200
+    assert s["motion_abs_sum"] == int(
+        np.abs(np.diff(stacked, axis=0)).sum()
+    )
+    with _pytest.raises(ValueError):
+        gif_frame_stats(b"not a gif")
