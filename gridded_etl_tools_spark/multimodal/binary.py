@@ -62,14 +62,17 @@ def deterministic_fake_decode(payload: bytes, n_features: int = 8) -> list[float
 
 
 def real_decode_placeholder(payload: bytes) -> list[float]:
-    """Where a real decoder plugs in (PIL image decode, librosa mel
-    features, ffmpeg frame sampling).  PNG payloads have a REAL in-repo
-    decoder — ``multimodal/png.py`` (zlib inflate + full unfilter,
-    promoted from the GRIB2 5.41/7.41 path; see the
-    ``multimodal_real_decode`` catalog row for its oracle-checked pixel
-    statistics).  Other codecs remain unimplemented: the container
-    ships no media libraries."""
-    from gridded_etl_tools_spark.multimodal import png
+    """Magic-byte front door to the REAL in-repo codecs — one per
+    modality, all zero-dependency: PNG images (``multimodal/png.py``,
+    zlib inflate + full unfilter), RIFF/PCM16 WAV audio
+    (``multimodal/wav.py``, chunk walk + sample stats), and animated
+    GIF video (``multimodal/gif.py``, variable-width LZW per frame).
+    Each returns a small real-feature vector; see the
+    ``multimodal_real_decode`` / ``multimodal_audio_decode`` /
+    ``multimodal_video_decode`` catalog rows for the oracle-checked
+    exact statistics.  Payloads outside these formats raise — plug a
+    library decoder in via ``decode_fn`` where one is available."""
+    from gridded_etl_tools_spark.multimodal import gif, png, wav
 
     if payload[:8] == png._PNG_SIG:
         _w, _h, _c, px = png.decode_png(payload)
@@ -77,9 +80,30 @@ def real_decode_placeholder(payload: bytes) -> list[float]:
         mean = float(px.mean())
         std = float(px.std())
         return [float(_w), float(_h), float(_c), mean, std]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        s = wav.wav_sample_stats(payload)
+        n = max(s["n_samples"], 1)
+        return [
+            float(s["sample_rate"]),
+            float(s["n_samples"]),
+            float(s["duration_ms"]),
+            s["sample_sum"] / n,                 # mean amplitude
+            s["n_zero_crossings"] / n,           # zero-crossing rate
+        ]
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        s = gif.gif_frame_stats(payload)
+        n_px = max(s["n_frames"] * s["width"] * s["height"], 1)
+        return [
+            float(s["n_frames"]),
+            float(s["width"]),
+            float(s["height"]),
+            s["pixel_sum"] / n_px,               # mean intensity
+            float(s["motion_abs_sum"]),          # motion energy
+        ]
     raise NotImplementedError(
-        "no codec for this payload type in this environment; PNG is "
-        "supported natively (multimodal/png.py), otherwise pass "
+        "no codec for this payload type in this environment; PNG, "
+        "PCM16 WAV, and animated GIF are supported natively "
+        "(multimodal/{png,wav,gif}.py), otherwise pass "
         "decode_fn=deterministic_fake_decode or a real decoder"
     )
 

@@ -658,3 +658,22 @@ def test_gif_codec_roundtrip_lzw_stress():
     )
     with _pytest.raises(ValueError):
         gif_frame_stats(b"not a gif")
+
+
+def test_real_decode_routes_wav_and_gif():
+    """The magic-byte front door now covers all three modalities."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.multimodal.gif import encode_gif_gray8
+    from gridded_etl_tools_spark.multimodal.wav import encode_wav_pcm16
+
+    v = np.array([100, -100, 100, -100], dtype=np.int16)
+    feats = real_decode_placeholder(encode_wav_pcm16(v, 8000))
+    assert feats[0] == 8000.0 and feats[1] == 4.0
+    assert feats[4] == pytest.approx(3 / 4)  # zero-crossing rate
+
+    frames = [np.full((4, 4), k * 10, dtype=np.uint8) for k in range(3)]
+    feats = real_decode_placeholder(encode_gif_gray8(frames))
+    assert feats[:3] == [3.0, 4.0, 4.0]
+    assert feats[3] == pytest.approx(10.0)  # mean of 0/10/20
+    assert feats[4] == 2 * 16 * 10.0        # motion energy
