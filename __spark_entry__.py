@@ -66,6 +66,7 @@ _FAMILY_REPRESENTATIVES = (
     "table_optimize_zorder3_readback",  # r7: k-axis Morton interleave
     "multimodal_audio_decode",    # r7: real WAV codec (audio de-stubbed)
     "multimodal_video_decode",    # r7: real animated-GIF codec (video de-stubbed)
+    "zarr3_publish_readback",     # r7: distributed Zarr v3 sink readback
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )

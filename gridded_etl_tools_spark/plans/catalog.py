@@ -4900,6 +4900,53 @@ def zarr_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("station", "day", "value")
 
 
+def _zarr3_publish_root(spark: SparkSession, sf_dir: str) -> str:
+    """The v3 twin of :func:`_zarr_publish_root`: same daily grid through
+    the SAME distributed sink with ``zarr_format=3`` (root zarr.json
+    group written LAST; per-array regular chunk grids; gzip codec;
+    ``c/i/j`` chunk keys)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+
+    digest = hashlib.md5(f"zarr3_pub_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr3_pub_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, "zarr.json")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+        write_zarr_distributed(
+            rollup, root, "daily_mean", dims=["station", "day"],
+            chunks=(32, 8), zarr_format=3,
+        )
+    return root
+
+
+@query("zarr3_publish_readback", ORACLES["zarr_publish_readback"])
+def zarr3_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W7 on the reference's OTHER native metadata generation (r7):
+    the same daily grid published through the distributed sink with
+    ``zarr_format=3`` — executor-parallel ``c/i/j`` chunk writes, root
+    ``zarr.json`` group node committed LAST so the v3 detection
+    (reference store.py:249-271) never resolves an incomplete store —
+    then chunk-parallel decoded back.  Same oracle as the v2 readback:
+    both metadata generations must round-trip every cell and
+    materialize every absent station-day as fill->NULL."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    root = _zarr3_publish_root(spark, sf_dir)
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

@@ -49,15 +49,30 @@ def write_zarr_distributed(
     fill_value: float = float("nan"),
     compressor: str | None = "zlib",
     attrs: dict | None = None,
+    zarr_format: int = 2,
 ) -> dict:
     """Write a long-form frame (one row per grid cell) as a Zarr v2
-    store.  Returns a summary dict {n_chunks, n_cells, shape}.
+    (default) or v3 store.  Returns a summary {n_chunks, n_cells,
+    shape}.
+
+    ``zarr_format=3`` writes the OTHER metadata generation the
+    reference tolerates (store.py:249-271 format flags): a root
+    ``zarr.json`` group node, per-array ``zarr.json`` with a regular
+    chunk grid + bytes/gzip codec chain, and ``c/i/j`` default
+    chunk-key paths.  v3 has no zlib codec, so the v2 default
+    compressor transparently upgrades to gzip (both inflate with the
+    same decoder); the chunk-write parallelism and metadata-last
+    ordering are identical across generations.
 
     Cells absent from ``df`` become ``fill_value`` (decoded back as NULL
     by ``zarr2.decode_zarr_long`` when the fill is NaN or matches
     ``_FillValue``).  Duplicate cells raise — a dedup/combine_first pass
     belongs upstream, matching the reference's pre-write QC gating.
     """
+    if zarr_format not in (2, 3):
+        raise ValueError("zarr_format must be 2 or 3")
+    if zarr_format == 3 and compressor == "zlib":
+        compressor = "gzip"  # v3's codec registry has gzip, not zlib
     dims = list(dims)
     spark = df.sparkSession
     # 1. axes: sorted distinct per dim — dimension-sized driver state
@@ -113,6 +128,8 @@ def write_zarr_distributed(
         ]
     )
 
+    v3 = zarr_format == 3
+
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import gzip as _gzip
         import zlib as _zlib
@@ -134,11 +151,21 @@ def write_zarr_distributed(
             raw = _zlib.compress(raw, 5)
         elif compressor == "gzip":
             raw = _gzip.compress(raw, 5)
-        rel = ".".join(str(i) for i in idx)
-        tmp = os.path.join(root, data_var, f".{rel}.tmp-{os.getpid()}")
+        if v3:  # default chunk-key encoding: c/<i>/<j>/...
+            rel = "c/" + "/".join(str(i) for i in idx)
+            os.makedirs(
+                os.path.dirname(os.path.join(root, data_var, rel)),
+                exist_ok=True,
+            )
+        else:
+            rel = ".".join(str(i) for i in idx)
+        dest = os.path.join(root, data_var, rel)
+        tmp = os.path.join(
+            os.path.dirname(dest), f".{os.path.basename(dest)}.tmp-{os.getpid()}"
+        )
         with open(tmp, "wb") as f:
             f.write(raw)
-        os.replace(tmp, os.path.join(root, data_var, rel))
+        os.replace(tmp, dest)
         return pd.DataFrame(
             {"chunk": [rel], "n_cells": [len(pdf)], "n_bytes": [len(raw)]}
         )
@@ -153,13 +180,72 @@ def write_zarr_distributed(
     # axis arrays + group metadata via the single-process writer (axes
     # are dimension-sized), then the data variable's metadata by hand —
     # its chunks were already written in parallel above
+    import json as _json
+
+    if v3:
+        level = 5
+
+        def _v3_meta(shape_, cshape_, dim_names, extra_attrs):
+            codecs = [
+                {"name": "bytes", "configuration": {"endian": "little"}}
+            ]
+            if compressor == "gzip":
+                codecs.append(
+                    {"name": "gzip", "configuration": {"level": level}}
+                )
+            return {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(shape_),
+                "data_type": "float64",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(cshape_)},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": zarr2._encode_fill(fill),
+                "codecs": codecs,
+                "dimension_names": dim_names,
+                "attributes": extra_attrs,
+            }
+
+        import gzip as _gzip
+
+        for d in dims:  # dimension-sized single-chunk axis arrays
+            ddir = os.path.join(root, d, "c")
+            os.makedirs(ddir, exist_ok=True)
+            raw = axes[d].astype("<f8").tobytes()
+            if compressor == "gzip":
+                raw = _gzip.compress(raw, level)
+            with open(os.path.join(ddir, "0"), "wb") as f:
+                f.write(raw)
+            with open(os.path.join(root, d, "zarr.json"), "w") as f:
+                _json.dump(
+                    _v3_meta((axes[d].size,), (axes[d].size,), [d], {}), f
+                )
+        with open(os.path.join(root, data_var, "zarr.json"), "w") as f:
+            _json.dump(_v3_meta(shape, cshape, dims, attrs or {}), f)
+        # the root group node LAST: open_store's v3 detection keys on it,
+        # so a reader never sees the store before it is complete
+        with open(os.path.join(root, "zarr.json"), "w") as f:
+            _json.dump(
+                {"zarr_format": 3, "node_type": "group", "attributes": {}}, f
+            )
+        return {
+            "n_chunks": len(written),
+            "n_cells": int(sum(r.n_cells for r in written)),
+            "shape": shape,
+        }
+
     zarr2.write_zarr_store(
         root,
         variables={d: ((d,), axes[d], {}) for d in dims},
         compressor=compressor,
         consolidated=False,
     )
-    import json as _json
 
     zarray = {
         "zarr_format": 2,

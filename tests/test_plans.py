@@ -422,6 +422,9 @@ SHUFFLE_BUDGET = {
     "multimodal_audio_decode": (0, 0),
     # r7: real animated-GIF (LZW) encode+decode, same map-only shape
     "multimodal_video_decode": (0, 0),
+    # r7: v3-store readback — chunk-parallel mapInPandas decode; the
+    # exchange is the chunk-key grouping inside the cached fixture write
+    "zarr3_publish_readback": (1, 1),
 }
 
 

@@ -99,3 +99,42 @@ def test_explicit_fill_value_round_trips_as_null(spark, tmp_path):
         for r in zarr2.decode_zarr_long(spark, root, "v").collect()
     }
     assert got[(0.0, 10.5)] is None  # fill matches -> NULL, not -7.0
+
+
+def test_v3_sink_roundtrip_with_fill(spark, tmp_path):
+    """zarr_format=3: the distributed sink writes a real v3 store (root
+    zarr.json group, regular chunk grid, gzip codec, c/i/j keys) that
+    the in-repo v3 reader round-trips exactly — including absent cells
+    materialized as fill->NULL."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+    from gridded_etl_tools_spark.sources import zarr2
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") / 10).cast("int").cast("double").alias("y"),
+        (F.col("id") * 1.5).alias("value"),
+    ).filter(F.col("id") % 7 != 0)
+    root = str(tmp_path / "v3.zarr")
+    summary = write_zarr_distributed(
+        df, root, "v", dims=["x", "y"], chunks=(4, 3), zarr_format=3
+    )
+    assert summary["shape"] == (10, 10) and summary["n_cells"] == 85
+
+    import os
+
+    assert os.path.exists(os.path.join(root, "zarr.json"))  # v3 detection
+    assert os.path.exists(os.path.join(root, "v", "c", "0", "0"))
+
+    rows = {
+        (r["x"], r["y"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert len(rows) == 100
+    for i in range(100):
+        got = rows[(float(i % 10), float(i // 10))]
+        if i % 7 == 0:
+            assert got is None
+        else:
+            assert got == pytest.approx(i * 1.5)
