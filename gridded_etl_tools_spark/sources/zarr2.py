@@ -582,8 +582,11 @@ def append_time_chunks(
             elif m.compressor and m.compressor["id"] == "gzip":
                 raw = _gzip.compress(raw, m.compressor.get("level", 5))
             shifted = (idx[0] + off, *idx[1:])
-            rel = m.dimension_separator.join(str(i) for i in shifted)
+            # chunk_rel applies the v3 'c' prefix; v2 keys are one path
+            # component (dot separator), v3 keys nest into directories
+            rel = m.chunk_rel(shifted)
             path = os.path.join(root, m.name, *rel.split("/"))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 f.write(raw)
 
@@ -594,7 +597,8 @@ def append_time_chunks(
         (meta, new_shape),
         (tmeta, (tmeta.shape[0] + new_times.size,)),
     ):
-        zpath = os.path.join(root, m.name, ".zarray")
+        fname = "zarr.json" if m.zarr_version == 3 else ".zarray"
+        zpath = os.path.join(root, m.name, fname)
         with open(zpath) as f:
             z = json.load(f)
         z["shape"] = list(shape)

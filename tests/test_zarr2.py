@@ -264,3 +264,36 @@ def test_zarr3_rejects_unknown_codec(tmp_path):
     }))
     with pytest.raises(zarr2.ZarrError, match="blosc"):
         zarr2.open_store(str(root))
+
+
+def test_append_time_chunks_v3_store(spark, tmp_path):
+    """r7: append_to_dataset on a v3 store — chunk keys get the 'c/'
+    prefix and the shape extends in zarr.json, not .zarray."""
+    data, times, lats, lons = _grid()
+    data, times = data[:2], times[:2]
+    root = str(tmp_path / "append3")
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (("time", "latitude", "longitude"), data, {}),
+        },
+        chunks={"precip": (2, 4, 5), "time": (2,)},
+    )
+    new_times = np.array([2.0, 3.0])
+    new_data = np.full((2, 4, 5), 7.25)
+    new_data[1, 3, 4] = 9.5
+    zarr2.append_time_chunks(root, "precip", "time", new_times, new_data)
+
+    metas = zarr2.open_store(root)
+    assert metas["precip"].shape == (4, 4, 5)
+    assert metas["time"].shape == (4,)
+    assert os.path.exists(os.path.join(root, "precip", "c", "1", "0", "0"))
+
+    got, rows = _collect(spark, root)
+    assert len(rows) == 4 * 4 * 5
+    assert got[(0.0, 36.25, -116.0)] == data[0, 1, 0]
+    assert got[(2.0, 36.0, -116.0)] == 7.25
+    assert got[(3.0, 36.75, -115.0)] == 9.5
