@@ -4930,6 +4930,56 @@ def _zarr3_publish_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+@query("zarr_publish_append_readback", ORACLES["zarr_publish_readback"])
+def zarr_publish_append_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W7 at scale on the reference's native format (r7): the first 16
+    days publish through the distributed sink, the REST arrives as a
+    DISTRIBUTED APPEND (``append_zarr_distributed`` — one chunk-key
+    shuffle over the new cells only, executor-parallel chunk writes at
+    shifted indices, dimension-sized metadata-last commit; reference
+    ``to_zarr(append_dim=...)``, publish.py:452-478).  Same oracle as
+    the one-shot publish: the two-era store must read back cell-for-
+    cell identical — at 100 TB the cadence append costs O(update),
+    never O(store), and is never bottlenecked on one writer."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    digest = hashlib.md5(f"zarr_app_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_app_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, ".zmetadata_done")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+        rollup = rollup.localCheckpoint(eager=True)
+        days = sorted(r[0] for r in rollup.select("day").distinct().collect())
+        cut = days[16]  # first 16 days = 2 aligned day-chunks of 8
+        write_zarr_distributed(
+            rollup.filter(F.col("day") < cut), root, "daily_mean",
+            dims=["day", "station"], chunks=(8, 32),
+        )
+        append_zarr_distributed(
+            rollup.filter(F.col("day") >= cut), root, "daily_mean"
+        )
+        open(os.path.join(root, ".zmetadata_done"), "w").close()
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
 @query("zarr3_publish_readback", ORACLES["zarr_publish_readback"])
 def zarr3_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/W7 on the reference's OTHER native metadata generation (r7):

@@ -534,13 +534,19 @@ def append_time_chunks(
     data_var: str,
     time_var: str,
     new_times: np.ndarray,
-    new_data: np.ndarray,
+    new_data: np.ndarray | None,
+    data_already_written: bool = False,
 ) -> None:
     """Append along the time dimension (reference ``publish.py:475``,
     ``to_zarr(append_dim=...)``): write the new chunk files, then extend
-    the ``.zarray`` shapes — metadata-last, so a reader mid-append never
+    the shape records — metadata-last, so a reader mid-append never
     sees a chunk it can't resolve.  Requires the existing time extent to
-    be chunk-aligned (zarr's own append constraint)."""
+    be chunk-aligned (zarr's own append constraint).
+
+    ``data_already_written=True`` skips the data-chunk writes (the
+    distributed sink's ``append_zarr_distributed`` wrote them
+    executor-parallel) and performs only the dimension-sized tail: the
+    time-axis chunk files plus the shape/consolidated metadata commit."""
     arrays = open_store(root)
     meta, tmeta = arrays[data_var], arrays[time_var]
     for m in (meta, tmeta):
@@ -549,8 +555,13 @@ def append_time_chunks(
                 f"append requires chunk-aligned time extent on {m.name} "
                 f"({m.shape[0]} % {m.chunks[0]} != 0)"
             )
-    if new_data.shape[1:] != meta.shape[1:] or new_data.shape[0] != new_times.size:
-        raise ZarrError("append block shape mismatch")
+    if not data_already_written:
+        if (
+            new_data is None
+            or new_data.shape[1:] != meta.shape[1:]
+            or new_data.shape[0] != new_times.size
+        ):
+            raise ZarrError("append block shape mismatch")
     new_shape = (meta.shape[0] + new_times.size, *meta.shape[1:])
 
     def _write_chunks(m: ZArray, off: int, data: np.ndarray) -> None:
@@ -590,7 +601,8 @@ def append_time_chunks(
             with open(path, "wb") as f:
                 f.write(raw)
 
-    _write_chunks(meta, meta.shape[0] // meta.chunks[0], new_data)
+    if not data_already_written:
+        _write_chunks(meta, meta.shape[0] // meta.chunks[0], new_data)
     _write_chunks(tmeta, tmeta.shape[0] // tmeta.chunks[0], new_times)
 
     for m, shape in (

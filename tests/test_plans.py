@@ -425,6 +425,9 @@ SHUFFLE_BUDGET = {
     # r7: v3-store readback — chunk-parallel mapInPandas decode; the
     # exchange is the chunk-key grouping inside the cached fixture write
     "zarr3_publish_readback": (1, 1),
+    # r7: two-era store readback after the distributed append (write +
+    # append chunk-key groupings run inside the cached fixture build)
+    "zarr_publish_append_readback": (1, 1),
 }
 
 

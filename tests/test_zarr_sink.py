@@ -138,3 +138,51 @@ def test_v3_sink_roundtrip_with_fill(spark, tmp_path):
             assert got is None
         else:
             assert got == pytest.approx(i * 1.5)
+
+
+def test_append_zarr_distributed_v2_and_v3(spark, tmp_path):
+    """Distributed append along the first dim: executor-parallel chunk
+    writes at shifted indices + metadata-last shape extension, on BOTH
+    metadata generations; out-of-axis coordinates and overlapping
+    append values are refused."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import zarr2
+
+    def grid(t_lo, t_hi):
+        return spark.range(100).select(
+            (F.col("id") / 10).cast("int").cast("double").alias("t"),
+            (F.col("id") % 10).cast("double").alias("x"),
+            (F.col("id") * 1.5).alias("value"),
+        ).filter((F.col("t") >= t_lo) & (F.col("t") < t_hi))
+
+    for fmt in (2, 3):
+        root = str(tmp_path / f"v{fmt}.zarr")
+        write_zarr_distributed(
+            grid(0, 4), root, "v", dims=["t", "x"], chunks=(2, 4),
+            zarr_format=fmt,
+        )
+        out = append_zarr_distributed(grid(4, 10), root, "v")
+        assert out["shape"] == (10, 10)
+        rows = {
+            (r["t"], r["x"]): r["value"]
+            for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+        }
+        assert len(rows) == 100
+        for i in range(100):
+            assert rows[(float(i // 10), float(i % 10))] == pytest.approx(
+                i * 1.5
+            )
+        # overlapping append values refused
+        with pytest.raises(zarr2.ZarrError, match="follow the existing"):
+            append_zarr_distributed(grid(4, 10), root, "v")
+        # out-of-axis coordinate refused (x=99 not on the axis)
+        bad = spark.createDataFrame(
+            [(20.0, 99.0, 1.0)], "t double, x double, value double"
+        )
+        with pytest.raises(zarr2.ZarrError, match="outside the store"):
+            append_zarr_distributed(bad, root, "v")
