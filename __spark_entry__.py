@@ -68,6 +68,7 @@ _FAMILY_REPRESENTATIVES = (
     "multimodal_video_decode",    # r7: real animated-GIF codec (video de-stubbed)
     "zarr3_publish_readback",     # r7: distributed Zarr v3 sink readback
     "zarr_publish_append_readback",  # r7: distributed zarr append (W7 at scale)
+    "streaming_zarr_append_readback",  # r7: the cadence loop as one stream
     "lsh_index_incremental_candidates",  # r6: persisted LSH dedup index
     "ivf_index_query_readback",   # r6: persisted IVF index (partition-pruned)
 )

@@ -152,6 +152,35 @@ def _stage_stream_source_parts(sf_dir: str, n_parts: int = 3) -> str:
     )
 
 
+def _stage_stream_day_parts(
+    sf_dir: str, bounds: tuple[int, int] = (16, 24)
+) -> str:
+    """Stage events.parquet as THREE DAY-ALIGNED part files (days
+    [0, b0), [b0, b1), [b1, ...) of the sorted distinct days): a
+    cadence feed whose micro-batches carry WHOLE days, so per-batch
+    daily rollups equal the global ones and the batches' append-axis
+    values are disjoint — the contract ``stream_zarr_append`` needs."""
+    import numpy as np
+    import pyarrow as pa
+
+    def build(tbl, n):
+        order = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        days = order.column("ts").to_numpy().astype("datetime64[D]")
+        uniq = np.unique(days)
+        b0, b1 = uniq[bounds[0]], uniq[bounds[1]]
+        return [
+            order.filter(pa.array(days < b0)),
+            order.filter(pa.array((days >= b0) & (days < b1))),
+            order.filter(pa.array(days >= b1)),
+        ]
+
+    import os
+
+    return _stage_parts(
+        os.path.join(sf_dir, "events.parquet"), "stream_day_parts", 3, build
+    )
+
+
 def _stage_stream_doc_parts(sf_dir: str, n_parts: int = 3) -> str:
     """Stage the STREAMED slice of documents.parquet (doc_id % 10 == 0)
     as ``n_parts`` part files keyed by ``(doc_id // 10) % n_parts`` —
@@ -4976,6 +5005,52 @@ def zarr_publish_append_readback(
             rollup.filter(F.col("day") >= cut), root, "daily_mean"
         )
         open(os.path.join(root, ".zmetadata_done"), "w").close()
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
+@query("streaming_zarr_append_readback", ORACLES["zarr_publish_readback"])
+def streaming_zarr_append_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's WHOLE operational loop as one Structured
+    Streaming job (r7): a day-aligned cadence feed replays as three
+    micro-batches through ``streaming/ingest.stream_zarr_append`` —
+    batch 1 publishes the store via the distributed sink, batches 2-3
+    land as DISTRIBUTED appends (executor-parallel chunk writes over
+    each batch only, metadata-last commits, batch-id replay guard) —
+    and the three-era store must read back cell-identical to the
+    one-shot publish under the same oracle.  extract → transform →
+    cadence-publish on the native format, end to end."""
+    import os
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+    from gridded_etl_tools_spark.streaming.ingest import stream_zarr_append
+
+    watch_dir = _stage_stream_day_parts(sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    run = uuid.uuid4().hex
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_szarr_{run}.zarr"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_szarrck_{run}")
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+            F.col("user_id").cast("double").alias("station"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+
+    q = stream_zarr_append(
+        spark, watch_dir, schema, root, "daily_mean",
+        dims=["day", "station"], checkpoint_dir=ckpt, chunks=[8, 32],
+        derive=derive, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
     out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
     return out.select("station", "day", "value")
 

@@ -257,6 +257,87 @@ def stream_maintain_rollup(
     return writer.start()
 
 
+def stream_zarr_append(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    root: str,
+    data_var: str,
+    dims: list[str],
+    checkpoint_dir: str,
+    value_col: str = "value",
+    chunks: list[int] | None = None,
+    zarr_format: int = 2,
+    derive=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The reference's full operational loop — cadence-driven appends
+    onto its native format (publish.py:452-478) — as ONE Structured
+    Streaming job: the first micro-batch publishes the store through
+    the distributed sink, every later batch lands as a DISTRIBUTED
+    append along ``dims[0]`` (executor-parallel chunk writes over the
+    batch only, metadata-last commit).
+
+    Batch contract: micro-batches arrive in ``dims[0]`` order with
+    disjoint, strictly-increasing axis values (the cadence shape — a
+    file stream staged chronologically), and each batch should cover a
+    multiple of the axis chunk except the last (zarr's own append
+    alignment rule, enforced by the sink).
+
+    Replay safety: foreachBatch is at-least-once, and the append sink
+    itself REFUSES non-increasing axis values, so a replayed batch
+    fails loudly rather than double-appending; the batch-id guard
+    skips it cleanly instead (recorded in a sidecar, atomically
+    renamed after each commit)."""
+    import json
+    import os
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    guard_path = os.path.join(root, "_stream_last_batch.json")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(guard_path):
+            with open(guard_path) as f:
+                if batch_id <= json.load(f)["batch_id"]:
+                    return  # replayed micro-batch already appended
+        feed = derive(batch_df) if derive is not None else batch_df
+        marker = (
+            os.path.join(root, "zarr.json")
+            if zarr_format == 3
+            else os.path.join(root, ".zmetadata")
+        )
+        if not os.path.exists(marker):
+            write_zarr_distributed(
+                feed, root, data_var, dims=dims, value_col=value_col,
+                chunks=chunks, zarr_format=zarr_format,
+            )
+        else:
+            append_zarr_distributed(feed, root, data_var, value_col=value_col)
+        tmp = guard_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, guard_path)
+
+    writer = (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_lsh_dedup(
     spark: SparkSession,
     source_dir: str,

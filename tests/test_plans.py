@@ -428,6 +428,8 @@ SHUFFLE_BUDGET = {
     # r7: two-era store readback after the distributed append (write +
     # append chunk-key groupings run inside the cached fixture build)
     "zarr_publish_append_readback": (1, 1),
+    # r7: three-era streaming-published store readback, same decode shape
+    "streaming_zarr_append_readback": (1, 1),
 }
 
 
