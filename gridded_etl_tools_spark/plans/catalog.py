@@ -167,6 +167,11 @@ def _stage_stream_day_parts(
         order = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
         days = order.column("ts").to_numpy().astype("datetime64[D]")
         uniq = np.unique(days)
+        if uniq.size <= bounds[1]:
+            raise ValueError(
+                f"day-aligned staging needs > {bounds[1]} distinct days; "
+                f"the events fixture has {uniq.size}"
+            )
         b0, b1 = uniq[bounds[0]], uniq[bounds[1]]
         return [
             order.filter(pa.array(days < b0)),
