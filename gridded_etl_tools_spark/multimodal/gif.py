@@ -28,8 +28,6 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
 
-    out_bits: list[int] = []  # (value, width) flattened via helper
-
     bitbuf = 0
     bitcnt = 0
     out = bytearray()
@@ -72,7 +70,6 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     emit(end, width)
     if bitcnt:
         out.append(bitbuf & 0xFF)
-    del out_bits
     return bytes(out)
 
 
@@ -91,6 +88,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             bitbuf |= data[pos] << bitcnt
             bitcnt += 8
             pos += 1
+        if bitcnt < width:
+            # data exhausted before an END code: a truncated stream —
+            # returning the zero-padded residue would decode as code 0
+            # forever (unbounded loop/memory)
+            raise ValueError("truncated LZW stream (no END code)")
         code = bitbuf & ((1 << width) - 1)
         bitbuf >>= width
         bitcnt -= width
@@ -208,6 +210,20 @@ def gif_frame_stats(payload: bytes) -> dict:
             fx, fy, fw, fh, iflags = struct.unpack(
                 "<HHHHB", payload[pos + 1:pos + 10]
             )
+            if (fx, fy) != (0, 0) or (fw, fh) != (w, h):
+                # optimized GIFs store partial-frame rects; statistics
+                # over mismatched regions would be silently wrong, so
+                # refuse loudly (like the WAV path does for non-PCM16)
+                raise NotImplementedError(
+                    f"partial-frame GIF unsupported: rect {fw}x{fh}@"
+                    f"({fx},{fy}) inside {w}x{h} — only full-frame "
+                    "animations decode here"
+                )
+            if iflags & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF frames unsupported (row order would "
+                    "be silently wrong)"
+                )
             pos += 10
             if iflags & 0x80:  # local color table
                 pos += 3 * (2 << (iflags & 0x07))

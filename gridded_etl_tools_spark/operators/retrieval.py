@@ -42,7 +42,10 @@ def rrf_fuse(
             F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
         )
     )
-    w = Window.partitionBy(*by[:-1]).orderBy(rrf.desc(), F.asc(by[-1]))
+    # single-query fusion (by = [doc_id]) ranks one bounded global
+    # frame: partition on a constant, never an empty partitionBy
+    part = [F.lit(0)] if len(by) == 1 else [F.col(c) for c in by[:-1]]
+    w = Window.partitionBy(*part).orderBy(rrf.desc(), F.asc(by[-1]))
     return (
         lex_top.join(dense_top, on=by, how="full_outer")
         .withColumn("rrf_score", F.round(rrf, 6))

@@ -5848,24 +5848,9 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("dense_rank"),
     )
 
-    rrf = (
-        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(
-            F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
-        )
-    )
-    fused = (
-        lex_top.join(dense_top, on="doc_id", how="full_outer")
-        .withColumn("rrf_score", F.round(rrf, 6))
-        .withColumn(
-            "rrf_rank",
-            F.row_number()
-            .over(Window.partitionBy(F.lit(0))
-                  .orderBy(rrf.desc(), F.asc("doc_id")))
-            .cast("int"),
-        )
-        .filter(F.col("rrf_rank") <= 10)
-    )
+    from gridded_etl_tools_spark.operators.retrieval import rrf_fuse
+
+    fused = rrf_fuse(lex_top, dense_top, by=["doc_id"], k_out=10)
     return fused.select(
         "doc_id", "lex_rank", "dense_rank", "rrf_score", "rrf_rank"
     )

@@ -255,7 +255,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH au AS (
       SELECT doc_id,
              200 + doc_id % 100 AS n,
-             8000 + (doc_id % 4) * 4000 AS rate
+             8000 + (doc_id % 3) * 4000 AS rate
       FROM documents WHERE doc_id % 4 = 0),
     s AS (
       SELECT doc_id, n, rate, i,
@@ -282,7 +282,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's audio twin — the modality is no longer a stub): every fourth
     document id defines a deterministic int16 waveform (n = 200 +
     id%100 samples, v_i = ((id*13 + i*17) % 4001) - 2000, rate = 8000 +
-    (id%4)*4000 Hz); the Spark side ENCODES it to real RIFF/WAV bytes
+    (id%3)*4000 Hz); the Spark side ENCODES it to real RIFF/WAV bytes
     and REAL-DECODES the payload — chunk walk + PCM16 parse via
     ``multimodal/wav.py`` — inside one Arrow-batched ``mapInPandas``,
     emitting exact integer sample statistics including the
@@ -320,7 +320,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 n = 200 + d % 100
-                rate = 8000 + (d % 4) * 4000
+                rate = 8000 + (d % 3) * 4000
                 v = (((d * 13 + np.arange(n) * 17) % 4001) - 2000).astype(
                     np.int16
                 )
@@ -353,9 +353,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vid AS (
       SELECT doc_id,
-             2 + doc_id % 4  AS nf,
-             12 + doc_id % 12 AS w,
-             6 + doc_id % 6  AS h
+             2 + doc_id % 7  AS nf,
+             12 + doc_id % 11 AS w,
+             6 + doc_id % 5  AS h
       FROM documents WHERE doc_id % 6 = 0),
     px AS (
       SELECT doc_id, nf, w, h, k.k AS k, i.i AS i,
@@ -386,8 +386,8 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode on executors, zero new dependencies
     (completing the modality trio: PNG images r5, WAV audio r7, and now
     animated GIF — no multimodal stub remains): every sixth document id
-    defines a deterministic animation (2 + id%4 frames of (12 + id%12)
-    x (6 + id%6) pixels, pixel(k, i) = (id*31 + k*97 + i*7) % 256); the
+    defines a deterministic animation (2 + id%7 frames of (12 + id%11)
+    x (6 + id%5) pixels, pixel(k, i) = (id*31 + k*97 + i*7) % 256); the
     Spark side ENCODES it to a real GIF89a (per-frame variable-width
     LZW, 9-12 bits with CLEAR resets) and REAL-DECODES every frame via
     ``multimodal/gif.py``, emitting exact statistics including the
@@ -425,7 +425,7 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
-                nf, w, h = 2 + d % 4, 12 + d % 12, 6 + d % 6
+                nf, w, h = 2 + d % 7, 12 + d % 11, 6 + d % 5
                 frames = [
                     ((d * 31 + k * 97 + np.arange(w * h) * 7) % 256)
                     .astype(np.uint8)

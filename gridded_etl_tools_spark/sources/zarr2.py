@@ -410,6 +410,16 @@ def decode_zarr_long(
                 if rel.startswith(".") or rel == "zarr.json":
                     continue  # v2 .zarray/.zattrs or v3 zarr.json metadata
                 idx = chunk_key_indices(rel, meta)
+                if any(
+                    ci * c >= s
+                    for ci, c, s in zip(idx, meta.chunks, meta.shape)
+                ):
+                    # a chunk beyond the committed shape: an in-flight
+                    # append's data file, written BEFORE its metadata
+                    # commit (the module's metadata-last ordering) — a
+                    # concurrent reader sees the old snapshot, it must
+                    # not crash on the new era's files
+                    continue
                 block = decode_chunk(bytes(content), meta)
                 ranges, trimmed = chunk_cells(meta, idx, block)
                 vals = cf_unpack_values(trimmed, meta).reshape(-1)

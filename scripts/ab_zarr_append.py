@@ -95,7 +95,9 @@ def main() -> None:
     out["stores_equal"] = (
         a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     )
-    out["speedup"] = round(out["append_single_s"] / out["append_dist_s"], 1)
+    out["speedup"] = round(
+        out["append_single_s"] / max(out["append_dist_s"], 0.1), 1
+    )
     print(json.dumps(out))
     for tag in ("dist", "single"):
         shutil.rmtree(f"{ROOT}_{tag}", ignore_errors=True)

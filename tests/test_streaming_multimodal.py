@@ -677,3 +677,48 @@ def test_real_decode_routes_wav_and_gif():
     assert feats[:3] == [3.0, 4.0, 4.0]
     assert feats[3] == pytest.approx(10.0)  # mean of 0/10/20
     assert feats[4] == 2 * 16 * 10.0        # motion energy
+
+
+def test_gif_decoder_rejects_truncated_and_partial_frames():
+    """Review findings: a truncated LZW stream must raise (not loop
+    forever on zero-padded residue); partial-frame and interlaced GIFs
+    must refuse loudly instead of producing silently-wrong stats."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gridded_etl_tools_spark.multimodal.gif import (
+        encode_gif_gray8,
+        gif_frame_stats,
+    )
+
+    frames = [np.arange(64, dtype=np.uint8).reshape(8, 8)]
+    payload = bytearray(encode_gif_gray8(frames))
+
+    # image descriptor offset, structurally: header(6) + LSD(7) +
+    # palette(768) + netscape ext(19) + GCE(8) — index(0x2C) would hit
+    # the palette, which contains every byte value
+    img = 6 + 7 + 768 + 19 + 8
+    assert payload[img] == 0x2C
+    # truncate the LZW data to 4 bytes with consistent sub-block framing
+    mcs_pos = img + 10
+    data4 = bytes(payload[mcs_pos + 2: mcs_pos + 6])
+    truncated = (
+        bytes(payload[: mcs_pos + 1])
+        + bytes([4]) + data4 + bytes([0]) + b"\x3b"
+    )
+    with _pytest.raises(ValueError, match="truncated LZW"):
+        gif_frame_stats(truncated)
+
+    # partial-frame rect refused
+    partial = bytearray(payload)
+    struct.pack_into("<HHHH", partial, img + 1, 1, 0, 7, 8)  # fx=1, fw=7
+    with _pytest.raises(NotImplementedError, match="partial-frame"):
+        gif_frame_stats(bytes(partial))
+
+    # interlace flag refused
+    inter = bytearray(payload)
+    inter[img + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        gif_frame_stats(bytes(inter))

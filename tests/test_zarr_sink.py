@@ -186,3 +186,31 @@ def test_append_zarr_distributed_v2_and_v3(spark, tmp_path):
         )
         with pytest.raises(zarr2.ZarrError, match="outside the store"):
             append_zarr_distributed(bad, root, "v")
+
+
+def test_decode_skips_in_flight_append_chunks(spark, tmp_path):
+    """Review finding: a chunk file beyond the committed shape (an
+    in-flight append's data, written before its metadata commit) must
+    be IGNORED by the decode — the reader sees the old snapshot, it
+    must not crash."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+    from gridded_etl_tools_spark.sources import zarr2
+
+    df = spark.range(40).select(
+        (F.col("id") / 10).cast("int").cast("double").alias("t"),
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    root = str(tmp_path / "inflight.zarr")
+    write_zarr_distributed(df, root, "v", dims=["t", "x"], chunks=(2, 10))
+    # simulate an in-flight append: a chunk file at t-chunk index 2
+    # (beyond shape (4, 10)) whose metadata has not committed yet
+    import shutil
+
+    src = str(tmp_path / "inflight.zarr" / "v" / "0.0")
+    shutil.copy(src, str(tmp_path / "inflight.zarr" / "v" / "2.0"))
+
+    out = zarr2.decode_zarr_long(spark, root, "v")
+    assert out.count() == 40  # old snapshot, no crash, no ghost rows
