@@ -181,6 +181,19 @@ def gif_frame_stats(payload: bytes) -> dict:
 
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
+
+    def _need(p: int, n: int) -> None:
+        # every descriptor/sub-block read is bounds-checked (ADVICE r7):
+        # a truncated GIF must fail with ONE clean error, not an
+        # IndexError/struct.error from arbitrary walk depths — and a
+        # missing block terminator must not walk past the buffer
+        if p + n > len(payload):
+            raise ValueError(
+                f"truncated GIF: need {n} bytes at offset {p}, "
+                f"payload is {len(payload)}"
+            )
+
+    _need(6, 7)
     w, h, flags, _, _ = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if flags & 0x80:  # global color table
@@ -192,21 +205,25 @@ def gif_frame_stats(payload: bytes) -> dict:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension
+            _need(pos, 2)
             label = payload[pos + 1]
             pos += 2
             if label == 0xF9:  # graphic control: read the delay
-                size = payload[pos]
+                _need(pos, 4)
                 _, delay = struct.unpack(
                     "<BH", payload[pos + 1:pos + 4]
                 )
                 total_delay_cs += delay
             while True:  # skip sub-blocks
+                _need(pos, 1)
                 size = payload[pos]
+                _need(pos + 1, size)
                 pos += 1 + size
                 if size == 0:
                     break
             continue
         if b0 == 0x2C:  # image descriptor
+            _need(pos, 10)
             fx, fy, fw, fh, iflags = struct.unpack(
                 "<HHHHB", payload[pos + 1:pos + 10]
             )
@@ -227,12 +244,15 @@ def gif_frame_stats(payload: bytes) -> dict:
             pos += 10
             if iflags & 0x80:  # local color table
                 pos += 3 * (2 << (iflags & 0x07))
+            _need(pos, 1)
             mcs = payload[pos]
             pos += 1
             lzw = bytearray()
             while True:
+                _need(pos, 1)
                 size = payload[pos]
                 pos += 1
+                _need(pos, size)
                 lzw += payload[pos:pos + size]
                 pos += size
                 if size == 0:

@@ -52,6 +52,14 @@ def wav_sample_stats(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            # a declared size past the buffer would silently slice a
+            # partial body — statistics over truncated samples (ADVICE
+            # r7): reject loudly instead
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])

@@ -1,0 +1,385 @@
+"""Pure-Python Blosc1 frame codec (LZ4 / zlib inner streams).
+
+Closes the reference-parity gap called out in round 7: the reference's
+DEFAULT compressor is Blosc — v2 stores get ``numcodecs.Blosc()``
+(= cname "lz4", clevel 5, byte-shuffle) and v3 stores get
+``zarr.codecs.BloscCodec(cname="lz4")``
+(``/root/reference/gridded_etl_tools/utils/metadata.py:952-954``) — so
+any store the reference publishes with default settings was previously
+unreadable here.  This module decodes (and, for fixtures and the native
+sink, encodes) the c-blosc1 chunk format with zero new dependencies, in
+the same style as the GRIB2 PNG codec.
+
+Format (c-blosc ``README_CHUNK_FORMAT.rst``):
+
+* 16-byte header: version, versionlz, flags, typesize, then
+  little-endian uint32 ``nbytes`` / ``blocksize`` / ``cbytes``.
+* flags: 0x1 byte-shuffle, 0x2 memcpyed (payload is the raw buffer,
+  no filters), 0x4 bit-shuffle (refused loudly), 0x10 dont-split,
+  bits 5-7 the inner codec (1 = LZ4/LZ4HC, 3 = zlib).
+* non-memcpyed: a uint32 offset table (one entry per block, offsets
+  from the frame start), then per block ``nsplits`` streams, each a
+  uint32 compressed size followed by the stream bytes; a stream whose
+  recorded size equals its uncompressed size is stored raw.
+* byte-shuffle and the split into ``typesize`` streams both apply PER
+  BLOCK; the shuffle transposes ``(n_elements, typesize)`` and copies
+  any non-multiple tail verbatim.
+
+The split count is recomputed from the header the way ``blosc_d`` does
+(``typesize <= 16 and blocksize//typesize >= 128 and not leftover and
+not dont-split``); because that heuristic moved across c-blosc
+releases, :func:`decompress_frame` validates that the chosen split
+walk consumes the block's bytes exactly and reproduces ``blocksize``
+output, and retries with the other split count on mismatch — so frames
+from any c-blosc 1.x vintage decode.
+
+The LZ4 inner codec is the standard LZ4 *block* format; tests
+cross-check both directions against an independent C implementation
+(pyarrow's ``lz4_raw``).  Everything here is executor-side: chunks
+decode where the bytes land, in parallel, exactly like the zlib/gzip
+path in :mod:`gridded_etl_tools_spark.sources.zarr2`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class BloscError(ValueError):
+    pass
+
+
+# -- LZ4 block format -------------------------------------------------------
+
+
+def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
+    """Decode one raw LZ4 block (token / literals / offset / match
+    sequences) into exactly ``dst_size`` bytes."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    if dst_size == 0 and n == 0:
+        return b""  # an empty block may also encode as one 0x00 token
+    while i < n:
+        token = src[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                if i >= n:
+                    raise BloscError("LZ4: truncated literal length")
+                b = src[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        if i + ll > n:
+            raise BloscError("LZ4: literals past end of block")
+        dst += src[i:i + ll]
+        i += ll
+        if i == n:
+            break  # last sequence carries literals only
+        if i + 2 > n:
+            raise BloscError("LZ4: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(dst):
+            raise BloscError(f"LZ4: bad match offset {offset} at {len(dst)}")
+        ml = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if i >= n:
+                    raise BloscError("LZ4: truncated match length")
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        start = len(dst) - offset
+        if offset >= ml:
+            dst += dst[start:start + ml]
+        else:
+            # overlapping match = repeating pattern of length `offset`
+            pattern = bytes(dst[start:])
+            reps = -(-ml // offset)
+            dst += (pattern * reps)[:ml]
+        if len(dst) > dst_size:
+            raise BloscError(
+                f"LZ4: block overruns {dst_size} bytes ({len(dst)})"
+            )
+    if len(dst) != dst_size:
+        raise BloscError(f"LZ4: decoded {len(dst)} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+def _emit_length(out: bytearray, rem: int) -> None:
+    while rem >= 255:
+        out.append(255)
+        rem -= 255
+    out.append(rem)
+
+
+def lz4_compress_block(src: bytes) -> bytes:
+    """Greedy LZ4 block encoder (fixture/sink writer — correctness over
+    ratio): hash 4-byte prefixes, extend matches, honor the spec's end
+    rules (last 5 bytes literal, no match starting in the last 12)."""
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+    if n >= 13:
+        table: dict[bytes, int] = {}
+        i = 0
+        limit = n - 12  # last legal match start
+        while i <= limit:
+            seq = src[i:i + 4]
+            j = table.get(seq, -1)
+            table[seq] = i
+            if j < 0 or i - j > 0xFFFF or src[j:j + 4] != seq:
+                i += 1
+                continue
+            mlen = 4
+            max_end = n - 5
+            while i + mlen < max_end and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            lits = src[anchor:i]
+            ll, ml = len(lits), mlen - 4
+            out.append((min(ll, 15) << 4) | min(ml, 15))
+            if ll >= 15:
+                _emit_length(out, ll - 15)
+            out += lits
+            out += struct.pack("<H", i - j)
+            if ml >= 15:
+                _emit_length(out, ml - 15)
+            i += mlen
+            anchor = i
+    lits = src[anchor:]
+    out.append(min(len(lits), 15) << 4)
+    if len(lits) >= 15:
+        _emit_length(out, len(lits) - 15)
+    out += lits
+    return bytes(out)
+
+
+# -- byte shuffle filter ----------------------------------------------------
+
+
+def shuffle_bytes(data: bytes, typesize: int) -> bytes:
+    """c-blosc byte shuffle: transpose (n_elements, typesize) so each
+    element-byte position becomes one contiguous stream; bytes past the
+    last whole element are copied verbatim."""
+    if typesize <= 1 or len(data) < typesize:
+        return data
+    body = len(data) - len(data) % typesize
+    arr = np.frombuffer(data[:body], dtype=np.uint8)
+    shuffled = arr.reshape(-1, typesize).T.tobytes()
+    return shuffled + data[body:]
+
+
+def unshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    if typesize <= 1 or len(data) < typesize:
+        return data
+    body = len(data) - len(data) % typesize
+    arr = np.frombuffer(data[:body], dtype=np.uint8)
+    unshuffled = arr.reshape(typesize, -1).T.tobytes()
+    return unshuffled + data[body:]
+
+
+# -- blosc1 frame container -------------------------------------------------
+
+_FLAG_SHUFFLE = 0x1
+_FLAG_MEMCPYED = 0x2
+_FLAG_BITSHUFFLE = 0x4
+_FLAG_DONT_SPLIT = 0x10
+_CODEC_NAMES = {1: "lz4", 3: "zlib"}  # 0=blosclz, 2=snappy, 4=zstd: refused
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
+_VERSION_FORMAT = 2  # BLOSC_VERSION_FORMAT
+
+
+def _split_count(typesize: int, bsize: int, leftover: bool, dont_split: bool) -> int:
+    if (
+        typesize <= _MAX_SPLITS
+        and typesize > 0
+        and bsize // typesize >= _MIN_BUFFERSIZE
+        and not leftover
+        and not dont_split
+    ):
+        return typesize
+    return 1
+
+
+def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
+    if codec == 1:
+        return lz4_decompress_block(payload, out_size)
+    got = zlib.decompress(payload)
+    if len(got) != out_size:
+        raise BloscError(f"zlib: {len(got)} bytes, expected {out_size}")
+    return got
+
+
+def _decode_block(
+    frame: bytes, start: int, bsize: int, nsplits: int, codec: int
+) -> bytes:
+    """One block: walk ``nsplits`` (uint32 size, stream) pairs.  Raises
+    on any inconsistency so the caller can retry the other split count."""
+    out = bytearray()
+    pos = start
+    neblock = bsize // nsplits
+    sizes = [neblock] * nsplits
+    sizes[-1] += bsize - neblock * nsplits
+    for esize in sizes:
+        if pos + 4 > len(frame):
+            raise BloscError("blosc: truncated split header")
+        (csize,) = struct.unpack_from("<I", frame, pos)
+        pos += 4
+        if pos + csize > len(frame):
+            raise BloscError("blosc: split stream past frame end")
+        payload = frame[pos:pos + csize]
+        pos += csize
+        if csize == esize:
+            out += payload  # stored raw (compression did not help)
+        else:
+            out += _decode_stream(codec, payload, esize)
+    return bytes(out)
+
+
+def decompress_frame(frame: bytes) -> bytes:
+    """Full c-blosc1 chunk decode: header → blocks → splits → inner
+    codec → per-block unshuffle."""
+    if len(frame) < 16:
+        raise BloscError(f"blosc frame shorter than header ({len(frame)}B)")
+    version, _versionlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
+    if version < 1 or version > 3:
+        raise BloscError(f"blosc format version {version} unsupported")
+    if len(frame) < cbytes:
+        raise BloscError(f"blosc frame truncated: {len(frame)} < cbytes {cbytes}")
+    if flags & _FLAG_BITSHUFFLE:
+        raise BloscError(
+            "blosc bit-shuffle filter unsupported (reference default is "
+            "byte-shuffle; re-encode or extend sources/blosc.py)"
+        )
+    if nbytes == 0:
+        return b""
+    if flags & _FLAG_MEMCPYED:
+        if 16 + nbytes > len(frame):
+            raise BloscError("blosc memcpy frame shorter than nbytes")
+        return bytes(frame[16:16 + nbytes])
+    codec = flags >> 5
+    if codec not in _CODEC_NAMES:
+        raise BloscError(
+            f"blosc inner codec id {codec} unsupported (lz4/zlib only; "
+            "blosclz/snappy/zstd would need their own pure-Python decoders)"
+        )
+    if blocksize == 0:
+        raise BloscError("blosc: zero blocksize in non-memcpy frame")
+    nblocks = -(-nbytes // blocksize)
+    table_end = 16 + 4 * nblocks
+    if table_end > len(frame):
+        raise BloscError("blosc: truncated block-offset table")
+    bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
+    dont_split = bool(flags & _FLAG_DONT_SPLIT)
+    shuffled = bool(flags & _FLAG_SHUFFLE)
+    out = bytearray()
+    leftover = nbytes % blocksize
+    for bi, bstart in enumerate(bstarts):
+        is_leftover = bi == nblocks - 1 and leftover != 0
+        bsize = leftover if is_leftover else blocksize
+        if bstart < table_end or bstart >= len(frame):
+            raise BloscError(f"blosc: block offset {bstart} out of range")
+        nsplits = _split_count(typesize, bsize, is_leftover, dont_split)
+        try:
+            block = _decode_block(frame, bstart, bsize, nsplits, codec)
+        except BloscError:
+            # the split heuristic moved across c-blosc releases; the
+            # stream layout self-describes enough to try the other one
+            alt = 1 if nsplits != 1 else typesize
+            if alt == nsplits or alt < 1:
+                raise
+            block = _decode_block(frame, bstart, bsize, alt, codec)
+        if shuffled:
+            block = unshuffle_bytes(block, typesize)
+        out += block
+    if len(out) != nbytes:
+        raise BloscError(f"blosc: decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+def compress_frame(
+    data: bytes,
+    typesize: int,
+    cname: str = "lz4",
+    shuffle: bool = True,
+    blocksize: int = 0,
+    split: bool = True,
+    clevel: int = 5,
+) -> bytes:
+    """Encode a c-blosc1 frame (fixture writer + native sink).  Mirrors
+    ``blosc_c``: per-block shuffle, split into ``typesize`` streams when
+    the header rule triggers, store-raw fallback per stream, memcpy
+    fallback for incompressible buffers."""
+    codec = {"lz4": 1, "lz4hc": 1, "zlib": 3}.get(cname)
+    if codec is None:
+        raise BloscError(f"unsupported blosc cname {cname!r}")
+    if typesize < 1 or typesize > 255:
+        typesize = 1
+    nbytes = len(data)
+    if blocksize <= 0:
+        blocksize = min(max(nbytes, 1), 1 << 16)
+    blocksize -= blocksize % typesize or 0
+    blocksize = max(blocksize, typesize)
+    blocksize = min(blocksize, max(nbytes, 1))
+    if nbytes and blocksize % typesize and blocksize < nbytes:
+        raise BloscError("blocksize must be a multiple of typesize")
+    flags = codec << 5
+    if shuffle and typesize > 1:
+        flags |= _FLAG_SHUFFLE
+    if not split:
+        flags |= _FLAG_DONT_SPLIT
+
+    def _compress_stream(raw: bytes) -> bytes:
+        if codec == 1:
+            return lz4_compress_block(raw)
+        return zlib.compress(raw, clevel)
+
+    nblocks = -(-nbytes // blocksize) if nbytes else 0
+    leftover = nbytes % blocksize
+    body = bytearray()
+    bstarts: list[int] = []
+    table_end = 16 + 4 * nblocks
+    for bi in range(nblocks):
+        is_leftover = bi == nblocks - 1 and leftover != 0
+        bsize = leftover if is_leftover else blocksize
+        block = data[bi * blocksize:bi * blocksize + bsize]
+        if flags & _FLAG_SHUFFLE:
+            block = shuffle_bytes(block, typesize)
+        nsplits = _split_count(
+            typesize, bsize, is_leftover, bool(flags & _FLAG_DONT_SPLIT)
+        )
+        neblock = bsize // nsplits
+        sizes = [neblock] * nsplits
+        sizes[-1] += bsize - neblock * nsplits
+        bstarts.append(table_end + len(body))
+        pos = 0
+        for esize in sizes:
+            raw = block[pos:pos + esize]
+            pos += esize
+            comp = _compress_stream(raw)
+            if len(comp) >= esize:
+                comp = raw  # store raw; decoder keys on csize == esize
+            body += struct.pack("<I", len(comp)) + comp
+    cbytes = table_end + len(body)
+    if cbytes >= nbytes + 16 and nbytes:
+        # incompressible: memcpy mode, raw original buffer, no filters
+        header = struct.pack(
+            "<BBBBIII", _VERSION_FORMAT, 1, codec << 5 | _FLAG_MEMCPYED,
+            typesize, nbytes, blocksize, nbytes + 16,
+        )
+        return header + data
+    header = struct.pack(
+        "<BBBBIII", _VERSION_FORMAT, 1, flags, typesize,
+        nbytes, blocksize, cbytes,
+    )
+    return header + struct.pack(f"<{nblocks}I", *bstarts) + bytes(body)

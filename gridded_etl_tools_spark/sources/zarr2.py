@@ -26,12 +26,15 @@ Scale design — Zarr is the format Spark maps onto best of all:
   there is no driver bottleneck and no shuffle anywhere in the scan.
 
 Format coverage: C/F chunk order, any numpy endian dtype, numcodecs
-``zlib``/``gzip``/``null`` compressors, ``.``/``/`` dimension
-separators, NaN-or-number fill values, missing chunks materialized as
-fill, edge-chunk trimming, xarray ``_ARRAY_DIMENSIONS`` naming, CF
-``scale_factor``/``add_offset``/``_FillValue`` unpacking, consolidated
-metadata.  Blosc-compressed stores raise a clear error (C codec,
-unavailable here by design).
+``blosc`` (lz4/lz4hc/zlib inner codecs, byte-shuffle — the reference's
+DEFAULT compressor, decoded by the pure-Python frame codec in
+:mod:`gridded_etl_tools_spark.sources.blosc`), ``zlib``/``gzip``/
+``null`` compressors, ``.``/``/`` dimension separators, NaN-or-number
+fill values, missing chunks materialized as fill, edge-chunk trimming,
+xarray ``_ARRAY_DIMENSIONS`` naming, CF ``scale_factor``/``add_offset``/
+``_FillValue`` unpacking, consolidated metadata.  Blosc variants this
+container cannot express (zstd/blosclz inner codecs, bit-shuffle) raise
+a clear error.
 """
 
 from __future__ import annotations
@@ -122,11 +125,22 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
     if meta.get("filters"):
         raise ZarrError(f"{name}: numcodecs filters unsupported: {meta['filters']}")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
         raise ZarrError(
             f"{name}: compressor {comp.get('id')!r} unsupported "
-            "(pure-Python path handles zlib/gzip/null)"
+            "(pure-Python path handles blosc-lz4/blosc-zlib/zlib/gzip/null)"
         )
+    if comp is not None and comp.get("id") == "blosc":
+        # the reference's DEFAULT (numcodecs.Blosc() = lz4 + byte-shuffle,
+        # metadata.py:952-954); fail fast driver-side on the variants the
+        # pure-Python frame codec refuses
+        if comp.get("cname", "lz4") not in ("lz4", "lz4hc", "zlib"):
+            raise ZarrError(
+                f"{name}: blosc cname {comp.get('cname')!r} unsupported "
+                "(lz4/lz4hc/zlib decode here; zstd/blosclz/snappy do not)"
+            )
+        if comp.get("shuffle", 1) == 2:
+            raise ZarrError(f"{name}: blosc bit-shuffle unsupported")
     dtype = np.dtype(meta["dtype"])
     return ZArray(
         name=name,
@@ -179,9 +193,28 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
             )
         elif cname == "gzip":
             compressor = {"id": "gzip", "level": conf.get("level", 5)}
+        elif cname == "blosc":
+            # the reference's v3 default: BloscCodec(cname="lz4")
+            # (metadata.py:952-954); frames self-describe, so config is
+            # validated here and the chunk decode keys on the header
+            inner = conf.get("cname", "lz4")
+            if inner not in ("lz4", "lz4hc", "zlib"):
+                raise ZarrError(
+                    f"{name}: blosc cname {inner!r} unsupported "
+                    "(lz4/lz4hc/zlib decode here)"
+                )
+            if conf.get("shuffle") == "bitshuffle":
+                raise ZarrError(f"{name}: blosc bit-shuffle unsupported")
+            compressor = {
+                "id": "blosc",
+                "cname": inner,
+                "clevel": conf.get("clevel", 5),
+                "shuffle": 1 if conf.get("shuffle", "shuffle") == "shuffle" else 0,
+                "blocksize": conf.get("blocksize", 0),
+            }
         else:
             raise ZarrError(
-                f"{name}: codec {cname!r} unsupported (bytes/gzip only)"
+                f"{name}: codec {cname!r} unsupported (bytes/gzip/blosc only)"
             )
     cke = meta.get(
         "chunk_key_encoding", {"name": "default", "configuration": {}}
@@ -276,7 +309,14 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
 
     if meta.compressor is not None:
         cid = meta.compressor["id"]
-        raw = _zlib.decompress(raw) if cid == "zlib" else _gzip.decompress(raw)
+        if cid == "blosc":
+            from gridded_etl_tools_spark.sources.blosc import decompress_frame
+
+            raw = decompress_frame(raw)
+        elif cid == "zlib":
+            raw = _zlib.decompress(raw)
+        else:
+            raw = _gzip.decompress(raw)
     n = int(np.prod(meta.chunks))
     arr = np.frombuffer(raw, dtype=meta.dtype, count=n)
     return arr.reshape(meta.chunks, order=meta.order)
@@ -454,6 +494,42 @@ def _encode_fill(fill) -> Any:
     return fill
 
 
+def _compress_chunk(raw: bytes, comp: dict | None, itemsize: int) -> bytes:
+    """Encode one chunk per the array's compressor metadata — the one
+    write-side codec dispatch shared by the v2/v3 writers and the
+    time-append path (decode twin: :func:`decode_chunk`)."""
+    if comp is None:
+        return raw
+    cid = comp["id"]
+    if cid == "zlib":
+        import zlib as _zlib
+
+        return _zlib.compress(raw, comp.get("level", 5))
+    if cid == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(raw, comp.get("level", 5))
+    if cid == "blosc":
+        from gridded_etl_tools_spark.sources.blosc import compress_frame
+
+        return compress_frame(
+            raw,
+            itemsize,
+            cname=comp.get("cname", "lz4"),
+            shuffle=comp.get("shuffle", 1) != 0,
+            blocksize=comp.get("blocksize", 0) or 0,
+            clevel=comp.get("clevel", 5),
+        )
+    raise ZarrError(f"compressor {cid!r} unsupported at write")
+
+
+#: the reference's default v2 compressor, numcodecs.Blosc() —
+#: cname lz4, clevel 5, byte-shuffle (metadata.py:952-954)
+BLOSC_DEFAULT_META = {
+    "id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0,
+}
+
+
 def write_zarr_store(
     root: str,
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
@@ -473,10 +549,11 @@ def write_zarr_store(
     follow (chunk writes are embarrassingly parallel: ``foreachPartition``
     writing its chunk files, then one driver-side metadata commit —
     matching the manifest-last commit protocol in ``sinks/table.py``).
-    """
-    import gzip as _gzip
-    import zlib as _zlib
 
+    ``compressor="blosc"`` writes the reference's default encoding
+    (numcodecs.Blosc(): lz4 + byte-shuffle) through the pure-Python
+    frame codec in :mod:`gridded_etl_tools_spark.sources.blosc`.
+    """
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -487,7 +564,12 @@ def write_zarr_store(
         os.makedirs(arr_dir, exist_ok=True)
         cshape = (chunks or {}).get(name, data.shape)
         fill = (fill_values or {}).get(name)
-        comp_meta = {"id": compressor, "level": 5} if compressor else None
+        if compressor == "blosc":
+            comp_meta: dict | None = dict(BLOSC_DEFAULT_META)
+        elif compressor:
+            comp_meta = {"id": compressor, "level": 5}
+        else:
+            comp_meta = None
         zarray = {
             "zarr_format": 2,
             "shape": list(data.shape),
@@ -521,11 +603,9 @@ def write_zarr_store(
             )
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = data[region]
-            raw = block.tobytes(order=order)
-            if compressor == "zlib":
-                raw = _zlib.compress(raw, 5)
-            elif compressor == "gzip":
-                raw = _gzip.compress(raw, 5)
+            raw = _compress_chunk(
+                block.tobytes(order=order), comp_meta, data.dtype.itemsize
+            )
             rel = dimension_separator.join(str(i) for i in idx)
             path = os.path.join(arr_dir, *rel.split("/"))
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -575,9 +655,6 @@ def append_time_chunks(
     new_shape = (meta.shape[0] + new_times.size, *meta.shape[1:])
 
     def _write_chunks(m: ZArray, off: int, data: np.ndarray) -> None:
-        import gzip as _gzip
-        import zlib as _zlib
-
         grid = tuple(
             -(-s // c) for s, c in zip(data.shape, m.chunks)
         )
@@ -597,11 +674,9 @@ def append_time_chunks(
             )
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = data[region]
-            raw = block.tobytes(order=m.order)
-            if m.compressor and m.compressor["id"] == "zlib":
-                raw = _zlib.compress(raw, m.compressor.get("level", 5))
-            elif m.compressor and m.compressor["id"] == "gzip":
-                raw = _gzip.compress(raw, m.compressor.get("level", 5))
+            raw = _compress_chunk(
+                block.tobytes(order=m.order), m.compressor, m.dtype.itemsize
+            )
             shifted = (idx[0] + off, *idx[1:])
             # chunk_rel applies the v3 'c' prefix; v2 keys are one path
             # component (dot separator), v3 keys nest into directories
@@ -644,14 +719,17 @@ def write_zarr3_store(
     chunks: dict[str, tuple[int, ...]] | None = None,
     gzip_level: int | None = 5,
     fill_values: dict[str, Any] | None = None,
+    blosc_lz4: bool = False,
 ) -> None:
     """Write a real Zarr v3 store (root group ``zarr.json`` + per-array
     ``zarr.json`` + ``c/``-prefixed chunk files; ``bytes``+``gzip``
     codec chain, ``dimension_names``) — the other metadata generation the
     reference tolerates (store.py:249-271).  Fixture-writer scale; the
-    distributed sink targets v2."""
-    import gzip as _gzip
+    distributed sink targets v2.
 
+    ``blosc_lz4=True`` swaps the gzip codec for the reference's v3
+    default, ``BloscCodec(cname="lz4")`` with byte-shuffle
+    (metadata.py:952-954)."""
     inv_dtypes = {v: k for k, v in _V3_DTYPES.items()}
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "zarr.json"), "w") as f:
@@ -667,8 +745,28 @@ def write_zarr3_store(
         codecs = [
             {"name": "bytes", "configuration": {"endian": "little"}}
         ]
-        if gzip_level is not None:
+        comp_meta: dict | None = None
+        if blosc_lz4:
+            itemsize = data.dtype.itemsize
+            codecs.append(
+                {
+                    "name": "blosc",
+                    "configuration": {
+                        "cname": "lz4",
+                        "clevel": 5,
+                        "shuffle": "shuffle" if itemsize > 1 else "noshuffle",
+                        "typesize": itemsize,
+                        "blocksize": 0,
+                    },
+                }
+            )
+            comp_meta = {
+                "id": "blosc", "cname": "lz4", "clevel": 5,
+                "shuffle": 1 if itemsize > 1 else 0, "blocksize": 0,
+            }
+        elif gzip_level is not None:
             codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
+            comp_meta = {"id": "gzip", "level": gzip_level}
         meta = {
             "zarr_format": 3,
             "node_type": "array",
@@ -705,9 +803,9 @@ def write_zarr3_store(
             )
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = little[region]
-            raw = block.tobytes(order="C")
-            if gzip_level is not None:
-                raw = _gzip.compress(raw, gzip_level)
+            raw = _compress_chunk(
+                block.tobytes(order="C"), comp_meta, data.dtype.itemsize
+            )
             path = os.path.join(arr_dir, "c", *[str(i) for i in idx])
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:

@@ -430,6 +430,9 @@ SHUFFLE_BUDGET = {
     "zarr_publish_append_readback": (1, 1),
     # r7: three-era streaming-published store readback, same decode shape
     "streaming_zarr_append_readback": (1, 1),
+    # r8: Blosc-LZ4 v2+v3 decode — two chunk-parallel map-side scans;
+    # the one hash exchange is the cross-generation union DISTINCT
+    "zarr_blosc_decode": (1, 0),
 }
 
 

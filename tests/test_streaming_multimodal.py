@@ -722,3 +722,67 @@ def test_gif_decoder_rejects_truncated_and_partial_frames():
     inter[img + 9] |= 0x40
     with _pytest.raises(NotImplementedError, match="interlaced"):
         gif_frame_stats(bytes(inter))
+
+
+def test_wav_rejects_oversized_chunk_declaration():
+    """ADVICE r7: a data chunk whose declared size exceeds the remaining
+    payload must raise cleanly, not silently compute statistics over a
+    truncated sample slice."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gridded_etl_tools_spark.multimodal.wav import (
+        encode_wav_pcm16,
+        wav_sample_stats,
+    )
+
+    payload = bytearray(encode_wav_pcm16(np.arange(-5, 6, dtype="<i2"), 8000))
+    # inflate the data chunk's declared size past the buffer end
+    idx = bytes(payload).rindex(b"data")
+    payload[idx + 4:idx + 8] = _struct.pack("<I", 10_000)
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        wav_sample_stats(bytes(payload))
+    # byte-level truncation of a valid file mid-data: same clean error
+    whole = encode_wav_pcm16(np.arange(-5, 6, dtype="<i2"), 8000)
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        wav_sample_stats(whole[:-3])
+
+
+def test_gif_truncation_raises_clean_valueerror_everywhere():
+    """ADVICE r7: every descriptor/sub-block read in the GIF walk is
+    bounds-checked — truncating a valid GIF at ANY byte offset must
+    yield ValueError/NotImplementedError, never IndexError/struct.error,
+    and a missing block terminator must not walk past the buffer."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gridded_etl_tools_spark.multimodal.gif import (
+        encode_gif_gray8,
+        gif_frame_stats,
+    )
+
+    frames = [
+        (np.arange(64, dtype=np.uint8).reshape(8, 8) + k) % 256
+        for k in range(2)
+    ]
+    payload = encode_gif_gray8(frames, delay_cs=3)
+    # full sweep: cut at every offset from the header on.  A cut that
+    # lands exactly between complete blocks is indistinguishable from a
+    # shorter valid animation (must decode); every other cut must raise
+    # the decoder's own clean error, never IndexError/struct.error.
+    decoded_ok = 0
+    for cut in range(6, len(payload) - 1):
+        try:
+            s = gif_frame_stats(payload[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert s["n_frames"] >= 1
+        decoded_ok += 1
+    # between-block cuts exist but are rare (block boundaries only)
+    assert 0 < decoded_ok < (len(payload) - 7) // 4
+    # missing trailer + missing sub-block terminator: clean error too
+    no_term = payload[:-2]  # drops final 0-size block + 0x3B trailer
+    with _pytest.raises(ValueError):
+        gif_frame_stats(no_term)

@@ -51,7 +51,7 @@ def _collect(spark, root, var="precip"):
     }, rows
 
 
-@pytest.mark.parametrize("compressor", ["zlib", "gzip", None])
+@pytest.mark.parametrize("compressor", ["zlib", "gzip", "blosc", None])
 def test_round_trip_compressors(spark, tmp_path, compressor):
     data, times, lats, lons = _grid()
     root = str(tmp_path / f"store_{compressor}")
@@ -187,16 +187,26 @@ def test_nan_fill_value_round_trips(tmp_path):
     assert math.isnan(meta.fill_value)
 
 
-def test_unsupported_compressor_raises(tmp_path):
-    root = str(tmp_path / "blosc")
+@pytest.mark.parametrize(
+    "compressor, match",
+    [
+        ({"id": "lzma"}, "compressor"),
+        ({"id": "blosc", "cname": "zstd"}, "zstd"),
+        ({"id": "blosc", "cname": "lz4", "shuffle": 2}, "bit-shuffle"),
+    ],
+)
+def test_unsupported_compressor_raises(tmp_path, compressor, match):
+    """blosc-lz4 decodes since r8; the variants the pure-Python codec
+    cannot express still fail fast at metadata parse (driver-side)."""
+    root = str(tmp_path / "store")
     os.makedirs(os.path.join(root, "v"))
     with open(os.path.join(root, "v", ".zarray"), "w") as f:
         json.dump(
             {"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
-             "compressor": {"id": "blosc", "cname": "lz4"},
+             "compressor": compressor,
              "fill_value": None, "order": "C", "filters": None}, f,
         )
-    with pytest.raises(zarr2.ZarrError, match="blosc"):
+    with pytest.raises(zarr2.ZarrError, match=match):
         zarr2.open_store(root)
 
 
@@ -260,9 +270,21 @@ def test_zarr3_rejects_unknown_codec(tmp_path):
         "data_type": "float64",
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         "fill_value": 0,
-        "codecs": [{"name": "bytes"}, {"name": "blosc", "configuration": {}}],
+        "codecs": [{"name": "bytes"}, {"name": "zstd", "configuration": {}}],
     }))
-    with pytest.raises(zarr2.ZarrError, match="blosc"):
+    with pytest.raises(zarr2.ZarrError, match="zstd"):
+        zarr2.open_store(str(root))
+    # blosc parses since r8, but its unsupported variants still refuse
+    (root / "v" / "zarr.json").write_text(_json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes"},
+                   {"name": "blosc",
+                    "configuration": {"cname": "lz4", "shuffle": "bitshuffle"}}],
+    }))
+    with pytest.raises(zarr2.ZarrError, match="bit-shuffle"):
         zarr2.open_store(str(root))
 
 
@@ -297,3 +319,163 @@ def test_append_time_chunks_v3_store(spark, tmp_path):
     assert got[(0.0, 36.25, -116.0)] == data[0, 1, 0]
     assert got[(2.0, 36.0, -116.0)] == 7.25
     assert got[(3.0, 36.75, -115.0)] == 9.5
+
+
+# --- blosc (the reference's default compressor, r8) --------------------------
+
+
+def test_blosc_lz4_cross_checked_against_independent_c_impl():
+    """The pure-Python LZ4 block codec is validated BOTH directions
+    against pyarrow's lz4_raw (an independent C implementation): frames
+    we write decode there; frames it writes decode here."""
+    import pyarrow as pa
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    c = pa.Codec("lz4_raw")
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"x",
+        b"hello world " * 200,
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+        np.arange(10000, dtype="<f8").tobytes(),
+        b"\x00" * 100000,       # overlapping (RLE-style) matches
+        b"abc" * 40000,
+    ]
+    for d in cases:
+        mine = blosc.lz4_compress_block(d)
+        assert c.decompress(mine, len(d), asbytes=True) == d
+        theirs = c.compress(d, asbytes=True)
+        assert blosc.lz4_decompress_block(theirs, len(d)) == d
+
+
+def test_blosc_frame_matrix_roundtrip():
+    """compress_frame/decompress_frame across typesize x codec x shuffle
+    x split x blocksize, covering multi-block frames, leftover blocks,
+    split streams (bsize/typesize >= 128), raw-stored streams, and the
+    memcpy fallback for incompressible buffers."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    rng = np.random.default_rng(11)
+    for ts in (1, 2, 4, 8):
+        for cname in ("lz4", "zlib"):
+            for shuffle in (True, False):
+                for split in (True, False):
+                    for nbytes in (0, 7, 1024, 100004):
+                        d = (np.arange(nbytes, dtype=np.uint8) % 251).tobytes()
+                        for bs in (0, 4096):
+                            f = blosc.compress_frame(
+                                d, ts, cname=cname, shuffle=shuffle,
+                                blocksize=bs, split=split,
+                            )
+                            assert blosc.decompress_frame(f) == d, (
+                                ts, cname, shuffle, split, nbytes, bs,
+                            )
+    incompressible = bytes(rng.integers(0, 256, 50000, dtype=np.uint8))
+    f = blosc.compress_frame(incompressible, 8)
+    assert f[2] & 0x2  # memcpy flag
+    assert blosc.decompress_frame(f) == incompressible
+
+
+def test_blosc_frame_rejects_corruption():
+    from gridded_etl_tools_spark.sources import blosc
+
+    d = np.arange(4096, dtype="<f8").tobytes()
+    f = bytearray(blosc.compress_frame(d, 8, blocksize=8192))
+    with pytest.raises(blosc.BloscError, match="shorter than header"):
+        blosc.decompress_frame(bytes(f[:10]))
+    with pytest.raises(blosc.BloscError, match="truncated"):
+        blosc.decompress_frame(bytes(f[:100]))
+    bad = bytearray(f)
+    bad[2] |= 0x4  # bit-shuffle flag
+    with pytest.raises(blosc.BloscError, match="bit-shuffle"):
+        blosc.decompress_frame(bytes(bad))
+    bad = bytearray(f)
+    bad[2] = (bad[2] & 0x1F) | (4 << 5)  # zstd codec id
+    with pytest.raises(blosc.BloscError, match="zstd|codec id"):
+        blosc.decompress_frame(bytes(bad))
+
+
+def test_blosc_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=8192),
+        typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
+        cname=st.sampled_from(["lz4", "zlib"]),
+        shuffle=st.booleans(),
+        split=st.booleans(),
+        blocksize=st.sampled_from([0, 256, 1024, 1 << 20]),
+    )
+    def check(data, typesize, cname, shuffle, split, blocksize):
+        f = blosc.compress_frame(
+            data, typesize, cname=cname, shuffle=shuffle,
+            blocksize=blocksize, split=split,
+        )
+        assert blosc.decompress_frame(f) == data
+
+    check()
+
+
+def test_blosc_v3_store_round_trip(spark, tmp_path):
+    """v3 store with the reference's default BloscCodec(cname='lz4')
+    encoding decodes through the chunk-parallel path."""
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "v3blosc")
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (("time", "latitude", "longitude"), data,
+                       {"_FillValue": -9999.0}),
+        },
+        chunks={"precip": (2, 3, 2), "time": (2,)},
+        fill_values={"precip": -9999.0},
+        blosc_lz4=True,
+    )
+    meta = zarr2.open_store(root)["precip"]
+    assert meta.compressor["id"] == "blosc"
+    got, rows = _collect(spark, root)
+    assert len(rows) == data.size
+    for it, t in enumerate(times):
+        for ilat, la in enumerate(lats):
+            for ilon, lo in enumerate(lons):
+                v = data[it, ilat, ilon]
+                assert got[(t, la, lo)] == (None if v == -9999.0 else v)
+
+
+def test_blosc_append_time_chunks_recompresses_with_store_codec(tmp_path):
+    """append_time_chunks on a blosc store writes blosc chunks (the
+    shared _compress_chunk dispatch), and the appended era reads back."""
+    rng = np.random.default_rng(3)
+    data = (rng.standard_normal((4, 3, 2)) * 10).astype("<f8")
+    times = np.arange(4, dtype="<f8")
+    root = str(tmp_path / "blosc_append")
+    zarr2.write_zarr_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "precip": (("time", "y", "x"), data, {}),
+        },
+        chunks={"precip": (2, 3, 2), "time": (2,)},
+        compressor="blosc",
+    )
+    new_times = np.arange(4, 6, dtype="<f8")
+    new_data = (rng.standard_normal((2, 3, 2)) * 10).astype("<f8")
+    zarr2.append_time_chunks(root, "precip", "time", new_times, new_data)
+    meta = zarr2.open_store(root)["precip"]
+    got = zarr2.read_array(root, meta)
+    assert np.array_equal(got, np.concatenate([data, new_data]))
+    # the appended chunk is a real blosc frame, not raw/zlib bytes
+    with open(os.path.join(root, "precip", "2.0.0"), "rb") as fh:
+        frame = fh.read()
+    from gridded_etl_tools_spark.sources import blosc
+
+    assert blosc.decompress_frame(frame)  # parses as blosc
