@@ -42,19 +42,26 @@ driver-side JSON (Iceberg does the same before needing manifest lists).
 All data movement stays in Spark; this module only renames files the
 executors already wrote.
 
-Filesystem abstraction: manifest/pointer I/O uses ``os`` paths, which is
-correct for local and NFS/fuse-mounted storage.  On object storage the
-same protocol holds — S3/GCS give atomic single-object PUT, which is all
-``_write_pointer`` needs — but the half-dozen ``os.*`` calls here would
-go through fsspec/Hadoop FS instead.  Deliberately not abstracted yet:
-the protocol, not the I/O shim, is the hard part being validated.
+Filesystem abstraction (round 8): every control-plane read/write/list/
+delete goes through the :class:`~gridded_etl_tools_spark.sinks.fsio.
+ControlFS` seam — local by default, in-memory (object-store semantics:
+PUT + conditional PUT only, no rename) under test.  Commit atomicity no
+longer leans on ``os.replace``: manifests are written under unique
+collision-free names (``v{N}-{lock_token}.json``, Iceberg's model) and
+the pointer is published with a COMPARE-AND-SWAP against the exact
+bytes this writer observed at lock acquire — on an object store that is
+one generation-/etag-conditioned PUT.  A TTL takeover between the
+fencing check and the pointer write now makes the final CAS fail
+loudly (ADVICE r7: the check-then-act window is closed, not narrowed),
+and two zombie writers can never overwrite each other's manifests.
+Data-plane I/O (executor parquet writes, footer reads) stays on
+Spark/Hadoop/Arrow filesystems, which are already object-store capable.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -62,6 +69,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gridded_etl_tools_spark.sinks.fsio import LOCAL_FS, ControlFS
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -80,8 +89,11 @@ class FormatVersionError(RuntimeError):
 
 
 #: protocol version stamped into every commit; bump on any incompatible
-#: manifest/pointer layout change
-FORMAT_VERSION = 1
+#: manifest/pointer layout change.  v2 (round 8): manifests carry
+#: unique names recorded in the pointer (``manifest``) and a
+#: ``parent_manifest`` lineage link; v1 tables (fixed ``v{N}.json``
+#: names) stay fully readable — only FUTURE versions are refused.
+FORMAT_VERSION = 2
 
 DEFAULT_BUCKET_FMT = "yyyy-MM"
 
@@ -114,6 +126,7 @@ class GriddedTable:
         bloom_cols: list[str] | None = None,
         bloom_ndv: int = 100_000,
         stale_lock_seconds: float | None = None,
+        fs: "ControlFS | None" = None,
     ):
         """``bloom_cols``: write parquet bloom filters for these columns
         (point-lookup keys that are neither the time axis nor part of the
@@ -137,13 +150,20 @@ class GriddedTable:
         writer orphaned are swept by :meth:`vacuum`.  Default ``None``
         keeps strict mutual exclusion: never break a lock that might
         belong to a live slow writer; use :meth:`force_unlock` for
-        manual recovery."""
+        manual recovery.
+
+        ``fs``: the control-plane filesystem seam (pointer, lock,
+        manifests, gardening).  Defaults to the local filesystem; an
+        object-store implementation needs exactly the
+        :class:`~gridded_etl_tools_spark.sinks.fsio.ControlFS` contract
+        (atomic PUT + conditional PUT)."""
         self.root = root
         self.time_col = time_col
         self.bucket_fmt = bucket_fmt
         self.bloom_cols = bloom_cols or []
         self.bloom_ndv = bloom_ndv
         self.stale_lock_seconds = stale_lock_seconds
+        self._fs = fs if fs is not None else LOCAL_FS
 
     # -- layout ------------------------------------------------------------
 
@@ -162,40 +182,98 @@ class GriddedTable:
     # -- pointer / manifest ------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(self._pointer_path)
+        return self._fs.exists(self._pointer_path)
+
+    @staticmethod
+    def _pointer_text(pointer: dict[str, Any]) -> str:
+        """Deterministic pointer serialization; keys starting with ``_``
+        are writer-local bookkeeping (the CAS witness), never persisted."""
+        clean = {k: v for k, v in pointer.items() if not k.startswith("_")}
+        return json.dumps(clean, indent=2, sort_keys=True, default=str)
+
+    def _read_pointer_text(self) -> str:
+        return self._fs.read_text(self._pointer_path)
 
     def _read_pointer(self) -> dict[str, Any]:
-        with open(self._pointer_path) as f:
-            pointer = json.load(f)
-        # Grandfather pre-stamp tables: pointers written before the
-        # format_version field existed ARE v1 layout (nothing about the
-        # manifest/pointer structure changed when the stamp was added), so
-        # a missing field means v1, not "unknown" (reference
-        # ``store.py:249-271`` likewise tolerates both zarr format flags).
+        pointer = json.loads(self._read_pointer_text())
+        # Grandfather older tables: pointers written before the
+        # format_version field existed ARE v1 layout, and v1's fixed
+        # manifest names remain readable under v2's resolution fallback
+        # (reference ``store.py:249-271`` likewise tolerates both zarr
+        # format flags).  Only FUTURE protocol versions are refused.
         declared = pointer.get("format_version", 1)
-        if declared != FORMAT_VERSION:
+        if declared > FORMAT_VERSION:
             raise FormatVersionError(
-                f"{self.root}: on-disk table protocol v{declared} != "
+                f"{self.root}: on-disk table protocol v{declared} > "
                 f"library v{FORMAT_VERSION}; refusing to open "
-                "(migrate the table or use a matching library version)"
+                "(upgrade the library to read this table)"
             )
         return pointer
 
     def _write_pointer(self, pointer: dict[str, Any]) -> None:
-        """Atomic swap: the only mutation the protocol ever does in place."""
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._pointer_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(pointer, f, indent=2, sort_keys=True, default=str)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path)
+        """Unconditional atomic swap — recovery/test hook; the protocol's
+        own mutations go through the acquire/commit CAS instead."""
+        self._fs.write_atomic(self._pointer_path, self._pointer_text(pointer))
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._manifest_dir, name)
+
+    def _resolve_manifest(
+        self, version: int, pointer: dict[str, Any] | None = None
+    ) -> str:
+        """Committed manifest filename for ``version``: the pointer's own
+        record for the live version, the legacy fixed name for v1-era
+        commits, a unique ``v{N}-{token}.json`` otherwise; ambiguity
+        (a zombie writer's orphan beside the committed manifest) is
+        settled by walking the ``parent_manifest`` lineage from the
+        pointer — the chain only ever contains committed manifests."""
+        pointer = pointer or self._read_pointer()
+        if version == pointer.get("version") and pointer.get("manifest"):
+            return pointer["manifest"]
+        legacy = f"v{version}.json"
+        if self._fs.exists(self._manifest_path(legacy)):
+            return legacy
+        cands = [
+            n
+            for n in self._fs.list_names(self._manifest_dir)
+            if n.startswith(f"v{version}-") and n.endswith(".json")
+        ]
+        if len(cands) == 1:
+            return cands[0]
+        if cands:
+            for v, name in self._walk_committed(pointer):
+                if v == version:
+                    return name
+        raise FileNotFoundError(
+            f"{self.root}: no committed manifest for version {version}"
+        )
+
+    def _walk_committed(self, pointer: dict[str, Any] | None = None):
+        """Yield ``(version, manifest_name)`` from the live version back
+        through the ``parent_manifest`` lineage (stops at v0 or the
+        retention horizon)."""
+        pointer = pointer or self._read_pointer()
+        version = pointer["version"]
+        name = pointer.get("manifest") or f"v{version}.json"
+        while True:
+            yield version, name
+            if version <= 0:
+                return
+            try:
+                m = json.loads(self._fs.read_text(self._manifest_path(name)))
+            except FileNotFoundError:
+                return
+            name = m.get("parent_manifest") or f"v{version - 1}.json"
+            version -= 1
+            if not self._fs.exists(self._manifest_path(name)):
+                return  # expired beyond the retention horizon
 
     def snapshot(self, version: int | None = None) -> Snapshot:
+        pointer = self._read_pointer()
         if version is None:
-            version = self._read_pointer()["version"]
-        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
-            m = json.load(f)
+            version = pointer["version"]
+        name = self._resolve_manifest(version, pointer)
+        m = json.loads(self._fs.read_text(self._manifest_path(name)))
         return Snapshot(
             version=m["version"],
             entries=m["entries"],
@@ -218,8 +296,16 @@ class GriddedTable:
                 "attrs": {},
                 "update_in_progress": True,
                 "lock_token": uuid.uuid4().hex,
+                "_cas_witness": None,  # pointer must not exist at commit
             }
-        pointer = self._read_pointer()
+        observed = self._read_pointer_text()
+        pointer = json.loads(observed)
+        declared = pointer.get("format_version", 1)
+        if declared > FORMAT_VERSION:
+            raise FormatVersionError(
+                f"{self.root}: on-disk table protocol v{declared} > "
+                f"library v{FORMAT_VERSION}; refusing to open"
+            )
         if pointer.get("update_in_progress"):
             if "locked_at" not in pointer:
                 # legacy lock written before locked_at existed: its age is
@@ -254,15 +340,28 @@ class GriddedTable:
         pointer["update_in_progress"] = True
         pointer["locked_at"] = time.time()
         pointer["lock_token"] = uuid.uuid4().hex
-        self._write_pointer(pointer)
+        locked = self._pointer_text(pointer)
+        # CAS against the exact bytes observed above: two writers racing
+        # for the same free (or same expired) lock cannot both win
+        if not self._fs.compare_and_swap(self._pointer_path, locked, observed):
+            raise ConcurrentWriteError(
+                f"lost the lock race on {self.root} (another writer "
+                "acquired between read and swap)"
+            )
+        # the commit CAS later verifies the pointer is STILL these bytes
+        pointer["_cas_witness"] = locked
         return pointer
 
     def _check_fencing(self, pointer: dict[str, Any]) -> None:
-        """Fencing-token check before any lock-protected pointer write: a
-        writer whose lock was broken by a TTL takeover (or force_unlock +
-        re-acquire) must fail loudly, not os.replace the new owner's
-        manifest — the classic lease-fencing rule.  Pre-existence pointers
-        (version -1) have nothing on disk to fence against."""
+        """Early fencing-token check: a writer whose lock was broken by a
+        TTL takeover (or force_unlock + re-acquire) fails here before
+        writing a manifest.  This is an OPTIMIZATION, not the guarantee —
+        the commit's pointer CAS against the acquire-time bytes is what
+        makes a takeover-raced commit impossible (ADVICE r7: the
+        check-then-act window between this check and the pointer write
+        is closed by that CAS, and manifests are uniquely named so a
+        zombie can't overwrite the new owner's either).  Pre-existence
+        pointers (version -1) have nothing on disk to fence against."""
         if pointer["version"] < 0 or not self.exists():
             return
         fresh = self._read_pointer()
@@ -291,16 +390,19 @@ class GriddedTable:
     def _release_failed(self, pointer: dict[str, Any]) -> None:
         """On failure: clear the flag, change nothing else — the published
         version and attrs survive untouched (reference publish.py:242-252).
-        If the lock was taken over meanwhile (fencing token mismatch), the
-        flag now belongs to the new owner and must be left alone."""
+        The clear is a CAS against the acquire-time bytes: if the lock
+        was taken over meanwhile, the CAS no-ops and the flag stays with
+        the new owner (no read-check-write window)."""
         if pointer["version"] >= 0:
-            fresh = self._read_pointer()
-            if fresh.get("lock_token") != pointer.get("lock_token"):
-                return
-            fresh["update_in_progress"] = False
-            fresh.pop("locked_at", None)
-            fresh.pop("lock_token", None)
-            self._write_pointer(fresh)
+            cleared = dict(pointer)
+            cleared["update_in_progress"] = False
+            cleared.pop("locked_at", None)
+            cleared.pop("lock_token", None)
+            self._fs.compare_and_swap(
+                self._pointer_path,
+                self._pointer_text(cleared),
+                pointer.get("_cas_witness"),
+            )
 
     def _commit(
         self,
@@ -311,29 +413,47 @@ class GriddedTable:
     ) -> Snapshot:
         self._check_fencing(pointer)
         version = pointer["version"] + 1
-        os.makedirs(self._manifest_dir, exist_ok=True)
+        # unique, collision-free manifest name (Iceberg's model): two
+        # writers racing the same parent version write DIFFERENT files;
+        # the pointer CAS below picks exactly one winner and the loser's
+        # manifest is vacuum-able debris, never an overwrite
+        name = f"v{version}-{pointer['lock_token']}.json"
+        parent = None
+        if version > 0:
+            parent = pointer.get("manifest") or f"v{pointer['version']}.json"
         manifest = {
             "version": version,
             "entries": entries,
             "attrs": attrs,
             "stat_cols": list(stat_cols),
+            "parent_manifest": parent,
         }
-        mpath = os.path.join(self._manifest_dir, f"v{version}.json")
-        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mpath)
-        self._write_pointer(
+        self._fs.write_atomic(
+            self._manifest_path(name),
+            json.dumps(manifest, indent=2, sort_keys=True, default=str),
+        )
+        published = self._pointer_text(
             {
                 "version": version,
                 "attrs": attrs,
                 "update_in_progress": False,
                 "format_version": FORMAT_VERSION,
+                "manifest": name,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
+        # the commit point: conditional swap against the acquire-time
+        # bytes.  On an object store this is the one generation-checked
+        # PUT the whole protocol needs.
+        if not self._fs.compare_and_swap(
+            self._pointer_path, published, pointer.get("_cas_witness")
+        ):
+            raise ConcurrentWriteError(
+                f"lock on {self.root} was taken over while this writer "
+                "was working (stale-lock TTL or force_unlock); the "
+                "pointer moved, so this commit is abandoned — its "
+                "manifest and data files fall to vacuum()"
+            )
         return Snapshot(
             version=version,
             entries=entries,
@@ -407,26 +527,40 @@ class GriddedTable:
         (``datetime.date`` or ``"YYYY-MM-DD"``) is padded to midnight:
         unpadded it sorts BELOW every same-day stat string, so a
         ``time_hi`` date would wrongly prune the file containing exactly
-        the midnight rows the row-level filter keeps."""
+        the midnight rows the row-level filter keeps.
+
+        Non-temporal strings are returned UNMODIFIED: normalization
+        substitutions (``Z`` → ``+00:00``, `` UTC`` → ``+00:00``) are
+        attempted only as parse candidates and kept only when the
+        candidate actually parses as an instant.  Blindly rewriting
+        characters first is not order-preserving for ordinary strings —
+        a stat pair like ``["ATA", "ATZ"]`` would collapse below a probe
+        ``"ATM"`` and silently prune (then MERGE-skip) the file."""
         import datetime as _dt
 
-        s = str(v).replace("T", " ").replace("Z", "+00:00")
-        if s.endswith(" UTC"):
-            s = s[:-4] + "+00:00"
-        try:
-            # full normalization: any parseable instant (incl. non-UTC
-            # offsets — '…05:00:00+05:00' must compare EQUAL to
-            # '…00:00:00' UTC, not lexically above it) converts to a
-            # naive-UTC string; bare dates parse to midnight
-            parsed = _dt.datetime.fromisoformat(s)
+        raw = str(v)
+        candidates = [raw]
+        if raw.endswith("Z"):
+            candidates.append(raw[:-1] + "+00:00")
+        if raw.endswith(" UTC"):
+            candidates.append(raw[:-4] + "+00:00")
+        for s in candidates:
+            try:
+                # full normalization: any parseable instant (incl.
+                # non-UTC offsets — '…05:00:00+05:00' must compare EQUAL
+                # to '…00:00:00' UTC, not lexically above it) converts to
+                # a naive-UTC string; bare dates parse to midnight; the
+                # ISO 'T' separator is accepted by fromisoformat natively
+                parsed = _dt.datetime.fromisoformat(s)
+            except ValueError:
+                continue
             if parsed.tzinfo is not None:
                 parsed = parsed.astimezone(_dt.timezone.utc).replace(
                     tzinfo=None
                 )
             return f"{parsed:%Y-%m-%d %H:%M:%S.%f}"
-        except ValueError:
-            # sentinels ('', '9999') and non-time strings: compare as-is
-            return s
+        # sentinels ('', '9999') and non-time strings: compare as-is
+        return raw
 
     @classmethod
     def _prune_entries(
@@ -1260,13 +1394,12 @@ class GriddedTable:
         """All retained versions, oldest first: version, file count, rows.
         The time-travel index (reference version history,
         store.py:398-422)."""
-        if not os.path.isdir(self._manifest_dir):
+        if not self._fs.isdir(self._manifest_dir):
             return []
+        pointer = self._read_pointer()
         out = []
-        for fname in sorted(os.listdir(self._manifest_dir)):
-            if not (fname.startswith("v") and fname.endswith(".json")):
-                continue
-            snap = self.snapshot(int(fname[1:-5]))
+        for version in sorted(self._retained_versions(pointer)):
+            snap = self.snapshot(version)
             out.append(
                 {
                     "version": snap.version,
@@ -1274,7 +1407,21 @@ class GriddedTable:
                     "rows": sum(e.get("rows", 0) for e in snap.entries),
                 }
             )
-        return sorted(out, key=lambda v: v["version"])
+        return out
+
+    def _retained_versions(self, pointer: dict[str, Any]) -> set[int]:
+        """Version numbers with a committed manifest on disk: parsed from
+        both naming generations, capped at the published version (a
+        zombie's orphan manifest BEYOND the pointer is debris, not
+        history)."""
+        versions: set[int] = set()
+        for fname in self._fs.list_names(self._manifest_dir):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            stem = fname[1:-5].split("-", 1)[0]
+            if stem.isdigit() and int(stem) <= pointer["version"]:
+                versions.add(int(stem))
+        return versions
 
     # -- maintenance ---------------------------------------------------------
 
@@ -1325,6 +1472,7 @@ class GriddedTable:
             bloom_cols=list(self.bloom_cols),
             bloom_ndv=self.bloom_ndv,
             stale_lock_seconds=self.stale_lock_seconds,
+            fs=self._fs,
         )
         if dest.exists():
             raise TableCorruptionGuard(
@@ -1362,10 +1510,19 @@ class GriddedTable:
             else:
                 current = self.snapshot(pointer["version"])
                 live = set(current.paths())
-                for fname in os.listdir(self._manifest_dir):
-                    if fname.startswith("v") and fname.endswith(".json"):
-                        if int(fname[1:-5]) != current.version:
-                            os.remove(os.path.join(self._manifest_dir, fname))
+                keep = self._resolve_manifest(pointer["version"])
+                for fname in self._fs.list_names(self._manifest_dir):
+                    if (
+                        fname.startswith("v")
+                        and fname.endswith(".json")
+                        and fname != keep
+                    ):
+                        # mtime guard: a TTL-takeover writer staging a
+                        # manifest during this sweep must not lose it
+                        p = self._manifest_path(fname)
+                        if self._fs.mtime(p) >= acquired_at:
+                            continue
+                        self._fs.remove(p)
             removed = self._sweep_unreferenced(
                 live, pointer=pointer, newer_than=acquired_at
             )
@@ -1398,7 +1555,9 @@ class GriddedTable:
             for v in versions[-keep_last:]:
                 live |= set(self.snapshot(v).paths())
             for v in expired:
-                os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
+                self._fs.remove(
+                    self._manifest_path(self._resolve_manifest(v, pointer))
+                )
             self._sweep_unreferenced(
                 live, pointer=pointer, newer_than=acquired_at
             )
@@ -1426,33 +1585,32 @@ class GriddedTable:
         if pointer is not None:
             self._check_fencing(pointer)
         removed: list[str] = []
-        if not os.path.isdir(self._data_dir):
+        if not self._fs.isdir(self._data_dir):
             return []
-        for staging in os.listdir(self._data_dir):
+        for staging in self._fs.list_names(self._data_dir):
             sdir = os.path.join(self._data_dir, staging)
-            for dirpath, _dirnames, filenames in os.walk(sdir):
-                for fn in filenames:
-                    p = os.path.join(dirpath, fn)
-                    if not fn.endswith(".parquet") or p in live:
-                        continue
-                    if (
-                        newer_than is not None
-                        and os.path.getmtime(p) >= newer_than
-                    ):
-                        continue  # possibly another writer's staging
-                    os.remove(p)
-                    removed.append(p)
+            for p in self._fs.walk_files(sdir):
+                if not p.endswith(".parquet") or p in live:
+                    continue
+                if (
+                    newer_than is not None
+                    and self._fs.mtime(p) >= newer_than
+                ):
+                    continue  # possibly another writer's staging
+                self._fs.remove(p)
+                removed.append(p)
             # prune empty staging trees — but never one created/touched
             # at/after our acquire: a takeover writer's just-created
             # staging dir (or its _temporary tree) is file-less until
-            # its tasks start writing, and rmtree-ing it would fail that
-            # writer's job commit (same race the mtime guard closes)
-            if not any(files for _, _, files in os.walk(sdir)) and (
+            # its tasks start writing, and removing it would fail that
+            # writer's job commit (same race the mtime guard closes);
+            # newest_mtime_under includes directory mtimes locally, so a
+            # fileless-but-fresh tree reads as fresh
+            newest = self._fs.newest_mtime_under(sdir)
+            if not self._fs.walk_files(sdir) and (
                 newer_than is None
-                or all(
-                    os.path.getmtime(d) < newer_than
-                    for d, _, _ in os.walk(sdir)
-                )
+                or newest is None
+                or newest < newer_than
             ):
-                shutil.rmtree(sdir, ignore_errors=True)
+                self._fs.remove_tree(sdir)
         return removed

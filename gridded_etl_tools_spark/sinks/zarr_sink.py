@@ -36,7 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gridded_etl_tools_spark.sinks.fsio import LOCAL_FS, ControlFS
 from gridded_etl_tools_spark.sources import zarr2
+
+
+def write_chunk_atomic(dest: str, raw: bytes, fs: ControlFS | None = None) -> None:
+    """One chunk file, all-or-nothing — the executor-side write seam.
+    Locally this is tmp+fsync+rename; on an object store it is a single
+    PUT (atomic on S3/GCS/ABS), which is the only primitive the sink
+    needs because chunk paths are unique per (store, chunk index) and
+    the store's metadata commits last (readers never resolve a chunk
+    that isn't fully written)."""
+    (fs or LOCAL_FS).write_atomic(dest, raw)
 
 
 def write_zarr_distributed(
@@ -153,19 +164,10 @@ def write_zarr_distributed(
             raw = _gzip.compress(raw, 5)
         if v3:  # default chunk-key encoding: c/<i>/<j>/...
             rel = "c/" + "/".join(str(i) for i in idx)
-            os.makedirs(
-                os.path.dirname(os.path.join(root, data_var, rel)),
-                exist_ok=True,
-            )
         else:
             rel = ".".join(str(i) for i in idx)
         dest = os.path.join(root, data_var, rel)
-        tmp = os.path.join(
-            os.path.dirname(dest), f".{os.path.basename(dest)}.tmp-{os.getpid()}"
-        )
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        os.replace(tmp, dest)
+        write_chunk_atomic(dest, raw)
         return pd.DataFrame(
             {"chunk": [rel], "n_cells": [len(pdf)], "n_bytes": [len(raw)]}
         )
@@ -421,14 +423,7 @@ def append_zarr_distributed(
         key = sep.join(str(i) for i in idx)
         rel = f"{prefix}{sep}{key}" if prefix else key
         dest = os.path.join(root, data_var, *rel.split("/"))
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        tmp = os.path.join(
-            os.path.dirname(dest),
-            f".{os.path.basename(dest)}.tmp-{os.getpid()}",
-        )
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        os.replace(tmp, dest)
+        write_chunk_atomic(dest, raw)
         return pd.DataFrame({"chunk": [rel], "n_cells": [len(pdf)]})
 
     written = (

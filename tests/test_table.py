@@ -288,8 +288,9 @@ def test_diff_compaction_is_empty(spark, month1, tmp_path):
 
 def test_format_version_guard(spark, month1, tmp_path):
     """Reference store.py:249-271: refuse to touch a table whose on-disk
-    protocol version disagrees with the library's — old or future tables
-    raise a clear error instead of being silently misread."""
+    protocol is NEWER than the library (it cannot be resolved safely);
+    OLDER layouts are grandfathered — v1's fixed manifest names read
+    through the v2 resolution fallback (see test_v1_layout_readable)."""
     import json
 
     from gridded_etl_tools_spark.sinks.table import (
@@ -307,18 +308,59 @@ def test_format_version_guard(spark, month1, tmp_path):
     json.dump(pointer, open(pointer_path, "w"))
 
     t2 = GriddedTable(root)
-    with pytest.raises(FormatVersionError, match="protocol v2"):
+    with pytest.raises(FormatVersionError, match=f"protocol v{FORMAT_VERSION + 1}"):
         t2.read(spark)
     with pytest.raises(FormatVersionError):
         t2.append(month1, sort_cols=[])
 
+
+def test_v1_layout_readable_and_upgradable(spark, month1, month2, tmp_path):
+    """Backward compat: a pre-seam (v1) table — fixed v{N}.json manifest
+    names, no pointer 'manifest' field, format_version 1 — reads, time
+    travels, and accepts new commits; the first new commit records
+    lineage against the legacy manifest name."""
+    import json
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    t = GriddedTable(root)
+    t.write_initial(month1, sort_cols=["latitude", "longitude"])
+    t.append(month2)
+
+    # rewrite the table into the exact v1 on-disk layout
+    pointer = json.load(open(t._pointer_path))
+    for v in (0, 1):
+        name = t._resolve_manifest(v)
+        m = json.load(open(_os.path.join(root, "_manifests", name)))
+        m.pop("parent_manifest", None)
+        json.dump(m, open(_os.path.join(root, "_manifests", f"v{v}.json"), "w"))
+        _os.remove(_os.path.join(root, "_manifests", name))
+    pointer.pop("manifest")
+    pointer["format_version"] = 1
+    json.dump(pointer, open(t._pointer_path, "w"))
+
+    t1 = GriddedTable(root)
+    assert t1.read(spark).count() == 480 + 496
+    assert t1.snapshot(0).version == 0          # legacy time travel
+    assert [h["version"] for h in t1.history()] == [0, 1]
+    snap = t1.append(month1)                    # new commit on v1 table
+    assert snap.version == 2
+    # lineage links the new manifest to the legacy name
+    name2 = t1._resolve_manifest(2)
+    m2 = json.load(open(_os.path.join(root, "_manifests", name2)))
+    assert m2["parent_manifest"] == "v1.json"
+    assert t1.read(spark).count() == 2 * 480 + 496
+
     # legacy table with no version stamp at all: grandfathered as v1 —
     # the pointer/manifest layout predating the stamp IS v1, so the table
     # opens, and the next commit re-stamps it
-    del pointer["format_version"]
-    json.dump(pointer, open(pointer_path, "w"))
+    from gridded_etl_tools_spark.sinks.table import FORMAT_VERSION
+
+    current = json.load(open(t1._pointer_path))
+    del current["format_version"]
+    json.dump(current, open(t1._pointer_path, "w"))
     t3 = GriddedTable(root)
-    assert t3.read(spark).count() == 480
+    assert t3.read(spark).count() == 2 * 480 + 496
     t3.append(month1.limit(0), sort_cols=[])
     assert t3._read_pointer()["format_version"] == FORMAT_VERSION
 
@@ -1132,3 +1174,49 @@ def test_stat_cols_on_datetime_column(spark, month1, tmp_path):
         where={"observed_at": ("2024-11-01T00:00:00", "2024-11-30T23:00:00")},
     ).count()
     assert got2 == 480
+
+
+def test_string_stat_pruning_is_order_preserving(spark, tmp_path):
+    """ADVICE r7 (high): _time_key's unconditional T/Z substitutions
+    were not order-preserving for NON-temporal strings — a file with
+    station stats [ATA, ATZ] probed at ATM rewrote 'ATZ' into
+    'A +00:00', sorted it below the probe, and silently pruned the
+    file (wrong read answers, MERGE leaving the stale keyed row
+    alive).  Normalization now applies only to strings that actually
+    parse as instants; plain strings compare as-is."""
+    rows_a = [
+        (dt.datetime(2024, 11, d), f"AT{c}", float(d))
+        for d, c in enumerate("ADMZ", start=1)
+    ]
+    rows_b = [
+        (dt.datetime(2024, 12, d), f"BX{c}", float(d) + 10)
+        for d, c in enumerate("KLMN", start=5)
+    ]
+    schema = "time timestamp, station string, value double"
+    t = GriddedTable(str(tmp_path / "tbl"))
+    # two monthly bucket files -> [ATA,ATZ] and [BXK,BXN] stat ranges
+    t.write_initial(
+        spark.createDataFrame(rows_a + rows_b, schema),
+        sort_cols=["station"],
+        stat_cols=["station"],
+    )
+    snap = t.snapshot()
+    assert all("station" in e.get("stats", {}) for e in snap.entries)
+
+    # point probe inside [ATA, ATZ]: the file must be scanned
+    got = t.read(spark, where={"station": ("ATM", "ATM")}).collect()
+    assert len(got) == 1 and got[0]["value"] == 3.0
+    # pruning still prunes: the BX file is out of range for the probe
+    scanned, total = t.pruned_file_count(where={"station": ("ATM", "ATM")})
+    assert scanned < total
+    # and a probe beyond every range scans nothing
+    assert t.pruned_file_count(where={"station": ("ZZZ", "ZZZ")})[0] == 0
+
+    # MERGE on the string key touches the right file (no stale survivor)
+    update = spark.createDataFrame(
+        [(dt.datetime(2024, 11, 3), "ATM", 777.0)], schema
+    )
+    t.merge_upsert(spark, update, ["time", "station"])
+    after = t.read(spark)
+    assert after.count() == 8
+    assert after.filter(F.col("station") == "ATM").collect()[0]["value"] == 777.0
