@@ -433,6 +433,13 @@ SHUFFLE_BUDGET = {
     # r8: Blosc-LZ4 v2+v3 decode — two chunk-parallel map-side scans;
     # the one hash exchange is the cross-generation union DISTINCT
     "zarr_blosc_decode": (1, 0),
+    # r8: health report over the persisted index — the hash exchange is
+    # the per-cell count (partition column only), the single is the
+    # one-row summary aggregate
+    "ivf_index_health": (1, 1),
+    # r8: late-batch policy readback — store decode + quarantine scan
+    # union, both map-side (all shuffling happened inside foreachBatch)
+    "streaming_zarr_late_batch_readback": (0, 0),
 }
 
 
