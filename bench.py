@@ -101,6 +101,10 @@ HEADLINE = [
     "hybrid_rrf_search_batch",  # N-query RRF, one corpus pass
     "ivf_index_append_readback",  # build 90% + append 10% + pruned query
     "ivfpq_index_query_readback",  # IVF+PQ: pruned cells x ADC code scan
+    # round-8 additions:
+    "zarr_blosc_decode",       # pure-Python blosc-LZ4 chunk decode, v2+v3
+    "zarr_encrypted_readback",  # XChaCha20-Poly1305 chunk decrypt path
+    "ivf_index_health",        # build + skew report (partition-col scan)
 ]
 
 

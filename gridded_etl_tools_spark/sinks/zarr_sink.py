@@ -61,6 +61,7 @@ def write_zarr_distributed(
     compressor: str | None = "zlib",
     attrs: dict | None = None,
     zarr_format: int = 2,
+    encryption_key_hash: str | None = None,
 ) -> dict:
     """Write a long-form frame (one row per grid cell) as a Zarr v2
     (default) or v3 store.  Returns a summary {n_chunks, n_cells,
@@ -84,6 +85,23 @@ def write_zarr_distributed(
         raise ValueError("zarr_format must be 2 or 3")
     if zarr_format == 3 and compressor == "zlib":
         compressor = "gzip"  # v3's codec registry has gzip, not zlib
+    enc_key = None
+    if encryption_key_hash is not None:
+        # per-chunk XChaCha20-Poly1305 on the DATA variable (the
+        # reference encrypts only data_var, metadata.py:863-868); the
+        # raw key rides the executor closure, like F.lit(key) does on
+        # the column path
+        if zarr_format == 3:
+            raise NotImplementedError(
+                "per-chunk encryption targets the v2 numcodecs filter "
+                "chain (the reference's EncryptionFilter); v3 stores "
+                "have no standard encryption codec"
+            )
+        from gridded_etl_tools_spark.functions.encryption import (
+            get_encryption_key,
+        )
+
+        enc_key = get_encryption_key(encryption_key_hash)
     dims = list(dims)
     spark = df.sparkSession
     # 1. axes: sorted distinct per dim — dimension-sized driver state
@@ -140,11 +158,24 @@ def write_zarr_distributed(
     )
 
     v3 = zarr_format == 3
+    if compressor == "blosc":
+        if v3:
+            raise NotImplementedError(
+                "the distributed v3 sink writes the bytes+gzip codec "
+                "chain; use zarr_format=2 for blosc output"
+            )
+        comp_meta = dict(zarr2.BLOSC_DEFAULT_META)
+    elif compressor:
+        comp_meta = {"id": compressor, "level": 5}
+    else:
+        comp_meta = None
+    filt_meta = (
+        [{"id": "xchacha20poly1305", "key_hash": encryption_key_hash}]
+        if enc_key is not None
+        else None
+    )
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import gzip as _gzip
-        import zlib as _zlib
-
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
         block = np.full(cshape, fill, dtype=dtype)
         offsets = [
@@ -157,11 +188,10 @@ def write_zarr_distributed(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
         block.reshape(-1)[flat] = pdf["__v"].to_numpy()
-        raw = block.tobytes(order="C")
-        if compressor == "zlib":
-            raw = _zlib.compress(raw, 5)
-        elif compressor == "gzip":
-            raw = _gzip.compress(raw, 5)
+        raw = zarr2._compress_chunk(
+            block.tobytes(order="C"), comp_meta, dtype.itemsize,
+            filters=filt_meta, filter_key=enc_key,
+        )
         if v3:  # default chunk-key encoding: c/<i>/<j>/...
             rel = "c/" + "/".join(str(i) for i in idx)
         else:
@@ -267,10 +297,10 @@ def write_zarr_distributed(
         "shape": list(shape),
         "chunks": list(cshape),
         "dtype": dtype.str,
-        "compressor": {"id": compressor, "level": 5} if compressor else None,
+        "compressor": comp_meta,
         "fill_value": zarr2._encode_fill(fill),
         "order": "C",
-        "filters": None,
+        "filters": filt_meta,
         "dimension_separator": ".",
     }
     zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
@@ -355,6 +385,17 @@ def append_zarr_distributed(
     dtype = meta.dtype
     fill = meta.fill_value if meta.fill_value is not None else 0
     comp = meta.compressor  # {'id': 'zlib'|'gzip', 'level': N} | None
+    enc_key = None
+    if meta.filters:
+        # encrypted store (xchacha20poly1305 filter): the append must
+        # encrypt new chunks with the store's own key, resolved
+        # driver-side by open_store from the registry
+        if meta.filter_key is None:
+            raise zarr2.ZarrError(
+                f"{data_var}: store is encrypted — register the key "
+                f"({meta.filters[0]['key_hash'][:12]}…) before appending"
+            )
+        enc_key = meta.filter_key
 
     keyed = df.select(
         *[F.col(d).cast("double").alias(d) for d in dims],
@@ -406,9 +447,6 @@ def append_zarr_distributed(
     prefix = meta.chunk_prefix
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import gzip as _gzip
-        import zlib as _zlib
-
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
         block = np.full(cshape, fill, dtype=dtype)
         offsets = [
@@ -421,11 +459,13 @@ def append_zarr_distributed(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
         block.reshape(-1)[flat] = pdf["__v"].to_numpy()
-        raw = block.tobytes(order=meta.order)
-        if comp and comp["id"] == "zlib":
-            raw = _zlib.compress(raw, comp.get("level", 5))
-        elif comp and comp["id"] == "gzip":
-            raw = _gzip.compress(raw, comp.get("level", 5))
+        # the store's own codec chain (filters -> compressor), shared
+        # with every other writer — so blosc and encrypted stores
+        # append with the SAME encoding they were published with
+        raw = zarr2._compress_chunk(
+            block.tobytes(order=meta.order), comp, meta.dtype.itemsize,
+            filters=meta.filters, filter_key=enc_key,
+        )
         key = sep.join(str(i) for i in idx)
         rel = f"{prefix}{sep}{key}" if prefix else key
         dest = os.path.join(root, data_var, *rel.split("/"))

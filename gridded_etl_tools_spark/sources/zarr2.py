@@ -78,6 +78,11 @@ class ZArray:
     zarr_version: int = 2
     chunk_prefix: str = ""  # v3 default chunk-key encoding prefixes "c"
     dimension_names: list[str] | None = None  # v3 carries dims natively
+    #: raw key for an xchacha20poly1305 encryption filter, resolved
+    #: driver-side from the key registry at open_store (the ZArray rides
+    #: the task closure, so executors never consult the registry) —
+    #: None until the key is registered
+    filter_key: bytes | None = None
 
     @property
     def dims(self) -> list[str]:
@@ -122,8 +127,18 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
             f"{name}: zarr_format {meta.get('zarr_format')} (need v2; the "
             "reference's v3 stores carry a root zarr.json, store.py:257-271)"
         )
-    if meta.get("filters"):
-        raise ZarrError(f"{name}: numcodecs filters unsupported: {meta['filters']}")
+    filters = meta.get("filters") or None
+    if filters:
+        # the ONE filter the reference attaches: per-chunk
+        # XChaCha20-Poly1305 (EncryptionFilter, encryption.py:80-134)
+        if len(filters) != 1 or filters[0].get("id") != "xchacha20poly1305":
+            raise ZarrError(
+                f"{name}: numcodecs filters unsupported: {filters} "
+                "(only the reference's xchacha20poly1305 EncryptionFilter "
+                "decodes here)"
+            )
+        if not filters[0].get("key_hash"):
+            raise ZarrError(f"{name}: encryption filter missing key_hash")
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
         raise ZarrError(
@@ -247,6 +262,20 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
     )
 
 
+def _resolve_filter_keys(arrays: dict[str, ZArray]) -> dict[str, ZArray]:
+    """Attach raw encryption keys to encrypted arrays, driver-side, from
+    the hash-addressed key registry (the reference's
+    ``register_encryption_key`` semantics, encryption.py:31-70).  Left
+    ``None`` when unregistered — metadata browsing works keyless; the
+    chunk decode raises a clear registration error instead."""
+    from gridded_etl_tools_spark.functions.encryption import _KEY_REGISTRY
+
+    for meta in arrays.values():
+        if meta.filters:
+            meta.filter_key = _KEY_REGISTRY.get(meta.filters[0]["key_hash"])
+    return arrays
+
+
 def open_store(root: str) -> dict[str, ZArray]:
     """Read a store's metadata driver-side (KB-scale JSON — the analog of
     ``xr.open_zarr``'s eager metadata pass).  Prefers consolidated
@@ -264,7 +293,7 @@ def open_store(root: str) -> dict[str, ZArray]:
                     arrays3[entry] = parse_zarr3_array(entry, f.read())
         if not arrays3:
             raise ZarrError(f"{root}: v3 store with no array nodes")
-        return arrays3
+        return _resolve_filter_keys(arrays3)
 
     zmeta_path = os.path.join(root, ".zmetadata")
     arrays: dict[str, ZArray] = {}
@@ -278,7 +307,7 @@ def open_store(root: str) -> dict[str, ZArray]:
                 arrays[name] = parse_zarray(
                     name, json.dumps(meta).encode(), json.dumps(attrs).encode()
                 )
-        return arrays
+        return _resolve_filter_keys(arrays)
     for entry in sorted(os.listdir(root)):
         zarray = os.path.join(root, entry, ".zarray")
         if not os.path.isdir(os.path.join(root, entry)) or not os.path.exists(zarray):
@@ -293,7 +322,7 @@ def open_store(root: str) -> dict[str, ZArray]:
         arrays[entry] = parse_zarray(entry, za, att)
     if not arrays:
         raise ZarrError(f"{root}: no zarr arrays found")
-    return arrays
+    return _resolve_filter_keys(arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +346,20 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
             raw = _zlib.decompress(raw)
         else:
             raw = _gzip.decompress(raw)
+    if meta.filters:
+        # numcodecs decode order: compressor first, then filters in
+        # reverse — here the one supported filter, the reference's
+        # per-chunk XChaCha20-Poly1305 (encryption.py:80-134)
+        if meta.filter_key is None:
+            raise ZarrError(
+                f"{meta.name}: store is encrypted (key_hash "
+                f"{meta.filters[0]['key_hash'][:12]}…) — call "
+                "functions.encryption.register_encryption_key(key) "
+                "before opening"
+            )
+        from gridded_etl_tools_spark.functions.xchacha import decrypt_chunk
+
+        raw = decrypt_chunk(meta.filter_key, raw)
     n = int(np.prod(meta.chunks))
     arr = np.frombuffer(raw, dtype=meta.dtype, count=n)
     return arr.reshape(meta.chunks, order=meta.order)
@@ -494,10 +537,27 @@ def _encode_fill(fill) -> Any:
     return fill
 
 
-def _compress_chunk(raw: bytes, comp: dict | None, itemsize: int) -> bytes:
+def _compress_chunk(
+    raw: bytes,
+    comp: dict | None,
+    itemsize: int,
+    filters: list | None = None,
+    filter_key: bytes | None = None,
+) -> bytes:
     """Encode one chunk per the array's compressor metadata — the one
     write-side codec dispatch shared by the v2/v3 writers and the
-    time-append path (decode twin: :func:`decode_chunk`)."""
+    time-append path (decode twin: :func:`decode_chunk`).  numcodecs
+    encode order: filters first (the reference's per-chunk
+    XChaCha20-Poly1305), then the compressor."""
+    if filters:
+        if filter_key is None:
+            raise ZarrError(
+                f"writing an encrypted chunk needs the key for "
+                f"{filters[0].get('key_hash', '?')[:12]}… registered"
+            )
+        from gridded_etl_tools_spark.functions.xchacha import encrypt_chunk
+
+        raw = encrypt_chunk(filter_key, raw)
     if comp is None:
         return raw
     cid = comp["id"]
@@ -539,6 +599,8 @@ def write_zarr_store(
     fill_values: dict[str, Any] | None = None,
     order: str = "C",
     consolidated: bool = True,
+    encryption_key_hash: str | None = None,
+    encrypt_vars: tuple[str, ...] | None = None,
 ) -> None:
     """Write a real Zarr v2 store (reference ``to_zarr`` wrapper,
     publish.py:155-240): per-array ``.zarray``/``.zattrs``, chunk files
@@ -553,7 +615,20 @@ def write_zarr_store(
     ``compressor="blosc"`` writes the reference's default encoding
     (numcodecs.Blosc(): lz4 + byte-shuffle) through the pure-Python
     frame codec in :mod:`gridded_etl_tools_spark.sources.blosc`.
+
+    ``encryption_key_hash`` encrypts each chunk of ``encrypt_vars``
+    (default: every variable) with the reference's per-chunk
+    XChaCha20-Poly1305 EncryptionFilter framing (encryption.py:80-134)
+    — the key must be registered under that SHA3-256 digest first
+    (functions.encryption.register_encryption_key).
     """
+    enc_key = None
+    if encryption_key_hash is not None:
+        from gridded_etl_tools_spark.functions.encryption import (
+            get_encryption_key,
+        )
+
+        enc_key = get_encryption_key(encryption_key_hash)
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -570,6 +645,14 @@ def write_zarr_store(
             comp_meta = {"id": compressor, "level": 5}
         else:
             comp_meta = None
+        encrypted = encryption_key_hash is not None and (
+            encrypt_vars is None or name in encrypt_vars
+        )
+        filt_meta = (
+            [{"id": "xchacha20poly1305", "key_hash": encryption_key_hash}]
+            if encrypted
+            else None
+        )
         zarray = {
             "zarr_format": 2,
             "shape": list(data.shape),
@@ -578,7 +661,7 @@ def write_zarr_store(
             "compressor": comp_meta,
             "fill_value": _encode_fill(fill),
             "order": order,
-            "filters": None,
+            "filters": filt_meta,
             "dimension_separator": dimension_separator,
         }
         zattrs = {"_ARRAY_DIMENSIONS": list(dims), **attrs}
@@ -604,7 +687,8 @@ def write_zarr_store(
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = data[region]
             raw = _compress_chunk(
-                block.tobytes(order=order), comp_meta, data.dtype.itemsize
+                block.tobytes(order=order), comp_meta, data.dtype.itemsize,
+                filters=filt_meta, filter_key=enc_key if encrypted else None,
             )
             rel = dimension_separator.join(str(i) for i in idx)
             path = os.path.join(arr_dir, *rel.split("/"))
@@ -675,7 +759,8 @@ def append_time_chunks(
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = data[region]
             raw = _compress_chunk(
-                block.tobytes(order=m.order), m.compressor, m.dtype.itemsize
+                block.tobytes(order=m.order), m.compressor, m.dtype.itemsize,
+                filters=m.filters, filter_key=m.filter_key,
             )
             shifted = (idx[0] + off, *idx[1:])
             # chunk_rel applies the v3 'c' prefix; v2 keys are one path

@@ -440,6 +440,9 @@ SHUFFLE_BUDGET = {
     # r8: late-batch policy readback — store decode + quarantine scan
     # union, both map-side (all shuffling happened inside foreachBatch)
     "streaming_zarr_late_batch_readback": (0, 0),
+    # r8: encrypted-store readback — one chunk-parallel map-side scan
+    # (decrypt+decompress run inside the same mapInPandas stage)
+    "zarr_encrypted_readback": (0, 0),
 }
 
 

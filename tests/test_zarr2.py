@@ -479,3 +479,188 @@ def test_blosc_append_time_chunks_recompresses_with_store_codec(tmp_path):
     from gridded_etl_tools_spark.sources import blosc
 
     assert blosc.decompress_frame(frame)  # parses as blosc
+
+
+# --- per-chunk encryption (reference EncryptionFilter parity, r8) -----------
+
+
+def test_xchacha_block_matches_independent_impl():
+    """The pure-Python ChaCha20 round core is pinned against the
+    'cryptography' package's C implementation: the full block function
+    (core + final add) must reproduce its keystream exactly, which
+    fixes the quarter-round, word ordering and endianness the
+    HChaCha20 subkey path shares."""
+    import os as _os
+    import struct as _struct
+
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
+
+    from gridded_etl_tools_spark.functions import xchacha as X
+
+    for trial in range(8):
+        key = _os.urandom(32)
+        nonce12 = _os.urandom(12)
+        counter = trial * 11
+        enc = Cipher(
+            algorithms.ChaCha20(key, _struct.pack("<I", counter) + nonce12),
+            mode=None,
+        ).encryptor()
+        assert X.chacha20_block(key, counter, nonce12) == enc.update(b"\0" * 64)
+
+
+def test_hchacha20_draft_vector():
+    """draft-irtf-cfrg-xchacha §2.2.1 test vector."""
+    from gridded_etl_tools_spark.functions.xchacha import hchacha20
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    nonce = bytes.fromhex("000000090000004a0000000031415927")
+    assert hchacha20(key, nonce).hex() == (
+        "82413b4227b27bfed30e42508a877d73"
+        "a0f9e4d58a74a853c12ec41326d3ecdc"
+    )
+
+
+def test_xchacha_chunk_framing_roundtrip_and_tamper():
+    import os as _os
+
+    from gridded_etl_tools_spark.functions import xchacha as X
+
+    key = _os.urandom(32)
+    raw = b"chunk payload " * 500
+    frame = X.encrypt_chunk(key, raw)
+    assert len(frame) == 24 + 16 + len(raw)  # reference nonce|tag|ct framing
+    assert X.decrypt_chunk(key, frame) == raw
+    from cryptography.exceptions import InvalidTag
+
+    with pytest.raises(InvalidTag):
+        X.decrypt_chunk(key, frame[:50] + b"\x00" + frame[51:])
+    with pytest.raises(InvalidTag):
+        X.decrypt_chunk(_os.urandom(32), frame)
+    with pytest.raises(InvalidTag):  # AAD header is authenticated
+        X.decrypt_chunk(key, frame, header=b"other")
+
+
+def test_encrypted_store_roundtrip_append_and_keyless_refusal(spark, tmp_path):
+    """The reference's EncryptionFilter shape end to end: filters
+    metadata on the data var, encrypt-then-compress chunk pipeline,
+    registry-keyed decode (chunk-parallel AND driver reads), appends
+    re-encrypt with the store's own key, and a keyless open fails with
+    the registration hint — never garbage data."""
+    from gridded_etl_tools_spark.functions.encryption import (
+        _KEY_REGISTRY,
+        register_encryption_key,
+    )
+
+    key = bytes(range(32))
+    digest = register_encryption_key(key)
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "enc.zarr")
+    _write(
+        root, data, times, lats, lons,
+        compressor="blosc", encryption_key_hash=digest,
+        encrypt_vars=("precip",),
+    )
+    meta = zarr2.open_store(root)["precip"]
+    assert meta.filters == [{"id": "xchacha20poly1305", "key_hash": digest}]
+    # ciphertext on disk: the raw plaintext never appears in any chunk
+    from gridded_etl_tools_spark.sources.blosc import decompress_frame
+
+    with open(os.path.join(root, "precip", "0.0.0"), "rb") as f:
+        payload = decompress_frame(f.read())
+    assert data[:2, :3, :2].tobytes() not in payload
+
+    got, rows = _collect(spark, root)  # executor-side decode path
+    assert len(rows) == data.size
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+    assert got[(0.0, 36.0, -116.0)] is None  # fill sentinel survives
+
+    # keyless: clear registration error, driver and metadata both fine
+    saved = dict(_KEY_REGISTRY)
+    _KEY_REGISTRY.clear()
+    try:
+        keyless = zarr2.open_store(root)["precip"]
+        assert keyless.filter_key is None
+        with pytest.raises(zarr2.ZarrError, match="register_encryption_key"):
+            zarr2.read_array(root, keyless)
+    finally:
+        _KEY_REGISTRY.update(saved)
+
+
+def test_encrypted_distributed_sink_and_append(spark, tmp_path):
+    """write_zarr_distributed(encryption_key_hash=...) + distributed
+    append on the encrypted store: executor-parallel encrypt-then-
+    compress chunk writes, reference filter metadata, exact readback."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.functions.encryption import (
+        register_encryption_key,
+    )
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    digest = register_encryption_key(bytes(range(100, 132)))
+
+    def grid(t_lo, t_hi):
+        return spark.range(100).select(
+            (F.col("id") / 10).cast("int").cast("double").alias("t"),
+            (F.col("id") % 10).cast("double").alias("x"),
+            (F.col("id") * 1.5).alias("value"),
+        ).filter((F.col("t") >= t_lo) & (F.col("t") < t_hi))
+
+    root = str(tmp_path / "encsink.zarr")
+    write_zarr_distributed(
+        grid(0, 4), root, "v", dims=["t", "x"], chunks=(2, 10),
+        encryption_key_hash=digest,
+    )
+    append_zarr_distributed(grid(4, 10), root, "v")
+    rows = {
+        (r["t"], r["x"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert len(rows) == 100
+    for i in range(100):
+        assert rows[(float(i // 10), float(i % 10))] == pytest.approx(i * 1.5)
+    # v3 + encryption: loud refusal (no standard v3 encryption codec)
+    with pytest.raises(NotImplementedError, match="v2"):
+        write_zarr_distributed(
+            grid(0, 4), str(tmp_path / "v3enc"), "v", dims=["t", "x"],
+            zarr_format=3, encryption_key_hash=digest,
+        )
+
+
+def test_blosc_distributed_sink_roundtrip(spark, tmp_path):
+    """compressor='blosc' through the distributed sink + distributed
+    append: the executor write path shares the v2 codec dispatch, so
+    the store reads back exactly and carries numcodecs.Blosc metadata."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    df = spark.range(80).select(
+        (F.col("id") / 10).cast("int").cast("double").alias("t"),
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+    root = str(tmp_path / "bloscsink.zarr")
+    write_zarr_distributed(
+        df.filter(F.col("t") < 4), root, "v", dims=["t", "x"],
+        chunks=(2, 10), compressor="blosc",
+    )
+    meta = zarr2.open_store(root)["v"]
+    assert meta.compressor["id"] == "blosc"
+    append_zarr_distributed(df.filter(F.col("t") >= 4), root, "v")
+    rows = {
+        (r["t"], r["x"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert len(rows) == 80
+    for i in range(80):
+        assert rows[(float(i // 10), float(i % 10))] == pytest.approx(i * 0.5)
