@@ -62,6 +62,13 @@ def wav_sample_stats(payload: bytes) -> dict:
             )
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # a declared-in-bounds but undersized fmt chunk would
+                # otherwise die in struct.unpack — same clean rejection
+                # as the oversize guard above
+                raise ValueError(
+                    f"truncated chunk b'fmt ': {len(body)} of 16 bytes"
+                )
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

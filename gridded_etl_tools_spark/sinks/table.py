@@ -232,41 +232,37 @@ class GriddedTable:
             return pointer["manifest"]
         legacy = f"v{version}.json"
         if self._fs.exists(self._manifest_path(legacy)):
-            return legacy
-        cands = [
-            n
-            for n in self._fs.list_names(self._manifest_dir)
-            if n.startswith(f"v{version}-") and n.endswith(".json")
-        ]
-        if len(cands) == 1:
-            return cands[0]
-        if cands:
-            for v, name in self._walk_committed(pointer):
-                if v == version:
-                    return name
+            return legacy  # fixed v1-era names were only ever committed
+        # unique-named manifests resolve ONLY through the committed
+        # lineage: a name scan could return a zombie writer's orphan —
+        # a manifest for this version that never won its commit CAS —
+        # as history (and would, once the real one is expired)
+        for v, name, _m in self._walk_committed(pointer):
+            if v == version:
+                return name
         raise FileNotFoundError(
-            f"{self.root}: no committed manifest for version {version}"
+            f"{self.root}: no committed manifest for version {version} "
+            "(expired, or never committed)"
         )
 
     def _walk_committed(self, pointer: dict[str, Any] | None = None):
-        """Yield ``(version, manifest_name)`` from the live version back
-        through the ``parent_manifest`` lineage (stops at v0 or the
+        """Yield ``(version, manifest_name, manifest_dict)`` from the
+        live version back through the ``parent_manifest`` lineage —
+        the committed chain and nothing else (stops at v0 or the
         retention horizon)."""
         pointer = pointer or self._read_pointer()
         version = pointer["version"]
         name = pointer.get("manifest") or f"v{version}.json"
         while True:
-            yield version, name
-            if version <= 0:
-                return
             try:
                 m = json.loads(self._fs.read_text(self._manifest_path(name)))
             except FileNotFoundError:
+                return  # expired beyond the retention horizon
+            yield version, name, m
+            if version <= 0:
                 return
             name = m.get("parent_manifest") or f"v{version - 1}.json"
             version -= 1
-            if not self._fs.exists(self._manifest_path(name)):
-                return  # expired beyond the retention horizon
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         pointer = self._read_pointer()
@@ -1394,34 +1390,22 @@ class GriddedTable:
         """All retained versions, oldest first: version, file count, rows.
         The time-travel index (reference version history,
         store.py:398-422)."""
-        if not self._fs.isdir(self._manifest_dir):
+        # a half-created table (first commit crashed between its
+        # manifest write and the pointer CAS) has a manifest dir but no
+        # pointer: nothing is committed, so the history is empty
+        if not self.exists() or not self._fs.isdir(self._manifest_dir):
             return []
-        pointer = self._read_pointer()
-        out = []
-        for version in sorted(self._retained_versions(pointer)):
-            snap = self.snapshot(version)
-            out.append(
-                {
-                    "version": snap.version,
-                    "n_files": len(snap.entries),
-                    "rows": sum(e.get("rows", 0) for e in snap.entries),
-                }
-            )
-        return out
-
-    def _retained_versions(self, pointer: dict[str, Any]) -> set[int]:
-        """Version numbers with a committed manifest on disk: parsed from
-        both naming generations, capped at the published version (a
-        zombie's orphan manifest BEYOND the pointer is debris, not
-        history)."""
-        versions: set[int] = set()
-        for fname in self._fs.list_names(self._manifest_dir):
-            if not (fname.startswith("v") and fname.endswith(".json")):
-                continue
-            stem = fname[1:-5].split("-", 1)[0]
-            if stem.isdigit() and int(stem) <= pointer["version"]:
-                versions.add(int(stem))
-        return versions
+        out = [
+            {
+                "version": v,
+                "n_files": len(m["entries"]),
+                "rows": sum(e.get("rows", 0) for e in m["entries"]),
+            }
+            # the committed lineage IS the history — a name scan would
+            # also pick up zombie writers' never-committed orphans
+            for v, _name, m in self._walk_committed()
+        ]
+        return sorted(out, key=lambda h: h["version"])
 
     # -- maintenance ---------------------------------------------------------
 
@@ -1589,13 +1573,19 @@ class GriddedTable:
             return []
         for staging in self._fs.list_names(self._data_dir):
             sdir = os.path.join(self._data_dir, staging)
+            # ONE walk per staging tree: the survivors list doubles as
+            # the post-delete emptiness check (each extra walk is a
+            # recursive LIST round-trip on an object store)
+            survivors = 0
             for p in self._fs.walk_files(sdir):
                 if not p.endswith(".parquet") or p in live:
+                    survivors += 1
                     continue
                 if (
                     newer_than is not None
                     and self._fs.mtime(p) >= newer_than
                 ):
+                    survivors += 1
                     continue  # possibly another writer's staging
                 self._fs.remove(p)
                 removed.append(p)
@@ -1606,11 +1596,8 @@ class GriddedTable:
             # writer's job commit (same race the mtime guard closes);
             # newest_mtime_under includes directory mtimes locally, so a
             # fileless-but-fresh tree reads as fresh
-            newest = self._fs.newest_mtime_under(sdir)
-            if not self._fs.walk_files(sdir) and (
-                newer_than is None
-                or newest is None
-                or newest < newer_than
-            ):
-                self._fs.remove_tree(sdir)
+            if survivors == 0:
+                newest = self._fs.newest_mtime_under(sdir)
+                if newer_than is None or newest is None or newest < newer_than:
+                    self._fs.remove_tree(sdir)
         return removed

@@ -358,11 +358,12 @@ def compress_frame(
     nbytes = len(data)
     if blocksize <= 0:
         blocksize = min(max(nbytes, 1), 1 << 16)
-    blocksize -= blocksize % typesize or 0
-    blocksize = max(blocksize, typesize)
+    # round down to a typesize multiple (clean per-block shuffle/split
+    # boundaries), then clamp into [typesize, nbytes]; the nbytes clamp
+    # can break the multiple only in the single-block case, where the
+    # shuffle's tail copy and nsplits=1 handle the remainder
+    blocksize = max(blocksize - blocksize % typesize, typesize)
     blocksize = min(blocksize, max(nbytes, 1))
-    if nbytes and blocksize % typesize and blocksize < nbytes:
-        raise BloscError("blocksize must be a multiple of typesize")
     flags = codec << 5
     if shuffle and typesize > 1:
         flags |= _FLAG_SHUFFLE

@@ -307,11 +307,15 @@ def stream_zarr_append(
       neither short-circuits valid updates (gap <= hi) nor silently
       swallows a feed that skipped an era (gap > hi refuses).
 
-    Replay safety: foreachBatch is at-least-once, and the append sink
-    itself REFUSES non-increasing axis values, so a replayed batch
-    fails loudly rather than double-appending; the batch-id guard
-    skips it cleanly instead (recorded in a sidecar, atomically
-    renamed after each commit)."""
+    Replay safety: foreachBatch is at-least-once.  A batch-id guard
+    sidecar skips already-completed batches; the crash window BETWEEN a
+    committed append and the guard write is closed by a write-ahead
+    intent sidecar (batch id + pre-append store end): a replay whose
+    intent matches and whose store end has advanced is recognized as
+    committed and skipped — without it, ``refuse`` would die loudly on
+    the overlap and ``side_output`` would silently quarantine the whole
+    already-stored batch as late data.  The append sink's own
+    non-increasing-axis refusal remains the hard backstop."""
     import json
     import os
 
@@ -332,6 +336,12 @@ def stream_zarr_append(
     src = reader.parquet(source_dir)
     guard_path = os.path.join(root, "_stream_last_batch.json")
 
+    intent_path = os.path.join(root, "_stream_intent.json")
+
+    def _store_end(axis: str):
+        arrays = zarr2.open_store(root)
+        return float(zarr2.read_array(root, arrays[axis]).max())
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -339,12 +349,49 @@ def stream_zarr_append(
             with open(guard_path) as f:
                 if batch_id <= json.load(f)["batch_id"]:
                     return  # replayed micro-batch already appended
-        feed = derive(batch_df) if derive is not None else batch_df
         marker = (
             os.path.join(root, "zarr.json")
             if zarr_format == 3
             else os.path.join(root, ".zmetadata")
         )
+        # write-ahead intent: if THIS batch id already recorded an
+        # intent and the store advanced past its pre-append end, the
+        # append COMMITTED but the crash landed before the guard write —
+        # the replay must skip cleanly, not re-append (refuse would die
+        # loudly on the overlap) and not quarantine the whole batch as
+        # "late" (side_output would silently duplicate it into _late)
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                intent = json.load(f)
+            if intent["batch_id"] == batch_id:
+                committed = (
+                    os.path.exists(marker)
+                    if intent["store_end"] is None
+                    else os.path.exists(marker)
+                    and _store_end(dims[0]) > intent["store_end"]
+                )
+                if committed:
+                    tmp = guard_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"batch_id": batch_id}, f)
+                    os.replace(tmp, guard_path)
+                    return
+        os.makedirs(root, exist_ok=True)  # batch 0 runs before the store
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "store_end": (
+                        _store_end(dims[0])
+                        if os.path.exists(marker)
+                        else None
+                    ),
+                },
+                f,
+            )
+        os.replace(tmp, intent_path)
+        feed = derive(batch_df) if derive is not None else batch_df
         if not os.path.exists(marker):
             write_zarr_distributed(
                 feed, root, data_var, dims=dims, value_col=value_col,
@@ -352,10 +399,7 @@ def stream_zarr_append(
             )
         else:
             axis = dims[0]
-            arrays = zarr2.open_store(root)
-            store_end = float(
-                zarr2.read_array(root, arrays[axis]).max()
-            )
+            store_end = _store_end(axis)
             if late_policy == "side_output":
                 feed = feed.localCheckpoint(eager=True)
                 late = feed.filter(F.col(axis) <= store_end)

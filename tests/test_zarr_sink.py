@@ -310,3 +310,98 @@ def test_stream_zarr_append_late_policy(spark, tmp_path):
         pyspark.errors.StreamingQueryException, match="cadence gap"
     ):
         run(src3, root3, str(tmp_path / "ck3"), cadence_bounds=(0.5, 3.0))
+
+
+def test_stream_zarr_append_replay_after_crash_before_guard(spark, tmp_path):
+    """Review finding (r8): a crash between a COMMITTED append and the
+    guard write replays the batch; the write-ahead intent must
+    recognize the committed append and skip — under side_output the
+    un-fixed path would quarantine the entire already-stored batch
+    into _late (silent duplication)."""
+    import json
+    import os
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.sources import zarr2
+    from gridded_etl_tools_spark.streaming.ingest import stream_zarr_append
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.DoubleType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def part(path, t_lo, t_hi, order):
+        rows = [
+            (float(t), float(x), float(t * 10 + x))
+            for t in range(t_lo, t_hi)
+            for x in range(4)
+        ]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "t": [r[0] for r in rows],
+                    "x": [r[1] for r in rows],
+                    "value": [r[2] for r in rows],
+                }
+            ),
+            path,
+        )
+        ts = _time.time() + order
+        os.utime(path, (ts, ts))
+
+    def run(ck, **kw):
+        q = stream_zarr_append(
+            spark, src, schema, root, "v", dims=["t", "x"],
+            checkpoint_dir=ck, chunks=[2, 4], max_files_per_trigger=1,
+            **kw,
+        )
+        q.awaitTermination()
+
+    src = str(tmp_path / "feed")
+    part(os.path.join(src, "p0.parquet"), 0, 4, 0)
+    part(os.path.join(src, "p1.parquet"), 4, 6, 1)
+    root = str(tmp_path / "replay.zarr")
+    run(str(tmp_path / "ck1"), late_policy="side_output")
+    before = {
+        (r["t"], r["x"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert len(before) == 6 * 4
+
+    # simulate the crash: batch 1's append committed (store end 5.0 >
+    # its pre-append end 3.0) but the guard still says batch 0
+    with open(os.path.join(root, "_stream_last_batch.json"), "w") as f:
+        json.dump({"batch_id": 0}, f)
+    with open(os.path.join(root, "_stream_intent.json"), "w") as f:
+        json.dump({"batch_id": 1, "store_end": 3.0}, f)
+
+    # fresh checkpoint replays both files as batches 0 and 1
+    run(str(tmp_path / "ck2"), late_policy="side_output")
+    after = {
+        (r["t"], r["x"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    }
+    assert after == before                      # no double append
+    assert not os.path.exists(os.path.join(root, "_late"))  # no quarantine
+    with open(os.path.join(root, "_stream_last_batch.json")) as f:
+        assert json.load(f)["batch_id"] == 1    # guard repaired
+
+    # same simulated crash under the DEFAULT refuse policy: the replay
+    # must skip cleanly instead of dying on the overlap refusal
+    with open(os.path.join(root, "_stream_last_batch.json"), "w") as f:
+        json.dump({"batch_id": 0}, f)
+    with open(os.path.join(root, "_stream_intent.json"), "w") as f:
+        json.dump({"batch_id": 1, "store_end": 3.0}, f)
+    run(str(tmp_path / "ck3"))
+    assert {
+        (r["t"], r["x"]): r["value"]
+        for r in zarr2.decode_zarr_long(spark, root, "v").collect()
+    } == before
