@@ -222,7 +222,11 @@ _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
 _FLAG_BITSHUFFLE = 0x4
 _FLAG_DONT_SPLIT = 0x10
-_CODEC_NAMES = {1: "lz4", 3: "zlib"}  # 0=blosclz, 2=snappy, 4=zstd: refused
+#: inner codec ids (c-blosc blosc.h format codes).  lz4/zlib always
+#: decode (pure Python fallbacks exist); snappy/zstd decode through
+#: pyarrow's C codecs when available — 0=blosclz stays refused (no
+#: implementation anywhere in this container)
+_CODEC_NAMES = {1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _MAX_SPLITS = 16
 _MIN_BUFFERSIZE = 128
 _VERSION_FORMAT = 2  # BLOSC_VERSION_FORMAT
@@ -240,12 +244,35 @@ def _split_count(typesize: int, bsize: int, leftover: bool, dont_split: bool) ->
     return 1
 
 
+def _pa_codec(name: str):
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available(name):
+            return pa.Codec(name)
+    except Exception:  # noqa: BLE001 - treat any failure as unavailable
+        pass
+    return None
+
+
 def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
     if codec == 1:
         return lz4_decompress(payload, out_size)
-    got = zlib.decompress(payload)
+    if codec == 3:
+        got = zlib.decompress(payload)
+        if len(got) != out_size:
+            raise BloscError(f"zlib: {len(got)} bytes, expected {out_size}")
+        return got
+    name = _CODEC_NAMES[codec]
+    pa_codec = _pa_codec(name)
+    if pa_codec is None:
+        raise BloscError(
+            f"blosc inner codec {name!r} needs pyarrow's {name} support, "
+            "which this environment lacks"
+        )
+    got = pa_codec.decompress(payload, out_size, asbytes=True)
     if len(got) != out_size:
-        raise BloscError(f"zlib: {len(got)} bytes, expected {out_size}")
+        raise BloscError(f"{name}: {len(got)} bytes, expected {out_size}")
     return got
 
 
@@ -350,9 +377,15 @@ def compress_frame(
     ``blosc_c``: per-block shuffle, split into ``typesize`` streams when
     the header rule triggers, store-raw fallback per stream, memcpy
     fallback for incompressible buffers."""
-    codec = {"lz4": 1, "lz4hc": 1, "zlib": 3}.get(cname)
+    codec = {"lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}.get(
+        cname
+    )
     if codec is None:
         raise BloscError(f"unsupported blosc cname {cname!r}")
+    if codec in (2, 4) and _pa_codec(_CODEC_NAMES[codec]) is None:
+        raise BloscError(
+            f"blosc cname {cname!r} needs pyarrow's codec support"
+        )
     if typesize < 1 or typesize > 255:
         typesize = 1
     nbytes = len(data)
@@ -373,7 +406,9 @@ def compress_frame(
     def _compress_stream(raw: bytes) -> bytes:
         if codec == 1:
             return lz4_compress(raw)
-        return zlib.compress(raw, clevel)
+        if codec == 3:
+            return zlib.compress(raw, clevel)
+        return _pa_codec(_CODEC_NAMES[codec]).compress(raw, asbytes=True)
 
     nblocks = -(-nbytes // blocksize) if nbytes else 0
     leftover = nbytes % blocksize

@@ -148,12 +148,22 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
     if comp is not None and comp.get("id") == "blosc":
         # the reference's DEFAULT (numcodecs.Blosc() = lz4 + byte-shuffle,
         # metadata.py:952-954); fail fast driver-side on the variants the
-        # pure-Python frame codec refuses
-        if comp.get("cname", "lz4") not in ("lz4", "lz4hc", "zlib"):
+        # frame codec refuses.  lz4/lz4hc/zlib always decode; zstd and
+        # snappy decode when pyarrow carries their codecs.
+        cname = comp.get("cname", "lz4")
+        if cname not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
             raise ZarrError(
-                f"{name}: blosc cname {comp.get('cname')!r} unsupported "
-                "(lz4/lz4hc/zlib decode here; zstd/blosclz/snappy do not)"
+                f"{name}: blosc cname {cname!r} unsupported "
+                "(lz4/lz4hc/zlib/zstd/snappy decode here; blosclz does not)"
             )
+        if cname in ("zstd", "snappy"):
+            from gridded_etl_tools_spark.sources.blosc import _pa_codec
+
+            if _pa_codec(cname) is None:
+                raise ZarrError(
+                    f"{name}: blosc cname {cname!r} needs pyarrow codec "
+                    "support, which this environment lacks"
+                )
         if comp.get("shuffle", 1) == 2:
             raise ZarrError(f"{name}: blosc bit-shuffle unsupported")
     dtype = np.dtype(meta["dtype"])

@@ -191,7 +191,7 @@ def test_nan_fill_value_round_trips(tmp_path):
     "compressor, match",
     [
         ({"id": "lzma"}, "compressor"),
-        ({"id": "blosc", "cname": "zstd"}, "zstd"),
+        ({"id": "blosc", "cname": "blosclz"}, "blosclz"),
         ({"id": "blosc", "cname": "lz4", "shuffle": 2}, "bit-shuffle"),
     ],
 )
@@ -392,8 +392,8 @@ def test_blosc_frame_rejects_corruption():
     with pytest.raises(blosc.BloscError, match="bit-shuffle"):
         blosc.decompress_frame(bytes(bad))
     bad = bytearray(f)
-    bad[2] = (bad[2] & 0x1F) | (4 << 5)  # zstd codec id
-    with pytest.raises(blosc.BloscError, match="zstd|codec id"):
+    bad[2] = (bad[2] & 0x1F) | (5 << 5)  # undefined codec id
+    with pytest.raises(blosc.BloscError, match="codec id 5"):
         blosc.decompress_frame(bytes(bad))
 
 
@@ -664,3 +664,59 @@ def test_blosc_distributed_sink_roundtrip(spark, tmp_path):
     assert len(rows) == 80
     for i in range(80):
         assert rows[(float(i // 10), float(i % 10))] == pytest.approx(i * 0.5)
+
+
+def test_blosc_zstd_snappy_inner_codecs(spark, tmp_path):
+    """Real-world stores also ship Blosc(cname='zstd'|'snappy'); those
+    inner streams decode through pyarrow's C codecs (the container
+    format stays the in-repo frame codec).  End-to-end store check on
+    zstd; frame-level on snappy; blosclz still refuses clearly."""
+    import json as _json
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    data_bytes = np.arange(4096, dtype="<f8").tobytes()
+    for cname in ("zstd", "snappy"):
+        f = blosc.compress_frame(data_bytes, 8, cname=cname, blocksize=8192)
+        assert blosc.decompress_frame(f) == data_bytes
+    with pytest.raises(blosc.BloscError, match="codec id 0"):
+        # hand-build a frame claiming blosclz (codec id 0)
+        bad = bytearray(blosc.compress_frame(data_bytes, 8))
+        bad[2] = bad[2] & 0x1F  # codec bits -> 0
+        blosc.decompress_frame(bytes(bad))
+
+    # store-level: rewrite a blosc store's metadata+chunks to zstd
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "zstd_store")
+    _write(root, data, times, lats, lons, compressor="blosc")
+    for dirpath, _dn, files in os.walk(root):
+        for fn in files:
+            if fn.startswith("."):
+                continue
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as fh:
+                raw = blosc.decompress_frame(fh.read())
+            var = os.path.basename(dirpath)
+            meta = zarr2.open_store(root)[var]
+            with open(p, "wb") as fh:
+                fh.write(
+                    blosc.compress_frame(
+                        raw, meta.dtype.itemsize, cname="zstd"
+                    )
+                )
+    for marker in (".zmetadata",):
+        path = os.path.join(root, marker)
+        doc = _json.load(open(path))
+        for k, v in doc["metadata"].items():
+            if k.endswith(".zarray") and v.get("compressor"):
+                v["compressor"]["cname"] = "zstd"
+        _json.dump(doc, open(path, "w"))
+    for var in ("time", "latitude", "longitude", "precip"):
+        zpath = os.path.join(root, var, ".zarray")
+        doc = _json.load(open(zpath))
+        if doc.get("compressor"):
+            doc["compressor"]["cname"] = "zstd"
+        _json.dump(doc, open(zpath, "w"))
+    got, rows = _collect(spark, root)
+    assert len(rows) == data.size
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
