@@ -1058,3 +1058,59 @@ def test_merge_upsert_equals_reference_merge(spark, tmp_path_factory, table_rows
         for r in t.read(spark).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.text(min_size=0, max_size=24),
+    b=st.text(min_size=0, max_size=24),
+)
+def test_time_key_order_preserving_for_non_temporal_strings(a, b):
+    """ADVICE r7 (high) as a property: for strings that do NOT parse as
+    instants, _time_key must be the identity — any normalization of
+    non-temporal text risks breaking the lexical order manifest pruning
+    compares with (the [ATA, ATZ] vs ATM bug class)."""
+    import datetime as _dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    def parses(s: str) -> bool:
+        for cand in (s, s[:-1] + "+00:00" if s.endswith("Z") else s,
+                     s[:-4] + "+00:00" if s.endswith(" UTC") else s):
+            try:
+                _dt.datetime.fromisoformat(cand)
+                return True
+            except ValueError:
+                continue
+        return False
+
+    k = GriddedTable._time_key
+    if not parses(a):
+        assert k(a) == a
+    if not parses(b):
+        assert k(b) == b
+    if not parses(a) and not parses(b):
+        assert (k(a) < k(b)) == (a < b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    t1=st.datetimes(
+        min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2200, 1, 1)
+    ),
+    t2=st.datetimes(
+        min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2200, 1, 1)
+    ),
+    sep1=st.sampled_from([" ", "T"]),
+    sep2=st.sampled_from([" ", "T"]),
+)
+def test_time_key_chronological_across_separators(t1, t2, sep1, sep2):
+    """Temporal strings compare CHRONOLOGICALLY regardless of the ISO
+    separator spelling — the original reason _time_key exists."""
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    k = GriddedTable._time_key
+    s1 = t1.isoformat(sep=sep1)
+    s2 = t2.isoformat(sep=sep2)
+    assert (k(s1) < k(s2)) == (t1 < t2)
+    assert k(t1.isoformat(sep=" ")) == k(t1.isoformat(sep="T"))
