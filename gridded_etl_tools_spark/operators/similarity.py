@@ -863,6 +863,14 @@ def pq_topk(
     )
 
 
+#: on-disk layout version of the persisted indexes (IvfIndex /
+#: IvfPqIndex / their meta JSON).  Bump on ANY incompatible change —
+#: cached fixture roots key their digest on it, so stale /tmp artifacts
+#: from an older layout are never served to a newer reader.
+#: v2 = round 8 (IvfPqIndex meta gained build_mse).
+INDEX_LAYOUT_VERSION = 2
+
+
 def _cell_skew_report(counts: DataFrame, skew_threshold: float) -> DataFrame:
     """(n_cells, total_vectors, max_cell, median_cell, skew,
     needs_rebuild) from a (centroid_id, n_vectors) frame — shared by

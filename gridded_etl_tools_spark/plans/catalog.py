@@ -2109,17 +2109,24 @@ def _cached_index_root(tag: str, sf_dir: str, build) -> str:
     import uuid
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    # the digest keys on the INDEX LAYOUT VERSION too: an on-disk format
+    # change invalidates cached roots automatically instead of serving a
+    # previous round's artifact from /tmp
+    layout = sim_ops.INDEX_LAYOUT_VERSION
     digest = hashlib.md5(
-        f"{tag}_v1:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{tag}_l{layout}:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{digest}")
     if not os.path.isdir(root):
         wip = root + f".wip-{uuid.uuid4().hex}"
-        build(wip)
         try:
+            build(wip)
             os.rename(wip, root)
         except OSError:  # concurrent builder won; theirs is complete
             shutil.rmtree(wip, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(wip, ignore_errors=True)  # no half-built debris
+            raise
     return root
 
 

@@ -1488,9 +1488,12 @@ class GriddedTable:
         acquired_at = time.time()
         try:
             if keep_versions:
+                # ONE lineage walk yields every retained manifest dict —
+                # snapshot(v) per version would re-walk the chain each
+                # time (O(N^2) manifest reads on an object store)
                 live: set[str] = set()
-                for v in self.history():
-                    live |= set(self.snapshot(v["version"]).paths())
+                for _v, _name, m in self._walk_committed():
+                    live |= {e["path"] for e in m["entries"]}
             else:
                 current = self.snapshot(pointer["version"])
                 live = set(current.paths())
@@ -1528,7 +1531,13 @@ class GriddedTable:
         pointer = self._acquire()
         acquired_at = time.time()
         try:
-            versions = [h["version"] for h in self.history()]
+            # ONE lineage walk supplies names + entries for every
+            # retained version (resolve/snapshot per version would
+            # re-walk the chain each time — O(N^2) reads)
+            chain = {
+                v: (name, m) for v, name, m in self._walk_committed()
+            }
+            versions = sorted(chain)
             expired = versions[:-keep_last]
             current = pointer["version"]
             if current in expired:
@@ -1537,11 +1546,9 @@ class GriddedTable:
                 )
             live: set[str] = set()
             for v in versions[-keep_last:]:
-                live |= set(self.snapshot(v).paths())
+                live |= {e["path"] for e in chain[v][1]["entries"]}
             for v in expired:
-                self._fs.remove(
-                    self._manifest_path(self._resolve_manifest(v, pointer))
-                )
+                self._fs.remove(self._manifest_path(chain[v][0]))
             self._sweep_unreferenced(
                 live, pointer=pointer, newer_than=acquired_at
             )

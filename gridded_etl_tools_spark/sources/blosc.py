@@ -69,9 +69,13 @@ except Exception:  # noqa: BLE001 - any import/availability failure
 
 def lz4_decompress(src: bytes, dst_size: int) -> bytes:
     """LZ4 block decode — C fast path when pyarrow carries lz4_raw,
-    pure-Python otherwise."""
+    pure-Python otherwise.  Always raises BloscError on a bad stream
+    (the contract decompress_frame's split-count retry depends on)."""
     if _LZ4_RAW is not None:
-        return _LZ4_RAW.decompress(src, dst_size, asbytes=True)
+        try:
+            return _LZ4_RAW.decompress(src, dst_size, asbytes=True)
+        except Exception as exc:  # noqa: BLE001 - ArrowInvalid etc.
+            raise BloscError(f"LZ4: {exc}") from exc
     return lz4_decompress_block(src, dst_size)
 
 
@@ -244,22 +248,35 @@ def _split_count(typesize: int, bsize: int, leftover: bool, dont_split: bool) ->
     return 1
 
 
-def _pa_codec(name: str):
-    try:
-        import pyarrow as pa
+_PA_CODECS: dict[str, object] = {}
 
-        if pa.Codec.is_available(name):
-            return pa.Codec(name)
-    except Exception:  # noqa: BLE001 - treat any failure as unavailable
-        pass
-    return None
+
+def _pa_codec(name: str):
+    """Resolve (once per process) a pyarrow codec by name — called per
+    split stream, so the instance is cached like _LZ4_RAW."""
+    if name not in _PA_CODECS:
+        codec = None
+        try:
+            import pyarrow as pa
+
+            if pa.Codec.is_available(name):
+                codec = pa.Codec(name)
+        except Exception:  # noqa: BLE001 - treat any failure as unavailable
+            codec = None
+        _PA_CODECS[name] = codec
+    return _PA_CODECS[name]
 
 
 def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
     if codec == 1:
         return lz4_decompress(payload, out_size)
     if codec == 3:
-        got = zlib.decompress(payload)
+        try:
+            got = zlib.decompress(payload)
+        except zlib.error as exc:
+            # BloscError is the module's error contract AND what the
+            # alternate-split-count retry in decompress_frame catches
+            raise BloscError(f"zlib: {exc}") from exc
         if len(got) != out_size:
             raise BloscError(f"zlib: {len(got)} bytes, expected {out_size}")
         return got
@@ -270,7 +287,10 @@ def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
             f"blosc inner codec {name!r} needs pyarrow's {name} support, "
             "which this environment lacks"
         )
-    got = pa_codec.decompress(payload, out_size, asbytes=True)
+    try:
+        got = pa_codec.decompress(payload, out_size, asbytes=True)
+    except Exception as exc:  # noqa: BLE001 - ArrowInvalid etc.
+        raise BloscError(f"{name}: {exc}") from exc
     if len(got) != out_size:
         raise BloscError(f"{name}: {len(got)} bytes, expected {out_size}")
     return got
@@ -327,8 +347,9 @@ def decompress_frame(frame: bytes) -> bytes:
     codec = flags >> 5
     if codec not in _CODEC_NAMES:
         raise BloscError(
-            f"blosc inner codec id {codec} unsupported (lz4/zlib only; "
-            "blosclz/snappy/zstd would need their own pure-Python decoders)"
+            f"blosc inner codec id {codec} unsupported (lz4/zlib decode "
+            "natively, zstd/snappy via pyarrow; blosclz has no "
+            "implementation in this environment)"
         )
     if blocksize == 0:
         raise BloscError("blosc: zero blocksize in non-memcpy frame")

@@ -377,19 +377,13 @@ def stream_zarr_append(
                     os.replace(tmp, guard_path)
                     return
         os.makedirs(root, exist_ok=True)  # batch 0 runs before the store
+        # one axis read serves both the intent record and the late/
+        # cadence checks below (the axis array is dimension-sized, but
+        # re-reading it per micro-batch is still pointless I/O)
+        pre_end = _store_end(dims[0]) if os.path.exists(marker) else None
         tmp = intent_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "batch_id": batch_id,
-                    "store_end": (
-                        _store_end(dims[0])
-                        if os.path.exists(marker)
-                        else None
-                    ),
-                },
-                f,
-            )
+            json.dump({"batch_id": batch_id, "store_end": pre_end}, f)
         os.replace(tmp, intent_path)
         feed = derive(batch_df) if derive is not None else batch_df
         if not os.path.exists(marker):
@@ -399,7 +393,7 @@ def stream_zarr_append(
             )
         else:
             axis = dims[0]
-            store_end = _store_end(axis)
+            store_end = pre_end
             if late_policy == "side_output":
                 feed = feed.localCheckpoint(eager=True)
                 late = feed.filter(F.col(axis) <= store_end)
