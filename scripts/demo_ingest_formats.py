@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Runnable demo of the full ingest surface: ONE synthetic grid written
-as six different real on-disk formats, every format decoded back through
-its Spark front door, all six proven cell-identical, then published and
-rolled into a climate index.
+as eight different real on-disk formats, every format decoded back
+through its Spark front door, all eight proven cell-identical, then
+published and rolled into a climate index.
 
   grid → netcdf3 / netcdf4(hdf5) / geotiff / zarr v2 / zarr v3 /
-         kerchunk refs
+         kerchunk refs / blosc-lz4 zarr (the reference's default
+         compressor) / XChaCha20-Poly1305-encrypted zarr
        → per-format distributed decode (binaryFile + mapInPandas,
          chunk-parallel for the stores, manifest scan for kerchunk)
        → cross-format agreement check
@@ -151,6 +152,47 @@ def main() -> None:
     # -- Kerchunk refs over the v2 store --------------------------------------
     refs = kerchunk.build_refs_for_zarr_store(z2_root)
     frames["kerchunk"] = kerchunk.decode_kerchunk_long(spark, refs, "precip")
+
+    # -- Blosc-LZ4 store (the reference's DEFAULT compressor, r8) -------------
+    zb_root = os.path.join(work, "grid_blosc.zarr")
+    zarr2.write_zarr_store(
+        zb_root,
+        variables={
+            **{n: ((n,), v, {}) for n, v in dims.items()},
+            "precip": (
+                ("time", "latitude", "longitude"), data,
+                {"_FillValue": -9999.0},
+            ),
+        },
+        chunks={"precip": (2, 3, 2)},
+        fill_values={"precip": -9999.0},
+        compressor="blosc",
+    )
+    frames["blosc"] = zarr2.decode_zarr_long(spark, zb_root, "precip")
+
+    # -- Encrypted store (the reference's EncryptionFilter, r8) ---------------
+    from gridded_etl_tools_spark.functions.encryption import (
+        register_encryption_key,
+    )
+
+    key_digest = register_encryption_key(os.urandom(32))
+    ze_root = os.path.join(work, "grid_encrypted.zarr")
+    zarr2.write_zarr_store(
+        ze_root,
+        variables={
+            **{n: ((n,), v, {}) for n, v in dims.items()},
+            "precip": (
+                ("time", "latitude", "longitude"), data,
+                {"_FillValue": -9999.0},
+            ),
+        },
+        chunks={"precip": (2, 3, 2)},
+        fill_values={"precip": -9999.0},
+        compressor="blosc",
+        encryption_key_hash=key_digest,
+        encrypt_vars=("precip",),
+    )
+    frames["encrypted"] = zarr2.decode_zarr_long(spark, ze_root, "precip")
 
     # -- cross-format agreement ----------------------------------------------
     def canon(df):
