@@ -67,3 +67,32 @@ def run_daily_batch(
         )
         ann.append(vecs)
     return survivors
+
+
+def maintenance_check(
+    spark,
+    ann: IvfIndex,
+    recent_sample: DataFrame | None = None,
+    skew_threshold: float = 4.0,
+) -> dict:
+    """The nightly maintenance decision (round 8): read the index's
+    ``health()`` report and return it as a plain dict with the
+    ``needs_rebuild`` verdict the scheduler acts on.  Cell skew is a
+    partition-column-only aggregate — pennies at any corpus size; for
+    an :class:`IvfPqIndex` pass ``recent_sample`` (e.g. today's
+    survivors' embeddings) so the report also measures quantization
+    drift against the frozen build-time codebooks.  When the verdict
+    trips, rebuild with a fresh centroid book (and PQ codebooks) over
+    the full corpus — one assignment pass, the same order of work as a
+    single full-corpus query, so the policy is cheap insurance
+    (``scripts/ab_index_health.py`` shows the metrics tripping under a
+    mode-collapsed drifted feed and recovering after the rebuild)."""
+    from gridded_etl_tools_spark.operators.similarity import IvfPqIndex
+
+    if isinstance(ann, IvfPqIndex) and recent_sample is not None:
+        row = ann.health(
+            spark, sample=recent_sample, skew_threshold=skew_threshold
+        ).collect()[0]
+    else:
+        row = ann.health(spark, skew_threshold=skew_threshold).collect()[0]
+    return row.asDict()

@@ -181,3 +181,12 @@ def test_incremental_index_ops_daily_loop(spark, tmp_path):
     # ANN index holds exactly corpus+day-1 survivors (day 2 ran without it)
     n = spark.read.parquet(str(tmp_path / "ann" / "cells")).count()
     assert n == corpus.count() + len(s1_ids)
+
+    # nightly maintenance verdict (r8): the health report drives the
+    # rebuild decision; on this healthy index it must not trip
+    from examples.incremental_index_ops import maintenance_check
+
+    report = maintenance_check(spark, ann)
+    assert report["total_vectors"] == n
+    assert report["skew"] >= 1.0 and not report["needs_rebuild"]
+    assert maintenance_check(spark, ann, skew_threshold=1.0)["needs_rebuild"]
