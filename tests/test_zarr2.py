@@ -720,3 +720,77 @@ def test_blosc_zstd_snappy_inner_codecs(spark, tmp_path):
     got, rows = _collect(spark, root)
     assert len(rows) == data.size
     assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+
+
+def test_blosc_decoder_fuzz_clean_errors_only():
+    """The frame decoder consumes UNTRUSTED store bytes: random buffers
+    and random mutations of a valid frame must either decode (a
+    mutation can land in a don't-care byte) or raise BloscError —
+    never IndexError/struct.error/MemoryError/OverflowError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    valid = blosc.compress_frame(
+        np.arange(4096, dtype="<f8").tobytes(), 8, blocksize=8192
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def random_bytes(data):
+        try:
+            blosc.decompress_frame(data)
+        except blosc.BloscError:
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(valid) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=0, max_value=len(valid)),
+    )
+    def mutated_frames(pos, val, cut):
+        buf = bytearray(valid)
+        buf[pos] = val
+        for payload in (bytes(buf), bytes(buf[:cut])):
+            try:
+                blosc.decompress_frame(payload)
+            except blosc.BloscError:
+                pass
+
+    random_bytes()
+    mutated_frames()
+
+
+def test_encrypted_chunk_fuzz_clean_errors_only():
+    """decrypt_chunk on mutated/truncated ciphertext: InvalidTag or
+    ValueError, never a crash from framing arithmetic."""
+    from cryptography.exceptions import InvalidTag
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.functions import xchacha
+
+    key = bytes(range(32))
+    frame = xchacha.encrypt_chunk(key, b"payload bytes " * 64)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(frame) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=0, max_value=len(frame)),
+    )
+    def mutated(pos, val, cut):
+        buf = bytearray(frame)
+        original = buf[pos]
+        buf[pos] = val
+        for payload in (bytes(buf), bytes(buf[:cut])):
+            try:
+                out = xchacha.decrypt_chunk(key, payload)
+                # only the UNMUTATED full frame may authenticate
+                assert val == original and len(payload) == len(frame)
+            except (InvalidTag, ValueError):
+                pass
+
+    mutated()
