@@ -1479,9 +1479,14 @@ class GriddedTable:
         """Delete data files not referenced by ANY retained manifest
         (debris from crashed writers).  Takes the writer flag so a
         concurrent in-flight writer's staged-but-uncommitted files are
-        never swept.  Old manifests stay (cheap; they are the time-travel
-        index) unless ``keep_versions=False``, which drops all but the
-        live manifest and its files."""
+        never swept.  Committed manifests stay (cheap; they are the
+        time-travel index) unless ``keep_versions=False``, which drops
+        all but the live manifest and its files.  ORPHAN manifests — a
+        zombie writer's never-committed ``v{N}-{token}.json``, off the
+        lineage chain — are swept in BOTH modes (with the same
+        mtime-newer-than-acquire guard that protects a concurrent
+        takeover writer's staging), making good on the commit-failure
+        error's promise that a lost commit's debris falls to vacuum."""
         if not self.exists():
             return []
         pointer = self._acquire()
@@ -1492,8 +1497,22 @@ class GriddedTable:
                 # snapshot(v) per version would re-walk the chain each
                 # time (O(N^2) manifest reads on an object store)
                 live: set[str] = set()
-                for _v, _name, m in self._walk_committed():
+                chain_names: set[str] = set()
+                for _v, name, m in self._walk_committed():
+                    chain_names.add(name)
                     live |= {e["path"] for e in m["entries"]}
+                for fname in self._fs.list_names(self._manifest_dir):
+                    if (
+                        fname.startswith("v")
+                        and fname.endswith(".json")
+                        and "-" in fname  # unique-named only: a legacy
+                        # fixed name was always a committed manifest
+                        and fname not in chain_names
+                    ):
+                        p = self._manifest_path(fname)
+                        if self._fs.mtime(p) >= acquired_at:
+                            continue  # possibly a takeover writer's
+                        self._fs.remove(p)
             else:
                 current = self.snapshot(pointer["version"])
                 live = set(current.paths())

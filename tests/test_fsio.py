@@ -124,7 +124,25 @@ def test_zombie_manifests_are_collision_free_and_vacuumable(fs, tmp_path):
     assert len([n for n in names if n.startswith("v1-")]) == 2
     # resolution still finds the COMMITTED v1 via the pointer/lineage
     assert t.snapshot(1).version == committed.version
-    assert t._resolve_manifest(1) == t._read_pointer()["manifest"]
+    committed_name = t._read_pointer()["manifest"]
+    assert t._resolve_manifest(1) == committed_name
+    # default vacuum sweeps the orphan (mtime-guard aged first) but
+    # never a committed manifest — the lost commit's debris is gone
+    orphan = next(
+        n for n in names if n.startswith("v1-") and n != committed_name
+    )
+    if isinstance(fs, MemoryControlFS):
+        fs._mtimes[fs._norm(t._manifest_path(orphan))] -= 3600
+    else:
+        import os as _os
+        import time as _time
+
+        past = _time.time() - 3600
+        _os.utime(t._manifest_path(orphan), (past, past))
+    t.vacuum()
+    left = fs.list_names(t._manifest_dir)
+    assert orphan not in left and committed_name in left
+    assert t.snapshot(1).version == 1  # history intact
 
 
 def test_acquire_race_single_winner(fs, tmp_path):
