@@ -133,3 +133,36 @@ def test_refs_built_over_real_zarr_store(spark, tmp_path):
     assert len(got) == data.size
     assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
     assert got[(0.0, 36.0, -116.0)] is None
+
+
+def test_kerchunk_refs_over_blosc_store(spark, tmp_path):
+    """Kerchunk refs into a Blosc-LZ4 store: the ref decode reuses the
+    shared chunk codec, so the reference's default compressor works
+    through the kerchunk front door too (scan_grib-produced refs into
+    blosc archives are the common real-world shape)."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import kerchunk, zarr2
+
+    rng = np.random.default_rng(1)
+    data = (rng.standard_normal((4, 3, 2)) * 10).astype("<f8")
+    root = str(tmp_path / "b.zarr")
+    zarr2.write_zarr_store(
+        root,
+        {
+            "time": (("time",), np.arange(4, dtype="f8"), {}),
+            "y": (("y",), np.arange(3, dtype="f8"), {}),
+            "x": (("x",), np.arange(2, dtype="f8"), {}),
+            "v": (("time", "y", "x"), data, {}),
+        },
+        chunks={"v": (2, 3, 2)},
+        compressor="blosc",
+    )
+    refs = kerchunk.build_refs_for_zarr_store(root)
+    out = kerchunk.decode_kerchunk_long(spark, refs, "v")
+    got = {(r.time, r.y, r.x): r.value for r in out.collect()}
+    assert len(got) == data.size
+    for t in range(4):
+        for y in range(3):
+            for x in range(2):
+                assert got[(float(t), float(y), float(x))] == data[t, y, x]
