@@ -39,25 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness key, oldest-first.
 _FIXED_THIS_ROUND = (
     "engine_canary",                     # primitive-divergence probe row
-    # r8 changed write paths: the commit protocol is now CAS + unique
-    # manifest names through the ControlFS seam — every table mutator
-    # row re-attests on the new protocol
-    "table_merge_upsert_readback",
-    "table_delete_where_readback",
-    "table_optimize_zorder_readback",
-    "table_optimize_zorder3_readback",
-    "streaming_cdc_upsert_readback",
-    "published_table_readback",
-    # r8: the zarr sink's chunk writes route through write_chunk_atomic
-    # and the unified codec dispatch (blosc/encryption capable)
-    "zarr_publish_readback",
-    "zarr3_publish_readback",
-    "zarr_publish_append_readback",
-    "streaming_zarr_append_readback",
-    # r8: wav/gif truncation guards touched both codecs
-    "multimodal_audio_decode",
-    "multimodal_video_decode",
-    # r8: IvfPqIndex.build now records build_mse in the index meta
+    # r9 changed decode paths: the lz4 C fast path now validates decoded
+    # length (ADVICE-high), and the blosc frame codec gained bitshuffle
+    # + blosclz — the blosc row's fixture union re-attests all of it
+    "zarr_blosc_decode",
+    # r9: key resolution for the per-chunk filter validates the 32-byte
+    # XChaCha requirement up front (read + both write paths touched)
+    "zarr_encrypted_readback",
+    # r9: _cached_index_root error-scope fix touched the persisted-index
+    # readback rows' build-once publication path
+    "ivf_index_query_readback",
+    "ivf_index_append_readback",
     "ivfpq_index_query_readback",
     # rows-only sketch estimates: re-stamp their `no_oracle`-by-design
     # records every rotation (r7 practice the judge endorsed)
@@ -66,13 +58,12 @@ _FIXED_THIS_ROUND = (
     "approx_value_percentiles",
 )
 
-# New round-8 surface (appended as the round adds queries).
-_FAMILY_REPRESENTATIVES = (
-    "zarr_blosc_decode",          # r8: the reference's DEFAULT compressor
-    "zarr_encrypted_readback",    # r8: per-chunk XChaCha20-Poly1305 parity
-    "ivf_index_health",           # r8: measured rebuild trigger
-    "streaming_zarr_late_batch_readback",  # r8: late/cadence-bounds policy
-)
+# New round-9 surface (appended as the round adds queries); brand-new
+# rows also sort ahead automatically via seen==0.  Everything else in
+# the ~50-slot window is the stale-green burn-down, oldest round first
+# (the judge's #1: the 34 r3 rows, then r4), which the staleness sort
+# key below produces with no explicit list.
+_FAMILY_REPRESENTATIVES = ()
 
 
 def _last_checked() -> dict[str, int]:

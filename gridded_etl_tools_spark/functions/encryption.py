@@ -52,6 +52,27 @@ def get_encryption_key(digest: str) -> bytes:
         raise KeyError(f"no encryption key registered under digest {digest[:12]}…") from None
 
 
+def get_xchacha_key(digest: str) -> bytes:
+    """Resolve a registered key for the per-chunk XChaCha20-Poly1305
+    filter, enforcing XChaCha's 32-byte key requirement UP FRONT.
+
+    The registry accepts 16/24/32-byte keys (the AES column path takes
+    all three), but the zarr chunk filter is XChaCha20 — a 16/24-byte
+    key would otherwise pass ``open_store``/sink setup and only fail
+    deep inside ``hchacha20`` mid-write, after chunk files were already
+    partially written.  Validating here keeps the failure before any
+    chunk I/O starts."""
+    key = get_encryption_key(digest)
+    if len(key) != 32:
+        raise ValueError(
+            f"XChaCha20-Poly1305 requires a 32-byte key; the key registered "
+            f"under digest {digest[:12]}… is {len(key)} bytes (register a "
+            "32-byte key for zarr chunk encryption; 16/24-byte keys are "
+            "only valid for the AES column path)"
+        )
+    return key
+
+
 def encrypt_column(col: Column | str, key_digest: str) -> Column:
     """AES-GCM encrypt a column (binary out: 12-byte IV ‖ ciphertext ‖
     16-byte tag — same framing idea as the reference's nonce+tag+cipher

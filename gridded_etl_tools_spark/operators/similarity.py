@@ -1059,7 +1059,13 @@ class IvfPqIndex:
         err = pq_quantization_error(
             sample, cb, meta["m"], meta["dim"], meta["vec_col"]
         ).select(F.round("mse", 6).alias("sample_mse"))
-        build_mse = meta["build_mse"]
+        # a degenerate corpus (every vector on a codeword) records
+        # build_mse ~ 0; an unguarded division would yield NULL under
+        # non-ANSI Spark and propagate into needs_rebuild as NULL,
+        # silently disabling the drift trigger.  Clamp the baseline so
+        # mse_ratio / needs_rebuild are always non-null: any real
+        # sample error over a ~zero baseline correctly reads as huge.
+        build_mse = max(meta["build_mse"], 1e-12)
         return report.crossJoin(err).select(
             "*",
             F.lit(round(build_mse, 6)).alias("build_mse"),

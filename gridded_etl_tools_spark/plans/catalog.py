@@ -2121,12 +2121,15 @@ def _cached_index_root(tag: str, sf_dir: str, build) -> str:
         wip = root + f".wip-{uuid.uuid4().hex}"
         try:
             build(wip)
-            os.rename(wip, root)
-        except OSError:  # concurrent builder won; theirs is complete
-            shutil.rmtree(wip, ignore_errors=True)
         except Exception:
             shutil.rmtree(wip, ignore_errors=True)  # no half-built debris
-            raise
+            raise  # a failed BUILD (disk full, perms) surfaces as itself
+        try:
+            os.rename(wip, root)
+        except OSError:  # lost-race scope ONLY: concurrent builder won
+            shutil.rmtree(wip, ignore_errors=True)
+        # either our rename landed or the winner's tree is complete
+        assert os.path.isdir(root), f"index cache root missing: {root}"
     return root
 
 

@@ -98,10 +98,11 @@ def write_zarr_distributed(
                 "have no standard encryption codec"
             )
         from gridded_etl_tools_spark.functions.encryption import (
-            get_encryption_key,
+            get_xchacha_key,
         )
 
-        enc_key = get_encryption_key(encryption_key_hash)
+        # validates the 32-byte XChaCha requirement BEFORE any chunk I/O
+        enc_key = get_xchacha_key(encryption_key_hash)
     dims = list(dims)
     spark = df.sparkSession
     # 1. axes: sorted distinct per dim — dimension-sized driver state

@@ -70,13 +70,76 @@ except Exception:  # noqa: BLE001 - any import/availability failure
 def lz4_decompress(src: bytes, dst_size: int) -> bytes:
     """LZ4 block decode — C fast path when pyarrow carries lz4_raw,
     pure-Python otherwise.  Always raises BloscError on a bad stream
-    (the contract decompress_frame's split-count retry depends on)."""
+    (the contract decompress_frame's split-count retry depends on).
+
+    The C path alone cannot honor that contract: pyarrow's
+    ``Codec.decompress(src, dst_size)`` pads a valid-but-short stream
+    out to ``dst_size`` with uninitialized bytes instead of raising —
+    so a frame whose split layout differs from the header heuristic's
+    guess would decode silently to garbage instead of triggering the
+    alternate-split retry, and corrupt input could leak heap bytes.
+    :func:`lz4_decoded_length` (a length-only token walk over ``src``,
+    no output buffer) closes that hole before the C bytes are trusted.
+    """
     if _LZ4_RAW is not None:
+        got_size = lz4_decoded_length(src)
+        if got_size != dst_size:
+            raise BloscError(
+                f"LZ4: stream decodes to {got_size} bytes, "
+                f"expected {dst_size}"
+            )
         try:
             return _LZ4_RAW.decompress(src, dst_size, asbytes=True)
         except Exception as exc:  # noqa: BLE001 - ArrowInvalid etc.
             raise BloscError(f"LZ4: {exc}") from exc
     return lz4_decompress_block(src, dst_size)
+
+
+def lz4_decoded_length(src: bytes) -> int:
+    """Walk an LZ4 block's token/length structure and return the exact
+    decoded size WITHOUT producing output — O(#sequences), touching only
+    token and extension bytes (literals are skipped by index).  Raises
+    :class:`BloscError` on any structural problem (truncated lengths,
+    literals past the end, zero or out-of-range match offsets), which
+    makes it the validity gate for the C fast path above."""
+    i, n, total = 0, len(src), 0
+    while i < n:
+        token = src[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                if i >= n:
+                    raise BloscError("LZ4: truncated literal length")
+                b = src[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        if i + ll > n:
+            raise BloscError("LZ4: literals past end of block")
+        total += ll
+        i += ll
+        if i == n:
+            break  # last sequence carries literals only
+        if i + 2 > n:
+            raise BloscError("LZ4: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > total:
+            raise BloscError(f"LZ4: bad match offset {offset} at {total}")
+        ml = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if i >= n:
+                    raise BloscError("LZ4: truncated match length")
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        total += ml
+    return total
 
 
 def lz4_compress(src: bytes) -> bytes:

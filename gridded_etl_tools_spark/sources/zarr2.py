@@ -278,11 +278,22 @@ def _resolve_filter_keys(arrays: dict[str, ZArray]) -> dict[str, ZArray]:
     ``register_encryption_key`` semantics, encryption.py:31-70).  Left
     ``None`` when unregistered — metadata browsing works keyless; the
     chunk decode raises a clear registration error instead."""
-    from gridded_etl_tools_spark.functions.encryption import _KEY_REGISTRY
+    from gridded_etl_tools_spark.functions.encryption import (
+        _KEY_REGISTRY,
+        get_xchacha_key,
+    )
 
     for meta in arrays.values():
         if meta.filters:
-            meta.filter_key = _KEY_REGISTRY.get(meta.filters[0]["key_hash"])
+            key_hash = meta.filters[0]["key_hash"]
+            if key_hash in _KEY_REGISTRY:
+                # raises HERE (open time) on a non-32-byte registration
+                # instead of deep inside hchacha20 on the executors
+                meta.filter_key = get_xchacha_key(key_hash)
+            else:
+                # keyless metadata browsing still works; the chunk
+                # decode raises a clear registration error instead
+                meta.filter_key = None
     return arrays
 
 
@@ -634,11 +645,12 @@ def write_zarr_store(
     """
     enc_key = None
     if encryption_key_hash is not None:
+        # validates the 32-byte XChaCha requirement BEFORE any chunk I/O
         from gridded_etl_tools_spark.functions.encryption import (
-            get_encryption_key,
+            get_xchacha_key,
         )
 
-        enc_key = get_encryption_key(encryption_key_hash)
+        enc_key = get_xchacha_key(encryption_key_hash)
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)

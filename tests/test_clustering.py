@@ -588,3 +588,35 @@ def test_index_health_reports_and_rebuild_trigger(spark, tmp_path):
     assert moved["mse_ratio"] > 2.0 and moved["needs_rebuild"]
     # skew-only report (no sample) has no mse columns
     assert "mse_ratio" not in pq.health(spark).columns
+
+
+def test_pq_health_zero_build_mse_guard(spark, tmp_path):
+    """ADVICE r8 (low): a degenerate corpus (every vector coincides
+    with a codeword) records build_mse ~ 0; mse_ratio/needs_rebuild
+    must still come back NON-NULL — an unguarded division yields NULL
+    under non-ANSI Spark and silently disables the drift trigger."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.similarity import (
+        IvfPqIndex,
+        pq_codebooks,
+    )
+
+    vec = [1.0] * 64
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(v) for v in vec]).alias("embedding"),
+    )
+    cents = emb.limit(1)
+    books = pq_codebooks(emb, F.col("vec_id") < 8, m=4, dim=64)
+    pq = IvfPqIndex.build(emb, cents, books, str(tmp_path / "degen"))
+
+    same = pq.health(spark, sample=emb).collect()[0]
+    assert same["needs_rebuild"] is not None and same["mse_ratio"] is not None
+    assert not same["needs_rebuild"]  # identical sample: no drift
+
+    drifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x + 3.0).alias("embedding")
+    )
+    moved = pq.health(spark, sample=drifted).collect()[0]
+    assert moved["needs_rebuild"] is True  # non-null AND tripped

@@ -459,3 +459,44 @@ def test_plan_shuffle_budget(spark, name):
     assert got_single <= max_single, (
         f"{name}: {got_single} single-partition exchanges > budget {max_single}"
     )
+
+
+def test_cached_index_root_propagates_build_errors(tmp_path, monkeypatch):
+    """ADVICE r8 (low): an OSError raised by build() itself (disk full,
+    permissions) must propagate — only a LOST RENAME RACE may be
+    swallowed.  Before the fix both hit the same `except OSError`,
+    rmtree'd the wip, and returned a nonexistent root that surfaced
+    later as a confusing path-not-found from spark.read."""
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    def failing_build(wip):
+        os.makedirs(wip)
+        raise OSError(28, "No space left on device")
+
+    with pytest.raises(OSError, match="No space left"):
+        catalog._cached_index_root(
+            "errprop", "/root/testdata/sf0.001", failing_build
+        )
+    # no half-built debris
+    assert not [p for p in os.listdir(tmp_path) if "errprop" in p]
+
+    # the success path still publishes and caches
+    def ok_build(wip):
+        os.makedirs(wip)
+        with open(os.path.join(wip, "ok"), "w") as f:
+            f.write("1")
+
+    root = catalog._cached_index_root("okbuild", "/root/testdata/sf0.001", ok_build)
+    assert os.path.exists(os.path.join(root, "ok"))
+    # second call reuses without rebuilding
+    def exploding_build(wip):
+        raise AssertionError("must not rebuild a cached root")
+
+    assert catalog._cached_index_root(
+        "okbuild", "/root/testdata/sf0.001", exploding_build
+    ) == root

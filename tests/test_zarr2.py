@@ -794,3 +794,112 @@ def test_encrypted_chunk_fuzz_clean_errors_only():
                 pass
 
     mutated()
+
+
+# --- round-9 ADVICE fixes ----------------------------------------------------
+
+
+def test_lz4_fast_path_validates_decoded_length():
+    """ADVICE r8 (high): pyarrow's lz4_raw pads a valid-but-short stream
+    out to dst_size with uninitialized bytes instead of raising, which
+    broke the 'always raises BloscError on a bad stream' contract the
+    split-count retry depends on.  lz4_decompress must reject a stream
+    whose true decoded size differs from dst_size — both directions."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    payload = b"hello world, hello world, hello world!!"
+    comp = blosc.lz4_compress(payload)
+    assert blosc.lz4_decompress(comp, len(payload)) == payload
+    with pytest.raises(blosc.BloscError, match="decodes to"):
+        blosc.lz4_decompress(comp, len(payload) + 17)  # would pad silently
+    with pytest.raises(blosc.BloscError):
+        blosc.lz4_decompress(comp, len(payload) - 1)
+
+
+def test_lz4_decoded_length_agrees_with_both_encoders():
+    """The length-only token walk returns the exact decoded size for
+    streams from BOTH encoders (ours and pyarrow's C one), and raises
+    BloscError on structural corruption."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    c = pa.Codec("lz4_raw")
+
+    @settings(max_examples=80, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=4096))
+    def check(data):
+        assert blosc.lz4_decoded_length(blosc.lz4_compress_block(data)) == len(data)
+        assert blosc.lz4_decoded_length(c.compress(data, asbytes=True)) == len(data)
+
+    check()
+    with pytest.raises(blosc.BloscError):
+        blosc.lz4_decoded_length(b"\xff\x01")  # truncated literal run
+
+
+def test_blosc_dont_split_flag_mismatch_retries_correctly():
+    """The exact silent-corruption scenario from the ADVICE: a frame
+    written SPLIT but flagged dont-split (the alternate-c-blosc-vintage
+    case the retry exists for) must decode to the original bytes via
+    the alternate-split retry — not silently to padded garbage."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    d = np.arange(4096, dtype="<f8").tobytes()  # ts=8, bsize/ts>=128 → split
+    f = bytearray(blosc.compress_frame(d, 8, cname="lz4", blocksize=8192))
+    assert not (f[2] & 0x10)  # written split
+    f[2] |= 0x10  # lie: claim dont-split, so the heuristic guesses 1
+    assert blosc.decompress_frame(bytes(f)) == d
+    # and the mirror image: written unsplit, flagged split
+    g = bytearray(blosc.compress_frame(d, 8, cname="lz4", blocksize=8192,
+                                       split=False))
+    assert g[2] & 0x10
+    g[2] &= ~0x10 & 0xFF
+    assert blosc.decompress_frame(bytes(g)) == d
+
+
+def test_xchacha_key_length_validated_before_chunk_io(tmp_path):
+    """ADVICE r8 (low): a registered 16/24-byte AES key passes the
+    registry but XChaCha20 needs exactly 32 bytes — both write paths
+    must fail UP FRONT naming the requirement, before any chunk file
+    is written."""
+    from gridded_etl_tools_spark.functions.encryption import (
+        register_encryption_key,
+    )
+
+    digest16 = register_encryption_key(bytes(range(16)))
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "short_key.zarr")
+    with pytest.raises(ValueError, match="32-byte"):
+        _write(
+            root, data, times, lats, lons,
+            compressor="blosc", encryption_key_hash=digest16,
+            encrypt_vars=("precip",),
+        )
+    # failed before any chunk I/O: no chunk files under the array dir
+    assert not os.path.exists(os.path.join(root, "precip", "0.0.0"))
+
+
+def test_xchacha_key_length_validated_in_distributed_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.functions.encryption import (
+        register_encryption_key,
+    )
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+
+    digest24 = register_encryption_key(bytes(range(24)))
+    df = spark.range(8).select(
+        F.col("id").cast("double").alias("time"),
+        F.lit(1.0).alias("latitude"),
+        F.lit(2.0).alias("longitude"),
+        (F.col("id") * 1.5).alias("precip"),
+    )
+    with pytest.raises(ValueError, match="32-byte"):
+        write_zarr_distributed(
+            df, str(tmp_path / "s.zarr"), dims=("time", "latitude", "longitude"),
+            data_var="precip", chunks={"time": 4, "latitude": 1, "longitude": 1},
+            encryption_key_hash=digest24,
+        )
+    assert not os.path.exists(os.path.join(str(tmp_path / "s.zarr"), "precip"))
