@@ -4904,12 +4904,14 @@ def zarr3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zarr_blosc_fixture_roots() -> tuple[str, str]:
-    """Write (once, digest-named) the fixture grid as Blosc-LZ4 stores in
-    BOTH metadata generations — v2 with the reference's default
-    ``numcodecs.Blosc()`` encoding (lz4, clevel 5, byte-shuffle) and v3
-    with ``BloscCodec(cname="lz4")`` (metadata.py:952-954).  Until round
-    8 these default-settings reference stores were unreadable here."""
+def _zarr_blosc_fixture_roots() -> tuple[str, str, str]:
+    """Write (once, digest-named) the fixture grid as Blosc stores in
+    the layouts real archives ship: v2 with the reference's default
+    ``numcodecs.Blosc()`` encoding (lz4, clevel 5, byte-shuffle), v3
+    with ``BloscCodec(cname="lz4")`` (metadata.py:952-954), and — new in
+    r9 — a v2 store with ``Blosc(cname="blosclz", shuffle=BITSHUFFLE)``,
+    c-blosc's HISTORICAL default cname plus the filter int16 satellite
+    archives commonly use, covering the last two codec corners."""
     import os
     import tempfile
 
@@ -4924,6 +4926,9 @@ def _zarr_blosc_fixture_roots() -> tuple[str, str]:
     )
     v3 = os.path.join(
         tempfile.gettempdir(), f"spark_graft_zarr3_blosc_{digest}.zarr"
+    )
+    v2lz = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_blosclz_bitshuf_{digest}.zarr"
     )
     variables = {
         "time": (("time",), np.asarray(times), {}),
@@ -4945,7 +4950,16 @@ def _zarr_blosc_fixture_roots() -> tuple[str, str]:
             v3, variables=variables, chunks=chunks,
             fill_values={"precip": -9999.0}, blosc_lz4=True,
         )
-    return v2, v3
+    if not os.path.exists(os.path.join(v2lz, ".zmetadata")):
+        _z2.write_zarr_store(
+            v2lz, variables=variables, chunks=chunks,
+            fill_values={"precip": -9999.0},
+            compressor={
+                "id": "blosc", "cname": "blosclz", "clevel": 5,
+                "shuffle": 2, "blocksize": 0,
+            },
+        )
+    return v2, v3, v2lz
 
 
 @query("zarr_blosc_decode", _nc_oracle())
@@ -4955,18 +4969,22 @@ def zarr_blosc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v2 numcodecs.Blosc(), v3 BloscCodec(cname="lz4"),
     metadata.py:952-954) — through the pure-Python c-blosc1 frame codec
     (``sources/blosc.py``: LZ4 block format, per-block byte-shuffle,
-    split streams) on the same chunk-parallel mapInPandas path.  The
-    v2 AND v3 stores are both decoded and union-DISTINCTed: if either
-    generation produced one wrong cell the union would exceed the
-    literal oracle and fail the count+hash gate."""
+    split streams) on the same chunk-parallel mapInPandas path.  Three
+    store layouts are decoded and union-DISTINCTed — v2 lz4+byteshuffle,
+    v3 lz4, and (r9) v2 blosclz+BITSHUFFLE (c-blosc's historical default
+    cname + the int16-archive filter, ``sources/blosc.py``'s FastLZ-2
+    stream decoder and LSB-first bit-transpose): if ANY layout produced
+    one wrong cell the union would exceed the literal oracle and fail
+    the count+hash gate."""
     from gridded_etl_tools_spark.sources import zarr2 as z2_mod
 
-    v2_root, v3_root = _zarr_blosc_fixture_roots()
+    v2_root, v3_root, v2lz_root = _zarr_blosc_fixture_roots()
     cols = ["time", "latitude", "longitude"]
     out_v2 = z2_mod.decode_zarr_long(spark, v2_root, "precip")
     out_v3 = z2_mod.decode_zarr_long(spark, v3_root, "precip")
+    out_v2lz = z2_mod.decode_zarr_long(spark, v2lz_root, "precip")
     return (
-        out_v2.unionByName(out_v3)
+        out_v2.unionByName(out_v3).unionByName(out_v2lz)
         .select(*cols, F.round("value", 6).alias("value"))
         .distinct()
     )

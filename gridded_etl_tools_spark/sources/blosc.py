@@ -1,4 +1,5 @@
-"""Pure-Python Blosc1 frame codec (LZ4 / zlib inner streams).
+"""Pure-Python Blosc1 frame codec (blosclz / LZ4 / zlib inner streams,
+zstd / snappy via pyarrow; byte- and bit-shuffle filters).
 
 Closes the reference-parity gap called out in round 7: the reference's
 DEFAULT compressor is Blosc — v2 stores get ``numcodecs.Blosc()``
@@ -15,8 +16,8 @@ Format (c-blosc ``README_CHUNK_FORMAT.rst``):
 * 16-byte header: version, versionlz, flags, typesize, then
   little-endian uint32 ``nbytes`` / ``blocksize`` / ``cbytes``.
 * flags: 0x1 byte-shuffle, 0x2 memcpyed (payload is the raw buffer,
-  no filters), 0x4 bit-shuffle (refused loudly), 0x10 dont-split,
-  bits 5-7 the inner codec (1 = LZ4/LZ4HC, 3 = zlib).
+  no filters), 0x4 bit-shuffle, 0x10 dont-split, bits 5-7 the inner
+  codec (0 = blosclz, 1 = LZ4/LZ4HC, 3 = zlib).
 * non-memcpyed: a uint32 offset table (one entry per block, offsets
   from the frame start), then per block ``nsplits`` streams, each a
   uint32 compressed size followed by the stream bytes; a stream whose
@@ -259,6 +260,167 @@ def lz4_compress_block(src: bytes) -> bytes:
     return bytes(out)
 
 
+# -- blosclz codec (c-blosc cname 0, its historical DEFAULT) ----------------
+#
+# blosclz is c-blosc's own LZ77 variant (blosclz.c), a fork of FastLZ
+# whose DECODE format is byte-identical to FastLZ level 2: 3-bit match
+# length field with a multi-byte (while code==255) extension, 13-bit
+# match distance stored as distance-1, and a 16-bit far-distance escape
+# when the low distance byte is 255 and the high field is 31
+# (MAX_DISTANCE 8191; far distance = ofs16 + 8192).  The first control
+# byte is masked &31 (FastLZ puts its level marker in the top 3 bits).
+# Old archives written before c-blosc changed its default cname to lz4
+# hit this codec first, so decode support is required for reading them;
+# there is no C implementation in this container, so this is the
+# correct-but-Python path — production reads of blosclz-heavy archives
+# should re-encode to lz4 (the sink does) for the C fast path.
+
+
+def blosclz_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one blosclz stream into exactly ``dst_size`` bytes.
+    Raises :class:`BloscError` on any structural problem — same error
+    contract as :func:`lz4_decompress` (the split-count retry in
+    :func:`decompress_frame` depends on it)."""
+    n = len(src)
+    if dst_size == 0 and n == 0:
+        return b""
+    if n == 0:
+        raise BloscError("blosclz: empty stream")
+    dst = bytearray()
+    i = 0
+    ctrl = src[i] & 31
+    i += 1
+    while True:
+        if ctrl >= 32:
+            # match: field (ctrl>>5) in 1..7 -> base length field-1
+            mlen = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if mlen == 6:  # field 7: multi-byte extension
+                while True:
+                    if i >= n:
+                        raise BloscError("blosclz: truncated match length")
+                    code = src[i]
+                    i += 1
+                    mlen += code
+                    if code != 255:
+                        break
+            if i >= n:
+                raise BloscError("blosclz: truncated match distance")
+            code = src[i]
+            i += 1
+            mlen += 3
+            distance = ofs + code + 1
+            if code == 255 and ofs == (31 << 8):
+                # far match: 16-bit big-endian offset + MAX_DISTANCE
+                if i + 2 > n:
+                    raise BloscError("blosclz: truncated far distance")
+                distance = ((src[i] << 8) | src[i + 1]) + 8192
+                i += 2
+            if distance > len(dst):
+                raise BloscError(
+                    f"blosclz: match distance {distance} at {len(dst)}"
+                )
+            if len(dst) + mlen > dst_size:
+                raise BloscError(
+                    f"blosclz: output overruns {dst_size} bytes"
+                )
+            start = len(dst) - distance
+            if distance >= mlen:
+                dst += dst[start:start + mlen]
+            else:
+                # overlapping match = repeating pattern (incl. the
+                # distance-1 RLE run blosclz emits for byte repeats)
+                pattern = bytes(dst[start:])
+                reps = -(-mlen // distance)
+                dst += (pattern * reps)[:mlen]
+        else:
+            lits = ctrl + 1
+            if i + lits > n:
+                raise BloscError("blosclz: literals past end of stream")
+            if len(dst) + lits > dst_size:
+                raise BloscError(
+                    f"blosclz: output overruns {dst_size} bytes"
+                )
+            dst += src[i:i + lits]
+            i += lits
+        if i >= n:
+            break
+        ctrl = src[i]
+        i += 1
+    if len(dst) != dst_size:
+        raise BloscError(
+            f"blosclz: decoded {len(dst)} bytes, expected {dst_size}"
+        )
+    return bytes(dst)
+
+
+def blosclz_compress(src: bytes) -> bytes:
+    """Greedy blosclz encoder (fixture writer / decode cross-check —
+    correctness over ratio, exactly like :func:`lz4_compress_block`).
+    Emits the full format surface the decoder must handle: literal runs
+    (max 32), short and extended match lengths, near and FAR distances,
+    and distance-1 RLE runs."""
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+
+    def _flush_literals(upto: int) -> None:
+        nonlocal out
+        a = anchor
+        while a < upto:
+            run = min(32, upto - a)
+            out.append(run - 1)
+            out += src[a:a + run]
+            a += run
+
+    def _emit_match(dist: int, length: int) -> None:
+        # dist >= 1, length >= 3; stored distance = dist-1
+        nonlocal out
+        stored = dist - 1
+        far = stored >= 8191  # 8191 is the far-escape marker itself
+        if far:
+            hi, lo = 31, 255
+        else:
+            hi, lo = stored >> 8, stored & 255
+        rem = length - 3  # base length units past the 3-byte minimum
+        if rem < 6:
+            out.append(((rem + 1) << 5) | hi)
+        else:
+            out.append((7 << 5) | hi)
+            rem -= 6
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.append(lo)
+        if far:
+            ofs16 = dist - 8192
+            out += bytes([ofs16 >> 8, ofs16 & 255])
+
+    if n >= 4:
+        table: dict[bytes, int] = {}
+        i = 0
+        # leave the last 3 bytes as literals (no match can start there)
+        while i <= n - 4:
+            seq = src[i:i + 3]
+            j = table.get(seq, -1)
+            table[seq] = i
+            dist = i - j
+            # far form encodes dist-8192 in 16 bits -> max 8192+65535
+            if j < 0 or dist > 8192 + 65535 or src[j:j + 3] != seq:
+                i += 1
+                continue
+            mlen = 3
+            while i + mlen < n and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            _flush_literals(i)
+            _emit_match(dist, mlen)
+            i += mlen
+            anchor = i
+    _flush_literals(n)
+    return bytes(out)  # empty input encodes as the empty stream
+
+
 # -- byte shuffle filter ----------------------------------------------------
 
 
@@ -283,17 +445,92 @@ def unshuffle_bytes(data: bytes, typesize: int) -> bytes:
     return unshuffled + data[body:]
 
 
+# -- bit shuffle filter (c-blosc flag 0x4) -----------------------------------
+#
+# c-blosc delegates to the bitshuffle library (kiyo-masui/bitshuffle,
+# vendored as internal-complibs/bitshuffle*): shuffle.c's ``bitshuffle()``
+# trims the element count to a multiple of 8, runs
+# ``bshuf_bitshuffle(src, dst, size, typesize, 0)`` and copies the tail
+# verbatim.  bshuf processes INDEPENDENT sub-blocks of
+# ``bshuf_default_block_size(typesize)`` elements; within one sub-block
+# the transform is bshuf_trans_bit_elem: a byte transpose
+# (n, typesize)->(typesize, n), then an LSB-first bit gather over each
+# group of 8 bytes, then a regroup of the 8 bit-rows per byte position —
+# net effect: output position (byte j, bit b, group g) packs bit b of
+# byte j of elements 8g..8g+7, LSB-first.  Both directions below are
+# whole-array numpy (unpackbits/packbits with bitorder="little"), not
+# per-bit Python: common int16 satellite/radar archives use this filter,
+# so the transform sits on the 100 TB read path next to the LZ4 decode.
+
+
+def _bshuf_default_block_size(elem_size: int) -> int:
+    """bitshuffle_core.c bshuf_default_block_size: stable-across-versions
+    formula (TARGET_BLOCK_SIZE_B=8192 bytes, floored to a multiple of 8
+    elements, minimum 128 elements)."""
+    return max((8192 // elem_size) // 8 * 8, 128)
+
+
+def _trans_bit_elem(chunk: np.ndarray, elem_size: int) -> np.ndarray:
+    """bshuf_trans_bit_elem over one bshuf sub-block (nelem % 8 == 0)."""
+    nelem = chunk.size // elem_size
+    bits = np.unpackbits(
+        chunk.reshape(nelem, elem_size), axis=1, bitorder="little"
+    )
+    bits = bits.reshape(nelem, elem_size, 8).transpose(1, 2, 0)
+    return np.packbits(bits, axis=-1, bitorder="little").reshape(-1)
+
+
+def _untrans_bit_elem(chunk: np.ndarray, elem_size: int) -> np.ndarray:
+    nelem = chunk.size // elem_size
+    bits = np.unpackbits(
+        chunk.reshape(elem_size, 8, nelem // 8), axis=-1, bitorder="little"
+    )
+    bits = bits.transpose(2, 0, 1).reshape(nelem, elem_size * 8)
+    return np.packbits(bits, axis=1, bitorder="little").reshape(-1)
+
+
+def _bitshuffle_blocked(data: bytes, typesize: int, fun) -> bytes:
+    if typesize < 1 or len(data) < typesize * 8:
+        return data
+    arr = np.frombuffer(data, dtype=np.uint8)
+    size = arr.size // typesize
+    size -= size % 8  # shuffle.c trims to whole groups of 8 elements
+    sub = _bshuf_default_block_size(typesize)
+    out = bytearray(len(data))
+    pos = 0
+    while pos < size:
+        n = min(sub, size - pos)
+        n -= n % 8  # the wrap's last sub-block, still a multiple of 8
+        if n == 0:
+            break
+        lo, hi = pos * typesize, (pos + n) * typesize
+        out[lo:hi] = fun(arr[lo:hi], typesize).tobytes()
+        pos += n
+    tail = size * typesize
+    out[tail:] = data[tail:]  # verbatim tail (non-multiple-of-8 elements)
+    return bytes(out)
+
+
+def bitshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    """c-blosc bit-shuffle filter, forward direction (encoder side)."""
+    return _bitshuffle_blocked(data, typesize, _trans_bit_elem)
+
+
+def bitunshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    """Inverse of :func:`bitshuffle_bytes` (decoder side)."""
+    return _bitshuffle_blocked(data, typesize, _untrans_bit_elem)
+
+
 # -- blosc1 frame container -------------------------------------------------
 
 _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
 _FLAG_BITSHUFFLE = 0x4
 _FLAG_DONT_SPLIT = 0x10
-#: inner codec ids (c-blosc blosc.h format codes).  lz4/zlib always
-#: decode (pure Python fallbacks exist); snappy/zstd decode through
-#: pyarrow's C codecs when available — 0=blosclz stays refused (no
-#: implementation anywhere in this container)
-_CODEC_NAMES = {1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+#: inner codec ids (c-blosc blosc.h format codes).  blosclz/lz4/zlib
+#: always decode (pure Python implementations exist); snappy/zstd decode
+#: through pyarrow's C codecs when available
+_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _MAX_SPLITS = 16
 _MIN_BUFFERSIZE = 128
 _VERSION_FORMAT = 2  # BLOSC_VERSION_FORMAT
@@ -331,6 +568,8 @@ def _pa_codec(name: str):
 
 
 def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
+    if codec == 0:
+        return blosclz_decompress(payload, out_size)
     if codec == 1:
         return lz4_decompress(payload, out_size)
     if codec == 3:
@@ -396,11 +635,8 @@ def decompress_frame(frame: bytes) -> bytes:
         raise BloscError(f"blosc format version {version} unsupported")
     if len(frame) < cbytes:
         raise BloscError(f"blosc frame truncated: {len(frame)} < cbytes {cbytes}")
-    if flags & _FLAG_BITSHUFFLE:
-        raise BloscError(
-            "blosc bit-shuffle filter unsupported (reference default is "
-            "byte-shuffle; re-encode or extend sources/blosc.py)"
-        )
+    if flags & _FLAG_BITSHUFFLE and flags & _FLAG_SHUFFLE:
+        raise BloscError("blosc frame claims both byte- and bit-shuffle")
     if nbytes == 0:
         return b""
     if flags & _FLAG_MEMCPYED:
@@ -410,9 +646,8 @@ def decompress_frame(frame: bytes) -> bytes:
     codec = flags >> 5
     if codec not in _CODEC_NAMES:
         raise BloscError(
-            f"blosc inner codec id {codec} unsupported (lz4/zlib decode "
-            "natively, zstd/snappy via pyarrow; blosclz has no "
-            "implementation in this environment)"
+            f"blosc inner codec id {codec} unsupported (blosclz/lz4/zlib "
+            "decode natively, zstd/snappy via pyarrow)"
         )
     if blocksize == 0:
         raise BloscError("blosc: zero blocksize in non-memcpy frame")
@@ -442,6 +677,8 @@ def decompress_frame(frame: bytes) -> bytes:
             block = _decode_block(frame, bstart, bsize, alt, codec)
         if shuffled:
             block = unshuffle_bytes(block, typesize)
+        elif flags & _FLAG_BITSHUFFLE:
+            block = bitunshuffle_bytes(block, typesize)
         out += block
     if len(out) != nbytes:
         raise BloscError(f"blosc: decoded {len(out)} bytes, expected {nbytes}")
@@ -452,7 +689,7 @@ def compress_frame(
     data: bytes,
     typesize: int,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | int | str = True,
     blocksize: int = 0,
     split: bool = True,
     clevel: int = 5,
@@ -460,10 +697,21 @@ def compress_frame(
     """Encode a c-blosc1 frame (fixture writer + native sink).  Mirrors
     ``blosc_c``: per-block shuffle, split into ``typesize`` streams when
     the header rule triggers, store-raw fallback per stream, memcpy
-    fallback for incompressible buffers."""
-    codec = {"lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}.get(
-        cname
-    )
+    fallback for incompressible buffers.
+
+    ``shuffle`` takes the numcodecs convention: 0/False = none,
+    1/True = byte-shuffle, 2 = bit-shuffle (also the strings
+    "noshuffle"/"shuffle"/"bitshuffle" that zarr v3 codec configs use).
+    """
+    shuffle = {
+        "noshuffle": 0, "shuffle": 1, "bitshuffle": 2,
+        False: 0, True: 1, 0: 0, 1: 1, 2: 2,
+    }.get(shuffle)
+    if shuffle is None:
+        raise BloscError("shuffle must be 0/1/2 or noshuffle/shuffle/bitshuffle")
+    codec = {
+        "blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4,
+    }.get(cname)
     if codec is None:
         raise BloscError(f"unsupported blosc cname {cname!r}")
     if codec in (2, 4) and _pa_codec(_CODEC_NAMES[codec]) is None:
@@ -482,12 +730,18 @@ def compress_frame(
     blocksize = max(blocksize - blocksize % typesize, typesize)
     blocksize = min(blocksize, max(nbytes, 1))
     flags = codec << 5
-    if shuffle and typesize > 1:
+    if shuffle == 1 and typesize > 1:
         flags |= _FLAG_SHUFFLE
+    elif shuffle == 2:
+        # bit-shuffle applies at typesize 1 too (a bit transpose of
+        # bytes) — blosc_compress accepts BITSHUFFLE for any typesize
+        flags |= _FLAG_BITSHUFFLE
     if not split:
         flags |= _FLAG_DONT_SPLIT
 
     def _compress_stream(raw: bytes) -> bytes:
+        if codec == 0:
+            return blosclz_compress(raw)
         if codec == 1:
             return lz4_compress(raw)
         if codec == 3:
@@ -505,6 +759,8 @@ def compress_frame(
         block = data[bi * blocksize:bi * blocksize + bsize]
         if flags & _FLAG_SHUFFLE:
             block = shuffle_bytes(block, typesize)
+        elif flags & _FLAG_BITSHUFFLE:
+            block = bitshuffle_bytes(block, typesize)
         nsplits = _split_count(
             typesize, bsize, is_leftover, bool(flags & _FLAG_DONT_SPLIT)
         )

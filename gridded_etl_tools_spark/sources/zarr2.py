@@ -26,15 +26,14 @@ Scale design — Zarr is the format Spark maps onto best of all:
   there is no driver bottleneck and no shuffle anywhere in the scan.
 
 Format coverage: C/F chunk order, any numpy endian dtype, numcodecs
-``blosc`` (lz4/lz4hc/zlib inner codecs, byte-shuffle — the reference's
-DEFAULT compressor, decoded by the pure-Python frame codec in
-:mod:`gridded_etl_tools_spark.sources.blosc`), ``zlib``/``gzip``/
+``blosc`` (blosclz/lz4/lz4hc/zlib inner codecs natively plus zstd/snappy
+via pyarrow; byte- AND bit-shuffle filters — lz4+byte-shuffle is the
+reference's DEFAULT compressor, decoded by the pure-Python frame codec
+in :mod:`gridded_etl_tools_spark.sources.blosc`), ``zlib``/``gzip``/
 ``null`` compressors, ``.``/``/`` dimension separators, NaN-or-number
 fill values, missing chunks materialized as fill, edge-chunk trimming,
 xarray ``_ARRAY_DIMENSIONS`` naming, CF ``scale_factor``/``add_offset``/
-``_FillValue`` unpacking, consolidated metadata.  Blosc variants this
-container cannot express (zstd/blosclz inner codecs, bit-shuffle) raise
-a clear error.
+``_FillValue`` unpacking, consolidated metadata.
 """
 
 from __future__ import annotations
@@ -151,10 +150,10 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
         # frame codec refuses.  lz4/lz4hc/zlib always decode; zstd and
         # snappy decode when pyarrow carries their codecs.
         cname = comp.get("cname", "lz4")
-        if cname not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
+        if cname not in ("blosclz", "lz4", "lz4hc", "zlib", "zstd", "snappy"):
             raise ZarrError(
                 f"{name}: blosc cname {cname!r} unsupported "
-                "(lz4/lz4hc/zlib/zstd/snappy decode here; blosclz does not)"
+                "(blosclz/lz4/lz4hc/zlib/zstd/snappy decode here)"
             )
         if cname in ("zstd", "snappy"):
             from gridded_etl_tools_spark.sources.blosc import _pa_codec
@@ -164,8 +163,6 @@ def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
                     f"{name}: blosc cname {cname!r} needs pyarrow codec "
                     "support, which this environment lacks"
                 )
-        if comp.get("shuffle", 1) == 2:
-            raise ZarrError(f"{name}: blosc bit-shuffle unsupported")
     dtype = np.dtype(meta["dtype"])
     return ZArray(
         name=name,
@@ -223,18 +220,23 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
             # (metadata.py:952-954); frames self-describe, so config is
             # validated here and the chunk decode keys on the header
             inner = conf.get("cname", "lz4")
-            if inner not in ("lz4", "lz4hc", "zlib"):
+            if inner not in ("blosclz", "lz4", "lz4hc", "zlib", "zstd"):
                 raise ZarrError(
                     f"{name}: blosc cname {inner!r} unsupported "
-                    "(lz4/lz4hc/zlib decode here)"
+                    "(blosclz/lz4/lz4hc/zlib/zstd decode here)"
                 )
-            if conf.get("shuffle") == "bitshuffle":
-                raise ZarrError(f"{name}: blosc bit-shuffle unsupported")
+            shuf = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(
+                conf.get("shuffle", "shuffle")
+            )
+            if shuf is None:
+                raise ZarrError(
+                    f"{name}: blosc shuffle {conf.get('shuffle')!r} unknown"
+                )
             compressor = {
                 "id": "blosc",
                 "cname": inner,
                 "clevel": conf.get("clevel", 5),
-                "shuffle": 1 if conf.get("shuffle", "shuffle") == "shuffle" else 0,
+                "shuffle": shuf,
                 "blocksize": conf.get("blocksize", 0),
             }
         else:
@@ -597,7 +599,7 @@ def _compress_chunk(
             raw,
             itemsize,
             cname=comp.get("cname", "lz4"),
-            shuffle=comp.get("shuffle", 1) != 0,
+            shuffle=comp.get("shuffle", 1),  # 0/1/2 pass through
             blocksize=comp.get("blocksize", 0) or 0,
             clevel=comp.get("clevel", 5),
         )
@@ -615,7 +617,7 @@ def write_zarr_store(
     root: str,
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
     chunks: dict[str, tuple[int, ...]] | None = None,
-    compressor: str | None = "zlib",
+    compressor: str | dict | None = "zlib",
     dimension_separator: str = ".",
     fill_values: dict[str, Any] | None = None,
     order: str = "C",
@@ -661,8 +663,10 @@ def write_zarr_store(
         os.makedirs(arr_dir, exist_ok=True)
         cshape = (chunks or {}).get(name, data.shape)
         fill = (fill_values or {}).get(name)
-        if compressor == "blosc":
-            comp_meta: dict | None = dict(BLOSC_DEFAULT_META)
+        if isinstance(compressor, dict):
+            comp_meta: dict | None = dict(compressor)  # full numcodecs meta
+        elif compressor == "blosc":
+            comp_meta = dict(BLOSC_DEFAULT_META)
         elif compressor:
             comp_meta = {"id": compressor, "level": 5}
         else:

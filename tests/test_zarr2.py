@@ -191,13 +191,12 @@ def test_nan_fill_value_round_trips(tmp_path):
     "compressor, match",
     [
         ({"id": "lzma"}, "compressor"),
-        ({"id": "blosc", "cname": "blosclz"}, "blosclz"),
-        ({"id": "blosc", "cname": "lz4", "shuffle": 2}, "bit-shuffle"),
+        ({"id": "blosc", "cname": "snappy9"}, "cname"),
     ],
 )
 def test_unsupported_compressor_raises(tmp_path, compressor, match):
-    """blosc-lz4 decodes since r8; the variants the pure-Python codec
-    cannot express still fail fast at metadata parse (driver-side)."""
+    """Genuinely unknown compressors/cnames still fail fast at metadata
+    parse (driver-side).  blosclz and bit-shuffle decode since r9."""
     root = str(tmp_path / "store")
     os.makedirs(os.path.join(root, "v"))
     with open(os.path.join(root, "v", ".zarray"), "w") as f:
@@ -208,6 +207,28 @@ def test_unsupported_compressor_raises(tmp_path, compressor, match):
         )
     with pytest.raises(zarr2.ZarrError, match=match):
         zarr2.open_store(root)
+
+
+@pytest.mark.parametrize(
+    "compressor",
+    [
+        {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "lz4", "shuffle": 2},     # bit-shuffle
+        {"id": "blosc", "cname": "blosclz", "shuffle": 2},
+    ],
+)
+def test_blosclz_and_bitshuffle_metadata_accepted(tmp_path, compressor):
+    """r9: the last two c-blosc corners (blosclz inner codec, bit-shuffle
+    filter) parse instead of refusing."""
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "v"))
+    with open(os.path.join(root, "v", ".zarray"), "w") as f:
+        json.dump(
+            {"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
+             "compressor": compressor,
+             "fill_value": None, "order": "C", "filters": None}, f,
+        )
+    assert zarr2.open_store(root)["v"].compressor == compressor
 
 
 # --- zarr v3 -----------------------------------------------------------------
@@ -274,7 +295,8 @@ def test_zarr3_rejects_unknown_codec(tmp_path):
     }))
     with pytest.raises(zarr2.ZarrError, match="zstd"):
         zarr2.open_store(str(root))
-    # blosc parses since r8, but its unsupported variants still refuse
+    # blosc parses since r8; r9 adds bitshuffle + blosclz, so the v3
+    # config normalizes instead of refusing
     (root / "v" / "zarr.json").write_text(_json.dumps({
         "zarr_format": 3, "node_type": "array", "shape": [2],
         "data_type": "float64",
@@ -282,9 +304,22 @@ def test_zarr3_rejects_unknown_codec(tmp_path):
         "fill_value": 0,
         "codecs": [{"name": "bytes"},
                    {"name": "blosc",
-                    "configuration": {"cname": "lz4", "shuffle": "bitshuffle"}}],
+                    "configuration": {"cname": "blosclz", "shuffle": "bitshuffle"}}],
     }))
-    with pytest.raises(zarr2.ZarrError, match="bit-shuffle"):
+    meta = zarr2.open_store(str(root))["v"]
+    assert meta.compressor["cname"] == "blosclz"
+    assert meta.compressor["shuffle"] == 2
+    # a genuinely unknown shuffle string still refuses
+    (root / "v" / "zarr.json").write_text(_json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes"},
+                   {"name": "blosc",
+                    "configuration": {"cname": "lz4", "shuffle": "zigzag"}}],
+    }))
+    with pytest.raises(zarr2.ZarrError, match="shuffle"):
         zarr2.open_store(str(root))
 
 
@@ -359,8 +394,8 @@ def test_blosc_frame_matrix_roundtrip():
 
     rng = np.random.default_rng(11)
     for ts in (1, 2, 4, 8):
-        for cname in ("lz4", "zlib"):
-            for shuffle in (True, False):
+        for cname in ("lz4", "zlib", "blosclz"):
+            for shuffle in (0, 1, 2):
                 for split in (True, False):
                     for nbytes in (0, 7, 1024, 100004):
                         d = (np.arange(nbytes, dtype=np.uint8) % 251).tobytes()
@@ -407,8 +442,8 @@ def test_blosc_hypothesis_roundtrip():
     @given(
         data=st.binary(min_size=0, max_size=8192),
         typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
-        cname=st.sampled_from(["lz4", "zlib"]),
-        shuffle=st.booleans(),
+        cname=st.sampled_from(["lz4", "zlib", "blosclz"]),
+        shuffle=st.sampled_from([0, 1, 2]),
         split=st.booleans(),
         blocksize=st.sampled_from([0, 256, 1024, 1 << 20]),
     )
@@ -670,7 +705,7 @@ def test_blosc_zstd_snappy_inner_codecs(spark, tmp_path):
     """Real-world stores also ship Blosc(cname='zstd'|'snappy'); those
     inner streams decode through pyarrow's C codecs (the container
     format stays the in-repo frame codec).  End-to-end store check on
-    zstd; frame-level on snappy; blosclz still refuses clearly."""
+    zstd; frame-level on snappy; an undefined codec id still refuses."""
     import json as _json
 
     from gridded_etl_tools_spark.sources import blosc
@@ -679,8 +714,14 @@ def test_blosc_zstd_snappy_inner_codecs(spark, tmp_path):
     for cname in ("zstd", "snappy"):
         f = blosc.compress_frame(data_bytes, 8, cname=cname, blocksize=8192)
         assert blosc.decompress_frame(f) == data_bytes
-    with pytest.raises(blosc.BloscError, match="codec id 0"):
-        # hand-build a frame claiming blosclz (codec id 0)
+    with pytest.raises(blosc.BloscError, match="codec id 6"):
+        # a frame claiming an id past every defined c-blosc codec
+        bad = bytearray(blosc.compress_frame(data_bytes, 8))
+        bad[2] = (bad[2] & 0x1F) | (6 << 5)
+        blosc.decompress_frame(bytes(bad))
+    # a frame mislabeled blosclz (codec id 0) fails CLEANLY: its lz4
+    # streams are not valid blosclz, so BloscError — never garbage
+    with pytest.raises(blosc.BloscError, match="blosclz"):
         bad = bytearray(blosc.compress_frame(data_bytes, 8))
         bad[2] = bad[2] & 0x1F  # codec bits -> 0
         blosc.decompress_frame(bytes(bad))
@@ -903,3 +944,186 @@ def test_xchacha_key_length_validated_in_distributed_sink(spark, tmp_path):
             encryption_key_hash=digest24,
         )
     assert not os.path.exists(os.path.join(str(tmp_path / "s.zarr"), "precip"))
+
+
+# --- round-9 codec corners: blosclz inner codec + bit-shuffle filter ---------
+
+
+def test_blosclz_format_vectors():
+    """Handcrafted byte-level vectors straight from the blosclz/FastLZ-2
+    stream format (c-blosc blosclz.c): literal runs, the 3-byte minimum
+    match, distance-1 RLE runs, multi-byte length extension, the 16-bit
+    far-distance escape (ctrl&31==31, low byte 255), and the first-ctrl
+    level-marker masking."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    dec = blosc.blosclz_decompress
+    # pure literal run: ctrl=4 -> 5 literals
+    assert dec(bytes([4]) + b"hello", 5) == b"hello"
+    # minimum match: "abcabc" = 3 literals + match(len 3, dist 3):
+    # field 1 -> ctrl 0x20 | hi(stored=2)=0, low byte 2
+    assert dec(bytes([2]) + b"abc" + bytes([0x20, 2]), 6) == b"abcabc"
+    # RLE: "a"*7 = 1 literal + match(len 6, dist 1 -> stored 0)
+    assert dec(bytes([0]) + b"a" + bytes([4 << 5, 0]), 7) == b"a" * 7
+    # extended length: field 7 + ext [255, 0] -> 6+255+0+3 = 264
+    assert dec(bytes([0]) + b"a" + bytes([(7 << 5), 255, 0, 0]), 265) == b"a" * 265
+    # far distance: 9000 literal bytes, then match(len 4) at distance
+    # 9000: far escape (hi 31, low 255) + ofs16 = 9000-8192 = 808
+    rng = np.random.default_rng(5)
+    base = bytes(rng.integers(0, 256, 9000, dtype=np.uint8))
+    s = bytearray()
+    pos = 0
+    while pos < 9000:
+        run = min(32, 9000 - pos)
+        s.append(run - 1)
+        s += base[pos:pos + run]
+        pos += run
+    s += bytes([(2 << 5) | 31, 255, 808 >> 8, 808 & 255])
+    assert dec(bytes(s), 9004) == base + base[:4]
+    # the first ctrl byte is masked &31 (FastLZ level marker bits)
+    assert dec(bytes([0x20 | 4]) + b"hello", 5) == b"hello"
+
+
+def test_blosclz_rejects_corruption():
+    from gridded_etl_tools_spark.sources import blosc
+
+    dec = blosc.blosclz_decompress
+    with pytest.raises(blosc.BloscError, match="empty"):
+        dec(b"", 5)
+    with pytest.raises(blosc.BloscError, match="literals past end"):
+        dec(bytes([10]) + b"abc", 11)            # run longer than stream
+    with pytest.raises(blosc.BloscError, match="distance"):
+        dec(bytes([0]) + b"a" + bytes([0x20, 5]), 4)   # dist 6 at pos 1
+    with pytest.raises(blosc.BloscError, match="truncated match length"):
+        dec(bytes([0]) + b"a" + bytes([(7 << 5), 255]), 600)
+    with pytest.raises(blosc.BloscError, match="truncated far"):
+        dec(bytes([0]) + b"a" + bytes([(2 << 5) | 31, 255]), 600)
+    with pytest.raises(blosc.BloscError, match="overruns"):
+        dec(bytes([2]) + b"abc" + bytes([0x20, 2]), 4)  # decodes to 6
+    with pytest.raises(blosc.BloscError, match="decoded"):
+        dec(bytes([2]) + b"abc", 9)              # valid but short
+
+
+def test_blosclz_roundtrip_hypothesis():
+    """Encoder/decoder mutual consistency over adversarial inputs
+    (low-entropy for dense matches incl. RLE, high-entropy for
+    literal-run paths, planted long-range repeats for the far form)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        body=st.binary(min_size=0, max_size=4096),
+        alphabet=st.sampled_from([2, 8, 256]),
+        plant_far=st.booleans(),
+    )
+    def check(body, alphabet, plant_far):
+        data = bytes(b % alphabet for b in body)
+        if plant_far and len(data) >= 16:
+            data = data[:16] + bytes(10000) + data[:16]
+        comp = blosc.blosclz_compress(data)
+        assert blosc.blosclz_decompress(comp, len(data)) == data
+
+    check()
+
+
+def test_bitshuffle_matches_spec_micro_vectors():
+    """LSB-first bit-matrix transpose semantics (bitshuffle_core.c
+    bshuf_trans_bit_elem): for 8 uint8 elements the output byte b packs
+    bit b of each element, element k at bit position k."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    # bit 0 set in all 8 elements -> first bit-row all ones, rest zero
+    assert blosc.bitshuffle_bytes(bytes([1] * 8), 1) == bytes(
+        [0xFF, 0, 0, 0, 0, 0, 0, 0]
+    )
+    # element k has ONLY bit k set -> the bit matrix is the identity
+    d = bytes([1, 2, 4, 8, 16, 32, 64, 128])
+    assert blosc.bitshuffle_bytes(d, 1) == d
+    # typesize 2: byte-transpose first, then per-byte-position bit rows:
+    # low bytes of 8 x uint16 with bit 0 set -> one full row, zeros after
+    d = np.full(8, 1, dtype="<u2").tobytes()
+    got = blosc.bitshuffle_bytes(d, 2)
+    assert got == bytes([0xFF]) + bytes(15)
+    # non-multiple-of-8 element tail is copied verbatim (shuffle.c)
+    d = bytes(range(20))  # 20 elements of 1 byte: 16 shuffled + 4 raw
+    got = blosc.bitshuffle_bytes(d, 1)
+    assert got[16:] == d[16:]
+    assert blosc.bitunshuffle_bytes(got, 1) == d
+
+
+def test_bitshuffle_roundtrip_and_blocking():
+    """Round trip across typesizes and sizes spanning the bshuf default
+    sub-block boundary (8192 bytes target), plus the compressibility
+    property the filter exists for: low-entropy int16 data must shuffle
+    into long bit-runs that compress far better than plain bytes."""
+    import zlib as _zlib
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    rng = np.random.default_rng(9)
+    for ts in (1, 2, 3, 4, 8, 16):
+        sub = max((8192 // ts) // 8 * 8, 128) * ts
+        for nbytes in (0, 1, ts * 8, sub - ts, sub, sub + ts, 3 * sub + 13):
+            d = rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+            s = blosc.bitshuffle_bytes(d, ts)
+            assert len(s) == len(d)
+            assert blosc.bitunshuffle_bytes(s, ts) == d, (ts, nbytes)
+    vals = (np.arange(65536, dtype="<i2") // 64).tobytes()
+    plain = len(_zlib.compress(vals))
+    shuf = len(_zlib.compress(blosc.bitshuffle_bytes(vals, 2)))
+    assert shuf * 2 < plain  # the whole point of the filter (2.65x here)
+
+
+def test_bitshuffle_store_roundtrip(spark, tmp_path):
+    """A v2 store written with shuffle=2 (the common int16 satellite
+    encoding) decodes through the chunk-parallel path, and a v3 store
+    with BloscCodec(shuffle='bitshuffle') does too."""
+    data, times, lats, lons = _grid()
+    root = str(tmp_path / "bitshuf.zarr")
+    zarr2.write_zarr_store(
+        root,
+        variables={
+            "time": (("time",), times, {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (("time", "latitude", "longitude"), data,
+                       {"_FillValue": -9999.0}),
+        },
+        chunks={"precip": (2, 3, 2), "time": (2,)},
+        compressor="blosc",
+        fill_values={"precip": -9999.0},
+    )
+    # rewrite the data var's chunks with bitshuffle + blosclz (the two
+    # r9 corners together) and patch the metadata to match
+    import json as _json
+
+    from gridded_etl_tools_spark.sources import blosc as _blosc
+
+    meta = zarr2.open_store(root)["precip"]
+    for key in os.listdir(os.path.join(root, "precip")):
+        if key.startswith("."):
+            continue
+        p = os.path.join(root, "precip", key)
+        raw = zarr2.decode_chunk(open(p, "rb").read(), meta)
+        with open(p, "wb") as fh:
+            fh.write(_blosc.compress_frame(
+                raw.tobytes(), meta.dtype.itemsize, cname="blosclz", shuffle=2,
+            ))
+    for zpath in (os.path.join(root, "precip", ".zarray"),):
+        doc = _json.load(open(zpath))
+        doc["compressor"].update({"cname": "blosclz", "shuffle": 2})
+        _json.dump(doc, open(zpath, "w"))
+    zm = os.path.join(root, ".zmetadata")
+    doc = _json.load(open(zm))
+    doc["metadata"]["precip/.zarray"]["compressor"].update(
+        {"cname": "blosclz", "shuffle": 2}
+    )
+    _json.dump(doc, open(zm, "w"))
+
+    got, rows = _collect(spark, root)
+    assert len(rows) == data.size
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+    assert got[(0.0, 36.0, -116.0)] is None
