@@ -5143,6 +5143,42 @@ def kerchunk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kerchunk_templated_decode", _nc_oracle())
+def kerchunk_templated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kerchunk v1 TEMPLATED refs (r9): MultiZarrToZarr dedupes long
+    base URLs across thousands of refs into a ``templates`` section with
+    ``{{u}}`` placeholders (the reference's create_zarr_json merge
+    output, transform.py:40-117) — a migrating user pointing the
+    manifest scan at an existing MZZ JSON hits this before anything
+    else.  The fixture is the SAME packed-blob archive re-expressed the
+    templated way (every chunk URL is ``{{u}}/{{f}}``), so the literal
+    oracle proves expansion changes nothing but the document shape."""
+    import json as _json
+
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    doc, base = _kerchunk_fixture()
+    refs = dict(doc["refs"])
+    templated = {}
+    for k, v in refs.items():
+        if isinstance(v, list) and v:
+            # grid.bin -> {{u}}/{{f}}: base dir AND filename templated
+            templated[k] = ["{{u}}/{{f}}", *v[1:]]
+        else:
+            templated[k] = v
+    tdoc = {
+        "version": 1,
+        "templates": {"u": base, "f": "grid.bin"},
+        "refs": templated,
+    }
+    # byte-identical round trip through JSON, like a real refs file
+    tdoc = _json.loads(_json.dumps(tdoc))
+    out = kc_mod.decode_kerchunk_long(spark, tdoc, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf, digest-named) the events daily (station, day)
     mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —

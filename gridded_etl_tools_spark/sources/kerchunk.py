@@ -18,8 +18,9 @@ reused across rows sharing a url, and array metadata / coordinate axes
 are resolved once driver-side (KB-scale).  Supports kerchunk v0 (bare
 dict) and v1 (``{"version": 1, "refs": {...}}``) formats, inline string
 refs (optionally ``base64:``-prefixed), and whole-file refs
-(``[url]`` with no offset).  Templated/generated refs raise — they are a
-size optimization the manifest-table form does not need.
+(``[url]`` with no offset), and the v1 ``templates`` section's plain
+``{{key}}`` URL substitution (MultiZarrToZarr's output shape).
+Generated refs (``gen``) raise — materialize them instead.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,17 +45,61 @@ class KerchunkError(ValueError):
 
 def parse_refs(doc: dict | str | bytes) -> dict[str, object]:
     """Normalize a kerchunk document (v0 bare mapping or v1 wrapper) to
-    the flat ``key -> ref`` mapping."""
+    the flat ``key -> ref`` mapping.
+
+    v1 ``templates`` — the ``{{u}}`` base-URL substitution
+    MultiZarrToZarr emits to dedupe long URLs across thousands of refs
+    (the reference's create_zarr_json merges per-file JSONs into exactly
+    this shape, transform.py:40-117) — are expanded here, driver-side,
+    before the manifest table is built.  Only plain ``{{key}}``
+    placeholders are supported (that is all MZZ emits); jinja loops/
+    conditionals and the ``gen`` section (generated key ranges) stay
+    loud refusals."""
     if isinstance(doc, (str, bytes)):
         doc = json.loads(doc)
     if "refs" in doc and isinstance(doc.get("refs"), dict):
-        if doc.get("templates") or doc.get("gen"):
+        if doc.get("gen"):
             raise KerchunkError(
-                "templated/generated refs unsupported — materialize them "
+                "generated refs ('gen') unsupported — materialize them "
                 "(the manifest-table form has no size pressure)"
             )
-        return dict(doc["refs"])
+        refs = dict(doc["refs"])
+        templates = doc.get("templates") or {}
+        if templates:
+            refs = {
+                k: _expand_ref_template(v, templates) for k, v in refs.items()
+            }
+        return refs
     return dict(doc)
+
+
+_TEMPLATE_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def _expand_ref_template(ref: object, templates: dict) -> object:
+    """Substitute ``{{key}}`` placeholders in a ref's URL (list refs
+    only — inline data strings are never templated)."""
+    if not (isinstance(ref, list) and ref and isinstance(ref[0], str)):
+        return ref
+    url = ref[0]
+    if "{{" not in url:
+        return ref
+
+    def _sub(m: re.Match) -> str:
+        key = m.group(1)
+        val = templates.get(key)
+        if not isinstance(val, str):
+            raise KerchunkError(
+                f"ref URL {url!r} uses undefined template {{{{{key}}}}}"
+            )
+        if "{%" in val or "{{" in val:
+            raise KerchunkError(
+                f"template {key!r} is not a plain string (jinja "
+                "constructs unsupported — materialize the refs)"
+            )
+        return val
+
+    return [_TEMPLATE_RE.sub(_sub, url), *ref[1:]]
 
 
 def _inline_bytes(val: str) -> bytes:

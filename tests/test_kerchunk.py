@@ -105,9 +105,55 @@ def test_v0_bare_mapping_accepted(spark, tmp_path):
     assert out.count() == 60
 
 
-def test_templates_rejected():
-    with pytest.raises(kerchunk.KerchunkError, match="templated"):
-        kerchunk.parse_refs({"version": 1, "refs": {}, "templates": {"u": "x"}})
+def test_templates_expand(spark, tmp_path):
+    """r9: the v1 ``templates`` section's plain {{key}} URL substitution
+    (MultiZarrToZarr's output shape) expands driver-side; the templated
+    document decodes cell-identical to the plain one."""
+    doc, base = _packed_refs(tmp_path)
+    templated = {
+        k: (["{{u}}/{{ f }}", *v[1:]] if isinstance(v, list) else v)
+        for k, v in doc["refs"].items()
+    }
+    tdoc = {"version": 1, "templates": {"u": base, "f": "grid.bin"},
+            "refs": templated}
+    refs = kerchunk.parse_refs(tdoc)
+    import os as _os
+
+    assert all(
+        v[0] == _os.path.join(base, "grid.bin")
+        for v in refs.values() if isinstance(v, list)
+    )
+    out = kerchunk.decode_kerchunk_long(spark, tdoc, "precip")
+    plain = kerchunk.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
+    want = {(r.time, r.latitude, r.longitude): r.value for r in plain.collect()}
+    assert got == want and len(got) == 60
+
+
+def test_template_errors_and_gen_rejected():
+    # undefined template key
+    with pytest.raises(kerchunk.KerchunkError, match="undefined template"):
+        kerchunk.parse_refs(
+            {"version": 1, "templates": {"u": "x"},
+             "refs": {"v/0": ["{{nope}}", 0, 1]}}
+        )
+    # jinja constructs inside a template value
+    with pytest.raises(kerchunk.KerchunkError, match="jinja"):
+        kerchunk.parse_refs(
+            {"version": 1, "templates": {"u": "{% for i in x %}"},
+             "refs": {"v/0": ["{{u}}", 0, 1]}}
+        )
+    # generated key ranges stay a loud refusal
+    with pytest.raises(kerchunk.KerchunkError, match="gen"):
+        kerchunk.parse_refs(
+            {"version": 1, "gen": [{"key": "v/{{i}}"}], "refs": {}}
+        )
+    # inline data strings are never templated
+    refs = kerchunk.parse_refs(
+        {"version": 1, "templates": {"u": "x"},
+         "refs": {"v/0": "{{not-a-template}}"}}
+    )
+    assert refs["v/0"] == "{{not-a-template}}"
 
 
 def test_refs_built_over_real_zarr_store(spark, tmp_path):
