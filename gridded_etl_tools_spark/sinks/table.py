@@ -1535,6 +1535,12 @@ class GriddedTable:
             return removed
         finally:
             self._release_failed(pointer)
+            # gardening: drop the CAS bookkeeping sidecar where the
+            # backend keeps one (LocalControlFS's .lock file; object
+            # stores keep none).  After the release CAS, so it is not
+            # immediately recreated; safe mid-traffic because the sweep
+            # holds the flock and CAS callers revalidate their inode.
+            self._fs.sweep_cas_sidecar(self._pointer_path)
 
     def expire_versions(self, keep_last: int) -> list[int]:
         """Retention maintenance (the Iceberg ``expireSnapshots`` analog,
