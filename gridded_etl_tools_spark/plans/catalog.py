@@ -2118,6 +2118,8 @@ def _cached_index_root(tag: str, sf_dir: str, build) -> str:
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{digest}")
     if not os.path.isdir(root):
+        import errno
+
         wip = root + f".wip-{uuid.uuid4().hex}"
         try:
             build(wip)
@@ -2126,10 +2128,17 @@ def _cached_index_root(tag: str, sf_dir: str, build) -> str:
             raise  # a failed BUILD (disk full, perms) surfaces as itself
         try:
             os.rename(wip, root)
-        except OSError:  # lost-race scope ONLY: concurrent builder won
+        except OSError as exc:
+            # lost-race scope ONLY: rename onto the winner's existing
+            # tree raises ENOTEMPTY/EEXIST.  Anything else (ENOENT from
+            # a builder that created nothing, EACCES, ...) is a real
+            # failure and must surface as itself.
+            if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                shutil.rmtree(wip, ignore_errors=True)
+                raise
             shutil.rmtree(wip, ignore_errors=True)
-        # either our rename landed or the winner's tree is complete
-        assert os.path.isdir(root), f"index cache root missing: {root}"
+        if not os.path.isdir(root):  # never an assert: -O must not skip it
+            raise FileNotFoundError(f"index cache root missing: {root}")
     return root
 
 

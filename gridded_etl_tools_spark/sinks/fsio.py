@@ -399,7 +399,19 @@ class S3ControlFS(ControlFS):
         scheme = f"s3://{self.bucket}/"
         if p.startswith(scheme):
             p = p[len(scheme):]
+        elif p.startswith("s3://"):
+            # addressing ANOTHER bucket through this FS would silently
+            # read/write keys like 's3:/other/...' in THIS bucket
+            raise ValueError(
+                f"{path!r} addresses a different bucket than "
+                f"{self.bucket!r} — construct an S3ControlFS for it"
+            )
         p = posixpath.normpath(p).lstrip("/")
+        if p in (".", ""):
+            raise ValueError(
+                f"{path!r} resolves to the bucket root — control-plane "
+                "paths must live under a table root"
+            )
         if self.prefix:
             return f"{self.prefix}/{p}"
         return p
@@ -504,16 +516,24 @@ class S3ControlFS(ControlFS):
         return sorted(names)
 
     def _list_under(self, prefix_path: str):
+        from botocore.exceptions import ClientError
+
         key = self._key(prefix_path)
         paginator = self._c.get_paginator("list_objects_v2")
         for page in paginator.paginate(Bucket=self.bucket, Prefix=key + "/"):
             for obj in page.get("Contents", []):
                 yield obj
-        # the prefix itself may be a plain object
-        for page in paginator.paginate(Bucket=self.bucket, Prefix=key, Delimiter="/"):
-            for obj in page.get("Contents", []):
-                if obj["Key"] == key:
-                    yield obj
+        # the prefix itself may be a plain object: ONE exact round trip
+        # (a second paginate would page through every same-string-prefix
+        # sibling key per vacuum sweep)
+        try:
+            head = self._c.head_object(Bucket=self.bucket, Key=key)
+            yield {"Key": key, "LastModified": head["LastModified"]}
+        except ClientError as exc:
+            if exc.response.get("Error", {}).get("Code") not in (
+                "404", "NoSuchKey",
+            ):
+                raise
 
     def walk_files(self, prefix: str) -> list[str]:
         key = self._key(prefix)

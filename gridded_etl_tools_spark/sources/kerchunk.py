@@ -99,7 +99,16 @@ def _expand_ref_template(ref: object, templates: dict) -> object:
             )
         return val
 
-    return [_TEMPLATE_RE.sub(_sub, url), *ref[1:]]
+    expanded = _TEMPLATE_RE.sub(_sub, url)
+    if "{{" in expanded or "{%" in expanded:
+        # jinja filters ({{u|upper}}), non-\w keys, {% %} blocks: the
+        # plain-substitution promise fails LOUDLY at parse time, not as
+        # an executor-side FileNotFoundError on the literal braces
+        raise KerchunkError(
+            f"ref URL {url!r} uses jinja constructs beyond plain "
+            "{{key}} substitution — materialize the refs"
+        )
+    return [expanded, *ref[1:]]
 
 
 def _inline_bytes(val: str) -> bytes:

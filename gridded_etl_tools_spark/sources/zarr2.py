@@ -220,11 +220,24 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
             # (metadata.py:952-954); frames self-describe, so config is
             # validated here and the chunk decode keys on the header
             inner = conf.get("cname", "lz4")
-            if inner not in ("blosclz", "lz4", "lz4hc", "zlib", "zstd"):
+            if inner not in (
+                "blosclz", "lz4", "lz4hc", "zlib", "zstd", "snappy"
+            ):
                 raise ZarrError(
                     f"{name}: blosc cname {inner!r} unsupported "
-                    "(blosclz/lz4/lz4hc/zlib/zstd decode here)"
+                    "(blosclz/lz4/lz4hc/zlib/zstd/snappy decode here)"
                 )
+            if inner in ("zstd", "snappy"):
+                # same fail-fast the v2 parse does: these inner codecs
+                # need pyarrow on the executors — refuse at open time,
+                # not as a distributed per-chunk task failure
+                from gridded_etl_tools_spark.sources.blosc import _pa_codec
+
+                if _pa_codec(inner) is None:
+                    raise ZarrError(
+                        f"{name}: blosc cname {inner!r} needs pyarrow "
+                        "codec support, which this environment lacks"
+                    )
             shuf = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(
                 conf.get("shuffle", "shuffle")
             )

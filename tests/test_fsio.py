@@ -278,8 +278,60 @@ def test_concurrent_commit_stress_single_winner_per_version(tmp_path, backend, r
     wins_lock = threading.Lock()
     stop = threading.Event()
 
+    api_lock = threading.Lock()
+
+    class _SerializedClient:
+        """Make each individual moto API call atomic, like real S3.
+
+        Real S3 linearizes every request server-side — conditional
+        writes in particular serialize per key (a concurrent mutate
+        yields 412/409 ConditionalRequestConflict, which S3ControlFS
+        maps to a lost race).  moto 5.2 does NOT: its If-Match check
+        and backend.put_object are separate steps (s3/responses.py,
+        PutObject), so two racing conditional PUTs can both pass —
+        hammering it bare tests the mock's missing lock, not the
+        protocol.  This proxy restores per-CALL atomicity (one lock
+        around each request, GET bodies drained inside it); every
+        protocol-level interleaving across calls stays racy, which is
+        what this test exists to hammer."""
+
+        def __init__(self, client):
+            self._client = client
+            self.exceptions = client.exceptions
+
+        def __getattr__(self, name):
+            real = getattr(self._client, name)
+            if not callable(real):
+                return real
+
+            def call(*args, **kwargs):
+                import io
+
+                with api_lock:
+                    resp = real(*args, **kwargs)
+                    if isinstance(resp, dict) and hasattr(
+                        resp.get("Body"), "read"
+                    ):
+                        resp["Body"] = io.BytesIO(resp["Body"].read())
+                    return resp
+
+            return call
+
     def worker(wid: int) -> None:
-        me = GriddedTable(str(tmp_path / "tbl"), fs=fs)
+        if backend == "s3":
+            # one boto3 client per worker, like one per executor in
+            # production; serialized per call (see _SerializedClient)
+            import boto3
+
+            wfs = S3ControlFS(
+                fs.bucket,
+                client=_SerializedClient(
+                    boto3.client("s3", region_name="us-east-1")
+                ),
+            )
+        else:
+            wfs = fs
+        me = GriddedTable(str(tmp_path / "tbl"), fs=wfs)
         for attempt in range(200):
             if stop.is_set():
                 return
@@ -414,3 +466,17 @@ def test_cas_sidecar_sweep_safe_under_concurrent_cas(tmp_path):
     # equals the number of wins (a split lock domain would lose updates)
     assert int(fs.read_text(target)) == len(wins)
     assert len(wins) >= 6  # progress was made
+
+
+def test_s3_key_guards_foreign_bucket_and_root():
+    """Code-review r9: a foreign-bucket s3:// path or a bucket-root path
+    must raise instead of silently mangling into a bogus key."""
+    fs = S3ControlFS("bucket-a", client=object())  # no API calls needed
+    assert fs._key("s3://bucket-a/tbl/p.json") == "tbl/p.json"
+    assert fs._key("/tbl/p.json") == "tbl/p.json"
+    with pytest.raises(ValueError, match="different bucket"):
+        fs._key("s3://bucket-b/tbl/p.json")
+    with pytest.raises(ValueError, match="bucket root"):
+        fs._key("s3://bucket-a/")
+    with pytest.raises(ValueError, match="bucket root"):
+        fs._key("/")

@@ -212,3 +212,19 @@ def test_kerchunk_refs_over_blosc_store(spark, tmp_path):
         for y in range(3):
             for x in range(2):
                 assert got[(float(t), float(y), float(x))] == data[t, y, x]
+
+
+def test_template_residual_jinja_in_url_refused():
+    """Code-review r9: jinja filters / non-word keys left unexpanded in
+    a ref URL must refuse at parse time, not surface as an executor-side
+    FileNotFoundError on the literal braces."""
+    with pytest.raises(kerchunk.KerchunkError, match="jinja"):
+        kerchunk.parse_refs(
+            {"version": 1, "templates": {"u": "/x"},
+             "refs": {"v/0": ["{{u|upper}}/f.bin", 0, 1]}}
+        )
+    with pytest.raises(kerchunk.KerchunkError, match="jinja"):
+        kerchunk.parse_refs(
+            {"version": 1, "templates": {"u": "/x"},
+             "refs": {"v/0": ["{% if a %}{{u}}{% endif %}", 0, 1]}}
+        )
