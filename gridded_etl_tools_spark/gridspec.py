@@ -48,6 +48,15 @@ class GridSpec:
 
     dataset_name: str
     data_var: str = "value"
+    #: additional value columns beyond ``data_var`` — the multi-variable
+    #: surface (ERA5-style datasets carry e.g. t2m + d2m + sp in one
+    #: grid).  The reference is one-data-var-per-dataset by declaration
+    #: (attributes.py: ``data_var`` is scalar); this EXCEEDS parity: the
+    #: long form simply carries one float column per variable, and the
+    #: publish/QC/table layers treat every declared var uniformly.  All
+    #: vars share ``unit``/``missing_value`` (declare separate datasets
+    #: when physics differ).
+    extra_data_vars: tuple[str, ...] = ()
     unit: str | None = None
     category: str = "observation"
     spatial_dims: tuple[str, str] = ("latitude", "longitude")
@@ -77,8 +86,13 @@ class GridSpec:
         return CATEGORY_DIMS[self.category] + list(self.spatial_dims)
 
     @property
+    def data_vars(self) -> list[str]:
+        """Every declared value column, primary first."""
+        return [self.data_var, *self.extra_data_vars]
+
+    @property
     def standard_columns(self) -> list[str]:
-        return self.key_dims + [self.data_var]
+        return self.key_dims + self.data_vars
 
     def schema(self) -> T.StructType:
         """Long-form schema.  Coordinates are DOUBLE (float32 coords are a
@@ -94,7 +108,8 @@ class GridSpec:
                 fields.append(T.StructField(dim, T.IntegerType(), False))
             else:
                 fields.append(T.StructField(dim, T.TimestampType(), False))
-        fields.append(T.StructField(self.data_var, T.FloatType(), True))
+        for var in self.data_vars:
+            fields.append(T.StructField(var, T.FloatType(), True))
         return T.StructType(fields)
 
     @property

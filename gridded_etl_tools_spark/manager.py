@@ -53,6 +53,10 @@ class DatasetManager(DatasetLogging):
     #: properties enforced at first use, not import)
     dataset_name: str | None = None
     data_var: str = "value"
+    #: further value columns for multi-variable datasets (ERA5-style);
+    #: transform() scans each var from the same raw files and joins on
+    #: the dim key — see GridSpec.extra_data_vars
+    extra_data_vars: tuple[str, ...] = ()
     unit: str | None = None
     category: str = "observation"
     spatial_dims: tuple[str, str] = ("latitude", "longitude")
@@ -88,6 +92,7 @@ class DatasetManager(DatasetLogging):
         return GridSpec(
             dataset_name=cls.dataset_name or cls.__name__,
             data_var=cls.data_var,
+            extra_data_vars=tuple(cls.extra_data_vars),
             unit=cls.unit,
             category=cls.category,
             spatial_dims=cls.spatial_dims,
@@ -205,11 +210,21 @@ class DatasetManager(DatasetLogging):
         self.info(f"transforming raw files at {input_path} -> dims {dims}")
         # the front door emits a uniform numeric schema: one double per
         # dim (datetime axes as fractional epoch days) + a column named
-        # "value" for the requested variable
+        # "value" for the requested variable.  Multi-variable datasets
+        # scan each declared var from the SAME raw files and equi-join
+        # on the dim key (the dims partition identically across scans,
+        # so at scale these are co-partitioned joins over one listing).
         df = scan_gridded(spark, input_path, spec.data_var, dims=dims)
+        for var in spec.extra_data_vars:
+            extra = scan_gridded(spark, input_path, var, dims=dims).select(
+                *dims, F.col("value").alias(f"__{var}")
+            )
+            df = df.join(extra, on=dims, how="full_outer")
         df = self.preprocess(df)
         if spec.missing_value is not None:
             df = sentinel_to_null(df, "value", spec.missing_value)
+            for var in spec.extra_data_vars:
+                df = sentinel_to_null(df, f"__{var}", spec.missing_value)
         unit_us = {
             "days": 86_400_000_000.0,
             "hours": 3_600_000_000.0,
@@ -238,7 +253,14 @@ class DatasetManager(DatasetLogging):
             df = df.withColumn(lon_dim, standardize_longitude(F.col(lon_dim)))
         for d in spec.spatial_dims:
             df = df.withColumn(d, F.round(F.col(d), spec.spatial_precision))
-        df = df.select(*dims, F.col("value").alias(spec.data_var))
+        df = df.select(
+            *dims,
+            F.col("value").alias(spec.data_var),
+            *[
+                F.col(f"__{var}").alias(var)
+                for var in spec.extra_data_vars
+            ],
+        )
         return self.postprocess(df)
 
     # -- parse / publish ----------------------------------------------

@@ -5563,6 +5563,82 @@ def published_table_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark, time_lo=_dt.datetime(2024, 1, 10))
 
 
+def _multivar_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf, digest-named) a TWO-VARIABLE GriddedTable
+    through the full publish() path: daily per-station mean AND max as
+    two value columns in one long-form table (GridSpec.extra_data_vars,
+    r9 — the ERA5 shape the reference's one-var-per-dataset declaration
+    cannot express), initial publish + append, QC gating both vars."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.gridspec import GridSpec
+    from gridded_etl_tools_spark.sinks.publish import publish
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"multivar_fixture_v1|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_multivar_{digest}"
+    )
+    t = GriddedTable(root)
+    if not t.exists():
+        spec = GridSpec(
+            dataset_name="events_station_daily",
+            data_var="mean_value",
+            extra_data_vars=("max_value",),
+        )
+        ev = load(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("time"),
+            (F.col("user_id") % 5).cast("double").alias("latitude"),
+            (F.col("user_id") % 7).cast("double").alias("longitude"),
+        ).agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+        publish(t, daily.filter(F.col("time") < cut), spec)
+        publish(t, daily.filter(F.col("time") >= cut), spec)
+    return root
+
+
+@query(
+    "multivar_table_readback",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+           CAST(user_id % 5 AS DOUBLE) AS latitude,
+           CAST(user_id % 7 AS DOUBLE) AS longitude,
+           round(avg(value), 6) AS mean_value,
+           round(CAST(max(value) AS DOUBLE), 6) AS max_value
+    FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def multivar_table_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-variable dataset surface (r9, beyond reference parity): a
+    two-value-column GriddedTable published through the standard
+    publish() QC/commit path (initial + append), read back through the
+    manifest layer with file-level time pruning.  The oracle recomputes
+    BOTH variables straight from events, so every layer — the per-var QC
+    loop, the widened long-form schema, the commit protocol — must be
+    value-transparent for every declared var at once."""
+    import datetime as _dt
+
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    root = _multivar_table_root(spark, sf_dir)
+    t = GriddedTable(root)
+    return t.read(spark, time_lo=_dt.datetime(2024, 1, 10)).select(
+        "time", "latitude", "longitude", "mean_value", "max_value"
+    )
+
+
 @query(
     "ivm_rollup_maintenance",
     """

@@ -59,14 +59,25 @@ def publish(
         )
 
     if run_quality_checks:
-        qc_ops.pre_parse_quality_check(
-            update,
-            value_col=spec.data_var,
-            expected_delta=None if spec.update_cadence_bounds else expected_delta,
-            cadence_bounds=_bounds_td(spec) if spec.update_cadence_bounds else None,
-            value_bounds=spec.value_bounds,
-            time_col=table.time_col,
-        )
+        # value-bounds gate EVERY declared variable; the cadence check
+        # is var-independent, so only the first pass runs it
+        for i, var in enumerate(spec.data_vars):
+            qc_ops.pre_parse_quality_check(
+                update,
+                value_col=var,
+                expected_delta=(
+                    None
+                    if (i or spec.update_cadence_bounds)
+                    else expected_delta
+                ),
+                cadence_bounds=(
+                    _bounds_td(spec)
+                    if (not i and spec.update_cadence_bounds)
+                    else None
+                ),
+                value_bounds=spec.value_bounds,
+                time_col=table.time_col,
+            )
 
     if dry_run:
         # reference to_zarr wrapper: dry run exits before any mutation
