@@ -51,6 +51,9 @@ _FIXED_THIS_ROUND = (
     "ivf_index_query_readback",
     "ivf_index_append_readback",
     "ivfpq_index_query_readback",
+    # r9: parse_refs gained template expansion — the plain kerchunk row
+    # re-attests the shared path (the templated row is new, seen==0)
+    "kerchunk_decode",
     # rows-only sketch estimates: re-stamp their `no_oracle`-by-design
     # records every rotation (r7 practice the judge endorsed)
     "approx_distinct_users_daily",

@@ -443,6 +443,11 @@ SHUFFLE_BUDGET = {
     # r8: encrypted-store readback — one chunk-parallel map-side scan
     # (decrypt+decompress run inside the same mapInPandas stage)
     "zarr_encrypted_readback": (0, 0),
+    # r9: manifest scans are map-only reads; the multivar readback's
+    # fixture build shuffles once but the measured QUERY plan is a
+    # pruned scan
+    "kerchunk_templated_decode": (0, 0),
+    "multivar_table_readback": (0, 0),
 }
 
 
