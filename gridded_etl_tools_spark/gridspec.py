@@ -80,6 +80,23 @@ class GridSpec:
     crs_wkt: str | None = None
     attrs: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # refuse ambiguous declarations HERE, not as an
+        # AMBIGUOUS_REFERENCE deep inside transform/publish: value
+        # columns must be distinct from each other and from every dim
+        names = self.data_vars
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"duplicate data variable names in {names} "
+                "(data_var + extra_data_vars must be distinct)"
+            )
+        clash = set(names) & set(self.key_dims)
+        if clash:
+            raise ValueError(
+                f"data variable(s) {sorted(clash)} collide with the "
+                f"dataset's dimension names {self.key_dims}"
+            )
+
     @property
     def key_dims(self) -> list[str]:
         """Standard dims = category dims + spatial dims (composite PK)."""

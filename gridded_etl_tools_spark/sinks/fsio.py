@@ -397,8 +397,11 @@ class S3ControlFS(ControlFS):
 
         p = path.replace(os.sep, "/")
         scheme = f"s3://{self.bucket}/"
-        if p.startswith(scheme):
-            p = p[len(scheme):]
+        if p.startswith(scheme) or p == scheme[:-1]:
+            # slashless "s3://<this bucket>" is the bucket root: strip
+            # the scheme so it hits the bucket-root refusal below with
+            # the RIGHT diagnostic, not a bogus different-bucket claim
+            p = p[len(scheme):] if p.startswith(scheme) else ""
         elif p.startswith("s3://"):
             # addressing ANOTHER bucket through this FS would silently
             # read/write keys like 's3:/other/...' in THIS bucket

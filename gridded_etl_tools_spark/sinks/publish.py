@@ -58,25 +58,39 @@ def publish(
             "overwrite existing dataset"  # reference publish.py:116-126
         )
 
+    # every declared variable must actually be a column of the update —
+    # a frame missing one would otherwise publish a silently narrower
+    # table (schema-only check, no job)
+    missing = [v for v in spec.data_vars if v not in update.columns]
+    if missing:
+        raise PublishError(
+            f"update frame is missing declared data variable(s) "
+            f"{missing}; spec declares {spec.data_vars}"
+        )
+
     if run_quality_checks:
-        # value-bounds gate EVERY declared variable; the cadence check
-        # is var-independent, so only the first pass runs it
-        for i, var in enumerate(spec.data_vars):
-            qc_ops.pre_parse_quality_check(
-                update,
-                value_col=var,
-                expected_delta=(
-                    None
-                    if (i or spec.update_cadence_bounds)
-                    else expected_delta
-                ),
-                cadence_bounds=(
-                    _bounds_td(spec)
-                    if (not i and spec.update_cadence_bounds)
-                    else None
-                ),
-                value_bounds=spec.value_bounds,
-                time_col=table.time_col,
+        # cadence/delta are var-independent: one pass.  Value bounds
+        # gate EVERY declared variable in ONE job (an OR of per-var
+        # out-of-bounds predicates) — a per-var pre_parse call would
+        # re-execute the whole update lineage once per variable.
+        qc_ops.pre_parse_quality_check(
+            update,
+            value_col=spec.data_var,
+            expected_delta=None if spec.update_cadence_bounds else expected_delta,
+            cadence_bounds=_bounds_td(spec) if spec.update_cadence_bounds else None,
+            value_bounds=None,
+            time_col=table.time_col,
+        )
+        if spec.value_bounds is not None:
+            lo, hi = spec.value_bounds
+            bad = F.lit(False)
+            for var in spec.data_vars:
+                c = F.col(var)
+                bad = bad | (
+                    c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi))
+                )
+            qc_ops.assert_empty(
+                update.filter(bad), "value outside physical bounds"
             )
 
     if dry_run:

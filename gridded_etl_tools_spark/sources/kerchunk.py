@@ -69,6 +69,23 @@ def parse_refs(doc: dict | str | bytes) -> dict[str, object]:
             refs = {
                 k: _expand_ref_template(v, templates) for k, v in refs.items()
             }
+        # loud-refusal net for EVERY v1 list-ref URL, expanded or not:
+        # jinja residue ({% %} blocks, {{...}} the plain substitution
+        # could not resolve, or templated URLs in a document with no
+        # templates section) must fail at parse time, not as an
+        # executor-side FileNotFoundError on the literal braces
+        for key, ref in refs.items():
+            if (
+                isinstance(ref, list)
+                and ref
+                and isinstance(ref[0], str)
+                and ("{{" in ref[0] or "{%" in ref[0])
+            ):
+                raise KerchunkError(
+                    f"ref {key!r} URL {ref[0]!r} contains jinja "
+                    "constructs beyond plain {{key}} substitution — "
+                    "materialize the refs"
+                )
         return refs
     return dict(doc)
 
@@ -99,16 +116,9 @@ def _expand_ref_template(ref: object, templates: dict) -> object:
             )
         return val
 
-    expanded = _TEMPLATE_RE.sub(_sub, url)
-    if "{{" in expanded or "{%" in expanded:
-        # jinja filters ({{u|upper}}), non-\w keys, {% %} blocks: the
-        # plain-substitution promise fails LOUDLY at parse time, not as
-        # an executor-side FileNotFoundError on the literal braces
-        raise KerchunkError(
-            f"ref URL {url!r} uses jinja constructs beyond plain "
-            "{{key}} substitution — materialize the refs"
-        )
-    return [expanded, *ref[1:]]
+    # any jinja residue left after substitution (filters, non-\w keys,
+    # {% %} blocks) is caught by parse_refs' loud-refusal net
+    return [_TEMPLATE_RE.sub(_sub, url), *ref[1:]]
 
 
 def _inline_bytes(val: str) -> bytes:

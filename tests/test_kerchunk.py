@@ -215,9 +215,10 @@ def test_kerchunk_refs_over_blosc_store(spark, tmp_path):
 
 
 def test_template_residual_jinja_in_url_refused():
-    """Code-review r9: jinja filters / non-word keys left unexpanded in
-    a ref URL must refuse at parse time, not surface as an executor-side
-    FileNotFoundError on the literal braces."""
+    """Code-review r9: jinja residue in ANY v1 list-ref URL refuses at
+    parse time — filters, non-word keys, {% %}-only URLs, and templated
+    URLs in a document with NO templates section — never an
+    executor-side FileNotFoundError on the literal braces."""
     with pytest.raises(kerchunk.KerchunkError, match="jinja"):
         kerchunk.parse_refs(
             {"version": 1, "templates": {"u": "/x"},
@@ -227,4 +228,16 @@ def test_template_residual_jinja_in_url_refused():
         kerchunk.parse_refs(
             {"version": 1, "templates": {"u": "/x"},
              "refs": {"v/0": ["{% if a %}{{u}}{% endif %}", 0, 1]}}
+        )
+    # {% %} block with no {{ at all: the expansion early-return must
+    # not bypass the net
+    with pytest.raises(kerchunk.KerchunkError, match="jinja"):
+        kerchunk.parse_refs(
+            {"version": 1, "templates": {"u": "/x"},
+             "refs": {"v/0": ["{% if a %}/f.bin{% endif %}", 0, 1]}}
+        )
+    # templated URL but the document carries no templates section
+    with pytest.raises(kerchunk.KerchunkError, match="jinja"):
+        kerchunk.parse_refs(
+            {"version": 1, "refs": {"v/0": ["{{u}}/f.bin", 0, 1]}}
         )

@@ -460,3 +460,30 @@ def test_multi_variable_value_bounds_gate_every_var(spark, tmp_path):
     with pytest.raises(QualityCheckError, match="bounds"):
         publish(t, df, spec)
     assert not t.exists()  # refused before any write
+
+
+def test_multivar_declaration_and_missing_column_guards(spark, tmp_path):
+    """Close-review r9: ambiguous declarations refuse at GridSpec
+    construction; a publish whose frame lacks a declared var refuses
+    before any write even when no value bounds apply."""
+    import pyspark.sql.functions as SF
+
+    from gridded_etl_tools_spark.gridspec import GridSpec
+    from gridded_etl_tools_spark.sinks.publish import PublishError, publish
+    from gridded_etl_tools_spark.sinks.table import GriddedTable
+
+    with pytest.raises(ValueError, match="distinct"):
+        GridSpec(dataset_name="d", extra_data_vars=("value",))
+    with pytest.raises(ValueError, match="dimension"):
+        GridSpec(dataset_name="d", extra_data_vars=("latitude",))
+
+    spec = GridSpec(dataset_name="d", data_var="a", extra_data_vars=("b",))
+    df = spark.range(3).select(
+        SF.timestamp_micros(SF.col("id") * 86_400_000_000).alias("time"),
+        SF.lit(1.0).alias("latitude"), SF.lit(2.0).alias("longitude"),
+        SF.lit(1.5).alias("a"),  # 'b' missing
+    )
+    t = GriddedTable(str(tmp_path / "guard"))
+    with pytest.raises(PublishError, match="missing declared"):
+        publish(t, df, spec)
+    assert not t.exists()
