@@ -33,6 +33,10 @@ class MyNewETL(DatasetManager):
     dataset_name = "my_dataset"          # registry key for get_manager()
     category = "observation"             # observation | forecast | ensemble | hindcast
     data_var = "value"                   # canonical data-variable name (Q7 rename)
+    # extra_data_vars = ("tmax", "tmin") # multi-variable datasets (ERA5
+    #                                    # shape): each var scans from the
+    #                                    # same files and lands as its own
+    #                                    # column; QC gates every var
     unit = "unknown"                     # unit of measurement (STAC metadata)
 
     # -- axes ----------------------------------------------------------

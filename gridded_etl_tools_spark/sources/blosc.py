@@ -541,6 +541,7 @@ def bitunshuffle_bytes(data: bytes, typesize: int) -> bytes:
 _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
 _FLAG_BITSHUFFLE = 0x4
+_FLAG_DODELTA = 0x8  # blosc_set_delta: XOR-vs-reference filter (refused)
 _FLAG_DONT_SPLIT = 0x10
 #: inner codec ids (c-blosc blosc.h format codes).  blosclz/lz4/zlib
 #: always decode (pure Python implementations exist); snappy/zstd decode
@@ -652,6 +653,14 @@ def decompress_frame(frame: bytes) -> bytes:
         raise BloscError(f"blosc frame truncated: {len(frame)} < cbytes {cbytes}")
     if flags & _FLAG_BITSHUFFLE and flags & _FLAG_SHUFFLE:
         raise BloscError("blosc frame claims both byte- and bit-shuffle")
+    if flags & _FLAG_DODELTA:
+        # blosc_set_delta frames XOR each chunk against a reference
+        # buffer this reader does not have; ignoring the flag would
+        # decode to silent garbage, so refuse loudly
+        raise BloscError(
+            "blosc delta filter (blosc_set_delta) unsupported — "
+            "re-encode without delta"
+        )
     if nbytes == 0:
         return b""
     if flags & _FLAG_MEMCPYED:

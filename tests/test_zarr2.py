@@ -430,6 +430,11 @@ def test_blosc_frame_rejects_corruption():
     bad[2] = (bad[2] & 0x1F) | (5 << 5)  # undefined codec id
     with pytest.raises(blosc.BloscError, match="codec id 5"):
         blosc.decompress_frame(bytes(bad))
+    bad = bytearray(f)
+    bad[2] |= 0x8  # blosc_set_delta filter: loud refusal, NEVER a
+    # silent decode that skips the un-delta (close-review r9)
+    with pytest.raises(blosc.BloscError, match="delta"):
+        blosc.decompress_frame(bytes(bad))
 
 
 def test_blosc_hypothesis_roundtrip():
