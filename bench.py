@@ -108,6 +108,7 @@ HEADLINE = [
     # round-9 additions:
     "kerchunk_templated_decode",  # MZZ templated refs -> manifest scan
     "multivar_table_readback",    # two-var publish + pruned readback
+    "zarr3_sharded_decode",       # sharded v3: index parse + inner decode
 ]
 
 

@@ -4895,6 +4895,63 @@ def _zarr3_fixture_root() -> str:
     return root
 
 
+def _zarr3_sharded_fixture_root() -> str:
+    """Write (once, digest-named) the fixture grid as a SHARDED Zarr v3
+    store — the sharding_indexed codec (one object per shard of 2x2x2
+    inner chunks, little-endian offset/nbytes index + crc32c trailer at
+    the end, blosc-lz4 inner chain, all-fill inner chunks elided)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import zarr2 as _z2
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr3_shard_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, "zarr.json")):
+        _z2.write_zarr3_store(
+            root,
+            variables={
+                "time": (("time",), np.asarray(times), {}),
+                "latitude": (("latitude",), np.asarray(lats), {}),
+                "longitude": (("longitude",), np.asarray(lons), {}),
+                "precip": (
+                    ("time", "latitude", "longitude"), np.asarray(data),
+                    {"_FillValue": -9999.0},
+                ),
+            },
+            chunks={"precip": (1, 2, 2), "time": (2,)},
+            shards={"precip": (2, 4, 4)},
+            fill_values={"precip": -9999.0},
+            blosc_lz4=True,
+        )
+    return root
+
+
+@query("zarr3_sharded_decode", _nc_oracle())
+def zarr3_sharded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v3 sharding_indexed (r9): the format's flagship object-store
+    feature — many inner chunks per stored object, so a 100 TB store
+    carries millions of objects instead of billions while the scan
+    still parallelizes one task per SHARD file (the index parse +
+    inner-chunk decode run executor-side where the bytes land;
+    sources/zarr2.py::_decode_shard).  The fixture shards the same grid
+    as zarr3_decode with a blosc-lz4 inner chain, crc32c-checked
+    index-at-end, and elided all-fill inner chunks; the literal oracle
+    certifies every cell including the fill materialization."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    root = _zarr3_sharded_fixture_root()
+    out = z2_mod.decode_zarr_long(spark, root, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 @query("zarr3_decode", _nc_oracle())
 def zarr3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OTHER zarr metadata generation the reference tolerates

@@ -82,6 +82,13 @@ class ZArray:
     #: the task closure, so executors never consult the registry) —
     #: None until the key is registered
     filter_key: bytes | None = None
+    #: v3 sharding_indexed configuration (None = unsharded).  When set,
+    #: ``chunks`` is the OUTER shard shape (one file per shard — the
+    #: grid math upstream is unchanged) and this dict carries
+    #: ``inner_chunks`` (tuple), ``compressor`` (inner codec chain's
+    #: normalized compressor), ``index_location`` ("end"|"start") and
+    #: ``index_crc`` (bool: [bytes, crc32c] index codecs)
+    shard: dict | None = None
 
     @property
     def dims(self) -> list[str]:
@@ -204,12 +211,87 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
     dt = meta["data_type"]
     if dt not in _V3_DTYPES:
         raise ZarrError(f"{name}: data_type {dt!r} unsupported")
+    endian, compressor, shard = _parse_v3_codec_chain(
+        name, meta.get("codecs", [{"name": "bytes"}]), allow_sharding=True
+    )
+    cke = meta.get(
+        "chunk_key_encoding", {"name": "default", "configuration": {}}
+    )
+    conf = cke.get("configuration", {})
+    if cke.get("name") == "default":
+        sep = conf.get("separator", "/")
+        prefix = "c"
+    elif cke.get("name") == "v2":
+        sep = conf.get("separator", ".")
+        prefix = ""
+    else:
+        raise ZarrError(f"{name}: chunk_key_encoding {cke.get('name')!r}")
+    size = _V3_DTYPES[dt]
+    dtype = np.dtype(("|" if size.endswith("1") else endian) + size)
+    chunk_shape = tuple(grid["configuration"]["chunk_shape"])
+    if shard is not None:
+        inner = tuple(shard["inner_chunks"])
+        if len(inner) != len(chunk_shape) or any(
+            c % i for c, i in zip(chunk_shape, inner)
+        ):
+            raise ZarrError(
+                f"{name}: shard inner chunk_shape {inner} does not tile "
+                f"the outer chunk_shape {chunk_shape}"
+            )
+    return ZArray(
+        name=name,
+        shape=tuple(meta["shape"]),
+        chunks=chunk_shape,
+        dtype=dtype,
+        order="C",
+        fill_value=_parse_fill(meta.get("fill_value"), dtype),
+        compressor=compressor,
+        filters=None,
+        dimension_separator=sep,
+        attrs=meta.get("attributes", {}),
+        zarr_version=3,
+        chunk_prefix=prefix,
+        dimension_names=meta.get("dimension_names"),
+        shard=shard,
+    )
+
+
+def _parse_v3_codec_chain(
+    name: str, codecs: list, allow_sharding: bool = False
+) -> tuple[str, dict | None, dict | None]:
+    """Normalize a v3 codec chain to (endian, compressor-meta, shard
+    config).  ``sharding_indexed`` — v3's flagship object-store feature
+    (one object per SHARD of many inner chunks: at 100 TB it divides
+    the object count by the inner-grid size while the scan still
+    parallelizes per shard file) — may appear once at the top level;
+    its inner chain parses recursively through this same function."""
     endian = "<"
     compressor = None
-    for codec in meta.get("codecs", [{"name": "bytes"}]):
+    shard = None
+    for codec in codecs:
         cname = codec.get("name")
         conf = codec.get("configuration", {})
-        if cname == "bytes":
+        if cname == "sharding_indexed":
+            if not allow_sharding:
+                raise ZarrError(f"{name}: nested sharding unsupported")
+            inner_endian, inner_comp, _ = _parse_v3_codec_chain(
+                name, conf.get("codecs", [{"name": "bytes"}])
+            )
+            endian = inner_endian
+            shard = {
+                "inner_chunks": tuple(conf["chunk_shape"]),
+                "compressor": inner_comp,
+                "index_location": conf.get("index_location", "end"),
+                "index_crc": _parse_v3_index_codecs(
+                    name, conf.get("index_codecs")
+                ),
+            }
+            if shard["index_location"] not in ("end", "start"):
+                raise ZarrError(
+                    f"{name}: index_location "
+                    f"{shard['index_location']!r} unsupported"
+                )
+        elif cname == "bytes":
             endian = {"little": "<", "big": ">"}.get(
                 conf.get("endian", "little"), "<"
             )
@@ -254,37 +336,34 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
             }
         else:
             raise ZarrError(
-                f"{name}: codec {cname!r} unsupported (bytes/gzip/blosc only)"
+                f"{name}: codec {cname!r} unsupported "
+                "(bytes/gzip/blosc/sharding_indexed only)"
             )
-    cke = meta.get(
-        "chunk_key_encoding", {"name": "default", "configuration": {}}
-    )
-    conf = cke.get("configuration", {})
-    if cke.get("name") == "default":
-        sep = conf.get("separator", "/")
-        prefix = "c"
-    elif cke.get("name") == "v2":
-        sep = conf.get("separator", ".")
-        prefix = ""
-    else:
-        raise ZarrError(f"{name}: chunk_key_encoding {cke.get('name')!r}")
-    size = _V3_DTYPES[dt]
-    dtype = np.dtype(("|" if size.endswith("1") else endian) + size)
-    return ZArray(
-        name=name,
-        shape=tuple(meta["shape"]),
-        chunks=tuple(grid["configuration"]["chunk_shape"]),
-        dtype=dtype,
-        order="C",
-        fill_value=_parse_fill(meta.get("fill_value"), dtype),
-        compressor=compressor,
-        filters=None,
-        dimension_separator=sep,
-        attrs=meta.get("attributes", {}),
-        zarr_version=3,
-        chunk_prefix=prefix,
-        dimension_names=meta.get("dimension_names"),
-    )
+    return endian, compressor, shard
+
+
+def _parse_v3_index_codecs(name: str, index_codecs: list | None) -> bool:
+    """Validate a shard-index codec chain; returns whether a crc32c
+    trailer is declared.  The spec default is [bytes LE, crc32c]."""
+    if index_codecs is None:
+        return True
+    crc = False
+    for codec in index_codecs:
+        cname = codec.get("name")
+        conf = codec.get("configuration", {})
+        if cname == "bytes":
+            if conf.get("endian", "little") != "little":
+                raise ZarrError(
+                    f"{name}: big-endian shard index unsupported"
+                )
+        elif cname == "crc32c":
+            crc = True
+        else:
+            raise ZarrError(
+                f"{name}: shard index codec {cname!r} unsupported "
+                "(bytes/crc32c only)"
+            )
+    return crc
 
 
 def _resolve_filter_keys(arrays: dict[str, ZArray]) -> dict[str, ZArray]:
@@ -366,12 +445,120 @@ def open_store(root: str) -> dict[str, ZArray]:
 # ---------------------------------------------------------------------------
 
 
+# -- crc32c (Castagnoli, the v3 shard-index trailer) -------------------------
+
+_CRC32C_TABLE: list[int] | None = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the zarr v3 ``crc32c`` codec appends to shard indexes.  Table-driven
+    pure Python; indexes are 16B/inner-chunk, so this is metadata-cost.
+    Pinned to the standard check value in tests ("123456789" →
+    0xE3069283)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_SHARD_EMPTY = 0xFFFFFFFFFFFFFFFF  # both index words: missing inner chunk
+
+
+def _inner_meta(meta: ZArray) -> ZArray:
+    """The lightweight ZArray an inner chunk decodes under."""
+    from dataclasses import replace
+
+    return replace(
+        meta,
+        chunks=tuple(meta.shard["inner_chunks"]),
+        compressor=meta.shard["compressor"],
+        filters=None,
+        filter_key=None,
+        shard=None,
+    )
+
+
+def _decode_shard(raw: bytes, meta: ZArray) -> np.ndarray:
+    """One shard file → the full outer-chunk ndarray: parse the index
+    (offset, nbytes) table from the declared location, verify its
+    crc32c trailer, decode each present inner chunk through the inner
+    codec chain, and materialize missing inner chunks as fill.  All of
+    this runs executor-side where the shard's bytes landed — a shard is
+    one task, exactly like an unsharded chunk, just with more cells per
+    task and far fewer objects per store."""
+    shard = meta.shard
+    inner = tuple(shard["inner_chunks"])
+    grid = tuple(c // i for c, i in zip(meta.chunks, inner))
+    n = int(np.prod(grid))
+    idx_size = 16 * n + (4 if shard["index_crc"] else 0)
+    if len(raw) < idx_size:
+        raise ZarrError(
+            f"{meta.name}: shard shorter than its index "
+            f"({len(raw)} < {idx_size} bytes)"
+        )
+    idx_bytes = (
+        raw[-idx_size:] if shard["index_location"] == "end"
+        else raw[:idx_size]
+    )
+    if shard["index_crc"]:
+        body, trailer = idx_bytes[:-4], idx_bytes[-4:]
+        got = int.from_bytes(trailer, "little")
+        want = crc32c(body)
+        if got != want:
+            raise ZarrError(
+                f"{meta.name}: shard index crc32c mismatch "
+                f"(stored {got:#010x}, computed {want:#010x})"
+            )
+    else:
+        body = idx_bytes
+    table = np.frombuffer(body, dtype="<u8").reshape(n, 2)
+    fill = meta.fill_value
+    out = np.full(
+        meta.chunks, fill if fill is not None else 0, dtype=meta.dtype
+    )
+    imeta = _inner_meta(meta)
+    for flat in range(n):
+        off, nb = int(table[flat, 0]), int(table[flat, 1])
+        if off == _SHARD_EMPTY and nb == _SHARD_EMPTY:
+            continue  # missing inner chunk = fill
+        if off + nb > len(raw):
+            raise ZarrError(
+                f"{meta.name}: shard inner chunk {flat} range "
+                f"[{off}, {off + nb}) past shard end {len(raw)}"
+            )
+        sub = decode_chunk(raw[off:off + nb], imeta)
+        idx, rem = [], flat
+        for g in reversed(grid):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        region = tuple(
+            slice(ci * i, (ci + 1) * i) for ci, i in zip(idx, inner)
+        )
+        out[region] = sub
+    return out
+
+
 def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
     """Raw chunk file bytes → full-size chunk ndarray (edge chunks are
-    stored full-size in v2; trimming happens against the array shape)."""
+    stored full-size in v2; trimming happens against the array shape).
+    Sharded v3 arrays route through :func:`_decode_shard` (index parse +
+    per-inner-chunk decode through this same function)."""
     import gzip as _gzip
     import zlib as _zlib
 
+    if meta.shard is not None:
+        return _decode_shard(raw, meta)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
         if cid == "blosc":
@@ -844,6 +1031,7 @@ def write_zarr3_store(
     gzip_level: int | None = 5,
     fill_values: dict[str, Any] | None = None,
     blosc_lz4: bool = False,
+    shards: dict[str, tuple[int, ...]] | None = None,
 ) -> None:
     """Write a real Zarr v3 store (root group ``zarr.json`` + per-array
     ``zarr.json`` + ``c/``-prefixed chunk files; ``bytes``+``gzip``
@@ -853,7 +1041,14 @@ def write_zarr3_store(
 
     ``blosc_lz4=True`` swaps the gzip codec for the reference's v3
     default, ``BloscCodec(cname="lz4")`` with byte-shuffle
-    (metadata.py:952-954)."""
+    (metadata.py:952-954).
+
+    ``shards``: per-variable OUTER shard shape (must be a multiple of
+    the variable's ``chunks`` entry, which becomes the INNER chunk
+    shape) — emits the ``sharding_indexed`` codec: one file per shard
+    holding the inner chunks plus a little-endian (offset, nbytes)
+    index with a crc32c trailer at the end; all-fill inner chunks are
+    elided as (2^64-1, 2^64-1) index entries."""
     inv_dtypes = {v: k for k, v in _V3_DTYPES.items()}
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "zarr.json"), "w") as f:
@@ -862,6 +1057,12 @@ def write_zarr3_store(
         arr_dir = os.path.join(root, name)
         os.makedirs(arr_dir, exist_ok=True)
         cshape = (chunks or {}).get(name, data.shape)
+        sshape = (shards or {}).get(name)
+        if sshape is not None and any(s % c for s, c in zip(sshape, cshape)):
+            raise ZarrError(
+                f"{name}: shard shape {sshape} must be a multiple of the "
+                f"inner chunk shape {cshape}"
+            )
         fill = (fill_values or {}).get(name)
         kind = data.dtype.str.lstrip("<>|=")
         if kind not in inv_dtypes:
@@ -891,6 +1092,21 @@ def write_zarr3_store(
         elif gzip_level is not None:
             codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
             comp_meta = {"id": "gzip", "level": gzip_level}
+        if sshape is not None:
+            codecs = [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(cshape),
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }]
+        grid_shape = sshape if sshape is not None else cshape
         meta = {
             "zarr_format": 3,
             "node_type": "array",
@@ -898,7 +1114,7 @@ def write_zarr3_store(
             "data_type": inv_dtypes[kind],
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": list(cshape)},
+                "configuration": {"chunk_shape": list(grid_shape)},
             },
             "chunk_key_encoding": {
                 "name": "default", "configuration": {"separator": "/"},
@@ -911,7 +1127,7 @@ def write_zarr3_store(
         with open(os.path.join(arr_dir, "zarr.json"), "w") as f:
             json.dump(meta, f)
         little = data.astype(data.dtype.newbyteorder("<"))
-        grid = tuple(-(-s // c) for s, c in zip(data.shape, cshape))
+        grid = tuple(-(-s // c) for s, c in zip(data.shape, grid_shape))
         for flat in range(int(np.prod(grid))):
             idx, rem = [], flat
             for g in reversed(grid):
@@ -919,18 +1135,60 @@ def write_zarr3_store(
                 rem //= g
             idx = tuple(reversed(idx))
             block = np.full(
-                cshape, fill if fill is not None else 0, dtype=little.dtype
+                grid_shape, fill if fill is not None else 0,
+                dtype=little.dtype,
             )
             region = tuple(
                 slice(ci * c, min((ci + 1) * c, s))
-                for ci, c, s in zip(idx, cshape, data.shape)
+                for ci, c, s in zip(idx, grid_shape, data.shape)
             )
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = little[region]
-            raw = _compress_chunk(
-                block.tobytes(order="C"), comp_meta, data.dtype.itemsize
-            )
+            if sshape is not None:
+                raw = _encode_shard(
+                    block, cshape, comp_meta, data.dtype.itemsize, fill
+                )
+            else:
+                raw = _compress_chunk(
+                    block.tobytes(order="C"), comp_meta, data.dtype.itemsize
+                )
             path = os.path.join(arr_dir, "c", *[str(i) for i in idx])
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 f.write(raw)
+
+
+def _encode_shard(
+    block: np.ndarray,
+    inner: tuple[int, ...],
+    comp_meta: dict | None,
+    itemsize: int,
+    fill,
+) -> bytes:
+    """Assemble one sharding_indexed shard from a full-size outer block:
+    inner chunks in C-order through the inner codec chain, all-fill
+    inner chunks elided as (2^64-1, 2^64-1), little-endian index +
+    crc32c trailer appended (index_location "end")."""
+    grid = tuple(b // i for b, i in zip(block.shape, inner))
+    n = int(np.prod(grid))
+    table = np.full((n, 2), _SHARD_EMPTY, dtype="<u8")
+    body = bytearray()
+    for flat in range(n):
+        idx, rem = [], flat
+        for g in reversed(grid):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        region = tuple(
+            slice(ci * i, (ci + 1) * i) for ci, i in zip(idx, inner)
+        )
+        sub = block[region]
+        if fill is not None and (
+            np.all(sub == fill) or (fill != fill and np.all(sub != sub))
+        ):
+            continue  # all-fill inner chunk: elide
+        raw = _compress_chunk(sub.tobytes(order="C"), comp_meta, itemsize)
+        table[flat] = (len(body), len(raw))
+        body += raw
+    idx_bytes = table.tobytes()
+    return bytes(body) + idx_bytes + crc32c(idx_bytes).to_bytes(4, "little")

@@ -448,6 +448,7 @@ SHUFFLE_BUDGET = {
     # pruned scan
     "kerchunk_templated_decode": (0, 0),
     "multivar_table_readback": (0, 0),
+    "zarr3_sharded_decode": (0, 0),     # one task per shard file, map-only
 }
 
 

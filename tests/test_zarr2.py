@@ -1132,3 +1132,154 @@ def test_bitshuffle_store_roundtrip(spark, tmp_path):
     assert len(rows) == data.size
     assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
     assert got[(0.0, 36.0, -116.0)] is None
+
+
+# --- zarr v3 sharding_indexed (r9) -------------------------------------------
+
+
+def test_crc32c_vectors():
+    """Pinned to the standard CRC-32C check value and composition."""
+    assert zarr2.crc32c(b"123456789") == 0xE3069283
+    assert zarr2.crc32c(b"") == 0
+    assert zarr2.crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 B.4 vector
+
+
+def _write_sharded(root, blosc_inner=False):
+    nt, nlat, nlon = 5, 6, 8
+    data = (np.arange(nt * nlat * nlon, dtype="<f8")
+            .reshape(nt, nlat, nlon) * 3 % 97) / 4
+    data[0, :2, :2] = -9999.0  # a whole inner chunk of fill -> elided
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), np.arange(nt, dtype="<f8"), {}),
+            "latitude": (("latitude",), 36 + 0.25 * np.arange(nlat), {}),
+            "longitude": (("longitude",), -116 + 0.25 * np.arange(nlon), {}),
+            "precip": (("time", "latitude", "longitude"), data,
+                       {"_FillValue": -9999.0}),
+        },
+        chunks={"precip": (1, 2, 2), "time": (5,)},
+        shards={"precip": (2, 4, 4)},  # 2x2x2 inner chunks per shard
+        fill_values={"precip": -9999.0},
+        blosc_lz4=blosc_inner,
+    )
+    return data
+
+
+@pytest.mark.parametrize("blosc_inner", [False, True])
+def test_zarr3_sharded_store_roundtrip(spark, tmp_path, blosc_inner):
+    """v3 sharding_indexed — the format's flagship object-store feature
+    (many inner chunks per object): metadata parse, index-at-end with
+    crc32c, per-inner-chunk decode through the inner codec chain
+    (gzip AND the reference's blosc default), elided all-fill inner
+    chunks, edge shards, chunk-parallel Spark read."""
+    root = str(tmp_path / "sharded.zarr")
+    data = _write_sharded(root, blosc_inner)
+    m = zarr2.open_store(root)["precip"]
+    assert m.chunks == (2, 4, 4)
+    assert m.shard["inner_chunks"] == (1, 2, 2)
+    assert m.shard["index_crc"] and m.shard["index_location"] == "end"
+    # driver read
+    arr = zarr2.read_array(root, m)
+    np.testing.assert_array_equal(arr, data)
+    # executor (chunk-parallel) read: one task per SHARD file
+    got, rows = _collect(spark, root)
+    assert len(rows) == data.size
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+    assert got[(0.0, 36.0, -116.0)] is None  # elided inner chunk -> fill
+    # an elided inner chunk really is absent from the shard index
+    raw = open(os.path.join(root, "precip", "c", "0", "0", "0"), "rb").read()
+    table = np.frombuffer(raw[-(16 * 8 + 4):-4], dtype="<u8").reshape(8, 2)
+    assert int((table == 0xFFFFFFFFFFFFFFFF).all(axis=1).sum()) == 1
+
+
+def test_zarr3_shard_corruption_rejected(tmp_path):
+    """Untrusted shard bytes: crc mismatch, truncated index, and
+    out-of-range inner offsets all raise ZarrError — never garbage."""
+    root = str(tmp_path / "sharded.zarr")
+    _write_sharded(root)
+    m = zarr2.open_store(root)["precip"]
+    p = os.path.join(root, "precip", "c", "0", "0", "0")
+    raw = open(p, "rb").read()
+
+    flipped = bytearray(raw)
+    flipped[-1] ^= 0xFF  # corrupt the crc trailer
+    with pytest.raises(zarr2.ZarrError, match="crc32c"):
+        zarr2.decode_chunk(bytes(flipped), m)
+    with pytest.raises(zarr2.ZarrError, match="shorter than its index"):
+        zarr2.decode_chunk(raw[:40], m)
+    # point an index entry past the shard end (then fix the crc so the
+    # range check is what fires)
+    bad = bytearray(raw)
+    table = np.frombuffer(bad[-(16 * 8 + 4):-4], dtype="<u8").reshape(8, 2).copy()
+    live = int(np.argmax(~(table == 0xFFFFFFFFFFFFFFFF).all(axis=1)))
+    table[live, 1] = len(raw) + 1000
+    idx = table.astype("<u8").tobytes()
+    bad[-(16 * 8 + 4):] = idx + zarr2.crc32c(idx).to_bytes(4, "little")
+    with pytest.raises(zarr2.ZarrError, match="past shard end"):
+        zarr2.decode_chunk(bytes(bad), m)
+
+
+def test_zarr3_shard_metadata_validation(tmp_path):
+    """Misdeclared sharding refuses at parse time: inner shape that does
+    not tile the outer, unknown index codecs, bad index_location."""
+    import json as _json
+
+    def _arr_meta(codecs):
+        return _json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [4]}},
+            "fill_value": 0, "codecs": codecs,
+        }).encode()
+
+    base_inner = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    with pytest.raises(zarr2.ZarrError, match="does not tile"):
+        zarr2.parse_zarr3_array("v", _arr_meta([{
+            "name": "sharding_indexed",
+            "configuration": {"chunk_shape": [3], "codecs": base_inner},
+        }]))
+    with pytest.raises(zarr2.ZarrError, match="index codec"):
+        zarr2.parse_zarr3_array("v", _arr_meta([{
+            "name": "sharding_indexed",
+            "configuration": {"chunk_shape": [2], "codecs": base_inner,
+                              "index_codecs": [{"name": "gzip"}]},
+        }]))
+    with pytest.raises(zarr2.ZarrError, match="index_location"):
+        zarr2.parse_zarr3_array("v", _arr_meta([{
+            "name": "sharding_indexed",
+            "configuration": {"chunk_shape": [2], "codecs": base_inner,
+                              "index_location": "middle"},
+        }]))
+    with pytest.raises(zarr2.ZarrError, match="nested sharding"):
+        zarr2.parse_zarr3_array("v", _arr_meta([{
+            "name": "sharding_indexed",
+            "configuration": {"chunk_shape": [2], "codecs": [{
+                "name": "sharding_indexed",
+                "configuration": {"chunk_shape": [1],
+                                  "codecs": base_inner},
+            }]},
+        }]))
+    # index_location "start" parses and decodes
+    meta = zarr2.parse_zarr3_array("v", _arr_meta([{
+        "name": "sharding_indexed",
+        "configuration": {"chunk_shape": [2], "codecs": base_inner,
+                          "index_location": "start"},
+    }]))
+    assert meta.shard["index_location"] == "start"
+    # hand-build a start-indexed shard: index first, then two raw
+    # inner chunks of 2 float64 each
+    import struct as _struct
+
+    inner0 = np.array([1.0, 2.0], "<f8").tobytes()
+    inner1 = np.array([3.0, 4.0], "<f8").tobytes()
+    idx_size = 16 * 2 + 4
+    table = np.array(
+        [[idx_size, 16], [idx_size + 16, 16]], dtype="<u8"
+    ).tobytes()
+    shardbytes = (
+        table + zarr2.crc32c(table).to_bytes(4, "little") + inner0 + inner1
+    )
+    out = zarr2.decode_chunk(shardbytes, meta)
+    np.testing.assert_array_equal(out, [1.0, 2.0, 3.0, 4.0])
