@@ -109,6 +109,7 @@ HEADLINE = [
     "kerchunk_templated_decode",  # MZZ templated refs -> manifest scan
     "multivar_table_readback",    # two-var publish + pruned readback
     "zarr3_sharded_decode",       # sharded v3: index parse + inner decode
+    "zarr3_sharded_publish_readback",  # shard-keyed distributed publish
 ]
 
 

@@ -5539,6 +5539,46 @@ def zarr3_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("station", "day", "value")
 
 
+@query("zarr3_sharded_publish_readback", ORACLES["zarr_publish_readback"])
+def zarr3_sharded_publish_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W3 on the SHARDED v3 layout (r9): the same daily grid published
+    through the distributed sink with ``shards=`` — the single
+    chunk-keyed shuffle now groups by SHARD id, each task assembles one
+    sharding_indexed object (inner chunks + crc32c-checked index,
+    all-fill inner chunks elided), and the store carries 1/(inner-grid)
+    as many objects.  Same oracle as the v2 and unsharded-v3 readbacks:
+    the sharded store must round-trip every cell and materialize every
+    absent station-day as fill->NULL.  At 100 TB this is the write
+    shape that keeps PUT counts in the millions."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import write_zarr_distributed
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    digest = hashlib.md5(f"zarr3_shard_pub_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr3_shard_pub_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, "zarr.json")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+        write_zarr_distributed(
+            rollup, root, "daily_mean", dims=["station", "day"],
+            chunks=(32, 8), shards=(64, 16), zarr_format=3,
+        )
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

@@ -62,6 +62,7 @@ def write_zarr_distributed(
     attrs: dict | None = None,
     zarr_format: int = 2,
     encryption_key_hash: str | None = None,
+    shards: Sequence[int] | None = None,
 ) -> dict:
     """Write a long-form frame (one row per grid cell) as a Zarr v2
     (default) or v3 store.  Returns a summary {n_chunks, n_cells,
@@ -80,9 +81,18 @@ def write_zarr_distributed(
     by ``zarr2.decode_zarr_long`` when the fill is NaN or matches
     ``_FillValue``).  Duplicate cells raise — a dedup/combine_first pass
     belongs upstream, matching the reference's pre-write QC gating.
+
+    ``shards`` (v3 only): outer shard shape, a per-dim multiple of
+    ``chunks`` — each task assembles ONE sharding_indexed object (inner
+    chunks + crc32c-checked index) instead of one chunk file, cutting
+    the store's object count by the inner-grid size while keeping the
+    same single-shuffle write plan.  At 100 TB this is the difference
+    between millions and billions of PUTs.
     """
     if zarr_format not in (2, 3):
         raise ValueError("zarr_format must be 2 or 3")
+    if shards is not None and zarr_format != 3:
+        raise ValueError("shards= requires zarr_format=3 (sharding_indexed)")
     if zarr_format == 3 and compressor == "zlib":
         compressor = "gzip"  # v3's codec registry has gzip, not zlib
     enc_key = None
@@ -114,6 +124,21 @@ def write_zarr_distributed(
     cshape = tuple(chunks) if chunks else shape
     if len(cshape) != len(dims):
         raise ValueError("chunks rank must match dims")
+    sshape = tuple(shards) if shards is not None else None
+    if sshape is not None:
+        if len(sshape) != len(dims):
+            raise ValueError("shards rank must match dims")
+        if any(sv % cv for sv, cv in zip(sshape, cshape)):
+            raise ValueError(
+                f"shard shape {sshape} must be a per-dim multiple of the "
+                f"inner chunk shape {cshape}"
+            )
+        if encryption_key_hash is not None:
+            raise NotImplementedError(
+                "per-chunk encryption targets the v2 filter chain; "
+                "sharded v3 stores have no standard encryption codec"
+            )
+    gshape = sshape if sshape is not None else cshape
 
     dtype = np.dtype("<f8")
 
@@ -141,7 +166,7 @@ def write_zarr_distributed(
         F.concat_ws(
             ".",
             *[
-                F.floor(F.col(f"__i{i}") / cshape[i]).cast("int")
+                F.floor(F.col(f"__i{i}") / gshape[i]).cast("int")
                 for i in range(len(dims))
             ],
         ),
@@ -178,21 +203,28 @@ def write_zarr_distributed(
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
-        block = np.full(cshape, fill, dtype=dtype)
+        block = np.full(gshape, fill, dtype=dtype)
         offsets = [
-            pdf[f"__i{i}"].to_numpy() - idx[i] * cshape[i]
+            pdf[f"__i{i}"].to_numpy() - idx[i] * gshape[i]
             for i in range(len(dims))
         ]
-        flat = np.ravel_multi_index(tuple(offsets), cshape)
+        flat = np.ravel_multi_index(tuple(offsets), gshape)
         if np.unique(flat).size != flat.size:
             raise ValueError(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
         block.reshape(-1)[flat] = pdf["__v"].to_numpy()
-        raw = zarr2._compress_chunk(
-            block.tobytes(order="C"), comp_meta, dtype.itemsize,
-            filters=filt_meta, filter_key=enc_key,
-        )
+        if sshape is not None:
+            # one sharding_indexed object per task: inner chunks +
+            # crc32c-checked index, all-fill inner chunks elided
+            raw = zarr2._encode_shard(
+                block, cshape, comp_meta, dtype.itemsize, fill
+            )
+        else:
+            raw = zarr2._compress_chunk(
+                block.tobytes(order="C"), comp_meta, dtype.itemsize,
+                filters=filt_meta, filter_key=enc_key,
+            )
         if v3:  # default chunk-key encoding: c/<i>/<j>/...
             rel = "c/" + "/".join(str(i) for i in idx)
         else:
@@ -218,7 +250,7 @@ def write_zarr_distributed(
     if v3:
         level = 5
 
-        def _v3_meta(shape_, cshape_, dim_names, extra_attrs):
+        def _v3_meta(shape_, cshape_, dim_names, extra_attrs, shard_=None):
             codecs = [
                 {"name": "bytes", "configuration": {"endian": "little"}}
             ]
@@ -226,6 +258,21 @@ def write_zarr_distributed(
                 codecs.append(
                     {"name": "gzip", "configuration": {"level": level}}
                 )
+            if shard_ is not None:
+                codecs = [{
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(cshape_),
+                        "codecs": codecs,
+                        "index_codecs": [
+                            {"name": "bytes",
+                             "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }]
+                cshape_ = shard_
             return {
                 "zarr_format": 3,
                 "node_type": "array",
@@ -252,7 +299,7 @@ def write_zarr_distributed(
             # chunk, so append_zarr_distributed's alignment constraint
             # holds across repeated appends (a full-length single chunk
             # would make the store append-once)
-            ax_chunk = cshape[0] if di == 0 else axes[d].size
+            ax_chunk = gshape[0] if di == 0 else axes[d].size
             ddir = os.path.join(root, d, "c")
             os.makedirs(ddir, exist_ok=True)
             vals = axes[d].astype("<f8")
@@ -270,7 +317,9 @@ def write_zarr_distributed(
                     _v3_meta((axes[d].size,), (ax_chunk,), [d], {}), f
                 )
         with open(os.path.join(root, data_var, "zarr.json"), "w") as f:
-            _json.dump(_v3_meta(shape, cshape, dims, attrs or {}), f)
+            _json.dump(
+                _v3_meta(shape, cshape, dims, attrs or {}, shard_=sshape), f
+            )
         # the root group node LAST: open_store's v3 detection keys on it,
         # so a reader never sees the store before it is complete
         with open(os.path.join(root, "zarr.json"), "w") as f:

@@ -449,6 +449,8 @@ SHUFFLE_BUDGET = {
     "kerchunk_templated_decode": (0, 0),
     "multivar_table_readback": (0, 0),
     "zarr3_sharded_decode": (0, 0),     # one task per shard file, map-only
+    "zarr3_sharded_publish_readback": (0, 0),  # fixture built once; the
+    # measured plan is the shard-parallel readback scan
 }
 
 
