@@ -510,12 +510,21 @@ def append_zarr_distributed(
             )
         block.reshape(-1)[flat] = pdf["__v"].to_numpy()
         # the store's own codec chain (filters -> compressor), shared
-        # with every other writer — so blosc and encrypted stores
-        # append with the SAME encoding they were published with
-        raw = zarr2._compress_chunk(
-            block.tobytes(order=meta.order), comp, meta.dtype.itemsize,
-            filters=meta.filters, filter_key=enc_key,
-        )
+        # with every other writer — so blosc, encrypted, AND sharded
+        # stores append with the SAME encoding they were published with
+        if meta.shard is not None:
+            raw = zarr2._encode_shard(
+                block,
+                tuple(meta.shard["inner_chunks"]),
+                meta.shard["compressor"],
+                meta.dtype.itemsize,
+                meta.fill_value,
+            )
+        else:
+            raw = zarr2._compress_chunk(
+                block.tobytes(order=meta.order), comp, meta.dtype.itemsize,
+                filters=meta.filters, filter_key=enc_key,
+            )
         key = sep.join(str(i) for i in idx)
         rel = f"{prefix}{sep}{key}" if prefix else key
         dest = os.path.join(root, data_var, *rel.split("/"))

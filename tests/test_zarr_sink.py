@@ -472,3 +472,47 @@ def test_sharded_sink_guards(spark, tmp_path):
             df, str(tmp_path / "b"), "v", dims=("time", "latitude"),
             chunks=(2, 1), shards=(3, 1), zarr_format=3,
         )
+
+
+def test_distributed_append_on_sharded_store(spark, tmp_path):
+    """Appends re-encode with the store's OWN sharded layout — the new
+    era arrives as sharding_indexed objects, never bare chunk bytes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import zarr2
+
+    def _frame(lo, hi):
+        return spark.range(lo * 24, hi * 24).select(
+            F.floor(F.col("id") / 24).cast("double").alias("time"),
+            (F.floor(F.col("id") / 4) % 6).cast("double").alias("latitude"),
+            (F.col("id") % 4).cast("double").alias("longitude"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+
+    root = str(tmp_path / "shard_append.zarr")
+    write_zarr_distributed(
+        _frame(0, 4), root, "v", dims=("time", "latitude", "longitude"),
+        chunks=(2, 2, 2), shards=(4, 4, 4), zarr_format=3,
+        compressor="gzip",
+    )
+    rep = append_zarr_distributed(_frame(4, 8), root, "v")
+    assert rep["shape"] == (8, 6, 4)
+    meta = zarr2.open_store(root)["v"]
+    assert meta.shape == (8, 6, 4) and meta.shard is not None
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert len(got) == 8 * 6 * 4
+    for i in range(8 * 24):
+        k = (float(i // 24), float((i // 4) % 6), float(i % 4))
+        assert got[k] == i * 0.5, (k, got[k])
+    # the appended era's objects are shards (index + crc parse cleanly)
+    p = os.path.join(root, "v", "c", "1", "0", "0")
+    assert os.path.exists(p)
+    block = zarr2.decode_chunk(open(p, "rb").read(), meta)
+    assert block.shape == (4, 4, 4)
