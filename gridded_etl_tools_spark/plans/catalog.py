@@ -4913,8 +4913,15 @@ def _zarr3_sharded_fixture_root() -> str:
         tempfile.gettempdir(), f"spark_graft_zarr3_shard_{digest}.zarr"
     )
     if not os.path.exists(os.path.join(root, "zarr.json")):
+        # build into a wip dir and publish with ONE rename: the writer
+        # creates root zarr.json FIRST, so a crash mid-build would
+        # otherwise leave a partial fixture that reads as complete
+        import shutil
+        import uuid
+
+        wip = root + f".wip-{uuid.uuid4().hex}"
         _z2.write_zarr3_store(
-            root,
+            wip,
             variables={
                 "time": (("time",), np.asarray(times), {}),
                 "latitude": (("latitude",), np.asarray(lats), {}),
@@ -4929,6 +4936,10 @@ def _zarr3_sharded_fixture_root() -> str:
             fill_values={"precip": -9999.0},
             blosc_lz4=True,
         )
+        try:
+            os.rename(wip, root)
+        except OSError:  # lost race: a concurrent builder published
+            shutil.rmtree(wip, ignore_errors=True)
     return root
 
 

@@ -519,6 +519,8 @@ def append_zarr_distributed(
                 meta.shard["compressor"],
                 meta.dtype.itemsize,
                 meta.fill_value,
+                index_location=meta.shard["index_location"],
+                index_crc=meta.shard["index_crc"],
             )
         else:
             raw = zarr2._compress_chunk(

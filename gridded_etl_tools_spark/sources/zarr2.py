@@ -271,9 +271,23 @@ def _parse_v3_codec_chain(
     for codec in codecs:
         cname = codec.get("name")
         conf = codec.get("configuration", {})
+        if shard is not None:
+            # spec-legal chains like [sharding_indexed, gzip] exist but
+            # this reader does not apply outer bytes->bytes codecs to
+            # shard objects — refuse at PARSE time, or a valid store
+            # would read back as a misleading 'index crc mismatch'
+            raise ZarrError(
+                f"{name}: codec {cname!r} after sharding_indexed "
+                "unsupported (shard objects decode uncompressed-outer)"
+            )
         if cname == "sharding_indexed":
             if not allow_sharding:
                 raise ZarrError(f"{name}: nested sharding unsupported")
+            if compressor is not None:
+                raise ZarrError(
+                    f"{name}: compressor before sharding_indexed "
+                    "unsupported"
+                )
             inner_endian, inner_comp, _ = _parse_v3_codec_chain(
                 name, conf.get("codecs", [{"name": "bytes"}])
             )
@@ -537,13 +551,10 @@ def _decode_shard(raw: bytes, meta: ZArray) -> np.ndarray:
                 f"[{off}, {off + nb}) past shard end {len(raw)}"
             )
         sub = decode_chunk(raw[off:off + nb], imeta)
-        idx, rem = [], flat
-        for g in reversed(grid):
-            idx.append(rem % g)
-            rem //= g
-        idx = tuple(reversed(idx))
+        idx = np.unravel_index(flat, grid)
         region = tuple(
-            slice(ci * i, (ci + 1) * i) for ci, i in zip(idx, inner)
+            slice(int(ci) * i, (int(ci) + 1) * i)
+            for ci, i in zip(idx, inner)
         )
         out[region] = sub
     return out
@@ -984,10 +995,25 @@ def append_time_chunks(
             )
             extent = tuple(slice(0, r.stop - r.start) for r in region)
             block[extent] = data[region]
-            raw = _compress_chunk(
-                block.tobytes(order=m.order), m.compressor, m.dtype.itemsize,
-                filters=m.filters, filter_key=m.filter_key,
-            )
+            if m.shard is not None:
+                # a sharded array's appends must be shard objects in the
+                # store's OWN index layout — bare chunk bytes would read
+                # back as a misleading crc mismatch
+                raw = _encode_shard(
+                    block,
+                    tuple(m.shard["inner_chunks"]),
+                    m.shard["compressor"],
+                    m.dtype.itemsize,
+                    m.fill_value,
+                    index_location=m.shard["index_location"],
+                    index_crc=m.shard["index_crc"],
+                )
+            else:
+                raw = _compress_chunk(
+                    block.tobytes(order=m.order), m.compressor,
+                    m.dtype.itemsize,
+                    filters=m.filters, filter_key=m.filter_key,
+                )
             shifted = (idx[0] + off, *idx[1:])
             # chunk_rel applies the v3 'c' prefix; v2 keys are one path
             # component (dot separator), v3 keys nest into directories
@@ -1058,10 +1084,13 @@ def write_zarr3_store(
         os.makedirs(arr_dir, exist_ok=True)
         cshape = (chunks or {}).get(name, data.shape)
         sshape = (shards or {}).get(name)
-        if sshape is not None and any(s % c for s, c in zip(sshape, cshape)):
+        if sshape is not None and (
+            len(sshape) != len(cshape)
+            or any(s % c for s, c in zip(sshape, cshape))
+        ):
             raise ZarrError(
-                f"{name}: shard shape {sshape} must be a multiple of the "
-                f"inner chunk shape {cshape}"
+                f"{name}: shard shape {sshape} must match the rank of and "
+                f"be a per-dim multiple of the inner chunk shape {cshape}"
             )
         fill = (fill_values or {}).get(name)
         kind = data.dtype.str.lstrip("<>|=")
@@ -1164,23 +1193,26 @@ def _encode_shard(
     comp_meta: dict | None,
     itemsize: int,
     fill,
+    index_location: str = "end",
+    index_crc: bool = True,
 ) -> bytes:
     """Assemble one sharding_indexed shard from a full-size outer block:
     inner chunks in C-order through the inner codec chain, all-fill
-    inner chunks elided as (2^64-1, 2^64-1), little-endian index +
-    crc32c trailer appended (index_location "end")."""
+    inner chunks elided as (2^64-1, 2^64-1), little-endian index (with a
+    crc32c trailer when declared) at the declared location — appends to
+    third-party stores MUST honor the store's own index layout, so both
+    knobs thread through from the array's metadata."""
     grid = tuple(b // i for b, i in zip(block.shape, inner))
     n = int(np.prod(grid))
     table = np.full((n, 2), _SHARD_EMPTY, dtype="<u8")
+    idx_size = 16 * n + (4 if index_crc else 0)
+    base = idx_size if index_location == "start" else 0
     body = bytearray()
     for flat in range(n):
-        idx, rem = [], flat
-        for g in reversed(grid):
-            idx.append(rem % g)
-            rem //= g
-        idx = tuple(reversed(idx))
+        idx = np.unravel_index(flat, grid)
         region = tuple(
-            slice(ci * i, (ci + 1) * i) for ci, i in zip(idx, inner)
+            slice(int(ci) * i, (int(ci) + 1) * i)
+            for ci, i in zip(idx, inner)
         )
         sub = block[region]
         if fill is not None and (
@@ -1188,7 +1220,11 @@ def _encode_shard(
         ):
             continue  # all-fill inner chunk: elide
         raw = _compress_chunk(sub.tobytes(order="C"), comp_meta, itemsize)
-        table[flat] = (len(body), len(raw))
+        table[flat] = (base + len(body), len(raw))
         body += raw
     idx_bytes = table.tobytes()
-    return bytes(body) + idx_bytes + crc32c(idx_bytes).to_bytes(4, "little")
+    if index_crc:
+        idx_bytes += crc32c(idx_bytes).to_bytes(4, "little")
+    if index_location == "start":
+        return idx_bytes + bytes(body)
+    return bytes(body) + idx_bytes

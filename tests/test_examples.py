@@ -197,11 +197,10 @@ def test_object_store_table_lifecycle(spark, tmp_path):
     lifecycle (initial, append, MERGE, time travel, concurrent refusal,
     vacuum) with the control plane on moto's S3 — every pointer swap a
     conditional PUT, no rename anywhere."""
-    import boto3
-    import pytest as _pytest
     from pyspark.sql import functions as F
 
-    moto = _pytest.importorskip("moto")
+    moto = pytest.importorskip("moto")
+    boto3 = pytest.importorskip("boto3")
 
     from examples.object_store_table import build_table, run_lifecycle
     from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError

@@ -1283,3 +1283,87 @@ def test_zarr3_shard_metadata_validation(tmp_path):
     )
     out = zarr2.decode_chunk(shardbytes, meta)
     np.testing.assert_array_equal(out, [1.0, 2.0, 3.0, 4.0])
+
+
+def test_shard_codec_chain_refusals_and_layout_honored(tmp_path):
+    """Close-review r9 round 2: (a) spec-legal chains this reader does
+    not apply refuse at PARSE time (codec after sharding_indexed,
+    compressor before it, duplicate sharding) instead of reading back
+    as a misleading crc mismatch; (b) encode honors a store's declared
+    index layout (start location, no-crc), both directions."""
+    import json as _json
+
+    def _arr_meta(codecs):
+        return _json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [4]}},
+            "fill_value": 0, "codecs": codecs,
+        }).encode()
+
+    base_inner = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    shard_codec = {"name": "sharding_indexed",
+                   "configuration": {"chunk_shape": [2],
+                                     "codecs": base_inner}}
+    with pytest.raises(zarr2.ZarrError, match="after sharding_indexed"):
+        zarr2.parse_zarr3_array("v", _arr_meta([shard_codec, {"name": "gzip"}]))
+    with pytest.raises(zarr2.ZarrError, match="before sharding_indexed"):
+        zarr2.parse_zarr3_array("v", _arr_meta([
+            {"name": "gzip", "configuration": {"level": 5}}, shard_codec,
+        ]))
+    with pytest.raises(zarr2.ZarrError, match="after sharding_indexed"):
+        zarr2.parse_zarr3_array("v", _arr_meta([shard_codec, shard_codec]))
+
+    # encode honors start-location + no-crc declared layouts
+    meta_start = zarr2.parse_zarr3_array("v", _arr_meta([{
+        "name": "sharding_indexed",
+        "configuration": {"chunk_shape": [2], "codecs": base_inner,
+                          "index_location": "start"},
+    }]))
+    block = np.array([1.0, 2.0, 3.0, 4.0])
+    raw = zarr2._encode_shard(
+        block, (2,), None, 8, None,
+        index_location="start", index_crc=True,
+    )
+    np.testing.assert_array_equal(zarr2.decode_chunk(raw, meta_start), block)
+    meta_nocrc = zarr2.parse_zarr3_array("v", _arr_meta([{
+        "name": "sharding_indexed",
+        "configuration": {"chunk_shape": [2], "codecs": base_inner,
+                          "index_codecs": [{"name": "bytes",
+                                            "configuration": {"endian": "little"}}]},
+    }]))
+    raw = zarr2._encode_shard(block, (2,), None, 8, None, index_crc=False)
+    np.testing.assert_array_equal(zarr2.decode_chunk(raw, meta_nocrc), block)
+
+
+def test_append_time_chunks_on_sharded_store(tmp_path):
+    """The single-process append re-encodes with the sharded layout too
+    (previously wrote bare uncompressed chunk bytes -> crc mismatch)."""
+    # shard-aligned extent required on the append axis -> 4 times
+    root = str(tmp_path / "shard_app.zarr")
+    nt, nlat, nlon = 4, 6, 8
+    data = np.arange(nt * nlat * nlon, dtype="<f8").reshape(nt, nlat, nlon)
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), np.arange(nt, dtype="<f8"), {}),
+            "latitude": (("latitude",), 36 + 0.25 * np.arange(nlat), {}),
+            "longitude": (("longitude",), -116 + 0.25 * np.arange(nlon), {}),
+            "precip": (("time", "latitude", "longitude"), data,
+                       {"_FillValue": -9999.0}),
+        },
+        chunks={"precip": (1, 2, 2), "time": (2,)},
+        shards={"precip": (2, 4, 4)},
+        fill_values={"precip": -9999.0},
+    )
+    new = np.full((2, nlat, nlon), 3.5)
+    new[1, 2, 3] = 9.25
+    zarr2.append_time_chunks(
+        root, "precip", "time", np.array([4.0, 5.0]), new
+    )
+    meta = zarr2.open_store(root)["precip"]
+    assert meta.shape == (6, nlat, nlon)
+    arr = zarr2.read_array(root, meta)
+    np.testing.assert_array_equal(arr[:4], data)
+    assert arr[5, 2, 3] == 9.25 and arr[4, 0, 0] == 3.5
