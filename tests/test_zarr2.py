@@ -1367,3 +1367,47 @@ def test_append_time_chunks_on_sharded_store(tmp_path):
     arr = zarr2.read_array(root, meta)
     np.testing.assert_array_equal(arr[:4], data)
     assert arr[5, 2, 3] == 9.25 and arr[4, 0, 0] == 3.5
+
+
+def test_shard_decoder_fuzz_clean_errors_only(tmp_path):
+    """The shard decoder consumes UNTRUSTED store bytes: random buffers
+    and random mutations/truncations of a valid shard must either decode
+    (a mutation can land in an elided region or be caught by an inner
+    codec) or raise ZarrError/BloscError — never IndexError/
+    struct.error/MemoryError from the index arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources.blosc import BloscError
+
+    root = str(tmp_path / "fuzz.zarr")
+    _write_sharded(root, blosc_inner=True)
+    meta = zarr2.open_store(root)["precip"]
+    valid = open(os.path.join(root, "precip", "c", "0", "0", "0"), "rb").read()
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def random_bytes(data):
+        try:
+            zarr2.decode_chunk(data, meta)
+        except (zarr2.ZarrError, BloscError):
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(valid) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=0, max_value=len(valid)),
+    )
+    def mutated(pos, val, cut):
+        buf = bytearray(valid)
+        buf[pos] = val
+        for payload in (bytes(buf), bytes(buf[:cut])):
+            try:
+                out = zarr2.decode_chunk(payload, meta)
+                assert out.shape == tuple(meta.chunks)
+            except (zarr2.ZarrError, BloscError):
+                pass
+
+    random_bytes()
+    mutated()
