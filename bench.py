@@ -110,6 +110,7 @@ HEADLINE = [
     "multivar_table_readback",    # two-var publish + pruned readback
     "zarr3_sharded_decode",       # sharded v3: index parse + inner decode
     "zarr3_sharded_publish_readback",  # shard-keyed distributed publish
+    "kerchunk_sharded_decode",    # shard index -> inner-chunk byte-range refs
 ]
 
 

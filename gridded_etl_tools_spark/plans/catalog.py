@@ -4963,6 +4963,27 @@ def zarr3_sharded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kerchunk_sharded_decode", _nc_oracle())
+def kerchunk_sharded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard index IS a ref manifest (r9): build_refs_for_sharded_store
+    turns the sharded v3 fixture into a kerchunk document whose refs
+    address INNER chunks as byte ranges into the shard objects — a pure
+    metadata transform that recovers chunk-granular access (point
+    lookups, v2-tooling interop) from a shard-packed store without
+    rewriting a byte.  Elided all-fill inner chunks have no ref and the
+    manifest decode materializes them as fill (zarr's missing-chunk
+    rule), so the SAME literal oracle that certifies the direct shard
+    decode certifies this path cell-for-cell."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    root = _zarr3_sharded_fixture_root()
+    doc = kc_mod.build_refs_for_sharded_store(root)
+    out = kc_mod.decode_kerchunk_long(spark, doc, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 @query("zarr3_decode", _nc_oracle())
 def zarr3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OTHER zarr metadata generation the reference tolerates

@@ -196,12 +196,26 @@ def _resolve_ref(ref: object, base_dir: str) -> bytes:
 
 
 def refs_manifest(
-    spark: SparkSession, refs: dict, data_var: str, base_dir: str = ""
+    spark: SparkSession,
+    refs: dict,
+    data_var: str,
+    base_dir: str = "",
+    meta: zarr2.ZArray | None = None,
 ) -> DataFrame:
     """The data variable's chunk refs as a manifest DataFrame
     ``(key, url, offset, length, inline)`` — at production scale this
     frame comes straight off ``spark.read.json`` over the refs file(s);
-    here it parallelizes the parsed mapping."""
+    here it parallelizes the parsed mapping.
+
+    When ``meta`` carries a fill value, chunk keys ABSENT from the refs
+    get all-None manifest rows so the decode materializes them as fill —
+    kerchunk/zarr's own missing-chunk rule, and how the sharded-store
+    manifests (:func:`build_refs_for_sharded_store`) express elided
+    all-fill inner chunks without storing them.  The missing-key diff is
+    vectorized metadata math (flat grid ids via setdiff1d), the same
+    dimension-scale work the rest of the driver-side planning does."""
+    import numpy as np
+
     rows = []
     for rel, ref in _chunk_refs(refs, data_var):
         if isinstance(ref, str):
@@ -219,6 +233,27 @@ def refs_manifest(
                     None,
                 )
             )
+    if meta is not None and meta.fill_value is not None:
+        grid = meta.chunk_grid
+        n_grid = int(np.prod(grid))
+        if len(rows) < n_grid:
+            present = np.array(
+                [zarr2.chunk_key_indices(row[0], meta) for row in rows]
+                or np.empty((0, len(grid)), dtype=np.int64),
+                dtype=np.int64,
+            ).reshape(-1, len(grid))
+            present_flat = (
+                np.ravel_multi_index(present.T, grid)
+                if present.size
+                else np.array([], dtype=np.int64)
+            )
+            missing = np.setdiff1d(
+                np.arange(n_grid, dtype=np.int64), present_flat
+            )
+            for flat in missing:
+                idx = np.unravel_index(int(flat), grid)
+                key = meta.dimension_separator.join(str(int(i)) for i in idx)
+                rows.append((key, None, None, None, None))
     schema = T.StructType(
         [
             T.StructField("key", T.StringType(), False),
@@ -254,13 +289,22 @@ def decode_kerchunk_long(
         else:
             coords[d] = np.arange(meta.shape[i], dtype="f8")
 
-    manifest = refs_manifest(spark, refs, data_var, base_dir)
+    manifest = refs_manifest(spark, refs, data_var, base_dir, meta=meta)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, object] = {}
         try:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
+                    if row.url is None and not isinstance(row.inline, str):
+                        # missing-chunk manifest row: materialize fill
+                        # without any fetch (zarr's missing-chunk rule)
+                        idx = zarr2.chunk_key_indices(row.key, meta)
+                        block = np.full(
+                            meta.chunks, meta.fill_value, dtype=meta.dtype
+                        )
+                        yield _cells_frame(row.key, idx, block)
+                        continue
                     if isinstance(row.inline, str):
                         raw = _inline_bytes(row.inline)
                     else:
@@ -277,22 +321,128 @@ def decode_kerchunk_long(
                             raw = fh.read(int(row.length))
                     idx = zarr2.chunk_key_indices(row.key, meta)
                     block = zarr2.decode_chunk(raw, meta)
-                    ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
-                    vals = zarr2.cf_unpack_values(trimmed, meta).reshape(-1)
-                    mesh = np.meshgrid(
-                        *[coords[d][r] for d, r in zip(dims, ranges)],
-                        indexing="ij",
-                    )
-                    out = {d: m.reshape(-1) for d, m in zip(dims, mesh)}
-                    frame = pd.DataFrame(out)
-                    frame["value"] = vals
-                    frame.insert(0, "chunk", row.key)
-                    yield frame
+                    yield _cells_frame(row.key, idx, block)
         finally:
             for fh in handles.values():
                 fh.close()
 
+    def _cells_frame(key: str, idx, block: np.ndarray) -> pd.DataFrame:
+        ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
+        vals = zarr2.cf_unpack_values(trimmed, meta).reshape(-1)
+        mesh = np.meshgrid(
+            *[coords[d][r] for d, r in zip(dims, ranges)],
+            indexing="ij",
+        )
+        out = {d: m.reshape(-1) for d, m in zip(dims, mesh)}
+        frame = pd.DataFrame(out)
+        frame["value"] = vals
+        frame.insert(0, "chunk", key)
+        return frame
+
     return manifest.mapInPandas(run, zarr2.decode_schema(dims))
+
+
+def build_refs_for_sharded_store(root: str) -> dict:
+    """Turn an on-disk SHARDED zarr v3 store into a kerchunk v1 document
+    whose refs address INNER chunks as byte ranges into the shard
+    objects — the shard index IS a ref manifest, so this is a pure
+    metadata transform (r9).
+
+    Why: a shard is one scan task; sometimes a reader wants
+    chunk-granular access instead (point lookups, partial reads, or
+    feeding a store into tooling that speaks v2).  Each array's
+    synthesized ``.zarray`` declares the INNER chunk grid and inner
+    codec chain, and every present inner chunk becomes
+    ``[shard_file, offset, nbytes]``; elided (all-fill) inner chunks
+    simply have no ref, which kerchunk already materializes as fill.
+    The index reads here are driver-side KB-per-shard work — the
+    kerchunkify analog, distributable the same way for huge stores."""
+    import numpy as np
+
+    arrays = zarr2.open_store(root)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    for name, meta in arrays.items():
+        if meta.zarr_version != 3:
+            raise KerchunkError(
+                f"{name}: build_refs_for_sharded_store expects a v3 "
+                "store (use build_refs_for_zarr_store for v2)"
+            )
+        inner = tuple(meta.shard["inner_chunks"]) if meta.shard else meta.chunks
+        comp = meta.shard["compressor"] if meta.shard else meta.compressor
+        zarray = {
+            "zarr_format": 2,
+            "shape": list(meta.shape),
+            "chunks": list(inner),
+            "dtype": meta.dtype.str,
+            "compressor": comp,
+            "fill_value": zarr2._encode_fill(meta.fill_value),
+            "order": meta.order,
+            "filters": None,
+            "dimension_separator": ".",
+        }
+        refs[f"{name}/.zarray"] = json.dumps(zarray)
+        refs[f"{name}/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": meta.dims, **meta.attrs}
+        )
+        arr_dir = os.path.join(root, name)
+        per_dim = (
+            tuple(c // i for c, i in zip(meta.chunks, inner))
+            if meta.shard
+            else None
+        )
+        for dirpath, _dirs, files in os.walk(arr_dir):
+            for fn in files:
+                if fn == "zarr.json":
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, arr_dir).replace(os.sep, "/")
+                outer = zarr2.chunk_key_indices(rel, meta)
+                if meta.shard is None:
+                    key = ".".join(str(i) for i in outer)
+                    refs[f"{name}/{key}"] = [full, 0, os.path.getsize(full)]
+                    continue
+                with open(full, "rb") as f:
+                    raw = f.read()
+                # reuse the decoder's own index parse (crc verified)
+                table = _shard_index(raw, meta)
+                n = table.shape[0]
+                for flat in range(n):
+                    off, nb = int(table[flat, 0]), int(table[flat, 1])
+                    if off == zarr2._SHARD_EMPTY and nb == zarr2._SHARD_EMPTY:
+                        continue  # elided: no ref = fill, kerchunk's own rule
+                    sub = np.unravel_index(flat, per_dim)
+                    gidx = tuple(
+                        o * p + int(si)
+                        for o, p, si in zip(outer, per_dim, sub)
+                    )
+                    key = ".".join(str(i) for i in gidx)
+                    refs[f"{name}/{key}"] = [full, off, nb]
+    return {"version": 1, "refs": refs}
+
+
+def _shard_index(raw: bytes, meta: zarr2.ZArray):
+    """Parse (and crc-verify) one shard's index table via the decoder's
+    own arithmetic."""
+    import numpy as np
+
+    shard = meta.shard
+    inner = tuple(shard["inner_chunks"])
+    grid = tuple(c // i for c, i in zip(meta.chunks, inner))
+    n = int(np.prod(grid))
+    idx_size = 16 * n + (4 if shard["index_crc"] else 0)
+    if len(raw) < idx_size:
+        raise KerchunkError(f"{meta.name}: shard shorter than its index")
+    idx_bytes = (
+        raw[-idx_size:] if shard["index_location"] == "end"
+        else raw[:idx_size]
+    )
+    if shard["index_crc"]:
+        body, trailer = idx_bytes[:-4], idx_bytes[-4:]
+        if int.from_bytes(trailer, "little") != zarr2.crc32c(body):
+            raise KerchunkError(f"{meta.name}: shard index crc mismatch")
+    else:
+        body = idx_bytes
+    return np.frombuffer(body, dtype="<u8").reshape(n, 2)
 
 
 def build_refs_for_zarr_store(root: str) -> dict:

@@ -241,3 +241,68 @@ def test_template_residual_jinja_in_url_refused():
         kerchunk.parse_refs(
             {"version": 1, "refs": {"v/0": ["{{u}}/f.bin", 0, 1]}}
         )
+
+
+def test_refs_over_sharded_store(spark, tmp_path):
+    """r9: the shard index IS a ref manifest — build_refs_for_sharded_store
+    turns a sharding_indexed v3 store into inner-chunk byte-range refs
+    (synthesized v2-style metadata, elided all-fill inner chunks simply
+    absent), and the manifest decode equals the direct shard decode
+    cell-for-cell including the fill materialization."""
+    import numpy as np
+
+    root = str(tmp_path / "sharded.zarr")
+    nt, nlat, nlon = 5, 6, 8
+    data = (np.arange(nt * nlat * nlon, dtype="<f8")
+            .reshape(nt, nlat, nlon) * 3 % 97) / 4
+    data[0, :2, :2] = -9999.0  # one whole inner chunk of fill -> elided
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), np.arange(nt, dtype="<f8"), {}),
+            "latitude": (("latitude",), 36 + 0.25 * np.arange(nlat), {}),
+            "longitude": (("longitude",), -116 + 0.25 * np.arange(nlon), {}),
+            "precip": (("time", "latitude", "longitude"), data,
+                       {"_FillValue": -9999.0}),
+        },
+        chunks={"precip": (1, 2, 2), "time": (2,)},
+        shards={"precip": (2, 4, 4)},
+        fill_values={"precip": -9999.0},
+        blosc_lz4=True,
+    )
+    doc = kerchunk.build_refs_for_sharded_store(root)
+    # inner-chunk granularity: refs address ranges INTO shard files
+    meta = kerchunk.store_metadata(kerchunk.parse_refs(doc))["precip"]
+    assert meta.chunks == (1, 2, 2)  # the INNER grid
+    byte_ranges = [
+        v for k, v in doc["refs"].items()
+        if k.startswith("precip/") and isinstance(v, list)
+    ]
+    assert all(len(v) == 3 for v in byte_ranges)
+    from collections import Counter
+    per_file = Counter(v[0] for v in byte_ranges)
+    assert max(per_file.values()) > 1  # many inner refs per shard object
+
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in kerchunk.decode_kerchunk_long(spark, doc, "precip").collect()}
+    want = {(r.time, r.latitude, r.longitude): r.value
+            for r in zarr2.decode_zarr_long(spark, root, "precip").collect()}
+    assert got == want and len(got) == data.size
+    assert got[(0.0, 36.0, -116.0)] is None  # elided chunk -> fill -> NULL
+
+
+def test_missing_ref_materializes_fill(spark, tmp_path):
+    """kerchunk/zarr's missing-chunk rule in the DISTRIBUTED decode:
+    a chunk key absent from the refs decodes as a full block of fill
+    (previously those cells were silently absent from the long form)."""
+    doc, base = _packed_refs(tmp_path)
+    del doc["refs"]["precip/0.0.0"]
+    out = kerchunk.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
+    data, times, lats, lons = _grid()
+    assert len(got) == data.size  # full grid, not a hole
+    # every cell of the deleted chunk reads as fill -> NULL
+    assert got[(0.0, 36.0, -116.0)] is None
+    assert got[(1.0, 36.25, -115.75)] is None
+    # untouched chunks unchanged
+    assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]

@@ -451,6 +451,7 @@ SHUFFLE_BUDGET = {
     "zarr3_sharded_decode": (0, 0),     # one task per shard file, map-only
     "zarr3_sharded_publish_readback": (0, 0),  # fixture built once; the
     # measured plan is the shard-parallel readback scan
+    "kerchunk_sharded_decode": (0, 0),  # inner-chunk manifest scan
 }
 
 
