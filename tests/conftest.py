@@ -9,9 +9,32 @@ import datetime as dt
 import itertools
 import random
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
+
+try:  # hypothesis seed policy (r9 judge): plain `pytest tests/` must be
+    # reproducible run-to-run, so the default profile derandomizes; round
+    # close ALSO runs HYPOTHESIS_PROFILE=fuzz (fresh random draws, 4x
+    # examples) so "green" still gets exercised against new inputs, with
+    # print_blob on so any failure ships its reproduction blob.
+    from hypothesis import HealthCheck, settings as _hs
+
+    _hs.register_profile(
+        "default", derandomize=True, suppress_health_check=[HealthCheck.too_slow]
+    )
+    _hs.register_profile(
+        "fuzz",
+        derandomize=False,
+        max_examples=4 * _hs().max_examples,
+        print_blob=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    _hs.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "default"))
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
 
 from gridded_etl_tools_spark.gridspec import GridSpec
 from gridded_etl_tools_spark.session import get_session

@@ -14,6 +14,11 @@ import pytest
 
 from gridded_etl_tools_spark.sources import zarr2
 
+# Certification multiplier for the untrusted-bytes fuzz surfaces: round
+# close runs once with SPARK_GRAFT_FUZZ_X=4 (fresh draws via
+# HYPOTHESIS_PROFILE=fuzz) on top of the derandomized default run.
+FUZZ_X = int(os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
 
 def _grid():
     nt, nlat, nlon = 3, 4, 5
@@ -443,7 +448,7 @@ def test_blosc_hypothesis_roundtrip():
 
     from gridded_etl_tools_spark.sources import blosc
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * FUZZ_X, deadline=None)
     @given(
         data=st.binary(min_size=0, max_size=8192),
         typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
@@ -782,7 +787,7 @@ def test_blosc_decoder_fuzz_clean_errors_only():
         np.arange(4096, dtype="<f8").tobytes(), 8, blocksize=8192
     )
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * FUZZ_X, deadline=None)
     @given(data=st.binary(min_size=0, max_size=200))
     def random_bytes(data):
         try:
@@ -790,7 +795,7 @@ def test_blosc_decoder_fuzz_clean_errors_only():
         except blosc.BloscError:
             pass
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * FUZZ_X, deadline=None)
     @given(
         pos=st.integers(min_value=0, max_value=len(valid) - 1),
         val=st.integers(min_value=0, max_value=255),
@@ -821,7 +826,7 @@ def test_encrypted_chunk_fuzz_clean_errors_only():
     key = bytes(range(32))
     frame = xchacha.encrypt_chunk(key, b"payload bytes " * 64)
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150 * FUZZ_X, deadline=None)
     @given(
         pos=st.integers(min_value=0, max_value=len(frame) - 1),
         val=st.integers(min_value=0, max_value=255),
@@ -874,7 +879,7 @@ def test_lz4_decoded_length_agrees_with_both_encoders():
 
     c = pa.Codec("lz4_raw")
 
-    @settings(max_examples=80, deadline=None)
+    @settings(max_examples=80 * FUZZ_X, deadline=None)
     @given(data=st.binary(min_size=0, max_size=4096))
     def check(data):
         assert blosc.lz4_decoded_length(blosc.lz4_compress_block(data)) == len(data)
@@ -1018,7 +1023,7 @@ def test_blosclz_roundtrip_hypothesis():
 
     from gridded_etl_tools_spark.sources import blosc
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120 * FUZZ_X, deadline=None)
     @given(
         body=st.binary(min_size=0, max_size=4096),
         alphabet=st.sampled_from([2, 8, 256]),
@@ -1385,7 +1390,7 @@ def test_shard_decoder_fuzz_clean_errors_only(tmp_path):
     meta = zarr2.open_store(root)["precip"]
     valid = open(os.path.join(root, "precip", "c", "0", "0", "0"), "rb").read()
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150 * FUZZ_X, deadline=None)
     @given(data=st.binary(min_size=0, max_size=200))
     def random_bytes(data):
         try:
@@ -1393,7 +1398,7 @@ def test_shard_decoder_fuzz_clean_errors_only(tmp_path):
         except (zarr2.ZarrError, BloscError):
             pass
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * FUZZ_X, deadline=None)
     @given(
         pos=st.integers(min_value=0, max_value=len(valid) - 1),
         val=st.integers(min_value=0, max_value=255),
