@@ -68,10 +68,13 @@ except Exception:  # noqa: BLE001 - any import/availability failure
     _LZ4_RAW = None
 
 
-def lz4_decompress(src: bytes, dst_size: int) -> bytes:
+def lz4_decompress(src: bytes, dst_size: int, strict: bool = True) -> bytes:
     """LZ4 block decode — C fast path when pyarrow carries lz4_raw,
-    pure-Python otherwise.  Always raises BloscError on a bad stream
-    (the contract decompress_frame's split-count retry depends on).
+    pure-Python otherwise.  With ``strict`` (the default) it raises
+    BloscError on a stream that does not decode to EXACTLY ``dst_size``
+    (the contract decompress_frame's split-count retry depends on;
+    real c-blosc has the same check for free — lz4_wrap_decompress
+    rejects ``cbytes != maxout``).
 
     The C path alone cannot honor that contract: pyarrow's
     ``Codec.decompress(src, dst_size)`` pads a valid-but-short stream
@@ -88,8 +91,15 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
     overflow), and the successful ``dst_size`` call already proves it
     is <= dst_size — together: exactly dst_size.  A stream that FITS
     dst_size - 1 is short (its dst_size output was padded), so that
-    success path raises BloscError.  Net cost: ~2x the raw C decode,
-    still ~8x cheaper than the Python walk.
+    success path raises BloscError.  At ``dst_size == 1`` the probe
+    buffer would be 0 bytes, where pyarrow's failure is ambiguous
+    (overflow vs. reject-empty), so that case validates via the exact
+    token walk instead — such streams are bytes-long, the walk is free.
+
+    ``strict=False`` skips the probe: decompress_frame uses it once a
+    sibling stream of the SAME frame has already probe-confirmed the
+    split layout (the heuristic is frame-constant), which amortizes the
+    ~2x probe cost to ~1/n_streams on the 100 TB read path.
     """
     if _LZ4_RAW is not None:
         if dst_size == 0:
@@ -100,6 +110,12 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
             out = _LZ4_RAW.decompress(src, dst_size, asbytes=True)
         except Exception as exc:  # noqa: BLE001 - ArrowInvalid etc.
             raise BloscError(f"LZ4: {exc}") from exc
+        if not strict:
+            return out
+        if dst_size == 1:
+            if lz4_decoded_length(src) != 1:
+                raise BloscError("LZ4: stream is not a 1-byte block")
+            return out
         try:
             _LZ4_RAW.decompress(src, dst_size - 1)
         except Exception:  # noqa: BLE001 - output overflow: expected
@@ -465,10 +481,15 @@ def unshuffle_bytes(data: bytes, typesize: int) -> bytes:
 # c-blosc delegates to the bitshuffle library (kiyo-masui/bitshuffle,
 # vendored as internal-complibs/bitshuffle*): shuffle.c's ``bitshuffle()``
 # trims the element count to a multiple of 8, runs
-# ``bshuf_bitshuffle(src, dst, size, typesize, 0)`` and copies the tail
-# verbatim.  bshuf processes INDEPENDENT sub-blocks of
-# ``bshuf_default_block_size(typesize)`` elements; within one sub-block
-# the transform is bshuf_trans_bit_elem: a byte transpose
+# ``bshuf_trans_bit_elem(src, dst, size, typesize, tmp)`` ONCE over the
+# whole trimmed block and copies the tail verbatim.  NOTE it calls the
+# per-block kernel directly — NOT ``bshuf_bitshuffle``, the standalone
+# library's public API that additionally splits the input into
+# independent ~8192-byte sub-blocks; c-blosc frames therefore have no
+# sub-block boundary inside a blosc block (round-9 advice: the earlier
+# sub-blocked layout here silently diverged from real c-blosc whenever
+# blosc blocksize > ~8 KB, i.e. at the 32-256 KB c-blosc defaults).
+# The transform is bshuf_trans_bit_elem: a byte transpose
 # (n, typesize)->(typesize, n), then an LSB-first bit gather over each
 # group of 8 bytes, then a regroup of the 8 bit-rows per byte position —
 # net effect: output position (byte j, bit b, group g) packs bit b of
@@ -476,13 +497,6 @@ def unshuffle_bytes(data: bytes, typesize: int) -> bytes:
 # whole-array numpy (unpackbits/packbits with bitorder="little"), not
 # per-bit Python: common int16 satellite/radar archives use this filter,
 # so the transform sits on the 100 TB read path next to the LZ4 decode.
-
-
-def _bshuf_default_block_size(elem_size: int) -> int:
-    """bitshuffle_core.c bshuf_default_block_size: stable-across-versions
-    formula (TARGET_BLOCK_SIZE_B=8192 bytes, floored to a multiple of 8
-    elements, minimum 128 elements)."""
-    return max((8192 // elem_size) // 8 * 8, 128)
 
 
 def _trans_bit_elem(chunk: np.ndarray, elem_size: int) -> np.ndarray:
@@ -505,23 +519,18 @@ def _untrans_bit_elem(chunk: np.ndarray, elem_size: int) -> np.ndarray:
 
 
 def _bitshuffle_blocked(data: bytes, typesize: int, fun) -> bytes:
+    """shuffle.c ``bitshuffle()``: one whole-block bshuf_trans_bit_elem
+    over the 8-element-trimmed prefix, verbatim tail.  No sub-blocking —
+    that belongs to the standalone library's bshuf_bitshuffle, which
+    c-blosc never calls."""
     if typesize < 1 or len(data) < typesize * 8:
         return data
     arr = np.frombuffer(data, dtype=np.uint8)
     size = arr.size // typesize
     size -= size % 8  # shuffle.c trims to whole groups of 8 elements
-    sub = _bshuf_default_block_size(typesize)
-    out = bytearray(len(data))
-    pos = 0
-    while pos < size:
-        n = min(sub, size - pos)
-        n -= n % 8  # the wrap's last sub-block, still a multiple of 8
-        if n == 0:
-            break
-        lo, hi = pos * typesize, (pos + n) * typesize
-        out[lo:hi] = fun(arr[lo:hi], typesize).tobytes()
-        pos += n
     tail = size * typesize
+    out = bytearray(len(data))
+    out[:tail] = fun(arr[:tail], typesize).tobytes()
     out[tail:] = data[tail:]  # verbatim tail (non-multiple-of-8 elements)
     return bytes(out)
 
@@ -583,11 +592,13 @@ def _pa_codec(name: str):
     return _PA_CODECS[name]
 
 
-def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
+def _decode_stream(
+    codec: int, payload: bytes, out_size: int, strict: bool = True
+) -> bytes:
     if codec == 0:
         return blosclz_decompress(payload, out_size)
     if codec == 1:
-        return lz4_decompress(payload, out_size)
+        return lz4_decompress(payload, out_size, strict=strict)
     if codec == 3:
         try:
             got = zlib.decompress(payload)
@@ -615,10 +626,22 @@ def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
 
 
 def _decode_block(
-    frame: bytes, start: int, bsize: int, nsplits: int, codec: int
+    frame: bytes,
+    start: int,
+    bsize: int,
+    nsplits: int,
+    codec: int,
+    confirmed: set | None = None,
 ) -> bytes:
     """One block: walk ``nsplits`` (uint32 size, stream) pairs.  Raises
-    on any inconsistency so the caller can retry the other split count."""
+    on any inconsistency so the caller can retry the other split count.
+
+    ``confirmed`` is decompress_frame's per-frame memo of split counts
+    whose layout an exact-length probe has already validated: the split
+    heuristic is frame-constant, so the FIRST compressed stream decoded
+    under a given count runs the strict (probe-guarded) lz4 path and
+    later streams of the same frame+count skip the ~2x probe (r9 advice:
+    it cost ~25% of frame decode when run per-stream)."""
     out = bytearray()
     pos = start
     neblock = bsize // nsplits
@@ -636,7 +659,10 @@ def _decode_block(
         if csize == esize:
             out += payload  # stored raw (compression did not help)
         else:
-            out += _decode_stream(codec, payload, esize)
+            strict = confirmed is None or (nsplits, esize) not in confirmed
+            out += _decode_stream(codec, payload, esize, strict=strict)
+            if confirmed is not None:
+                confirmed.add((nsplits, esize))
     return bytes(out)
 
 
@@ -684,6 +710,7 @@ def decompress_frame(frame: bytes) -> bytes:
     shuffled = bool(flags & _FLAG_SHUFFLE)
     out = bytearray()
     leftover = nbytes % blocksize
+    confirmed: set = set()  # probe-validated (nsplits, esize) layouts
     for bi, bstart in enumerate(bstarts):
         is_leftover = bi == nblocks - 1 and leftover != 0
         bsize = leftover if is_leftover else blocksize
@@ -691,14 +718,14 @@ def decompress_frame(frame: bytes) -> bytes:
             raise BloscError(f"blosc: block offset {bstart} out of range")
         nsplits = _split_count(typesize, bsize, is_leftover, dont_split)
         try:
-            block = _decode_block(frame, bstart, bsize, nsplits, codec)
+            block = _decode_block(frame, bstart, bsize, nsplits, codec, confirmed)
         except BloscError:
             # the split heuristic moved across c-blosc releases; the
             # stream layout self-describes enough to try the other one
             alt = 1 if nsplits != 1 else typesize
             if alt == nsplits or alt < 1:
                 raise
-            block = _decode_block(frame, bstart, bsize, alt, codec)
+            block = _decode_block(frame, bstart, bsize, alt, codec, confirmed)
         if shuffled:
             block = unshuffle_bytes(block, typesize)
         elif flags & _FLAG_BITSHUFFLE:

@@ -401,10 +401,11 @@ def build_refs_for_sharded_store(root: str) -> dict:
                     key = ".".join(str(i) for i in outer)
                     refs[f"{name}/{key}"] = [full, 0, os.path.getsize(full)]
                     continue
-                with open(full, "rb") as f:
-                    raw = f.read()
-                # reuse the decoder's own index parse (crc verified)
-                table = _shard_index(raw, meta)
+                # seek-read ONLY the 16B-per-inner-chunk index (crc
+                # verified) — never the shard body: production shards
+                # are GB-scale and this loop runs driver-side (r9
+                # advice: f.read() of whole shards was a driver blowup)
+                table = _read_shard_index(full, meta)
                 n = table.shape[0]
                 for flat in range(n):
                     off, nb = int(table[flat, 0]), int(table[flat, 1])
@@ -420,9 +421,11 @@ def build_refs_for_sharded_store(root: str) -> dict:
     return {"version": 1, "refs": refs}
 
 
-def _shard_index(raw: bytes, meta: zarr2.ZArray):
-    """Parse (and crc-verify) one shard's index table via the decoder's
-    own arithmetic."""
+def _read_shard_index(path: str, meta: zarr2.ZArray):
+    """Seek-read and parse (crc-verified) one shard file's index table
+    via the decoder's own arithmetic — reads exactly ``idx_size`` bytes
+    (tail for index_location='end', head for 'start'), KB per shard
+    regardless of shard size."""
     import numpy as np
 
     shard = meta.shard
@@ -430,12 +433,16 @@ def _shard_index(raw: bytes, meta: zarr2.ZArray):
     grid = tuple(c // i for c, i in zip(meta.chunks, inner))
     n = int(np.prod(grid))
     idx_size = 16 * n + (4 if shard["index_crc"] else 0)
-    if len(raw) < idx_size:
-        raise KerchunkError(f"{meta.name}: shard shorter than its index")
-    idx_bytes = (
-        raw[-idx_size:] if shard["index_location"] == "end"
-        else raw[:idx_size]
-    )
+    with open(path, "rb") as f:
+        if f.seek(0, os.SEEK_END) < idx_size:
+            raise KerchunkError(f"{meta.name}: shard shorter than its index")
+        if shard["index_location"] == "end":
+            f.seek(-idx_size, os.SEEK_END)
+        else:
+            f.seek(0)
+        idx_bytes = f.read(idx_size)
+    if len(idx_bytes) != idx_size:
+        raise KerchunkError(f"{meta.name}: short read of shard index")
     if shard["index_crc"]:
         body, trailer = idx_bytes[:-4], idx_bytes[-4:]
         if int.from_bytes(trailer, "little") != zarr2.crc32c(body):

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import zlib
 
 import numpy as np
@@ -289,6 +290,73 @@ def test_refs_over_sharded_store(spark, tmp_path):
             for r in zarr2.decode_zarr_long(spark, root, "precip").collect()}
     assert got == want and len(got) == data.size
     assert got[(0.0, 36.0, -116.0)] is None  # elided chunk -> fill -> NULL
+
+
+def test_sharded_refs_read_only_the_index(tmp_path, monkeypatch):
+    """r9 ADVICE (medium): build_refs_for_sharded_store must seek-read
+    ONLY the 16B-per-inner-chunk index from each shard — never the shard
+    body — or GB-scale production shards blow up driver memory.  Count
+    the bytes actually read per shard file."""
+    import builtins
+
+    import numpy as np
+
+    root = str(tmp_path / "sharded.zarr")
+    nt, nlat, nlon = 4, 4, 8
+    data = np.arange(nt * nlat * nlon, dtype="<f8").reshape(nt, nlat, nlon)
+    zarr2.write_zarr3_store(
+        root,
+        variables={
+            "time": (("time",), np.arange(nt, dtype="<f8"), {}),
+            "latitude": (("latitude",), 36 + 0.25 * np.arange(nlat), {}),
+            "longitude": (("longitude",), -116 + 0.25 * np.arange(nlon), {}),
+            "precip": (("time", "latitude", "longitude"), data, {}),
+        },
+        chunks={"precip": (1, 2, 2)},
+        shards={"precip": (2, 4, 4)},
+    )
+    meta = zarr2.open_store(root)["precip"]
+    n_inner = 2 * 2 * 2  # (2,4,4) shard over (1,2,2) chunks
+    idx_size = 16 * n_inner + (4 if meta.shard["index_crc"] else 0)
+
+    reads: dict[str, int] = {}
+    real_open = builtins.open
+
+    class CountingFile:
+        def __init__(self, f, path):
+            self._f, self._path = f, path
+
+        def read(self, n=-1):
+            out = self._f.read(n)
+            reads[self._path] = reads.get(self._path, 0) + len(out)
+            return out
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return self._f.__exit__(*a)
+
+    def counting_open(path, *a, **kw):
+        f = real_open(path, *a, **kw)
+        p = str(path)
+        if "b" in (a[0] if a else kw.get("mode", "r")) and os.sep + "c" + os.sep in p:
+            return CountingFile(f, p)
+        return f
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    doc = kerchunk.build_refs_for_sharded_store(root)
+    monkeypatch.undo()
+
+    shard_files = {v[0] for k, v in doc["refs"].items()
+                   if k.startswith("precip/") and isinstance(v, list)}
+    assert shard_files  # the store did shard
+    for path in shard_files:
+        assert reads.get(path, 0) == idx_size, (path, reads.get(path))
+        assert reads[path] < os.path.getsize(path)  # strictly partial read
 
 
 def test_missing_ref_materializes_fill(spark, tmp_path):

@@ -867,6 +867,26 @@ def test_lz4_fast_path_validates_decoded_length():
         blosc.lz4_decompress(comp, len(payload) - 1)
 
 
+def test_lz4_dst_size_one_and_nonstrict_paths():
+    """ADVICE r9 (low) edges: at dst_size==1 the probe buffer would be
+    0 bytes, where pyarrow's failure is ambiguous — that case validates
+    via the exact token walk (a padded empty stream must REJECT, a true
+    1-byte stream must pass); strict=False documents the per-frame
+    memoized fast path: it skips the probe entirely, returning the
+    padded buffer (its only caller guards the first stream per layout)."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    one = blosc.lz4_compress(b"X")
+    assert blosc.lz4_decompress(one, 1) == b"X"
+    empty = blosc.lz4_compress(b"")
+    with pytest.raises(blosc.BloscError, match="1-byte"):
+        blosc.lz4_decompress(empty, 1)  # true size 0, would pad to 1
+    short = blosc.lz4_compress(b"ab")
+    with pytest.raises(blosc.BloscError):
+        blosc.lz4_decompress(short, 40)  # strict: padded output rejected
+    assert len(blosc.lz4_decompress(short, 40, strict=False)) == 40
+
+
 def test_lz4_decoded_length_agrees_with_both_encoders():
     """The length-only token walk returns the exact decoded size for
     streams from BOTH encoders (ours and pyarrow's C one), and raises
@@ -1062,6 +1082,42 @@ def test_bitshuffle_matches_spec_micro_vectors():
     got = blosc.bitshuffle_bytes(d, 1)
     assert got[16:] == d[16:]
     assert blosc.bitunshuffle_bytes(got, 1) == d
+
+
+def test_bitshuffle_whole_block_layout_above_8k():
+    """Lock the c-blosc layout: shuffle.c's bitshuffle() runs
+    bshuf_trans_bit_elem ONCE over the whole trimmed block — there is NO
+    ~8192-byte sub-block boundary (that belongs to the standalone
+    library's bshuf_bitshuffle API, which c-blosc never calls).  Real
+    c-blosc/numcodecs are not installed in this container, so the pin is
+    an independently-written naive per-bit reference of the documented
+    kernel (byte j, bit b, group g packs bit b of byte j of elements
+    8g..8g+7, LSB-first) evaluated on a block 4x the old sub-block size;
+    any sub-blocking regression diverges from it immediately."""
+    from gridded_etl_tools_spark.sources import blosc
+
+    def naive_whole_block(data: bytes, ts: int) -> bytes:
+        n = (len(data) // ts) & ~7  # trim to a multiple of 8 elements
+        out = bytearray(data)  # verbatim tail beyond n*ts
+        for j in range(ts):
+            for b in range(8):
+                row = (j * 8 + b) * (n // 8)
+                for g in range(n // 8):
+                    byte = 0
+                    for k in range(8):
+                        bit = (data[(8 * g + k) * ts + j] >> b) & 1
+                        byte |= bit << k
+                    out[row + g] = byte
+        return bytes(out)
+
+    rng = np.random.default_rng(17)
+    ts = 2
+    nbytes = 4 * 8192 + 6 * ts + 1  # 4x the old sub-block, ragged tail
+    d = rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+    expect = naive_whole_block(d, ts)
+    got = blosc.bitshuffle_bytes(d, ts)
+    assert got == expect
+    assert blosc.bitunshuffle_bytes(got, ts) == d
 
 
 def test_bitshuffle_roundtrip_and_blocking():
