@@ -5611,6 +5611,61 @@ def zarr3_sharded_publish_readback(
     return out.select("station", "day", "value")
 
 
+@query("zarr_insert_readback", ORACLES["zarr_publish_readback"])
+def zarr_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 on the native format (r10): the reference's region-INSERT
+    (``insert_into_dataset``, utils/publish.py:406-450, widened to chunk
+    boundaries by ``complete_insert_slice`` :1341-1385) as a distributed
+    data-correction re-run.  The store is first published with a
+    CORRUPTED middle band (three days' values offset by +1e6), then
+    ``insert_zarr_distributed`` overwrites exactly those days — one
+    chunk-keyed shuffle over the update cells, each affected chunk
+    read-modify-written executor-side, untouched chunk files never
+    rewritten (O(update), not O(store)).  Same oracle as the one-shot
+    publish: after the insert the store must hash-equal a clean publish
+    cell-for-cell, including fill->NULL materialization."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    digest = hashlib.md5(f"zarr_ins_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_ins_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, ".insert_done")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(F.round(F.avg("value"), 6).alias("value"))
+        rollup = rollup.localCheckpoint(eager=True)
+        days = sorted(r[0] for r in rollup.select("day").distinct().collect())
+        bad = days[len(days) // 2:len(days) // 2 + 3]  # a middle band
+        corrupted = rollup.withColumn(
+            "value",
+            F.when(F.col("day").isin(bad), F.col("value") + F.lit(1e6))
+            .otherwise(F.col("value")),
+        )
+        write_zarr_distributed(
+            corrupted, root, "daily_mean", dims=["station", "day"],
+            chunks=(32, 8),
+        )
+        insert_zarr_distributed(
+            rollup.filter(F.col("day").isin(bad)), root, "daily_mean"
+        )
+        open(os.path.join(root, ".insert_done"), "w").close()
+    out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
+    return out.select("station", "day", "value")
+
+
 # extension modules register additional queries into QUERIES/ORACLES via
 # the same @query decorator (imported last — they import `query` from here)
 from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,F401

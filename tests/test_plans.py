@@ -452,6 +452,9 @@ SHUFFLE_BUDGET = {
     "zarr3_sharded_publish_readback": (0, 0),  # fixture built once; the
     # measured plan is the shard-parallel readback scan
     "kerchunk_sharded_decode": (0, 0),  # inner-chunk manifest scan
+    # r10: region-INSERT fixture builds once (its own shuffles measured
+    # there); the measured plan is the chunk-parallel readback scan
+    "zarr_insert_readback": (0, 0),
 }
 
 

@@ -516,3 +516,165 @@ def test_distributed_append_on_sharded_store(spark, tmp_path):
     assert os.path.exists(p)
     block = zarr2.decode_chunk(open(p, "rb").read(), meta)
     assert block.shape == (4, 4, 4)
+
+
+def test_insert_zarr_distributed_rewrites_existing_cells(spark, tmp_path):
+    """r10: distributed region-INSERT (reference insert_into_dataset,
+    utils/publish.py:406-450 + complete_insert_slice :1341-1385) — the
+    data-correction re-run: overwrite a middle slice executor-parallel,
+    store must equal a one-shot publish of the corrected data, and only
+    the affected chunk files may change (O(update), not O(store))."""
+    from pyspark.sql import Row, functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    def _frame(fix_day=None):
+        rows = []
+        for t in range(6):
+            for ix, x in enumerate([10.0, 10.5, 11.0, 11.5]):
+                if (t, ix) == (1, 2):
+                    continue  # a hole that must SURVIVE the insert
+                v = float(t * 10 + ix)
+                if fix_day is not None and t == fix_day:
+                    v += 1000.0
+                rows.append(Row(time=float(t), x=x, value=v))
+        return spark.createDataFrame(rows)
+
+    root = str(tmp_path / "ins.zarr")
+    write_zarr_distributed(
+        _frame(), root, "v", dims=["time", "x"], chunks=(2, 3))
+    chunk_files = {}
+    for dirpath, _d, files in os.walk(os.path.join(root, "v")):
+        for fn in files:
+            if not fn.startswith("."):
+                p = os.path.join(dirpath, fn)
+                chunk_files[p] = open(p, "rb").read()
+
+    # correct day 2 (chunk row 1): straddles x-chunks 0 and 1
+    upd = _frame(fix_day=2).filter(F.col("time") == 2.0)
+    rep = insert_zarr_distributed(upd, root, "v")
+    assert rep["n_cells"] == 4
+    assert rep["n_chunks"] == 2  # day-2 row touches 2 x-chunks
+
+    # byte-identical untouched chunks; only the two affected rewritten
+    changed = [p for p, old in chunk_files.items()
+               if open(p, "rb").read() != old]
+    assert len(changed) == 2
+
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    # equals a one-shot publish of the corrected data
+    root2 = str(tmp_path / "oneshot.zarr")
+    write_zarr_distributed(
+        _frame(fix_day=2), root2, "v", dims=["time", "x"], chunks=(2, 3))
+    want = {(r.time, r.x): r.value
+            for r in zarr2.decode_zarr_long(spark, root2, "v").collect()}
+    assert got == want
+    assert got[(2.0, 10.0)] == 1020.0
+    assert got[(3.0, 10.0)] == 30.0      # same chunk, other row: untouched
+    assert got[(1.0, 11.0)] is None      # the hole survived
+
+
+def test_insert_refuses_coords_outside_store(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    root = str(tmp_path / "ref.zarr")
+    write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(2, 3))
+    bad = spark.createDataFrame([Row(time=9.0, x=10.0, value=1.0)])
+    with pytest.raises(zarr2.ZarrError, match="outside the"):
+        insert_zarr_distributed(bad, root, "v")
+
+
+def test_insert_backfills_absent_chunk_from_fill(spark, tmp_path):
+    """Inserting into a chunk whose file was never written (all-fill)
+    starts from fill, not garbage — the complete_insert_slice rule."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    # axes span 4x4 but data fills only the (0,0) and (1,1) chunks, so
+    # chunk (1,0) — times {2,3} x xs {10,11} — has no file at all
+    df = spark.createDataFrame(
+        [Row(time=float(t), x=float(10 + ix), value=float(t * 10 + ix))
+         for t in range(4) for ix in range(4)
+         if (t < 2) == (ix < 2)]
+    )
+    root = str(tmp_path / "bf.zarr")
+    write_zarr_distributed(df, root, "v", dims=["time", "x"], chunks=(2, 2))
+    assert not os.path.exists(os.path.join(root, "v", "1.0"))
+    upd = spark.createDataFrame([Row(time=3.0, x=10.0, value=77.0)])
+    insert_zarr_distributed(upd, root, "v")
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert got[(3.0, 10.0)] == 77.0
+    assert got[(2.0, 10.0)] is None  # back-filled as fill -> NULL
+    assert got[(0.0, 10.0)] == 0.0   # other chunks untouched
+    assert got[(3.0, 13.0)] == 33.0
+
+
+def test_insert_on_sharded_store_preserves_elision(spark, tmp_path):
+    """Insert on a sharding_indexed store rewrites ONE shard object:
+    updated inner chunks re-encode, untouched all-fill inner chunks of
+    the SAME shard stay elided, and the other shards stay byte-equal."""
+    from pyspark.sql import Row, functions as F
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import kerchunk
+
+    df = spark.range(128).select(
+        (F.col("id") % 8).cast("double").alias("time"),
+        (F.floor(F.col("id") / 8) % 4).cast("double").alias("lat"),
+        F.floor(F.col("id") / 32).cast("double").alias("lon"),
+        (F.col("id") * 1.0).alias("value"),
+    ).filter(
+        # hollow out inner chunk (t 0-1, lat 0-1, lon 0-1) -> elided
+        ~((F.col("time") < 2) & (F.col("lat") < 2) & (F.col("lon") < 2))
+    )
+    root = str(tmp_path / "shins.zarr")
+    write_zarr_distributed(
+        df, root, "v", dims=("time", "lat", "lon"),
+        chunks=(2, 2, 2), shards=(4, 4, 4), zarr_format=3,
+        compressor="gzip",
+    )
+    shard_files = {}
+    for dirpath, _d, files in os.walk(os.path.join(root, "v")):
+        for fn in files:
+            if fn != "zarr.json":
+                p = os.path.join(dirpath, fn)
+                shard_files[p] = open(p, "rb").read()
+
+    # update 2 cells inside shard (1,0,0) (times 4-7 block)
+    upd = spark.createDataFrame(
+        [Row(time=5.0, lat=1.0, lon=0.0, value=-1.0),
+         Row(time=6.0, lat=3.0, lon=1.0, value=-2.0)]
+    )
+    rep = insert_zarr_distributed(upd, root, "v")
+    assert rep["n_chunks"] == 1  # one shard object rewritten
+    changed = [p for p, old in shard_files.items()
+               if open(p, "rb").read() != old]
+    assert len(changed) == 1 and os.sep + "1" + os.sep in changed[0].split("v")[-1]
+
+    got = {(r.time, r.lat, r.lon): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert got[(5.0, 1.0, 0.0)] == -1.0
+    assert got[(6.0, 3.0, 1.0)] == -2.0
+    assert got[(4.0, 0.0, 0.0)] == 4.0  # untouched cell (id 4) unchanged
+    # elided inner chunk in shard (0,0,0) is STILL absent from the refs
+    doc = kerchunk.build_refs_for_sharded_store(root)
+    assert "v/0.0.0" not in doc["refs"]
+    assert "v/1.1.1" in doc["refs"]
