@@ -15,9 +15,15 @@ import json
 import pytest
 
 from gridded_etl_tools_spark.sinks.fsio import (
+    AzureControlFS,
+    GCSControlFS,
     LocalControlFS,
     MemoryControlFS,
     S3ControlFS,
+)
+from tests.fake_object_stores import (
+    FakeAzureContainerClient,
+    FakeGCSClient,
 )
 from gridded_etl_tools_spark.sinks.table import (
     ConcurrentWriteError,
@@ -42,7 +48,22 @@ def _make_s3_fs():
     return fs
 
 
-@pytest.fixture(params=["memory", "local", "s3"])
+def _make_gcs_fs():
+    """GCSControlFS against the in-process fake enforcing
+    generation-match conditional writes (tests/fake_object_stores.py) —
+    moto's role for the GCS port."""
+    return GCSControlFS("spark-graft-test", client=FakeGCSClient())
+
+
+def _make_azure_fs():
+    """AzureControlFS against the in-process fake enforcing 409-on-
+    overwrite / 412-on-stale-etag conditional writes."""
+    return AzureControlFS(
+        "spark-graft-test", client=FakeAzureContainerClient()
+    )
+
+
+@pytest.fixture(params=["memory", "local", "s3", "gcs", "azure"])
 def fs(request, tmp_path):
     if request.param == "memory":
         return MemoryControlFS()
@@ -50,6 +71,10 @@ def fs(request, tmp_path):
         s3fs = _make_s3_fs()
         request.addfinalizer(s3fs._moto_ctx.stop)
         return s3fs
+    if request.param == "gcs":
+        return _make_gcs_fs()
+    if request.param == "azure":
+        return _make_azure_fs()
     return LocalControlFS()
 
 
@@ -60,6 +85,8 @@ def _age(fs, path, seconds=3600):
     the protocol under test only ever sees mtimes through the seam."""
     if isinstance(fs, MemoryControlFS):
         fs._mtimes[fs._norm(path)] -= seconds
+    elif isinstance(fs, (GCSControlFS, AzureControlFS)):
+        fs._c._age(fs._key(path), seconds)
     elif isinstance(fs, S3ControlFS):
         offsets = getattr(fs, "_test_age_offsets", None)
         if offsets is None:
@@ -254,7 +281,7 @@ def test_mock_pointer_survives_json_roundtrip(fs, tmp_path):
     t._release_failed(pointer)
 
 
-@pytest.mark.parametrize("backend", ["memory", "s3"])
+@pytest.mark.parametrize("backend", ["memory", "s3", "gcs", "azure"])
 def test_concurrent_commit_stress_single_winner_per_version(tmp_path, backend, request):
     """Linearizability hammer for the CAS protocol: N threads race
     acquire→commit on ONE table (no TTL, so losers get
@@ -270,6 +297,10 @@ def test_concurrent_commit_stress_single_winner_per_version(tmp_path, backend, r
     if backend == "s3":
         fs = _make_s3_fs()
         request.addfinalizer(fs._moto_ctx.stop)
+    elif backend == "gcs":
+        fs = _make_gcs_fs()
+    elif backend == "azure":
+        fs = _make_azure_fs()
     else:
         fs = MemoryControlFS()
     t = GriddedTable(str(tmp_path / "tbl"), fs=fs)
@@ -466,6 +497,65 @@ def test_cas_sidecar_sweep_safe_under_concurrent_cas(tmp_path):
     # equals the number of wins (a split lock domain would lose updates)
     assert int(fs.read_text(target)) == len(wins)
     assert len(wins) >= 6  # progress was made
+
+
+def test_gcs_azure_key_guards_foreign_container_and_root():
+    """r10: the GCS/Azure ports share the S3 key-mapping guards."""
+    gfs = _make_gcs_fs()
+    assert gfs._key("gs://spark-graft-test/tbl/p.json") == "tbl/p.json"
+    assert gfs._key("/tbl/p.json") == "tbl/p.json"
+    with pytest.raises(ValueError, match="different container"):
+        gfs._key("gs://other/tbl/p.json")
+    with pytest.raises(ValueError, match="container root"):
+        gfs._key("gs://spark-graft-test/")
+    afs = _make_azure_fs()
+    assert afs._key("az://spark-graft-test/tbl/p.json") == "tbl/p.json"
+    assert afs._key("abfss://spark-graft-test/tbl/p.json") == "tbl/p.json"
+    with pytest.raises(ValueError, match="different container"):
+        afs._key("az://other/tbl/p.json")
+    with pytest.raises(ValueError, match="container root"):
+        afs._key("/")
+
+
+def test_gcs_conditional_write_semantics_server_side():
+    """The CAS must lose when the object changes BETWEEN its GET and
+    its conditional PUT — the server-side window the generation match
+    closes.  Driven by racing a second writer in at exactly that point
+    via a hook on the fake client's upload."""
+    fs = _make_gcs_fs()
+    assert fs.compare_and_swap("/t/p", "a", None)
+    # interpose: after fs reads (body, gen) but before its conditional
+    # PUT lands, another writer bumps the generation
+    real_get = fs._get
+
+    def get_then_race(path):
+        out = real_get(path)
+        fs._c.bucket(fs.bucket).blob(fs._key(path)).upload_from_string(b"x")
+        return out
+
+    fs._get = get_then_race
+    assert not fs.compare_and_swap("/t/p", "b", "a")  # 412 -> lost race
+    fs._get = real_get
+    assert fs.read_text("/t/p") == "x"
+    # create-if-absent rejects on a live object (if_generation_match=0)
+    assert not fs.compare_and_swap("/t/p", "c", None)
+
+
+def test_azure_conditional_write_semantics_server_side():
+    fs = _make_azure_fs()
+    assert fs.compare_and_swap("/t/p", "a", None)
+    real_get = fs._get
+
+    def get_then_race(path):
+        out = real_get(path)
+        fs._c.upload_blob(fs._key(path), b"x", overwrite=True)
+        return out
+
+    fs._get = get_then_race
+    assert not fs.compare_and_swap("/t/p", "b", "a")  # stale etag -> 412
+    fs._get = real_get
+    assert fs.read_text("/t/p") == "x"
+    assert not fs.compare_and_swap("/t/p", "c", None)  # 409 on live blob
 
 
 def test_s3_key_guards_foreign_bucket_and_root():
