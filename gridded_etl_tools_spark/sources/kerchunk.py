@@ -18,18 +18,24 @@ reused across rows sharing a url, and array metadata / coordinate axes
 are resolved once driver-side (KB-scale).  Supports kerchunk v0 (bare
 dict) and v1 (``{"version": 1, "refs": {...}}``) formats, inline string
 refs (optionally ``base64:``-prefixed), and whole-file refs
-(``[url]`` with no offset), and the v1 ``templates`` section's plain
-``{{key}}`` URL substitution (MultiZarrToZarr's output shape).
-Generated refs (``gen``) raise — materialize them instead.
+(``[url]`` with no offset), the v1 ``templates`` section's plain
+``{{key}}`` URL substitution (MultiZarrToZarr's output shape), and the
+v1 ``gen`` section (generated key ranges: each entry's key/url/offset/
+length templates are rendered over the cartesian product of its
+``dimensions``, with integer-arithmetic ``{{expr}}`` placeholders
+evaluated by an AST-restricted evaluator — the subset fsspec's
+ReferenceFileSystem documents, without a jinja dependency).
 """
 
 from __future__ import annotations
 
+import ast
 import base64
+import itertools
 import json
 import os
 import re
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -51,24 +57,25 @@ def parse_refs(doc: dict | str | bytes) -> dict[str, object]:
     MultiZarrToZarr emits to dedupe long URLs across thousands of refs
     (the reference's create_zarr_json merges per-file JSONs into exactly
     this shape, transform.py:40-117) — are expanded here, driver-side,
-    before the manifest table is built.  Only plain ``{{key}}``
-    placeholders are supported (that is all MZZ emits); jinja loops/
-    conditionals and the ``gen`` section (generated key ranges) stay
-    loud refusals."""
+    before the manifest table is built.  ``gen`` entries (generated key
+    ranges, the compressed form kerchunk emits for large regular stores)
+    are expanded the same way — see :func:`_expand_gen`; jinja loops/
+    conditionals stay loud refusals."""
     if isinstance(doc, (str, bytes)):
         doc = json.loads(doc)
     if "refs" in doc and isinstance(doc.get("refs"), dict):
-        if doc.get("gen"):
-            raise KerchunkError(
-                "generated refs ('gen') unsupported — materialize them "
-                "(the manifest-table form has no size pressure)"
-            )
         refs = dict(doc["refs"])
         templates = doc.get("templates") or {}
         if templates:
             refs = {
                 k: _expand_ref_template(v, templates) for k, v in refs.items()
             }
+        if doc.get("gen"):
+            generated = _expand_gen(doc["gen"], templates)
+            # explicit refs win on key collision (fsspec consults the
+            # refs mapping before generated entries)
+            generated.update(refs)
+            refs = generated
         # loud-refusal net for EVERY v1 list-ref URL, expanded or not:
         # jinja residue ({% %} blocks, {{...}} the plain substitution
         # could not resolve, or templated URLs in a document with no
@@ -119,6 +126,145 @@ def _expand_ref_template(ref: object, templates: dict) -> object:
     # any jinja residue left after substitution (filters, non-\w keys,
     # {% %} blocks) is caught by parse_refs' loud-refusal net
     return [_TEMPLATE_RE.sub(_sub, url), *ref[1:]]
+
+
+_GEN_EXPR_RE = re.compile(r"\{\{(.+?)\}\}")
+
+# integer arithmetic over dimension variables — the expression grammar
+# kerchunk's spec examples use ("{{(i + 1) * 1000}}"); anything else
+# (calls, attributes, subscripts, strings-in-expr, and Pow — a
+# ``9**9**9`` in an untrusted refs doc would hang the driver) refuses
+# loudly
+_GEN_ALLOWED_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
+    ast.Add, ast.Sub, ast.Mult, ast.FloorDiv, ast.Div, ast.Mod,
+    ast.USub, ast.UAdd, ast.Load,
+)
+
+
+def _gen_eval(expr: str, env: dict[str, object]) -> object:
+    """Evaluate one ``{{...}}`` placeholder from a ``gen`` template:
+    a bare name resolves from ``env`` (dimension variable or template
+    string); anything else must be integer arithmetic over those
+    names."""
+    expr = expr.strip()
+    if expr in env:
+        return env[expr]
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as exc:
+        raise KerchunkError(f"gen expression {expr!r} unparseable") from exc
+    for node in ast.walk(tree):
+        if not isinstance(node, _GEN_ALLOWED_NODES):
+            raise KerchunkError(
+                f"gen expression {expr!r} uses unsupported construct "
+                f"{type(node).__name__} — only integer arithmetic over "
+                "dimension variables is supported (materialize the refs "
+                "for anything richer)"
+            )
+        if isinstance(node, ast.Constant) and not isinstance(
+            node.value, (int, float)
+        ):
+            raise KerchunkError(
+                f"gen expression {expr!r}: non-numeric constant"
+            )
+        if isinstance(node, ast.Name):
+            if not isinstance(env.get(node.id), int):
+                raise KerchunkError(
+                    f"gen expression {expr!r} uses {node.id!r}, which is "
+                    "not an integer dimension variable"
+                )
+    return eval(compile(tree, "<gen>", "eval"), {"__builtins__": {}}, env)
+
+
+def _gen_render(template: str, env: dict[str, object]) -> str:
+    return _GEN_EXPR_RE.sub(
+        lambda m: str(_gen_eval(m.group(1), env)), template
+    )
+
+
+def _gen_dimension_values(spec: object) -> Sequence[int]:
+    """One ``dimensions`` entry: a list of values, or a
+    ``{"start", "stop", "step"}`` range (start/step optional, as in
+    fsspec's ReferenceFileSystem).  Ranges stay LAZY (``range``) so the
+    oversize guard in :func:`_expand_gen` can measure them via ``len``
+    before anything allocates."""
+    if isinstance(spec, list):
+        return [int(v) for v in spec]
+    if isinstance(spec, dict) and "stop" in spec:
+        return range(
+            int(spec.get("start", 0)),
+            int(spec["stop"]),
+            int(spec.get("step", 1)),
+        )
+    raise KerchunkError(f"malformed gen dimension spec {spec!r}")
+
+
+#: driver-side expansion bound: ~10M refs is the dict the equivalent
+#: materialized document would already carry; past that, the scale path
+#: is building the manifest DataFrame from the gen arithmetic directly
+_GEN_MAX_REFS = 10_000_000
+
+
+def _expand_gen(
+    gen: list, templates: dict, max_refs: int = _GEN_MAX_REFS
+) -> dict[str, object]:
+    """Expand the kerchunk v1 ``gen`` section into concrete refs.
+
+    Each entry generates one ref per point of the cartesian product of
+    its ``dimensions``; ``key`` and ``url`` are string templates,
+    ``offset``/``length`` (optional) must render to integers.  Driver-
+    side by design — the expansion is the same dict the materialized
+    document would carry, and it feeds straight into the manifest
+    table.  A product larger than ``max_refs`` refuses loudly BEFORE
+    allocating anything (an untrusted doc must not be able to OOM the
+    driver with one big ``stop``)."""
+    out: dict[str, object] = {}
+    if not isinstance(gen, list):
+        raise KerchunkError("gen section must be a list of entries")
+    total = 0
+    for entry in gen:
+        if not isinstance(entry, dict) or "key" not in entry or "url" not in entry:
+            raise KerchunkError(f"malformed gen entry {entry!r}")
+        dims = entry.get("dimensions") or {}
+        names = list(dims)
+        axes = [_gen_dimension_values(dims[n]) for n in names]
+        n_points = 1
+        for ax in axes:
+            n_points *= len(ax)
+        total += n_points
+        if total > max_refs:
+            raise KerchunkError(
+                f"gen section expands to more than {max_refs} refs — "
+                "build the chunk manifest from the generated ranges "
+                "directly instead of materializing the mapping"
+            )
+        has_offset = "offset" in entry
+        has_length = "length" in entry
+        if has_offset != has_length:
+            raise KerchunkError(
+                "gen entry must carry both offset and length or neither"
+            )
+        for point in itertools.product(*axes) if names else [()]:
+            env: dict[str, object] = {
+                k: v for k, v in templates.items() if isinstance(v, str)
+            }
+            env.update(zip(names, (int(p) for p in point)))
+            key = _gen_render(str(entry["key"]), env)
+            url = _gen_render(str(entry["url"]), env)
+            if has_offset:
+                off = _gen_render(str(entry["offset"]), env)
+                ln = _gen_render(str(entry["length"]), env)
+                try:
+                    out[key] = [url, int(off), int(ln)]
+                except ValueError as exc:
+                    raise KerchunkError(
+                        f"gen entry offset/length rendered non-integer: "
+                        f"{off!r}/{ln!r}"
+                    ) from exc
+            else:
+                out[key] = [url]
+    return out
 
 
 def _inline_bytes(val: str) -> bytes:

@@ -144,8 +144,8 @@ def test_template_errors_and_gen_rejected():
             {"version": 1, "templates": {"u": "{% for i in x %}"},
              "refs": {"v/0": ["{{u}}", 0, 1]}}
         )
-    # generated key ranges stay a loud refusal
-    with pytest.raises(kerchunk.KerchunkError, match="gen"):
+    # malformed gen entries (no url) refuse loudly
+    with pytest.raises(kerchunk.KerchunkError, match="malformed gen"):
         kerchunk.parse_refs(
             {"version": 1, "gen": [{"key": "v/{{i}}"}], "refs": {}}
         )
@@ -155,6 +155,133 @@ def test_template_errors_and_gen_rejected():
          "refs": {"v/0": "{{not-a-template}}"}}
     )
     assert refs["v/0"] == "{{not-a-template}}"
+
+
+def _gen_fixture(tmp_path):
+    """Uncompressed fixed-size chunks packed at arithmetic offsets —
+    the regular layout kerchunk's ``gen`` section compresses into one
+    template entry instead of thousands of explicit refs."""
+    data = (np.arange(24, dtype="f8").reshape(4, 6) * 3 % 17) / 2.0
+    cshape = (2, 3)
+    grid = (2, 2)
+    chunk_bytes = 2 * 3 * 8
+    blob = bytearray(b"HDR!")
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            block = data[i * 2:(i + 1) * 2, j * 3:(j + 1) * 3]
+            blob += np.ascontiguousarray(block).tobytes()
+    (tmp_path / "gen.bin").write_bytes(bytes(blob))
+    refs = {
+        "v/.zarray": json.dumps(
+            {"zarr_format": 2, "shape": [4, 6], "chunks": list(cshape),
+             "dtype": "<f8", "compressor": None, "fill_value": None,
+             "order": "C", "filters": None, "dimension_separator": "."}
+        ),
+        "v/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["y", "x"]}),
+    }
+    doc = {
+        "version": 1,
+        "templates": {"u": str(tmp_path)},
+        "refs": refs,
+        "gen": [
+            {
+                "key": "v/{{i}}.{{j}}",
+                "url": "{{u}}/gen.bin",
+                "offset": "{{4 + (i * 2 + j) * %d}}" % chunk_bytes,
+                "length": "{{%d}}" % chunk_bytes,
+                "dimensions": {"i": {"stop": 2}, "j": {"stop": 2}},
+            }
+        ],
+    }
+    return doc, data
+
+
+def test_gen_section_expands_and_decodes(spark, tmp_path):
+    """r10: the v1 ``gen`` section (generated key ranges with integer-
+    arithmetic placeholders) expands to concrete byte-range refs and the
+    document decodes exactly."""
+    doc, data = _gen_fixture(tmp_path)
+    refs = kerchunk.parse_refs(doc)
+    assert refs["v/0.0"] == [str(tmp_path / "gen.bin"), 4, 48]
+    assert refs["v/1.1"] == [str(tmp_path / "gen.bin"), 4 + 3 * 48, 48]
+    out = kerchunk.decode_kerchunk_long(spark, doc, "v")
+    got = {(int(r.y), int(r.x)): r.value for r in out.collect()}
+    assert len(got) == 24
+    for y in range(4):
+        for x in range(6):
+            assert got[(y, x)] == data[y, x]
+
+
+def test_gen_expansion_semantics():
+    # explicit refs win over generated keys on collision
+    doc = {
+        "version": 1,
+        "refs": {"v/0": ["explicit.bin", 0, 8]},
+        "gen": [
+            {"key": "v/{{i}}", "url": "gen.bin",
+             "offset": "{{i * 8}}", "length": "8",
+             "dimensions": {"i": {"stop": 2}}}
+        ],
+    }
+    refs = kerchunk.parse_refs(doc)
+    assert refs["v/0"] == ["explicit.bin", 0, 8]
+    assert refs["v/1"] == ["gen.bin", 8, 8]
+    # list-valued and start/step dimensions
+    out = kerchunk._expand_gen(
+        [{"key": "k{{i}}", "url": "u", "offset": "{{(i + 1) * 1000}}",
+          "length": "1000", "dimensions": {"i": {"start": 2, "stop": 8,
+                                                 "step": 3}}},
+         {"key": "m{{v}}", "url": "u{{v}}",
+          "dimensions": {"v": [7, 9]}}],
+        {},
+    )
+    assert out == {
+        "k2": ["u", 3000, 1000], "k5": ["u", 6000, 1000],
+        "m7": ["u7"], "m9": ["u9"],
+    }
+    # templates usable inside gen urls
+    out = kerchunk._expand_gen(
+        [{"key": "k", "url": "{{u}}/f.bin", "dimensions": {}}],
+        {"u": "/base"},
+    )
+    assert out == {"k": ["/base/f.bin"]}
+
+
+def test_gen_expression_refusals():
+    base = {"key": "k{{i}}", "url": "u", "dimensions": {"i": {"stop": 1}}}
+    # function calls / attribute access refuse (no jinja filter escape)
+    with pytest.raises(kerchunk.KerchunkError, match="unsupported construct"):
+        kerchunk._expand_gen(
+            [{**base, "key": "k{{ i.__class__ }}"}], {}
+        )
+    with pytest.raises(kerchunk.KerchunkError, match="unsupported construct"):
+        kerchunk._expand_gen([{**base, "key": "k{{ open(1) }}"}], {})
+    # undefined dimension variable
+    with pytest.raises(kerchunk.KerchunkError, match="not an integer"):
+        kerchunk._expand_gen([{**base, "key": "k{{ nope + 1 }}"}], {})
+    # offset without length
+    with pytest.raises(kerchunk.KerchunkError, match="both offset"):
+        kerchunk._expand_gen([{**base, "offset": "0"}], {})
+    # non-integer rendered offset
+    with pytest.raises(kerchunk.KerchunkError, match="non-integer"):
+        kerchunk._expand_gen(
+            [{**base, "offset": "x{{i}}", "length": "8"}], {}
+        )
+    # malformed dimension spec
+    with pytest.raises(kerchunk.KerchunkError, match="malformed gen dim"):
+        kerchunk._expand_gen(
+            [{**base, "dimensions": {"i": {"begin": 0}}}], {}
+        )
+    # Pow is refused (a 9**9**9 in an untrusted doc must not hang)
+    with pytest.raises(kerchunk.KerchunkError, match="unsupported construct"):
+        kerchunk._expand_gen([{**base, "key": "k{{ i ** 9 }}"}], {})
+    # oversize cartesian products refuse BEFORE allocating
+    with pytest.raises(kerchunk.KerchunkError, match="more than"):
+        kerchunk._expand_gen(
+            [{**base,
+              "dimensions": {"i": {"stop": 10 ** 6}, "j": {"stop": 10 ** 6}}}],
+            {},
+        )
 
 
 def test_refs_built_over_real_zarr_store(spark, tmp_path):
