@@ -48,6 +48,16 @@ _FIXED_THIS_ROUND = (
     # inner decode; the refs builder now seek-reads shard indexes
     "zarr3_sharded_decode",
     "kerchunk_sharded_decode",
+    # r10: parse_refs gained gen-section expansion — the explicit-refs
+    # and templated paths flow through the same normalization
+    "kerchunk_decode",
+    "kerchunk_templated_decode",
+    # r10: write_zarr_distributed refactored for list-valued data_var —
+    # every native publish row runs through the reshaped write loop
+    "zarr_publish_readback",
+    "zarr3_publish_readback",
+    "zarr3_sharded_publish_readback",
+    "zarr_insert_readback",
     # rows-only sketch estimates: re-stamp their `no_oracle`-by-design
     # records every rotation (r7 practice the judge endorsed)
     "approx_distinct_users_daily",

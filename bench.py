@@ -111,6 +111,10 @@ HEADLINE = [
     "zarr3_sharded_decode",       # sharded v3: index parse + inner decode
     "zarr3_sharded_publish_readback",  # shard-keyed distributed publish
     "kerchunk_sharded_decode",    # shard index -> inner-chunk byte-range refs
+    # round-10 additions:
+    "kerchunk_gen_decode",        # gen-section expansion -> manifest scan
+    "zarr_multivar_publish_readback",  # 2 vars, ONE chunk-key shuffle
+    "zarr_insert_readback",       # region-INSERT repair on a live store
 ]
 
 

@@ -5277,6 +5277,109 @@ def kerchunk_templated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kerchunk_gen_decode", _nc_oracle())
+def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kerchunk v1 GENERATED refs (r10): for large regular stores
+    MultiZarrToZarr emits a ``gen`` section — one template entry whose
+    key/url/offset/length render over the cartesian product of declared
+    ``dimensions`` — instead of thousands of explicit refs (fsspec
+    ReferenceFileSystem's documented compressed form; the reference's
+    create_zarr_json consumers hit it right after ``templates``).  The
+    fixture packs the grid's UNCOMPRESSED fixed-size chunks at
+    arithmetic offsets so one gen entry addresses every chunk:
+    ``offset = {{4 + flat_chunk_index * chunk_bytes}}``.  Same literal
+    oracle as every ingest front door — expansion must change nothing
+    but the document shape."""
+    import json as _json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kcgen_{digest}")
+    refs_path = os.path.join(base, "refs.json")
+    cshape = (2, 3, 2)
+    grid = tuple(-(-s // c) for s, c in zip(data.shape, cshape))
+    cb = int(np.prod(cshape)) * 8
+    if not os.path.exists(refs_path):
+        os.makedirs(base, exist_ok=True)
+        blob = bytearray(b"KGEN")
+        for it in range(grid[0]):
+            for ila in range(grid[1]):
+                for ilo in range(grid[2]):
+                    block = np.full(cshape, -9999.0)
+                    region = tuple(
+                        slice(ci * c, min((ci + 1) * c, s))
+                        for ci, c, s in zip((it, ila, ilo), cshape, data.shape)
+                    )
+                    extent = tuple(
+                        slice(0, r.stop - r.start) for r in region
+                    )
+                    block[extent] = data[region]
+                    blob += block.astype("<f8").tobytes()
+        refs: dict[str, object] = {
+            "precip/.zarray": _json.dumps(
+                {"zarr_format": 2, "shape": list(data.shape),
+                 "chunks": list(cshape), "dtype": "<f8",
+                 "compressor": None, "fill_value": -9999.0, "order": "C",
+                 "filters": None, "dimension_separator": "."}
+            ),
+            "precip/.zattrs": _json.dumps(
+                {"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"],
+                 "_FillValue": -9999.0}
+            ),
+        }
+        for name, arr in (
+            ("time", times), ("latitude", lats), ("longitude", lons)
+        ):
+            refs[f"{name}/.zarray"] = _json.dumps(
+                {"zarr_format": 2, "shape": [arr.size], "chunks": [arr.size],
+                 "dtype": "<f8", "compressor": None, "fill_value": None,
+                 "order": "C", "filters": None}
+            )
+            refs[f"{name}/.zattrs"] = _json.dumps(
+                {"_ARRAY_DIMENSIONS": [name]}
+            )
+            raw = np.asarray(arr).astype("<f8").tobytes()
+            refs[f"{name}/0"] = ["grid.bin", len(blob), len(raw)]
+            blob += raw
+        with open(os.path.join(base, "grid.bin"), "wb") as f:
+            f.write(bytes(blob))
+        doc = {
+            "version": 1,
+            "templates": {"u": base},
+            "refs": refs,
+            "gen": [
+                {
+                    "key": "precip/{{t}}.{{la}}.{{lo}}",
+                    "url": "{{u}}/grid.bin",
+                    "offset": "{{4 + ((t * %d + la) * %d + lo) * %d}}"
+                    % (grid[1], grid[2], cb),
+                    "length": "{{%d}}" % cb,
+                    "dimensions": {
+                        "t": {"stop": grid[0]},
+                        "la": {"stop": grid[1]},
+                        "lo": {"stop": grid[2]},
+                    },
+                }
+            ],
+        }
+        tmp = refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f)
+        os.replace(tmp, refs_path)
+    with open(refs_path) as f:
+        doc = _json.load(f)
+    out = kc_mod.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf, digest-named) the events daily (station, day)
     mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —
@@ -5340,6 +5443,80 @@ def zarr_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _zarr_publish_root(spark, sf_dir)
     out = z2_mod.decode_zarr_long(spark, root, "daily_mean")
     return out.select("station", "day", "value")
+
+
+@query(
+    "zarr_multivar_publish_readback",
+    """
+    WITH rollup AS (
+      SELECT user_id AS station,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(avg(value), 6) AS mv,
+             round(CAST(max(value) AS DOUBLE), 6) AS xv
+      FROM events GROUP BY 1, 2
+    ),
+    stations AS (SELECT DISTINCT user_id AS station FROM events),
+    days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT CAST(s.station AS DOUBLE) AS station,
+           CAST(d.day - DATE '1970-01-01' AS DOUBLE) AS day,
+           r.mv AS mean_value,
+           r.xv AS max_value
+    FROM stations s CROSS JOIN days d
+    LEFT JOIN rollup r ON r.station = s.station AND r.day = d.day
+    """,
+)
+def zarr_multivar_publish_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-variable NATIVE publish in one shuffle (r10, closing the
+    carried one-shuffle-per-variable note): daily mean AND max publish
+    as TWO zarr arrays from ONE wide frame through ONE chunk-key
+    shuffle — each shuffled group writes both variables' chunk files
+    from the same pass (sinks/zarr_sink.py write_zarr_distributed with
+    list-valued data_var; the reference's to_zarr publishes whole
+    multi-var xr.Datasets the same way, publish.py:155-240).  The
+    oracle recomputes both variables relationally, so both decodes must
+    round-trip every cell and every absent station-day as fill->NULL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+
+    digest = hashlib.md5(f"zarr_mvpub_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zarr_mvpub_{digest}.zarr"
+    )
+    if not os.path.exists(os.path.join(root, ".zmetadata")):
+        ev = load(spark, sf_dir, "events")
+        rollup = ev.groupBy(
+            F.col("user_id").cast("double").alias("station"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+        ).agg(
+            F.round(F.avg("value"), 6).alias("mv"),
+            F.round(F.max("value").cast("double"), 6).alias("xv"),
+        )
+        write_zarr_distributed(
+            rollup, root, ["mean_value", "max_value"],
+            dims=["station", "day"], value_col=["mv", "xv"],
+            chunks=(32, 8),
+        )
+    a = z2_mod.decode_zarr_long(spark, root, "mean_value").select(
+        "station", "day", F.col("value").alias("mean_value")
+    )
+    b = z2_mod.decode_zarr_long(spark, root, "max_value").select(
+        "station", "day", F.col("value").alias("max_value")
+    )
+    return a.join(b, on=["station", "day"], how="inner").select(
+        "station", "day", "mean_value", "max_value"
+    )
 
 
 def _zarr3_publish_root(spark: SparkSession, sf_dir: str) -> str:

@@ -53,9 +53,9 @@ def write_chunk_atomic(dest: str, raw: bytes, fs: ControlFS | None = None) -> No
 def write_zarr_distributed(
     df: DataFrame,
     root: str,
-    data_var: str,
+    data_var: str | Sequence[str],
     dims: Sequence[str],
-    value_col: str = "value",
+    value_col: str | Sequence[str] = "value",
     chunks: Sequence[int] | None = None,
     fill_value: float = float("nan"),
     compressor: str | None = "zlib",
@@ -67,6 +67,14 @@ def write_zarr_distributed(
     """Write a long-form frame (one row per grid cell) as a Zarr v2
     (default) or v3 store.  Returns a summary {n_chunks, n_cells,
     shape}.
+
+    ``data_var`` may be a LIST of variable names (with ``value_col`` a
+    matching list of columns in ``df``) — the ERA5-shaped multi-variable
+    publish (r10, closing the carried one-shuffle-per-variable note):
+    all variables share the dims/chunk grid, so ONE chunk-key shuffle
+    co-locates every cell of every variable and each group writes one
+    chunk object (or shard) PER variable from the same pass.  At 100 TB
+    an N-variable dataset costs one data movement, not N.
 
     ``zarr_format=3`` writes the OTHER metadata generation the
     reference tolerates (store.py:249-271 format flags): a root
@@ -91,6 +99,17 @@ def write_zarr_distributed(
     """
     if zarr_format not in (2, 3):
         raise ValueError("zarr_format must be 2 or 3")
+    data_vars = [data_var] if isinstance(data_var, str) else list(data_var)
+    value_cols = (
+        [value_col] if isinstance(value_col, str) else list(value_col)
+    )
+    if len(data_vars) != len(value_cols):
+        raise ValueError(
+            f"data_var ({len(data_vars)}) and value_col "
+            f"({len(value_cols)}) must pair up"
+        )
+    if len(set(data_vars)) != len(data_vars):
+        raise ValueError(f"duplicate variable names in {data_vars}")
     if shards is not None and zarr_format != 3:
         raise ValueError("shards= requires zarr_format=3 (sharding_indexed)")
     if zarr_format == 3 and compressor == "zlib":
@@ -148,7 +167,10 @@ def write_zarr_distributed(
     # because the axis values came from distinct() of this very column
     keyed = df.select(
         *[F.col(d).cast("double").alias(d) for d in dims],
-        F.col(value_col).cast("double").alias("__v"),
+        *[
+            F.col(c).cast("double").alias(f"__v{vi}")
+            for vi, c in enumerate(value_cols)
+        ],
     )
     for i, d in enumerate(dims):
         ax_tbl = spark.createDataFrame(
@@ -172,7 +194,8 @@ def write_zarr_distributed(
         ),
     )
 
-    os.makedirs(os.path.join(root, data_var), exist_ok=True)
+    for v in data_vars:
+        os.makedirs(os.path.join(root, v), exist_ok=True)
     fill = fill_value
 
     out_schema = T.StructType(
@@ -203,7 +226,6 @@ def write_zarr_distributed(
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
-        block = np.full(gshape, fill, dtype=dtype)
         offsets = [
             pdf[f"__i{i}"].to_numpy() - idx[i] * gshape[i]
             for i in range(len(dims))
@@ -213,26 +235,32 @@ def write_zarr_distributed(
             raise ValueError(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
-        block.reshape(-1)[flat] = pdf["__v"].to_numpy()
-        if sshape is not None:
-            # one sharding_indexed object per task: inner chunks +
-            # crc32c-checked index, all-fill inner chunks elided
-            raw = zarr2._encode_shard(
-                block, cshape, comp_meta, dtype.itemsize, fill
-            )
-        else:
-            raw = zarr2._compress_chunk(
-                block.tobytes(order="C"), comp_meta, dtype.itemsize,
-                filters=filt_meta, filter_key=enc_key,
-            )
         if v3:  # default chunk-key encoding: c/<i>/<j>/...
             rel = "c/" + "/".join(str(i) for i in idx)
         else:
             rel = ".".join(str(i) for i in idx)
-        dest = os.path.join(root, data_var, rel)
-        write_chunk_atomic(dest, raw)
+        total_bytes = 0
+        # every variable's chunk from the SAME shuffled group — the
+        # multi-var publish costs one data movement, not one per var
+        for vi, var in enumerate(data_vars):
+            block = np.full(gshape, fill, dtype=dtype)
+            block.reshape(-1)[flat] = pdf[f"__v{vi}"].to_numpy()
+            if sshape is not None:
+                # one sharding_indexed object per task: inner chunks +
+                # crc32c-checked index, all-fill inner chunks elided
+                raw = zarr2._encode_shard(
+                    block, cshape, comp_meta, dtype.itemsize, fill
+                )
+            else:
+                raw = zarr2._compress_chunk(
+                    block.tobytes(order="C"), comp_meta, dtype.itemsize,
+                    filters=filt_meta, filter_key=enc_key,
+                )
+            write_chunk_atomic(os.path.join(root, var, rel), raw)
+            total_bytes += len(raw)
         return pd.DataFrame(
-            {"chunk": [rel], "n_cells": [len(pdf)], "n_bytes": [len(raw)]}
+            {"chunk": [rel], "n_cells": [len(pdf)],
+             "n_bytes": [total_bytes]}
         )
 
     # 3. the one shuffle: group cells by chunk, write each chunk where
@@ -316,10 +344,12 @@ def write_zarr_distributed(
                 _json.dump(
                     _v3_meta((axes[d].size,), (ax_chunk,), [d], {}), f
                 )
-        with open(os.path.join(root, data_var, "zarr.json"), "w") as f:
-            _json.dump(
-                _v3_meta(shape, cshape, dims, attrs or {}, shard_=sshape), f
-            )
+        for var in data_vars:
+            with open(os.path.join(root, var, "zarr.json"), "w") as f:
+                _json.dump(
+                    _v3_meta(shape, cshape, dims, attrs or {},
+                             shard_=sshape), f
+                )
         # the root group node LAST: open_store's v3 detection keys on it,
         # so a reader never sees the store before it is complete
         with open(os.path.join(root, "zarr.json"), "w") as f:
@@ -354,12 +384,13 @@ def write_zarr_distributed(
         "dimension_separator": ".",
     }
     zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
-    with open(os.path.join(root, data_var, ".zarray"), "w") as f:
-        _json.dump(zarray, f)
-    with open(os.path.join(root, data_var, ".zattrs"), "w") as f:
-        _json.dump(zattrs, f)
+    for var in data_vars:
+        with open(os.path.join(root, var, ".zarray"), "w") as f:
+            _json.dump(zarray, f)
+        with open(os.path.join(root, var, ".zattrs"), "w") as f:
+            _json.dump(zattrs, f)
     consolidated = {".zgroup": {"zarr_format": 2}}
-    for name in [*dims, data_var]:
+    for name in [*dims, *data_vars]:
         with open(os.path.join(root, name, ".zarray")) as f:
             consolidated[f"{name}/.zarray"] = _json.load(f)
         with open(os.path.join(root, name, ".zattrs")) as f:
@@ -375,11 +406,57 @@ def write_zarr_distributed(
     }
 
 
+def _normalize_vars(
+    data_var: str | Sequence[str], value_col: str | Sequence[str]
+) -> tuple[list[str], list[str]]:
+    data_vars = [data_var] if isinstance(data_var, str) else list(data_var)
+    value_cols = (
+        [value_col] if isinstance(value_col, str) else list(value_col)
+    )
+    if len(data_vars) != len(value_cols):
+        raise ValueError(
+            f"data_var ({len(data_vars)}) and value_col "
+            f"({len(value_cols)}) must pair up"
+        )
+    if len(set(data_vars)) != len(data_vars):
+        raise ValueError(f"duplicate variable names in {data_vars}")
+    return data_vars, value_cols
+
+
+def _check_congruent(metas: list) -> None:
+    """Multi-var updates share ONE chunk-key shuffle, which is only
+    sound when every variable lives on the same dim/shape/chunk grid."""
+    first = metas[0]
+    for m in metas[1:]:
+        if (
+            m.dims != first.dims
+            or m.shape != first.shape
+            or m.chunks != first.chunks
+        ):
+            raise zarr2.ZarrError(
+                f"{m.name} grid (dims={m.dims}, shape={m.shape}, "
+                f"chunks={m.chunks}) differs from {first.name}'s — "
+                "multi-var updates need congruent variables (run one "
+                "update per grid otherwise)"
+            )
+
+
+def _filter_key_for(meta, data_var: str):
+    if not meta.filters:
+        return None
+    if meta.filter_key is None:
+        raise zarr2.ZarrError(
+            f"{data_var}: store is encrypted — register the key "
+            f"({meta.filters[0]['key_hash'][:12]}…) first"
+        )
+    return meta.filter_key
+
+
 def insert_zarr_distributed(
     df: DataFrame,
     root: str,
-    data_var: str,
-    value_col: str = "value",
+    data_var: str | Sequence[str],
+    value_col: str | Sequence[str] = "value",
 ) -> dict:
     """Distributed region-INSERT: overwrite EXISTING cells of a
     published zarr store, executor-parallel (the reference's
@@ -404,24 +481,28 @@ def insert_zarr_distributed(
     update cells, encrypted stores without a registered key.
     Metadata never changes (shape and axes are fixed), so there is no
     commit step: each chunk replacement is individually atomic.
+
+    ``data_var`` may be a LIST of congruent variables (r10, the
+    dataset-level shape of the reference's update — its ``region=``
+    writes carry the whole xr.Dataset): one shuffle, each group
+    read-modify-writes every variable's chunk from the same pass.
     Returns {n_chunks, n_cells, shape}."""
+    data_vars, value_cols = _normalize_vars(data_var, value_col)
     arrays = zarr2.open_store(root)
-    meta = arrays[data_var]
+    metas = [arrays[v] for v in data_vars]
+    _check_congruent(metas)
+    meta = metas[0]
     dims = meta.dims
     spark = df.sparkSession
     axes = {d: zarr2.read_array(root, arrays[d]) for d in dims}
-    enc_key = None
-    if meta.filters:
-        if meta.filter_key is None:
-            raise zarr2.ZarrError(
-                f"{data_var}: store is encrypted — register the key "
-                f"({meta.filters[0]['key_hash'][:12]}…) before inserting"
-            )
-        enc_key = meta.filter_key
+    enc_keys = [_filter_key_for(m, v) for m, v in zip(metas, data_vars)]
 
     keyed = df.select(
         *[F.col(d).cast("double").alias(d) for d in dims],
-        F.col(value_col).cast("double").alias("__v"),
+        *[
+            F.col(c).cast("double").alias(f"__v{vi}")
+            for vi, c in enumerate(value_cols)
+        ],
     )
     n_in = keyed.count()
     for i, d in enumerate(dims):
@@ -461,22 +542,9 @@ def insert_zarr_distributed(
             T.StructField("n_cells", T.LongType()),
         ]
     )
-    sep = meta.dimension_separator
-    prefix = meta.chunk_prefix
-    fill = meta.fill_value if meta.fill_value is not None else 0
-
     def _rewrite_group(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
-        key = sep.join(str(i) for i in idx)
-        rel = f"{prefix}{sep}{key}" if prefix else key
-        dest = os.path.join(root, data_var, *rel.split("/"))
-        if os.path.exists(dest):
-            with open(dest, "rb") as f:
-                # this task reads ONLY its own chunk — the per-chunk
-                # read-modify-write that makes the insert O(update)
-                block = zarr2.decode_chunk(f.read(), meta).copy()
-        else:
-            block = np.full(cshape, fill, dtype=meta.dtype)
+        rel = meta.chunk_rel(idx)
         offsets = [
             pdf[f"__i{i}"].to_numpy() - idx[i] * cshape[i]
             for i in range(len(dims))
@@ -486,28 +554,43 @@ def insert_zarr_distributed(
             raise ValueError(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
-        # fancy-index assignment (not reshape(-1)) so F-order decoded
-        # blocks are updated in place, not on a C-flat copy
-        block[tuple(offsets)] = pdf["__v"].to_numpy()
-        if meta.shard is not None:
-            raw = zarr2._encode_shard(
-                block,
-                tuple(meta.shard["inner_chunks"]),
-                meta.shard["compressor"],
-                meta.dtype.itemsize,
-                meta.fill_value,
-                index_location=meta.shard["index_location"],
-                index_crc=meta.shard["index_crc"],
-            )
-        else:
-            raw = zarr2._compress_chunk(
-                block.tobytes(order=meta.order),
-                meta.compressor,
-                meta.dtype.itemsize,
-                filters=meta.filters,
-                filter_key=enc_key,
-            )
-        write_chunk_atomic(dest, raw)
+        for vi, (var, vmeta, vkey) in enumerate(
+            zip(data_vars, metas, enc_keys)
+        ):
+            vrel = vmeta.chunk_rel(idx)
+            dest = os.path.join(root, var, *vrel.split("/"))
+            if os.path.exists(dest):
+                with open(dest, "rb") as f:
+                    # this task reads ONLY its own chunk — the per-chunk
+                    # read-modify-write that makes the insert O(update)
+                    block = zarr2.decode_chunk(f.read(), vmeta).copy()
+            else:
+                vfill = (
+                    vmeta.fill_value if vmeta.fill_value is not None else 0
+                )
+                block = np.full(cshape, vfill, dtype=vmeta.dtype)
+            # fancy-index assignment (not reshape(-1)) so F-order decoded
+            # blocks are updated in place, not on a C-flat copy
+            block[tuple(offsets)] = pdf[f"__v{vi}"].to_numpy()
+            if vmeta.shard is not None:
+                raw = zarr2._encode_shard(
+                    block,
+                    tuple(vmeta.shard["inner_chunks"]),
+                    vmeta.shard["compressor"],
+                    vmeta.dtype.itemsize,
+                    vmeta.fill_value,
+                    index_location=vmeta.shard["index_location"],
+                    index_crc=vmeta.shard["index_crc"],
+                )
+            else:
+                raw = zarr2._compress_chunk(
+                    block.tobytes(order=vmeta.order),
+                    vmeta.compressor,
+                    vmeta.dtype.itemsize,
+                    filters=vmeta.filters,
+                    filter_key=vkey,
+                )
+            write_chunk_atomic(dest, raw)
         return pd.DataFrame({"chunk": [rel], "n_cells": [len(pdf)]})
 
     written = (
@@ -523,8 +606,8 @@ def insert_zarr_distributed(
 def append_zarr_distributed(
     df: DataFrame,
     root: str,
-    data_var: str,
-    value_col: str = "value",
+    data_var: str | Sequence[str],
+    value_col: str | Sequence[str] = "value",
 ) -> dict:
     """Distributed append along the store's FIRST dimension (the
     reference's ``to_zarr(append_dim=...)``, publish.py:452-478 — but
@@ -541,13 +624,20 @@ def append_zarr_distributed(
     append-axis extent is chunk-aligned; the new axis values are
     disjoint from (and appended after) the existing ones; every
     non-append coordinate matches an existing axis value exactly.
+
+    ``data_var`` may be a LIST of congruent variables (r10) — one
+    shuffle appends every variable's new chunks, then ALL shape records
+    commit in the same metadata-last step.
     Returns {n_chunks, n_cells, shape}."""
+    data_vars, value_cols = _normalize_vars(data_var, value_col)
     arrays = zarr2.open_store(root)
-    meta = arrays[data_var]
+    metas = [arrays[v] for v in data_vars]
+    _check_congruent(metas)
+    meta = metas[0]
     dims = meta.dims
     append_dim = dims[0]
     tmeta = arrays[append_dim]
-    for m in (meta, tmeta):
+    for m in (*metas, tmeta):
         if m.shape[0] % m.chunks[0]:
             raise zarr2.ZarrError(
                 f"append requires chunk-aligned extent on {m.name} "
@@ -577,24 +667,17 @@ def append_zarr_distributed(
             )
     off = meta.shape[0]
     cshape = meta.chunks
-    dtype = meta.dtype
-    fill = meta.fill_value if meta.fill_value is not None else 0
-    comp = meta.compressor  # {'id': 'zlib'|'gzip', 'level': N} | None
-    enc_key = None
-    if meta.filters:
-        # encrypted store (xchacha20poly1305 filter): the append must
-        # encrypt new chunks with the store's own key, resolved
-        # driver-side by open_store from the registry
-        if meta.filter_key is None:
-            raise zarr2.ZarrError(
-                f"{data_var}: store is encrypted — register the key "
-                f"({meta.filters[0]['key_hash'][:12]}…) before appending"
-            )
-        enc_key = meta.filter_key
+    # encrypted stores (xchacha20poly1305 filter): the append must
+    # encrypt new chunks with each store array's own key, resolved
+    # driver-side by open_store from the registry
+    enc_keys = [_filter_key_for(m, v) for m, v in zip(metas, data_vars)]
 
     keyed = df.select(
         *[F.col(d).cast("double").alias(d) for d in dims],
-        F.col(value_col).cast("double").alias("__v"),
+        *[
+            F.col(c).cast("double").alias(f"__v{vi}")
+            for vi, c in enumerate(value_cols)
+        ],
     )
     n_in = keyed.count()
     for i, d in enumerate(dims):
@@ -631,19 +714,16 @@ def append_zarr_distributed(
         ),
     )
 
-    v3 = meta.zarr_version == 3
     out_schema = T.StructType(
         [
             T.StructField("chunk", T.StringType()),
             T.StructField("n_cells", T.LongType()),
         ]
     )
-    sep = meta.dimension_separator
-    prefix = meta.chunk_prefix
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = tuple(int(p) for p in pdf["__ckey"].iloc[0].split("."))
-        block = np.full(cshape, fill, dtype=dtype)
+        rel = meta.chunk_rel(idx)
         offsets = [
             pdf[f"__i{i}"].to_numpy() - idx[i] * cshape[i]
             for i in range(len(dims))
@@ -653,29 +733,34 @@ def append_zarr_distributed(
             raise ValueError(
                 f"duplicate cells in chunk {idx} — dedup upstream"
             )
-        block.reshape(-1)[flat] = pdf["__v"].to_numpy()
         # the store's own codec chain (filters -> compressor), shared
         # with every other writer — so blosc, encrypted, AND sharded
         # stores append with the SAME encoding they were published with
-        if meta.shard is not None:
-            raw = zarr2._encode_shard(
-                block,
-                tuple(meta.shard["inner_chunks"]),
-                meta.shard["compressor"],
-                meta.dtype.itemsize,
-                meta.fill_value,
-                index_location=meta.shard["index_location"],
-                index_crc=meta.shard["index_crc"],
-            )
-        else:
-            raw = zarr2._compress_chunk(
-                block.tobytes(order=meta.order), comp, meta.dtype.itemsize,
-                filters=meta.filters, filter_key=enc_key,
-            )
-        key = sep.join(str(i) for i in idx)
-        rel = f"{prefix}{sep}{key}" if prefix else key
-        dest = os.path.join(root, data_var, *rel.split("/"))
-        write_chunk_atomic(dest, raw)
+        for vi, (var, vmeta, vkey) in enumerate(
+            zip(data_vars, metas, enc_keys)
+        ):
+            vfill = vmeta.fill_value if vmeta.fill_value is not None else 0
+            block = np.full(cshape, vfill, dtype=vmeta.dtype)
+            block.reshape(-1)[flat] = pdf[f"__v{vi}"].to_numpy()
+            if vmeta.shard is not None:
+                raw = zarr2._encode_shard(
+                    block,
+                    tuple(vmeta.shard["inner_chunks"]),
+                    vmeta.shard["compressor"],
+                    vmeta.dtype.itemsize,
+                    vmeta.fill_value,
+                    index_location=vmeta.shard["index_location"],
+                    index_crc=vmeta.shard["index_crc"],
+                )
+            else:
+                raw = zarr2._compress_chunk(
+                    block.tobytes(order=vmeta.order), vmeta.compressor,
+                    vmeta.dtype.itemsize,
+                    filters=vmeta.filters, filter_key=vkey,
+                )
+            vrel = vmeta.chunk_rel(idx)
+            dest = os.path.join(root, var, *vrel.split("/"))
+            write_chunk_atomic(dest, raw)
         return pd.DataFrame({"chunk": [rel], "n_cells": [len(pdf)]})
 
     written = (
@@ -683,11 +768,38 @@ def append_zarr_distributed(
     )
 
     # metadata-last: the single-process helper extends the append-axis
-    # chunks and both arrays' shape records (v2 .zarray + .zmetadata, or
-    # v3 zarr.json) — dimension-sized driver work, exactly its scale
+    # chunks and the FIRST variable's + axis shape records (v2 .zarray +
+    # .zmetadata, or v3 zarr.json) — dimension-sized driver work; the
+    # remaining variables' shapes then commit through the same records.
+    # Ordering note: the axis extends first, so a concurrent reader of a
+    # not-yet-patched variable sees its OLD extent (new cells invisible),
+    # never an unresolvable chunk.
     zarr2.append_time_chunks(
-        root, data_var, append_dim, new_vals, None, data_already_written=True
+        root, data_vars[0], append_dim, new_vals, None,
+        data_already_written=True,
     )
+    if len(data_vars) > 1:
+        import json as _json
+
+        new_shape = [meta.shape[0] + new_vals.size, *meta.shape[1:]]
+        zmeta_path = os.path.join(root, ".zmetadata")
+        zmeta = None
+        if os.path.exists(zmeta_path):
+            with open(zmeta_path) as f:
+                zmeta = _json.load(f)
+        for var, vmeta in zip(data_vars[1:], metas[1:]):
+            fname = "zarr.json" if vmeta.zarr_version == 3 else ".zarray"
+            zpath = os.path.join(root, var, fname)
+            with open(zpath) as f:
+                z = _json.load(f)
+            z["shape"] = new_shape
+            with open(zpath, "w") as f:
+                _json.dump(z, f)
+            if zmeta is not None:
+                zmeta["metadata"][f"{var}/.zarray"]["shape"] = new_shape
+        if zmeta is not None:
+            with open(zmeta_path, "w") as f:
+                _json.dump(zmeta, f)
     return {
         "n_chunks": len(written),
         "n_cells": int(sum(r.n_cells for r in written)),

@@ -455,6 +455,13 @@ SHUFFLE_BUDGET = {
     # r10: region-INSERT fixture builds once (its own shuffles measured
     # there); the measured plan is the chunk-parallel readback scan
     "zarr_insert_readback": (0, 0),
+    # r10: gen-section expansion is driver-side; the measured plan is
+    # the same map-only manifest scan as every kerchunk decode
+    "kerchunk_gen_decode": (0, 0),
+    # r10: two-var native publish (fixture builds once, ONE shuffle in
+    # the write job); the measured plan joins the two decodes on the
+    # dim key — one hash exchange per side
+    "zarr_multivar_publish_readback": (2, 0),
 }
 
 
