@@ -113,6 +113,7 @@ HEADLINE = [
     "kerchunk_sharded_decode",    # shard index -> inner-chunk byte-range refs
     # round-10 additions:
     "kerchunk_gen_decode",        # gen-section expansion -> manifest scan
+    "kerchunk_gen_distributed_decode",  # gen as Range + codegen arithmetic
     "zarr_multivar_publish_readback",  # 2 vars, ONE chunk-key shuffle
     "zarr_insert_readback",       # region-INSERT repair on a live store
 ]

@@ -5277,26 +5277,16 @@ def kerchunk_templated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kerchunk_gen_decode", _nc_oracle())
-def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kerchunk v1 GENERATED refs (r10): for large regular stores
-    MultiZarrToZarr emits a ``gen`` section — one template entry whose
-    key/url/offset/length render over the cartesian product of declared
-    ``dimensions`` — instead of thousands of explicit refs (fsspec
-    ReferenceFileSystem's documented compressed form; the reference's
-    create_zarr_json consumers hit it right after ``templates``).  The
-    fixture packs the grid's UNCOMPRESSED fixed-size chunks at
-    arithmetic offsets so one gen entry addresses every chunk:
-    ``offset = {{4 + flat_chunk_index * chunk_bytes}}``.  Same literal
-    oracle as every ingest front door — expansion must change nothing
-    but the document shape."""
+def _kerchunk_gen_fixture() -> tuple[dict, str]:
+    """Build (once, digest-named) the gen-section fixture: the grid's
+    UNCOMPRESSED fixed-size chunks packed at arithmetic offsets so one
+    gen entry addresses every chunk
+    (``offset = {{4 + flat_chunk_index * chunk_bytes}}``)."""
     import json as _json
     import os
     import tempfile
 
     import numpy as np
-
-    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
 
     data, times, lats, lons = _nc_fixture_array()
     digest = _fixture_digest(data, times, lats, lons)
@@ -5373,8 +5363,46 @@ def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             _json.dump(doc, f)
         os.replace(tmp, refs_path)
     with open(refs_path) as f:
-        doc = _json.load(f)
+        return _json.load(f), base
+
+
+@query("kerchunk_gen_decode", _nc_oracle())
+def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kerchunk v1 GENERATED refs (r10): for large regular stores
+    MultiZarrToZarr emits a ``gen`` section — one template entry whose
+    key/url/offset/length render over the cartesian product of declared
+    ``dimensions`` — instead of thousands of explicit refs (fsspec
+    ReferenceFileSystem's documented compressed form; the reference's
+    create_zarr_json consumers hit it right after ``templates``).
+    Same literal oracle as every ingest front door — expansion must
+    change nothing but the document shape."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    doc, base = _kerchunk_gen_fixture()
     out = kc_mod.decode_kerchunk_long(spark, doc, "precip", base_dir=base)
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+@query("kerchunk_gen_distributed_decode", _nc_oracle())
+def kerchunk_gen_distributed_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The gen section's SCALE path (r10): instead of expanding the
+    generated key ranges into a driver-side dict, the manifest is
+    ``spark.range(product_of_dimensions)`` with the key/url/offset
+    templates transpiled to whole-stage-codegen column arithmetic
+    (sources/kerchunk.py gen_manifest_distributed) — a billion-chunk
+    store plans in O(1) driver memory.  Decodes the SAME fixture as
+    ``kerchunk_gen_decode`` against the SAME literal oracle, so the two
+    paths must agree cell-for-cell."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    doc, base = _kerchunk_gen_fixture()
+    out = kc_mod.decode_kerchunk_long_gen(
+        spark, doc, "precip", base_dir=base
+    )
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
     )

@@ -247,6 +247,67 @@ def test_gen_expansion_semantics():
     assert out == {"k": ["/base/f.bin"]}
 
 
+def test_gen_distributed_manifest_matches_driver_expansion(spark, tmp_path):
+    """r10 scale path: the gen section as spark.range + codegen column
+    arithmetic (no driver-side dict) must produce the SAME manifest rows
+    and the SAME decode as the driver expansion."""
+    doc, data = _gen_fixture(tmp_path)
+    man = kerchunk.gen_manifest_distributed(spark, doc, "v")
+    got_rows = {
+        (r.key, r.url, r.offset, r.length) for r in man.collect()
+    }
+    expanded = kerchunk._expand_gen(doc["gen"], doc["templates"])
+    want_rows = {
+        (k.split("/", 1)[1], v[0], v[1], v[2]) for k, v in expanded.items()
+    }
+    assert got_rows == want_rows
+    # the plan is pure codegen — a Range scan, no Python eval nodes
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert "Range" in plan
+    assert "EvalPython" not in plan
+
+    out = kerchunk.decode_kerchunk_long_gen(spark, doc, "v")
+    got = {(int(r.y), int(r.x)): r.value for r in out.collect()}
+    want = {
+        (int(r.y), int(r.x)): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, doc, "v").collect()
+    }
+    assert got == want and len(got) == 24
+    assert got[(3, 5)] == data[3, 5]
+
+
+def test_gen_distributed_three_dims_and_lists(spark):
+    """Stride unraveling (row-major itertools.product order) and
+    list-valued dimensions in the JVM path."""
+    doc = {
+        "version": 1,
+        "refs": {},
+        "templates": {"u": "/base"},
+        "gen": [
+            {
+                "key": "v/{{t}}.{{y}}.{{x}}",
+                "url": "{{u}}/f{{t}}.bin",
+                "offset": "{{(( t * 3 + y) * 4 + x) * 16}}",
+                "length": "16",
+                "dimensions": {
+                    "t": {"start": 2, "stop": 6, "step": 2},
+                    "y": [7, 8, 9],
+                    "x": {"stop": 4},
+                },
+            }
+        ],
+    }
+    man = kerchunk.gen_manifest_distributed(spark, doc, "v")
+    got = {(r.key, r.url, r.offset) for r in man.collect()}
+    want = {
+        (k.split("/", 1)[1], v[0], v[1])
+        for k, v in kerchunk._expand_gen(
+            doc["gen"], doc["templates"]
+        ).items()
+    }
+    assert got == want and len(got) == 2 * 3 * 4
+
+
 def test_gen_expression_refusals():
     base = {"key": "k{{i}}", "url": "u", "dimensions": {"i": {"stop": 1}}}
     # function calls / attribute access refuse (no jinja filter escape)

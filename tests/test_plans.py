@@ -458,6 +458,9 @@ SHUFFLE_BUDGET = {
     # r10: gen-section expansion is driver-side; the measured plan is
     # the same map-only manifest scan as every kerchunk decode
     "kerchunk_gen_decode": (0, 0),
+    # r10: the JVM gen path is Range -> codegen arithmetic -> union ->
+    # mapInPandas — still zero exchanges
+    "kerchunk_gen_distributed_decode": (0, 0),
     # r10: two-var native publish (fixture builds once, ONE shuffle in
     # the write job); the measured plan joins the two decodes on the
     # dim key — one hash exchange per side
