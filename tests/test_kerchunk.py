@@ -308,6 +308,46 @@ def test_gen_distributed_three_dims_and_lists(spark):
     assert got == want and len(got) == 2 * 3 * 4
 
 
+def test_gen_transpiler_agrees_with_python_eval(spark):
+    """The two gen evaluators — driver-side Python (_gen_eval) and
+    JVM-side Column transpile (_transpile_gen_expr) — must agree on the
+    whole grammar, including Python's floor-division and sign-of-modulo
+    semantics (pmod/floor were chosen for exactly this).  200 seeded
+    random expressions, evaluated in ONE Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC0FFEE)
+    names = ["i", "j"]
+    env = {"i": 7, "j": 13}
+
+    def expr(depth: int) -> str:
+        if depth == 0 or rng.random() < 0.3:
+            return rng.choice(names + [str(rng.randint(0, 9))])
+        op = rng.choice(["+", "-", "*", "//", "%"])
+        left = expr(depth - 1)
+        if op in ("//", "%"):
+            # positive divisor: both engines define these the same way
+            right = str(rng.randint(1, 9))
+        else:
+            right = expr(depth - 1)
+        return f"({left} {op} {right})"
+
+    exprs = [expr(rng.randint(1, 4)) for _ in range(200)]
+    want = [kerchunk._gen_eval(e, dict(env)) for e in exprs]
+    dimcols = {k: F.lit(v) for k, v in env.items()}
+    cols = [
+        kerchunk._transpile_gen_expr(e, dimcols).cast("long").alias(f"c{i}")
+        for i, e in enumerate(exprs)
+    ]
+    got = list(spark.range(1).select(*cols).collect()[0])
+    mismatches = [
+        (e, w, g) for e, w, g in zip(exprs, want, got) if w != g
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_gen_expression_refusals():
     base = {"key": "k{{i}}", "url": "u", "dimensions": {"i": {"stop": 1}}}
     # function calls / attribute access refuse (no jinja filter escape)
