@@ -25,8 +25,12 @@ Deployment note (what changes on a real cluster, and what doesn't):
   Readers need only GETs; writers need the one conditional PUT.
 
 The contract suite (``tests/test_fsio.py``) proves the protocol over
-Local/Memory/S3 backends including takeover fencing and the CAS stress
-hammer; this example is the user-facing composition.
+Local/Memory/S3/GCS/Azure backends including takeover fencing and the
+CAS stress hammer; this example is the user-facing composition.  The
+cloud ports are drop-in swaps of the same two conditional-write
+branches — ``GCSControlFS(bucket)`` (generation-match) or
+``AzureControlFS(container, connection_string=...)`` (etag match)
+in place of ``S3ControlFS(bucket)`` below; nothing else changes.
 """
 
 from __future__ import annotations

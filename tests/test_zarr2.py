@@ -1472,3 +1472,29 @@ def test_shard_decoder_fuzz_clean_errors_only(tmp_path):
 
     random_bytes()
     mutated()
+
+
+def test_shard_index_region_mutations_all_caught(tmp_path):
+    """Judge r9 brief #5: target the INDEX REGION specifically — with
+    index_crc on, CRC-32C detects every single-byte error, so flipping
+    ANY byte of the index table or its trailer must raise ZarrError
+    (crc mismatch, or a range error if the table were somehow
+    consulted) — never a clean decode of wrong offsets.  Exhaustive
+    sweep: every index-region position x 2 deterministic flips."""
+    root = str(tmp_path / "idxfuzz.zarr")
+    _write_sharded(root)
+    meta = zarr2.open_store(root)["precip"]
+    p = os.path.join(root, "precip", "c", "0", "0", "0")
+    valid = open(p, "rb").read()
+    n_inner = 8  # 2x2x2 inner grid per shard
+    idx_size = 16 * n_inner + 4
+    region = range(len(valid) - idx_size, len(valid))
+    caught = 0
+    for pos in region:
+        for flip in (0xFF, 0x01):
+            buf = bytearray(valid)
+            buf[pos] ^= flip
+            with pytest.raises(zarr2.ZarrError):
+                zarr2.decode_chunk(bytes(buf), meta)
+            caught += 1
+    assert caught == idx_size * 2
