@@ -44,6 +44,7 @@ the lost-update window is closed, not narrowed.
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
 import uuid
@@ -393,31 +394,12 @@ class S3ControlFS(ControlFS):
     # -- path <-> key -------------------------------------------------
 
     def _key(self, path: str) -> str:
-        import posixpath
-
-        p = path.replace(os.sep, "/")
-        scheme = f"s3://{self.bucket}/"
-        if p.startswith(scheme) or p == scheme[:-1]:
-            # slashless "s3://<this bucket>" is the bucket root: strip
-            # the scheme so it hits the bucket-root refusal below with
-            # the RIGHT diagnostic, not a bogus different-bucket claim
-            p = p[len(scheme):] if p.startswith(scheme) else ""
-        elif p.startswith("s3://"):
-            # addressing ANOTHER bucket through this FS would silently
-            # read/write keys like 's3:/other/...' in THIS bucket
-            raise ValueError(
-                f"{path!r} addresses a different bucket than "
-                f"{self.bucket!r} — construct an S3ControlFS for it"
-            )
-        p = posixpath.normpath(p).lstrip("/")
-        if p in (".", ""):
-            raise ValueError(
-                f"{path!r} resolves to the bucket root — control-plane "
-                "paths must live under a table root"
-            )
-        if self.prefix:
-            return f"{self.prefix}/{p}"
-        return p
+        # one mapping for all three object-store backends: foreign
+        # buckets refuse (a miss would silently read/write keys like
+        # 's3:/other/...' in THIS bucket), and so does the bucket root
+        return _object_key(
+            path, self.bucket, self.prefix, ("s3",), noun="bucket"
+        )
 
     # -- reads ----------------------------------------------------------
 
@@ -582,12 +564,16 @@ class S3ControlFS(ControlFS):
 
 
 def _object_key(
-    path: str, container: str, prefix: str, schemes: tuple[str, ...]
+    path: str,
+    container: str,
+    prefix: str,
+    schemes: tuple[str, ...],
+    noun: str = "container",
 ) -> str:
-    """Filesystem-style path -> object key, shared by the GCS/Azure
-    ports (same mapping the S3 implementation documents: strip a
-    leading ``<scheme>://<this container>/`` or ``/``, refuse foreign
-    containers and the container root, prepend ``prefix``)."""
+    """Filesystem-style path -> object key, shared by the S3/GCS/Azure
+    ports: strip a leading ``<scheme>://<this container>/`` or ``/``,
+    refuse foreign containers and the container root, prepend
+    ``prefix``."""
     import posixpath
 
     p = path.replace(os.sep, "/")
@@ -598,13 +584,13 @@ def _object_key(
             break
         if p.startswith(f"{scheme}://"):
             raise ValueError(
-                f"{path!r} addresses a different container than "
+                f"{path!r} addresses a different {noun} than "
                 f"{container!r} — construct a ControlFS for it"
             )
     p = posixpath.normpath(p).lstrip("/")
     if p in (".", ""):
         raise ValueError(
-            f"{path!r} resolves to the container root — control-plane "
+            f"{path!r} resolves to the {noun} root — control-plane "
             "paths must live under a table root"
         )
     return f"{prefix}/{p}" if prefix else p
@@ -831,9 +817,26 @@ class AzureControlFS(ControlFS):
         self.prefix = prefix.strip("/")
         self._c = client
 
+    #: Hadoop/Spark Azure URL shape: <scheme>://<container>@<account>.<host>/<path>
+    _AZURE_URL_RE = re.compile(
+        r"^(abfss?|wasbs?)://(?P<container>[^@/]+)@[^/]+(?P<rest>/.*)?$"
+    )
+
     def _key(self, path: str) -> str:
+        # abfss/wasbs URLs carry the container BEFORE an @account.host
+        # authority (code-review r10: matching them as <scheme>://
+        # <container>/ rejected every real-world path) — normalize that
+        # shape first, then share the plain mapping with S3/GCS
+        m = self._AZURE_URL_RE.match(path.replace(os.sep, "/"))
+        if m:
+            if m.group("container") != self.container:
+                raise ValueError(
+                    f"{path!r} addresses a different container than "
+                    f"{self.container!r} — construct a ControlFS for it"
+                )
+            path = m.group("rest") or "/"
         return _object_key(
-            path, self.container, self.prefix, ("az", "abfss", "wasbs")
+            path, self.container, self.prefix, ("az",)
         )
 
     @staticmethod

@@ -99,17 +99,7 @@ def write_zarr_distributed(
     """
     if zarr_format not in (2, 3):
         raise ValueError("zarr_format must be 2 or 3")
-    data_vars = [data_var] if isinstance(data_var, str) else list(data_var)
-    value_cols = (
-        [value_col] if isinstance(value_col, str) else list(value_col)
-    )
-    if len(data_vars) != len(value_cols):
-        raise ValueError(
-            f"data_var ({len(data_vars)}) and value_col "
-            f"({len(value_cols)}) must pair up"
-        )
-    if len(set(data_vars)) != len(data_vars):
-        raise ValueError(f"duplicate variable names in {data_vars}")
+    data_vars, value_cols = _normalize_vars(data_var, value_col)
     if shards is not None and zarr_format != 3:
         raise ValueError("shards= requires zarr_format=3 (sharding_indexed)")
     if zarr_format == 3 and compressor == "zlib":
@@ -603,6 +593,57 @@ def insert_zarr_distributed(
     }
 
 
+def resync_zarr_shapes(
+    root: str, data_vars: Sequence[str] | None = None
+) -> dict[str, list[int]]:
+    """Repair a TORN multi-variable append (code-review r10): the
+    append's metadata commit is necessarily a multi-file sequence on a
+    plain store (axis chunks + N shape records), so a crash mid-commit
+    can leave some variables' shape records behind the axis extent.
+    The AXIS is the source of truth — every data chunk was written
+    BEFORE any metadata — so extending a lagging variable's first-dim
+    extent to the axis extent is always safe (chunks exist, or read
+    back as fill, zarr's own missing-chunk rule).  Never shrinks.
+    Returns {var: new_shape} for what was patched.
+    ``append_zarr_distributed`` calls this automatically on open, so a
+    torn store self-heals on the next append; this entry point is for
+    repairing without appending."""
+    import json as _json
+
+    arrays = zarr2.open_store(root)
+    patched: dict[str, list[int]] = {}
+    zmeta_path = os.path.join(root, ".zmetadata")
+    zmeta = None
+    if os.path.exists(zmeta_path):
+        with open(zmeta_path) as f:
+            zmeta = _json.load(f)
+    for name, m in arrays.items():
+        if data_vars is not None and name not in data_vars:
+            continue
+        if not m.dims or list(m.dims) == [name]:
+            continue  # coordinate arrays ARE the axis
+        axis = arrays.get(m.dims[0])
+        if axis is None or m.shape[0] >= axis.shape[0]:
+            continue
+        new_shape = [axis.shape[0], *m.shape[1:]]
+        fname = "zarr.json" if m.zarr_version == 3 else ".zarray"
+        zpath = os.path.join(root, name, fname)
+        with open(zpath) as f:
+            z = _json.load(f)
+        z["shape"] = new_shape
+        with open(zpath, "w") as f:
+            _json.dump(z, f)
+        if zmeta is not None and f"{name}/.zarray" in zmeta.get(
+            "metadata", {}
+        ):
+            zmeta["metadata"][f"{name}/.zarray"]["shape"] = new_shape
+        patched[name] = new_shape
+    if patched and zmeta is not None:
+        with open(zmeta_path, "w") as f:
+            _json.dump(zmeta, f)
+    return patched
+
+
 def append_zarr_distributed(
     df: DataFrame,
     root: str,
@@ -632,6 +673,15 @@ def append_zarr_distributed(
     data_vars, value_cols = _normalize_vars(data_var, value_col)
     arrays = zarr2.open_store(root)
     metas = [arrays[v] for v in data_vars]
+    axis = arrays.get(metas[0].dims[0]) if metas[0].dims else None
+    if axis is not None and any(
+        m.shape[0] < axis.shape[0] for m in metas
+    ):
+        # torn mid-commit state from a crashed multi-var append — the
+        # axis is the source of truth, heal before the congruence check
+        resync_zarr_shapes(root, data_vars)
+        arrays = zarr2.open_store(root)
+        metas = [arrays[v] for v in data_vars]
     _check_congruent(metas)
     meta = metas[0]
     dims = meta.dims

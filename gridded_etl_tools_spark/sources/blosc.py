@@ -96,10 +96,10 @@ def lz4_decompress(src: bytes, dst_size: int, strict: bool = True) -> bytes:
     (overflow vs. reject-empty), so that case validates via the exact
     token walk instead — such streams are bytes-long, the walk is free.
 
-    ``strict=False`` skips the probe: decompress_frame uses it once a
-    sibling stream of the SAME frame has already probe-confirmed the
-    split layout (the heuristic is frame-constant), which amortizes the
-    ~2x probe cost to ~1/n_streams on the 100 TB read path.
+    ``strict=False`` skips the probe: _decode_block uses it after the
+    block's own LEAD compressed stream has probe-confirmed the split
+    layout, which amortizes the ~2x probe cost to ~1/nsplits on the
+    100 TB read path while keeping the retry contract sound per block.
     """
     if _LZ4_RAW is not None:
         if dst_size == 0:
@@ -631,22 +631,31 @@ def _decode_block(
     bsize: int,
     nsplits: int,
     codec: int,
-    confirmed: set | None = None,
 ) -> bytes:
     """One block: walk ``nsplits`` (uint32 size, stream) pairs.  Raises
     on any inconsistency so the caller can retry the other split count.
 
-    ``confirmed`` is decompress_frame's per-frame memo of split counts
-    whose layout an exact-length probe has already validated: the split
-    heuristic is frame-constant, so the FIRST compressed stream decoded
-    under a given count runs the strict (probe-guarded) lz4 path and
-    later streams of the same frame+count skip the ~2x probe (r9 advice:
-    it cost ~25% of frame decode when run per-stream)."""
+    Strictness policy (r10, replacing r9's per-frame memo after review
+    found two holes in it): the FIRST compressed stream of EVERY block
+    runs the probe-guarded exact-length lz4 path; later streams of the
+    same block skip the ~2x probe.  This (a) keeps the split-count
+    retry sound per block — a wrong layout fails at the block's own
+    lead stream, and a failed attempt cannot poison any later block
+    (the old frame-wide memo survived the retry path, so one
+    coincidental pass under the wrong layout disabled strictness for
+    the rest of the frame); (b) bounds the probe cost at ~1/nsplits of
+    per-stream probing (~3% of frame decode at typesize 8, vs the ~25%
+    the r9 advice measured).  Residual trade, documented: a CORRUPT
+    stream that decodes short in a non-lead split of a block is padded
+    silently (total block length still gates in decode_chunk); real
+    c-blosc rejects it, so archives that fail there may decode here —
+    run the pure-Python path for forensic strictness."""
     out = bytearray()
     pos = start
     neblock = bsize // nsplits
     sizes = [neblock] * nsplits
     sizes[-1] += bsize - neblock * nsplits
+    strict = True
     for esize in sizes:
         if pos + 4 > len(frame):
             raise BloscError("blosc: truncated split header")
@@ -659,10 +668,8 @@ def _decode_block(
         if csize == esize:
             out += payload  # stored raw (compression did not help)
         else:
-            strict = confirmed is None or (nsplits, esize) not in confirmed
             out += _decode_stream(codec, payload, esize, strict=strict)
-            if confirmed is not None:
-                confirmed.add((nsplits, esize))
+            strict = False  # lead compressed stream validated the layout
     return bytes(out)
 
 
@@ -710,7 +717,6 @@ def decompress_frame(frame: bytes) -> bytes:
     shuffled = bool(flags & _FLAG_SHUFFLE)
     out = bytearray()
     leftover = nbytes % blocksize
-    confirmed: set = set()  # probe-validated (nsplits, esize) layouts
     for bi, bstart in enumerate(bstarts):
         is_leftover = bi == nblocks - 1 and leftover != 0
         bsize = leftover if is_leftover else blocksize
@@ -718,14 +724,14 @@ def decompress_frame(frame: bytes) -> bytes:
             raise BloscError(f"blosc: block offset {bstart} out of range")
         nsplits = _split_count(typesize, bsize, is_leftover, dont_split)
         try:
-            block = _decode_block(frame, bstart, bsize, nsplits, codec, confirmed)
+            block = _decode_block(frame, bstart, bsize, nsplits, codec)
         except BloscError:
             # the split heuristic moved across c-blosc releases; the
             # stream layout self-describes enough to try the other one
             alt = 1 if nsplits != 1 else typesize
             if alt == nsplits or alt < 1:
                 raise
-            block = _decode_block(frame, bstart, bsize, alt, codec, confirmed)
+            block = _decode_block(frame, bstart, bsize, alt, codec)
         if shuffled:
             block = unshuffle_bytes(block, typesize)
         elif flags & _FLAG_BITSHUFFLE:

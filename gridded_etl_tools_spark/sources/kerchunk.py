@@ -183,6 +183,76 @@ def _gen_render(template: str, env: dict[str, object]) -> str:
     )
 
 
+def _gen_compile(expr: str, dim_names: set[str]):
+    """Validate one ``{{...}}`` hole against the restricted grammar and
+    return its compiled code object — parse/walk/compile happen ONCE
+    per gen entry, not once per generated point (code-review r10: the
+    per-point path cost ~4 parses x 10M points at the expansion
+    bound)."""
+    expr = expr.strip()
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as exc:
+        raise KerchunkError(f"gen expression {expr!r} unparseable") from exc
+    for node in ast.walk(tree):
+        if not isinstance(node, _GEN_ALLOWED_NODES):
+            raise KerchunkError(
+                f"gen expression {expr!r} uses unsupported construct "
+                f"{type(node).__name__} — only integer arithmetic over "
+                "dimension variables is supported (materialize the refs "
+                "for anything richer)"
+            )
+        if isinstance(node, ast.Constant) and not isinstance(
+            node.value, (int, float)
+        ):
+            raise KerchunkError(
+                f"gen expression {expr!r}: non-numeric constant"
+            )
+        if isinstance(node, ast.Name) and node.id not in dim_names:
+            raise KerchunkError(
+                f"gen expression {expr!r} uses {node.id!r}, which is "
+                "not an integer dimension variable"
+            )
+    return compile(tree, "<gen>", "eval")
+
+
+def _compile_gen_template(
+    template: str, dim_names: set[str], templates: dict
+):
+    """One key/url/offset/length template as a point renderer: literal
+    text and template-name holes resolve at compile time (template keys
+    and dimension names are disjoint — _check_gen_name_collisions), so
+    the per-point work is just eval of precompiled arithmetic."""
+    segs: list[object] = []
+    pos = 0
+    for m in _GEN_EXPR_RE.finditer(template):
+        if m.start() > pos:
+            segs.append(template[pos:m.start()])
+        inner = m.group(1).strip()
+        tval = templates.get(inner)
+        if inner not in dim_names and isinstance(tval, str):
+            if "{%" in tval or "{{" in tval:
+                raise KerchunkError(
+                    f"template {inner!r} is not a plain string (jinja "
+                    "constructs unsupported — materialize the refs)"
+                )
+            segs.append(tval)
+        else:
+            segs.append(_gen_compile(inner, dim_names))
+        pos = m.end()
+    if pos < len(template):
+        segs.append(template[pos:])
+
+    def render(env: dict[str, int]) -> str:
+        return "".join(
+            s if isinstance(s, str)
+            else str(eval(s, {"__builtins__": {}}, env))  # noqa: S307
+            for s in segs
+        )
+
+    return render
+
+
 def _gen_dimension_values(spec: object) -> Sequence[int]:
     """One ``dimensions`` entry: a list of values, or a
     ``{"start", "stop", "step"}`` range (start/step optional, as in
@@ -204,6 +274,20 @@ def _gen_dimension_values(spec: object) -> Sequence[int]:
 #: materialized document would already carry; past that, the scale path
 #: is building the manifest DataFrame from the gen arithmetic directly
 _GEN_MAX_REFS = 10_000_000
+
+
+def _check_gen_name_collisions(names: list[str], templates: dict) -> None:
+    """A dimension named like a template would resolve differently in
+    the driver evaluator (dimension wins — env.update order) and the
+    JVM transpiler (template checked first) — a silent cross-path
+    divergence.  Refuse the ambiguity outright (code-review r10)."""
+    clash = set(names) & set(templates)
+    if clash:
+        raise KerchunkError(
+            f"gen dimension name(s) {sorted(clash)} collide with "
+            "template keys — rename one side (the two would shadow "
+            "each other ambiguously)"
+        )
 
 
 def _expand_gen(
@@ -228,6 +312,7 @@ def _expand_gen(
             raise KerchunkError(f"malformed gen entry {entry!r}")
         dims = entry.get("dimensions") or {}
         names = list(dims)
+        _check_gen_name_collisions(names, templates)
         axes = [_gen_dimension_values(dims[n]) for n in names]
         n_points = 1
         for ax in axes:
@@ -245,16 +330,27 @@ def _expand_gen(
             raise KerchunkError(
                 "gen entry must carry both offset and length or neither"
             )
+        dim_names = set(names)
+        render_key = _compile_gen_template(
+            str(entry["key"]), dim_names, templates
+        )
+        render_url = _compile_gen_template(
+            str(entry["url"]), dim_names, templates
+        )
+        if has_offset:
+            render_off = _compile_gen_template(
+                str(entry["offset"]), dim_names, templates
+            )
+            render_len = _compile_gen_template(
+                str(entry["length"]), dim_names, templates
+            )
         for point in itertools.product(*axes) if names else [()]:
-            env: dict[str, object] = {
-                k: v for k, v in templates.items() if isinstance(v, str)
-            }
-            env.update(zip(names, (int(p) for p in point)))
-            key = _gen_render(str(entry["key"]), env)
-            url = _gen_render(str(entry["url"]), env)
+            env = dict(zip(names, (int(p) for p in point)))
+            key = render_key(env)
+            url = render_url(env)
             if has_offset:
-                off = _gen_render(str(entry["offset"]), env)
-                ln = _gen_render(str(entry["length"]), env)
+                off = render_off(env)
+                ln = render_len(env)
                 try:
                     out[key] = [url, int(off), int(ln)]
                 except ValueError as exc:
@@ -338,7 +434,13 @@ def _transpile_gen_template(template: str, dimcols: dict, templates: dict):
         if m.start() > pos:
             parts.append(SF.lit(template[pos:m.start()]))
         inner = m.group(1).strip()
-        if inner in templates and isinstance(templates[inner], str):
+        # dimension names take priority over template keys, matching
+        # the driver evaluator's env order (collisions refuse upstream;
+        # this is belt-and-braces alignment, code-review r10)
+        if (
+            inner not in dimcols
+            and isinstance(templates.get(inner), str)
+        ):
             val = templates[inner]
             if "{%" in val or "{{" in val:
                 raise KerchunkError(
@@ -380,6 +482,7 @@ def gen_manifest_distributed(
             raise KerchunkError(f"malformed gen entry {entry!r}")
         dims = entry.get("dimensions") or {}
         names = list(dims)
+        _check_gen_name_collisions(names, templates)
         axes = [_gen_dimension_values(dims[n]) for n in names]
         sizes = [len(ax) for ax in axes]
         n_points = 1
@@ -472,11 +575,40 @@ def decode_kerchunk_long_gen(
     coords: dict[str, np.ndarray] = {}
     for i, d in enumerate(dims):
         if d in arrays and arrays[d].shape == (meta.shape[i],):
+            # coordinate chunks must be fully explicit: read_array
+            # silently leaves missing chunks at fill, so a coord whose
+            # data lives in the gen section would decode every row
+            # under wrong keys — refuse loudly instead (code-review
+            # r10; materialize coord chunks, they are dimension-sized)
+            cmeta = arrays[d]
+            n_expected = int(np.prod(cmeta.chunk_grid))
+            n_present = len(_chunk_refs(explicit, d))
+            if n_present < n_expected:
+                raise KerchunkError(
+                    f"coordinate {d!r} has {n_present}/{n_expected} "
+                    "chunks in the explicit refs — gen-backed "
+                    "coordinate chunks are unsupported (materialize "
+                    "them; they are dimension-sized)"
+                )
             coords[d] = read_array(explicit, arrays[d], base_dir).astype("f8")
         else:
             coords[d] = np.arange(meta.shape[i], dtype="f8")
+    gen_df = gen_manifest_distributed(spark, doc, data_var, base_dir)
+    # explicit refs win on key collision (fsspec precedence, and what
+    # parse_refs' driver expansion implements) — without this filter a
+    # chunk present in both decodes TWICE with conflicting values
+    prefix = f"{data_var}/"
+    explicit_keys = [
+        k[len(prefix):]
+        for k in explicit
+        if k.startswith(prefix) and not k[len(prefix):].startswith(".")
+    ]
+    if explicit_keys:
+        from pyspark.sql import functions as SF
+
+        gen_df = gen_df.filter(~SF.col("key").isin(explicit_keys))
     manifest = refs_manifest(spark, explicit, data_var, base_dir).unionByName(
-        gen_manifest_distributed(spark, doc, data_var, base_dir)
+        gen_df
     )
     return _decode_manifest(spark, manifest, meta, dims, coords)
 
@@ -487,12 +619,91 @@ def _inline_bytes(val: str) -> bytes:
     return val.encode("latin1")
 
 
-def _fetch_range(url: str, offset: int | None, length: int | None) -> bytes:
-    with open(url, "rb") as f:
+class _RangeClient:
+    """Ranged-fetch client, one per decode partition (r10): local files
+    get seekable handles reused across rows; ``http(s)://`` refs get ONE
+    keep-alive connection per host issuing ``Range: bytes=a-b`` requests
+    — the object-store access pattern kerchunk was designed around
+    (ranged GETs, no whole-file downloads).  A server that ignores Range
+    (HTTP 200) is handled by slicing the full body locally — correct,
+    just costly, and worth surfacing in logs at scale.  One transparent
+    reconnect per request covers keep-alive connections the server
+    closed between rows."""
+
+    def __init__(self) -> None:
+        self._files: dict[str, object] = {}
+        self._conns: dict[tuple[str, str], object] = {}
+
+    def fetch(self, url: str, offset: int | None, length: int | None) -> bytes:
+        if url.startswith(("http://", "https://")):
+            return self._http(url, offset, length)
+        fh = self._files.get(url)
+        if fh is None:
+            fh = self._files[url] = open(url, "rb")
         if offset is None:
-            return f.read()
-        f.seek(offset)
-        return f.read(length)
+            fh.seek(0)
+            return fh.read()
+        fh.seek(int(offset))
+        return fh.read(int(length))
+
+    def _http(self, url: str, offset: int | None, length: int | None) -> bytes:
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(url)
+        key = (u.scheme, u.netloc)
+        path = u.path or "/"
+        if u.query:
+            path += "?" + u.query
+        headers = {}
+        if offset is not None:
+            headers["Range"] = (
+                f"bytes={int(offset)}-{int(offset) + int(length) - 1}"
+            )
+        last_exc: Exception | None = None
+        for attempt in (0, 1):
+            conn = self._conns.get(key)
+            if conn is None:
+                cls = (
+                    http.client.HTTPSConnection
+                    if u.scheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conn = self._conns[key] = cls(u.netloc)
+            try:
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+                status = resp.status
+                body = resp.read()
+            except (http.client.HTTPException, OSError) as exc:
+                # stale keep-alive: drop the connection, retry once
+                last_exc = exc
+                conn.close()
+                self._conns.pop(key, None)
+                continue
+            if status == 206 or (status == 200 and offset is None):
+                return body
+            if status == 200:
+                # server ignored Range — slice the full body
+                return body[int(offset):int(offset) + int(length)]
+            raise KerchunkError(f"HTTP {status} fetching {url}")
+        raise KerchunkError(f"fetch failed for {url}: {last_exc}")
+
+    def close(self) -> None:
+        for fh in self._files.values():
+            fh.close()
+        for conn in self._conns.values():
+            conn.close()
+        self._files.clear()
+        self._conns.clear()
+
+
+def _fetch_range(url: str, offset: int | None, length: int | None) -> bytes:
+    client = _RangeClient()
+    try:
+        return client.fetch(url, offset, length)
+    finally:
+        client.close()
 
 
 def store_metadata(refs: dict) -> dict[str, zarr2.ZArray]:
@@ -547,7 +758,7 @@ def _resolve_ref(ref: object, base_dir: str) -> bytes:
         return _inline_bytes(ref)
     if isinstance(ref, list) and ref:
         url = ref[0]
-        if base_dir and not os.path.isabs(url):
+        if base_dir and "://" not in url and not os.path.isabs(url):
             url = os.path.join(base_dir, url)
         offset = ref[1] if len(ref) > 1 else None
         length = ref[2] if len(ref) > 2 else None
@@ -582,7 +793,7 @@ def refs_manifest(
             rows.append((rel, None, None, None, ref))
         else:
             url = ref[0]
-            if base_dir and not os.path.isabs(url):
+            if base_dir and "://" not in url and not os.path.isabs(url):
                 url = os.path.join(base_dir, url)
             rows.append(
                 (
@@ -665,7 +876,7 @@ def _decode_manifest(
     reuse."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        handles: dict[str, object] = {}
+        client = _RangeClient()
         try:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
@@ -681,23 +892,19 @@ def _decode_manifest(
                     if isinstance(row.inline, str):
                         raw = _inline_bytes(row.inline)
                     else:
-                        fh = handles.get(row.url)
-                        if fh is None:
-                            fh = handles[row.url] = open(row.url, "rb")
                         # nullable long columns surface as float NaN in
-                        # pandas — normalize before seek/read
-                        if row.offset is None or pd.isna(row.offset):
-                            fh.seek(0)
-                            raw = fh.read()
-                        else:
-                            fh.seek(int(row.offset))
-                            raw = fh.read(int(row.length))
+                        # pandas — normalize before the ranged fetch
+                        no_range = row.offset is None or pd.isna(row.offset)
+                        raw = client.fetch(
+                            row.url,
+                            None if no_range else int(row.offset),
+                            None if no_range else int(row.length),
+                        )
                     idx = zarr2.chunk_key_indices(row.key, meta)
                     block = zarr2.decode_chunk(raw, meta)
                     yield _cells_frame(row.key, idx, block)
         finally:
-            for fh in handles.values():
-                fh.close()
+            client.close()
 
     def _cells_frame(key: str, idx, block: np.ndarray) -> pd.DataFrame:
         ranges, trimmed = zarr2.chunk_cells(meta, idx, block)

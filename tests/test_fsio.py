@@ -510,9 +510,19 @@ def test_gcs_azure_key_guards_foreign_container_and_root():
         gfs._key("gs://spark-graft-test/")
     afs = _make_azure_fs()
     assert afs._key("az://spark-graft-test/tbl/p.json") == "tbl/p.json"
-    assert afs._key("abfss://spark-graft-test/tbl/p.json") == "tbl/p.json"
+    # the REAL Hadoop/Spark Azure shape: container BEFORE @account.host
+    assert afs._key(
+        "abfss://spark-graft-test@acct.dfs.core.windows.net/tbl/p.json"
+    ) == "tbl/p.json"
+    assert afs._key(
+        "wasbs://spark-graft-test@acct.blob.core.windows.net/tbl/p.json"
+    ) == "tbl/p.json"
     with pytest.raises(ValueError, match="different container"):
         afs._key("az://other/tbl/p.json")
+    with pytest.raises(ValueError, match="different container"):
+        afs._key("abfss://other@acct.dfs.core.windows.net/tbl/p.json")
+    with pytest.raises(ValueError, match="container root"):
+        afs._key("abfss://spark-graft-test@acct.dfs.core.windows.net/")
     with pytest.raises(ValueError, match="container root"):
         afs._key("/")
 

@@ -871,9 +871,9 @@ def test_lz4_dst_size_one_and_nonstrict_paths():
     """ADVICE r9 (low) edges: at dst_size==1 the probe buffer would be
     0 bytes, where pyarrow's failure is ambiguous — that case validates
     via the exact token walk (a padded empty stream must REJECT, a true
-    1-byte stream must pass); strict=False documents the per-frame
-    memoized fast path: it skips the probe entirely, returning the
-    padded buffer (its only caller guards the first stream per layout)."""
+    1-byte stream must pass); strict=False documents the per-block
+    fast path: it skips the probe entirely, returning the padded buffer
+    (its only caller probes each block's lead compressed stream)."""
     from gridded_etl_tools_spark.sources import blosc
 
     one = blosc.lz4_compress(b"X")
@@ -908,6 +908,35 @@ def test_lz4_decoded_length_agrees_with_both_encoders():
     check()
     with pytest.raises(blosc.BloscError):
         blosc.lz4_decoded_length(b"\xff\x01")  # truncated literal run
+
+
+def test_corrupt_short_lead_stream_in_later_block_raises():
+    """Code-review r10: the r9 per-frame probe memo let a corrupt
+    stream that decodes SHORT pass silently (zero-padded) once any
+    sibling stream had confirmed the layout, and a failed split-count
+    retry left the wrong layout memoized for every later block.  The
+    per-BLOCK lead-stream policy must catch a valid-but-short lz4
+    stream spliced into a later block's lead position."""
+    import struct as _struct
+
+    from gridded_etl_tools_spark.sources import blosc
+
+    data = (np.arange(2048, dtype="<f8") % 97).tobytes()  # 2 x 8192 B
+    f = bytearray(
+        blosc.compress_frame(data, 8, cname="lz4", blocksize=8192,
+                             split=False)
+    )
+    b2 = _struct.unpack_from("<2I", f, 16)[1]
+    # a VALID lz4 stream whose true decoded size is 64 bytes short of
+    # the declared 8192-byte split — pyarrow would pad it silently
+    short_payload = blosc.lz4_compress(data[8192:16384 - 64])
+    new = bytearray(
+        bytes(f[:b2]) + _struct.pack("<I", len(short_payload))
+        + short_payload
+    )
+    _struct.pack_into("<I", new, 12, len(new))  # fix cbytes
+    with pytest.raises(blosc.BloscError):
+        blosc.decompress_frame(bytes(new))
 
 
 def test_blosc_dont_split_flag_mismatch_retries_correctly():

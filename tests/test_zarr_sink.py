@@ -590,6 +590,70 @@ def test_distributed_append_on_sharded_store(spark, tmp_path):
     assert block.shape == (4, 4, 4)
 
 
+def test_torn_multivar_append_self_heals(spark, tmp_path):
+    """Code-review r10: a crash between the append's axis extension and
+    a later variable's shape patch leaves the store torn (axis + v1
+    extended, v2 stale) and used to wedge every retry on the congruence
+    check.  The axis is the source of truth (chunks commit first), so
+    resync_zarr_shapes repairs it and the next append self-heals."""
+    import json
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        resync_zarr_shapes,
+        write_zarr_distributed,
+    )
+
+    def _frame(lo, hi):
+        return spark.createDataFrame(
+            [Row(time=float(t), x=x, a=float(t * 10 + x), b=float(t - x))
+             for t in range(lo, hi) for x in [10.0, 10.5]]
+        )
+
+    root = str(tmp_path / "torn.zarr")
+    write_zarr_distributed(
+        _frame(0, 2), root, ["av", "bv"], dims=["time", "x"],
+        value_col=["a", "b"], chunks=(2, 2),
+    )
+    append_zarr_distributed(_frame(2, 4), root, ["av", "bv"],
+                            value_col=["a", "b"])
+    # simulate the crash: regress bv's shape record to the pre-append
+    # extent (axis and av stay extended, bv's chunks are on disk)
+    zpath = os.path.join(root, "bv", ".zarray")
+    z = json.load(open(zpath))
+    z["shape"][0] = 2
+    with open(zpath, "w") as f:
+        json.dump(z, f)
+    zm_path = os.path.join(root, ".zmetadata")
+    zm = json.load(open(zm_path))
+    zm["metadata"]["bv/.zarray"]["shape"][0] = 2
+    with open(zm_path, "w") as f:
+        json.dump(zm, f)
+
+    # standalone repair path
+    patched = resync_zarr_shapes(root)
+    assert patched == {"bv": [4, 2]}
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "bv").collect()}
+    assert got[(3.0, 10.5)] == 3.0 - 10.5
+
+    # tear it again; the NEXT append must self-heal instead of wedging
+    z["shape"][0] = 2
+    with open(zpath, "w") as f:
+        json.dump(z, f)
+    append_zarr_distributed(_frame(4, 6), root, ["av", "bv"],
+                            value_col=["a", "b"])
+    for var, fn in (("av", lambda t, x: t * 10 + x),
+                    ("bv", lambda t, x: t - x)):
+        got = {(r.time, r.x): r.value
+               for r in zarr2.decode_zarr_long(spark, root, var).collect()}
+        for t in range(6):
+            for x in [10.0, 10.5]:
+                assert got[(float(t), x)] == float(fn(t, x)), (var, t, x)
+
+
 @pytest.mark.parametrize("index_location", ["end", "start"])
 def test_sequential_sharded_appends_preserve_elision(
     spark, tmp_path, index_location
