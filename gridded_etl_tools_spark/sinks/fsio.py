@@ -396,9 +396,12 @@ class S3ControlFS(ControlFS):
     def _key(self, path: str) -> str:
         # one mapping for all three object-store backends: foreign
         # buckets refuse (a miss would silently read/write keys like
-        # 's3:/other/...' in THIS bucket), and so does the bucket root
+        # 's3:/other/...' in THIS bucket), and so does the bucket root.
+        # s3a/s3n are the schemes Hadoop/Spark deployments actually use
+        # (second-pass review r10: they fell through the s3-only match)
         return _object_key(
-            path, self.bucket, self.prefix, ("s3",), noun="bucket"
+            path, self.bucket, self.prefix, ("s3", "s3a", "s3n"),
+            noun="bucket",
         )
 
     # -- reads ----------------------------------------------------------
@@ -827,7 +830,8 @@ class AzureControlFS(ControlFS):
         # authority (code-review r10: matching them as <scheme>://
         # <container>/ rejected every real-world path) — normalize that
         # shape first, then share the plain mapping with S3/GCS
-        m = self._AZURE_URL_RE.match(path.replace(os.sep, "/"))
+        p = path.replace(os.sep, "/")
+        m = self._AZURE_URL_RE.match(p)
         if m:
             if m.group("container") != self.container:
                 raise ValueError(
@@ -835,6 +839,15 @@ class AzureControlFS(ControlFS):
                     f"{self.container!r} — construct a ControlFS for it"
                 )
             path = m.group("rest") or "/"
+        elif p.startswith(("abfss://", "abfs://", "wasbs://", "wasb://")):
+            # authority-less Azure URLs are malformed — falling through
+            # would silently mangle them into garbage keys in THIS
+            # container (second-pass review r10)
+            raise ValueError(
+                f"{path!r} is not a valid Azure blob URL — expected "
+                "<scheme>://<container>@<account>.<host>/<path> or a "
+                "plain az://<container>/<path>"
+            )
         return _object_key(
             path, self.container, self.prefix, ("az",)
         )

@@ -631,16 +631,15 @@ def resync_zarr_shapes(
         with open(zpath) as f:
             z = _json.load(f)
         z["shape"] = new_shape
-        with open(zpath, "w") as f:
-            _json.dump(z, f)
+        # a repair tool must never corrupt: all-or-nothing record writes
+        zarr2.write_json_atomic(zpath, z)
         if zmeta is not None and f"{name}/.zarray" in zmeta.get(
             "metadata", {}
         ):
             zmeta["metadata"][f"{name}/.zarray"]["shape"] = new_shape
         patched[name] = new_shape
     if patched and zmeta is not None:
-        with open(zmeta_path, "w") as f:
-            _json.dump(zmeta, f)
+        zarr2.write_json_atomic(zmeta_path, zmeta)
     return patched
 
 
@@ -843,13 +842,11 @@ def append_zarr_distributed(
             with open(zpath) as f:
                 z = _json.load(f)
             z["shape"] = new_shape
-            with open(zpath, "w") as f:
-                _json.dump(z, f)
+            zarr2.write_json_atomic(zpath, z)
             if zmeta is not None:
                 zmeta["metadata"][f"{var}/.zarray"]["shape"] = new_shape
         if zmeta is not None:
-            with open(zmeta_path, "w") as f:
-                _json.dump(zmeta, f)
+            zarr2.write_json_atomic(zmeta_path, zmeta)
     return {
         "n_chunks": len(written),
         "n_cells": int(sum(r.n_cells for r in written)),

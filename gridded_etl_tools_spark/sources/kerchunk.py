@@ -145,41 +145,16 @@ _GEN_ALLOWED_NODES = (
 def _gen_eval(expr: str, env: dict[str, object]) -> object:
     """Evaluate one ``{{...}}`` placeholder from a ``gen`` template:
     a bare name resolves from ``env`` (dimension variable or template
-    string); anything else must be integer arithmetic over those
-    names."""
+    string); anything else must be integer arithmetic over the integer
+    names in ``env``.  Validation lives in :func:`_gen_compile` —
+    ONE grammar definition for the evaluator, the per-entry renderers,
+    and (mirrored) the JVM transpiler."""
     expr = expr.strip()
     if expr in env:
         return env[expr]
-    try:
-        tree = ast.parse(expr, mode="eval")
-    except SyntaxError as exc:
-        raise KerchunkError(f"gen expression {expr!r} unparseable") from exc
-    for node in ast.walk(tree):
-        if not isinstance(node, _GEN_ALLOWED_NODES):
-            raise KerchunkError(
-                f"gen expression {expr!r} uses unsupported construct "
-                f"{type(node).__name__} — only integer arithmetic over "
-                "dimension variables is supported (materialize the refs "
-                "for anything richer)"
-            )
-        if isinstance(node, ast.Constant) and not isinstance(
-            node.value, (int, float)
-        ):
-            raise KerchunkError(
-                f"gen expression {expr!r}: non-numeric constant"
-            )
-        if isinstance(node, ast.Name):
-            if not isinstance(env.get(node.id), int):
-                raise KerchunkError(
-                    f"gen expression {expr!r} uses {node.id!r}, which is "
-                    "not an integer dimension variable"
-                )
-    return eval(compile(tree, "<gen>", "eval"), {"__builtins__": {}}, env)
-
-
-def _gen_render(template: str, env: dict[str, object]) -> str:
-    return _GEN_EXPR_RE.sub(
-        lambda m: str(_gen_eval(m.group(1), env)), template
+    dim_names = {k for k, v in env.items() if isinstance(v, int)}
+    return eval(  # noqa: S307 - AST-restricted, no builtins
+        _gen_compile(expr, dim_names), {"__builtins__": {}}, env
     )
 
 
@@ -277,10 +252,9 @@ _GEN_MAX_REFS = 10_000_000
 
 
 def _check_gen_name_collisions(names: list[str], templates: dict) -> None:
-    """A dimension named like a template would resolve differently in
-    the driver evaluator (dimension wins — env.update order) and the
-    JVM transpiler (template checked first) — a silent cross-path
-    divergence.  Refuse the ambiguity outright (code-review r10)."""
+    """A dimension named like a template key would shadow it — both
+    evaluators now prefer the dimension, but the document's intent is
+    ambiguous either way.  Refuse outright (code-review r10)."""
     clash = set(names) & set(templates)
     if clash:
         raise KerchunkError(
@@ -633,23 +607,38 @@ class _RangeClient:
     def __init__(self) -> None:
         self._files: dict[str, object] = {}
         self._conns: dict[tuple[str, str], object] = {}
+        # full bodies from Range-ignoring servers, memoized per url so a
+        # partition of N refs costs ONE download, not N (second-pass
+        # review r10); warned once per host
+        self._full_bodies: dict[str, bytes] = {}
+        self._warned_hosts: set[str] = set()
 
     def fetch(self, url: str, offset: int | None, length: int | None) -> bytes:
+        """``offset=None`` reads the whole object; ``length=None`` with
+        an offset reads from offset to EOF (the ``[url, offset]``
+        two-element ref shape)."""
         if url.startswith(("http://", "https://")):
             return self._http(url, offset, length)
         fh = self._files.get(url)
         if fh is None:
             fh = self._files[url] = open(url, "rb")
-        if offset is None:
-            fh.seek(0)
-            return fh.read()
-        fh.seek(int(offset))
-        return fh.read(int(length))
+        fh.seek(int(offset) if offset is not None else 0)
+        return fh.read() if length is None else fh.read(int(length))
 
     def _http(self, url: str, offset: int | None, length: int | None) -> bytes:
         import http.client
         import urllib.parse
 
+        def _slice(body: bytes) -> bytes:
+            if offset is None:
+                return body
+            if length is None:
+                return body[int(offset):]
+            return body[int(offset):int(offset) + int(length)]
+
+        cached = self._full_bodies.get(url)
+        if cached is not None:
+            return _slice(cached)
         u = urllib.parse.urlsplit(url)
         key = (u.scheme, u.netloc)
         path = u.path or "/"
@@ -657,9 +646,8 @@ class _RangeClient:
             path += "?" + u.query
         headers = {}
         if offset is not None:
-            headers["Range"] = (
-                f"bytes={int(offset)}-{int(offset) + int(length) - 1}"
-            )
+            end = "" if length is None else str(int(offset) + int(length) - 1)
+            headers["Range"] = f"bytes={int(offset)}-{end}"
         last_exc: Exception | None = None
         for attempt in (0, 1):
             conn = self._conns.get(key)
@@ -684,8 +672,20 @@ class _RangeClient:
             if status == 206 or (status == 200 and offset is None):
                 return body
             if status == 200:
-                # server ignored Range — slice the full body
-                return body[int(offset):int(offset) + int(length)]
+                # server ignored Range: memoize the full body so this
+                # partition never re-downloads it, and say so once
+                if u.netloc not in self._warned_hosts:
+                    self._warned_hosts.add(u.netloc)
+                    import warnings
+
+                    warnings.warn(
+                        f"{u.netloc} ignores Range requests — "
+                        "downloading whole objects and slicing locally "
+                        "(cached per url per partition)",
+                        stacklevel=2,
+                    )
+                self._full_bodies[url] = body
+                return _slice(body)
             raise KerchunkError(f"HTTP {status} fetching {url}")
         raise KerchunkError(f"fetch failed for {url}: {last_exc}")
 
@@ -893,12 +893,15 @@ def _decode_manifest(
                         raw = _inline_bytes(row.inline)
                     else:
                         # nullable long columns surface as float NaN in
-                        # pandas — normalize before the ranged fetch
-                        no_range = row.offset is None or pd.isna(row.offset)
+                        # pandas — normalize before the ranged fetch;
+                        # offset-without-length reads to EOF ([url,
+                        # offset] two-element refs)
+                        no_off = row.offset is None or pd.isna(row.offset)
+                        no_len = row.length is None or pd.isna(row.length)
                         raw = client.fetch(
                             row.url,
-                            None if no_range else int(row.offset),
-                            None if no_range else int(row.length),
+                            None if no_off else int(row.offset),
+                            None if no_len else int(row.length),
                         )
                     idx = zarr2.chunk_key_indices(row.key, meta)
                     block = zarr2.decode_chunk(raw, meta)

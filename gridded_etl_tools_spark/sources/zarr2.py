@@ -960,6 +960,18 @@ def write_zarr_store(
             )
 
 
+def write_json_atomic(path: str, obj: object) -> None:
+    """Metadata record write, all-or-nothing (tmp + rename): a crash
+    mid-write must leave the OLD record, never truncated JSON that
+    makes the whole store unreadable (code-review r10)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def append_time_chunks(
     root: str,
     data_var: str,
@@ -1047,17 +1059,21 @@ def append_time_chunks(
         _write_chunks(meta, meta.shape[0] // meta.chunks[0], new_data)
     _write_chunks(tmeta, tmeta.shape[0] // tmeta.chunks[0], new_times)
 
+    # AXIS shape record FIRST (code-review r10): the multi-var heal and
+    # resync_zarr_shapes treat the axis as the source of truth, which is
+    # only sound if no variable's shape can ever be AHEAD of the axis —
+    # a crash between these two writes must leave variables behind
+    # (healable), never ahead (wedged)
     for m, shape in (
-        (meta, new_shape),
         (tmeta, (tmeta.shape[0] + new_times.size,)),
+        (meta, new_shape),
     ):
         fname = "zarr.json" if m.zarr_version == 3 else ".zarray"
         zpath = os.path.join(root, m.name, fname)
         with open(zpath) as f:
             z = json.load(f)
         z["shape"] = list(shape)
-        with open(zpath, "w") as f:
-            json.dump(z, f)
+        write_json_atomic(zpath, z)
     zmeta_path = os.path.join(root, ".zmetadata")
     if os.path.exists(zmeta_path):
         with open(zmeta_path) as f:
@@ -1066,8 +1082,7 @@ def append_time_chunks(
         z["metadata"][f"{time_var}/.zarray"]["shape"] = [
             tmeta.shape[0] + new_times.size
         ]
-        with open(zmeta_path, "w") as f:
-            json.dump(z, f)
+        write_json_atomic(zmeta_path, z)
 
 
 def write_zarr3_store(

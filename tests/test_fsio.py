@@ -525,6 +525,20 @@ def test_gcs_azure_key_guards_foreign_container_and_root():
         afs._key("abfss://spark-graft-test@acct.dfs.core.windows.net/")
     with pytest.raises(ValueError, match="container root"):
         afs._key("/")
+    # authority-less Azure URLs refuse instead of mangling into keys
+    # (second-pass review r10) — including FOREIGN containers
+    with pytest.raises(ValueError, match="not a valid Azure"):
+        afs._key("abfss://other/tbl/p.json")
+    with pytest.raises(ValueError, match="not a valid Azure"):
+        afs._key("abfss://spark-graft-test/tbl/p.json")
+    # s3a/s3n (the schemes Hadoop deployments actually use) map and
+    # refuse exactly like s3
+    sfs = S3ControlFS("bucket-a", client=object())
+    assert sfs._key("s3a://bucket-a/tbl/p.json") == "tbl/p.json"
+    with pytest.raises(ValueError, match="different bucket"):
+        sfs._key("s3a://bucket-b/tbl/p.json")
+    with pytest.raises(ValueError, match="different bucket"):
+        sfs._key("s3n://bucket-b/tbl/p.json")
 
 
 def test_gcs_conditional_write_semantics_server_side():

@@ -457,15 +457,19 @@ def test_http_byte_range_refs_decode(spark, tmp_path, ranged):
     doc, base = _packed_refs(tmp_path)
     blob = (tmp_path / "grid.bin").read_bytes()
 
+    n_requests = [0]
+
     class RangeHandler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
+            n_requests[0] += 1
             rng = self.headers.get("Range") if ranged else None
             if rng:
                 a, b = rng.split("=")[1].split("-")
-                body = blob[int(a):int(b) + 1]
+                end = int(b) if b else len(blob) - 1  # open-ended range
+                body = blob[int(a):end + 1]
                 self.send_response(206)
                 self.send_header(
-                    "Content-Range", f"bytes {a}-{b}/{len(blob)}"
+                    "Content-Range", f"bytes {a}-{end}/{len(blob)}"
                 )
             else:
                 body = blob
@@ -497,6 +501,31 @@ def test_http_byte_range_refs_decode(spark, tmp_path, ranged):
         want = {(r.time, r.latitude, r.longitude): r.value
                 for r in plain.collect()}
         assert got == want and len(got) == 60
+        if not ranged:
+            # second-pass review r10: one client fetching N ranges from
+            # a Range-ignoring server downloads the body ONCE
+            before = n_requests[0]
+            client = kerchunk._RangeClient()
+            try:
+                import warnings as _w
+
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore")
+                    for off in (4, 100, 200, 300, 4):
+                        assert client.fetch(url, off, 8) == blob[off:off + 8]
+                    # offset-without-length reads to EOF ([url, offset])
+                    assert client.fetch(url, 4, None) == blob[4:]
+            finally:
+                client.close()
+            assert n_requests[0] == before + 1, n_requests[0] - before
+        else:
+            # ranged two-element refs ([url, offset]) request an
+            # open-ended range
+            client = kerchunk._RangeClient()
+            try:
+                assert client.fetch(url, 4, None) == blob[4:]
+            finally:
+                client.close()
     finally:
         srv.shutdown()
         srv.server_close()

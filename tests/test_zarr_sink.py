@@ -590,6 +590,41 @@ def test_distributed_append_on_sharded_store(spark, tmp_path):
     assert block.shape == (4, 4, 4)
 
 
+def test_append_commits_axis_shape_before_variable(spark, tmp_path, monkeypatch):
+    """Second-pass review r10: the heal treats the axis as the source
+    of truth, which is only sound if no variable's shape record can
+    ever commit AHEAD of the axis's.  Record the write order through
+    the atomic-write seam and require axis-first."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    def _frame(lo, hi):
+        return spark.createDataFrame(
+            [Row(time=float(t), x=x, value=float(t + x))
+             for t in range(lo, hi) for x in [10.0, 10.5]]
+        )
+
+    root = str(tmp_path / "order.zarr")
+    write_zarr_distributed(
+        _frame(0, 2), root, "v", dims=["time", "x"], chunks=(2, 2))
+    order = []
+    real = zarr2.write_json_atomic
+
+    def recording(path, obj):
+        order.append(os.path.relpath(path, root))
+        real(path, obj)
+
+    monkeypatch.setattr(zarr2, "write_json_atomic", recording)
+    append_zarr_distributed(_frame(2, 4), root, "v")
+    shape_writes = [p for p in order if p.endswith(".zarray")]
+    assert shape_writes.index(os.path.join("time", ".zarray")) < \
+        shape_writes.index(os.path.join("v", ".zarray")), order
+
+
 def test_torn_multivar_append_self_heals(spark, tmp_path):
     """Code-review r10: a crash between the append's axis extension and
     a later variable's shape patch leaves the store torn (axis + v1
