@@ -114,6 +114,7 @@ HEADLINE = [
     # round-10 additions:
     "kerchunk_gen_decode",        # gen-section expansion -> manifest scan
     "kerchunk_gen_distributed_decode",  # gen as Range + codegen arithmetic
+    "kerchunk_parquet_refs_decode",     # parquet ref store, executor manifest
     "zarr_multivar_publish_readback",  # 2 vars, ONE chunk-key shuffle
     "zarr_insert_readback",       # region-INSERT repair on a live store
 ]

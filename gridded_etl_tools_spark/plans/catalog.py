@@ -5385,6 +5385,40 @@ def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kerchunk_parquet_refs_decode", _nc_oracle())
+def kerchunk_parquet_refs_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARQUET reference stores (r10): the layout fsspec's
+    LazyReferenceMapper writes when a kerchunk JSON outgrows driver
+    memory — kerchunk's production-scale format (row position in
+    ``<var>/refs.{i}.parquet`` is the flat chunk id; inline chunks ride
+    a ``raw`` binary column).  The decode builds the data manifest
+    EXECUTOR-side, one task per refs slab, Arrow parse inside
+    mapInPandas — no driver-side refs parse at all, so a billion-chunk
+    store's planning cost is listing its refs files.  Same literal
+    oracle as the JSON front doors."""
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    doc, base = _kerchunk_fixture()
+    digest = os.path.basename(base).split("_")[-1]
+    pq_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kcpq_{digest}"
+    )
+    if not os.path.exists(os.path.join(pq_root, ".zmetadata")):
+        # record_size 5 forces multi-slab flat-id arithmetic (12 chunks)
+        kc_mod.write_parquet_refs(pq_root, doc, record_size=5)
+    out = kc_mod.decode_parquet_refs(
+        spark, pq_root, "precip", base_dir=base
+    )
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 @query("kerchunk_gen_distributed_decode", _nc_oracle())
 def kerchunk_gen_distributed_decode(
     spark: SparkSession, sf_dir: str

@@ -1058,3 +1058,224 @@ def build_refs_for_zarr_store(root: str) -> dict:
                 key = rel if meta.dimension_separator == "/" else fn
                 refs[f"{name}/{key}"] = [full, 0, os.path.getsize(full)]
     return {"version": 1, "refs": refs}
+
+
+# --------------------------------------------------------------------------
+# Parquet reference stores (kerchunk's production-scale format)
+# --------------------------------------------------------------------------
+
+def write_parquet_refs(
+    root: str, doc: dict | str | bytes, record_size: int = 10_000
+) -> None:
+    """Write a refs mapping as a PARQUET reference store — the layout
+    fsspec's ``LazyReferenceMapper`` produces when a kerchunk JSON
+    outgrows driver memory (the standard scale form for big reference
+    datasets): consolidated metadata keys in a root ``.zmetadata`` JSON
+    (plus ``record_size``), and per-variable ``<var>/refs.{i}.parquet``
+    files whose columns are ``(path, offset, size, raw)`` with the ROW
+    POSITION encoding the flat chunk id in C order — row
+    ``i*record_size + j`` of file ``refs.i.parquet`` is chunk ``j`` of
+    that slab.  Absent chunks are all-null rows; ``raw`` carries inline
+    chunk bytes.  Fixture-writer scale (per-variable loop driver-side);
+    the READ path is the distributed one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    refs = parse_refs(doc)
+    meta_keys: dict[str, object] = {}
+    arrays = store_metadata(refs)
+    for key, val in refs.items():
+        leaf = key.rsplit("/", 1)[-1]
+        if leaf.startswith(".") or key.startswith("."):
+            meta_keys[key] = val if isinstance(val, str) else json.dumps(val)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        json.dump(
+            {"metadata": meta_keys, "record_size": record_size}, f
+        )
+    schema = pa.schema(
+        [
+            pa.field("path", pa.string()),
+            pa.field("offset", pa.int64()),
+            pa.field("size", pa.int64()),
+            pa.field("raw", pa.binary()),
+        ]
+    )
+    for name, meta in arrays.items():
+        grid = meta.chunk_grid
+        n = int(np.prod(grid))
+        rows: dict[int, tuple] = {}
+        for rel, ref in _chunk_refs(refs, name):
+            idx = zarr2.chunk_key_indices(rel, meta)
+            flat = int(np.ravel_multi_index(idx, grid))
+            if isinstance(ref, str):
+                rows[flat] = (None, None, None, _inline_bytes(ref))
+            else:
+                off = int(ref[1]) if len(ref) > 1 else 0
+                size = int(ref[2]) if len(ref) > 2 else None
+                rows[flat] = (ref[0], off, size, None)
+        vdir = os.path.join(root, name)
+        os.makedirs(vdir, exist_ok=True)
+        for start in range(0, n, record_size):
+            stop = min(start + record_size, n)
+            cols = list(
+                zip(*[rows.get(i, (None, None, None, None))
+                      for i in range(start, stop)])
+            )
+            table = pa.table(
+                {
+                    "path": pa.array(cols[0], pa.string()),
+                    "offset": pa.array(cols[1], pa.int64()),
+                    "size": pa.array(cols[2], pa.int64()),
+                    "raw": pa.array(cols[3], pa.binary()),
+                },
+                schema=schema,
+            )
+            pq.write_table(
+                table,
+                os.path.join(vdir, f"refs.{start // record_size}.parquet"),
+            )
+
+
+def _parquet_refs_metadata(root: str) -> tuple[dict, int]:
+    with open(os.path.join(root, ".zmetadata")) as f:
+        z = json.load(f)
+    return z["metadata"], int(z.get("record_size", 10_000))
+
+
+def _read_parquet_refs_var(
+    root: str, name: str, meta: zarr2.ZArray
+) -> list[tuple[str, object]]:
+    """Driver-side materialization of ONE variable's refs (coordinate
+    arrays only — dimension-sized by design)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    _meta_keys, record_size = _parquet_refs_metadata(root)
+    grid = meta.chunk_grid
+    out: list[tuple[str, object]] = []
+    for path in sorted(
+        _glob.glob(os.path.join(root, name, "refs.*.parquet")),
+        key=lambda p: int(os.path.basename(p).split(".")[1]),
+    ):
+        i = int(os.path.basename(path).split(".")[1])
+        t = pq.read_table(path)
+        for j in range(t.num_rows):
+            flat = i * record_size + j
+            p = t["path"][j].as_py()
+            raw = t["raw"][j].as_py()
+            if p is None and raw is None:
+                continue
+            idx = np.unravel_index(flat, grid)
+            key = meta.dimension_separator.join(str(int(x)) for x in idx)
+            if raw is not None:
+                out.append((key, raw.decode("latin1")))
+            else:
+                out.append(
+                    (key, [p, t["offset"][j].as_py(), t["size"][j].as_py()])
+                )
+    return out
+
+
+def decode_parquet_refs(
+    spark: SparkSession, root: str, data_var: str, base_dir: str = ""
+) -> DataFrame:
+    """Distributed decode of a PARQUET reference store: the refs ARE
+    parquet, so the data variable's manifest is built executor-side —
+    one task per ``refs.{i}.parquet`` slab (Arrow parse inside
+    mapInPandas, flat id = slab_index * record_size + row position),
+    then the shared ranged-fetch decode stage.  NO driver-side refs
+    parse at all for the data variable: a billion-chunk store's
+    planning cost is listing its refs files.  Coordinate axes stay
+    driver-side (dimension-sized, same trade as every other front
+    door)."""
+    meta_keys, record_size = _parquet_refs_metadata(root)
+    arrays: dict[str, zarr2.ZArray] = {}
+    for key, val in meta_keys.items():
+        if key.endswith("/.zarray"):
+            name = key[: -len("/.zarray")]
+            zattrs = meta_keys.get(f"{name}/.zattrs")
+            arrays[name] = zarr2.parse_zarray(
+                name,
+                val.encode() if isinstance(val, str) else json.dumps(val).encode(),
+                zattrs.encode() if isinstance(zattrs, str) else None,
+            )
+    if data_var not in arrays:
+        raise KerchunkError(
+            f"{data_var!r} not in refs (has {sorted(arrays)})"
+        )
+    meta = arrays[data_var]
+    dims = meta.dims or [f"dim_{i}" for i in range(len(meta.shape))]
+    coords: dict[str, np.ndarray] = {}
+    for i, d in enumerate(dims):
+        if d in arrays and arrays[d].shape == (meta.shape[i],):
+            crefs = dict(
+                (f"{d}/{k}", v)
+                for k, v in _read_parquet_refs_var(root, d, arrays[d])
+            )
+            coords[d] = read_array(crefs, arrays[d], base_dir).astype("f8")
+        else:
+            coords[d] = np.arange(meta.shape[i], dtype="f8")
+
+    grid = meta.chunk_grid
+    sep = meta.dimension_separator
+    bdir = base_dir
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(root, data_var, "refs.*.parquet")
+    ).select("path", "content")
+
+    man_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("length", T.LongType(), True),
+            T.StructField("inline", T.StringType(), True),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                fname = os.path.basename(row.path)
+                slab = int(fname.split(".")[1])
+                t = pq.read_table(io.BytesIO(row.content))
+                paths = t["path"].to_pylist()
+                offs = t["offset"].to_pylist()
+                sizes = t["size"].to_pylist()
+                raws = t["raw"].to_pylist()
+                keys, urls, offsets, lengths, inlines = [], [], [], [], []
+                for j in range(t.num_rows):
+                    if paths[j] is None and raws[j] is None:
+                        continue  # absent chunk -> zarr missing-chunk rule
+                    flat = slab * record_size + j
+                    idx = np.unravel_index(flat, grid)
+                    keys.append(sep.join(str(int(x)) for x in idx))
+                    if raws[j] is not None:
+                        urls.append(None)
+                        offsets.append(None)
+                        lengths.append(None)
+                        inlines.append(
+                            "base64:" + base64.b64encode(raws[j]).decode()
+                        )
+                    else:
+                        url = paths[j]
+                        if bdir and "://" not in url and not os.path.isabs(url):
+                            url = os.path.join(bdir, url)
+                        urls.append(url)
+                        offsets.append(offs[j])
+                        lengths.append(sizes[j])
+                        inlines.append(None)
+                yield pd.DataFrame(
+                    {"key": keys, "url": urls, "offset": offsets,
+                     "length": lengths, "inline": inlines}
+                )
+
+    manifest = files.mapInPandas(build, man_schema)
+    return _decode_manifest(spark, manifest, meta, dims, coords)

@@ -461,6 +461,9 @@ SHUFFLE_BUDGET = {
     # r10: the JVM gen path is Range -> codegen arithmetic -> union ->
     # mapInPandas — still zero exchanges
     "kerchunk_gen_distributed_decode": (0, 0),
+    # r10: parquet reference store — binaryFile scan of refs slabs ->
+    # manifest build -> decode, all map-side
+    "kerchunk_parquet_refs_decode": (0, 0),
     # r10: two-var native publish (fixture builds once, ONE shuffle in
     # the write job); the measured plan joins the two decodes on the
     # dim key — one hash exchange per side
