@@ -753,13 +753,33 @@ def read_array(refs: dict, meta: zarr2.ZArray, base_dir: str = "") -> np.ndarray
     return out
 
 
+def _join_base(url: str, base_dir: str) -> str:
+    """ONE definition of ref-URL resolution (third-pass review r10):
+    relative local paths join ``base_dir``; scheme-qualified and
+    absolute URLs pass through."""
+    if base_dir and "://" not in url and not os.path.isabs(url):
+        return os.path.join(base_dir, url)
+    return url
+
+
+def _manifest_schema() -> T.StructType:
+    """The ONE manifest row contract shared by every manifest builder."""
+    return T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("length", T.LongType(), True),
+            T.StructField("inline", T.StringType(), True),
+        ]
+    )
+
+
 def _resolve_ref(ref: object, base_dir: str) -> bytes:
     if isinstance(ref, str):
         return _inline_bytes(ref)
     if isinstance(ref, list) and ref:
-        url = ref[0]
-        if base_dir and "://" not in url and not os.path.isabs(url):
-            url = os.path.join(base_dir, url)
+        url = _join_base(ref[0], base_dir)
         offset = ref[1] if len(ref) > 1 else None
         length = ref[2] if len(ref) > 2 else None
         return _fetch_range(url, offset, length)
@@ -792,13 +812,10 @@ def refs_manifest(
         if isinstance(ref, str):
             rows.append((rel, None, None, None, ref))
         else:
-            url = ref[0]
-            if base_dir and "://" not in url and not os.path.isabs(url):
-                url = os.path.join(base_dir, url)
             rows.append(
                 (
                     rel,
-                    url,
+                    _join_base(ref[0], base_dir),
                     int(ref[1]) if len(ref) > 1 else None,
                     int(ref[2]) if len(ref) > 2 else None,
                     None,
@@ -822,19 +839,11 @@ def refs_manifest(
                 np.arange(n_grid, dtype=np.int64), present_flat
             )
             for flat in missing:
-                idx = np.unravel_index(int(flat), grid)
-                key = meta.dimension_separator.join(str(int(i)) for i in idx)
+                key = _flat_key(
+                    int(flat), grid, meta.dimension_separator
+                )
                 rows.append((key, None, None, None, None))
-    schema = T.StructType(
-        [
-            T.StructField("key", T.StringType(), False),
-            T.StructField("url", T.StringType(), True),
-            T.StructField("offset", T.LongType(), True),
-            T.StructField("length", T.LongType(), True),
-            T.StructField("inline", T.StringType(), True),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, _manifest_schema())
 
 
 def decode_kerchunk_long(
@@ -1089,10 +1098,6 @@ def write_parquet_refs(
         if leaf.startswith(".") or key.startswith("."):
             meta_keys[key] = val if isinstance(val, str) else json.dumps(val)
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, ".zmetadata"), "w") as f:
-        json.dump(
-            {"metadata": meta_keys, "record_size": record_size}, f
-        )
     schema = pa.schema(
         [
             pa.field("path", pa.string()),
@@ -1135,6 +1140,14 @@ def write_parquet_refs(
                 table,
                 os.path.join(vdir, f"refs.{start // record_size}.parquet"),
             )
+    # .zmetadata LAST (third-pass review r10): it is the reader's and
+    # the fixture cache's existence check, so it must only appear once
+    # every slab is on disk — an interrupted write then leaves an
+    # invisible partial store, not a poisoned one
+    zarr2.write_json_atomic(
+        os.path.join(root, ".zmetadata"),
+        {"metadata": meta_keys, "record_size": record_size},
+    )
 
 
 def _parquet_refs_metadata(root: str) -> tuple[dict, int]:
@@ -1143,8 +1156,13 @@ def _parquet_refs_metadata(root: str) -> tuple[dict, int]:
     return z["metadata"], int(z.get("record_size", 10_000))
 
 
+def _flat_key(flat: int, grid: tuple[int, ...], sep: str) -> str:
+    idx = np.unravel_index(int(flat), grid)
+    return sep.join(str(int(x)) for x in idx)
+
+
 def _read_parquet_refs_var(
-    root: str, name: str, meta: zarr2.ZArray
+    root: str, name: str, meta: zarr2.ZArray, record_size: int
 ) -> list[tuple[str, object]]:
     """Driver-side materialization of ONE variable's refs (coordinate
     arrays only — dimension-sized by design)."""
@@ -1152,7 +1170,6 @@ def _read_parquet_refs_var(
 
     import pyarrow.parquet as pq
 
-    _meta_keys, record_size = _parquet_refs_metadata(root)
     grid = meta.chunk_grid
     out: list[tuple[str, object]] = []
     for path in sorted(
@@ -1162,15 +1179,20 @@ def _read_parquet_refs_var(
         i = int(os.path.basename(path).split(".")[1])
         t = pq.read_table(path)
         for j in range(t.num_rows):
-            flat = i * record_size + j
             p = t["path"][j].as_py()
             raw = t["raw"][j].as_py()
             if p is None and raw is None:
                 continue
-            idx = np.unravel_index(flat, grid)
-            key = meta.dimension_separator.join(str(int(x)) for x in idx)
+            key = _flat_key(
+                i * record_size + j, grid, meta.dimension_separator
+            )
             if raw is not None:
-                out.append((key, raw.decode("latin1")))
+                # explicit base64 framing: a raw chunk whose bytes
+                # happen to start with b'base64:' must not be
+                # double-decoded by _inline_bytes (third-pass review)
+                out.append(
+                    (key, "base64:" + base64.b64encode(raw).decode())
+                )
             else:
                 out.append(
                     (key, [p, t["offset"][j].as_py(), t["size"][j].as_py()])
@@ -1196,6 +1218,12 @@ def decode_parquet_refs(
         if key.endswith("/.zarray"):
             name = key[: -len("/.zarray")]
             zattrs = meta_keys.get(f"{name}/.zattrs")
+            # real fsspec LazyReferenceMapper stores may carry PARSED
+            # dict values (third-pass review r10): stringify both keys
+            # the same way, or _ARRAY_DIMENSIONS is silently lost and
+            # every coordinate decodes as np.arange
+            if zattrs is not None and not isinstance(zattrs, str):
+                zattrs = json.dumps(zattrs)
             arrays[name] = zarr2.parse_zarray(
                 name,
                 val.encode() if isinstance(val, str) else json.dumps(val).encode(),
@@ -1212,7 +1240,9 @@ def decode_parquet_refs(
         if d in arrays and arrays[d].shape == (meta.shape[i],):
             crefs = dict(
                 (f"{d}/{k}", v)
-                for k, v in _read_parquet_refs_var(root, d, arrays[d])
+                for k, v in _read_parquet_refs_var(
+                    root, d, arrays[d], record_size
+                )
             )
             coords[d] = read_array(crefs, arrays[d], base_dir).astype("f8")
         else:
@@ -1221,20 +1251,14 @@ def decode_parquet_refs(
     grid = meta.chunk_grid
     sep = meta.dimension_separator
     bdir = base_dir
+    # absent chunks materialize as fill rows, matching refs_manifest's
+    # missing-key rule (third-pass review r10: dropping them diverged
+    # from the JSON-document decode on any store with holes)
+    has_fill = meta.fill_value is not None
 
     files = spark.read.format("binaryFile").load(
         os.path.join(root, data_var, "refs.*.parquet")
     ).select("path", "content")
-
-    man_schema = T.StructType(
-        [
-            T.StructField("key", T.StringType(), False),
-            T.StructField("url", T.StringType(), True),
-            T.StructField("offset", T.LongType(), True),
-            T.StructField("length", T.LongType(), True),
-            T.StructField("inline", T.StringType(), True),
-        ]
-    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -1252,12 +1276,19 @@ def decode_parquet_refs(
                 raws = t["raw"].to_pylist()
                 keys, urls, offsets, lengths, inlines = [], [], [], [], []
                 for j in range(t.num_rows):
-                    if paths[j] is None and raws[j] is None:
-                        continue  # absent chunk -> zarr missing-chunk rule
-                    flat = slab * record_size + j
-                    idx = np.unravel_index(flat, grid)
-                    keys.append(sep.join(str(int(x)) for x in idx))
-                    if raws[j] is not None:
+                    absent = paths[j] is None and raws[j] is None
+                    if absent and not has_fill:
+                        continue  # no fill: the chunk simply isn't there
+                    keys.append(
+                        _flat_key(slab * record_size + j, grid, sep)
+                    )
+                    if absent:
+                        # all-None manifest row -> fill materialization
+                        urls.append(None)
+                        offsets.append(None)
+                        lengths.append(None)
+                        inlines.append(None)
+                    elif raws[j] is not None:
                         urls.append(None)
                         offsets.append(None)
                         lengths.append(None)
@@ -1265,10 +1296,7 @@ def decode_parquet_refs(
                             "base64:" + base64.b64encode(raws[j]).decode()
                         )
                     else:
-                        url = paths[j]
-                        if bdir and "://" not in url and not os.path.isabs(url):
-                            url = os.path.join(bdir, url)
-                        urls.append(url)
+                        urls.append(_join_base(paths[j], bdir))
                         offsets.append(offs[j])
                         lengths.append(sizes[j])
                         inlines.append(None)
@@ -1277,5 +1305,5 @@ def decode_parquet_refs(
                      "length": lengths, "inline": inlines}
                 )
 
-    manifest = files.mapInPandas(build, man_schema)
+    manifest = files.mapInPandas(build, _manifest_schema())
     return _decode_manifest(spark, manifest, meta, dims, coords)

@@ -542,8 +542,28 @@ def test_parquet_reference_store_roundtrip(spark, tmp_path):
     exercises multi-slab flat-id arithmetic, and inline (raw) refs ride
     the same path."""
     doc, base = _packed_refs(tmp_path, inline_first=True)
+    # punch a hole: an ABSENT chunk (all-null parquet row) must
+    # materialize as fill->NULL exactly like the JSON decode's
+    # missing-key rule (third-pass review r10)
+    doc = dict(doc)
+    doc["refs"] = {k: v for k, v in doc["refs"].items()
+                   if k != "precip/1.1.2"}
+    # real fsspec stores carry PARSED dict metadata values — the decode
+    # must not lose _ARRAY_DIMENSIONS (third-pass review r10)
+    doc["refs"]["precip/.zattrs"] = json.loads(
+        doc["refs"]["precip/.zattrs"]
+    )
     pq_root = str(tmp_path / "refs.parq")
     kerchunk.write_parquet_refs(pq_root, doc, record_size=5)
+    # emulate the fsspec shape: rewrite .zmetadata with dict values
+    zm_path = os.path.join(pq_root, ".zmetadata")
+    zm = json.loads(open(zm_path).read())
+    zm["metadata"] = {
+        k: (json.loads(v) if isinstance(v, str) else v)
+        for k, v in zm["metadata"].items()
+    }
+    with open(zm_path, "w") as f:
+        json.dump(zm, f)
     # layout sanity: multiple slabs for the 12-chunk precip grid
     import glob
 
