@@ -1213,22 +1213,12 @@ def decode_parquet_refs(
     driver-side (dimension-sized, same trade as every other front
     door)."""
     meta_keys, record_size = _parquet_refs_metadata(root)
-    arrays: dict[str, zarr2.ZArray] = {}
-    for key, val in meta_keys.items():
-        if key.endswith("/.zarray"):
-            name = key[: -len("/.zarray")]
-            zattrs = meta_keys.get(f"{name}/.zattrs")
-            # real fsspec LazyReferenceMapper stores may carry PARSED
-            # dict values (third-pass review r10): stringify both keys
-            # the same way, or _ARRAY_DIMENSIONS is silently lost and
-            # every coordinate decodes as np.arange
-            if zattrs is not None and not isinstance(zattrs, str):
-                zattrs = json.dumps(zattrs)
-            arrays[name] = zarr2.parse_zarray(
-                name,
-                val.encode() if isinstance(val, str) else json.dumps(val).encode(),
-                zattrs.encode() if isinstance(zattrs, str) else None,
-            )
+    # store_metadata is the ONE .zarray/.zattrs parsing loop — it
+    # already stringifies the PARSED dict values real fsspec
+    # LazyReferenceMapper stores carry (the hand-rolled copy here
+    # silently dropped dict .zattrs, losing _ARRAY_DIMENSIONS;
+    # third-pass review r10)
+    arrays = store_metadata(meta_keys)
     if data_var not in arrays:
         raise KerchunkError(
             f"{data_var!r} not in refs (has {sorted(arrays)})"
@@ -1249,6 +1239,7 @@ def decode_parquet_refs(
             coords[d] = np.arange(meta.shape[i], dtype="f8")
 
     grid = meta.chunk_grid
+    n_grid = int(np.prod(grid))
     sep = meta.dimension_separator
     bdir = base_dir
     # absent chunks materialize as fill rows, matching refs_manifest's
@@ -1276,12 +1267,17 @@ def decode_parquet_refs(
                 raws = t["raw"].to_pylist()
                 keys, urls, offsets, lengths, inlines = [], [], [], [], []
                 for j in range(t.num_rows):
+                    flat = slab * record_size + j
+                    if flat >= n_grid:
+                        # real fsspec slabs are PADDED to record_size
+                        # with null tail rows past the chunk grid
+                        # (fourth-pass review r10: unravel_index raised
+                        # on them once fill rows stopped skipping nulls)
+                        continue
                     absent = paths[j] is None and raws[j] is None
                     if absent and not has_fill:
                         continue  # no fill: the chunk simply isn't there
-                    keys.append(
-                        _flat_key(slab * record_size + j, grid, sep)
-                    )
+                    keys.append(_flat_key(flat, grid, sep))
                     if absent:
                         # all-None manifest row -> fill materialization
                         urls.append(None)

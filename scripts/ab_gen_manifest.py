@@ -54,7 +54,13 @@ def main() -> None:
     n_driver = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     ny, nx = 100, 100
-    nt = n_driver // (ny * nx)
+    nt = max(1, n_driver // (ny * nx))
+    if nt * ny * nx != n_driver:
+        print(
+            f"# note: measuring {nt * ny * nx} refs "
+            f"(nearest (t,100,100) grid to {n_driver})",
+            file=sys.stderr,
+        )
     doc = _doc(nt, ny, nx)
     spark = get_session()
     out: dict[str, object] = {"n_refs": nt * ny * nx}

@@ -569,6 +569,25 @@ def test_parquet_reference_store_roundtrip(spark, tmp_path):
 
     slabs = sorted(glob.glob(os.path.join(pq_root, "precip", "refs.*.parquet")))
     assert len(slabs) == 3  # 12 chunks / record_size 5
+    # real fsspec slabs are PADDED to record_size with all-null tail
+    # rows past the chunk grid (fourth-pass review r10) — emulate it
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    last = os.path.join(pq_root, "precip", "refs.2.parquet")
+    t = pq_mod.read_table(last)
+    pad = 5 - t.num_rows
+    assert pad > 0
+    padded = pa.table(
+        {
+            c: pa.concat_arrays(
+                [t[c].combine_chunks(), pa.nulls(pad, t.schema.field(c).type)]
+            )
+            for c in t.column_names
+        },
+        schema=t.schema,
+    )
+    pq_mod.write_table(padded, last)
     out = kerchunk.decode_parquet_refs(spark, pq_root, "precip",
                                        base_dir=base)
     got = {(r.time, r.latitude, r.longitude): r.value for r in out.collect()}
