@@ -601,6 +601,59 @@ def test_parquet_reference_store_roundtrip(spark, tmp_path):
     assert "Exchange" not in man_plan  # map-only end to end
 
 
+def test_parquet_refs_layout_combinations(spark, tmp_path):
+    """Flat-id arithmetic edge sweep for the parquet-refs path: slash
+    separator, record_size 1 (one slab per chunk) and record_size
+    larger than the grid (single padded slab), random holes — each must
+    decode identically to the JSON-document path."""
+    import random
+
+    rng = random.Random(11)
+    data = (np.arange(24, dtype="f8").reshape(4, 6) * 5 % 19) / 2.0
+    for sep, record_size in (("/", 1), (".", 7), ("/", 64)):
+        refs = {
+            "v/.zarray": json.dumps(
+                {"zarr_format": 2, "shape": [4, 6], "chunks": [2, 2],
+                 "dtype": "<f8", "compressor": None, "fill_value": -1.0,
+                 "order": "C", "filters": None,
+                 "dimension_separator": sep}
+            ),
+            "v/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["y", "x"]}),
+        }
+        blob = bytearray()
+        holes = set()
+        for iy in range(2):
+            for ix in range(3):
+                if rng.random() < 0.3:
+                    holes.add((iy, ix))
+                    continue  # absent chunk -> fill
+                block = data[iy * 2:(iy + 1) * 2, ix * 2:(ix + 1) * 2]
+                raw = np.ascontiguousarray(block).tobytes()
+                refs[f"v/{iy}{sep}{ix}"] = ["grid.bin", len(blob), len(raw)]
+                blob += raw
+        base = str(tmp_path / f"combo_{sep == '/'}_{record_size}")
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, "grid.bin"), "wb") as f:
+            f.write(bytes(blob))
+        doc = {"version": 1, "refs": refs}
+        pq_root = os.path.join(base, "refs.parq")
+        kerchunk.write_parquet_refs(pq_root, doc, record_size=record_size)
+        got = {
+            (r.y, r.x): r.value
+            for r in kerchunk.decode_parquet_refs(
+                spark, pq_root, "v", base_dir=base
+            ).collect()
+        }
+        want = {
+            (r.y, r.x): r.value
+            for r in kerchunk.decode_kerchunk_long(
+                spark, doc, "v", base_dir=base
+            ).collect()
+        }
+        assert got == want, (sep, record_size, holes)
+        assert len(got) == 24, (sep, record_size)
+
+
 def test_refs_built_over_real_zarr_store(spark, tmp_path):
     data, times, lats, lons = _grid()
     root = str(tmp_path / "store")
