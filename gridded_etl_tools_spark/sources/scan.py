@@ -135,3 +135,63 @@ def scan_gridded(
     return decode_gridded_long(
         read_binary_files(spark, path, glob=glob), data_var, dims
     )
+
+
+def open_gridded(
+    spark: SparkSession,
+    path: str,
+    data_var: str,
+    dims: list[str] | None = None,
+    base_dir: str = "",
+) -> DataFrame:
+    """STORE-level front door (r10): one call opens ANY dataset shape
+    this engine reads and returns the common long form — the role the
+    reference's dataset-open plays for its users (they point at a path
+    and never care which container it is).
+
+    Dispatch, cheapest signal first:
+
+    * directory with ``zarr.json`` / ``.zmetadata`` + ``.zarray`` files
+      → native Zarr v2/v3 store (chunk-parallel decode);
+    * directory with ``.zmetadata`` + ``refs.*.parquet`` slabs
+      → PARQUET reference store (executor-side manifest build);
+    * ``*.json`` file (or dict) with a kerchunk shape → reference
+      document; a ``gen``-dominated document routes to the JVM manifest
+      path, everything else to the document decode;
+    * any other directory → magic-byte raw-file scan (mixed formats).
+    """
+    import json as _json
+    import os
+
+    from gridded_etl_tools_spark.sources import kerchunk, zarr2
+
+    if os.path.isdir(path):
+        entries = set(os.listdir(path))
+        if "zarr.json" in entries or (
+            ".zmetadata" in entries
+            and any(
+                os.path.exists(os.path.join(path, e, ".zarray"))
+                for e in entries
+                if os.path.isdir(os.path.join(path, e))
+            )
+        ):
+            return zarr2.decode_zarr_long(spark, path, data_var)
+        if ".zmetadata" in entries:
+            # parquet reference store: .zmetadata + per-var refs slabs
+            return kerchunk.decode_parquet_refs(
+                spark, path, data_var, base_dir=base_dir
+            )
+        return scan_gridded(spark, path, data_var, dims=dims)
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = _json.load(f)
+        if isinstance(doc, dict) and doc.get("gen"):
+            return kerchunk.decode_kerchunk_long_gen(
+                spark, doc, data_var, base_dir=base_dir or os.path.dirname(path)
+            )
+        return kerchunk.decode_kerchunk_long(
+            spark, doc, data_var, base_dir=base_dir or os.path.dirname(path)
+        )
+    raise UnknownFormatError(
+        f"{path!r} is neither a store directory nor a refs .json"
+    )

@@ -601,6 +601,64 @@ def test_parquet_reference_store_roundtrip(spark, tmp_path):
     assert "Exchange" not in man_plan  # map-only end to end
 
 
+def test_open_gridded_dispatches_every_store_shape(spark, tmp_path):
+    """r10: the store-level front door — one call opens a zarr store, a
+    kerchunk JSON (plain or gen), or a parquet reference store, and
+    each returns the same cells as its dedicated entry point."""
+    from gridded_etl_tools_spark.sources import zarr2
+    from gridded_etl_tools_spark.sources.scan import (
+        UnknownFormatError,
+        open_gridded,
+    )
+
+    doc, base = _packed_refs(tmp_path)
+    want = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(
+            spark, doc, "precip", base_dir=base
+        ).collect()
+    }
+
+    # kerchunk JSON document
+    refs_path = tmp_path / "refs.json"
+    refs_path.write_text(json.dumps(doc))
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in open_gridded(spark, str(refs_path), "precip").collect()}
+    assert got == want
+
+    # gen document routes to the JVM manifest path
+    gdoc, _gdata = _gen_fixture(tmp_path)
+    gpath = tmp_path / "gen_refs.json"
+    gpath.write_text(json.dumps(gdoc))
+    assert open_gridded(spark, str(gpath), "v").count() == 24
+
+    # parquet reference store
+    pq_root = str(tmp_path / "store.parq")
+    kerchunk.write_parquet_refs(pq_root, doc)
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in open_gridded(
+               spark, pq_root, "precip", base_dir=base
+           ).collect()}
+    assert got == want
+
+    # native zarr v2 store
+    import numpy as np
+
+    zroot = str(tmp_path / "store.zarr")
+    zarr2.write_zarr_store(
+        zroot,
+        variables={
+            "time": (("time",), np.arange(2.0), {}),
+            "v": (("time",), np.array([5.0, 7.0]), {}),
+        },
+        chunks={"v": (1,)},
+    )
+    assert open_gridded(spark, zroot, "v").count() == 2
+
+    with pytest.raises(UnknownFormatError, match="neither"):
+        open_gridded(spark, str(tmp_path / "grid.bin"), "v")
+
+
 def test_parquet_refs_layout_combinations(spark, tmp_path):
     """Flat-id arithmetic edge sweep for the parquet-refs path: slash
     separator, record_size 1 (one slab per chunk) and record_size

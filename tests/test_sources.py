@@ -235,6 +235,10 @@ def test_scan_gridded_mixed_format_directory(spark, tmp_path):
     df = scan_gridded(spark, str(tmp_path), "precip")
     rows = df.collect()
     assert len(rows) == 24
+    # the store-level front door routes a raw-file directory here too
+    from gridded_etl_tools_spark.sources.scan import open_gridded
+
+    assert open_gridded(spark, str(tmp_path), "precip").count() == 24
     by_day = {}
     for r in rows:
         by_day.setdefault(round(r["time"], 6), []).append(r["value"])
