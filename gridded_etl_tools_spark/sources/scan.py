@@ -149,16 +149,19 @@ def open_gridded(
     reference's dataset-open plays for its users (they point at a path
     and never care which container it is).
 
-    Dispatch, cheapest signal first:
+    Dispatch (second review pass r10 moved this to the right altitude
+    — the store probes are the dedicated readers' OWN detectors, not a
+    re-implementation):
 
-    * directory with ``zarr.json`` / ``.zmetadata`` + ``.zarray`` files
-      → native Zarr v2/v3 store (chunk-parallel decode);
-    * directory with ``.zmetadata`` + ``refs.*.parquet`` slabs
-      → PARQUET reference store (executor-side manifest build);
-    * ``*.json`` file (or dict) with a kerchunk shape → reference
-      document; a ``gen``-dominated document routes to the JVM manifest
-      path, everything else to the document decode;
-    * any other directory → magic-byte raw-file scan (mixed formats).
+    * ``.zmetadata`` carrying ``record_size`` (and no
+      ``zarr_consolidated_format``) → PARQUET reference store
+      (fsspec's LazyReferenceMapper marker; executor-side manifest);
+    * anything ``zarr2.open_store`` accepts — v3 ``zarr.json``,
+      consolidated v2 ``.zmetadata``, or UNCONSOLIDATED per-array
+      ``.zarray`` files — → native store, chunk-parallel decode;
+    * ``*.json`` file with a kerchunk shape → reference document
+      (``gen``-dominated documents route to the JVM manifest path);
+    * any other directory OR single raw file → magic-byte scan.
     """
     import json as _json
     import os
@@ -166,22 +169,20 @@ def open_gridded(
     from gridded_etl_tools_spark.sources import kerchunk, zarr2
 
     if os.path.isdir(path):
-        entries = set(os.listdir(path))
-        if "zarr.json" in entries or (
-            ".zmetadata" in entries
-            and any(
-                os.path.exists(os.path.join(path, e, ".zarray"))
-                for e in entries
-                if os.path.isdir(os.path.join(path, e))
-            )
-        ):
-            return zarr2.decode_zarr_long(spark, path, data_var)
-        if ".zmetadata" in entries:
-            # parquet reference store: .zmetadata + per-var refs slabs
-            return kerchunk.decode_parquet_refs(
-                spark, path, data_var, base_dir=base_dir
-            )
-        return scan_gridded(spark, path, data_var, dims=dims)
+        zm = os.path.join(path, ".zmetadata")
+        if os.path.exists(zm):
+            with open(zm) as f:
+                z = _json.load(f)
+            if "record_size" in z and "zarr_consolidated_format" not in z:
+                return kerchunk.decode_parquet_refs(
+                    spark, path, data_var, base_dir=base_dir
+                )
+        try:
+            zarr2.open_store(path)
+        except (zarr2.ZarrError, OSError, ValueError):
+            # not a zarr store in any of its three layouts: raw files
+            return scan_gridded(spark, path, data_var, dims=dims)
+        return zarr2.decode_zarr_long(spark, path, data_var)
     if path.endswith(".json"):
         with open(path) as f:
             doc = _json.load(f)
@@ -192,6 +193,5 @@ def open_gridded(
         return kerchunk.decode_kerchunk_long(
             spark, doc, data_var, base_dir=base_dir or os.path.dirname(path)
         )
-    raise UnknownFormatError(
-        f"{path!r} is neither a store directory nor a refs .json"
-    )
+    # a single raw gridded file is a valid dataset too
+    return scan_gridded(spark, path, data_var, dims=dims)

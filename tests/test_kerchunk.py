@@ -641,29 +641,33 @@ def test_open_gridded_dispatches_every_store_shape(spark, tmp_path):
            ).collect()}
     assert got == want
 
-    # native zarr v2 store
+    # native zarr v2 store — consolidated AND unconsolidated (the
+    # second review pass caught the front door missing the per-array
+    # fallback layout open_store itself supports)
     import numpy as np
 
-    zroot = str(tmp_path / "store.zarr")
-    zarr2.write_zarr_store(
-        zroot,
-        variables={
-            "time": (("time",), np.arange(2.0), {}),
-            "v": (("time",), np.array([5.0, 7.0]), {}),
-        },
-        chunks={"v": (1,)},
-    )
-    assert open_gridded(spark, zroot, "v").count() == 2
-
-    with pytest.raises(UnknownFormatError, match="neither"):
-        open_gridded(spark, str(tmp_path / "grid.bin"), "v")
+    for consolidated in (True, False):
+        zroot = str(tmp_path / f"store_{consolidated}.zarr")
+        zarr2.write_zarr_store(
+            zroot,
+            variables={
+                "time": (("time",), np.arange(2.0), {}),
+                "v": (("time",), np.array([5.0, 7.0]), {}),
+            },
+            chunks={"v": (1,)},
+            consolidated=consolidated,
+        )
+        assert open_gridded(spark, zroot, "v").count() == 2, consolidated
+    assert UnknownFormatError  # the scan fallback owns format errors
 
 
 def test_parquet_refs_layout_combinations(spark, tmp_path):
     """Flat-id arithmetic edge sweep for the parquet-refs path: slash
     separator, record_size 1 (one slab per chunk) and record_size
-    larger than the grid (single padded slab), random holes — each must
-    decode identically to the JSON-document path."""
+    larger than the grid (single clipped slab — fsspec-style PADDED
+    tails are exercised by test_parquet_reference_store_roundtrip's
+    surgery), random holes — each must decode identically to the
+    JSON-document path."""
     import random
 
     rng = random.Random(11)

@@ -235,10 +235,12 @@ def test_scan_gridded_mixed_format_directory(spark, tmp_path):
     df = scan_gridded(spark, str(tmp_path), "precip")
     rows = df.collect()
     assert len(rows) == 24
-    # the store-level front door routes a raw-file directory here too
+    # the store-level front door routes a raw-file directory here too,
+    # and a SINGLE raw file (the most basic dataset shape)
     from gridded_etl_tools_spark.sources.scan import open_gridded
 
     assert open_gridded(spark, str(tmp_path), "precip").count() == 24
+    assert open_gridded(spark, str(tmp_path / "a.nc"), "precip").count() == 6
     by_day = {}
     for r in rows:
         by_day.setdefault(round(r["time"], 6), []).append(r["value"])
