@@ -115,6 +115,7 @@ HEADLINE = [
     "kerchunk_gen_decode",        # gen-section expansion -> manifest scan
     "kerchunk_gen_distributed_decode",  # gen as Range + codegen arithmetic
     "kerchunk_parquet_refs_decode",     # parquet ref store, executor manifest
+    "kerchunkified_netcdf_decode",      # raw files -> refs -> MZZ -> decode
     "zarr_multivar_publish_readback",  # 2 vars, ONE chunk-key shuffle
     "zarr_insert_readback",       # region-INSERT repair on a live store
 ]

@@ -5385,6 +5385,62 @@ def kerchunk_gen_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kerchunkified_netcdf_decode", _nc_oracle())
+def kerchunkified_netcdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE pipeline end-to-end (r10): raw per-era
+    NetCDF3 files -> DISTRIBUTED kerchunkify (one executor task per
+    file emits byte-range refs from the header — begin offsets + record
+    stride, no data bytes read; transform.py:119-279) ->
+    MultiZarrToZarr-style concat merge along time (pure metadata math;
+    create_zarr_json, transform.py:40-117) -> virtual decode through
+    the manifest scan.  No byte of data is ever copied between extract
+    and decode — the same zero-copy property the reference's
+    kerchunkify exists for.  Same literal oracle as every ingest front
+    door."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kcfy_{digest}")
+    done = os.path.join(base, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for it in range(data.shape[0]):
+            nc_mod.write_netcdf3(
+                os.path.join(base, f"era_{it:03d}.nc"),
+                dims={"time": None, "latitude": lats.size,
+                      "longitude": lons.size},
+                variables={
+                    "time": (("time",), nc_mod.NC_DOUBLE, {},
+                             np.array([times[it]])),
+                    "latitude": (("latitude",), nc_mod.NC_DOUBLE, {},
+                                 np.asarray(lats)),
+                    "longitude": (("longitude",), nc_mod.NC_DOUBLE, {},
+                                  np.asarray(lons)),
+                    "precip": (
+                        ("time", "latitude", "longitude"),
+                        nc_mod.NC_DOUBLE,
+                        {"_FillValue": (nc_mod.NC_DOUBLE, [-9999.0])},
+                        np.asarray(data[it:it + 1]),
+                    ),
+                },
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc")
+    merged = kc_mod.merge_refs_concat(docs, "time")
+    out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 @query("kerchunk_parquet_refs_decode", _nc_oracle())
 def kerchunk_parquet_refs_decode(
     spark: SparkSession, sf_dir: str

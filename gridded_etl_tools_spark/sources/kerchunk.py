@@ -1303,3 +1303,176 @@ def decode_parquet_refs(
 
     manifest = files.mapInPandas(build, _manifest_schema())
     return _decode_manifest(spark, manifest, meta, dims, coords)
+
+
+# --------------------------------------------------------------------------
+# kerchunkify: PRODUCE refs from raw archives (the reference's core)
+# --------------------------------------------------------------------------
+
+def kerchunkify_netcdf3(buf: bytes, url: str) -> dict:
+    """Byte-range refs for ONE classic NetCDF3 file — the reference's
+    ``kerchunkify`` NetCDF branch (``utils/transform.py:119-279``)
+    without fsspec/kerchunk: the classic format's per-variable ``begin``
+    offsets and record stride ARE a chunk manifest, so only the KB-scale
+    header is parsed and NO data bytes are read or copied.
+
+    Mapping (what kerchunk's own netCDF3 backend emits): a fixed
+    variable is one whole-array chunk ``[url, begin, nbytes]``; a
+    record variable chunks ``(1, *shape[1:])`` with record ``r`` at
+    ``begin + r * recsize``.  Dtypes stay big-endian (``>f8`` — zarr
+    metadata carries byte order, nothing is swapped on disk); CF attrs
+    ride ``.zattrs`` and unpack at decode time.  Returns a kerchunk v0
+    refs dict ready for :func:`decode_kerchunk_long`,
+    :func:`merge_refs_concat`, or :func:`write_parquet_refs`."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    h = nc.parse_netcdf3_header(buf)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    for name, dimids, vatts, t, begin in h.headers:
+        size, dt = nc._TYPEMAP[t]
+        dimnames = [h.dim_names[d] for d in dimids]
+        shape = [
+            h.numrecs if d == h.rec_dim else h.dim_sizes[d] for d in dimids
+        ]
+        if not shape:
+            raise KerchunkError(
+                f"{name}: scalar variables have no zarr chunk grid — "
+                "promote to a 1-element dimension"
+            )
+        is_rec = h.rec_dim in dimids
+        chunks = [1, *shape[1:]] if is_rec else list(shape)
+        per = 1
+        for s in chunks:
+            per *= s
+        nbytes = per * size  # exact data bytes; record padding excluded
+        refs[f"{name}/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": shape,
+                "chunks": chunks,
+                "dtype": np.dtype(dt).str,
+                "compressor": None,
+                "fill_value": vatts.get("_FillValue"),
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            }
+        )
+        refs[f"{name}/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": dimnames, **vatts}
+        )
+        if is_rec:
+            tail = "".join(".0" for _ in shape[1:])
+            for rec in range(h.numrecs):
+                refs[f"{name}/{rec}{tail}"] = [
+                    url, begin + rec * h.recsize, nbytes
+                ]
+        else:
+            key = ".".join("0" for _ in shape)
+            refs[f"{name}/{key}"] = [url, begin, nbytes]
+    return refs
+
+
+def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
+    """MultiZarrToZarr's concat merge (reference ``create_zarr_json``,
+    ``transform.py:40-117``): combine per-file refs documents into ONE
+    virtual dataset along ``concat_dim`` — pure metadata work, no byte
+    touched.  Requirements (MZZ's own): every doc chunks the concat
+    dimension by 1 (what :func:`kerchunkify_netcdf3` emits for record
+    variables), non-concat arrays are identical across docs (taken from
+    the first), and docs are passed in concat order."""
+    if not docs:
+        raise KerchunkError("merge_refs_concat needs at least one doc")
+    parsed = [parse_refs(d) for d in docs]
+    out: dict[str, object] = dict(parsed[0])
+    metas = {
+        name: m for name, m in store_metadata(parsed[0]).items()
+    }
+    concat_names = [
+        n for n, m in metas.items() if m.dims and m.dims[0] == concat_dim
+    ]
+    if not concat_names:
+        raise KerchunkError(
+            f"no array has leading dimension {concat_dim!r}"
+        )
+    for m in (metas[n] for n in concat_names):
+        if m.chunks[0] != 1:
+            raise KerchunkError(
+                f"{m.name}: concat merge needs chunk 1 along "
+                f"{concat_dim} (got {m.chunks[0]})"
+            )
+    totals = {n: metas[n].shape[0] for n in concat_names}
+    for doc in parsed[1:]:
+        dmetas = store_metadata(doc)
+        for name, m in dmetas.items():
+            if name in concat_names:
+                dm = dmetas[name]
+                if dm.shape[1:] != metas[name].shape[1:]:
+                    raise KerchunkError(
+                        f"{name}: non-concat extents differ across docs"
+                    )
+                offset = totals[name]
+                for rel, ref in _chunk_refs(doc, name):
+                    lead, _, rest = rel.partition(
+                        metas[name].dimension_separator
+                    )
+                    shifted = str(int(lead) + offset)
+                    key = (
+                        f"{name}/{shifted}"
+                        + (metas[name].dimension_separator + rest
+                           if rest else "")
+                    )
+                    out[key] = ref
+                totals[name] = offset + dm.shape[0]
+            elif f"{name}/.zarray" in out:
+                # non-concat arrays must agree (coordinates, statics)
+                if json.loads(str(doc[f"{name}/.zarray"])) != json.loads(
+                    str(out[f"{name}/.zarray"])
+                ):
+                    raise KerchunkError(
+                        f"{name}: non-concat array metadata differs "
+                        "across docs"
+                    )
+    # final shapes: patch every concat array's leading extent
+    for name in concat_names:
+        z = json.loads(str(out[f"{name}/.zarray"]))
+        z["shape"][0] = totals[name]
+        out[f"{name}/.zarray"] = json.dumps(z)
+    return out
+
+
+def kerchunkify_scan(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> list[dict]:
+    """Distributed kerchunkify: one executor task per raw file emits its
+    refs (header-only parse, no data bytes), collected driver-side as
+    KB-scale documents in filename order — ready for
+    :func:`merge_refs_concat`.  This is the reference's extract→
+    kerchunkify→MZZ pipeline shape: the EXPENSIVE per-file work
+    distributes; the merge is dimension-scale metadata math."""
+    from gridded_etl_tools_spark.sources.files import read_binary_files
+
+    files = read_binary_files(spark, path, glob=glob)
+
+    def refs_for(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in pdf.itertuples(index=False):
+            local = row.path
+            if local.startswith("file:"):
+                local = local[len("file:"):]
+            rows.append(
+                (row.path, json.dumps(kerchunkify_netcdf3(row.content, local)))
+            )
+        return pd.DataFrame(rows, columns=["path", "refs"])
+
+    out = files.select("path", "content").mapInPandas(
+        lambda it: (refs_for(pdf) for pdf in it),
+        T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField("refs", T.StringType(), False),
+            ]
+        ),
+    )
+    collected = sorted(out.collect(), key=lambda r: r.path)
+    return [json.loads(r.refs) for r in collected]

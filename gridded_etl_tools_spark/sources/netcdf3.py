@@ -136,6 +136,23 @@ def _att_list(r: _Reader) -> dict:
     return out
 
 
+@dataclass
+class NCHeader:
+    """Header-only parse result: everything byte-range tooling needs
+    (``kerchunkify_netcdf3`` emits refs from begin/recsize WITHOUT
+    touching data bytes) and everything the full parse builds on."""
+
+    version: int
+    numrecs: int
+    rec_dim: int
+    dim_names: list[str]
+    dim_sizes: list[int]
+    gatts: dict
+    #: (name, dimids, vatts, nc_type, begin) per variable
+    headers: list[tuple]
+    recsize: int
+
+
 def parse_netcdf3(buf: bytes) -> NCDataset:
     """Parse a classic NetCDF3 byte buffer (CDF-1, 64-bit-offset CDF-2,
     or 64-bit-data CDF-5) into dims/attrs/variables with
@@ -148,7 +165,18 @@ def parse_netcdf3(buf: bytes) -> NCDataset:
         raise NetCDF3Error(f"truncated or corrupt NetCDF3 structure: {e}") from e
 
 
-def _parse_netcdf3_inner(buf: bytes) -> NCDataset:
+def parse_netcdf3_header(buf: bytes) -> NCHeader:
+    """Header-only parse (dims/attrs/variable table/record geometry) —
+    the KB-scale prefix; no data bytes are interpreted."""
+    try:
+        return _parse_header_inner(buf)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, NetCDF3Error):
+            raise
+        raise NetCDF3Error(f"truncated or corrupt NetCDF3 structure: {e}") from e
+
+
+def _parse_header_inner(buf: bytes) -> NCHeader:
     if len(buf) < 4 or buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise NetCDF3Error("not a classic NetCDF3 (CDF-1/2/5) file")
     version = buf[3]
@@ -216,15 +244,28 @@ def _parse_netcdf3_inner(buf: bytes) -> NCDataset:
         first_begin = min(b for nm, d, _, t, b in headers if rec_dim in d)
         numrecs = (len(buf) - first_begin) // recsize if recsize else 0
 
+    return NCHeader(
+        version, numrecs, rec_dim, dim_names, dim_sizes, gatts, headers,
+        recsize,
+    )
+
+
+def _parse_netcdf3_inner(buf: bytes) -> NCDataset:
+    h = _parse_header_inner(buf)
+    version = h.version
+    numrecs, rec_dim = h.numrecs, h.rec_dim
+    dim_names, dim_sizes = h.dim_names, h.dim_sizes
+    recsize = h.recsize
+
     ds = NCDataset(
         dims={
             nm: (numrecs if i == rec_dim else sz)
             for i, (nm, sz) in enumerate(zip(dim_names, dim_sizes))
         },
-        attrs=gatts,
+        attrs=h.gatts,
     )
 
-    for nm, dimids, vatts, t, begin in headers:
+    for nm, dimids, vatts, t, begin in h.headers:
         size, dt = _TYPEMAP[t]
         dimnames = tuple(dim_names[d] for d in dimids)
         shape = tuple(

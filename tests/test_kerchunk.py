@@ -601,6 +601,104 @@ def test_parquet_reference_store_roundtrip(spark, tmp_path):
     assert "Exchange" not in man_plan  # map-only end to end
 
 
+def _write_nc_eras(tmp_path, n_eras=3):
+    """The fixture grid split into one classic-NetCDF3 file per
+    timestep — the reference's per-file extract output shape."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    data, times, lats, lons = _grid()
+    era_dir = tmp_path / "eras"
+    era_dir.mkdir(exist_ok=True)
+    for it in range(n_eras):
+        nc.write_netcdf3(
+            str(era_dir / f"era_{it:03d}.nc"),
+            dims={"time": None, "latitude": lats.size,
+                  "longitude": lons.size},
+            variables={
+                "time": (("time",), nc.NC_DOUBLE, {},
+                         np.array([times[it]])),
+                "latitude": (("latitude",), nc.NC_DOUBLE, {}, lats),
+                "longitude": (("longitude",), nc.NC_DOUBLE, {}, lons),
+                "precip": (("time", "latitude", "longitude"),
+                           nc.NC_DOUBLE,
+                           {"_FillValue": (nc.NC_DOUBLE, [-9999.0])},
+                           data[it:it + 1]),
+            },
+        )
+    return str(era_dir), data, times, lats, lons
+
+
+def test_kerchunkify_netcdf3_emits_exact_byte_ranges(spark, tmp_path):
+    """r10, the reference's CORE production step: refs are EMITTED from
+    a raw file's header (begin offsets + record stride), no data bytes
+    read — and the virtual decode through those refs must equal the
+    direct NetCDF3 decode cell-for-cell."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    era_dir, data, times, lats, lons = _write_nc_eras(tmp_path, n_eras=1)
+    path = os.path.join(era_dir, "era_000.nc")
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_netcdf3(buf, path)
+    # refs address the REAL bytes: fetch one and compare raw
+    meta = kerchunk.store_metadata(refs)["precip"]
+    assert meta.dtype.str == ">f8" and meta.chunks == (1, 4, 5)
+    url, off, nb = refs["precip/0.0.0"]
+    raw = buf[off:off + nb]
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, ">f8").reshape(4, 5), data[0]
+    )
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, refs, "precip").collect()
+    }
+    direct = nc.decode_netcdf3_long(
+        spark.read.format("binaryFile").load(path), "precip",
+        ["time", "latitude", "longitude"],
+    )
+    want = {(r.time, r.latitude, r.longitude): r.value
+            for r in direct.collect()}
+    assert got == want and len(got) == 20
+    assert got[(0.0, 36.0, -116.0)] is None  # _FillValue -> NULL
+
+
+def test_kerchunkify_scan_and_mzz_merge(spark, tmp_path):
+    """The reference's extract -> kerchunkify -> MultiZarrToZarr
+    pipeline end-to-end: one executor task per raw era file emits refs
+    (header-only), merge_refs_concat stitches them along time (pure
+    metadata math), and the merged virtual dataset decodes identical to
+    a direct scan of the directory."""
+    era_dir, data, times, lats, lons = _write_nc_eras(tmp_path)
+    docs = kerchunk.kerchunkify_scan(spark, era_dir, glob="*.nc")
+    assert len(docs) == 3
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    meta = kerchunk.store_metadata(merged)
+    assert meta["precip"].shape == (3, 4, 5)
+    assert meta["time"].shape == (3,)
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(
+            spark, merged, "precip"
+        ).collect()
+    }
+    assert len(got) == 60
+    assert got[(0.0, 36.0, -116.0)] is None  # fill survives the merge
+    for it in (0, 1, 2):
+        for ila in (0, 3):
+            for ilo in (0, 4):
+                v = data[it, ila, ilo]
+                want = None if v == -9999.0 else v
+                assert got[(times[it], lats[ila], lons[ilo])] == want
+    # merge refusals: mismatched non-concat extents
+    bad = dict(docs[1])
+    z = json.loads(bad["latitude/.zarray"])
+    z["shape"] = [99]
+    bad["latitude/.zarray"] = json.dumps(z)
+    with pytest.raises(kerchunk.KerchunkError, match="differs across"):
+        kerchunk.merge_refs_concat([docs[0], bad], "time")
+    with pytest.raises(kerchunk.KerchunkError, match="leading dimension"):
+        kerchunk.merge_refs_concat(docs, "nope")
+
+
 def test_open_gridded_dispatches_every_store_shape(spark, tmp_path):
     """r10: the store-level front door — one call opens a zarr store, a
     kerchunk JSON (plain or gen), or a parquet reference store, and

@@ -464,6 +464,10 @@ SHUFFLE_BUDGET = {
     # r10: parquet reference store — binaryFile scan of refs slabs ->
     # manifest build -> decode, all map-side
     "kerchunk_parquet_refs_decode": (0, 0),
+    # r10: extract -> kerchunkify -> MZZ merge -> virtual decode; the
+    # kerchunkify fan-out is its own map-only job, the measured decode
+    # plan is the manifest scan
+    "kerchunkified_netcdf_decode": (0, 0),
     # r10: two-var native publish (fixture builds once, ONE shuffle in
     # the write job); the measured plan joins the two decodes on the
     # dim key — one hash exchange per side
