@@ -1383,11 +1383,19 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     the first), and docs are passed in concat order."""
     if not docs:
         raise KerchunkError("merge_refs_concat needs at least one doc")
+
+    def _zjson(val: object) -> dict:
+        # v0 docs may carry dict-valued metadata (the shape
+        # store_metadata normalizes everywhere else)
+        if isinstance(val, dict):
+            return val
+        if isinstance(val, bytes):
+            val = val.decode()
+        return json.loads(val)
+
     parsed = [parse_refs(d) for d in docs]
     out: dict[str, object] = dict(parsed[0])
-    metas = {
-        name: m for name, m in store_metadata(parsed[0]).items()
-    }
+    metas = store_metadata(parsed[0])
     concat_names = [
         n for n, m in metas.items() if m.dims and m.dims[0] == concat_dim
     ]
@@ -1395,47 +1403,60 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
         raise KerchunkError(
             f"no array has leading dimension {concat_dim!r}"
         )
-    for m in (metas[n] for n in concat_names):
-        if m.chunks[0] != 1:
-            raise KerchunkError(
-                f"{m.name}: concat merge needs chunk 1 along "
-                f"{concat_dim} (got {m.chunks[0]})"
-            )
     totals = {n: metas[n].shape[0] for n in concat_names}
-    for doc in parsed[1:]:
+    # EVERY doc is validated the same way (second review pass r10: the
+    # first pass checked chunking on docs[0] only, silently merging
+    # later docs with different chunking, dtype, or array sets into a
+    # corrupt virtual dataset)
+    for di, doc in enumerate(parsed):
         dmetas = store_metadata(doc)
-        for name, m in dmetas.items():
-            if name in concat_names:
-                dm = dmetas[name]
-                if dm.shape[1:] != metas[name].shape[1:]:
-                    raise KerchunkError(
-                        f"{name}: non-concat extents differ across docs"
-                    )
-                offset = totals[name]
-                for rel, ref in _chunk_refs(doc, name):
-                    lead, _, rest = rel.partition(
-                        metas[name].dimension_separator
-                    )
-                    shifted = str(int(lead) + offset)
-                    key = (
-                        f"{name}/{shifted}"
-                        + (metas[name].dimension_separator + rest
-                           if rest else "")
-                    )
-                    out[key] = ref
-                totals[name] = offset + dm.shape[0]
-            elif f"{name}/.zarray" in out:
+        if set(dmetas) != set(metas):
+            raise KerchunkError(
+                f"doc {di}: array set {sorted(dmetas)} differs across "
+                f"docs (first has {sorted(metas)})"
+            )
+        for name in concat_names:
+            dm, fm = dmetas[name], metas[name]
+            if dm.chunks[0] != 1:
+                raise KerchunkError(
+                    f"doc {di}: {name}: concat merge needs chunk 1 "
+                    f"along {concat_dim} (got {dm.chunks[0]})"
+                )
+            if (
+                dm.chunks != fm.chunks
+                or dm.dtype != fm.dtype
+                or dm.shape[1:] != fm.shape[1:]
+                or dm.compressor != fm.compressor
+            ):
+                raise KerchunkError(
+                    f"doc {di}: {name}: chunking/dtype/extents differ "
+                    "across docs"
+                )
+        for name in set(dmetas) - set(concat_names):
+            if di and _zjson(doc[f"{name}/.zarray"]) != _zjson(
+                out[f"{name}/.zarray"]
+            ):
                 # non-concat arrays must agree (coordinates, statics)
-                if json.loads(str(doc[f"{name}/.zarray"])) != json.loads(
-                    str(out[f"{name}/.zarray"])
-                ):
-                    raise KerchunkError(
-                        f"{name}: non-concat array metadata differs "
-                        "across docs"
-                    )
+                raise KerchunkError(
+                    f"{name}: non-concat array metadata differs "
+                    "across docs"
+                )
+        if di == 0:
+            continue
+        for name in concat_names:
+            fm = metas[name]
+            offset = totals[name]
+            for rel, ref in _chunk_refs(doc, name):
+                lead, _, rest = rel.partition(fm.dimension_separator)
+                key = (
+                    f"{name}/{int(lead) + offset}"
+                    + (fm.dimension_separator + rest if rest else "")
+                )
+                out[key] = ref
+            totals[name] = offset + dmetas[name].shape[0]
     # final shapes: patch every concat array's leading extent
     for name in concat_names:
-        z = json.loads(str(out[f"{name}/.zarray"]))
+        z = _zjson(out[f"{name}/.zarray"])
         z["shape"][0] = totals[name]
         out[f"{name}/.zarray"] = json.dumps(z)
     return out
@@ -1474,5 +1495,9 @@ def kerchunkify_scan(
             ]
         ),
     )
-    collected = sorted(out.collect(), key=lambda r: r.path)
+    from gridded_etl_tools_spark.sources.files import natural_key
+
+    # natural order, not lexicographic: era_2 before era_10 (second
+    # review pass r10 — the concat merge trusts this ordering)
+    collected = sorted(out.collect(), key=lambda r: natural_key(r.path))
     return [json.loads(r.refs) for r in collected]

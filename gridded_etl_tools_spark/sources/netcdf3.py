@@ -252,7 +252,6 @@ def _parse_header_inner(buf: bytes) -> NCHeader:
 
 def _parse_netcdf3_inner(buf: bytes) -> NCDataset:
     h = _parse_header_inner(buf)
-    version = h.version
     numrecs, rec_dim = h.numrecs, h.rec_dim
     dim_names, dim_sizes = h.dim_names, h.dim_sizes
     recsize = h.recsize

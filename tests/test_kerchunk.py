@@ -697,6 +697,58 @@ def test_kerchunkify_scan_and_mzz_merge(spark, tmp_path):
         kerchunk.merge_refs_concat([docs[0], bad], "time")
     with pytest.raises(kerchunk.KerchunkError, match="leading dimension"):
         kerchunk.merge_refs_concat(docs, "nope")
+    # LATER docs are validated too (review pass: chunk != 1 along the
+    # concat dim in doc 1 must refuse, not merge corrupt indices)
+    bad = dict(docs[1])
+    z = json.loads(bad["precip/.zarray"])
+    z["chunks"][0] = 2
+    z["shape"][0] = 2
+    bad["precip/.zarray"] = json.dumps(z)
+    with pytest.raises(kerchunk.KerchunkError, match="chunk 1"):
+        kerchunk.merge_refs_concat([docs[0], bad], "time")
+    # array-set mismatch across docs refuses (silently dropping records
+    # or arrays was the failure mode)
+    bad = {k: v for k, v in docs[1].items() if not k.startswith("precip")}
+    with pytest.raises(kerchunk.KerchunkError, match="array set"):
+        kerchunk.merge_refs_concat([docs[0], bad], "time")
+    # dict-valued v0 metadata merges (store_metadata's own normalization)
+    dictdoc = {
+        k: (json.loads(v) if k.endswith((".zarray", ".zattrs")) else v)
+        for k, v in docs[0].items()
+        if k != ".zgroup"
+    }
+    merged1 = kerchunk.merge_refs_concat([dictdoc], "time")
+    assert json.loads(merged1["precip/.zarray"])["shape"][0] == 1
+
+
+def test_kerchunkify_scan_orders_naturally(spark, tmp_path):
+    """era_2 must precede era_10 in the concat order (review pass:
+    lexicographic path sort scrambled numeric suffixes)."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    data, times, lats, lons = _grid()
+    d = tmp_path / "nat"
+    d.mkdir()
+    for it, tag in ((0, "era_2"), (1, "era_10")):
+        nc.write_netcdf3(
+            str(d / f"{tag}.nc"),
+            dims={"time": None, "latitude": lats.size,
+                  "longitude": lons.size},
+            variables={
+                "time": (("time",), nc.NC_DOUBLE, {},
+                         np.array([times[it]])),
+                "latitude": (("latitude",), nc.NC_DOUBLE, {}, lats),
+                "longitude": (("longitude",), nc.NC_DOUBLE, {}, lons),
+                "precip": (("time", "latitude", "longitude"),
+                           nc.NC_DOUBLE, {}, data[it:it + 1]),
+            },
+        )
+    docs = kerchunk.kerchunkify_scan(spark, str(d), glob="*.nc")
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    t = kerchunk.read_array(
+        merged, kerchunk.store_metadata(merged)["time"]
+    )
+    assert list(t) == [times[0], times[1]]  # era_2 first, monotonic
 
 
 def test_open_gridded_dispatches_every_store_shape(spark, tmp_path):
