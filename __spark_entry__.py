@@ -45,10 +45,10 @@ _FIXED_THIS_ROUND = (
     # now memoized per frame — the blosc fixture union re-attests all
     "zarr_blosc_decode",
     # r10: the length gate + crc32c fuzz surface sit inside the sharded
-    # inner decode (kerchunk_sharded_decode shares this exact decode
-    # stage and is not pinned separately — that frees the final slot
-    # for the last r4-stale row, completing the burn-down)
-    "zarr3_sharded_decode",
+    # inner decode — attested this round by the PINNED
+    # zarr3_sharded_publish_readback (it reads back through the same
+    # decode stage), so neither sharded-decode row is pinned separately;
+    # both freed slots go to the r4-stale burn-down, completing it.
     # r10: the decode stage (_RangeClient) and write loop (list-valued
     # data_var) were refactored.  Window arithmetic: the 4 brand-new r10
     # rows (gen, gen-distributed, parquet-refs, multivar-publish) sort
