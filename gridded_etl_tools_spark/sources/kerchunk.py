@@ -234,14 +234,20 @@ def _gen_dimension_values(spec: object) -> Sequence[int]:
     fsspec's ReferenceFileSystem).  Ranges stay LAZY (``range``) so the
     oversize guard in :func:`_expand_gen` can measure them via ``len``
     before anything allocates."""
-    if isinstance(spec, list):
-        return [int(v) for v in spec]
-    if isinstance(spec, dict) and "stop" in spec:
-        return range(
-            int(spec.get("start", 0)),
-            int(spec["stop"]),
-            int(spec.get("step", 1)),
-        )
+    try:
+        if isinstance(spec, list):
+            return [int(v) for v in spec]
+        if isinstance(spec, dict) and "stop" in spec:
+            # range() raises raw ValueError on step=0 (fuzz finding)
+            return range(
+                int(spec.get("start", 0)),
+                int(spec["stop"]),
+                int(spec.get("step", 1)),
+            )
+    except (TypeError, ValueError) as exc:
+        raise KerchunkError(
+            f"malformed gen dimension spec {spec!r}: {exc}"
+        ) from exc
     raise KerchunkError(f"malformed gen dimension spec {spec!r}")
 
 

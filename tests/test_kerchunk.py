@@ -407,6 +407,65 @@ def test_gen_transpiler_agrees_with_python_eval(spark):
     assert not mismatches, mismatches[:5]
 
 
+def test_untrusted_gen_documents_fuzz_clean_errors_only():
+    """The gen/templates surface consumes UNTRUSTED JSON: random
+    documents must either expand or raise KerchunkError — never leak
+    TypeError/AttributeError/RecursionError from the evaluator,
+    renderer, or dimension parsing."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fuzz_x = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
+    scalar = st.one_of(
+        st.integers(-5, 5), st.text(max_size=12), st.none(),
+        st.booleans(), st.floats(allow_nan=False, allow_infinity=False),
+    )
+    dim_spec = st.one_of(
+        st.lists(st.integers(-3, 9), max_size=4),
+        st.dictionaries(
+            st.sampled_from(["start", "stop", "step"]),
+            st.integers(-4, 12),
+            max_size=3,
+        ),
+        scalar,
+    )
+    entry = st.fixed_dictionaries(
+        {},
+        optional={
+            "key": st.text(max_size=25),
+            "url": st.text(max_size=25),
+            "offset": st.one_of(st.integers(-9, 99), st.text(max_size=20)),
+            "length": st.one_of(st.integers(-9, 99), st.text(max_size=20)),
+            "dimensions": st.dictionaries(
+                st.text(min_size=1, max_size=4), dim_spec, max_size=3
+            ),
+        },
+    )
+    doc_strategy = st.fixed_dictionaries(
+        {"version": st.just(1), "refs": st.just({})},
+        optional={
+            "gen": st.one_of(st.lists(entry, max_size=3), scalar),
+            "templates": st.dictionaries(
+                st.text(min_size=1, max_size=4), scalar, max_size=3
+            ),
+        },
+    )
+
+    @settings(max_examples=150 * fuzz_x, deadline=None)
+    @given(doc=doc_strategy)
+    def run(doc):
+        try:
+            refs = kerchunk.parse_refs(doc)
+            assert isinstance(refs, dict)
+        except kerchunk.KerchunkError:
+            pass
+
+    run()
+
+
 def test_gen_expression_refusals():
     base = {"key": "k{{i}}", "url": "u", "dimensions": {"i": {"stop": 1}}}
     # function calls / attribute access refuse (no jinja filter escape)
