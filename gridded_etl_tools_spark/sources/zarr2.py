@@ -127,7 +127,26 @@ def _parse_fill(fill, dtype: np.dtype):
 
 
 def parse_zarray(name: str, zarray: bytes, zattrs: bytes | None) -> ZArray:
+    """Parse one array's ``.zarray`` (+ optional ``.zattrs``) — an
+    UNTRUSTED-metadata surface (kerchunk refs, consolidated stores):
+    every malformation raises :class:`ZarrError`, never a raw
+    JSONDecodeError/KeyError/AttributeError (r10 fuzz finding)."""
+    try:
+        return _parse_zarray_inner(name, zarray, zattrs)
+    except ZarrError:
+        raise
+    except (KeyError, TypeError, ValueError, AttributeError) as exc:
+        raise ZarrError(
+            f"{name}: malformed .zarray metadata: {exc}"
+        ) from exc
+
+
+def _parse_zarray_inner(
+    name: str, zarray: bytes, zattrs: bytes | None
+) -> ZArray:
     meta = json.loads(zarray)
+    if not isinstance(meta, dict):
+        raise ZarrError(f"{name}: .zarray is not a JSON object")
     if meta.get("zarr_format") != 2:
         raise ZarrError(
             f"{name}: zarr_format {meta.get('zarr_format')} (need v2; the "
@@ -201,8 +220,24 @@ def parse_zarr3_array(name: str, zjson: bytes) -> ZArray:
 
     Supported: regular chunk grids, ``default``/``v2`` chunk-key
     encodings, ``bytes`` + optional ``gzip`` codec chain, numeric data
-    types, NaN-or-number fill values, ``dimension_names``."""
+    types, NaN-or-number fill values, ``dimension_names``.
+
+    Untrusted-metadata contract: malformations raise ZarrError (same
+    wrapper as :func:`parse_zarray`)."""
+    try:
+        return _parse_zarr3_inner(name, zjson)
+    except ZarrError:
+        raise
+    except (KeyError, TypeError, ValueError, AttributeError) as exc:
+        raise ZarrError(
+            f"{name}: malformed zarr.json metadata: {exc}"
+        ) from exc
+
+
+def _parse_zarr3_inner(name: str, zjson: bytes) -> ZArray:
     meta = json.loads(zjson)
+    if not isinstance(meta, dict):
+        raise ZarrError(f"{name}: zarr.json is not a JSON object")
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
         raise ZarrError(f"{name}: not a zarr v3 array node")
     grid = meta["chunk_grid"]

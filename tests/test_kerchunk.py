@@ -466,6 +466,62 @@ def test_untrusted_gen_documents_fuzz_clean_errors_only():
     run()
 
 
+def test_untrusted_merge_documents_fuzz_clean_errors_only():
+    """merge_refs_concat consumes untrusted doc lists: random documents
+    (including half-valid .zarray shapes) must merge or raise
+    KerchunkError/ZarrError — never KeyError/TypeError from metadata
+    plumbing."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gridded_etl_tools_spark.sources import zarr2
+
+    fuzz_x = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
+    zarray_ish = st.fixed_dictionaries(
+        {},
+        optional={
+            "zarr_format": st.sampled_from([2, 3, "x"]),
+            "shape": st.lists(st.integers(-2, 4), max_size=3),
+            "chunks": st.lists(st.integers(-2, 4), max_size=3),
+            "dtype": st.sampled_from(["<f8", ">i4", "junk", None]),
+            "compressor": st.sampled_from(
+                [None, {"id": "zlib", "level": 1}, {"id": "nope"}, 7]
+            ),
+            "fill_value": st.sampled_from([None, 0, -9999.0, "NaN"]),
+            "order": st.sampled_from(["C", "F", "Z"]),
+            "filters": st.none(),
+        },
+    )
+    key = st.one_of(
+        st.sampled_from(
+            ["v/.zarray", "v/.zattrs", "v/0", "v/0.0", "t/.zarray", "t/0"]
+        ),
+        st.text(max_size=10),
+    )
+    val = st.one_of(
+        zarray_ish.map(json.dumps),
+        zarray_ish,
+        st.text(max_size=15),
+        st.lists(st.one_of(st.text(max_size=8), st.integers()), max_size=3),
+    )
+    doc = st.dictionaries(key, val, max_size=6)
+
+    @settings(max_examples=120 * fuzz_x, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=3),
+           dim=st.sampled_from(["time", "t", "v"]))
+    def run(docs, dim):
+        try:
+            merged = kerchunk.merge_refs_concat(docs, dim)
+            assert isinstance(merged, dict)
+        except (kerchunk.KerchunkError, zarr2.ZarrError):
+            pass
+
+    run()
+
+
 def test_gen_expression_refusals():
     base = {"key": "k{{i}}", "url": "u", "dimensions": {"i": {"stop": 1}}}
     # function calls / attribute access refuse (no jinja filter escape)
