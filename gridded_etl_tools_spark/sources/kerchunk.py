@@ -134,12 +134,50 @@ _GEN_EXPR_RE = re.compile(r"\{\{(.+?)\}\}")
 # kerchunk's spec examples use ("{{(i + 1) * 1000}}"); anything else
 # (calls, attributes, subscripts, strings-in-expr, and Pow — a
 # ``9**9**9`` in an untrusted refs doc would hang the driver) refuses
-# loudly
+# loudly.  True division (``/``) is OUT of the grammar (ADVICE r10):
+# the driver evaluator renders its float result as '96.0' while the
+# JVM transpile casts it silently, so the two engines could disagree
+# cell-for-cell — ``//`` expresses every integer stride a refs doc
+# needs and floor(a/b) matches Python's ``//`` for all operand signs.
 _GEN_ALLOWED_NODES = (
     ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
-    ast.Add, ast.Sub, ast.Mult, ast.FloorDiv, ast.Div, ast.Mod,
+    ast.Add, ast.Sub, ast.Mult, ast.FloorDiv, ast.Mod,
     ast.USub, ast.UAdd, ast.Load,
 )
+
+
+def _check_divisor(node: ast.BinOp, expr: str) -> None:
+    """Compile-time refusals shared by BOTH evaluators for ``//``/``%``
+    divisors: a constant 0 would raise raw ZeroDivisionError driver-side
+    while the JVM silently NULLs, and a constant negative modulus is
+    where ``pmod`` (positive remainder for truncated r>=0) diverges from
+    Python's floored ``%`` — e.g. ``7 % -3`` is -2 in Python but
+    pmod=1.  Negative DIVIDENDS agree on both engines (property-tested);
+    a runtime-negative divisor reaching ``%`` is the documented residual
+    (driver raises KerchunkError via the ZeroDivisionError wrap only for
+    zero; negative dynamic moduli are on the doc author — the grammar
+    has no runtime hook JVM-side short of per-row raise_error)."""
+    if not isinstance(node.op, (ast.FloorDiv, ast.Mod)):
+        return
+    right = node.right
+    neg = (
+        isinstance(right, ast.UnaryOp)
+        and isinstance(right.op, ast.USub)
+        and isinstance(right.operand, ast.Constant)
+    )
+    val = None
+    if isinstance(right, ast.Constant):
+        val = right.value
+    elif neg and isinstance(right.operand.value, (int, float)):
+        val = -right.operand.value
+    if val == 0:
+        raise KerchunkError(f"gen expression {expr!r}: division by zero")
+    if val is not None and val < 0 and isinstance(node.op, ast.Mod):
+        raise KerchunkError(
+            f"gen expression {expr!r}: negative modulus — Python's "
+            "floored % and the JVM's pmod disagree for negative "
+            "divisors; rewrite with a positive modulus"
+        )
 
 
 def _gen_eval(expr: str, env: dict[str, object]) -> object:
@@ -153,9 +191,15 @@ def _gen_eval(expr: str, env: dict[str, object]) -> object:
     if expr in env:
         return env[expr]
     dim_names = {k for k, v in env.items() if isinstance(v, int)}
-    return eval(  # noqa: S307 - AST-restricted, no builtins
-        _gen_compile(expr, dim_names), {"__builtins__": {}}, env
-    )
+    try:
+        return eval(  # noqa: S307 - AST-restricted, no builtins
+            _gen_compile(expr, dim_names), {"__builtins__": {}}, env
+        )
+    except ZeroDivisionError as exc:
+        # a runtime-zero divisor slips the constant check (ADVICE r10)
+        raise KerchunkError(
+            f"gen expression {expr!r}: division by zero"
+        ) from exc
 
 
 def _gen_compile(expr: str, dim_names: set[str]):
@@ -171,12 +215,19 @@ def _gen_compile(expr: str, dim_names: set[str]):
         raise KerchunkError(f"gen expression {expr!r} unparseable") from exc
     for node in ast.walk(tree):
         if not isinstance(node, _GEN_ALLOWED_NODES):
+            hint = (
+                " (true division renders floats — use // for integer "
+                "division)"
+                if isinstance(node, ast.Div)
+                else " (materialize the refs for anything richer)"
+            )
             raise KerchunkError(
                 f"gen expression {expr!r} uses unsupported construct "
                 f"{type(node).__name__} — only integer arithmetic over "
-                "dimension variables is supported (materialize the refs "
-                "for anything richer)"
+                f"dimension variables is supported{hint}"
             )
+        if isinstance(node, ast.BinOp):
+            _check_divisor(node, expr)
         if isinstance(node, ast.Constant) and not isinstance(
             node.value, (int, float)
         ):
@@ -219,11 +270,16 @@ def _compile_gen_template(
         segs.append(template[pos:])
 
     def render(env: dict[str, int]) -> str:
-        return "".join(
-            s if isinstance(s, str)
-            else str(eval(s, {"__builtins__": {}}, env))  # noqa: S307
-            for s in segs
-        )
+        try:
+            return "".join(
+                s if isinstance(s, str)
+                else str(eval(s, {"__builtins__": {}}, env))  # noqa: S307
+                for s in segs
+            )
+        except ZeroDivisionError as exc:
+            raise KerchunkError(
+                f"gen template {template!r}: division by zero"
+            ) from exc
 
     return render
 
@@ -348,9 +404,12 @@ def _transpile_gen_expr(expr: str, dimcols: dict) -> "object":
     to a JVM-side Spark Column instead of a Python int — the 100 TB
     path: a gen section describing a billion chunks becomes
     ``spark.range(n)`` plus whole-stage-codegen arithmetic, with no
-    driver-side dict.  Python semantics are preserved for the operators
-    kerchunk documents use (``//`` -> floor, ``%`` -> pmod, exact for
-    the non-negative strides real stores generate)."""
+    driver-side dict.  Python semantics are preserved exactly:
+    ``//`` -> floor(a/b) (== Python floor-division for all operand
+    signs) and ``%`` -> pmod (== Python's floored ``%`` for any
+    dividend sign given a positive modulus; negative constant moduli
+    refuse in :func:`_check_divisor`, property-tested in
+    ``test_gen_transpiler_agrees_with_python_eval``)."""
     from pyspark.sql import functions as SF
 
     try:
@@ -380,6 +439,7 @@ def _transpile_gen_expr(expr: str, dimcols: dict) -> "object":
             if isinstance(node.op, ast.UAdd):
                 return build(node.operand)
         if isinstance(node, ast.BinOp):
+            _check_divisor(node, expr)
             a, b = build(node.left), build(node.right)
             if isinstance(node.op, ast.Add):
                 return a + b
@@ -387,16 +447,20 @@ def _transpile_gen_expr(expr: str, dimcols: dict) -> "object":
                 return a - b
             if isinstance(node.op, ast.Mult):
                 return a * b
-            if isinstance(node.op, ast.Div):
-                return a / b
             if isinstance(node.op, ast.FloorDiv):
                 return SF.floor(a / b).cast("long")
             if isinstance(node.op, ast.Mod):
                 return SF.pmod(a, b)
+        hint = (
+            " (true division renders floats — use // for integer "
+            "division)"
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Div)
+            else ""
+        )
         raise KerchunkError(
             f"gen expression {expr!r} uses unsupported construct "
             f"{type(node).__name__} — only integer arithmetic over "
-            "dimension variables is supported"
+            f"dimension variables is supported{hint}"
         )
 
     return build(tree)
@@ -468,6 +532,11 @@ def gen_manifest_distributed(
         n_points = 1
         for s in sizes:
             n_points *= s
+        if n_points == 0:
+            # an empty dimension generates no refs for this entry — the
+            # driver evaluator's empty itertools.product, not a raw
+            # ZeroDivisionError from the stride math (ADVICE r10)
+            continue
         df = spark.range(n_points)
         dimcols: dict[str, object] = {}
         stride = n_points
@@ -488,8 +557,12 @@ def gen_manifest_distributed(
             str(entry["url"]), dimcols, templates
         )
         if base_dir:
+            # mirror _join_base: scheme-qualified (s3://, https://) and
+            # absolute URLs pass through; only relative local paths join
+            # base_dir (ADVICE r10: the old branch mangled remote refs
+            # into '<base_dir>/https://host/...')
             url_col = SF.when(
-                url_col.startswith("/"), url_col
+                url_col.startswith("/") | url_col.contains("://"), url_col
             ).otherwise(SF.concat(SF.lit(base_dir.rstrip("/") + "/"), url_col))
         has_offset = "offset" in entry
         if has_offset != ("length" in entry):
@@ -517,7 +590,11 @@ def gen_manifest_distributed(
         )
         out = frame if out is None else out.unionByName(frame)
     if out is None:
-        raise KerchunkError("document has no gen entries")
+        if not gen:
+            raise KerchunkError("document has no gen entries")
+        # every entry had an empty dimension: zero refs, same as the
+        # driver evaluator's empty expansion (ADVICE r10)
+        return spark.createDataFrame([], _manifest_schema())
     return out
 
 
@@ -599,6 +676,15 @@ def _inline_bytes(val: str) -> bytes:
     return val.encode("latin1")
 
 
+#: per-request socket timeout for ranged HTTP fetches — one stalled
+#: server must not hang an executor task forever (ADVICE r10)
+_HTTP_TIMEOUT = float(os.environ.get("SPARK_GRAFT_HTTP_TIMEOUT", "60"))
+
+#: cap on the per-partition full-body cache for Range-ignoring servers
+#: (ADVICE r10: unbounded, a few large objects could OOM an executor)
+_FULL_BODY_CACHE_CAP = 256 * 1024 * 1024
+
+
 class _RangeClient:
     """Ranged-fetch client, one per decode partition (r10): local files
     get seekable handles reused across rows; ``http(s)://`` refs get ONE
@@ -608,15 +694,23 @@ class _RangeClient:
     (HTTP 200) is handled by slicing the full body locally — correct,
     just costly, and worth surfacing in logs at scale.  One transparent
     reconnect per request covers keep-alive connections the server
-    closed between rows."""
+    closed between rows.  Raw object-store refs (``s3://``/``gs://``/
+    ``abfss://`` — the shape real-world reference JSONs carry) refuse
+    loudly with the workaround named: today's supported path is
+    presigned/public ``https://`` URLs through the http branch
+    (r11, brief item 4; previously they died inside ``open()`` as a
+    bare FileNotFoundError)."""
 
-    def __init__(self) -> None:
+    def __init__(self, timeout: float = _HTTP_TIMEOUT) -> None:
+        self._timeout = timeout
         self._files: dict[str, object] = {}
         self._conns: dict[tuple[str, str], object] = {}
         # full bodies from Range-ignoring servers, memoized per url so a
         # partition of N refs costs ONE download, not N (second-pass
-        # review r10); warned once per host
+        # review r10); warned once per host; total bytes capped with
+        # FIFO eviction, oversize bodies never cached (ADVICE r10)
         self._full_bodies: dict[str, bytes] = {}
+        self._full_total = 0
         self._warned_hosts: set[str] = set()
 
     def fetch(self, url: str, offset: int | None, length: int | None) -> bytes:
@@ -625,11 +719,33 @@ class _RangeClient:
         two-element ref shape)."""
         if url.startswith(("http://", "https://")):
             return self._http(url, offset, length)
+        scheme = url.split("://", 1)[0] if "://" in url else ""
+        if scheme in ("s3", "s3a", "gs", "gcs", "az", "abfs", "abfss"):
+            raise KerchunkError(
+                f"ref target {url!r} uses object-store scheme "
+                f"{scheme!r}, which this decoder does not fetch "
+                "directly — rewrite the refs with presigned or public "
+                "https:// URLs for the same objects (the http branch "
+                "issues the identical ranged GETs), or localize the "
+                "objects and use plain paths"
+            )
         fh = self._files.get(url)
         if fh is None:
             fh = self._files[url] = open(url, "rb")
         fh.seek(int(offset) if offset is not None else 0)
         return fh.read() if length is None else fh.read(int(length))
+
+    def _cache_full_body(self, url: str, body: bytes) -> None:
+        if len(body) > _FULL_BODY_CACHE_CAP:
+            return  # one oversize object must not own the whole cache
+        while self._full_bodies and (
+            self._full_total + len(body) > _FULL_BODY_CACHE_CAP
+        ):
+            old_url, old = next(iter(self._full_bodies.items()))
+            del self._full_bodies[old_url]
+            self._full_total -= len(old)
+        self._full_bodies[url] = body
+        self._full_total += len(body)
 
     def _http(self, url: str, offset: int | None, length: int | None) -> bytes:
         import http.client
@@ -663,7 +779,9 @@ class _RangeClient:
                     if u.scheme == "https"
                     else http.client.HTTPConnection
                 )
-                conn = self._conns[key] = cls(u.netloc)
+                conn = self._conns[key] = cls(
+                    u.netloc, timeout=self._timeout
+                )
             try:
                 conn.request("GET", path, headers=headers)
                 resp = conn.getresponse()
@@ -690,7 +808,7 @@ class _RangeClient:
                         "(cached per url per partition)",
                         stacklevel=2,
                     )
-                self._full_bodies[url] = body
+                self._cache_full_body(url, body)
                 return _slice(body)
             raise KerchunkError(f"HTTP {status} fetching {url}")
         raise KerchunkError(f"fetch failed for {url}: {last_exc}")

@@ -371,24 +371,29 @@ def test_gen_transpiler_agrees_with_python_eval(spark):
     """The two gen evaluators — driver-side Python (_gen_eval) and
     JVM-side Column transpile (_transpile_gen_expr) — must agree on the
     whole grammar, including Python's floor-division and sign-of-modulo
-    semantics (pmod/floor were chosen for exactly this).  200 seeded
-    random expressions, evaluated in ONE Spark job."""
+    semantics (pmod/floor were chosen for exactly this): dividends of
+    EITHER sign, ``//`` divisors of either sign, ``%`` moduli positive
+    (negative constant moduli refuse in _check_divisor — the one spot
+    pmod and Python's floored % genuinely disagree, ADVICE r10).  200
+    seeded random expressions, evaluated in ONE Spark job."""
     import random
 
     from pyspark.sql import functions as F
 
     rng = random.Random(0xC0FFEE)
-    names = ["i", "j"]
-    env = {"i": 7, "j": 13}
+    names = ["i", "j", "n"]
+    env = {"i": 7, "j": 13, "n": -6}
 
     def expr(depth: int) -> str:
         if depth == 0 or rng.random() < 0.3:
-            return rng.choice(names + [str(rng.randint(0, 9))])
+            return rng.choice(names + [str(rng.randint(-9, 9))])
         op = rng.choice(["+", "-", "*", "//", "%"])
         left = expr(depth - 1)
-        if op in ("//", "%"):
-            # positive divisor: both engines define these the same way
+        if op == "%":
             right = str(rng.randint(1, 9))
+        elif op == "//":
+            d = rng.randint(1, 9)
+            right = str(-d if rng.random() < 0.5 else d)
         else:
             right = expr(depth - 1)
         return f"({left} {op} {right})"
@@ -405,6 +410,123 @@ def test_gen_transpiler_agrees_with_python_eval(spark):
         (e, w, g) for e, w, g in zip(exprs, want, got) if w != g
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_gen_true_division_refuses_both_engines():
+    """ADVICE r10: ``/`` is out of the grammar — the driver renderer
+    stringifies its float ('96.0') while the JVM transpile casts it
+    silently, so the engines could disagree cell-for-cell.  Both
+    evaluators refuse with the ``//`` hint."""
+    from pyspark.sql import functions as F
+
+    with pytest.raises(kerchunk.KerchunkError, match="use // for integer"):
+        kerchunk._gen_eval("192 / 2", {"i": 1})
+    with pytest.raises(kerchunk.KerchunkError, match="use // for integer"):
+        kerchunk._transpile_gen_expr("i / 2", {"i": F.lit(1)})
+
+
+def test_gen_zero_and_negative_divisors_refuse():
+    """ADVICE r10: constant-zero divisors and constant-negative moduli
+    refuse at compile time in BOTH evaluators (pmod diverges from
+    Python's floored % for negative divisors); a runtime-zero divisor
+    raises KerchunkError driver-side, never raw ZeroDivisionError."""
+    from pyspark.sql import functions as F
+
+    for bad in ("i % 0", "i // 0", "i % -3"):
+        with pytest.raises(kerchunk.KerchunkError):
+            kerchunk._gen_eval(bad, {"i": 1})
+        with pytest.raises(kerchunk.KerchunkError):
+            kerchunk._transpile_gen_expr(bad, {"i": F.lit(1)})
+    # negative FLOOR-DIV divisors are fine (floor(a/b) == a//b for all
+    # signs) — property-covered in the agreement test above
+    assert kerchunk._gen_eval("7 // -2", {"i": 1}) == -4
+    # runtime zero: slips the constant check, wraps driver-side
+    with pytest.raises(kerchunk.KerchunkError, match="division by zero"):
+        kerchunk._gen_eval("i % (i - 1)", {"i": 1})
+    render = kerchunk._compile_gen_template("k{{ i // (i - 1) }}", {"i"}, {})
+    with pytest.raises(kerchunk.KerchunkError, match="division by zero"):
+        render({"i": 1})
+
+
+def test_gen_manifest_empty_dimension_is_zero_refs(spark):
+    """ADVICE r10: an empty gen dimension (explicit [] or stop=0) is
+    zero refs — the driver evaluator's empty itertools.product — not a
+    raw ZeroDivisionError from the JVM stride math."""
+    entry = {"key": "v/{{i}}", "url": "f{{i}}.bin"}
+    empty_doc = {"gen": [
+        {**entry, "dimensions": {"i": []}},
+        {**entry, "dimensions": {"i": {"stop": 0}}},
+    ]}
+    assert kerchunk.gen_manifest_distributed(spark, empty_doc, "v").count() == 0
+    assert kerchunk._expand_gen(empty_doc["gen"], {}) == {}
+    # a sibling non-empty entry still generates
+    mixed = {"gen": [
+        {**entry, "dimensions": {"i": []}},
+        {**entry, "dimensions": {"i": {"stop": 2}}},
+    ]}
+    man = kerchunk.gen_manifest_distributed(spark, mixed, "v")
+    assert sorted(r.key for r in man.collect()) == ["0", "1"]
+
+
+def test_gen_manifest_base_dir_passes_scheme_and_absolute_urls(spark):
+    """ADVICE r10 (medium): gen_manifest_distributed must mirror
+    _join_base — scheme-qualified and absolute rendered URLs pass
+    through base_dir joining; only relative paths join."""
+    doc = {"gen": [{
+        "key": "v/{{i}}",
+        "url": "{{kind}}{{i}}.bin",
+        "dimensions": {"i": {"stop": 1}},
+    }], "templates": {}}
+    for kind, expect in [
+        ("https://host/f", "https://host/f0.bin"),
+        ("/abs/f", "/abs/f0.bin"),
+        ("rel/f", "/base/rel/f0.bin"),
+    ]:
+        doc["templates"]["kind"] = kind
+        man = kerchunk.gen_manifest_distributed(
+            spark, doc, "v", base_dir="/base"
+        )
+        assert [r.url for r in man.collect()] == [expect]
+        # and the driver expansion resolves identically via _join_base
+        refs = kerchunk._expand_gen(doc["gen"], doc["templates"])
+        assert kerchunk._join_base(refs["v/0"][0], "/base") == expect
+
+
+def test_range_client_refuses_object_store_schemes():
+    """r11 brief item 4: raw s3://gs://abfss:// ref targets refuse
+    loudly with the presigned-https workaround named — previously they
+    fell into open() as a bare FileNotFoundError."""
+    client = kerchunk._RangeClient()
+    try:
+        for url in (
+            "s3://bucket/key.bin",
+            "gs://bucket/key.bin",
+            "abfss://cont@acct.dfs.core.windows.net/key.bin",
+        ):
+            with pytest.raises(
+                kerchunk.KerchunkError, match="presigned or public"
+            ):
+                client.fetch(url, 0, 8)
+    finally:
+        client.close()
+
+
+def test_range_client_full_body_cache_is_capped(monkeypatch):
+    """ADVICE r10: the Range-ignoring-server full-body cache is bounded
+    — FIFO eviction at the cap, oversize bodies never cached."""
+    monkeypatch.setattr(kerchunk, "_FULL_BODY_CACHE_CAP", 100)
+    client = kerchunk._RangeClient()
+    try:
+        client._cache_full_body("a", b"x" * 60)
+        client._cache_full_body("b", b"y" * 30)
+        assert client._full_total == 90
+        client._cache_full_body("c", b"z" * 40)  # evicts 'a'
+        assert sorted(client._full_bodies) == ["b", "c"]
+        assert client._full_total == 70
+        client._cache_full_body("d", b"w" * 101)  # oversize: not cached
+        assert "d" not in client._full_bodies and client._full_total == 70
+    finally:
+        client.close()
 
 
 def test_untrusted_gen_documents_fuzz_clean_errors_only():
