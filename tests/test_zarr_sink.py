@@ -1005,3 +1005,247 @@ def test_insert_on_sharded_store_preserves_elision(spark, tmp_path):
     doc = kerchunk.build_refs_for_sharded_store(root)
     assert "v/0.0.0" not in doc["refs"]
     assert "v/1.1.1" in doc["refs"]
+
+
+# ---------------------------------------------------------------------------
+# W14 on the native sink: store-root writer lease (r11, verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def _published(spark, tmp_path, name="lease.zarr"):
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        write_zarr_distributed as _w,
+    )
+
+    root = str(tmp_path / name)
+    _w(_long_frame(spark), root, "v", dims=["time", "x"], chunks=(2, 3))
+    return root
+
+
+def test_lease_refuses_concurrent_native_writers(spark, tmp_path):
+    """Two concurrent inserts, an insert racing an append, or a double
+    publish now REFUSE up front instead of silently losing updates —
+    the reference's _raise_if_concurrent_write (publish.py:358-375) on
+    the native sink."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        ZarrWriterLease,
+        append_zarr_distributed,
+        insert_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    root = _published(spark, tmp_path)
+    lease = ZarrWriterLease(root)
+    assert not lease.update_in_progress()
+    state = lease.acquire()  # writer A holds the store
+    assert lease.update_in_progress()
+    upd = spark.createDataFrame([Row(time=0.0, x=10.0, value=99.0)])
+    app = spark.createDataFrame([Row(time=9.0, x=10.0, value=1.0)])
+    with pytest.raises(ConcurrentWriteError, match="in progress"):
+        insert_zarr_distributed(upd, root, "v")
+    with pytest.raises(ConcurrentWriteError, match="in progress"):
+        append_zarr_distributed(app, root, "v")
+    with pytest.raises(ConcurrentWriteError, match="in progress"):
+        write_zarr_distributed(
+            _long_frame(spark), root, "v", dims=["time", "x"], chunks=(2, 3)
+        )
+    # writer A's refusals changed nothing
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert got[(0.0, 10.0)] == 0.0
+    lease.release(state)
+    # released: the insert goes through and the lease clears after
+    insert_zarr_distributed(upd, root, "v")
+    assert not ZarrWriterLease(root).update_in_progress()
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert got[(0.0, 10.0)] == 99.0
+
+
+def test_lease_ttl_takeover_fences_zombie(tmp_path):
+    """Stale-lease takeover mints a fresh token; the zombie's check()
+    raises and its release() cannot clobber the new owner's lease —
+    the table layer's fencing semantics (table.py:288,351) on the
+    native sink, on Local AND an object-store fake (CAS-only
+    semantics: no rename, just conditional PUT)."""
+    import json as _json
+    import time as _time
+
+    from gridded_etl_tools_spark.sinks.fsio import MemoryControlFS
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+
+    for fs in (None, MemoryControlFS()):  # Local, object-store fake
+        root = str(tmp_path / ("s-local" if fs is None else "s-mem"))
+        a = ZarrWriterLease(root, fs)
+        state_a = a.acquire()
+        # age writer A's lease past the TTL (rewrite locked_at in place)
+        doc = _json.loads(state_a["_witness"])
+        doc["locked_at"] = _time.time() - 3600
+        aged = _json.dumps(doc, sort_keys=True)
+        assert (fs or a._fs).compare_and_swap(
+            a._path, aged, state_a["_witness"]
+        )
+        state_a["_witness"] = aged
+        # no TTL configured -> refuse forever (the reference's default)
+        with pytest.raises(ConcurrentWriteError, match="in progress"):
+            ZarrWriterLease(root, fs).acquire()
+        # TTL configured -> takeover with a fresh token
+        b = ZarrWriterLease(root, fs, stale_lease_seconds=60)
+        state_b = b.acquire()
+        with pytest.raises(ConcurrentWriteError, match="taken over"):
+            a.check(state_a)
+        a.release(state_a)  # CAS misses: B's lease intact
+        b.check(state_b)
+        b.release(state_b)
+        assert not b.update_in_progress()
+
+
+def test_lease_acquire_race_single_winner(tmp_path):
+    """N threads race one free lease: exactly one CAS wins (Local
+    flock-sidecar backend and the object-store fake)."""
+    import threading
+
+    from gridded_etl_tools_spark.sinks.fsio import MemoryControlFS
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+
+    for fs in (None, MemoryControlFS()):
+        root = str(tmp_path / ("r-local" if fs is None else "r-mem"))
+        results = []
+        barrier = threading.Barrier(8)
+
+        def run(fs=fs, root=root):
+            lease = ZarrWriterLease(root, fs)
+            barrier.wait()
+            try:
+                results.append(("ok", lease.acquire()))
+            except ConcurrentWriteError:
+                results.append(("refused", None))
+
+        threads = [threading.Thread(target=run) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(1 for tag, _ in results if tag == "ok") == 1
+
+
+def test_fenced_append_aborts_before_metadata_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Race injection at the deepest deterministic point: the lease is
+    stolen WHILE the append's chunk job runs (force_unlock + re-acquire
+    by a second writer).  The fenced append must abort BEFORE the
+    metadata-last commit — its orphan chunks stay invisible (shape and
+    axis unchanged), the table layer's commit-refusal semantics."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks import zarr_sink
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    # chunk-aligned extent (3 % 3 == 0) so the append admits the store
+    root = str(tmp_path / "fenced.zarr")
+    zarr_sink.write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(3, 4)
+    )
+    shape_before = zarr2.open_store(root)["v"].shape
+    real_impl = zarr_sink._append_zarr_impl
+    thief_state = {}
+
+    def hijack(df, r, dv, vc, lease_check):
+        thief = zarr_sink.ZarrWriterLease(r)
+        thief.force_unlock()
+        thief_state["s"] = thief.acquire()
+        return real_impl(df, r, dv, vc, lease_check)
+
+    monkeypatch.setattr(zarr_sink, "_append_zarr_impl", hijack)
+    app = spark.createDataFrame(
+        [Row(time=float(t), x=x, value=1.0)
+         for t in (3, 4, 5) for x in (10.0, 10.5, 11.0, 11.5)]
+    )
+    with pytest.raises(ConcurrentWriteError, match="taken over"):
+        zarr_sink.append_zarr_distributed(app, root, "v")
+    # metadata never committed: extent unchanged, new cells invisible
+    assert zarr2.open_store(root)["v"].shape == shape_before
+    got = {(r.time, r.x) for r in
+           zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert not any(t >= 3.0 for t, _ in got)
+    monkeypatch.setattr(zarr_sink, "_append_zarr_impl", real_impl)
+    zarr_sink.ZarrWriterLease(root).release(thief_state["s"])
+    # after recovery the same append commits cleanly
+    zarr_sink.append_zarr_distributed(app, root, "v")
+    assert zarr2.open_store(root)["v"].shape[0] == shape_before[0] + 3
+
+
+def test_fenced_insert_surfaces_failure(spark, tmp_path, monkeypatch):
+    """An insert whose lease is stolen mid-job must RAISE (never claim
+    success) — its chunk replacements may interleave with the new
+    owner's, the exact lost-update class W14 exists to surface."""
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks import zarr_sink
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    root = _published(spark, tmp_path)
+    real_impl = zarr_sink._insert_zarr_impl
+    thief_state = {}
+
+    def hijack(df, r, dv, vc):
+        thief = zarr_sink.ZarrWriterLease(r)
+        thief.force_unlock()
+        thief_state["s"] = thief.acquire()
+        return real_impl(df, r, dv, vc)
+
+    monkeypatch.setattr(zarr_sink, "_insert_zarr_impl", hijack)
+    upd = spark.createDataFrame([Row(time=0.0, x=10.0, value=7.0)])
+    with pytest.raises(ConcurrentWriteError, match="taken over"):
+        zarr_sink.insert_zarr_distributed(upd, root, "v")
+    zarr_sink.ZarrWriterLease(root).release(thief_state["s"])
+
+
+def test_concurrent_insert_threads_consistent_store(spark, tmp_path):
+    """Two real threads race whole inserts: every failure is the loud
+    refusal, at least one commits, and the store decodes to a
+    consistent state (each cell is one thread's value or the
+    original — never torn)."""
+    import threading
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        insert_zarr_distributed,
+    )
+
+    root = _published(spark, tmp_path)
+    outcomes = []
+    barrier = threading.Barrier(2)
+
+    def run(val):
+        upd = spark.createDataFrame(
+            [Row(time=1.0, x=10.0, value=val),
+             Row(time=2.0, x=11.0, value=val)]
+        )
+        barrier.wait()
+        try:
+            insert_zarr_distributed(upd, root, "v")
+            outcomes.append(("ok", val))
+        except ConcurrentWriteError:
+            outcomes.append(("refused", val))
+
+    threads = [threading.Thread(target=run, args=(v,)) for v in (100.0, 200.0)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    oks = [v for tag, v in outcomes if tag == "ok"]
+    assert len(oks) >= 1 and len(outcomes) == 2
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    # both updated cells carry the SAME winning value (no interleave)
+    assert got[(1.0, 10.0)] in oks and got[(2.0, 11.0)] in oks
+    assert got[(1.0, 10.0)] == got[(2.0, 11.0)]
