@@ -5498,6 +5498,87 @@ def kerchunk_gen_distributed_decode(
     )
 
 
+@query("kerchunkified_hdf5_decode", _nc_oracle())
+def kerchunkified_hdf5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refs PRODUCTION for HDF5/NetCDF4 (r11, closing the r10 gap #3's
+    first half — reference ``SingleHdf5ToZarr``, transform.py:186-224):
+    per-era NetCDF4 files (chunked, shuffle+deflate, true
+    DIMENSION_LIST references) -> DISTRIBUTED kerchunkify, where each
+    task walks ONLY object headers + chunk B-trees and emits every
+    B-tree leaf's (offset, nbytes) as a byte-range ref with the HDF5
+    filter pipeline mapped onto the zarr codec chain (deflate -> zlib
+    compressor, shuffle -> numcodecs shuffle filter) -> concat merge
+    along time -> virtual decode.  No data byte is read during refs
+    production.  Same literal oracle as every other ingest front
+    door."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import hdf5 as h5_mod
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kch5_{digest}")
+    done = os.path.join(base, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for it in range(data.shape[0]):
+            h5_mod.write_hdf5(
+                os.path.join(base, f"era_{it:03d}.nc4"),
+                {
+                    "time": (("time",), np.array([times[it]]), {}),
+                    "latitude": (("latitude",), np.asarray(lats), {}),
+                    "longitude": (("longitude",), np.asarray(lons), {}),
+                    "precip": (
+                        ("time", "latitude", "longitude"),
+                        np.asarray(data[it:it + 1]),
+                        {"_FillValue": np.float64(-9999.0)},
+                    ),
+                },
+                chunk_shapes={"precip": (1, 3, 3)},
+                compress=True,
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc4")
+    merged = kc_mod.merge_refs_concat(docs, "time")
+    out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+@query("kerchunkified_grib_decode", _grib2_oracle())
+def kerchunkified_grib_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refs PRODUCTION for GRIB2 (r11, the r10 gap #3's second half —
+    reference ``scan_grib`` + ``scan_indices``, transform.py:226-279):
+    the 2-message GRIB2 fixture (complex packing + second-order spatial
+    differencing, per-message bitmaps) -> kerchunkify, where scan_grib2
+    walks sections WITHOUT unpacking any data and each field's message
+    becomes one chunk ref decoded by the grib2 message codec
+    ({"id": "grib2", "field": k}) -> virtual decode.  Same literal
+    oracle as ``grib2_decode``, so the refs path and the direct decode
+    must agree cell-for-cell, bitmap NULLs included; the numeric
+    epoch-seconds time axis casts back to the oracle's timestamps."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    path = _grib2_fixture_path()
+    with open(path, "rb") as f:
+        refs = kc_mod.kerchunkify_grib2(f.read(), path)
+    arrays = kc_mod.store_metadata(refs)
+    (var,) = [n for n in arrays if n.startswith("d0_c1_n8")]
+    out = kc_mod.decode_kerchunk_long(spark, refs, var)
+    return out.select(
+        F.col("time").cast("timestamp").alias("time"),
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def _zarr_publish_root(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf, digest-named) the events daily (station, day)
     mean grid as a REAL Zarr v2 store through the DISTRIBUTED sink —

@@ -620,6 +620,15 @@ def _check_congruent(metas: list) -> None:
 def _filter_key_for(meta, data_var: str):
     if not meta.filters:
         return None
+    if any(f.get("id") != "xchacha20poly1305" for f in meta.filters):
+        # decode-only filter chains (e.g. the shuffle filter that
+        # kerchunkified HDF5 refs carry, r11): the sink cannot
+        # re-encode them — refuse loudly instead of demanding a key
+        raise zarr2.ZarrError(
+            f"{data_var}: filter chain {meta.filters} is decode-only — "
+            "the native sink writes xchacha20poly1305-filtered or "
+            "unfiltered chunks"
+        )
     if meta.filter_key is None:
         raise zarr2.ZarrError(
             f"{data_var}: store is encrypted — register the key "

@@ -117,8 +117,24 @@ def parse_grib2(buf: bytes) -> list[Grib2Field]:
         raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
 
 
-def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
-    out: list[Grib2Field] = []
+def scan_grib2(buf: bytes) -> list[dict]:
+    """Field DESCRIPTORS without decoding any data section — the
+    refs-production scan (reference ``scan_grib``+``scan_indices``,
+    ``utils/transform.py:226-279``): per field, the containing
+    message's byte span (``msg_offset``/``msg_length``), its index
+    within the message, the product identity, times, and the grid
+    axes.  Sections 1-6 are header-sized; section 7's body is never
+    unpacked, so this is O(headers) work over the buffer."""
+    try:
+        return _parse_grib2_inner(buf, decode=False)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, GRIB2Error):
+            raise
+        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+
+
+def _parse_grib2_inner(buf: bytes, decode: bool = True) -> list:
+    out: list = []
     pos = 0
     while pos < len(buf):
         if buf[pos : pos + 4] != b"GRIB":
@@ -141,6 +157,7 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
         product = None
         packing = None
         bitmap = None  # carried forward for indicator 254
+        msg_field = 0  # field index within THIS message (repeated 4-7)
         while p < end - 4:
             (sec_len,) = struct.unpack(">I", buf[p : p + 4])
             sec_no = buf[p + 4]
@@ -275,12 +292,34 @@ def _parse_grib2_inner(buf: bytes) -> list[Grib2Field]:
             elif sec_no == 7:
                 if None in (ref_time, product, packing) or lats is None:
                     raise GRIB2Error("data section before required sections")
-                out.append(
-                    _decode_field(
-                        discipline, ref_time, lats, lons, product, packing,
-                        bitmap, body, flat_grid=flat_grid,
+                if decode:
+                    out.append(
+                        _decode_field(
+                            discipline, ref_time, lats, lons, product,
+                            packing, bitmap, body, flat_grid=flat_grid,
+                        )
                     )
-                )
+                else:
+                    out.append(
+                        {
+                            "msg_offset": pos,
+                            "msg_length": total_len,
+                            "field": msg_field,
+                            "discipline": discipline,
+                            "category": product["category"],
+                            "number": product["number"],
+                            "level_type": product["level_type"],
+                            "level_value": product["level_value"],
+                            "member": product.get("member"),
+                            "reference_time": ref_time,
+                            "valid_time": product.get("end_time")
+                            or (ref_time + product["offset"]),
+                            "lats": lats,
+                            "lons": lons,
+                            "flat_grid": flat_grid,
+                        }
+                    )
+                msg_field += 1
             else:
                 raise GRIB2Error(f"unknown section number {sec_no}")
             p += sec_len

@@ -451,6 +451,169 @@ def _read_data(
     raise HDF5Error(f"unsupported layout class {cls}")
 
 
+# --- refs-production scan (layout only, no data reads) ------------------------
+
+
+@dataclass
+class H5DatasetInfo:
+    """One dataset's LAYOUT as refs-production needs it (r11): where the
+    bytes live, never the bytes themselves."""
+
+    name: str
+    dtype: DType
+    shape: tuple[int, ...]
+    attrs: dict
+    dim_refs: list
+    layout_class: int  # 0 compact, 1 contiguous, 2 chunked
+    chunk_shape: tuple[int, ...] | None
+    filters: list
+    chunks: list  # chunked: [(elem_offsets, nbytes, addr), ...]
+    contiguous: tuple | None  # (addr, size)
+    compact: bytes | None
+
+
+def scan_hdf5(buf: bytes) -> tuple[int, dict, list[H5DatasetInfo], dict]:
+    """Walk an HDF5/NetCDF4 buffer's METADATA only — superblock, object
+    headers, attribute messages, chunk B-trees — and return
+    ``(base_offset, root_attrs, datasets, addr_to_name)``.  This is the
+    refs-production twin of :func:`parse_hdf5`: the chunk B-tree's
+    ``(element offsets, nbytes, address)`` entries ARE a byte-range
+    manifest (what kerchunk's ``SingleHdf5ToZarr`` walks via h5py), so
+    no data byte is read or copied.  ``base_offset`` is the userblock
+    size — every returned address is relative to it and callers
+    emitting file refs must add it back."""
+    try:
+        return _scan_hdf5_inner(buf)
+    except (struct.error, IndexError) as e:
+        raise HDF5Error(f"truncated or corrupt HDF5 structure: {e}") from e
+
+
+def _scan_hdf5_inner(buf: bytes):
+    rebased = _rebase(buf)
+    base = len(buf) - len(rebased)
+    buf = rebased
+    root = _superblock_root(buf)
+    root_attrs: dict = {}
+    btree = heap = None
+    links: list[tuple[str, int]] = []
+    for mtype, body in _object_header_messages(buf, root):
+        if mtype == MSG_SYMBOL_TABLE:
+            btree, heap = struct.unpack_from("<QQ", body, 0)
+        elif mtype == MSG_LINK:
+            parsed = _parse_link(body)
+            if parsed is not None:
+                links.append(parsed)
+        elif mtype == MSG_LINK_INFO:
+            (fheap,) = struct.unpack_from(
+                "<Q", body, 2 + (8 if body[1] & 1 else 0)
+            )
+            if fheap != UNDEF:
+                raise HDF5Error(
+                    "dense (fractal-heap) group link storage unsupported; "
+                    "compact link messages and symbol-table groups are"
+                )
+        elif mtype == MSG_ATTRIBUTE:
+            k, v = _parse_attribute(buf, body)
+            root_attrs[k] = v
+    if btree is not None:
+        entries = _group_entries(buf, btree, heap)
+    elif links:
+        entries = links
+    else:
+        raise HDF5Error("root group has neither a symbol table nor links")
+    datasets: list[H5DatasetInfo] = []
+    addr_to_name: dict[int, str] = {}
+    for name, ohdr in entries:
+        addr_to_name[ohdr] = name
+        dtype = dims = layout = None
+        filters: list = []
+        attrs: dict = {}
+        for mtype, body in _object_header_messages(buf, ohdr):
+            if mtype == MSG_DATATYPE:
+                dtype, _ = _parse_datatype(body)
+            elif mtype == MSG_DATASPACE:
+                dims = _parse_dataspace(body)
+            elif mtype == MSG_LAYOUT:
+                layout = body
+            elif mtype == MSG_FILTERS:
+                filters = _parse_filters(body)
+            elif mtype == MSG_ATTRIBUTE:
+                k, v = _parse_attribute(buf, body)
+                attrs[k] = v
+        if dtype is None or dims is None or layout is None:
+            continue  # sub-group or non-dataset object
+        info = _scan_layout(buf, name, layout, dims)
+        datasets.append(
+            H5DatasetInfo(
+                name=name,
+                dtype=dtype,
+                shape=dims,
+                attrs=attrs,
+                dim_refs=attrs.get("DIMENSION_LIST", []),
+                layout_class=info[0],
+                chunk_shape=info[1],
+                filters=filters,
+                chunks=info[2],
+                contiguous=info[3],
+                compact=info[4],
+            )
+        )
+    return base, root_attrs, datasets, addr_to_name
+
+
+def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
+    """Layout message → (class, chunk_shape, chunk list, contiguous,
+    compact) without touching data: the chunked branch walks the SAME
+    v1 B-tree as :func:`_read_data` but records (offsets, nbytes,
+    address) instead of decoding."""
+    ver = layout_body[0]
+    if ver not in (3, 4):
+        raise HDF5Error(f"data layout version {ver} unsupported")
+    cls = layout_body[1]
+    if ver == 4 and cls == 2:
+        raise HDF5Error(
+            "layout v4 chunked indexes (fixed/extensible array, B-tree "
+            "v2) unsupported — save without libver='latest' chunking"
+        )
+    if cls == 0:  # compact: the data IS in the header message
+        (size,) = struct.unpack_from("<H", layout_body, 2)
+        return 0, None, [], None, bytes(layout_body[4 : 4 + size])
+    if cls == 1:  # contiguous
+        addr, size = struct.unpack_from("<QQ", layout_body, 2)
+        if addr == UNDEF:
+            return 1, None, [], None, None  # never written: all fill
+        return 1, None, [], (addr, size), None
+    if cls == 2:  # chunked, v1 B-tree
+        rank_plus = layout_body[2]
+        (btree,) = struct.unpack_from("<Q", layout_body, 3)
+        cdims = struct.unpack_from(f"<{rank_plus}I", layout_body, 11)
+        chunk_shape = tuple(cdims[:-1])
+        chunks: list = []
+        if btree == UNDEF:
+            return 2, chunk_shape, chunks, None, None
+
+        def walk(addr: int) -> None:
+            if buf[addr : addr + 4] != b"TREE":
+                raise HDF5Error("bad chunk B-tree signature")
+            level = buf[addr + 5]
+            (used,) = struct.unpack_from("<H", buf, addr + 6)
+            p = addr + 24
+            key_size = 8 + 8 * rank_plus
+            for _ in range(used):
+                nbytes, _mask = struct.unpack_from("<II", buf, p)
+                offs = struct.unpack_from(f"<{rank_plus}Q", buf, p + 8)
+                (child,) = struct.unpack_from("<Q", buf, p + key_size)
+                p += key_size + 8
+                if level > 0:
+                    walk(child)
+                else:
+                    chunks.append((offs[:-1], nbytes, child))
+
+        walk(btree)
+        return 2, chunk_shape, chunks, None, None
+    raise HDF5Error(f"unsupported layout class {cls}")
+
+
 # --- dataset model ------------------------------------------------------------
 
 

@@ -1433,7 +1433,9 @@ def decode_parquet_refs(
 # kerchunkify: PRODUCE refs from raw archives (the reference's core)
 # --------------------------------------------------------------------------
 
-def kerchunkify_netcdf3(buf: bytes, url: str) -> dict:
+def kerchunkify_netcdf3(
+    buf: bytes, url: str, file_size: int | None = None
+) -> dict:
     """Byte-range refs for ONE classic NetCDF3 file — the reference's
     ``kerchunkify`` NetCDF branch (``utils/transform.py:119-279``)
     without fsspec/kerchunk: the classic format's per-variable ``begin``
@@ -1447,10 +1449,12 @@ def kerchunkify_netcdf3(buf: bytes, url: str) -> dict:
     metadata carries byte order, nothing is swapped on disk); CF attrs
     ride ``.zattrs`` and unpack at decode time.  Returns a kerchunk v0
     refs dict ready for :func:`decode_kerchunk_long`,
-    :func:`merge_refs_concat`, or :func:`write_parquet_refs`."""
+    :func:`merge_refs_concat`, or :func:`write_parquet_refs`.
+    ``file_size`` supports header-PREFIX callers (the ranged scan,
+    r11): only the STREAMING numrecs sentinel needs the true length."""
     from gridded_etl_tools_spark.sources import netcdf3 as nc
 
-    h = nc.parse_netcdf3_header(buf)
+    h = nc.parse_netcdf3_header(buf, file_size)
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
     for name, dimids, vatts, t, begin in h.headers:
         size, dt = nc._TYPEMAP[t]
@@ -1495,6 +1499,304 @@ def kerchunkify_netcdf3(buf: bytes, url: str) -> dict:
             key = ".".join("0" for _ in shape)
             refs[f"{name}/{key}"] = [url, begin, nbytes]
     return refs
+
+
+#: NetCDF4/HDF5 attributes that are container plumbing, not user
+#: metadata — dropped from .zattrs the way SingleHdf5ToZarr does
+_HDF5_INTERNAL_ATTRS = {
+    "DIMENSION_LIST", "REFERENCE_LIST", "CLASS", "NAME",
+    "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties",
+}
+
+
+def _json_attr(v):
+    """Attribute value → JSON-serializable (numpy scalars/arrays from
+    the HDF5 attribute parser become plain Python)."""
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, bytes):
+        return v.decode("latin1")
+    if isinstance(v, (list, tuple)):
+        return [_json_attr(x) for x in v]
+    return v
+
+
+def kerchunkify_hdf5(buf: bytes, url: str) -> dict:
+    """Byte-range refs for ONE HDF5/NetCDF4 file — the reference's
+    kerchunkify HDF5 branch (``SingleHdf5ToZarr``,
+    ``utils/transform.py:186-224``) without h5py/kerchunk:
+    :func:`hdf5.scan_hdf5` walks ONLY metadata (object headers + chunk
+    B-trees) and each B-tree leaf's ``(element offsets, nbytes,
+    address)`` becomes one ``[url, addr, nbytes]`` ref; contiguous
+    layouts become one whole-array ref; compact data inlines.  The HDF5
+    filter pipeline maps onto the zarr codec chain exactly as
+    SingleHdf5ToZarr emits it: a trailing deflate is the ``zlib``
+    compressor, shuffle is the numcodecs ``shuffle`` filter.
+
+    Residuals (documented): non-numeric datasets (strings/vlens/refs)
+    are skipped — they have no zarr v2 dtype here and kerchunk embeds
+    them via its own special-casing; unknown HDF5 filters refuse
+    loudly; a contiguous-but-never-written dataset emits metadata with
+    no chunk refs (reads as fill, zarr's own missing-chunk rule)."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    base, _root_attrs, dsets, addr_to_name = h5.scan_hdf5(buf)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    scales = {
+        d.name: d.shape[0]
+        for d in dsets
+        if len(d.shape) == 1 and d.attrs.get("CLASS") == "DIMENSION_SCALE"
+    }
+    emitted = 0
+    for d in dsets:
+        if d.dtype.np_dtype is None:
+            continue  # string/ref/vlen: no zarr v2 dtype — documented skip
+        if not d.shape:
+            raise KerchunkError(
+                f"{d.name}: scalar variables have no zarr chunk grid — "
+                "promote to a 1-element dimension"
+            )
+        if d.dim_refs:
+            dimnames = [addr_to_name.get(r, "") for r in d.dim_refs]
+        elif len(d.shape) == 1 and d.name in scales:
+            dimnames = [d.name]
+        else:  # unique shape-match fallback (kerchunk-style heuristic)
+            dimnames = [
+                next((n for n, sz in scales.items() if sz == s), "")
+                for s in d.shape
+            ]
+        zfilters: list[dict] = []
+        comp = None
+        for i, (fid, client) in enumerate(d.filters):
+            if fid == 1:  # deflate → the zarr compressor (must be last)
+                if i != len(d.filters) - 1:
+                    raise KerchunkError(
+                        f"{d.name}: deflate is not last in the HDF5 "
+                        "filter pipeline — unsupported ordering"
+                    )
+                comp = {"id": "zlib", "level": int(client[0]) if client else 6}
+            elif fid == 2:  # shuffle → numcodecs shuffle filter
+                esz = int(client[0]) if client else d.dtype.size
+                zfilters.append({"id": "shuffle", "elementsize": esz})
+            else:
+                raise KerchunkError(
+                    f"{d.name}: HDF5 filter id {fid} unsupported — "
+                    "deflate and shuffle map onto the zarr chain"
+                )
+        chunk_shape = list(d.chunk_shape) if d.chunk_shape else list(d.shape)
+        fill = d.attrs.get("_FillValue")
+        refs[f"{d.name}/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": list(int(s) for s in d.shape),
+                "chunks": [int(c) for c in chunk_shape],
+                "dtype": np.dtype(d.dtype.np_dtype).str,
+                "compressor": comp,
+                "fill_value": _json_attr(fill) if fill is not None else None,
+                "order": "C",
+                "filters": zfilters or None,
+                "dimension_separator": ".",
+            }
+        )
+        attrs_out = {
+            k: _json_attr(v)
+            for k, v in d.attrs.items()
+            if k not in _HDF5_INTERNAL_ATTRS
+        }
+        refs[f"{d.name}/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": dimnames, **attrs_out}
+        )
+        if d.layout_class == 0 and d.compact is not None:
+            key = ".".join("0" for _ in d.shape)
+            refs[f"{d.name}/{key}"] = (
+                "base64:" + base64.b64encode(d.compact).decode()
+            )
+        elif d.contiguous is not None:
+            key = ".".join("0" for _ in d.shape)
+            addr, size = d.contiguous
+            refs[f"{d.name}/{key}"] = [url, base + int(addr), int(size)]
+        else:
+            for offs, nbytes, addr in d.chunks:
+                idx = [int(o) // c for o, c in zip(offs, chunk_shape)]
+                key = ".".join(str(i) for i in idx)
+                refs[f"{d.name}/{key}"] = [url, base + int(addr), int(nbytes)]
+        emitted += 1
+    if not emitted:
+        raise KerchunkError("no numeric datasets found to kerchunkify")
+    return refs
+
+
+def kerchunkify_grib2(buf: bytes, url: str) -> dict:
+    """Byte-range refs for ONE GRIB2 file — the reference's kerchunkify
+    GRIB branch (``scan_grib`` + ``scan_indices`` layer pick,
+    ``utils/transform.py:226-279``): :func:`grib2.scan_grib2` walks
+    sections only (no data unpacking), and each field's containing
+    MESSAGE becomes one chunk ref decoded by the ``grib2`` message
+    codec (``{"id": "grib2", "field": k}`` — kerchunk's GRIBCodec idea
+    re-expressed over the repo's own parser, so every packing the
+    direct decode supports rides the refs path).  Fields group into
+    variables by (discipline, category, number, level); the time axis
+    is the sorted valid times as CF seconds-since-epoch, inline refs
+    chunked by 1 so MultiZarrToZarr-style concat merges work;
+    latitude/longitude axes inline whole.
+
+    Refusals (documented): projected/reduced grids (per-cell 2-D
+    coordinates have no 1-D zarr axes — decode those directly),
+    ensemble members (one member per file), grids or in-message field
+    indices that vary across a variable's messages, variables that
+    disagree on the grid or time axis, and duplicate valid times."""
+    import datetime as _dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    fields = g2.scan_grib2(buf)
+    groups: dict[tuple, list[dict]] = {}
+    for f in fields:
+        if f["flat_grid"] or getattr(f["lats"], "ndim", 1) == 2:
+            raise KerchunkError(
+                "projected/reduced GRIB grids carry per-cell "
+                "coordinates — no 1-D zarr axes to manifest; decode "
+                "directly (decode_grib2_long) instead"
+            )
+        if f["member"] is not None:
+            raise KerchunkError(
+                "ensemble GRIB messages unsupported in refs production "
+                "(one member per file; decode directly instead)"
+            )
+        key = (
+            f["discipline"], f["category"], f["number"],
+            f["level_type"], f["level_value"],
+        )
+        groups.setdefault(key, []).append(f)
+    epoch = _dt.datetime(1970, 1, 1)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    shared: tuple | None = None  # (times, lats, lons) shared across vars
+    for key in sorted(groups):
+        fs = sorted(groups[key], key=lambda f: f["valid_time"])
+        lats, lons = fs[0]["lats"], fs[0]["lons"]
+        fidx = fs[0]["field"]
+        times = []
+        for f in fs:
+            if not np.array_equal(f["lats"], lats) or not np.array_equal(
+                f["lons"], lons
+            ):
+                raise KerchunkError(
+                    f"grid differs across messages of variable {key}"
+                )
+            if f["field"] != fidx:
+                raise KerchunkError(
+                    "field index within its message varies across "
+                    "times — the grib2 codec config is array-level; "
+                    "decode directly instead"
+                )
+            times.append((f["valid_time"] - epoch).total_seconds())
+        if len(set(times)) != len(times):
+            raise KerchunkError(f"duplicate valid times for variable {key}")
+        if shared is None:
+            shared = (times, lats, lons)
+        elif (
+            times != shared[0]
+            or not np.array_equal(lats, shared[1])
+            or not np.array_equal(lons, shared[2])
+        ):
+            raise KerchunkError(
+                "variables disagree on the time axis or grid — one "
+                "congruent dataset per refs doc"
+            )
+        d, c, n, lt, lv = key
+        name = f"d{d}_c{c}_n{n}_l{lt}_{lv}"
+        nj, ni = int(lats.size), int(lons.size)
+        refs[f"{name}/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [len(times), nj, ni],
+                "chunks": [1, nj, ni],
+                "dtype": "<f8",
+                "compressor": {"id": "grib2", "field": int(fidx)},
+                "fill_value": "NaN",
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            }
+        )
+        refs[f"{name}/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"]}
+        )
+        for ti, f in enumerate(fs):
+            refs[f"{name}/{ti}.0.0"] = [
+                url, int(f["msg_offset"]), int(f["msg_length"])
+            ]
+    times, lats, lons = shared
+    for axis, vals, chunk in (
+        ("time", np.asarray(times, dtype="<f8"), 1),
+        ("latitude", np.asarray(lats, dtype="<f8"), int(lats.size)),
+        ("longitude", np.asarray(lons, dtype="<f8"), int(lons.size)),
+    ):
+        refs[f"{axis}/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [int(vals.size)],
+                "chunks": [chunk],
+                "dtype": "<f8",
+                "compressor": None,
+                "fill_value": None,
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            }
+        )
+        attrs = {"_ARRAY_DIMENSIONS": [axis]}
+        if axis == "time":
+            attrs["units"] = "seconds since 1970-01-01T00:00:00"
+        refs[f"{axis}/.zattrs"] = json.dumps(attrs)
+        if chunk == int(vals.size):
+            refs[f"{axis}/0"] = (
+                "base64:" + base64.b64encode(vals.tobytes()).decode()
+            )
+        else:  # time chunks by 1 so concat merges shift cleanly
+            for i in range(vals.size):
+                refs[f"{axis}/{i}"] = (
+                    "base64:"
+                    + base64.b64encode(vals[i : i + 1].tobytes()).decode()
+                )
+    return refs
+
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _looks_hdf5(buf: bytes) -> bool:
+    if buf[:8] == _HDF5_MAGIC:
+        return True
+    off = 512  # userblocked files: signature at a power-of-two ≥ 512
+    while off + 8 <= len(buf):
+        if buf[off : off + 8] == _HDF5_MAGIC:
+            return True
+        off *= 2
+    return False
+
+
+def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict:
+    """Magic-byte dispatch across the refs-production branches — the
+    per-format branching the reference's ``kerchunkify`` does
+    (``utils/transform.py:119-279``)."""
+    if buf[:3] == b"CDF":
+        return kerchunkify_netcdf3(buf, url, file_size)
+    if _looks_hdf5(buf):
+        return kerchunkify_hdf5(buf, url)
+    if buf[:4] == b"GRIB":
+        if len(buf) > 7 and buf[7] == 2:
+            return kerchunkify_grib2(buf, url)
+        raise KerchunkError(
+            "GRIB edition 1 refs production unsupported — decode "
+            "directly (decode_grib1_long) or convert to edition 2"
+        )
+    raise KerchunkError(
+        f"unrecognized raw format for {url!r} — NetCDF3 (CDF), "
+        "HDF5/NetCDF4, and GRIB2 kerchunkify here"
+    )
 
 
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
@@ -1587,15 +1889,33 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
 
 
 def kerchunkify_scan(
-    spark: SparkSession, path: str, glob: str = "*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    header_bytes: int = 65536,
+    return_stats: bool = False,
 ) -> list[dict]:
     """Distributed kerchunkify: one executor task per raw file emits its
-    refs (header-only parse, no data bytes), collected driver-side as
-    KB-scale documents in filename order — ready for
-    :func:`merge_refs_concat`.  This is the reference's extract→
-    kerchunkify→MZZ pipeline shape: the EXPENSIVE per-file work
-    distributes; the merge is dimension-scale metadata math."""
+    refs, collected driver-side as KB-scale documents in filename order
+    — ready for :func:`merge_refs_concat`.  This is the reference's
+    extract→kerchunkify→MZZ pipeline shape: the EXPENSIVE per-file work
+    distributes; the merge is dimension-scale metadata math.  Formats
+    dispatch on magic bytes (NetCDF3 / HDF5 / GRIB2, r11).
+
+    I/O is O(headers), not O(archive), where the format allows (r11,
+    closing the r10 whole-file-read nit): the plan reads only
+    ``path``/``length`` from ``binaryFile`` (content pruned), and each
+    task opens its file directly.  NetCDF3 reads a ``header_bytes``
+    prefix and escalates (×4) only if the header parse reports
+    truncation — refs for a GB-scale archive cost KB of reads.  HDF5
+    and GRIB2 read whole files (documented fallback: HDF5 chunk
+    B-trees live after the data; GRIB2 section headers interleave with
+    message bodies), which is still one distributed pass.
+
+    ``return_stats=True`` additionally returns ``[(path, bytes_read,
+    file_size), ...]`` so tests can assert the header-only property."""
     from gridded_etl_tools_spark.sources.files import read_binary_files
+    from gridded_etl_tools_spark.sources.netcdf3 import NetCDF3Error
 
     files = read_binary_files(spark, path, glob=glob)
 
@@ -1605,17 +1925,33 @@ def kerchunkify_scan(
             local = row.path
             if local.startswith("file:"):
                 local = local[len("file:"):]
-            rows.append(
-                (row.path, json.dumps(kerchunkify_netcdf3(row.content, local)))
-            )
-        return pd.DataFrame(rows, columns=["path", "refs"])
+            total = int(row.length)
+            with open(local, "rb") as fh:
+                buf = fh.read(min(header_bytes, total))
+                if buf[:3] == b"CDF":
+                    while True:
+                        try:
+                            doc = kerchunkify_netcdf3(buf, local, total)
+                            break
+                        except (NetCDF3Error, KerchunkError):
+                            if len(buf) >= total:
+                                raise  # authoritative: the whole file
+                            buf += fh.read(
+                                min(len(buf) * 3, total - len(buf))
+                            )
+                else:
+                    buf += fh.read()
+                    doc = kerchunkify_auto(buf, local, total)
+            rows.append((row.path, json.dumps(doc), len(buf)))
+        return pd.DataFrame(rows, columns=["path", "refs", "bytes_read"])
 
-    out = files.select("path", "content").mapInPandas(
+    out = files.select("path", "length").mapInPandas(
         lambda it: (refs_for(pdf) for pdf in it),
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),
                 T.StructField("refs", T.StringType(), False),
+                T.StructField("bytes_read", T.LongType(), False),
             ]
         ),
     )
@@ -1624,4 +1960,13 @@ def kerchunkify_scan(
     # natural order, not lexicographic: era_2 before era_10 (second
     # review pass r10 — the concat merge trusts this ordering)
     collected = sorted(out.collect(), key=lambda r: natural_key(r.path))
-    return [json.loads(r.refs) for r in collected]
+    docs = [json.loads(r.refs) for r in collected]
+    if return_stats:
+        sizes = {
+            r.path: int(r.length)
+            for r in files.select("path", "length").collect()
+        }
+        return docs, [
+            (r.path, int(r.bytes_read), sizes[r.path]) for r in collected
+        ]
+    return docs

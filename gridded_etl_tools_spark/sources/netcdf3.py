@@ -165,18 +165,22 @@ def parse_netcdf3(buf: bytes) -> NCDataset:
         raise NetCDF3Error(f"truncated or corrupt NetCDF3 structure: {e}") from e
 
 
-def parse_netcdf3_header(buf: bytes) -> NCHeader:
+def parse_netcdf3_header(buf: bytes, file_size: int | None = None) -> NCHeader:
     """Header-only parse (dims/attrs/variable table/record geometry) —
-    the KB-scale prefix; no data bytes are interpreted."""
+    the KB-scale prefix; no data bytes are interpreted.  ``file_size``
+    matters ONLY for the STREAMING numrecs sentinel, whose record count
+    derives from the file length: a caller holding a header PREFIX
+    (r11's ranged scan) must pass the true on-disk size or the count
+    would silently come from the prefix length."""
     try:
-        return _parse_header_inner(buf)
+        return _parse_header_inner(buf, file_size)
     except (struct.error, IndexError, ValueError) as e:
         if isinstance(e, NetCDF3Error):
             raise
         raise NetCDF3Error(f"truncated or corrupt NetCDF3 structure: {e}") from e
 
 
-def _parse_header_inner(buf: bytes) -> NCHeader:
+def _parse_header_inner(buf: bytes, file_size: int | None = None) -> NCHeader:
     if len(buf) < 4 or buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise NetCDF3Error("not a classic NetCDF3 (CDF-1/2/5) file")
     version = buf[3]
@@ -242,7 +246,8 @@ def _parse_header_inner(buf: bytes) -> NCHeader:
 
     if numrecs == (_STREAMING64 if version == 5 else _STREAMING) and rec_vars:
         first_begin = min(b for nm, d, _, t, b in headers if rec_dim in d)
-        numrecs = (len(buf) - first_begin) // recsize if recsize else 0
+        total = len(buf) if file_size is None else int(file_size)
+        numrecs = (total - first_begin) // recsize if recsize else 0
 
     return NCHeader(
         version, numrecs, rec_dim, dim_names, dim_sizes, gatts, headers,

@@ -154,21 +154,30 @@ def _parse_zarray_inner(
         )
     filters = meta.get("filters") or None
     if filters:
-        # the ONE filter the reference attaches: per-chunk
+        # two filters decode here: the reference's per-chunk
         # XChaCha20-Poly1305 (EncryptionFilter, encryption.py:80-134)
-        if len(filters) != 1 or filters[0].get("id") != "xchacha20poly1305":
-            raise ZarrError(
-                f"{name}: numcodecs filters unsupported: {filters} "
-                "(only the reference's xchacha20poly1305 EncryptionFilter "
-                "decodes here)"
-            )
-        if not filters[0].get("key_hash"):
-            raise ZarrError(f"{name}: encryption filter missing key_hash")
+        # and numcodecs Shuffle — what kerchunkified HDF5 refs carry
+        # (HDF5 filter id 2; SingleHdf5ToZarr emits the same pair, r11)
+        for f in filters:
+            if not isinstance(f, dict) or f.get("id") not in (
+                "xchacha20poly1305", "shuffle"
+            ):
+                raise ZarrError(
+                    f"{name}: numcodecs filters unsupported: {filters} "
+                    "(xchacha20poly1305 EncryptionFilter and shuffle "
+                    "decode here)"
+                )
+            if f.get("id") == "xchacha20poly1305" and not f.get("key_hash"):
+                raise ZarrError(f"{name}: encryption filter missing key_hash")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
+    if comp is not None and comp.get("id") not in (
+        "zlib", "gzip", "blosc", "grib2"
+    ):
         raise ZarrError(
             f"{name}: compressor {comp.get('id')!r} unsupported "
-            "(pure-Python path handles blosc-lz4/blosc-zlib/zlib/gzip/null)"
+            "(pure-Python path handles blosc-lz4/blosc-zlib/zlib/gzip/"
+            "null, plus the grib2 message codec for kerchunkified GRIB "
+            "refs)"
         )
     if comp is not None and comp.get("id") == "blosc":
         # the reference's DEFAULT (numcodecs.Blosc() = lz4 + byte-shuffle,
@@ -427,8 +436,12 @@ def _resolve_filter_keys(arrays: dict[str, ZArray]) -> dict[str, ZArray]:
     )
 
     for meta in arrays.values():
-        if meta.filters:
-            key_hash = meta.filters[0]["key_hash"]
+        enc = [
+            f for f in (meta.filters or [])
+            if f.get("id") == "xchacha20poly1305"
+        ]
+        if enc:
+            key_hash = enc[0]["key_hash"]
             if key_hash in _KEY_REGISTRY:
                 # raises HERE (open time) on a non-32-byte registration
                 # instead of deep inside hchacha20 on the executors
@@ -607,6 +620,13 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
         return _decode_shard(raw, meta)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
+        if cid == "grib2":
+            # kerchunkified-GRIB chunk: the ref addresses one WHOLE
+            # GRIB2 message (what the reference's scan_grib manifests
+            # point at, transform.py:226-279) and the codec config
+            # names the field index within it — decode through the
+            # repo's own message parser, bitmap holes arriving as NaN
+            return _decode_grib2_message_chunk(raw, meta)
         if cid == "blosc":
             from gridded_etl_tools_spark.sources.blosc import decompress_frame
 
@@ -621,25 +641,41 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
                 raw = _gzip.decompress(raw)
             except (OSError, EOFError, _zlib.error) as exc:
                 raise ZarrError(f"{meta.name}: corrupt gzip chunk: {exc}") from exc
-    if meta.filters:
-        # numcodecs decode order: compressor first, then filters in
-        # reverse — here the one supported filter, the reference's
-        # per-chunk XChaCha20-Poly1305 (encryption.py:80-134)
-        if meta.filter_key is None:
-            raise ZarrError(
-                f"{meta.name}: store is encrypted (key_hash "
-                f"{meta.filters[0]['key_hash'][:12]}…) — call "
-                "functions.encryption.register_encryption_key(key) "
-                "before opening"
-            )
-        from gridded_etl_tools_spark.functions.xchacha import decrypt_chunk
+    # numcodecs decode order: compressor first, then filters in reverse
+    for filt in reversed(meta.filters or []):
+        fid = filt.get("id")
+        if fid == "xchacha20poly1305":
+            if meta.filter_key is None:
+                raise ZarrError(
+                    f"{meta.name}: store is encrypted (key_hash "
+                    f"{filt['key_hash'][:12]}…) — call "
+                    "functions.encryption.register_encryption_key(key) "
+                    "before opening"
+                )
+            from gridded_etl_tools_spark.functions.xchacha import decrypt_chunk
 
-        try:
-            raw = decrypt_chunk(meta.filter_key, raw)
-        except Exception as exc:  # tampered nonce/tag framing or bad MAC
-            raise ZarrError(
-                f"{meta.name}: encrypted chunk failed to decrypt: {exc}"
-            ) from exc
+            try:
+                raw = decrypt_chunk(meta.filter_key, raw)
+            except Exception as exc:  # tampered nonce/tag framing or bad MAC
+                raise ZarrError(
+                    f"{meta.name}: encrypted chunk failed to decrypt: {exc}"
+                ) from exc
+        elif fid == "shuffle":
+            # numcodecs Shuffle / HDF5 filter 2: byte-transpose back —
+            # the filter kerchunkified HDF5 refs carry (r11)
+            esz = int(filt.get("elementsize", meta.dtype.itemsize))
+            if esz > 1:
+                if len(raw) % esz:
+                    raise ZarrError(
+                        f"{meta.name}: shuffled chunk length {len(raw)} "
+                        f"not a multiple of elementsize {esz}"
+                    )
+                raw = (
+                    np.frombuffer(raw, dtype="u1")
+                    .reshape(esz, -1).T.tobytes()
+                )
+        else:  # unreachable past the metadata gate; decode defensively
+            raise ZarrError(f"{meta.name}: unsupported filter {fid!r}")
     n = int(np.prod(meta.chunks))
     need = n * meta.dtype.itemsize
     # Untrusted-bytes gate (r9 judge finding): a corrupt chunk can
@@ -652,6 +688,37 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
         )
     arr = np.frombuffer(raw, dtype=meta.dtype, count=n)
     return arr.reshape(meta.chunks, order=meta.order)
+
+
+def _decode_grib2_message_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
+    """One kerchunkified-GRIB chunk: ``raw`` is a whole GRIB2 message;
+    ``meta.compressor`` is ``{"id": "grib2", "field": k}`` naming which
+    field of the message this array's chunk is (messages may repeat
+    sections 4-7).  The repo's own parser does the unpacking (simple /
+    complex / spatial-differencing / PNG, bitmap → NaN), so every
+    packing the direct decode supports rides the refs path too."""
+    from gridded_etl_tools_spark.sources import grib2 as _g2
+
+    k = int(meta.compressor.get("field", 0))
+    try:
+        fields = _g2.parse_grib2(raw)
+    except _g2.GRIB2Error as exc:
+        raise ZarrError(
+            f"{meta.name}: corrupt GRIB2 message chunk: {exc}"
+        ) from exc
+    if k >= len(fields):
+        raise ZarrError(
+            f"{meta.name}: grib2 codec field index {k} out of range "
+            f"(message has {len(fields)} fields)"
+        )
+    vals = np.asarray(fields[k].values, dtype=meta.dtype)
+    n = int(np.prod(meta.chunks))
+    if vals.size != n:
+        raise ZarrError(
+            f"{meta.name}: GRIB2 field decodes to {vals.size} cells, "
+            f"chunk declares {n}"
+        )
+    return vals.reshape(meta.chunks, order="C")
 
 
 def chunk_key_indices(rel: str, meta: ZArray) -> tuple[int, ...]:

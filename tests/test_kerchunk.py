@@ -1320,3 +1320,254 @@ def test_missing_ref_materializes_fill(spark, tmp_path):
     assert got[(1.0, 36.25, -115.75)] is None
     # untouched chunks unchanged
     assert got[(2.0, 36.75, -115.0)] == data[2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# r11: refs PRODUCTION beyond NetCDF3 — HDF5 (SingleHdf5ToZarr parity)
+# and GRIB2 (scan_grib parity), plus the header-only distributed scan
+# ---------------------------------------------------------------------------
+
+
+def _write_h5_eras(tmp_path, n_eras=3, chunked=True):
+    """The fixture grid as one NetCDF4/HDF5 file per timestep —
+    chunked + shuffle+deflate, true DIMENSION_LIST references."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    data, times, lats, lons = _grid()
+    era_dir = tmp_path / "h5eras"
+    era_dir.mkdir(exist_ok=True)
+    for it in range(n_eras):
+        h5.write_hdf5(
+            str(era_dir / f"era_{it:03d}.nc4"),
+            {
+                "time": (("time",), np.array([times[it]]), {}),
+                "latitude": (("latitude",), lats, {}),
+                "longitude": (("longitude",), lons, {}),
+                "precip": (
+                    ("time", "latitude", "longitude"),
+                    data[it:it + 1],
+                    {"_FillValue": np.float64(-9999.0)},
+                ),
+            },
+            chunk_shapes={"precip": (1, 3, 3)} if chunked else None,
+            compress=chunked,
+        )
+    return str(era_dir), data, times, lats, lons
+
+
+def test_kerchunkify_hdf5_matches_direct_decode(spark, tmp_path):
+    """Refs emitted from an HDF5 file's chunk B-tree (layout walk, no
+    data reads) decode identical to the direct NetCDF4 decode: chunked
+    shuffle+deflate data var, contiguous coordinate vars, _FillValue ->
+    NULL, edge chunks via the (1,3,3)-on-(1,4,5) grid."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    era_dir, data, times, lats, lons = _write_h5_eras(tmp_path, n_eras=1)
+    path = os.path.join(era_dir, "era_000.nc4")
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_hdf5(buf, path)
+    meta = kerchunk.store_metadata(refs)["precip"]
+    assert meta.chunks == (1, 3, 3)
+    assert meta.compressor == {"id": "zlib", "level": 6}
+    assert meta.filters == [{"id": "shuffle", "elementsize": 8}]
+    assert meta.attrs["_ARRAY_DIMENSIONS"] == [
+        "time", "latitude", "longitude"
+    ]
+    # the refs address REAL bytes: decompress one chunk by hand
+    import zlib as _zlib
+
+    url, off, nb = refs["precip/0.0.0"]
+    raw = _zlib.decompress(buf[off:off + nb])
+    un = np.frombuffer(raw, "u1").reshape(8, -1).T.tobytes()
+    np.testing.assert_array_equal(
+        np.frombuffer(un, "<f8").reshape(1, 3, 3), data[0:1, :3, :3]
+    )
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, refs, "precip").collect()
+    }
+    direct = h5.decode_netcdf4_long(
+        spark.read.format("binaryFile").load(path), "precip",
+        ["time", "latitude", "longitude"],
+    )
+    want = {(r.time, r.latitude, r.longitude): r.value
+            for r in direct.collect()}
+    assert got == want and len(got) == 20
+    assert got[(0.0, 36.0, -116.0)] is None  # _FillValue -> NULL
+
+
+def test_kerchunkify_hdf5_contiguous_and_scan_merge(spark, tmp_path):
+    """Era HDF5 files WITHOUT chunking (contiguous layout -> one
+    whole-array ref each) through the full scan -> concat merge ->
+    virtual decode pipeline, equal to the merged direct decode."""
+    era_dir, data, times, lats, lons = _write_h5_eras(
+        tmp_path, n_eras=3, chunked=False
+    )
+    docs = kerchunk.kerchunkify_scan(spark, era_dir, glob="*.nc4")
+    assert len(docs) == 3
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, merged, "precip").collect()
+    }
+    assert len(got) == 60
+    for it, t in enumerate(times):
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                want = data[it, i, j]
+                w = None if want == -9999.0 else want
+                assert got[(t, la, lo)] == w
+
+
+def _write_grib2_eras(tmp_path, n_eras=2, packing="complex_sd2"):
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    nj, ni = 4, 6
+    lats = 40.0 - 0.5 * np.arange(nj)
+    lons = 250.0 + 0.5 * np.arange(ni)
+    era_dir = tmp_path / "g2eras"
+    era_dir.mkdir(exist_ok=True)
+    fields = []
+    for step in range(n_eras):
+        vals = (np.arange(nj * ni, dtype="f8").reshape(nj, ni) * 13
+                + step * 7) % 97
+        vals[0, 1] = np.nan  # bitmap-masked
+        if step:
+            vals[3, 5] = np.nan
+        fields.append(vals)
+        g2.write_grib2(
+            str(era_dir / f"era_{step:03d}.grib2"),
+            [{
+                "values": vals, "lats": lats, "lons": lons,
+                "reference_time": dt.datetime(2024, 1, 1),
+                "forecast_hours": step * 6,
+                "discipline": 0, "category": 1, "number": 8,
+                "nbits": 8, "packing": packing,
+            }],
+        )
+    return str(era_dir), fields, lats, lons
+
+
+def test_kerchunkify_grib2_matches_direct_decode(spark, tmp_path):
+    """GRIB2 refs production: scan_grib2 walks sections only; each
+    field's message is one chunk decoded by the grib2 message codec
+    (complex packing + spatial differencing + bitmap -> the SAME
+    parser as the direct decode).  Virtual decode == direct decode."""
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    era_dir, fields, lats, lons = _write_grib2_eras(tmp_path, n_eras=1)
+    path = os.path.join(era_dir, "era_000.grib2")
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_grib2(buf, path)
+    arrays = kerchunk.store_metadata(refs)
+    (var,) = [n for n in arrays if n.startswith("d0_c1_n8")]
+    meta = arrays[var]
+    assert meta.chunks == (1, 4, 6)
+    assert meta.compressor["id"] == "grib2"
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, refs, var).collect()
+    }
+    assert len(got) == 24
+    direct = g2.parse_grib2(buf)[0]
+    t0 = (direct.valid_time - __import__("datetime").datetime(1970, 1, 1)
+          ).total_seconds()
+    for i, la in enumerate(lats):
+        for j, lo in enumerate(lons):
+            v = direct.values[i, j]
+            want = None if v != v else round(float(v), 6)
+            gotv = got[(t0, float(la), float(lo))]
+            assert (gotv is None and want is None) or (
+                round(gotv, 6) == want
+            )
+
+
+def test_kerchunkify_grib2_scan_merge_decode(spark, tmp_path):
+    """Per-era GRIB2 files through scan -> concat merge -> virtual
+    decode: time axis values shift correctly (CF epoch seconds), data
+    via the message codec, bitmap holes NULL."""
+    import datetime as dt
+
+    era_dir, fields, lats, lons = _write_grib2_eras(tmp_path, n_eras=2)
+    docs, stats = kerchunk.kerchunkify_scan(
+        spark, era_dir, glob="*.grib2", return_stats=True
+    )
+    assert len(docs) == 2
+    # GRIB reads whole files (documented fallback)
+    for _p, br, size in stats:
+        assert br == size
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    arrays = kerchunk.store_metadata(merged)
+    (var,) = [n for n in arrays if n.startswith("d0_c1_n8")]
+    assert arrays[var].shape[0] == 2
+    out = kerchunk.decode_kerchunk_long(spark, merged, var)
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in out.collect()}
+    assert len(got) == 48
+    base = dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)
+    for step, vals in enumerate(fields):
+        ts = base.total_seconds() + step * 6 * 3600
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                v = vals[i, j]
+                g = got[(ts, float(la), float(lo))]
+                assert (g is None) if v != v else (g == v)
+
+
+def test_kerchunkify_scan_is_header_only_for_netcdf3(spark, tmp_path):
+    """r11 (brief item 5): the scan's NetCDF3 branch reads a header
+    PREFIX via ranged file reads — bytes_read per task is KB against an
+    MB-scale archive — escalating x4 only when the header parse reports
+    truncation, and the refs equal the whole-file kerchunkify."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    d = tmp_path / "bignc"
+    d.mkdir()
+    nlat, nlon = 64, 128
+    data = np.arange(40 * nlat * nlon, dtype="f8").reshape(40, nlat, nlon)
+    path = str(d / "big.nc")
+    nc.write_netcdf3(
+        path,
+        dims={"time": None, "latitude": nlat, "longitude": nlon},
+        variables={
+            "time": (("time",), nc.NC_DOUBLE, {},
+                     np.arange(40, dtype="f8")),
+            "latitude": (("latitude",), nc.NC_DOUBLE, {},
+                         np.arange(nlat, dtype="f8")),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {},
+                          np.arange(nlon, dtype="f8")),
+            "precip": (("time", "latitude", "longitude"), nc.NC_DOUBLE,
+                       {}, data),
+        },
+    )
+    total = os.path.getsize(path)
+    assert total > 2_000_000  # the data body dwarfs the header
+    docs, stats = kerchunk.kerchunkify_scan(
+        spark, str(d), glob="*.nc", return_stats=True
+    )
+    [(p, bytes_read, size)] = stats
+    assert size == total and bytes_read <= 65536
+    full = kerchunk.kerchunkify_netcdf3(
+        open(path, "rb").read(), p[len("file:"):] if p.startswith("file:")
+        else p
+    )
+    assert docs[0] == full
+    # tiny prefix: escalation still converges to the same refs
+    docs2, stats2 = kerchunk.kerchunkify_scan(
+        spark, str(d), glob="*.nc", header_bytes=64, return_stats=True
+    )
+    assert docs2[0] == full
+    assert stats2[0][1] < total  # escalated, but never the whole file
+
+
+def test_kerchunkify_auto_dispatch_refusals(tmp_path):
+    """Magic-byte dispatch: unknown formats and GRIB edition 1 refuse
+    loudly with the workaround named."""
+    with pytest.raises(kerchunk.KerchunkError, match="unrecognized raw"):
+        kerchunk.kerchunkify_auto(b"\x00\x01\x02\x03garbage", "x.bin")
+    with pytest.raises(kerchunk.KerchunkError, match="edition 1"):
+        kerchunk.kerchunkify_auto(
+            b"GRIB\x00\x00\x00\x01" + b"\x00" * 16, "x.grib"
+        )
