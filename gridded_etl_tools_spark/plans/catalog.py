@@ -5845,6 +5845,65 @@ def streaming_zarr_append_readback(
 
 
 @query(
+    "streaming_zarr_multivar_readback",
+    ORACLES["zarr_multivar_publish_readback"],
+)
+def streaming_zarr_multivar_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-variable streaming ingest (r11, composing the r10
+    list-valued ``data_var`` sink surface with the cadence loop): the
+    day-aligned feed replays as three micro-batches, each publishing or
+    appending BOTH variables (daily mean AND max) from ONE chunk-key
+    shuffle per batch — ``streaming/ingest.stream_zarr_append`` with
+    list-valued ``data_var``, every mutation under the store-root
+    writer lease (W14).  Same oracle as the one-shot multi-var publish:
+    the three-era two-variable store must read back cell-identical."""
+    import os
+    import tempfile
+    import uuid
+
+    from gridded_etl_tools_spark.sources import zarr2 as z2_mod
+    from gridded_etl_tools_spark.streaming.ingest import stream_zarr_append
+
+    watch_dir = _stage_stream_day_parts(sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    run = uuid.uuid4().hex
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_szmv_{run}.zarr"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_szmvck_{run}")
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("day"),
+            F.col("user_id").cast("double").alias("station"),
+        ).agg(
+            F.round(F.avg("value"), 6).alias("mv"),
+            F.round(F.max("value").cast("double"), 6).alias("xv"),
+        )
+
+    q = stream_zarr_append(
+        spark, watch_dir, schema, root, ["mean_value", "max_value"],
+        dims=["day", "station"], checkpoint_dir=ckpt,
+        value_col=["mv", "xv"], chunks=[8, 32],
+        derive=derive, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    a = z2_mod.decode_zarr_long(spark, root, "mean_value").select(
+        "station", "day", F.col("value").alias("mean_value")
+    )
+    b = z2_mod.decode_zarr_long(spark, root, "max_value").select(
+        "station", "day", F.col("value").alias("max_value")
+    )
+    return a.join(b, on=["station", "day"], how="inner").select(
+        "station", "day", "mean_value", "max_value"
+    )
+
+
+@query(
     "streaming_zarr_late_batch_readback",
     """
     WITH rollup AS (

@@ -262,10 +262,10 @@ def stream_zarr_append(
     source_dir: str,
     schema: StructType,
     root: str,
-    data_var: str,
+    data_var: str | list[str],
     dims: list[str],
     checkpoint_dir: str,
-    value_col: str = "value",
+    value_col: str | list[str] = "value",
     chunks: list[int] | None = None,
     zarr_format: int = 2,
     derive=None,
@@ -279,7 +279,14 @@ def stream_zarr_append(
     Streaming job: the first micro-batch publishes the store through
     the distributed sink, every later batch lands as a DISTRIBUTED
     append along ``dims[0]`` (executor-parallel chunk writes over the
-    batch only, metadata-last commit).
+    batch only, metadata-last commit).  ``data_var`` may be a LIST of
+    congruent variables with ``value_col`` a matching column list
+    (r11, composing the r10 multi-var sink surface): each micro-batch
+    then appends N variables' chunks from ONE chunk-key shuffle — the
+    ERA5-shaped cadence feed costs one data movement per batch, not
+    one per variable.  Every publish/append below runs under the
+    store-root writer lease (W14), serializing against out-of-band
+    inserts on the same store.
 
     Batch contract: micro-batches arrive in ``dims[0]`` order with
     disjoint, strictly-increasing axis values (the cadence shape — a

@@ -1249,3 +1249,71 @@ def test_concurrent_insert_threads_consistent_store(spark, tmp_path):
     # both updated cells carry the SAME winning value (no interleave)
     assert got[(1.0, 10.0)] in oks and got[(2.0, 11.0)] in oks
     assert got[(1.0, 10.0)] == got[(2.0, 11.0)]
+
+
+def test_stream_zarr_append_multivar(spark, tmp_path):
+    """r11 (brief item 7): a multi-variable cadence feed — list-valued
+    data_var through the streaming sink — appends BOTH variables' chunks
+    per micro-batch from one shuffle, and the three-batch store decodes
+    cell-identical to a one-shot multi-var publish."""
+    import os
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        write_zarr_distributed,
+    )
+    from gridded_etl_tools_spark.streaming.ingest import stream_zarr_append
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.DoubleType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("a", T.DoubleType()),
+            T.StructField("b", T.DoubleType()),
+        ]
+    )
+    all_rows = [
+        (float(t), float(x), float(t * 10 + x), float(100 - t - x))
+        for t in range(6)
+        for x in range(4)
+    ]
+    src = str(tmp_path / "mvfeed")
+    for bi, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        rows = [r for r in all_rows if lo <= r[0] < hi]
+        path = os.path.join(src, f"p{bi}.parquet")
+        os.makedirs(src, exist_ok=True)
+        _pq.write_table(
+            _pa.table({
+                "t": [r[0] for r in rows], "x": [r[1] for r in rows],
+                "a": [r[2] for r in rows], "b": [r[3] for r in rows],
+            }),
+            path,
+        )
+        ts = _time.time() + bi
+        os.utime(path, (ts, ts))
+    root = str(tmp_path / "mv.zarr")
+    q = stream_zarr_append(
+        spark, src, schema, root, ["va", "vb"], dims=["t", "x"],
+        checkpoint_dir=str(tmp_path / "mvck"), value_col=["a", "b"],
+        chunks=[2, 4], max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    oneshot = str(tmp_path / "oneshot.zarr")
+    write_zarr_distributed(
+        spark.createDataFrame(
+            [Row(t=r[0], x=r[1], a=r[2], b=r[3]) for r in all_rows]
+        ),
+        oneshot, ["va", "vb"], dims=["t", "x"], value_col=["a", "b"],
+        chunks=(2, 4),
+    )
+    for var in ("va", "vb"):
+        got = {(r.t, r.x): r.value
+               for r in zarr2.decode_zarr_long(spark, root, var).collect()}
+        want = {(r.t, r.x): r.value
+                for r in zarr2.decode_zarr_long(spark, oneshot, var).collect()}
+        assert got == want and len(got) == 24
