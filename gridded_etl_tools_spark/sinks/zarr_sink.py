@@ -83,10 +83,21 @@ class ZarrWriterLease:
         root: str,
         fs: ControlFS | None = None,
         stale_lease_seconds: float | None = None,
+        owner: str | None = None,
     ) -> None:
         self.root = root
         self._fs = fs or LOCAL_FS
         self.stale_lease_seconds = stale_lease_seconds
+        # ``owner``: a STABLE writer identity (e.g. a streaming job's
+        # checkpoint dir).  A held lease whose recorded owner equals
+        # ours is a crashed PREDECESSOR of this same writer — the
+        # caller guarantees at most one live instance per owner id
+        # (Structured Streaming's own per-checkpoint guarantee) — so
+        # acquire() reclaims it without a TTL instead of wedging the
+        # restart loop forever (code-review r11: a kill -9 mid-batch
+        # otherwise left the stream permanently refused).  Distinct
+        # owners still refuse normally.
+        self.owner = owner
         self._path = os.path.join(root, _LEASE_NAME)
 
     def _read(self) -> str | None:
@@ -109,31 +120,42 @@ class ZarrWriterLease:
                     "writer is alive"
                 ) from exc
             if doc.get("update_in_progress"):
-                if "locked_at" not in doc:
+                own = (
+                    self.owner is not None
+                    and doc.get("owner") == self.owner
+                )
+                if own:
+                    pass  # our crashed predecessor: reclaim (fresh
+                    # token below fences it if somehow still alive)
+                elif "locked_at" not in doc:
                     raise ConcurrentWriteError(
                         f"zarr update already in progress on {self.root} "
                         "(lease age unknown; use force_unlock() after "
                         "confirming the writer is dead)"
                     )
-                age = time.time() - doc["locked_at"]
-                if (
-                    self.stale_lease_seconds is None
-                    or age < self.stale_lease_seconds
-                ):
-                    raise ConcurrentWriteError(
-                        f"zarr update already in progress on {self.root} "
-                        f"(lease age {age:.0f}s) — the native sink "
-                        "refuses concurrent writers (reference "
-                        "_raise_if_concurrent_write); retry after the "
-                        "writer finishes, or force_unlock() a crashed one"
-                    )
-                # expired: fall through to takeover — the fresh token
-                # below fences the zombie (its check() raises)
+                else:
+                    age = time.time() - doc["locked_at"]
+                    if (
+                        self.stale_lease_seconds is None
+                        or age < self.stale_lease_seconds
+                    ):
+                        raise ConcurrentWriteError(
+                            f"zarr update already in progress on "
+                            f"{self.root} (lease age {age:.0f}s) — the "
+                            "native sink refuses concurrent writers "
+                            "(reference _raise_if_concurrent_write); "
+                            "retry after the writer finishes, or "
+                            "force_unlock() a crashed one"
+                        )
+                    # expired: fall through to takeover — the fresh
+                    # token below fences the zombie (its check() raises)
         state = {
             "update_in_progress": True,
             "locked_at": time.time(),
             "lock_token": uuid.uuid4().hex,
         }
+        if self.owner is not None:
+            state["owner"] = self.owner
         text = json.dumps(state, sort_keys=True)
         if not self._fs.compare_and_swap(self._path, text, observed):
             raise ConcurrentWriteError(
@@ -209,6 +231,7 @@ def write_zarr_distributed(
     shards: Sequence[int] | None = None,
     stale_lease_seconds: float | None = None,
     lease_fs: ControlFS | None = None,
+    lease_owner: str | None = None,
 ) -> dict:
     """Write a long-form frame (one row per grid cell) as a Zarr v2
     (default) or v3 store.  Returns a summary {n_chunks, n_cells,
@@ -248,7 +271,9 @@ def write_zarr_distributed(
     an insert/append — refuse instead of interleaving chunk files; a
     fenced writer aborts before the metadata-last commit.
     """
-    lease = ZarrWriterLease(root, lease_fs, stale_lease_seconds)
+    lease = ZarrWriterLease(
+        root, lease_fs, stale_lease_seconds, owner=lease_owner
+    )
     state = lease.acquire()
     try:
         return _write_zarr_impl(
@@ -644,6 +669,7 @@ def insert_zarr_distributed(
     value_col: str | Sequence[str] = "value",
     stale_lease_seconds: float | None = None,
     lease_fs: ControlFS | None = None,
+    lease_owner: str | None = None,
 ) -> dict:
     """Distributed region-INSERT: overwrite EXISTING cells of a
     published zarr store, executor-parallel (the reference's
@@ -678,7 +704,9 @@ def insert_zarr_distributed(
     writes carry the whole xr.Dataset): one shuffle, each group
     read-modify-writes every variable's chunk from the same pass.
     Returns {n_chunks, n_cells, shape}."""
-    lease = ZarrWriterLease(root, lease_fs, stale_lease_seconds)
+    lease = ZarrWriterLease(
+        root, lease_fs, stale_lease_seconds, owner=lease_owner
+    )
     state = lease.acquire()
     try:
         out = _insert_zarr_impl(df, root, data_var, value_col)
@@ -872,6 +900,7 @@ def append_zarr_distributed(
     value_col: str | Sequence[str] = "value",
     stale_lease_seconds: float | None = None,
     lease_fs: ControlFS | None = None,
+    lease_owner: str | None = None,
 ) -> dict:
     """Distributed append along the store's FIRST dimension (the
     reference's ``to_zarr(append_dim=...)``, publish.py:452-478 — but
@@ -900,7 +929,9 @@ def append_zarr_distributed(
     metadata-last commit, leaving its orphan chunks invisible (the
     axis/shape never extended).
     Returns {n_chunks, n_cells, shape}."""
-    lease = ZarrWriterLease(root, lease_fs, stale_lease_seconds)
+    lease = ZarrWriterLease(
+        root, lease_fs, stale_lease_seconds, owner=lease_owner
+    )
     state = lease.acquire()
     try:
         return _append_zarr_impl(

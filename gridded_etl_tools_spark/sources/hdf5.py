@@ -385,70 +385,37 @@ def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
     return out
 
 
-def _read_data(
-    buf: bytes,
-    layout_body: bytes,
-    dtype: DType,
-    shape: tuple[int, ...],
-    filters: list[tuple[int, list[int]]],
-) -> np.ndarray:
-    ver = layout_body[0]
-    if ver not in (3, 4):
-        raise HDF5Error(f"data layout version {ver} unsupported")
-    cls = layout_body[1]
-    if ver == 4 and cls == 2:
-        raise HDF5Error(
-            "layout v4 chunked indexes (fixed/extensible array, B-tree "
-            "v2) unsupported — save without libver='latest' chunking"
-        )
+def _materialize(buf: bytes, info: "H5DatasetInfo") -> np.ndarray:
+    """Dataset bytes → ndarray from a :class:`H5DatasetInfo` layout
+    descriptor — the decode half of the ONE layout walk
+    (:func:`_scan_layout`); refs production uses the descriptor
+    directly (code-review r11: the walk used to exist twice)."""
+    dtype, shape, filters = info.dtype, info.shape, info.filters
     count = int(np.prod(shape, dtype=np.int64)) if shape else 1
-    if cls == 0:  # compact
-        (size,) = struct.unpack_from("<H", layout_body, 2)
-        raw = layout_body[4 : 4 + size]
-        return np.frombuffer(raw, dtype=dtype.np_dtype, count=count).reshape(shape)
-    if cls == 1:  # contiguous
-        addr, size = struct.unpack_from("<QQ", layout_body, 2)
-        if addr == UNDEF:
+    if info.layout_class == 0:  # compact
+        return np.frombuffer(
+            info.compact, dtype=dtype.np_dtype, count=count
+        ).reshape(shape)
+    if info.layout_class == 1:  # contiguous
+        if info.contiguous is None:  # never written: all fill
             return np.zeros(shape, dtype=dtype.np_dtype)
-        return np.frombuffer(buf, dtype=dtype.np_dtype, count=count, offset=addr).reshape(shape)
-    if cls == 2:  # chunked, v1 B-tree index
-        rank_plus = layout_body[2]
-        (btree,) = struct.unpack_from("<Q", layout_body, 3)
-        cdims = struct.unpack_from(f"<{rank_plus}I", layout_body, 11)
-        chunk_shape = tuple(cdims[:-1])
-        out = np.zeros(shape, dtype=np.dtype(dtype.np_dtype).newbyteorder("="))
-        if btree == UNDEF:
-            return out
-
-        def walk(addr: int) -> None:
-            if buf[addr : addr + 4] != b"TREE":
-                raise HDF5Error("bad chunk B-tree signature")
-            level = buf[addr + 5]
-            (used,) = struct.unpack_from("<H", buf, addr + 6)
-            p = addr + 24
-            key_size = 8 + 8 * rank_plus
-            for _ in range(used):
-                nbytes, _mask = struct.unpack_from("<II", buf, p)
-                offs = struct.unpack_from(f"<{rank_plus}Q", buf, p + 8)
-                (child,) = struct.unpack_from("<Q", buf, p + key_size)
-                p += key_size + 8
-                if level > 0:
-                    walk(child)
-                    continue
-                raw = _apply_filters(
-                    buf[child : child + nbytes], filters, dtype.size
-                )
-                chunk = np.frombuffer(raw, dtype=dtype.np_dtype).reshape(chunk_shape)
-                sel_out, sel_in = [], []
-                for d, o in enumerate(offs[:-1]):
-                    span = min(chunk_shape[d], shape[d] - o)
-                    sel_out.append(slice(o, o + span))
-                    sel_in.append(slice(0, span))
-                out[tuple(sel_out)] = chunk[tuple(sel_in)]
-
-        walk(btree)
-        return out
-    raise HDF5Error(f"unsupported layout class {cls}")
+        addr, _size = info.contiguous
+        return np.frombuffer(
+            buf, dtype=dtype.np_dtype, count=count, offset=addr
+        ).reshape(shape)
+    # chunked: place each B-tree leaf's decoded chunk
+    chunk_shape = info.chunk_shape
+    out = np.zeros(shape, dtype=np.dtype(dtype.np_dtype).newbyteorder("="))
+    for offs, nbytes, addr in info.chunks:
+        raw = _apply_filters(buf[addr : addr + nbytes], filters, dtype.size)
+        chunk = np.frombuffer(raw, dtype=dtype.np_dtype).reshape(chunk_shape)
+        sel_out, sel_in = [], []
+        for d, o in enumerate(offs):
+            span = min(chunk_shape[d], shape[d] - o)
+            sel_out.append(slice(o, o + span))
+            sel_in.append(slice(0, span))
+        out[tuple(sel_out)] = chunk[tuple(sel_in)]
+    return out
 
 
 # --- refs-production scan (layout only, no data reads) ------------------------
@@ -649,61 +616,15 @@ def parse_hdf5(buf: bytes) -> H5File:
 
 
 def _parse_hdf5_inner(buf: bytes) -> H5File:
+    # ONE metadata walk serves decode and refs production (code-review
+    # r11): scan the layouts, then materialize each dataset's bytes
     buf = _rebase(buf)
-    root = _superblock_root(buf)
-    msgs = _object_header_messages(buf, root)
-    root_attrs: dict = {}
-    btree = heap = None
-    links: list[tuple[str, int]] = []
-    for mtype, body in msgs:
-        if mtype == MSG_SYMBOL_TABLE:
-            btree, heap = struct.unpack_from("<QQ", body, 0)
-        elif mtype == MSG_LINK:
-            parsed = _parse_link(body)
-            if parsed is not None:
-                links.append(parsed)
-        elif mtype == MSG_LINK_INFO:
-            # v2 groups: fractal-heap address defined = dense link
-            # storage, which this reader does not implement
-            (fheap,) = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))
-            if fheap != UNDEF:
-                raise HDF5Error(
-                    "dense (fractal-heap) group link storage unsupported; "
-                    "compact link messages and symbol-table groups are"
-                )
-        elif mtype == MSG_ATTRIBUTE:
-            k, v = _parse_attribute(buf, body)
-            root_attrs[k] = v
-    if btree is not None:
-        entries = _group_entries(buf, btree, heap)
-    elif links:
-        entries = links
-    else:
-        raise HDF5Error("root group has neither a symbol table nor links")
+    _base, root_attrs, dsets, addr_to_name = _scan_hdf5_inner(buf)
     f = H5File(attrs=root_attrs)
-    addr_to_name: dict[int, str] = {}
     raw_vars: list[tuple[str, dict, np.ndarray, list[int]]] = []
-    for name, ohdr in entries:
-        addr_to_name[ohdr] = name
-        dtype = dims = layout = None
-        filters: list[tuple[int, list[int]]] = []
-        attrs: dict = {}
-        for mtype, body in _object_header_messages(buf, ohdr):
-            if mtype == MSG_DATATYPE:
-                dtype, _ = _parse_datatype(body)
-            elif mtype == MSG_DATASPACE:
-                dims = _parse_dataspace(body)
-            elif mtype == MSG_LAYOUT:
-                layout = body
-            elif mtype == MSG_FILTERS:
-                filters = _parse_filters(body)
-            elif mtype == MSG_ATTRIBUTE:
-                k, v = _parse_attribute(buf, body)
-                attrs[k] = v
-        if dtype is None or dims is None or layout is None:
-            continue  # sub-group or non-dataset object
-        data = _read_data(buf, layout, dtype, dims, filters)
-        raw_vars.append((name, attrs, data, attrs.get("DIMENSION_LIST", [])))
+    for d in dsets:
+        data = _materialize(buf, d)
+        raw_vars.append((d.name, d.attrs, data, d.dim_refs))
 
     # second pass: resolve DIMENSION_LIST refs (object header addresses)
     scales = {

@@ -148,15 +148,19 @@ _GEN_ALLOWED_NODES = (
 
 def _check_divisor(node: ast.BinOp, expr: str) -> None:
     """Compile-time refusals shared by BOTH evaluators for ``//``/``%``
-    divisors: a constant 0 would raise raw ZeroDivisionError driver-side
-    while the JVM silently NULLs, and a constant negative modulus is
-    where ``pmod`` (positive remainder for truncated r>=0) diverges from
-    Python's floored ``%`` — e.g. ``7 % -3`` is -2 in Python but
-    pmod=1.  Negative DIVIDENDS agree on both engines (property-tested);
-    a runtime-negative divisor reaching ``%`` is the documented residual
-    (driver raises KerchunkError via the ZeroDivisionError wrap only for
-    zero; negative dynamic moduli are on the doc author — the grammar
-    has no runtime hook JVM-side short of per-row raise_error)."""
+    divisors (code-review r11 tightened this to close every divergence
+    class, not just the constant ones):
+
+    * divisors must be CONSTANTS — a runtime-zero divisor would raise
+      KerchunkError driver-side while the JVM silently NULLs the
+      generated key (pmod(a, 0) → NULL), the exact cell-for-cell
+      engine divergence removing true division was meant to end, and
+      real refs docs only ever stride by literals (``{{t // 1000}}``);
+    * a constant 0 refuses outright;
+    * a constant negative modulus refuses — ``pmod`` (positive
+      remainder for truncated r>=0) diverges from Python's floored
+      ``%`` there, e.g. ``7 % -3`` is -2 in Python but pmod=1.
+      Negative DIVIDENDS agree on both engines (property-tested)."""
     if not isinstance(node.op, (ast.FloorDiv, ast.Mod)):
         return
     right = node.right
@@ -170,9 +174,16 @@ def _check_divisor(node: ast.BinOp, expr: str) -> None:
         val = right.value
     elif neg and isinstance(right.operand.value, (int, float)):
         val = -right.operand.value
+    if val is None:
+        raise KerchunkError(
+            f"gen expression {expr!r}: ``//``/``%`` divisors must be "
+            "integer constants — a runtime divisor can hit zero, where "
+            "the driver evaluator raises but the JVM transpile "
+            "silently NULLs the generated key"
+        )
     if val == 0:
         raise KerchunkError(f"gen expression {expr!r}: division by zero")
-    if val is not None and val < 0 and isinstance(node.op, ast.Mod):
+    if val < 0 and isinstance(node.op, ast.Mod):
         raise KerchunkError(
             f"gen expression {expr!r}: negative modulus — Python's "
             "floored % and the JVM's pmod disagree for negative "
@@ -228,11 +239,15 @@ def _gen_compile(expr: str, dim_names: set[str]):
             )
         if isinstance(node, ast.BinOp):
             _check_divisor(node, expr)
-        if isinstance(node, ast.Constant) and not isinstance(
-            node.value, (int, float)
+        if isinstance(node, ast.Constant) and (
+            isinstance(node.value, bool)
+            or not isinstance(node.value, int)
         ):
+            # int-only (code-review r11): a float constant makes the
+            # engines render integral FloorDiv results differently —
+            # Python '4.0' vs the JVM's long-cast '4'
             raise KerchunkError(
-                f"gen expression {expr!r}: non-numeric constant"
+                f"gen expression {expr!r}: non-integer constant"
             )
         if isinstance(node, ast.Name) and node.id not in dim_names:
             raise KerchunkError(
@@ -421,9 +436,11 @@ def _transpile_gen_expr(expr: str, dimcols: dict) -> "object":
         if isinstance(node, ast.Expression):
             return build(node.body)
         if isinstance(node, ast.Constant):
-            if not isinstance(node.value, (int, float)):
+            if isinstance(node.value, bool) or not isinstance(
+                node.value, int
+            ):
                 raise KerchunkError(
-                    f"gen expression {expr!r}: non-numeric constant"
+                    f"gen expression {expr!r}: non-integer constant"
                 )
             return SF.lit(node.value)
         if isinstance(node, ast.Name):
@@ -694,17 +711,19 @@ class _RangeClient:
     (HTTP 200) is handled by slicing the full body locally — correct,
     just costly, and worth surfacing in logs at scale.  One transparent
     reconnect per request covers keep-alive connections the server
-    closed between rows.  Raw object-store refs (``s3://``/``gs://``/
-    ``abfss://`` — the shape real-world reference JSONs carry) refuse
-    loudly with the workaround named: today's supported path is
-    presigned/public ``https://`` URLs through the http branch
-    (r11, brief item 4; previously they died inside ``open()`` as a
-    bare FileNotFoundError)."""
+    closed between rows.  Raw object-store refs (r11, brief item 4 —
+    previously they died inside ``open()`` as a bare
+    FileNotFoundError): ``s3://``/``s3a://`` issue ranged GETs through
+    the import-gated AWS SDK (one client per partition, botocore
+    connection pooling); ``gs://``/``abfss://`` refuse loudly with the
+    presigned/public-``https://`` workaround named (their SDKs are not
+    in this environment's gated set)."""
 
     def __init__(self, timeout: float = _HTTP_TIMEOUT) -> None:
         self._timeout = timeout
         self._files: dict[str, object] = {}
         self._conns: dict[tuple[str, str], object] = {}
+        self._s3 = None  # boto3 client, one per partition (import-gated)
         # full bodies from Range-ignoring servers, memoized per url so a
         # partition of N refs costs ONE download, not N (second-pass
         # review r10); warned once per host; total bytes capped with
@@ -720,7 +739,13 @@ class _RangeClient:
         if url.startswith(("http://", "https://")):
             return self._http(url, offset, length)
         scheme = url.split("://", 1)[0] if "://" in url else ""
-        if scheme in ("s3", "s3a", "gs", "gcs", "az", "abfs", "abfss"):
+        if scheme in ("s3", "s3a"):
+            # the shape real-world reference JSONs overwhelmingly carry
+            # (the reference reads them via s3fs, transform.py:254):
+            # ranged GETs through the import-gated public AWS SDK, one
+            # client per partition (botocore pools the connections)
+            return self._s3_fetch(url, offset, length)
+        if scheme in ("gs", "gcs", "az", "abfs", "abfss"):
             raise KerchunkError(
                 f"ref target {url!r} uses object-store scheme "
                 f"{scheme!r}, which this decoder does not fetch "
@@ -734,6 +759,41 @@ class _RangeClient:
             fh = self._files[url] = open(url, "rb")
         fh.seek(int(offset) if offset is not None else 0)
         return fh.read() if length is None else fh.read(int(length))
+
+    def _s3_fetch(self, url: str, offset: int | None, length: int | None) -> bytes:
+        """Ranged ``GetObject`` for ``s3://``/``s3a://`` refs through
+        boto3 (import-gated; absent SDK refuses with the workaround
+        named).  Credentials/region/endpoint resolve through the SDK's
+        standard chain (env, config, instance role) — nothing
+        proprietary is assumed."""
+        try:
+            import boto3
+            from botocore.exceptions import BotoCoreError, ClientError
+        except ImportError as exc:
+            raise KerchunkError(
+                f"ref target {url!r} needs the AWS SDK (boto3), which "
+                "this environment lacks — rewrite the refs with "
+                "presigned or public https:// URLs for the same "
+                "objects (the http branch issues the identical ranged "
+                "GETs), or install boto3"
+            ) from exc
+        if self._s3 is None:
+            self._s3 = boto3.client("s3")
+        bucket, _, key = url.split("://", 1)[1].partition("/")
+        if not bucket or not key:
+            raise KerchunkError(f"malformed S3 ref target {url!r}")
+        kwargs: dict = {}
+        if offset is not None or length is not None:
+            # length-without-offset reads the first `length` bytes,
+            # matching the local-file branch (code-review r11)
+            start = int(offset or 0)
+            end = "" if length is None else str(start + int(length) - 1)
+            kwargs["Range"] = f"bytes={start}-{end}"
+        try:
+            resp = self._s3.get_object(Bucket=bucket, Key=key, **kwargs)
+            return resp["Body"].read()
+        except (ClientError, BotoCoreError) as exc:
+            raise KerchunkError(f"S3 fetch failed for {url}: {exc}") from exc
 
     def _cache_full_body(self, url: str, body: bytes) -> None:
         if len(body) > _FULL_BODY_CACHE_CAP:
@@ -1913,20 +1973,44 @@ def kerchunkify_scan(
     message bodies), which is still one distributed pass.
 
     ``return_stats=True`` additionally returns ``[(path, bytes_read,
-    file_size), ...]`` so tests can assert the header-only property."""
+    file_size), ...]`` so tests can assert the header-only property.
+
+    Non-local directories (``hdfs://``, ``s3a://``, … — anything with
+    a non-``file`` scheme) still scan through the ``binaryFile``
+    CONTENT column exactly as before r11 (code-review r11: the ranged
+    path's local ``open()`` would have silently dropped the Hadoop-
+    filesystem capability the old scan had); they pay whole-file reads,
+    the same documented fallback HDF5/GRIB2 pay locally."""
     from gridded_etl_tools_spark.sources.files import read_binary_files
     from gridded_etl_tools_spark.sources.netcdf3 import NetCDF3Error
 
     files = read_binary_files(spark, path, glob=glob)
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    is_local = scheme in ("", "file")
 
-    def refs_for(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("refs", T.StringType(), False),
+            T.StructField("bytes_read", T.LongType(), False),
+            T.StructField("file_size", T.LongType(), False),
+        ]
+    )
+
+    def refs_local(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for row in pdf.itertuples(index=False):
             local = row.path
             if local.startswith("file:"):
                 local = local[len("file:"):]
             total = int(row.length)
-            with open(local, "rb") as fh:
+            try:
+                fh = open(local, "rb")
+            except OSError as exc:
+                raise KerchunkError(
+                    f"cannot open {row.path!r} for the ranged scan: {exc}"
+                ) from exc
+            with fh:
                 buf = fh.read(min(header_bytes, total))
                 if buf[:3] == b"CDF":
                     while True:
@@ -1942,19 +2026,31 @@ def kerchunkify_scan(
                 else:
                     buf += fh.read()
                     doc = kerchunkify_auto(buf, local, total)
-            rows.append((row.path, json.dumps(doc), len(buf)))
-        return pd.DataFrame(rows, columns=["path", "refs", "bytes_read"])
+            rows.append((row.path, json.dumps(doc), len(buf), total))
+        return pd.DataFrame(
+            rows, columns=["path", "refs", "bytes_read", "file_size"]
+        )
 
-    out = files.select("path", "length").mapInPandas(
-        lambda it: (refs_for(pdf) for pdf in it),
-        T.StructType(
-            [
-                T.StructField("path", T.StringType(), False),
-                T.StructField("refs", T.StringType(), False),
-                T.StructField("bytes_read", T.LongType(), False),
-            ]
-        ),
-    )
+    def refs_content(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in pdf.itertuples(index=False):
+            doc = kerchunkify_auto(row.content, row.path, len(row.content))
+            rows.append(
+                (row.path, json.dumps(doc), len(row.content),
+                 len(row.content))
+            )
+        return pd.DataFrame(
+            rows, columns=["path", "refs", "bytes_read", "file_size"]
+        )
+
+    if is_local:
+        out = files.select("path", "length").mapInPandas(
+            lambda it: (refs_local(pdf) for pdf in it), out_schema
+        )
+    else:
+        out = files.select("path", "content").mapInPandas(
+            lambda it: (refs_content(pdf) for pdf in it), out_schema
+        )
     from gridded_etl_tools_spark.sources.files import natural_key
 
     # natural order, not lexicographic: era_2 before era_10 (second
@@ -1962,11 +2058,10 @@ def kerchunkify_scan(
     collected = sorted(out.collect(), key=lambda r: natural_key(r.path))
     docs = [json.loads(r.refs) for r in collected]
     if return_stats:
-        sizes = {
-            r.path: int(r.length)
-            for r in files.select("path", "length").collect()
-        }
+        # lengths ride the same job's rows — a second listing job
+        # could race a live ingest directory (code-review r11)
         return docs, [
-            (r.path, int(r.bytes_read), sizes[r.path]) for r in collected
+            (r.path, int(r.bytes_read), int(r.file_size))
+            for r in collected
         ]
     return docs

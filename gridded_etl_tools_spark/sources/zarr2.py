@@ -906,6 +906,17 @@ def _compress_chunk(
     encode order: filters first (the reference's per-chunk
     XChaCha20-Poly1305), then the compressor."""
     if filters:
+        # write side encodes EXACTLY one filter chain: [xchacha].  The
+        # r11 metadata gate also admits decode-only chains (shuffle,
+        # what kerchunkified HDF5 refs carry) — writing through one
+        # would silently skip the shuffle step and corrupt on readback,
+        # so anything else refuses with the right diagnosis, not a
+        # misleading missing-key error (code-review r11)
+        if len(filters) != 1 or filters[0].get("id") != "xchacha20poly1305":
+            raise ZarrError(
+                f"filter chain {filters} is decode-only — writes "
+                "support the single xchacha20poly1305 filter or none"
+            )
         if filter_key is None:
             raise ZarrError(
                 f"writing an encrypted chunk needs the key for "
@@ -917,6 +928,11 @@ def _compress_chunk(
     if comp is None:
         return raw
     cid = comp["id"]
+    if cid == "grib2":
+        raise ZarrError(
+            "the grib2 message codec is decode-only (kerchunkified "
+            "refs) — writes target real zarr codec chains"
+        )
     if cid == "zlib":
         import zlib as _zlib
 

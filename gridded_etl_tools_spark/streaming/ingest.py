@@ -286,7 +286,11 @@ def stream_zarr_append(
     ERA5-shaped cadence feed costs one data movement per batch, not
     one per variable.  Every publish/append below runs under the
     store-root writer lease (W14), serializing against out-of-band
-    inserts on the same store.
+    inserts on the same store; the stream leases as
+    ``owner=checkpoint_dir``, so a lease its own crashed predecessor
+    left held is reclaimed on restart (Structured Streaming guarantees
+    one live instance per checkpoint) while any other writer's lease
+    still refuses.
 
     Batch contract: micro-batches arrive in ``dims[0]`` order with
     disjoint, strictly-increasing axis values (the cadence shape — a
@@ -397,6 +401,7 @@ def stream_zarr_append(
             write_zarr_distributed(
                 feed, root, data_var, dims=dims, value_col=value_col,
                 chunks=chunks, zarr_format=zarr_format,
+                lease_owner=checkpoint_dir,
             )
         else:
             axis = dims[0]
@@ -425,8 +430,15 @@ def stream_zarr_append(
                             "that skipped an era must be backfilled, "
                             "not silently appended with a hole"
                         )
+                # lease_owner = the checkpoint dir: Structured
+                # Streaming guarantees one live instance per
+                # checkpoint, so a lease our crashed predecessor left
+                # held is reclaimed on restart instead of wedging the
+                # replay loop forever (code-review r11); a DIFFERENT
+                # writer's lease still refuses loudly
                 append_zarr_distributed(
-                    feed, root, data_var, value_col=value_col
+                    feed, root, data_var, value_col=value_col,
+                    lease_owner=checkpoint_dir,
                 )
         tmp = guard_path + ".tmp"
         with open(tmp, "w") as f:

@@ -1317,3 +1317,136 @@ def test_stream_zarr_append_multivar(spark, tmp_path):
         want = {(r.t, r.x): r.value
                 for r in zarr2.decode_zarr_long(spark, oneshot, var).collect()}
         assert got == want and len(got) == 24
+
+
+def test_insert_append_untrusted_inputs_fuzz_taxonomy(spark, tmp_path):
+    """r11 (brief item 6): arbitrary update frames — NaN/infinite
+    coordinates, non-finite values, out-of-grid coords, duplicate
+    cells — against the native sink's insert/append either succeed or
+    raise the sink's own taxonomy (ZarrError / ConcurrentWriteError),
+    never a raw numpy/struct error crossing the Py4J boundary as an
+    opaque executor failure."""
+    import os as _os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks import zarr_sink
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    root = str(tmp_path / "fuzz.zarr")
+    zarr_sink.write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(3, 4)
+    )
+    fuzz_x = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+    coord = st.one_of(
+        st.sampled_from([0.0, 1.0, 2.0, 10.0, 10.5, 11.0, 11.5]),
+        st.floats(allow_nan=True, allow_infinity=True),
+    )
+    val = st.floats(allow_nan=True, allow_infinity=True)
+    frames = st.lists(st.tuples(coord, coord, val), min_size=1, max_size=6)
+
+    @settings(
+        max_examples=6 * fuzz_x,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+        ],
+    )
+    @given(rows=frames, op=st.sampled_from(["insert", "append"]))
+    def run(rows, op):
+        df = spark.createDataFrame(
+            [Row(time=t, x=x, value=v) for t, x, v in rows]
+        )
+        fn = (
+            zarr_sink.insert_zarr_distributed
+            if op == "insert"
+            else zarr_sink.append_zarr_distributed
+        )
+        try:
+            fn(df, root, "v")
+        except (zarr2.ZarrError, ConcurrentWriteError):
+            pass  # the sink's own refusals: the contract
+        except Exception as exc:
+            # an executor-side raise surfaces as PythonException — the
+            # taxonomy holds iff the sink's own error class crossed
+            msg = str(exc)
+            assert "ZarrError" in msg, (
+                f"raw error leaked from {op}: {msg[:400]}"
+            )
+
+    run()
+
+
+def test_stream_recovers_own_crashed_lease_refuses_foreign(spark, tmp_path):
+    """code-review r11: a kill -9 mid-batch leaves the writer lease
+    held; on restart the stream (owner = checkpoint dir) reclaims its
+    OWN crashed lease instead of wedging forever — while a DIFFERENT
+    writer's lease still refuses loudly."""
+    import os
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import pyspark.errors
+    from pyspark.sql import types as T
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+    from gridded_etl_tools_spark.streaming.ingest import stream_zarr_append
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.DoubleType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def part(path, t_lo, t_hi, order):
+        rows = [(float(t), float(x), float(t * 10 + x))
+                for t in range(t_lo, t_hi) for x in range(4)]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _pq.write_table(
+            _pa.table({
+                "t": [r[0] for r in rows], "x": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }),
+            path,
+        )
+        ts = _time.time() + order
+        os.utime(path, (ts, ts))
+
+    src = str(tmp_path / "feed")
+    part(os.path.join(src, "p0.parquet"), 0, 2, 0)
+    part(os.path.join(src, "p1.parquet"), 2, 4, 1)
+    root = str(tmp_path / "crash.zarr")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = stream_zarr_append(
+            spark, src, schema, root, "v", dims=["t", "x"],
+            checkpoint_dir=ck, chunks=[2, 4], max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    run()  # establish the store (2 batches)
+    # simulate the crashed predecessor: OUR owner id, lease left held
+    crashed = ZarrWriterLease(root, owner=ck)
+    crashed.acquire()
+    part(os.path.join(src, "p2.parquet"), 4, 6, 2)
+    run()  # restart reclaims its own lease and appends batch 3
+    out = zarr2.decode_zarr_long(spark, root, "v")
+    assert out.count() == 6 * 4
+    assert not ZarrWriterLease(root).update_in_progress()
+    # a FOREIGN writer's lease still refuses the stream loudly
+    foreign = ZarrWriterLease(root, owner="someone-else")
+    fstate = foreign.acquire()
+    part(os.path.join(src, "p3.parquet"), 6, 8, 3)
+    try:
+        with pytest.raises(
+            pyspark.errors.StreamingQueryException, match="in progress"
+        ):
+            run()
+    finally:
+        foreign.release(fstate)
