@@ -118,6 +118,10 @@ HEADLINE = [
     "kerchunkified_netcdf_decode",      # raw files -> refs -> MZZ -> decode
     "zarr_multivar_publish_readback",  # 2 vars, ONE chunk-key shuffle
     "zarr_insert_readback",       # region-INSERT repair on a live store
+    # round-11 additions:
+    "kerchunkified_hdf5_decode",  # HDF5 B-tree refs -> MZZ -> decode
+    "kerchunkified_grib_decode",  # GRIB2 message-codec refs -> decode
+    "streaming_zarr_multivar_readback",  # 2-var cadence feed, leased sink
 ]
 
 

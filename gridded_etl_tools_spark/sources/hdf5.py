@@ -115,16 +115,32 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
 # --- low-level readers --------------------------------------------------------
 
 
-def _rebase(buf: bytes) -> bytes:
-    """Slice off a userblock, if any: the signature may sit at any
-    power-of-two offset ≥ 512 (spec II.A), and every file address is
-    relative to that base — so the tail slice IS the addressable file."""
+def _signature_offset(buf: bytes) -> int | None:
+    """Byte offset of the HDF5 signature — 0, or a power-of-two
+    userblock offset ≥ 512 (spec II.A); ``None`` when absent.  The ONE
+    signature walk, shared by :func:`_rebase` and the format dispatch
+    (:func:`looks_like_hdf5`) so the two can never disagree on what
+    counts as HDF5 (second review pass r11)."""
     if buf[:8] == _MAGIC:
-        return buf
+        return 0
     off = 512
-    while off + 8 <= len(buf) and buf[off : off + 8] != _MAGIC:
+    while off + 8 <= len(buf):
+        if buf[off : off + 8] == _MAGIC:
+            return off
         off *= 2
-    if off + 8 > len(buf):
+    return None
+
+
+def looks_like_hdf5(buf: bytes) -> bool:
+    return _signature_offset(buf) is not None
+
+
+def _rebase(buf: bytes) -> bytes:
+    """Slice off a userblock, if any: every file address is relative to
+    the signature's offset — so the tail slice IS the addressable
+    file."""
+    off = _signature_offset(buf)
+    if off is None:
         raise HDF5Error("not an HDF5 file (no signature found)")
     return buf[off:]
 

@@ -181,6 +181,13 @@ def _check_divisor(node: ast.BinOp, expr: str) -> None:
             "the driver evaluator raises but the JVM transpile "
             "silently NULLs the generated key"
         )
+    if isinstance(val, bool) or not isinstance(val, int):
+        # a str/complex/float constant divisor must refuse HERE (the
+        # BinOp is walked before its Constant child) — comparing it to
+        # 0 below raised a raw TypeError (second review pass r11)
+        raise KerchunkError(
+            f"gen expression {expr!r}: non-integer constant"
+        )
     if val == 0:
         raise KerchunkError(f"gen expression {expr!r}: division by zero")
     if val < 0 and isinstance(node.op, ast.Mod):
@@ -419,12 +426,20 @@ def _transpile_gen_expr(expr: str, dimcols: dict) -> "object":
     to a JVM-side Spark Column instead of a Python int — the 100 TB
     path: a gen section describing a billion chunks becomes
     ``spark.range(n)`` plus whole-stage-codegen arithmetic, with no
-    driver-side dict.  Python semantics are preserved exactly:
-    ``//`` -> floor(a/b) (== Python floor-division for all operand
-    signs) and ``%`` -> pmod (== Python's floored ``%`` for any
-    dividend sign given a positive modulus; negative constant moduli
-    refuse in :func:`_check_divisor`, property-tested in
-    ``test_gen_transpiler_agrees_with_python_eval``)."""
+    driver-side dict.  Python semantics are preserved for all
+    arithmetic whose operands and results stay below 2**53 in
+    magnitude (any realistic key/offset template — a 9 PB single-file
+    byte offset is still inside the bound): ``//`` -> floor(a/b) (==
+    Python floor-division for all operand signs while |dividend| <
+    2**53, where the one double rounding provably cannot cross the
+    floor boundary) and ``%`` -> pmod (== Python's floored ``%`` for
+    any dividend sign given a positive modulus; divisors are integer
+    constants by grammar, negative moduli refuse in
+    :func:`_check_divisor`).  Property-tested against the driver
+    evaluator including ±2**50-scale operands in
+    ``test_gen_transpiler_agrees_with_python_eval``; past 2**53 BOTH
+    engines leave spec (double rounding here, int64 overflow there) —
+    a documented bound, not a silent divergence class."""
     from pyspark.sql import functions as SF
 
     try:
@@ -736,6 +751,11 @@ class _RangeClient:
         """``offset=None`` reads the whole object; ``length=None`` with
         an offset reads from offset to EOF (the ``[url, offset]``
         two-element ref shape)."""
+        if length is not None and int(length) == 0:
+            # a zero-length ref is empty bytes on EVERY branch — the
+            # ranged backends would otherwise send an invalid
+            # 'bytes=N-(N-1)' header (second review pass r11)
+            return b""
         if url.startswith(("http://", "https://")):
             return self._http(url, offset, length)
         scheme = url.split("://", 1)[0] if "://" in url else ""
@@ -1602,7 +1622,12 @@ def kerchunkify_hdf5(buf: bytes, url: str) -> dict:
     no chunk refs (reads as fill, zarr's own missing-chunk rule)."""
     from gridded_etl_tools_spark.sources import hdf5 as h5
 
-    base, _root_attrs, dsets, addr_to_name = h5.scan_hdf5(buf)
+    try:
+        base, _root_attrs, dsets, addr_to_name = h5.scan_hdf5(buf)
+    except h5.HDF5Error as exc:
+        # ONE taxonomy on the refs-production surface (second review
+        # pass r11): malformed containers refuse as KerchunkError
+        raise KerchunkError(f"cannot kerchunkify {url!r}: {exc}") from exc
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
     scales = {
         d.name: d.shape[0]
@@ -1623,10 +1648,21 @@ def kerchunkify_hdf5(buf: bytes, url: str) -> dict:
         elif len(d.shape) == 1 and d.name in scales:
             dimnames = [d.name]
         else:  # unique shape-match fallback (kerchunk-style heuristic)
-            dimnames = [
-                next((n for n, sz in scales.items() if sz == s), "")
-                for s in d.shape
-            ]
+            dimnames = []
+            for s in d.shape:
+                matches = [n for n, sz in scales.items() if sz == s]
+                if len(matches) > 1:
+                    # two scales share this size: a first-match pick
+                    # would silently mislabel an axis and collapse two
+                    # dims onto one coordinate array at decode (second
+                    # review pass r11) — refuse, naming the fix
+                    raise KerchunkError(
+                        f"{d.name}: dimension-scale shape match for "
+                        f"size {s} is ambiguous ({matches}) — attach "
+                        "DIMENSION_LIST references (netcdf-c does) or "
+                        "rename the scales"
+                    )
+                dimnames.append(matches[0] if matches else "")
         zfilters: list[dict] = []
         comp = None
         for i, (fid, client) in enumerate(d.filters):
@@ -1711,7 +1747,10 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
 
     from gridded_etl_tools_spark.sources import grib2 as g2
 
-    fields = g2.scan_grib2(buf)
+    try:
+        fields = g2.scan_grib2(buf)
+    except g2.GRIB2Error as exc:
+        raise KerchunkError(f"cannot kerchunkify {url!r}: {exc}") from exc
     groups: dict[tuple, list[dict]] = {}
     for f in fields:
         if f["flat_grid"] or getattr(f["lats"], "ndim", 1) == 2:
@@ -1788,6 +1827,9 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
             refs[f"{name}/{ti}.0.0"] = [
                 url, int(f["msg_offset"]), int(f["msg_length"])
             ]
+    if shared is None:  # unreachable (scan_grib2 refuses field-less
+        # buffers) — belt against a future scan change (review r11)
+        raise KerchunkError(f"no GRIB2 fields to kerchunkify in {url!r}")
     times, lats, lons = shared
     for axis, vals, chunk in (
         ("time", np.asarray(times, dtype="<f8"), 1),
@@ -1824,27 +1866,15 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
     return refs
 
 
-_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
-
-
-def _looks_hdf5(buf: bytes) -> bool:
-    if buf[:8] == _HDF5_MAGIC:
-        return True
-    off = 512  # userblocked files: signature at a power-of-two ≥ 512
-    while off + 8 <= len(buf):
-        if buf[off : off + 8] == _HDF5_MAGIC:
-            return True
-        off *= 2
-    return False
-
-
 def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict:
     """Magic-byte dispatch across the refs-production branches — the
     per-format branching the reference's ``kerchunkify`` does
     (``utils/transform.py:119-279``)."""
+    from gridded_etl_tools_spark.sources.hdf5 import looks_like_hdf5
+
     if buf[:3] == b"CDF":
         return kerchunkify_netcdf3(buf, url, file_size)
-    if _looks_hdf5(buf):
+    if looks_like_hdf5(buf):
         return kerchunkify_hdf5(buf, url)
     if buf[:4] == b"GRIB":
         if len(buf) > 7 and buf[7] == 2:
@@ -2020,9 +2050,17 @@ def kerchunkify_scan(
                         except (NetCDF3Error, KerchunkError):
                             if len(buf) >= total:
                                 raise  # authoritative: the whole file
-                            buf += fh.read(
+                            more = fh.read(
                                 min(len(buf) * 3, total - len(buf))
                             )
+                            if not more:
+                                # on-disk file shorter than the stale
+                                # listing (live-directory race): the
+                                # parse error IS the answer — second
+                                # review pass r11 found the empty read
+                                # spinning this loop forever
+                                raise
+                            buf += more
                 else:
                     buf += fh.read()
                     doc = kerchunkify_auto(buf, local, total)

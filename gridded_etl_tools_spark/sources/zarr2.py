@@ -626,6 +626,13 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
             # point at, transform.py:226-279) and the codec config
             # names the field index within it — decode through the
             # repo's own message parser, bitmap holes arriving as NaN
+            if meta.filters:
+                # the early return below would silently skip a declared
+                # filter chain (second review pass r11) — refuse
+                raise ZarrError(
+                    f"{meta.name}: the grib2 message codec composes "
+                    f"with no filters (declared: {meta.filters})"
+                )
             return _decode_grib2_message_chunk(raw, meta)
         if cid == "blosc":
             from gridded_etl_tools_spark.sources.blosc import decompress_frame

@@ -399,6 +399,19 @@ def test_gen_transpiler_agrees_with_python_eval(spark):
         return f"({left} {op} {right})"
 
     exprs = [expr(rng.randint(1, 4)) for _ in range(200)]
+    # large-operand batch (second review pass r11): the documented
+    # agreement bound is |values| < 2**53; exercise ±2**50-scale
+    # dividends against the whole divisor range, where a sloppy
+    # double division WOULD cross floor boundaries
+    big = rng.randint(2**49, 2**50)
+    env["B"] = big
+    env["nB"] = -big
+    for name in ("B", "nB"):
+        for b in list(range(1, 10)) + [-7, -3, 86400, 10**6]:
+            exprs.append(f"({name} // {b})")
+        for b in range(1, 10):
+            exprs.append(f"({name} % {b})")
+        exprs.append(f"(({name} + 12345) // 1000)")
     want = [kerchunk._gen_eval(e, dict(env)) for e in exprs]
     dimcols = {k: F.lit(v) for k, v in env.items()}
     cols = [
@@ -1626,11 +1639,22 @@ def test_kerchunkify_scan_is_header_only_for_netcdf3(spark, tmp_path):
 
 
 def test_kerchunkify_auto_dispatch_refusals(tmp_path):
-    """Magic-byte dispatch: unknown formats and GRIB edition 1 refuse
-    loudly with the workaround named."""
+    """Magic-byte dispatch: unknown formats, GRIB edition 1, and
+    malformed containers all refuse as KerchunkError (one taxonomy on
+    the refs-production surface — second review pass r11)."""
     with pytest.raises(kerchunk.KerchunkError, match="unrecognized raw"):
         kerchunk.kerchunkify_auto(b"\x00\x01\x02\x03garbage", "x.bin")
     with pytest.raises(kerchunk.KerchunkError, match="edition 1"):
         kerchunk.kerchunkify_auto(
             b"GRIB\x00\x00\x00\x01" + b"\x00" * 16, "x.grib"
+        )
+    # truncated GRIB2 / HDF5 containers: the format parsers' own
+    # errors wrap into KerchunkError, never escape raw
+    with pytest.raises(kerchunk.KerchunkError, match="cannot kerchunkify"):
+        kerchunk.kerchunkify_auto(
+            b"GRIB\x00\x00\x02\x02" + b"\x00" * 16, "x.grib2"
+        )
+    with pytest.raises(kerchunk.KerchunkError, match="cannot kerchunkify"):
+        kerchunk.kerchunkify_auto(
+            b"\x89HDF\r\n\x1a\n" + b"\x00" * 8, "x.h5"
         )
