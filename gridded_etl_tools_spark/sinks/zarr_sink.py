@@ -119,6 +119,14 @@ class ZarrWriterLease:
                     "inspect and force_unlock() after confirming no "
                     "writer is alive"
                 ) from exc
+            if not isinstance(doc, dict):
+                # parseable-but-wrong-shape JSON (third review pass
+                # r11: '[1]' crashed with AttributeError below)
+                raise ConcurrentWriteError(
+                    f"unparseable writer lease at {self._path} — "
+                    "inspect and force_unlock() after confirming no "
+                    "writer is alive"
+                )
             if doc.get("update_in_progress"):
                 own = (
                     self.owner is not None
@@ -127,7 +135,7 @@ class ZarrWriterLease:
                 if own:
                     pass  # our crashed predecessor: reclaim (fresh
                     # token below fences it if somehow still alive)
-                elif "locked_at" not in doc:
+                elif not isinstance(doc.get("locked_at"), (int, float)):
                     raise ConcurrentWriteError(
                         f"zarr update already in progress on {self.root} "
                         "(lease age unknown; use force_unlock() after "
@@ -704,6 +712,14 @@ def insert_zarr_distributed(
     writes carry the whole xr.Dataset): one shuffle, each group
     read-modify-writes every variable's chunk from the same pass.
     Returns {n_chunks, n_cells, shape}."""
+    if not os.path.isdir(root):
+        # refuse BEFORE leasing: acquiring first left lease debris (a
+        # fake store root) behind every mistyped path (third review
+        # pass r11)
+        raise zarr2.ZarrError(
+            f"no zarr store at {root!r} — insert mutates an existing "
+            "store (publish with write_zarr_distributed first)"
+        )
     lease = ZarrWriterLease(
         root, lease_fs, stale_lease_seconds, owner=lease_owner
     )
@@ -929,6 +945,12 @@ def append_zarr_distributed(
     metadata-last commit, leaving its orphan chunks invisible (the
     axis/shape never extended).
     Returns {n_chunks, n_cells, shape}."""
+    if not os.path.isdir(root):
+        # refuse BEFORE leasing (third review pass r11: lease debris)
+        raise zarr2.ZarrError(
+            f"no zarr store at {root!r} — append extends an existing "
+            "store (publish with write_zarr_distributed first)"
+        )
     lease = ZarrWriterLease(
         root, lease_fs, stale_lease_seconds, owner=lease_owner
     )

@@ -117,6 +117,25 @@ def parse_grib2(buf: bytes) -> list[Grib2Field]:
         raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
 
 
+def parse_grib2_field(buf: bytes, field: int) -> Grib2Field:
+    """Decode ONE field by its in-message index, skipping every other
+    data section's unpacking — the grib2 message codec's entry point
+    (third review pass r11: decoding a V-field message's V variables
+    through :func:`parse_grib2` was O(V^2) data-section work).  Indexes
+    are per message; the codec hands this a single-message buffer."""
+    try:
+        out = _parse_grib2_inner(buf, only_field=field)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, GRIB2Error):
+            raise
+        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+    if not out:
+        raise GRIB2Error(
+            f"message has no field with in-message index {field}"
+        )
+    return out[0]
+
+
 def scan_grib2(buf: bytes) -> list[dict]:
     """Field DESCRIPTORS without decoding any data section — the
     refs-production scan (reference ``scan_grib``+``scan_indices``,
@@ -133,7 +152,9 @@ def scan_grib2(buf: bytes) -> list[dict]:
         raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
 
 
-def _parse_grib2_inner(buf: bytes, decode: bool = True) -> list:
+def _parse_grib2_inner(
+    buf: bytes, decode: bool = True, only_field: int | None = None
+) -> list:
     out: list = []
     pos = 0
     while pos < len(buf):
@@ -293,12 +314,13 @@ def _parse_grib2_inner(buf: bytes, decode: bool = True) -> list:
                 if None in (ref_time, product, packing) or lats is None:
                     raise GRIB2Error("data section before required sections")
                 if decode:
-                    out.append(
-                        _decode_field(
-                            discipline, ref_time, lats, lons, product,
-                            packing, bitmap, body, flat_grid=flat_grid,
+                    if only_field is None or msg_field == only_field:
+                        out.append(
+                            _decode_field(
+                                discipline, ref_time, lats, lons, product,
+                                packing, bitmap, body, flat_grid=flat_grid,
+                            )
                         )
-                    )
                 else:
                     out.append(
                         {
@@ -324,7 +346,9 @@ def _parse_grib2_inner(buf: bytes, decode: bool = True) -> list:
                 raise GRIB2Error(f"unknown section number {sec_no}")
             p += sec_len
         pos = end
-    if not out:
+    if not out and only_field is None:
+        # with only_field set, an empty result means "index out of
+        # range" — parse_grib2_field raises the clearer message
         raise GRIB2Error("no GRIB2 fields found")
     return out
 

@@ -306,6 +306,30 @@ def _compile_gen_template(
     return render
 
 
+def _single_int_template(template: str, what: str) -> tuple[str, object]:
+    """Validate an offset/length template for BOTH engines (third
+    review pass r11): it must be a single ``{{...}}`` integer
+    expression or a bare integer literal.  Anything else — mixed text,
+    multiple holes — used to render driver-side ('0x8' → loud
+    KerchunkError at int()) while the JVM path rendered the string and
+    ``cast('long')`` silently NULLed it, making the scale path fetch
+    from offset 0: silently wrong cells.  One shared shape check makes
+    the divergence impossible.  Returns ``("expr", inner)`` or
+    ``("const", value)``."""
+    t = template.strip()
+    m = _GEN_EXPR_RE.fullmatch(t)
+    if m:
+        return "expr", m.group(1).strip()
+    try:
+        return "const", int(t)
+    except ValueError:
+        raise KerchunkError(
+            f"gen {what} template {template!r} is not a single integer "
+            "expression or literal — mixed text renders non-integer "
+            f"{what}s driver-side and NULL through the JVM cast"
+        ) from None
+
+
 def _gen_dimension_values(spec: object) -> Sequence[int]:
     """One ``dimensions`` entry: a list of values, or a
     ``{"start", "stop", "step"}`` range (start/step optional, as in
@@ -396,26 +420,24 @@ def _expand_gen(
             str(entry["url"]), dim_names, templates
         )
         if has_offset:
-            render_off = _compile_gen_template(
-                str(entry["offset"]), dim_names, templates
-            )
-            render_len = _compile_gen_template(
-                str(entry["length"]), dim_names, templates
-            )
+            # single-int-template shape shared with the JVM path —
+            # the one place the two engines could silently diverge
+            # (third review pass r11)
+            off_kind = _single_int_template(str(entry["offset"]), "offset")
+            len_kind = _single_int_template(str(entry["length"]), "length")
+
+            def _int_val(kind, env, _dn=dim_names):
+                tag, v = kind
+                if tag == "const":
+                    return v
+                return int(_gen_eval(v, dict(env)))
+
         for point in itertools.product(*axes) if names else [()]:
             env = dict(zip(names, (int(p) for p in point)))
             key = render_key(env)
             url = render_url(env)
             if has_offset:
-                off = render_off(env)
-                ln = render_len(env)
-                try:
-                    out[key] = [url, int(off), int(ln)]
-                except ValueError as exc:
-                    raise KerchunkError(
-                        f"gen entry offset/length rendered non-integer: "
-                        f"{off!r}/{ln!r}"
-                    ) from exc
+                out[key] = [url, _int_val(off_kind, env), _int_val(len_kind, env)]
             else:
                 out[key] = [url]
     return out
@@ -602,12 +624,19 @@ def gen_manifest_distributed(
                 "gen entry must carry both offset and length or neither"
             )
         if has_offset:
-            off_col = _transpile_gen_template(
-                str(entry["offset"]), dimcols, templates
-            ).cast("long")
-            len_col = _transpile_gen_template(
-                str(entry["length"]), dimcols, templates
-            ).cast("long")
+            # SAME single-int-template shape check as the driver path
+            # (third review pass r11): the old string-render +
+            # cast('long') silently NULLed anything non-integer, making
+            # the manifest fetch from offset 0 — silently wrong cells
+            # where the driver evaluator refused loudly
+            def _int_col(template, what):
+                tag, v = _single_int_template(str(template), what)
+                if tag == "const":
+                    return SF.lit(int(v)).cast("long")
+                return _transpile_gen_expr(v, dimcols).cast("long")
+
+            off_col = _int_col(entry["offset"], "offset")
+            len_col = _int_col(entry["length"], "length")
         else:
             off_col = SF.lit(None).cast("long")
             len_col = SF.lit(None).cast("long")
@@ -832,11 +861,10 @@ class _RangeClient:
         import urllib.parse
 
         def _slice(body: bytes) -> bytes:
-            if offset is None:
-                return body
+            start = int(offset or 0)
             if length is None:
-                return body[int(offset):]
-            return body[int(offset):int(offset) + int(length)]
+                return body[start:] if start else body
+            return body[start:start + int(length)]
 
         cached = self._full_bodies.get(url)
         if cached is not None:
@@ -847,9 +875,13 @@ class _RangeClient:
         if u.query:
             path += "?" + u.query
         headers = {}
-        if offset is not None:
-            end = "" if length is None else str(int(offset) + int(length) - 1)
-            headers["Range"] = f"bytes={int(offset)}-{end}"
+        if offset is not None or length is not None:
+            # length-without-offset ranges the first `length` bytes,
+            # matching the local and S3 branches (third review pass
+            # r11: this branch used to download the whole object)
+            start = int(offset or 0)
+            end = "" if length is None else str(start + int(length) - 1)
+            headers["Range"] = f"bytes={start}-{end}"
         last_exc: Exception | None = None
         for attempt in (0, 1):
             conn = self._conns.get(key)
@@ -873,7 +905,9 @@ class _RangeClient:
                 conn.close()
                 self._conns.pop(key, None)
                 continue
-            if status == 206 or (status == 200 and offset is None):
+            if status == 206 or (
+                status == 200 and offset is None and length is None
+            ):
                 return body
             if status == 200:
                 # server ignored Range: memoize the full body so this
@@ -1871,9 +1905,17 @@ def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict
     per-format branching the reference's ``kerchunkify`` does
     (``utils/transform.py:119-279``)."""
     from gridded_etl_tools_spark.sources.hdf5 import looks_like_hdf5
+    from gridded_etl_tools_spark.sources.netcdf3 import NetCDF3Error
 
     if buf[:3] == b"CDF":
-        return kerchunkify_netcdf3(buf, url, file_size)
+        try:
+            return kerchunkify_netcdf3(buf, url, file_size)
+        except NetCDF3Error as exc:
+            # same taxonomy as the HDF5/GRIB2 branches (third review
+            # pass r11: this one leaked the format error raw)
+            raise KerchunkError(
+                f"cannot kerchunkify {url!r}: {exc}"
+            ) from exc
     if looks_like_hdf5(buf):
         return kerchunkify_hdf5(buf, url)
     if buf[:4] == b"GRIB":

@@ -708,17 +708,14 @@ def _decode_grib2_message_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
 
     k = int(meta.compressor.get("field", 0))
     try:
-        fields = _g2.parse_grib2(raw)
+        # decode ONLY field k — a V-field message's V variables would
+        # otherwise each unpack all V data sections (review r11)
+        field = _g2.parse_grib2_field(raw, k)
     except _g2.GRIB2Error as exc:
         raise ZarrError(
             f"{meta.name}: corrupt GRIB2 message chunk: {exc}"
         ) from exc
-    if k >= len(fields):
-        raise ZarrError(
-            f"{meta.name}: grib2 codec field index {k} out of range "
-            f"(message has {len(fields)} fields)"
-        )
-    vals = np.asarray(fields[k].values, dtype=meta.dtype)
+    vals = np.asarray(field.values, dtype=meta.dtype)
     n = int(np.prod(meta.chunks))
     if vals.size != n:
         raise ZarrError(

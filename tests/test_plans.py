@@ -472,6 +472,17 @@ SHUFFLE_BUDGET = {
     # the write job); the measured plan joins the two decodes on the
     # dim key — one hash exchange per side
     "zarr_multivar_publish_readback": (2, 0),
+    # r11: HDF5/GRIB2 refs production — the kerchunkify fan-out is its
+    # own map-only job (binaryFile path/length scan), the measured
+    # decode plan is the same map-only manifest scan as every other
+    # kerchunk front door
+    "kerchunkified_hdf5_decode": (0, 0),
+    "kerchunkified_grib_decode": (0, 0),
+    # r11: multi-var STREAMING ingest (fixture stream runs once, each
+    # micro-batch ONE shuffle in the write job); the measured plan
+    # joins the two variable decodes on the dim key, like the one-shot
+    # multivar readback
+    "streaming_zarr_multivar_readback": (2, 0),
 }
 
 
