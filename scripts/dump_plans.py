@@ -83,6 +83,9 @@ SHOWCASE = [
      "aggs cover the term UNION, per-query fan-out is a broadcast "
      "(query_id, term) join; fusion windows PARTITION BY query_id on "
      "<=40-row frames"),
+    ("kerchunkified_hdf5_decode", "HDF5 refs production end-to-end: the "
+     "decode plan is a map-only manifest scan (no Exchange) — the "
+     "kerchunkify fan-out and concat merge never enter the data plane"),
     ("ivfpq_index_query_readback", "IVF+PQ: the cells scan carries "
      "PartitionFilters on centroid_id AND reads only m-byte code arrays "
      "(62.5x fewer bytes than raw vectors); probe ADC tables broadcast, "
