@@ -111,8 +111,14 @@ class GribMessage:
     values: np.ndarray  # (Nj, Ni), NaN where the bitmap masked a cell
 
 
-def _parse_message(buf: bytes, start: int) -> tuple[GribMessage, int]:
-    """Parse one GRIB1 message at ``start``; return (message, next_start)."""
+def _parse_message(
+    buf: bytes, start: int, decode: bool = True
+) -> tuple[object, int]:
+    """Parse one GRIB1 message at ``start``; return (message, next_start).
+    ``decode=False`` stops after the GDS and returns a field DESCRIPTOR
+    dict (message byte span + identity + grid) without touching the
+    BMS/BDS — the refs-production scan (r11, mirroring grib2's
+    ``scan_grib2``)."""
     if buf[start : start + 4] != b"GRIB":
         raise GRIB1Error(f"no GRIB magic at offset {start}")
     total_len = _u24(buf[start + 4 : start + 7])
@@ -155,6 +161,22 @@ def _parse_message(buf: bytes, start: int) -> tuple[GribMessage, int]:
     lons = np.linspace(lo1, lo2, ni)
     lats = np.linspace(la1, la2, nj)  # north → south per scan mode 0
     pos += len(gds)
+
+    if not decode:
+        return (
+            {
+                "msg_offset": start,
+                "msg_length": total_len,
+                "parameter": parameter,
+                "level_type": level_type,
+                "level": level,
+                "reference_time": ref_time,
+                "valid_time": valid_time,
+                "lats": lats,
+                "lons": lons,
+            },
+            end,
+        )
 
     # --- BMS (optional bitmap: 1 = value present) ---
     bitmap = None
@@ -215,8 +237,8 @@ def parse_grib1(buf: bytes) -> list[GribMessage]:
         raise GRIB1Error(f"truncated or corrupt GRIB1 structure: {e}") from e
 
 
-def _parse_grib1_inner(buf: bytes) -> list[GribMessage]:
-    out: list[GribMessage] = []
+def _parse_grib1_inner(buf: bytes, decode: bool = True) -> list:
+    out: list = []
     pos = 0
     while pos < len(buf):
         if buf[pos : pos + 4] != b"GRIB":  # tolerate inter-message padding
@@ -224,11 +246,25 @@ def _parse_grib1_inner(buf: bytes) -> list[GribMessage]:
             if nxt < 0:
                 break
             pos = nxt
-        msg, pos = _parse_message(buf, pos)
+        msg, pos = _parse_message(buf, pos, decode)
         out.append(msg)
     if not out:
         raise GRIB1Error("no GRIB messages found")
     return out
+
+
+def scan_grib1(buf: bytes) -> list[dict]:
+    """Message DESCRIPTORS without decoding any data section — the
+    refs-production scan (r11): per message, its byte span, the PDS
+    identity (parameter/level), times, and the grid axes.  GRIB1
+    messages carry exactly one field each, so there is no in-message
+    field index."""
+    try:
+        return _parse_grib1_inner(buf, decode=False)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, GRIB1Error):
+            raise
+        raise GRIB1Error(f"truncated or corrupt GRIB1 structure: {e}") from e
 
 
 def select_messages(

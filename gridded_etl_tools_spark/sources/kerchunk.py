@@ -1777,8 +1777,6 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
     ensemble members (one member per file), grids or in-message field
     indices that vary across a variable's messages, variables that
     disagree on the grid or time axis, and duplicate valid times."""
-    import datetime as _dt
-
     from gridded_etl_tools_spark.sources import grib2 as g2
 
     try:
@@ -1803,13 +1801,62 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
             f["level_type"], f["level_value"],
         )
         groups.setdefault(key, []).append(f)
+    return _grib_refs_from_groups(
+        url,
+        groups,
+        namer=lambda k: f"d{k[0]}_c{k[1]}_n{k[2]}_l{k[3]}_{k[4]}",
+        codec=lambda fidx: {"id": "grib2", "field": int(fidx)},
+    )
+
+
+def kerchunkify_grib1(buf: bytes, url: str) -> dict:
+    """Byte-range refs for ONE GRIB1 file (r11): the edition-1 twin of
+    :func:`kerchunkify_grib2` — :func:`grib1.scan_grib1` walks only the
+    PDS/GDS headers (the BDS is never unpacked), each message becomes
+    one chunk ref decoded by the ``grib1`` message codec (``{"id":
+    "grib1"}``; edition-1 messages carry exactly one field, so there is
+    no in-message index).  Variables group by (parameter, level_type,
+    level); axes/refusals are shared with edition 2 via
+    :func:`_grib_refs_from_groups`."""
+    from gridded_etl_tools_spark.sources import grib1 as g1
+
+    try:
+        fields = g1.scan_grib1(buf)
+    except g1.GRIB1Error as exc:
+        raise KerchunkError(f"cannot kerchunkify {url!r}: {exc}") from exc
+    groups: dict[tuple, list[dict]] = {}
+    for f in fields:
+        key = (f["parameter"], f["level_type"], f["level"])
+        groups.setdefault(key, []).append(f)
+    return _grib_refs_from_groups(
+        url,
+        groups,
+        namer=lambda k: f"p{k[0]}_lt{k[1]}_{k[2]}",
+        codec=lambda _fidx: {"id": "grib1"},
+    )
+
+
+def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
+    """Shared GRIB refs assembly for both editions: ``groups`` maps a
+    variable key to its field descriptors (each carrying valid_time /
+    lats / lons / msg_offset / msg_length, plus the in-message
+    ``field`` index for edition 2); ``namer(key)`` builds the array
+    name and ``codec(field_index)`` the array-level compressor config.
+    The time axis is the sorted valid times as CF seconds-since-epoch,
+    inline refs chunked by 1 so MultiZarrToZarr-style concat merges
+    work; latitude/longitude axes inline whole.  Refusals: grids or
+    in-message field indices varying across a variable's messages,
+    variables disagreeing on the time axis or grid, duplicate valid
+    times."""
+    import datetime as _dt
+
     epoch = _dt.datetime(1970, 1, 1)
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
     shared: tuple | None = None  # (times, lats, lons) shared across vars
     for key in sorted(groups):
         fs = sorted(groups[key], key=lambda f: f["valid_time"])
         lats, lons = fs[0]["lats"], fs[0]["lons"]
-        fidx = fs[0]["field"]
+        fidx = fs[0].get("field", 0)
         times = []
         for f in fs:
             if not np.array_equal(f["lats"], lats) or not np.array_equal(
@@ -1818,7 +1865,7 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
                 raise KerchunkError(
                     f"grid differs across messages of variable {key}"
                 )
-            if f["field"] != fidx:
+            if f.get("field", 0) != fidx:
                 raise KerchunkError(
                     "field index within its message varies across "
                     "times — the grib2 codec config is array-level; "
@@ -1838,8 +1885,7 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
                 "variables disagree on the time axis or grid — one "
                 "congruent dataset per refs doc"
             )
-        d, c, n, lt, lv = key
-        name = f"d{d}_c{c}_n{n}_l{lt}_{lv}"
+        name = namer(key)
         nj, ni = int(lats.size), int(lons.size)
         refs[f"{name}/.zarray"] = json.dumps(
             {
@@ -1847,7 +1893,7 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
                 "shape": [len(times), nj, ni],
                 "chunks": [1, nj, ni],
                 "dtype": "<f8",
-                "compressor": {"id": "grib2", "field": int(fidx)},
+                "compressor": codec(fidx),
                 "fill_value": "NaN",
                 "order": "C",
                 "filters": None,
@@ -1861,9 +1907,9 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
             refs[f"{name}/{ti}.0.0"] = [
                 url, int(f["msg_offset"]), int(f["msg_length"])
             ]
-    if shared is None:  # unreachable (scan_grib2 refuses field-less
+    if shared is None:  # unreachable (both scans refuse field-less
         # buffers) — belt against a future scan change (review r11)
-        raise KerchunkError(f"no GRIB2 fields to kerchunkify in {url!r}")
+        raise KerchunkError(f"no GRIB fields to kerchunkify in {url!r}")
     times, lats, lons = shared
     for axis, vals, chunk in (
         ("time", np.asarray(times, dtype="<f8"), 1),
@@ -1921,10 +1967,7 @@ def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict
     if buf[:4] == b"GRIB":
         if len(buf) > 7 and buf[7] == 2:
             return kerchunkify_grib2(buf, url)
-        raise KerchunkError(
-            "GRIB edition 1 refs production unsupported — decode "
-            "directly (decode_grib1_long) or convert to edition 2"
-        )
+        return kerchunkify_grib1(buf, url)
     raise KerchunkError(
         f"unrecognized raw format for {url!r} — NetCDF3 (CDF), "
         "HDF5/NetCDF4, and GRIB2 kerchunkify here"

@@ -171,13 +171,13 @@ def _parse_zarray_inner(
                 raise ZarrError(f"{name}: encryption filter missing key_hash")
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") not in (
-        "zlib", "gzip", "blosc", "grib2"
+        "zlib", "gzip", "blosc", "grib1", "grib2"
     ):
         raise ZarrError(
             f"{name}: compressor {comp.get('id')!r} unsupported "
             "(pure-Python path handles blosc-lz4/blosc-zlib/zlib/gzip/"
-            "null, plus the grib2 message codec for kerchunkified GRIB "
-            "refs)"
+            "null, plus the grib1/grib2 message codecs for "
+            "kerchunkified GRIB refs)"
         )
     if comp is not None and comp.get("id") == "blosc":
         # the reference's DEFAULT (numcodecs.Blosc() = lz4 + byte-shuffle,
@@ -620,20 +620,21 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
         return _decode_shard(raw, meta)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
-        if cid == "grib2":
+        if cid in ("grib1", "grib2"):
             # kerchunkified-GRIB chunk: the ref addresses one WHOLE
-            # GRIB2 message (what the reference's scan_grib manifests
-            # point at, transform.py:226-279) and the codec config
-            # names the field index within it — decode through the
-            # repo's own message parser, bitmap holes arriving as NaN
+            # GRIB message (what the reference's scan_grib manifests
+            # point at, transform.py:226-279); for edition 2 the codec
+            # config names the field index within it — decode through
+            # the repo's own message parser, bitmap holes arriving as
+            # NaN
             if meta.filters:
                 # the early return below would silently skip a declared
                 # filter chain (second review pass r11) — refuse
                 raise ZarrError(
-                    f"{meta.name}: the grib2 message codec composes "
+                    f"{meta.name}: the {cid} message codec composes "
                     f"with no filters (declared: {meta.filters})"
                 )
-            return _decode_grib2_message_chunk(raw, meta)
+            return _decode_grib_message_chunk(raw, meta, cid)
         if cid == "blosc":
             from gridded_etl_tools_spark.sources.blosc import decompress_frame
 
@@ -697,29 +698,42 @@ def decode_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
     return arr.reshape(meta.chunks, order=meta.order)
 
 
-def _decode_grib2_message_chunk(raw: bytes, meta: ZArray) -> np.ndarray:
-    """One kerchunkified-GRIB chunk: ``raw`` is a whole GRIB2 message;
-    ``meta.compressor`` is ``{"id": "grib2", "field": k}`` naming which
-    field of the message this array's chunk is (messages may repeat
-    sections 4-7).  The repo's own parser does the unpacking (simple /
-    complex / spatial-differencing / PNG, bitmap → NaN), so every
-    packing the direct decode supports rides the refs path too."""
-    from gridded_etl_tools_spark.sources import grib2 as _g2
+def _decode_grib_message_chunk(
+    raw: bytes, meta: ZArray, cid: str
+) -> np.ndarray:
+    """One kerchunkified-GRIB chunk: ``raw`` is a whole GRIB message;
+    for edition 2 ``meta.compressor`` is ``{"id": "grib2", "field": k}``
+    naming which field of the message this array's chunk is (messages
+    may repeat sections 4-7); edition-1 messages carry exactly one
+    field.  The repo's own parsers do the unpacking (simple / complex /
+    spatial-differencing / PNG, bitmap → NaN), so every packing the
+    direct decode supports rides the refs path too."""
+    if cid == "grib1":
+        from gridded_etl_tools_spark.sources import grib1 as _g1
 
-    k = int(meta.compressor.get("field", 0))
-    try:
-        # decode ONLY field k — a V-field message's V variables would
-        # otherwise each unpack all V data sections (review r11)
-        field = _g2.parse_grib2_field(raw, k)
-    except _g2.GRIB2Error as exc:
-        raise ZarrError(
-            f"{meta.name}: corrupt GRIB2 message chunk: {exc}"
-        ) from exc
+        try:
+            field = _g1.parse_grib1(raw)[0]
+        except _g1.GRIB1Error as exc:
+            raise ZarrError(
+                f"{meta.name}: corrupt GRIB1 message chunk: {exc}"
+            ) from exc
+    else:
+        from gridded_etl_tools_spark.sources import grib2 as _g2
+
+        k = int(meta.compressor.get("field", 0))
+        try:
+            # decode ONLY field k — a V-field message's V variables
+            # would otherwise each unpack all V data sections (r11)
+            field = _g2.parse_grib2_field(raw, k)
+        except _g2.GRIB2Error as exc:
+            raise ZarrError(
+                f"{meta.name}: corrupt GRIB2 message chunk: {exc}"
+            ) from exc
     vals = np.asarray(field.values, dtype=meta.dtype)
     n = int(np.prod(meta.chunks))
     if vals.size != n:
         raise ZarrError(
-            f"{meta.name}: GRIB2 field decodes to {vals.size} cells, "
+            f"{meta.name}: GRIB field decodes to {vals.size} cells, "
             f"chunk declares {n}"
         )
     return vals.reshape(meta.chunks, order="C")
@@ -932,9 +946,9 @@ def _compress_chunk(
     if comp is None:
         return raw
     cid = comp["id"]
-    if cid == "grib2":
+    if cid in ("grib1", "grib2"):
         raise ZarrError(
-            "the grib2 message codec is decode-only (kerchunkified "
+            f"the {cid} message codec is decode-only (kerchunkified "
             "refs) — writes target real zarr codec chains"
         )
     if cid == "zlib":

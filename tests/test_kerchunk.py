@@ -1639,17 +1639,17 @@ def test_kerchunkify_scan_is_header_only_for_netcdf3(spark, tmp_path):
 
 
 def test_kerchunkify_auto_dispatch_refusals(tmp_path):
-    """Magic-byte dispatch: unknown formats, GRIB edition 1, and
-    malformed containers all refuse as KerchunkError (one taxonomy on
+    """Magic-byte dispatch: unknown formats and malformed containers
+    (GRIB1, GRIB2, HDF5) all refuse as KerchunkError (one taxonomy on
     the refs-production surface — second review pass r11)."""
     with pytest.raises(kerchunk.KerchunkError, match="unrecognized raw"):
         kerchunk.kerchunkify_auto(b"\x00\x01\x02\x03garbage", "x.bin")
-    with pytest.raises(kerchunk.KerchunkError, match="edition 1"):
+    # truncated GRIB1 / GRIB2 / HDF5 containers: the format parsers'
+    # own errors wrap into KerchunkError, never escape raw
+    with pytest.raises(kerchunk.KerchunkError, match="cannot kerchunkify"):
         kerchunk.kerchunkify_auto(
             b"GRIB\x00\x00\x00\x01" + b"\x00" * 16, "x.grib"
         )
-    # truncated GRIB2 / HDF5 containers: the format parsers' own
-    # errors wrap into KerchunkError, never escape raw
     with pytest.raises(kerchunk.KerchunkError, match="cannot kerchunkify"):
         kerchunk.kerchunkify_auto(
             b"GRIB\x00\x00\x02\x02" + b"\x00" * 16, "x.grib2"
@@ -1658,3 +1658,87 @@ def test_kerchunkify_auto_dispatch_refusals(tmp_path):
         kerchunk.kerchunkify_auto(
             b"\x89HDF\r\n\x1a\n" + b"\x00" * 8, "x.h5"
         )
+
+
+def _write_grib1_eras(tmp_path, n_eras=2):
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib1 as g1
+
+    nj, ni = 4, 6
+    lats = 40.0 - 0.5 * np.arange(nj)
+    lons = -110.0 + 0.5 * np.arange(ni)
+    era_dir = tmp_path / "g1eras"
+    era_dir.mkdir(exist_ok=True)
+    fields = []
+    for step in range(n_eras):
+        vals = (np.arange(nj * ni, dtype="f8").reshape(nj, ni) * 13
+                + step * 7) % 97
+        vals[0, 1] = np.nan  # bitmap-masked
+        if step:
+            vals[3, 5] = np.nan
+        fields.append(vals)
+        g1.write_grib1(
+            str(era_dir / f"era_{step:03d}.grib"),
+            [{
+                "values": vals, "lats": lats, "lons": lons,
+                "reference_time": dt.datetime(2024, 1, 1),
+                "p1_hours": step * 6, "parameter": 61, "nbits": 8,
+            }],
+        )
+    return str(era_dir), fields, lats, lons
+
+
+def test_kerchunkify_grib1_matches_direct_decode(spark, tmp_path):
+    """GRIB1 refs production (r11, the edition-1 twin): scan_grib1
+    stops at the GDS — the BDS is never unpacked — and each message
+    becomes one chunk ref decoded by the grib1 message codec through
+    the SAME parser as the direct decode; bitmap holes NULL."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib1 as g1
+
+    era_dir, fields, lats, lons = _write_grib1_eras(tmp_path, n_eras=1)
+    path = os.path.join(era_dir, "era_000.grib")
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_grib1(buf, path)
+    arrays = kerchunk.store_metadata(refs)
+    (var,) = [n for n in arrays if n.startswith("p61_")]
+    meta = arrays[var]
+    assert meta.chunks == (1, 4, 6)
+    assert meta.compressor == {"id": "grib1"}
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in kerchunk.decode_kerchunk_long(spark, refs, var).collect()}
+    assert len(got) == 24
+    direct = g1.parse_grib1(buf)[0]
+    t0 = (direct.valid_time - dt.datetime(1970, 1, 1)).total_seconds()
+    for i, la in enumerate(lats):
+        for j, lo in enumerate(lons):
+            v = direct.values[i, j]
+            g = got[(t0, float(la), float(lo))]
+            assert (g is None) if v != v else (g == v)
+
+
+def test_kerchunkify_grib1_scan_merge_decode(spark, tmp_path):
+    """Per-era GRIB1 files through the dispatching scan -> concat merge
+    -> virtual decode, cell-equal to the writer's own fields."""
+    import datetime as dt
+
+    era_dir, fields, lats, lons = _write_grib1_eras(tmp_path, n_eras=2)
+    docs = kerchunk.kerchunkify_scan(spark, era_dir, glob="*.grib")
+    assert len(docs) == 2
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    arrays = kerchunk.store_metadata(merged)
+    (var,) = [n for n in arrays if n.startswith("p61_")]
+    assert arrays[var].shape[0] == 2
+    got = {(r.time, r.latitude, r.longitude): r.value
+           for r in kerchunk.decode_kerchunk_long(spark, merged, var).collect()}
+    assert len(got) == 48
+    base = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+    for step, vals in enumerate(fields):
+        ts = base + step * 6 * 3600
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                v = vals[i, j]
+                g = got[(ts, float(la), float(lo))]
+                assert (g is None) if v != v else (g == v)
