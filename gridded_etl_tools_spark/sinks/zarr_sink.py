@@ -860,7 +860,12 @@ def _insert_zarr_impl(
 
 
 def resync_zarr_shapes(
-    root: str, data_vars: Sequence[str] | None = None
+    root: str,
+    data_vars: Sequence[str] | None = None,
+    _lease_held: bool = False,
+    lease_fs: ControlFS | None = None,
+    stale_lease_seconds: float | None = None,
+    lease_owner: str | None = None,
 ) -> dict[str, list[int]]:
     """Repair a TORN multi-variable append (code-review r10): the
     append's metadata commit is necessarily a multi-file sequence on a
@@ -873,8 +878,23 @@ def resync_zarr_shapes(
     Returns {var: new_shape} for what was patched.
     ``append_zarr_distributed`` calls this automatically on open, so a
     torn store self-heals on the next append; this entry point is for
-    repairing without appending."""
+    repairing without appending.
+
+    Standalone calls take the store-root writer lease like every other
+    mutator (r11: a repair racing a live append's metadata commit is
+    the same lost-update class W14 guards); ``_lease_held=True`` is the
+    internal path for callers already holding it (the append)."""
     import json as _json
+
+    if not _lease_held:
+        lease = ZarrWriterLease(
+            root, lease_fs, stale_lease_seconds, owner=lease_owner
+        )
+        state = lease.acquire()
+        try:
+            return resync_zarr_shapes(root, data_vars, _lease_held=True)
+        finally:
+            lease.release(state)
 
     arrays = zarr2.open_store(root)
     patched: dict[str, list[int]] = {}
@@ -979,7 +999,7 @@ def _append_zarr_impl(
     ):
         # torn mid-commit state from a crashed multi-var append — the
         # axis is the source of truth, heal before the congruence check
-        resync_zarr_shapes(root, data_vars)
+        resync_zarr_shapes(root, data_vars, _lease_held=True)
         arrays = zarr2.open_store(root)
         metas = [arrays[v] for v in data_vars]
     _check_congruent(metas)

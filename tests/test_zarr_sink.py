@@ -1450,3 +1450,24 @@ def test_stream_recovers_own_crashed_lease_refuses_foreign(spark, tmp_path):
             run()
     finally:
         foreign.release(fstate)
+
+
+def test_standalone_resync_takes_the_writer_lease(spark, tmp_path):
+    """r11: the standalone repair is a mutator like any other — it
+    refuses while another writer holds the store and releases cleanly
+    after; the append's internal self-heal path still composes (no
+    double-acquire deadlock)."""
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import (
+        ZarrWriterLease,
+        resync_zarr_shapes,
+    )
+
+    root = _published(spark, tmp_path, name="resync.zarr")
+    lease = ZarrWriterLease(root)
+    state = lease.acquire()
+    with pytest.raises(ConcurrentWriteError, match="in progress"):
+        resync_zarr_shapes(root)
+    lease.release(state)
+    assert resync_zarr_shapes(root) == {}  # nothing torn; lease cycled
+    assert not ZarrWriterLease(root).update_in_progress()
