@@ -882,27 +882,46 @@ def resync_zarr_shapes(
 
     Standalone calls take the store-root writer lease like every other
     mutator (r11: a repair racing a live append's metadata commit is
-    the same lost-update class W14 guards); ``_lease_held=True`` is the
-    internal path for callers already holding it (the append)."""
-    import json as _json
-
+    the same lost-update class W14 guards), refuse missing roots
+    BEFORE leasing, and run a fencing check between the read-only plan
+    and the first write (fourth review pass r11: a TTL takeover
+    mid-repair could otherwise let the zombie SHRINK shape records the
+    new owner had extended); ``_lease_held=True`` is the internal path
+    for callers already holding it (the append)."""
     if not _lease_held:
+        if not os.path.isdir(root):
+            # refuse BEFORE leasing: no lease debris at mistyped roots
+            # (same rule as insert/append)
+            raise zarr2.ZarrError(
+                f"no zarr store at {root!r} — nothing to repair"
+            )
         lease = ZarrWriterLease(
             root, lease_fs, stale_lease_seconds, owner=lease_owner
         )
         state = lease.acquire()
         try:
-            return resync_zarr_shapes(root, data_vars, _lease_held=True)
+            return _resync_impl(
+                root, data_vars, lambda: lease.check(state)
+            )
         finally:
             lease.release(state)
+    return _resync_impl(root, data_vars, lambda: None)
+
+
+def _resync_impl(
+    root: str, data_vars: Sequence[str] | None, lease_check
+) -> dict[str, list[int]]:
+    import json as _json
 
     arrays = zarr2.open_store(root)
-    patched: dict[str, list[int]] = {}
     zmeta_path = os.path.join(root, ".zmetadata")
     zmeta = None
     if os.path.exists(zmeta_path):
         with open(zmeta_path) as f:
             zmeta = _json.load(f)
+    # read-only planning pass first; writes only after the fencing
+    # check below, so a fenced repair changes nothing
+    plan: list[tuple[str, str, dict, list[int]]] = []
     for name, m in arrays.items():
         if data_vars is not None and name not in data_vars:
             continue
@@ -917,6 +936,12 @@ def resync_zarr_shapes(
         with open(zpath) as f:
             z = _json.load(f)
         z["shape"] = new_shape
+        plan.append((name, zpath, z, new_shape))
+    if not plan:
+        return {}
+    lease_check()
+    patched: dict[str, list[int]] = {}
+    for name, zpath, z, new_shape in plan:
         # a repair tool must never corrupt: all-or-nothing record writes
         zarr2.write_json_atomic(zpath, z)
         if zmeta is not None and f"{name}/.zarray" in zmeta.get(

@@ -122,6 +122,13 @@ def _parse_message(
     if buf[start : start + 4] != b"GRIB":
         raise GRIB1Error(f"no GRIB magic at offset {start}")
     total_len = _u24(buf[start + 4 : start + 7])
+    if total_len < 12:  # IS(8) + ES(4) minimum — a zero/short length
+        # would park `end` before `start`, let the terminator check
+        # read the PREVIOUS message's 7777, and loop the file walk
+        # forever with unbounded growth (code-review r11, reproduced)
+        raise GRIB1Error(
+            f"message at offset {start} declares length {total_len}"
+        )
     if buf[start + 7] != 1:
         raise GRIB1Error(f"GRIB edition {buf[start + 7]}, only 1 supported")
     end = start + total_len
@@ -226,15 +233,21 @@ def _parse_message(
     )
 
 
-def parse_grib1(buf: bytes) -> list[GribMessage]:
-    """Parse every message in a GRIB1 file buffer (archives concatenate
-    one message per time step / level)."""
+def _parse_wrapped(buf: bytes, decode: bool) -> list:
+    """The ONE exception-taxonomy wrapper for both entry points
+    (fourth review pass r11: parse/scan had verbatim copies)."""
     try:
-        return _parse_grib1_inner(buf)
+        return _parse_grib1_inner(buf, decode)
     except (struct.error, IndexError, ValueError) as e:
         if isinstance(e, GRIB1Error):
             raise
         raise GRIB1Error(f"truncated or corrupt GRIB1 structure: {e}") from e
+
+
+def parse_grib1(buf: bytes) -> list[GribMessage]:
+    """Parse every message in a GRIB1 file buffer (archives concatenate
+    one message per time step / level)."""
+    return _parse_wrapped(buf, decode=True)
 
 
 def _parse_grib1_inner(buf: bytes, decode: bool = True) -> list:
@@ -259,12 +272,7 @@ def scan_grib1(buf: bytes) -> list[dict]:
     identity (parameter/level), times, and the grid axes.  GRIB1
     messages carry exactly one field each, so there is no in-message
     field index."""
-    try:
-        return _parse_grib1_inner(buf, decode=False)
-    except (struct.error, IndexError, ValueError) as e:
-        if isinstance(e, GRIB1Error):
-            raise
-        raise GRIB1Error(f"truncated or corrupt GRIB1 structure: {e}") from e
+    return _parse_wrapped(buf, decode=False)
 
 
 def select_messages(

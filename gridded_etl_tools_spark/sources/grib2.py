@@ -167,6 +167,12 @@ def _parse_grib2_inner(
             raise GRIB2Error(f"GRIB edition {buf[pos + 7]}, only 2 supported")
         discipline = buf[pos + 6]
         (total_len,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+        if total_len < 20:  # IS(16) + ES(4) minimum — a zero/short
+            # length would pin `pos = end` in place and loop the
+            # message walk forever (code-review r11: grib1 twin)
+            raise GRIB2Error(
+                f"message at offset {pos} declares length {total_len}"
+            )
         end = pos + total_len
         if buf[end - 4 : end] != b"7777":
             raise GRIB2Error("message missing 7777 terminator")

@@ -1970,7 +1970,7 @@ def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict
         return kerchunkify_grib1(buf, url)
     raise KerchunkError(
         f"unrecognized raw format for {url!r} — NetCDF3 (CDF), "
-        "HDF5/NetCDF4, and GRIB2 kerchunkify here"
+        "HDF5/NetCDF4, GRIB1, and GRIB2 kerchunkify here"
     )
 
 

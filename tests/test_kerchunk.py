@@ -1742,3 +1742,28 @@ def test_kerchunkify_grib1_scan_merge_decode(spark, tmp_path):
                 v = vals[i, j]
                 g = got[(ts, float(la), float(lo))]
                 assert (g is None) if v != v else (g == v)
+
+
+def test_grib_zero_length_message_refuses_not_hangs():
+    """Fourth review pass r11 (reproduced hang): a message declaring
+    total_len=0 after a valid message parked the walk in place — the
+    terminator check read the PREVIOUS message's 7777 and the loop
+    never advanced.  Both editions now refuse the declared length."""
+    from gridded_etl_tools_spark.sources import grib1 as g1
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    evil1 = b"xxxx7777" + b"GRIB\x00\x00\x00\x01" + b"\x00" * 32
+    with pytest.raises(g1.GRIB1Error, match="declares length"):
+        g1.scan_grib1(evil1)
+    with pytest.raises(g1.GRIB1Error, match="declares length"):
+        g1.parse_grib1(evil1)
+    evil2 = (
+        b"xxxx7777"
+        + b"GRIB\x00\x00\x00\x02"
+        + (0).to_bytes(8, "big")
+        + b"\x00" * 32
+    )
+    with pytest.raises(g2.GRIB2Error, match="declares length"):
+        g2.scan_grib2(evil2)
+    with pytest.raises(g2.GRIB2Error, match="declares length"):
+        g2.parse_grib2(evil2)

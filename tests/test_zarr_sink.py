@@ -1471,3 +1471,52 @@ def test_standalone_resync_takes_the_writer_lease(spark, tmp_path):
     lease.release(state)
     assert resync_zarr_shapes(root) == {}  # nothing torn; lease cycled
     assert not ZarrWriterLease(root).update_in_progress()
+
+
+def test_standalone_resync_fencing_and_no_debris(spark, tmp_path, monkeypatch):
+    """Fourth review pass r11: a TTL takeover mid-repair must fence the
+    zombie BEFORE it writes any shape record (a stale plan could
+    otherwise SHRINK what the new owner extended), and a mistyped root
+    refuses before leasing (no lease debris)."""
+    import json as _json
+    import os
+
+    from gridded_etl_tools_spark.sinks import zarr_sink
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    # mistyped root: refuse, leave nothing behind
+    ghost = str(tmp_path / "nope.zarr")
+    with pytest.raises(zarr2.ZarrError, match="no zarr store"):
+        zarr_sink.resync_zarr_shapes(ghost)
+    assert not os.path.exists(ghost)
+
+    # fenced repair: tear a store, steal the lease inside the impl
+    root = _published(spark, tmp_path, name="fence-resync.zarr")
+    zpath = os.path.join(root, "v", ".zarray")
+    z = _json.load(open(zpath))
+    torn = list(z["shape"])
+    lagged = [torn[0] - 1, *torn[1:]]  # lag the var behind the axis
+    z["shape"] = lagged
+    zarr2.write_json_atomic(zpath, z)
+    zmeta_path = os.path.join(root, ".zmetadata")
+    zm = _json.load(open(zmeta_path))
+    zm["metadata"]["v/.zarray"]["shape"] = lagged
+    zarr2.write_json_atomic(zmeta_path, zm)
+
+    real_impl = zarr_sink._resync_impl
+    thief_state = {}
+
+    def hijack(r, dv, lease_check):
+        thief = zarr_sink.ZarrWriterLease(r)
+        thief.force_unlock()
+        thief_state["s"] = thief.acquire()
+        return real_impl(r, dv, lease_check)
+
+    monkeypatch.setattr(zarr_sink, "_resync_impl", hijack)
+    with pytest.raises(ConcurrentWriteError, match="taken over"):
+        zarr_sink.resync_zarr_shapes(root)
+    # fenced BEFORE any write: the torn record is untouched
+    assert _json.load(open(zpath))["shape"] == lagged
+    monkeypatch.setattr(zarr_sink, "_resync_impl", real_impl)
+    zarr_sink.ZarrWriterLease(root).release(thief_state["s"])
+    assert zarr_sink.resync_zarr_shapes(root) == {"v": torn}
