@@ -886,8 +886,9 @@ def resync_zarr_shapes(
     BEFORE leasing, and run a fencing check between the read-only plan
     and the first write (fourth review pass r11: a TTL takeover
     mid-repair could otherwise let the zombie SHRINK shape records the
-    new owner had extended); ``_lease_held=True`` is the internal path
-    for callers already holding it (the append)."""
+    new owner had extended); ``_lease_held=True`` is for callers
+    already holding the lease — fencing is then THEIR responsibility
+    (the append passes its own check into ``_resync_impl``)."""
     if not _lease_held:
         if not os.path.isdir(root):
             # refuse BEFORE leasing: no lease debris at mistyped roots
@@ -1024,7 +1025,10 @@ def _append_zarr_impl(
     ):
         # torn mid-commit state from a crashed multi-var append — the
         # axis is the source of truth, heal before the congruence check
-        resync_zarr_shapes(root, data_vars, _lease_held=True)
+        # the REAL fencing check rides along (fifth review pass r11:
+        # _lease_held=True mapped the self-heal's fence to a no-op,
+        # leaving the zombie-shrink race open on the append path too)
+        _resync_impl(root, data_vars, lease_check)
         arrays = zarr2.open_store(root)
         metas = [arrays[v] for v in data_vars]
     _check_congruent(metas)

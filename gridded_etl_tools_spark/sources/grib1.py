@@ -121,6 +121,11 @@ def _parse_message(
     ``scan_grib2``)."""
     if buf[start : start + 4] != b"GRIB":
         raise GRIB1Error(f"no GRIB magic at offset {start}")
+    if buf[start + 7] != 1:
+        # edition check FIRST (fifth review pass r11): a GRIB2 buffer's
+        # zeroed reserved octets would otherwise report a misleading
+        # 'declares length' error instead of the edition diagnosis
+        raise GRIB1Error(f"GRIB edition {buf[start + 7]}, only 1 supported")
     total_len = _u24(buf[start + 4 : start + 7])
     if total_len < 12:  # IS(8) + ES(4) minimum — a zero/short length
         # would park `end` before `start`, let the terminator check
@@ -129,8 +134,6 @@ def _parse_message(
         raise GRIB1Error(
             f"message at offset {start} declares length {total_len}"
         )
-    if buf[start + 7] != 1:
-        raise GRIB1Error(f"GRIB edition {buf[start + 7]}, only 1 supported")
     end = start + total_len
     if buf[end - 4 : end] != b"7777":
         raise GRIB1Error("message missing 7777 terminator")

@@ -104,17 +104,25 @@ def _parse_grid_template_30(body: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     return lats, lons, scan
 
 
+def _parse_wrapped(
+    buf: bytes, decode: bool = True, only_field: int | None = None
+) -> list:
+    """The ONE exception-taxonomy wrapper for every entry point (fifth
+    review pass r11: parse/parse_field/scan had verbatim copies)."""
+    try:
+        return _parse_grib2_inner(buf, decode, only_field)
+    except (struct.error, IndexError, ValueError) as e:
+        if isinstance(e, GRIB2Error):
+            raise
+        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+
+
 def parse_grib2(buf: bytes) -> list[Grib2Field]:
     """Parse every field in every GRIB2 message of a file buffer.
     Messages may repeat sections (3-)4-7 for multiple fields; section
     state (grid / product / representation / bitmap) carries forward the
     way the spec defines."""
-    try:
-        return _parse_grib2_inner(buf)
-    except (struct.error, IndexError, ValueError) as e:
-        if isinstance(e, GRIB2Error):
-            raise
-        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+    return _parse_wrapped(buf)
 
 
 def parse_grib2_field(buf: bytes, field: int) -> Grib2Field:
@@ -123,12 +131,7 @@ def parse_grib2_field(buf: bytes, field: int) -> Grib2Field:
     (third review pass r11: decoding a V-field message's V variables
     through :func:`parse_grib2` was O(V^2) data-section work).  Indexes
     are per message; the codec hands this a single-message buffer."""
-    try:
-        out = _parse_grib2_inner(buf, only_field=field)
-    except (struct.error, IndexError, ValueError) as e:
-        if isinstance(e, GRIB2Error):
-            raise
-        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+    out = _parse_wrapped(buf, only_field=field)
     if not out:
         raise GRIB2Error(
             f"message has no field with in-message index {field}"
@@ -144,12 +147,7 @@ def scan_grib2(buf: bytes) -> list[dict]:
     within the message, the product identity, times, and the grid
     axes.  Sections 1-6 are header-sized; section 7's body is never
     unpacked, so this is O(headers) work over the buffer."""
-    try:
-        return _parse_grib2_inner(buf, decode=False)
-    except (struct.error, IndexError, ValueError) as e:
-        if isinstance(e, GRIB2Error):
-            raise
-        raise GRIB2Error(f"truncated or corrupt GRIB2 structure: {e}") from e
+    return _parse_wrapped(buf, decode=False)
 
 
 def _parse_grib2_inner(
@@ -187,6 +185,13 @@ def _parse_grib2_inner(
         msg_field = 0  # field index within THIS message (repeated 4-7)
         while p < end - 4:
             (sec_len,) = struct.unpack(">I", buf[p : p + 4])
+            if sec_len < 5:  # 4-byte length + section number minimum —
+                # a zero-length section would pin `p += sec_len` in
+                # place and loop the section walk forever (fifth
+                # review pass r11, reproduced)
+                raise GRIB2Error(
+                    f"section at offset {p} declares length {sec_len}"
+                )
             sec_no = buf[p + 4]
             body = buf[p + 5 : p + sec_len]
             if sec_no == 1:

@@ -1767,3 +1767,19 @@ def test_grib_zero_length_message_refuses_not_hangs():
         g2.scan_grib2(evil2)
     with pytest.raises(g2.GRIB2Error, match="declares length"):
         g2.parse_grib2(evil2)
+    # the INNER section walk (fifth review pass r11, reproduced): a
+    # zero-length section pinned `p += sec_len` in place forever
+    evil3 = (
+        b"GRIB\x00\x00\x00\x02"
+        + (25).to_bytes(8, "big")
+        + (0).to_bytes(4, "big")
+        + b"\x02"
+        + b"7777"
+    )
+    with pytest.raises(g2.GRIB2Error, match="section at offset"):
+        g2.scan_grib2(evil3)
+    # a GRIB2 buffer fed to the grib1 parser keeps the accurate
+    # edition diagnostic (the length guard sits AFTER the edition
+    # check — a real GRIB2 header's reserved octets read as length 0)
+    with pytest.raises(g1.GRIB1Error, match="edition 2"):
+        g1.parse_grib1(evil3)
