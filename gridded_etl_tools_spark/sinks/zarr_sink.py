@@ -862,7 +862,6 @@ def _insert_zarr_impl(
 def resync_zarr_shapes(
     root: str,
     data_vars: Sequence[str] | None = None,
-    _lease_held: bool = False,
     lease_fs: ControlFS | None = None,
     stale_lease_seconds: float | None = None,
     lease_owner: str | None = None,
@@ -886,27 +885,24 @@ def resync_zarr_shapes(
     BEFORE leasing, and run a fencing check between the read-only plan
     and the first write (fourth review pass r11: a TTL takeover
     mid-repair could otherwise let the zombie SHRINK shape records the
-    new owner had extended); ``_lease_held=True`` is for callers
-    already holding the lease — fencing is then THEIR responsibility
-    (the append passes its own check into ``_resync_impl``)."""
-    if not _lease_held:
-        if not os.path.isdir(root):
-            # refuse BEFORE leasing: no lease debris at mistyped roots
-            # (same rule as insert/append)
-            raise zarr2.ZarrError(
-                f"no zarr store at {root!r} — nothing to repair"
-            )
-        lease = ZarrWriterLease(
-            root, lease_fs, stale_lease_seconds, owner=lease_owner
+    new owner had extended).  Internal callers already holding the
+    lease (the append's self-heal) use ``_resync_impl`` directly with
+    their OWN fencing check — the sixth review pass removed the
+    ``_lease_held`` flag whose only behavior was an unfenced no-op."""
+    if not os.path.isdir(root):
+        # refuse BEFORE leasing: no lease debris at mistyped roots
+        # (same rule as insert/append)
+        raise zarr2.ZarrError(
+            f"no zarr store at {root!r} — nothing to repair"
         )
-        state = lease.acquire()
-        try:
-            return _resync_impl(
-                root, data_vars, lambda: lease.check(state)
-            )
-        finally:
-            lease.release(state)
-    return _resync_impl(root, data_vars, lambda: None)
+    lease = ZarrWriterLease(
+        root, lease_fs, stale_lease_seconds, owner=lease_owner
+    )
+    state = lease.acquire()
+    try:
+        return _resync_impl(root, data_vars, lambda: lease.check(state))
+    finally:
+        lease.release(state)
 
 
 def _resync_impl(
@@ -1026,8 +1022,8 @@ def _append_zarr_impl(
         # torn mid-commit state from a crashed multi-var append — the
         # axis is the source of truth, heal before the congruence check
         # the REAL fencing check rides along (fifth review pass r11:
-        # _lease_held=True mapped the self-heal's fence to a no-op,
-        # leaving the zombie-shrink race open on the append path too)
+        # the old flag-based call mapped the self-heal's fence to a
+        # no-op, leaving the zombie-shrink race open here too)
         _resync_impl(root, data_vars, lease_check)
         arrays = zarr2.open_store(root)
         metas = [arrays[v] for v in data_vars]

@@ -185,10 +185,13 @@ def _parse_grib2_inner(
         msg_field = 0  # field index within THIS message (repeated 4-7)
         while p < end - 4:
             (sec_len,) = struct.unpack(">I", buf[p : p + 4])
-            if sec_len < 5:  # 4-byte length + section number minimum —
-                # a zero-length section would pin `p += sec_len` in
-                # place and loop the section walk forever (fifth
-                # review pass r11, reproduced)
+            if sec_len < 5 or p + sec_len > end - 4:
+                # under 5 bytes (length + section number) would pin
+                # `p += sec_len` in place and loop the walk forever
+                # (fifth review pass r11, reproduced); overrunning the
+                # message end would silently swallow the remaining
+                # sections and return fewer fields than the message
+                # carries (sixth review pass)
                 raise GRIB2Error(
                     f"section at offset {p} declares length {sec_len}"
                 )

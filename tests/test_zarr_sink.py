@@ -1520,3 +1520,57 @@ def test_standalone_resync_fencing_and_no_debris(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(zarr_sink, "_resync_impl", real_impl)
     zarr_sink.ZarrWriterLease(root).release(thief_state["s"])
     assert zarr_sink.resync_zarr_shapes(root) == {"v": torn}
+
+
+def test_append_self_heal_is_fenced(spark, tmp_path, monkeypatch):
+    """Sixth review pass r11: the append's TORN-STORE self-heal runs
+    the append's own fencing check — stealing the lease while the
+    self-heal plans must abort before any shape record is written
+    (previously the flag-based call mapped this fence to a no-op)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks import zarr_sink
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    # publish an aligned store, then tear it (var lags the axis)
+    root = str(tmp_path / "heal-fence.zarr")
+    zarr_sink.write_zarr_distributed(
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(3, 4)
+    )
+    zpath = os.path.join(root, "v", ".zarray")
+    z = _json.load(open(zpath))
+    torn = list(z["shape"])
+    lagged = [torn[0] - 1, *torn[1:]]
+    z["shape"] = lagged
+    zarr2.write_json_atomic(zpath, z)
+    zmeta_path = os.path.join(root, ".zmetadata")
+    zm = _json.load(open(zmeta_path))
+    zm["metadata"]["v/.zarray"]["shape"] = lagged
+    zarr2.write_json_atomic(zmeta_path, zm)
+
+    real_impl = zarr_sink._resync_impl
+    thief_state = {}
+
+    def hijack(r, dv, lease_check):
+        thief = zarr_sink.ZarrWriterLease(r)
+        thief.force_unlock()
+        thief_state["s"] = thief.acquire()
+        return real_impl(r, dv, lease_check)
+
+    monkeypatch.setattr(zarr_sink, "_resync_impl", hijack)
+    app = spark.createDataFrame(
+        [Row(time=float(t), x=x, value=1.0)
+         for t in (3, 4, 5) for x in (10.0, 10.5, 11.0, 11.5)]
+    )
+    with pytest.raises(ConcurrentWriteError, match="taken over"):
+        zarr_sink.append_zarr_distributed(app, root, "v")
+    # fenced BEFORE the self-heal wrote anything: still torn
+    assert _json.load(open(zpath))["shape"] == lagged
+    monkeypatch.setattr(zarr_sink, "_resync_impl", real_impl)
+    zarr_sink.ZarrWriterLease(root).release(thief_state["s"])
+    # recovery: the same append heals and commits
+    zarr_sink.append_zarr_distributed(app, root, "v")
+    assert zarr2.open_store(root)["v"].shape[0] == torn[0] + 3
