@@ -33,6 +33,7 @@ import ast
 import base64
 import itertools
 import json
+import math
 import os
 import re
 from collections.abc import Iterator, Sequence
@@ -306,6 +307,26 @@ def _compile_gen_template(
     return render
 
 
+def _int_valued_templates(templates: dict) -> dict[str, int]:
+    """Top-level ``templates`` entries whose string value is a bare
+    integer literal, resolved as CONSTANTS inside offset/length
+    expressions (ADVICE r11: ``{"offset": "{{base}}"}`` with
+    ``templates: {"base": "1024"}`` refused after the single-int shape
+    check landed, though the kerchunk gen spec allows it).  Both
+    engines bind the SAME compile-time constant — the driver merges
+    them into the eval env, the JVM transpile binds ``lit`` columns —
+    so no engine-divergence class opens.  Non-integer template values
+    stay key/url-only, exactly as before."""
+    out: dict[str, int] = {}
+    for k, v in (templates or {}).items():
+        if isinstance(v, str):
+            try:
+                out[k] = int(v.strip())
+            except ValueError:
+                continue
+    return out
+
+
 def _single_int_template(template: str, what: str) -> tuple[str, object]:
     """Validate an offset/length template for BOTH engines (third
     review pass r11): it must be a single ``{{...}}`` integer
@@ -422,15 +443,17 @@ def _expand_gen(
         if has_offset:
             # single-int-template shape shared with the JVM path —
             # the one place the two engines could silently diverge
-            # (third review pass r11)
+            # (third review pass r11); int-valued template entries
+            # resolve as constants in the env (ADVICE r11)
             off_kind = _single_int_template(str(entry["offset"]), "offset")
             len_kind = _single_int_template(str(entry["length"]), "length")
+            int_tpl = _int_valued_templates(templates)
 
-            def _int_val(kind, env, _dn=dim_names):
+            def _int_val(kind, env, _it=int_tpl):
                 tag, v = kind
                 if tag == "const":
                     return v
-                return int(_gen_eval(v, dict(env)))
+                return int(_gen_eval(v, {**_it, **env}))
 
         for point in itertools.product(*axes) if names else [()]:
             env = dict(zip(names, (int(p) for p in point)))
@@ -628,12 +651,22 @@ def gen_manifest_distributed(
             # (third review pass r11): the old string-render +
             # cast('long') silently NULLed anything non-integer, making
             # the manifest fetch from offset 0 — silently wrong cells
-            # where the driver evaluator refused loudly
+            # where the driver evaluator refused loudly.  Int-valued
+            # template entries bind as lit constants, mirroring the
+            # driver env merge (ADVICE r11); dimension names win on
+            # collision exactly as {**_it, **env} does driver-side.
+            int_cols = {
+                k: SF.lit(v).cast("long")
+                for k, v in _int_valued_templates(templates).items()
+            }
+
             def _int_col(template, what):
                 tag, v = _single_int_template(str(template), what)
                 if tag == "const":
                     return SF.lit(int(v)).cast("long")
-                return _transpile_gen_expr(v, dimcols).cast("long")
+                return _transpile_gen_expr(
+                    v, {**int_cols, **dimcols}
+                ).cast("long")
 
             off_col = _int_col(entry["offset"], "offset")
             len_col = _int_col(entry["length"], "length")
@@ -1594,7 +1627,13 @@ def kerchunkify_netcdf3(
                 "chunks": chunks,
                 "dtype": np.dtype(dt).str,
                 "compressor": None,
-                "fill_value": vatts.get("_FillValue"),
+                # same strict-JSON fill encoding as the HDF5 branch
+                # (ADVICE r11): NaN → "NaN", non-scalar refuses
+                "fill_value": (
+                    _encode_fill_attr(vatts["_FillValue"], name)
+                    if vatts.get("_FillValue") is not None
+                    else None
+                ),
                 "order": "C",
                 "filters": None,
                 "dimension_separator": ".",
@@ -1621,6 +1660,31 @@ _HDF5_INTERNAL_ATTRS = {
     "DIMENSION_LIST", "REFERENCE_LIST", "CLASS", "NAME",
     "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties",
 }
+
+
+def _encode_fill_attr(fill, name: str):
+    """A ``_FillValue`` attribute → valid zarr v2 ``fill_value`` JSON
+    (ADVICE r11): ``json.dumps`` of a float NaN emits the non-standard
+    ``NaN`` token and an array-valued attribute becomes a JSON list —
+    both round-trip inside this repo (Python json accepts them) but
+    break strict-JSON consumers of the refs doc.  NaN/Inf encode as the
+    spec's string forms (the same ones :func:`zarr2._parse_fill` and
+    ``_grib_refs_from_groups`` use); 1-element arrays unwrap; anything
+    non-scalar refuses loudly."""
+    v = _json_attr(fill)
+    if isinstance(v, list):
+        if len(v) != 1:
+            raise KerchunkError(
+                f"{name}: _FillValue attribute is non-scalar ({v!r}) — "
+                "zarr v2 fill_value must be a scalar"
+            )
+        v = v[0]
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+    return v
 
 
 def _json_attr(v):
@@ -1724,7 +1788,11 @@ def kerchunkify_hdf5(buf: bytes, url: str) -> dict:
                 "chunks": [int(c) for c in chunk_shape],
                 "dtype": np.dtype(d.dtype.np_dtype).str,
                 "compressor": comp,
-                "fill_value": _json_attr(fill) if fill is not None else None,
+                "fill_value": (
+                    _encode_fill_attr(fill, d.name)
+                    if fill is not None
+                    else None
+                ),
                 "order": "C",
                 "filters": zfilters or None,
                 "dimension_separator": ".",
@@ -2069,7 +2137,7 @@ def kerchunkify_scan(
     glob: str = "*",
     header_bytes: int = 65536,
     return_stats: bool = False,
-) -> list[dict]:
+) -> "list[dict] | tuple[list[dict], list[tuple[str, int, int]]]":
     """Distributed kerchunkify: one executor task per raw file emits its
     refs, collected driver-side as KB-scale documents in filename order
     — ready for :func:`merge_refs_concat`.  This is the reference's

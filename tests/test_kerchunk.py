@@ -247,6 +247,44 @@ def test_gen_expansion_semantics():
     assert out == {"k": ["/base/f.bin"]}
 
 
+def test_gen_int_templates_in_offset_length_both_engines(spark):
+    """ADVICE r11: an offset/length expression referencing a top-level
+    ``templates`` entry whose value is a bare integer literal resolves
+    as a compile-time constant in BOTH engines (the kerchunk gen spec
+    allows it; the r11 single-int shape check had narrowed it to a
+    refusal).  Non-integer template values still refuse inside
+    arithmetic."""
+    doc = {
+        "version": 1,
+        "templates": {"base": "1024", "stride": " 8 "},
+        "gen": [
+            {"key": "v/{{i}}", "url": "u.bin",
+             "offset": "{{base + i * stride}}", "length": "{{stride}}",
+             "dimensions": {"i": {"stop": 3}}}
+        ],
+    }
+    out = kerchunk._expand_gen(doc["gen"], doc["templates"])
+    assert out == {
+        "v/0": ["u.bin", 1024, 8],
+        "v/1": ["u.bin", 1032, 8],
+        "v/2": ["u.bin", 1040, 8],
+    }
+    man = kerchunk.gen_manifest_distributed(spark, doc, "v")
+    got = {(r.key, r.offset, r.length) for r in man.collect()}
+    assert got == {("0", 1024, 8), ("1", 1032, 8), ("2", 1040, 8)}
+    # a NON-integer template name inside offset arithmetic still
+    # refuses in both engines (string values are key/url-only)
+    bad = [{"key": "v/{{i}}", "url": "u", "offset": "{{host + i}}",
+            "length": "8", "dimensions": {"i": {"stop": 1}}}]
+    tpl = {"host": "example.com"}
+    with pytest.raises(kerchunk.KerchunkError):
+        kerchunk._expand_gen(bad, tpl)
+    with pytest.raises(kerchunk.KerchunkError):
+        kerchunk.gen_manifest_distributed(
+            spark, {"version": 1, "templates": tpl, "gen": bad}, "v"
+        ).collect()
+
+
 def test_gen_distributed_manifest_matches_driver_expansion(spark, tmp_path):
     """r10 scale path: the gen section as spark.range + codegen column
     arithmetic (no driver-side dict) must produce the SAME manifest rows
@@ -1493,6 +1531,49 @@ def test_kerchunkify_hdf5_contiguous_and_scan_merge(spark, tmp_path):
                 want = data[it, i, j]
                 w = None if want == -9999.0 else want
                 assert got[(t, la, lo)] == w
+
+
+def test_kerchunkify_hdf5_nan_fill_is_strict_json(spark, tmp_path):
+    """ADVICE r11: a NaN ``_FillValue`` must emit the zarr v2 string
+    form ``"NaN"`` in ``.zarray`` (json.dumps' bare ``NaN`` token is
+    invalid strict JSON); a 1-element array fill unwraps; a multi-
+    element array fill refuses.  The refs doc must stay loadable by a
+    strict JSON parser and decode NaN cells to NULL as before."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    data, times, lats, lons = _grid()
+    vals = data[0:1].copy()
+    path = str(tmp_path / "nanfill.nc4")
+    h5.write_hdf5(
+        path,
+        {
+            "time": (("time",), np.array([times[0]]), {}),
+            "latitude": (("latitude",), lats, {}),
+            "longitude": (("longitude",), lons, {}),
+            "precip": (
+                ("time", "latitude", "longitude"),
+                vals,
+                {"_FillValue": np.float64("nan")},
+            ),
+        },
+    )
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_hdf5(buf, path)
+    zarray = refs["precip/.zarray"]
+
+    def _strict(c):
+        raise AssertionError(f"non-strict JSON constant {c!r}")
+
+    parsed = json.loads(zarray, parse_constant=_strict)
+    assert parsed["fill_value"] == "NaN"
+    # the string form still round-trips through the repo's own parse
+    meta = kerchunk.store_metadata(refs)["precip"]
+    assert np.isnan(meta.fill_value)
+    # 1-element array fill unwraps; multi-element refuses
+    assert kerchunk._encode_fill_attr(np.array([3.5]), "v") == 3.5
+    assert kerchunk._encode_fill_attr(np.float32("inf"), "v") == "Infinity"
+    with pytest.raises(kerchunk.KerchunkError, match="non-scalar"):
+        kerchunk._encode_fill_attr(np.array([1.0, 2.0]), "v")
 
 
 def _write_grib2_eras(tmp_path, n_eras=2, packing="complex_sd2"):
