@@ -25,6 +25,19 @@ def natural_key(s: str) -> list:
     return [int(p) if p.isdigit() else p for p in _NAT_SPLIT.split(s)]
 
 
+def natural_sort_col(col) -> "F.Column":
+    """:func:`natural_key` as a whole-stage-codegen column expression:
+    digit runs zero-pad to a fixed 10-digit width so lexicographic
+    string order == numeric order (``era_2`` before ``era_10``).  The
+    JVM-side twin of the driver-side ``natural_key`` sort — the
+    distributed refs merge orders files with it instead of collecting
+    paths.  Runs >10-digit numbers keep their leading digits (they
+    compare by prefix, which is still numeric-magnitude order for
+    equal-length runs — era indices never get that long)."""
+    nat = F.regexp_replace(col, r"(\d+)", r"0000000000$1")
+    return F.regexp_replace(nat, r"0*(\d{10})", r"$1")
+
+
 def input_files(
     spark: SparkSession,
     path: str,
@@ -46,9 +59,7 @@ def input_files(
         df = df.filter(~base.endswith(suffix))
     df = df.filter(~base.startswith("."))
     # natural order: numeric runs zero-padded into a sortable key
-    nat = F.regexp_replace(base, r"(\d+)", r"0000000000$1")
-    nat = F.regexp_replace(nat, r"0*(\d{10})", r"$1")
-    return df.orderBy(nat)
+    return df.orderBy(natural_sort_col(base))
 
 
 def read_binary_files(

@@ -554,10 +554,10 @@ def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
         raise HDF5Error(f"data layout version {ver} unsupported")
     cls = layout_body[1]
     if ver == 4 and cls == 2:
-        raise HDF5Error(
-            "layout v4 chunked indexes (fixed/extensible array, B-tree "
-            "v2) unsupported — save without libver='latest' chunking"
-        )
+        # layout v4 chunked (libver='latest' / netcdf-c 4.9 new-format):
+        # Single Chunk, Implicit, and Fixed Array indexes parse;
+        # Extensible Array and v2 B-tree remain documented refusals
+        return _scan_layout_v4_chunked(buf, name, layout_body, shape)
     if cls == 0:  # compact: the data IS in the header message
         (size,) = struct.unpack_from("<H", layout_body, 2)
         return 0, None, [], None, bytes(layout_body[4 : 4 + size])
@@ -595,6 +595,154 @@ def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
         walk(btree)
         return 2, chunk_shape, chunks, None, None
     raise HDF5Error(f"unsupported layout class {cls}")
+
+
+def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
+    """Data Layout Message v4, chunked (r12, verdict r11 missing #4):
+    the message carries the chunk dims inline (rank+1 sizes, element
+    size last — the same convention v3 and the C library's in-memory
+    ``u.chunk.dim`` use) plus a chunk indexing type.  Parsed indexes:
+
+    * 1 Single Chunk — one chunk covers the dataset; a filtered single
+      chunk (flags bit 1) carries its stored size + filter mask inline.
+    * 2 Implicit — unfiltered chunks allocated as ONE contiguous block
+      in C chunk order: chunk ``i`` at ``addr + i * chunk_nbytes``.
+    * 3 Fixed Array — ``FAHD`` header + ``FADB`` data block (paged or
+      not), elements in C chunk order; client 0 = address-only
+      (unfiltered), client 1 = address + stored size + filter mask.
+      An uninitialized page (bitmap bit 0, LSB-first) or an UNDEF
+      element address is an unwritten chunk (reads as fill).
+
+    Extensible Array (4) and v2 B-tree (5) refuse loudly — they back
+    UNLIMITED dimensions, which the per-era archives this repo ingests
+    don't use (parity residual documented in VERDICT r11 #4)."""
+    flags = layout_body[2]
+    ndims = layout_body[3]
+    enc = layout_body[4]
+    if enc < 1 or enc > 8:
+        raise HDF5Error(f"{name}: bad v4 dimension encoding size {enc}")
+    pos = 5
+    dims_enc = []
+    for _ in range(ndims):
+        dims_enc.append(
+            int.from_bytes(layout_body[pos:pos + enc], "little")
+        )
+        pos += enc
+    if ndims != len(shape) + 1:
+        raise HDF5Error(
+            f"{name}: v4 layout dimensionality {ndims} != dataset "
+            f"rank {len(shape)} + 1 (element-size dim)"
+        )
+    chunk_shape = tuple(dims_enc[:-1])
+    elem_size = dims_enc[-1]
+    chunk_nbytes = int(np.prod(chunk_shape, dtype=np.int64)) * elem_size
+    index_type = layout_body[pos]
+    pos += 1
+    grid = tuple(
+        -(-s // c) for s, c in zip(shape, chunk_shape)
+    ) if shape else ()
+    n_chunks = int(np.prod(grid, dtype=np.int64)) if grid else 1
+
+    def _offs(flat: int) -> tuple[int, ...]:
+        idx = np.unravel_index(flat, grid) if grid else ()
+        return tuple(int(i) * c for i, c in zip(idx, chunk_shape))
+
+    chunks: list = []
+    if index_type == 1:  # Single Chunk
+        if flags & 0x02:  # filtered: size + filter mask precede addr
+            (stored,) = struct.unpack_from("<Q", layout_body, pos)
+            pos += 8 + 4  # size + filter mask
+        else:
+            stored = chunk_nbytes
+        (addr,) = struct.unpack_from("<Q", layout_body, pos)
+        if addr != UNDEF:
+            chunks.append((tuple(0 for _ in shape), int(stored), addr))
+        return 2, chunk_shape, chunks, None, None
+    if index_type == 2:  # Implicit
+        (addr,) = struct.unpack_from("<Q", layout_body, pos)
+        if addr != UNDEF:
+            for i in range(n_chunks):
+                chunks.append(
+                    (_offs(i), chunk_nbytes, addr + i * chunk_nbytes)
+                )
+        return 2, chunk_shape, chunks, None, None
+    if index_type == 3:  # Fixed Array
+        pos += 1  # page bits (the header re-states them)
+        (addr,) = struct.unpack_from("<Q", layout_body, pos)
+        if addr == UNDEF:
+            return 2, chunk_shape, chunks, None, None
+        for flat, stored, caddr in _fixed_array_elements(buf, name, addr):
+            if flat >= n_chunks:
+                raise HDF5Error(
+                    f"{name}: fixed-array element {flat} outside the "
+                    f"{n_chunks}-chunk grid"
+                )
+            chunks.append((_offs(flat), stored or chunk_nbytes, caddr))
+        return 2, chunk_shape, chunks, None, None
+    kind = {4: "extensible array", 5: "version 2 B-tree"}.get(
+        index_type, f"type {index_type}"
+    )
+    raise HDF5Error(
+        f"{name}: layout v4 chunk index {kind!r} unsupported (backs "
+        "unlimited dimensions) — save with fixed dimension sizes or "
+        "without libver='latest' chunking"
+    )
+
+
+def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
+    """Walk one Fixed Array index (``FAHD`` header → ``FADB`` data
+    block → optional pages) and yield ``(flat_chunk_id, stored_size,
+    address)`` for every written chunk.  ``stored_size`` is None for
+    client 0 (non-filtered — caller substitutes the raw chunk size)."""
+    if buf[header_addr:header_addr + 4] != b"FAHD":
+        raise HDF5Error(f"{name}: bad fixed-array header signature")
+    client = buf[header_addr + 5]
+    entry_size = buf[header_addr + 6]
+    page_bits = buf[header_addr + 7]
+    max_entries, dblk_addr = struct.unpack_from("<QQ", buf, header_addr + 8)
+    if client not in (0, 1):
+        raise HDF5Error(
+            f"{name}: fixed-array client {client} is not a dataset-"
+            "chunk client"
+        )
+    if dblk_addr == UNDEF:
+        return
+    if buf[dblk_addr:dblk_addr + 4] != b"FADB":
+        raise HDF5Error(f"{name}: bad fixed-array data block signature")
+    pos = dblk_addr + 6 + 8  # signature+version+client, header address
+
+    def parse_elem(flat: int, p: int):
+        (caddr,) = struct.unpack_from("<Q", buf, p)
+        if caddr == UNDEF:
+            return None
+        if client == 0:
+            return (flat, None, caddr)
+        size_len = entry_size - 8 - 4
+        stored = int.from_bytes(buf[p + 8:p + 8 + size_len], "little")
+        return (flat, stored, caddr)
+
+    page_elems = 1 << page_bits
+    if max_entries <= page_elems:  # unpaged: elements inline
+        for flat in range(max_entries):
+            got = parse_elem(flat, pos + flat * entry_size)
+            if got is not None:
+                yield got
+        return
+    # paged: bitmap, data-block checksum, then pages (elements +
+    # 4-byte checksum each) laid out contiguously after the block
+    n_pages = -(-max_entries // page_elems)
+    bitmap = buf[pos:pos + (-(-n_pages // 8))]
+    pos += len(bitmap) + 4  # bitmap + data block checksum
+    for page in range(n_pages):
+        in_page = min(page_elems, max_entries - page * page_elems)
+        if bitmap[page // 8] & (1 << (page % 8)):
+            for j in range(in_page):
+                got = parse_elem(
+                    page * page_elems + j, pos + j * entry_size
+                )
+                if got is not None:
+                    yield got
+        pos += in_page * entry_size + 4  # elements + page checksum
 
 
 # --- dataset model ------------------------------------------------------------
@@ -843,6 +991,75 @@ def _object_header_v2(msgs: list[bytes]) -> bytes:
     )
 
 
+def _write_v4_index(
+    w: "_W", kind: str, chunks: list, filtered: bool, page_bits: int
+) -> tuple[int, int, bytes, int]:
+    """Emit one layout-v4 chunk index over already-written chunks (in C
+    flat order) and return ``(index_type, flags, pre_addr_fields,
+    address)`` for the layout message.
+
+    * ``single``: no file structure — the message itself carries the
+      (filtered) chunk size + filter mask and the chunk address.
+    * ``implicit``: no file structure — chunks are already contiguous
+      (the writer emits them back-to-back) and equal-sized.
+    * ``fixed``: a ``FAHD`` header + ``FADB`` data block; when the
+      chunk count exceeds ``2**page_bits`` the block pages exactly as
+      the C library lays it out (bitmap, block checksum, then element
+      pages each with a trailing checksum)."""
+    if kind == "single":
+        (offs, nbytes, addr) = chunks[0]
+        if filtered:
+            return 1, 0x02, struct.pack("<QI", nbytes, 0), addr
+        return 1, 0, b"", addr
+    if kind == "implicit":
+        return 2, 0, b"", chunks[0][2]
+    # fixed array
+    client = 1 if filtered else 0
+    if filtered:
+        size_len = max(1, (max(c[1] for c in chunks).bit_length() + 7) // 8)
+        entry_size = 8 + size_len + 4
+    else:
+        size_len = 0
+        entry_size = 8
+    n = len(chunks)
+
+    def elem(c) -> bytes:
+        if client == 0:
+            return struct.pack("<Q", c[2])
+        return (
+            struct.pack("<Q", c[2])
+            + c[1].to_bytes(size_len, "little")
+            + struct.pack("<I", 0)
+        )
+
+    fahd_at = w.tell()
+    w.write(b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, page_bits))
+    w.write(struct.pack("<Q", n))
+    dblk_at_ph = w.placeholder8()
+    w.write(b"\x00" * 4)  # checksum (reader does not verify)
+    dblk_at = w.tell()
+    w.patch8(dblk_at_ph, dblk_at)
+    w.write(b"FADB" + struct.pack("<BB", 0, client))
+    w.write(struct.pack("<Q", fahd_at))
+    page_elems = 1 << page_bits
+    if n <= page_elems:  # unpaged: elements inline
+        for c in chunks:
+            w.write(elem(c))
+        w.write(b"\x00" * 4)  # checksum
+    else:
+        n_pages = -(-n // page_elems)
+        bitmap = bytearray(-(-n_pages // 8))
+        for p in range(n_pages):
+            bitmap[p // 8] |= 1 << (p % 8)  # all pages initialized
+        w.write(bytes(bitmap))
+        w.write(b"\x00" * 4)  # data block checksum
+        for p in range(n_pages):
+            for c in chunks[p * page_elems:(p + 1) * page_elems]:
+                w.write(elem(c))
+            w.write(b"\x00" * 4)  # page checksum
+    return 3, 0, struct.pack("<B", page_bits), fahd_at
+
+
 def write_hdf5(
     path: str,
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
@@ -850,6 +1067,8 @@ def write_hdf5(
     chunk_shapes: dict[str, tuple[int, ...]] | None = None,
     compress: bool = False,
     latest: bool = False,
+    v4_index: str | None = None,
+    v4_page_bits: int = 10,
 ) -> None:
     """Write a minimal NetCDF4-flavored HDF5 file (fixture generation
     only — the engine's sinks are the GriddedTable, never HDF5).
@@ -863,8 +1082,22 @@ def write_hdf5(
     ``latest=True`` emits the libver='latest' container layout instead:
     superblock v3 and a version-2 root object header whose members are
     compact link messages (no symbol table / local heap / SNOD).
+
+    ``v4_index`` (requires ``latest=True``) switches chunked variables
+    from the v1 B-tree to a DATA LAYOUT v4 chunk index — what h5py
+    ``libver='latest'`` / netcdf-c 4.9 new-format files carry (r12):
+    ``"fixed"`` writes a Fixed Array (``FAHD``/``FADB``, paged when the
+    chunk count exceeds ``2**v4_page_bits``), ``"single"`` a Single
+    Chunk (chunk shape must equal the array shape), ``"implicit"`` an
+    Implicit index (uncompressed only — chunks contiguous in C order).
     """
     chunk_shapes = chunk_shapes or {}
+    if v4_index is not None and not latest:
+        raise ValueError("v4_index requires latest=True")
+    if v4_index not in (None, "fixed", "single", "implicit"):
+        raise ValueError(f"unknown v4_index {v4_index!r}")
+    if v4_index == "implicit" and compress:
+        raise ValueError("implicit index cannot carry filtered chunks")
     # normalize to native-endian contiguous arrays: the writer always
     # stamps little-endian datatype messages
     variables = {
@@ -911,10 +1144,15 @@ def write_hdf5(
     # ---- per-variable: data blocks first (addresses known), then headers
     data_addr: dict[str, int] = {}
     chunk_trees: dict[str, int] = {}
+    v4_info: dict[str, tuple[int, int, bytes, int]] = {}
     for n, (dims, arr, _va) in variables.items():
         arr = np.ascontiguousarray(arr)
         if n in chunk_shapes:
             cshape = chunk_shapes[n]
+            if v4_index == "single" and tuple(cshape) != arr.shape:
+                raise ValueError(
+                    "single-chunk index needs chunk shape == array shape"
+                )
             chunks = []
             grid = [range(0, s, c) for s, c in zip(arr.shape, cshape)]
             for offs in itertools.product(*grid):
@@ -931,6 +1169,11 @@ def write_hdf5(
                     raw = zlib.compress(raw, 6)
                 addr = w.write(raw)
                 chunks.append((offs, len(raw), addr))
+            if v4_index is not None:
+                v4_info[n] = _write_v4_index(
+                    w, v4_index, chunks, bool(compress), v4_page_bits
+                )
+                continue
             # v1 B-tree (level 0) over the chunks
             rank_plus = arr.ndim + 1
             tree_addr = w.tell()
@@ -974,7 +1217,23 @@ def write_hdf5(
             _msg(MSG_DATATYPE, _dt_message(arr.dtype)),
             _msg(MSG_FILL_VALUE, struct.pack("<BBBB", 2, 2, 0, 0)),
         ]
-        if n in chunk_trees:
+        if n in v4_info:
+            index_type, lflags, pre_addr, iaddr = v4_info[n]
+            rank_plus = arr.ndim + 1
+            cdims = [*chunk_shapes[n], arr.dtype.itemsize]
+            body = struct.pack("<BBBBB", 4, 2, lflags, rank_plus, 8)
+            body += b"".join(struct.pack("<Q", d) for d in cdims)
+            body += struct.pack("<B", index_type) + pre_addr
+            body += struct.pack("<Q", iaddr)
+            msgs.append(_msg(MSG_LAYOUT, body))
+            if compress:
+                filt = struct.pack("<BB6x", 1, 2)
+                filt += struct.pack("<HHHH", 2, 0, 1, 1)  # shuffle
+                filt += struct.pack("<i", arr.dtype.itemsize) + b"\x00" * 4
+                filt += struct.pack("<HHHH", 1, 0, 1, 1)  # deflate
+                filt += struct.pack("<i", 6) + b"\x00" * 4
+                msgs.append(_msg(MSG_FILTERS, filt))
+        elif n in chunk_trees:
             rank_plus = arr.ndim + 1
             cdims = [*chunk_shapes[n], arr.dtype.itemsize]
             body = struct.pack("<BBB", 3, 2, rank_plus)

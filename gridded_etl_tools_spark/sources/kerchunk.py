@@ -1358,9 +1358,6 @@ def write_parquet_refs(
     that slab.  Absent chunks are all-null rows; ``raw`` carries inline
     chunk bytes.  Fixture-writer scale (per-variable loop driver-side);
     the READ path is the distributed one."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     refs = parse_refs(doc)
     meta_keys: dict[str, object] = {}
     arrays = store_metadata(refs)
@@ -1369,48 +1366,9 @@ def write_parquet_refs(
         if leaf.startswith(".") or key.startswith("."):
             meta_keys[key] = val if isinstance(val, str) else json.dumps(val)
     os.makedirs(root, exist_ok=True)
-    schema = pa.schema(
-        [
-            pa.field("path", pa.string()),
-            pa.field("offset", pa.int64()),
-            pa.field("size", pa.int64()),
-            pa.field("raw", pa.binary()),
-        ]
-    )
     for name, meta in arrays.items():
-        grid = meta.chunk_grid
-        n = int(np.prod(grid))
-        rows: dict[int, tuple] = {}
-        for rel, ref in _chunk_refs(refs, name):
-            idx = zarr2.chunk_key_indices(rel, meta)
-            flat = int(np.ravel_multi_index(idx, grid))
-            if isinstance(ref, str):
-                rows[flat] = (None, None, None, _inline_bytes(ref))
-            else:
-                off = int(ref[1]) if len(ref) > 1 else 0
-                size = int(ref[2]) if len(ref) > 2 else None
-                rows[flat] = (ref[0], off, size, None)
-        vdir = os.path.join(root, name)
-        os.makedirs(vdir, exist_ok=True)
-        for start in range(0, n, record_size):
-            stop = min(start + record_size, n)
-            cols = list(
-                zip(*[rows.get(i, (None, None, None, None))
-                      for i in range(start, stop)])
-            )
-            table = pa.table(
-                {
-                    "path": pa.array(cols[0], pa.string()),
-                    "offset": pa.array(cols[1], pa.int64()),
-                    "size": pa.array(cols[2], pa.int64()),
-                    "raw": pa.array(cols[3], pa.binary()),
-                },
-                schema=schema,
-            )
-            pq.write_table(
-                table,
-                os.path.join(vdir, f"refs.{start // record_size}.parquet"),
-            )
+        _write_var_slabs(root, name, meta, _chunk_refs(refs, name),
+                         record_size)
     # .zmetadata LAST (third-pass review r10): it is the reader's and
     # the fixture cache's existence check, so it must only appear once
     # every slab is on disk — an interrupted write then leaves an
@@ -1419,6 +1377,87 @@ def write_parquet_refs(
         os.path.join(root, ".zmetadata"),
         {"metadata": meta_keys, "record_size": record_size},
     )
+
+
+def _ref_row(ref: object) -> tuple:
+    """One parsed ref value → a ``(path, offset, size, raw)`` parquet
+    manifest row (inline strings decode to raw bytes)."""
+    if isinstance(ref, str):
+        return (None, None, None, _inline_bytes(ref))
+    off = int(ref[1]) if len(ref) > 1 else 0
+    size = int(ref[2]) if len(ref) > 2 else None
+    return (ref[0], off, size, None)
+
+
+def _write_slab_atomic(vdir: str, slab: int, rows: list[tuple]) -> str:
+    """Write ONE ``refs.{slab}.parquet`` file atomically (tmp +
+    ``os.replace``), so a killed or retried task never leaves a torn
+    slab behind — retries overwrite idempotently.  ``rows`` is the
+    position-complete ``(path, offset, size, raw)`` list for the slab
+    (absent chunks as all-None rows)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("path", pa.string()),
+            pa.field("offset", pa.int64()),
+            pa.field("size", pa.int64()),
+            pa.field("raw", pa.binary()),
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[], [], [], []]
+    table = pa.table(
+        {
+            "path": pa.array(cols[0], pa.string()),
+            "offset": pa.array(cols[1], pa.int64()),
+            "size": pa.array(cols[2], pa.int64()),
+            "raw": pa.array(cols[3], pa.binary()),
+        },
+        schema=schema,
+    )
+    final = os.path.join(vdir, f"refs.{slab}.parquet")
+    fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return final
+
+
+def _write_var_slabs(
+    root: str,
+    name: str,
+    meta: zarr2.ZArray,
+    items: list[tuple[str, object]],
+    record_size: int,
+) -> None:
+    """Driver-side slab writer for ONE variable's ``(rel_key, ref)``
+    items — the fixture-scale path shared by :func:`write_parquet_refs`
+    and the non-concat (dimension-sized) arrays of
+    :func:`kerchunkify_to_parquet_refs`."""
+    grid = meta.chunk_grid
+    n = int(np.prod(grid))
+    rows: dict[int, tuple] = {}
+    for rel, ref in items:
+        idx = zarr2.chunk_key_indices(rel, meta)
+        flat = int(np.ravel_multi_index(idx, grid))
+        rows[flat] = _ref_row(ref)
+    vdir = os.path.join(root, name)
+    os.makedirs(vdir, exist_ok=True)
+    for start in range(0, n, record_size):
+        stop = min(start + record_size, n)
+        _write_slab_atomic(
+            vdir,
+            start // record_size,
+            [rows.get(i, (None, None, None, None))
+             for i in range(start, stop)],
+        )
 
 
 def _parquet_refs_metadata(root: str) -> tuple[dict, int]:
@@ -2042,6 +2081,17 @@ def kerchunkify_auto(buf: bytes, url: str, file_size: int | None = None) -> dict
     )
 
 
+def _zjson(val: object) -> dict:
+    """Normalize a refs metadata value to its parsed dict — v0 docs may
+    carry dict-valued metadata (the shape ``store_metadata`` normalizes
+    everywhere else)."""
+    if isinstance(val, dict):
+        return val
+    if isinstance(val, bytes):
+        val = val.decode()
+    return json.loads(val)
+
+
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     """MultiZarrToZarr's concat merge (reference ``create_zarr_json``,
     ``transform.py:40-117``): combine per-file refs documents into ONE
@@ -2052,16 +2102,6 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     the first), and docs are passed in concat order."""
     if not docs:
         raise KerchunkError("merge_refs_concat needs at least one doc")
-
-    def _zjson(val: object) -> dict:
-        # v0 docs may carry dict-valued metadata (the shape
-        # store_metadata normalizes everywhere else)
-        if isinstance(val, dict):
-            return val
-        if isinstance(val, bytes):
-            val = val.decode()
-        return json.loads(val)
-
     parsed = [parse_refs(d) for d in docs]
     out: dict[str, object] = dict(parsed[0])
     metas = store_metadata(parsed[0])
@@ -2164,6 +2204,32 @@ def kerchunkify_scan(
     path's local ``open()`` would have silently dropped the Hadoop-
     filesystem capability the old scan had); they pay whole-file reads,
     the same documented fallback HDF5/GRIB2 pay locally."""
+    from gridded_etl_tools_spark.sources.files import natural_key
+
+    out = _scan_refs_df(spark, path, glob, header_bytes)
+    # natural order, not lexicographic: era_2 before era_10 (second
+    # review pass r10 — the concat merge trusts this ordering)
+    collected = sorted(out.collect(), key=lambda r: natural_key(r.path))
+    docs = [json.loads(r.refs) for r in collected]
+    if return_stats:
+        # lengths ride the same job's rows — a second listing job
+        # could race a live ingest directory (code-review r11)
+        return docs, [
+            (r.path, int(r.bytes_read), int(r.file_size))
+            for r in collected
+        ]
+    return docs
+
+
+def _scan_refs_df(
+    spark: SparkSession, path: str, glob: str, header_bytes: int
+) -> DataFrame:
+    """The distributed per-file stage of :func:`kerchunkify_scan` as a
+    DataFrame ``(path, refs, bytes_read, file_size)`` — one executor
+    task per raw file, refs serialized as a JSON string column.
+    :func:`kerchunkify_scan` collects it (KB-scale docs, MZZ parity);
+    :func:`kerchunkify_to_parquet_refs` keeps it distributed all the
+    way into the parquet reference-store layout."""
     from gridded_etl_tools_spark.sources.files import read_binary_files
     from gridded_etl_tools_spark.sources.netcdf3 import NetCDF3Error
 
@@ -2235,24 +2301,366 @@ def kerchunkify_scan(
         )
 
     if is_local:
-        out = files.select("path", "length").mapInPandas(
+        return files.select("path", "length").mapInPandas(
             lambda it: (refs_local(pdf) for pdf in it), out_schema
         )
-    else:
-        out = files.select("path", "content").mapInPandas(
-            lambda it: (refs_content(pdf) for pdf in it), out_schema
-        )
-    from gridded_etl_tools_spark.sources.files import natural_key
+    return files.select("path", "content").mapInPandas(
+        lambda it: (refs_content(pdf) for pdf in it), out_schema
+    )
 
-    # natural order, not lexicographic: era_2 before era_10 (second
-    # review pass r10 — the concat merge trusts this ordering)
-    collected = sorted(out.collect(), key=lambda r: natural_key(r.path))
-    docs = [json.loads(r.refs) for r in collected]
-    if return_stats:
-        # lengths ride the same job's rows — a second listing job
-        # could race a live ingest directory (code-review r11)
-        return docs, [
-            (r.path, int(r.bytes_read), int(r.file_size))
-            for r in collected
-        ]
-    return docs
+
+def kerchunkify_to_parquet_refs(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    concat_dim: str,
+    glob: str = "*",
+    record_size: int = 10_000,
+    header_bytes: int = 65536,
+) -> dict:
+    """Distributed kerchunkify + concat merge, written DIRECTLY as a
+    parquet reference store — the scale form of
+    ``kerchunkify_scan`` → :func:`merge_refs_concat` →
+    :func:`write_parquet_refs` with the driver bottleneck removed
+    (verdict r11 missing #2): per-file refs docs are never collected
+    and no single in-memory JSON dict is ever built.  Reference parity:
+    ``create_zarr_json`` writing the MZZ-merged manifest
+    (``utils/transform.py:40-117``) at the scale kerchunk's own docs
+    say the JSON form cannot reach — fsspec's ``LazyReferenceMapper``
+    layout, which :func:`decode_parquet_refs` already reads
+    distributed.
+
+    The plan, Spark-first end to end:
+
+    1. ONE distributed scan task per raw file emits its refs doc as a
+       JSON string column (:func:`_scan_refs_df`, header-only I/O where
+       the format allows), persisted MEMORY_AND_DISK — it feeds three
+       downstream jobs without re-reading the archive.
+    2. The driver fetches ONLY the naturally-first doc (``limit 1``) —
+       the validation template and the source of the consolidated
+       metadata, exactly the role ``merge_refs_concat`` gives
+       ``docs[0]``.
+    3. Every doc validates EXECUTOR-side against the broadcast
+       template (same refusals as ``merge_refs_concat``: array-set
+       equality, concat chunking 1, chunks/dtype/extents/compressor
+       agreement, non-concat metadata byte-agreement) and emits one
+       tiny ``(file, array, leading_extent)`` row per concat array.
+    4. Per-file concat offsets are a WINDOW cumsum over the natural
+       filename order (``natural_sort_col`` — the JVM twin of the
+       driver sort ``kerchunkify_scan`` uses), shuffled on rows of
+       bytes, not refs.
+    5. Chunk refs explode executor-side into ``(name, flat_id, row)``
+       manifest rows — flat id = ``ravel_multi_index`` of the
+       offset-shifted chunk indices over the FINAL grid — and
+       ``groupBy(name, slab)`` writes each ``<var>/refs.{i}.parquet``
+       slab atomically from its own task.  A slab skeleton
+       (``spark.range`` per variable) guarantees every slab file
+       exists, so absent chunks materialize as fill at decode exactly
+       as :func:`write_parquet_refs` stores do.
+    6. The driver writes only the dimension-sized non-concat arrays
+       (coordinates — KB-scale by design, from doc 0) and the
+       consolidated ``.zmetadata``, LAST, preserving the
+       interrupted-write-is-invisible invariant.
+
+    Driver memory is O(one doc + one row per slab), never O(archive
+    refs) — asserted by test and measured by
+    ``scripts/ab_parquet_refs_merge.py``.  Returns a summary dict
+    ``{"files", "arrays": {name: total_leading_chunks}, "slabs"}``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from gridded_etl_tools_spark.sources.files import natural_sort_col
+
+    scans = (
+        _scan_refs_df(spark, path, glob, header_bytes)
+        .select("path", "refs")
+        .withColumn("nat", natural_sort_col(F.col("path")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        head = scans.orderBy("nat", "path").limit(1).collect()
+        if not head:
+            raise KerchunkError(
+                f"no files matched {glob!r} under {path!r}"
+            )
+        doc0 = parse_refs(json.loads(head[0].refs))
+        metas0 = store_metadata(doc0)
+        concat_names = sorted(
+            n for n, m in metas0.items() if m.dims and m.dims[0] == concat_dim
+        )
+        if not concat_names:
+            raise KerchunkError(
+                f"no array has leading dimension {concat_dim!r}"
+            )
+        # ONE validation contract for doc0 and every other doc: the
+        # executor-side checker runs on all of them (doc0 included via
+        # its own scan row), so doc0's own chunking refusals surface
+        # from the same code path merge_refs_concat uses.
+        template = {
+            "zarrays": {
+                n: _zjson(doc0[f"{n}/.zarray"]) for n in metas0
+            },
+            "concat": concat_names,
+            "concat_dim": concat_dim,
+        }
+        bc = spark.sparkContext.broadcast(json.dumps(template))
+
+        ext_schema = T.StructType(
+            [
+                T.StructField("nat", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+                T.StructField("name", T.StringType(), False),
+                T.StructField("n_lead", T.LongType(), False),
+            ]
+        )
+
+        def validate_extents(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            tpl = json.loads(bc.value)
+            tz, tnames = tpl["zarrays"], set(tpl["zarrays"])
+            for pdf in batches:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    doc = parse_refs(json.loads(row.refs))
+                    dmetas = store_metadata(doc)
+                    if set(dmetas) != tnames:
+                        raise KerchunkError(
+                            f"{row.path}: array set {sorted(dmetas)} "
+                            f"differs across docs (first has "
+                            f"{sorted(tnames)})"
+                        )
+                    for name in tpl["concat"]:
+                        dm, fm = dmetas[name], tz[name]
+                        if dm.chunks[0] != 1:
+                            raise KerchunkError(
+                                f"{row.path}: {name}: concat merge "
+                                f"needs chunk 1 along "
+                                f"{tpl['concat_dim']} (got "
+                                f"{dm.chunks[0]})"
+                            )
+                        if (
+                            list(dm.chunks) != list(fm["chunks"])
+                            or np.dtype(dm.dtype).str != fm["dtype"]
+                            or list(dm.shape[1:]) != list(fm["shape"][1:])
+                            or dm.compressor != fm["compressor"]
+                        ):
+                            raise KerchunkError(
+                                f"{row.path}: {name}: chunking/dtype/"
+                                "extents differ across docs"
+                            )
+                        rows.append(
+                            (row.nat, row.path, name, int(dm.shape[0]))
+                        )
+                    for name in tnames - set(tpl["concat"]):
+                        if _zjson(doc[f"{name}/.zarray"]) != tz[name]:
+                            raise KerchunkError(
+                                f"{name}: non-concat array metadata "
+                                "differs across docs"
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["nat", "path", "name", "n_lead"]
+                )
+
+        ext = scans.select("nat", "path", "refs").mapInPandas(
+            validate_extents, ext_schema
+        )
+        w = (
+            Window.partitionBy("name")
+            .orderBy("nat", "path")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = ext.withColumn(
+            "offset", F.coalesce(F.sum("n_lead").over(w), F.lit(0))
+        )
+        # totals per concat array: the ONLY whole-archive aggregate the
+        # driver sees (one row per array)
+        totals = {
+            r["name"]: int(r["total"])
+            for r in off.groupBy("name")
+            .agg(F.sum("n_lead").alias("total"))
+            .collect()
+        }
+        grids = {
+            n: (totals[n],) + tuple(metas0[n].chunk_grid[1:])
+            for n in concat_names
+        }
+        n_grids = {n: int(np.prod(g)) for n, g in grids.items()}
+
+        per_file = off.groupBy("nat", "path").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("name", "offset"))
+            ).alias("offsets")
+        )
+        joined = scans.join(per_file, ["nat", "path"])
+
+        row_schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("flat", T.LongType(), True),
+                T.StructField("url", T.StringType(), True),
+                T.StructField("off", T.LongType(), True),
+                T.StructField("size", T.LongType(), True),
+                T.StructField("raw", T.BinaryType(), True),
+            ]
+        )
+        grids_b = spark.sparkContext.broadcast(grids)
+
+        def explode_refs(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            gmap = grids_b.value
+            for pdf in batches:
+                names, flats, urls, offs, sizes, raws = (
+                    [], [], [], [], [], []
+                )
+                for row in pdf.itertuples(index=False):
+                    doc = parse_refs(json.loads(row.refs))
+                    dmetas = store_metadata(doc)
+                    offsets = dict(row.offsets)
+                    for name, lead_off in offsets.items():
+                        meta = dmetas[name]
+                        grid = gmap[name]
+                        for rel, ref in _chunk_refs(doc, name):
+                            idx = zarr2.chunk_key_indices(rel, meta)
+                            flat = int(
+                                np.ravel_multi_index(
+                                    (idx[0] + int(lead_off), *idx[1:]),
+                                    grid,
+                                )
+                            )
+                            p, o, s, rw = _ref_row(ref)
+                            names.append(name)
+                            flats.append(flat)
+                            urls.append(p)
+                            offs.append(o)
+                            sizes.append(s)
+                            raws.append(rw)
+                yield pd.DataFrame(
+                    {
+                        "name": names,
+                        "flat": pd.array(flats, dtype="Int64"),
+                        "url": urls,
+                        "off": pd.array(offs, dtype="Int64"),
+                        "size": pd.array(sizes, dtype="Int64"),
+                        "raw": raws,
+                    }
+                )
+
+        rows = (
+            joined.select("nat", "path", "refs", "offsets")
+            .mapInPandas(explode_refs, row_schema)
+            .withColumn(
+                "slab", F.floor(F.col("flat") / F.lit(record_size))
+            )
+        )
+        # slab skeleton: every refs.{i}.parquet file must exist even if
+        # no chunk landed in it — absent chunks materialize as fill at
+        # decode only when their slab row is readable (write_parquet_
+        # refs parity)
+        skel = None
+        for n in concat_names:
+            n_slabs = -(-n_grids[n] // record_size)
+            s = spark.range(n_slabs).select(
+                F.lit(n).alias("name"),
+                F.lit(None).cast("long").alias("flat"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("long").alias("off"),
+                F.lit(None).cast("long").alias("size"),
+                F.lit(None).cast("binary").alias("raw"),
+                F.col("id").alias("slab"),
+            )
+            skel = s if skel is None else skel.unionByName(s)
+        all_rows = rows.unionByName(skel)
+
+        os.makedirs(root, exist_ok=True)
+        for n in metas0:
+            os.makedirs(os.path.join(root, n), exist_ok=True)
+
+        result_schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("slab", T.LongType(), False),
+                T.StructField("n_refs", T.LongType(), False),
+            ]
+        )
+        ngrids_b = spark.sparkContext.broadcast(n_grids)
+        rs, out_root = record_size, root
+
+        def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            name = str(pdf["name"].iloc[0])
+            slab = int(pdf["slab"].iloc[0])
+            start = slab * rs
+            count = min(rs, ngrids_b.value[name] - start)
+            slab_rows: list[tuple] = [
+                (None, None, None, None)
+            ] * count
+            filled = set()
+            n_refs = 0
+            for row in pdf.itertuples(index=False):
+                if row.flat is None or pd.isna(row.flat):
+                    continue  # skeleton marker
+                pos = int(row.flat) - start
+                if pos in filled:
+                    raise KerchunkError(
+                        f"{name}: duplicate chunk id {int(row.flat)} "
+                        "across input files — concat offsets overlap"
+                    )
+                filled.add(pos)
+                raw = row.raw
+                if raw is not None and not isinstance(raw, bytes):
+                    raw = bytes(raw)
+                slab_rows[pos] = (
+                    row.url,
+                    None if pd.isna(row.off) else int(row.off),
+                    None if pd.isna(row.size) else int(row.size),
+                    raw,
+                )
+                n_refs += 1
+            _write_slab_atomic(
+                os.path.join(out_root, name), slab, slab_rows
+            )
+            return pd.DataFrame(
+                {"name": [name], "slab": [slab], "n_refs": [n_refs]}
+            )
+
+        written = (
+            all_rows.groupBy("name", "slab")
+            .applyInPandas(write_slab, result_schema)
+            .collect()
+        )
+        n_files = int(per_file.count())
+
+        # dimension-sized non-concat arrays (coordinates/statics) come
+        # from doc 0, driver-side — the same KB-scale trade every other
+        # front door makes
+        for n, m in metas0.items():
+            if n in concat_names:
+                continue
+            _write_var_slabs(root, n, m, _chunk_refs(doc0, n), record_size)
+
+        meta_keys: dict[str, object] = {}
+        for key, val in doc0.items():
+            leaf = key.rsplit("/", 1)[-1]
+            if leaf.startswith(".") or key.startswith("."):
+                meta_keys[key] = (
+                    val if isinstance(val, str) else json.dumps(val)
+                )
+        for n in concat_names:
+            z = _zjson(meta_keys[f"{n}/.zarray"])
+            z["shape"][0] = totals[n] * int(metas0[n].chunks[0])
+            meta_keys[f"{n}/.zarray"] = json.dumps(z)
+        # .zmetadata LAST: an interrupted distributed write leaves an
+        # invisible partial store, never a poisoned one
+        zarr2.write_json_atomic(
+            os.path.join(root, ".zmetadata"),
+            {"metadata": meta_keys, "record_size": record_size},
+        )
+        return {
+            "files": n_files,
+            "arrays": totals,
+            "slabs": len(written),
+        }
+    finally:
+        scans.unpersist()
