@@ -801,6 +801,8 @@ class _RangeClient:
         self._files: dict[str, object] = {}
         self._conns: dict[tuple[str, str], object] = {}
         self._s3 = None  # boto3 client, one per partition (import-gated)
+        self._gcs = None  # google-cloud-storage client (import-gated)
+        self._azure: dict[tuple, object] = {}  # (account, container) -> client
         # full bodies from Range-ignoring servers, memoized per url so a
         # partition of N refs costs ONE download, not N (second-pass
         # review r10); warned once per host; total bytes capped with
@@ -827,15 +829,10 @@ class _RangeClient:
             # ranged GETs through the import-gated public AWS SDK, one
             # client per partition (botocore pools the connections)
             return self._s3_fetch(url, offset, length)
-        if scheme in ("gs", "gcs", "az", "abfs", "abfss"):
-            raise KerchunkError(
-                f"ref target {url!r} uses object-store scheme "
-                f"{scheme!r}, which this decoder does not fetch "
-                "directly — rewrite the refs with presigned or public "
-                "https:// URLs for the same objects (the http branch "
-                "issues the identical ranged GETs), or localize the "
-                "objects and use plain paths"
-            )
+        if scheme in ("gs", "gcs"):
+            return self._gcs_fetch(url, offset, length)
+        if scheme in ("az", "abfs", "abfss"):
+            return self._azure_fetch(url, offset, length)
         fh = self._files.get(url)
         if fh is None:
             fh = self._files[url] = open(url, "rb")
@@ -876,6 +873,153 @@ class _RangeClient:
             return resp["Body"].read()
         except (ClientError, BotoCoreError) as exc:
             raise KerchunkError(f"S3 fetch failed for {url}: {exc}") from exc
+
+    #: test seams (r12, verdict r11 missing #3): when set, these
+    #: callables supply object-store clients instead of the
+    #: import-gated SDK constructors — tests/fake_object_stores.py
+    #: implements the same public client surfaces (the role moto plays
+    #: for the S3 branch), so the ranged-GET contract is testable in a
+    #: container without the Google/Azure SDKs installed.
+    _gcs_client_factory = None          # () -> google storage.Client
+    _azure_container_factory = None     # (account, container) -> client
+
+    def _gcs_fetch(
+        self, url: str, offset: int | None, length: int | None
+    ) -> bytes:
+        """Ranged download for ``gs://`` refs through the public
+        ``google-cloud-storage`` SDK (import-gated; absent SDK refuses
+        with the workaround named).  The SDK's ``start``/``end`` byte
+        offsets are INCLUSIVE; credentials resolve through its standard
+        chain (ADC env, metadata server)."""
+        if self._gcs is None:
+            if _RangeClient._gcs_client_factory is not None:
+                self._gcs = _RangeClient._gcs_client_factory()
+            else:
+                try:
+                    from google.cloud import storage
+                except ImportError as exc:
+                    raise KerchunkError(
+                        f"ref target {url!r} needs the Google Cloud "
+                        "Storage SDK (google-cloud-storage), which this "
+                        "environment lacks — rewrite the refs with "
+                        "presigned or public https:// URLs for the same "
+                        "objects (the http branch issues the identical "
+                        "ranged GETs), or install the SDK"
+                    ) from exc
+                try:
+                    self._gcs = storage.Client()
+                except Exception as exc:  # noqa: BLE001 - credential/
+                    # config failures must land in the decode taxonomy
+                    # with the workaround named, not escape raw from an
+                    # executor task (code-review r12)
+                    raise KerchunkError(
+                        f"GCS client construction failed for {url!r}: "
+                        f"{exc} — configure Application Default "
+                        "Credentials, or rewrite the refs with "
+                        "presigned or public https:// URLs"
+                    ) from exc
+        bucket, _, key = url.split("://", 1)[1].partition("/")
+        if not bucket or not key:
+            raise KerchunkError(f"malformed GCS ref target {url!r}")
+        start = int(offset or 0) if (offset is not None or length is not None) else None
+        end = None if length is None else int(start) + int(length) - 1
+        try:
+            return self._gcs.bucket(bucket).blob(key).download_as_bytes(
+                start=start, end=end
+            )
+        except KerchunkError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - SDK error taxonomy is
+            # version-dependent; the decode taxonomy is KerchunkError
+            raise KerchunkError(
+                f"GCS fetch failed for {url}: {exc}"
+            ) from exc
+
+    def _azure_fetch(
+        self, url: str, offset: int | None, length: int | None
+    ) -> bytes:
+        """Ranged download for ``abfss://container@account.dfs.core.
+        windows.net/key`` (and ``az://container/key``) refs through the
+        public ``azure-storage-blob`` SDK (import-gated).  Credentials:
+        ``AZURE_STORAGE_CONNECTION_STRING`` when set, else anonymous
+        access against the account's public blob endpoint."""
+        rest = url.split("://", 1)[1]
+        authority, _, key = rest.partition("/")
+        if "@" in authority:
+            container, _, host = authority.partition("@")
+            account = host.split(".", 1)[0]
+        else:
+            container, account = authority, None
+        if not container or not key:
+            raise KerchunkError(f"malformed Azure ref target {url!r}")
+        ckey = (account, container)
+        client = self._azure.get(ckey)
+        if client is None:
+            if _RangeClient._azure_container_factory is not None:
+                client = _RangeClient._azure_container_factory(
+                    account, container
+                )
+            else:
+                try:
+                    from azure.storage.blob import ContainerClient
+                except ImportError as exc:
+                    raise KerchunkError(
+                        f"ref target {url!r} needs the Azure Blob "
+                        "Storage SDK (azure-storage-blob), which this "
+                        "environment lacks — rewrite the refs with "
+                        "presigned or public https:// URLs for the same "
+                        "objects (the http branch issues the identical "
+                        "ranged GETs), or install the SDK"
+                    ) from exc
+                conn = os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+                if conn:
+                    try:
+                        client = ContainerClient.from_connection_string(
+                            conn, container
+                        )
+                    except Exception as exc:  # noqa: BLE001 - see GCS
+                        # branch: taxonomy, not a raw executor error
+                        # (code-review r12)
+                        raise KerchunkError(
+                            f"Azure client construction failed for "
+                            f"{url!r}: {exc} — check "
+                            "AZURE_STORAGE_CONNECTION_STRING, or "
+                            "rewrite the refs with presigned or public "
+                            "https:// URLs"
+                        ) from exc
+                elif account:
+                    try:
+                        client = ContainerClient(
+                            f"https://{account}.blob.core.windows.net",
+                            container,
+                            credential=None,
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        raise KerchunkError(
+                            f"Azure client construction failed for "
+                            f"{url!r}: {exc} — rewrite the refs with "
+                            "presigned or public https:// URLs"
+                        ) from exc
+                else:
+                    raise KerchunkError(
+                        f"ref target {url!r} names no storage account — "
+                        "use abfss://container@account.dfs.core.windows"
+                        ".net/key or set AZURE_STORAGE_CONNECTION_STRING"
+                    )
+            self._azure[ckey] = client
+        kwargs: dict = {}
+        if offset is not None or length is not None:
+            kwargs["offset"] = int(offset or 0)
+            if length is not None:
+                kwargs["length"] = int(length)
+        try:
+            return client.download_blob(key, **kwargs).readall()
+        except KerchunkError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - same taxonomy rule as GCS
+            raise KerchunkError(
+                f"Azure fetch failed for {url}: {exc}"
+            ) from exc
 
     def _cache_full_body(self, url: str, body: bytes) -> None:
         if len(body) > _FULL_BODY_CACHE_CAP:
@@ -1879,11 +2023,19 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
     chunked by 1 so MultiZarrToZarr-style concat merges work;
     latitude/longitude axes inline whole.
 
+    Ensemble files (template 4.1/4.11 perturbation numbers) virtualize
+    too (r12, verdict r11 missing #5 — reference ``scan_grib`` +
+    ``scan_indices``): a variable whose messages carry members gains an
+    ``ensemble`` dimension — shape ``[time, ensemble, lat, lon]``,
+    chunks ``[1, 1, nj, ni]``, a member-number axis array — and every
+    (time, member) cell must be present.
+
     Refusals (documented): projected/reduced grids (per-cell 2-D
-    coordinates have no 1-D zarr axes — decode those directly),
-    ensemble members (one member per file), grids or in-message field
-    indices that vary across a variable's messages, variables that
-    disagree on the grid or time axis, and duplicate valid times."""
+    coordinates have no 1-D zarr axes — decode those directly), grids
+    or in-message field indices that vary across a variable's
+    messages, variables that disagree on the grid/time/ensemble axes,
+    a variable mixing deterministic and ensemble messages, duplicate
+    (valid time, member) pairs, and incomplete time x member grids."""
     from gridded_etl_tools_spark.sources import grib2 as g2
 
     try:
@@ -1897,11 +2049,6 @@ def kerchunkify_grib2(buf: bytes, url: str) -> dict:
                 "projected/reduced GRIB grids carry per-cell "
                 "coordinates — no 1-D zarr axes to manifest; decode "
                 "directly (decode_grib2_long) instead"
-            )
-        if f["member"] is not None:
-            raise KerchunkError(
-                "ensemble GRIB messages unsupported in refs production "
-                "(one member per file; decode directly instead)"
             )
         key = (
             f["discipline"], f["category"], f["number"],
@@ -1947,24 +2094,47 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
     """Shared GRIB refs assembly for both editions: ``groups`` maps a
     variable key to its field descriptors (each carrying valid_time /
     lats / lons / msg_offset / msg_length, plus the in-message
-    ``field`` index for edition 2); ``namer(key)`` builds the array
-    name and ``codec(field_index)`` the array-level compressor config.
-    The time axis is the sorted valid times as CF seconds-since-epoch,
-    inline refs chunked by 1 so MultiZarrToZarr-style concat merges
-    work; latitude/longitude axes inline whole.  Refusals: grids or
-    in-message field indices varying across a variable's messages,
-    variables disagreeing on the time axis or grid, duplicate valid
-    times."""
+    ``field`` index for edition 2 and the ensemble ``member``);
+    ``namer(key)`` builds the array name and ``codec(field_index)`` the
+    array-level compressor config.  The time axis is the sorted valid
+    times as CF seconds-since-epoch, inline refs chunked by 1 so
+    MultiZarrToZarr-style concat merges work; latitude/longitude (and,
+    for ensemble variables, the member-number ``ensemble``) axes inline
+    whole.  Ensemble variables (r12) are ``[time, ensemble, lat, lon]``
+    with chunks ``[1, 1, nj, ni]`` — each (time, member) message is one
+    chunk.  Refusals: grids or in-message field indices varying across
+    a variable's messages, variables disagreeing on the
+    time/ensemble/grid axes, deterministic+ensemble mixes within one
+    variable, duplicate (valid time, member) pairs, incomplete
+    time x member grids."""
     import datetime as _dt
 
     epoch = _dt.datetime(1970, 1, 1)
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
-    shared: tuple | None = None  # (times, lats, lons) shared across vars
+    # (times, members, lats, lons) shared across variables; members is
+    # None for deterministic docs
+    shared: tuple | None = None
     for key in sorted(groups):
-        fs = sorted(groups[key], key=lambda f: f["valid_time"])
+        fs = sorted(
+            groups[key],
+            key=lambda f: (
+                f["valid_time"],
+                -1 if f.get("member") is None else int(f["member"]),
+            ),
+        )
         lats, lons = fs[0]["lats"], fs[0]["lons"]
         fidx = fs[0].get("field", 0)
-        times = []
+        mvals = {f.get("member") for f in fs}
+        if None in mvals and len(mvals) > 1:
+            raise KerchunkError(
+                f"variable {key} mixes deterministic and ensemble "
+                "messages — decode directly instead"
+            )
+        members = (
+            None if mvals == {None} else sorted(int(m) for m in mvals)
+        )
+        seen_cells = set()
+        times_set = []
         for f in fs:
             if not np.array_equal(f["lats"], lats) or not np.array_equal(
                 f["lons"], lons
@@ -1978,27 +2148,53 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
                     "times — the grib2 codec config is array-level; "
                     "decode directly instead"
                 )
-            times.append((f["valid_time"] - epoch).total_seconds())
-        if len(set(times)) != len(times):
-            raise KerchunkError(f"duplicate valid times for variable {key}")
+            cell = (f["valid_time"], f.get("member"))
+            if cell in seen_cells:
+                raise KerchunkError(
+                    f"duplicate valid times for variable {key}"
+                    if members is None
+                    else f"duplicate (valid time, member) for "
+                    f"variable {key}"
+                )
+            seen_cells.add(cell)
+            if f["valid_time"] not in times_set:
+                times_set.append(f["valid_time"])
+        times = [
+            (t - epoch).total_seconds() for t in sorted(times_set)
+        ]
+        if members is not None and len(fs) != len(times) * len(members):
+            raise KerchunkError(
+                f"variable {key}: incomplete time x member grid "
+                f"({len(fs)} messages for {len(times)} times x "
+                f"{len(members)} members)"
+            )
         if shared is None:
-            shared = (times, lats, lons)
+            shared = (times, members, lats, lons)
         elif (
             times != shared[0]
-            or not np.array_equal(lats, shared[1])
-            or not np.array_equal(lons, shared[2])
+            or members != shared[1]
+            or not np.array_equal(lats, shared[2])
+            or not np.array_equal(lons, shared[3])
         ):
             raise KerchunkError(
-                "variables disagree on the time axis or grid — one "
-                "congruent dataset per refs doc"
+                "variables disagree on the time/ensemble axes or grid "
+                "— one congruent dataset per refs doc"
             )
         name = namer(key)
         nj, ni = int(lats.size), int(lons.size)
+        if members is None:
+            shape = [len(times), nj, ni]
+            chunks = [1, nj, ni]
+            dims = ["time", "latitude", "longitude"]
+        else:
+            shape = [len(times), len(members), nj, ni]
+            chunks = [1, 1, nj, ni]
+            dims = ["time", "ensemble", "latitude", "longitude"]
         refs[f"{name}/.zarray"] = json.dumps(
             {
                 "zarr_format": 2,
-                "shape": [len(times), nj, ni],
-                "chunks": [1, nj, ni],
+                "shape": shape,
+                "chunks": chunks,
                 "dtype": "<f8",
                 "compressor": codec(fidx),
                 "fill_value": "NaN",
@@ -2007,17 +2203,47 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
                 "dimension_separator": ".",
             }
         )
-        refs[f"{name}/.zattrs"] = json.dumps(
-            {"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"]}
-        )
-        for ti, f in enumerate(fs):
-            refs[f"{name}/{ti}.0.0"] = [
-                url, int(f["msg_offset"]), int(f["msg_length"])
-            ]
+        refs[f"{name}/.zattrs"] = json.dumps({"_ARRAY_DIMENSIONS": dims})
+        t_index = {t: i for i, t in enumerate(sorted(times_set))}
+        if members is None:
+            for f in fs:
+                ti = t_index[f["valid_time"]]
+                refs[f"{name}/{ti}.0.0"] = [
+                    url, int(f["msg_offset"]), int(f["msg_length"])
+                ]
+        else:
+            m_index = {m: i for i, m in enumerate(members)}
+            for f in fs:
+                ti = t_index[f["valid_time"]]
+                mi = m_index[int(f["member"])]
+                refs[f"{name}/{ti}.{mi}.0.0"] = [
+                    url, int(f["msg_offset"]), int(f["msg_length"])
+                ]
     if shared is None:  # unreachable (both scans refuse field-less
         # buffers) — belt against a future scan change (review r11)
         raise KerchunkError(f"no GRIB fields to kerchunkify in {url!r}")
-    times, lats, lons = shared
+    times, members, lats, lons = shared
+    if members is not None:
+        mv = np.asarray(members, dtype="<f8")
+        refs["ensemble/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [int(mv.size)],
+                "chunks": [int(mv.size)],
+                "dtype": "<f8",
+                "compressor": None,
+                "fill_value": None,
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            }
+        )
+        refs["ensemble/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": ["ensemble"]}
+        )
+        refs["ensemble/0"] = (
+            "base64:" + base64.b64encode(mv.tobytes()).decode()
+        )
     for axis, vals, chunk in (
         ("time", np.asarray(times, dtype="<f8"), 1),
         ("latitude", np.asarray(lats, dtype="<f8"), int(lats.size)),
@@ -2092,6 +2318,36 @@ def _zjson(val: object) -> dict:
     return json.loads(val)
 
 
+def _inline_nonconcat_refs(doc: dict, name: str) -> dict[str, str]:
+    """One non-concat array's INLINE chunk refs (base64/raw strings) —
+    the values themselves, so cross-doc agreement is checkable without
+    data reads.  Byte-range refs into each doc's own source file
+    legitimately differ and are exempt."""
+    return {
+        rel: ref
+        for rel, ref in _chunk_refs(doc, name)
+        if isinstance(ref, str)
+    }
+
+
+def _check_nonconcat_inline(doc: dict, first_inline: dict, name: str,
+                            where: str) -> None:
+    """Non-concat arrays merge from the FIRST doc, silently dropping
+    later docs' copies — so metadata equality alone misses VALUE
+    disagreement when the axis data is inline (code-review r12: two
+    ensemble GRIB files with the same member COUNT but different member
+    NUMBERS had byte-identical ``ensemble/.zarray`` docs, merged
+    silently, and mislabeled every chunk of the second file).  Inline
+    refs ARE the values: they must agree."""
+    if _inline_nonconcat_refs(doc, name) != first_inline:
+        raise KerchunkError(
+            f"{where}: {name}: inline non-concat array DATA differs "
+            "across docs (same metadata, different values — e.g. "
+            "ensemble member numbers or coordinate axes) — one "
+            "congruent dataset per merge"
+        )
+
+
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     """MultiZarrToZarr's concat merge (reference ``create_zarr_json``,
     ``transform.py:40-117``): combine per-file refs documents into ONE
@@ -2142,7 +2398,9 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
                     "across docs"
                 )
         for name in set(dmetas) - set(concat_names):
-            if di and _zjson(doc[f"{name}/.zarray"]) != _zjson(
+            if not di:
+                continue
+            if _zjson(doc[f"{name}/.zarray"]) != _zjson(
                 out[f"{name}/.zarray"]
             ):
                 # non-concat arrays must agree (coordinates, statics)
@@ -2150,6 +2408,13 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
                     f"{name}: non-concat array metadata differs "
                     "across docs"
                 )
+            # ...and so must their inline DATA (code-review r12:
+            # same-shaped but different-valued ensemble axes merged
+            # silently, mislabeling chunks)
+            _check_nonconcat_inline(
+                doc, _inline_nonconcat_refs(parsed[0], name), name,
+                f"doc {di}",
+            )
         if di == 0:
             continue
         for name in concat_names:
@@ -2403,6 +2668,14 @@ def kerchunkify_to_parquet_refs(
             },
             "concat": concat_names,
             "concat_dim": concat_dim,
+            # non-concat INLINE data (KB-scale axes) rides the template
+            # so every doc's values — not just metadata — are checked
+            # executor-side (code-review r12: ensemble member numbers)
+            "inline": {
+                n: _inline_nonconcat_refs(doc0, n)
+                for n in metas0
+                if n not in concat_names
+            },
         }
         bc = spark.sparkContext.broadcast(json.dumps(template))
 
@@ -2459,6 +2732,9 @@ def kerchunkify_to_parquet_refs(
                                 f"{name}: non-concat array metadata "
                                 "differs across docs"
                             )
+                        _check_nonconcat_inline(
+                            doc, tpl["inline"][name], name, row.path
+                        )
                 yield pd.DataFrame(
                     rows, columns=["nat", "path", "name", "n_lead"]
                 )
@@ -2474,14 +2750,19 @@ def kerchunkify_to_parquet_refs(
         off = ext.withColumn(
             "offset", F.coalesce(F.sum("n_lead").over(w), F.lit(0))
         )
-        # totals per concat array: the ONLY whole-archive aggregate the
-        # driver sees (one row per array)
-        totals = {
-            r["name"]: int(r["total"])
-            for r in off.groupBy("name")
-            .agg(F.sum("n_lead").alias("total"))
+        # totals per concat array + the file count, off ONE aggregation
+        # job (code-review r12: a separate per_file.count() re-ran the
+        # whole validation pass just for the summary's file count)
+        agg_rows = (
+            off.groupBy("name")
+            .agg(
+                F.sum("n_lead").alias("total"),
+                F.count("*").alias("n_files"),
+            )
             .collect()
-        }
+        )
+        totals = {r["name"]: int(r["total"]) for r in agg_rows}
+        n_files = int(agg_rows[0]["n_files"]) if agg_rows else 0
         grids = {
             n: (totals[n],) + tuple(metas0[n].chunk_grid[1:])
             for n in concat_names
@@ -2630,7 +2911,6 @@ def kerchunkify_to_parquet_refs(
             .applyInPandas(write_slab, result_schema)
             .collect()
         )
-        n_files = int(per_file.count())
 
         # dimension-sized non-concat arrays (coordinates/statics) come
         # from doc 0, driver-side — the same KB-scale trade every other

@@ -97,6 +97,30 @@ class FakeGCSBlobHandle:
                 raise FakeApiError(404, self.name)
             del self._client._store[self.name]
 
+    def download_as_bytes(
+        self, start: int | None = None, end: int | None = None,
+        if_generation_match: int | None = None,
+    ) -> bytes:
+        """Ranged read like the real SDK's ``Blob.download_as_bytes``:
+        ``start``/``end`` are INCLUSIVE byte offsets (r12 — backs the
+        kerchunk ranged-GET contract tests)."""
+        with self._client._lock:
+            cur = self._client._store.get(self.name)
+            if cur is None:
+                raise FakeApiError(404, self.name)
+            if (
+                if_generation_match is not None
+                and cur.generation != if_generation_match
+            ):
+                raise FakeApiError(412, "generation mismatch")
+            data = cur.data
+            if start is None and end is None:
+                return data
+            s = int(start or 0)
+            if end is None:
+                return data[s:]
+            return data[s:int(end) + 1]
+
 
 class FakeGCSBucket:
     def __init__(self, client: "FakeGCSClient", name: str) -> None:
@@ -230,12 +254,28 @@ class FakeAzureContainerClient:
                     raise FakeApiError(412, "ConditionNotMet")
             self._store[name] = _AzureBlob(payload)
 
-    def download_blob(self, name: str) -> _AzureDownloader:
+    def download_blob(
+        self, name: str, offset: int | None = None,
+        length: int | None = None,
+    ) -> _AzureDownloader:
+        """Ranged read like the real SDK's ``download_blob(blob,
+        offset=, length=)`` (r12 — backs the kerchunk ranged-GET
+        contract tests).  Like the real SDK, ``length`` without
+        ``offset`` is an error."""
+        if length is not None and offset is None:
+            raise ValueError("offset must be provided when length is set")
         with self._lock:
             blob = self._store.get(name)
             if blob is None:
                 raise FakeApiError(404, name)
-            return _AzureDownloader(_AzureProps(name, blob), blob.data)
+            data = blob.data
+            if offset is not None:
+                data = (
+                    data[offset:]
+                    if length is None
+                    else data[offset:offset + length]
+                )
+            return _AzureDownloader(_AzureProps(name, blob), data)
 
     def get_blob_client(self, name: str) -> _AzureBlobClient:
         return _AzureBlobClient(self, name)

@@ -555,24 +555,24 @@ def test_range_client_refuses_object_store_schemes(monkeypatch):
     SDK is absent) refuse loudly with the presigned-https workaround
     named — previously they fell into open() as a bare
     FileNotFoundError."""
+    import sys
+
+    # mask ALL three SDKs so the refusals test the absent-SDK path even
+    # on images that ship them (code-review r12: only boto3 was masked)
+    for mod in ("boto3", "google", "google.cloud", "azure",
+                "azure.storage", "azure.storage.blob"):
+        monkeypatch.setitem(sys.modules, mod, None)
     client = kerchunk._RangeClient()
     try:
         for url in (
             "gs://bucket/key.bin",
             "abfss://cont@acct.dfs.core.windows.net/key.bin",
+            "s3://bucket/key.bin",
         ):
             with pytest.raises(
                 kerchunk.KerchunkError, match="presigned or public"
             ):
                 client.fetch(url, 0, 8)
-        # s3 without boto3: same loud refusal, workaround named
-        import sys
-
-        monkeypatch.setitem(sys.modules, "boto3", None)
-        with pytest.raises(
-            kerchunk.KerchunkError, match="presigned or public"
-        ):
-            client.fetch("s3://bucket/key.bin", 0, 8)
     finally:
         client.close()
 
@@ -623,6 +623,100 @@ def test_range_client_s3_ranged_get_via_moto(tmp_path, monkeypatch):
             kerchunk.parse_refs(doc), arrays["latitude"], base
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_range_client_gcs_ranged_get_via_fake(tmp_path, monkeypatch):
+    """gs:// refs issue ranged downloads through the public
+    google-cloud-storage client surface (r12, verdict r11 missing #3)
+    — fake-backed (tests/fake_object_stores.py, the role moto plays
+    for S3): every ref shape and the driver-side coordinate path
+    hash-equal the local decode.  The SDK-absent refusal is unchanged
+    (test_range_client_refuses_object_store_schemes)."""
+    from tests.fake_object_stores import FakeGCSClient
+
+    doc, base = _packed_refs(tmp_path)
+    blob = (tmp_path / "grid.bin").read_bytes()
+    fake = FakeGCSClient()
+    fake.bucket("refs-bucket").blob("era/grid.bin").upload_from_string(blob)
+    monkeypatch.setattr(
+        kerchunk._RangeClient, "_gcs_client_factory", staticmethod(lambda: fake)
+    )
+    url = "gs://refs-bucket/era/grid.bin"
+    client = kerchunk._RangeClient()
+    try:
+        assert client.fetch(url, 4, 8) == blob[4:12]
+        assert client.fetch(url, 4, None) == blob[4:]   # to EOF
+        assert client.fetch(url, None, 8) == blob[:8]   # first N bytes
+        assert client.fetch(url, None, None) == blob    # whole object
+        assert client.fetch(url, 4, 0) == b""           # zero-length
+        with pytest.raises(kerchunk.KerchunkError, match="GCS fetch"):
+            client.fetch("gs://refs-bucket/missing.bin", 0, 4)
+        with pytest.raises(kerchunk.KerchunkError, match="malformed GCS"):
+            client.fetch("gs://onlybucket", 0, 4)
+    finally:
+        client.close()
+    # driver-side coordinate path through the same client machinery
+    gs_doc = {
+        "version": 1,
+        "refs": {
+            k: ([url, *v[1:]] if isinstance(v, list) else v)
+            for k, v in doc["refs"].items()
+        },
+    }
+    refs = kerchunk.parse_refs(gs_doc)
+    arrays = kerchunk.store_metadata(refs)
+    got = kerchunk.read_array(refs, arrays["latitude"])
+    want = kerchunk.read_array(
+        kerchunk.parse_refs(doc), arrays["latitude"], base
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_range_client_azure_ranged_get_via_fake(tmp_path, monkeypatch):
+    """abfss://container@account… and az://container refs issue ranged
+    downloads through the public azure-storage-blob client surface
+    (r12), fake-backed; every ref shape hash-equals the local bytes,
+    and the container client is cached per (account, container)."""
+    from tests.fake_object_stores import FakeAzureContainerClient
+
+    doc, base = _packed_refs(tmp_path)
+    blob = (tmp_path / "grid.bin").read_bytes()
+    fake = FakeAzureContainerClient()
+    fake.upload_blob("era/grid.bin", blob)
+    made = []
+
+    def factory(account, container):
+        made.append((account, container))
+        return fake
+
+    monkeypatch.setattr(
+        kerchunk._RangeClient, "_azure_container_factory",
+        staticmethod(factory),
+    )
+    client = kerchunk._RangeClient()
+    try:
+        for url, acct in (
+            ("abfss://cont@acct.dfs.core.windows.net/era/grid.bin",
+             "acct"),
+            ("az://cont/era/grid.bin", None),
+        ):
+            assert client.fetch(url, 4, 8) == blob[4:12]
+            assert client.fetch(url, 4, None) == blob[4:]
+            assert client.fetch(url, None, 8) == blob[:8]
+            assert client.fetch(url, None, None) == blob
+            assert client.fetch(url, 4, 0) == b""
+        # one client per (account, container), reused across refs
+        assert made == [("acct", "cont"), (None, "cont")]
+        with pytest.raises(kerchunk.KerchunkError, match="Azure fetch"):
+            client.fetch(
+                "abfss://cont@acct.dfs.core.windows.net/missing.bin", 0, 4
+            )
+        with pytest.raises(
+            kerchunk.KerchunkError, match="malformed Azure"
+        ):
+            client.fetch("abfss://cont@acct.dfs.core.windows.net", 0, 4)
+    finally:
+        client.close()
 
 
 def test_range_client_full_body_cache_is_capped(monkeypatch):
@@ -1829,6 +1923,219 @@ def test_kerchunkify_grib2_scan_merge_decode(spark, tmp_path):
                 v = vals[i, j]
                 g = got[(ts, float(la), float(lo))]
                 assert (g is None) if v != v else (g == v)
+
+
+def _write_grib2_ensemble(tmp_path, n_files=1, n_steps=2, n_members=3):
+    """Ensemble GRIB2 fixture: each file carries n_steps x n_members
+    messages (template 4.1 perturbation numbers), one field each."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    nj, ni = 3, 4
+    lats = 40.0 - 0.5 * np.arange(nj)
+    lons = 250.0 + 0.5 * np.arange(ni)
+    era_dir = tmp_path / "g2ens"
+    era_dir.mkdir(exist_ok=True)
+    cells = {}  # (file, step, member) -> values
+    for fi in range(n_files):
+        msgs = []
+        for step in range(n_steps):
+            for mem in range(n_members):
+                vals = (
+                    np.arange(nj * ni, dtype="f8").reshape(nj, ni) * 3
+                    + fi * 1000 + step * 11 + mem * 100
+                ) % 97
+                if mem == 1:
+                    vals[0, 1] = np.nan  # bitmap-masked
+                cells[(fi, step, mem)] = vals
+                msgs.append({
+                    "values": vals, "lats": lats, "lons": lons,
+                    "reference_time": dt.datetime(2024, 1, 1 + fi),
+                    "forecast_hours": step * 6,
+                    "discipline": 0, "category": 1, "number": 8,
+                    "member": mem, "n_members": n_members,
+                })
+        g2.write_grib2(str(era_dir / f"era_{fi:03d}.grib2"), msgs)
+    return str(era_dir), cells, lats, lons
+
+
+def test_kerchunkify_grib2_ensemble_matches_direct(spark, tmp_path):
+    """Ensemble GRIB2 refs production (r12, verdict r11 missing #5):
+    a variable whose messages carry template-4.1 members gains an
+    ``ensemble`` dimension — [time, ensemble, lat, lon], chunks
+    [1,1,nj,ni], a member-number axis — and the virtual decode equals
+    the parser's field values cell-for-cell, bitmap holes NULL."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    era_dir, cells, lats, lons = _write_grib2_ensemble(tmp_path)
+    path = os.path.join(era_dir, "era_000.grib2")
+    buf = open(path, "rb").read()
+    refs = kerchunk.kerchunkify_grib2(buf, path)
+    arrays = kerchunk.store_metadata(refs)
+    (var,) = [n for n in arrays if n.startswith("d0_c1_n8")]
+    meta = arrays[var]
+    assert meta.shape == (2, 3, 3, 4) and meta.chunks == (1, 1, 3, 4)
+    assert meta.dims == ["time", "ensemble", "latitude", "longitude"]
+    assert "ensemble" in arrays and arrays["ensemble"].shape == (3,)
+    got = {
+        (r.time, r.ensemble, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, refs, var).collect()
+    }
+    assert len(got) == 72
+    base = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+    for (fi, step, mem), vals in cells.items():
+        ts = base + step * 6 * 3600
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                v = vals[i, j]
+                g = got[(ts, float(mem), float(la), float(lo))]
+                assert (g is None) if v != v else (g == v)
+    # the same values through the direct forecast decode agree
+    direct = g2.grib2_forecast_long_frame(buf)
+    for row in direct.itertuples(index=False):
+        step = int(row.step // (6 * 3600))
+        want = cells[(0, step, int(row.ensemble))][
+            int(np.where(lats == row.latitude)[0][0]),
+            int(np.where(lons == row.longitude)[0][0]),
+        ]
+        g = got[(base + row.step, row.ensemble, row.latitude,
+                 row.longitude)]
+        assert (g is None) if want != want else (g == want)
+
+
+def test_kerchunkify_grib2_ensemble_scan_merge(spark, tmp_path):
+    """Two ensemble files concat-merge along time: the ensemble axis is
+    a non-concat array (identical across docs), time shifts by file,
+    and every (time, member) cell reads back."""
+    era_dir, cells, lats, lons = _write_grib2_ensemble(tmp_path, n_files=2)
+    docs = kerchunk.kerchunkify_scan(spark, era_dir, glob="*.grib2")
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    arrays = kerchunk.store_metadata(merged)
+    (var,) = [n for n in arrays if n.startswith("d0_c1_n8")]
+    assert arrays[var].shape == (4, 3, 3, 4)
+    got = {
+        (r.time, r.ensemble, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, merged, var).collect()
+    }
+    assert len(got) == 144
+    import datetime as dt
+
+    for (fi, step, mem), vals in cells.items():
+        ts = (
+            dt.datetime(2024, 1 , 1 + fi) - dt.datetime(1970, 1, 1)
+        ).total_seconds() + step * 6 * 3600
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                v = vals[i, j]
+                g = got[(ts, float(mem), float(la), float(lo))]
+                assert (g is None) if v != v else (g == v)
+
+
+def test_ensemble_grib_through_distributed_parquet_refs(spark, tmp_path):
+    """Cross-feature (r12): an ensemble GRIB archive through the
+    DISTRIBUTED parquet-refs merge — 4-D chunk grids ravel correctly
+    ([time, ensemble, lat, lon], concat along time), the ensemble axis
+    rides as a non-concat coordinate, and the parquet-store decode
+    equals the JSON-path decode cell-for-cell."""
+    era_dir, cells, lats, lons = _write_grib2_ensemble(tmp_path, n_files=2)
+    docs = kerchunk.kerchunkify_scan(spark, era_dir, glob="*.grib2")
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    (var,) = [
+        n for n in kerchunk.store_metadata(merged)
+        if n.startswith("d0_c1_n8")
+    ]
+    want = {
+        (r.time, r.ensemble, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(spark, merged, var).collect()
+    }
+    root = str(tmp_path / "ens_pq")
+    summary = kerchunk.kerchunkify_to_parquet_refs(
+        spark, era_dir, root, "time", glob="*.grib2", record_size=3
+    )
+    assert summary["files"] == 2
+    got = {
+        (r.time, r.ensemble, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(spark, root, var).collect()
+    }
+    assert got == want and len(got) == 144
+
+
+def test_ensemble_member_mismatch_across_files_refuses(spark, tmp_path):
+    """code-review r12: two ensemble files with the same member COUNT
+    but different member NUMBERS have byte-identical ensemble/.zarray
+    metadata — the merge must compare the inline axis DATA and refuse,
+    in BOTH merge paths, instead of silently mislabeling file 2's
+    chunks."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    nj, ni = 2, 2
+    lats = 40.0 - np.arange(nj)
+    lons = 250.0 + np.arange(ni)
+    era_dir = tmp_path / "lagens"
+    era_dir.mkdir()
+    for fi, members in enumerate(([0, 1, 2], [3, 4, 5])):
+        msgs = [
+            {
+                "values": np.full((nj, ni), float(fi * 10 + mem)),
+                "lats": lats, "lons": lons,
+                "reference_time": dt.datetime(2024, 1, 1 + fi),
+                "forecast_hours": 0,
+                "discipline": 0, "category": 1, "number": 8,
+                "member": mem, "n_members": 3,
+            }
+            for mem in members
+        ]
+        g2.write_grib2(str(era_dir / f"era_{fi:03d}.grib2"), msgs)
+    docs = kerchunk.kerchunkify_scan(spark, str(era_dir), glob="*.grib2")
+    with pytest.raises(kerchunk.KerchunkError, match="inline non-concat"):
+        kerchunk.merge_refs_concat(docs, "time")
+    with pytest.raises(Exception, match="inline non-concat"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(era_dir), str(tmp_path / "lag_pq"), "time",
+            glob="*.grib2",
+        )
+    assert not os.path.exists(str(tmp_path / "lag_pq" / ".zmetadata"))
+
+
+def test_kerchunkify_grib2_ensemble_refusals(tmp_path):
+    """Incomplete time x member grids and deterministic+ensemble mixes
+    within one variable refuse loudly."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib2 as g2
+
+    nj, ni = 2, 2
+    lats = 40.0 - np.arange(nj)
+    lons = 250.0 + np.arange(ni)
+
+    def msg(step, mem):
+        m = {
+            "values": np.full((nj, ni), 1.0 + step + (mem or 0)),
+            "lats": lats, "lons": lons,
+            "reference_time": dt.datetime(2024, 1, 1),
+            "forecast_hours": step * 6,
+            "discipline": 0, "category": 1, "number": 8,
+        }
+        if mem is not None:
+            m["member"] = mem
+            m["n_members"] = 2
+        return m
+
+    # incomplete: member 1 missing at step 1
+    p1 = str(tmp_path / "incomplete.grib2")
+    g2.write_grib2(p1, [msg(0, 0), msg(0, 1), msg(1, 0)])
+    with pytest.raises(kerchunk.KerchunkError, match="incomplete"):
+        kerchunk.kerchunkify_grib2(open(p1, "rb").read(), p1)
+    # mixed deterministic + ensemble in one variable
+    p2 = str(tmp_path / "mixed.grib2")
+    g2.write_grib2(p2, [msg(0, None), msg(1, 0)])
+    with pytest.raises(kerchunk.KerchunkError, match="mixes deterministic"):
+        kerchunk.kerchunkify_grib2(open(p2, "rb").read(), p2)
 
 
 def test_kerchunkify_scan_is_header_only_for_netcdf3(spark, tmp_path):

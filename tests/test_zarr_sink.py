@@ -1104,6 +1104,147 @@ def test_lease_ttl_takeover_fences_zombie(tmp_path):
         assert not b.update_in_progress()
 
 
+def test_lease_heartbeat_survives_short_ttl(tmp_path):
+    """Heartbeat renewal (r12, verdict r11 missing #6): under a short
+    TTL, a renewing writer's lease never ages past the TTL — a rival's
+    acquire keeps REFUSING for the whole (longer-than-TTL) run and the
+    writer's own fencing check stays green.  A true zombie (no
+    heartbeat) over the same TTL still expires and gets fenced — the
+    takeover path is unchanged."""
+    import time as _time
+
+    from gridded_etl_tools_spark.sinks.fsio import MemoryControlFS
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+
+    for fs in (None, MemoryControlFS()):
+        root = str(tmp_path / ("hb-local" if fs is None else "hb-mem"))
+        ttl = 0.4
+        a = ZarrWriterLease(root, fs, stale_lease_seconds=ttl)
+        state = a.acquire()
+        with a.heartbeat(state, interval=0.08):
+            deadline = _time.time() + 3 * ttl  # run well past the TTL
+            while _time.time() < deadline:
+                with pytest.raises(ConcurrentWriteError, match="in progress"):
+                    ZarrWriterLease(
+                        root, fs, stale_lease_seconds=ttl
+                    ).acquire()
+                _time.sleep(0.05)
+            a.check(state)  # never fenced while renewing
+        a.release(state)
+        assert not a.update_in_progress()
+        # zombie control: same TTL, NO heartbeat -> rival takes over,
+        # zombie fences
+        z = ZarrWriterLease(root, fs, stale_lease_seconds=ttl)
+        state_z = z.acquire()
+        _time.sleep(ttl + 0.2)
+        rival = ZarrWriterLease(root, fs, stale_lease_seconds=ttl)
+        state_r = rival.acquire()
+        with pytest.raises(ConcurrentWriteError, match="taken over"):
+            z.check(state_z)
+        with pytest.raises(ConcurrentWriteError, match="taken over"):
+            z.renew(state_z)  # renewal after takeover loses the CAS
+        rival.check(state_r)
+        rival.release(state_r)
+
+
+def test_lease_heartbeat_keeps_long_append_alive(spark, tmp_path, monkeypatch):
+    """End-to-end: an append whose chunk-write work runs LONGER than
+    the TTL survives because the mutator runs under lease.heartbeat —
+    the final fencing check passes and the append commits.  Without
+    the heartbeat (renew patched out), the same slow append gets taken
+    over mid-run and fences instead of silently finishing."""
+    import contextlib as _contextlib
+    import threading as _threading
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from gridded_etl_tools_spark.sinks import zarr_sink as zs
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+
+    root = str(tmp_path / "hb.zarr")
+    zs.write_zarr_distributed(  # chunk 1 along time: append-aligned
+        _long_frame(spark), root, "v", dims=["time", "x"], chunks=(1, 3)
+    )
+    ttl = 0.6
+    orig_impl = zs._append_zarr_impl
+
+    def slow_impl(df, root_, data_var, value_col, lease_check):
+        _time.sleep(2.5 * ttl)  # longer than the TTL
+        return orig_impl(df, root_, data_var, value_col, lease_check)
+
+    monkeypatch.setattr(zs, "_append_zarr_impl", slow_impl)
+    app = spark.createDataFrame([Row(time=9.0, x=10.0, value=1.0)])
+    zs.append_zarr_distributed(app, root, "v", stale_lease_seconds=ttl)
+    got = {(r.time, r.x): r.value
+           for r in zarr2.decode_zarr_long(spark, root, "v").collect()}
+    assert got[(9.0, 10.0)] == 1.0  # the slow append committed
+    # control: heartbeat patched out -> a mid-run rival takes the
+    # expired lease over and the slow append FENCES instead of
+    # silently finishing
+    monkeypatch.setattr(
+        zs.ZarrWriterLease, "heartbeat",
+        lambda self, state, interval=None: _contextlib.nullcontext(),
+    )
+
+    def rival():
+        _time.sleep(1.5 * ttl)  # past the (un-renewed) TTL
+        lease = zs.ZarrWriterLease(root, stale_lease_seconds=ttl)
+        st = lease.acquire()
+        lease.release(st)
+
+    t = _threading.Thread(target=rival)
+    t.start()
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            zs.append_zarr_distributed(
+                spark.createDataFrame([Row(time=10.0, x=10.0, value=2.0)]),
+                root, "v", stale_lease_seconds=ttl,
+            )
+    finally:
+        t.join()
+
+
+def test_lease_heartbeat_retries_transient_renew_errors(tmp_path):
+    """code-review r12: a transient control-plane error (throttling, IO
+    blip) during one renewal must NOT kill the heartbeat thread — it
+    retries on the next interval and the lease keeps renewing; only a
+    real takeover (ConcurrentWriteError) stops it.  Also: the fencing
+    mutex exists from acquire() (not lazily from the first renew), so
+    check() and an in-flight renewal serialize."""
+    import time as _time
+
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+
+    root = str(tmp_path / "hb-retry")
+    lease = ZarrWriterLease(root, stale_lease_seconds=0.5)
+    state = lease.acquire()
+    assert state.get("_mutex") is not None  # mutex born at acquire
+    flaky = {"left": 2}
+    orig = lease._fs.compare_and_swap
+
+    def sometimes(path, new, old):
+        if path.endswith(".zarr_lease") and flaky["left"] > 0 and (
+            "update_in_progress\": true" in new
+        ):
+            flaky["left"] -= 1
+            raise OSError("transient control-plane blip")
+        return orig(path, new, old)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(lease._fs, "compare_and_swap", sometimes):
+        with lease.heartbeat(state, interval=0.06):
+            _time.sleep(0.45)  # two failed renewals + successful ones
+            lease.check(state)  # still ours, never fenced
+    assert flaky["left"] == 0  # the transient errors actually fired
+    with pytest.raises(ConcurrentWriteError, match="in progress"):
+        ZarrWriterLease(root, stale_lease_seconds=60).acquire()
+    lease.release(state)
+
+
 def test_lease_acquire_race_single_winner(tmp_path):
     """N threads race one free lease: exactly one CAS wins (Local
     flock-sidecar backend and the object-store fake)."""
