@@ -205,6 +205,11 @@ class ZarrWriterLease:
         over (the caller's next :meth:`check` would too)."""
         lock = state.setdefault("_mutex", threading.Lock())
         with lock:
+            if state.get("_released"):
+                raise ConcurrentWriteError(
+                    f"zarr lease on {self.root} was already released — "
+                    "late heartbeat renewal refused"
+                )
             doc = {
                 k: v for k, v in state.items() if not k.startswith("_")
             }
@@ -264,10 +269,26 @@ class ZarrWriterLease:
 
     def release(self, state: dict) -> None:
         """Clear the lease iff this writer still owns it — a CAS
-        against the acquire-time bytes, so a takeover's fresh lease is
-        never clobbered (no read-check-write window)."""
-        cleared = json.dumps({"update_in_progress": False}, sort_keys=True)
-        self._fs.compare_and_swap(self._path, cleared, state["_witness"])
+        against the witness bytes, so a takeover's fresh lease is never
+        clobbered (no read-check-write window).  Takes the renew mutex
+        (code-review r12): a heartbeat renewal that outlived its join
+        timeout could otherwise commit a fresh witness AFTER release
+        read the old one, making the clear-CAS miss silently and
+        leaving the lease held forever under the default no-TTL
+        config.  Under the mutex the witness is always current in this
+        process, so a missed CAS means a real external takeover — the
+        one case ignoring it is correct."""
+        lock = state.get("_mutex")
+        with lock if lock is not None else contextlib.nullcontext():
+            cleared = json.dumps(
+                {"update_in_progress": False}, sort_keys=True
+            )
+            self._fs.compare_and_swap(
+                self._path, cleared, state["_witness"]
+            )
+            # fence any late renewal deterministically: a renew after
+            # release must never re-take the cleared lease
+            state["_released"] = True
 
     def force_unlock(self) -> None:
         """Operational recovery for a crashed writer.  Never call while

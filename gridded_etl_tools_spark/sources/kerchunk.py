@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import ast
 import base64
+import contextlib
 import itertools
 import json
 import math
@@ -972,6 +973,16 @@ class _RangeClient:
                         "ranged GETs), or install the SDK"
                     ) from exc
                 conn = os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+                if conn and account:
+                    # the connection string names ONE account — using
+                    # it for a ref that targets a DIFFERENT account
+                    # would silently read the wrong account's bytes
+                    # (code-review r12: cross-account refs)
+                    m = re.search(
+                        r"AccountName=([^;]+)", conn, re.IGNORECASE
+                    )
+                    if m and m.group(1).strip().lower() != account.lower():
+                        conn = None
                 if conn:
                     try:
                         client = ContainerClient.from_connection_string(
@@ -1111,6 +1122,21 @@ class _RangeClient:
             conn.close()
         self._files.clear()
         self._conns.clear()
+        # object-store clients hold HTTP session pools (code-review
+        # r12: long-lived executors leaked sockets per partition)
+        if self._gcs is not None:
+            with contextlib.suppress(Exception):
+                self._gcs.close()
+            self._gcs = None
+        for client in self._azure.values():
+            with contextlib.suppress(Exception):
+                client.close()
+        self._azure.clear()
+        # boto3 clients are pooled by botocore; close if supported
+        if self._s3 is not None:
+            with contextlib.suppress(Exception):
+                self._s3.close()
+            self._s3 = None
 
 
 def _fetch_range(url: str, offset: int | None, length: int | None) -> bytes:
@@ -2134,7 +2160,8 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
             None if mvals == {None} else sorted(int(m) for m in mvals)
         )
         seen_cells = set()
-        times_set = []
+        times_set = []  # built in sorted order (fs sorts by time first)
+        times_seen = set()  # O(1) membership (code-review r12)
         for f in fs:
             if not np.array_equal(f["lats"], lats) or not np.array_equal(
                 f["lons"], lons
@@ -2157,11 +2184,10 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
                     f"variable {key}"
                 )
             seen_cells.add(cell)
-            if f["valid_time"] not in times_set:
+            if f["valid_time"] not in times_seen:
+                times_seen.add(f["valid_time"])
                 times_set.append(f["valid_time"])
-        times = [
-            (t - epoch).total_seconds() for t in sorted(times_set)
-        ]
+        times = [(t - epoch).total_seconds() for t in times_set]
         if members is not None and len(fs) != len(times) * len(members):
             raise KerchunkError(
                 f"variable {key}: incomplete time x member grid "
@@ -2204,7 +2230,7 @@ def _grib_refs_from_groups(url: str, groups: dict, namer, codec) -> dict:
             }
         )
         refs[f"{name}/.zattrs"] = json.dumps({"_ARRAY_DIMENSIONS": dims})
-        t_index = {t: i for i, t in enumerate(sorted(times_set))}
+        t_index = {t: i for i, t in enumerate(times_set)}
         if members is None:
             for f in fs:
                 ti = t_index[f["valid_time"]]
@@ -2318,34 +2344,39 @@ def _zjson(val: object) -> dict:
     return json.loads(val)
 
 
-def _inline_nonconcat_refs(doc: dict, name: str) -> dict[str, str]:
-    """One non-concat array's INLINE chunk refs (base64/raw strings) —
-    the values themselves, so cross-doc agreement is checkable without
-    data reads.  Byte-range refs into each doc's own source file
-    legitimately differ and are exempt."""
-    return {
-        rel: ref
-        for rel, ref in _chunk_refs(doc, name)
-        if isinstance(ref, str)
-    }
+#: non-concat arrays up to this decoded size verify by VALUE during a
+#: merge (they are dimension-scale axes by design); larger ones keep
+#: MZZ's first-doc-wins with metadata-only checks (documented residual)
+_NONCONCAT_VERIFY_BOUND = 4 * 1024 * 1024
 
 
-def _check_nonconcat_inline(doc: dict, first_inline: dict, name: str,
-                            where: str) -> None:
-    """Non-concat arrays merge from the FIRST doc, silently dropping
-    later docs' copies — so metadata equality alone misses VALUE
-    disagreement when the axis data is inline (code-review r12: two
-    ensemble GRIB files with the same member COUNT but different member
-    NUMBERS had byte-identical ``ensemble/.zarray`` docs, merged
-    silently, and mislabeled every chunk of the second file).  Inline
-    refs ARE the values: they must agree."""
-    if _inline_nonconcat_refs(doc, name) != first_inline:
-        raise KerchunkError(
-            f"{where}: {name}: inline non-concat array DATA differs "
-            "across docs (same metadata, different values — e.g. "
-            "ensemble member numbers or coordinate axes) — one "
-            "congruent dataset per merge"
-        )
+def _nonconcat_value_digest(refs: dict, meta: zarr2.ZArray) -> str | None:
+    """md5 of one non-concat array's DECODED values — the cross-doc
+    agreement witness (code-review r12, two passes): non-concat arrays
+    merge from the FIRST doc, silently dropping later copies, so
+    metadata equality alone misses VALUE disagreement — two ensemble
+    GRIB files with the same member COUNT but different member NUMBERS
+    had byte-identical ``ensemble/.zarray`` docs and merged silently;
+    same-shaped NetCDF latitude axes with different values did too
+    (their refs are byte ranges, so no inline comparison can see
+    them).  Decoding the axis (KB-scale by design) and hashing the
+    values catches both.  Returns None above the verification bound
+    (first-doc-wins residual, MZZ parity) or when the refs are not
+    fetchable from here (no fetch capability = nothing to verify —
+    the decode itself would refuse identically)."""
+    import hashlib
+
+    nbytes = (
+        int(np.prod(meta.shape, dtype=np.int64))
+        * np.dtype(meta.dtype).itemsize
+    )
+    if nbytes > _NONCONCAT_VERIFY_BOUND:
+        return None
+    try:
+        arr = read_array(refs, meta)
+    except KerchunkError:
+        return None  # unfetchable from this process: unverifiable
+    return hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
 
 
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
@@ -2369,6 +2400,12 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
             f"no array has leading dimension {concat_dim!r}"
         )
     totals = {n: metas[n].shape[0] for n in concat_names}
+    # doc0's non-concat VALUE digests, computed ONCE (code-review r12:
+    # recomputing per (doc, name) made the metadata-math path quadratic)
+    first_digests = {
+        n: _nonconcat_value_digest(parsed[0], metas[n])
+        for n in set(metas) - set(concat_names)
+    }
     # EVERY doc is validated the same way (second review pass r10: the
     # first pass checked chunking on docs[0] only, silently merging
     # later docs with different chunking, dtype, or array sets into a
@@ -2408,13 +2445,20 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
                     f"{name}: non-concat array metadata differs "
                     "across docs"
                 )
-            # ...and so must their inline DATA (code-review r12:
-            # same-shaped but different-valued ensemble axes merged
-            # silently, mislabeling chunks)
-            _check_nonconcat_inline(
-                doc, _inline_nonconcat_refs(parsed[0], name), name,
-                f"doc {di}",
-            )
+            # ...and so must their VALUES (code-review r12, two
+            # passes: same-shaped but different-valued ensemble member
+            # axes — and byte-range coordinate axes — merged silently,
+            # mislabeling every chunk of the later files)
+            if first_digests[name] is not None and (
+                _nonconcat_value_digest(doc, dmetas[name])
+                != first_digests[name]
+            ):
+                raise KerchunkError(
+                    f"doc {di}: {name}: non-concat array DATA differs "
+                    "across docs (same metadata, different values — "
+                    "e.g. ensemble member numbers or coordinate axes) "
+                    "— one congruent dataset per merge"
+                )
         if di == 0:
             continue
         for name in concat_names:
@@ -2668,11 +2712,13 @@ def kerchunkify_to_parquet_refs(
             },
             "concat": concat_names,
             "concat_dim": concat_dim,
-            # non-concat INLINE data (KB-scale axes) rides the template
-            # so every doc's values — not just metadata — are checked
-            # executor-side (code-review r12: ensemble member numbers)
-            "inline": {
-                n: _inline_nonconcat_refs(doc0, n)
+            # doc0's non-concat VALUE digests ride the template so
+            # every doc's axis values — not just metadata — are
+            # checked executor-side against its OWN source file
+            # (code-review r12: ensemble member numbers; byte-range
+            # coordinate axes)
+            "digests": {
+                n: _nonconcat_value_digest(doc0, metas0[n])
                 for n in metas0
                 if n not in concat_names
             },
@@ -2732,9 +2778,16 @@ def kerchunkify_to_parquet_refs(
                                 f"{name}: non-concat array metadata "
                                 "differs across docs"
                             )
-                        _check_nonconcat_inline(
-                            doc, tpl["inline"][name], name, row.path
-                        )
+                        dig0 = tpl["digests"][name]
+                        if dig0 is not None and (
+                            _nonconcat_value_digest(doc, dmetas[name])
+                            != dig0
+                        ):
+                            raise KerchunkError(
+                                f"{row.path}: {name}: non-concat array "
+                                "DATA differs across docs (same "
+                                "metadata, different values)"
+                            )
                 yield pd.DataFrame(
                     rows, columns=["nat", "path", "name", "n_lead"]
                 )

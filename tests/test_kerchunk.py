@@ -2092,14 +2092,51 @@ def test_ensemble_member_mismatch_across_files_refuses(spark, tmp_path):
         ]
         g2.write_grib2(str(era_dir / f"era_{fi:03d}.grib2"), msgs)
     docs = kerchunk.kerchunkify_scan(spark, str(era_dir), glob="*.grib2")
-    with pytest.raises(kerchunk.KerchunkError, match="inline non-concat"):
+    with pytest.raises(kerchunk.KerchunkError, match="DATA differs"):
         kerchunk.merge_refs_concat(docs, "time")
-    with pytest.raises(Exception, match="inline non-concat"):
+    with pytest.raises(Exception, match="DATA differs"):
         kerchunk.kerchunkify_to_parquet_refs(
             spark, str(era_dir), str(tmp_path / "lag_pq"), "time",
             glob="*.grib2",
         )
     assert not os.path.exists(str(tmp_path / "lag_pq" / ".zmetadata"))
+
+
+def test_ranged_coordinate_value_mismatch_refuses(spark, tmp_path):
+    """code-review r12 pass 2: the value guard must also catch
+    BYTE-RANGE coordinate axes (NetCDF3/HDF5 lat/lon refs are
+    [url, begin, nbytes] into each doc's own file — no inline bytes to
+    compare): two files with same-shaped but different-valued latitude
+    axes refuse in both merge paths instead of silently labeling file
+    2's data with file 1's latitudes."""
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    era_dir = tmp_path / "badlat"
+    era_dir.mkdir()
+    lons = np.array([-120.0, -119.0])
+    for fi, lat0 in enumerate((35.0, 51.0)):  # same shape, diff values
+        lats = lat0 + np.arange(2.0)
+        nc.write_netcdf3(
+            str(era_dir / f"era_{fi}.nc"),
+            dims={"time": None, "latitude": 2, "longitude": 2},
+            variables={
+                "time": (("time",), nc.NC_DOUBLE, {},
+                         np.array([float(fi)])),
+                "latitude": (("latitude",), nc.NC_DOUBLE, {}, lats),
+                "longitude": (("longitude",), nc.NC_DOUBLE, {}, lons),
+                "precip": (("time", "latitude", "longitude"),
+                           nc.NC_DOUBLE, {},
+                           np.full((1, 2, 2), float(fi))),
+            },
+        )
+    docs = kerchunk.kerchunkify_scan(spark, str(era_dir), glob="*.nc")
+    with pytest.raises(kerchunk.KerchunkError, match="DATA differs"):
+        kerchunk.merge_refs_concat(docs, "time")
+    with pytest.raises(Exception, match="DATA differs"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(era_dir), str(tmp_path / "badlat_pq"), "time",
+            glob="*.nc",
+        )
 
 
 def test_kerchunkify_grib2_ensemble_refusals(tmp_path):
