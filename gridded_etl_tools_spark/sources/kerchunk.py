@@ -977,11 +977,20 @@ class _RangeClient:
                     # the connection string names ONE account — using
                     # it for a ref that targets a DIFFERENT account
                     # would silently read the wrong account's bytes
-                    # (code-review r12: cross-account refs)
+                    # (code-review r12; pass 3: SAS/endpoint-style
+                    # strings carry the account in BlobEndpoint, and a
+                    # string naming NO account cannot be confirmed —
+                    # conservative skip, anonymous endpoint instead)
                     m = re.search(
                         r"AccountName=([^;]+)", conn, re.IGNORECASE
+                    ) or re.search(
+                        r"BlobEndpoint=https?://([^./;]+)\.",
+                        conn,
+                        re.IGNORECASE,
                     )
-                    if m and m.group(1).strip().lower() != account.lower():
+                    if m is None or (
+                        m.group(1).strip().lower() != account.lower()
+                    ):
                         conn = None
                 if conn:
                     try:
@@ -1180,17 +1189,23 @@ def _chunk_refs(refs: dict, name: str) -> list[tuple[str, object]]:
 
 def read_array(refs: dict, meta: zarr2.ZArray, base_dir: str = "") -> np.ndarray:
     """Driver-side materialization for dimension-sized coordinate
-    arrays."""
+    arrays.  ONE :class:`_RangeClient` serves every chunk of the array
+    (code-review r12 pass 3: the per-chunk ``_fetch_range`` path
+    constructed a fresh SDK client per fetch)."""
     out = np.full(meta.shape, meta.fill_value, dtype=meta.dtype)
     if meta.fill_value is None:
         out = np.zeros(meta.shape, dtype=meta.dtype)
-    for rel, ref in _chunk_refs(refs, meta.name):
-        idx = zarr2.chunk_key_indices(rel, meta)
-        raw = _resolve_ref(ref, base_dir)
-        block = zarr2.decode_chunk(raw, meta)
-        ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
-        region = tuple(slice(r[0], r[-1] + 1) for r in ranges)
-        out[region] = trimmed
+    client = _RangeClient()
+    try:
+        for rel, ref in _chunk_refs(refs, meta.name):
+            idx = zarr2.chunk_key_indices(rel, meta)
+            raw = _resolve_ref(ref, base_dir, client)
+            block = zarr2.decode_chunk(raw, meta)
+            ranges, trimmed = zarr2.chunk_cells(meta, idx, block)
+            region = tuple(slice(r[0], r[-1] + 1) for r in ranges)
+            out[region] = trimmed
+    finally:
+        client.close()
     return out
 
 
@@ -1216,13 +1231,17 @@ def _manifest_schema() -> T.StructType:
     )
 
 
-def _resolve_ref(ref: object, base_dir: str) -> bytes:
+def _resolve_ref(
+    ref: object, base_dir: str, client: "_RangeClient | None" = None
+) -> bytes:
     if isinstance(ref, str):
         return _inline_bytes(ref)
     if isinstance(ref, list) and ref:
         url = _join_base(ref[0], base_dir)
         offset = ref[1] if len(ref) > 1 else None
         length = ref[2] if len(ref) > 2 else None
+        if client is not None:
+            return client.fetch(url, offset, length)
         return _fetch_range(url, offset, length)
     raise KerchunkError(f"malformed ref {ref!r}")
 
@@ -2366,27 +2385,45 @@ def _nonconcat_value_digest(refs: dict, meta: zarr2.ZArray) -> str | None:
     the decode itself would refuse identically)."""
     import hashlib
 
+    items = _chunk_refs(refs, meta.name)
+    needs_fetch = any(not isinstance(ref, str) for _, ref in items)
     nbytes = (
         int(np.prod(meta.shape, dtype=np.int64))
         * np.dtype(meta.dtype).itemsize
     )
-    if nbytes > _NONCONCAT_VERIFY_BOUND:
+    # the bound gates FETCH cost only — inline values are already in
+    # memory and verify at any size (code-review r12 pass 3: the bound
+    # silently skipped oversize inline axes the old string comparison
+    # checked for free)
+    if needs_fetch and nbytes > _NONCONCAT_VERIFY_BOUND:
         return None
     try:
         arr = read_array(refs, meta)
-    except KerchunkError:
-        return None  # unfetchable from this process: unverifiable
+    except (KerchunkError, OSError):
+        # unfetchable FROM HERE (scheme this process cannot reach,
+        # absent SDK, credentials) — unverifiable, NOT corrupt; the
+        # pre-r12 merge ran with no value check at all, and the decode
+        # itself will surface real fetch failures (code-review r12
+        # pass 3: hdfs:// refs crashed the merge with a raw
+        # FileNotFoundError)
+        return None
     return hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
 
 
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     """MultiZarrToZarr's concat merge (reference ``create_zarr_json``,
     ``transform.py:40-117``): combine per-file refs documents into ONE
-    virtual dataset along ``concat_dim`` — pure metadata work, no byte
-    touched.  Requirements (MZZ's own): every doc chunks the concat
-    dimension by 1 (what :func:`kerchunkify_netcdf3` emits for record
-    variables), non-concat arrays are identical across docs (taken from
-    the first), and docs are passed in concat order."""
+    virtual dataset along ``concat_dim``.  Metadata math for the data
+    variables — no DATA-variable byte is touched — plus KB-scale
+    non-concat AXIS reads (r12): each doc's coordinate values are
+    decoded and digest-compared against doc 0, because same-shaped but
+    different-valued axes merge silently otherwise (axes above
+    ``_NONCONCAT_VERIFY_BOUND`` or unfetchable from this process skip
+    the value check, first-doc-wins — MZZ parity).  Requirements
+    (MZZ's own): every doc chunks the concat dimension by 1 (what
+    :func:`kerchunkify_netcdf3` emits for record variables), non-concat
+    arrays are identical across docs (taken from the first), and docs
+    are passed in concat order."""
     if not docs:
         raise KerchunkError("merge_refs_concat needs at least one doc")
     parsed = [parse_refs(d) for d in docs]
@@ -2449,10 +2486,16 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
             # passes: same-shaped but different-valued ensemble member
             # axes — and byte-range coordinate axes — merged silently,
             # mislabeling every chunk of the later files)
-            if first_digests[name] is not None and (
+            dig0 = first_digests[name]
+            dig = (
                 _nonconcat_value_digest(doc, dmetas[name])
-                != first_digests[name]
-            ):
+                if dig0 is not None
+                else None
+            )
+            # None on EITHER side = unverifiable from here, not corrupt
+            # (code-review r12 pass 3: a fetch failure was reported as
+            # a false data-corruption verdict)
+            if dig0 is not None and dig is not None and dig != dig0:
                 raise KerchunkError(
                     f"doc {di}: {name}: non-concat array DATA differs "
                     "across docs (same metadata, different values — "
@@ -2779,9 +2822,17 @@ def kerchunkify_to_parquet_refs(
                                 "differs across docs"
                             )
                         dig0 = tpl["digests"][name]
-                        if dig0 is not None and (
+                        dig = (
                             _nonconcat_value_digest(doc, dmetas[name])
-                            != dig0
+                            if dig0 is not None
+                            else None
+                        )
+                        # None on either side = unverifiable here, not
+                        # corrupt (code-review r12 pass 3)
+                        if (
+                            dig0 is not None
+                            and dig is not None
+                            and dig != dig0
                         ):
                             raise KerchunkError(
                                 f"{row.path}: {name}: non-concat array "

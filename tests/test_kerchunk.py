@@ -719,6 +719,109 @@ def test_range_client_azure_ranged_get_via_fake(tmp_path, monkeypatch):
         client.close()
 
 
+def test_merge_tolerates_unfetchable_axis_refs(spark, tmp_path):
+    """code-review r12 pass 3: refs whose axes live behind a scheme
+    this process cannot fetch (hdfs://, wasb://) must still MERGE —
+    the value check skips as unverifiable instead of crashing with a
+    raw FileNotFoundError (pre-r12 merges ran with no value check at
+    all, and the decode surfaces real fetch failures)."""
+    axis_zarray = json.dumps(
+        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+         "compressor": None, "fill_value": None, "order": "C",
+         "filters": None, "dimension_separator": "."}
+    )
+
+    def doc(i):
+        return {
+            ".zgroup": json.dumps({"zarr_format": 2}),
+            "v/.zarray": json.dumps(
+                {"zarr_format": 2, "shape": [1, 2], "chunks": [1, 2],
+                 "dtype": "<f8", "compressor": None, "fill_value": None,
+                 "order": "C", "filters": None,
+                 "dimension_separator": "."}
+            ),
+            "v/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["t", "x"]}),
+            "t/.zarray": json.dumps(
+                {"zarr_format": 2, "shape": [1], "chunks": [1],
+                 "dtype": "<f8", "compressor": None, "fill_value": None,
+                 "order": "C", "filters": None,
+                 "dimension_separator": "."}
+            ),
+            "t/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["t"]}),
+            "x/.zarray": axis_zarray,
+            "x/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["x"]}),
+            "v/0.0": [f"hdfs://nn:8020/data/era_{i}.nc", 0, 16],
+            "t/0": [f"hdfs://nn:8020/data/era_{i}.nc", 16, 8],
+            "x/0": [f"hdfs://nn:8020/data/era_{i}.nc", 24, 16],
+        }
+
+    merged = kerchunk.merge_refs_concat([doc(0), doc(1)], "t")
+    assert kerchunk.store_metadata(merged)["v"].shape == (2, 2)
+
+
+def test_azure_conn_string_cross_account_guard(monkeypatch):
+    """code-review r12 passes 2-3: a connection string naming account A
+    must never serve a ref that targets account B — AccountName= and
+    BlobEndpoint= styles both parse; an unidentifiable string is
+    skipped conservatively; a MATCHING account uses the string."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeCC:
+        def __init__(self, url, container, credential=None):
+            calls.append(("anon", url, container))
+
+        @classmethod
+        def from_connection_string(cls, conn, container):
+            calls.append(("conn", conn, container))
+            return cls.__new__(cls)
+
+        def download_blob(self, key, **kw):
+            class D:
+                def readall(self):
+                    return b"x"
+
+            return D()
+
+        def close(self):
+            pass
+
+    for name, mod in (
+        ("azure", types.ModuleType("azure")),
+        ("azure.storage", types.ModuleType("azure.storage")),
+        ("azure.storage.blob", types.ModuleType("azure.storage.blob")),
+    ):
+        monkeypatch.setitem(sys.modules, name, mod)
+    sys.modules["azure.storage.blob"].ContainerClient = FakeCC
+
+    cases = [
+        # (conn string, target account, expected client kind)
+        ("AccountName=acctA;AccountKey=k", "acctb1", "anon"),
+        ("BlobEndpoint=https://accta.blob.core.windows.net;"
+         "SharedAccessSignature=sig", "acctb2", "anon"),
+        ("SharedAccessSignature=sig-only", "acctb3", "anon"),
+        ("AccountName=acctB4;AccountKey=k", "acctb4", "conn"),
+        ("BlobEndpoint=https://acctb5.blob.core.windows.net;"
+         "SharedAccessSignature=sig", "acctb5", "conn"),
+    ]
+    for conn, acct, want in cases:
+        monkeypatch.setenv("AZURE_STORAGE_CONNECTION_STRING", conn)
+        client = kerchunk._RangeClient()
+        try:
+            got = client.fetch(
+                f"abfss://cont@{acct}.dfs.core.windows.net/k.bin", 0, 1
+            )
+            assert got == b"x"
+            kind = calls[-1][0]
+            assert kind == want, (conn, acct, calls[-1])
+            if kind == "anon":
+                assert acct in calls[-1][1]  # the URL's own endpoint
+        finally:
+            client.close()
+
+
 def test_range_client_full_body_cache_is_capped(monkeypatch):
     """ADVICE r10: the Range-ignoring-server full-body cache is bounded
     — FIFO eviction at the cap, oversize bodies never cached."""
@@ -2137,6 +2240,8 @@ def test_ranged_coordinate_value_mismatch_refuses(spark, tmp_path):
             spark, str(era_dir), str(tmp_path / "badlat_pq"), "time",
             glob="*.nc",
         )
+    # no partial output: the refusal precedes any .zmetadata commit
+    assert not os.path.exists(str(tmp_path / "badlat_pq" / ".zmetadata"))
 
 
 def test_kerchunkify_grib2_ensemble_refusals(tmp_path):
