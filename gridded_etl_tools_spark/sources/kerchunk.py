@@ -2724,6 +2724,15 @@ def kerchunkify_to_parquet_refs(
 
     from gridded_etl_tools_spark.sources.files import natural_sort_col
 
+    if "://" in root and not root.startswith("file://"):
+        # slab tasks write through plain file IO (shared-FS seam, like
+        # the zarr sink's LOCAL_FS default) — a schemed root would
+        # silently write to executor-local disks instead
+        raise KerchunkError(
+            f"parquet reference store root {root!r} must be a shared "
+            "filesystem path — write locally (or to a mounted store) "
+            "and sync, as with the zarr sink"
+        )
     scans = (
         _scan_refs_df(spark, path, glob, header_bytes)
         .select("path", "refs")

@@ -90,6 +90,12 @@ SHOWCASE = [
      "PartitionFilters on centroid_id AND reads only m-byte code arrays "
      "(62.5x fewer bytes than raw vectors); probe ADC tables broadcast, "
      "scoring is per-code table lookups"),
+    # round-12 additions
+    ("kerchunkified_parquet_refs_readback", "the distributed refs-merge "
+     "readback: the measured plan is a map-only slab-manifest scan (no "
+     "Exchange) — the write pipeline's validation, offset window, and "
+     "per-slab tasks are their own jobs that never touch the data "
+     "plane, and the driver parses ONE refs doc"),
 ]
 
 

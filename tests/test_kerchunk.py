@@ -1929,6 +1929,12 @@ def test_kerchunkify_to_parquet_refs_refusals(spark, tmp_path):
     # a failed run leaves NO .zmetadata (invisible, not poisoned)
     for r in ("r1", "r2", "r3"):
         assert not os.path.exists(str(tmp_path / r / ".zmetadata"))
+    # schemed roots refuse loudly: slab tasks write through plain file
+    # IO, so an s3:// root would scatter slabs across executor disks
+    with pytest.raises(kerchunk.KerchunkError, match="shared filesystem"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, era_dir, "s3://bucket/store", "time", glob="*.nc"
+        )
 
 
 def _write_grib2_eras(tmp_path, n_eras=2, packing="complex_sd2"):

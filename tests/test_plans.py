@@ -483,6 +483,14 @@ SHUFFLE_BUDGET = {
     # joins the two variable decodes on the dim key, like the one-shot
     # multivar readback
     "streaming_zarr_multivar_readback": (2, 0),
+    # r12: distributed parquet-refs merge (the WRITE pipeline shuffles
+    # once on (name, slab) + once for the offset window, in its own
+    # jobs; the fixture builds once); the measured readback plan is
+    # the same map-only slab-manifest scan as the r10 decode row
+    "kerchunkified_parquet_refs_readback": (0, 0),
+    # r12: HDF5 layout-v4 fixed-array refs — same map-only manifest
+    # scan as the v1 B-tree row
+    "kerchunkified_hdf5_v4_decode": (0, 0),
 }
 
 
