@@ -1888,6 +1888,67 @@ def test_kerchunkify_to_parquet_refs_driver_parses_one_doc(
     ).count() == 8 * 20
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_distributed_merge_equals_json_merge_randomized(
+    spark, tmp_path, seed
+):
+    """Randomized equivalence (r12): random era counts / grid shapes /
+    record sizes through BOTH merge paths — the distributed parquet
+    store must decode cell-identical to merge_refs_concat's JSON dict,
+    including fill sentinels and short tail slabs."""
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    rng = np.random.default_rng(seed)
+    n_files = int(rng.integers(2, 6))
+    nlat = int(rng.integers(1, 5))
+    nlon = int(rng.integers(1, 6))
+    record_size = int(rng.integers(1, 8))
+    era_dir = tmp_path / f"rand_{seed}"
+    era_dir.mkdir()
+    for it in range(n_files):
+        data = rng.normal(0, 50, (1, nlat, nlon))
+        if rng.random() < 0.5:
+            data[0, rng.integers(nlat), rng.integers(nlon)] = -9999.0
+        nc.write_netcdf3(
+            str(era_dir / f"era_{it}.nc"),
+            dims={"time": None, "latitude": nlat, "longitude": nlon},
+            variables={
+                "time": (("time",), nc.NC_DOUBLE, {},
+                         np.array([float(it)])),
+                "latitude": (("latitude",), nc.NC_DOUBLE, {},
+                             np.arange(nlat, dtype="f8")),
+                "longitude": (("longitude",), nc.NC_DOUBLE, {},
+                              np.arange(nlon, dtype="f8")),
+                "precip": (("time", "latitude", "longitude"),
+                           nc.NC_DOUBLE,
+                           {"_FillValue": (nc.NC_DOUBLE, [-9999.0])},
+                           data),
+            },
+        )
+    docs = kerchunk.kerchunkify_scan(spark, str(era_dir), glob="*.nc")
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    want = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(
+            spark, merged, "precip"
+        ).collect()
+    }
+    root = str(tmp_path / f"rand_pq_{seed}")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(era_dir), root, "time", glob="*.nc",
+        record_size=record_size,
+    )
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, root, "precip"
+        ).collect()
+    }
+    assert got == want and len(got) == n_files * nlat * nlon
+
+
 def test_kerchunkify_to_parquet_refs_refusals(spark, tmp_path):
     """The distributed validator carries merge_refs_concat's refusals:
     a doc whose grid shape differs refuses loudly instead of merging a

@@ -151,3 +151,63 @@ def test_netcdf3_round_trip_property(tmp_path_factory, n_lon, n_t, seed, version
     got = nc.cf_unpack(ds.variables["v"])
     assert got.shape == (n_t, 2, n_lon)
     np.testing.assert_array_equal(got.astype("f4"), data)
+
+
+@given(
+    st.integers(1, 3),              # ndim
+    st.integers(0, 2**31 - 1),      # seed
+    st.sampled_from(["fixed", "single", "implicit"]),
+    st.sampled_from([1, 2, 10]),    # page_bits (1-2 force paging)
+    st.booleans(),                  # compress
+)
+@settings(**_SETTINGS)
+def test_hdf5_layout_v4_round_trip_property(
+    tmp_path_factory, ndim, seed, index, page_bits, compress
+):
+    """Random shapes/chunk grids through the layout-v4 writer + reader
+    (r12): Single Chunk / Implicit / Fixed Array (paged and unpaged,
+    filtered client-1 and address-only client-0 elements) must all
+    decode exactly, and the scan's chunk manifest must enumerate the
+    full chunk grid."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    if index == "implicit" and compress:
+        compress = False  # implicit carries unfiltered chunks only
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(rng.integers(1, 8)) for _ in range(ndim))
+    if index == "single":
+        chunks = shape
+    else:
+        chunks = tuple(int(rng.integers(1, s + 1)) for s in shape)
+    data = (rng.integers(-1000, 1000, size=shape)).astype("f8") / 4.0
+    dims = tuple(f"d{i}" for i in range(ndim))
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("h5v4")), f"p_{seed}.nc4"
+    )
+    h5.write_hdf5(
+        path,
+        {
+            **{
+                d: ((d,), np.arange(s, dtype="f8"), {})
+                for d, s in zip(dims, shape)
+            },
+            "v": (dims, data, {}),
+        },
+        chunk_shapes={"v": chunks},
+        compress=compress,
+        latest=True,
+        v4_index=index,
+        v4_page_bits=page_bits,
+    )
+    buf = open(path, "rb").read()
+    got = h5.parse_hdf5(buf).variables["v"].data
+    np.testing.assert_array_equal(got, data)
+    base, _ra, dsets, _a2n = h5.scan_hdf5(buf)
+    d = {x.name: x for x in dsets}["v"]
+    n_chunks = 1
+    for s, c in zip(shape, chunks):
+        n_chunks *= -(-s // c)
+    assert len(d.chunks) == n_chunks
+    # every manifest triple addresses real bytes
+    re_got = h5._materialize(buf[base:] if base else buf, d)
+    np.testing.assert_array_equal(re_got, data)
