@@ -635,6 +635,13 @@ def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
         )
     chunk_shape = tuple(dims_enc[:-1])
     elem_size = dims_enc[-1]
+    if elem_size <= 0 or any(c <= 0 for c in chunk_shape):
+        # a zero chunk dimension in a corrupt message escaped as a raw
+        # ZeroDivisionError from the grid math (fourth review pass r12)
+        raise HDF5Error(
+            f"{name}: corrupt v4 layout — non-positive chunk "
+            f"dimension in {dims_enc}"
+        )
     chunk_nbytes = int(np.prod(chunk_shape, dtype=np.int64)) * elem_size
     index_type = layout_body[pos]
     pos += 1
@@ -991,6 +998,18 @@ def _object_header_v2(msgs: list[bytes]) -> bytes:
     )
 
 
+def _filter_pipeline_body(itemsize: int) -> bytes:
+    """shuffle+deflate(6) filter-pipeline message body — ONE builder
+    for the v1-B-tree and v4 branches of the fixture writer (fourth
+    review pass r12: the verbatim copy could silently diverge)."""
+    filt = struct.pack("<BB6x", 1, 2)
+    filt += struct.pack("<HHHH", 2, 0, 1, 1)  # shuffle
+    filt += struct.pack("<i", itemsize) + b"\x00" * 4
+    filt += struct.pack("<HHHH", 1, 0, 1, 1)  # deflate
+    filt += struct.pack("<i", 6) + b"\x00" * 4
+    return filt
+
+
 def _write_v4_index(
     w: "_W", kind: str, chunks: list, filtered: bool, page_bits: int
 ) -> tuple[int, int, bytes, int]:
@@ -1227,12 +1246,8 @@ def write_hdf5(
             body += struct.pack("<Q", iaddr)
             msgs.append(_msg(MSG_LAYOUT, body))
             if compress:
-                filt = struct.pack("<BB6x", 1, 2)
-                filt += struct.pack("<HHHH", 2, 0, 1, 1)  # shuffle
-                filt += struct.pack("<i", arr.dtype.itemsize) + b"\x00" * 4
-                filt += struct.pack("<HHHH", 1, 0, 1, 1)  # deflate
-                filt += struct.pack("<i", 6) + b"\x00" * 4
-                msgs.append(_msg(MSG_FILTERS, filt))
+                msgs.append(_msg(MSG_FILTERS,
+                                 _filter_pipeline_body(arr.dtype.itemsize)))
         elif n in chunk_trees:
             rank_plus = arr.ndim + 1
             cdims = [*chunk_shapes[n], arr.dtype.itemsize]
@@ -1241,12 +1256,8 @@ def write_hdf5(
             body += struct.pack(f"<{rank_plus}I", *cdims)
             msgs.append(_msg(MSG_LAYOUT, body))
             if compress:
-                filt = struct.pack("<BB6x", 1, 2)
-                filt += struct.pack("<HHHH", 2, 0, 1, 1)  # shuffle
-                filt += struct.pack("<i", arr.dtype.itemsize) + b"\x00" * 4
-                filt += struct.pack("<HHHH", 1, 0, 1, 1)  # deflate
-                filt += struct.pack("<i", 6) + b"\x00" * 4
-                msgs.append(_msg(MSG_FILTERS, filt))
+                msgs.append(_msg(MSG_FILTERS,
+                                 _filter_pipeline_body(arr.dtype.itemsize)))
         else:
             body = struct.pack("<BB", 3, 1)
             body += struct.pack("<QQ", data_addr[n], arr.nbytes)

@@ -2438,9 +2438,16 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
         )
     totals = {n: metas[n].shape[0] for n in concat_names}
     # doc0's non-concat VALUE digests, computed ONCE (code-review r12:
-    # recomputing per (doc, name) made the metadata-math path quadratic)
+    # recomputing per (doc, name) made the metadata-math path
+    # quadratic) and only when there is a second doc to compare
+    # against (fourth review pass: a single-doc merge paid axis
+    # fetches whose results nothing consumed)
     first_digests = {
-        n: _nonconcat_value_digest(parsed[0], metas[n])
+        n: (
+            _nonconcat_value_digest(parsed[0], metas[n])
+            if len(parsed) > 1
+            else None
+        )
         for n in set(metas) - set(concat_names)
     }
     # EVERY doc is validated the same way (second review pass r10: the
@@ -2724,7 +2731,13 @@ def kerchunkify_to_parquet_refs(
 
     from gridded_etl_tools_spark.sources.files import natural_sort_col
 
-    if "://" in root and not root.startswith("file://"):
+    if root.startswith("file://"):
+        # normalize to the plain path (fourth review pass r12: the
+        # exempted-but-unstripped scheme made os.makedirs create a
+        # literal './file:/...' RELATIVE directory — the exact
+        # executor-local scatter the guard below prevents)
+        root = root[len("file://"):]
+    if "://" in root:
         # slab tasks write through plain file IO (shared-FS seam, like
         # the zarr sink's LOCAL_FS default) — a schemed root would
         # silently write to executor-local disks instead
@@ -2860,9 +2873,13 @@ def kerchunkify_to_parquet_refs(
             .orderBy("nat", "path")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # persisted: `off` feeds TWO actions (the totals collect and
+        # the slab-write job) — without it the whole validation stage,
+        # including the per-file axis-digest reads, ran twice (fourth
+        # review pass r12).  Tiny rows: one per (file, concat array).
         off = ext.withColumn(
             "offset", F.coalesce(F.sum("n_lead").over(w), F.lit(0))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # totals per concat array + the file count, off ONE aggregation
         # job (code-review r12: a separate per_file.count() re-ran the
         # whole validation pass just for the summary's file count)
@@ -3057,3 +3074,7 @@ def kerchunkify_to_parquet_refs(
         }
     finally:
         scans.unpersist()
+        try:
+            off.unpersist()
+        except NameError:
+            pass  # failed before the offsets stage existed

@@ -358,6 +358,16 @@ def test_layout_v4_unsupported_indexes_refuse(tmp_path):
         raw[type_at] = bad
         with pytest.raises(h5.HDF5Error, match=words):
             h5.scan_hdf5(bytes(raw))
+    # a corrupt ZERO chunk dimension refuses as HDF5Error, not a raw
+    # ZeroDivisionError from the grid math (fourth review pass r12)
+    raw[type_at] = 3
+    dim_at = at + 5
+    keep = raw[dim_at:dim_at + 8]
+    raw[dim_at:dim_at + 8] = (0).to_bytes(8, "little")
+    with pytest.raises(h5.HDF5Error, match="non-positive chunk"):
+        h5.scan_hdf5(bytes(raw))
+    raw[dim_at:dim_at + 8] = keep
+    h5.scan_hdf5(bytes(raw))  # restored file parses again
 
 
 def test_attribute_message_v2_v3_parse():

@@ -1996,6 +1996,19 @@ def test_kerchunkify_to_parquet_refs_refusals(spark, tmp_path):
         kerchunk.kerchunkify_to_parquet_refs(
             spark, era_dir, "s3://bucket/store", "time", glob="*.nc"
         )
+    # file:// roots NORMALIZE to the plain path (fourth review pass
+    # r12: the unstripped scheme created a literal './file:/...'
+    # relative dir — the exact executor-local scatter the guard
+    # prevents)
+    froot = str(tmp_path / "file_root")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, era_dir, f"file://{froot}", "time", glob="*.nc"
+    )
+    assert os.path.exists(os.path.join(froot, ".zmetadata"))
+    assert not os.path.exists("file:")
+    assert kerchunk.decode_parquet_refs(
+        spark, froot, "precip"
+    ).count() == 60
 
 
 def _write_grib2_eras(tmp_path, n_eras=2, packing="complex_sd2"):
