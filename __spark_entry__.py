@@ -38,13 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows added this round, then (4) the ~90 stale r1-r3 greens via the
 # staleness key, oldest-first.
 # Round 12 window arithmetic (the judge's #1: burn the 43-row r6-stale
-# cohort and re-stamp the 3 no_oracle sketch rows): 2 brand-new rows
-# (kerchunkified_parquet_refs_readback, kerchunkified_hdf5_v4_decode)
-# sort in automatically via seen==0; the 3 sketch estimate rows are
+# cohort and re-stamp the 3 no_oracle sketch rows): 3 brand-new rows
+# (kerchunkified_parquet_refs_readback, kerchunkified_hdf5_v4_decode,
+# kerchunkified_parquet_refs_append_readback) sort in automatically
+# via seen==0; the 3 sketch estimate rows are
 # r10-stamped so they CANNOT enter via staleness (43 r6 + 33 r7 > 50)
 # — they are pinned here per the r7-established re-stamp-each-rotation
-# practice the r11 verdict asked to resume.  2 + 3 + 43 (all of r6) +
-# 2 r7 = 50: the whole r6 cohort clears this round, and after
+# practice the r11 verdict asked to resume.  3 + 3 + 43 (all of r6) +
+# 1 r7 = 50: the whole r6 cohort clears this round, and after
 # CORRECTNESS_r12 no oracle-backed row's latest driver PASS predates
 # r7.
 # - The r12 ensemble-GRIB and gs/abfss surfaces are pytest-attested

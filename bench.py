@@ -125,6 +125,7 @@ HEADLINE = [
     # round-12 additions:
     "kerchunkified_parquet_refs_readback",  # distributed refs merge -> pq store
     "kerchunkified_hdf5_v4_decode",  # fixed-array chunk index refs
+    "kerchunkified_parquet_refs_append_readback",  # incremental store append
 ]
 
 #: STREAMING tier (verdict r11 perf note): these rows run a real

@@ -5500,11 +5500,24 @@ def kerchunkified_parquet_refs_readback(
         tempfile.gettempdir(), f"spark_graft_kcpqm_{digest}"
     )
     if not os.path.exists(os.path.join(pq_root, ".zmetadata")):
+        # build in a session-unique dir, atomic-rename into place
+        # (fifth review pass r12: two sessions racing the shared /tmp
+        # fixture would now hit the writer lease's hard refusal — and
+        # a killed build would leave a never-expiring lease; the
+        # rename keeps racing sessions independent)
+        import shutil
+        import uuid as _uuid
+
+        build = f"{pq_root}.build-{_uuid.uuid4().hex}"
         # record_size 2 forces multi-slab flat-id arithmetic AND a
         # short tail slab on the 3-era fixture
         kc_mod.kerchunkify_to_parquet_refs(
-            spark, base, pq_root, "time", glob="*.nc", record_size=2
+            spark, base, build, "time", glob="*.nc", record_size=2
         )
+        try:
+            os.rename(build, pq_root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # rival won
     out = kc_mod.decode_parquet_refs(spark, pq_root, "precip")
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
@@ -5616,6 +5629,93 @@ def kerchunkified_hdf5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc4")
     merged = kc_mod.merge_refs_concat(docs, "time")
     out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+@query("kerchunkified_parquet_refs_append_readback", _nc_oracle())
+def kerchunkified_parquet_refs_append_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL refs-store append (r12): eras 0-1 build a parquet
+    reference store (distributed merge, record_size=3 -> the 2-chunk
+    base leaves a PARTIAL boundary slab), era 2 is APPENDED from a
+    separate directory and lands IN that existing slab — the atomic
+    boundary-slab merge is exercised, not just fresh-slab creation
+    (fifth review pass r12).  O(new files),
+    no re-scan of the store's archive, the validation template read
+    from the store's own consolidated metadata (the driver parses ZERO
+    refs docs), the boundary slab merged atomically, ``.zmetadata``
+    extent patched LAST under the store-root writer lease.  Decodes
+    against the same literal oracle as every other ingest front door,
+    so the appended store must equal the one-shot 3-era merge
+    cell-for-cell."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kcpqa_rs3_{digest}"
+    )
+    store = os.path.join(base, "store")
+    if not os.path.exists(os.path.join(store, ".zmetadata")):
+        # era files live at STABLE paths under ``base`` (refs record
+        # absolute paths, so the store must not move them); the STORE
+        # builds in a session-unique dir and atomic-renames into place
+        # (fifth review pass r12: two sessions racing the shared /tmp
+        # fixture would hit the writer lease's hard refusal mid-build)
+        import shutil
+        import uuid as _uuid
+
+        def _era(d, it):
+            nc_mod.write_netcdf3(
+                os.path.join(d, f"era_{it:03d}.nc"),
+                dims={"time": None, "latitude": lats.size,
+                      "longitude": lons.size},
+                variables={
+                    "time": (("time",), nc_mod.NC_DOUBLE, {},
+                             np.array([times[it]])),
+                    "latitude": (("latitude",), nc_mod.NC_DOUBLE, {},
+                                 np.asarray(lats)),
+                    "longitude": (("longitude",), nc_mod.NC_DOUBLE, {},
+                                  np.asarray(lons)),
+                    "precip": (
+                        ("time", "latitude", "longitude"),
+                        nc_mod.NC_DOUBLE,
+                        {"_FillValue": (nc_mod.NC_DOUBLE, [-9999.0])},
+                        np.asarray(data[it:it + 1]),
+                    ),
+                },
+            )
+
+        init_dir = os.path.join(base, "init")
+        new_dir = os.path.join(base, "new")
+        os.makedirs(init_dir, exist_ok=True)
+        os.makedirs(new_dir, exist_ok=True)
+        for it in range(2):
+            _era(init_dir, it)
+        _era(new_dir, 2)
+        build = f"{store}.build-{_uuid.uuid4().hex}"
+        kc_mod.kerchunkify_to_parquet_refs(
+            spark, init_dir, build, "time", glob="*.nc", record_size=3
+        )
+        kc_mod.append_to_parquet_refs(
+            spark, new_dir, build, "time", glob="*.nc"
+        )
+        try:
+            os.rename(build, store)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # rival won
+    out = kc_mod.decode_parquet_refs(
+        spark, os.path.join(base, "store"), "precip"
+    )
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
     )

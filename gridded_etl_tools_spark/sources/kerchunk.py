@@ -1671,6 +1671,7 @@ def _read_parquet_refs_var(
 
     grid = meta.chunk_grid
     out: list[tuple[str, object]] = []
+    n_grid = int(np.prod(grid))
     for path in sorted(
         _glob.glob(os.path.join(root, name, "refs.*.parquet")),
         key=lambda p: int(os.path.basename(p).split(".")[1]),
@@ -1678,6 +1679,13 @@ def _read_parquet_refs_var(
         i = int(os.path.basename(path).split(".")[1])
         t = pq.read_table(path)
         for j in range(t.num_rows):
+            if i * record_size + j >= n_grid:
+                # rows past the committed grid: fsspec slab padding,
+                # or a torn append's uncommitted tail (fifth review
+                # pass r12: the data path skipped these but the
+                # coordinate path crashed on unravel_index — a torn
+                # append POISONED every read of the store)
+                continue
             p = t["path"][j].as_py()
             raw = t["raw"][j].as_py()
             if p is None and raw is None:
@@ -2668,236 +2676,159 @@ def _scan_refs_df(
     )
 
 
-def kerchunkify_to_parquet_refs(
+def _slab_merge_pipeline(
     spark: SparkSession,
-    path: str,
+    scans: DataFrame,
     root: str,
-    concat_dim: str,
-    glob: str = "*",
-    record_size: int = 10_000,
-    header_bytes: int = 65536,
-) -> dict:
-    """Distributed kerchunkify + concat merge, written DIRECTLY as a
-    parquet reference store — the scale form of
-    ``kerchunkify_scan`` → :func:`merge_refs_concat` →
-    :func:`write_parquet_refs` with the driver bottleneck removed
-    (verdict r11 missing #2): per-file refs docs are never collected
-    and no single in-memory JSON dict is ever built.  Reference parity:
-    ``create_zarr_json`` writing the MZZ-merged manifest
-    (``utils/transform.py:40-117``) at the scale kerchunk's own docs
-    say the JSON form cannot reach — fsspec's ``LazyReferenceMapper``
-    layout, which :func:`decode_parquet_refs` already reads
-    distributed.
+    record_size: int,
+    concat_names: list[str],
+    template: dict,
+    base_totals: dict[str, int],
+    rest_grids: dict[str, tuple[int, ...]],
+) -> tuple[dict[str, int], int, int]:
+    """The shared distributed stage of BOTH parquet-refs writers
+    (fifth review pass r12: ~200 near-verbatim lines lived twice):
+    validate every doc EXECUTOR-side against the broadcast
+    ``template``, window-cumsum the concat offsets in natural file
+    order based at ``base_totals`` (all zero for a fresh write, the
+    store's extents for an append), explode chunk refs to flat ids
+    over the FINAL grids, and write each ``refs.{i}.parquet`` slab
+    atomically from its own task.  ``template["vs"]`` words the
+    refusals ("across docs" / "from the store").
 
-    The plan, Spark-first end to end:
+    Idempotency / crash safety: existing slab rows at flat ids at or
+    past the COMMITTED extent (``base_totals`` x rest grid — always 0
+    for a fresh write) are UNCOMMITTED DEBRIS from a torn or retried
+    run and are rebuilt from this run's input; rows below it are
+    authoritative and a new chunk landing on one refuses loudly.  A
+    Spark task retry therefore overwrites its own previous attempt
+    instead of colliding with it.
 
-    1. ONE distributed scan task per raw file emits its refs doc as a
-       JSON string column (:func:`_scan_refs_df`, header-only I/O where
-       the format allows), persisted MEMORY_AND_DISK — it feeds three
-       downstream jobs without re-reading the archive.
-    2. The driver fetches ONLY the naturally-first doc (``limit 1``) —
-       the validation template and the source of the consolidated
-       metadata, exactly the role ``merge_refs_concat`` gives
-       ``docs[0]``.
-    3. Every doc validates EXECUTOR-side against the broadcast
-       template (same refusals as ``merge_refs_concat``: array-set
-       equality, concat chunking 1, chunks/dtype/extents/compressor
-       agreement, non-concat metadata byte-agreement) and emits one
-       tiny ``(file, array, leading_extent)`` row per concat array.
-    4. Per-file concat offsets are a WINDOW cumsum over the natural
-       filename order (``natural_sort_col`` — the JVM twin of the
-       driver sort ``kerchunkify_scan`` uses), shuffled on rows of
-       bytes, not refs.
-    5. Chunk refs explode executor-side into ``(name, flat_id, row)``
-       manifest rows — flat id = ``ravel_multi_index`` of the
-       offset-shifted chunk indices over the FINAL grid — and
-       ``groupBy(name, slab)`` writes each ``<var>/refs.{i}.parquet``
-       slab atomically from its own task.  A slab skeleton
-       (``spark.range`` per variable) guarantees every slab file
-       exists, so absent chunks materialize as fill at decode exactly
-       as :func:`write_parquet_refs` stores do.
-    6. The driver writes only the dimension-sized non-concat arrays
-       (coordinates — KB-scale by design, from doc 0) and the
-       consolidated ``.zmetadata``, LAST, preserving the
-       interrupted-write-is-invisible invariant.
-
-    Driver memory is O(one doc + one row per slab), never O(archive
-    refs) — asserted by test and measured by
-    ``scripts/ab_parquet_refs_merge.py``.  Returns a summary dict
-    ``{"files", "arrays": {name: total_leading_chunks}, "slabs"}``."""
+    Returns ``(new_leading_chunks_per_name, n_files, n_slabs)``."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
-    from gridded_etl_tools_spark.sources.files import natural_sort_col
-
-    if root.startswith("file://"):
-        # normalize to the plain path (fourth review pass r12: the
-        # exempted-but-unstripped scheme made os.makedirs create a
-        # literal './file:/...' RELATIVE directory — the exact
-        # executor-local scatter the guard below prevents)
-        root = root[len("file://"):]
-    if "://" in root:
-        # slab tasks write through plain file IO (shared-FS seam, like
-        # the zarr sink's LOCAL_FS default) — a schemed root would
-        # silently write to executor-local disks instead
-        raise KerchunkError(
-            f"parquet reference store root {root!r} must be a shared "
-            "filesystem path — write locally (or to a mounted store) "
-            "and sync, as with the zarr sink"
-        )
-    scans = (
-        _scan_refs_df(spark, path, glob, header_bytes)
-        .select("path", "refs")
-        .withColumn("nat", natural_sort_col(F.col("path")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bc = spark.sparkContext.broadcast(json.dumps(template))
+    ext_schema = T.StructType(
+        [
+            T.StructField("nat", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("n_lead", T.LongType(), False),
+        ]
     )
-    try:
-        head = scans.orderBy("nat", "path").limit(1).collect()
-        if not head:
-            raise KerchunkError(
-                f"no files matched {glob!r} under {path!r}"
-            )
-        doc0 = parse_refs(json.loads(head[0].refs))
-        metas0 = store_metadata(doc0)
-        concat_names = sorted(
-            n for n, m in metas0.items() if m.dims and m.dims[0] == concat_dim
-        )
-        if not concat_names:
-            raise KerchunkError(
-                f"no array has leading dimension {concat_dim!r}"
-            )
-        # ONE validation contract for doc0 and every other doc: the
-        # executor-side checker runs on all of them (doc0 included via
-        # its own scan row), so doc0's own chunking refusals surface
-        # from the same code path merge_refs_concat uses.
-        template = {
-            "zarrays": {
-                n: _zjson(doc0[f"{n}/.zarray"]) for n in metas0
-            },
-            "concat": concat_names,
-            "concat_dim": concat_dim,
-            # doc0's non-concat VALUE digests ride the template so
-            # every doc's axis values — not just metadata — are
-            # checked executor-side against its OWN source file
-            # (code-review r12: ensemble member numbers; byte-range
-            # coordinate axes)
-            "digests": {
-                n: _nonconcat_value_digest(doc0, metas0[n])
-                for n in metas0
-                if n not in concat_names
-            },
-        }
-        bc = spark.sparkContext.broadcast(json.dumps(template))
 
-        ext_schema = T.StructType(
-            [
-                T.StructField("nat", T.StringType(), False),
-                T.StructField("path", T.StringType(), False),
-                T.StructField("name", T.StringType(), False),
-                T.StructField("n_lead", T.LongType(), False),
-            ]
-        )
-
-        def validate_extents(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
-            tpl = json.loads(bc.value)
-            tz, tnames = tpl["zarrays"], set(tpl["zarrays"])
-            for pdf in batches:
-                rows = []
-                for row in pdf.itertuples(index=False):
-                    doc = parse_refs(json.loads(row.refs))
-                    dmetas = store_metadata(doc)
-                    if set(dmetas) != tnames:
+    def validate_extents(batches):
+        tpl = json.loads(bc.value)
+        tz, tnames = tpl["zarrays"], set(tpl["zarrays"])
+        tvs = tpl["vs"]
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                doc = parse_refs(json.loads(row.refs))
+                dmetas = store_metadata(doc)
+                if set(dmetas) != tnames:
+                    raise KerchunkError(
+                        f"{row.path}: array set {sorted(dmetas)} "
+                        f"differs {tvs} (expected {sorted(tnames)})"
+                    )
+                for name in tpl["concat"]:
+                    dm, fm = dmetas[name], tz[name]
+                    if dm.chunks[0] != 1:
                         raise KerchunkError(
-                            f"{row.path}: array set {sorted(dmetas)} "
-                            f"differs across docs (first has "
-                            f"{sorted(tnames)})"
+                            f"{row.path}: {name}: concat merge needs "
+                            f"chunk 1 along {tpl['concat_dim']} "
+                            f"(got {dm.chunks[0]})"
                         )
-                    for name in tpl["concat"]:
-                        dm, fm = dmetas[name], tz[name]
-                        if dm.chunks[0] != 1:
-                            raise KerchunkError(
-                                f"{row.path}: {name}: concat merge "
-                                f"needs chunk 1 along "
-                                f"{tpl['concat_dim']} (got "
-                                f"{dm.chunks[0]})"
-                            )
-                        if (
-                            list(dm.chunks) != list(fm["chunks"])
-                            or np.dtype(dm.dtype).str != fm["dtype"]
-                            or list(dm.shape[1:]) != list(fm["shape"][1:])
-                            or dm.compressor != fm["compressor"]
-                        ):
-                            raise KerchunkError(
-                                f"{row.path}: {name}: chunking/dtype/"
-                                "extents differ across docs"
-                            )
-                        rows.append(
-                            (row.nat, row.path, name, int(dm.shape[0]))
+                    if (
+                        list(dm.chunks) != list(fm["chunks"])
+                        or np.dtype(dm.dtype).str != fm["dtype"]
+                        or list(dm.shape[1:]) != list(fm["shape"][1:])
+                        or dm.compressor != fm["compressor"]
+                    ):
+                        raise KerchunkError(
+                            f"{row.path}: {name}: chunking/dtype/"
+                            f"extents differ {tvs}"
                         )
-                    for name in tnames - set(tpl["concat"]):
-                        if _zjson(doc[f"{name}/.zarray"]) != tz[name]:
-                            raise KerchunkError(
-                                f"{name}: non-concat array metadata "
-                                "differs across docs"
-                            )
-                        dig0 = tpl["digests"][name]
-                        dig = (
-                            _nonconcat_value_digest(doc, dmetas[name])
-                            if dig0 is not None
-                            else None
+                    rows.append(
+                        (row.nat, row.path, name, int(dm.shape[0]))
+                    )
+                for name in tnames - set(tpl["concat"]):
+                    if _zjson(doc[f"{name}/.zarray"]) != tz[name]:
+                        raise KerchunkError(
+                            f"{name}: non-concat array metadata "
+                            f"differs {tvs}"
                         )
-                        # None on either side = unverifiable here, not
-                        # corrupt (code-review r12 pass 3)
-                        if (
-                            dig0 is not None
-                            and dig is not None
-                            and dig != dig0
-                        ):
-                            raise KerchunkError(
-                                f"{row.path}: {name}: non-concat array "
-                                "DATA differs across docs (same "
-                                "metadata, different values)"
-                            )
-                yield pd.DataFrame(
-                    rows, columns=["nat", "path", "name", "n_lead"]
-                )
+                    dig0 = tpl["digests"][name]
+                    dig = (
+                        _nonconcat_value_digest(doc, dmetas[name])
+                        if dig0 is not None
+                        else None
+                    )
+                    # None on either side = unverifiable here, not
+                    # corrupt (code-review r12 pass 3)
+                    if (
+                        dig0 is not None
+                        and dig is not None
+                        and dig != dig0
+                    ):
+                        raise KerchunkError(
+                            f"{row.path}: {name}: non-concat array "
+                            f"DATA differs {tvs} (same metadata, "
+                            "different values — e.g. ensemble member "
+                            "numbers or coordinate axes)"
+                        )
+            yield pd.DataFrame(
+                rows, columns=["nat", "path", "name", "n_lead"]
+            )
 
-        ext = scans.select("nat", "path", "refs").mapInPandas(
-            validate_extents, ext_schema
-        )
-        w = (
-            Window.partitionBy("name")
-            .orderBy("nat", "path")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        # persisted: `off` feeds TWO actions (the totals collect and
-        # the slab-write job) — without it the whole validation stage,
-        # including the per-file axis-digest reads, ran twice (fourth
-        # review pass r12).  Tiny rows: one per (file, concat array).
-        off = ext.withColumn(
-            "offset", F.coalesce(F.sum("n_lead").over(w), F.lit(0))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # totals per concat array + the file count, off ONE aggregation
-        # job (code-review r12: a separate per_file.count() re-ran the
-        # whole validation pass just for the summary's file count)
+    ext = scans.select("nat", "path", "refs").mapInPandas(
+        validate_extents, ext_schema
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("nat", "path")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # extent base as a literal MAP column — JVM-side, no Python UDF
+    # enters any plan
+    base_col = F.create_map(
+        *[
+            x
+            for n in concat_names
+            for x in (F.lit(n), F.lit(int(base_totals[n])))
+        ]
+    )[F.col("name")]
+    # persisted: `off` feeds TWO actions (the totals collect and the
+    # slab-write job) — without it the whole validation stage,
+    # including the per-file axis-digest reads, ran twice (fourth
+    # review pass r12).  Tiny rows: one per (file, concat array).
+    off = ext.withColumn(
+        "offset",
+        F.coalesce(F.sum("n_lead").over(w), F.lit(0)) + base_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
         agg_rows = (
             off.groupBy("name")
             .agg(
-                F.sum("n_lead").alias("total"),
+                F.sum("n_lead").alias("new_lead"),
                 F.count("*").alias("n_files"),
             )
             .collect()
         )
-        totals = {r["name"]: int(r["total"]) for r in agg_rows}
+        new_lead = {r["name"]: int(r["new_lead"]) for r in agg_rows}
         n_files = int(agg_rows[0]["n_files"]) if agg_rows else 0
         grids = {
-            n: (totals[n],) + tuple(metas0[n].chunk_grid[1:])
+            n: (base_totals[n] + new_lead.get(n, 0),) + rest_grids[n]
             for n in concat_names
         }
         n_grids = {n: int(np.prod(g)) for n, g in grids.items()}
+        base_flats = {
+            n: base_totals[n]
+            * (int(np.prod(rest_grids[n])) if rest_grids[n] else 1)
+            for n in concat_names
+        }
 
         per_file = off.groupBy("nat", "path").agg(
             F.map_from_entries(
@@ -2918,9 +2849,7 @@ def kerchunkify_to_parquet_refs(
         )
         grids_b = spark.sparkContext.broadcast(grids)
 
-        def explode_refs(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
+        def explode_refs(batches):
             gmap = grids_b.value
             for pdf in batches:
                 names, flats, urls, offs, sizes, raws = (
@@ -2929,8 +2858,7 @@ def kerchunkify_to_parquet_refs(
                 for row in pdf.itertuples(index=False):
                     doc = parse_refs(json.loads(row.refs))
                     dmetas = store_metadata(doc)
-                    offsets = dict(row.offsets)
-                    for name, lead_off in offsets.items():
+                    for name, lead_off in dict(row.offsets).items():
                         meta = dmetas[name]
                         grid = gmap[name]
                         for rel, ref in _chunk_refs(doc, name):
@@ -2966,14 +2894,16 @@ def kerchunkify_to_parquet_refs(
                 "slab", F.floor(F.col("flat") / F.lit(record_size))
             )
         )
-        # slab skeleton: every refs.{i}.parquet file must exist even if
-        # no chunk landed in it — absent chunks materialize as fill at
-        # decode only when their slab row is readable (write_parquet_
-        # refs parity)
+        # slab skeleton: every slab from the BOUNDARY slab (the first
+        # one this run may touch — slab 0 for a fresh write) through
+        # the new last slab must exist, even with no chunk landing in
+        # it — absent chunks materialize as fill at decode only when
+        # their slab row is readable (write_parquet_refs parity)
         skel = None
         for n in concat_names:
+            first_slab = base_flats[n] // record_size
             n_slabs = -(-n_grids[n] // record_size)
-            s = spark.range(n_slabs).select(
+            s = spark.range(first_slab, n_slabs).select(
                 F.lit(n).alias("name"),
                 F.lit(None).cast("long").alias("flat"),
                 F.lit(None).cast("string").alias("url"),
@@ -2986,7 +2916,7 @@ def kerchunkify_to_parquet_refs(
         all_rows = rows.unionByName(skel)
 
         os.makedirs(root, exist_ok=True)
-        for n in metas0:
+        for n in concat_names:
             os.makedirs(os.path.join(root, n), exist_ok=True)
 
         result_schema = T.StructType(
@@ -2997,28 +2927,55 @@ def kerchunkify_to_parquet_refs(
             ]
         )
         ngrids_b = spark.sparkContext.broadcast(n_grids)
+        bflats_b = spark.sparkContext.broadcast(base_flats)
         rs, out_root = record_size, root
 
         def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
             name = str(pdf["name"].iloc[0])
             slab = int(pdf["slab"].iloc[0])
             start = slab * rs
             count = min(rs, ngrids_b.value[name] - start)
+            base_flat = bflats_b.value[name]
             slab_rows: list[tuple] = [
                 (None, None, None, None)
             ] * count
-            filled = set()
+            occupied = set()
+            existing = os.path.join(
+                out_root, name, f"refs.{slab}.parquet"
+            )
+            if base_flat > start and os.path.exists(existing):
+                # boundary slab of an append: committed rows (below
+                # the store's extent) are authoritative; rows at or
+                # past it are debris from a torn/retried run and are
+                # rebuilt from this run's input (fifth review pass
+                # r12: treating them as authoritative made retries
+                # and crash re-runs collide with themselves forever)
+                t = pq.read_table(existing)
+                keep = min(t.num_rows, count, base_flat - start)
+                for j in range(keep):
+                    row = (
+                        t["path"][j].as_py(),
+                        t["offset"][j].as_py(),
+                        t["size"][j].as_py(),
+                        t["raw"][j].as_py(),
+                    )
+                    if any(v is not None for v in row):
+                        slab_rows[j] = row
+                        occupied.add(j)
             n_refs = 0
             for row in pdf.itertuples(index=False):
                 if row.flat is None or pd.isna(row.flat):
                     continue  # skeleton marker
                 pos = int(row.flat) - start
-                if pos in filled:
+                if pos in occupied:
                     raise KerchunkError(
                         f"{name}: duplicate chunk id {int(row.flat)} "
-                        "across input files — concat offsets overlap"
+                        "— input files overlap each other or the "
+                        "committed store (concat offsets overlap)"
                     )
-                filled.add(pos)
+                occupied.add(pos)
                 raw = row.raw
                 if raw is not None and not isinstance(raw, bytes):
                     raw = bytes(raw)
@@ -3041,6 +2998,147 @@ def kerchunkify_to_parquet_refs(
             .applyInPandas(write_slab, result_schema)
             .collect()
         )
+        return new_lead, n_files, len(written)
+    finally:
+        off.unpersist()
+
+
+def _normalize_store_root(root: str) -> str:
+    if root.startswith("file://"):
+        # normalize to the plain path (fourth review pass r12: the
+        # exempted-but-unstripped scheme made os.makedirs create a
+        # literal './file:/...' RELATIVE directory — the exact
+        # executor-local scatter the scheme guard prevents)
+        root = root[len("file://"):]
+    if "://" in root:
+        # slab tasks write through plain file IO (shared-FS seam, like
+        # the zarr sink's LOCAL_FS default) — a schemed root would
+        # silently write to executor-local disks instead
+        raise KerchunkError(
+            f"parquet reference store root {root!r} must be a shared "
+            "filesystem path — write locally (or to a mounted store) "
+            "and sync, as with the zarr sink"
+        )
+    return root
+
+
+def kerchunkify_to_parquet_refs(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    concat_dim: str,
+    glob: str = "*",
+    record_size: int = 10_000,
+    header_bytes: int = 65536,
+) -> dict:
+    """Distributed kerchunkify + concat merge, written DIRECTLY as a
+    parquet reference store — the scale form of
+    ``kerchunkify_scan`` → :func:`merge_refs_concat` →
+    :func:`write_parquet_refs` with the driver bottleneck removed
+    (verdict r11 missing #2): per-file refs docs are never collected
+    and no single in-memory JSON dict is ever built.  Reference parity:
+    ``create_zarr_json`` writing the MZZ-merged manifest
+    (``utils/transform.py:40-117``) at the scale kerchunk's own docs
+    say the JSON form cannot reach — fsspec's ``LazyReferenceMapper``
+    layout, which :func:`decode_parquet_refs` already reads
+    distributed.
+
+    The plan, Spark-first end to end:
+
+    1. ONE distributed scan task per raw file emits its refs doc as a
+       JSON string column (:func:`_scan_refs_df`, header-only I/O where
+       the format allows), persisted MEMORY_AND_DISK — it feeds three
+       downstream jobs without re-reading the archive.
+    2. The driver fetches ONLY the naturally-first doc (``limit 1``) —
+       the validation template and the source of the consolidated
+       metadata, exactly the role ``merge_refs_concat`` gives
+       ``docs[0]``.
+    3-5. The shared :func:`_slab_merge_pipeline`: executor-side
+       validation (same refusals as ``merge_refs_concat``, plus axis
+       VALUE digests), window-cumsum offsets in natural file order,
+       flat-id explosion over the final grid, one atomic
+       ``refs.{i}.parquet`` slab per task with a completeness skeleton.
+    6. The driver writes only the dimension-sized non-concat arrays
+       (coordinates — KB-scale by design, from doc 0) and the
+       consolidated ``.zmetadata``, LAST, preserving the
+       interrupted-write-is-invisible invariant.
+
+    Runs under the store-root :class:`ZarrWriterLease` (same CAS
+    document and fencing protocol as the zarr sink's W14): a write
+    racing another write or an :func:`append_to_parquet_refs` refuses
+    instead of interleaving slabs, and a fenced writer aborts before
+    the metadata-last commit.
+
+    Driver memory is O(one doc + one row per slab), never O(archive
+    refs) — asserted by test and measured by
+    ``scripts/ab_parquet_refs_merge.py``.  Returns a summary dict
+    ``{"files", "arrays": {name: total_leading_chunks}, "slabs"}``."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+    from gridded_etl_tools_spark.sources.files import natural_sort_col
+
+    root = _normalize_store_root(root)
+    # writer lease (r12): the parquet reference store is a mutable
+    # store once append_to_parquet_refs exists — a fresh write racing
+    # an append (or a second write) is the same lost-update class the
+    # zarr sink's W14 lease guards
+    os.makedirs(root, exist_ok=True)
+    lease = ZarrWriterLease(root)
+    lease_state = lease.acquire()
+    scans = None
+    try:
+        # EVERYTHING after acquire sits inside the try (fifth review
+        # pass r12: the eager binaryFile listing raised BEFORE the try,
+        # leaking a never-expiring lease at every mistyped input path)
+        scans = (
+            _scan_refs_df(spark, path, glob, header_bytes)
+            .select("path", "refs")
+            .withColumn("nat", natural_sort_col(F.col("path")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        head = scans.orderBy("nat", "path").limit(1).collect()
+        if not head:
+            raise KerchunkError(
+                f"no files matched {glob!r} under {path!r}"
+            )
+        doc0 = parse_refs(json.loads(head[0].refs))
+        metas0 = store_metadata(doc0)
+        concat_names = sorted(
+            n for n, m in metas0.items() if m.dims and m.dims[0] == concat_dim
+        )
+        if not concat_names:
+            raise KerchunkError(
+                f"no array has leading dimension {concat_dim!r}"
+            )
+        # ONE validation contract for doc0 and every other doc: the
+        # executor-side checker runs on all of them (doc0 included via
+        # its own scan row), so doc0's own chunking refusals surface
+        # from the same code path merge_refs_concat uses.
+        template = {
+            "zarrays": {
+                n: _zjson(doc0[f"{n}/.zarray"]) for n in metas0
+            },
+            "concat": concat_names,
+            "concat_dim": concat_dim,
+            "vs": "across docs",
+            # doc0's non-concat VALUE digests ride the template so
+            # every doc's axis values — not just metadata — are
+            # checked executor-side against its OWN source file
+            # (code-review r12: ensemble member numbers; byte-range
+            # coordinate axes)
+            "digests": {
+                n: _nonconcat_value_digest(doc0, metas0[n])
+                for n in metas0
+                if n not in concat_names
+            },
+        }
+        new_lead, n_files, n_slabs = _slab_merge_pipeline(
+            spark, scans, root, record_size, concat_names, template,
+            {n: 0 for n in concat_names},
+            {n: tuple(metas0[n].chunk_grid[1:]) for n in concat_names},
+        )
 
         # dimension-sized non-concat arrays (coordinates/statics) come
         # from doc 0, driver-side — the same KB-scale trade every other
@@ -3059,8 +3157,12 @@ def kerchunkify_to_parquet_refs(
                 )
         for n in concat_names:
             z = _zjson(meta_keys[f"{n}/.zarray"])
-            z["shape"][0] = totals[n] * int(metas0[n].chunks[0])
+            z["shape"][0] = new_lead[n] * int(metas0[n].chunks[0])
             meta_keys[f"{n}/.zarray"] = json.dumps(z)
+        # fencing BEFORE the metadata-last commit (same protocol as the
+        # zarr sink): a lease takeover surfaces as failure, never as a
+        # silently committed store
+        lease.check(lease_state)
         # .zmetadata LAST: an interrupted distributed write leaves an
         # invisible partial store, never a poisoned one
         zarr2.write_json_atomic(
@@ -3069,12 +3171,152 @@ def kerchunkify_to_parquet_refs(
         )
         return {
             "files": n_files,
-            "arrays": totals,
-            "slabs": len(written),
+            "arrays": new_lead,
+            "slabs": n_slabs,
         }
     finally:
-        scans.unpersist()
-        try:
-            off.unpersist()
-        except NameError:
-            pass  # failed before the offsets stage existed
+        lease.release(lease_state)
+        if scans is not None:
+            scans.unpersist()
+
+
+def append_to_parquet_refs(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    concat_dim: str,
+    glob: str = "*",
+    header_bytes: int = 65536,
+) -> dict:
+    """Incrementally APPEND new raw files to an existing parquet
+    reference store — O(new files), never O(archive) (r12): the daily
+    ingest shape, where yesterday's million-file store must not be
+    re-scanned to virtualize today's eras.
+
+    The pipeline is :func:`kerchunkify_to_parquet_refs`'s shared
+    :func:`_slab_merge_pipeline` with the validation template taken
+    from the STORE's consolidated metadata instead of a first doc
+    (array set, chunking, dtype, grid extents, and the non-concat axis
+    VALUE digests — read back from the store's own coordinate slabs),
+    offsets based at the store's current leading extent, and slab
+    writes that MERGE into the existing ``refs.{i}.parquet`` files:
+    appended chunks land in the tail slabs only (flat ids are
+    lead-major, and a C-order ravel is independent of the leading
+    extent), so the boundary slab rewrites once and every earlier slab
+    is untouched.
+
+    Driver memory is O(slabs touched): NO refs doc is ever parsed
+    driver-side — not even a template doc (asserted by test).  Crash
+    safety: slab rewrites are atomic, ``.zmetadata`` (the reader's
+    extent authority) commits LAST, readers skip rows past the
+    committed grid on BOTH the data and coordinate paths, and a re-run
+    (or Spark task retry) rebuilds the uncommitted tail rows instead
+    of colliding with its own debris.  Concurrency: the store's state
+    is read UNDER the store-root :class:`ZarrWriterLease` (same CAS
+    document and fencing protocol as the zarr sink's W14), so an
+    append racing a write/append refuses instead of interleaving
+    slabs, and its extent snapshot can never be stale.
+
+    Returns ``{"files", "appended": {name: new_leading_chunks},
+    "slabs"}``."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+    from gridded_etl_tools_spark.sources.files import natural_sort_col
+
+    root = _normalize_store_root(root)
+    if not os.path.exists(os.path.join(root, ".zmetadata")):
+        # refuse BEFORE leasing: no lease debris at mistyped roots
+        # (the zarr sink's third-review-pass r11 rule)
+        raise KerchunkError(
+            f"no parquet reference store at {root!r} — append extends "
+            "an existing store (kerchunkify_to_parquet_refs first)"
+        )
+    lease = ZarrWriterLease(root)
+    lease_state = lease.acquire()
+    scans = None
+    try:
+        # the store's metadata, template, and digests are read UNDER
+        # the lease (fifth review pass r12: reading them before
+        # acquire let a concurrent writer commit in between — stale
+        # extents, and a final .zmetadata rewrite that clobbered the
+        # other writer's commit)
+        meta_keys, record_size = _parquet_refs_metadata(root)
+        arrays = store_metadata(meta_keys)
+        concat_names = sorted(
+            n for n, m in arrays.items()
+            if m.dims and m.dims[0] == concat_dim
+        )
+        if not concat_names:
+            raise KerchunkError(
+                f"no array has leading dimension {concat_dim!r}"
+            )
+        base_totals = {n: int(arrays[n].shape[0]) for n in concat_names}
+        rest_grids = {
+            n: tuple(arrays[n].chunk_grid[1:]) for n in concat_names
+        }
+        for n in concat_names:
+            if arrays[n].chunks[0] != 1:
+                raise KerchunkError(
+                    f"{n}: append needs chunk 1 along {concat_dim} "
+                    f"(store has {arrays[n].chunks[0]})"
+                )
+
+        # non-concat digests from the STORE's own coordinate slabs
+        def _store_digest(name: str) -> str | None:
+            crefs = {
+                f"{name}/{k}": v
+                for k, v in _read_parquet_refs_var(
+                    root, name, arrays[name], record_size
+                )
+            }
+            return _nonconcat_value_digest(crefs, arrays[name])
+
+        template = {
+            "zarrays": {
+                n: _zjson(meta_keys[f"{n}/.zarray"]) for n in arrays
+            },
+            "concat": concat_names,
+            "concat_dim": concat_dim,
+            "vs": "from the store",
+            "digests": {
+                n: _store_digest(n)
+                for n in arrays
+                if n not in concat_names
+            },
+        }
+        scans = (
+            _scan_refs_df(spark, path, glob, header_bytes)
+            .select("path", "refs")
+            .withColumn("nat", natural_sort_col(F.col("path")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_lead, n_files, n_slabs = _slab_merge_pipeline(
+            spark, scans, root, record_size, concat_names, template,
+            base_totals, rest_grids,
+        )
+        if n_files == 0:
+            raise KerchunkError(
+                f"no files matched {glob!r} under {path!r}"
+            )
+        # patch the concat extents; fencing precedes the metadata-last
+        # commit, exactly as the zarr sink's mutators do
+        for n in concat_names:
+            z = _zjson(meta_keys[f"{n}/.zarray"])
+            z["shape"][0] = base_totals[n] + new_lead.get(n, 0)
+            meta_keys[f"{n}/.zarray"] = json.dumps(z)
+        lease.check(lease_state)
+        zarr2.write_json_atomic(
+            os.path.join(root, ".zmetadata"),
+            {"metadata": meta_keys, "record_size": record_size},
+        )
+        return {
+            "files": n_files,
+            "appended": new_lead,
+            "slabs": n_slabs,
+        }
+    finally:
+        lease.release(lease_state)
+        if scans is not None:
+            scans.unpersist()

@@ -1949,6 +1949,254 @@ def test_distributed_merge_equals_json_merge_randomized(
     assert got == want and len(got) == n_files * nlat * nlon
 
 
+def _write_one_era(era_dir, it, lats=None):
+    from gridded_etl_tools_spark.sources import netcdf3 as nc
+
+    lats = 36.0 + 0.25 * np.arange(4) if lats is None else lats
+    lons = -116.0 + 0.25 * np.arange(5)
+    data = np.arange(20, dtype="f8").reshape(1, 4, 5) + it * 100
+    if it == 0:
+        data[0, 0, 0] = -9999.0
+    nc.write_netcdf3(
+        os.path.join(str(era_dir), f"era_{it}.nc"),
+        dims={"time": None, "latitude": lats.size, "longitude": 5},
+        variables={
+            "time": (("time",), nc.NC_DOUBLE, {}, np.array([float(it)])),
+            "latitude": (("latitude",), nc.NC_DOUBLE, {}, lats),
+            "longitude": (("longitude",), nc.NC_DOUBLE, {}, lons),
+            "precip": (("time", "latitude", "longitude"), nc.NC_DOUBLE,
+                       {"_FillValue": (nc.NC_DOUBLE, [-9999.0])},
+                       data[:, :lats.size, :]),
+        },
+    )
+
+
+def test_append_to_parquet_refs_matches_full_merge(spark, tmp_path):
+    """Incremental refs-store append (r12): base eras 0-2 written as a
+    parquet store (record_size=2 -> partial tail slab), eras 3-4
+    APPENDED from a separate directory, then era 5 appended again —
+    the store decodes cell-identical to the full 6-era JSON merge.
+    The boundary slab merges (old flat 2 + new flat 3 share
+    refs.1.parquet); earlier slabs are untouched; fill -> NULL
+    survives."""
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(3):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=2
+    )
+    slab0_before = open(
+        os.path.join(root, "precip", "refs.0.parquet"), "rb"
+    ).read()
+    new1 = tmp_path / "new1"; new1.mkdir()
+    for it in (3, 4):
+        _write_one_era(new1, it)
+    s = kerchunk.append_to_parquet_refs(
+        spark, str(new1), root, "time", glob="*.nc"
+    )
+    assert s["files"] == 2 and s["appended"]["precip"] == 2
+    new2 = tmp_path / "new2"; new2.mkdir()
+    _write_one_era(new2, 5)
+    kerchunk.append_to_parquet_refs(
+        spark, str(new2), root, "time", glob="*.nc"
+    )
+    # earlier slabs untouched byte-for-byte
+    assert open(
+        os.path.join(root, "precip", "refs.0.parquet"), "rb"
+    ).read() == slab0_before
+    alld = tmp_path / "all"; alld.mkdir()
+    for it in range(6):
+        _write_one_era(alld, it)
+    docs = kerchunk.kerchunkify_scan(spark, str(alld), glob="*.nc")
+    want = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(
+            spark, kerchunk.merge_refs_concat(docs, "time"), "precip"
+        ).collect()
+    }
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, root, "precip"
+        ).collect()
+    }
+    assert got == want and len(got) == 120
+    assert got[(0.0, 36.0, -116.0)] is None
+
+
+def test_append_to_parquet_refs_driver_parses_no_docs(
+    spark, tmp_path, monkeypatch
+):
+    """THE append scale property: the driver parses ZERO refs docs —
+    the validation template comes from the store's own metadata, so
+    appending to a million-file store costs O(new files) with no
+    template fetch at all."""
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(2):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=5
+    )
+    new = tmp_path / "new"; new.mkdir()
+    for it in (2, 3, 4):
+        _write_one_era(new, it)
+    calls = []
+    orig = kerchunk.parse_refs
+    monkeypatch.setattr(
+        kerchunk, "parse_refs",
+        lambda d: (calls.append(1), orig(d))[1],
+    )
+    kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc"
+    )
+    assert calls == []
+    assert kerchunk.decode_parquet_refs(
+        spark, root, "precip"
+    ).count() == 100
+
+
+def test_torn_append_is_invisible_and_rerunnable(
+    spark, tmp_path, monkeypatch
+):
+    """Crash safety, asserted (fifth review pass r12): an append that
+    dies AFTER writing its tail slabs but BEFORE the .zmetadata commit
+    (1) leaves the store readable at the OLD extent — the coordinate
+    path must skip the uncommitted tail rows, not crash unravel_index
+    — and (2) a re-run of the same append succeeds, rebuilding its own
+    debris instead of colliding with it."""
+    from gridded_etl_tools_spark.sources import zarr2 as z2
+
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(3):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=2
+    )
+    new = tmp_path / "new"; new.mkdir()
+    _write_one_era(new, 3)
+
+    real_write = z2.write_json_atomic
+
+    def torn(path, obj):
+        if path.endswith(".zmetadata"):
+            raise OSError("injected crash before the metadata commit")
+        return real_write(path, obj)
+
+    monkeypatch.setattr(z2, "write_json_atomic", torn)
+    with pytest.raises(Exception, match="injected crash"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(new), root, "time", glob="*.nc"
+        )
+    monkeypatch.setattr(z2, "write_json_atomic", real_write)
+    # (1) the store reads back at the OLD extent, coordinate path incl.
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, root, "precip"
+        ).collect()
+    }
+    assert len(got) == 60 and max(t for t, _, _ in got) == 2.0
+    # (2) the re-run rebuilds the debris and commits
+    s = kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc"
+    )
+    assert s["appended"]["precip"] == 1
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, root, "precip"
+        ).collect()
+    }
+    assert len(got) == 80 and max(t for t, _, _ in got) == 3.0
+
+
+def test_parquet_refs_writers_release_lease_on_bad_input(spark, tmp_path):
+    """Lease hygiene (fifth review pass r12): a mistyped INPUT path
+    raises eagerly from the binaryFile listing — the lease must still
+    release (it used to leak, permanently wedging the store under the
+    default no-TTL config)."""
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(2):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    with pytest.raises(Exception):  # noqa: B017 - AnalysisException
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(tmp_path / "nope"), root, "time", glob="*.nc"
+        )
+    # the lease released: a real write now goes through
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=5
+    )
+    with pytest.raises(Exception):  # mistyped input for the append too
+        kerchunk.append_to_parquet_refs(
+            spark, str(tmp_path / "nope"), root, "time", glob="*.nc"
+        )
+    new = tmp_path / "new"; new.mkdir()
+    _write_one_era(new, 2)
+    s = kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc"
+    )
+    assert s["appended"]["precip"] == 1
+
+
+def test_append_to_parquet_refs_refusals(spark, tmp_path):
+    """Append refusals: missing store (BEFORE leasing — no lease
+    debris), grid mismatch vs the store, coordinate VALUE mismatch vs
+    the store's own slabs, and a held writer lease."""
+    from gridded_etl_tools_spark.sinks.table import ConcurrentWriteError
+    from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
+
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(2):
+        _write_one_era(base, it)
+    with pytest.raises(kerchunk.KerchunkError, match="no parquet"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(base), str(tmp_path / "nope"), "time", glob="*.nc"
+        )
+    assert not os.path.exists(str(tmp_path / "nope"))
+    root = str(tmp_path / "pq")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=5
+    )
+    # grid mismatch: a 2-lat era
+    bad = tmp_path / "bad"; bad.mkdir()
+    _write_one_era(bad, 2, lats=np.array([36.0, 36.25]))
+    with pytest.raises(Exception, match="differ from the store"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(bad), root, "time", glob="*.nc"
+        )
+    # coordinate VALUE mismatch: same shape, shifted latitudes
+    badlat = tmp_path / "badlat"; badlat.mkdir()
+    _write_one_era(badlat, 2, lats=51.0 + 0.25 * np.arange(4))
+    with pytest.raises(Exception, match="DATA differs from the store"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(badlat), root, "time", glob="*.nc"
+        )
+    # held lease refuses (the W14 class on the refs store)
+    new = tmp_path / "new"; new.mkdir()
+    _write_one_era(new, 2)
+    lease = ZarrWriterLease(root)
+    state = lease.acquire()
+    try:
+        with pytest.raises(ConcurrentWriteError, match="in progress"):
+            kerchunk.append_to_parquet_refs(
+                spark, str(new), root, "time", glob="*.nc"
+            )
+    finally:
+        lease.release(state)
+    # released: the append goes through and the extent is patched
+    kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc"
+    )
+    meta_keys, _rs = kerchunk._parquet_refs_metadata(root)
+    import json as _json
+
+    assert _json.loads(meta_keys["precip/.zarray"])["shape"][0] == 3
+
+
 def test_kerchunkify_to_parquet_refs_refusals(spark, tmp_path):
     """The distributed validator carries merge_refs_concat's refusals:
     a doc whose grid shape differs refuses loudly instead of merging a

@@ -491,6 +491,9 @@ SHUFFLE_BUDGET = {
     # r12: HDF5 layout-v4 fixed-array refs — same map-only manifest
     # scan as the v1 B-tree row
     "kerchunkified_hdf5_v4_decode": (0, 0),
+    # r12: the appended store reads back through the same map-only
+    # slab-manifest scan (the append pipeline is its own write job)
+    "kerchunkified_parquet_refs_append_readback": (0, 0),
 }
 
 
