@@ -3622,6 +3622,54 @@ def _nc_fixture_path() -> str:
     return path
 
 
+def _nc_era_dir(prefix: str, its=None) -> str:
+    """Write (once, sentinel-guarded) the fixture grid as one classic
+    NetCDF3 file per timestep under a digest-keyed /tmp dir and return
+    its path — ONE era writer for every per-era refs-production
+    fixture (sixth review pass r12: three inline copies could silently
+    diverge, and one of them re-truncated shared files on every racing
+    session).  ``its`` selects which timesteps to write (default
+    all)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import netcdf3 as _nc
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{prefix}_{digest}"
+    )
+    done = os.path.join(base, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for it in (range(data.shape[0]) if its is None else its):
+            _nc.write_netcdf3(
+                os.path.join(base, f"era_{it:03d}.nc"),
+                dims={"time": None, "latitude": lats.size,
+                      "longitude": lons.size},
+                variables={
+                    "time": (("time",), _nc.NC_DOUBLE, {},
+                             np.array([times[it]])),
+                    "latitude": (("latitude",), _nc.NC_DOUBLE, {},
+                                 np.asarray(lats)),
+                    "longitude": (("longitude",), _nc.NC_DOUBLE, {},
+                                  np.asarray(lons)),
+                    "precip": (
+                        ("time", "latitude", "longitude"),
+                        _nc.NC_DOUBLE,
+                        {"_FillValue": (_nc.NC_DOUBLE, [-9999.0])},
+                        np.asarray(data[it:it + 1]),
+                    ),
+                },
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return base
+
+
 def _nc_oracle() -> str:
     """VALUES-literal oracle: the same cells the decoder must produce."""
     data, times, lats, lons = _nc_fixture_array()
@@ -5397,42 +5445,9 @@ def kerchunkified_netcdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and decode — the same zero-copy property the reference's
     kerchunkify exists for.  Same literal oracle as every ingest front
     door."""
-    import os
-    import tempfile
-
-    import numpy as np
-
     from gridded_etl_tools_spark.sources import kerchunk as kc_mod
-    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
 
-    data, times, lats, lons = _nc_fixture_array()
-    digest = _fixture_digest(data, times, lats, lons)
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kcfy_{digest}")
-    done = os.path.join(base, ".complete")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
-        for it in range(data.shape[0]):
-            nc_mod.write_netcdf3(
-                os.path.join(base, f"era_{it:03d}.nc"),
-                dims={"time": None, "latitude": lats.size,
-                      "longitude": lons.size},
-                variables={
-                    "time": (("time",), nc_mod.NC_DOUBLE, {},
-                             np.array([times[it]])),
-                    "latitude": (("latitude",), nc_mod.NC_DOUBLE, {},
-                                 np.asarray(lats)),
-                    "longitude": (("longitude",), nc_mod.NC_DOUBLE, {},
-                                  np.asarray(lons)),
-                    "precip": (
-                        ("time", "latitude", "longitude"),
-                        nc_mod.NC_DOUBLE,
-                        {"_FillValue": (nc_mod.NC_DOUBLE, [-9999.0])},
-                        np.asarray(data[it:it + 1]),
-                    ),
-                },
-            )
-        with open(done, "w") as f:
-            f.write("ok")
+    base = _nc_era_dir("kcfy")
     docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc")
     merged = kc_mod.merge_refs_concat(docs, "time")
     out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
@@ -5463,39 +5478,11 @@ def kerchunkified_parquet_refs_readback(
     import os
     import tempfile
 
-    import numpy as np
-
     from gridded_etl_tools_spark.sources import kerchunk as kc_mod
-    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
 
     data, times, lats, lons = _nc_fixture_array()
     digest = _fixture_digest(data, times, lats, lons)
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_kcfy_{digest}")
-    done = os.path.join(base, ".complete")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
-        for it in range(data.shape[0]):
-            nc_mod.write_netcdf3(
-                os.path.join(base, f"era_{it:03d}.nc"),
-                dims={"time": None, "latitude": lats.size,
-                      "longitude": lons.size},
-                variables={
-                    "time": (("time",), nc_mod.NC_DOUBLE, {},
-                             np.array([times[it]])),
-                    "latitude": (("latitude",), nc_mod.NC_DOUBLE, {},
-                                 np.asarray(lats)),
-                    "longitude": (("longitude",), nc_mod.NC_DOUBLE, {},
-                                  np.asarray(lons)),
-                    "precip": (
-                        ("time", "latitude", "longitude"),
-                        nc_mod.NC_DOUBLE,
-                        {"_FillValue": (nc_mod.NC_DOUBLE, [-9999.0])},
-                        np.asarray(data[it:it + 1]),
-                    ),
-                },
-            )
-        with open(done, "w") as f:
-            f.write("ok")
+    base = _nc_era_dir("kcfy")
     pq_root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_kcpqm_{digest}"
     )
@@ -5509,15 +5496,21 @@ def kerchunkified_parquet_refs_readback(
         import uuid as _uuid
 
         build = f"{pq_root}.build-{_uuid.uuid4().hex}"
-        # record_size 2 forces multi-slab flat-id arithmetic AND a
-        # short tail slab on the 3-era fixture
-        kc_mod.kerchunkify_to_parquet_refs(
-            spark, base, build, "time", glob="*.nc", record_size=2
-        )
         try:
-            os.rename(build, pq_root)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # rival won
+            # record_size 2 forces multi-slab flat-id arithmetic AND a
+            # short tail slab on the 3-era fixture
+            kc_mod.kerchunkify_to_parquet_refs(
+                spark, base, build, "time", glob="*.nc", record_size=2
+            )
+            try:
+                os.rename(build, pq_root)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)  # rival won
+        except Exception:
+            # a failed build must not strand a store under /tmp
+            # (sixth review pass r12)
+            shutil.rmtree(build, ignore_errors=True)
+            raise
     out = kc_mod.decode_parquet_refs(spark, pq_root, "precip")
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
@@ -5654,10 +5647,7 @@ def kerchunkified_parquet_refs_append_readback(
     import os
     import tempfile
 
-    import numpy as np
-
     from gridded_etl_tools_spark.sources import kerchunk as kc_mod
-    from gridded_etl_tools_spark.sources import netcdf3 as nc_mod
 
     data, times, lats, lons = _nc_fixture_array()
     digest = _fixture_digest(data, times, lats, lons)
@@ -5666,56 +5656,37 @@ def kerchunkified_parquet_refs_append_readback(
     )
     store = os.path.join(base, "store")
     if not os.path.exists(os.path.join(store, ".zmetadata")):
-        # era files live at STABLE paths under ``base`` (refs record
-        # absolute paths, so the store must not move them); the STORE
-        # builds in a session-unique dir and atomic-renames into place
-        # (fifth review pass r12: two sessions racing the shared /tmp
-        # fixture would hit the writer lease's hard refusal mid-build)
+        # era files live at STABLE sentinel-guarded paths (refs record
+        # absolute paths, so the store must not move them — and racing
+        # sessions must never re-truncate files a committed store is
+        # reading, sixth review pass r12); the STORE builds in a
+        # session-unique dir and atomic-renames into place so racing
+        # sessions never trip each other's writer lease
         import shutil
         import uuid as _uuid
 
-        def _era(d, it):
-            nc_mod.write_netcdf3(
-                os.path.join(d, f"era_{it:03d}.nc"),
-                dims={"time": None, "latitude": lats.size,
-                      "longitude": lons.size},
-                variables={
-                    "time": (("time",), nc_mod.NC_DOUBLE, {},
-                             np.array([times[it]])),
-                    "latitude": (("latitude",), nc_mod.NC_DOUBLE, {},
-                                 np.asarray(lats)),
-                    "longitude": (("longitude",), nc_mod.NC_DOUBLE, {},
-                                  np.asarray(lons)),
-                    "precip": (
-                        ("time", "latitude", "longitude"),
-                        nc_mod.NC_DOUBLE,
-                        {"_FillValue": (nc_mod.NC_DOUBLE, [-9999.0])},
-                        np.asarray(data[it:it + 1]),
-                    ),
-                },
-            )
-
-        init_dir = os.path.join(base, "init")
-        new_dir = os.path.join(base, "new")
-        os.makedirs(init_dir, exist_ok=True)
-        os.makedirs(new_dir, exist_ok=True)
-        for it in range(2):
-            _era(init_dir, it)
-        _era(new_dir, 2)
+        init_dir = _nc_era_dir("kcpqai", its=range(2))
+        new_dir = _nc_era_dir("kcpqan", its=[2])
+        os.makedirs(base, exist_ok=True)
         build = f"{store}.build-{_uuid.uuid4().hex}"
-        kc_mod.kerchunkify_to_parquet_refs(
-            spark, init_dir, build, "time", glob="*.nc", record_size=3
-        )
-        kc_mod.append_to_parquet_refs(
-            spark, new_dir, build, "time", glob="*.nc"
-        )
         try:
-            os.rename(build, store)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # rival won
-    out = kc_mod.decode_parquet_refs(
-        spark, os.path.join(base, "store"), "precip"
-    )
+            kc_mod.kerchunkify_to_parquet_refs(
+                spark, init_dir, build, "time", glob="*.nc",
+                record_size=3
+            )
+            kc_mod.append_to_parquet_refs(
+                spark, new_dir, build, "time", glob="*.nc"
+            )
+            try:
+                os.rename(build, store)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)  # rival won
+        except Exception:
+            # a failed build must not strand a store under /tmp
+            # (sixth review pass r12)
+            shutil.rmtree(build, ignore_errors=True)
+            raise
+    out = kc_mod.decode_parquet_refs(spark, store, "precip")
     return out.select(
         "time", "latitude", "longitude", F.round("value", 6).alias("value")
     )

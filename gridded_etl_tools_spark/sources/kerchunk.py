@@ -3080,6 +3080,19 @@ def kerchunkify_to_parquet_refs(
     from gridded_etl_tools_spark.sources.files import natural_sort_col
 
     root = _normalize_store_root(root)
+    if os.path.exists(os.path.join(root, ".zmetadata")):
+        # refuse BEFORE leasing (sixth review pass r12): a fresh write
+        # rebuilds slabs from its own input only, so rewriting a
+        # COMMITTED store in place and crashing (or fencing) before
+        # the metadata commit would leave the old .zmetadata pointing
+        # at the new run's rows — silently wrong reads INSIDE the
+        # committed extent, the exact poisoning the metadata-last
+        # invariant exists to prevent
+        raise KerchunkError(
+            f"a committed parquet reference store already exists at "
+            f"{root!r} — append_to_parquet_refs extends it; delete it "
+            "to rebuild from scratch"
+        )
     # writer lease (r12): the parquet reference store is a mutable
     # store once append_to_parquet_refs exists — a fresh write racing
     # an append (or a second write) is the same lost-update class the
@@ -3292,14 +3305,17 @@ def append_to_parquet_refs(
             .withColumn("nat", natural_sort_col(F.col("path")))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if not scans.take(1):
+            # refuse BEFORE the pipeline (sixth review pass r12: the
+            # empty-match refusal used to fire only after the live
+            # store's boundary and tail slabs had been rewritten)
+            raise KerchunkError(
+                f"no files matched {glob!r} under {path!r}"
+            )
         new_lead, n_files, n_slabs = _slab_merge_pipeline(
             spark, scans, root, record_size, concat_names, template,
             base_totals, rest_grids,
         )
-        if n_files == 0:
-            raise KerchunkError(
-                f"no files matched {glob!r} under {path!r}"
-            )
         # patch the concat extents; fencing precedes the metadata-last
         # commit, exactly as the zarr sink's mutators do
         for n in concat_names:

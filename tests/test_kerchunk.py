@@ -2057,6 +2057,53 @@ def test_append_to_parquet_refs_driver_parses_no_docs(
     ).count() == 100
 
 
+def test_fresh_write_refuses_committed_store_and_empty_append_is_untouched(
+    spark, tmp_path
+):
+    """Sixth review pass r12: (1) the fresh writer refuses a root that
+    already holds a COMMITTED store — rebuilding slabs in place and
+    crashing before the metadata commit would poison reads inside the
+    committed extent (append or delete instead); a torn fresh write
+    (no .zmetadata yet) stays retryable.  (2) an append whose glob
+    matches nothing refuses BEFORE touching the live store's slabs."""
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(3):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=2
+    )
+    with pytest.raises(kerchunk.KerchunkError, match="already exists"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(base), root, "time", glob="*.nc", record_size=2
+        )
+    # empty-match append: loud refusal, slabs byte-untouched
+    before = {
+        f: open(os.path.join(root, "precip", f), "rb").read()
+        for f in os.listdir(os.path.join(root, "precip"))
+    }
+    with pytest.raises(kerchunk.KerchunkError, match="no files matched"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(base), root, "time", glob="*.nope"
+        )
+    after = {
+        f: open(os.path.join(root, "precip", f), "rb").read()
+        for f in os.listdir(os.path.join(root, "precip"))
+    }
+    assert after == before
+    # a torn FRESH write (slabs, no .zmetadata) stays retryable
+    root2 = str(tmp_path / "pq2")
+    os.makedirs(os.path.join(root2, "precip"))
+    with open(os.path.join(root2, "precip", "refs.0.parquet"), "wb") as f:
+        f.write(b"debris")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root2, "time", glob="*.nc", record_size=2
+    )
+    assert kerchunk.decode_parquet_refs(
+        spark, root2, "precip"
+    ).count() == 60
+
+
 def test_torn_append_is_invisible_and_rerunnable(
     spark, tmp_path, monkeypatch
 ):
