@@ -25,17 +25,34 @@ def natural_key(s: str) -> list:
     return [int(p) if p.isdigit() else p for p in _NAT_SPLIT.split(s)]
 
 
+#: Digit runs longer than this cannot be represented at fixed width by
+#: :func:`natural_sort_col`; callers whose ordering is load-bearing gate
+#: on :func:`oversize_digit_run_col` and refuse loudly (ADVICE r12).
+NATURAL_SORT_PAD = 19
+
+
 def natural_sort_col(col) -> "F.Column":
     """:func:`natural_key` as a whole-stage-codegen column expression:
-    digit runs zero-pad to a fixed 10-digit width so lexicographic
-    string order == numeric order (``era_2`` before ``era_10``).  The
-    JVM-side twin of the driver-side ``natural_key`` sort — the
-    distributed refs merge orders files with it instead of collecting
-    paths.  Runs >10-digit numbers keep their leading digits (they
-    compare by prefix, which is still numeric-magnitude order for
-    equal-length runs — era indices never get that long)."""
-    nat = F.regexp_replace(col, r"(\d+)", r"0000000000$1")
-    return F.regexp_replace(nat, r"0*(\d{10})", r"$1")
+    digit runs zero-pad to a fixed 19-digit width (covers int64 /
+    epoch-nanoseconds) so lexicographic string order == numeric order
+    (``era_2`` before ``era_10``).  The JVM-side twin of the driver-side
+    ``natural_key`` sort — the distributed refs merge orders files with
+    it instead of collecting paths.  Runs longer than 19 digits keep
+    their extra length and would compare by prefix, diverging from
+    ``natural_key`` when two such runs differ in length — ordering-
+    critical callers (the parquet-refs merge/append) therefore refuse
+    filenames carrying >19-digit runs via
+    :func:`oversize_digit_run_col` instead of sorting them silently."""
+    nat = F.regexp_replace(col, r"(\d+)", "0" * NATURAL_SORT_PAD + r"$1")
+    return F.regexp_replace(nat, r"0*(\d{%d})" % NATURAL_SORT_PAD, r"$1")
+
+
+def oversize_digit_run_col(col) -> "F.Column":
+    """Boolean column: does the string carry a digit run longer than
+    :data:`NATURAL_SORT_PAD` digits (i.e. one :func:`natural_sort_col`
+    cannot order at fixed width)?  Used by the distributed refs merge to
+    refuse — rather than mis-order — such filenames."""
+    return col.rlike(r"\d{%d}" % (NATURAL_SORT_PAD + 1))
 
 
 def input_files(

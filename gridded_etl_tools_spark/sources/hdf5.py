@@ -703,6 +703,8 @@ def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
     client 0 (non-filtered — caller substitutes the raw chunk size)."""
     if buf[header_addr:header_addr + 4] != b"FAHD":
         raise HDF5Error(f"{name}: bad fixed-array header signature")
+    if header_addr + 24 > len(buf):
+        raise HDF5Error(f"{name}: truncated fixed-array header")
     client = buf[header_addr + 5]
     entry_size = buf[header_addr + 6]
     page_bits = buf[header_addr + 7]
@@ -711,6 +713,21 @@ def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
         raise HDF5Error(
             f"{name}: fixed-array client {client} is not a dataset-"
             "chunk client"
+        )
+    # header fields come off an UNTRUSTED buffer (ADVICE r12): bound
+    # them BEFORE they size loops or slices, so a corrupt header is a
+    # loud HDF5Error, never an unbounded range(), a raw struct.error,
+    # or an int.from_bytes over an empty slice reading as size 0
+    if entry_size < 8 or (client == 1 and entry_size < 13):
+        raise HDF5Error(
+            f"{name}: corrupt fixed-array header — entry size "
+            f"{entry_size} too small for client {client}"
+        )
+    if max_entries * entry_size > len(buf):
+        raise HDF5Error(
+            f"{name}: corrupt fixed-array header — {max_entries} "
+            f"entries of {entry_size} bytes exceed the "
+            f"{len(buf)}-byte file"
         )
     if dblk_addr == UNDEF:
         return
@@ -730,6 +747,11 @@ def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
 
     page_elems = 1 << page_bits
     if max_entries <= page_elems:  # unpaged: elements inline
+        if pos + max_entries * entry_size > len(buf):
+            raise HDF5Error(
+                f"{name}: truncated fixed-array data block "
+                f"({max_entries} entries past end of file)"
+            )
         for flat in range(max_entries):
             got = parse_elem(flat, pos + flat * entry_size)
             if got is not None:
@@ -738,10 +760,21 @@ def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
     # paged: bitmap, data-block checksum, then pages (elements +
     # 4-byte checksum each) laid out contiguously after the block
     n_pages = -(-max_entries // page_elems)
-    bitmap = buf[pos:pos + (-(-n_pages // 8))]
-    pos += len(bitmap) + 4  # bitmap + data block checksum
+    bitmap_len = -(-n_pages // 8)
+    bitmap = buf[pos:pos + bitmap_len]
+    if len(bitmap) < bitmap_len:
+        raise HDF5Error(
+            f"{name}: truncated fixed-array page bitmap "
+            f"({len(bitmap)} of {bitmap_len} bytes)"
+        )
+    pos += bitmap_len + 4  # bitmap + data block checksum
     for page in range(n_pages):
         in_page = min(page_elems, max_entries - page * page_elems)
+        if pos + in_page * entry_size + 4 > len(buf):
+            raise HDF5Error(
+                f"{name}: truncated fixed-array page {page} "
+                "(elements past end of file)"
+            )
         if bitmap[page // 8] & (1 << (page % 8)):
             for j in range(in_page):
                 got = parse_elem(

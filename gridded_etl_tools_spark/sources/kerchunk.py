@@ -2709,6 +2709,28 @@ def _slab_merge_pipeline(
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
+    from gridded_etl_tools_spark.sources.files import (
+        NATURAL_SORT_PAD,
+        oversize_digit_run_col,
+    )
+
+    # ADVICE r12: natural_sort_col pads digit runs to a fixed 19-digit
+    # width; a run LONGER than that compares by prefix and could
+    # diverge from the driver-side natural_key order when run lengths
+    # differ — a silently different concat order.  Refuse loudly
+    # instead of mis-ordering (one tiny job over the persisted scan).
+    oversized = (
+        scans.where(oversize_digit_run_col(F.col("path")))
+        .select("path")
+        .take(1)
+    )
+    if oversized:
+        raise KerchunkError(
+            f"{oversized[0].path}: filename carries a digit run longer "
+            f"than {NATURAL_SORT_PAD} digits — natural sort order is "
+            "ambiguous at fixed width; rename the inputs"
+        )
+
     bc = spark.sparkContext.broadcast(json.dumps(template))
     ext_schema = T.StructType(
         [
@@ -2945,15 +2967,35 @@ def _slab_merge_pipeline(
             existing = os.path.join(
                 out_root, name, f"refs.{slab}.parquet"
             )
-            if base_flat > start and os.path.exists(existing):
+            if base_flat > start:
                 # boundary slab of an append: committed rows (below
                 # the store's extent) are authoritative; rows at or
                 # past it are debris from a torn/retried run and are
                 # rebuilt from this run's input (fifth review pass
                 # r12: treating them as authoritative made retries
-                # and crash re-runs collide with themselves forever)
+                # and crash re-runs collide with themselves forever).
+                # A MISSING or TRUNCATED committed slab is store
+                # corruption — refuse loudly rather than rebuild the
+                # committed positions as fill, which the metadata-last
+                # commit would then normalize into silently wrong
+                # reads inside the committed extent (ADVICE r12)
+                keep = base_flat - start  # committed rows in the slab
+                if not os.path.exists(existing):
+                    raise KerchunkError(
+                        f"{name}: boundary slab {slab} is missing "
+                        f"from the committed store ({keep} committed "
+                        f"rows expected at {existing!r}) — the store "
+                        "is corrupt; refusing to rebuild committed "
+                        "positions as fill"
+                    )
                 t = pq.read_table(existing)
-                keep = min(t.num_rows, count, base_flat - start)
+                if t.num_rows < keep:
+                    raise KerchunkError(
+                        f"{name}: boundary slab {slab} is truncated "
+                        f"({t.num_rows} rows, {keep} committed "
+                        "expected) — the store is corrupt; refusing "
+                        "to rebuild committed positions as fill"
+                    )
                 for j in range(keep):
                     row = (
                         t["path"][j].as_py(),

@@ -370,6 +370,72 @@ def test_layout_v4_unsupported_indexes_refuse(tmp_path):
     h5.scan_hdf5(bytes(raw))  # restored file parses again
 
 
+def test_fixed_array_corrupt_header_fields_refuse(tmp_path):
+    """ADVICE r12: _fixed_array_elements trusted max_entries /
+    entry_size / data-block extents from the untrusted buffer — a
+    corrupt value drove an unbounded loop, a raw struct.error escaping
+    the HDF5Error taxonomy, or an int.from_bytes over an empty slice
+    silently reading size 0.  Every corruption now refuses as
+    HDF5Error."""
+    _write(
+        str(tmp_path / "v4.nc4"), 0, 3, seed=9, latest=True,
+        chunk_shapes={"precip": (1, 2, 2)}, v4_index="fixed",
+    )
+    raw = bytearray((tmp_path / "v4.nc4").read_bytes())
+    at = bytes(raw).find(b"FAHD")
+    assert at > 0
+    h5.scan_hdf5(bytes(raw))  # pristine file parses
+
+    # max_entries blown up: bounded against the file size, no loop
+    keep = raw[at + 8:at + 16]
+    raw[at + 8:at + 16] = (2**40).to_bytes(8, "little")
+    with pytest.raises(h5.HDF5Error, match="exceed"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 8:at + 16] = keep
+
+    # entry size too small for a client-1/0 element
+    keep_es = raw[at + 6]
+    raw[at + 6] = 4
+    with pytest.raises(h5.HDF5Error, match="entry size"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 6] = keep_es
+
+    # data-block address pointing past the end of the file: the
+    # signature bound refuses instead of slicing short
+    keep_db = raw[at + 16:at + 24]
+    raw[at + 16:at + 24] = (len(raw) - 2).to_bytes(8, "little")
+    with pytest.raises(h5.HDF5Error, match="data block signature"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 16:at + 24] = keep_db
+
+    h5.scan_hdf5(bytes(raw))  # restored file still parses
+
+
+def test_fixed_array_truncated_data_block_refuses():
+    """Synthetic FAHD/FADB whose element region runs past the end of
+    the buffer: a loud HDF5Error, never struct.error (ADVICE r12)."""
+    import struct as _s
+
+    buf = bytearray(b"FAHD")
+    buf += bytes([0])      # version
+    buf += bytes([0])      # client 0 (non-filtered)
+    buf += bytes([8])      # entry size
+    buf += bytes([8])      # page bits (256 >= 4 entries -> unpaged)
+    buf += _s.pack("<QQ", 4, 24)  # max_entries, dblk_addr
+    buf += b"FADB" + bytes(2) + _s.pack("<Q", 0)  # at 24; pos -> 38
+    buf += bytes(8)        # room for ONE element, not four
+    with pytest.raises(h5.HDF5Error, match="truncated fixed-array"):
+        list(h5._fixed_array_elements(bytes(buf), "t", 0))
+
+    # paged variant: bitmap region past the end of the buffer
+    buf2 = bytearray(b"FAHD")
+    buf2 += bytes([0, 0, 8, 1])  # version, client, entry 8, page 2^1
+    buf2 += _s.pack("<QQ", 4, 24)  # 4 entries -> 2 pages, 1-byte map
+    buf2 += b"FADB" + bytes(2) + _s.pack("<Q", 0)  # ends AT pos
+    with pytest.raises(h5.HDF5Error, match="page bitmap"):
+        list(h5._fixed_array_elements(bytes(buf2), "t", 0))
+
+
 def test_attribute_message_v2_v3_parse():
     """libver='latest' attribute framing: v2/v3 messages are unpadded
     and v3 carries a charset byte — same value comes back as from v1."""

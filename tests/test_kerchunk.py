@@ -2104,6 +2104,104 @@ def test_fresh_write_refuses_committed_store_and_empty_append_is_untouched(
     ).count() == 60
 
 
+def test_parquet_refs_merge_refuses_oversize_digit_runs(spark, tmp_path):
+    """ADVICE r12: a filename digit run longer than the 19-digit
+    natural-sort pad compares by prefix JVM-side, which can diverge
+    from the driver-side natural_key order — a silently different
+    concat order.  Both parquet-refs writers refuse loudly instead."""
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(2):
+        _write_one_era(base, it)
+    os.rename(
+        os.path.join(str(base), "era_1.nc"),
+        os.path.join(str(base), "era_12345678901234567890.nc"),
+    )
+    with pytest.raises(kerchunk.KerchunkError, match="digit run longer"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(base), str(tmp_path / "pq"), "time",
+            glob="*.nc", record_size=2,
+        )
+    # append path refuses too, with the committed store untouched
+    ok = tmp_path / "ok"; ok.mkdir()
+    for it in range(2):
+        _write_one_era(ok, it)
+    root = str(tmp_path / "pq2")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(ok), root, "time", glob="*.nc", record_size=2
+    )
+    before = open(
+        os.path.join(root, "precip", "refs.0.parquet"), "rb"
+    ).read()
+    with pytest.raises(kerchunk.KerchunkError, match="digit run longer"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(base), root, "time",
+            glob="era_1*.nc",
+        )
+    assert open(
+        os.path.join(root, "precip", "refs.0.parquet"), "rb"
+    ).read() == before
+
+
+def test_append_refuses_missing_or_truncated_boundary_slab(
+    spark, tmp_path
+):
+    """ADVICE r12: an append whose boundary slab file is absent or has
+    fewer rows than the committed extent demands used to silently
+    rebuild the committed positions as all-fill and then COMMIT that
+    corruption via .zmetadata.  Both cases now refuse loudly and leave
+    the store unmodified at its old extent."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(3):
+        _write_one_era(base, it)
+    root = str(tmp_path / "pq")
+    # record_size=2, 3 eras -> precip boundary slab refs.1.parquet
+    # holds ONE committed row (flat 2) and the append lands flat 3
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=2
+    )
+    new = tmp_path / "new"; new.mkdir()
+    _write_one_era(new, 3)
+    boundary = os.path.join(root, "precip", "refs.1.parquet")
+    keep = open(boundary, "rb").read()
+
+    os.remove(boundary)
+    with pytest.raises(  # executor-raised -> PythonException wrapper
+        Exception, match="missing from the committed store"
+    ):
+        kerchunk.append_to_parquet_refs(
+            spark, str(new), root, "time", glob="*.nc"
+        )
+    # .zmetadata never committed the new extent
+    with open(os.path.join(root, ".zmetadata")) as f:
+        shape = json.loads(
+            json.load(f)["metadata"]["precip/.zarray"]
+        )["shape"]
+    assert shape[0] == 3
+
+    # truncated: a zero-row boundary slab (fewer than the 1 committed)
+    empty = pq.read_table(io.BytesIO(keep)).slice(0, 0)
+    pq.write_table(empty, boundary)
+    with pytest.raises(Exception, match="truncated"):
+        kerchunk.append_to_parquet_refs(
+            spark, str(new), root, "time", glob="*.nc"
+        )
+
+    # restored slab: the same append succeeds and decodes in full
+    with open(boundary, "wb") as f:
+        f.write(keep)
+    s = kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc"
+    )
+    assert s["appended"]["precip"] == 1
+    assert kerchunk.decode_parquet_refs(
+        spark, root, "precip"
+    ).count() == 80
+
+
 def test_torn_append_is_invisible_and_rerunnable(
     spark, tmp_path, monkeypatch
 ):

@@ -162,6 +162,47 @@ def test_natural_key_ordering():
     assert sorted(names, key=natural_key) == ["f1.nc", "f2.nc", "f10.nc"]
 
 
+def test_natural_sort_col_long_digit_runs(spark):
+    """ADVICE r12: the 10-digit pad mis-ordered digit runs longer than
+    10 digits when run lengths differed ('99999999999' sorted after
+    '100000000000').  The pad is now 19 (covers int64 / epoch-nanos) so
+    the column key agrees with the driver-side natural_key up to
+    19-digit runs, and oversize_digit_run_col flags names the
+    fixed-width key cannot order."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.sources.files import (
+        natural_sort_col,
+        oversize_digit_run_col,
+    )
+
+    names = [
+        "f_100000000000.nc",   # 12 digits
+        "f_99999999999.nc",    # 11 digits — used to sort after ^
+        "f_2.nc",
+        "f_1577836800000000000.nc",  # 19 digits (epoch nanos)
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["path"])
+    got = [
+        r.path
+        for r in df.orderBy(natural_sort_col(F.col("path"))).collect()
+    ]
+    assert got == sorted(names, key=natural_key)
+    flags = {
+        r.path: r.big
+        for r in df.select(
+            "path", oversize_digit_run_col(F.col("path")).alias("big")
+        ).collect()
+    }
+    assert not any(flags.values())  # 19-digit runs are in-range
+    over = spark.createDataFrame(
+        [("f_12345678901234567890.nc",)], ["path"]  # 20 digits
+    )
+    assert over.select(
+        oversize_digit_run_col(F.col("path")).alias("big")
+    ).first().big
+
+
 def test_input_files_listing(spark, tmp_path):
     for name in ["b10.nc", "b2.nc", "a.nc", ".hidden.nc", "x.idx"]:
         (tmp_path / name).write_bytes(b"x")
