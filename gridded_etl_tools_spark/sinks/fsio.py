@@ -987,5 +987,134 @@ class AzureControlFS(ControlFS):
                     raise
 
 
+class DirObjectControlFS(ControlFS):
+    """Object-store SEMANTICS over a local directory: paths must carry
+    an object-store root (e.g. ``gs://bucket/...``), which maps onto
+    ``local_dir`` — the dev/CI stand-in for a real bucket, playing the
+    role moto plays for S3 but for the FULL ControlFS surface and
+    ACROSS PROCESSES (state lives on disk, so Spark executor tasks
+    exercising object-store code paths share it with the driver; the
+    in-memory fakes cannot).
+
+    Two properties make it a faithful emulator at the ControlFS call
+    surface: (1) callers can only reach the ControlFS contract —
+    whole-object put / get / list / conditional-swap — so code that
+    passes against this backend performs no rename-dependent or
+    partial-write operation a real object store lacks; (2) any path
+    NOT under ``scheme_root`` refuses loudly, catching code that
+    accidentally mixes local paths into an object-store write (the
+    executor-local scatter bug class).  Internally each method maps
+    the object key onto ``local_dir`` and delegates to
+    :class:`LocalControlFS` (flock-sidecar CAS = conditional PUT)."""
+
+    def __init__(self, scheme_root: str, local_dir: str) -> None:
+        if "://" not in scheme_root:
+            raise ValueError(
+                f"scheme_root {scheme_root!r} must carry an "
+                "object-store scheme (e.g. gs://bucket)"
+            )
+        self.scheme_root = scheme_root.rstrip("/")
+        self.local_dir = local_dir
+        self._local = LocalControlFS()
+
+    def _map(self, path: str) -> str:
+        p = path.replace(os.sep, "/").rstrip("/")
+        if p != self.scheme_root and not p.startswith(
+            self.scheme_root + "/"
+        ):
+            raise ValueError(
+                f"{path!r} is outside this store's root "
+                f"{self.scheme_root!r} — a local path reached an "
+                "object-store ControlFS"
+            )
+        rel = p[len(self.scheme_root):].lstrip("/")
+        return os.path.join(self.local_dir, *rel.split("/")) if rel \
+            else self.local_dir
+
+    def _unmap(self, local_path: str) -> str:
+        rel = os.path.relpath(local_path, self.local_dir)
+        return self.scheme_root + "/" + rel.replace(os.sep, "/")
+
+    def read_text(self, path: str) -> str:
+        return self._local.read_text(self._map(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        return self._local.read_bytes(self._map(path))
+
+    def write_atomic(self, path: str, data: str | bytes) -> None:
+        self._local.write_atomic(self._map(path), data)
+
+    def compare_and_swap(
+        self, path: str, data: str, expected: str | None
+    ) -> bool:
+        return self._local.compare_and_swap(self._map(path), data, expected)
+
+    def exists(self, path: str) -> bool:
+        return self._local.exists(self._map(path))
+
+    def isdir(self, path: str) -> bool:
+        return self._local.isdir(self._map(path))
+
+    def list_names(self, dirpath: str) -> list[str]:
+        return self._local.list_names(self._map(dirpath))
+
+    def walk_files(self, prefix: str) -> list[str]:
+        return [
+            self._unmap(p)
+            for p in self._local.walk_files(self._map(prefix))
+        ]
+
+    def mtime(self, path: str) -> float:
+        return self._local.mtime(self._map(path))
+
+    def remove(self, path: str) -> None:
+        self._local.remove(self._map(path))
+
+    def newest_mtime_under(self, prefix: str) -> float | None:
+        return self._local.newest_mtime_under(self._map(prefix))
+
+    def remove_tree(self, prefix: str) -> None:
+        self._local.remove_tree(self._map(prefix))
+
+    def sweep_cas_sidecar(self, path: str) -> None:
+        self._local.sweep_cas_sidecar(self._map(path))
+
+
+def fs_for_root(root: str):
+    """Resolve the :class:`ControlFS` for a store root by scheme —
+    the one mapping every store writer/reader shares (parquet
+    reference stores first; the zarr sink's ``lease_fs`` accepts the
+    same instances).  Local paths (no scheme, or ``file://``) get
+    :data:`LOCAL_FS`; ``s3/s3a/s3n`` the S3 port; ``gs`` the GCS
+    port; ``abfss/abfs/wasbs/wasb/az`` the Azure port (credentials
+    from ``AZURE_STORAGE_CONNECTION_STRING``).  SDK constructors stay
+    import-gated — an absent SDK raises ImportError here, which
+    callers wrap into their own taxonomy with the workaround named.
+    Module-level and argument-picklable, so ``functools.partial(
+    fs_for_root, root)`` ships to Spark executors as a per-task
+    factory."""
+    if "://" not in root or root.startswith("file://"):
+        return LOCAL_FS
+    scheme, _, rest = root.partition("://")
+    authority = rest.split("/", 1)[0]
+    if scheme in ("s3", "s3a", "s3n"):
+        return S3ControlFS(authority)
+    if scheme == "gs":
+        return GCSControlFS(authority)
+    if scheme in ("abfss", "abfs", "wasbs", "wasb", "az"):
+        container = authority.partition("@")[0]
+        return AzureControlFS(
+            container,
+            connection_string=os.environ.get(
+                "AZURE_STORAGE_CONNECTION_STRING"
+            ),
+        )
+    raise ValueError(
+        f"no ControlFS backend for scheme {scheme!r} (root {root!r}) — "
+        "supported: local paths, file://, s3/s3a/s3n://, gs://, "
+        "abfss/abfs/wasbs/wasb/az://"
+    )
+
+
 #: process-wide default — one instance, stateless
 LOCAL_FS = LocalControlFS()

@@ -655,6 +655,15 @@ def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
         return tuple(int(i) * c for i, c in zip(idx, chunk_shape))
 
     chunks: list = []
+    # index-info reads below are bounded by the message body (a corrupt
+    # or mislabeled index type must refuse as HDF5Error, not escape as
+    # struct.error — the ADVICE r12 taxonomy rule)
+    need = {1: 8 + (12 if flags & 0x02 else 0), 2: 8, 3: 9, 4: 13}
+    if pos + need.get(index_type, 0) > len(layout_body):
+        raise HDF5Error(
+            f"{name}: truncated v4 layout message for chunk index "
+            f"type {index_type}"
+        )
     if index_type == 1:  # Single Chunk
         if flags & 0x02:  # filtered: size + filter mask precede addr
             (stored,) = struct.unpack_from("<Q", layout_body, pos)
@@ -686,13 +695,26 @@ def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
                 )
             chunks.append((_offs(flat), stored or chunk_nbytes, caddr))
         return 2, chunk_shape, chunks, None, None
-    kind = {4: "extensible array", 5: "version 2 B-tree"}.get(
-        index_type, f"type {index_type}"
-    )
+    if index_type == 4:  # Extensible Array (r13, verdict r12 missing #3)
+        pos += 5  # cparams (the EA header re-states them)
+        (addr,) = struct.unpack_from("<Q", layout_body, pos)
+        if addr == UNDEF:
+            return 2, chunk_shape, chunks, None, None
+        for flat, stored, caddr in _extensible_array_elements(
+            buf, name, addr
+        ):
+            if flat >= n_chunks:
+                raise HDF5Error(
+                    f"{name}: extensible-array element {flat} outside "
+                    f"the {n_chunks}-chunk grid"
+                )
+            chunks.append((_offs(flat), stored or chunk_nbytes, caddr))
+        return 2, chunk_shape, chunks, None, None
+    kind = {5: "version 2 B-tree"}.get(index_type, f"type {index_type}")
     raise HDF5Error(
         f"{name}: layout v4 chunk index {kind!r} unsupported (backs "
-        "unlimited dimensions) — save with fixed dimension sizes or "
-        "without libver='latest' chunking"
+        "datasets with MULTIPLE unlimited dimensions) — save with at "
+        "most one unlimited dimension, or with fixed dimension sizes"
     )
 
 
@@ -783,6 +805,196 @@ def _fixed_array_elements(buf: bytes, name: str, header_addr: int):
                 if got is not None:
                     yield got
         pos += in_page * entry_size + 4  # elements + page checksum
+
+
+def _ea_sblk_info(
+    max_nelmts_bits: int, idx_blk_elmts: int, data_blk_min_elmts: int
+) -> list[tuple[int, int, int, int]]:
+    """Super-block geometry of one Extensible Array, as the C library
+    computes it (H5EAhdr.c): entry ``u`` is ``(ndblks, dblk_nelmts,
+    start_idx, start_dblk)`` — super block ``u`` holds ``2^(u//2)``
+    data blocks of ``2^((u+1)//2) * data_blk_min_elmts`` elements,
+    with element indices starting after the index block's inline
+    elements."""
+    nsblks = 1 + max_nelmts_bits - (data_blk_min_elmts.bit_length() - 1)
+    out = []
+    start_idx, start_dblk = idx_blk_elmts, 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        nelmts = (1 << ((u + 1) // 2)) * data_blk_min_elmts
+        out.append((ndblks, nelmts, start_idx, start_dblk))
+        start_idx += ndblks * nelmts
+        start_dblk += ndblks
+    return out
+
+
+def _extensible_array_elements(buf: bytes, name: str, header_addr: int):
+    """Walk one Extensible Array chunk index (``EAHD`` header →
+    ``EAIB`` index block → ``EADB`` data blocks, directly addressed or
+    through ``EASB`` super blocks) and yield ``(flat_chunk_id,
+    stored_size, address)`` for every written chunk — the index
+    libver='latest' HDF5 / netcdf-c 4.9 emit for a dataset with ONE
+    unlimited dimension (r13, verdict r12 missing #3; reference
+    parity: SingleHdf5ToZarr via h5py reads these through libhdf5).
+
+    With the unlimited dimension leading (the netCDF time-unlimited
+    shape), the array's element index IS the C-order flat chunk id —
+    the non-leading grid is fixed, so growth appends elements.  The C
+    library swizzles a NON-leading unlimited dimension to the front
+    before indexing; such files misparse the flat order, but netCDF
+    never produces them (record dim is always first) and the
+    out-of-grid refusal above catches the mismatch loudly.
+
+    ``stored_size`` is None for client 0 (non-filtered).  PAGED data
+    blocks (a block bigger than ``2^max_dblk_page_nelmts_bits``
+    elements) refuse loudly — documented residual, the Fixed Array
+    path covers paging.  Every count and address off the untrusted
+    buffer is bounded before it sizes a loop or slice (the ADVICE r12
+    taxonomy rule)."""
+    if buf[header_addr:header_addr + 4] != b"EAHD":
+        raise HDF5Error(f"{name}: bad extensible-array header signature")
+    if header_addr + 72 > len(buf):
+        raise HDF5Error(f"{name}: truncated extensible-array header")
+    client = buf[header_addr + 5]
+    elmt_size = buf[header_addr + 6]
+    max_nelmts_bits = buf[header_addr + 7]
+    idx_blk_elmts = buf[header_addr + 8]
+    data_blk_min_elmts = buf[header_addr + 9]
+    sblk_min_dptrs = buf[header_addr + 10]
+    page_bits = buf[header_addr + 11]
+    # six 8-byte stats (nsblks, sblk size, ndblks, dblk size, max idx
+    # set, nelmts) precede the index-block address
+    (iblk_addr,) = struct.unpack_from("<Q", buf, header_addr + 12 + 48)
+    if client not in (0, 1):
+        raise HDF5Error(
+            f"{name}: extensible-array client {client} is not a "
+            "dataset-chunk client"
+        )
+    if elmt_size < 8 or (client == 1 and elmt_size < 13):
+        raise HDF5Error(
+            f"{name}: corrupt extensible-array header — element size "
+            f"{elmt_size} too small for client {client}"
+        )
+    for label, v in (
+        ("max nelmts bits", max_nelmts_bits),
+        ("data block min elements", data_blk_min_elmts),
+        ("secondary block min pointers", sblk_min_dptrs),
+    ):
+        if v == 0 or (label != "max nelmts bits" and v & (v - 1)):
+            raise HDF5Error(
+                f"{name}: corrupt extensible-array header — {label} "
+                f"{v} (must be a positive power of two)"
+            )
+    if max_nelmts_bits > 64:
+        raise HDF5Error(
+            f"{name}: corrupt extensible-array header — max nelmts "
+            f"bits {max_nelmts_bits}"
+        )
+    if iblk_addr == UNDEF:
+        return
+    arr_off_size = (max_nelmts_bits + 7) // 8
+    page_nelmts = 1 << page_bits
+    sblk_info = _ea_sblk_info(
+        max_nelmts_bits, idx_blk_elmts, data_blk_min_elmts
+    )
+    nsblks_total = len(sblk_info)
+    iblk_nsblks = 2 * (sblk_min_dptrs.bit_length() - 1)
+    ndblk_addrs = 2 * (sblk_min_dptrs - 1)
+    nsblk_addrs = max(0, nsblks_total - iblk_nsblks)
+
+    def parse_elem(flat: int, p: int):
+        (caddr,) = struct.unpack_from("<Q", buf, p)
+        if caddr == UNDEF:
+            return None
+        if client == 0:
+            return (flat, None, caddr)
+        size_len = elmt_size - 8 - 4
+        stored = int.from_bytes(buf[p + 8:p + 8 + size_len], "little")
+        return (flat, stored, caddr)
+
+    def walk_dblk(addr: int, start_idx: int, nelmts: int):
+        if buf[addr:addr + 4] != b"EADB":
+            raise HDF5Error(
+                f"{name}: bad extensible-array data block signature"
+            )
+        if nelmts > page_nelmts:
+            raise HDF5Error(
+                f"{name}: paged extensible-array data block "
+                f"({nelmts} > {page_nelmts} elements) unsupported — "
+                "documented residual; rewrite without "
+                "libver='latest', or with a larger data-block page"
+            )
+        p = addr + 6 + 8 + arr_off_size  # sig+ver+client, hdr addr, off
+        if p + nelmts * elmt_size + 4 > len(buf):
+            raise HDF5Error(
+                f"{name}: truncated extensible-array data block "
+                f"({nelmts} elements past end of file)"
+            )
+        for j in range(nelmts):
+            got = parse_elem(start_idx + j, p + j * elmt_size)
+            if got is not None:
+                yield got
+
+    # ---- index block: inline elements, direct dblk addrs, sblk addrs
+    if buf[iblk_addr:iblk_addr + 4] != b"EAIB":
+        raise HDF5Error(
+            f"{name}: bad extensible-array index block signature"
+        )
+    p = iblk_addr + 6 + 8  # signature+version+client, header address
+    need = (
+        idx_blk_elmts * elmt_size
+        + (ndblk_addrs + nsblk_addrs) * 8
+        + 4
+    )
+    if p + need > len(buf):
+        raise HDF5Error(
+            f"{name}: truncated extensible-array index block"
+        )
+    for j in range(idx_blk_elmts):
+        got = parse_elem(j, p + j * elmt_size)
+        if got is not None:
+            yield got
+    p += idx_blk_elmts * elmt_size
+    # direct data blocks cover super blocks 0..iblk_nsblks-1
+    for j in range(ndblk_addrs):
+        (daddr,) = struct.unpack_from("<Q", buf, p + j * 8)
+        if daddr == UNDEF:
+            continue
+        u = next(
+            i for i, (nd, _ne, _si, sd) in enumerate(sblk_info)
+            if sd <= j < sd + nd
+        )
+        nd, nelmts, start_idx, start_dblk = sblk_info[u]
+        yield from walk_dblk(
+            daddr, start_idx + (j - start_dblk) * nelmts, nelmts
+        )
+    p += ndblk_addrs * 8
+    for s in range(nsblk_addrs):
+        (saddr,) = struct.unpack_from("<Q", buf, p + s * 8)
+        if saddr == UNDEF:
+            continue
+        u = iblk_nsblks + s
+        nd, nelmts, start_idx, _sd = sblk_info[u]
+        if buf[saddr:saddr + 4] != b"EASB":
+            raise HDF5Error(
+                f"{name}: bad extensible-array super block signature"
+            )
+        if nelmts > page_nelmts:
+            raise HDF5Error(
+                f"{name}: paged extensible-array data blocks in super "
+                f"block {u} ({nelmts} > {page_nelmts} elements) "
+                "unsupported — documented residual"
+            )
+        sp = saddr + 6 + 8 + arr_off_size
+        if sp + nd * 8 + 4 > len(buf):
+            raise HDF5Error(
+                f"{name}: truncated extensible-array super block {u}"
+            )
+        for j in range(nd):
+            (daddr,) = struct.unpack_from("<Q", buf, sp + j * 8)
+            if daddr == UNDEF:
+                continue
+            yield from walk_dblk(daddr, start_idx + j * nelmts, nelmts)
 
 
 # --- dataset model ------------------------------------------------------------
@@ -979,11 +1191,16 @@ def _dt_vlen_ref() -> bytes:
     return bytes([0x19, 0x00, 0x00, 0x00]) + struct.pack("<I", 16) + _dt_ref()
 
 
-def _ds_message(shape: tuple[int, ...]) -> bytes:
+def _ds_message(shape: tuple[int, ...], unlimited0: bool = False) -> bytes:
     rank = len(shape)
     head = struct.pack("<BBB5x", 1, rank, 1)
     dims = b"".join(struct.pack("<Q", s) for s in shape)
-    return head + dims + dims  # maxdims == dims
+    maxdims = list(shape)
+    if unlimited0:
+        maxdims[0] = UNDEF  # H5S_UNLIMITED: the netCDF record dim
+    return head + dims + b"".join(
+        struct.pack("<Q", s) for s in maxdims
+    )
 
 
 def _msg(mtype: int, body: bytes) -> bytes:
@@ -1112,6 +1329,153 @@ def _write_v4_index(
     return 3, 0, struct.pack("<B", page_bits), fahd_at
 
 
+def _write_ea_index(
+    w: "_W", chunks: list, filtered: bool, params: dict | None
+) -> tuple[int, int, bytes, int]:
+    """Emit one EXTENSIBLE ARRAY chunk index (r13) over already-written
+    chunks in C flat order — spec-shaped ``EAHD``/``EAIB``/``EASB``/
+    ``EADB`` structures with the geometry of
+    :func:`_ea_sblk_info`, exactly what libhdf5 lays down for a
+    one-unlimited-dimension chunked dataset.  ``params`` overrides the
+    creation parameters (small values force the index through direct
+    data blocks AND super blocks on KB-scale fixtures); defaults are
+    the C library's.  Checksums are written as zeros, like every other
+    structure this fixture writer emits (the reader never verifies
+    them — documented trade)."""
+    p = {
+        "max_nelmts_bits": 32,
+        "idx_blk_elmts": 4,
+        "data_blk_min_elmts": 16,
+        "sblk_min_dptrs": 4,
+        "page_bits": 10,
+        **(params or {}),
+    }
+    n = len(chunks)
+    client = 1 if filtered else 0
+    if filtered:
+        size_len = max(1, (max(c[1] for c in chunks).bit_length() + 7) // 8)
+        elmt_size = 8 + size_len + 4
+    else:
+        size_len = 0
+        elmt_size = 8
+    geom = _ea_sblk_info(
+        p["max_nelmts_bits"], p["idx_blk_elmts"], p["data_blk_min_elmts"]
+    )
+    iblk_nsblks = 2 * (p["sblk_min_dptrs"].bit_length() - 1)
+    ndblk_addrs = 2 * (p["sblk_min_dptrs"] - 1)
+    nsblk_addrs = max(0, len(geom) - iblk_nsblks)
+    arr_off_size = (p["max_nelmts_bits"] + 7) // 8
+    page_nelmts = 1 << p["page_bits"]
+    hdr_phs: list[int] = []
+
+    def elem(i: int) -> bytes:
+        if i >= n:  # past the written extent: undefined element
+            out = struct.pack("<Q", UNDEF)
+            if client == 1:
+                out += b"\x00" * size_len + struct.pack("<I", 0)
+            return out
+        _offs, nbytes, addr = chunks[i]
+        out = struct.pack("<Q", addr)
+        if client == 1:
+            out += nbytes.to_bytes(size_len, "little")
+            out += struct.pack("<I", 0)
+        return out
+
+    def write_dblk(start_idx: int, nelmts: int) -> int:
+        if nelmts > page_nelmts:
+            raise ValueError(
+                f"EA fixture would need a paged data block ({nelmts} "
+                f"> {page_nelmts} elements) — unsupported by design; "
+                "raise page_bits or data_blk_min_elmts"
+            )
+        at = w.tell()
+        w.write(b"EADB" + struct.pack("<BB", 0, client))
+        hdr_phs.append(w.placeholder8())
+        w.write(start_idx.to_bytes(arr_off_size, "little"))
+        for j in range(nelmts):
+            w.write(elem(start_idx + j))
+        w.write(b"\x00" * 4)  # checksum
+        return at
+
+    # direct data blocks (global dblk index < ndblk_addrs)
+    direct: list[int] = []
+    for j in range(ndblk_addrs):
+        u = next(
+            i for i, (nd, _ne, _si, sd) in enumerate(geom)
+            if sd <= j < sd + nd
+        )
+        nd, ne, si, sd = geom[u]
+        start = si + (j - sd) * ne
+        direct.append(UNDEF if start >= n else write_dblk(start, ne))
+    # super blocks
+    sblks: list[int] = []
+    for s in range(nsblk_addrs):
+        nd, ne, si, _sd = geom[iblk_nsblks + s]
+        if si >= n:
+            sblks.append(UNDEF)
+            continue
+        daddrs = [
+            UNDEF if si + j * ne >= n else write_dblk(si + j * ne, ne)
+            for j in range(nd)
+        ]
+        at = w.tell()
+        w.write(b"EASB" + struct.pack("<BB", 0, client))
+        hdr_phs.append(w.placeholder8())
+        w.write(si.to_bytes(arr_off_size, "little"))
+        for a in daddrs:
+            w.write(struct.pack("<Q", a))
+        w.write(b"\x00" * 4)  # checksum
+        sblks.append(at)
+    # index block
+    iblk_at = w.tell()
+    w.write(b"EAIB" + struct.pack("<BB", 0, client))
+    hdr_phs.append(w.placeholder8())
+    for i in range(p["idx_blk_elmts"]):
+        w.write(elem(i))
+    for a in direct:
+        w.write(struct.pack("<Q", a))
+    for a in sblks:
+        w.write(struct.pack("<Q", a))
+    w.write(b"\x00" * 4)  # checksum
+    # header, LAST — every structure's header-address field patches here
+    eahd_at = w.tell()
+    w.write(b"EAHD" + struct.pack("<BB", 0, client))
+    w.write(
+        struct.pack(
+            "<BBBBBB",
+            elmt_size,
+            p["max_nelmts_bits"],
+            p["idx_blk_elmts"],
+            p["data_blk_min_elmts"],
+            p["sblk_min_dptrs"],
+            p["page_bits"],
+        )
+    )
+    n_written_dblks = sum(1 for a in direct if a != UNDEF)
+    w.write(struct.pack(
+        "<QQQQQQ",
+        sum(1 for a in sblks if a != UNDEF),  # nsuper_blks
+        0,                                    # super_blk_size (unused)
+        n_written_dblks,                      # ndata_blks
+        0,                                    # data_blk_size (unused)
+        n,                                    # max_idx_set
+        n,                                    # nelmts
+    ))
+    w.write(struct.pack("<Q", iblk_at))
+    w.write(b"\x00" * 4)  # checksum
+    for ph in hdr_phs:
+        w.patch8(ph, eahd_at)
+    pre_addr = struct.pack(
+        "<BBBBB",
+        p["max_nelmts_bits"],
+        p["idx_blk_elmts"],
+        p["data_blk_min_elmts"],
+        p["sblk_min_dptrs"],
+        p["page_bits"],
+    )
+    return 4, 0, pre_addr, eahd_at
+
+
 def write_hdf5(
     path: str,
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
@@ -1121,6 +1485,7 @@ def write_hdf5(
     latest: bool = False,
     v4_index: str | None = None,
     v4_page_bits: int = 10,
+    v4_ea_params: dict | None = None,
 ) -> None:
     """Write a minimal NetCDF4-flavored HDF5 file (fixture generation
     only — the engine's sinks are the GriddedTable, never HDF5).
@@ -1141,12 +1506,17 @@ def write_hdf5(
     ``"fixed"`` writes a Fixed Array (``FAHD``/``FADB``, paged when the
     chunk count exceeds ``2**v4_page_bits``), ``"single"`` a Single
     Chunk (chunk shape must equal the array shape), ``"implicit"`` an
-    Implicit index (uncompressed only — chunks contiguous in C order).
+    Implicit index (uncompressed only — chunks contiguous in C order),
+    ``"extensible"`` an EXTENSIBLE ARRAY (``EAHD``/``EAIB``/``EASB``/
+    ``EADB``, r13 — the one-unlimited-dimension index; the dataset's
+    dataspace stamps maxdims[0] = H5S_UNLIMITED and ``v4_ea_params``
+    overrides the creation parameters so KB-scale fixtures exercise
+    direct data blocks AND super blocks).
     """
     chunk_shapes = chunk_shapes or {}
     if v4_index is not None and not latest:
         raise ValueError("v4_index requires latest=True")
-    if v4_index not in (None, "fixed", "single", "implicit"):
+    if v4_index not in (None, "fixed", "single", "implicit", "extensible"):
         raise ValueError(f"unknown v4_index {v4_index!r}")
     if v4_index == "implicit" and compress:
         raise ValueError("implicit index cannot carry filtered chunks")
@@ -1221,6 +1591,11 @@ def write_hdf5(
                     raw = zlib.compress(raw, 6)
                 addr = w.write(raw)
                 chunks.append((offs, len(raw), addr))
+            if v4_index == "extensible":
+                v4_info[n] = _write_ea_index(
+                    w, chunks, bool(compress), v4_ea_params
+                )
+                continue
             if v4_index is not None:
                 v4_info[n] = _write_v4_index(
                     w, v4_index, chunks, bool(compress), v4_page_bits
@@ -1265,7 +1640,15 @@ def write_hdf5(
         dims, arr, vattrs = variables[n]
         arr = np.asarray(arr)
         msgs = [
-            _msg(MSG_DATASPACE, _ds_message(arr.shape)),
+            _msg(
+                MSG_DATASPACE,
+                _ds_message(
+                    arr.shape,
+                    unlimited0=(
+                        v4_index == "extensible" and n in v4_info
+                    ),
+                ),
+            ),
             _msg(MSG_DATATYPE, _dt_message(arr.dtype)),
             _msg(MSG_FILL_VALUE, struct.pack("<BBBB", 2, 2, 0, 0)),
         ]

@@ -1534,7 +1534,8 @@ def build_refs_for_zarr_store(root: str) -> dict:
 # --------------------------------------------------------------------------
 
 def write_parquet_refs(
-    root: str, doc: dict | str | bytes, record_size: int = 10_000
+    root: str, doc: dict | str | bytes, record_size: int = 10_000,
+    fs=None,
 ) -> None:
     """Write a refs mapping as a PARQUET reference store — the layout
     fsspec's ``LazyReferenceMapper`` produces when a kerchunk JSON
@@ -1554,18 +1555,29 @@ def write_parquet_refs(
         leaf = key.rsplit("/", 1)[-1]
         if leaf.startswith(".") or key.startswith("."):
             meta_keys[key] = val if isinstance(val, str) else json.dumps(val)
-    os.makedirs(root, exist_ok=True)
+    root, fs, _ = _store_fs(root, fs)
     for name, meta in arrays.items():
         _write_var_slabs(root, name, meta, _chunk_refs(refs, name),
-                         record_size)
+                         record_size, fs=fs)
     # .zmetadata LAST (third-pass review r10): it is the reader's and
     # the fixture cache's existence check, so it must only appear once
     # every slab is on disk — an interrupted write then leaves an
     # invisible partial store, not a poisoned one
-    zarr2.write_json_atomic(
-        os.path.join(root, ".zmetadata"),
-        {"metadata": meta_keys, "record_size": record_size},
-    )
+    _commit_zmetadata(root, meta_keys, record_size, fs)
+
+
+def _commit_zmetadata(
+    root: str, meta_keys: dict, record_size: int, fs=None
+) -> None:
+    """The metadata-LAST commit, through the ControlFS seam: local =
+    tmp+fsync+rename (zarr2.write_json_atomic, also the torn-write
+    injection seam the crash-safety tests patch), object store = one
+    atomic PUT."""
+    obj = {"metadata": meta_keys, "record_size": record_size}
+    if fs is None:
+        zarr2.write_json_atomic(_store_join(root, ".zmetadata"), obj)
+    else:
+        fs.write_atomic(_store_join(root, ".zmetadata"), json.dumps(obj))
 
 
 def _ref_row(ref: object) -> tuple:
@@ -1578,16 +1590,22 @@ def _ref_row(ref: object) -> tuple:
     return (ref[0], off, size, None)
 
 
-def _write_slab_atomic(vdir: str, slab: int, rows: list[tuple]) -> str:
-    """Write ONE ``refs.{slab}.parquet`` file atomically (tmp +
-    ``os.replace``), so a killed or retried task never leaves a torn
-    slab behind — retries overwrite idempotently.  ``rows`` is the
-    position-complete ``(path, offset, size, raw)`` list for the slab
-    (absent chunks as all-None rows)."""
-    import tempfile
+def _write_slab_atomic(
+    vdir: str, slab: int, rows: list[tuple], fs=None
+) -> str:
+    """Write ONE ``refs.{slab}.parquet`` file atomically through the
+    ControlFS seam (r13: local = tmp+fsync+rename, object store = one
+    PUT — both all-or-nothing), so a killed or retried task never
+    leaves a torn slab behind — retries overwrite idempotently.
+    ``rows`` is the position-complete ``(path, offset, size, raw)``
+    list for the slab (absent chunks as all-None rows); the table
+    serializes in memory (slabs are record_size-bounded by design)."""
+    import io
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from gridded_etl_tools_spark.sinks import fsio
 
     schema = pa.schema(
         [
@@ -1607,16 +1625,18 @@ def _write_slab_atomic(vdir: str, slab: int, rows: list[tuple]) -> str:
         },
         schema=schema,
     )
-    final = os.path.join(vdir, f"refs.{slab}.parquet")
-    fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".tmp")
-    os.close(fd)
-    try:
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    final = _store_join(vdir, f"refs.{slab}.parquet")
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    (fs or fsio.LOCAL_FS).write_atomic(final, buf.getvalue())
     return final
+
+
+def _store_join(*parts: str) -> str:
+    """``os.path.join`` for store paths that may carry an object-store
+    scheme — always forward-slash, so ``gs://bucket/x`` + ``y`` maps
+    to one object key on every platform."""
+    return "/".join(p.rstrip("/") for p in parts if p)
 
 
 def _write_var_slabs(
@@ -1625,11 +1645,13 @@ def _write_var_slabs(
     meta: zarr2.ZArray,
     items: list[tuple[str, object]],
     record_size: int,
+    fs=None,
 ) -> None:
     """Driver-side slab writer for ONE variable's ``(rel_key, ref)``
     items — the fixture-scale path shared by :func:`write_parquet_refs`
     and the non-concat (dimension-sized) arrays of
-    :func:`kerchunkify_to_parquet_refs`."""
+    :func:`kerchunkify_to_parquet_refs`.  ``fs``: ControlFS seam
+    (None = local; write_atomic creates local parents itself)."""
     grid = meta.chunk_grid
     n = int(np.prod(grid))
     rows: dict[int, tuple] = {}
@@ -1637,8 +1659,7 @@ def _write_var_slabs(
         idx = zarr2.chunk_key_indices(rel, meta)
         flat = int(np.ravel_multi_index(idx, grid))
         rows[flat] = _ref_row(ref)
-    vdir = os.path.join(root, name)
-    os.makedirs(vdir, exist_ok=True)
+    vdir = _store_join(root, name)
     for start in range(0, n, record_size):
         stop = min(start + record_size, n)
         _write_slab_atomic(
@@ -1646,12 +1667,16 @@ def _write_var_slabs(
             start // record_size,
             [rows.get(i, (None, None, None, None))
              for i in range(start, stop)],
+            fs=fs,
         )
 
 
-def _parquet_refs_metadata(root: str) -> tuple[dict, int]:
-    with open(os.path.join(root, ".zmetadata")) as f:
-        z = json.load(f)
+def _parquet_refs_metadata(root: str, fs=None) -> tuple[dict, int]:
+    from gridded_etl_tools_spark.sinks import fsio
+
+    z = json.loads(
+        (fs or fsio.LOCAL_FS).read_text(_store_join(root, ".zmetadata"))
+    )
     return z["metadata"], int(z.get("record_size", 10_000))
 
 
@@ -1660,24 +1685,42 @@ def _flat_key(flat: int, grid: tuple[int, ...], sep: str) -> str:
     return sep.join(str(int(x)) for x in idx)
 
 
+_SLAB_NAME_RE = re.compile(r"^refs\.(\d+)\.parquet$")
+
+
+def _list_slab_names(root: str, name: str, fs=None) -> list[str]:
+    """``refs.{i}.parquet`` child names of one variable directory, in
+    slab order, through the ControlFS seam (local listdir or one
+    object-store LIST per variable)."""
+    from gridded_etl_tools_spark.sinks import fsio
+
+    names = (fs or fsio.LOCAL_FS).list_names(_store_join(root, name))
+    return sorted(
+        (n for n in names if _SLAB_NAME_RE.match(n)),
+        key=lambda n: int(n.split(".")[1]),
+    )
+
+
 def _read_parquet_refs_var(
-    root: str, name: str, meta: zarr2.ZArray, record_size: int
+    root: str, name: str, meta: zarr2.ZArray, record_size: int, fs=None
 ) -> list[tuple[str, object]]:
     """Driver-side materialization of ONE variable's refs (coordinate
     arrays only — dimension-sized by design)."""
-    import glob as _glob
+    import io
 
     import pyarrow.parquet as pq
+
+    from gridded_etl_tools_spark.sinks import fsio
 
     grid = meta.chunk_grid
     out: list[tuple[str, object]] = []
     n_grid = int(np.prod(grid))
-    for path in sorted(
-        _glob.glob(os.path.join(root, name, "refs.*.parquet")),
-        key=lambda p: int(os.path.basename(p).split(".")[1]),
-    ):
-        i = int(os.path.basename(path).split(".")[1])
-        t = pq.read_table(path)
+    for fname in _list_slab_names(root, name, fs):
+        path = _store_join(root, name, fname)
+        i = int(fname.split(".")[1])
+        t = pq.read_table(
+            io.BytesIO((fs or fsio.LOCAL_FS).read_bytes(path))
+        )
         for j in range(t.num_rows):
             if i * record_size + j >= n_grid:
                 # rows past the committed grid: fsspec slab padding,
@@ -1708,7 +1751,8 @@ def _read_parquet_refs_var(
 
 
 def decode_parquet_refs(
-    spark: SparkSession, root: str, data_var: str, base_dir: str = ""
+    spark: SparkSession, root: str, data_var: str, base_dir: str = "",
+    fs=None, fs_factory=None,
 ) -> DataFrame:
     """Distributed decode of a PARQUET reference store: the refs ARE
     parquet, so the data variable's manifest is built executor-side —
@@ -1718,8 +1762,15 @@ def decode_parquet_refs(
     parse at all for the data variable: a billion-chunk store's
     planning cost is listing its refs files.  Coordinate axes stay
     driver-side (dimension-sized, same trade as every other front
-    door)."""
-    meta_keys, record_size = _parquet_refs_metadata(root)
+    door).
+
+    Object-store roots (r13): with a schemed ``root`` (or explicit
+    ``fs``/``fs_factory``), metadata and coordinate slabs read through
+    the ControlFS seam and the data slabs through a driver-side LIST
+    (slab NAMES only — one row per record_size chunks) fanned out to
+    executor GETs; a plain local root keeps Spark's binaryFile scan."""
+    root, fs, fs_factory = _store_fs(root, fs, fs_factory)
+    meta_keys, record_size = _parquet_refs_metadata(root, fs)
     # store_metadata is the ONE .zarray/.zattrs parsing loop — it
     # already stringifies the PARSED dict values real fsspec
     # LazyReferenceMapper stores carry (the hand-rolled copy here
@@ -1738,7 +1789,7 @@ def decode_parquet_refs(
             crefs = dict(
                 (f"{d}/{k}", v)
                 for k, v in _read_parquet_refs_var(
-                    root, d, arrays[d], record_size
+                    root, d, arrays[d], record_size, fs
                 )
             )
             coords[d] = read_array(crefs, arrays[d], base_dir).astype("f8")
@@ -1754,9 +1805,41 @@ def decode_parquet_refs(
     # from the JSON-document decode on any store with holes)
     has_fill = meta.fill_value is not None
 
-    files = spark.read.format("binaryFile").load(
-        os.path.join(root, data_var, "refs.*.parquet")
-    ).select("path", "content")
+    if fs is None:
+        files = spark.read.format("binaryFile").load(
+            os.path.join(root, data_var, "refs.*.parquet")
+        ).select("path", "content")
+    else:
+        # object-store (or explicit-fs) slab scan: the driver LISTS
+        # slab names (one per record_size chunks — a billion-chunk
+        # store is ~100k names) and executors GET their bytes through
+        # per-task ControlFS handles; same (path, content) contract
+        # as the binaryFile branch, so `build` below is shared
+        slab_paths = [
+            (_store_join(root, data_var, n),)
+            for n in _list_slab_names(root, data_var, fs)
+        ]
+        factory = fs_factory
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from gridded_etl_tools_spark.sinks import fsio as _fsio
+
+            task_fs = factory() if factory is not None else _fsio.LOCAL_FS
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "content": [
+                            task_fs.read_bytes(p) for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        files = (
+            spark.createDataFrame(slab_paths, "path string")
+            .repartition(max(1, min(len(slab_paths), 64)))
+            .mapInPandas(fetch, "path string, content binary")
+        )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -2685,6 +2768,7 @@ def _slab_merge_pipeline(
     template: dict,
     base_totals: dict[str, int],
     rest_grids: dict[str, tuple[int, ...]],
+    fs_factory=None,
 ) -> tuple[dict[str, int], int, int]:
     """The shared distributed stage of BOTH parquet-refs writers
     (fifth review pass r12: ~200 near-verbatim lines lived twice):
@@ -2937,10 +3021,6 @@ def _slab_merge_pipeline(
             skel = s if skel is None else skel.unionByName(s)
         all_rows = rows.unionByName(skel)
 
-        os.makedirs(root, exist_ok=True)
-        for n in concat_names:
-            os.makedirs(os.path.join(root, n), exist_ok=True)
-
         result_schema = T.StructType(
             [
                 T.StructField("name", T.StringType(), False),
@@ -2950,11 +3030,21 @@ def _slab_merge_pipeline(
         )
         ngrids_b = spark.sparkContext.broadcast(n_grids)
         bflats_b = spark.sparkContext.broadcast(base_flats)
-        rs, out_root = record_size, root
+        rs, out_root, factory = record_size, root, fs_factory
+        task_fs_memo: dict = {}  # one handle per task, not per group
 
         def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            import io as _io
+
             import pyarrow.parquet as pq
 
+            from gridded_etl_tools_spark.sinks import fsio as _fsio
+
+            if "fs" not in task_fs_memo:
+                task_fs_memo["fs"] = (
+                    factory() if factory is not None else _fsio.LOCAL_FS
+                )
+            task_fs = task_fs_memo["fs"]
             name = str(pdf["name"].iloc[0])
             slab = int(pdf["slab"].iloc[0])
             start = slab * rs
@@ -2964,7 +3054,7 @@ def _slab_merge_pipeline(
                 (None, None, None, None)
             ] * count
             occupied = set()
-            existing = os.path.join(
+            existing = _store_join(
                 out_root, name, f"refs.{slab}.parquet"
             )
             if base_flat > start:
@@ -2980,7 +3070,7 @@ def _slab_merge_pipeline(
                 # commit would then normalize into silently wrong
                 # reads inside the committed extent (ADVICE r12)
                 keep = base_flat - start  # committed rows in the slab
-                if not os.path.exists(existing):
+                if not task_fs.exists(existing):
                     raise KerchunkError(
                         f"{name}: boundary slab {slab} is missing "
                         f"from the committed store ({keep} committed "
@@ -2988,7 +3078,7 @@ def _slab_merge_pipeline(
                         "is corrupt; refusing to rebuild committed "
                         "positions as fill"
                     )
-                t = pq.read_table(existing)
+                t = pq.read_table(_io.BytesIO(task_fs.read_bytes(existing)))
                 if t.num_rows < keep:
                     raise KerchunkError(
                         f"{name}: boundary slab {slab} is truncated "
@@ -3029,7 +3119,8 @@ def _slab_merge_pipeline(
                 )
                 n_refs += 1
             _write_slab_atomic(
-                os.path.join(out_root, name), slab, slab_rows
+                _store_join(out_root, name), slab, slab_rows,
+                fs=task_fs,
             )
             return pd.DataFrame(
                 {"name": [name], "slab": [slab], "n_refs": [n_refs]}
@@ -3045,23 +3136,52 @@ def _slab_merge_pipeline(
         off.unpersist()
 
 
-def _normalize_store_root(root: str) -> str:
+def _store_fs(root: str, fs=None, fs_factory=None):
+    """Resolve a parquet-reference-store root to ``(root, fs,
+    fs_factory)`` — the ControlFS seam both writers, the decoder, and
+    every executor task share (r13, verdict r12 missing #2: schemed
+    roots used to refuse; now ``gs://``/``s3://``/``abfss://`` roots
+    write through the object-store ControlFS ports, whose
+    ``write_atomic`` is a single PUT — the only primitive the layout
+    needs, because slabs are uniquely named and ``.zmetadata`` commits
+    last).
+
+    * ``file://`` strips to the plain path (fourth review pass r12:
+      the unstripped scheme made os.makedirs create a literal
+      './file:/...' RELATIVE directory — executor-local scatter).
+    * ``fs`` (driver-side handle) and ``fs_factory`` (a PICKLABLE
+      zero-arg callable executors invoke — SDK clients don't pickle)
+      may be passed explicitly (tests pass dir-backed emulators).
+      When only one is given the other derives from it / the root.
+    * A schemed root with neither resolves through
+      :func:`fsio.fs_for_root` — import-gated SDK constructors, so an
+      absent SDK refuses HERE, loudly, with the workaround named.
+    * A local root with neither keeps ``fs=None`` — callers treat
+      that as LOCAL_FS (the plain-file fast path, incl. Spark's own
+      binaryFile slab scan on the read side)."""
+    import functools
+
+    from gridded_etl_tools_spark.sinks import fsio
+
     if root.startswith("file://"):
-        # normalize to the plain path (fourth review pass r12: the
-        # exempted-but-unstripped scheme made os.makedirs create a
-        # literal './file:/...' RELATIVE directory — the exact
-        # executor-local scatter the scheme guard prevents)
         root = root[len("file://"):]
-    if "://" in root:
-        # slab tasks write through plain file IO (shared-FS seam, like
-        # the zarr sink's LOCAL_FS default) — a schemed root would
-        # silently write to executor-local disks instead
-        raise KerchunkError(
-            f"parquet reference store root {root!r} must be a shared "
-            "filesystem path — write locally (or to a mounted store) "
-            "and sync, as with the zarr sink"
-        )
-    return root
+    if fs is None and fs_factory is not None:
+        fs = fs_factory()
+    if fs is None and "://" in root:
+        try:
+            fs = fsio.fs_for_root(root)
+        except (ImportError, ValueError) as exc:
+            raise KerchunkError(
+                f"parquet reference store root {root!r}: {exc} — pass "
+                "fs/fs_factory (a ControlFS for the store), install "
+                "the provider SDK, or write to a shared filesystem "
+                "path and sync"
+            ) from exc
+    if fs is not None and fs_factory is None and "://" in root:
+        # executors must construct their own handle (clients don't
+        # pickle); fs_for_root is module-level + string-arg picklable
+        fs_factory = functools.partial(fsio.fs_for_root, root)
+    return root, fs, fs_factory
 
 
 def kerchunkify_to_parquet_refs(
@@ -3072,6 +3192,8 @@ def kerchunkify_to_parquet_refs(
     glob: str = "*",
     record_size: int = 10_000,
     header_bytes: int = 65536,
+    fs=None,
+    fs_factory=None,
 ) -> dict:
     """Distributed kerchunkify + concat merge, written DIRECTLY as a
     parquet reference store — the scale form of
@@ -3121,8 +3243,11 @@ def kerchunkify_to_parquet_refs(
     from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
     from gridded_etl_tools_spark.sources.files import natural_sort_col
 
-    root = _normalize_store_root(root)
-    if os.path.exists(os.path.join(root, ".zmetadata")):
+    from gridded_etl_tools_spark.sinks import fsio
+
+    root, fs, fs_factory = _store_fs(root, fs, fs_factory)
+    drv_fs = fs or fsio.LOCAL_FS
+    if drv_fs.exists(_store_join(root, ".zmetadata")):
         # refuse BEFORE leasing (sixth review pass r12): a fresh write
         # rebuilds slabs from its own input only, so rewriting a
         # COMMITTED store in place and crashing (or fencing) before
@@ -3138,9 +3263,12 @@ def kerchunkify_to_parquet_refs(
     # writer lease (r12): the parquet reference store is a mutable
     # store once append_to_parquet_refs exists — a fresh write racing
     # an append (or a second write) is the same lost-update class the
-    # zarr sink's W14 lease guards
-    os.makedirs(root, exist_ok=True)
-    lease = ZarrWriterLease(root)
+    # zarr sink's W14 lease guards.  Local roots still pre-create the
+    # directory (the lease's flock sidecar needs it); object stores
+    # have no directories to create.
+    if fs is None:
+        os.makedirs(root, exist_ok=True)
+    lease = ZarrWriterLease(root, fs=fs)
     lease_state = lease.acquire()
     scans = None
     try:
@@ -3193,6 +3321,7 @@ def kerchunkify_to_parquet_refs(
             spark, scans, root, record_size, concat_names, template,
             {n: 0 for n in concat_names},
             {n: tuple(metas0[n].chunk_grid[1:]) for n in concat_names},
+            fs_factory=fs_factory,
         )
 
         # dimension-sized non-concat arrays (coordinates/statics) come
@@ -3201,7 +3330,9 @@ def kerchunkify_to_parquet_refs(
         for n, m in metas0.items():
             if n in concat_names:
                 continue
-            _write_var_slabs(root, n, m, _chunk_refs(doc0, n), record_size)
+            _write_var_slabs(
+                root, n, m, _chunk_refs(doc0, n), record_size, fs=fs
+            )
 
         meta_keys: dict[str, object] = {}
         for key, val in doc0.items():
@@ -3220,10 +3351,7 @@ def kerchunkify_to_parquet_refs(
         lease.check(lease_state)
         # .zmetadata LAST: an interrupted distributed write leaves an
         # invisible partial store, never a poisoned one
-        zarr2.write_json_atomic(
-            os.path.join(root, ".zmetadata"),
-            {"metadata": meta_keys, "record_size": record_size},
-        )
+        _commit_zmetadata(root, meta_keys, record_size, fs)
         return {
             "files": n_files,
             "arrays": new_lead,
@@ -3242,6 +3370,8 @@ def append_to_parquet_refs(
     concat_dim: str,
     glob: str = "*",
     header_bytes: int = 65536,
+    fs=None,
+    fs_factory=None,
 ) -> dict:
     """Incrementally APPEND new raw files to an existing parquet
     reference store — O(new files), never O(archive) (r12): the daily
@@ -3280,15 +3410,18 @@ def append_to_parquet_refs(
     from gridded_etl_tools_spark.sinks.zarr_sink import ZarrWriterLease
     from gridded_etl_tools_spark.sources.files import natural_sort_col
 
-    root = _normalize_store_root(root)
-    if not os.path.exists(os.path.join(root, ".zmetadata")):
+    from gridded_etl_tools_spark.sinks import fsio
+
+    root, fs, fs_factory = _store_fs(root, fs, fs_factory)
+    drv_fs = fs or fsio.LOCAL_FS
+    if not drv_fs.exists(_store_join(root, ".zmetadata")):
         # refuse BEFORE leasing: no lease debris at mistyped roots
         # (the zarr sink's third-review-pass r11 rule)
         raise KerchunkError(
             f"no parquet reference store at {root!r} — append extends "
             "an existing store (kerchunkify_to_parquet_refs first)"
         )
-    lease = ZarrWriterLease(root)
+    lease = ZarrWriterLease(root, fs=fs)
     lease_state = lease.acquire()
     scans = None
     try:
@@ -3297,7 +3430,7 @@ def append_to_parquet_refs(
         # acquire let a concurrent writer commit in between — stale
         # extents, and a final .zmetadata rewrite that clobbered the
         # other writer's commit)
-        meta_keys, record_size = _parquet_refs_metadata(root)
+        meta_keys, record_size = _parquet_refs_metadata(root, fs)
         arrays = store_metadata(meta_keys)
         concat_names = sorted(
             n for n, m in arrays.items()
@@ -3323,7 +3456,7 @@ def append_to_parquet_refs(
             crefs = {
                 f"{name}/{k}": v
                 for k, v in _read_parquet_refs_var(
-                    root, name, arrays[name], record_size
+                    root, name, arrays[name], record_size, fs
                 )
             }
             return _nonconcat_value_digest(crefs, arrays[name])
@@ -3356,7 +3489,7 @@ def append_to_parquet_refs(
             )
         new_lead, n_files, n_slabs = _slab_merge_pipeline(
             spark, scans, root, record_size, concat_names, template,
-            base_totals, rest_grids,
+            base_totals, rest_grids, fs_factory=fs_factory,
         )
         # patch the concat extents; fencing precedes the metadata-last
         # commit, exactly as the zarr sink's mutators do
@@ -3365,10 +3498,7 @@ def append_to_parquet_refs(
             z["shape"][0] = base_totals[n] + new_lead.get(n, 0)
             meta_keys[f"{n}/.zarray"] = json.dumps(z)
         lease.check(lease_state)
-        zarr2.write_json_atomic(
-            os.path.join(root, ".zmetadata"),
-            {"metadata": meta_keys, "record_size": record_size},
-        )
+        _commit_zmetadata(root, meta_keys, record_size, fs)
         return {
             "files": n_files,
             "appended": new_lead,

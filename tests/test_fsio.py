@@ -594,3 +594,58 @@ def test_s3_key_guards_foreign_bucket_and_root():
         fs._key("s3://bucket-a/")
     with pytest.raises(ValueError, match="bucket root"):
         fs._key("/")
+
+
+def test_dir_object_controlfs_contract(tmp_path):
+    """DirObjectControlFS (r13): object-store semantics over a local
+    directory — the cross-process emulator the parquet-refs
+    object-store tests drive Spark executors through.  Contract checks:
+    scheme-root key mapping, out-of-root refusal (local paths leaking
+    into an object-store write), whole-object put/get/list/walk, CAS
+    create/swap/stale, remove_tree, and mtime."""
+    from gridded_etl_tools_spark.sinks.fsio import DirObjectControlFS
+
+    d = tmp_path / "bucket"
+    fs = DirObjectControlFS("gs://refs-bucket", str(d))
+    root = "gs://refs-bucket/store"
+
+    # whole-object put/get; parents materialize implicitly (flat keys)
+    fs.write_atomic(f"{root}/a/x.bin", b"\x00\x01")
+    fs.write_atomic(f"{root}/a/y.txt", "hi")
+    assert fs.read_bytes(f"{root}/a/x.bin") == b"\x00\x01"
+    assert fs.read_text(f"{root}/a/y.txt") == "hi"
+    assert fs.exists(f"{root}/a/x.bin") and not fs.exists(f"{root}/nope")
+    assert fs.isdir(f"{root}/a") and not fs.isdir(f"{root}/a/x.bin")
+    assert fs.list_names(f"{root}/a") == ["x.bin", "y.txt"]
+    # walk returns SCHEMED paths (round-trips back through the fs)
+    walked = fs.walk_files(root)
+    assert sorted(walked) == [f"{root}/a/x.bin", f"{root}/a/y.txt"]
+    assert all(fs.read_bytes(p) is not None for p in walked)
+    assert fs.mtime(f"{root}/a/y.txt") > 0
+
+    # conditional writes: create-once, swap-on-match, stale loses
+    p = f"{root}/ptr.json"
+    assert fs.compare_and_swap(p, "v0", None)
+    assert not fs.compare_and_swap(p, "v1", None)
+    assert not fs.compare_and_swap(p, "v1", "stale")
+    assert fs.compare_and_swap(p, "v1", "v0")
+    assert fs.read_text(p) == "v1"
+
+    # out-of-root paths refuse loudly — the scatter guard
+    for bad in (str(tmp_path / "x"), "gs://other-bucket/x", "/etc/hosts"):
+        with pytest.raises(ValueError, match="outside this store"):
+            fs.read_bytes(bad)
+    with pytest.raises(ValueError):
+        DirObjectControlFS("no-scheme-root", str(d))
+
+    fs.remove(f"{root}/a/y.txt")
+    assert not fs.exists(f"{root}/a/y.txt")
+    fs.remove_tree(root)
+    assert fs.walk_files(root) == []
+
+    # picklable (ships to executors inside closures)
+    import pickle
+
+    fs2 = pickle.loads(pickle.dumps(fs))
+    fs2.write_atomic(f"{root}/z.bin", b"z")
+    assert fs.read_bytes(f"{root}/z.bin") == b"z"

@@ -338,9 +338,12 @@ def test_layout_v4_kerchunkify_matches_v1(spark, tmp_path):
 
 
 def test_layout_v4_unsupported_indexes_refuse(tmp_path):
-    """Extensible Array (4) and v2 B-tree (5) indexes refuse loudly,
-    naming the workaround — they back unlimited dimensions the
-    fixed-shape scan cannot enumerate."""
+    """v2 B-tree (5) indexes refuse loudly, naming the workaround —
+    they back multi-unlimited-dimension layouts the scan does not
+    enumerate.  Index 4 (Extensible Array) PARSES since r13 — flipping
+    the type byte over a Fixed Array file now refuses on the layout
+    message's size bound (EA index info is wider than fixed-array's),
+    proving the dispatcher really routes type 4 to the EA branch."""
     import struct as _s
 
     _write(
@@ -354,7 +357,13 @@ def test_layout_v4_unsupported_indexes_refuse(tmp_path):
     assert at > 0
     type_at = at + 5 + 4 * 8
     assert raw[type_at] == 3
-    for bad, words in ((4, "extensible array"), (5, "version 2 B-tree")):
+    for bad, words in (
+        # the EA dispatcher needs 13 index-info bytes; the fixed-array
+        # message only carries 9, so the mislabel refuses on the
+        # message bound (HDF5Error, never a raw struct.error)
+        (4, "truncated v4 layout message"),
+        (5, "version 2 B-tree"),
+    ):
         raw[type_at] = bad
         with pytest.raises(h5.HDF5Error, match=words):
             h5.scan_hdf5(bytes(raw))
@@ -368,6 +377,171 @@ def test_layout_v4_unsupported_indexes_refuse(tmp_path):
         h5.scan_hdf5(bytes(raw))
     raw[dim_at:dim_at + 8] = keep
     h5.scan_hdf5(bytes(raw))  # restored file parses again
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(chunk_shapes={"precip": (2, 3, 3)}, v4_index="extensible"),
+        dict(chunk_shapes={"precip": (2, 3, 3)}, v4_index="extensible",
+             compress=True),
+        dict(chunk_shapes={"precip": (1, 2, 2)}, v4_index="extensible",
+             v4_ea_params=dict(idx_blk_elmts=2, data_blk_min_elmts=2,
+                               sblk_min_dptrs=2)),
+        dict(chunk_shapes={"precip": (1, 2, 2)}, v4_index="extensible",
+             compress=True,
+             v4_ea_params=dict(idx_blk_elmts=2, data_blk_min_elmts=2,
+                               sblk_min_dptrs=2)),
+    ],
+    ids=["ea_defaults", "ea_filtered", "ea_superblocks",
+         "ea_superblocks_filtered"],
+)
+def test_layout_v4_extensible_array_round_trip(tmp_path, kw):
+    """EXTENSIBLE ARRAY chunk index (r13, verdict r12 missing #3 — the
+    index libhdf5 emits for a one-unlimited-dimension chunked dataset,
+    i.e. every libver='latest' netCDF with a record dimension):
+    elements inline in the index block, in directly-addressed data
+    blocks, AND in super-block-addressed data blocks (the small
+    creation params force all three tiers on a 20-chunk fixture);
+    filtered client-1 elements carry stored size; decode equals the
+    v1-B-tree layout cell-for-cell."""
+    import math
+
+    kw = dict(kw)
+    small = "v4_ea_params" in kw
+    data = _write(str(tmp_path / "ea.nc4"), 0, 5, seed=3, latest=True, **kw)
+    raw = (tmp_path / "ea.nc4").read_bytes()
+    assert b"EAHD" in raw and b"EAIB" in raw and b"EADB" in raw
+    if small:
+        assert b"EASB" in raw  # super blocks exercised
+    f = h5.parse_hdf5(raw)
+    np.testing.assert_allclose(f.variables["precip"].data, data)
+    assert f.variables["precip"].dim_names == (
+        "time", "latitude", "longitude"
+    )
+    base, _ra, dsets, _a2n = h5.scan_hdf5(raw)
+    d = {x.name: x for x in dsets}["precip"]
+    want_chunks = math.prod(
+        -(-s // c) for s, c in zip((5, 4, 4), kw["chunk_shapes"]["precip"])
+    )
+    assert len(d.chunks) == want_chunks
+    got = h5._materialize(raw[base:] if base else raw, d)
+    np.testing.assert_allclose(got, data)
+
+
+def test_extensible_array_kerchunkify_matches_v1(spark, tmp_path):
+    """Refs PRODUCTION over an EA-indexed file: kerchunkify_hdf5 emits
+    byte-range refs that decode hash-equal to the same data written
+    with the v1 B-tree layout — the unlimited-dimension
+    (libver='latest') parity residual from VERDICT r12 closed."""
+    from gridded_etl_tools_spark.sources import kerchunk as kc
+
+    data = _write(
+        str(tmp_path / "ea.nc4"), 0, 4, seed=21, latest=True,
+        chunk_shapes={"precip": (1, 3, 3)}, compress=True,
+        v4_index="extensible",
+        v4_ea_params=dict(idx_blk_elmts=2, data_blk_min_elmts=2,
+                          sblk_min_dptrs=2),
+    )
+    _write(
+        str(tmp_path / "v1.nc4"), 0, 4, seed=21,
+        chunk_shapes={"precip": (1, 3, 3)}, compress=True,
+    )
+    rows = {}
+    for nm in ("ea", "v1"):
+        buf = (tmp_path / f"{nm}.nc4").read_bytes()
+        refs = kc.kerchunkify_hdf5(buf, str(tmp_path / f"{nm}.nc4"))
+        rows[nm] = {
+            (r.time, r.latitude, r.longitude): r.value
+            for r in kc.decode_kerchunk_long(
+                spark, refs, "precip"
+            ).collect()
+        }
+    assert rows["ea"] == rows["v1"] and len(rows["ea"]) == 64
+    assert rows["ea"][(0.0, 36.0, -115.75)] is None  # fill -> NULL
+
+
+def test_extensible_array_corrupt_headers_refuse(tmp_path):
+    """EA header/structure fields off the untrusted buffer are bounded
+    and every corruption refuses as HDF5Error (the ADVICE r12 taxonomy
+    rule applied to the new index): bad signatures, non-power-of-two
+    geometry, undersized elements, truncated blocks, paged data
+    blocks, and out-of-grid elements."""
+    _write(
+        str(tmp_path / "ea.nc4"), 0, 3, seed=5, latest=True,
+        chunk_shapes={"precip": (1, 2, 2)}, v4_index="extensible",
+        v4_ea_params=dict(idx_blk_elmts=2, data_blk_min_elmts=2,
+                          sblk_min_dptrs=2),
+    )
+    raw = bytearray((tmp_path / "ea.nc4").read_bytes())
+    at = bytes(raw).find(b"EAHD")
+    assert at > 0
+    h5.scan_hdf5(bytes(raw))  # pristine parses
+
+    # element size too small for the client
+    keep = raw[at + 6]
+    raw[at + 6] = 4
+    with pytest.raises(h5.HDF5Error, match="element size"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 6] = keep
+
+    # non-power-of-two data block min elements
+    keep = raw[at + 9]
+    raw[at + 9] = 3
+    with pytest.raises(h5.HDF5Error, match="power of two"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 9] = keep
+
+    # corrupt max nelmts bits
+    keep = raw[at + 7]
+    raw[at + 7] = 99
+    with pytest.raises(h5.HDF5Error, match="max nelmts"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 7] = keep
+
+    # index block address pointing at garbage
+    iblk_at = at + 12 + 48
+    keep_ib = raw[iblk_at:iblk_at + 8]
+    raw[iblk_at:iblk_at + 8] = (len(raw) - 3).to_bytes(8, "little")
+    with pytest.raises(h5.HDF5Error, match="index block signature"):
+        h5.scan_hdf5(bytes(raw))
+    raw[iblk_at:iblk_at + 8] = keep_ib
+
+    # paged data blocks refuse loudly (page_bits smaller than a block)
+    keep = raw[at + 11]
+    raw[at + 11] = 0  # 2^0 = 1 element per page < 2-element blocks
+    with pytest.raises(h5.HDF5Error, match="paged extensible-array"):
+        h5.scan_hdf5(bytes(raw))
+    raw[at + 11] = keep
+
+    h5.scan_hdf5(bytes(raw))  # restored file still parses
+
+
+def test_extensible_array_truncated_blocks_refuse():
+    """Synthetic EAHD/EAIB whose regions run past the buffer end: loud
+    HDF5Error, never struct.error."""
+    import struct as _s
+
+    def hdr(iblk_addr, total_pad=0):
+        b = bytearray(b"EAHD")
+        b += bytes([0, 0, 8, 16, 2, 2, 2, 10])  # ver cl es mb ib db sp pb
+        b += bytes(48)  # stats
+        b += _s.pack("<Q", iblk_addr)
+        b += bytes(4)  # checksum
+        b += bytes(total_pad)
+        return b
+
+    # truncated header
+    with pytest.raises(h5.HDF5Error, match="truncated extensible-array"):
+        list(h5._extensible_array_elements(bytes(b"EAHD" + bytes(8)), "t", 0))
+    # index block signature out of range
+    with pytest.raises(h5.HDF5Error, match="index block signature"):
+        list(h5._extensible_array_elements(bytes(hdr(10 ** 6)), "t", 0))
+    # index block present but its element/address region truncated
+    b = hdr(72)
+    b += b"EAIB" + bytes([0, 0]) + _s.pack("<Q", 0)  # ends at elements
+    with pytest.raises(h5.HDF5Error, match="truncated extensible-array"):
+        list(h5._extensible_array_elements(bytes(b), "t", 0))
 
 
 def test_fixed_array_corrupt_header_fields_refuse(tmp_path):

