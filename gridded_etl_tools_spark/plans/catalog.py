@@ -6225,6 +6225,9 @@ def streaming_zarr_multivar_readback(
         dims=["day", "station"], checkpoint_dir=ckpt,
         value_col=["mv", "xv"], chunks=[8, 32],
         derive=derive, max_files_per_trigger=1,
+        # pinned micro-batch shuffle width (r13, the r12 bench
+        # stability note): each batch is one cadence era — KB scale
+        batch_shuffle_partitions=8,
     )
     q.awaitTermination()
     a = z2_mod.decode_zarr_long(spark, root, "mean_value").select(

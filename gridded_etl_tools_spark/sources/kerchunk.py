@@ -2454,9 +2454,11 @@ def _zjson(val: object) -> dict:
     return json.loads(val)
 
 
-#: non-concat arrays up to this decoded size verify by VALUE during a
-#: merge (they are dimension-scale axes by design); larger ones keep
-#: MZZ's first-doc-wins with metadata-only checks (documented residual)
+#: non-concat arrays up to this decoded size verify by FULL value
+#: digest during a merge (they are dimension-scale axes by design);
+#: larger ones verify a chunk-SAMPLED digest bounded by this many
+#: fetched bytes (r13 — unsampled chunks remain first-doc-wins, the
+#: documented residual)
 _NONCONCAT_VERIFY_BOUND = 4 * 1024 * 1024
 
 
@@ -2470,24 +2472,30 @@ def _nonconcat_value_digest(refs: dict, meta: zarr2.ZArray) -> str | None:
     same-shaped NetCDF latitude axes with different values did too
     (their refs are byte ranges, so no inline comparison can see
     them).  Decoding the axis (KB-scale by design) and hashing the
-    values catches both.  Returns None above the verification bound
-    (first-doc-wins residual, MZZ parity) or when the refs are not
-    fetchable from here (no fetch capability = nothing to verify —
-    the decode itself would refuse identically)."""
+    values catches both.  Above the verification bound the digest is
+    CHUNK-SAMPLED instead of skipped (r13 — see
+    :func:`_sampled_nonconcat_digest`); returns None only when the
+    refs are not fetchable from here (no fetch capability = nothing
+    to verify — the decode itself would refuse identically)."""
     import hashlib
 
-    items = _chunk_refs(refs, meta.name)
-    needs_fetch = any(not isinstance(ref, str) for _, ref in items)
     nbytes = (
         int(np.prod(meta.shape, dtype=np.int64))
         * np.dtype(meta.dtype).itemsize
     )
-    # the bound gates FETCH cost only — inline values are already in
-    # memory and verify at any size (code-review r12 pass 3: the bound
-    # silently skipped oversize inline axes the old string comparison
-    # checked for free)
-    if needs_fetch and nbytes > _NONCONCAT_VERIFY_BOUND:
-        return None
+    if nbytes > _NONCONCAT_VERIFY_BOUND:
+        # oversize axes used to skip value verification entirely
+        # (first-doc-wins); r13 (verdict r12 missing #4) samples a
+        # deterministic, metadata-derived subset of chunks instead —
+        # bounded fetch cost, and the SAME chunks on every doc with
+        # the same .zarray, so the digests stay comparable.  The
+        # "sampled:" prefix keeps a sampled digest from ever matching
+        # a full digest.  Inline oversize axes take the sampled path
+        # too (a full-vs-sampled mismatch between an inline doc and a
+        # byte-range doc would refuse on equal values otherwise) —
+        # the residual is now "unsampled chunks unverified", not
+        # "oversize axes unverified".
+        return _sampled_nonconcat_digest(refs, meta)
     try:
         arr = read_array(refs, meta)
     except (KerchunkError, OSError):
@@ -2501,6 +2509,58 @@ def _nonconcat_value_digest(refs: dict, meta: zarr2.ZArray) -> str | None:
     return hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
 
 
+def _sampled_nonconcat_digest(refs: dict, meta: zarr2.ZArray) -> str | None:
+    """Chunk-sampled value digest for non-concat axes ABOVE the full-
+    verification bound (r13): decode up to ``_NONCONCAT_VERIFY_BOUND``
+    worth of chunks — always including the FIRST and LAST, evenly
+    spaced between (axis corruption concentrates at the ends: shifted
+    grids, truncated axes, off-by-one eras) — and hash (chunk key,
+    decoded bytes) pairs.  The sample set derives only from the
+    array's METADATA (chunk grid + bound), so two docs with identical
+    ``.zarray`` sample identical chunks and their digests compare
+    exactly; a doc whose values differ in any sampled chunk refuses,
+    one that differs only in unsampled chunks passes (documented
+    residual — the bound gates fetch cost, raise it to widen
+    coverage).  None = unfetchable from here, same taxonomy as the
+    full path."""
+    import hashlib
+
+    items = sorted(
+        _chunk_refs(refs, meta.name),
+        key=lambda kv: zarr2.chunk_key_indices(kv[0], meta),
+    )  # NUMERIC grid order — "first/last" means grid ends, not
+    # lexicographic string ends ("10" < "2")
+    if not items:
+        return None
+    chunk_nbytes = max(
+        1,
+        int(np.prod(meta.chunks, dtype=np.int64))
+        * np.dtype(meta.dtype).itemsize,
+    )
+    k = max(2, _NONCONCAT_VERIFY_BOUND // chunk_nbytes)
+    k = min(k, len(items))
+    if k == len(items):
+        idxs = list(range(len(items)))
+    else:
+        idxs = sorted(
+            {round(i * (len(items) - 1) / (k - 1)) for i in range(k)}
+        )
+    h = hashlib.md5(b"sampled-chunks\x00")
+    client = _RangeClient()
+    try:
+        for i in idxs:
+            rel, ref = items[i]
+            raw = _resolve_ref(ref, "", client)
+            block = zarr2.decode_chunk(raw, meta)
+            h.update(rel.encode("utf-8") + b"\x00")
+            h.update(np.ascontiguousarray(block).tobytes())
+    except (KerchunkError, OSError):
+        return None
+    finally:
+        client.close()
+    return "sampled:" + h.hexdigest()
+
+
 def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     """MultiZarrToZarr's concat merge (reference ``create_zarr_json``,
     ``transform.py:40-117``): combine per-file refs documents into ONE
@@ -2509,8 +2569,9 @@ def merge_refs_concat(docs: list[dict], concat_dim: str) -> dict:
     non-concat AXIS reads (r12): each doc's coordinate values are
     decoded and digest-compared against doc 0, because same-shaped but
     different-valued axes merge silently otherwise (axes above
-    ``_NONCONCAT_VERIFY_BOUND`` or unfetchable from this process skip
-    the value check, first-doc-wins — MZZ parity).  Requirements
+    ``_NONCONCAT_VERIFY_BOUND`` verify a chunk-sampled digest instead
+    — r13; only axes unfetchable from this process skip the value
+    check, first-doc-wins — MZZ parity).  Requirements
     (MZZ's own): every doc chunks the concat dimension by 1 (what
     :func:`kerchunkify_netcdf3` emits for record variables), non-concat
     arrays are identical across docs (taken from the first), and docs

@@ -273,6 +273,7 @@ def stream_zarr_append(
     max_files_per_trigger: int | None = None,
     late_policy: str = "refuse",
     cadence_bounds: tuple[float, float] | None = None,
+    batch_shuffle_partitions: int | None = None,
 ) -> StreamingQuery:
     """The reference's full operational loop — cadence-driven appends
     onto its native format (publish.py:452-478) — as ONE Structured
@@ -354,6 +355,29 @@ def stream_zarr_append(
         return float(zarr2.read_array(root, arrays[axis]).max())
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_shuffle_partitions is not None:
+            # micro-batches are cadence-sized (one era), far below the
+            # session's shuffle width, and AQE does not re-plan inside
+            # the streaming path — a 32-partition shuffle of KB-scale
+            # batch data is pure task-scheduling overhead and the main
+            # trigger-latency jitter on a loaded box (r13, the r12
+            # bench note).  foreachBatch bodies run serially per
+            # query, so a scoped set/restore around this batch's jobs
+            # is race-free within the stream.
+            sess = batch_df.sparkSession
+            prev = sess.conf.get("spark.sql.shuffle.partitions")
+            sess.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(batch_shuffle_partitions),
+            )
+            try:
+                _commit_batch_inner(batch_df, batch_id)
+            finally:
+                sess.conf.set("spark.sql.shuffle.partitions", prev)
+            return
+        _commit_batch_inner(batch_df, batch_id)
+
+    def _commit_batch_inner(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if os.path.exists(guard_path):

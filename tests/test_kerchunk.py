@@ -2770,6 +2770,98 @@ def test_ensemble_member_mismatch_across_files_refuses(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "lag_pq" / ".zmetadata"))
 
 
+def _axis_refs_doc(tmp_path, name, values, chunk, fname):
+    """One refs doc holding a single 1-D float64 axis chunked by
+    ``chunk``, each chunk a byte range into ``fname``."""
+    values = np.asarray(values, dtype="<f8")
+    blob = values.tobytes()
+    path = os.path.join(str(tmp_path), fname)
+    with open(path, "wb") as f:
+        f.write(blob)
+    refs = {
+        f"{name}/.zarray": json.dumps(
+            {
+                "zarr_format": 2, "shape": [len(values)],
+                "chunks": [chunk], "dtype": "<f8", "compressor": None,
+                "fill_value": None, "order": "C", "filters": None,
+            }
+        ),
+        f"{name}/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": [name]}),
+    }
+    cb = chunk * 8
+    for i in range(0, len(values), chunk):
+        refs[f"{name}/{i // chunk}"] = [path, i * 8, min(cb, len(blob) - i * 8)]
+    return kerchunk.parse_refs({"version": 1, "refs": refs})
+
+
+def test_oversize_axis_chunk_sampled_digest(tmp_path, monkeypatch):
+    """Axes above _NONCONCAT_VERIFY_BOUND verify a CHUNK-SAMPLED value
+    digest instead of skipping verification (r13, verdict r12 missing
+    #4): the sample derives only from the metadata (first + last chunk
+    plus evenly spaced, bounded fetch bytes), so same-.zarray docs
+    compare exactly; a difference in a sampled chunk refuses, one in
+    an unsampled middle chunk passes (the documented residual), and a
+    sampled digest can never equal a full digest."""
+    monkeypatch.setattr(kerchunk, "_NONCONCAT_VERIFY_BOUND", 32)
+    vals = np.arange(16.0)  # 8 chunks of 2 -> 128 bytes > 32-byte bound
+
+    def digest(values, fname):
+        doc = _axis_refs_doc(tmp_path, "latitude", values, 2, fname)
+        metas = kerchunk.store_metadata(doc)
+        return kerchunk._nonconcat_value_digest(doc, metas["latitude"])
+
+    d0 = digest(vals, "a.bin")
+    d_same = digest(vals.copy(), "b.bin")
+    assert d0 is not None and d0.startswith("sampled:")
+    assert d0 == d_same  # same values, different files -> same digest
+    # bound 32 / chunk 16 -> k=2 -> first + last chunks sampled
+    first_bad = vals.copy(); first_bad[0] += 1.0
+    last_bad = vals.copy(); last_bad[-1] += 1.0
+    mid_bad = vals.copy(); mid_bad[7] += 1.0  # chunk 3: unsampled
+    assert digest(first_bad, "c.bin") != d0
+    assert digest(last_bad, "d.bin") != d0
+    assert digest(mid_bad, "e.bin") == d0  # documented residual
+    # under the bound the digest is FULL and catches the middle chunk
+    monkeypatch.setattr(kerchunk, "_NONCONCAT_VERIFY_BOUND", 4096)
+    full0 = digest(vals, "f.bin")
+    assert not full0.startswith("sampled:")
+    assert digest(mid_bad, "g.bin") != full0
+    # a wider bound samples more chunks: k=7 of 8 pulls chunk 4 into
+    # the sample, so a corruption there is caught while the still-
+    # unsampled chunk 3 remains the (narrower) residual
+    monkeypatch.setattr(kerchunk, "_NONCONCAT_VERIFY_BOUND", 112)
+    mid4_bad = vals.copy(); mid4_bad[9] += 1.0  # chunk 4: sampled at k=7
+    wide_bad, wide_ok = digest(mid4_bad, "h.bin"), digest(vals, "i.bin")
+    assert wide_bad.startswith("sampled:") and wide_bad != wide_ok
+
+
+def test_oversize_axis_mismatch_refuses_in_merge(spark, tmp_path, monkeypatch):
+    """The sampled digest feeds the same merge refusal as the full one:
+    two era docs whose OVERSIZE latitude axes differ at the grid ends
+    refuse with 'DATA differs' instead of silently merging (pre-r13:
+    oversize axes skipped the value check entirely)."""
+    monkeypatch.setattr(kerchunk, "_NONCONCAT_VERIFY_BOUND", 32)
+
+    def era_doc(fi, lat0):
+        lats = lat0 + np.arange(16.0)
+        doc = _axis_refs_doc(
+            tmp_path, "latitude", lats, 2, f"era{fi}_lat.bin"
+        )
+        doc.update(
+            _axis_refs_doc(tmp_path, "time", [float(fi)], 1,
+                           f"era{fi}_t.bin")
+        )
+        return doc
+
+    same = [era_doc(0, 35.0), era_doc(1, 35.0)]
+    merged = kerchunk.merge_refs_concat(same, "time")
+    arrays = kerchunk.store_metadata(merged)
+    assert arrays["time"].shape == (2,)
+    bad = [era_doc(0, 35.0), era_doc(1, 51.0)]
+    with pytest.raises(kerchunk.KerchunkError, match="DATA differs"):
+        kerchunk.merge_refs_concat(bad, "time")
+
+
 def test_ranged_coordinate_value_mismatch_refuses(spark, tmp_path):
     """code-review r12 pass 2: the value guard must also catch
     BYTE-RANGE coordinate axes (NetCDF3/HDF5 lat/lon refs are
