@@ -109,6 +109,7 @@ class GribMessage:
     lats: np.ndarray  # Nj
     lons: np.ndarray  # Ni
     values: np.ndarray  # (Nj, Ni), NaN where the bitmap masked a cell
+    member: int | None = None  # ECMWF local-PDS perturbation number
 
 
 def _parse_message(
@@ -155,6 +156,19 @@ def _parse_message(
         raise GRIB1Error(f"unsupported PDS time unit {time_unit}")
     valid_time = ref_time + p1 * _TIME_UNITS[time_unit]
     d_scale = _sm16(pds[26:28])
+    # ECMWF ensemble labelling (r13, verdict r12 #6): edition 1 has no
+    # standard member field — ECMWF (centre 98) carries it in the
+    # LOCAL use part of the PDS, local definition 1 ("MARS
+    # labelling"): octet 41 = definition number, octet 50 =
+    # perturbation number, octet 51 = total forecasts in ensemble
+    # (0 when the product is not an ensemble — deterministic ECMWF
+    # fields also carry definition 1, so the total gates the member).
+    member = n_members = None
+    centre = pds[4]
+    if centre == 98 and len(pds) >= 52 and pds[40] == 1:
+        total = int(pds[50])
+        if total > 0:
+            member, n_members = int(pds[49]), total
     pos += len(pds)
 
     # --- GDS (lat/lon grid only) ---
@@ -184,6 +198,8 @@ def _parse_message(
                 "valid_time": valid_time,
                 "lats": lats,
                 "lons": lons,
+                "member": member,
+                "n_members": n_members,
             },
             end,
         )
@@ -230,7 +246,7 @@ def _parse_message(
     return (
         GribMessage(
             parameter, level_type, level, ref_time, valid_time,
-            lats, lons, values.reshape(nj, ni),
+            lats, lons, values.reshape(nj, ni), member=member,
         ),
         end,
     )
@@ -317,6 +333,10 @@ def grib1_long_frame(
             pd.DataFrame(
                 {
                     "time": m.valid_time,
+                    "ensemble": (
+                        float(m.member) if m.member is not None
+                        else np.nan
+                    ),
                     "latitude": lat_mesh.reshape(-1),
                     "longitude": lon_mesh.reshape(-1),
                     "value": m.values.reshape(-1),
@@ -331,6 +351,7 @@ def decode_schema() -> T.StructType:
         [
             T.StructField("path", T.StringType(), False),
             T.StructField("time", T.TimestampType(), True),
+            T.StructField("ensemble", T.DoubleType(), True),
             T.StructField("latitude", T.DoubleType(), True),
             T.StructField("longitude", T.DoubleType(), True),
             T.StructField("value", T.DoubleType(), True),
@@ -393,9 +414,19 @@ def write_grib1(
         if xvals.size and int(xvals.max()) >= 1 << nbits:
             raise GRIB1Error(f"nbits={nbits} too small for range {int(xvals.max())}")
 
-        pds = bytearray(28)
-        pds[0:3] = _enc_u24(28)
+        member = m.get("member")
+        pds = bytearray(52 if member is not None else 28)
+        pds[0:3] = _enc_u24(len(pds))
         pds[3], pds[4], pds[5], pds[6] = 128, 0, 0, 255
+        if member is not None:
+            # ECMWF local PDS, definition 1 (MARS labelling)
+            pds[4] = 98                       # originating centre
+            pds[40] = 1                       # local definition number
+            pds[41], pds[42] = 1, 11          # class od, type pf
+            pds[43:45] = (1035).to_bytes(2, "big")  # stream enfo
+            pds[45:49] = b"0001"              # expver
+            pds[49] = int(member)             # perturbation number
+            pds[50] = int(m.get("n_members", 1))  # ensemble size
         pds[7] = 0x80 | (0x40 if has_bms else 0)
         pds[8] = m.get("parameter", 61)
         pds[9] = m.get("level_type", 1)

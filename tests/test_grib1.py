@@ -187,3 +187,49 @@ def test_truncated_file_raises_typed_error(tmp_path):
     raw = (tmp_path / "t.grib").read_bytes()
     with pytest.raises(g1.GRIB1Error):
         g1.parse_grib1(raw[:30])
+
+
+def test_ecmwf_ensemble_local_pds_round_trip(tmp_path):
+    """GRIB1 ensembles via the ECMWF local PDS (r13, verdict r12 #6):
+    edition 1 has no standard member field — centre 98 carries it in
+    local definition 1 (MARS labelling, octet 50 = perturbation
+    number, octet 51 = ensemble size).  Writer emits the 52-byte PDS;
+    parser recovers the member on both the decode and scan paths; a
+    definition-1 PDS whose ensemble total is 0 (deterministic ECMWF
+    product) stays member-None."""
+    path = str(tmp_path / "ens.grib")
+    g1.write_grib1(
+        path,
+        [
+            {
+                "values": _grid(s), "lats": LATS, "lons": LONS,
+                "reference_time": REF, "p1_hours": 6 * s,
+                "parameter": 61, "nbits": 8,
+                "member": mem, "n_members": 3,
+            }
+            for s in (0, 1)
+            for mem in range(3)
+        ],
+    )
+    buf = open(path, "rb").read()
+    msgs = g1.parse_grib1(buf)
+    assert [m.member for m in msgs] == [0, 1, 2, 0, 1, 2]
+    fields = g1.scan_grib1(buf)
+    assert [f["member"] for f in fields] == [0, 1, 2, 0, 1, 2]
+    assert all(f["n_members"] == 3 for f in fields)
+    # long frame carries the member as the ensemble column
+    frame = g1.grib1_long_frame(buf)
+    assert sorted(frame["ensemble"].unique()) == [0.0, 1.0, 2.0]
+    # deterministic messages (no member) stay None / NaN
+    det = _write(str(tmp_path / "det.grib"), [0])
+    dbuf = open(str(tmp_path / "det.grib"), "rb").read()
+    (dm,) = g1.parse_grib1(dbuf)
+    assert dm.member is None
+    assert np.isnan(g1.grib1_long_frame(dbuf)["ensemble"]).all()
+    # definition-1 PDS with ensemble total 0: member must NOT latch
+    raw = bytearray(buf)
+    # first message's PDS starts at offset 8; octet 51 = pds[50]
+    assert raw[8 + 40] == 1 and raw[8 + 50] == 3
+    raw[8 + 50] = 0
+    first = g1.parse_grib1(bytes(raw))[0]
+    assert first.member is None

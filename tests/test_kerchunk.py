@@ -2731,6 +2731,69 @@ def test_ensemble_grib_through_distributed_parquet_refs(spark, tmp_path):
     assert got == want and len(got) == 144
 
 
+def test_kerchunkify_grib1_ensemble_matches_direct(spark, tmp_path):
+    """GRIB1 ensemble refs production (r13, verdict r12 #6): messages
+    carrying ECMWF local-PDS members flow through the SAME shared
+    assembly as edition 2 — [time, ensemble, lat, lon] with a
+    member-number axis — and two files concat-merge along time with
+    the ensemble axis as a verified non-concat coordinate."""
+    import datetime as dt
+
+    from gridded_etl_tools_spark.sources import grib1 as g1
+
+    nj, ni = 3, 4
+    lats = 40.0 - 0.5 * np.arange(nj)
+    lons = 250.0 + 0.5 * np.arange(ni)
+    era_dir = tmp_path / "g1ens"; era_dir.mkdir()
+    cells = {}
+    for fi in range(2):
+        msgs = []
+        for step in range(2):
+            for mem in range(3):
+                vals = (
+                    np.arange(nj * ni, dtype="f8").reshape(nj, ni) * 3
+                    + fi * 1000 + step * 11 + mem * 100
+                ) % 97
+                if mem == 1:
+                    vals[0, 1] = np.nan  # bitmap-masked
+                cells[(fi, step, mem)] = vals
+                msgs.append({
+                    "values": vals, "lats": lats, "lons": lons,
+                    "reference_time": dt.datetime(2024, 1, 1 + fi),
+                    "p1_hours": step * 6, "parameter": 61,
+                    "nbits": 8, "member": mem, "n_members": 3,
+                })
+        g1.write_grib1(str(era_dir / f"era_{fi:03d}.grib"), msgs)
+    path = os.path.join(str(era_dir), "era_000.grib")
+    refs = kerchunk.kerchunkify_grib1(open(path, "rb").read(), path)
+    arrays = kerchunk.store_metadata(refs)
+    (var,) = [n for n in arrays if n.startswith("p61")]
+    meta = arrays[var]
+    assert meta.shape == (2, 3, 3, 4) and meta.chunks == (1, 1, 3, 4)
+    assert meta.dims == ["time", "ensemble", "latitude", "longitude"]
+    assert "ensemble" in arrays and arrays["ensemble"].shape == (3,)
+    # two files merge along time; ensemble rides as non-concat axis
+    docs = kerchunk.kerchunkify_scan(spark, str(era_dir), glob="*.grib")
+    merged = kerchunk.merge_refs_concat(docs, "time")
+    assert kerchunk.store_metadata(merged)[var].shape == (4, 3, 3, 4)
+    got = {
+        (r.time, r.ensemble, r.latitude, r.longitude): r.value
+        for r in kerchunk.decode_kerchunk_long(
+            spark, merged, var
+        ).collect()
+    }
+    assert len(got) == 144
+    for (fi, step, mem), vals in cells.items():
+        ts = (
+            dt.datetime(2024, 1, 1 + fi) - dt.datetime(1970, 1, 1)
+        ).total_seconds() + step * 6 * 3600
+        for i, la in enumerate(lats):
+            for j, lo in enumerate(lons):
+                v = vals[i, j]
+                g = got[(ts, float(mem), float(la), float(lo))]
+                assert (g is None) if v != v else (g == v)
+
+
 def test_ensemble_member_mismatch_across_files_refuses(spark, tmp_path):
     """code-review r12: two ensemble files with the same member COUNT
     but different member NUMBERS have byte-identical ensemble/.zarray
