@@ -1018,6 +1018,8 @@ class DirObjectControlFS(ControlFS):
         self._local = LocalControlFS()
 
     def _map(self, path: str) -> str:
+        import posixpath
+
         p = path.replace(os.sep, "/").rstrip("/")
         if p != self.scheme_root and not p.startswith(
             self.scheme_root + "/"
@@ -1028,8 +1030,19 @@ class DirObjectControlFS(ControlFS):
                 "object-store ControlFS"
             )
         rel = p[len(self.scheme_root):].lstrip("/")
-        return os.path.join(self.local_dir, *rel.split("/")) if rel \
-            else self.local_dir
+        # normalize like the real backends' _object_key (posixpath
+        # normpath) and refuse escapes: '..' segments under the scheme
+        # root would otherwise walk OUT of local_dir — defeating the
+        # out-of-root refusal this class exists for (code-review r13)
+        rel = posixpath.normpath(rel) if rel else ""
+        if rel == ".." or rel.startswith("../"):
+            raise ValueError(
+                f"{path!r} escapes this store's root "
+                f"{self.scheme_root!r} via '..' segments"
+            )
+        if rel in (".", ""):
+            return self.local_dir
+        return os.path.join(self.local_dir, *rel.split("/"))
 
     def _unmap(self, local_path: str) -> str:
         rel = os.path.relpath(local_path, self.local_dir)
@@ -1093,7 +1106,18 @@ def fs_for_root(root: str):
     Module-level and argument-picklable, so ``functools.partial(
     fs_for_root, root)`` ships to Spark executors as a per-task
     factory."""
-    if "://" not in root or root.startswith("file://"):
+    if root.startswith("file://"):
+        # REFUSE rather than return LOCAL_FS: callers keep their root
+        # string, and LocalControlFS paths carrying the scheme create
+        # a literal './file:/...' relative directory on every machine
+        # that writes one — the executor-local scatter bug class the
+        # r12 kerchunk fix closed (code-review r13: the resolver must
+        # not rely on every future caller pre-stripping)
+        raise ValueError(
+            f"{root!r}: strip the file:// scheme first — local paths "
+            "go through LocalControlFS as plain paths"
+        )
+    if "://" not in root:
         return LOCAL_FS
     scheme, _, rest = root.partition("://")
     authority = rest.split("/", 1)[0]
@@ -1102,13 +1126,28 @@ def fs_for_root(root: str):
     if scheme == "gs":
         return GCSControlFS(authority)
     if scheme in ("abfss", "abfs", "wasbs", "wasb", "az"):
-        container = authority.partition("@")[0]
-        return AzureControlFS(
-            container,
-            connection_string=os.environ.get(
-                "AZURE_STORAGE_CONNECTION_STRING"
-            ),
-        )
+        container, _, host = authority.partition("@")
+        account = host.split(".", 1)[0] if host else None
+        conn = os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+        if conn and account:
+            # the connection string names ONE account; silently using
+            # it for a root that targets a DIFFERENT account would
+            # read/write the same-named container in the wrong account
+            # (code-review r13 — the guard _RangeClient applies to
+            # ranged GETs, applied to the store seam)
+            m = re.search(
+                r"AccountName=([^;]+)", conn, re.IGNORECASE
+            ) or re.search(
+                r"BlobEndpoint=https?://([^./;]+)\.", conn, re.IGNORECASE
+            )
+            if m is None or m.group(1).strip().lower() != account.lower():
+                raise ValueError(
+                    f"AZURE_STORAGE_CONNECTION_STRING does not name "
+                    f"account {account!r} (root {root!r}) — configure "
+                    "the matching account's connection string or pass "
+                    "an explicit ControlFS"
+                )
+        return AzureControlFS(container, connection_string=conn)
     raise ValueError(
         f"no ControlFS backend for scheme {scheme!r} (root {root!r}) — "
         "supported: local paths, file://, s3/s3a/s3n://, gs://, "

@@ -112,6 +112,19 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
     return tuple(dims)
 
 
+def _parse_dataspace_maxdims(body: bytes) -> tuple[int, ...] | None:
+    """Maximum dimension sizes from a dataspace message, or None when
+    the message carries none (flags bit 0).  H5S_UNLIMITED dimensions
+    read as UNDEF — the Extensible Array chunk-index reader needs them
+    to refuse non-leading unlimited dims (swizzled element order;
+    code-review r13)."""
+    ver, rank, flags = body[0], body[1], body[2]
+    if not flags & 0x01:
+        return None
+    p = (8 if ver == 1 else 4) + rank * 8
+    return tuple(struct.unpack_from(f"<{rank}Q", body, p))
+
+
 # --- low-level readers --------------------------------------------------------
 
 
@@ -508,7 +521,7 @@ def _scan_hdf5_inner(buf: bytes):
     addr_to_name: dict[int, str] = {}
     for name, ohdr in entries:
         addr_to_name[ohdr] = name
-        dtype = dims = layout = None
+        dtype = dims = layout = maxdims = None
         filters: list = []
         attrs: dict = {}
         for mtype, body in _object_header_messages(buf, ohdr):
@@ -516,6 +529,7 @@ def _scan_hdf5_inner(buf: bytes):
                 dtype, _ = _parse_datatype(body)
             elif mtype == MSG_DATASPACE:
                 dims = _parse_dataspace(body)
+                maxdims = _parse_dataspace_maxdims(body)
             elif mtype == MSG_LAYOUT:
                 layout = body
             elif mtype == MSG_FILTERS:
@@ -525,7 +539,7 @@ def _scan_hdf5_inner(buf: bytes):
                 attrs[k] = v
         if dtype is None or dims is None or layout is None:
             continue  # sub-group or non-dataset object
-        info = _scan_layout(buf, name, layout, dims)
+        info = _scan_layout(buf, name, layout, dims, maxdims)
         datasets.append(
             H5DatasetInfo(
                 name=name,
@@ -544,7 +558,8 @@ def _scan_hdf5_inner(buf: bytes):
     return base, root_attrs, datasets, addr_to_name
 
 
-def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
+def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape,
+                 maxdims=None):
     """Layout message → (class, chunk_shape, chunk list, contiguous,
     compact) without touching data: the chunked branch walks the SAME
     v1 B-tree as :func:`_read_data` but records (offsets, nbytes,
@@ -555,9 +570,11 @@ def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
     cls = layout_body[1]
     if ver == 4 and cls == 2:
         # layout v4 chunked (libver='latest' / netcdf-c 4.9 new-format):
-        # Single Chunk, Implicit, and Fixed Array indexes parse;
-        # Extensible Array and v2 B-tree remain documented refusals
-        return _scan_layout_v4_chunked(buf, name, layout_body, shape)
+        # Single Chunk, Implicit, Fixed Array, and (r13) Extensible
+        # Array indexes parse; v2 B-tree remains a documented refusal
+        return _scan_layout_v4_chunked(
+            buf, name, layout_body, shape, maxdims
+        )
     if cls == 0:  # compact: the data IS in the header message
         (size,) = struct.unpack_from("<H", layout_body, 2)
         return 0, None, [], None, bytes(layout_body[4 : 4 + size])
@@ -597,7 +614,9 @@ def _scan_layout(buf: bytes, name: str, layout_body: bytes, shape):
     raise HDF5Error(f"unsupported layout class {cls}")
 
 
-def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
+def _scan_layout_v4_chunked(
+    buf: bytes, name: str, layout_body: bytes, shape, maxdims=None
+):
     """Data Layout Message v4, chunked (r12, verdict r11 missing #4):
     the message carries the chunk dims inline (rank+1 sizes, element
     size last — the same convention v3 and the C library's in-memory
@@ -612,10 +631,14 @@ def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
       (unfiltered), client 1 = address + stored size + filter mask.
       An uninitialized page (bitmap bit 0, LSB-first) or an UNDEF
       element address is an unwritten chunk (reads as fill).
+    * 4 Extensible Array (r13) — ``EAHD``/``EAIB``/``EASB``/``EADB``,
+      the ONE-unlimited-dimension index; parses when the unlimited
+      dimension leads (netCDF record dim), refuses the swizzled
+      non-leading case — see :func:`_extensible_array_elements`.
 
-    Extensible Array (4) and v2 B-tree (5) refuse loudly — they back
-    UNLIMITED dimensions, which the per-era archives this repo ingests
-    don't use (parity residual documented in VERDICT r11 #4)."""
+    The v2 B-tree (5) refuses loudly — it backs datasets with multiple
+    unlimited dimensions, which the per-era archives this repo ingests
+    don't use (parity residual documented since VERDICT r11 #4)."""
     flags = layout_body[2]
     ndims = layout_body[3]
     enc = layout_body[4]
@@ -696,6 +719,25 @@ def _scan_layout_v4_chunked(buf: bytes, name: str, layout_body: bytes, shape):
             chunks.append((_offs(flat), stored or chunk_nbytes, caddr))
         return 2, chunk_shape, chunks, None, None
     if index_type == 4:  # Extensible Array (r13, verdict r12 missing #3)
+        # the EA indexes elements in SWIZZLED chunk order: libhdf5
+        # moves the unlimited dimension to the front before computing
+        # the linear id (H5VM_swizzle_coords).  With the unlimited dim
+        # leading — the netCDF record-dim shape — that is plain C
+        # order; any OTHER unlimited dim would decode silently
+        # permuted, so refuse loudly (code-review r13: the out-of-grid
+        # guard cannot catch a full grid's permutation).
+        unlim = (
+            [i for i, m in enumerate(maxdims) if m == UNDEF]
+            if maxdims is not None
+            else []
+        )
+        if unlim not in ([], [0]):
+            raise HDF5Error(
+                f"{name}: extensible-array index over unlimited "
+                f"dimension(s) {unlim} — only a LEADING unlimited "
+                "dimension (the netCDF record dim) preserves C chunk "
+                "order; save with the unlimited dimension first"
+            )
         pos += 5  # cparams (the EA header re-states them)
         (addr,) = struct.unpack_from("<Q", layout_body, pos)
         if addr == UNDEF:

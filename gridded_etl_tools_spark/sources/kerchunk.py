@@ -1835,9 +1835,21 @@ def decode_parquet_refs(
                     }
                 )
 
+        # parallelism scales with the CLUSTER, not a constant: a 100k-
+        # slab store on a large cluster fans its GETs across 2x the
+        # default parallelism (enough tasks to hide object-store
+        # latency), never capped below it (code-review r13: a fixed 64
+        # silently serialized big stores)
+        n_parts = max(
+            1,
+            min(
+                len(slab_paths),
+                spark.sparkContext.defaultParallelism * 2,
+            ),
+        )
         files = (
             spark.createDataFrame(slab_paths, "path string")
-            .repartition(max(1, min(len(slab_paths), 64)))
+            .repartition(n_parts)
             .mapInPandas(fetch, "path string, content binary")
         )
 
@@ -3239,10 +3251,36 @@ def _store_fs(root: str, fs=None, fs_factory=None):
                 "path and sync"
             ) from exc
     if fs is not None and fs_factory is None and "://" in root:
-        # executors must construct their own handle (clients don't
-        # pickle); fs_for_root is module-level + string-arg picklable
-        fs_factory = functools.partial(fsio.fs_for_root, root)
+        # executors must construct their own handle.  Deriving it from
+        # the ROOT (fs_for_root) when the caller passed an explicit fs
+        # would let driver and executors target two DIFFERENT backends
+        # for one store — e.g. a custom-endpoint S3 client on the
+        # driver and default-credential AWS on the executors: a
+        # committed store whose data slabs live elsewhere (code-review
+        # r13).  Ship the caller's OWN fs by pickle; an unpicklable fs
+        # (live SDK client) refuses loudly asking for fs_factory.
+        import pickle
+
+        try:
+            blob = pickle.dumps(fs)
+        except Exception as exc:  # noqa: BLE001 - any pickle failure
+            raise KerchunkError(
+                f"the ControlFS passed for {root!r} is not picklable "
+                "for executor tasks (it likely holds a live SDK "
+                "client) — pass fs_factory, a picklable zero-arg "
+                "callable executors invoke to build their own handle"
+            ) from exc
+        fs_factory = functools.partial(_fs_from_pickle, blob)
     return root, fs, fs_factory
+
+
+def _fs_from_pickle(blob: bytes):
+    """Executor-side reconstruction of a driver-pickled ControlFS —
+    module-level so ``functools.partial(_fs_from_pickle, blob)`` is
+    itself plain-picklable."""
+    import pickle
+
+    return pickle.loads(blob)
 
 
 def kerchunkify_to_parquet_refs(

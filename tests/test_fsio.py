@@ -649,3 +649,47 @@ def test_dir_object_controlfs_contract(tmp_path):
     fs2 = pickle.loads(pickle.dumps(fs))
     fs2.write_atomic(f"{root}/z.bin", b"z")
     assert fs.read_bytes(f"{root}/z.bin") == b"z"
+
+
+def test_dir_object_controlfs_refuses_dotdot_escape(tmp_path):
+    """code-review r13: '..' segments under the scheme root must not
+    walk out of local_dir; paths normalize like the real backends'
+    _object_key (posixpath.normpath) before mapping."""
+    from gridded_etl_tools_spark.sinks.fsio import DirObjectControlFS
+
+    d = tmp_path / "bucket"
+    fs = DirObjectControlFS("gs://b", str(d))
+    with pytest.raises(ValueError, match="escapes"):
+        fs.write_atomic("gs://b/../../etc/poc", b"x")
+    with pytest.raises(ValueError, match="escapes"):
+        fs.read_bytes("gs://b/a/../../../x")
+    # in-root '..' segments normalize to the same object key
+    fs.write_atomic("gs://b/a/../c.bin", b"c")
+    assert fs.read_bytes("gs://b/c.bin") == b"c"
+    assert not (d / "a").exists()
+
+
+def test_fs_for_root_guards(monkeypatch):
+    """code-review r13: file:// roots refuse (strip first — the
+    './file:/...' scatter class); an Azure root naming one account
+    refuses a connection string configured for another."""
+    from gridded_etl_tools_spark.sinks.fsio import fs_for_root
+
+    with pytest.raises(ValueError, match="strip the file"):
+        fs_for_root("file:///mnt/shared/store")
+    with pytest.raises(ValueError, match="no ControlFS backend"):
+        fs_for_root("weird://x/y")
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        "DefaultEndpointsProtocol=https;AccountName=staging;"
+        "AccountKey=abc;EndpointSuffix=core.windows.net",
+    )
+    with pytest.raises(ValueError, match="does not name account"):
+        fs_for_root("abfss://data@prod.dfs.core.windows.net/store")
+    # matching account passes the guard (SDK-absent then surfaces as
+    # the documented import-gated ImportError, not the account error)
+    try:
+        fs = fs_for_root("abfss://data@staging.dfs.core.windows.net/store")
+        assert fs.container == "data"
+    except ImportError:
+        pass  # azure-storage-blob not installed in this container

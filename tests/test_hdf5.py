@@ -461,6 +461,33 @@ def test_extensible_array_kerchunkify_matches_v1(spark, tmp_path):
     assert rows["ea"][(0.0, 36.0, -115.75)] is None  # fill -> NULL
 
 
+def test_extensible_array_nonleading_unlimited_refuses(tmp_path):
+    """code-review r13: the EA walker assumes the unlimited dimension
+    LEADS (plain C chunk order); libhdf5 swizzles a non-leading
+    unlimited dimension to the front before indexing, so such a file
+    would decode silently permuted.  The reader now parses maxdims and
+    refuses loudly when the unlimited dimension is not dim 0."""
+    import struct as _s
+
+    _write(
+        str(tmp_path / "ea.nc4"), 0, 5, seed=3, latest=True,
+        chunk_shapes={"precip": (2, 3, 3)}, v4_index="extensible",
+    )
+    raw = bytearray((tmp_path / "ea.nc4").read_bytes())
+    h5.scan_hdf5(bytes(raw))  # unlimited dim 0: parses
+    # surgically move the unlimited flag from maxdims[0] to maxdims[1]
+    dims = _s.pack("<QQQ", 5, 4, 4)
+    want = dims + _s.pack("<Q", h5.UNDEF) + _s.pack("<QQ", 4, 4)
+    at = bytes(raw).find(want)
+    assert at > 0
+    swapped = dims + _s.pack("<Q", 5) + _s.pack("<Q", h5.UNDEF) + _s.pack("<Q", 4)
+    raw[at:at + len(want)] = swapped
+    with pytest.raises(h5.HDF5Error, match="LEADING unlimited"):
+        h5.scan_hdf5(bytes(raw))
+    with pytest.raises(h5.HDF5Error, match="LEADING unlimited"):
+        h5.parse_hdf5(bytes(raw))
+
+
 def test_extensible_array_corrupt_headers_refuse(tmp_path):
     """EA header/structure fields off the untrusted buffer are bounded
     and every corruption refuses as HDF5Error (the ADVICE r12 taxonomy

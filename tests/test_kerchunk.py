@@ -2180,6 +2180,29 @@ def test_parquet_refs_object_store_roots(spark, tmp_path):
         fs.read_bytes(str(tmp_path / "base" / "era_0.nc"))
 
 
+def test_store_fs_explicit_fs_ships_by_pickle(tmp_path):
+    """code-review r13: when a caller passes an explicit fs for a
+    schemed root with no factory, executors must get THAT fs (shipped
+    by pickle), never a root-derived default — driver and executors
+    targeting different backends for one store is silent split-brain.
+    An unpicklable fs (live SDK client) refuses loudly naming
+    fs_factory."""
+    from gridded_etl_tools_spark.sinks import fsio
+
+    fs = fsio.DirObjectControlFS("gs://b", str(tmp_path / "bucket"))
+    root, rfs, factory = kerchunk._store_fs("gs://b/store", fs=fs)
+    assert rfs is fs and factory is not None
+    clone = factory()  # the pickled round-trip targets the SAME store
+    clone.write_atomic("gs://b/store/x.bin", b"1")
+    assert fs.read_bytes("gs://b/store/x.bin") == b"1"
+
+    class UnpicklableFS(fsio.LocalControlFS):  # local class: no pickle
+        pass
+
+    with pytest.raises(kerchunk.KerchunkError, match="not picklable"):
+        kerchunk._store_fs("gs://b/store", fs=UnpicklableFS())
+
+
 def test_parquet_refs_schemed_root_without_sdk_refuses(spark, monkeypatch):
     """A schemed root whose provider SDK is absent refuses loudly with
     the workaround named, BEFORE leasing or scanning (gs:// here — the
