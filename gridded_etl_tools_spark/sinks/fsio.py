@@ -590,7 +590,16 @@ def _object_key(
                 f"{path!r} addresses a different {noun} than "
                 f"{container!r} — construct a ControlFS for it"
             )
-    p = posixpath.normpath(p).lstrip("/")
+    p = posixpath.normpath(p)
+    if p == ".." or p.startswith("../"):
+        # normpath turned in-root '..' segments into an ESCAPE: the
+        # literal key would land outside the store's namespace
+        # (second review pass r13 — shared here so all backends and
+        # the dev emulator refuse identically)
+        raise ValueError(
+            f"{path!r} escapes the {noun} via '..' segments"
+        )
+    p = p.lstrip("/")
     if p in (".", ""):
         raise ValueError(
             f"{path!r} resolves to the {noun} root — control-plane "
@@ -1041,7 +1050,13 @@ class DirObjectControlFS(ControlFS):
                 f"{self.scheme_root!r} via '..' segments"
             )
         if rel in (".", ""):
-            return self.local_dir
+            # the real backends' _object_key refuses container-root
+            # paths; diverging here would let emulator-validated code
+            # refuse on a real bucket (second review pass r13)
+            raise ValueError(
+                f"{path!r} resolves to the container root — "
+                "control-plane paths must live under a store root"
+            )
         return os.path.join(self.local_dir, *rel.split("/"))
 
     def _unmap(self, local_path: str) -> str:
@@ -1097,8 +1112,10 @@ def fs_for_root(root: str):
     """Resolve the :class:`ControlFS` for a store root by scheme —
     the one mapping every store writer/reader shares (parquet
     reference stores first; the zarr sink's ``lease_fs`` accepts the
-    same instances).  Local paths (no scheme, or ``file://``) get
-    :data:`LOCAL_FS`; ``s3/s3a/s3n`` the S3 port; ``gs`` the GCS
+    same instances).  Local paths (no scheme) get :data:`LOCAL_FS`;
+    ``file://`` REFUSES (strip it first — unstripped scheme paths
+    through LocalControlFS create a literal './file:/...' directory);
+    ``s3/s3a/s3n`` the S3 port; ``gs`` the GCS
     port; ``abfss/abfs/wasbs/wasb/az`` the Azure port (credentials
     from ``AZURE_STORAGE_CONNECTION_STRING``).  SDK constructors stay
     import-gated — an absent SDK raises ImportError here, which
@@ -1133,19 +1150,31 @@ def fs_for_root(root: str):
             # the connection string names ONE account; silently using
             # it for a root that targets a DIFFERENT account would
             # read/write the same-named container in the wrong account
-            # (code-review r13 — the guard _RangeClient applies to
-            # ranged GETs, applied to the store seam)
-            m = re.search(
-                r"AccountName=([^;]+)", conn, re.IGNORECASE
-            ) or re.search(
-                r"BlobEndpoint=https?://([^./;]+)\.", conn, re.IGNORECASE
-            )
-            if m is None or m.group(1).strip().lower() != account.lower():
+            # (code-review r13).  Refuse only on a CONFIRMED mismatch:
+            # strings that name no account (UseDevelopmentStorage=
+            # true, SAS-only) or a path-style emulator endpoint
+            # (http://127.0.0.1:10000/acct — the host is an IP, not
+            # an account) pass through for the SDK to resolve (second
+            # review pass r13: the strict form refused every Azurite
+            # configuration)
+            m = re.search(r"AccountName=([^;]+)", conn, re.IGNORECASE)
+            if m is None:
+                m = re.search(
+                    r"BlobEndpoint=https?://([a-z0-9]+)\.",
+                    conn,
+                    re.IGNORECASE,
+                )
+                if m is not None and m.group(1).isdigit():
+                    m = None  # IP host: account unconfirmable
+            if (
+                m is not None
+                and m.group(1).strip().lower() != account.lower()
+            ):
                 raise ValueError(
-                    f"AZURE_STORAGE_CONNECTION_STRING does not name "
-                    f"account {account!r} (root {root!r}) — configure "
-                    "the matching account's connection string or pass "
-                    "an explicit ControlFS"
+                    f"AZURE_STORAGE_CONNECTION_STRING names account "
+                    f"{m.group(1).strip()!r}, not {account!r} (root "
+                    f"{root!r}) — configure the matching account's "
+                    "connection string or pass an explicit ControlFS"
                 )
         return AzureControlFS(container, connection_string=conn)
     raise ValueError(

@@ -1835,16 +1835,17 @@ def decode_parquet_refs(
                     }
                 )
 
-        # parallelism scales with the CLUSTER, not a constant: a 100k-
-        # slab store on a large cluster fans its GETs across 2x the
-        # default parallelism (enough tasks to hide object-store
-        # latency), never capped below it (code-review r13: a fixed 64
-        # silently serialized big stores)
+        # parallelism scales with the CLUSTER, floored at 64: a 100k-
+        # slab store on a large static cluster fans its GETs across 2x
+        # the default parallelism, while a dynamic-allocation cluster
+        # starting small still sees enough task backlog to scale up
+        # and keeps retry granularity fine (second review pass r13;
+        # first pass removed the silent 64-task ceiling)
         n_parts = max(
             1,
             min(
                 len(slab_paths),
-                spark.sparkContext.defaultParallelism * 2,
+                max(64, spark.sparkContext.defaultParallelism * 2),
             ),
         )
         files = (
@@ -3250,6 +3251,14 @@ def _store_fs(root: str, fs=None, fs_factory=None):
                 "the provider SDK, or write to a shared filesystem "
                 "path and sync"
             ) from exc
+        if fs_factory is None:
+            # ROOT-derived fs: executors re-derive from the same root
+            # — SDK-backed handles hold live clients and don't pickle
+            # (second review pass r13: the pickle branch below made
+            # every plain schemed-root call raise when the SDK WAS
+            # installed; pickling is only for a CALLER-passed fs,
+            # whose backend the root alone cannot reconstruct)
+            fs_factory = functools.partial(fsio.fs_for_root, root)
     if fs is not None and fs_factory is None and "://" in root:
         # executors must construct their own handle.  Deriving it from
         # the ROOT (fs_for_root) when the caller passed an explicit fs

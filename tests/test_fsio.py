@@ -669,6 +669,29 @@ def test_dir_object_controlfs_refuses_dotdot_escape(tmp_path):
     assert not (d / "a").exists()
 
 
+def test_object_key_refuses_dotdot_escape():
+    """Second review pass r13: the shared _object_key (all real
+    backends) refuses '..' escapes exactly like the dev emulator —
+    a literal '../x' key would land outside the store namespace."""
+    fs = S3ControlFS("bucket-a", client=object())
+    with pytest.raises(ValueError, match="escapes"):
+        fs._key("s3://bucket-a/a/../../x")
+    # in-root '..' still normalizes to the plain key
+    assert fs._key("s3://bucket-a/a/../c.json") == "c.json"
+
+
+def test_dir_object_controlfs_refuses_container_root(tmp_path):
+    """Second review pass r13: the emulator refuses container-root
+    paths exactly like the real backends' _object_key, so emulator-
+    validated code cannot refuse only on a real bucket."""
+    from gridded_etl_tools_spark.sinks.fsio import DirObjectControlFS
+
+    fs = DirObjectControlFS("gs://b", str(tmp_path / "b"))
+    for bad in ("gs://b", "gs://b/", "gs://b/a/.."):
+        with pytest.raises(ValueError, match="container root|escapes"):
+            fs.read_bytes(bad)
+
+
 def test_fs_for_root_guards(monkeypatch):
     """code-review r13: file:// roots refuse (strip first — the
     './file:/...' scatter class); an Azure root naming one account
@@ -684,7 +707,7 @@ def test_fs_for_root_guards(monkeypatch):
         "DefaultEndpointsProtocol=https;AccountName=staging;"
         "AccountKey=abc;EndpointSuffix=core.windows.net",
     )
-    with pytest.raises(ValueError, match="does not name account"):
+    with pytest.raises(ValueError, match="names account"):
         fs_for_root("abfss://data@prod.dfs.core.windows.net/store")
     # matching account passes the guard (SDK-absent then surfaces as
     # the documented import-gated ImportError, not the account error)
@@ -693,3 +716,24 @@ def test_fs_for_root_guards(monkeypatch):
         assert fs.container == "data"
     except ImportError:
         pass  # azure-storage-blob not installed in this container
+    # UNCONFIRMABLE strings pass through for the SDK to resolve
+    # (second review pass r13: the strict guard refused every Azurite
+    # configuration): no AccountName, and IP-host BlobEndpoints
+    for conn in (
+        "UseDevelopmentStorage=true",
+        "BlobEndpoint=http://127.0.0.1:10000/devstoreaccount1;"
+        "SharedAccessSignature=sv=...",
+    ):
+        monkeypatch.setenv("AZURE_STORAGE_CONNECTION_STRING", conn)
+        try:
+            fs_for_root("abfss://data@prod.dfs.core.windows.net/store")
+        except ImportError:
+            pass  # reached the SDK import: the guard let it through
+    # hostname-style BlobEndpoint still confirms a mismatch
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        "BlobEndpoint=https://staging.blob.core.windows.net;"
+        "SharedAccessSignature=sv=...",
+    )
+    with pytest.raises(ValueError, match="names account"):
+        fs_for_root("abfss://data@prod.dfs.core.windows.net/store")

@@ -2202,6 +2202,18 @@ def test_store_fs_explicit_fs_ships_by_pickle(tmp_path):
     with pytest.raises(kerchunk.KerchunkError, match="not picklable"):
         kerchunk._store_fs("gs://b/store", fs=UnpicklableFS())
 
+    # ROOT-derived fs (no caller fs): the factory re-derives from the
+    # root — never the pickle path, which live SDK clients would fail
+    # (second review pass r13: the pickle branch made every plain
+    # schemed-root call raise when the SDK WAS installed)
+    import functools
+
+    pytest.importorskip("boto3")
+    root, rfs, factory = kerchunk._store_fs("s3://bucket/store")
+    assert isinstance(rfs, fsio.S3ControlFS)
+    assert isinstance(factory, functools.partial)
+    assert factory.func is fsio.fs_for_root
+
 
 def test_parquet_refs_schemed_root_without_sdk_refuses(spark, monkeypatch):
     """A schemed root whose provider SDK is absent refuses loudly with
