@@ -382,11 +382,27 @@ class S3ControlFS(ControlFS):
     header (``x-goog-if-generation-match`` / ``If-Match`` on blob
     etags) behind the same two branches."""
 
-    def __init__(self, bucket: str, prefix: str = "", client=None) -> None:
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client=None,
+        endpoint_url: str | None = None,
+        **client_kwargs,
+    ) -> None:
+        """``endpoint_url`` / ``client_kwargs`` (forwarded to
+        ``boto3.client``: region_name, aws_access_key_id, ...) target
+        S3-COMPATIBLE stores — MinIO, Ceph RGW, Cloudflare R2, a moto
+        server — without a pre-built client; being plain strings they
+        also keep a ``functools.partial`` of this constructor
+        picklable, which is how Spark executor tasks build their own
+        handles (r13).  A live ``client`` wins when given."""
         if client is None:
             import boto3  # import-gated: public AWS SDK
 
-            client = boto3.client("s3")
+            client = boto3.client(
+                "s3", endpoint_url=endpoint_url, **client_kwargs
+            )
         self.bucket = bucket
         self.prefix = prefix.strip("/")
         self._c = client

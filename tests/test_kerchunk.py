@@ -2180,6 +2180,93 @@ def test_parquet_refs_object_store_roots(spark, tmp_path):
         fs.read_bytes(str(tmp_path / "base" / "era_0.nc"))
 
 
+def test_parquet_refs_on_s3_via_moto_server(spark, tmp_path):
+    """The PRODUCTION S3 backend end-to-end (r13, beyond the dir
+    emulator): the full write -> append -> decode cycle against an
+    s3:// root through a moto SERVER — real boto3 wire protocol, real
+    S3ControlFS conditional-PUT lease CAS, and slab PUTs issued from
+    EXECUTOR worker processes over HTTP (the in-process moto mock
+    cannot see other processes; the server can).  The store must
+    decode cell-identical to the same eras on a local root."""
+    pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    import functools
+
+    from moto.server import ThreadedMotoServer
+
+    from gridded_etl_tools_spark.sinks import fsio
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        url = f"http://{host}:{port}"
+        factory = functools.partial(
+            fsio.S3ControlFS,
+            "refs-bucket",
+            endpoint_url=url,
+            region_name="us-east-1",
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+        )
+        fs = factory()
+        fs._c.create_bucket(Bucket="refs-bucket")
+
+        base = tmp_path / "base"; base.mkdir()
+        for it in range(3):
+            _write_one_era(base, it)
+        root = "s3://refs-bucket/store"
+        s = kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(base), root, "time", glob="*.nc",
+            record_size=2, fs=fs, fs_factory=factory,
+        )
+        assert s["files"] == 3 and s["arrays"]["precip"] == 3
+        # slabs are OBJECTS in the bucket, written by executor tasks
+        keys = {
+            o["Key"]
+            for o in fs._c.list_objects_v2(Bucket="refs-bucket")[
+                "Contents"
+            ]
+        }
+        assert "store/precip/refs.0.parquet" in keys
+        assert "store/.zmetadata" in keys
+        # append merges the boundary slab through ranged server reads
+        new = tmp_path / "new"; new.mkdir()
+        _write_one_era(new, 3)
+        s = kerchunk.append_to_parquet_refs(
+            spark, str(new), root, "time", glob="*.nc",
+            fs=fs, fs_factory=factory,
+        )
+        assert s["appended"]["precip"] == 1
+        # decode through the same backend == the local-root merge
+        alld = tmp_path / "all"; alld.mkdir()
+        for it in range(4):
+            _write_one_era(alld, it)
+        lroot = str(tmp_path / "local_store")
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(alld), lroot, "time", glob="*.nc", record_size=2
+        )
+        want = {
+            (r.time, r.latitude, r.longitude): r.value
+            for r in kerchunk.decode_parquet_refs(
+                spark, lroot, "precip"
+            ).collect()
+        }
+        got = {
+            (r.time, r.latitude, r.longitude): r.value
+            for r in kerchunk.decode_parquet_refs(
+                spark, root, "precip", fs=fs, fs_factory=factory
+            ).collect()
+        }
+        assert got == want and len(got) == 80
+        assert got[(0.0, 36.0, -116.0)] is None  # fill -> NULL
+        # the lease released cleanly through the conditional-PUT CAS
+        lease_doc = fs.read_text("s3://refs-bucket/store/.zarr_lease")
+        assert json.loads(lease_doc) == {"update_in_progress": False}
+    finally:
+        server.stop()
+
+
 def test_store_fs_explicit_fs_ships_by_pickle(tmp_path):
     """code-review r13: when a caller passes an explicit fs for a
     schemed root with no factory, executors must get THAT fs (shipped
