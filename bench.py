@@ -126,6 +126,9 @@ HEADLINE = [
     "kerchunkified_parquet_refs_readback",  # distributed refs merge -> pq store
     "kerchunkified_hdf5_v4_decode",  # fixed-array chunk index refs
     "kerchunkified_parquet_refs_append_readback",  # incremental store append
+    # round-13 additions:
+    "kerchunkified_parquet_refs_object_store_readback",  # ControlFS slab GETs
+    "kerchunkified_hdf5_ea_decode",  # extensible-array chunk index refs
 ]
 
 #: STREAMING tier (verdict r11 perf note): these rows run a real

@@ -494,6 +494,14 @@ SHUFFLE_BUDGET = {
     # r12: the appended store reads back through the same map-only
     # slab-manifest scan (the append pipeline is its own write job)
     "kerchunkified_parquet_refs_append_readback": (0, 0),
+    # r13: object-store readback — driver LISTs slab names, one
+    # repartition (round-robin exchange) spreads the executor GETs,
+    # then the same map-only manifest scan; the write pipeline's
+    # shuffles live in its own jobs (fixture builds once)
+    "kerchunkified_parquet_refs_object_store_readback": (1, 0),
+    # r13: extensible-array refs — same map-only manifest scan as the
+    # v1-B-tree and fixed-array rows
+    "kerchunkified_hdf5_ea_decode": (0, 0),
 }
 
 
