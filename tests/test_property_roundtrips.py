@@ -211,3 +211,61 @@ def test_hdf5_layout_v4_round_trip_property(
     # every manifest triple addresses real bytes
     re_got = h5._materialize(buf[base:] if base else buf, d)
     np.testing.assert_array_equal(re_got, data)
+
+
+@given(
+    st.integers(1, 3),              # ndim
+    st.integers(0, 2**31 - 1),      # seed
+    st.sampled_from([1, 2, 4]),     # idx_blk_elmts
+    st.sampled_from([1, 2, 4]),     # data_blk_min_elmts
+    st.sampled_from([2, 4]),        # sblk_min_dptrs
+    st.booleans(),                  # compress
+)
+@settings(**_SETTINGS)
+def test_hdf5_extensible_array_round_trip_property(
+    tmp_path_factory, ndim, seed, ib, db, sp, compress
+):
+    """Random shapes/chunk grids through the EXTENSIBLE ARRAY writer +
+    reader (r13): every creation-parameter combination — index blocks
+    of 1-4 elements, 1-4-element minimum data blocks, 2-4 secondary
+    minimum pointers, filtered and address-only clients — must place
+    elements across the inline/direct/super-block tiers and decode
+    exactly, with the scan enumerating the full chunk grid."""
+    from gridded_etl_tools_spark.sources import hdf5 as h5
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(rng.integers(1, 8)) for _ in range(ndim))
+    chunks = tuple(int(rng.integers(1, s + 1)) for s in shape)
+    data = (rng.integers(-1000, 1000, size=shape)).astype("f8") / 4.0
+    dims = tuple(f"d{i}" for i in range(ndim))
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("h5ea")), f"p_{seed}.nc4"
+    )
+    h5.write_hdf5(
+        path,
+        {
+            **{
+                d: ((d,), np.arange(s, dtype="f8"), {})
+                for d, s in zip(dims, shape)
+            },
+            "v": (dims, data, {}),
+        },
+        chunk_shapes={"v": chunks},
+        compress=compress,
+        latest=True,
+        v4_index="extensible",
+        v4_ea_params=dict(
+            idx_blk_elmts=ib, data_blk_min_elmts=db, sblk_min_dptrs=sp
+        ),
+    )
+    buf = open(path, "rb").read()
+    got = h5.parse_hdf5(buf).variables["v"].data
+    np.testing.assert_array_equal(got, data)
+    base, _ra, dsets, _a2n = h5.scan_hdf5(buf)
+    d = {x.name: x for x in dsets}["v"]
+    n_chunks = 1
+    for s, c in zip(shape, chunks):
+        n_chunks *= -(-s // c)
+    assert len(d.chunks) == n_chunks
+    re_got = h5._materialize(buf[base:] if base else buf, d)
+    np.testing.assert_array_equal(re_got, data)
