@@ -5786,12 +5786,17 @@ def kerchunkified_hdf5_v4_decode(
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_kch5v4_{digest}"
     )
-    done = os.path.join(base, ".complete")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
+    if not os.path.isdir(base):
+        # build-dir + atomic rename (third review pass r13 — same
+        # shared-fixture race fix as the EA row below)
+        import shutil
+        import uuid as _uuid
+
+        build = f"{base}.build-{_uuid.uuid4().hex}"
+        os.makedirs(build)
         for it in range(data.shape[0]):
             h5_mod.write_hdf5(
-                os.path.join(base, f"era_{it:03d}.nc4"),
+                os.path.join(build, f"era_{it:03d}.nc4"),
                 {
                     "time": (("time",), np.array([times[it]]), {}),
                     "latitude": (("latitude",), np.asarray(lats), {}),
@@ -5807,8 +5812,10 @@ def kerchunkified_hdf5_v4_decode(
                 latest=True,
                 v4_index="fixed",
             )
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # rival won
     docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc4")
     merged = kc_mod.merge_refs_concat(docs, "time")
     out = kc_mod.decode_kerchunk_long(spark, merged, "precip")
@@ -5848,12 +5855,21 @@ def kerchunkified_hdf5_ea_decode(
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_kch5ea_{digest}"
     )
-    done = os.path.join(base, ".complete")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
+    if not os.path.isdir(base):
+        # session-unique build dir + atomic rename (the shared-fixture
+        # race rule the r12 parquet-refs rows established; third
+        # review pass r13: the .complete-marker pattern let two
+        # sessions interleave era writes — torn reads): losers of the
+        # rename discard their build, and the final dir is only ever
+        # observed complete
+        import shutil
+        import uuid as _uuid
+
+        build = f"{base}.build-{_uuid.uuid4().hex}"
+        os.makedirs(build)
         for it in range(data.shape[0]):
             h5_mod.write_hdf5(
-                os.path.join(base, f"era_{it:03d}.nc4"),
+                os.path.join(build, f"era_{it:03d}.nc4"),
                 {
                     "time": (("time",), np.array([times[it]]), {}),
                     "latitude": (("latitude",), np.asarray(lats), {}),
@@ -5876,8 +5892,10 @@ def kerchunkified_hdf5_ea_decode(
                     sblk_min_dptrs=2,
                 ),
             )
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # rival won
     docs = kc_mod.kerchunkify_scan(spark, base, glob="*.nc4")
     merged = kc_mod.merge_refs_concat(docs, "time")
     out = kc_mod.decode_kerchunk_long(spark, merged, "precip")

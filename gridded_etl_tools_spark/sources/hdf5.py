@@ -1003,9 +1003,22 @@ def _extensible_array_elements(buf: bytes, name: str, header_addr: int):
         if daddr == UNDEF:
             continue
         u = next(
-            i for i, (nd, _ne, _si, sd) in enumerate(sblk_info)
-            if sd <= j < sd + nd
+            (
+                i for i, (nd, _ne, _si, sd) in enumerate(sblk_info)
+                if sd <= j < sd + nd
+            ),
+            None,
         )
+        if u is None:
+            # individually-plausible header fields can still yield a
+            # geometry with fewer data blocks than the index block
+            # addresses — a corrupt header, refused in-taxonomy
+            # (third review pass r13: the bare next() escaped as
+            # RuntimeError via PEP 479)
+            raise HDF5Error(
+                f"{name}: corrupt extensible-array header — data "
+                f"block {j} outside the derived super-block geometry"
+            )
         nd, nelmts, start_idx, start_dblk = sblk_info[u]
         yield from walk_dblk(
             daddr, start_idx + (j - start_dblk) * nelmts, nelmts

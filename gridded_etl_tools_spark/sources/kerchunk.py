@@ -1826,14 +1826,15 @@ def decode_parquet_refs(
 
             task_fs = factory() if factory is not None else _fsio.LOCAL_FS
             for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "path": pdf["path"],
-                        "content": [
-                            task_fs.read_bytes(p) for p in pdf["path"]
-                        ],
-                    }
-                )
+                # one frame per SLAB: holding a whole Arrow batch's
+                # slab blobs (up to ~thousands x record_size-bounded
+                # parquet files) in one pandas frame spikes task
+                # memory; the binaryFile branch streams file-by-file
+                # and this branch must too (third review pass r13)
+                for p in pdf["path"]:
+                    yield pd.DataFrame(
+                        {"path": [p], "content": [task_fs.read_bytes(p)]}
+                    )
 
         # parallelism scales with the CLUSTER, floored at 64: a 100k-
         # slab store on a large static cluster fans its GETs across 2x
@@ -2872,13 +2873,32 @@ def _slab_merge_pipeline(
         oversize_digit_run_col,
     )
 
-    # ADVICE r12: natural_sort_col pads digit runs to a fixed 19-digit
-    # width; a run LONGER than that compares by prefix and could
-    # diverge from the driver-side natural_key order when run lengths
-    # differ — a silently different concat order.  Refuse loudly
-    # instead of mis-ordering (one tiny job over the persisted scan).
+    # ADVICE r12 + third review pass r13: natural_sort_col pads digit
+    # runs to a fixed 19-digit width; a run LONGER than that compares
+    # by prefix and could diverge from the driver-side natural_key
+    # order when run lengths differ — a silently different concat
+    # order.  The ordering key (and therefore the guard) is the
+    # BASENAME: a shared parent directory carrying a >19-digit run
+    # (epoch-stamped run dirs) is identical across files and cannot
+    # change relative order, so refusing on it was a false refusal.
+    # Basename order is only well-defined within ONE directory, so
+    # multi-directory inputs (a glob expanding over several parents)
+    # refuse loudly — the JSON path's full-path sort could disagree
+    # there.  Two tiny jobs over the persisted scan.
+    base_col = F.element_at(F.split(F.col("path"), "/"), -1)
+    parent_col = F.expr(
+        "substring(path, 1, length(path) - "
+        "length(element_at(split(path, '/'), -1)))"
+    )
+    if scans.select(parent_col.alias("p")).distinct().limit(2).count() > 1:
+        raise KerchunkError(
+            "input files span multiple directories — the concat order "
+            "is keyed on filenames, which is only well-defined within "
+            "one directory; merge per-directory (append_to_parquet_refs "
+            "extends the store incrementally)"
+        )
     oversized = (
-        scans.where(oversize_digit_run_col(F.col("path")))
+        scans.where(oversize_digit_run_col(base_col))
         .select("path")
         .take(1)
     )
@@ -3259,7 +3279,7 @@ def _store_fs(root: str, fs=None, fs_factory=None):
             # installed; pickling is only for a CALLER-passed fs,
             # whose backend the root alone cannot reconstruct)
             fs_factory = functools.partial(fsio.fs_for_root, root)
-    if fs is not None and fs_factory is None and "://" in root:
+    if fs is not None and fs_factory is None:
         # executors must construct their own handle.  Deriving it from
         # the ROOT (fs_for_root) when the caller passed an explicit fs
         # would let driver and executors target two DIFFERENT backends
@@ -3268,6 +3288,10 @@ def _store_fs(root: str, fs=None, fs_factory=None):
         # committed store whose data slabs live elsewhere (code-review
         # r13).  Ship the caller's OWN fs by pickle; an unpicklable fs
         # (live SDK client) refuses loudly asking for fs_factory.
+        # This applies to LOCAL-style roots too (third review pass
+        # r13): a caller fs over a plain path used to leave executors
+        # on LOCAL_FS — same split-brain, committed .zmetadata in one
+        # backend and data slabs in another.
         import pickle
 
         try:
@@ -3386,7 +3410,12 @@ def kerchunkify_to_parquet_refs(
         scans = (
             _scan_refs_df(spark, path, glob, header_bytes)
             .select("path", "refs")
-            .withColumn("nat", natural_sort_col(F.col("path")))
+            .withColumn(
+                "nat",
+                natural_sort_col(
+                    F.element_at(F.split(F.col("path"), "/"), -1)
+                ),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         head = scans.orderBy("nat", "path").limit(1).collect()
@@ -3585,7 +3614,12 @@ def append_to_parquet_refs(
         scans = (
             _scan_refs_df(spark, path, glob, header_bytes)
             .select("path", "refs")
-            .withColumn("nat", natural_sort_col(F.col("path")))
+            .withColumn(
+                "nat",
+                natural_sort_col(
+                    F.element_at(F.split(F.col("path"), "/"), -1)
+                ),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if not scans.take(1):

@@ -653,3 +653,30 @@ def test_attribute_message_v2_v3_parse():
         body += name + dt_raw + ds_raw + val
         got_name, got_val = h5._parse_attribute(b"", body)
         assert got_name == "scale_factor" and got_val == 0.5
+
+
+def test_extensible_array_inconsistent_geometry_refuses():
+    """Third review pass r13 (reproduced): individually-plausible EA
+    header fields can derive a super-block geometry with FEWER data
+    blocks than the index block addresses; a written address beyond it
+    must refuse as HDF5Error, never escape as PEP-479 RuntimeError."""
+    import struct as _s
+
+    # max_nelmts_bits=1, data_blk_min_elmts=2 -> nsblks = 1+1-1 = 1
+    # (one 2-element data block), but sblk_min_dptrs=4 -> the index
+    # block addresses 2*(4-1) = 6 data blocks
+    b = bytearray(b"EAHD")
+    b += bytes([0, 0, 8, 1, 2, 2, 4, 10])  # ver cl es mb ib db sp pb
+    b += bytes(48)  # stats
+    iblk_at = 72  # index block directly after the 72-byte header
+    b += _s.pack("<Q", iblk_at)
+    b += bytes(4)  # checksum
+    ib = bytearray(b"EAIB" + bytes([0, 0]) + _s.pack("<Q", 0))
+    ib += _s.pack("<Q", 2**64 - 1) * 2     # 2 inline elements, UNDEF
+    ib += _s.pack("<Q", 2**64 - 1)         # dblk 0: UNDEF
+    ib += _s.pack("<Q", 500)               # dblk 1: outside geometry
+    ib += _s.pack("<Q", 2**64 - 1) * 4     # dblks 2-5: UNDEF
+    ib += bytes(4)  # checksum (nsblk_addrs = max(0, 1-4) = 0)
+    buf = bytes(b) + bytes(ib) + bytes(600)
+    with pytest.raises(h5.HDF5Error, match="super-block geometry"):
+        list(h5._extensible_array_elements(buf, "t", 0))

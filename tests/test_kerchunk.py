@@ -2289,6 +2289,16 @@ def test_store_fs_explicit_fs_ships_by_pickle(tmp_path):
     with pytest.raises(kerchunk.KerchunkError, match="not picklable"):
         kerchunk._store_fs("gs://b/store", fs=UnpicklableFS())
 
+    # caller fs over a LOCAL-style root ships by pickle too (third
+    # review pass r13: executors used to fall back to LOCAL_FS — the
+    # same split-brain, committed metadata in one backend and data
+    # slabs in another)
+    lfs = fsio.DirObjectControlFS("gs://l", str(tmp_path / "lb"))
+    _, _, lfactory = kerchunk._store_fs("/mnt/some/store", fs=lfs)
+    assert lfactory is not None
+    lfactory().write_atomic("gs://l/store/y.bin", b"2")
+    assert lfs.read_bytes("gs://l/store/y.bin") == b"2"
+
     # ROOT-derived fs (no caller fs): the factory re-derives from the
     # root — never the pickle path, which live SDK clients would fail
     # (second review pass r13: the pickle branch made every plain
@@ -2315,6 +2325,37 @@ def test_parquet_refs_schemed_root_without_sdk_refuses(spark, monkeypatch):
         kerchunk.kerchunkify_to_parquet_refs(
             spark, "/nowhere", "gs://bucket/store", "time"
         )
+
+
+def test_oversize_run_in_shared_parent_dir_is_fine(spark, tmp_path):
+    """Third review pass r13: the ordering key is the BASENAME, so a
+    >19-digit run in the shared parent directory (epoch-stamped run
+    dirs) no longer refuses — it is identical across files and cannot
+    change relative order.  Multi-directory inputs refuse loudly
+    instead (filename order is only well-defined within one dir)."""
+    run_dir = tmp_path / "run_12345678901234567890"  # 20-digit parent
+    run_dir.mkdir()
+    for it in range(2):
+        _write_one_era(run_dir, it)
+    root = str(tmp_path / "pq")
+    s = kerchunk.kerchunkify_to_parquet_refs(
+        spark, str(run_dir), root, "time", glob="*.nc", record_size=2
+    )
+    assert s["files"] == 2
+    assert kerchunk.decode_parquet_refs(
+        spark, root, "precip"
+    ).count() == 40
+    # multi-directory inputs: loud refusal, not a silent basename sort
+    d1 = tmp_path / "part_a"; d1.mkdir(); _write_one_era(d1, 0)
+    d2 = tmp_path / "part_b"; d2.mkdir(); _write_one_era(d2, 1)
+    with pytest.raises(
+        kerchunk.KerchunkError, match="multiple directories"
+    ):
+        kerchunk.kerchunkify_to_parquet_refs(
+            spark, str(tmp_path / "part_*"), str(tmp_path / "pq2"),
+            "time", glob="*.nc", record_size=2,
+        )
+    assert not os.path.exists(str(tmp_path / "pq2" / ".zmetadata"))
 
 
 def test_parquet_refs_merge_refuses_oversize_digit_runs(spark, tmp_path):
