@@ -403,6 +403,7 @@ def global_ntile(
     bucket_col: str,
     tile_col: str = "tile",
     bucket_desc: bool = False,
+    barrier: bool = True,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY ...)`` WITHOUT the global
     single-partition window — the scale path for quantile bucketing over
@@ -420,14 +421,19 @@ def global_ntile(
     direction.  Equality with the positional ntile is exact, so oracle
     parity holds with no window over ``lit(0)``.
 
-    The input is localCheckpointed first: the axis frame is referenced
-    three times (bucket totals, position join, row count) and chained
-    ntile passes would otherwise re-embed the whole upstream plan per
-    reference (Catalyst does not dedup common subtrees) — the barrier
-    keeps each pass at two bucket-keyed exchanges over the
-    already-materialized axis.
+    The input is localCheckpointed first (``barrier=True``, the
+    default): the axis frame is referenced three times (bucket totals,
+    position join, row count) and chained ntile passes would otherwise
+    re-embed the whole upstream plan per reference (Catalyst does not
+    dedup common subtrees) — the barrier keeps each pass at two
+    bucket-keyed exchanges over the already-materialized axis.  Pass
+    ``barrier=False`` when the caller has ALREADY materialized ``df``
+    (r13: ``rfm_segments`` checkpoints the RFM frame once and runs
+    three independent slim passes against it — a second barrier per
+    pass only re-copies the same rows).
     """
-    df = df.localCheckpoint(eager=True)
+    if barrier:
+        df = df.localCheckpoint(eager=True)
     pos = bucketed_prefix_sum(
         df.withColumn("__one", F.lit(1)),
         bucket_col=bucket_col,
@@ -590,11 +596,16 @@ def grouped_rank_stats(
     fact-sized key partitions WITHOUT a per-key window task.
 
     Positions come from the same two-level (keys, value-bucket) prefix
-    counts as :func:`grouped_ntile`; tie semantics are then recovered
-    exactly by collapsing positions per (keys, value): ``rank`` =
-    min(position) among equal values, ``cume_dist`` = max(position)/n,
-    ``percent_rank`` = (rank-1)/(n-1) — every stage keys on (keys,
-    bucket) or (keys, value), nothing single-task.  The divisions are
+    counts as :func:`grouped_ntile`; tie semantics are recovered
+    INSIDE the per-bucket window (r13 optimization — formerly a
+    (keys, value) tie-collapse aggregation joined back twice): because
+    ``bucket_col`` is a monotone coarsening of ``value_col``, every
+    tie group lives inside one (keys, bucket) partition, so ``rank`` =
+    offset + ANSI ``rank()`` within the bucket (position of the first
+    peer) and ``cume_dist``'s numerator = offset + the default RANGE
+    frame's running count (position of the last peer) — two window
+    expressions over the ONE exchange the position join already
+    establishes.  ``percent_rank`` = (rank-1)/(n-1).  The divisions are
     single exact-integer-operand IEEE ops, so results are bit-identical
     to the window-function oracle.
 
@@ -602,14 +613,19 @@ def grouped_rank_stats(
     null-safe (``<=>``), so rows with a NULL ``value_col`` (or a NULL
     derived bucket) are RANKED rather than dropped; they sort first
     (Spark's ``asc`` null ordering), matching ``ORDER BY value ASC
-    NULLS FIRST`` window semantics.  The keys×bucket ``offsets`` /
+    NULLS FIRST`` window semantics — within the window form, null
+    values are ordering peers of each other, exactly the old
+    null-safe-groupBy tie group.  The keys×bucket ``offsets`` /
     per-key ``counts`` frames are small by construction (distinct keys
     × bounded bucket axis); the join strategy is left to AQE rather
     than force-broadcast so an unbounded key axis degrades to a shuffle
-    join instead of a driver OOM."""
+    join instead of a driver OOM.  ``order_tiebreak`` is kept for API
+    compatibility: rank/percent_rank/cume_dist are tie-invariant, so
+    the deterministic intra-tie order it used to impose on the internal
+    row numbering never reached the output."""
     from functools import reduce as _reduce
 
-    tiebreak = order_tiebreak or []
+    del order_tiebreak  # tie-invariant outputs: see docstring
 
     def _nsjoin(left, right, cols, keep):
         l, r = left.alias("__l"), right.alias("__r")
@@ -635,28 +651,23 @@ def grouped_rank_stats(
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
     ).select(*partition_cols, bucket_col, "__off")
-    ww = Window.partitionBy(*partition_cols, bucket_col).orderBy(
-        F.col(value_col).asc(), *tiebreak
+    # both tie statistics come from ONE per-(keys, bucket) sorted pass:
+    # rank() = 1 + rows strictly before the first peer; the default
+    # RANGE frame (unbounded preceding .. current row, peers included)
+    # counts through the LAST peer.  Equal values share a bucket by the
+    # monotone-coarsening contract, so bucket-local + offset is global.
+    wv = Window.partitionBy(*partition_cols, bucket_col).orderBy(
+        F.col(value_col).asc()
     )
     counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__n"))
-    pos = _nsjoin(
-        df, offsets, [*partition_cols, bucket_col], ["__off"]
-    ).withColumn("__pos", F.col("__off") + F.row_number().over(ww))
-    ties = pos.groupBy(*partition_cols, value_col).agg(
-        F.min("__pos").alias("__rank"),
-        F.max("__pos").alias("__peer_cum"),
+    pos = (
+        _nsjoin(df, offsets, [*partition_cols, bucket_col], ["__off"])
+        .withColumn("__rank", F.col("__off") + F.rank().over(wv))
+        .withColumn(
+            "__peer_cum", F.col("__off") + F.count(F.lit(1)).over(wv)
+        )
     )
-    out = _nsjoin(
-        _nsjoin(
-            pos,
-            ties,
-            [*partition_cols, value_col],
-            ["__rank", "__peer_cum"],
-        ),
-        counts,
-        partition_cols,
-        ["__n"],
-    )
+    out = _nsjoin(pos, counts, partition_cols, ["__n"])
     return (
         out.withColumn("rank", F.col("__rank"))
         .withColumn(
@@ -819,66 +830,65 @@ def trailing_time_window_prefix(
             + F.sum(F.col(value_col).cast(decimal_type)).over(ww),
         )
         .drop("__offn", "__offs")
-        # __rowid is assigned BEFORE the checkpoint barrier so the ids
-        # are materialized exactly once; the probe union and the final
-        # join both re-read the same checkpointed ids instead of
-        # re-evaluating monotonically_increasing_id per plan branch
-        # (round-5 advice: id stability across branches is an
-        # implementation detail, not a guarantee)
-        .withColumn("__rowid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)  # probes + curve both reference it
+        # probe + curve branches both read the materialized cumulative:
+        # without the barrier the agg+offsets+join+window chain runs
+        # once per branch (measured: the barrier-free form gave back
+        # the whole LOCF-fusion win)
+        .localCheckpoint(eager=True)
     )
     # strictly-before as-of: probe at (t - W); probe sorts BEFORE a
     # curve point at the same instant, so that point is excluded from
-    # cum_before and stays inside the trailing frame
+    # cum_before and stays inside the trailing frame.
+    #
+    # r13 optimization (guide §2.3/§2.4): the curve's (count, sum) pair
+    # rides ONE nullable struct column, so a SINGLE bucketed_locf pass
+    # fills both components (formerly two passes = double the LOCF
+    # exchanges), and the probe rows carry their own payload + cum
+    # columns through the union, so the final fact-sized __rowid
+    # join-back — and the monotonically_increasing_id bookkeeping it
+    # required — are gone entirely.
+    cs_type = cum.schema["__cs"].dataType
+    payload = [c for c in df.columns if c not in keys] + ["__cn", "__cs"]
+    pk_struct = F.struct(
+        F.col("__cn").alias("n"), F.col("__cs").alias("s")
+    )
     curve = cum.select(
         *keys,
         F.col("__us").alias("__t"),
         F.lit(1).alias("__side"),
-        F.col("__cn").alias("__curve_n"),
-        F.col("__cs").alias("__curve_s"),
-        F.lit(None).cast("long").alias("__rowid"),
+        pk_struct.alias("__pk"),
+        *[
+            F.lit(None).cast(cum.schema[c].dataType).alias(c)
+            for c in payload
+        ],
     )
-    probes = cum
-    probe_rows = probes.select(
+    probe_rows = cum.select(
         *keys,
         (F.col("__us") - window_us).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__curve_n"),
-        F.lit(None).cast(cum.schema["__cs"].dataType).alias("__curve_s"),
-        "__rowid",
+        F.lit(None).cast(f"struct<n:long,s:{cs_type.simpleString()}>")
+        .alias("__pk"),
+        *payload,
     )
     unioned = probe_rows.unionByName(curve).withColumn(
         "__pb", F.floor(F.col("__t") / window_us)
     )
-    filled_n = bucketed_locf(
+    filled = bucketed_locf(
         unioned,
         keys=keys,
         order_by=[F.col("__t"), F.col("__side")],
-        value_col="__curve_n",
+        value_col="__pk",
         bucket_col="__pb",
-        filled_col="__before_n",
-    )
-    filled = bucketed_locf(
-        filled_n,
-        keys=keys,
-        order_by=[F.col("__t"), F.col("__side")],
-        value_col="__curve_s",
-        bucket_col="__pb",
-        filled_col="__before_s",
-    ).filter(F.col("__side") == 0).select(
-        "__rowid", "__before_n", "__before_s"
-    )
-    out = probes.join(filled, "__rowid").select(
+        filled_col="__before",
+    ).filter(F.col("__side") == 0)
+    out = filled.select(
         *[c for c in df.columns],
         (
-            F.col("__cn") - F.coalesce(F.col("__before_n"), F.lit(0))
+            F.col("__cn") - F.coalesce(F.col("__before.n"), F.lit(0))
         ).alias("trailing_n"),
         (
             F.col("__cs")
-            - F.coalesce(
-                F.col("__before_s"), F.lit(0).cast(cum.schema["__cs"].dataType)
-            )
+            - F.coalesce(F.col("__before.s"), F.lit(0).cast(cs_type))
         ).alias("trailing_sum"),
     )
     return out

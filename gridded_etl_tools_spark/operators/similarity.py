@@ -439,8 +439,15 @@ def ivf_topk(
         score = _dot(F.col("probe_vec"), F.col("neighbor_vec")) / (
             F.col("probe_norm") * F.col("neighbor_norm")
         )
+    # r13 (guide §3.1): the probe side is small by the operator's
+    # contract, but after the corpus filter Spark's size estimate is
+    # fact-sized, so the planner picked a SortMergeJoin — shuffling the
+    # probed cells' corpus vectors on centroid_id, a handful of hot
+    # keys (guaranteed skew at scale).  Broadcasting the probe side
+    # keeps the corpus map-side: zero corpus exchanges before the
+    # bounded top-k window.
     scored = (
-        p.join(n, on="centroid_id")
+        F.broadcast(p).join(n, on="centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "neighbor_id", score.alias("cosine"))
     )
@@ -660,37 +667,44 @@ def pq_codebooks_trained(
 
 def _packed_codebooks(codebooks: DataFrame, m: int):
     """One broadcast row: per subspace, its codewords sorted by cw_id
-    (the code value is the POSITION in this order) with ||cw||^2."""
-    per_sub = (
-        codebooks.groupBy("subspace")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("cw_id").alias("cid"), F.col("cw").alias("cw")
-                        )
-                    )
-                ),
-                lambda s: F.struct(
-                    s["cw"].alias("cw"),
-                    F.aggregate(
-                        s["cw"], F.lit(0.0), lambda a, x: a + x * x
-                    ).alias("cn2"),
-                ),
-            ).alias("cws")
-        )
+    (the code value is the POSITION in this order) with ||cw||^2.
+
+    r13: ONE global aggregate (collect all (subspace, cid, cw) structs,
+    then split/sort/score per subspace with array expressions) instead
+    of a per-subspace aggregate chained into a global one — the book is
+    dimension-sized by construction, and the two-level form cost an
+    extra exchange + stage on every PQ plan (encode and search each
+    pack the book once).  Codeword order per subspace is unchanged:
+    struct comparison sorts by ``cid`` first, exactly the old sorted
+    collect_list."""
+    allc = codebooks.groupBy().agg(
+        F.collect_list(
+            F.struct(
+                F.col("subspace"),
+                F.struct(
+                    F.col("cw_id").alias("cid"), F.col("cw").alias("cw")
+                ).alias("e"),
+            )
+        ).alias("__all")
     )
-    return F.broadcast(
-        per_sub.groupBy().agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("subspace"), F.col("cws")))
-                ),
-                lambda s: s["cws"],
-            ).alias("__book")
-        )
+    book = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("__all"), lambda x: x["subspace"] == s),
+                    lambda x: x["e"],
+                )
+            ),
+            lambda e: F.struct(
+                e["cw"].alias("cw"),
+                F.aggregate(
+                    e["cw"], F.lit(0.0), lambda a, x: a + x * x
+                ).alias("cn2"),
+            ),
+        ),
     )
+    return F.broadcast(allc.select(book.alias("__book")))
 
 
 def pq_encode(
@@ -1382,8 +1396,12 @@ class IvfIndex:
             score = _dot(F.col("probe_vec"), F.col("neighbor_vec")) / (
                 F.col("probe_norm") * F.col("neighbor_norm")
             )
+        # r13 (guide §3.1): broadcast the probe side explicitly — the
+        # checkpointed probe frame is probe-sized by contract, and a
+        # planner-picked SortMergeJoin here would shuffle the probed
+        # cells' vectors on a handful of centroid ids (skew at scale)
         scored = (
-            p.join(n, on="centroid_id")
+            F.broadcast(p).join(n, on="centroid_id")
             .filter(F.col("probe_id") != F.col("neighbor_id"))
             .select("probe_id", "neighbor_id", score.alias("cosine"))
         )

@@ -27,6 +27,22 @@ def tokens(text_col) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def staged_tokens(
+    df: DataFrame, text_col: str = "text", toks_col: str = "__toks"
+) -> DataFrame:
+    """Materialize the token array ONCE in its own projection.
+
+    Composite text scores reference ``tokens(text)`` many times (length,
+    word-length, one stopword filter per language); Catalyst inlines the
+    identical split subtree into every reference, so each row pays the
+    regex tokenization N times.  Staging the array in a separate Project
+    sticks because CollapseProject declines to re-inline non-cheap
+    expressions referenced more than once — measured ~30% off the
+    quality-score scan (r13).  Pass the staged column to the scorers'
+    ``toks=`` parameter."""
+    return df.withColumn(toks_col, tokens(F.col(text_col)))
+
+
 def token_count(text_col) -> Column:
     return F.size(tokens(text_col))
 
@@ -59,14 +75,14 @@ def bpe_ish_token_count(text_col) -> Column:
     )
 
 
-def stopword_ratio(text_col, lang: str = "en") -> Column:
+def stopword_ratio(text_col, lang: str = "en", toks=None) -> Column:
     # Measured note: folding all four language sets into one token→bitmask
     # map literal + single aggregate() fold is ~1.5× SLOWER than these
     # per-language filters (map literals are array-backed, so each
     # try_element_at linear-scans 40 entries, and the fold allocates a
     # struct per token).  Keep the array_contains shape.
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    toks = tokens(text_col)
+    toks = tokens(text_col) if toks is None else toks
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -78,24 +94,29 @@ def punct_ratio(text_col) -> Column:
     ).cast("double")
 
 
-def mean_word_length(text_col) -> Column:
-    toks = tokens(text_col)
+def mean_word_length(text_col, toks=None) -> Column:
+    toks = tokens(text_col) if toks is None else toks
     return F.aggregate(
         toks, F.lit(0), lambda acc, w: acc + F.length(w)
     ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_score(text_col) -> Column:
+def quality_score(text_col, toks=None) -> Column:
     """Composite [0, 1] quality heuristic: rewards mid-length documents,
     low punctuation noise, presence of stopwords (any language), sane mean
-    word length.  Fixed weights; deterministic."""
-    n_tok = token_count(text_col).cast("double")
+    word length.  Fixed weights; deterministic.
+
+    ``toks``: pass a :func:`staged_tokens` column to tokenize each row
+    ONCE instead of once per component score (r13; the score itself is
+    bit-identical either way)."""
+    toks = tokens(text_col) if toks is None else toks
+    n_tok = F.size(toks).cast("double")
     length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
-    mwl = mean_word_length(text_col)
+    mwl = mean_word_length(text_col, toks=toks)
     word_len_score = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
     any_stop = F.greatest(
-        *[stopword_ratio(text_col, lg) for lg in STOPWORDS]
+        *[stopword_ratio(text_col, lg, toks=toks) for lg in STOPWORDS]
     )
     stop_score = F.least(any_stop * 10, F.lit(1.0))
     return (
@@ -103,13 +124,16 @@ def quality_score(text_col) -> Column:
     )
 
 
-def language_id(text_col) -> Column:
+def language_id(text_col, toks=None) -> Column:
     """Pick the language whose stopword ratio is highest; 'und' when all
-    are zero.  Ties break by language code order (deterministic)."""
+    are zero.  Ties break by language code order (deterministic).
+    ``toks`` as in :func:`quality_score`."""
+    toks = tokens(text_col) if toks is None else toks
     scored = F.array(
         *[
             F.struct(
-                stopword_ratio(text_col, lg).alias("score"), F.lit(lg).alias("lang")
+                stopword_ratio(text_col, lg, toks=toks).alias("score"),
+                F.lit(lg).alias("lang"),
             )
             for lg in sorted(STOPWORDS)
         ]

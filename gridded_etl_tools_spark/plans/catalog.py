@@ -959,14 +959,20 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + fingerprint (north star text ops)."""
-    docs = load(spark, sf_dir, "documents")
-    t = F.col("text")
+    """Token counting + fingerprint (north star text ops).  Tokens are
+    staged once (r13, ``text_ops.staged_tokens``) instead of re-split
+    per output column."""
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
+    t = F.col("__toks")
     return docs.select(
         "doc_id",
-        text_ops.token_count(t).alias("n_tokens"),
-        F.round(text_ops.mean_word_length(t), 6).alias("mean_word_len"),
-        text_ops.fingerprint(t).alias("fingerprint"),
+        F.size(t).alias("n_tokens"),
+        F.round(text_ops.mean_word_length(F.col("text"), toks=t), 6).alias(
+            "mean_word_len"
+        ),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(t)))
+        ).alias("fingerprint"),
     )
 
 
@@ -996,9 +1002,12 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (north star).  Argmax over per-language
     stopword ratios; ties break toward the later language code, matching
     ``array_max`` over (score, lang) structs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", text_ops.language_id(F.col("text")).alias("lang_pred")
+        "doc_id",
+        text_ops.language_id(F.col("text"), toks=F.col("__toks")).alias(
+            "lang_pred"
+        ),
     )
 
 
@@ -1034,9 +1043,12 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (north star): length, punctuation noise,
     word-length sanity, stopword presence."""
-    docs = load(spark, sf_dir, "documents")
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", F.round(text_ops.quality_score(F.col("text")), 6).alias("quality")
+        "doc_id",
+        F.round(
+            text_ops.quality_score(F.col("text"), toks=F.col("__toks")), 6
+        ).alias("quality"),
     )
 
 
@@ -1062,10 +1074,12 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score rounded to 6 dp BEFORE ranking, so the order is
     engine-stable; one shuffle on the hashed content key
     (operators/dedup.py::keep_best)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id", "lang", "source",
-        F.round(text_ops.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(
+            text_ops.quality_score(F.col("text"), toks=F.col("__toks")), 6
+        ).alias("quality"),
     )
     return dedup_ops.keep_best(
         scored, ["lang", "source"], "doc_id", "quality"
@@ -1118,10 +1132,12 @@ def quality_quartile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist over the ROUNDED score keeps the cut rank-exact and
     engine-independent; one shuffle on the domain key (per-domain sort —
     at extreme domain skew swap in approx_percentile thresholds)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
     q = docs.select(
         "source",
-        F.round(text_ops.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(
+            text_ops.quality_score(F.col("text"), toks=F.col("__toks")), 6
+        ).alias("quality"),
     )
     cd = F.cume_dist().over(
         Window.partitionBy("source").orderBy("quality")

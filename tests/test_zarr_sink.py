@@ -1125,7 +1125,18 @@ def test_lease_heartbeat_survives_short_ttl(tmp_path):
         with a.heartbeat(state, interval=0.08):
             deadline = _time.time() + 3 * ttl  # run well past the TTL
             while _time.time() < deadline:
-                with pytest.raises(ConcurrentWriteError, match="in progress"):
+                # the rival must be REFUSED every time.  Normally it sees
+                # the live lease ("in progress"); on a loaded box the
+                # heartbeat thread can be starved just past the short
+                # test TTL, in which case the rival observes an expired
+                # lease, attempts takeover, and loses the CAS to the
+                # concurrent renewal ("lost the zarr lease race") — the
+                # safety property (rival never acquires, writer never
+                # fenced) is identical, so both refusals are accepted.
+                with pytest.raises(
+                    ConcurrentWriteError,
+                    match="in progress|lost the zarr lease race",
+                ):
                     ZarrWriterLease(
                         root, fs, stale_lease_seconds=ttl
                     ).acquire()
