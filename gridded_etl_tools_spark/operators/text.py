@@ -175,10 +175,11 @@ def polynomial_fingerprint(text_col, base: int = 31, mod: int = 2147483647) -> C
     )
 
 
-def distinct_token_ratio(text_col) -> Column:
+def distinct_token_ratio(text_col, toks=None) -> Column:
     """Distinct-token fraction — the Gopher-style repetition signal (a
-    low ratio marks boilerplate/looping text).  Pure array intrinsics."""
-    toks = tokens(text_col)
+    low ratio marks boilerplate/looping text).  Pure array intrinsics.
+    ``toks`` as in :func:`quality_score`."""
+    toks = tokens(text_col) if toks is None else toks
     return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
         F.size(toks), F.lit(1)
     ).cast("double")

@@ -574,12 +574,14 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     job: the quality filter runs inside the scan projection, the dedup
     is the lone content-keyed shuffle, the split is map-side, and the
     rollup leaves three rows.  The oracle replays every stage."""
-    docs = load(spark, sf_dir, "documents")
-    t = F.col("text")
+    docs = text_ops.staged_tokens(load(spark, sf_dir, "documents"))
+    t = F.col("__toks")
+    # the staged array is dropped before the content-keyed dedup window:
+    # only (doc cols + n_tokens) may cross that exchange (guide §2.3)
     quality = docs.filter(
         (F.col("n_chars") >= 50)
-        & (text_ops.distinct_token_ratio(t) >= 0.3)
-    ).withColumn("n_tokens", text_ops.token_count(t))
+        & (text_ops.distinct_token_ratio(F.col("text"), toks=t) >= 0.3)
+    ).withColumn("n_tokens", F.size(t)).drop("__toks")
     w = Window.partitionBy("text").orderBy("doc_id")
     dedup = (
         quality.withColumn("__rn", F.row_number().over(w))

@@ -243,8 +243,12 @@ SHUFFLE_BUDGET = {
     # r5: probes assigned separately (probe-sized) + probed-cell semi
     # filter — the extra hash exchange is the probe-axis distinct, the
     # singles are tiny centroid/probe packs; buys unprobed cells never
-    # entering the scoring shuffle
+    # entering the scoring shuffle.  r13: the scoring join itself is an
+    # explicit probe-side broadcast (the corpus never exchanges).
     "ivf_ann_topk": (2, 3),
+    # r13: PQ — one packed-codebook pack per use site is now a single
+    # global aggregate; the lone hash exchange is the top-k window
+    "pq_ann_topk": (1, 3),
     "sequence_packing": (0, 1),       # single documented global sequence
     "windowed_event_counts": (1, 0),
     "conservative_regrid_grid": (1, 0),  # explode + one hash agg, like coarsen
@@ -263,7 +267,7 @@ SHUFFLE_BUDGET = {
     # never exchanges.  semantic_dedup's hash exchanges are the one
     # canonical corpus shuffle on the cluster key for the within-cell
     # self-join plus the id-only duplicate distinct.
-    "kmeans_centroids": (9, 5),
+    "kmeans_centroids": (1, 1),  # r13 tightened: measured post-ckpt segment
     "semantic_dedup_flags": (2, 3),
     "interpolate_gaps": (1, 0),          # one group-key window shuffle
     "temperature_resample_counts": (3, 1),  # dim-sized rate aggs only
@@ -344,18 +348,17 @@ SHUFFLE_BUDGET = {
     # bucketed prefix sum: part agg + interior bucket window (hash) +
     # bucket-totals offsets + grand total (single, bucket-axis sized)
     "pareto_part_classes": (2, 2),
-    # prefix-algebra trailing window: cumulative (agg+offsets+join) +
-    # two LOCF passes + rowid join-back — all keyed, zero single-
-    # partition stages; O(n) vs O(n x frame) frame evaluation
-    "rolling_hour_stats_bucketed": (9, 0),
-    # grouped_rank_stats: bucket totals + offsets + position window +
-    # tie-collapse + per-key counts — keyed exchanges only, zero
-    # single-partition stages.  r6: the offsets/counts broadcast hints
-    # were dropped per round-5 advice (keys×bucket cardinality can
-    # exceed broadcast limits at scale), so the STATIC plan shows two
-    # more small-side exchanges; AQE converts them back to broadcast at
-    # runtime when the frames are dim-sized.
-    "event_value_rank_enrich": (8, 0),
+    # prefix-algebra trailing window, r13 form: cumulative behind the
+    # checkpoint + ONE struct-fused LOCF pass, payload carried through
+    # the union (no rowid join-back) — 9 -> 4 keyed exchanges, zero
+    # single-partition stages; O(n) vs O(n x frame) frame evaluation
+    "rolling_hour_stats_bucketed": (4, 0),
+    # grouped_rank_stats, r13 form: bucket totals + offsets + the
+    # position join whose (keys, bucket) exchange also hosts the
+    # rank()/RANGE-count tie windows + per-key counts — the
+    # tie-collapse aggregate and both its join-backs are gone
+    # (8 -> 4 keyed exchanges, zero single-partition stages)
+    "event_value_rank_enrich": (4, 0),
     # bucketed_locf: per-bucket last + axis seeds + interior fill —
     # all keyed, zero single-partition stages
     "locf_event_fill_bucketed": (4, 0),
@@ -381,7 +384,7 @@ SHUFFLE_BUDGET = {
     # updates + sizes agg + final posexplode join are the keyed
     # exchanges (fewer than the JVM row's 9: broadcast argmax rounds
     # replaced by collected-book matmul).
-    "kmeans_auto_centroids": (9, 5),
+    "kmeans_auto_centroids": (1, 0),  # r13 tightened: measured post-ckpt segment
     # bm25 leg's posting-list exchanges (4) + the full-outer fusion
     # join's two sides + the dense top-k — every post-leg exchange
     # carries <=20-row frames; the single is the 20-survivor rank
@@ -413,9 +416,8 @@ SHUFFLE_BUDGET = {
     # the corpus-stats grand total
     "hybrid_rrf_search_batch": (11, 1),
     # r7: IVF+PQ — partition-pruned code scan + broadcast probe tables;
-    # the hash exchanges are the probe-side distinct and the top-k
-    # window, the singles are the 1-row packed-codebook aggregates
-    "ivfpq_index_query_readback": (3, 2),
+    # r13: the packed-codebook pack collapsed to one global aggregate
+    "ivfpq_index_query_readback": (1, 1),
     # r7: 3-D box rollup over the stats-pruned post-optimize read
     "table_optimize_zorder3_readback": (1, 1),
     # r7: real WAV encode+decode inside one mapInPandas — map-only
@@ -503,6 +505,49 @@ SHUFFLE_BUDGET = {
     # v1-B-tree and fixed-array rows
     "kerchunkified_hdf5_ea_decode": (0, 0),
 }
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["quality_scores", "token_stats", "language_id", "dedup_keep_best"],
+)
+def test_text_scans_tokenize_once(spark, name):
+    """r13: composite text scorers must tokenize each row ONCE.  The
+    scorers used to reference ``tokens(text)`` per component (13 split
+    subtrees in the optimized quality plan, 16 in language_id); the
+    ``staged_tokens`` projection + ``toks=`` threading pins it to one —
+    a regression (e.g. CollapseProject re-inlining after a refactor)
+    re-multiplies the regex tokenization per row."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, (
+        f"{name}: {plan.count('split(')} split() sites in the optimized "
+        "plan — tokenization must be staged exactly once"
+    )
+
+
+def test_ivf_scoring_join_broadcasts_probes(spark):
+    """r13: the IVF scoring join must broadcast the probe side — a
+    planner-picked SortMergeJoin would shuffle the probed cells' corpus
+    vectors on a handful of centroid ids (skew at scale), because the
+    probe frame's post-filter size ESTIMATE is fact-sized."""
+    for name in ("ivf_ann_topk", "ivf_nprobe_topk"):
+        plan = formatted_plan(spark, name)
+        assert count_nodes(plan, "SortMergeJoin") == 0, name
+        assert count_nodes(plan, "BroadcastHashJoin") >= 1, name
+
+
+def test_rank_stats_has_no_tie_collapse_join(spark):
+    """r13: grouped_rank_stats recovers tie semantics inside the
+    per-bucket window; the old (keys, value) tie-collapse aggregate and
+    its two null-safe join-backs must not reappear (they cost 4 extra
+    keyed exchanges and a SortMergeJoin on the rank-enrich plans)."""
+    plan = formatted_plan(spark, "event_value_rank_enrich")
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    import re
+
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash <= 4, f"{n_hash} hash exchanges (expected <= 4)"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
