@@ -629,6 +629,86 @@ def term_distribution_shift(
     )
 
 
+def _bm25_doc_term_parts(
+    staged: DataFrame,
+    qarr,
+    id_col: str,
+    term_col: str,
+    k1: float,
+    b: float,
+    decimals: int,
+) -> DataFrame:
+    """Per-(doc, term) BM25 score parts from ONE corpus pass.
+
+    ``staged`` carries the token array in its own ``__t`` projection
+    (plus any broadcast query-set column ``qarr`` references).  One
+    generator emits the query-term occurrences; ``posexplode_outer``
+    keeps every document alive as a null-term sentinel row, and a
+    first-row flag makes the corpus stats (N, sum dl) a pure global
+    aggregate over the same stream.  The localCheckpoint materializes
+    the occurrence stream once so the stats reduction and the tf
+    aggregation both read it back instead of re-tokenizing the corpus
+    — the r12 shape paid TWO full tokenization passes (dl table +
+    explode) and a fact-sized (doc -> dl) join; dl now rides the
+    postings into the tf aggregation, so that join is gone.  tf, df,
+    dl, N are the same exact integers as the two-pass form."""
+    src = (
+        staged.select(
+            F.col(id_col),
+            F.size("__t").alias("dl"),
+            F.posexplode_outer(
+                F.filter("__t", lambda x: F.array_contains(qarr, x))
+            ).alias("__pos", term_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            (F.col("__pos").isNull() | (F.col("__pos") == 0))
+            .cast("int")
+            .alias("__doc_row"),
+            F.col(term_col),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = F.broadcast(
+        src.agg(
+            F.sum("__doc_row").alias("__n_docs"),
+            F.sum(
+                F.when(F.col("__doc_row") == 1, F.col("dl"))
+            ).alias("__sum_dl"),
+        )
+    )
+    tf = (
+        src.filter(F.col(term_col).isNotNull())
+        .groupBy(id_col, term_col)
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            # dl is constant within a (doc, term) group
+            F.first("dl").alias("dl"),
+        )
+    )
+    dfreq = F.broadcast(
+        tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    )
+    j = tf.join(dfreq, term_col).crossJoin(stats)
+    n_d = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - F.col("df") + 0.5) / (F.col("df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(term_col),
+        F.round(idf * sat, decimals).alias("__part"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -649,48 +729,23 @@ def bm25_scores(
     scalar double math on those, rounded to ``decimals``, and the
     per-document total decimal-sums the rounded parts.
 
-    Scale shape: tokens are FILTERED TO THE QUERY TERMS before the tf
-    aggregation, so the shuffle carries only the query's posting lists,
-    never the corpus vocabulary; df and the corpus stats broadcast.
+    Scale shape: ONE corpus tokenization pass (see
+    :func:`_bm25_doc_term_parts` — the r12 shape paid two); the tf
+    shuffle carries only the query's posting lists, never the corpus
+    vocabulary; df and the corpus stats broadcast.
     Returns (id, bm25) for documents matching >= 1 term.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-    ).filter(F.col("term").isin(query_terms))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qarr = (
+        F.array(*[F.lit(t) for t in query_terms])
+        if query_terms
+        else F.array().cast("array<string>")
     )
-    # dl is referenced by both the stats reduction and the per-doc join;
-    # uncut that re-tokenizes the corpus twice — materialize the doc axis
-    dl = df.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("dl")
-    ).localCheckpoint(eager=True)
-    stats = F.broadcast(
-        dl.agg(
-            F.count(F.lit(1)).alias("__n_docs"),
-            F.sum("dl").alias("__sum_dl"),
-        )
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    parts = _bm25_doc_term_parts(
+        staged, qarr, id_col, "term", k1=k1, b=b, decimals=decimals
     )
-    j = (
-        tf.join(dfreq, "term")
-        .join(dl, id_col)
-        .crossJoin(stats)
-    )
-    n_d = F.col("__n_docs").cast("double")
-    avgdl = F.col("__sum_dl").cast("double") / n_d
-    idf = F.log(
-        F.lit(1.0)
-        + (n_d - F.col("df") + 0.5) / (F.col("df").cast("double") + 0.5)
-    )
-    tf_d = F.col("tf").cast("double")
-    sat = (
-        tf_d * (k1 + 1.0)
-        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
-    )
-    part = F.round(idf * sat, decimals)
     return (
-        j.select(F.col(id_col), part.alias("__part"))
+        parts.select(F.col(id_col), F.col("__part"))
         .groupBy(id_col)
         .agg(
             F.round(
@@ -726,39 +781,19 @@ def bm25_scores_batch(
     term) table against the already-aggregated parts.  Batch retrieval
     (the actual curation workload: thousands of probes against one
     corpus) costs one corpus pass + per-query posting-list-sized aggs,
-    not N corpus passes.  Returns (query_id, id, bm25) for documents
+    not N corpus passes.  The union term set packs into one broadcast
+    array row (same driver-memory class as the broadcast distinct-term
+    table it replaces).  Returns (query_id, id, bm25) for documents
     matching >= 1 of that query's terms."""
-    all_terms = queries.select(term_col).distinct()
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias(term_col)
-    ).join(F.broadcast(all_terms), term_col)
-    tf = toks.groupBy(id_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = F.broadcast(
-        tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    qpack = F.broadcast(
+        queries.agg(F.collect_set(F.col(term_col)).alias("__qset"))
     )
-    dl = df.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("dl")
-    ).localCheckpoint(eager=True)
-    stats = F.broadcast(
-        dl.agg(
-            F.count(F.lit(1)).alias("__n_docs"),
-            F.sum("dl").alias("__sum_dl"),
-        )
-    )
-    j = tf.join(dfreq, term_col).join(dl, id_col).crossJoin(stats)
-    n_d = F.col("__n_docs").cast("double")
-    avgdl = F.col("__sum_dl").cast("double") / n_d
-    idf = F.log(
-        F.lit(1.0)
-        + (n_d - F.col("df") + 0.5) / (F.col("df").cast("double") + 0.5)
-    )
-    tf_d = F.col("tf").cast("double")
-    sat = (
-        tf_d * (k1 + 1.0)
-        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
-    )
-    parts = j.select(
-        F.col(id_col), F.col(term_col), F.round(idf * sat, decimals).alias("__part")
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).crossJoin(qpack)
+    parts = _bm25_doc_term_parts(
+        staged, F.col("__qset"), id_col, term_col, k1=k1, b=b,
+        decimals=decimals,
     )
     return (
         parts.join(F.broadcast(queries), term_col)
@@ -798,12 +833,16 @@ def unigram_perplexity(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # vocab feeds both the totals scalar and the per-term probabilities;
-    # materialize so the corpus is tokenized once for the LM build
-    vocab = toks.groupBy("term").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=True)
+    # tf feeds both the LM build and the per-doc scoring: materialize it
+    # so the corpus is tokenized ONCE (r13 — the vocab-side checkpoint
+    # still left tf re-tokenizing the corpus in its own branch); the LM
+    # counts derive exactly: cnt(term) = sum of per-doc tfs
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = F.broadcast(
         vocab.agg(
             F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")

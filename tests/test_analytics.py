@@ -761,6 +761,41 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     assert out[1] > out[3] > 0
 
 
+def test_bm25_corpus_stats_count_every_doc(spark):
+    """r13: the fused single-pass BM25 derives N and sum(dl) from
+    null-term sentinel rows instead of a separate dl table — docs with
+    NO query term (and empty/null texts) must still count toward N and
+    avgdl exactly as the two-pass form did.  Reference values computed
+    from the Okapi/Lucene formula by hand: N counts ALL 5 docs, sum_dl
+    skips only the null text (split(null) -> null array -> dl null)."""
+    import math
+
+    from gridded_etl_tools_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "rare rare filler"),
+        (2, "filler filler filler filler"),
+        (3, ""),  # tokenizes to [""]: dl = 1, no match
+        (4, None),  # null array: dl null, still counts toward N
+        (5, "rare alone"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["rare"]).collect()
+    }
+    assert set(out) == {1, 5}
+    n_docs, sum_dl, dfreq = 5, 3 + 4 + 1 + 2, 2
+    avgdl = sum_dl / n_docs
+    idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+
+    def score(tf, dl):
+        sat = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return round(round(idf * sat, 6), 6)
+
+    assert out[1] == score(2, 3)
+    assert out[5] == score(1, 2)
+
+
 def test_unigram_perplexity_orders_quality(spark):
     """In-distribution repetitive text scores lower perplexity than a
     document of corpus-rare terms; perplexity >= 1 always."""

@@ -413,8 +413,9 @@ SHUFFLE_BUDGET = {
     # r7: 3 queries, ONE corpus pass — tf/df posting-list aggs for the
     # term union, broadcast (query_id, term) fan-out agg, per-query
     # lex/dense/fusion windows all on <=40-row frames; the single is
-    # the corpus-stats grand total
-    "hybrid_rrf_search_batch": (11, 1),
+    # the corpus-stats grand total.  r13: the fused single-pass BM25
+    # leg drops the dl join + the term-union distinct (11 -> 9).
+    "hybrid_rrf_search_batch": (9, 1),
     # r7: IVF+PQ — partition-pruned code scan + broadcast probe tables;
     # r13: the packed-codebook pack collapsed to one global aggregate
     "ivfpq_index_query_readback": (1, 1),
