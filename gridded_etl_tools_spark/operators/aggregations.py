@@ -217,34 +217,77 @@ def quantile_map(
 
     Physical shape (round-5 rework — each group's rank axis is
     FACT-sized, so neither stage may funnel a group through one task):
-    percent_rank on both sides via :func:`grouped_rank_stats`
-    (two-level positions + tie-collapse — exact ANSI percent_rank), and
-    the rank-as-of lookup as a two-level LOCF over the rank axis via
-    :func:`bucketed_locf` (obs quantile curve union'd under the
-    forecast ranks, bucket = floor(rank*64), seed carry-in across
-    buckets).  Every stage keys on (group, bucket); values are
-    identical to the single-sequence windows because ranks are exact
-    rationals and the fill is a pick.
+    percent_rank via :func:`grouped_rank_stats` (two-level positions +
+    tie-collapse — exact ANSI percent_rank), and the rank-as-of lookup
+    as a two-level LOCF over the rank axis via :func:`bucketed_locf`
+    (obs quantile curve union'd under the forecast ranks, bucket =
+    floor(rank*64), seed carry-in across buckets).  Every stage keys on
+    (group, bucket); values are identical to the single-sequence
+    windows because ranks are exact rationals and the fill is a pick.
+
+    r13: both sides rank in ONE :func:`grouped_rank_stats` chain
+    partitioned by (group, ``__side``) — per-partition computation is
+    untouched, so every rank is bit-identical to the two-chain form,
+    but the totals/offsets/window/counts stages run once over the
+    tagged union instead of twice (one fact-sized window exchange, not
+    two), and the ranked union IS the row set the LOCF wants, so the
+    lookup's re-union disappears.
 
     Returns the forecast rows + ``corrected``."""
-    fcr = grouped_rank_stats(
-        forecast.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
-        partition_cols=group_cols,
-        value_col=value_col,
-        bucket_col="__qb",
-    ).withColumnRenamed("percent_rank", "__r").drop(
-        "rank", "cume_dist", "__qb"
+    payload = [
+        c for c in forecast.columns if c not in (*group_cols, value_col)
+    ]
+    f_tag = forecast.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.lit(1).alias("__side"),
+        *payload,
     )
-    obsr = grouped_rank_stats(
-        observed.select(*group_cols, F.col(value_col).alias("__obs_v"))
-        .withColumn("__qb", F.floor(F.col("__obs_v") / 5.0)),
-        partition_cols=group_cols,
-        value_col="__obs_v",
-        bucket_col="__qb",
-    ).withColumnRenamed("percent_rank", "__r").select(
-        *group_cols, "__r", "__obs_v"
+    o_tag = observed.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(forecast.schema[c].dataType).alias(c)
+            for c in payload
+        ],
     )
-    return rank_curve_lookup(fcr, obsr, group_cols, "__obs_v", "corrected")
+    ranked = grouped_rank_stats(
+        f_tag.unionByName(o_tag).withColumn(
+            "__qb", F.floor(F.col("__v") / 5.0)
+        ),
+        partition_cols=[*group_cols, "__side"],
+        value_col="__v",
+        bucket_col="__qb",
+    ).withColumnRenamed("percent_rank", "__r")
+    vtype = forecast.schema[value_col].dataType
+    unioned = (
+        ranked.select(
+            *group_cols,
+            "__r",
+            "__side",
+            F.when(F.col("__side") == 0, F.col("__v"))
+            .cast(vtype)
+            .alias("__av"),
+            F.when(F.col("__side") == 1, F.col("__v"))
+            .cast(vtype)
+            .alias(value_col),
+            *payload,
+        )
+        .withColumn("__rb", F.floor(F.col("__r") * 64))
+        .localCheckpoint(eager=True)
+    )
+    filled = bucketed_locf(
+        unioned,
+        keys=group_cols,
+        order_by=[F.col("__r"), F.col("__side")],
+        value_col="__av",
+        bucket_col="__rb",
+        filled_col="corrected",
+    )
+    return filled.filter(F.col("__side") == 1).drop(
+        "__side", "__av", "__rb"
+    )
 
 
 def rank_curve_lookup(

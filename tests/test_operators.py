@@ -860,6 +860,51 @@ def test_crps_ensemble_known_values(spark):
     assert out[2] == pytest.approx(2 / 3 - 0.5 * 8 / 9)
 
 
+def test_quantile_map_matches_window_form_with_ties_and_payload(spark):
+    """r13: both sides rank in ONE fused (group, __side) chain — pin
+    that per-side percent_ranks cannot bleed across sides (ties exist
+    in BOTH sides at the same values) and that forecast payload
+    columns survive.  Expected values come from the single-sequence
+    window formulation computed here on the same rows."""
+    from pyspark.sql.window import Window
+
+    from gridded_etl_tools_spark.operators.aggregations import quantile_map
+
+    obs = spark.createDataFrame(
+        [("a", v) for v in (1.0, 2.0, 2.0, 2.0, 7.0, 9.0)]
+        + [("b", v) for v in (5.0, 5.0, 6.0)],
+        "g string, value double",
+    )
+    fc = spark.createDataFrame(
+        [("a", v, i) for i, v in enumerate((2.0, 2.0, 3.0, 8.0, 20.0))]
+        + [("b", v, i) for i, v in enumerate((5.0, 7.0))],
+        "g string, value double, tag long",
+    )
+    out = {
+        (r["g"], r["value"], r["tag"]): r["corrected"]
+        for r in quantile_map(fc, obs, "value", ["g"]).collect()
+    }
+    # window form: r = percent_rank per side, corrected = obs value at
+    # the greatest obs rank <= the forecast rank (inclusive pick)
+    wf = Window.partitionBy("g").orderBy("value")
+    fcr = {
+        (r["g"], r["value"], r["tag"]): r["r"]
+        for r in fc.withColumn(
+            "r", F.percent_rank().over(wf)
+        ).collect()
+    }
+    obsr = [
+        (r["g"], r["r"], r["value"])
+        for r in obs.withColumn("r", F.percent_rank().over(wf)).collect()
+    ]
+    assert set(out) == set(fcr)
+    for key, r in fcr.items():
+        g = key[0]
+        cands = [(cr, cv) for (cg, cr, cv) in obsr if cg == g and cr <= r]
+        expect = max(cands)[1] if cands else None
+        assert out[key] == expect, (key, r, out[key], expect)
+
+
 def test_quantile_map_recovers_observed_distribution(spark):
     from gridded_etl_tools_spark.operators.aggregations import quantile_map
 

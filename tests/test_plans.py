@@ -362,10 +362,10 @@ SHUFFLE_BUDGET = {
     # bucketed_locf: per-bucket last + axis seeds + interior fill —
     # all keyed, zero single-partition stages
     "locf_event_fill_bucketed": (4, 0),
-    # reworked quantile map: rank stats x2 + rank-axis LOCF behind one
-    # barrier — final segment = locf stages + rollup, all keyed (r6:
-    # +1 static exchange from the dropped seeds broadcast hint, AQE
-    # re-broadcasts at runtime)
+    # reworked quantile map: ONE fused (group, side) rank chain (r13)
+    # + rank-axis LOCF behind one barrier — final segment = locf
+    # stages + rollup, all keyed (r6: +1 static exchange from the
+    # dropped seeds broadcast hint, AQE re-broadcasts at runtime)
     "quantile_map_correction": (6, 0),
     # block ghost-replicated ROWS frame behind the positions barrier
     "rolling_volatility": (1, 0),
