@@ -99,10 +99,22 @@ def interpolate_na(
     t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
     v = F.col(value_col)
     t_of_v = F.when(v.isNotNull(), t_us)
-    prev_v = F.last(v, ignorenulls=True).over(w_back)
-    prev_t = F.last(t_of_v, ignorenulls=True).over(w_back)
-    next_v = F.first(v, ignorenulls=True).over(w_fwd)
-    next_t = F.first(t_of_v, ignorenulls=True).over(w_fwd)
+    # r13: materialize the four neighbor scans as named columns FIRST —
+    # Catalyst does not common-subexpression window expressions, so
+    # composing them straight into ``interp`` expanded every reference
+    # into its own window aggregate (10 frame processors in the plan,
+    # five of them the per-row-recomputed [current, unboundedFollowing]
+    # kind, where only these 4 are distinct)
+    scans = df.withColumns(
+        {
+            "__pv": F.last(v, ignorenulls=True).over(w_back),
+            "__pt": F.last(t_of_v, ignorenulls=True).over(w_back),
+            "__nv": F.first(v, ignorenulls=True).over(w_fwd),
+            "__nt": F.first(t_of_v, ignorenulls=True).over(w_fwd),
+        }
+    )
+    prev_v, prev_t = F.col("__pv"), F.col("__pt")
+    next_v, next_t = F.col("__nv"), F.col("__nt")
     # degenerate zero-width bracket (both neighbors at the same ts, only
     # possible with duplicate timestamps): fall back to the previous value
     frac = F.when(
@@ -115,7 +127,9 @@ def interpolate_na(
             prev_v + (next_v - prev_v) * frac,
         )
     )
-    return df.withColumn(out_col, interp)
+    return scans.withColumn(out_col, interp).drop(
+        "__pv", "__pt", "__nv", "__nt"
+    )
 
 
 def missing_combinations(

@@ -527,6 +527,23 @@ def test_text_scans_tokenize_once(spark, name):
     )
 
 
+def test_interpolate_window_scans_deduped(spark):
+    """r13: ``interpolate_na`` must carry exactly FOUR window
+    aggregates (prev/next value + timestamp).  Composing the scans
+    straight into the blend expression expanded every reference into
+    its own frame processor (10 in the plan, five of them the
+    per-row-recomputed [current, unboundedFollowing] kind) because
+    Catalyst does not common-subexpression window expressions; the
+    named-column staging pins the dedup."""
+    df = QUERIES["interpolate_gaps"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("windowspecdefinition")
+    assert n == 4, (
+        f"interpolate_gaps: {n} window aggregates in the physical plan "
+        "— the four neighbor scans must be staged as named columns"
+    )
+
+
 def test_ivf_scoring_join_broadcasts_probes(spark):
     """r13: the IVF scoring join must broadcast the probe side — a
     planner-picked SortMergeJoin would shuffle the probed cells' corpus
