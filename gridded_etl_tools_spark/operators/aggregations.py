@@ -225,15 +225,44 @@ def quantile_map(
     (group, bucket); values are identical to the single-sequence
     windows because ranks are exact rationals and the fill is a pick.
 
-    r13: both sides rank in ONE :func:`grouped_rank_stats` chain
-    partitioned by (group, ``__side``) — per-partition computation is
-    untouched, so every rank is bit-identical to the two-chain form,
-    but the totals/offsets/window/counts stages run once over the
-    tagged union instead of twice (one fact-sized window exchange, not
-    two), and the ranked union IS the row set the LOCF wants, so the
-    lookup's re-union disappears.
+    r13: when forecast and observed share the value dtype, both sides
+    rank in ONE :func:`grouped_rank_stats` chain partitioned by
+    (group, ``__side``) — per-partition computation is untouched, so
+    every rank is bit-identical to the two-chain form, but the
+    totals/offsets/window/counts stages run once over the tagged union
+    instead of twice (one fact-sized window exchange, not two), and
+    the ranked union IS the row set the LOCF wants, so the lookup's
+    re-union disappears.  MIXED value dtypes take the two-chain path:
+    the fused union would coerce both sides to a common type, which
+    can truncate corrected values (double obs → int forecast) or
+    perturb tie structure (long beyond 2^53 vs double) — each side
+    must rank and emit in its own native dtype.
 
     Returns the forecast rows + ``corrected``."""
+    if (
+        forecast.schema[value_col].dataType
+        != observed.schema[value_col].dataType
+    ):
+        fcr = grouped_rank_stats(
+            forecast.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
+            partition_cols=group_cols,
+            value_col=value_col,
+            bucket_col="__qb",
+        ).withColumnRenamed("percent_rank", "__r").drop(
+            "rank", "cume_dist", "__qb"
+        )
+        obsr = grouped_rank_stats(
+            observed.select(*group_cols, F.col(value_col).alias("__obs_v"))
+            .withColumn("__qb", F.floor(F.col("__obs_v") / 5.0)),
+            partition_cols=group_cols,
+            value_col="__obs_v",
+            bucket_col="__qb",
+        ).withColumnRenamed("percent_rank", "__r").select(
+            *group_cols, "__r", "__obs_v"
+        )
+        return rank_curve_lookup(
+            fcr, obsr, group_cols, "__obs_v", "corrected"
+        )
     payload = [
         c for c in forecast.columns if c not in (*group_cols, value_col)
     ]
@@ -260,30 +289,38 @@ def quantile_map(
         value_col="__v",
         bucket_col="__qb",
     ).withColumnRenamed("percent_rank", "__r")
-    vtype = forecast.schema[value_col].dataType
-    unioned = (
-        ranked.select(
-            *group_cols,
-            "__r",
-            "__side",
-            F.when(F.col("__side") == 0, F.col("__v"))
-            .cast(vtype)
-            .alias("__av"),
-            F.when(F.col("__side") == 1, F.col("__v"))
-            .cast(vtype)
-            .alias(value_col),
-            *payload,
-        )
-        .withColumn("__rb", F.floor(F.col("__r") * 64))
-        .localCheckpoint(eager=True)
+    unioned = ranked.select(
+        *group_cols,
+        "__r",
+        "__side",
+        F.when(F.col("__side") == 0, F.col("__v")).alias("__av"),
+        F.when(F.col("__side") == 1, F.col("__v")).alias(value_col),
+        *payload,
     )
+    return _rank_axis_locf(unioned, group_cols, "corrected")
+
+
+def _rank_axis_locf(
+    unioned: DataFrame, group_cols: list[str], out_col: str
+) -> DataFrame:
+    """Shared tail of the rank-as-of lookup: bucket the tagged
+    rank-axis union (``__r`` rank, ``__side`` 0=curve/1=rows, ``__av``
+    curve values), checkpoint it (the LOCF references it three times),
+    LOCF the curve values under the rows (curve sorts before rows at
+    equal rank — inclusive pick), and return the row side.  Both
+    :func:`quantile_map` (pre-tagged fused chain) and
+    :func:`rank_curve_lookup` (two-input form) funnel through here so
+    the pick/tiebreak invariants live in one place."""
+    unioned = unioned.withColumn(
+        "__rb", F.floor(F.col("__r") * 64)
+    ).localCheckpoint(eager=True)
     filled = bucketed_locf(
         unioned,
         keys=group_cols,
         order_by=[F.col("__r"), F.col("__side")],
         value_col="__av",
         bucket_col="__rb",
-        filled_col="corrected",
+        filled_col=out_col,
     )
     return filled.filter(F.col("__side") == 1).drop(
         "__side", "__av", "__rb"
@@ -322,20 +359,7 @@ def rank_curve_lookup(
             for c in payload
         ],
     )
-    unioned = l_tag.unionByName(c_tag).withColumn(
-        "__rb", F.floor(F.col("__r") * 64)
-    ).localCheckpoint(eager=True)
-    filled = bucketed_locf(
-        unioned,
-        keys=group_cols,
-        order_by=[F.col("__r"), F.col("__side")],
-        value_col="__av",
-        bucket_col="__rb",
-        filled_col=out_col,
-    )
-    return filled.filter(F.col("__side") == 1).drop(
-        "__side", "__av", "__rb"
-    )
+    return _rank_axis_locf(l_tag.unionByName(c_tag), group_cols, out_col)
 
 
 def quantile_delta_map(

@@ -105,6 +105,15 @@ def interpolate_na(
     # into its own window aggregate (10 frame processors in the plan,
     # five of them the per-row-recomputed [current, unboundedFollowing]
     # kind, where only these 4 are distinct)
+    taken = set(df.columns) & {"__pv", "__pt", "__nv", "__nt"}
+    if taken:
+        # withColumns REPLACES same-named inputs and the temps are
+        # dropped below — refuse loudly instead of silently eating a
+        # caller's column
+        raise ValueError(
+            "interpolate_na: input already carries reserved staging "
+            f"column(s) {sorted(taken)}; rename them first"
+        )
     scans = df.withColumns(
         {
             "__pv": F.last(v, ignorenulls=True).over(w_back),

@@ -905,6 +905,26 @@ def test_quantile_map_matches_window_form_with_ties_and_payload(spark):
         assert out[key] == expect, (key, r, out[key], expect)
 
 
+def test_quantile_map_mixed_dtypes_keep_observed_precision(spark):
+    """r13 regression guard: the fused (group, __side) chain would
+    coerce an int forecast + double observed union to a common type
+    and truncate corrected values — mixed value dtypes must take the
+    two-chain path and return the OBSERVED side's dtype/precision."""
+    from gridded_etl_tools_spark.operators.aggregations import quantile_map
+
+    obs = spark.createDataFrame(
+        [("a", v) for v in (0.25, 4.75, 9.5)], "g string, value double"
+    )
+    fc = spark.createDataFrame(
+        [("a", v) for v in (100, 200, 300)], "g string, value int"
+    )
+    out = sorted(
+        r["corrected"]
+        for r in quantile_map(fc, obs, "value", ["g"]).collect()
+    )
+    assert out == [0.25, 4.75, 9.5]
+
+
 def test_quantile_map_recovers_observed_distribution(spark):
     from gridded_etl_tools_spark.operators.aggregations import quantile_map
 
