@@ -239,27 +239,28 @@ def quantile_map(
     must rank and emit in its own native dtype.
 
     Returns the forecast rows + ``corrected``."""
+    reserved = {
+        "__v", "__side", "__qb", "__r", "__av", "__rb", "__obs_v",
+        "rank", "percent_rank", "cume_dist",
+    }
+    taken = (set(forecast.columns) | set(observed.columns)) & reserved
+    if taken:
+        # the staging temps below would silently replace (or duplicate
+        # and break) same-named caller columns — refuse loudly
+        raise ValueError(
+            "quantile_map: input already carries reserved staging "
+            f"column(s) {sorted(taken)}; rename them first"
+        )
     if (
         forecast.schema[value_col].dataType
         != observed.schema[value_col].dataType
     ):
-        fcr = grouped_rank_stats(
-            forecast.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
-            partition_cols=group_cols,
-            value_col=value_col,
-            bucket_col="__qb",
-        ).withColumnRenamed("percent_rank", "__r").drop(
-            "rank", "cume_dist", "__qb"
-        )
-        obsr = grouped_rank_stats(
-            observed.select(*group_cols, F.col(value_col).alias("__obs_v"))
-            .withColumn("__qb", F.floor(F.col("__obs_v") / 5.0)),
-            partition_cols=group_cols,
-            value_col="__obs_v",
-            bucket_col="__qb",
-        ).withColumnRenamed("percent_rank", "__r").select(
-            *group_cols, "__r", "__obs_v"
-        )
+        fcr = _percent_ranked(forecast, group_cols, value_col)
+        obsr = _percent_ranked(
+            observed.select(*group_cols, F.col(value_col).alias("__obs_v")),
+            group_cols,
+            "__obs_v",
+        ).select(*group_cols, "__r", "__obs_v")
         return rank_curve_lookup(
             fcr, obsr, group_cols, "__obs_v", "corrected"
         )
@@ -298,6 +299,24 @@ def quantile_map(
         *payload,
     )
     return _rank_axis_locf(unioned, group_cols, "corrected")
+
+
+def _percent_ranked(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """One side's exact percent_rank via :func:`grouped_rank_stats`
+    with the shared /5.0 value-bucket coarsening; returns the input
+    columns + ``__r``.  The single home of the bucket width and
+    drop-list invariants for :func:`quantile_map` (mixed-dtype path)
+    and :func:`quantile_delta_map`."""
+    return grouped_rank_stats(
+        df.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
+        partition_cols=group_cols,
+        value_col=value_col,
+        bucket_col="__qb",
+    ).withColumnRenamed("percent_rank", "__r").drop(
+        "rank", "cume_dist", "__qb"
+    )
 
 
 def _rank_axis_locf(
@@ -385,23 +404,11 @@ def quantile_delta_map(
     per-group rank axis never funnels through one window task."""
     def ranked(df: DataFrame, col_alias: str) -> DataFrame:
         src = df.select(*group_cols, F.col(value_col).alias(col_alias))
-        return grouped_rank_stats(
-            src.withColumn("__qb", F.floor(F.col(col_alias) / 5.0)),
-            partition_cols=group_cols,
-            value_col=col_alias,
-            bucket_col="__qb",
-        ).withColumnRenamed("percent_rank", "__r").select(
+        return _percent_ranked(src, group_cols, col_alias).select(
             *group_cols, "__r", col_alias
         )
 
-    fut = grouped_rank_stats(
-        future_fc.withColumn("__qb", F.floor(F.col(value_col) / 5.0)),
-        partition_cols=group_cols,
-        value_col=value_col,
-        bucket_col="__qb",
-    ).withColumnRenamed("percent_rank", "__r").drop(
-        "rank", "cume_dist", "__qb"
-    )
+    fut = _percent_ranked(future_fc, group_cols, value_col)
     obs_q = ranked(hist_obs, "__obs_v")
     fc_q = ranked(hist_fc, "__hfc_v")
     step1 = rank_curve_lookup(

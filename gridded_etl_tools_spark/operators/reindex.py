@@ -105,14 +105,17 @@ def interpolate_na(
     # into its own window aggregate (10 frame processors in the plan,
     # five of them the per-row-recomputed [current, unboundedFollowing]
     # kind, where only these 4 are distinct)
-    taken = set(df.columns) & {"__pv", "__pt", "__nv", "__nt"}
-    if taken:
+    reserved = {"__pv", "__pt", "__nv", "__nt"}
+    taken = set(df.columns) & reserved
+    if taken or out_col in reserved:
         # withColumns REPLACES same-named inputs and the temps are
         # dropped below — refuse loudly instead of silently eating a
-        # caller's column
+        # caller's column (or the output itself, if out_col names a
+        # staging temp)
         raise ValueError(
-            "interpolate_na: input already carries reserved staging "
-            f"column(s) {sorted(taken)}; rename them first"
+            "interpolate_na: reserved staging column name(s) in use "
+            f"({sorted(taken | ({out_col} & reserved))}); rename them "
+            "first"
         )
     scans = df.withColumns(
         {

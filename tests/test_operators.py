@@ -925,6 +925,33 @@ def test_quantile_map_mixed_dtypes_keep_observed_precision(spark):
     assert out == [0.25, 4.75, 9.5]
 
 
+def test_reserved_staging_name_refusals(spark):
+    """r13: operators that stage dunder temp columns refuse loudly
+    when a caller's column (or interpolate_na's out_col) collides,
+    instead of silently replacing-then-dropping it."""
+    import pytest
+
+    from gridded_etl_tools_spark.operators import reindex as reindex_ops
+    from gridded_etl_tools_spark.operators.aggregations import quantile_map
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "g string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="reserved staging"):
+        reindex_ops.interpolate_na(df, "ts", "v", out_col="__nv")
+    with pytest.raises(ValueError, match="reserved staging"):
+        reindex_ops.interpolate_na(
+            df.withColumn("__pt", F.lit(1)), "ts", "v"
+        )
+    base = spark.createDataFrame(
+        [("a", 1.0)], "g string, value double"
+    )
+    with pytest.raises(ValueError, match="reserved staging"):
+        quantile_map(
+            base.withColumn("__side", F.lit(1)), base, "value", ["g"]
+        )
+
+
 def test_quantile_map_recovers_observed_distribution(spark):
     from gridded_etl_tools_spark.operators.aggregations import quantile_map
 
