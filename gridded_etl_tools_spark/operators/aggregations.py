@@ -693,13 +693,27 @@ def grouped_rank_stats(
     per-key ``counts`` frames are small by construction (distinct keys
     × bounded bucket axis); the join strategy is left to AQE rather
     than force-broadcast so an unbounded key axis degrades to a shuffle
-    join instead of a driver OOM.  ``order_tiebreak`` is kept for API
-    compatibility: rank/percent_rank/cume_dist are tie-invariant, so
-    the deterministic intra-tie order it used to impose on the internal
-    row numbering never reached the output."""
+    join instead of a driver OOM.
+
+    .. deprecated:: r14
+        ``order_tiebreak`` is ignored and warns when passed (ADVICE
+        r13): rank/percent_rank/cume_dist are tie-invariant, so the
+        deterministic intra-tie order it used to impose on the internal
+        row numbering never reached the output.  It will be removed
+        once external callers have migrated."""
     from functools import reduce as _reduce
 
-    del order_tiebreak  # tie-invariant outputs: see docstring
+    if order_tiebreak is not None:
+        import warnings
+
+        warnings.warn(
+            "grouped_rank_stats(order_tiebreak=...) is ignored: "
+            "rank/percent_rank/cume_dist are tie-invariant (see "
+            "docstring); the parameter will be removed",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    del order_tiebreak
 
     def _nsjoin(left, right, cols, keep):
         l, r = left.alias("__l"), right.alias("__r")

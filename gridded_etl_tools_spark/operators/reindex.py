@@ -79,6 +79,18 @@ def interpolate_na(
     group key and two in-partition passes.  Partitions are per-group
     series, so skew follows the series length, not the corpus.
 
+    r14 (guide §2.4, closing the r13 lead): the forward scan runs as a
+    DESCENDING-order RUNNING frame (``last(ignorenulls) over
+    [unboundedPreceding, current]``) instead of a
+    ``[current, unboundedFollowing]`` frame.  The two frames see the
+    same row set — "at-or-after current in ascending order" IS
+    "at-or-before current in descending order" (tiebreaks reversed
+    with the time axis, so peer sets are identical) — but Spark
+    evaluates an unbounded-following frame by rescanning current→end
+    per row, O(series²) per group, while the running frame is one O(n)
+    pass after a second in-partition sort.  Same single exchange; the
+    plan trades the quadratic tail scans for one extra Sort node.
+
     ``time_col`` may be TIMESTAMP or TIMESTAMP_NTZ (cast-normalized
     before the micros math)."""
     out_col = out_col or value_col
@@ -91,10 +103,12 @@ def interpolate_na(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the forward neighbor scan, expressed as a running frame over the
+    # exact REVERSE total order (every key flipped to desc)
     w_fwd = (
         Window.partitionBy(*parts)
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(*[F.desc(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
     v = F.col(value_col)
@@ -121,8 +135,8 @@ def interpolate_na(
         {
             "__pv": F.last(v, ignorenulls=True).over(w_back),
             "__pt": F.last(t_of_v, ignorenulls=True).over(w_back),
-            "__nv": F.first(v, ignorenulls=True).over(w_fwd),
-            "__nt": F.first(t_of_v, ignorenulls=True).over(w_fwd),
+            "__nv": F.last(v, ignorenulls=True).over(w_fwd),
+            "__nt": F.last(t_of_v, ignorenulls=True).over(w_fwd),
         }
     )
     prev_v, prev_t = F.col("__pv"), F.col("__pt")

@@ -35,7 +35,35 @@ def rrf_fuse(
     """Fuse two rank lists (columns ``by`` + ``lex_rank`` /
     ``dense_rank``) by reciprocal rank; rows appearing in only one leg
     contribute that leg's term alone.  Returns the ``by`` columns +
-    lex_rank, dense_rank, rrf_score, rrf_rank (<= ``k_out``)."""
+    lex_rank, dense_rank, rrf_score, rrf_rank (<= ``k_out``).
+
+    r14 (guide §2.4): the two legs are fused by UNION + one per-key
+    MAX aggregation instead of a full-outer join.  Each leg carries at
+    most one row per ``by`` key, so padding the missing leg's rank with
+    NULL and taking ``max`` per key reconstructs exactly the full-outer
+    row — for one keyed exchange instead of two sort exchanges plus a
+    SortMergeJoin on the bounded (<= 2 x k_leg per query) fusion
+    frames.  In the batched form the union is repartitioned by the
+    query key first, so the aggregation AND the final re-rank window
+    reuse that single exchange (subset-key clustering)."""
+    lex_t = lex_top.schema["lex_rank"].dataType
+    dense_t = dense_top.schema["dense_rank"].dataType
+    lex_p = lex_top.select(
+        *by, "lex_rank", F.lit(None).cast(dense_t).alias("dense_rank")
+    )
+    dense_p = dense_top.select(
+        *by, F.lit(None).cast(lex_t).alias("lex_rank"), "dense_rank"
+    )
+    unioned = lex_p.unionByName(dense_p)
+    if len(by) > 1:
+        # one exchange on the query key serves the (by)-keyed agg and
+        # the per-query re-rank window; the unioned frame is bounded
+        # (<= 2 x k_leg rows per query), so the narrow key is skew-free
+        unioned = unioned.repartition(*[F.col(c) for c in by[:-1]])
+    fused = unioned.groupBy(*by).agg(
+        F.max("lex_rank").alias("lex_rank"),
+        F.max("dense_rank").alias("dense_rank"),
+    )
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
         + F.coalesce(
@@ -47,8 +75,7 @@ def rrf_fuse(
     part = [F.lit(0)] if len(by) == 1 else [F.col(c) for c in by[:-1]]
     w = Window.partitionBy(*part).orderBy(rrf.desc(), F.asc(by[-1]))
     return (
-        lex_top.join(dense_top, on=by, how="full_outer")
-        .withColumn("rrf_score", F.round(rrf, 6))
+        fused.withColumn("rrf_score", F.round(rrf, 6))
         .withColumn("rrf_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rrf_rank") <= k_out)
     )

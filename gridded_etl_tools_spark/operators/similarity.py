@@ -445,7 +445,12 @@ def ivf_topk(
     # probed cells' corpus vectors on centroid_id, a handful of hot
     # keys (guaranteed skew at scale).  Broadcasting the probe side
     # keeps the corpus map-side: zero corpus exchanges before the
-    # bounded top-k window.
+    # bounded top-k window.  CONTRACT BOUND (ADVICE r13): the forced
+    # hint bypasses AQE's size check, so the probe batch must stay
+    # within broadcast limits — at dim=64 float64 that is ~0.5 KB/row,
+    # comfortable to ~10M probe rows against the 8 GB relation cap;
+    # batches beyond that should be split by the caller (probe slices
+    # are independent jobs), not funneled through one broadcast.
     scored = (
         F.broadcast(p).join(n, on="centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -1399,7 +1404,11 @@ class IvfIndex:
         # r13 (guide §3.1): broadcast the probe side explicitly — the
         # checkpointed probe frame is probe-sized by contract, and a
         # planner-picked SortMergeJoin here would shuffle the probed
-        # cells' vectors on a handful of centroid ids (skew at scale)
+        # cells' vectors on a handful of centroid ids (skew at scale).
+        # Same contract bound as ivf_topk (ADVICE r13): the forced hint
+        # bypasses AQE, so callers with probe batches near broadcast
+        # limits (~10M rows at dim=64) must split the batch into
+        # independent query jobs instead.
         scored = (
             F.broadcast(p).join(n, on="centroid_id")
             .filter(F.col("probe_id") != F.col("neighbor_id"))

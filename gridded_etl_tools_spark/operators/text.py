@@ -40,6 +40,15 @@ def staged_tokens(
     expressions referenced more than once — measured ~30% off the
     quality-score scan (r13).  Pass the staged column to the scorers'
     ``toks=`` parameter."""
+    if toks_col in df.columns:
+        # withColumn REPLACES a same-named input and callers drop the
+        # staged column when done — refuse loudly instead of silently
+        # eating a caller's column (same guard as interpolate_na /
+        # quantile_map reserved staging names, ADVICE r13)
+        raise ValueError(
+            f"staged_tokens: staging column {toks_col!r} already exists "
+            "in the input; pass a different toks_col"
+        )
     return df.withColumn(toks_col, tokens(F.col(text_col)))
 
 
@@ -142,13 +151,15 @@ def language_id(text_col, toks=None) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint(text_col) -> Column:
+def fingerprint(text_col, toks=None) -> Column:
     """Normalization fingerprint: md5 of the sorted distinct token set —
     robust to word order and repetition (the classic 'fingerprint'
-    clustering key)."""
-    return F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
-    )
+    clustering key).  ``toks``: pass a :func:`staged_tokens` column to
+    tokenize each row once across composite scans (ADVICE r13: plans
+    previously re-inlined this expression by hand, letting the two
+    definitions drift)."""
+    toks = tokens(text_col) if toks is None else toks
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
 def rolling_hash_fingerprints(text_col, window: int = 4) -> Column:

@@ -970,9 +970,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text_ops.mean_word_length(F.col("text"), toks=t), 6).alias(
             "mean_word_len"
         ),
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(t)))
-        ).alias("fingerprint"),
+        text_ops.fingerprint(F.col("text"), toks=t).alias("fingerprint"),
     )
 
 
@@ -6479,6 +6477,7 @@ from gridded_etl_tools_spark.plans import analytics as _analytics  # noqa: E402,
 from gridded_etl_tools_spark.plans import climate_plans as _climate  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import multimodal_plans as _multimodal  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import relational as _relational  # noqa: E402,F401
+from gridded_etl_tools_spark.plans import scale_tier as _scale_tier  # noqa: E402,F401
 from gridded_etl_tools_spark.plans import textpipe as _textpipe  # noqa: E402,F401
 
 
@@ -9456,7 +9455,6 @@ def event_value_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["event_type"],
         value_col="value",
         bucket_col="__bkt",
-        order_tiebreak=[F.col("event_id").asc()],
     )
     return stats.select(
         "event_id", "event_type", "rank", "percent_rank", "cume_dist"

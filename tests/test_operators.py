@@ -1188,3 +1188,43 @@ def test_lsh_index_append_guards_resubmission(spark, tmp_path):
         for r in idx.candidates(spark, batch).collect()
     }
     assert cand3 == cand1
+
+
+def test_staged_tokens_refuses_existing_staging_column(spark):
+    """ADVICE r13: staged_tokens must not silently replace a caller's
+    pre-existing column with the staged token array (same reserved-name
+    guard as interpolate_na / quantile_map)."""
+    from gridded_etl_tools_spark.operators.text import staged_tokens
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b", __toks="keep")])
+    with pytest.raises(ValueError, match="__toks"):
+        staged_tokens(df)
+    # a non-colliding name still stages
+    out = staged_tokens(df, toks_col="__t2")
+    assert out.select("__t2").first()[0] == ["a", "b"]
+
+
+def test_grouped_rank_stats_order_tiebreak_deprecation(spark):
+    """ADVICE r13: the ignored order_tiebreak parameter must warn loudly
+    (tie-invariant outputs) instead of implying an ordering guarantee."""
+    import warnings
+
+    from gridded_etl_tools_spark.operators.aggregations import (
+        grouped_rank_stats,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i % 3), rid=i) for i in range(6)]
+    ).withColumn("__bkt", F.floor(F.col("v")))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        grouped_rank_stats(
+            df, ["g"], "v", "__bkt", order_tiebreak=[F.col("rid").asc()]
+        )
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        grouped_rank_stats(df, ["g"], "v", "__bkt")
+    assert not any(
+        issubclass(w.category, DeprecationWarning) for w in caught
+    )

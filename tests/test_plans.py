@@ -622,3 +622,31 @@ def test_cached_index_root_propagates_build_errors(tmp_path, monkeypatch):
     assert catalog._cached_index_root(
         "okbuild", "/root/testdata/sf0.001", exploding_build
     ) == root
+
+
+def test_scale_tier_rows_amplify_and_stay_exact(spark):
+    """r14 scale tier: the two scaling-attestation rows must (1) spread
+    the amplified map work across a cores-derived partition count (the
+    repartition width comes from the SESSION, never a local constant),
+    and (2) account for every amplified copy — sum(n_rows) == AMP x
+    |lineitem| — so the row can never silently sample or truncate."""
+    from gridded_etl_tools_spark.plans import scale_tier
+
+    n_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    hash_df = QUERIES["scale_hash_rollup_32x"](spark, SF_DIR)
+    total = hash_df.agg({"n_rows": "sum"}).collect()[0][0]
+    assert total == scale_tier.AMP_HASH * n_li
+
+    plan = hash_df._jdf.queryExecution().executedPlan().toString()
+    width = spark.sparkContext.defaultParallelism
+    assert f"RoundRobinPartitioning({width})" in plan, (
+        "amplified map stage must repartition to the session's core "
+        f"count ({width}) before the explode"
+    )
+
+    rank_df = QUERIES["scale_rank_shuffle_16x"](spark, SF_DIR)
+    # every group's top-2 survives: rank values are only 1 or 2 and the
+    # per-group minimum rank is always 1
+    bad = rank_df.filter("rank < 1 OR rank > 2").count()
+    assert bad == 0

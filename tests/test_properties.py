@@ -495,6 +495,31 @@ def test_global_ntile_matches_window_ntile(spark, vals, k):
     assert got == want
 
 
+def test_global_ntile_barrier_false_matches_default(spark):
+    """ADVICE r13: ``barrier=False`` (skip the eager localCheckpoint —
+    for callers that already materialized the axis) must compute the
+    exact same tiles as the default barrier path."""
+    from pyspark.sql import functions as F
+
+    from gridded_etl_tools_spark.operators.aggregations import global_ntile
+
+    df = spark.createDataFrame(
+        [Row(rid=i, v=(i * 7) % 13) for i in range(37)]
+    ).withColumn("__bkt", F.col("v"))
+    kw = dict(order_by=[F.asc("v"), F.asc("rid")], bucket_col="__bkt")
+    with_barrier = {
+        r["rid"]: r["tile"]
+        for r in global_ntile(df.localCheckpoint(eager=True), 4, **kw).collect()
+    }
+    without = {
+        r["rid"]: r["tile"]
+        for r in global_ntile(
+            df.localCheckpoint(eager=True), 4, barrier=False, **kw
+        ).collect()
+    }
+    assert with_barrier == without
+
+
 @spark_settings
 @given(
     st.lists(
@@ -614,7 +639,6 @@ def test_grouped_rank_stats_matches_window_functions(spark, pairs):
             partition_cols=["g"],
             value_col="v",
             bucket_col="__bkt",
-            order_tiebreak=[F.col("rid").asc()],
         ).collect()
     }
     w = Window.partitionBy("g").orderBy("v")
@@ -678,7 +702,6 @@ def test_grouped_rank_stats_ranks_null_values(spark, pairs):
             partition_cols=["g"],
             value_col="v",
             bucket_col="__bkt",
-            order_tiebreak=[F.col("rid").asc()],
         ).collect()
     }
     w = Window.partitionBy("g").orderBy(F.col("v").asc())  # nulls first
