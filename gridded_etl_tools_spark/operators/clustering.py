@@ -123,6 +123,13 @@ def kmeans(
     cents = init_centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col)
     )
+    if checkpoint:
+        # every Lloyd round re-scans the corpus (iters assignment passes
+        # + the final one); materializing it once trades one cached pass
+        # for iters+1 source scans and their per-pass cast/projection
+        # work — the guide §5 persist-when-reused call, scoped to the
+        # deep-iteration mode that already cuts lineage per round
+        df = df.localCheckpoint(eager=True)
     assigned = None
     for _ in range(max(iters, 1)):
         assigned = _assign(df, cents)

@@ -331,10 +331,21 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in at
     least one LSH band.  rows_per_band = num_hashes / bands sets the
-    similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    similarity threshold ~ (1/bands)^(1/rows_per_band).
+
+    The band table is materialized ONCE (``localCheckpoint``) before the
+    self-join: without the barrier Catalyst plans the signature pipeline
+    (shingle explode -> md5 per shingle -> k hash mins -> band md5) as
+    two identical subtrees, one per join side, so every document is
+    shingled and hashed twice (r14, guide §1.2 — don't compute things
+    twice; verified in the executed plan).  The join is left un-hinted:
+    the checkpointed side's stats are unknown, so the planner starts
+    from the always-safe shuffle join and AQE demotes it to a broadcast
+    hash join at runtime when the band table is actually small — never
+    a forced corpus-sized broadcast at scale."""
     band_hash = lsh_band_hashes(
         df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    ).localCheckpoint(eager=True)
     a = band_hash.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )

@@ -53,6 +53,21 @@ def test_kmeans_reassigns_across_bad_seeds(spark, two_blobs):
     assert len({labels[10 + i] for i in range(4)}) == 1
 
 
+def test_kmeans_checkpoint_mode_matches_lazy(spark, two_blobs):
+    """r14: checkpoint=True now also materializes the CORPUS once (one
+    cached pass instead of iters+1 source scans); the trajectory and
+    final assignment must be identical to the lazy mode."""
+    init = two_blobs.filter(F.col("vec_id").isin(0, 10))
+    c_lazy, a_lazy = clus_ops.kmeans(two_blobs, init, iters=2)
+    c_ck, a_ck = clus_ops.kmeans(two_blobs, init, iters=2, checkpoint=True)
+    assert sorted(map(tuple, c_lazy.collect())) == sorted(
+        map(tuple, c_ck.collect())
+    )
+    assert sorted(map(tuple, a_lazy.collect())) == sorted(
+        map(tuple, a_ck.collect())
+    )
+
+
 def test_kmeans_centroids_rounded(spark, two_blobs):
     init = two_blobs.filter(F.col("vec_id").isin(0, 10))
     cents, _ = clus_ops.kmeans(two_blobs, init, iters=1, decimals=2)

@@ -66,14 +66,17 @@ def test_partial_aggregation_before_shuffle(spark):
 
 
 def test_minhash_lsh_shuffles_signatures_never_text(spark):
-    # the n>1 shape is: shingle-explode -> salted hashes -> ONE narrow
-    # shuffle of (id, hash-array) per side (AQE reuses the exchange at
-    # runtime) -> band explode -> band equi-join -> distinct.  The scale
-    # contract is that no Exchange ever carries the document text column —
-    # shuffles move only ids + fixed-width hashes.
+    # r14: the band table is localCheckpoint-ed before the self-join, so
+    # the final plan joins two scans of ONE materialized RDD — the
+    # signature pipeline (shingle explode -> md5 per shingle -> hash
+    # mins -> band md5) runs exactly once instead of once per side.  The
+    # scale contract is unchanged: no Exchange ever carries the document
+    # text column — shuffles move only ids + fixed-width hashes.
     plan = formatted_plan(spark, "minhash_lsh_candidates")
-    assert count_nodes(plan, "Exchange") <= 2     # per-side signature agg
-    assert count_nodes(plan, "Generate") == 4     # shingle + band, per side
+    assert count_nodes(plan, "Scan ExistingRDD") == 2  # one shared barrier
+    assert "split(" not in plan      # shingling happened BEFORE the barrier
+    assert "md5(" not in plan        # hashing too
+    assert count_nodes(plan, "Generate") == 0
     assert "BatchEvalPython" not in plan
     # inspect each Exchange node's detail block: its Input/Arguments must
     # not reference the raw text column
@@ -389,7 +392,10 @@ SHUFFLE_BUDGET = {
     # join's two sides + the dense top-k — every post-leg exchange
     # carries <=20-row frames; the single is the 20-survivor rank
     # window (bounded axis).
-    "hybrid_rrf_search": (7, 1),
+    # r14 tightened: the full-outer fusion join became union + one keyed
+    # max-agg (each leg carries <=1 row per key), deleting the SMJ and
+    # its two sort exchanges
+    "hybrid_rrf_search": (6, 1),
     # table-mutation readbacks: the inspected plan is the POST-mutation
     # read — a manifest-pruned parquet scan (merge/delete rows return
     # the raw readback: zero exchanges; zorder returns a global bbox
@@ -415,7 +421,9 @@ SHUFFLE_BUDGET = {
     # lex/dense/fusion windows all on <=40-row frames; the single is
     # the corpus-stats grand total.  r13: the fused single-pass BM25
     # leg drops the dl join + the term-union distinct (11 -> 9).
-    "hybrid_rrf_search_batch": (9, 1),
+    # r14 tightened (9 -> 7): union + keyed max-agg fusion, and the
+    # query-key repartition of the union feeds agg AND re-rank window
+    "hybrid_rrf_search_batch": (7, 1),
     # r7: IVF+PQ — partition-pruned code scan + broadcast probe tables;
     # r13: the packed-codebook pack collapsed to one global aggregate
     "ivfpq_index_query_readback": (1, 1),
