@@ -420,7 +420,12 @@ def ivf_topk(
         F.col(vec_col).alias("probe_vec"),
         _norm(F.col(vec_col)).alias("probe_norm"),
         "centroid_id",
-    )
+    ).localCheckpoint(eager=True)  # r14 (guide §1.2), mirroring
+    # IvfIndex.query: p feeds BOTH the broadcast scoring join and the
+    # probed-cells semi filter — without the barrier each branch
+    # re-plans the whole probe argmax INCLUDING its own collect of the
+    # centroid book (verified: 3 book builds + 2 probe assignment
+    # subtrees in the r14 before-dump); probe-sized by contract
     n = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),

@@ -25,6 +25,7 @@ from gridded_etl_tools_spark.operators import clustering as clus  # noqa: E402
 from gridded_etl_tools_spark.operators import dedup as dedup_ops  # noqa: E402
 from gridded_etl_tools_spark.operators import reindex as reindex_ops  # noqa: E402
 from gridded_etl_tools_spark.operators import retrieval as ret_ops  # noqa: E402
+from gridded_etl_tools_spark.operators import similarity as sim_ops  # noqa: E402
 from gridded_etl_tools_spark.operators import text as text_ops  # noqa: E402
 from gridded_etl_tools_spark.plans.catalog import QUERIES  # noqa: E402
 from gridded_etl_tools_spark.plans.tables import load  # noqa: E402
@@ -178,6 +179,70 @@ def old_tfidf(spark, sf_dir) -> DataFrame:
     )
 
 
+def old_ivf_topk(corpus, centroids, probe_predicate, id_col="vec_id",
+                 vec_col="embedding", k=5, nprobe=1, vectorized=None,
+                 rank_decimals=None):
+    from gridded_etl_tools_spark.operators.similarity import (
+        _dot,
+        _norm,
+        cosine_pandas,
+        ivf_assign,
+        nearest_centroids,
+        resolve_vectorized,
+    )
+
+    vectorized = resolve_vectorized(vectorized)
+    cells = ivf_assign(
+        corpus, centroids, id_col, vec_col, vectorized=vectorized
+    )
+    probe_src = corpus.filter(probe_predicate)
+    if nprobe > 1:
+        probe_rows = nearest_centroids(
+            probe_src.select(id_col, vec_col), centroids, id_col, vec_col,
+            n=nprobe,
+        )
+    else:
+        probe_rows = ivf_assign(
+            probe_src, centroids, id_col, vec_col, vectorized=vectorized
+        )
+    p = probe_rows.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_norm"),
+        "centroid_id",
+    )
+    n = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        _norm(F.col(vec_col)).alias("neighbor_norm"),
+        "centroid_id",
+    )
+    probed_cells = p.select("centroid_id").distinct()
+    n = n.join(F.broadcast(probed_cells), "centroid_id", "left_semi")
+    if vectorized:
+        score = cosine_pandas(F.col("probe_vec"), F.col("neighbor_vec"))
+    else:
+        score = _dot(F.col("probe_vec"), F.col("neighbor_vec")) / (
+            F.col("probe_norm") * F.col("neighbor_norm")
+        )
+    scored = (
+        F.broadcast(p).join(n, on="centroid_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", score.alias("cosine"))
+    )
+    rank_key = (
+        F.round(F.col("cosine"), rank_decimals)
+        if rank_decimals is not None
+        else F.col("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        rank_key.desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------- experiments
 
 #: experiment -> (query name, module, attr, old callable); tfidf swaps
@@ -193,6 +258,9 @@ EXPERIMENTS = {
     "rrf": ("hybrid_rrf_search", ret_ops, "rrf_fuse", old_rrf_fuse),
     "interp": ("interpolate_gaps", reindex_ops, "interpolate_na",
                old_interpolate_na),
+    "ivf_topk": ("ivf_ann_topk", sim_ops, "ivf_topk", old_ivf_topk),
+    "ivf_topk_auto": ("ivf_topk_auto", sim_ops, "ivf_topk", old_ivf_topk),
+    "ivf_nprobe": ("ivf_nprobe_topk", sim_ops, "ivf_topk", old_ivf_topk),
 }
 
 
