@@ -2416,7 +2416,13 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    cb = sim_ops.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    # r14 (guide §1.2): cb feeds BOTH pq_encode and pq_topk — without a
+    # barrier each consumer re-plans the whole codebook build (training-
+    # sample scan + subvector explode + global agg, twice in the dump);
+    # the materialized table is codebook-sized (m x codewords rows)
+    cb = sim_ops.pq_codebooks(
+        emb, F.col("vec_id") % 50 == 0, m=4, dim=64
+    ).localCheckpoint(eager=True)
     codes = sim_ops.pq_encode(emb, cb, m=4, dim=64)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     out = sim_ops.pq_topk(probes, codes, cb, m=4, dim=64, k=5, rank_decimals=6)

@@ -243,6 +243,19 @@ def old_ivf_topk(corpus, centroids, probe_predicate, id_col="vec_id",
     )
 
 
+def old_pq_ann_topk(spark, sf_dir) -> DataFrame:
+    from gridded_etl_tools_spark.operators import similarity as _sim
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = _sim.pq_codebooks(emb, F.col("vec_id") % 50 == 0, m=4, dim=64)
+    codes = _sim.pq_encode(emb, cb, m=4, dim=64)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = _sim.pq_topk(probes, codes, cb, m=4, dim=64, k=5, rank_decimals=6)
+    return out.select("probe_id", "neighbor_id", "adc", "rank")
+
+
 # ---------------------------------------------------------------- experiments
 
 #: experiment -> (query name, module, attr, old callable); tfidf swaps
@@ -261,6 +274,7 @@ EXPERIMENTS = {
     "ivf_topk": ("ivf_ann_topk", sim_ops, "ivf_topk", old_ivf_topk),
     "ivf_topk_auto": ("ivf_topk_auto", sim_ops, "ivf_topk", old_ivf_topk),
     "ivf_nprobe": ("ivf_nprobe_topk", sim_ops, "ivf_topk", old_ivf_topk),
+    "pq": ("pq_ann_topk", None, None, old_pq_ann_topk),
 }
 
 
