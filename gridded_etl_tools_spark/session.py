@@ -50,7 +50,17 @@ def get_session(
         # our manifest file-pruning and row-group skipping depend on them
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local mode this ONE JVM is driver + executor + block manager
+        # for all N task threads, so the heap must be sized to the task
+        # concurrency, not to a driver's usual bookkeeping (guide §5).
+        # 8g with 32 task threads was GC-bound: multi-second GC stalls
+        # landed on whatever bench row ran next (allocation-heavy rows
+        # swung 3-5x rep to rep, spread 1.9-3.7); at 16g the same rows
+        # hold spreads under ~0.6 and every heavy row's median dropped
+        # (OPTIMIZATION_r14.md §11).  Env-parameterized; on a real
+        # cluster driver memory is a deployment setting and executors
+        # get their own heaps.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Parquet TIMESTAMP(NANOS) (pandas default) is unreadable by Spark
         # unless surfaced as long; plans.tables.load converts ns→µs with
         # the same truncation DuckDB applies.
