@@ -28,8 +28,9 @@ SHOWCASE = [
      "scan; the only wide exchange is the final (nation, year) agg"),
     ("session_stats", "single Exchange on the entity key; both the lag "
      "window and the session rollup reuse it"),
-    ("minhash_lsh_candidates", "signatures computed map-side (no exchange "
-     "before the band equi-join); the join carries (band, hash, id) only"),
+    ("minhash_lsh_candidates", "band table checkpointed ONCE (r14) so the "
+     "shingle+md5 signature pipeline never runs per join side; the join "
+     "carries (band, hash, id) only"),
     ("ivf_ann_topk", "centroid book broadcast (1-row pack), cell equi-join, "
      "per-probe top-k window — corpus vectors never cross-joined"),
     ("bloom_two_phase_dedup", "bit_or-folded filter words broadcast back; "
