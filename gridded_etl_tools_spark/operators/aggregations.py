@@ -706,11 +706,14 @@ def grouped_rank_stats(
     if order_tiebreak is not None:
         import warnings
 
+        # FutureWarning, not DeprecationWarning: the default filters
+        # hide DeprecationWarning outside __main__, so library callers
+        # would never see it — defeating the point of warning at all
         warnings.warn(
             "grouped_rank_stats(order_tiebreak=...) is ignored: "
             "rank/percent_rank/cume_dist are tie-invariant (see "
             "docstring); the parameter will be removed",
-            DeprecationWarning,
+            FutureWarning,
             stacklevel=2,
         )
     del order_tiebreak

@@ -86,9 +86,14 @@ def kmeans(
     ``(centroid_id, vec)`` and the corpus labeled with its final-round
     assignment ``(id, vec, centroid_id)``.
 
-    ``checkpoint=True`` materializes each round's centroid table with
-    ``localCheckpoint`` — use for deep iteration counts; the default
-    keeps the plan lazy so small fixed-round queries stay single-job.
+    ``checkpoint=True`` materializes each round's centroid table AND
+    the input corpus once with ``localCheckpoint`` (r14: the corpus
+    barrier trades one cached pass for iters+1 source scans and their
+    per-pass cast work) — use for deep iteration counts.  Note
+    ``localCheckpoint`` blocks are not fault-tolerant: an executor loss
+    mid-run fails the job instead of recomputing, the standard trade
+    this repo makes for lineage cuts.  The default keeps the plan lazy
+    so small fixed-round queries stay single-job.
 
     ``vectorized`` defaults to AUTO (BLAS batch-matmul assignment via
     :func:`~gridded_etl_tools_spark.operators.similarity.ivf_assign`

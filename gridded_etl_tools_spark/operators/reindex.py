@@ -91,6 +91,15 @@ def interpolate_na(
     pass after a second in-partition sort.  Same single exchange; the
     plan trades the quadratic tail scans for one extra Sort node.
 
+    The equivalence needs ``(time_col, *tiebreak_cols)`` to be a total
+    order within each group.  That was already this operator's
+    determinism contract (see the tiebreak note below) — but the
+    failure mode sharpens: with untie-broken duplicate keys the old
+    code was merely arbitrary among tie orders, while the asc and desc
+    sorts here are INDEPENDENTLY arbitrary, so the backward and
+    forward scans may not even agree on one ordering.  Pass
+    ``tiebreak_cols`` whenever timestamps can repeat.
+
     ``time_col`` may be TIMESTAMP or TIMESTAMP_NTZ (cast-normalized
     before the micros math)."""
     out_col = out_col or value_col

@@ -45,7 +45,13 @@ def rrf_fuse(
     SortMergeJoin on the bounded (<= 2 x k_leg per query) fusion
     frames.  In the batched form the union is repartitioned by the
     query key first, so the aggregation AND the final re-rank window
-    reuse that single exchange (subset-key clustering)."""
+    reuse that single exchange (subset-key clustering).
+
+    Output contract (r14): exactly the ``by`` columns + lex_rank,
+    dense_rank, rrf_score, rrf_rank — the legs are projected down
+    before fusing, so passthrough columns a caller left on a leg are
+    NOT preserved (the old join-based form leaked them); re-join any
+    payload on the ``by`` key after fusion."""
     lex_t = lex_top.schema["lex_rank"].dataType
     dense_t = dense_top.schema["dense_rank"].dataType
     lex_p = lex_top.select(

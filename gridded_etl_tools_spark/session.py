@@ -25,6 +25,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap sized to the machine, clamped to [4g, 16g].
+
+    In local mode this ONE JVM is driver + executor + block manager for
+    all N task threads, so the heap must be sized to the task
+    concurrency, not to a driver's usual bookkeeping (guide §5).  8g
+    with 32 task threads was GC-bound: multi-second stalls landed on
+    whatever bench row ran next (allocation-heavy rows swung 3-5x rep
+    to rep, spread 1.9-3.7); at 16g the same rows hold spreads under
+    ~0.6 and every heavy row's median dropped (OPTIMIZATION_r14.md
+    §11; 24g measured WORSE — sizing, not more-is-better).  A quarter
+    of physical RAM keeps small CI boxes out of the OOM-killer;
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides, and on a real cluster driver
+    memory is a deployment setting with executors on their own heaps.
+    """
+    try:
+        ram_gb = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")) >> 30
+    except (ValueError, OSError, AttributeError):
+        ram_gb = 0
+    return f"{max(4, min(16, ram_gb // 4))}g"
+
+
 def get_session(
     app_name: str = "gridded_etl_tools_spark",
     master: str | None = None,
@@ -50,17 +72,17 @@ def get_session(
         # our manifest file-pruning and row-group skipping depend on them
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
-        # In local mode this ONE JVM is driver + executor + block manager
-        # for all N task threads, so the heap must be sized to the task
-        # concurrency, not to a driver's usual bookkeeping (guide §5).
-        # 8g with 32 task threads was GC-bound: multi-second GC stalls
-        # landed on whatever bench row ran next (allocation-heavy rows
-        # swung 3-5x rep to rep, spread 1.9-3.7); at 16g the same rows
-        # hold spreads under ~0.6 and every heavy row's median dropped
-        # (OPTIMIZATION_r14.md §11).  Env-parameterized; on a real
-        # cluster driver memory is a deployment setting and executors
-        # get their own heaps.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
+        # ContextCleaner frees localCheckpoint/broadcast blocks only
+        # after a driver GC enqueues their weak references; the 30 min
+        # default means a long-running stream (one checkpoint barrier
+        # per micro-batch, e.g. stream_dedup) accumulates blocks for
+        # half an hour.  5 min bounds the pileup without ever firing
+        # inside a bench-sized run.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # Parquet TIMESTAMP(NANOS) (pandas default) is unreadable by Spark
         # unless surfaced as long; plans.tables.load converts ns→µs with
         # the same truncation DuckDB applies.

@@ -6,7 +6,8 @@ lie by +-1s at this SF), timing the full catalog row through the noop
 sink.
 
 Usage: python scripts/ab_r14.py [experiment ...]   (default: all)
-Experiments: tfidf minhash kmeans rrf_batch rrf interp
+Experiments: tfidf minhash kmeans kmeans_auto rrf_batch rrf interp
+             ivf_topk ivf_topk_auto ivf_nprobe pq
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@
 
 Usage: python scripts/dump_r14_plans.py <suffix> [query ...]
 
-Writes ``plans/r13/<query>_<suffix>.txt`` (suffix = ``before`` at the
+Writes ``plans/r14/<query>_<suffix>.txt`` (suffix = ``before`` at the
 pre-optimization tree, ``after`` at the optimized tree) plus a one-line
 Exchange census at the top of each file so plan-shape deltas are
 greppable without reading the whole dump.

@@ -1221,10 +1221,10 @@ def test_grouped_rank_stats_order_tiebreak_deprecation(spark):
         grouped_rank_stats(
             df, ["g"], "v", "__bkt", order_tiebreak=[F.col("rid").asc()]
         )
-    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+    assert any(issubclass(w.category, FutureWarning) for w in caught)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         grouped_rank_stats(df, ["g"], "v", "__bkt")
     assert not any(
-        issubclass(w.category, DeprecationWarning) for w in caught
+        issubclass(w.category, FutureWarning) for w in caught
     )

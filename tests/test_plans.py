@@ -654,7 +654,21 @@ def test_scale_tier_rows_amplify_and_stay_exact(spark):
     )
 
     rank_df = QUERIES["scale_rank_shuffle_16x"](spark, SF_DIR)
-    # every group's top-2 survives: rank values are only 1 or 2 and the
-    # per-group minimum rank is always 1
-    bad = rank_df.filter("rank < 1 OR rank > 2").count()
-    assert bad == 0
+    # every group's top-2 survives — pinned by facts a broken window
+    # could not fake: every populated group keeps EXACTLY min(2, pop)
+    # rows with min rank 1, and nothing outside [1, 2] leaks through
+    # (the old `rank in [1,2]` check alone was vacuous: the query
+    # itself filters rank <= 2 and row_number is always >= 1)
+    from pyspark.sql import functions as F
+
+    per_g = rank_df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    )
+    assert per_g.filter("lo <> 1 OR hi <> n OR n > 2").count() == 0
+    n_groups = per_g.count()
+    assert n_groups > 1  # the window really partitions
+    # groups ~ min(8192, amplified rows): at any bench SF the amplified
+    # row count far exceeds 8192, so the full key space must populate
+    if n_li * scale_tier.AMP_RANK >= 8192 * 8:
+        assert n_groups == 8192, n_groups
